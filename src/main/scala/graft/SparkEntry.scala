@@ -1,13 +1,238 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.RF
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY.md §2, with a DuckDB-equivalent SQL oracle where expressible.
+  *
+  * Conventions (oracle parity):
+  *  - every computed column is aliased identically in Spark and SQL;
+  *  - every query has a deterministic ORDER BY;
+  *  - double aggregates are rounded (or routed through DECIMAL) so that
+  *    Spark's parallel partial aggregation and DuckDB's sequential fold
+  *    hash-match bit-for-bit.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf0.001 — the reference's canonical grouped select
+    * (`select {sum/avg by: flags from: lineitem}`, SURVEY.md §3.2). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Queries.q01_agg_pricing(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.registry
+
+  def oracleSql: Map[String, String] = Queries.oracles
+}
+
+/** The query registry lives here to keep SparkEntry to the contract. */
+object Queries {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(spark, dir, name)
+
+  /** Exact-sum of a double column via DECIMAL(18,2): deterministic under
+    * any aggregation order, identical in Spark and DuckDB. */
+  private def dsum(c: org.apache.spark.sql.Column) =
+    sum(c.cast("decimal(18,2)")).cast("double")
+
+  // ---------------------------------------------------------------- q01
+  // Grouped aggregate: the reference select-by-where pipeline
+  // (ray_select, /root/reference/core/query.c:607).
+  def q01_agg_pricing(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        dsum($"l_quantity").as("sum_qty"),
+        dsum($"l_extendedprice").as("sum_price"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("cnt"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  private val q01_sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+      |  ROUND(AVG(l_discount), 4) AS avg_disc,
+      |  COUNT(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q02
+  // Filter + projection (ray_where + mappings, SURVEY.md §2.2). The filter
+  // and the 4-column projection both push down to the parquet scan.
+  def q02_filter_project(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter($"l_quantity" > 45 && $"l_discount" <= 0.05)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        round($"l_extendedprice", 2).as("price"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+
+  private val q02_sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity,
+      |  ROUND(l_extendedprice, 2) AS price
+      |FROM lineitem WHERE l_quantity > 45 AND l_discount <= 0.05
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q03
+  // Inner equi-join (reference inner-join, /root/reference/core/join.c:200)
+  // + grouped agg. customer is small → Spark broadcasts it (AQE).
+  def q03_join_inner(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "customer"), $"o_custkey" === $"c_custkey", "inner")
+      .groupBy($"c_mktsegment")
+      .agg(count(lit(1)).as("n_orders"),
+        dsum($"o_totalprice").as("sum_total"))
+      .orderBy($"c_mktsegment")
+
+  private val q03_sql =
+    """SELECT c_mktsegment, COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  // ---------------------------------------------------------------- q04
+  // Left join preserving all left rows (reference left-join,
+  // /root/reference/core/join.c:158): customers with their order counts,
+  // zero for customers without orders.
+  def q04_join_left(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer")
+      .join(t(spark, dir, "orders"), $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(count($"o_orderkey").as("n_orders"))
+      .orderBy($"c_custkey")
+
+  private val q04_sql =
+    """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+      |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q05
+  // Top-k: orderBy + limit → Catalyst TakeOrderedAndProject (no full
+  // sort/shuffle; reference take-after-xdesc, SURVEY.md §2.6).
+  def q05_topk(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select($"o_orderkey", round($"o_totalprice", 2).as("total"))
+      .orderBy($"total".desc, $"o_orderkey")
+      .limit(10)
+
+  private val q05_sql =
+    """SELECT o_orderkey, ROUND(o_totalprice, 2) AS total
+      |FROM orders ORDER BY total DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q06
+  // distinct (reference distinct, /root/reference/core/compose.c:839).
+  def q06_distinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_linestatus").distinct()
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  private val q06_sql =
+    """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q07
+  // in / within / like-glob predicates (SURVEY.md §2.2).
+  def q07_predicates(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part")
+      .filter(RF.within($"p_size", lit(10), lit(30)) &&
+        $"p_brand".isin("Brand#1", "Brand#2", "Brand#15", "Brand#19") &&
+        RF.likeGlob($"p_type", "*A*"))
+      .groupBy($"p_brand").agg(count(lit(1)).as("n"))
+      .orderBy($"p_brand")
+
+  private val q07_sql =
+    """SELECT p_brand, COUNT(*) AS n FROM part
+      |WHERE p_size BETWEEN 10 AND 30
+      |  AND p_brand IN ('Brand#1','Brand#2','Brand#15','Brand#19')
+      |  AND p_type LIKE '%A%'
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  // ---------------------------------------------------------------- q08
+  // Euclidean division/remainder semantics (reference `/` and `%`,
+  // /root/reference/core/ops.h:171-183): floor division, div-by-zero → null.
+  def q08_euclid(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber",
+        RF.euclidDiv($"l_partkey" - $"l_suppkey" * 2, $"l_suppkey" - 5).as("ediv"),
+        RF.euclidMod($"l_partkey" - $"l_suppkey" * 2, $"l_suppkey" - 5).as("emod"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+
+  private val q08_sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(FLOOR(CAST(l_partkey - l_suppkey*2 AS DOUBLE) / NULLIF(l_suppkey - 5, 0)) AS BIGINT) AS ediv,
+      |  CAST(l_partkey - l_suppkey*2 - CAST(FLOOR(CAST(l_partkey - l_suppkey*2 AS DOUBLE) / NULLIF(l_suppkey - 5, 0)) AS BIGINT) * (l_suppkey - 5) AS BIGINT) AS emod
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q09
+  // xbar time-bucketing (reference xbar on timestamps + by:, SURVEY.md
+  // §2.10): tumbling 1-hour windows over the events stream table.
+  // events.ts is LongType nanos (SURVEY §1.2 convention); bucket with the
+  // exact integer xbar, then rescale nanos → epoch seconds.
+  def q09_xbar_time(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    // `div` (integer division) keeps the ns→hour rescale exact; a double
+    // round-trip would lose precision above 2^53.
+    t(spark, dir, "events")
+      .groupBy((RF.xbar(lit(hourNs), $"ts").cast("decimal(38,0)") / hourNs)
+        .cast("long").as("hour_div"))
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 4).as("sum_value"))
+      .select(($"hour_div" * 3600).as("hour_epoch"), $"n", $"sum_value")
+      .orderBy($"hour_epoch")
+  }
+
+  private val q09_sql =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |  COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+      |FROM events GROUP BY hour_epoch ORDER BY hour_epoch""".stripMargin
+
+  // ---------------------------------------------------------------- q10
+  // scan / running aggregate (reference scan, /root/reference/core/iter.c:1212)
+  // → cumulative window sum per key.
+  def q10_scan_cumsum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .select($"event_id", $"user_id",
+        round(sum($"value").over(w), 4).as("cum_value"))
+      .orderBy($"event_id")
+  }
+
+  private val q10_sql =
+    """SELECT event_id, user_id,
+      |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------------------ registry
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_agg_pricing" -> (q01_agg_pricing _),
+    "q02_filter_project" -> (q02_filter_project _),
+    "q03_join_inner" -> (q03_join_inner _),
+    "q04_join_left" -> (q04_join_left _),
+    "q05_topk" -> (q05_topk _),
+    "q06_distinct" -> (q06_distinct _),
+    "q07_predicates" -> (q07_predicates _),
+    "q08_euclid" -> (q08_euclid _),
+    "q09_xbar_time" -> (q09_xbar_time _),
+    "q10_scan_cumsum" -> (q10_scan_cumsum _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_agg_pricing" -> q01_sql,
+    "q02_filter_project" -> q02_sql,
+    "q03_join_inner" -> q03_sql,
+    "q04_join_left" -> q04_sql,
+    "q05_topk" -> q05_sql,
+    "q06_distinct" -> q06_sql,
+    "q07_predicates" -> q07_sql,
+    "q08_euclid" -> q08_sql,
+    "q09_xbar_time" -> q09_sql,
+    "q10_scan_cumsum" -> q10_sql,
+  )
 }

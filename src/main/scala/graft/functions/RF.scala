@@ -1,0 +1,90 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Scalar/vector function library mirroring the reference's operator
+  * semantics (SURVEY.md §2.2/§2.8) as codegen-friendly `Column`
+  * expressions — no UDFs.
+  *
+  * Semantics pinned by the reference:
+  *  - `/` on integers is Euclidean (floor) division with div-by-zero → null
+  *    (`/root/reference/core/ops.h:171-183`).
+  *  - `%` is Euclidean remainder (sign follows divisor).
+  *  - `xbar` rounds down to a bucket width — the time/value bucketing
+  *    primitive (`/root/reference/core/math.c:1635`).
+  *  - `like` is a glob matcher: `*`, `?`, `[set]`
+  *    (`/root/reference/core/string.c:417-520`).
+  *  - `within` is an inclusive range test (`/root/reference/core/items.c:848`).
+  *  - `round` is half-away-from-zero (`/root/reference/core/ops.h:199-201`);
+  *    Spark's `round` (BigDecimal HALF_UP) already matches.
+  */
+object RF {
+
+  /** Euclidean (floor) division; divisor 0 or null → null. */
+  def euclidDiv(a: Column, b: Column): Column = {
+    val d = when(b === 0, lit(null)).otherwise(b)
+    floor(a.cast("double") / d.cast("double")).cast("long")
+  }
+
+  /** Euclidean remainder: a - floor(a/b)*b; sign follows the divisor. */
+  def euclidMod(a: Column, b: Column): Column = {
+    val d = when(b === 0, lit(null)).otherwise(b)
+    (a - floor(a.cast("double") / d.cast("double")).cast("long") * d).cast("long")
+  }
+
+  /** Round x down to a multiple of width w (reference `xbar`).
+    * pmod keeps this exact for 64-bit values (no double round-trip —
+    * ns timestamps exceed double's 2^53 exact-integer range). */
+  def xbar(w: Column, x: Column): Column = x - pmod(x, w)
+
+  /** xbar over doubles, staying in double space. */
+  def xbarD(w: Column, x: Column): Column =
+    floor(x / w) * w
+
+  /** Inclusive range membership (reference `within`). */
+  def within(x: Column, lo: Column, hi: Column): Column =
+    x.between(lo, hi)
+
+  /** Reference glob `like` (`*`, `?`, `[set]`) translated to a Java regex
+    * and evaluated with `rlike` (codegen'd). */
+  def likeGlob(c: Column, pattern: String): Column =
+    c.rlike(globToRegex(pattern))
+
+  private[graft] def globToRegex(glob: String): String = {
+    val sb = new StringBuilder("^")
+    var i = 0
+    while (i < glob.length) {
+      glob.charAt(i) match {
+        case '*' => sb.append(".*")
+        case '?' => sb.append('.')
+        case '[' =>
+          val close = glob.indexOf(']', i + 1)
+          if (close < 0) { sb.append("\\[") }
+          else {
+            sb.append('[').append(glob.substring(i + 1, close).replace("\\", "\\\\"))
+              .append(']')
+            i = close
+          }
+        case ch if "\\.[]{}()<>*+-=!?^$|".indexOf(ch.toInt) >= 0 =>
+          sb.append('\\').append(ch)
+        case ch => sb.append(ch)
+      }
+      i += 1
+    }
+    sb.append('$').toString
+  }
+
+  /** Null-skipping population standard deviation — the reference's `dev`
+    * is population, not sample (`(dev [1i 2i])` = 0.5,
+    * `/root/reference/core/aggr.c:2864`). */
+  def dev(c: Column): Column = stddev_pop(c)
+
+  /** Exact median — reference `med` (`/root/reference/core/math.c:2529`). */
+  def med(c: Column): Column = median(c)
+
+  /** Rank: 0-based dense position in sorted order (reference `rank`,
+    * `/root/reference/core/order.c:505`). Whole-table analytic — pair with
+    * a Window in queries. */
+  // (expressed at query sites via row_number().over(...) - 1)
+}
