@@ -208,6 +208,194 @@ object Queries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS cum_value
       |FROM events ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q11
+  // As-of join (reference asof-join, /root/reference/core/join.c:300):
+  // for each click/view, the most recent purchase by the same user.
+  // Oracle: DuckDB's native ASOF LEFT JOIN.
+  def q11_asof_join(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val left = e.filter($"event_type".isin("click", "view"))
+    val right = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts",
+        $"value".as("purchase_value"), $"ts".as("purchase_ts"))
+    // lag reported in µs with per-timestamp truncation: DuckDB reads the
+    // ns parquet column at µs resolution, so sub-µs digits aren't portable.
+    operators.AsofJoin.asofJoin(left, right, Seq("user_id"), "ts")
+      .select($"event_id", $"user_id", $"purchase_value",
+        (expr("ts div 1000") - expr("purchase_ts div 1000")).as("lag_us"))
+      .orderBy($"event_id")
+  }
+
+  private val q11_sql =
+    """SELECT l.event_id, l.user_id, r.value AS purchase_value,
+      |  epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
+      |FROM (SELECT * FROM events WHERE event_type IN ('click','view')) l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q12
+  // Window (interval) join (reference window-join1,
+  // /root/reference/core/join.c:358): per purchase, aggregate clicks by
+  // the same user within ±1 hour.
+  def q12_window_join(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val e = t(spark, dir, "events")
+    val left = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val right = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"value")
+    operators.WindowJoin.windowJoin(left, right,
+      leftId = Seq("event_id"), keys = Seq("user_id"), ts = "ts",
+      loOffset = lit(-hourNs), hiOffset = lit(hourNs),
+      aggs = Seq(count($"value").as("n_clicks"),
+        round(sum($"value"), 4).as("sum_clicks"),
+        min($"value").as("min_click"), max($"value").as("max_click")))
+      .select($"event_id", $"user_id",
+        coalesce($"n_clicks", lit(0L)).as("n_clicks"),
+        $"sum_clicks", $"min_click", $"max_click")
+      .orderBy($"event_id")
+  }
+
+  private val q12_sql =
+    """SELECT l.event_id, l.user_id, COUNT(r.value) AS n_clicks,
+      |  ROUND(SUM(r.value), 4) AS sum_clicks,
+      |  MIN(r.value) AS min_click, MAX(r.value) AS max_click
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      |  ON l.user_id = r.user_id
+      |  AND epoch_ns(r.ts) BETWEEN epoch_ns(l.ts) - 3600000000000
+      |                         AND epoch_ns(l.ts) + 3600000000000
+      |GROUP BY l.event_id, l.user_id
+      |ORDER BY l.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q13
+  // Keyed upsert (reference upsert, /root/reference/core/update.c:556):
+  // matched keys take the source row wholesale, misses append.
+  def q13_upsert(spark: SparkSession, dir: String): DataFrame = {
+    val source = t(spark, dir, "orders")
+      .groupBy(when($"o_custkey" % 7 === 0, $"o_custkey" + 100000)
+        .otherwise($"o_custkey").as("c_custkey"))
+      .agg(dsum($"o_totalprice").as("c_acctbal"))
+    operators.Upsert.upsert(t(spark, dir, "customer"), source, Seq("c_custkey"))
+      .orderBy($"c_custkey")
+  }
+
+  private val q13_sql =
+    """WITH src AS (
+      |  SELECT CASE WHEN o_custkey % 7 = 0 THEN o_custkey + 100000
+      |              ELSE o_custkey END AS c_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS c_acctbal
+      |  FROM orders GROUP BY 1)
+      |SELECT COALESCE(s.c_custkey, c.c_custkey) AS c_custkey,
+      |  c.c_name, c.c_nationkey,
+      |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+      |       ELSE c.c_acctbal END AS c_acctbal,
+      |  c.c_mktsegment
+      |FROM customer c FULL JOIN src s ON c.c_custkey = s.c_custkey
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q14
+  // Set difference (reference except, /root/reference/core/items.c:916):
+  // customers that never placed an order. Catalyst plans EXCEPT as a
+  // left-anti join — the scalable form.
+  def q14_except(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select($"c_custkey")
+      .except(t(spark, dir, "orders")
+        .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey"))
+      .orderBy($"c_custkey")
+
+  private val q14_sql =
+    """SELECT c_custkey FROM customer
+      |EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q15
+  // rank / xrank (reference /root/reference/core/order.c:505-648):
+  // 0-based rank and quartile bucket within each market segment.
+  def q15_rank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+    t(spark, dir, "customer")
+      .select($"c_custkey", $"c_mktsegment",
+        (row_number().over(w) - 1).as("rank0"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy($"c_custkey")
+  }
+
+  private val q15_sql =
+    """SELECT c_custkey, c_mktsegment,
+      |  ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+      |    ORDER BY c_acctbal DESC, c_custkey) - 1 AS rank0,
+      |  NTILE(4) OVER (PARTITION BY c_mktsegment
+      |    ORDER BY c_acctbal DESC, c_custkey) AS quartile
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q16
+  // String ops (reference split/format/like, SURVEY.md §2.8): tokenize,
+  // head, and printf-style formatting over documents.
+  def q16_strings(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select($"doc_id",
+        size(split($"text", " ")).as("n_tokens"),
+        element_at(split($"text", " "), 1).as("first_tok"),
+        upper(substring($"text", 1, 10)).as("head10"),
+        format_string("%s|%d", $"lang", $"n_chars").as("tag"))
+      .orderBy($"doc_id")
+
+  private val q16_sql =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  string_split(text, ' ')[1] AS first_tok,
+      |  upper(substr(text, 1, 10)) AS head10,
+      |  printf('%s|%d', lang, n_chars) AS tag
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q17
+  // Order-sensitive / statistical aggregates: first/last by stable row
+  // order (min_by/max_by — deterministic under parallel aggregation,
+  // unlike first()), exact median, population stddev (reference `dev`,
+  // /root/reference/core/aggr.c:2864).
+  def q17_agg_stats(spark: SparkSession, dir: String): DataFrame = {
+    val ord = $"l_orderkey" * 10 + $"l_linenumber"
+    t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        min_by($"l_quantity", ord).as("first_qty"),
+        max_by($"l_quantity", ord).as("last_qty"),
+        round(median($"l_extendedprice"), 4).as("med_price"),
+        round(stddev_pop($"l_extendedprice"), 4).as("dev_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q17_sql =
+    """SELECT l_returnflag,
+      |  arg_min(l_quantity, l_orderkey*10 + l_linenumber) AS first_qty,
+      |  arg_max(l_quantity, l_orderkey*10 + l_linenumber) AS last_qty,
+      |  ROUND(median(l_extendedprice), 4) AS med_price,
+      |  ROUND(stddev_pop(l_extendedprice), 4) AS dev_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q18
+  // Vector-in-vector membership (reference `in`,
+  // /root/reference/core/items.c:736) as a left-semi join — no
+  // materialized distinct, no broadcast-collect.
+  def q18_semi_join(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .join(t(spark, dir, "customer").filter($"c_mktsegment" === "BUILDING"),
+        $"o_custkey" === $"c_custkey", "left_semi")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"), dsum($"o_totalprice").as("sum_total"))
+      .orderBy($"o_orderpriority")
+
+  private val q18_sql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+      |FROM orders
+      |WHERE o_custkey IN (SELECT c_custkey FROM customer
+      |                    WHERE c_mktsegment = 'BUILDING')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -221,6 +409,14 @@ object Queries {
     "q08_euclid" -> (q08_euclid _),
     "q09_xbar_time" -> (q09_xbar_time _),
     "q10_scan_cumsum" -> (q10_scan_cumsum _),
+    "q11_asof_join" -> (q11_asof_join _),
+    "q12_window_join" -> (q12_window_join _),
+    "q13_upsert" -> (q13_upsert _),
+    "q14_except" -> (q14_except _),
+    "q15_rank" -> (q15_rank _),
+    "q16_strings" -> (q16_strings _),
+    "q17_agg_stats" -> (q17_agg_stats _),
+    "q18_semi_join" -> (q18_semi_join _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -234,5 +430,13 @@ object Queries {
     "q08_euclid" -> q08_sql,
     "q09_xbar_time" -> q09_sql,
     "q10_scan_cumsum" -> q10_sql,
+    "q11_asof_join" -> q11_sql,
+    "q12_window_join" -> q12_sql,
+    "q13_upsert" -> q13_sql,
+    "q14_except" -> q14_sql,
+    "q15_rank" -> q15_sql,
+    "q16_strings" -> q16_sql,
+    "q17_agg_stats" -> q17_sql,
+    "q18_semi_join" -> q18_sql,
   )
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, attach the right row with the same keys
+  * and the greatest right time ≤ the left time (kdb `aj`; reference
+  * `asof-join`, `/root/reference/core/join.c:300`,
+  * `core/index.c:3194-3269`).
+  *
+  * Spark-first plan (scales to arbitrary data): tag both sides, union,
+  * then a single `Window.partitionBy(keys).orderBy(ts, side)` with
+  * `last(right_row_struct, ignoreNulls)` carries the latest right row
+  * forward onto each left row. Cost = ONE shuffle on the keys + a sort
+  * within partitions — the same sorted-merge-within-key work the
+  * reference does, but distributed. No broadcast required, so the right
+  * side may be arbitrarily large; skew on a hot key is the only caveat
+  * (pre-salt if needed).
+  *
+  * The right row is carried as a single struct so that a matched row
+  * whose payload column is NULL is still the row that wins (a per-column
+  * `last(ignoreNulls)` would wrongly reach back to an older row).
+  */
+object AsofJoin {
+
+  /** @param keys      equi-join key columns (present in both sides)
+    * @param ts        time column name (present in both sides, orderable)
+    * @param rightCols right payload columns to attach (default: all
+    *                  non-key, non-ts right columns)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String], ts: String,
+               rightCols: Seq[String] = Nil): DataFrame = {
+    val payload =
+      if (rightCols.nonEmpty) rightCols
+      else right.columns.filterNot(c => keys.contains(c) || c == ts).toSeq
+    val leftCols = left.columns.toSeq
+
+    val l = left
+      .withColumn("__side", lit(1))
+      .withColumn("__r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          payload.map(c => org.apache.spark.sql.types.StructField(
+            c, right.schema(c).dataType, nullable = true)))))
+    val r = {
+      val base = right.select(
+        (keys :+ ts).map(col) :+ struct(payload.map(col): _*).as("__r"): _*)
+      // null out left-only columns; keep a common schema for the union
+      leftCols.filterNot(c => keys.contains(c) || c == ts)
+        .foldLeft(base)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+        .withColumn("__side", lit(0))
+        .select((leftCols.map(col) :+ col("__side") :+ col("__r")): _*)
+    }
+
+    // right rows sort before left rows at equal ts → `≤` (inclusive) match
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    l.select((leftCols.map(col) :+ col("__side") :+ col("__r")): _*)
+      .unionByName(r)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(leftCols.map(col) ++ payload.map(c => col(s"__m.$c").as(c)): _*)
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsofJoin, Upsert, WindowJoin}
+
+/** Semantics pinned to the reference's join/upsert behavior
+  * (`/root/reference/core/join.c`, `core/update.c:556`,
+  * `examples/asof.rfl`). */
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join: greatest right ts <= left ts, ties inclusive, miss -> null") {
+    val trades = Seq(("AAPL", 10L, 100.0), ("AAPL", 20L, 101.0),
+      ("MSFT", 5L, 50.0)).toDF("sym", "ts", "price")
+    val quotes = Seq(("AAPL", 8L, 99.0), ("AAPL", 10L, 99.5),
+      ("AAPL", 15L, 100.5), ("GOOG", 1L, 1.0)).toDF("sym", "ts", "bid")
+    val got = AsofJoin.asofJoin(trades, quotes, Seq("sym"), "ts")
+      .orderBy($"sym", $"ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(3))))
+    assert(got.toSeq == Seq(
+      ("AAPL", 10L, Some(99.5)),   // tie at ts=10 matches (<= inclusive)
+      ("AAPL", 20L, Some(100.5)),  // greatest <= 20 is 15, not 8
+      ("MSFT", 5L, None)))         // no MSFT quotes -> null
+  }
+
+  test("asof join: matched row wins even when its payload is null") {
+    val l = Seq((1L, 10L)).toDF("k", "ts")
+    val r = Seq((1L, 5L, Some(7.0)), (1L, 9L, None))
+      .toDF("k", "ts", "v")
+    val got = AsofJoin.asofJoin(l, r, Seq("k"), "ts").collect().head
+    // latest right row (ts=9) has v=null; must NOT fall back to ts=5's 7.0
+    assert(got.isNullAt(got.fieldIndex("v")))
+  }
+
+  test("window join keeps left rows with no right rows in range") {
+    val l = Seq((1L, "a", 100L), (2L, "a", 900L)).toDF("id", "k", "ts")
+    val r = Seq(("a", 95L, 1.0), ("a", 105L, 2.0), ("a", 400L, 9.0))
+      .toDF("k", "ts", "v")
+    val got = WindowJoin.windowJoin(l, r, Seq("id"), Seq("k"), "ts",
+      lit(-10L), lit(10L), Seq(count($"v").as("n"), sum($"v").as("s")))
+      .orderBy($"id").collect()
+    assert(got(0).getLong(got(0).fieldIndex("n")) == 2L)
+    assert(got(0).getDouble(got(0).fieldIndex("s")) == 3.0)
+    assert(got(1).isNullAt(got(1).fieldIndex("n"))) // no clicks near ts=900
+  }
+
+  test("window join exclusive bounds drop endpoint matches") {
+    val l = Seq((1L, "a", 100L)).toDF("id", "k", "ts")
+    val r = Seq(("a", 90L, 1.0), ("a", 110L, 2.0), ("a", 100L, 4.0))
+      .toDF("k", "ts", "v")
+    val inc = WindowJoin.windowJoin(l, r, Seq("id"), Seq("k"), "ts",
+      lit(-10L), lit(10L), Seq(count($"v").as("n")), inclusive = true)
+    val exc = WindowJoin.windowJoin(l, r, Seq("id"), Seq("k"), "ts",
+      lit(-10L), lit(10L), Seq(count($"v").as("n")), inclusive = false)
+    assert(inc.collect().head.getLong(3) == 3L)
+    assert(exc.collect().head.getLong(3) == 1L)
+  }
+
+  test("upsert: hit rows take source wholesale (incl. nulls), misses append") {
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "bal")
+    val source = Seq((2L, "B2", null.asInstanceOf[java.lang.Double]),
+      (3L, "c", java.lang.Double.valueOf(30.0))).toDF("k", "name", "bal")
+    val got = Upsert.upsert(target, source, Seq("k")).orderBy($"k").collect()
+    assert(got.length == 3)
+    assert(got(0).getString(1) == "a" && got(0).getDouble(2) == 10.0)
+    assert(got(1).getString(1) == "B2" && got(1).isNullAt(2)) // null wins
+    assert(got(2).getString(1) == "c" && got(2).getDouble(2) == 30.0)
+  }
+
+  test("upsert: source with subset of columns leaves missing cols from target") {
+    val target = Seq((1L, "a", 10.0)).toDF("k", "name", "bal")
+    val source = Seq((1L, 99.0)).toDF("k", "bal")
+    val got = Upsert.upsert(target, source, Seq("k")).collect().head
+    assert(got.getString(1) == "a" && got.getDouble(2) == 99.0)
+  }
+}
