@@ -396,6 +396,225 @@ object Queries {
       |                    WHERE c_mktsegment = 'BUILDING')
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ================================================================
+  // Training-data pipeline operators (SURVEY north-star extensions):
+  // text analysis, dedup, similarity search over documents/embeddings.
+  // ================================================================
+  import graft.functions.Text
+  import graft.operators.{Dedup, Similarity}
+
+  // ---------------------------------------------------------------- t01
+  // Token counting: whitespace tokens + regex word pieces.
+  def t01_tokens(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select($"doc_id",
+        size(Text.tokens($"text")).as("n_ws_tokens"),
+        size(Text.alphaTokens($"text")).as("n_alpha_tokens"))
+      .orderBy($"doc_id")
+
+  private val t01_sql =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_alpha_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t02
+  // Quality scoring: punctuation + stopword ratios → composite score.
+  def t02_quality(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select($"doc_id",
+        round(Text.punctRatio($"text"), 4).as("punct_ratio"),
+        round(Text.stopwordRatio($"text"), 4).as("stop_ratio"),
+        Text.qualityScore($"text").as("quality"))
+      .orderBy($"doc_id")
+
+  private val t02_stop = Text.stopwords.map(s => s"'$s'").mkString(", ")
+  private val t02_sql =
+    s"""SELECT doc_id,
+       |  ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
+       |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+       |      / length(text) END, 4) AS punct_ratio,
+       |  ROUND(CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0 ELSE
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      w -> w IN ($t02_stop))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) END, 4) AS stop_ratio,
+       |  ROUND(0.4 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100)
+       |    + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
+       |        CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+       |          / length(text) END)
+       |    + 0.3 * (1.0 - CASE WHEN len(string_split(text,' ')) = 0 THEN 0.0 ELSE
+       |        CAST(len(list_filter(string_split(text, ' '),
+       |          w -> w IN ($t02_stop))) AS DOUBLE)
+       |          / len(string_split(text,' ')) END), 4) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t03
+  // Language ID: marker-word voting, grouped census of predictions.
+  def t03_langid(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(Text.langId($"text").as("lang_pred"))
+      .groupBy($"lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy($"lang_pred")
+
+  private val t03_sql = {
+    def hits(ms: Seq[String]) =
+      s"len(list_filter(string_split(lower(text), ' '), " +
+        s"w -> w IN (${ms.map(m => s"'$m'").mkString(", ")})))"
+    val en = hits(Seq("the", "and", "of", "to", "is"))
+    val de = hits(Seq("der", "die", "und", "das", "ist"))
+    val es = hits(Seq("el", "la", "que", "los", "por"))
+    val fr = hits(Seq("le", "les", "des", "est", "une"))
+    s"""SELECT lang_pred, COUNT(*) AS n FROM (
+       |  SELECT CASE
+       |    WHEN greatest($en, $de, $es, $fr) = 0 THEN 'unknown'
+       |    WHEN $en = greatest($en, $de, $es, $fr) THEN 'en'
+       |    WHEN $de = greatest($en, $de, $es, $fr) THEN 'de'
+       |    WHEN $es = greatest($en, $de, $es, $fr) THEN 'es'
+       |    WHEN $fr = greatest($en, $de, $es, $fr) THEN 'fr'
+       |    ELSE 'unknown' END AS lang_pred
+       |  FROM documents) GROUP BY lang_pred ORDER BY lang_pred""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t04
+  // Document fingerprinting: whitespace-normalized md5.
+  def t04_fingerprint(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select($"doc_id", Text.fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+
+  private val t04_sql =
+    """SELECT doc_id,
+      |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d01
+  // Exact dedup: hash-groupBy on the fingerprint, keep min doc_id.
+  def d01_dedup_exact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(spark, dir, "documents"), "doc_id", "text")
+      .select($"keep_id", $"n_dups")
+      .orderBy($"keep_id")
+
+  private val d01_sql =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      |FROM documents
+      |GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+      |ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- d02
+  // MinHash signatures (4 portable hash functions over token codes).
+  def d02_minhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigged = Dedup.withMinhashSignature(t(spark, dir, "documents"), "text", 4)
+    sigged.select($"doc_id", $"sig_0", $"sig_1", $"sig_2", $"sig_3")
+      .orderBy($"doc_id")
+  }
+
+  private val d02_sql = {
+    val sigs = Text.minhashSeeds(4).zipWithIndex.map { case ((a, b), i) =>
+      s"${Text.duck.minhashSql("text", a, b)} AS sig_$i"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id,
+       |  $sigs
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d03
+  // Exact n-gram (token-set) Jaccard over blocked candidate pairs.
+  def d03_jaccard_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val a = docs.select($"source".as("blk"), $"doc_id".as("id_a"),
+      Text.tokens($"text").as("toks_a"))
+    val b = docs.select($"source".as("blk"), $"doc_id".as("id_b"),
+      Text.tokens($"text").as("toks_b"))
+    a.join(b, Seq("blk"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("jac", Dedup.jaccard($"toks_a", $"toks_b"))
+      .filter($"jac" >= 0.3)
+      .select($"id_a", $"id_b", round($"jac", 4).as("jac"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val d03_sql =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    list_distinct(string_split(text, ' ')) AS tk
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+      |    (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4) AS jac
+      |FROM toks a JOIN toks b
+      |  ON a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+      |    (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- d04
+  // SimHash 16-bit signatures.
+  def d04_simhash(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select($"doc_id", Text.simhash16Expr("text").as("sh"))
+      .orderBy($"doc_id")
+
+  private val d04_sql =
+    s"""SELECT doc_id, ${Text.duck.simhash16Sql("text")} AS sh
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d05
+  // Embedding near-dup: cosine over label-blocked pairs (IVF-style).
+  def d05_embed_neardup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", "label", 0.3)
+      .orderBy($"id_a", $"id_b")
+
+  private val d05_sql =
+    """WITH v AS (SELECT vec_id, label,
+      |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+      |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- s01
+  // Brute-force cosine top-k against a query vector (exact baseline).
+  def s01_cosine_topk(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryId = 0L, k = 10)
+      .select($"id".as("vec_id"), $"score")
+
+  private val s01_sql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |    FROM embeddings),
+      |  q AS (SELECT emb AS qv FROM v WHERE vec_id = 0)
+      |SELECT v.vec_id, ROUND(list_cosine_similarity(v.emb, q.qv), 6) AS score
+      |FROM v, q WHERE v.vec_id <> 0
+      |ORDER BY score DESC, v.vec_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- s02
+  // LSH-bucketed approximate top-k (scale path; no SQL oracle — the
+  // driver records a rows-only check).
+  def s02_ann_lsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryId = 0L, k = 10, dim = 64, nBits = 4)
+      .select($"id".as("vec_id"), $"score")
+
+  // ---------------------------------------------------------------- d06
+  // MinHash-LSH dedup end-to-end: banded candidate generation, then
+  // exact Jaccard verification (no SQL oracle — rows-only).
+  def d06_lsh_candidates(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+      numHashes = 16, bands = 2)
+    Dedup.jaccardVerify(cands, docs, "doc_id", "text", threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // ---------------------------------------------------------------- d07
+  // SimHash near-dup pairs (blocked hamming; no SQL oracle — rows-only).
+  def d07_simhash_neardup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(t(spark, dir, "documents"), "doc_id", "text",
+      maxHamming = 3, blockBits = 10)
+      .orderBy($"id_a", $"id_b")
+
   // ------------------------------------------------------------ registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -417,6 +636,19 @@ object Queries {
     "q16_strings" -> (q16_strings _),
     "q17_agg_stats" -> (q17_agg_stats _),
     "q18_semi_join" -> (q18_semi_join _),
+    "t01_tokens" -> (t01_tokens _),
+    "t02_quality" -> (t02_quality _),
+    "t03_langid" -> (t03_langid _),
+    "t04_fingerprint" -> (t04_fingerprint _),
+    "d01_dedup_exact" -> (d01_dedup_exact _),
+    "d02_minhash" -> (d02_minhash _),
+    "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
+    "d04_simhash" -> (d04_simhash _),
+    "d05_embed_neardup" -> (d05_embed_neardup _),
+    "d06_lsh_candidates" -> (d06_lsh_candidates _),
+    "d07_simhash_neardup" -> (d07_simhash_neardup _),
+    "s01_cosine_topk" -> (s01_cosine_topk _),
+    "s02_ann_lsh" -> (s02_ann_lsh _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -438,5 +670,15 @@ object Queries {
     "q16_strings" -> q16_sql,
     "q17_agg_stats" -> q17_sql,
     "q18_semi_join" -> q18_sql,
+    "t01_tokens" -> t01_sql,
+    "t02_quality" -> t02_sql,
+    "t03_langid" -> t03_sql,
+    "t04_fingerprint" -> t04_sql,
+    "d01_dedup_exact" -> d01_sql,
+    "d02_minhash" -> d02_sql,
+    "d03_jaccard_pairs" -> d03_sql,
+    "d04_simhash" -> d04_sql,
+    "d05_embed_neardup" -> d05_sql,
+    "s01_cosine_topk" -> s01_sql,
   )
 }

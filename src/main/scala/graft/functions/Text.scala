@@ -1,0 +1,120 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines:
+  * tokenization, quality scoring, language ID, fingerprinting, MinHash /
+  * SimHash building blocks. All pure `Column` expressions (codegen'd,
+  * no UDFs), each with a DuckDB-expressible equivalent so the driver's
+  * oracle can hash-match.
+  *
+  * Cross-engine determinism: engines share no built-in 64-bit hash, so
+  * token hashing uses an explicit character polynomial (`tokenCodeSql`)
+  * both Spark and DuckDB evaluate identically.
+  */
+object Text {
+
+  /** Whitespace tokens. */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Lowercase alphabetic tokens via regex (BPE-ish word pieces). */
+  def alphaTokens(c: Column): Column =
+    regexp_extract_all(lower(c), lit("[a-z]+"), lit(0))
+
+  /** Whitespace-normalized md5 fingerprint (document identity for exact
+    * dedup; the rolling-hash analog that is portable across engines). */
+  def fingerprint(c: Column): Column =
+    md5(lower(regexp_replace(c, "\\s+", " ")))
+
+  /** Punctuation character ratio. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0)
+      .otherwise(length(regexp_replace(c, "[^.,!?;:]", "")).cast("double") /
+        length(c))
+
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+  /** Fraction of whitespace tokens that are stopwords. */
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(c)
+    when(size(toks) === 0, 0.0)
+      .otherwise(size(filter(toks, w => w.isin(stopwords.map(x => x: Any): _*)))
+        .cast("double") / size(toks))
+  }
+
+  /** Composite quality score in [0,1]: length richness + low punctuation
+    * + low stopword density (the classic pre-training quality filter). */
+  def qualityScore(c: Column): Column =
+    round(lit(0.4) * least(lit(1.0), size(tokens(c)).cast("double") / 100) +
+      lit(0.3) * (lit(1.0) - punctRatio(c)) +
+      lit(0.3) * (lit(1.0) - stopwordRatio(c)), 4)
+
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "is"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+    "es" -> Seq("el", "la", "que", "los", "por"),
+    "fr" -> Seq("le", "les", "des", "est", "une"))
+
+  /** Marker-word language ID (n-gram heuristic): vote per language on
+    * stopword hits, argmax with fixed priority, 'unknown' when no hits.
+    * Deterministic function of the text — intentionally independent of
+    * any labeled `lang` column. */
+  def langId(c: Column): Column = {
+    val toks = tokens(lower(c))
+    val votes = langMarkers.map { case (lang, ms) =>
+      lang -> size(filter(toks, w => w.isin(ms.map(x => x: Any): _*)))
+    }
+    val best = greatest(votes.map(_._2): _*)
+    votes.foldLeft(when(best === 0, "unknown")) { case (acc, (lang, v)) =>
+      acc.when(v === best, lang)
+    }.otherwise("unknown")
+  }
+
+  /** SQL fragment: deterministic small-range integer code of token `w`
+    * (character polynomial; identical syntax evaluates in Spark SQL and
+    * DuckDB). Range < 2^22, so (a*code+b) stays well inside INT64. */
+  def tokenCodeSql(w: String): String =
+    s"(ascii(substr($w,1,1)) + 31*ascii(substr($w,2,1)) + " +
+      s"961*ascii(substr($w,3,1)) + 29791*length($w))"
+
+  /** Deterministic MinHash seed pairs (a, b) for hash i. Drawn from a
+    * fixed-seed PRNG: affine seeds that are themselves an affine function
+    * of i (e.g. a_i = c·i + d) give CORRELATED permutations and wreck the
+    * Jaccard estimate — the draws must be well mixed. */
+  val minhashPrime = 2147483647L
+  def minhashSeeds(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(20260812L)
+    Seq.fill(k)((math.abs(rnd.nextLong()) % (minhashPrime - 1) + 1,
+      math.abs(rnd.nextLong()) % minhashPrime))
+  }
+
+  /** One MinHash value: min over tokens of (a*code(w)+b) mod P. */
+  def minhashExpr(textCol: String, a: Long, b: Long): Column =
+    expr(s"array_min(transform(split($textCol, ' '), " +
+      s"w -> (${a}L * CAST(${tokenCodeSql("w")} AS BIGINT) + ${b}L) % ${minhashPrime}L))")
+
+  /** 16-bit SimHash over whitespace tokens: bit j is set when the
+    * majority of tokens have bit j set in their code. */
+  def simhash16Expr(textCol: String): Column = {
+    val toks = s"split($textCol, ' ')"
+    expr(s"aggregate(transform(sequence(0, 15), j -> CASE WHEN " +
+      s"2 * size(filter($toks, w -> (shiftright(${tokenCodeSql("w")}, j) & 1) = 1)) " +
+      s"> size($toks) THEN shiftleft(1, j) ELSE 0 END), 0L, (acc, x) -> acc + x)")
+  }
+
+  /** DuckDB equivalents of the above, for oracle construction. */
+  object duck {
+    def minhashSql(textCol: String, a: Long, b: Long): String =
+      s"list_min(list_transform(string_split($textCol, ' '), " +
+        s"w -> ($a * ${tokenCodeSql("w")} + $b) % $minhashPrime))"
+
+    def simhash16Sql(textCol: String): String = {
+      val toks = s"string_split($textCol, ' ')"
+      s"CAST(list_sum(list_transform(range(0, 16), j -> CASE WHEN " +
+        s"2 * len(list_filter($toks, w -> ((${tokenCodeSql("w")} >> j) & 1) = 1)) " +
+        s"> len($toks) THEN (1 << j) ELSE 0 END)) AS BIGINT)"
+    }
+  }
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.StringToColumn
+import graft.functions.Text
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB path:
+  *
+  *  - exact: hash-groupBy on a fingerprint — one shuffle, fully parallel.
+  *  - MinHash+LSH: signature → bands → bucket self-join. The self-join is
+  *    on (band, bucket-key), so candidate generation never compares all
+  *    pairs; only same-bucket docs meet.
+  *  - SimHash: 16-bit signature + bucket blocking + hamming verify.
+  *  - n-gram Jaccard: exact verification on candidate pairs only.
+  *  - embedding near-dup: cosine over blocked pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: representative (min id) + multiplicity per distinct
+    * fingerprint. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(Text.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Add `sig_0..sig_{k-1}` MinHash columns. */
+  def withMinhashSignature(df: DataFrame, textCol: String, k: Int): DataFrame =
+    Text.minhashSeeds(k).zipWithIndex.foldLeft(df) {
+      case (d, ((a, b), i)) =>
+        d.withColumn(s"sig_$i", Text.minhashExpr(textCol, a, b))
+    }
+
+  /** MinHash-LSH candidate pairs: k hashes split into `bands` bands; docs
+    * sharing any band bucket become a candidate pair (id_a < id_b).
+    * Scale shape: explode to (band, bucket) rows, self-join on the bucket
+    * key — work is proportional to bucket sizes, never to n². */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigged = withMinhashSignature(df, textCol, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws("_", (0 until rowsPerBand)
+          .map(r => col(s"sig_${b * rowsPerBand + r}")): _*).as("bucket"))
+    }
+    val buckets = sigged
+      .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bb"))
+      .select($"id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+    val a = buckets.select($"band", $"bucket", $"id".as("id_a"))
+    val b = buckets.select($"band", $"bucket", $"id".as("id_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter($"id_a" < $"id_b")
+      .select($"id_a", $"id_b").distinct()
+  }
+
+  /** Exact token-set Jaccard between two token-array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a); val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    inter / (size(da) + size(db) - size(array_intersect(da, db)))
+  }
+
+  /** Verify candidate pairs by exact n-gram (token-set) Jaccard: join the
+    * texts back and keep pairs at or above the threshold. */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, threshold: Double): DataFrame = {
+    val ta = docs.select(col(idCol).as("id_a"),
+      Text.tokens(col(textCol)).as("toks_a"))
+    val tb = docs.select(col(idCol).as("id_b"),
+      Text.tokens(col(textCol)).as("toks_b"))
+    pairs.join(ta, "id_a").join(tb, "id_b")
+      .withColumn("jac", jaccard($"toks_a", $"toks_b"))
+      .filter($"jac" >= threshold)
+      .select($"id_a", $"id_b", round($"jac", 4).as("jac"))
+  }
+
+  /** SimHash near-dup pairs: block on the top (16-blockBits) bits so only
+    * same-block docs are compared, then verify hamming distance. */
+  def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     maxHamming: Int = 3, blockBits: Int = 8): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      Text.simhash16Expr(textCol).as("sh"))
+    val blocked = sh.withColumn("blk", shiftright($"sh", blockBits))
+    val a = blocked.select($"blk", $"id".as("id_a"), $"sh".as("sh_a"))
+    val b = blocked.select($"blk", $"id".as("id_b"), $"sh".as("sh_b"))
+    a.join(b, Seq("blk"))
+      .filter($"id_a" < $"id_b" &&
+        bit_count($"sh_a".bitwiseXOR($"sh_b")) <= maxHamming)
+      .select($"id_a", $"id_b",
+        bit_count($"sh_a".bitwiseXOR($"sh_b")).as("hamming"))
+  }
+
+  /** Embedding near-dup: cosine similarity over pairs blocked by a
+    * coarse key (e.g. a cluster/label id — the IVF idea: only compare
+    * within a cell). */
+  def embeddingNearDup(df: DataFrame, idCol: String, vecCol: String,
+                       blockCol: String, threshold: Double): DataFrame = {
+    val v = df.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val a = v.select($"blk", $"id".as("id_a"), $"v".as("v_a"))
+    val b = v.select($"blk", $"id".as("id_b"), $"v".as("v_b"))
+    a.join(b, Seq("blk"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("cos", Similarity.cosine($"v_a", $"v_b"))
+      .filter($"cos" >= threshold)
+      .select($"id_a", $"id_b", round($"cos", 6).as("cos"))
+  }
+}

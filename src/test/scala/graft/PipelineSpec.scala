@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Text
+import graft.operators.{Dedup, Similarity}
+
+/** Training-data pipeline operators: dedup, similarity, text analysis. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),  // near-dup of 0
+    (2L, "the  quick brown fox jumps over the lazy dog"), // ws-variant of 0
+    (3L, "completely different text about spark engines"),
+    (4L, "another unrelated document mentioning databases")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup: whitespace-normalized variants collapse") {
+    val got = Dedup.exact(docs, "doc_id", "text")
+      .orderBy($"keep_id").collect()
+    assert(got.length == 4) // 0 and 2 collapse
+    assert(got.head.getLong(got.head.fieldIndex("keep_id")) == 0L)
+    assert(got.head.getLong(got.head.fieldIndex("n_dups")) == 2L)
+  }
+
+  test("minhash-lsh finds the planted near-duplicate pair") {
+    // 8 bands × 2 rows: catch probability 1-(1-j²)⁸ ≈ 0.9997 at j=7/9
+    val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text", 16, 8)
+    val verified = Dedup.jaccardVerify(cands, docs, "doc_id", "text", 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(verified.contains((0L, 1L)), s"missing planted pair, got $verified")
+    assert(!verified.exists(p => p._2 == 3L || p._2 == 4L && p._1 == 3L))
+  }
+
+  test("jaccard is exact on token sets") {
+    val j = docs.filter($"doc_id" === 0).crossJoin(
+      docs.filter($"doc_id" === 1).select($"text".as("t2")))
+      .select(Dedup.jaccard(Text.tokens($"text"), Text.tokens($"t2")).as("j"))
+      .collect().head.getDouble(0)
+    // tokens: {the,quick,brown,fox,jumps,over,lazy,dog} vs same with cat:
+    // |inter|=7 (dog/cat differ), |union|=9
+    assert(math.abs(j - 7.0 / 9.0) < 1e-12)
+  }
+
+  test("simhash: near-dup texts within small hamming distance") {
+    val pairs = Dedup.simhashNearDup(docs, "doc_id", "text",
+      maxHamming = 4, blockBits = 16) // blockBits=16 -> single block
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)) || got.contains((0L, 2L)))
+  }
+
+  test("cosine matches hand-computed value") {
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
+    val c = df.select(Similarity.cosine($"a", $"b").as("c"))
+      .collect().head.getDouble(0)
+    val want = 32.0 / (math.sqrt(14) * math.sqrt(77))
+    assert(math.abs(c - want) < 1e-12)
+  }
+
+  test("brute-force topk is self-excluding, ordered, k-bounded") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val got = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 5)
+      .collect()
+    assert(got.length == 5)
+    assert(!got.map(_.getLong(0)).contains(0L))
+    val scores = got.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("lsh topk returns a subset consistent with brute force scores") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val approx = Similarity.lshTopK(emb, "vec_id", "embedding", 0L, 5, 64, 4)
+      .collect()
+    assert(approx.nonEmpty)
+    // every approx hit's score must equal its brute-force cosine
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    approx.foreach(r => assert(brute(r.getLong(0)) == r.getDouble(1)))
+  }
+
+  test("langId votes marker words deterministically") {
+    val df = Seq("der hund und die katze ist da",
+      "the cat and the dog", "xyzzy plugh").toDF("text")
+    val got = df.select(Text.langId($"text").as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("de", "en", "unknown"))
+  }
+
+  test("quality score is in [0,1] and penalizes stopword soup") {
+    val df = Seq("the a an and or of to in is it",
+      "informative technical prose with varied vocabulary here").toDF("text")
+    val got = df.select(Text.qualityScore($"text").as("q"))
+      .collect().map(_.getDouble(0))
+    assert(got.forall(q => q >= 0 && q <= 1))
+    assert(got(1) > got(0))
+  }
+}
