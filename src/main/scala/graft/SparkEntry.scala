@@ -615,6 +615,159 @@ object Queries {
       maxHamming = 3, blockBits = 10)
       .orderBy($"id_a", $"id_b")
 
+  // ================================================================
+  // Storage, streaming, temporal, casts, generation (SURVEY §2.1/§2.8/
+  // §2.10).
+  // ================================================================
+  import graft.sources.Store
+  import graft.streaming.Streams
+
+  // ---------------------------------------------------------------- q19
+  // Parted (date-partitioned) storage round-trip: write lineitem
+  // Hive-partitioned by ship month, reload, query one month — the filter
+  // on the virtual partition column prunes partitions before IO
+  // (reference set-parted/get-parted, /root/reference/core/vary.c:176).
+  def q19_parted(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_parted/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/lineitem"
+    val li = t(spark, dir, "lineitem")
+      .withColumn("ship_month", date_format($"l_shipdate", "yyyy-MM"))
+    Store.setParted(li, path, "ship_month")
+    Store.getParted(spark, path)
+      .filter($"ship_month" === "1995-03")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"), dsum($"l_quantity").as("sum_qty"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q19_sql =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') = '1995-03'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q20
+  // Typed CSV round-trip (reference read-csv/write-csv with explicit
+  // type vector, /root/reference/core/io.c:367-1030).
+  def q20_csv(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_csv/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/nation"
+    val nation = t(spark, dir, "nation")
+    Store.writeCsv(nation, path)
+    Store.readCsv(spark, path, nation.schema)
+      .groupBy($"n_regionkey")
+      .agg(count(lit(1)).as("n"), min($"n_name").as("first_name"))
+      .orderBy($"n_regionkey")
+  }
+
+  private val q20_sql =
+    """SELECT n_regionkey, COUNT(*) AS n, MIN(n_name) AS first_name
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
+  // ---------------------------------------------------------------- q21
+  // Streaming parity: events parquet ingested as a micro-batch stream,
+  // tumbling 1-hour windows (the reference's xbar-on-timestamps + by:
+  // loop, SURVEY §2.10), materialized via a memory sink. The streaming
+  // result must equal the equivalent batch aggregation — the oracle IS
+  // the batch query.
+  def q21_stream_tumbling(spark: SparkSession, dir: String): DataFrame = {
+    val batch = t(spark, dir, "events")
+    val name = "graft_stream_" + math.abs(dir.hashCode)
+    // the streaming file source ingests a directory (the reference's
+    // journal dir); stage the events table into one
+    val stage = s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events"
+    Store.setSplayed(batch, stage)
+    Streams.tumblingCounts(spark, stage, batch,
+      tsCol = "ts2", keyCol = "event_type", valueCol = "value",
+      windowSec = 3600, queryName = name,
+      prep = df => df.withColumn("ts2", expr("timestamp_micros(ts div 1000)")))
+      .select(unix_timestamp($"window.start").as("hour_epoch"),
+        $"event_type", $"n", round($"sum_value", 4).as("sum_value"))
+      .orderBy($"hour_epoch", $"event_type")
+  }
+
+  private val q21_sql =
+    """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |  event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+      |FROM events GROUP BY hour_epoch, event_type
+      |ORDER BY hour_epoch, event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q22
+  // Temporal functions (reference temporal library, SURVEY §2.8):
+  // component extraction, date arithmetic, day deltas.
+  def q22_temporal(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select($"o_orderkey",
+        year($"o_orderdate").cast("long").as("yr"),
+        month($"o_orderdate").cast("long").as("mo"),
+        dayofmonth($"o_orderdate").cast("long").as("dom"),
+        date_add($"o_orderdate".cast("date"), 30).as("due_date"),
+        datediff($"o_orderdate".cast("date"), lit("1995-01-01").cast("date"))
+          .cast("long").as("days_since"))
+      .orderBy($"o_orderkey")
+
+  private val q22_sql =
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS BIGINT) AS yr,
+      |  CAST(month(o_orderdate) AS BIGINT) AS mo,
+      |  CAST(day(o_orderdate) AS BIGINT) AS dom,
+      |  CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS due_date,
+      |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q23
+  // Casts (reference `as`, /root/reference/core/compose.c:42): numeric
+  // truncation, to-string, string-to-number round trips.
+  def q23_casts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_extendedprice".cast("long").as("price_trunc"),
+        concat($"l_returnflag", lit("#"), $"l_linenumber".cast("string")).as("tag"),
+        substring($"l_orderkey".cast("string"), 1, 3).cast("long").as("key_prefix"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+
+  private val q23_sql =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(trunc(l_extendedprice) AS BIGINT) AS price_trunc,
+      |  l_returnflag || '#' || CAST(l_linenumber AS VARCHAR) AS tag,
+      |  CAST(substr(CAST(l_orderkey AS VARCHAR), 1, 3) AS BIGINT) AS key_prefix
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  // ---------------------------------------------------------------- q24
+  // concat (table append, type-promoting; reference
+  // /root/reference/core/compose.c:465) + grouped collect
+  // (aggr_collect → ordered distinct string agg).
+  def q24_concat_group(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val both = li.filter($"l_quantity" > 48)
+      .unionByName(li.filter($"l_quantity" < 2))
+    both.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        concat_ws(",", array_sort(collect_set($"l_linestatus"))).as("statuses"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q24_sql =
+    """WITH both_ends AS (
+      |  SELECT * FROM lineitem WHERE l_quantity > 48
+      |  UNION ALL SELECT * FROM lineitem WHERE l_quantity < 2)
+      |SELECT l_returnflag, COUNT(*) AS n,
+      |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses
+      |FROM both_ends GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q25
+  // Generation (reference til/rand, /root/reference/core/compose.c:70):
+  // deterministic ranges; rand is engine-specific so only til is
+  // oracle-checked.
+  def q25_til(spark: SparkSession, dir: String): DataFrame =
+    spark.range(0, 1000).toDF("i")
+      .select($"i", RF.xbar(lit(100L), $"i").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n"), sum($"i").as("s"))
+      .orderBy($"bucket")
+
+  private val q25_sql =
+    """SELECT (i - i % 100) AS bucket, COUNT(*) AS n,
+      |  CAST(SUM(i) AS BIGINT) AS s
+      |FROM range(0, 1000) t(i) GROUP BY bucket ORDER BY bucket""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -649,6 +802,13 @@ object Queries {
     "d07_simhash_neardup" -> (d07_simhash_neardup _),
     "s01_cosine_topk" -> (s01_cosine_topk _),
     "s02_ann_lsh" -> (s02_ann_lsh _),
+    "q19_parted" -> (q19_parted _),
+    "q20_csv" -> (q20_csv _),
+    "q21_stream_tumbling" -> (q21_stream_tumbling _),
+    "q22_temporal" -> (q22_temporal _),
+    "q23_casts" -> (q23_casts _),
+    "q24_concat_group" -> (q24_concat_group _),
+    "q25_til" -> (q25_til _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -680,5 +840,12 @@ object Queries {
     "d04_simhash" -> d04_sql,
     "d05_embed_neardup" -> d05_sql,
     "s01_cosine_topk" -> s01_sql,
+    "q19_parted" -> q19_sql,
+    "q20_csv" -> q20_sql,
+    "q21_stream_tumbling" -> q21_sql,
+    "q22_temporal" -> q22_sql,
+    "q23_casts" -> q23_sql,
+    "q24_concat_group" -> q24_sql,
+    "q25_til" -> q25_sql,
   )
 }

@@ -1,0 +1,48 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Storage parity with the reference's on-disk formats (SURVEY.md §2.1).
+  *
+  *  - splayed table (per-column binary files + schema file,
+  *    `/root/reference/core/io.c:1194`) → a plain Parquet directory:
+  *    columnar, dictionary-encoded (subsuming the reference's enum/symfile
+  *    machinery), zero-copy-ish via the vectorized reader.
+  *  - parted database (date-partitioned splayed dirs + virtual partition
+  *    column, `/root/reference/core/vary.c:176-391`) → Hive-partitioned
+  *    Parquet via `partitionBy`: the partition column materializes
+  *    virtually and predicate pushdown gives partition pruning.
+  *  - typed CSV (`ray_read_csv`, explicit per-column types,
+  *    `/root/reference/core/io.c:670`) → `spark.read.schema(...).csv`.
+  */
+object Store {
+
+  /** Write a "splayed" table: one columnar dir. */
+  def setSplayed(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  def getSplayed(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Write a "parted" database: Hive-partitioned by the given column
+    * (the reference's per-date directories). */
+  def setParted(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+
+  /** Load a parted database; the partition column comes back as the
+    * reference's virtual Date/Id column and filters on it prune
+    * whole partitions before any IO. */
+  def getParted(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Typed CSV read — schema is explicit, as in the reference (inference
+    * only by request). */
+  def readCsv(spark: SparkSession, path: String, schema: StructType,
+              sep: String = ","): DataFrame =
+    spark.read.schema(schema).option("sep", sep).option("header", "true").csv(path)
+
+  def writeCsv(df: DataFrame, path: String, sep: String = ","): Unit =
+    df.write.mode("overwrite").option("header", "true").option("sep", sep).csv(path)
+}

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Store
+
+/** Storage round-trips (splayed/parted → Parquet) and streaming parity. */
+class StorageStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parted write/read: partition filter prunes at plan level") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .withColumn("ship_month", date_format($"l_shipdate", "yyyy-MM"))
+    val path = "/tmp/graft_test_parted"
+    Store.setParted(li, path, "ship_month")
+    val filtered = Store.getParted(spark, path).filter($"ship_month" === "1995-03")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan.take(500))
+    assert(plan.contains("ship_month"), plan.take(500))
+    // pruned scan reads strictly fewer rows than the full table
+    val full = Store.getParted(spark, path).count()
+    assert(filtered.count() < full && filtered.count() > 0)
+  }
+
+  test("csv round-trip preserves typed columns exactly") {
+    val nation = Tables.load(spark, sf, "nation")
+    val path = "/tmp/graft_test_csv"
+    Store.writeCsv(nation, path)
+    val back = Store.readCsv(spark, path, nation.schema)
+    assert(back.schema == nation.schema)
+    assert(back.count() == nation.count())
+    assert(back.except(nation).isEmpty && nation.except(back).isEmpty)
+  }
+
+  test("streaming tumbling agg equals batch aggregation") {
+    val got = Queries.q21_stream_tumbling(spark, sf)
+    val batch = Queries.q09_xbar_time(spark, sf) // same hour buckets, no type split
+    // streaming result re-aggregated over hour must equal batch xbar query
+    val streamHours = got.groupBy($"hour_epoch")
+      .agg(sum($"n").as("n"), round(sum($"sum_value"), 2).as("sv"))
+      .orderBy($"hour_epoch")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val batchHours = batch.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(streamHours.toSeq == batchHours.toSeq)
+  }
+}
