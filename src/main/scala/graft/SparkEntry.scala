@@ -768,6 +768,52 @@ object Queries {
       |  CAST(SUM(i) AS BIGINT) AS s
       |FROM range(0, 1000) t(i) GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q26
+  // Tbl facade select: where → by → mappings (non-agg defaults to
+  // first-per-group in arrival order) → take. Oracle pins arrival order
+  // via arg_min on the unique (l_orderkey, l_linenumber) key, which is
+  // the file order of the generated data.
+  def q26_facade_select(spark: SparkSession, dir: String): DataFrame =
+    // pin arrival order to the unique key so "first-per-group" is well
+    // defined for the oracle (the parquet file itself is not key-sorted)
+    Tbl(t(spark, dir, "lineitem").orderBy($"l_orderkey", $"l_linenumber"))
+      .select(
+        mappings = Seq(
+          "sum_qty" -> dsum($"l_quantity"),
+          "n" -> count(lit(1)),
+          "first_status" -> $"l_linestatus"),
+        where = $"l_quantity" > 10,
+        by = Seq("l_returnflag"))
+      .df.orderBy($"l_returnflag")
+
+  private val q26_sql =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n,
+      |  arg_min(l_linestatus, l_orderkey*10 + l_linenumber) AS first_status
+      |FROM lineitem WHERE l_quantity > 10
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q27
+  // Tbl facade update: conditional column rewrite, CoW semantics.
+  def q27_facade_update(spark: SparkSession, dir: String): DataFrame =
+    Tbl(t(spark, dir, "orders"))
+      // additive surcharge: exact in binary doubles, so no cross-engine
+      // round-half divergence (multiplicative updates hit .005 halfway
+      // cases where Spark rounds the shortest decimal repr and DuckDB
+      // the exact binary value)
+      .update(Seq("o_totalprice" -> ($"o_totalprice" + 250.0)),
+        where = $"o_orderpriority" === "1-URGENT")
+      .df
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_orderkey")
+
+  private val q27_sql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderpriority = '1-URGENT'
+      |    THEN o_totalprice + 250.0 ELSE o_totalprice END AS o_totalprice
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -809,6 +855,8 @@ object Queries {
     "q23_casts" -> (q23_casts _),
     "q24_concat_group" -> (q24_concat_group _),
     "q25_til" -> (q25_til _),
+    "q26_facade_select" -> (q26_facade_select _),
+    "q27_facade_update" -> (q27_facade_update _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -847,5 +895,7 @@ object Queries {
     "q23_casts" -> q23_sql,
     "q24_concat_group" -> q24_sql,
     "q25_til" -> q25_sql,
+    "q26_facade_select" -> q26_sql,
+    "q27_facade_update" -> q27_sql,
   )
 }

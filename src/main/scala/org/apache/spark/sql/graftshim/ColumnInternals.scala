@@ -1,0 +1,31 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column→Expression converter (Spark 4
+  * removed the public `Column.expr`). Lives under o.a.s.sql so the
+  * package-private API is reachable; keep this the ONLY file that does. */
+object ColumnInternals {
+  def expr(c: Column): Expression = ExpressionUtils.expression(c)
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  /** Walk a Column's node tree looking for an aggregate function call —
+    * named calls matched against `aggNames`, SQL-string fragments against
+    * `sqlRegex`. (ColumnNode classes are private[sql].) */
+  def containsAggregate(c: Column, aggNames: Set[String],
+                        sqlRegex: scala.util.matching.Regex): Boolean = {
+    import org.apache.spark.sql.internal.{SqlExpression, UnresolvedFunction}
+    def walk(n: Any): Boolean = n match {
+      case f: UnresolvedFunction
+        if aggNames.contains(f.functionName.toLowerCase) => true
+      case s: SqlExpression =>
+        sqlRegex.findFirstIn(s.expression.toLowerCase).isDefined
+      case i: Iterable[_] => i.exists(walk)
+      case p: Product => p.productIterator.exists(walk)
+      case _ => false
+    }
+    walk(c.node)
+  }
+}
