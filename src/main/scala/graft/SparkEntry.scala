@@ -814,6 +814,46 @@ object Queries {
       |    THEN o_totalprice + 250.0 ELSE o_totalprice END AS o_totalprice
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- m01
+  // Multimodal metadata: documents' text bytes as opaque binary payloads
+  // (media blobs), expression-level metadata — lengths + checksums.
+  def m01_media_meta(spark: SparkSession, dir: String): DataFrame = {
+    val media = t(spark, dir, "documents")
+      .select($"doc_id", $"lang".as("kind"), $"text".cast("binary").as("data"))
+    operators.Multimodal.mediaMeta(media, "doc_id", "data", "kind")
+      .orderBy($"media_id")
+  }
+
+  private val m01_sql =
+    """SELECT doc_id AS media_id, lang AS kind,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+      |  md5(text) AS checksum
+      |FROM documents ORDER BY media_id""".stripMargin
+
+  // ---------------------------------------------------------------- m02
+  // Multimodal decode stub via typed mapPartitions (mapInPandas shape):
+  // per-media pseudo-pixel features. Deterministic but engine-specific →
+  // rows-only driver check; exact values pinned in MultimodalSpec.
+  def m02_media_decode(spark: SparkSession, dir: String): DataFrame = {
+    val media = t(spark, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("data"))
+    operators.Multimodal.extractFeatures(media, "doc_id", "data")
+      .select($"media_id", $"n_bytes", $"n_frames",
+        round($"mean_intensity", 4).as("mean_intensity"))
+      .orderBy($"media_id")
+  }
+
+  // ---------------------------------------------------------------- m03
+  // Frame sampling (flatMap/UDTF shape): every 2nd 64-byte frame.
+  def m03_frame_sample(spark: SparkSession, dir: String): DataFrame = {
+    val media = t(spark, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("data"))
+    operators.Multimodal.sampleFrames(media, "doc_id", "data", stride = 2)
+      .select($"media_id", $"frame_idx", $"frame_bytes",
+        round($"intensity", 4).as("intensity"))
+      .orderBy($"media_id", $"frame_idx")
+  }
+
   // ------------------------------------------------------------ registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -857,6 +897,9 @@ object Queries {
     "q25_til" -> (q25_til _),
     "q26_facade_select" -> (q26_facade_select _),
     "q27_facade_update" -> (q27_facade_update _),
+    "m01_media_meta" -> (m01_media_meta _),
+    "m02_media_decode" -> (m02_media_decode _),
+    "m03_frame_sample" -> (m03_frame_sample _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -897,5 +940,6 @@ object Queries {
     "q25_til" -> q25_sql,
     "q26_facade_select" -> q26_sql,
     "q27_facade_update" -> q27_sql,
+    "m01_media_meta" -> m01_sql,
   )
 }
