@@ -521,11 +521,11 @@ object Queries {
   // Exact n-gram (token-set) Jaccard over blocked candidate pairs.
   def d03_jaccard_pairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val a = docs.select($"source".as("blk"), $"doc_id".as("id_a"),
-      Text.tokens($"text").as("toks_a"))
-    val b = docs.select($"source".as("blk"), $"doc_id".as("id_b"),
-      Text.tokens($"text").as("toks_b"))
-    a.join(b, Seq("blk"))
+    val a = docs.select($"lang".as("blk_l"), $"source".as("blk"),
+      $"doc_id".as("id_a"), Text.tokens($"text").as("toks_a"))
+    val b = docs.select($"lang".as("blk_l"), $"source".as("blk"),
+      $"doc_id".as("id_b"), Text.tokens($"text").as("toks_b"))
+    a.join(b, Seq("blk_l", "blk"))
       .filter($"id_a" < $"id_b")
       .withColumn("jac", Dedup.jaccard($"toks_a", $"toks_b"))
       .filter($"jac" >= 0.3)
@@ -535,14 +535,14 @@ object Queries {
 
   private val d03_sql =
     """WITH toks AS (
-      |  SELECT doc_id, source,
+      |  SELECT doc_id, lang, source,
       |    list_distinct(string_split(text, ' ')) AS tk
       |  FROM documents)
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
       |    (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4) AS jac
       |FROM toks a JOIN toks b
-      |  ON a.source = b.source AND a.doc_id < b.doc_id
+      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
       |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
       |    (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.3
       |ORDER BY id_a, id_b""".stripMargin
@@ -603,7 +603,7 @@ object Queries {
   def d06_lsh_candidates(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text",
-      numHashes = 16, bands = 2)
+      numHashes = 16, bands = 2, maxBucketSize = 100)
     Dedup.jaccardVerify(cands, docs, "doc_id", "text", threshold = 0.5)
       .orderBy($"id_a", $"id_b")
   }
@@ -612,7 +612,7 @@ object Queries {
   // SimHash near-dup pairs (blocked hamming; no SQL oracle — rows-only).
   def d07_simhash_neardup(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(t(spark, dir, "documents"), "doc_id", "text",
-      maxHamming = 3, blockBits = 10)
+      maxHamming = 3, blockBits = 8)
       .orderBy($"id_a", $"id_b")
 
   // ================================================================

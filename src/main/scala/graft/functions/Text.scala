@@ -96,12 +96,24 @@ object Text {
       s"w -> (${a}L * CAST(${tokenCodeSql("w")} AS BIGINT) + ${b}L) % ${minhashPrime}L))")
 
   /** 16-bit SimHash over whitespace tokens: bit j is set when the
-    * majority of tokens have bit j set in their code. */
+    * majority of tokens have bit j set in their code. Token codes are
+    * materialized ONCE into an int array, then the 16 bit-majority
+    * votes scan that array — not the strings (16× cheaper). */
   def simhash16Expr(textCol: String): Column = {
-    val toks = s"split($textCol, ' ')"
-    expr(s"aggregate(transform(sequence(0, 15), j -> CASE WHEN " +
-      s"2 * size(filter($toks, w -> (shiftright(${tokenCodeSql("w")}, j) & 1) = 1)) " +
-      s"> size($toks) THEN shiftleft(1, j) ELSE 0 END), 0L, (acc, x) -> acc + x)")
+    val codes = s"transform(split($textCol, ' '), w -> ${tokenCodeSql("w")})"
+    // single pass over the tokens: fold the 16 per-bit counts as an array
+    // accumulator, then assemble the signature in the finish lambda
+    expr(
+      s"""aggregate(
+         |  $codes,
+         |  array_repeat(0L, 16),
+         |  (acc, c) -> zip_with(acc, sequence(0, 15),
+         |    (a, j) -> a + (shiftright(c, j) & 1)),
+         |  acc -> aggregate(
+         |    zip_with(acc, sequence(0, 15),
+         |      (a, j) -> IF(2 * a > size(split($textCol, ' ')),
+         |        shiftleft(1, j), 0)),
+         |    0L, (s, x) -> s + x))""".stripMargin)
   }
 
   /** DuckDB equivalents of the above, for oracle construction. */

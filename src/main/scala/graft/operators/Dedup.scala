@@ -36,7 +36,8 @@ object Dedup {
     * Scale shape: explode to (band, bucket) rows, self-join on the bucket
     * key — work is proportional to bucket sizes, never to n². */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 16, bands: Int = 4): DataFrame = {
+                        numHashes: Int = 16, bands: Int = 4,
+                        maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigged = withMinhashSignature(df, textCol, numHashes)
     val bandCols = (0 until bands).map { b =>
@@ -47,8 +48,16 @@ object Dedup {
     val buckets = sigged
       .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bb"))
       .select($"id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
-    val a = buckets.select($"band", $"bucket", $"id".as("id_a"))
-    val b = buckets.select($"band", $"bucket", $"id".as("id_b"))
+    // Cap bucket size: a degenerate bucket (boilerplate/spam cluster)
+    // would turn the self-join quadratic; production LSH dedup skips such
+    // buckets (their members are caught by exact dedup anyway).
+    val counted = buckets
+      .withColumn("__n", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bucket")))
+      .filter($"__n" <= maxBucketSize)
+      .drop("__n")
+    val a = counted.select($"band", $"bucket", $"id".as("id_a"))
+    val b = counted.select($"band", $"bucket", $"id".as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .filter($"id_a" < $"id_b")
       .select($"id_a", $"id_b").distinct()

@@ -29,7 +29,11 @@ object Store {
   /** Write a "parted" database: Hive-partitioned by the given column
     * (the reference's per-date directories). */
   def setParted(df: DataFrame, path: String, partCol: String): Unit =
-    df.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    // repartition on the partition column first: without it every task
+    // writes a sliver into every partition (tasks × partitions small
+    // files); with it, one file per partition
+    df.repartition(col(partCol))
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
 
   /** Load a parted database; the partition column comes back as the
     * reference's virtual Date/Id column and filters on it prune
