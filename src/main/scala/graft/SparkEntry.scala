@@ -854,6 +854,175 @@ object Queries {
       .orderBy($"media_id", $"frame_idx")
   }
 
+  // ---------------------------------------------------------------- q28
+  // bin (vectorized binary search: greatest threshold ≤ x, reference
+  // /root/reference/core/items.c:1552) — expressed as an as-of join
+  // against the sorted break table.
+  def q28_bin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val breaks = (0L to 500000L by 25000L).toDF("thr")
+      .withColumn("bin_idx", (($"thr") / 25000).cast("long"))
+    val orders = t(spark, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice", lit(1).as("k"),
+        $"o_totalprice".as("price"))
+    operators.AsofJoin.asofJoin(orders,
+      breaks.withColumn("k", lit(1)).withColumn("price", $"thr".cast("double")),
+      keys = Seq("k"), ts = "price")
+      .select($"o_orderkey", $"bin_idx", $"thr")
+      .orderBy($"o_orderkey")
+  }
+
+  private val q28_sql =
+    """SELECT o.o_orderkey, b.bin_idx, b.thr
+      |FROM orders o
+      |ASOF LEFT JOIN (
+      |  SELECT thr, thr // 25000 AS bin_idx, CAST(thr AS DOUBLE) AS price
+      |  FROM (SELECT unnest(range(0, 500001, 25000)) AS thr)) b
+      |  ON o.o_totalprice >= b.price
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q29
+  // take with negative count = tail (reference take,
+  // /root/reference/core/items.c:398): last 5 orders by key.
+  def q29_tail(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select($"o_orderkey", $"o_orderstatus")
+      .orderBy($"o_orderkey".desc).limit(5)
+      .orderBy($"o_orderkey")
+
+  private val q29_sql =
+    """SELECT * FROM (
+      |  SELECT o_orderkey, o_orderstatus FROM orders
+      |  ORDER BY o_orderkey DESC LIMIT 5)
+      |ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q30
+  // union (distinct, reference /root/reference/core/items.c:1022) and
+  // sect (intersection, :898) over key vectors.
+  def q30_union_sect(spark: SparkSession, dir: String): DataFrame = {
+    val orders = t(spark, dir, "orders")
+    val urgent = orders.filter($"o_orderpriority" === "1-URGENT")
+      .select($"o_custkey")
+    val low = orders.filter($"o_orderpriority" === "5-LOW")
+      .select($"o_custkey")
+    val u = urgent.union(low).distinct().count()
+    val s = urgent.intersect(low).count()
+    import spark.implicits._
+    Seq((u, s)).toDF("n_union", "n_sect")
+  }
+
+  private val q30_sql =
+    """SELECT
+      |  (SELECT COUNT(*) FROM (
+      |     SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |     UNION
+      |     SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')) AS n_union,
+      |  (SELECT COUNT(*) FROM (
+      |     SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      |     INTERSECT
+      |     SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')) AS n_sect""".stripMargin
+
+  // ---------------------------------------------------------------- q31
+  // Array ops over the embedding column (reference list ops + fold,
+  // SURVEY §2.8/§2.9): size, max, filter-count, L2 norm via fold.
+  def q31_arrays(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .select($"vec_id",
+        size($"e").cast("long").as("dim"),
+        round(array_max($"e"), 6).as("maxv"),
+        size(filter($"e", x => x > 0)).cast("long").as("n_pos"),
+        round(sqrt(aggregate($"e", lit(0.0), (a, x) => a + x * x)), 6).as("l2"))
+      .orderBy($"vec_id")
+
+  private val q31_sql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  CAST(len(e) AS BIGINT) AS dim,
+      |  ROUND(list_max(e), 6) AS maxv,
+      |  CAST(len(list_filter(e, x -> x > 0)) AS BIGINT) AS n_pos,
+      |  ROUND(sqrt(list_aggregate(list_transform(e, x -> x * x), 'sum')), 6) AS l2
+      |FROM v ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  // apply / map-left (zip two sequences element-wise, reference
+  // /root/reference/core/iter.c:585-837): dot of the embedding with its
+  // own reversal.
+  def q32_zip_apply(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "embeddings")
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+      .select($"vec_id",
+        round(aggregate(zip_with($"e", reverse($"e"), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x), 6).as("dot_rev"))
+      .orderBy($"vec_id")
+
+  private val q32_sql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  ROUND(list_sum(list_transform(range(1, len(e) + 1),
+      |    i -> e[i] * e[len(e) + 1 - i])), 6) AS dot_rev
+      |FROM v ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- q33
+  // rollup (beyond the reference — Spark/SQL native): subtotals and a
+  // grand total over the pricing groups.
+  def q33_rollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select(coalesce($"l_returnflag", lit("(all)")).as("flag"),
+        coalesce($"l_linestatus", lit("(all)")).as("status"),
+        $"sum_qty", $"n")
+      .orderBy($"flag", $"status")
+
+  private val q33_sql =
+    """SELECT COALESCE(l_returnflag, '(all)') AS flag,
+      |  COALESCE(l_linestatus, '(all)') AS status,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  // Sessionization: per-user sessions split on >30min gaps (lag +
+  // running sum of break flags — the scan-based time-series pattern the
+  // reference builds from scan/xbar, SURVEY §2.9/§2.10).
+  def q34_sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "events")
+      .select($"event_id", $"user_id", expr("ts div 1000").as("ts_us"))
+      .withColumn("brk",
+        when(($"ts_us" - lag($"ts_us", 1).over(byUser)) > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_id", sum($"brk").over(cum))
+      .groupBy($"user_id", $"sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        min($"ts_us").as("start_us"), max($"ts_us").as("end_us"))
+      .orderBy($"user_id", $"sess_id")
+  }
+
+  private val q34_sql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+      |flagged AS (
+      |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > 1800000000
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |sessioned AS (
+      |  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |    AS sess_id
+      |  FROM flagged)
+      |SELECT user_id, sess_id, COUNT(*) AS n_events,
+      |  MIN(ts_us) AS start_us, MAX(ts_us) AS end_us
+      |FROM sessioned GROUP BY user_id, sess_id
+      |ORDER BY user_id, sess_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -900,6 +1069,13 @@ object Queries {
     "m01_media_meta" -> (m01_media_meta _),
     "m02_media_decode" -> (m02_media_decode _),
     "m03_frame_sample" -> (m03_frame_sample _),
+    "q28_bin" -> (q28_bin _),
+    "q29_tail" -> (q29_tail _),
+    "q30_union_sect" -> (q30_union_sect _),
+    "q31_arrays" -> (q31_arrays _),
+    "q32_zip_apply" -> (q32_zip_apply _),
+    "q33_rollup" -> (q33_rollup _),
+    "q34_sessionize" -> (q34_sessionize _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -941,5 +1117,12 @@ object Queries {
     "q26_facade_select" -> q26_sql,
     "q27_facade_update" -> q27_sql,
     "m01_media_meta" -> m01_sql,
+    "q28_bin" -> q28_sql,
+    "q29_tail" -> q29_sql,
+    "q30_union_sect" -> q30_sql,
+    "q31_arrays" -> q31_sql,
+    "q32_zip_apply" -> q32_sql,
+    "q33_rollup" -> q33_sql,
+    "q34_sessionize" -> q34_sql,
   )
 }
