@@ -1023,6 +1023,45 @@ object Queries {
       |FROM sessioned GROUP BY user_id, sess_id
       |ORDER BY user_id, sess_id""".stripMargin
 
+  // ---------------------------------------------------------------- q35
+  // High-cardinality multi-key group-by (the H2O group-by Q7 shape —
+  // the reference's slowest benchmark query, BASELINE.md): 4 grouping
+  // keys, partial+final hash aggregation, single shuffle.
+  def q35_groupby_wide(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus", $"l_suppkey",
+        date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+      .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .orderBy($"l_returnflag", $"l_linestatus", $"l_suppkey", $"ship_month")
+
+  private val q35_sql =
+    """SELECT l_returnflag, l_linestatus, l_suppkey,
+      |  strftime(l_shipdate, '%Y-%m') AS ship_month,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus, l_suppkey, ship_month
+      |ORDER BY l_returnflag, l_linestatus, l_suppkey, ship_month""".stripMargin
+
+  // ---------------------------------------------------------------- q36
+  // Large⋈large equi-join (the H2O join shape, BASELINE.md inner-join):
+  // both sides over the broadcast threshold → shuffled join on the key.
+  def q36_join_big(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .join(t(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        dsum($"l_extendedprice").as("sum_price"),
+        countDistinct($"o_orderkey").as("n_orders"))
+      .orderBy($"o_orderpriority")
+
+  private val q36_sql =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  COUNT(DISTINCT o_orderkey) AS n_orders
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1076,6 +1115,8 @@ object Queries {
     "q32_zip_apply" -> (q32_zip_apply _),
     "q33_rollup" -> (q33_rollup _),
     "q34_sessionize" -> (q34_sessionize _),
+    "q35_groupby_wide" -> (q35_groupby_wide _),
+    "q36_join_big" -> (q36_join_big _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1124,5 +1165,7 @@ object Queries {
     "q32_zip_apply" -> q32_sql,
     "q33_rollup" -> q33_sql,
     "q34_sessionize" -> q34_sql,
+    "q35_groupby_wide" -> q35_sql,
+    "q36_join_big" -> q36_sql,
   )
 }

@@ -17,12 +17,12 @@ object Similarity {
 
   /** Cosine similarity of two double-array columns (left-to-right
     * summation — deterministic and identical in DuckDB's
-    * list_cosine_similarity). */
+    * list_cosine_similarity). Uses the codegen'd DotProduct expression:
+    * zip_with/aggregate are CodegenFallback and interpret a lambda per
+    * element, which dominates large similarity scans. */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), _ + _)
-    val na = sqrt(aggregate(zip_with(a, a, (x, y) => x * y), lit(0.0), _ + _))
-    val nb = sqrt(aggregate(zip_with(b, b, (x, y) => x * y), lit(0.0), _ + _))
-    dot / (na * nb)
+    import graft.functions.VectorExprs.dot
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
   }
 
   /** Exact top-k by cosine against a single query row (self-excluding).

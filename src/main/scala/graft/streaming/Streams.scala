@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Streaming parity (SURVEY.md §2.10). The reference "streams" by
   * repeatedly `insert`ing into live tables from timers/IPC callbacks and
@@ -33,6 +34,48 @@ object Streams {
       .format("memory")
       .queryName(queryName)
       .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(queryName)
+  }
+
+  final case class Ev(user_id: Long, ts_us: Long)
+  final case class SessState(start: Long, last: Long, n: Int)
+  final case class Session(user_id: Long, start_us: Long, end_us: Long,
+                           n_events: Int)
+
+  /** Custom streaming state (reference: live tables mutated by insert
+    * callbacks): per-user sessionization via flatMapGroupsWithState.
+    * Emits a session when a gap > `gapUs` arrives; the open session
+    * stays in the state store (checkpointable — the journal analog).
+    * Within a micro-batch, events are sorted per user before folding.
+    */
+  def sessionizeStream(spark: SparkSession, srcDir: String,
+                       schemaFrom: DataFrame, gapUs: Long,
+                       queryName: String,
+                       prep: DataFrame => DataFrame): DataFrame = {
+    import spark.implicits._
+    val events: Dataset[Ev] =
+      prep(spark.readStream.schema(schemaFrom.schema).parquet(srcDir)).as[Ev]
+    val sessions = events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts_us)
+          var st = state.getOption.orNull
+          val out = Seq.newBuilder[Session]
+          for (e <- sorted) {
+            if (st == null) st = SessState(e.ts_us, e.ts_us, 1)
+            else if (e.ts_us - st.last > gapUs) {
+              out += Session(uid, st.start, st.last, st.n)
+              st = SessState(e.ts_us, e.ts_us, 1)
+            } else st = SessState(st.start, e.ts_us, st.n + 1)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+    val q = sessions.writeStream
+      .outputMode("append").format("memory").queryName(queryName).start()
     try q.processAllAvailable() finally q.stop()
     spark.table(queryName)
   }
