@@ -1062,6 +1062,50 @@ object Queries {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  // ---------------------------------------------------------------- r01
+  // Rayfall front-end: the reference's own query language, parsed and
+  // compiled onto the Tbl facade → the same Catalyst plan as q01.
+  def r01_rayfall_select(spark: SparkSession, dir: String): DataFrame =
+    rayfall.Rayfall.query(
+      """(select {sum_qty: (sum l_quantity)
+        |         n: (count l_quantity)
+        |         avg_disc: (avg l_discount)
+        |         from: lineitem
+        |         where: (> l_quantity 10)
+        |         by: l_returnflag})""".stripMargin,
+      Map("lineitem" -> t(spark, dir, "lineitem")))
+      .select($"l_returnflag", round($"sum_qty", 2).as("sum_qty"), $"n",
+        round($"avg_disc", 4).as("avg_disc"))
+      .orderBy($"l_returnflag")
+
+  private val r01_sql =
+    """SELECT l_returnflag, ROUND(SUM(l_quantity), 2) AS sum_qty,
+      |  COUNT(l_quantity) AS n, ROUND(AVG(l_discount), 4) AS avg_disc
+      |FROM lineitem WHERE l_quantity > 10
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- r02
+  // Rayfall scalar library: Euclidean division, xbar bucketing, within,
+  // glob like — all through the parser.
+  def r02_rayfall_scalars(spark: SparkSession, dir: String): DataFrame =
+    rayfall.Rayfall.query(
+      """(select {o_orderkey: o_orderkey
+        |         halfkey: (/ o_orderkey 2)
+        |         bucket: (xbar 1000 o_orderkey)
+        |         midprice: (within o_totalprice [50000.0 150000.0])
+        |         urgent: (like o_orderpriority "1*")
+        |         from: orders})""".stripMargin,
+      Map("orders" -> t(spark, dir, "orders")))
+      .orderBy($"o_orderkey")
+
+  private val r02_sql =
+    """SELECT o_orderkey,
+      |  CAST(FLOOR(CAST(o_orderkey AS DOUBLE) / 2) AS BIGINT) AS halfkey,
+      |  o_orderkey - o_orderkey % 1000 AS bucket,
+      |  o_totalprice BETWEEN 50000.0 AND 150000.0 AS midprice,
+      |  o_orderpriority LIKE '1%' AS urgent
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1117,6 +1161,8 @@ object Queries {
     "q34_sessionize" -> (q34_sessionize _),
     "q35_groupby_wide" -> (q35_groupby_wide _),
     "q36_join_big" -> (q36_join_big _),
+    "r01_rayfall_select" -> (r01_rayfall_select _),
+    "r02_rayfall_scalars" -> (r02_rayfall_scalars _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1167,5 +1213,7 @@ object Queries {
     "q34_sessionize" -> q34_sql,
     "q35_groupby_wide" -> q35_sql,
     "q36_join_big" -> q36_sql,
+    "r01_rayfall_select" -> r01_sql,
+    "r02_rayfall_scalars" -> r02_sql,
   )
 }

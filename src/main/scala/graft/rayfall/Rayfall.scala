@@ -1,0 +1,220 @@
+package graft.rayfall
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.RF
+import graft.{StringToColumn, Tbl}
+
+/** A thin front-end for the reference's Rayfall query language
+  * (s-expressions; parser mirrored on `/root/reference/core/parse.c`
+  * grammar: lists `(f a b)`, vector literals `[a b]`, dict literals
+  * `{k: v}`, quoted symbols `'sym`, numbers, strings).
+  *
+  * This is NOT the reference implementation re-done — expressions are
+  * translated straight into Catalyst `Column`s and the `Tbl` facade, so
+  * a Rayfall `select` compiles to the same optimized Spark plan as the
+  * native API. Covered surface: `select` with `from:/where:/by:/take:`,
+  * arithmetic/comparison/logic, the aggregation set, and the scalar
+  * library shims (`xbar`, `within`, `like`, Euclidean `/` `%`).
+  */
+object Rayfall {
+
+  // ---------------------------------------------------------------- AST
+  sealed trait RExpr
+  final case class RNum(v: Double, isInt: Boolean) extends RExpr
+  final case class RStr(v: String) extends RExpr
+  final case class RSym(name: String) extends RExpr
+  final case class RQuote(name: String) extends RExpr
+  final case class RList(items: List[RExpr]) extends RExpr
+  final case class RVec(items: List[RExpr]) extends RExpr
+  final case class RDict(pairs: List[(String, RExpr)]) extends RExpr
+
+  // ------------------------------------------------------------- parser
+  def parse(src: String): RExpr = {
+    val p = new Parser(src)
+    val e = p.parseExpr()
+    p.skipWs()
+    require(p.eof, s"trailing input at ${p.pos}: '${p.rest.take(20)}'")
+    e
+  }
+
+  private final class Parser(s: String) {
+    var pos = 0
+    def eof: Boolean = pos >= s.length
+    def rest: String = s.substring(pos)
+    def skipWs(): Unit = {
+      while (!eof && (s(pos).isWhitespace || s(pos) == ',')) pos += 1
+      if (!eof && s(pos) == ';') { // comment to end of line
+        while (!eof && s(pos) != '\n') pos += 1
+        skipWs()
+      }
+    }
+    def parseExpr(): RExpr = {
+      skipWs()
+      require(!eof, "unexpected end of input")
+      s(pos) match {
+        case '(' => pos += 1; RList(parseSeq(')'))
+        case '[' => pos += 1; RVec(parseSeq(']'))
+        case '{' => pos += 1; parseDict()
+        case '\'' => pos += 1; RQuote(parseSymName())
+        case '"' => parseStr()
+        case c if c.isDigit || (c == '-' && pos + 1 < s.length &&
+          s(pos + 1).isDigit) => parseNum()
+        case _ => RSym(parseSymName())
+      }
+    }
+    private def parseSeq(close: Char): List[RExpr] = {
+      val buf = List.newBuilder[RExpr]
+      skipWs()
+      while ({ require(!eof, s"missing '$close'"); s(pos) != close }) {
+        buf += parseExpr(); skipWs()
+      }
+      pos += 1
+      buf.result()
+    }
+    private def parseDict(): RDict = {
+      val buf = List.newBuilder[(String, RExpr)]
+      skipWs()
+      while ({ require(!eof, "missing '}'"); s(pos) != '}' }) {
+        val key = parseSymName()
+        require(!eof && s(pos) == ':', s"expected ':' after dict key $key")
+        pos += 1
+        buf += ((key, parseExpr()))
+        skipWs()
+      }
+      pos += 1
+      RDict(buf.result())
+    }
+    private def parseSymName(): String = {
+      val start = pos
+      while (!eof && !s(pos).isWhitespace &&
+        "()[]{}':;,".indexOf(s(pos).toInt) < 0) pos += 1
+      require(pos > start, s"expected symbol at $start")
+      s.substring(start, pos)
+    }
+    private def parseStr(): RStr = {
+      pos += 1
+      val sb = new StringBuilder
+      while ({ require(!eof, "unterminated string"); s(pos) != '"' }) {
+        if (s(pos) == '\\' && pos + 1 < s.length) { pos += 1; sb += s(pos) }
+        else sb += s(pos)
+        pos += 1
+      }
+      pos += 1
+      RStr(sb.toString)
+    }
+    private def parseNum(): RNum = {
+      val start = pos
+      if (s(pos) == '-') pos += 1
+      while (!eof && (s(pos).isDigit || s(pos) == '.')) pos += 1
+      val text = s.substring(start, pos)
+      RNum(text.toDouble, !text.contains('.'))
+    }
+  }
+
+  // ---------------------------------------------------------- evaluator
+
+  /** Evaluate a Rayfall query string against a table catalog. */
+  def query(src: String, tables: Map[String, DataFrame]): DataFrame =
+    eval(parse(src), tables)
+
+  def eval(e: RExpr, tables: Map[String, DataFrame]): DataFrame = e match {
+    case RList(RSym("select") :: RDict(pairs) :: Nil) =>
+      val opts = pairs.toMap
+      val from = opts.getOrElse("from",
+        throw new IllegalArgumentException("select needs from:"))
+      val table = from match {
+        case RSym(n) => tables.getOrElse(n,
+          throw new IllegalArgumentException(s"unknown table $n"))
+        case l: RList => eval(l, tables)
+        case x => throw new IllegalArgumentException(s"bad from: $x")
+      }
+      val mappings = pairs.filterNot { case (k, _) =>
+        Set("from", "where", "by", "take").contains(k) }
+        .map { case (k, v) => k -> toColumn(v) }
+      val where = opts.get("where").map(toColumn).orNull
+      val by = opts.get("by").toList.flatMap {
+        case RSym(n) => Seq(n)
+        case RQuote(n) => Seq(n)
+        case RVec(items) => items.map {
+          case RSym(n) => n; case RQuote(n) => n
+          case x => throw new IllegalArgumentException(s"bad by: $x") }
+        case x => throw new IllegalArgumentException(s"bad by: $x")
+      }
+      val take = opts.get("take").map {
+        case RNum(v, true) => v.toInt
+        case x => throw new IllegalArgumentException(s"bad take: $x")
+      }.getOrElse(0)
+      Tbl(table).select(mappings, where, by, take).df
+    case x => throw new IllegalArgumentException(s"cannot evaluate $x as a query")
+  }
+
+  /** Rayfall expression → Catalyst Column. */
+  def toColumn(e: RExpr): Column = e match {
+    case RNum(v, true) => lit(v.toLong)
+    case RNum(v, false) => lit(v)
+    case RStr(v) => lit(v)
+    case RQuote(n) => lit(n)
+    case RSym(n) => col(n)
+    case RVec(items) => array(items.map(toColumn): _*)
+    case RList(RSym(fn) :: args) => apply1(fn, args.map(toColumn), args)
+    case x => throw new IllegalArgumentException(s"cannot translate $x")
+  }
+
+  private def apply1(fn: String, cs: List[Column], raw: List[RExpr]): Column =
+    (fn, cs) match {
+      case ("+", Seq(a, b)) => a + b
+      case ("-", Seq(a, b)) => a - b
+      case ("-", Seq(a)) => negate(a)
+      case ("*", Seq(a, b)) => a * b
+      case ("/", Seq(a, b)) => RF.euclidDiv(a, b)
+      case ("%", Seq(a, b)) => RF.euclidMod(a, b)
+      case ("div", Seq(a, b)) => a / b
+      case ("==", Seq(a, b)) => a === b
+      case ("!=", Seq(a, b)) => a =!= b
+      case ("<", Seq(a, b)) => a < b
+      case (">", Seq(a, b)) => a > b
+      case ("<=", Seq(a, b)) => a <= b
+      case (">=", Seq(a, b)) => a >= b
+      case ("and", args) => args.reduce(_ && _)
+      case ("or", args) => args.reduce(_ || _)
+      case ("not", Seq(a)) => !a
+      case ("nil?", Seq(a)) => a.isNull
+      case ("sum", Seq(a)) => sum(a)
+      case ("avg", Seq(a)) => avg(a)
+      case ("min", Seq(a)) => min(a)
+      case ("max", Seq(a)) => max(a)
+      case ("count", Seq(a)) => count(a)
+      case ("first", Seq(a)) => first(a)
+      case ("last", Seq(a)) => last(a)
+      case ("med", Seq(a)) => RF.med(a)
+      case ("dev", Seq(a)) => RF.dev(a)
+      case ("distinct", Seq(a)) => countDistinct(a)
+      case ("neg", Seq(a)) => negate(a)
+      case ("abs", Seq(a)) => abs(a)
+      case ("ceil", Seq(a)) => ceil(a)
+      case ("floor", Seq(a)) => floor(a)
+      case ("round", Seq(a)) => round(a)
+      case ("xbar", Seq(w, x)) => RF.xbar(w, x)
+      case ("within", Seq(x, bounds)) => raw(1) match {
+        case RVec(List(lo, hi)) => RF.within(cs.head, toColumn(lo), toColumn(hi))
+        case _ => throw new IllegalArgumentException("within needs [lo hi]")
+      }
+      case ("like", Seq(a, _)) => raw(1) match {
+        case RStr(p) => RF.likeGlob(a, p)
+        case _ => throw new IllegalArgumentException("like needs a pattern string")
+      }
+      case ("in", Seq(a, _)) => raw(1) match {
+        case RVec(items) => a.isin(items.map {
+          case RNum(v, true) => v.toLong: Any
+          case RNum(v, false) => v: Any
+          case RStr(s) => s: Any
+          case RQuote(s) => s: Any
+          case x => throw new IllegalArgumentException(s"bad in element $x")
+        }: _*)
+        case _ => throw new IllegalArgumentException("in needs a vector")
+      }
+      case _ => throw new IllegalArgumentException(
+        s"unknown function $fn/${cs.length}")
+    }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.rayfall.Rayfall
+import graft.rayfall.Rayfall._
+
+/** Rayfall front-end: parser shapes and query translation, mirrored on
+  * the reference grammar (`/root/reference/core/parse.c`) and the docs'
+  * select examples. */
+class RayfallSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("parser: atoms, vectors, dicts, quotes, nesting, comments") {
+    assert(parse("42") == RNum(42, isInt = true))
+    assert(parse("-3.5") == RNum(-3.5, isInt = false))
+    assert(parse("\"hi there\"") == RStr("hi there"))
+    assert(parse("'sym") == RQuote("sym"))
+    assert(parse("[1 2 3]") == RVec(List(RNum(1, true), RNum(2, true), RNum(3, true))))
+    assert(parse("(+ a 1)") == RList(List(RSym("+"), RSym("a"), RNum(1, true))))
+    assert(parse("{x: 1 y: (f z)} ; c") ==
+      RDict(List("x" -> RNum(1, true),
+        "y" -> RList(List(RSym("f"), RSym("z"))))))
+    intercept[IllegalArgumentException](parse("(+ 1 2"))
+  }
+
+  test("select with where/by translates to grouped aggregation") {
+    val emp = Seq(("Alice", "IT", 75000L), ("Bob", "HR", 65000L),
+      ("Charlie", "IT", 85000L)).toDF("name", "dept", "salary")
+    val got = Rayfall.query(
+      "(select {avg_salary: (avg salary) n: (count salary) " +
+        "from: emp where: (> salary 60000) by: dept})",
+      Map("emp" -> emp)).orderBy($"dept").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("HR", "IT"))
+    assert(got(1).getDouble(1) == 80000.0)
+    assert(got(1).getLong(2) == 2L)
+  }
+
+  test("scalar shims: euclidean /, xbar, within, like, in") {
+    val df = Seq((-7L, "apple"), (9L, "brass")).toDF("x", "s")
+    val r = Rayfall.query(
+      "(select {d: (/ x 2) b: (xbar 4 x) w: (within x [0 10]) " +
+        "l: (like s \"app*\") m: (in x [9 11]) from: t})",
+      Map("t" -> df)).collect()
+    assert(r(0).getLong(0) == -4L) // floor(-7/2)
+    assert(r(0).getLong(1) == -8L) // xbar floors toward -inf
+    assert(!r(0).getBoolean(2) && r(1).getBoolean(2))
+    assert(r(0).getBoolean(3) && !r(1).getBoolean(3))
+    assert(!r(0).getBoolean(4) && r(1).getBoolean(4))
+  }
+
+  test("take limits after aggregation; quoted by-symbols accepted") {
+    val df = Seq(("a", 1L), ("b", 2L), ("a", 3L)).toDF("k", "v")
+    val got = Rayfall.query(
+      "(select {s: (sum v) from: t by: 'k take: 1})", Map("t" -> df))
+    assert(got.count() == 1)
+  }
+}
