@@ -1106,6 +1106,53 @@ object Queries {
       |  o_orderpriority LIKE '1%' AS urgent
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q37
+  // Word count: raze+map composition (reference flatten/explode surface,
+  // SURVEY §2.9 UDTF row) — explode tokens, count, top 20.
+  def q37_wordcount(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(explode(split($"text", " ")).as("token"))
+      .groupBy($"token").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"token")
+      .limit(20)
+
+  private val q37_sql =
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  // find (index of first occurrence, /root/reference/core/items.c:302)
+  // + group (value → indices dict, /root/reference/core/compose.c:1071):
+  // per event type, the first qualifying event and the group's span.
+  def q38_find_group(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter($"value" > 30)
+      .groupBy($"event_type")
+      .agg(min($"event_id").as("first_match"),
+        max($"event_id").as("last_match"),
+        count(lit(1)).as("n_indices"))
+      .orderBy($"event_type")
+
+  private val q38_sql =
+    """SELECT event_type, MIN(event_id) AS first_match,
+      |  MAX(event_id) AS last_match, COUNT(*) AS n_indices
+      |FROM events WHERE value > 30
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  // Sketch aggregates (beyond the reference — the 100 TB path where
+  // exact distinct counts are not affordable). HLL/quantile-sketch
+  // results are engine-specific → rows-only driver check; accuracy
+  // bounds are asserted in ApproxSpec.
+  def q39_approx(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(approx_count_distinct($"l_partkey").as("approx_parts"),
+        percentile_approx($"l_extendedprice", lit(0.5), lit(1000))
+          .as("approx_med_price"))
+      .orderBy($"l_returnflag")
+
   // ------------------------------------------------------------ registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1163,6 +1210,9 @@ object Queries {
     "q36_join_big" -> (q36_join_big _),
     "r01_rayfall_select" -> (r01_rayfall_select _),
     "r02_rayfall_scalars" -> (r02_rayfall_scalars _),
+    "q37_wordcount" -> (q37_wordcount _),
+    "q38_find_group" -> (q38_find_group _),
+    "q39_approx" -> (q39_approx _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1215,5 +1265,7 @@ object Queries {
     "q36_join_big" -> q36_sql,
     "r01_rayfall_select" -> r01_sql,
     "r02_rayfall_scalars" -> r02_sql,
+    "q37_wordcount" -> q37_sql,
+    "q38_find_group" -> q38_sql,
   )
 }
