@@ -71,15 +71,19 @@ object Dedup {
   }
 
   /** Verify candidate pairs by exact n-gram (token-set) Jaccard: join the
-    * texts back and keep pairs at or above the threshold. */
+    * texts back and keep pairs at or above the threshold. The intersect
+    * size is materialized once per pair (array_intersect is the
+    * expensive kernel — don't evaluate it three times). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, threshold: Double): DataFrame = {
     val ta = docs.select(col(idCol).as("id_a"),
-      Text.tokens(col(textCol)).as("toks_a"))
+      array_distinct(Text.tokens(col(textCol))).as("toks_a"))
     val tb = docs.select(col(idCol).as("id_b"),
-      Text.tokens(col(textCol)).as("toks_b"))
+      array_distinct(Text.tokens(col(textCol))).as("toks_b"))
     pairs.join(ta, "id_a").join(tb, "id_b")
-      .withColumn("jac", jaccard($"toks_a", $"toks_b"))
+      .withColumn("__i", size(array_intersect($"toks_a", $"toks_b")))
+      .withColumn("jac", $"__i".cast("double") /
+        (size($"toks_a") + size($"toks_b") - $"__i"))
       .filter($"jac" >= threshold)
       .select($"id_a", $"id_b", round($"jac", 4).as("jac"))
   }
