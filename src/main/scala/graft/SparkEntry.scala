@@ -1158,6 +1158,64 @@ object Queries {
           .as("approx_med_price"))
       .orderBy($"l_returnflag")
 
+  // ---------------------------------------------------------------- q40
+  // window-join with EXCLUSIVE bounds (reference window-join vs
+  // window-join1 distinction, /root/reference/core/join.c:358).
+  def q40_window_join_excl(spark: SparkSession, dir: String): DataFrame = {
+    val halfHourNs = 1800L * 1000 * 1000 * 1000
+    val e = t(spark, dir, "events")
+    val left = e.filter($"event_type" === "signup")
+      .select($"event_id", $"user_id", $"ts")
+    val right = e.filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"value")
+    operators.WindowJoin.windowJoin(left, right,
+      leftId = Seq("event_id"), keys = Seq("user_id"), ts = "ts",
+      loOffset = lit(-halfHourNs), hiOffset = lit(halfHourNs),
+      aggs = Seq(count($"value").as("n_views"),
+        round(sum($"value"), 4).as("sum_views")),
+      inclusive = false)
+      .select($"event_id", $"user_id",
+        coalesce($"n_views", lit(0L)).as("n_views"), $"sum_views")
+      .orderBy($"event_id")
+  }
+
+  private val q40_sql =
+    """SELECT l.event_id, l.user_id, COUNT(r.value) AS n_views,
+      |  ROUND(SUM(r.value), 4) AS sum_views
+      |FROM (SELECT * FROM events WHERE event_type = 'signup') l
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      |  ON l.user_id = r.user_id
+      |  AND epoch_us(r.ts) > epoch_us(l.ts) - 1800000000
+      |  AND epoch_us(r.ts) < epoch_us(l.ts) + 1800000000
+      |GROUP BY l.event_id, l.user_id
+      |ORDER BY l.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- r03
+  // Rayfall left-join with the reference's override rule: shared
+  // non-key column (c_acctbal) takes the right side's value on a match,
+  // keeps the left value on a miss.
+  def r03_rayfall_join(spark: SparkSession, dir: String): DataFrame = {
+    val spend = t(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .groupBy($"o_custkey".as("c_custkey"))
+      .agg(dsum($"o_totalprice").as("c_acctbal"))
+    rayfall.Rayfall.query("(left-join [c_custkey] customer spend)",
+      Map("customer" -> t(spark, dir, "customer"), "spend" -> spend))
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  private val r03_sql =
+    """WITH spend AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS c_acctbal
+      |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+      |SELECT c.c_custkey, c.c_name,
+      |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+      |       ELSE c.c_acctbal END AS c_acctbal
+      |FROM customer c LEFT JOIN spend s ON c.c_custkey = s.c_custkey
+      |ORDER BY c.c_custkey""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1218,6 +1276,8 @@ object Queries {
     "q37_wordcount" -> (q37_wordcount _),
     "q38_find_group" -> (q38_find_group _),
     "q39_approx" -> (q39_approx _),
+    "q40_window_join_excl" -> (q40_window_join_excl _),
+    "r03_rayfall_join" -> (r03_rayfall_join _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1272,5 +1332,7 @@ object Queries {
     "r02_rayfall_scalars" -> r02_sql,
     "q37_wordcount" -> q37_sql,
     "q38_find_group" -> q38_sql,
+    "q40_window_join_excl" -> q40_sql,
+    "r03_rayfall_join" -> r03_sql,
   )
 }

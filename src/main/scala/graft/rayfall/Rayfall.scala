@@ -119,6 +119,17 @@ object Rayfall {
     eval(parse(src), tables)
 
   def eval(e: RExpr, tables: Map[String, DataFrame]): DataFrame = e match {
+    case RList(RSym("left-join") :: RVec(keys) :: l :: r :: Nil) =>
+      graft.operators.Joins.leftJoinOverride(
+        evalTable(l, tables), evalTable(r, tables), keyNames(keys))
+    case RList(RSym("inner-join") :: RVec(keys) :: l :: r :: Nil) =>
+      graft.operators.Joins.innerJoinOverride(
+        evalTable(l, tables), evalTable(r, tables), keyNames(keys))
+    case RList(RSym("asof-join") :: RVec(keys) :: l :: r :: Nil) =>
+      // last key symbol is the time column (reference asof-join form)
+      val ks = keyNames(keys)
+      graft.operators.AsofJoin.asofJoin(
+        evalTable(l, tables), evalTable(r, tables), ks.init, ks.last)
     case RList(RSym("select") :: RDict(pairs) :: Nil) =>
       val opts = pairs.toMap
       val from = opts.getOrElse("from",
@@ -147,6 +158,20 @@ object Rayfall {
       }.getOrElse(0)
       Tbl(table).select(mappings, where, by, take).df
     case x => throw new IllegalArgumentException(s"cannot evaluate $x as a query")
+  }
+
+  private def evalTable(e: RExpr, tables: Map[String, DataFrame]): DataFrame =
+    e match {
+      case RSym(n) => tables.getOrElse(n,
+        throw new IllegalArgumentException(s"unknown table $n"))
+      case l: RList => eval(l, tables)
+      case x => throw new IllegalArgumentException(s"bad table ref $x")
+    }
+
+  private def keyNames(keys: List[RExpr]): Seq[String] = keys.map {
+    case RSym(n) => n
+    case RQuote(n) => n
+    case x => throw new IllegalArgumentException(s"bad key $x")
   }
 
   /** Rayfall expression → Catalyst Column. */

@@ -67,6 +67,24 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2).getString(1) == "c" && got(2).getDouble(2) == 30.0)
   }
 
+  test("left-join override: right wins shared non-key cols on match only") {
+    val l = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "bal")
+    val r = Seq((1L, 99.0, "x")).toDF("k", "bal", "extra")
+    val got = operators.Joins.leftJoinOverride(l, r, Seq("k"))
+      .orderBy($"k").collect()
+    assert(got(0).getDouble(got(0).fieldIndex("bal")) == 99.0) // overridden
+    assert(got(0).getString(got(0).fieldIndex("extra")) == "x")
+    assert(got(1).getDouble(got(1).fieldIndex("bal")) == 20.0) // miss keeps left
+    assert(got(1).isNullAt(got(1).fieldIndex("extra")))
+  }
+
+  test("inner-join override keeps only matches, right-only cols appended") {
+    val l = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "bal")
+    val r = Seq((1L, 99.0)).toDF("k", "bal")
+    val got = operators.Joins.innerJoinOverride(l, r, Seq("k")).collect()
+    assert(got.length == 1 && got(0).getDouble(1) == 99.0)
+  }
+
   test("upsert: source with subset of columns leaves missing cols from target") {
     val target = Seq((1L, "a", 10.0)).toDF("k", "name", "bal")
     val source = Seq((1L, 99.0)).toDF("k", "bal")
