@@ -21,16 +21,21 @@ import org.apache.spark.sql.functions._
   */
 object RF {
 
-  /** Euclidean (floor) division; divisor 0 or null → null. */
+  /** Euclidean (floor) division; divisor 0 or null → null. Result is
+    * integral (LongType) for any numeric operands — the reference's `/`
+    * returns an integer even for float divisors
+    * (`(/ -5 -0.60)` = `8`, `/root/reference/tests/lang.c:437`). */
   def euclidDiv(a: Column, b: Column): Column = {
     val d = when(b === 0, lit(null)).otherwise(b)
-    floor(a.cast("double") / d.cast("double")).cast("long")
+    floor(a.cast("double") / d.cast("double")) // floor() is LongType
   }
 
-  /** Euclidean remainder: a - floor(a/b)*b; sign follows the divisor. */
+  /** Euclidean remainder: a - floor(a/b)*b; sign follows the divisor,
+    * result type follows the operands (`(% 11 5.0)` = `1.0`,
+    * `/root/reference/tests/lang.c:1748`). */
   def euclidMod(a: Column, b: Column): Column = {
     val d = when(b === 0, lit(null)).otherwise(b)
-    (a - floor(a.cast("double") / d.cast("double")).cast("long") * d).cast("long")
+    a - floor(a.cast("double") / d.cast("double")) * d
   }
 
   /** Round x down to a multiple of width w (reference `xbar`).
