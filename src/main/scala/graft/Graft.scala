@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Session-level registration of the engine's function library for SQL
+  * users — the parity surface for the reference's `loadfn` runtime
+  * extension loading (`/root/reference/core/env.c:262`). After
+  * `Graft.enableSql(spark)`, the functions are callable from
+  * `spark.sql(...)` text.
+  *
+  * Builders return plain Catalyst trees (the analyzer's type coercion
+  * finishes them); `dot_product` resolves to the native codegen
+  * Expression. No UDF closures anywhere.
+  */
+object Graft {
+
+  private def ediv(a: Expression, b: Expression): Expression =
+    Floor(Divide(Cast(a, DoubleType),
+      If(EqualTo(b, Literal(0)), Literal.create(null, DoubleType),
+        Cast(b, DoubleType))))
+
+  def enableSql(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction("dot_product",
+      exprs => functions.DotProduct(exprs.head, exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("euclid_div",
+      exprs => ediv(exprs.head, exprs(1)), "scala_udf")
+    registry.createOrReplaceTempFunction("euclid_mod",
+      exprs => Subtract(exprs.head,
+        Multiply(ediv(exprs.head, exprs(1)), exprs(1))), "scala_udf")
+    registry.createOrReplaceTempFunction("xbar",
+      exprs => Subtract(exprs(1), Pmod(exprs(1), exprs.head)), "scala_udf")
+  }
+
+  /** Register the testdata tables and the function library in one call —
+    * a SQL user's session bootstrap. */
+  def bootstrap(spark: SparkSession, sfDir: String): Unit = {
+    Tables.registerAll(spark, sfDir)
+    enableSql(spark)
+  }
+}

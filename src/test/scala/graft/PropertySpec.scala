@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.RF
+import graft.operators.{AsofJoin, Upsert}
+
+/** Property-based operator algebra (the FIXTURES.md §7 plan): division
+  * invariants, join cardinality laws, upsert key laws — checked on
+  * generated data through the real Spark operators. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampling: 5 cases per law from a fixed seed. */
+  private def forAll[T](g: Gen[T])(f: T => Unit): Unit =
+    (1 to 5).foreach { i =>
+      f(g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  test("euclid: a == div*b + mod, and mod's sign follows the divisor") {
+    val pairs = Gen.listOfN(24, Gen.zip(
+      Gen.chooseNum(-1000L, 1000L),
+      Gen.chooseNum(-20L, 20L).suchThat(_ != 0)))
+    forAll(pairs) { ps =>
+      whenever(ps.nonEmpty) {
+        val df = ps.toDF("a", "b").select($"a", $"b",
+          RF.euclidDiv($"a", $"b").as("d"), RF.euclidMod($"a", $"b").as("m"))
+        df.collect().foreach { r =>
+          val (a, b, d, m) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+          assert(a == d * b + m, s"$a != $d*$b+$m")
+          assert(m == 0 || (m > 0) == (b > 0), s"mod sign: a=$a b=$b m=$m")
+          assert(math.abs(m) < math.abs(b))
+        }
+      }
+    }
+  }
+
+  test("asof join is left-preserving: exactly one output row per left row") {
+    val gen = Gen.zip(
+      Gen.listOfN(15, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 100L))),
+      Gen.listOfN(15, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 100L))))
+    forAll(gen) { case (ls, rs) =>
+      whenever(ls.nonEmpty && rs.nonEmpty) {
+        val l = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+          .toDF("k", "ts", "lid")
+        val r = rs.map { case (k, t) => (k, t, t * 2.0) }.toDF("k", "ts", "v")
+        val out = AsofJoin.asofJoin(l, r, Seq("k"), "ts")
+        assert(out.count() == ls.length.toLong)
+        assert(out.select($"lid").distinct().count() == ls.length.toLong)
+      }
+    }
+  }
+
+  test("asof join matches are correct: v = 2 * (max right ts <= left ts)") {
+    val gen = Gen.zip(
+      Gen.listOfN(10, Gen.chooseNum(0L, 50L)),
+      Gen.listOfN(10, Gen.chooseNum(0L, 50L)))
+    forAll(gen) { case (lts, rts) =>
+      whenever(lts.nonEmpty && rts.nonEmpty) {
+        val l = lts.map(("k", _)).toDF("k", "ts")
+        val r = rts.map(t => ("k", t, t * 2.0)).toDF("k", "ts", "v")
+        val got = AsofJoin.asofJoin(l, r, Seq("k"), "ts")
+          .collect().map(row => row.getLong(1) ->
+            (if (row.isNullAt(2)) None else Some(row.getDouble(2)))).toMap
+        lts.foreach { t =>
+          val expect = rts.filter(_ <= t) match {
+            case Nil => None
+            case xs => Some(xs.max * 2.0)
+          }
+          assert(got(t) == expect, s"left ts=$t")
+        }
+      }
+    }
+  }
+
+  test("upsert: output keys = target keys ∪ source keys, each exactly once") {
+    val gen = Gen.zip(
+      Gen.listOfN(10, Gen.chooseNum(0L, 15L)),
+      Gen.listOfN(10, Gen.chooseNum(0L, 15L)))
+    forAll(gen) { case (tks, sks) =>
+      val target = tks.distinct.map(k => (k, s"t$k")).toDF("k", "v")
+      val source = sks.distinct.map(k => (k, s"s$k")).toDF("k", "v")
+      val out = Upsert.upsert(target, source, Seq("k")).collect()
+      val keys = out.map(_.getLong(0)).toSeq
+      assert(keys.sorted == (tks.distinct ++ sks.distinct).distinct.sorted)
+      // source rows win on their keys
+      out.foreach { r =>
+        val k = r.getLong(0)
+        val want = if (sks.contains(k)) s"s$k" else s"t$k"
+        assert(r.getString(1) == want)
+      }
+    }
+  }
+
+  test("jaccard ∈ [0,1], symmetric, 1 iff equal token sets") {
+    val txt = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e"))
+      .map(_.mkString(" "))
+    forAll(Gen.zip(txt, txt)) { case (t1, t2) =>
+      val df = Seq((t1, t2)).toDF("x", "y")
+      val j = df.select(operators.Dedup.jaccard(
+        split($"x", " "), split($"y", " ")).as("j")).collect().head.getDouble(0)
+      assert(j >= 0.0 && j <= 1.0)
+      val jr = df.select(operators.Dedup.jaccard(
+        split($"y", " "), split($"x", " ")).as("j")).collect().head.getDouble(0)
+      assert(j == jr)
+      if (t1.split(" ").toSet == t2.split(" ").toSet) assert(j == 1.0)
+    }
+  }
+}
