@@ -357,7 +357,11 @@ object Queries {
   // unlike first()), exact median, population stddev (reference `dev`,
   // /root/reference/core/aggr.c:2864).
   def q17_agg_stats(spark: SparkSession, dir: String): DataFrame = {
-    val ord = $"l_orderkey" * 10 + $"l_linenumber"
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    // fold the value into the ordering key so min_by/max_by ties are
+    // total (quantity is k*0.25, so *100 is integral and exact)
+    val ord = ($"l_orderkey" * 10 + $"l_linenumber") * 10000 +
+      ($"l_quantity" * 100).cast("long")
     t(spark, dir, "lineitem")
       .groupBy($"l_returnflag")
       .agg(
@@ -370,8 +374,10 @@ object Queries {
 
   private val q17_sql =
     """SELECT l_returnflag,
-      |  arg_min(l_quantity, l_orderkey*10 + l_linenumber) AS first_qty,
-      |  arg_max(l_quantity, l_orderkey*10 + l_linenumber) AS last_qty,
+      |  arg_min(l_quantity, (l_orderkey*10 + l_linenumber)*10000
+      |    + CAST(l_quantity*100 AS BIGINT)) AS first_qty,
+      |  arg_max(l_quantity, (l_orderkey*10 + l_linenumber)*10000
+      |    + CAST(l_quantity*100 AS BIGINT)) AS last_qty,
       |  ROUND(median(l_extendedprice), 4) AS med_price,
       |  ROUND(stddev_pop(l_extendedprice), 4) AS dev_price
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
@@ -423,30 +429,34 @@ object Queries {
   def t02_quality(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
       .select($"doc_id",
-        round(Text.punctRatio($"text"), 4).as("punct_ratio"),
-        round(Text.stopwordRatio($"text"), 4).as("stop_ratio"),
+        RF.roundBin(Text.punctRatio($"text"), 4).as("punct_ratio"),
+        RF.roundBin(Text.stopwordRatio($"text"), 4).as("stop_ratio"),
         Text.qualityScore($"text").as("quality"))
       .orderBy($"doc_id")
 
   private val t02_stop = Text.stopwords.map(s => s"'$s'").mkString(", ")
-  private val t02_sql =
+  // floor(x*1e4 + 0.5)/1e4 instead of ROUND: bit-identical to the Spark
+  // side (see RF.roundBin — engines disagree on .xxxx5 shortest-reprs)
+  private val t02_sql = {
+    val punct =
+      """CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / length(text) END""".stripMargin
+    val stop =
+      s"""CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0 ELSE
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      w -> w IN ($t02_stop))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) END""".stripMargin
+    val quality =
+      s"""0.4 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100)
+         |    + 0.3 * (1.0 - $punct)
+         |    + 0.3 * (1.0 - $stop)""".stripMargin
     s"""SELECT doc_id,
-       |  ROUND(CASE WHEN length(text) = 0 THEN 0.0 ELSE
-       |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
-       |      / length(text) END, 4) AS punct_ratio,
-       |  ROUND(CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0 ELSE
-       |    CAST(len(list_filter(string_split(text, ' '),
-       |      w -> w IN ($t02_stop))) AS DOUBLE)
-       |      / len(string_split(text, ' ')) END, 4) AS stop_ratio,
-       |  ROUND(0.4 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100)
-       |    + 0.3 * (1.0 - CASE WHEN length(text) = 0 THEN 0.0 ELSE
-       |        CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
-       |          / length(text) END)
-       |    + 0.3 * (1.0 - CASE WHEN len(string_split(text,' ')) = 0 THEN 0.0 ELSE
-       |        CAST(len(list_filter(string_split(text, ' '),
-       |          w -> w IN ($t02_stop))) AS DOUBLE)
-       |          / len(string_split(text,' ')) END), 4) AS quality
+       |  floor(($punct) * 10000 + 0.5) / 10000 AS punct_ratio,
+       |  floor(($stop) * 10000 + 0.5) / 10000 AS stop_ratio,
+       |  floor(($quality) * 10000 + 0.5) / 10000 AS quality
        |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- t03
   // Language ID: marker-word voting, grouped census of predictions.
@@ -779,9 +789,12 @@ object Queries {
   // via arg_min on the unique (l_orderkey, l_linenumber) key, which is
   // the file order of the generated data.
   def q26_facade_select(spark: SparkSession, dir: String): DataFrame =
-    // pin arrival order to the unique key so "first-per-group" is well
-    // defined for the oracle (the parquet file itself is not key-sorted)
-    Tbl(t(spark, dir, "lineitem").orderBy($"l_orderkey", $"l_linenumber"))
+    // pin arrival order so "first-per-group" is well defined for the
+    // oracle; (l_orderkey, l_linenumber) alone is NOT unique in the
+    // synthetic data, so l_linestatus joins the sort key to make the
+    // order total
+    Tbl(t(spark, dir, "lineitem")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_linestatus"))
       .select(
         mappings = Seq(
           "sum_qty" -> dsum($"l_quantity"),
@@ -795,7 +808,8 @@ object Queries {
     """SELECT l_returnflag,
       |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
       |  COUNT(*) AS n,
-      |  arg_min(l_linestatus, l_orderkey*10 + l_linenumber) AS first_status
+      |  arg_min(l_linestatus, (l_orderkey*10 + l_linenumber)*1000
+      |    + ascii(substr(l_linestatus, 1, 1))) AS first_status
       |FROM lineitem WHERE l_quantity > 10
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 

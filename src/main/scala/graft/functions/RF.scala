@@ -80,6 +80,17 @@ object RF {
     sb.append('$').toString
   }
 
+  /** Round-half-up at `scale` decimals computed ARITHMETICALLY:
+    * floor(x·10^s + 0.5)/10^s. Spark's `round` re-parses the double's
+    * shortest decimal repr (BigDecimal HALF_UP) while DuckDB rounds the
+    * binary value — for tidy rationals (ratios of small ints) the two
+    * disagree at the .xxxx5 boundary. This form evaluates bit-identically
+    * in both engines given bit-identical input. Nonnegative inputs. */
+  def roundBin(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    floor(c * p + 0.5) / p
+  }
+
   /** Null-skipping population standard deviation — the reference's `dev`
     * is population, not sample (`(dev [1i 2i])` = 0.5,
     * `/root/reference/core/aggr.c:2864`). */

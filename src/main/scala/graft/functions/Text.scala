@@ -45,9 +45,12 @@ object Text {
   }
 
   /** Composite quality score in [0,1]: length richness + low punctuation
-    * + low stopword density (the classic pre-training quality filter). */
+    * + low stopword density (the classic pre-training quality filter).
+    * Rounded with RF.roundBin — stopword/punct ratios are tidy rationals
+    * that land exactly on .xxxx5 boundaries, where Spark's round and
+    * DuckDB's disagree. */
   def qualityScore(c: Column): Column =
-    round(lit(0.4) * least(lit(1.0), size(tokens(c)).cast("double") / 100) +
+    RF.roundBin(lit(0.4) * least(lit(1.0), size(tokens(c)).cast("double") / 100) +
       lit(0.3) * (lit(1.0) - punctRatio(c)) +
       lit(0.3) * (lit(1.0) - stopwordRatio(c)), 4)
 
