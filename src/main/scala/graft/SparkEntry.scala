@@ -1230,6 +1230,28 @@ object Queries {
       |FROM customer c LEFT JOIN spend s ON c.c_custkey = s.c_custkey
       |ORDER BY c.c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q41
+  // Multi-key as-of join (reference asof-join takes N equi-keys before
+  // the time column): match on (user_id, value-band) then greatest ts.
+  def q41_asof_multikey(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .withColumn("band", floor($"value" / 10))
+    val left = e.filter($"event_type".isin("click", "view"))
+    val right = e.filter($"event_type" === "error")
+      .select($"user_id", $"band", $"ts", $"value".as("err_value"))
+    operators.AsofJoin.asofJoin(left, right, Seq("user_id", "band"), "ts")
+      .select($"event_id", $"user_id", $"band", $"err_value")
+      .orderBy($"event_id")
+  }
+
+  private val q41_sql =
+    """WITH e AS (SELECT *, CAST(floor(value / 10) AS BIGINT) AS band FROM events)
+      |SELECT l.event_id, l.user_id, l.band, r.value AS err_value
+      |FROM (SELECT * FROM e WHERE event_type IN ('click','view')) l
+      |ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'error') r
+      |  ON l.user_id = r.user_id AND l.band = r.band AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1292,6 +1314,7 @@ object Queries {
     "q39_approx" -> (q39_approx _),
     "q40_window_join_excl" -> (q40_window_join_excl _),
     "r03_rayfall_join" -> (r03_rayfall_join _),
+    "q41_asof_multikey" -> (q41_asof_multikey _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1348,5 +1371,6 @@ object Queries {
     "q38_find_group" -> q38_sql,
     "q40_window_join_excl" -> q40_sql,
     "r03_rayfall_join" -> r03_sql,
+    "q41_asof_multikey" -> q41_sql,
   )
 }
