@@ -1252,6 +1252,24 @@ object Queries {
       |  ON l.user_id = r.user_id AND l.band = r.band AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q42
+  // group → indices (reference group: vector → dict of value→indices,
+  // /root/reference/core/compose.c:1071): per event type, the first ten
+  // occurrence ids, string-joined for cross-engine hashability.
+  def q42_group_indices(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(concat_ws(",",
+        slice(sort_array(collect_list($"event_id")), 1, 10)).as("first_ids"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+
+  private val q42_sql =
+    """SELECT event_type,
+      |  array_to_string(list_sort(list(event_id))[1:10], ',') AS first_ids,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1315,6 +1333,7 @@ object Queries {
     "q40_window_join_excl" -> (q40_window_join_excl _),
     "r03_rayfall_join" -> (r03_rayfall_join _),
     "q41_asof_multikey" -> (q41_asof_multikey _),
+    "q42_group_indices" -> (q42_group_indices _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1372,5 +1391,6 @@ object Queries {
     "q40_window_join_excl" -> q40_sql,
     "r03_rayfall_join" -> r03_sql,
     "q41_asof_multikey" -> q41_sql,
+    "q42_group_indices" -> q42_sql,
   )
 }
