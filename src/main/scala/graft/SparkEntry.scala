@@ -1270,6 +1270,63 @@ object Queries {
       |  COUNT(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q43
+  // TPC-H Q3 shape: 3-table join, revenue agg, top-k. Catalyst
+  // broadcasts the filtered customer dim; revenue routed through
+  // DECIMAL(18,4) so the parallel sum hash-matches.
+  def q43_tpch3(spark: SparkSession, dir: String): DataFrame = {
+    val rev = ($"l_extendedprice" * (lit(1) - $"l_discount"))
+      .cast("decimal(18,4)")
+    t(spark, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      .join(t(spark, dir, "orders"), $"c_custkey" === $"o_custkey")
+      .join(t(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey")
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  private val q43_sql =
+    """SELECT o_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  // TPC-H Q5 shape: 5-table star join — region→nation→customer→orders→
+  // lineitem; Catalyst reorders and broadcasts the small dims.
+  def q44_tpch5(spark: SparkSession, dir: String): DataFrame = {
+    val rev = ($"l_extendedprice" * (lit(1) - $"l_discount"))
+      .cast("decimal(18,4)")
+    t(spark, dir, "region").filter($"r_name".isin("ASIA", "EUROPE", "AMERICA"))
+      .join(t(spark, dir, "nation"), $"n_regionkey" === $"r_regionkey")
+      .join(t(spark, dir, "customer"), $"c_nationkey" === $"n_nationkey")
+      .join(t(spark, dir, "orders"), $"o_custkey" === $"c_custkey")
+      .join(t(spark, dir, "lineitem"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name")
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n"))
+      .orderBy($"n_name")
+  }
+
+  private val q44_sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE r_name IN ('ASIA','EUROPE','AMERICA')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1334,6 +1391,8 @@ object Queries {
     "r03_rayfall_join" -> (r03_rayfall_join _),
     "q41_asof_multikey" -> (q41_asof_multikey _),
     "q42_group_indices" -> (q42_group_indices _),
+    "q43_tpch3" -> (q43_tpch3 _),
+    "q44_tpch5" -> (q44_tpch5 _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1392,5 +1451,7 @@ object Queries {
     "r03_rayfall_join" -> r03_sql,
     "q41_asof_multikey" -> q41_sql,
     "q42_group_indices" -> q42_sql,
+    "q43_tpch3" -> q43_sql,
+    "q44_tpch5" -> q44_sql,
   )
 }
