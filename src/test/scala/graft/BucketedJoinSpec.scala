@@ -14,6 +14,11 @@ class BucketedJoinSpec extends SparkSpec {
     try {
       spark.sql("DROP TABLE IF EXISTS b_orders")
       spark.sql("DROP TABLE IF EXISTS b_lineitem")
+      // the catalog is per-session but the warehouse dir outlives the
+      // JVM — clear stale locations from earlier runs
+      for (t <- Seq("b_orders", "b_lineitem"))
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"spark-warehouse/$t"))
       Tables.load(spark, sf, "orders")
         .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
         .mode("overwrite").saveAsTable("b_orders")
