@@ -45,19 +45,24 @@ object Dedup {
         concat_ws("_", (0 until rowsPerBand)
           .map(r => col(s"sig_${b * rowsPerBand + r}")): _*).as("bucket"))
     }
+    // Materialize the (id, band, bucket) rows ONCE: every consumer below
+    // reads them twice (self-join sides) — without this the MinHash
+    // signatures are recomputed per consumer. At warehouse scale this is
+    // "write the signature table", here a local checkpoint.
     val buckets = sigged
       .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bb"))
       .select($"id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+      .localCheckpoint()
     // Cap bucket size: a degenerate bucket (boilerplate/spam cluster)
     // would turn the self-join quadratic; production LSH dedup skips such
-    // buckets (their members are caught by exact dedup anyway).
-    val counted = buckets
-      .withColumn("__n", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy($"band", $"bucket")))
-      .filter($"__n" <= maxBucketSize)
-      .drop("__n")
-    val a = counted.select($"band", $"bucket", $"id".as("id_a"))
-    val b = counted.select($"band", $"bucket", $"id".as("id_b"))
+    // buckets (their members are caught by exact dedup anyway). The
+    // oversized-bucket list is tiny → broadcast anti-join, no shuffle.
+    val big = buckets.groupBy($"band", $"bucket")
+      .agg(count(lit(1)).as("__n")).filter($"__n" > maxBucketSize)
+      .select($"band", $"bucket")
+    val kept = buckets.join(broadcast(big), Seq("band", "bucket"), "left_anti")
+    val a = kept.select($"band", $"bucket", $"id".as("id_a"))
+    val b = kept.select($"band", $"bucket", $"id".as("id_b"))
     a.join(b, Seq("band", "bucket"))
       .filter($"id_a" < $"id_b")
       .select($"id_a", $"id_b").distinct()
@@ -92,8 +97,10 @@ object Dedup {
     * same-block docs are compared, then verify hamming distance. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3, blockBits: Int = 8): DataFrame = {
+    // materialize signatures once — both self-join sides consume them
     val sh = df.select(col(idCol).as("id"),
       Text.simhash16Expr(textCol).as("sh"))
+      .localCheckpoint()
     val blocked = sh.withColumn("blk", shiftright($"sh", blockBits))
     val a = blocked.select($"blk", $"id".as("id_a"), $"sh".as("sh_a"))
     val b = blocked.select($"blk", $"id".as("id_b"), $"sh".as("sh_b"))
