@@ -24,6 +24,22 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** Narrow-shuffle variant for WIDE left tables: only (keys, ts, row-id)
+    * ride through the union+window shuffle; the full left row joins back
+    * by id afterwards. Trades one extra (narrow) join for not dragging
+    * every left column through the sort — the right call when the left
+    * table is hundreds of columns at warehouse scale. Row ids are pinned
+    * with a localCheckpoint so both consumers see identical ids. */
+  def asofJoinNarrow(left: DataFrame, right: DataFrame, keys: Seq[String],
+                     ts: String, rightCols: Seq[String] = Nil): DataFrame = {
+    val lid = left.withColumn("__lid", monotonically_increasing_id())
+      .localCheckpoint()
+    val slim = lid.select((keys :+ ts :+ "__lid").map(col): _*)
+    val matched = asofJoin(slim, right, keys, ts, rightCols)
+      .drop(keys :+ ts: _*)
+    lid.join(matched, "__lid").drop("__lid")
+  }
+
   /** @param keys      equi-join key columns (present in both sides)
     * @param ts        time column name (present in both sides, orderable)
     * @param rightCols right payload columns to attach (default: all

@@ -67,6 +67,19 @@ class OperatorsSpec extends SparkSpec {
     assert(got(2).getString(1) == "c" && got(2).getDouble(2) == 30.0)
   }
 
+  test("asofJoinNarrow equals the standard asof join on a wide left table") {
+    val trades = Seq(("AAPL", 10L, 100.0, "x1", "y1"), ("AAPL", 20L, 101.0, "x2", "y2"),
+      ("MSFT", 5L, 50.0, "x3", "y3")).toDF("sym", "ts", "price", "w1", "w2")
+    val quotes = Seq(("AAPL", 8L, 99.0), ("AAPL", 15L, 100.5))
+      .toDF("sym", "ts", "bid")
+    val std = AsofJoin.asofJoin(trades, quotes, Seq("sym"), "ts")
+      .orderBy($"sym", $"ts").collect().toSeq
+    val nrw = AsofJoin.asofJoinNarrow(trades, quotes, Seq("sym"), "ts")
+      .select(std.head.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      .orderBy($"sym", $"ts").collect().toSeq
+    assert(nrw == std)
+  }
+
   test("left-join override: right wins shared non-key cols on match only") {
     val l = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "bal")
     val r = Seq((1L, 99.0, "x")).toDF("k", "bal", "extra")
