@@ -1327,6 +1327,34 @@ object Queries {
       |WHERE r_name IN ('ASIA','EUROPE','AMERICA')
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- s03
+  // IVF-indexed approximate top-k: coarse centroids → cell assignment →
+  // probe the query's cells only (rows-only; recall asserted in spec).
+  def s03_ann_ivf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryId = 0L, k = 10, nCells = 8, nProbe = 2)
+      .select($"id".as("vec_id"), $"score")
+
+  // ---------------------------------------------------------------- r04
+  // Rayfall as-of join: the reference's (asof-join [keys t] l r) form.
+  def r04_rayfall_asof(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val clicks = e.filter($"event_type" === "click")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value".as("purchase_value"))
+    rayfall.Rayfall.query("(asof-join [user_id ts] clicks purchases)",
+      Map("clicks" -> clicks, "purchases" -> purchases))
+      .select($"event_id", $"user_id", $"purchase_value")
+      .orderBy($"event_id")
+  }
+
+  private val r04_sql =
+    """SELECT l.event_id, l.user_id, r.value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1393,6 +1421,8 @@ object Queries {
     "q42_group_indices" -> (q42_group_indices _),
     "q43_tpch3" -> (q43_tpch3 _),
     "q44_tpch5" -> (q44_tpch5 _),
+    "s03_ann_ivf" -> (s03_ann_ivf _),
+    "r04_rayfall_asof" -> (r04_rayfall_asof _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1453,5 +1483,6 @@ object Queries {
     "q42_group_indices" -> q42_sql,
     "q43_tpch3" -> q43_sql,
     "q44_tpch5" -> q44_sql,
+    "r04_rayfall_asof" -> r04_sql,
   )
 }

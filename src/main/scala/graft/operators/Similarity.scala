@@ -55,6 +55,46 @@ object Similarity {
         lit(0.0), _ + _) > 0, shiftleft(lit(1), i)).otherwise(lit(0))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) index: partition vectors into cells by nearest
+    * coarse centroid, search only the query's cell(s). Centroids are
+    * taken deterministically from the data (every n/k-th vector) — at
+    * scale you'd k-means them; assignment/search machinery is identical.
+    *
+    * @param nProbe how many nearest cells to search (recall knob)
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nCells: Int, nProbe: Int = 1): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    // deterministic coarse centroids: every (n/nCells)-th row by id order
+    val centroids = v.orderBy(col("id")).limit(nCells * 16)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
+      .filter(col("__rn") % 16 === 1)
+      .select((col("__rn") / 16).cast("int").as("cell"), col("v").as("cv"))
+    // assign every vector to its max-cosine centroid (broadcast centroids)
+    val assigned = v.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosine(col("v"), col("cv")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("sim").desc, col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("v"), col("cell"))
+    // the query's nProbe nearest cells
+    val qCells = assigned.filter(col("id") === queryId)
+      .select(col("v").as("qv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+      .orderBy(col("sim").desc, col("cell")).limit(nProbe)
+      .select(col("cell"), col("qv"))
+    // exact rerank within the probed cells only
+    assigned.join(broadcast(qCells), Seq("cell"))
+      .filter(col("id") =!= queryId)
+      .select(col("id"), round(cosine(col("v"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * exact cosine rerank inside it. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,

@@ -79,6 +79,20 @@ class PipelineSpec extends SparkSpec {
     approx.foreach(r => assert(brute(r.getLong(0)) == r.getDouble(1)))
   }
 
+  test("ivf topk: scores agree with brute force; k results from probed cells") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val ivf = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+      nCells = 8, nProbe = 2).collect()
+    assert(ivf.length == 10)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivf.foreach(r => assert(brute(r.getLong(0)) == r.getDouble(1)))
+    // more probes → recall can only improve (same or more candidates)
+    val wide = Similarity.ivfTopK(emb, "vec_id", "embedding", 0L, 10,
+      nCells = 8, nProbe = 8).collect().map(_.getDouble(1)).toSeq
+    assert(wide.head >= ivf.map(_.getDouble(1)).max)
+  }
+
   test("langId votes marker words deterministically") {
     val df = Seq("der hund und die katze ist da",
       "the cat and the dog", "xyzzy plugh").toDF("text")
