@@ -26,15 +26,25 @@ object Bench {
       try SparkEntry.queries(q)(spark, warmupDir).count()
       catch { case _: Throwable => () }
 
+    // (name, seconds, error). A crashing query reports value -1 and lands
+    // in the "errors" field — it must not look like a fast success.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).count()
+        (name, (System.nanoTime() - t0) / 1e9, None: Option[String])
+      } catch {
+        case e: Throwable =>
+          (name, -1.0, Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(120)))
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(m)) =>
+      "\"" + k + "\":\"" + m + "\"" }.mkString("{", ",", "}")
+    val total = results.map { case (_, v, _) => math.max(v, 0.0) }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.types.DoubleType
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 
 /** Session-level registration of the engine's function library for SQL
   * users — the parity surface for the reference's `loadfn` runtime
@@ -23,8 +23,12 @@ object Graft {
 
   def enableSql(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
+    // Cast both sides to array<double> so e.g. an array<float> argument is
+    // converted rather than misread byte-wise by ArrayData.getDouble.
     registry.createOrReplaceTempFunction("dot_product",
-      exprs => functions.DotProduct(exprs.head, exprs(1)), "scala_udf")
+      exprs => functions.DotProduct(
+        Cast(exprs.head, ArrayType(DoubleType, containsNull = true)),
+        Cast(exprs(1), ArrayType(DoubleType, containsNull = true))), "scala_udf")
     registry.createOrReplaceTempFunction("euclid_div",
       exprs => ediv(exprs.head, exprs(1)), "scala_udf")
     registry.createOrReplaceTempFunction("euclid_mod",

@@ -22,14 +22,21 @@ case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  private def isArrayOfDouble(t: DataType): Boolean = t match {
+    case ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    if (left.dataType == ArrayType(DoubleType, false) ||
-      left.dataType == ArrayType(DoubleType, true)) {
+    // Both children must be array<double>: ArrayData.getDouble on e.g. a
+    // packed array<float> would silently misread bytes, not error.
+    if (isArrayOfDouble(left.dataType) && isArrayOfDouble(right.dataType)) {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     } else {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"dot_product expects array<double> inputs, got ${left.dataType}")
+        s"dot_product expects array<double> inputs, got " +
+          s"(${left.dataType}, ${right.dataType})")
     }
   }
 

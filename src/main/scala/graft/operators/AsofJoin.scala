@@ -72,10 +72,22 @@ object AsofJoin {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    // Shared payload/left names follow the reference's override rule
+    // (ray_asof_join routes through __left_join_inner, core/join.c:300):
+    // right value wins on a match, left value survives on a miss. The
+    // collided column is emitted once, in the left column's position.
+    val collided = payload.filter(leftCols.contains).toSet
+    val outLeft = leftCols.map { c =>
+      if (collided(c))
+        when(col("__m").isNotNull, col(s"__m.$c")).otherwise(col(c)).as(c)
+      else col(c)
+    }
+    val outRight = payload.filterNot(collided).map(c => col(s"__m.$c").as(c))
+
     l.select((leftCols.map(col) :+ col("__side") :+ col("__r")): _*)
       .unionByName(r)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .select(leftCols.map(col) ++ payload.map(c => col(s"__m.$c").as(c)): _*)
+      .select(outLeft ++ outRight: _*)
   }
 }

@@ -21,7 +21,12 @@ object Rayfall {
 
   // ---------------------------------------------------------------- AST
   sealed trait RExpr
-  final case class RNum(v: Double, isInt: Boolean) extends RExpr
+  /** Numeric literal. Integer lexemes keep the exact i64 in `l` (the
+    * reference parser holds exact i64 — `core/parse.c` number path — and the
+    * engine's TIMESTAMP convention is nanos-as-long, ~1.7e18, above Double's
+    * 2^53 exact range); `v` is only meaningful when `isInt` is false.
+    */
+  final case class RNum(v: Double, isInt: Boolean, l: Long = 0L) extends RExpr
   final case class RStr(v: String) extends RExpr
   final case class RSym(name: String) extends RExpr
   final case class RQuote(name: String) extends RExpr
@@ -108,7 +113,8 @@ object Rayfall {
       if (s(pos) == '-') pos += 1
       while (!eof && (s(pos).isDigit || s(pos) == '.')) pos += 1
       val text = s.substring(start, pos)
-      RNum(text.toDouble, !text.contains('.'))
+      if (text.contains('.')) RNum(text.toDouble, isInt = false)
+      else RNum(0.0, isInt = true, l = text.toLong)
     }
   }
 
@@ -153,7 +159,7 @@ object Rayfall {
         case x => throw new IllegalArgumentException(s"bad by: $x")
       }
       val take = opts.get("take").map {
-        case RNum(v, true) => v.toInt
+        case RNum(_, true, l) => l.toInt
         case x => throw new IllegalArgumentException(s"bad take: $x")
       }.getOrElse(0)
       Tbl(table).select(mappings, where, by, take).df
@@ -176,8 +182,8 @@ object Rayfall {
 
   /** Rayfall expression → Catalyst Column. */
   def toColumn(e: RExpr): Column = e match {
-    case RNum(v, true) => lit(v.toLong)
-    case RNum(v, false) => lit(v)
+    case RNum(_, true, l) => lit(l)
+    case RNum(v, false, _) => lit(v)
     case RStr(v) => lit(v)
     case RQuote(n) => lit(n)
     case RSym(n) => col(n)
@@ -209,7 +215,10 @@ object Rayfall {
       case ("avg", Seq(a)) => avg(a)
       case ("min", Seq(a)) => min(a)
       case ("max", Seq(a)) => max(a)
-      case ("count", Seq(a)) => count(a)
+      // reference count (misc.c ray_count → aggr_count) increments
+      // unconditionally — it counts null elements too, so map to group size
+      // rather than Spark's null-skipping count(col).
+      case ("count", Seq(_)) => count(lit(1))
       case ("first", Seq(a)) => first(a)
       case ("last", Seq(a)) => last(a)
       case ("med", Seq(a)) => RF.med(a)
@@ -231,8 +240,8 @@ object Rayfall {
       }
       case ("in", Seq(a, _)) => raw(1) match {
         case RVec(items) => a.isin(items.map {
-          case RNum(v, true) => v.toLong: Any
-          case RNum(v, false) => v: Any
+          case RNum(_, true, l) => l: Any
+          case RNum(v, false, _) => v: Any
           case RStr(s) => s: Any
           case RQuote(s) => s: Any
           case x => throw new IllegalArgumentException(s"bad in element $x")

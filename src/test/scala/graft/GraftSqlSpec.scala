@@ -16,6 +16,23 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getInt(3) == 1200)
   }
 
+  test("dot_product coerces non-double arrays instead of misreading them") {
+    Graft.enableSql(spark)
+    // float arrays would be silently byte-misread without the cast/type check
+    val r = spark.sql(
+      """SELECT dot_product(cast(array(1.0, 2.0) AS array<float>),
+        |                   cast(array(3.0, 4.0) AS array<float>)) AS d
+        |""".stripMargin).collect().head
+    assert(r.getDouble(0) == 11.0)
+    // the Column API (no builder cast) must reject wrong types at analysis
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((Array(1.0f), Array(2.0))).toDF("f", "d")
+    intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.VectorExprs.dot($"f", $"d")).collect()
+    }
+  }
+
   test("bootstrap registers tables for SQL use") {
     Graft.bootstrap(spark, sf)
     val n = spark.sql("SELECT COUNT(*) FROM lineitem").collect().head.getLong(0)

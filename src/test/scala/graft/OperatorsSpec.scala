@@ -32,6 +32,18 @@ class OperatorsSpec extends SparkSpec {
     assert(got.isNullAt(got.fieldIndex("v")))
   }
 
+  test("asof join: shared payload name — right wins on match, left on miss") {
+    // reference ray_asof_join routes through __left_join_inner: a right
+    // payload column named like a left column overrides it on a match
+    val l = Seq(("a", 10L, 1.0), ("b", 10L, 2.0)).toDF("k", "ts", "value")
+    val r = Seq(("a", 5L, 9.0)).toDF("k", "ts", "value")
+    val got = AsofJoin.asofJoin(l, r, Seq("k"), "ts")
+      .orderBy($"k").collect()
+    assert(got.map(_.schema.fieldNames.toSeq).head == Seq("k", "ts", "value"))
+    assert(got.map(x => (x.getString(0), x.getDouble(2))).toSeq ==
+      Seq(("a", 9.0), ("b", 2.0)))
+  }
+
   test("window join keeps left rows with no right rows in range") {
     val l = Seq((1L, "a", 100L), (2L, "a", 900L)).toDF("id", "k", "ts")
     val r = Seq(("a", 95L, 1.0), ("a", 105L, 2.0), ("a", 400L, 9.0))

@@ -9,17 +9,39 @@ import graft.rayfall.Rayfall._
 class RayfallSpec extends SparkSpec {
   import spark.implicits._
 
+  private def rint(l: Long): RNum = RNum(0.0, isInt = true, l = l)
+
   test("parser: atoms, vectors, dicts, quotes, nesting, comments") {
-    assert(parse("42") == RNum(42, isInt = true))
+    assert(parse("42") == rint(42))
     assert(parse("-3.5") == RNum(-3.5, isInt = false))
     assert(parse("\"hi there\"") == RStr("hi there"))
     assert(parse("'sym") == RQuote("sym"))
-    assert(parse("[1 2 3]") == RVec(List(RNum(1, true), RNum(2, true), RNum(3, true))))
-    assert(parse("(+ a 1)") == RList(List(RSym("+"), RSym("a"), RNum(1, true))))
+    assert(parse("[1 2 3]") == RVec(List(rint(1), rint(2), rint(3))))
+    assert(parse("(+ a 1)") == RList(List(RSym("+"), RSym("a"), rint(1))))
     assert(parse("{x: 1 y: (f z)} ; c") ==
-      RDict(List("x" -> RNum(1, true),
+      RDict(List("x" -> rint(1),
         "y" -> RList(List(RSym("f"), RSym("z"))))))
     intercept[IllegalArgumentException](parse("(+ 1 2"))
+  }
+
+  test("integer literals above 2^53 keep exact i64 (ns-timestamp range)") {
+    // a nanos-as-long timestamp literal; Double would round this lexeme
+    assert(parse("1741102907087221025") == rint(1741102907087221025L))
+    assert(parse("-1741102907087221025") == rint(-1741102907087221025L))
+    val df = Seq(1741102907087221025L, 1741102907087221026L).toDF("ts")
+    val got = Rayfall.query(
+      "(select {ts: ts from: t where: (> ts 1741102907087221025)})",
+      Map("t" -> df)).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1741102907087221026L))
+  }
+
+  test("count counts nulls too (reference aggr_count increments unconditionally)") {
+    val df = Seq(("a", Some(1L)), ("a", None), ("b", Some(2L)))
+      .toDF("k", "v")
+    val got = Rayfall.query(
+      "(select {n: (count v) from: t by: k})", Map("t" -> df))
+      .orderBy($"k").collect()
+    assert(got.map(_.getLong(1)).toSeq == Seq(2L, 1L))
   }
 
   test("select with where/by translates to grouped aggregation") {
