@@ -642,9 +642,13 @@ object Queries {
   // (reference set-parted/get-parted, /root/reference/core/vary.c:176).
   def q19_parted(spark: SparkSession, dir: String): DataFrame = {
     val path = s"/tmp/graft_parted/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/lineitem"
-    val li = t(spark, dir, "lineitem")
-      .withColumn("ship_month", date_format($"l_shipdate", "yyyy-MM"))
-    Store.setParted(li, path, "ship_month")
+    // stage once — the testdata is immutable, so an existing _SUCCESS
+    // marker means the parted store is current (same rule as q21's stage)
+    if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+      val li = t(spark, dir, "lineitem")
+        .withColumn("ship_month", date_format($"l_shipdate", "yyyy-MM"))
+      Store.setParted(li, path, "ship_month")
+    }
     Store.getParted(spark, path)
       .filter($"ship_month" === "1995-03")
       .groupBy($"l_returnflag")
@@ -664,7 +668,8 @@ object Queries {
   def q20_csv(spark: SparkSession, dir: String): DataFrame = {
     val path = s"/tmp/graft_csv/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/nation"
     val nation = t(spark, dir, "nation")
-    Store.writeCsv(nation, path)
+    if (!new java.io.File(s"$path/_SUCCESS").exists())
+      Store.writeCsv(nation, path)
     Store.readCsv(spark, path, nation.schema)
       .groupBy($"n_regionkey")
       .agg(count(lit(1)).as("n"), min($"n_name").as("first_name"))

@@ -24,12 +24,16 @@ object Dedup {
     df.groupBy(Text.fingerprint(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** Add `sig_0..sig_{k-1}` MinHash columns. */
-  def withMinhashSignature(df: DataFrame, textCol: String, k: Int): DataFrame =
-    Text.minhashSeeds(k).zipWithIndex.foldLeft(df) {
-      case (d, ((a, b), i)) =>
-        d.withColumn(s"sig_$i", Text.minhashExpr(textCol, a, b))
-    }
+  /** Add `sig_0..sig_{k-1}` MinHash columns. All k hashes come from ONE
+    * pass over the tokens (native MinHashes expression) instead of k
+    * re-tokenizing higher-order-function columns. */
+  def withMinhashSignature(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val withArr = df.withColumn("__mh",
+      graft.functions.MinHashExpr.minhashes(col(textCol), Text.minhashSeeds(k)))
+    (0 until k).foldLeft(withArr) { (d, i) =>
+      d.withColumn(s"sig_$i", element_at($"__mh", i + 1))
+    }.drop("__mh")
+  }
 
   /** MinHash-LSH candidate pairs: k hashes split into `bands` bands; docs
     * sharing any band bucket become a candidate pair (id_a < id_b).

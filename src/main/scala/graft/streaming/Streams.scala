@@ -25,7 +25,15 @@ object Streams {
                      tsCol: String, keyCol: String, valueCol: String,
                      windowSec: Int, queryName: String,
                      prep: DataFrame => DataFrame = identity): DataFrame = {
-    val stream = prep(spark.readStream.schema(schemaFrom.schema).parquet(srcDir))
+    // Run the stateful query in a cloned session with few shuffle
+    // partitions: streaming state-store partitions = shuffle partitions,
+    // and each one pays per-micro-batch snapshot/commit IO. The windowed
+    // key space is tiny relative to the batch engine's partitioning needs,
+    // so 8 state stores beat 32+ (on a real cluster, size this to the
+    // stateful-key cardinality, not the batch shuffle width).
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val stream = prep(ss.readStream.schema(schemaFrom.schema).parquet(srcDir))
     val agg = stream
       .groupBy(window(col(tsCol), s"$windowSec seconds"), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
@@ -35,7 +43,7 @@ object Streams {
       .queryName(queryName)
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(queryName)
+    ss.table(queryName)
   }
 
   final case class Ev(user_id: Long, ts_us: Long)

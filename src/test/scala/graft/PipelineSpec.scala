@@ -33,6 +33,21 @@ class PipelineSpec extends SparkSpec {
     assert(!verified.exists(p => p._2 == 3L || p._2 == 4L && p._1 == 3L))
   }
 
+  test("native MinHashes equals the SQL higher-order form, hash by hash") {
+    // edge tokens too: consecutive / leading / trailing spaces, unicode
+    val tricky = docs.select($"text")
+      .union(Seq(" leading", "trailing ", "a  b", "", "héllo wörld ☃")
+        .toDF("text"))
+    val seeds = Text.minhashSeeds(6)
+    val native = tricky.select(
+      graft.functions.MinHashExpr.minhashes($"text", seeds).as("mh"))
+      .collect().map(_.getSeq[Long](0))
+    val sql = tricky.select(array(seeds.map { case (a, b) =>
+      Text.minhashExpr("text", a, b) }: _*).as("mh"))
+      .collect().map(_.getSeq[Long](0))
+    assert(native.toSeq == sql.toSeq)
+  }
+
   test("jaccard is exact on token sets") {
     val j = docs.filter($"doc_id" === 0).crossJoin(
       docs.filter($"doc_id" === 1).select($"text".as("t2")))
