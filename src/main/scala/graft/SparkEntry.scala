@@ -1360,6 +1360,173 @@ object Queries {
       |  ON l.user_id = r.user_id AND l.ts >= r.ts
       |ORDER BY l.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- r05
+  // Rayfall update: where-gated column rewrite through the parser
+  // (reference ray_update, /root/reference/core/update.c; the *2 keeps
+  // the arithmetic FP-exact so DECIMAL routing hash-matches).
+  def r05_rayfall_update(spark: SparkSession, dir: String): DataFrame =
+    rayfall.Rayfall.query(
+      """(update {o_totalprice: (* o_totalprice 2)
+        |         from: orders
+        |         where: (== o_orderpriority "1-URGENT")})""".stripMargin,
+      Map("orders" -> t(spark, dir, "orders")))
+      .select($"o_orderkey", $"o_totalprice".cast("decimal(18,2)").as("price"))
+      .orderBy($"o_orderkey")
+
+  private val r05_sql =
+    """SELECT o_orderkey,
+      |  CAST(CASE WHEN o_orderpriority = '1-URGENT'
+      |    THEN o_totalprice * 2 ELSE o_totalprice END
+      |    AS DECIMAL(18,2)) AS price
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- r06
+  // Rayfall grouped update: the aggregate evaluates per group over the
+  // where-filtered rows and broadcasts back to the matching rows only
+  // (reference update with by:, docs/.../queries/update.md).
+  def r06_rayfall_group_update(spark: SparkSession, dir: String): DataFrame =
+    rayfall.Rayfall.query(
+      """(update {o_totalprice: (max o_totalprice)
+        |         from: orders
+        |         by: o_orderpriority
+        |         where: (> o_totalprice 100000.0)})""".stripMargin,
+      Map("orders" -> t(spark, dir, "orders")))
+      .select($"o_orderkey", $"o_totalprice".cast("decimal(18,2)").as("price"))
+      .orderBy($"o_orderkey")
+
+  private val r06_sql =
+    """SELECT o_orderkey,
+      |  CAST(CASE WHEN o_totalprice > 100000.0
+      |    THEN MAX(CASE WHEN o_totalprice > 100000.0 THEN o_totalprice END)
+      |      OVER (PARTITION BY o_orderpriority)
+      |    ELSE o_totalprice END AS DECIMAL(18,2)) AS price
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- r07
+  // Rayfall window-join: the reference's 6-ary form with interval
+  // offsets and an aggregation dict (examples/wj.rfl) — purchases
+  // aggregate clicks within ±1h; exact-i64 ns offsets exercise the
+  // parser's long-literal path.
+  def r07_rayfall_window_join(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"value")
+    rayfall.Rayfall.query(
+      "(window-join1 [user_id ts] [-3600000000000 3600000000000] " +
+        "purchases clicks {n_clicks: (count value) max_click: (max value)})",
+      Map("purchases" -> purchases, "clicks" -> clicks))
+      .select($"event_id", $"user_id",
+        coalesce($"n_clicks", lit(0L)).as("n_clicks"), $"max_click")
+      .orderBy($"event_id")
+  }
+
+  private val r07_sql =
+    """SELECT l.event_id, l.user_id, COUNT(r.value) AS n_clicks,
+      |  MAX(r.value) AS max_click
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      |  ON l.user_id = r.user_id
+      |  AND epoch_ns(r.ts) BETWEEN epoch_ns(l.ts) - 3600000000000
+      |                         AND epoch_ns(l.ts) + 3600000000000
+      |GROUP BY l.event_id, l.user_id
+      |ORDER BY l.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q45
+  // scan-right (reference /root/reference/core/iter.c:1212 scan family):
+  // running reduce from the END — suffix sums via a current-row-to-
+  // unbounded-following frame (mirror of q10's scan-left).
+  def q45_scan_right(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    t(spark, dir, "events")
+      .select($"event_id", $"user_id",
+        round(sum($"value").over(w), 4).as("suffix_value"))
+      .orderBy($"event_id")
+  }
+
+  private val q45_sql =
+    """SELECT event_id, user_id,
+      |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 4) AS suffix_value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q46
+  // alter/modify at index positions (reference alter,
+  // /root/reference/core/update.c:268: apply set/+ at vector indices) —
+  // per-order positions via row_number on a totalized order (the
+  // (l_orderkey, l_linenumber) pair is NOT unique; fold in quantity and
+  // price to make the position deterministic).
+  def q46_alter(spark: SparkSession, dir: String): DataFrame = {
+    val pos = row_number().over(Window.partitionBy($"l_orderkey")
+      .orderBy($"l_linenumber", $"l_quantity", $"l_extendedprice"))
+    t(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_quantity".cast("long").as("qty"), $"l_extendedprice", pos.as("pos"))
+      .select($"l_orderkey", $"l_linenumber",
+        // alter set at [0]: overwrite; alter + at [1]: modify in place
+        when($"pos" === 1, 0L)
+          .when($"pos" === 2, $"qty" + 100L)
+          .otherwise($"qty").as("qty"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"qty")
+  }
+
+  private val q46_sql =
+    """WITH p AS (
+      |  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+      |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_linenumber, l_quantity, l_extendedprice) AS pos
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN pos = 1 THEN 0
+      |       WHEN pos = 2 THEN qty + 100
+      |       ELSE qty END AS qty
+      |FROM p ORDER BY l_orderkey, l_linenumber, qty""".stripMargin
+
+  // ---------------------------------------------------------------- q47
+  // map-left (reference /root/reference/core/iter.c:665: fn of each left
+  // element vs the whole right argument): per row, map a fixed vector of
+  // multipliers over the row's key — an array-valued column, exact i64.
+  def q47_map_left(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select($"o_orderkey",
+        transform(array(lit(1L), lit(2L), lit(3L)),
+          e => e * $"o_orderkey").as("multiples"))
+      .orderBy($"o_orderkey")
+
+  private val q47_sql =
+    """SELECT o_orderkey,
+      |  list_transform([1, 2, 3], e -> e * o_orderkey) AS multiples
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  // meta (reference table-schema introspection,
+  // /root/reference/core/misc.c:245): schema as rows. The oracle pins the
+  // exact (position, name, type) triples.
+  def q48_meta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tbl(t(spark, dir, "lineitem")).meta.zipWithIndex
+      .map { case ((n, ty), i) => (i.toLong, n, ty) }
+      .toDF("idx", "col_name", "col_type")
+      .orderBy($"idx")
+  }
+
+  private val q48_sql =
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), 'l_orderkey', 'bigint'),
+      |  (1, 'l_partkey', 'bigint'),
+      |  (2, 'l_suppkey', 'bigint'),
+      |  (3, 'l_linenumber', 'int'),
+      |  (4, 'l_quantity', 'double'),
+      |  (5, 'l_extendedprice', 'double'),
+      |  (6, 'l_discount', 'double'),
+      |  (7, 'l_tax', 'double'),
+      |  (8, 'l_returnflag', 'string'),
+      |  (9, 'l_linestatus', 'string'),
+      |  (10, 'l_shipdate', 'timestamp_ntz')) AS m(idx, col_name, col_type)
+      |ORDER BY idx""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1428,6 +1595,13 @@ object Queries {
     "q44_tpch5" -> (q44_tpch5 _),
     "s03_ann_ivf" -> (s03_ann_ivf _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
+    "r05_rayfall_update" -> (r05_rayfall_update _),
+    "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
+    "r07_rayfall_window_join" -> (r07_rayfall_window_join _),
+    "q45_scan_right" -> (q45_scan_right _),
+    "q46_alter" -> (q46_alter _),
+    "q47_map_left" -> (q47_map_left _),
+    "q48_meta" -> (q48_meta _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1489,5 +1663,12 @@ object Queries {
     "q43_tpch3" -> q43_sql,
     "q44_tpch5" -> q44_sql,
     "r04_rayfall_asof" -> r04_sql,
+    "r05_rayfall_update" -> r05_sql,
+    "r06_rayfall_group_update" -> r06_sql,
+    "r07_rayfall_window_join" -> r07_sql,
+    "q45_scan_right" -> q45_sql,
+    "q46_alter" -> q46_sql,
+    "q47_map_left" -> q47_sql,
+    "q48_meta" -> q48_sql,
   )
 }

@@ -13,9 +13,12 @@ import graft.{StringToColumn, Tbl}
   * This is NOT the reference implementation re-done — expressions are
   * translated straight into Catalyst `Column`s and the `Tbl` facade, so
   * a Rayfall `select` compiles to the same optimized Spark plan as the
-  * native API. Covered surface: `select` with `from:/where:/by:/take:`,
-  * arithmetic/comparison/logic, the aggregation set, and the scalar
-  * library shims (`xbar`, `within`, `like`, Euclidean `/` `%`).
+  * native API. Covered surface: `select`/`update` with
+  * `from:/where:/by:/take:`, `insert`/`upsert`, the join family
+  * (`left-join`/`inner-join`/`asof-join`/`window-join`/`window-join1`),
+  * `distinct`/`xasc`/`xdesc`, arithmetic/comparison/logic, the
+  * aggregation set, and the scalar library shims (`xbar`, `within`,
+  * `like`, Euclidean `/` `%`).
   */
 object Rayfall {
 
@@ -136,6 +139,89 @@ object Rayfall {
       val ks = keyNames(keys)
       graft.operators.AsofJoin.asofJoin(
         evalTable(l, tables), evalTable(r, tables), ks.init, ks.last)
+
+    // (window-join [k… t] intervals l r {aggs}) — reference form,
+    // core/join.c:358. Intervals: either a literal [lo hi] offsets pair,
+    // or the docs' (map-left + [lo hi] (at l 'ts)) construction — both
+    // mean "per left row, [ts+lo, ts+hi]". window-join = exclusive
+    // bounds, window-join1 = inclusive (examples/wj.rfl).
+    case RList(RSym(wj @ ("window-join" | "window-join1")) :: RVec(keys) ::
+        intervals :: l :: r :: RDict(aggPairs) :: Nil) =>
+      val ks = keyNames(keys)
+      val (eqKeys, ts) = (ks.init, ks.last)
+      val (lo, hi) = intervals match {
+        case RVec(List(a, b)) => (toColumn(a), toColumn(b))
+        case RList(RSym("map-left") :: RSym("+") :: RVec(List(a, b)) :: _) =>
+          (toColumn(a), toColumn(b))
+        case x => throw new IllegalArgumentException(
+          s"window-join intervals must be [lo hi] offsets, got $x")
+      }
+      val left = evalTable(l, tables)
+      val aggs = aggPairs.map { case (n, a) => toColumn(a).as(n) }
+      graft.operators.WindowJoin.windowJoin(
+        left, evalTable(r, tables), left.columns.toSeq, eqKeys, ts,
+        lo, hi, aggs, inclusive = wj == "window-join1")
+
+    // (insert t rows) — append, aligning columns by name (reference
+    // insert accepts reordered dict/table forms, examples/insert.rfl).
+    case RList(RSym("insert") :: t :: rows :: Nil) =>
+      Tbl(evalTable(t, tables)).insert(evalTable(rows, tables)).df
+
+    // (upsert t n s) — keyed merge on the FIRST n columns of t
+    // (reference upsert, core/update.c:556; examples/update.rfl).
+    case RList(RSym("upsert") :: t :: RNum(_, true, n) :: s :: Nil) =>
+      val target = evalTable(t, tables)
+      Tbl(target).upsert(evalTable(s, tables),
+        target.columns.take(n.toInt).toSeq).df
+
+    // (update {col: expr from: t where: … by: …}) — rewrite columns in
+    // place; under by:, aggregates broadcast per group (reference
+    // ray_update, core/update.c; docs/.../queries/update.md).
+    case RList(RSym("update") :: RDict(pairs) :: Nil) =>
+      val opts = pairs.toMap
+      val table = evalTable(opts.getOrElse("from",
+        throw new IllegalArgumentException("update needs from:")), tables)
+      val mappings = pairs.filterNot { case (k, _) =>
+        Set("from", "where", "by").contains(k) }
+        .map { case (k, v) => k -> toColumn(v) }
+      val where = opts.get("where").map(toColumn)
+      val by = opts.get("by").toList.flatMap(byNames)
+      if (by.isEmpty)
+        Tbl(table).update(mappings, where.orNull).df
+      else {
+        // grouped update: aggregates evaluate per group over the
+        // where-filtered rows ONLY (the reference builds the group index
+        // on the filtered rows, core/query.c:340) and broadcast back;
+        // assignment still touches only where-matching rows
+        val (aggM, rowM) = mappings.partition { case (_, c) => Tbl.isAggregate(c) }
+        val withAggs =
+          if (aggM.isEmpty) table
+          else {
+            val filtered = where.map(table.filter).getOrElse(table)
+            val aggDf = filtered.groupBy(by.map(col): _*)
+              .agg(aggM.head._2.as(s"__u_${aggM.head._1}"),
+                aggM.tail.map { case (n, c) => c.as(s"__u_$n") }: _*)
+            val joined = table.join(aggDf, by, "left")
+            aggM.foldLeft(joined) { case (d, (n, _)) =>
+              val v = where match {
+                case Some(cond) if d.columns.contains(n) =>
+                  when(cond, col(s"__u_$n")).otherwise(col(n))
+                case Some(cond) => when(cond, col(s"__u_$n"))
+                case None => col(s"__u_$n")
+              }
+              d.withColumn(n, v)
+            }.drop(aggM.map(p => s"__u_${p._1}"): _*)
+          }
+        Tbl(withAggs).update(rowM, where.orNull).df
+      }
+
+    // (distinct t) / (xasc [c…] t) / (xdesc [c…] t) table forms
+    case RList(RSym("distinct") :: t :: Nil) =>
+      evalTable(t, tables).distinct()
+    case RList(RSym("xasc") :: RVec(keys) :: t :: Nil) =>
+      Tbl(evalTable(t, tables)).xasc(keyNames(keys): _*).df
+    case RList(RSym("xdesc") :: RVec(keys) :: t :: Nil) =>
+      Tbl(evalTable(t, tables)).xdesc(keyNames(keys): _*).df
     case RList(RSym("select") :: RDict(pairs) :: Nil) =>
       val opts = pairs.toMap
       val from = opts.getOrElse("from",
@@ -150,14 +236,7 @@ object Rayfall {
         Set("from", "where", "by", "take").contains(k) }
         .map { case (k, v) => k -> toColumn(v) }
       val where = opts.get("where").map(toColumn).orNull
-      val by = opts.get("by").toList.flatMap {
-        case RSym(n) => Seq(n)
-        case RQuote(n) => Seq(n)
-        case RVec(items) => items.map {
-          case RSym(n) => n; case RQuote(n) => n
-          case x => throw new IllegalArgumentException(s"bad by: $x") }
-        case x => throw new IllegalArgumentException(s"bad by: $x")
-      }
+      val by = opts.get("by").toList.flatMap(byNames)
       val take = opts.get("take").map {
         case RNum(_, true, l) => l.toInt
         case x => throw new IllegalArgumentException(s"bad take: $x")
@@ -178,6 +257,16 @@ object Rayfall {
     case RSym(n) => n
     case RQuote(n) => n
     case x => throw new IllegalArgumentException(s"bad key $x")
+  }
+
+  /** by: accepts a symbol, quoted symbol, vector of symbols, or the
+    * docs' dict form `{a: a b: b}`. */
+  private def byNames(e: RExpr): Seq[String] = e match {
+    case RSym(n) => Seq(n)
+    case RQuote(n) => Seq(n)
+    case RVec(items) => keyNames(items)
+    case RDict(pairs) => pairs.map(_._1)
+    case x => throw new IllegalArgumentException(s"bad by: $x")
   }
 
   /** Rayfall expression → Catalyst Column. */

@@ -75,4 +75,88 @@ class RayfallSpec extends SparkSpec {
       "(select {s: (sum v) from: t by: 'k take: 1})", Map("t" -> df))
     assert(got.count() == 1)
   }
+
+  test("update: where-gated rewrite (docs/queries/update.md example)") {
+    val emp = Seq(("Alice", "IT", 75000.0), ("Bob", "HR", 65000.0),
+      ("Charlie", "IT", 85000.0)).toDF("name", "dept", "salary")
+    val got = Rayfall.query(
+      "(update {salary: (* salary 1.1) from: emp where: (> salary 70000)})",
+      Map("emp" -> emp)).orderBy($"name")
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    val want = Seq(("Alice", 82500.0), ("Bob", 65000.0), ("Charlie", 93500.0))
+    got.zip(want).foreach { case ((n, v), (wn, wv)) =>
+      assert(n == wn && math.abs(v - wv) < 1e-6) }
+  }
+
+  test("update by: aggregates over filtered rows broadcast per group") {
+    val t = Seq(("a", 1L, 10.0), ("a", 5L, 20.0), ("b", 2L, 30.0),
+      ("b", 9L, 40.0)).toDF("k", "v", "p")
+    // max(p) within group over rows with v>1 only; assigned to those rows
+    val got = Rayfall.query(
+      "(update {p: (max p) from: t by: k where: (> v 1)})", Map("t" -> t))
+      .orderBy($"k", $"v").collect().map(_.getDouble(2))
+    assert(got.toSeq == Seq(10.0, 20.0, 40.0, 40.0))
+  }
+
+  test("update by: dict form groups on multiple columns") {
+    val t = Seq(("a", "x", 1.0), ("a", "x", 3.0), ("a", "y", 5.0))
+      .toDF("k1", "k2", "p")
+    val got = Rayfall.query(
+      "(update {p: (sum p) from: t by: {k1: k1 k2: k2}})", Map("t" -> t))
+      .orderBy($"k2", $"p").collect().map(_.getDouble(2))
+    assert(got.toSeq == Seq(4.0, 4.0, 5.0))
+  }
+
+  test("insert aligns reordered columns by name (examples/insert.rfl)") {
+    val t = Seq((1L, "a")).toDF("id", "name")
+    val rows = Seq(("b", 2L)).toDF("name", "id")
+    val got = Rayfall.query("(insert t rows)",
+      Map("t" -> t, "rows" -> rows)).orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "a"), (2L, "b")))
+  }
+
+  test("upsert merges on the first n columns (examples/update.rfl)") {
+    val a = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    val b = Seq((2L, 99.0), (3L, 30.0)).toDF("id", "v")
+    val got = Rayfall.query("(upsert a 1 b)", Map("a" -> a, "b" -> b))
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 10.0), (2L, 99.0), (3L, 30.0)))
+  }
+
+  test("window-join / window-join1: interval aggregation, bound forms") {
+    val trades = Seq(("A", 100L, 1.0), ("A", 200L, 2.0)).toDF("sym", "ts", "price")
+    val quotes = Seq(("A", 90L, 9.0), ("A", 100L, 8.0), ("A", 110L, 7.0),
+      ("A", 205L, 5.0)).toDF("sym", "ts", "bid")
+    // inclusive [ts-10, ts+10]: trade@100 sees 90,100,110 -> min 7.0... bid min = 7.0
+    val incl = Rayfall.query(
+      "(window-join1 [sym ts] [-10 10] trades quotes {lo: (min bid) n: (count bid)})",
+      Map("trades" -> trades, "quotes" -> quotes))
+      .orderBy($"ts").collect()
+    assert(incl.map(_.getDouble(3)).toSeq == Seq(7.0, 5.0))
+    assert(incl.map(_.getLong(4)).toSeq == Seq(3L, 1L))
+    // exclusive (ts-10, ts+10): trade@100 sees only 100 -> endpoints dropped
+    val excl = Rayfall.query(
+      "(window-join [sym ts] [-10 10] trades quotes {n: (count bid)})",
+      Map("trades" -> trades, "quotes" -> quotes))
+      .orderBy($"ts").collect()
+    assert(excl.map(_.getLong(3)).toSeq == Seq(1L, 1L))
+    // the docs' map-left interval construction is accepted too
+    val viaMapLeft = Rayfall.query(
+      "(window-join1 [sym ts] (map-left + [-10 10] (at trades 'ts)) " +
+        "trades quotes {n: (count bid)})",
+      Map("trades" -> trades, "quotes" -> quotes))
+    assert(viaMapLeft.count() == 2)
+  }
+
+  test("distinct / xasc / xdesc table forms") {
+    val t = Seq(("b", 1L), ("a", 2L), ("b", 1L)).toDF("k", "v")
+    assert(Rayfall.query("(distinct t)", Map("t" -> t)).count() == 2)
+    val asc = Rayfall.query("(xasc [k v] t)", Map("t" -> t))
+      .collect().map(_.getString(0))
+    assert(asc.head == "a")
+    val desc = Rayfall.query("(xdesc [k] t)", Map("t" -> t))
+      .collect().map(_.getString(0))
+    assert(desc.head == "b")
+  }
 }
