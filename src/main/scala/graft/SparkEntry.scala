@@ -531,14 +531,19 @@ object Queries {
   // Exact n-gram (token-set) Jaccard over blocked candidate pairs.
   def d03_jaccard_pairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
+    // tokens sorted once per doc; the per-pair kernel is then a single
+    // merge scan (SortedIntersectSize) — the pair count is quadratic in
+    // block size, so the per-pair cost is what matters
     val a = docs.select($"lang".as("blk_l"), $"source".as("blk"),
-      $"doc_id".as("id_a"), array_distinct(Text.tokens($"text")).as("toks_a"))
+      $"doc_id".as("id_a"),
+      sort_array(array_distinct(Text.tokens($"text"))).as("toks_a"))
     val b = docs.select($"lang".as("blk_l"), $"source".as("blk"),
-      $"doc_id".as("id_b"), array_distinct(Text.tokens($"text")).as("toks_b"))
+      $"doc_id".as("id_b"),
+      sort_array(array_distinct(Text.tokens($"text"))).as("toks_b"))
     a.join(b, Seq("blk_l", "blk"))
       .filter($"id_a" < $"id_b")
-      // materialize the intersect size once — the expensive kernel
-      .withColumn("__i", size(array_intersect($"toks_a", $"toks_b")))
+      .withColumn("__i",
+        graft.functions.ArrayExprs.sortedIntersectSize($"toks_a", $"toks_b"))
       .withColumn("jac", $"__i".cast("double") /
         (size($"toks_a") + size($"toks_b") - $"__i"))
       .filter($"jac" >= 0.3)
@@ -1527,6 +1532,62 @@ object Queries {
       |  (10, 'l_shipdate', 'timestamp_ntz')) AS m(idx, col_name, col_type)
       |ORDER BY idx""".stripMargin
 
+  // ---------------------------------------------------------------- q49
+  // binr (reference /root/reference/core/items.c:1552: FIRST index ≥ x in
+  // a sorted vector — bin's mirror). Composed from the as-of join by
+  // negating the probe axis: least thr ≥ price ⇔ greatest −thr ≤ −price.
+  def q49_binr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val breaks = (0L to 500000L by 25000L).toDF("thr")
+      .withColumn("bin_idx", ($"thr" / 25000).cast("long"))
+      .withColumn("k", lit(1))
+      .withColumn("negp", -$"thr".cast("double"))
+    val orders = t(spark, dir, "orders")
+      .select($"o_orderkey", lit(1).as("k"),
+        (-$"o_totalprice").as("negp"))
+    operators.AsofJoin.asofJoin(orders, breaks, keys = Seq("k"), ts = "negp")
+      .select($"o_orderkey", $"bin_idx", $"thr")
+      .orderBy($"o_orderkey")
+  }
+
+  private val q49_sql =
+    """SELECT o.o_orderkey, b.bin_idx, b.thr
+      |FROM orders o
+      |ASOF LEFT JOIN (
+      |  SELECT thr, thr // 25000 AS bin_idx, CAST(thr AS DOUBLE) AS price
+      |  FROM (SELECT unnest(range(0, 500001, 25000)) AS thr)) b
+      |  ON o.o_totalprice <= b.price
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  // TIME convention (reference TIME = i32 milliseconds since midnight,
+  // /root/reference/core/rayforce.h:58): extract time-of-day millis from
+  // the ns event timestamps and xbar-bucket to 15-minute bins.
+  def q50_time_millis(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      // `div` = integer division (Column./ would be double division,
+      // whose truncation can disagree with the oracle's `//` at the edges)
+      .select($"event_id",
+        expr("(ts % 86400000000000L) div 1000000L").as("tod_ms"))
+      .withColumn("bin15m", RF.xbar(lit(900000L), $"tod_ms"))
+      .orderBy($"event_id")
+
+  private val q50_sql =
+    """SELECT event_id,
+      |  epoch_ns(ts) % 86400000000000 // 1000000 AS tod_ms,
+      |  tod_ms - tod_ms % 900000 AS bin15m
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q51
+  // Generation: rand / guid (reference /root/reference/core/compose.c:343,
+  // :439) — engine-specific randomness, so rows-only: n draws below the
+  // bound and n distinct uuids.
+  def q51_rand_guid(spark: SparkSession, dir: String): DataFrame =
+    spark.range(0, 1000).toDF("i")
+      .select($"i", (rand(seed = 42) * 100).cast("long").as("draw"),
+        expr("uuid()").as("guid"))
+      .filter($"draw" >= 0 && $"draw" < 100)
+
   // ------------------------------------------------------------ registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1602,6 +1663,9 @@ object Queries {
     "q46_alter" -> (q46_alter _),
     "q47_map_left" -> (q47_map_left _),
     "q48_meta" -> (q48_meta _),
+    "q49_binr" -> (q49_binr _),
+    "q50_time_millis" -> (q50_time_millis _),
+    "q51_rand_guid" -> (q51_rand_guid _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -1670,5 +1734,7 @@ object Queries {
     "q46_alter" -> q46_sql,
     "q47_map_left" -> q47_sql,
     "q48_meta" -> q48_sql,
+    "q49_binr" -> q49_sql,
+    "q50_time_millis" -> q50_sql,
   )
 }

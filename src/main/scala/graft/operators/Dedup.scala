@@ -85,12 +85,15 @@ object Dedup {
     * expensive kernel — don't evaluate it three times). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
                     textCol: String, threshold: Double): DataFrame = {
+    // tokens sorted ONCE per doc → the per-pair intersect is a single
+    // merge scan (SortedIntersectSize) instead of a hash set per pair
     val ta = docs.select(col(idCol).as("id_a"),
-      array_distinct(Text.tokens(col(textCol))).as("toks_a"))
+      sort_array(array_distinct(Text.tokens(col(textCol)))).as("toks_a"))
     val tb = docs.select(col(idCol).as("id_b"),
-      array_distinct(Text.tokens(col(textCol))).as("toks_b"))
+      sort_array(array_distinct(Text.tokens(col(textCol)))).as("toks_b"))
     pairs.join(ta, "id_a").join(tb, "id_b")
-      .withColumn("__i", size(array_intersect($"toks_a", $"toks_b")))
+      .withColumn("__i",
+        graft.functions.ArrayExprs.sortedIntersectSize($"toks_a", $"toks_b"))
       .withColumn("jac", $"__i".cast("double") /
         (size($"toks_a") + size($"toks_b") - $"__i"))
       .filter($"jac" >= threshold)

@@ -20,6 +20,24 @@ class PropertySpec extends SparkSpec {
 
   private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
 
+  test("sortedIntersectSize == size(array_intersect) on sorted distinct arrays") {
+    val words = Gen.listOfN(30, Gen.zip(
+      Gen.listOfN(12, Gen.oneOf("a", "bb", "ccc", "Δδ", "x1", "y", "zz", "", "q")),
+      Gen.listOfN(9, Gen.oneOf("a", "bb", "ccc", "Δδ", "x2", "y", "zz", ""))))
+    forAll(words) { ps =>
+      whenever(ps.nonEmpty) {
+        val df = ps.map { case (l, r) => (l, r) }.toDF("l", "r")
+          .select(sort_array(array_distinct($"l")).as("ls"),
+            sort_array(array_distinct($"r")).as("rs"))
+          .select(
+            graft.functions.ArrayExprs.sortedIntersectSize($"ls", $"rs").as("fast"),
+            size(array_intersect($"ls", $"rs")).as("ref"))
+        df.collect().foreach(x =>
+          assert(x.getInt(0) == x.getInt(1), s"fast=${x.getInt(0)} ref=${x.getInt(1)}"))
+      }
+    }
+  }
+
   test("euclid: a == div*b + mod, and mod's sign follows the divisor") {
     val pairs = Gen.listOfN(24, Gen.zip(
       Gen.chooseNum(-1000L, 1000L),
