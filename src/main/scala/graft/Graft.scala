@@ -21,21 +21,29 @@ object Graft {
       If(EqualTo(b, Literal(0)), Literal.create(null, DoubleType),
         Cast(b, DoubleType))))
 
+  /** The function library as (name, builder) pairs — one list powering
+    * both the imperative `enableSql` and the `GraftExtensions`
+    * config-time install. */
+  private[graft] val builders: Seq[(String, Seq[Expression] => Expression)] =
+    Seq(
+      // Cast both sides to array<double> so e.g. an array<float> argument
+      // is converted rather than misread byte-wise by ArrayData.getDouble.
+      "dot_product" -> ((exprs: Seq[Expression]) => functions.DotProduct(
+        Cast(exprs.head, ArrayType(DoubleType, containsNull = true)),
+        Cast(exprs(1), ArrayType(DoubleType, containsNull = true)))),
+      "euclid_div" -> ((exprs: Seq[Expression]) => ediv(exprs.head, exprs(1))),
+      "euclid_mod" -> ((exprs: Seq[Expression]) => Subtract(exprs.head,
+        Multiply(ediv(exprs.head, exprs(1)), exprs(1)))),
+      "xbar" -> ((exprs: Seq[Expression]) =>
+        Subtract(exprs(1), Pmod(exprs(1), exprs.head))),
+      "sorted_intersect_size" -> ((exprs: Seq[Expression]) =>
+        functions.SortedIntersectSize(exprs.head, exprs(1))))
+
   def enableSql(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
-    // Cast both sides to array<double> so e.g. an array<float> argument is
-    // converted rather than misread byte-wise by ArrayData.getDouble.
-    registry.createOrReplaceTempFunction("dot_product",
-      exprs => functions.DotProduct(
-        Cast(exprs.head, ArrayType(DoubleType, containsNull = true)),
-        Cast(exprs(1), ArrayType(DoubleType, containsNull = true))), "scala_udf")
-    registry.createOrReplaceTempFunction("euclid_div",
-      exprs => ediv(exprs.head, exprs(1)), "scala_udf")
-    registry.createOrReplaceTempFunction("euclid_mod",
-      exprs => Subtract(exprs.head,
-        Multiply(ediv(exprs.head, exprs(1)), exprs(1))), "scala_udf")
-    registry.createOrReplaceTempFunction("xbar",
-      exprs => Subtract(exprs(1), Pmod(exprs(1), exprs.head)), "scala_udf")
+    builders.foreach { case (name, b) =>
+      registry.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 
   /** Register the testdata tables and the function library in one call —

@@ -215,6 +215,18 @@ object Rayfall {
         Tbl(withAggs).update(rowM, where.orNull).df
       }
 
+    // (alter t fn 'col v) — apply a binary fn to a whole table column
+    // (reference alter, docs/.../queries/alter.md: `(alter trades + 'price 10)`;
+    // core/update.c:268). `set` overwrites.
+    case RList(RSym("alter") :: t :: RSym(fn) :: RQuote(colName) :: v :: Nil) =>
+      val table = evalTable(t, tables)
+      val vc = toColumn(v)
+      val newCol = fn match {
+        case "set" => vc
+        case _ => apply1(fn, List(col(colName), vc), List(RSym(colName), v))
+      }
+      Tbl(table).update(Seq(colName -> newCol)).df
+
     // (distinct t) / (xasc [c…] t) / (xdesc [c…] t) table forms
     case RList(RSym("distinct") :: t :: Nil) =>
       evalTable(t, tables).distinct()

@@ -33,6 +33,16 @@ class GraftSqlSpec extends SparkSpec {
     }
   }
 
+  test("sorted_intersect_size callable from SQL; extensions install cleanly") {
+    Graft.enableSql(spark)
+    val n = spark.sql(
+      """SELECT sorted_intersect_size(array('a','b','c'), array('b','c','d')) AS n"""
+    ).collect().head.getInt(0)
+    assert(n == 2)
+    // the config-time path registers the same builders without error
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("bootstrap registers tables for SQL use") {
     Graft.bootstrap(spark, sf)
     val n = spark.sql("SELECT COUNT(*) FROM lineitem").collect().head.getLong(0)

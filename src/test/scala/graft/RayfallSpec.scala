@@ -149,6 +149,17 @@ class RayfallSpec extends SparkSpec {
     assert(viaMapLeft.count() == 2)
   }
 
+  test("alter applies a binary fn to a table column (docs/queries/alter.md)") {
+    val trades = Seq((100L, 50L), (200L, 60L)).toDF("price", "volume")
+    val plus = Rayfall.query("(alter trades + 'price 10)",
+      Map("trades" -> trades)).orderBy($"volume")
+      .collect().map(_.getLong(0))
+    assert(plus.toSeq == Seq(110L, 210L))
+    val set = Rayfall.query("(alter trades set 'price 0)",
+      Map("trades" -> trades)).collect().map(_.getLong(0))
+    assert(set.toSeq == Seq(0L, 0L))
+  }
+
   test("distinct / xasc / xdesc table forms") {
     val t = Seq(("b", 1L), ("a", 2L), ("b", 1L)).toDF("k", "v")
     assert(Rayfall.query("(distinct t)", Map("t" -> t)).count() == 2)
