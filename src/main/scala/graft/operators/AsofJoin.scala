@@ -24,6 +24,58 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** Merge-exec variant: routes through the custom logical/physical
+    * operator (`plans.AsofJoinNode`/`AsofJoinExec`) — children clustered
+    * on keys and sorted by (keys, ts), then a single-pass per-partition
+    * merge. Same semantics as [[asofJoin]] (≤-inclusive match, right
+    * wins shared names on match). Pre-bucketed children join with NO
+    * shuffle; unsorted children get exactly one exchange+sort each —
+    * never the union's doubled sort input. */
+  def asofJoinMerge(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    ts: String, rightCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnInternals
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsofJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+
+    val payload =
+      if (rightCols.nonEmpty) rightCols
+      else right.columns.filterNot(c => keys.contains(c) || c == ts).toSeq
+    val leftCols = left.columns.toSeq
+    // Alias EVERY right-side column (fresh exprIds): unlike Join, a
+    // custom binary node gets no DeduplicateRelations from the analyzer,
+    // so a self-join (both sides off one scan) would otherwise carry the
+    // same attribute ids on both children and confuse column pruning.
+    // __hit is the match flag: "right wins on match" must distinguish a
+    // matched-but-null payload from a miss.
+    val pre = right.select(
+      keys.map(k => col(k).as(s"__rk_$k")) ++
+        (col(ts).as("__rts") +: lit(true).as("__hit") +:
+          payload.map(n => col(n).as(s"__p_$n"))): _*)
+
+    val lPlan = ColumnInternals.analyzed(left)
+    val rPlan = ColumnInternals.analyzed(pre)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             n: String) =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"missing column $n"))
+    val node = graft.plans.AsofJoinNode(lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"__rk_$k")),
+      attr(lPlan, ts), attr(rPlan, "__rts"),
+      attr(rPlan, "__hit") +: payload.map(n => attr(rPlan, s"__p_$n")))
+    val joined = ColumnInternals.ofRows(spark, node)
+
+    val collided = payload.filter(leftCols.contains).toSet
+    val outLeft = leftCols.map { c =>
+      if (collided(c))
+        when(col("__hit"), col(s"__p_$c")).otherwise(col(c)).as(c)
+      else col(c)
+    }
+    val outRight = payload.filterNot(collided).map(c => col(s"__p_$c").as(c))
+    joined.select(outLeft ++ outRight: _*)
+  }
+
   /** Narrow-shuffle variant for WIDE left tables: only (keys, ts, row-id)
     * ride through the union+window shuffle; the full left row joins back
     * by id afterwards. Trades one extra (narrow) join for not dragging

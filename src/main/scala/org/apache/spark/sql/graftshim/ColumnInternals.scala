@@ -11,6 +11,20 @@ object ColumnInternals {
   def expr(c: Column): Expression = ExpressionUtils.expression(c)
   def column(e: Expression): Column = ExpressionUtils.column(e)
 
+  /** Build a DataFrame from a LogicalPlan (`Dataset.ofRows` is
+    * private[sql]) — the standard library pattern for surfacing custom
+    * logical operators. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** A DataFrame's analyzed logical plan. */
+  def analyzed(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+
   /** Walk a Column's node tree looking for an aggregate function call —
     * named calls matched against `aggNames`, SQL-string fragments against
     * `sqlRegex`. (ColumnNode classes are private[sql].) */

@@ -38,4 +38,42 @@ class BucketedJoinSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("merge-exec asof join on bucketed tables runs with NO shuffle") {
+    // The scale story for AsofJoinExec: it *declares* ClusteredDistribution
+    // on the keys, so bucketed children satisfy it from storage — the
+    // shuffle is paid once at write time, like the reference's parted
+    // tables pre-sorted by (sym, ts).
+    for (tb <- Seq("b_trades", "b_quotes")) {
+      spark.sql(s"DROP TABLE IF EXISTS $tb")
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"spark-warehouse/$tb"))
+    }
+    val e = Tables.load(spark, sf, "events")
+    e.filter($"event_type".isin("click", "view"))
+      .write.bucketBy(8, "user_id").sortBy("user_id", "ts")
+      .mode("overwrite").saveAsTable("b_trades")
+    e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value".as("purchase_value"))
+      .write.bucketBy(8, "user_id").sortBy("user_id", "ts")
+      .mode("overwrite").saveAsTable("b_quotes")
+
+    val joined = operators.AsofJoin.asofJoinMerge(
+      spark.table("b_trades"), spark.table("b_quotes"),
+      Seq("user_id"), "ts")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan.take(400))
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n${plan.take(800)}")
+    // result equals the window-rewrite on the same inputs
+    val viaWindow = operators.AsofJoin.asofJoin(
+      spark.table("b_trades"), spark.table("b_quotes"),
+      Seq("user_id"), "ts")
+      .orderBy($"event_id").collect()
+      .map(r => (r.getLong(r.fieldIndex("event_id")),
+        Option(r.get(r.fieldIndex("purchase_value")))))
+    val viaMerge = joined.orderBy($"event_id").collect()
+      .map(r => (r.getLong(r.fieldIndex("event_id")),
+        Option(r.get(r.fieldIndex("purchase_value")))))
+    assert(viaMerge.toSeq == viaWindow.toSeq)
+  }
 }

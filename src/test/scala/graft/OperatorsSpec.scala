@@ -44,6 +44,37 @@ class OperatorsSpec extends SparkSpec {
       Seq(("a", 9.0), ("b", 2.0)))
   }
 
+  test("merge-exec asof join: same fixtures as the window variant") {
+    val trades = Seq(("AAPL", 10L, 100.0), ("AAPL", 20L, 101.0),
+      ("MSFT", 5L, 50.0)).toDF("sym", "ts", "price")
+    val quotes = Seq(("AAPL", 8L, 99.0), ("AAPL", 10L, 99.5),
+      ("AAPL", 15L, 100.5), ("GOOG", 1L, 1.0)).toDF("sym", "ts", "bid")
+    val got = AsofJoin.asofJoinMerge(trades, quotes, Seq("sym"), "ts")
+      .orderBy($"sym", $"ts")
+      .collect().map(r => (r.getString(0), r.getLong(1), Option(r.get(3))))
+    assert(got.toSeq == Seq(
+      ("AAPL", 10L, Some(99.5)),
+      ("AAPL", 20L, Some(100.5)),
+      ("MSFT", 5L, None)))
+    // plan actually uses the custom exec
+    val plan = AsofJoin.asofJoinMerge(trades, quotes, Seq("sym"), "ts")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), s"custom exec missing from:\n$plan")
+  }
+
+  test("merge-exec asof: matched-null payload and shared-name override") {
+    val l = Seq((1L, 10L)).toDF("k", "ts")
+    val r = Seq((1L, 5L, Some(7.0)), (1L, 9L, None)).toDF("k", "ts", "v")
+    val got = AsofJoin.asofJoinMerge(l, r, Seq("k"), "ts").collect().head
+    assert(got.isNullAt(got.fieldIndex("v"))) // matched row's null wins
+    val l2 = Seq(("a", 10L, 1.0), ("b", 10L, 2.0)).toDF("k", "ts", "value")
+    val r2 = Seq(("a", 5L, 9.0)).toDF("k", "ts", "value")
+    val got2 = AsofJoin.asofJoinMerge(l2, r2, Seq("k"), "ts")
+      .orderBy($"k").collect()
+    assert(got2.map(x => (x.getString(0), x.getDouble(2))).toSeq ==
+      Seq(("a", 9.0), ("b", 2.0)))
+  }
+
   test("window join keeps left rows with no right rows in range") {
     val l = Seq((1L, "a", 100L), (2L, "a", 900L)).toDF("id", "k", "ts")
     val r = Seq(("a", 95L, 1.0), ("a", 105L, 2.0), ("a", 400L, 9.0))

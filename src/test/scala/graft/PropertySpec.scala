@@ -94,6 +94,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("merge-exec asof equals the window rewrite on random multi-key data") {
+    val gen = Gen.zip(
+      Gen.listOfN(20, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 60L))),
+      Gen.listOfN(20, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0L, 60L))))
+    forAll(gen) { case (ls, rs) =>
+      whenever(ls.nonEmpty && rs.nonEmpty) {
+        val l = ls.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+          .toDF("k", "ts", "lid")
+        // unique right (k, ts) so tie-breaking among exact duplicates
+        // can't differ between the two implementations
+        val r = rs.distinct.map { case (k, t) => (k, t, k + "@" + t) }
+          .toDF("k", "ts", "tag")
+        val viaWindow = AsofJoin.asofJoin(l, r, Seq("k"), "ts")
+          .orderBy($"lid").collect()
+          .map(x => (x.getLong(2), Option(x.getString(3)))).toSeq
+        val viaMerge = AsofJoin.asofJoinMerge(l, r, Seq("k"), "ts")
+          .orderBy($"lid").collect()
+          .map(x => (x.getLong(2), Option(x.getString(3)))).toSeq
+        assert(viaMerge == viaWindow)
+      }
+    }
+  }
+
   test("upsert: output keys = target keys ∪ source keys, each exactly once") {
     val gen = Gen.zip(
       Gen.listOfN(10, Gen.chooseNum(0L, 15L)),
