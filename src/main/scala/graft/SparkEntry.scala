@@ -1345,6 +1345,24 @@ object Queries {
       "vec_id", "embedding", queryId = 0L, k = 10, nCells = 8, nProbe = 2)
       .select($"id".as("vec_id"), $"score")
 
+  // ---------------------------------------------------------------- s04
+  // Persisted IVF index lifecycle: build once (centroids + cell-partitioned
+  // inverted lists on disk), then a partition-pruned probe — the scan
+  // reads only nProbe/nCells of the corpus (rows-only; scores asserted
+  // against brute force in PipelineSpec).
+  def s04_ivf_index(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"/tmp/graft_ivf/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!new java.io.File(s"$path/vectors/_SUCCESS").exists())
+      Similarity.buildIvfIndex(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", nCells = 8, path)
+    val qv = t(spark, dir, "embeddings").filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>"))
+      .collect().head.getSeq[Double](0)
+    Similarity.searchIvfIndex(spark, path, qv, k = 10, nProbe = 2,
+      excludeId = 0L)
+      .select($"id".as("vec_id"), $"score")
+  }
+
   // ---------------------------------------------------------------- r04
   // Rayfall as-of join: the reference's (asof-join [keys t] l r) form.
   def r04_rayfall_asof(spark: SparkSession, dir: String): DataFrame = {
@@ -1655,6 +1673,7 @@ object Queries {
     "q43_tpch3" -> (q43_tpch3 _),
     "q44_tpch5" -> (q44_tpch5 _),
     "s03_ann_ivf" -> (s03_ann_ivf _),
+    "s04_ivf_index" -> (s04_ivf_index _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),

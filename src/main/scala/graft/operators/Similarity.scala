@@ -95,6 +95,59 @@ object Similarity {
       .limit(k)
   }
 
+  /** Build a PERSISTED IVF index: a tiny centroid table plus the vectors
+    * Hive-partitioned by cell — the on-disk "inverted lists". At search
+    * time only the probed cells' files are read (partition pruning), so
+    * query cost scales with nProbe/nCells of the corpus, not its size.
+    * Build cost is one assignment pass + one partitioned write — the
+    * batch-index lifecycle a 100 TB embedding store needs. */
+  def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                    nCells: Int, path: String): Unit = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val centroids = v.orderBy(col("id")).limit(nCells * 16)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
+      .filter(col("__rn") % 16 === 1)
+      .select((col("__rn") / 16).cast("int").as("cell"), col("v").as("cv"))
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val assigned = v.crossJoin(broadcast(centroids))
+      .withColumn("sim", cosine(col("v"), col("cv")))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+          .orderBy(col("sim").desc, col("cell"))))
+      .filter(col("rk") === 1)
+      .select(col("id"), col("v"), col("cell"))
+    assigned.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
+  private def cosineLocal(a: Seq[Double], b: Seq[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Search a persisted IVF index. Probe-cell selection reads only the
+    * centroid table (nCells rows — driver-side by construction); the
+    * vector scan is partition-pruned to the probed cells. */
+  def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queryVec: Seq[Double], k: Int, nProbe: Int,
+                     excludeId: Long = -1L): DataFrame = {
+    val probed = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), cosineLocal(queryVec, r.getSeq[Double](1))))
+      .sortBy { case (cell, sim) => (-sim, cell) }
+      .take(nProbe).map(_._1)
+    val qv = array(queryVec.map(lit): _*)
+    spark.read.parquet(s"$path/vectors")
+      .filter(col("cell").isin(probed.map(x => x: Any): _*))
+      .filter(col("id") =!= excludeId)
+      .select(col("id"), round(cosine(col("v"), qv), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** Approximate top-k: candidates restricted to the query's LSH bucket,
     * exact cosine rerank inside it. */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String,

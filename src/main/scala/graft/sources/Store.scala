@@ -27,13 +27,28 @@ object Store {
     spark.read.parquet(path)
 
   /** Write a "parted" database: Hive-partitioned by the given column
-    * (the reference's per-date directories). */
-  def setParted(df: DataFrame, path: String, partCol: String): Unit =
-    // repartition on the partition column first: without it every task
-    // writes a sliver into every partition (tasks × partitions small
-    // files); with it, one file per partition
-    df.repartition(col(partCol))
-      .write.mode("overwrite").partitionBy(partCol).parquet(path)
+    * (the reference's per-date directories).
+    *
+    * Repartition on the partition column first: without it every task
+    * writes a sliver into every partition (tasks × partitions small
+    * files). `filesPerPartition` > 1 adds a deterministic row-hash salt
+    * to the shuffle key so a HOT partition is written by that many tasks
+    * in parallel instead of one giant single-threaded file — the knob
+    * that matters when one date holds terabytes. */
+  def setParted(df: DataFrame, path: String, partCol: String,
+                filesPerPartition: Int = 1): Unit = {
+    val keyed =
+      if (filesPerPartition <= 1) df.repartition(col(partCol))
+      else {
+        // explicit numPartitions: a user-specified repartition is exempt
+        // from AQE coalescing, which would otherwise merge the salted
+        // splits back into one task and defeat the fan-out
+        val n = df.sparkSession.sessionState.conf.numShufflePartitions
+        df.repartition(n, col(partCol),
+          pmod(hash(df.columns.map(col): _*), lit(filesPerPartition)))
+      }
+    keyed.write.mode("overwrite").partitionBy(partCol).parquet(path)
+  }
 
   /** Load a parted database; the partition column comes back as the
     * reference's virtual Date/Id column and filters on it prune

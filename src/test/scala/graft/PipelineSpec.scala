@@ -108,6 +108,26 @@ class PipelineSpec extends SparkSpec {
     assert(wide.head >= ivf.map(_.getDouble(1)).max)
   }
 
+  test("persisted IVF index: partition-pruned probe, scores match brute force") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val path = s"/tmp/graft_ivf_spec/${System.nanoTime()}"
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", nCells = 8, path)
+    val qv = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).collect().head.getSeq[Double](0)
+    val hits = Similarity.searchIvfIndex(spark, path, qv, k = 5, nProbe = 2,
+      excludeId = 0L)
+    // the scan must prune to the probed cells before any IO
+    val plan = hits.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      plan.take(600))
+    val rows = hits.collect()
+    assert(rows.length == 5)
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 1000)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach(r => assert(brute(r.getLong(0)) == r.getDouble(1)))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+  }
+
   test("langId votes marker words deterministically") {
     val df = Seq("der hund und die katze ist da",
       "the cat and the dog", "xyzzy plugh").toDF("text")

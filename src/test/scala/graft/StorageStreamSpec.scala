@@ -21,6 +21,20 @@ class StorageStreamSpec extends SparkSpec {
     assert(filtered.count() < full && filtered.count() > 0)
   }
 
+  test("salted parted write fans a hot partition into parallel files") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .withColumn("flag", $"l_returnflag") // 3 hot partitions
+    val path = "/tmp/graft_test_parted_salted"
+    Store.setParted(li, path, "flag", filesPerPartition = 4)
+    val perPart = Store.getParted(spark, path)
+      .select(input_file_name().as("f"), $"flag")
+      .groupBy($"flag").agg(countDistinct($"f").as("nf")).collect()
+      .map(r => r.getLong(1))
+    assert(perPart.forall(n => n > 1 && n <= 4), perPart.toSeq.toString)
+    // content identical to the unsalted write
+    assert(Store.getParted(spark, path).count() == li.count())
+  }
+
   test("csv round-trip preserves typed columns exactly") {
     val nation = Tables.load(spark, sf, "nation")
     val path = "/tmp/graft_test_csv"
