@@ -227,6 +227,13 @@ object Rayfall {
       }
       Tbl(table).update(Seq(colName -> newCol)).df
 
+    // (take n t) — first n rows of a table (reference take,
+    // core/items.c:398; negative "from the end" has no stable meaning
+    // on an unordered DataFrame and is rejected)
+    case RList(RSym("take") :: RNum(_, true, n) :: tExpr :: Nil) =>
+      require(n > 0, "(take n t) on a table needs n > 0")
+      evalTable(tExpr, tables).limit(n.toInt)
+
     // (distinct t) / (xasc [c…] t) / (xdesc [c…] t) table forms
     case RList(RSym("distinct") :: t :: Nil) =>
       evalTable(t, tables).distinct()
@@ -281,8 +288,21 @@ object Rayfall {
     case x => throw new IllegalArgumentException(s"bad by: $x")
   }
 
+  /** Reference type symbols → Spark cast targets (§1.2 table; TIMESTAMP
+    * stays LongType nanos per the repo-wide convention). */
+  private val castTargets: Map[String, String] = Map(
+    "B8" -> "boolean", "U8" -> "tinyint", "I16" -> "smallint",
+    "I32" -> "int", "I64" -> "bigint", "F64" -> "double",
+    "C8" -> "string", "SYMBOL" -> "string", "DATE" -> "date",
+    "TIMESTAMP" -> "bigint")
+
   /** Rayfall expression → Catalyst Column. */
   def toColumn(e: RExpr): Column = e match {
+    // (as 'TYPE x) — the reference cast (core/compose.c:42)
+    case RList(RSym("as") :: RQuote(t) :: x :: Nil) =>
+      val target = castTargets.getOrElse(t,
+        throw new IllegalArgumentException(s"unknown cast type '$t"))
+      toColumn(x).cast(target)
     case RNum(_, true, l) => lit(l)
     case RNum(v, false, _) => lit(v)
     case RStr(v) => lit(v)

@@ -160,9 +160,24 @@ class RayfallSpec extends SparkSpec {
     assert(set.toSeq == Seq(0L, 0L))
   }
 
-  test("distinct / xasc / xdesc table forms") {
+  test("(as 'TYPE x) casts follow the §1.2 type table") {
+    val t = Seq((3.9, "42")).toDF("d", "s")
+    val got = Rayfall.query(
+      "(select {i: (as 'I64 d) n: (as 'I64 s) c: (as 'C8 d) b: (as 'B8 1) from: t})",
+      Map("t" -> t)).collect().head
+    assert(got.getLong(0) == 3L)   // trunc toward zero
+    assert(got.getLong(1) == 42L)  // string -> i64
+    assert(got.getString(2) == "3.9")
+    assert(got.getBoolean(3))
+  }
+
+  test("distinct / xasc / xdesc / take table forms") {
     val t = Seq(("b", 1L), ("a", 2L), ("b", 1L)).toDF("k", "v")
     assert(Rayfall.query("(distinct t)", Map("t" -> t)).count() == 2)
+    assert(Rayfall.query("(take 2 t)", Map("t" -> t)).count() == 2)
+    assert(Rayfall.query("(take 2 (xasc [k] t))", Map("t" -> t)).count() == 2)
+    intercept[IllegalArgumentException](
+      Rayfall.query("(take -1 t)", Map("t" -> t)))
     val asc = Rayfall.query("(xasc [k v] t)", Map("t" -> t))
       .collect().map(_.getString(0))
     assert(asc.head == "a")
