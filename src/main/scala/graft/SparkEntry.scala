@@ -569,7 +569,8 @@ object Queries {
   // SimHash 16-bit signatures.
   def d04_simhash(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select($"doc_id", Text.simhash16Expr("text").as("sh"))
+      .select($"doc_id",
+        graft.functions.SimHashExpr.simhash16($"text").as("sh"))
       .orderBy($"doc_id")
 
   private val d04_sql =

@@ -104,9 +104,11 @@ object Dedup {
     * same-block docs are compared, then verify hamming distance. */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
                      maxHamming: Int = 3, blockBits: Int = 8): DataFrame = {
-    // materialize signatures once — both self-join sides consume them
+    // materialize signatures once — both self-join sides consume them;
+    // native one-pass SimHash16 (the SQL form interprets a lambda stack
+    // per row)
     val sh = df.select(col(idCol).as("id"),
-      Text.simhash16Expr(textCol).as("sh"))
+      graft.functions.SimHashExpr.simhash16(col(textCol)).as("sh"))
       .localCheckpoint()
     val blocked = sh.withColumn("blk", shiftright($"sh", blockBits))
     val a = blocked.select($"blk", $"id".as("id_a"), $"sh".as("sh_a"))

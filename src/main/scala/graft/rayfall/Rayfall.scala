@@ -322,7 +322,8 @@ object Rayfall {
       case ("/", Seq(a, b)) => RF.euclidDiv(a, b)
       case ("%", Seq(a, b)) => RF.euclidMod(a, b)
       case ("div", Seq(a, b)) => a / b
-      case ("==", Seq(a, b)) => a === b
+      // docs use both (= a b) and (== a b) for equality
+      case ("==" | "=", Seq(a, b)) => a === b
       case ("!=", Seq(a, b)) => a =!= b
       case ("<", Seq(a, b)) => a < b
       case (">", Seq(a, b)) => a > b

@@ -48,6 +48,18 @@ class PipelineSpec extends SparkSpec {
     assert(native.toSeq == sql.toSeq)
   }
 
+  test("native SimHash16 equals the SQL higher-order form") {
+    val tricky = docs.select($"text")
+      .union(Seq(" leading", "trailing ", "a  b", "", "héllo wörld ☃")
+        .toDF("text"))
+    val native = tricky.select(
+      graft.functions.SimHashExpr.simhash16($"text").as("sh"))
+      .collect().map(_.getLong(0))
+    val sql = tricky.select(Text.simhash16Expr("text").as("sh"))
+      .collect().map(_.getLong(0))
+    assert(native.toSeq == sql.toSeq)
+  }
+
   test("jaccard is exact on token sets") {
     val j = docs.filter($"doc_id" === 0).crossJoin(
       docs.filter($"doc_id" === 1).select($"text".as("t2")))
