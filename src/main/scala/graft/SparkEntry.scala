@@ -462,7 +462,7 @@ object Queries {
   // Language ID: marker-word voting, grouped census of predictions.
   def t03_langid(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "documents")
-      .select(Text.langId($"text").as("lang_pred"))
+      .select(graft.functions.LangIdExpr.langId($"text").as("lang_pred"))
       .groupBy($"lang_pred").agg(count(lit(1)).as("n"))
       .orderBy($"lang_pred")
 

@@ -148,6 +148,18 @@ class PipelineSpec extends SparkSpec {
     assert(got == Seq("de", "en", "unknown"))
   }
 
+  test("native LangId equals the Column form on docs + tie/case edges") {
+    val df = Seq("der hund und die katze ist da", "the cat and the dog",
+      "xyzzy plugh", "", "THE Und", "le der the el",
+      "The   and  of", "est une la que").toDF("text")
+    val native = df.select(
+      graft.functions.LangIdExpr.langId($"text").as("l"))
+      .collect().map(_.getString(0)).toSeq
+    val column = df.select(Text.langId($"text").as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(native == column)
+  }
+
   test("quality score is in [0,1] and penalizes stopword soup") {
     val df = Seq("the a an and or of to in is it",
       "informative technical prose with varied vocabulary here").toDF("text")
