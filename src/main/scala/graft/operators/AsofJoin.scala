@@ -49,10 +49,12 @@ object AsofJoin {
     // same attribute ids on both children and confuse column pruning.
     // __hit is the match flag: "right wins on match" must distinguish a
     // matched-but-null payload from a miss.
-    val pre = right.select(
-      keys.map(k => col(k).as(s"__rk_$k")) ++
-        (col(ts).as("__rts") +: lit(true).as("__hit") +:
-          payload.map(n => col(n).as(s"__p_$n"))): _*)
+    val pre = right
+      .withColumn("__rtie", monotonically_increasing_id())
+      .select(
+        keys.map(k => col(k).as(s"__rk_$k")) ++
+          (col(ts).as("__rts") +: col("__rtie") +: lit(true).as("__hit") +:
+            payload.map(n => col(n).as(s"__p_$n"))): _*)
 
     val lPlan = ColumnInternals.analyzed(left)
     val rPlan = ColumnInternals.analyzed(pre)
@@ -62,7 +64,7 @@ object AsofJoin {
         throw new IllegalArgumentException(s"missing column $n"))
     val node = graft.plans.AsofJoinNode(lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, s"__rk_$k")),
-      attr(lPlan, ts), attr(rPlan, "__rts"),
+      attr(lPlan, ts), attr(rPlan, "__rts"), attr(rPlan, "__rtie"),
       attr(rPlan, "__hit") +: payload.map(n => attr(rPlan, s"__p_$n")))
     val joined = ColumnInternals.ofRows(spark, node)
 
@@ -106,22 +108,30 @@ object AsofJoin {
 
     val l = left
       .withColumn("__side", lit(1))
+      .withColumn("__rid", lit(null).cast("long"))
       .withColumn("__r", lit(null).cast(
         org.apache.spark.sql.types.StructType(
           payload.map(c => org.apache.spark.sql.types.StructField(
             c, right.schema(c).dataType, nullable = true)))))
     val r = {
-      val base = right.select(
-        (keys :+ ts).map(col) :+ struct(payload.map(col): _*).as("__r"): _*)
+      // __rid pins the reference's tie rule: among right rows with equal
+      // (keys, ts) the LAST in table order wins (its binary search finds
+      // the last index ≤, core/index.c:3194)
+      val base = right
+        .withColumn("__rid", monotonically_increasing_id())
+        .select((keys :+ ts).map(col) ++
+          Seq(col("__rid"), struct(payload.map(col): _*).as("__r")): _*)
       // null out left-only columns; keep a common schema for the union
       leftCols.filterNot(c => keys.contains(c) || c == ts)
         .foldLeft(base)((df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType)))
         .withColumn("__side", lit(0))
-        .select((leftCols.map(col) :+ col("__side") :+ col("__r")): _*)
+        .select((leftCols.map(col) ++ Seq(col("__side"), col("__rid"), col("__r"))): _*)
     }
 
-    // right rows sort before left rows at equal ts → `≤` (inclusive) match
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(ts), col("__side"))
+    // right rows sort before left rows at equal ts → `≤` (inclusive) match;
+    // __rid orders right rows tied on ts so the last-in-table-order wins
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts), col("__side"), col("__rid"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     // Shared payload/left names follow the reference's override rule
@@ -136,7 +146,7 @@ object AsofJoin {
     }
     val outRight = payload.filterNot(collided).map(c => col(s"__m.$c").as(c))
 
-    l.select((leftCols.map(col) :+ col("__side") :+ col("__r")): _*)
+    l.select((leftCols.map(col) ++ Seq(col("__side"), col("__rid"), col("__r"))): _*)
       .unionByName(r)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)

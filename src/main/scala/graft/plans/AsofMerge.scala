@@ -28,6 +28,7 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
                         leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
                         leftTs: Attribute, rightTs: Attribute,
+                        rightTie: Attribute,
                         payload: Seq[Attribute]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -38,8 +39,8 @@ case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinNode(l, r, lk, rk, lt, rt, p) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, p) :: Nil
+    case AsofJoinNode(l, r, lk, rk, lt, rt, tie, p) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, tie, p) :: Nil
     case _ => Nil
   }
 }
@@ -47,6 +48,7 @@ object AsofJoinStrategy extends SparkStrategy {
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
                         leftTs: Attribute, rightTs: Attribute,
+                        rightTie: Attribute,
                         payload: Seq[Attribute]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -59,10 +61,13 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     else Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
 
   /** Both sides sorted by (keys…, ts) within partitions — the merge's
-    * precondition; satisfied for free by a sortBy-bucketed table. */
+    * precondition; satisfied for free by a sortBy-bucketed table. The
+    * right side additionally orders by the tie column so that among rows
+    * with equal (keys, ts) the merge's last-encountered — i.e. the
+    * reference's last-in-table-order — wins. */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
-    (rightKeys :+ rightTs).map(SortOrder(_, Ascending)))
+    (rightKeys :+ rightTs :+ rightTie).map(SortOrder(_, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending))

@@ -87,6 +87,61 @@ class DocsSpec extends SparkSpec {
     assert(got.toSeq == Seq(150000L, 65000L, 170000L, 144000L))
   }
 
+  test("joins.md: left-join fills misses with null, keeps left order") {
+    val trades = Seq(("AAPL", 1001L, 150.25), ("MSFT", 1002L, 300.50),
+      ("GOOG", 1003L, 125.75)).toDF("symbol", "order_id", "price")
+    val orders = Seq((1001L, "CLIENT_A", "FILLED"), (1002L, "CLIENT_B", "FILLED"),
+      (1004L, "CLIENT_C", "PENDING")).toDF("order_id", "client_id", "status")
+    val got = Rayfall.query("(left-join [order_id] trades orders)",
+      Map("trades" -> trades, "orders" -> orders))
+      .orderBy($"order_id").collect()
+    assert(got.length == 3)
+    val goog = got(2)
+    assert(goog.getLong(goog.fieldIndex("order_id")) == 1003L)
+    assert(goog.isNullAt(goog.fieldIndex("client_id")))
+    assert(goog.isNullAt(goog.fieldIndex("status")))
+    assert(got(0).getString(got(0).fieldIndex("client_id")) == "CLIENT_A")
+  }
+
+  test("joins.md: inner-join keeps only settled orders") {
+    val trades = Seq(("AAPL", 1001L), ("MSFT", 1002L), ("GOOG", 1003L))
+      .toDF("symbol", "order_id")
+    val settlements = Seq((1001L, 0.50), (1002L, 1.00), (1004L, 0.75))
+      .toDF("order_id", "fee")
+    val got = Rayfall.query("(inner-join [order_id] trades settlements)",
+      Map("trades" -> trades, "settlements" -> settlements))
+      .orderBy($"order_id").collect()
+    assert(got.map(_.getLong(got.head.fieldIndex("order_id"))).toSeq ==
+      Seq(1001L, 1002L))
+  }
+
+  test("joins.md: asof-join example incl. last-in-table-order tie rule") {
+    // the docs' n=10 construction: trades all AAPL at ms [0,0,0,0,1,1,1,2,2,2];
+    // quotes cycle [AAPL,AAPL,AAPL,MSFT,MSFT,GOOG] at ms floor(2i/10),
+    // bid 8+i/2, ask 12+i/2 — multiple AAPL quotes share each ms, and the
+    // documented output (bid 9/12/15) requires the LAST of the tied rows
+    val trades = (0 until 10)
+      .map(i => ("AAPL", (i * 3 / 10).toLong, 10L + i))
+      .toDF("Sym", "Ts", "Price")
+    val syms = Seq("AAPL", "AAPL", "AAPL", "MSFT", "MSFT", "GOOG")
+    val quotes = (0 until 20)
+      .map(i => (syms(i % 6), (i * 2 / 10).toLong, 8L + i / 2, 12L + i / 2))
+      .toDF("Sym", "Ts", "Bid", "Ask")
+    val expect = Map(0L -> (9L, 13L), 1L -> (12L, 16L), 2L -> (15L, 19L))
+    for (impl <- Seq(
+      operators.AsofJoin.asofJoin(trades, quotes, Seq("Sym"), "Ts"),
+      operators.AsofJoin.asofJoinMerge(trades, quotes, Seq("Sym"), "Ts"),
+      Rayfall.query("(asof-join [Sym Ts] trades quotes)",
+        Map("trades" -> trades, "quotes" -> quotes)))) {
+      val got = impl.orderBy($"Price").collect()
+      got.foreach { r =>
+        val (b, a) = expect(r.getLong(1))
+        assert(r.getLong(3) == b && r.getLong(4) == a,
+          s"ts=${r.getLong(1)} got (${r.getLong(3)},${r.getLong(4)}) want ($b,$a)")
+      }
+    }
+  }
+
   test("alter.md: table column alter example") {
     val trades = Seq((100L, 50L), (200L, 60L)).toDF("price", "volume")
     val got = Rayfall.query("(alter trades + 'price 10)",
