@@ -6,10 +6,14 @@ import org.apache.spark.sql.SparkSession
   *
   *   sbt "runMain graft.Run /root/testdata/sf0.001 \
   *     (select {n: (count l_quantity) from: lineitem by: l_returnflag})"
+  *
+  * Accepts either an inline form, a multi-form SCRIPT with
+  * `(set name …)` bindings and `(table …)` literals, or a path to a
+  * `.rfl` script file.
   */
 object Run {
   def main(args: Array[String]): Unit = {
-    require(args.length >= 2, "usage: Run <sfDir> <rayfall query>")
+    require(args.length >= 2, "usage: Run <sfDir> <rayfall query | script.rfl>")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
       .config("spark.sql.shuffle.partitions",
@@ -21,7 +25,12 @@ object Run {
     spark.sparkContext.setLogLevel("WARN")
     val tables = Tables.all
       .map(n => n -> Tables.load(spark, args(0), n)).toMap
-    rayfall.Rayfall.query(args.drop(1).mkString(" "), tables)
+    val src =
+      if (args.length == 2 && args(1).endsWith(".rfl"))
+        new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(args(1))))
+      else args.drop(1).mkString(" ")
+    rayfall.Rayfall.script(spark, src, tables)
       .show(50, truncate = false)
     spark.stop()
   }

@@ -127,6 +127,96 @@ object Rayfall {
   def query(src: String, tables: Map[String, DataFrame]): DataFrame =
     eval(parse(src), tables)
 
+  /** Evaluate a SCRIPT: a sequence of top-level forms in the reference's
+    * `.rfl` style (the scripts under `/root/reference/examples/`). Supported:
+    *
+    *  - `(set name form)` — bind a query result or table literal;
+    *  - `(table [cols…] (list vec…))` — in-line table literal
+    *    (`core/compose.c:217` ray_table), columns from vector literals;
+    *  - `(show x)` — no-op (display form);
+    *  - any query form from [[eval]].
+    *
+    * Returns the last table-valued result. `tables` seeds the
+    * environment; `set` shadows it.
+    */
+  def script(spark: SparkSession, src: String,
+             tables: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val p = new Parser(src)
+    val env = scala.collection.mutable.Map[String, DataFrame](tables.toSeq: _*)
+    var last: DataFrame = null
+    p.skipWs()
+    while (!p.eof) {
+      val form = p.parseExpr()
+      form match {
+        case RList(RSym("set") :: RSym(name) :: value :: Nil) =>
+          last = evalForm(spark, value, env.toMap)
+          env(name) = last
+        case RList(RSym("show") :: _) => // display form — no-op
+        case other =>
+          last = evalForm(spark, other, env.toMap)
+      }
+      p.skipWs()
+    }
+    require(last != null, "script produced no table")
+    last
+  }
+
+  private def evalForm(spark: SparkSession, e: RExpr,
+                       tables: Map[String, DataFrame]): DataFrame = e match {
+    case RList(RSym("table") :: RVec(cols) :: RList(RSym("list") :: vecs) :: Nil) =>
+      tableLiteral(spark, keyNames(cols), vecs)
+    case other => eval(other, tables)
+  }
+
+  /** `(table [c…] (list [v…]…))` — build a DataFrame from vector
+    * literals. Int vectors → LongType, decimals → DoubleType, strings /
+    * quoted symbols → StringType. */
+  private def tableLiteral(spark: SparkSession, names: Seq[String],
+                           vecs: List[RExpr]): DataFrame = {
+    require(names.length == vecs.length,
+      s"table: ${names.length} names but ${vecs.length} columns")
+    val cols: Seq[Seq[Any]] = vecs.map {
+      case RVec(items) => items.map[Any] {
+        case RNum(_, true, l) => l
+        case RNum(v, false, _) => v
+        case RStr(s) => s
+        case RQuote(s) => s
+        case RSym(s) => s // bare symbols in vector literals are symbols
+        case x => throw new IllegalArgumentException(s"bad literal $x")
+      }
+      case RList(RSym("list") :: items) => items.map[Any] {
+        case RStr(s) => s
+        case RNum(_, true, l) => l
+        case RNum(v, false, _) => v
+        case RQuote(s) => s
+        case x => throw new IllegalArgumentException(s"bad literal $x")
+      }
+      case x => throw new IllegalArgumentException(s"bad column vector $x")
+    }
+    val n = cols.headOption.map(_.length).getOrElse(0)
+    require(cols.forall(_.length == n), "table: ragged columns")
+    val typed = names.zip(cols).map { case (name, vals) =>
+      val tpe = vals.collectFirst {
+        case _: java.lang.Double => org.apache.spark.sql.types.DoubleType
+        case _: String => org.apache.spark.sql.types.StringType
+      }.getOrElse(org.apache.spark.sql.types.LongType)
+      // coerce mixed int/decimal literals up to double
+      val coerced =
+        if (tpe == org.apache.spark.sql.types.DoubleType)
+          vals.map[Any] { case l: java.lang.Long => l.doubleValue(); case v => v }
+        else vals
+      (org.apache.spark.sql.types.StructField(name, tpe, nullable = true),
+        coerced)
+    }
+    val fields = typed.map(_._1)
+    val rows = (0 until n).map(i =>
+      org.apache.spark.sql.Row.fromSeq(typed.map(_._2(i))))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      org.apache.spark.sql.types.StructType(fields))
+  }
+
   def eval(e: RExpr, tables: Map[String, DataFrame]): DataFrame = e match {
     case RList(RSym("left-join") :: RVec(keys) :: l :: r :: Nil) =>
       graft.operators.Joins.leftJoinOverride(

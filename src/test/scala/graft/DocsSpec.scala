@@ -142,6 +142,41 @@ class DocsSpec extends SparkSpec {
     }
   }
 
+  test("select.md quick example runs VERBATIM as a script (table literal + set)") {
+    val got = Rayfall.script(spark,
+      """(set employees (table [name dept salary]
+        |  (list
+        |    (list "Alice" "Bob" "Charlie" "David")
+        |    [IT HR IT IT]
+        |    [75000 65000 85000 72000])))
+        |(select {
+        |  avg_salary: (avg salary)
+        |  headcount: (count name)
+        |  from: employees
+        |  where: (> salary 70000)
+        |  by: dept})""".stripMargin).collect()
+    assert(got.length == 1)
+    assert(got.head.getString(0) == "IT")
+    assert(math.abs(got.head.getDouble(1) - 77333.33) < 0.01)
+    assert(got.head.getLong(2) == 3L)
+  }
+
+  test("script: set chains bindings, show is a no-op, last value returned") {
+    val got = Rayfall.script(spark,
+      """(set t (table [k v] (list [a a b] [1 2 5])))
+        |(show t)
+        |(set g (select {s: (sum v) from: t by: k}))
+        |(select {s: s from: g where: (> s 3)})""".stripMargin)
+      .collect()
+    assert(got.length == 1 && got.head.getLong(0) == 5L)
+  }
+
+  test("script: mixed int/decimal vector promotes to double") {
+    val got = Rayfall.script(spark,
+      "(table [x] (list [1 2.5 3]))").collect().map(_.getDouble(0))
+    assert(got.toSeq == Seq(1.0, 2.5, 3.0))
+  }
+
   test("alter.md: table column alter example") {
     val trades = Seq((100L, 50L), (200L, 60L)).toDF("price", "volume")
     val got = Rayfall.query("(alter trades + 'price 10)",
