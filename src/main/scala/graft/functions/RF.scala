@@ -51,6 +51,18 @@ object RF {
   def within(x: Column, lo: Column, hi: Column): Column =
     x.between(lo, hi)
 
+  /** Reference `take` on arrays with n beyond the length: CYCLES through
+    * the source (`(take [1 2 3] 5)` = `[1 2 3 1 2]`; the docs build
+    * symbol columns with `(take (concat …) n)` this way). Negative n
+    * takes from the end (tail cycling backwards). */
+  def takeCycle(arr: Column, n: Int): Column =
+    if (n >= 0)
+      transform(sequence(lit(0), lit(n - 1)),
+        i => element_at(arr, pmod(i, size(arr)) + 1))
+    else
+      transform(sequence(lit(n), lit(-1)),
+        i => element_at(arr, pmod(i, size(arr)) + 1))
+
   /** Reference glob `like` (`*`, `?`, `[set]`) translated to a Java regex
     * and evaluated with `rlike` (codegen'd). */
   def likeGlob(c: Column, pattern: String): Column =

@@ -92,6 +92,21 @@ class GoldenSpec extends SparkSpec {
       .getSeq[Int](0) == Seq(2, 1, 3))
   }
 
+  test("take cycles past the source length (docs table constructions)") {
+    // (take [1 2 3] 5) = [1 2 3 1 2]; (take 'AAPL 3)-style atom repeat is
+    // takeCycle on a 1-element array
+    import graft.functions.RF
+    assert(one(RF.takeCycle(array(lit(1L), lit(2L), lit(3L)), 5))
+      .getSeq[Long](0) == Seq(1L, 2L, 3L, 1L, 2L))
+    assert(one(RF.takeCycle(array(lit(7L)), 3))
+      .getSeq[Long](0) == Seq(7L, 7L, 7L))
+    // negative: from the end, cycling backwards
+    assert(one(RF.takeCycle(array(lit(1L), lit(2L), lit(3L)), -2))
+      .getSeq[Long](0) == Seq(2L, 3L))
+    assert(one(RF.takeCycle(array(lit(1L), lit(2L), lit(3L)), -5))
+      .getSeq[Long](0) == Seq(2L, 3L, 1L, 2L, 3L))
+  }
+
   test("except keeps x order and multiplicity; sect distinct (lang.c §2.7)") {
     // except on vectors: members of x not in y, x's order, non-distinct
     assert(one(array_except(array(lit(3), lit(1), lit(3), lit(2)),
