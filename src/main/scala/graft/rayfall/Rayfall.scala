@@ -399,8 +399,33 @@ object Rayfall {
     case RQuote(n) => lit(n)
     case RSym(n) => col(n)
     case RVec(items) => array(items.map(toColumn): _*)
+    // ((fn [x…] body) arg…) — immediate lambda application (reference
+    // lambdas, core/lambda.c; update.md uses ((fn [x] (+ x 11)) price)).
+    // Compiled by substitution: the body IS the column expression with
+    // params replaced by the argument expressions — Catalyst codegens it
+    // like any other tree (the analog of the reference's bytecode
+    // compilation, core/cc.c:395).
+    case RList(RList(RSym("fn") :: RVec(params) :: body :: Nil) :: args) =>
+      val names = keyNames(params)
+      require(names.length == args.length,
+        s"lambda arity ${names.length} != ${args.length} args")
+      toColumn(substitute(body, names.zip(args).toMap))
     case RList(RSym(fn) :: args) => apply1(fn, args.map(toColumn), args)
     case x => throw new IllegalArgumentException(s"cannot translate $x")
+  }
+
+  /** Capture-free substitution of lambda params (shadowed names inside
+    * nested lambdas are left untouched). */
+  private def substitute(e: RExpr, env: Map[String, RExpr]): RExpr = e match {
+    case RSym(n) if env.contains(n) => env(n)
+    case RList(RList(RSym("fn") :: RVec(ps) :: body :: Nil) :: args) =>
+      val inner = env -- keyNames(ps)
+      RList(RList(RSym("fn") :: RVec(ps) :: substitute(body, inner) :: Nil) ::
+        args.map(substitute(_, env)))
+    case RList(items) => RList(items.map(substitute(_, env)))
+    case RVec(items) => RVec(items.map(substitute(_, env)))
+    case RDict(pairs) => RDict(pairs.map { case (k, v) => k -> substitute(v, env) })
+    case other => other
   }
 
   private def apply1(fn: String, cs: List[Column], raw: List[RExpr]): Column =

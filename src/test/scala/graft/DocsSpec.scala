@@ -177,6 +177,20 @@ class DocsSpec extends SparkSpec {
     assert(got.toSeq == Seq(1.0, 2.5, 3.0))
   }
 
+  test("update.md: lambda application ((fn [x] (+ x 11)) price)") {
+    val tab = Seq((102L, 500L), (99L, 79L)).toDF("price", "volume")
+    val got = Rayfall.query(
+      "(update {price: ((fn [x] (+ x 11)) price) from: tab where: (== volume 79)})",
+      Map("tab" -> tab)).orderBy($"volume")
+      .collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(110L, 102L))
+    // nested lambda shadowing: inner x binds tighter
+    val g2 = Rayfall.query(
+      "(select {y: ((fn [x] ((fn [x] (* x 2)) (+ x 1))) price) from: tab})",
+      Map("tab" -> tab)).orderBy($"y").collect().map(_.getLong(0))
+    assert(g2.toSeq == Seq(200L, 206L)) // (99+1)*2, (102+1)*2
+  }
+
   test("alter.md: table column alter example") {
     val trades = Seq((100L, 50L), (200L, 60L)).toDF("price", "volume")
     val got = Rayfall.query("(alter trades + 'price 10)",
