@@ -114,6 +114,29 @@ object Rayfall {
     private def parseNum(): RNum = {
       val start = pos
       if (s(pos) == '-') pos += 1
+      while (!eof && s(pos).isDigit) pos += 1
+      // TIME literal HH:MM:SS(.mmm) → millis since midnight (reference
+      // TIME type, core/parse.c:202-426 temporal literals)
+      if (!eof && s(pos) == ':' && pos - start <= 2) {
+        val hh = s.substring(start, pos).toLong
+        def two(): Long = {
+          pos += 1 // ':'
+          val b = pos
+          while (!eof && s(pos).isDigit) pos += 1
+          s.substring(b, pos).toLong
+        }
+        val mm = two()
+        val ss = two()
+        val ms =
+          if (!eof && s(pos) == '.') {
+            pos += 1
+            val b = pos
+            while (!eof && s(pos).isDigit) pos += 1
+            s.substring(b, pos).toLong
+          } else 0L
+        return RNum(0.0, isInt = true,
+          l = ((hh * 60 + mm) * 60 + ss) * 1000 + ms)
+      }
       while (!eof && (s(pos).isDigit || s(pos) == '.')) pos += 1
       val text = s.substring(start, pos)
       if (text.contains('.')) RNum(text.toDouble, isInt = false)
@@ -127,71 +150,231 @@ object Rayfall {
   def query(src: String, tables: Map[String, DataFrame]): DataFrame =
     eval(parse(src), tables)
 
+  // ------------------------------------------------------ script values
+
+  /** Script-environment values: tables (distributed), plus driver-side
+    * atoms and vectors for the generation/index expressions reference
+    * scripts build tables from ((til n), (take x n), literals…). */
+  sealed trait RVal
+  final case class VTab(df: DataFrame) extends RVal
+  final case class VVec(xs: Vector[Any]) extends RVal
+  final case class VAtom(x: Any) extends RVal
+
   /** Evaluate a SCRIPT: a sequence of top-level forms in the reference's
-    * `.rfl` style (the scripts under `/root/reference/examples/`). Supported:
+    * `.rfl` style (the scripts under `/root/reference/examples/` run
+    * verbatim — see DocsSpec). Supported surface:
     *
-    *  - `(set name form)` — bind a query result or table literal;
-    *  - `(table [cols…] (list vec…))` — in-line table literal
-    *    (`core/compose.c:217` ray_table), columns from vector literals;
-    *  - `(show x)` — no-op (display form);
-    *  - any query form from [[eval]].
+    *  - `(set name form)` — bind any value (also usable inline);
+    *  - `(table [cols…] (list col…))` — table from value vectors
+    *    (`core/compose.c:217`);
+    *  - value forms: literals (incl. `HH:MM:SS.mmm` TIME), `til`, `take`
+    *    (atom-repeat / cycling), `concat`, `list`, broadcast `+ - * / %`
+    *    (Euclidean integer division), `(as 'TIME x)` (millis identity),
+    *    `(at t 'col)`, `count`;
+    *  - `show`/`println` (display no-ops), `(timeit form)` (ms),
+    *    `(if c e)`, `(nil? x)`, `(resolve 'n)`;
+    *  - every table/query form from [[eval]].
     *
-    * Returns the last table-valued result. `tables` seeds the
-    * environment; `set` shadows it.
+    * Returns the last table-valued result; `tables` seeds the env.
     */
   def script(spark: SparkSession, src: String,
              tables: Map[String, DataFrame] = Map.empty): DataFrame = {
     val p = new Parser(src)
-    val env = scala.collection.mutable.Map[String, DataFrame](tables.toSeq: _*)
+    val env = scala.collection.mutable.Map[String, RVal](
+      tables.map { case (k, v) => k -> (VTab(v): RVal) }.toSeq: _*)
+    // the "result" is the most recently produced table at ANY depth —
+    // reference scripts often do their final work nested, e.g.
+    // (println "…" (timeit (set aj (asof-join …))))
     var last: DataFrame = null
+    val hook: DataFrame => Unit = df => last = df
     p.skipWs()
     while (!p.eof) {
-      val form = p.parseExpr()
-      form match {
-        case RList(RSym("set") :: RSym(name) :: value :: Nil) =>
-          last = evalForm(spark, value, env.toMap)
-          env(name) = last
-        case RList(RSym("show") :: _) => // display form — no-op
-        case other =>
-          last = evalForm(spark, other, env.toMap)
-      }
+      evalScript(spark, p.parseExpr(), env, hook)
       p.skipWs()
     }
     require(last != null, "script produced no table")
     last
   }
 
-  private def evalForm(spark: SparkSession, e: RExpr,
-                       tables: Map[String, DataFrame]): DataFrame = e match {
-    case RList(RSym("table") :: RVec(cols) :: RList(RSym("list") :: vecs) :: Nil) =>
-      tableLiteral(spark, keyNames(cols), vecs)
-    case other => eval(other, tables)
+  private def evalScript(spark: SparkSession, e: RExpr,
+                         env: scala.collection.mutable.Map[String, RVal],
+                         hook: DataFrame => Unit): RVal = {
+    def ev(x: RExpr): RVal = evalScript(spark, x, env, hook)
+    def vec(v: RVal): Vector[Any] = v match {
+      case VVec(xs) => xs
+      case VAtom(x) => Vector(x)
+      case VTab(_) => throw new IllegalArgumentException("expected a vector")
+    }
+    def num(v: RVal): Long = v match {
+      case VAtom(l: java.lang.Long) => l
+      case _ => throw new IllegalArgumentException(s"expected an integer, got $v")
+    }
+    def tablesOf: Map[String, DataFrame] =
+      env.collect { case (k, VTab(df)) => k -> df }.toMap
+
+    e match {
+      case RNum(_, true, l) => VAtom(l)
+      case RNum(v, false, _) => VAtom(v)
+      case RStr(s) => VAtom(s)
+      case RQuote(s) => VAtom(s)
+      // vector literal: bare symbols are SYMBOL atoms (reference [I J K]
+      // is a symbol vector, not variable references)
+      case RVec(items) => VVec(items.map[Any] {
+        case RSym(n) => n
+        case i => ev(i) match {
+          case VAtom(x) => x
+          case x => throw new IllegalArgumentException(s"bad vector element $x")
+        }
+      }.toVector)
+      case RSym(n) => env.getOrElse(n,
+        throw new IllegalArgumentException(s"unbound symbol $n"))
+
+      case RList(RSym("set") :: RSym(name) :: value :: Nil) =>
+        val v = ev(value); env(name) = v
+        v match { case VTab(df) => hook(df); case _ => () }
+        v
+      // display forms: args still evaluate (reference scripts nest real
+      // work inside println, e.g. (println "…" (timeit (set aj (…)))))
+      case RList(RSym("show" | "println") :: args) =>
+        args.foreach {
+          case RStr(_) => ()
+          case a => ev(a)
+        }
+        VAtom(null)
+      case RList(RSym("timeit") :: form :: Nil) =>
+        val t0 = System.nanoTime(); ev(form)
+        VAtom((System.nanoTime() - t0) / 1000000L)
+      case RList(RSym("resolve") :: RQuote(n) :: Nil) =>
+        env.getOrElse(n, VAtom(null))
+      case RList(RSym("nil?") :: x :: Nil) =>
+        VAtom(java.lang.Boolean.valueOf(ev(x) match {
+          case VAtom(null) => true; case _ => false }))
+      case RList(RSym("if") :: c :: t :: rest) if rest.length <= 1 =>
+        ev(c) match {
+          case VAtom(b: java.lang.Boolean) if b => ev(t)
+          case VAtom(b: java.lang.Boolean) =>
+            rest.headOption.map(ev).getOrElse(VAtom(null))
+          case x => throw new IllegalArgumentException(s"if needs a boolean, got $x")
+        }
+
+      case RList(RSym("til") :: n :: Nil) =>
+        VVec(Vector.range(0L, num(ev(n))).map(x => x: Any))
+      case RList(RSym("take") :: x :: n :: Nil) =>
+        val src = vec(ev(x)); val k = num(ev(n)).toInt
+        require(src.nonEmpty, "take from empty")
+        if (k >= 0) VVec(Vector.tabulate(k)(i => src(i % src.length)))
+        else VVec(Vector.tabulate(-k)(i =>
+          src(java.lang.Math.floorMod(k + i, src.length))))
+      case RList(RSym("concat") :: a :: b :: Nil) =>
+        VVec(vec(ev(a)) ++ vec(ev(b)))
+      case RList(RSym("list") :: items) =>
+        val vals = items.map(ev)
+        if (vals.forall(_.isInstanceOf[VAtom]))
+          VVec(vals.map { case VAtom(x) => x; case _ => ??? }.toVector)
+        else VVec(vals.map(x => x: Any).toVector) // list of vectors (table cols)
+      case RList(RSym("as") :: RQuote("TIME") :: x :: Nil) =>
+        ev(x) // TIME is millis-as-long — identity under the repo convention
+      case RList(RSym("count") :: x :: Nil) => ev(x) match {
+        case VVec(xs) => VAtom(xs.length.toLong)
+        case VTab(df) => VAtom(df.count())
+        case VAtom(_) => VAtom(1L)
+      }
+      case RList(RSym("at") :: t :: RQuote(c) :: Nil) =>
+        ev(t) match {
+          case VTab(df) => VVec(df.select(col(c)).collect()
+            .map(_.get(0): Any).toVector)
+          case x => throw new IllegalArgumentException(s"at needs a table, got $x")
+        }
+
+      case RList(RSym(op @ ("+" | "-" | "*" | "/" | "%")) :: a :: b :: Nil)
+          if !isTableForm(a, env) && !isTableForm(b, env) =>
+        broadcastArith(op, ev(a), ev(b))
+
+      case RList(RSym("table") :: RVec(cols) :: listForm :: Nil) =>
+        val colVals = ev(listForm) match {
+          case VVec(xs) => xs
+          case x => throw new IllegalArgumentException(s"table needs (list …), got $x")
+        }
+        val df = tableFromValues(spark, keyNames(cols), colVals)
+        hook(df)
+        VTab(df)
+
+      // everything else: a query/table form for the Column-level evaluator
+      case other =>
+        val df = eval(other, tablesOf)
+        hook(df)
+        VTab(df)
+    }
   }
 
-  /** `(table [c…] (list [v…]…))` — build a DataFrame from vector
-    * literals. Int vectors → LongType, decimals → DoubleType, strings /
-    * quoted symbols → StringType. */
-  private def tableLiteral(spark: SparkSession, names: Seq[String],
-                           vecs: List[RExpr]): DataFrame = {
-    require(names.length == vecs.length,
-      s"table: ${names.length} names but ${vecs.length} columns")
-    val cols: Seq[Seq[Any]] = vecs.map {
-      case RVec(items) => items.map[Any] {
-        case RNum(_, true, l) => l
-        case RNum(v, false, _) => v
-        case RStr(s) => s
-        case RQuote(s) => s
-        case RSym(s) => s // bare symbols in vector literals are symbols
-        case x => throw new IllegalArgumentException(s"bad literal $x")
+  /** Is this sub-form one the table-level evaluator owns? (Arithmetic on
+    * driver values vs column expressions inside queries are separated by
+    * context: script-level arith runs on values.) */
+  private def isTableForm(e: RExpr,
+                          env: scala.collection.mutable.Map[String, RVal]): Boolean =
+    e match {
+      case RSym(n) => env.get(n).exists(_.isInstanceOf[VTab])
+      case RList(RSym(f) :: _) =>
+        Set("select", "update", "insert", "upsert", "left-join", "inner-join",
+          "asof-join", "window-join", "window-join1", "distinct", "xasc",
+          "xdesc", "alter", "table").contains(f)
+      case _ => false
+    }
+
+  /** Element-wise arithmetic with scalar↔vector broadcast; `/` and `%`
+    * are Euclidean on integers (core/ops.h:171-183). */
+  private def broadcastArith(op: String, a: RVal, b: RVal): RVal = {
+    def asVec(v: RVal): Option[Vector[Any]] = v match {
+      case VVec(xs) => Some(xs); case _ => None
+    }
+    def scalar(x: Any, y: Any): Any = (x, y) match {
+      case (i: java.lang.Long, j: java.lang.Long) => op match {
+        case "+" => i + j
+        case "-" => i - j
+        case "*" => i * j
+        case "/" => java.lang.Math.floorDiv(i, j)
+        case "%" => java.lang.Math.floorMod(i, j)
       }
-      case RList(RSym("list") :: items) => items.map[Any] {
-        case RStr(s) => s
-        case RNum(_, true, l) => l
-        case RNum(v, false, _) => v
-        case RQuote(s) => s
-        case x => throw new IllegalArgumentException(s"bad literal $x")
-      }
-      case x => throw new IllegalArgumentException(s"bad column vector $x")
+      case _ =>
+        val (d1, d2) = (toD(x), toD(y))
+        op match {
+          case "+" => d1 + d2
+          case "-" => d1 - d2
+          case "*" => d1 * d2
+          case "/" => math.floor(d1 / d2)
+          case "%" => d1 - math.floor(d1 / d2) * d2
+        }
+    }
+    def toD(x: Any): Double = x match {
+      case l: java.lang.Long => l.toDouble
+      case d: java.lang.Double => d
+      case x => throw new IllegalArgumentException(s"non-numeric $x")
+    }
+    (asVec(a), asVec(b)) match {
+      case (Some(xs), Some(ys)) =>
+        require(xs.length == ys.length, "vector length mismatch")
+        VVec(xs.lazyZip(ys).map(scalar).toVector)
+      case (Some(xs), None) =>
+        val VAtom(y) = b: @unchecked; VVec(xs.map(scalar(_, y)))
+      case (None, Some(ys)) =>
+        val VAtom(x) = a: @unchecked; VVec(ys.map(scalar(x, _)))
+      case (None, None) =>
+        val (VAtom(x), VAtom(y)) = (a, b): @unchecked; VAtom(scalar(x, y))
+    }
+  }
+
+  /** `(table [c…] (list col…))` — build a DataFrame from value columns.
+    * Long → LongType, Double → DoubleType, String → StringType; mixed
+    * numeric promotes to double. */
+  private def tableFromValues(spark: SparkSession, names: Seq[String],
+                              colVals: Seq[Any]): DataFrame = {
+    require(names.length == colVals.length,
+      s"table: ${names.length} names but ${colVals.length} columns")
+    val cols: Seq[Vector[Any]] = colVals.map {
+      case VVec(xs) => xs
+      case VAtom(x) => Vector(x)
+      case xs: Vector[_] => xs.asInstanceOf[Vector[Any]]
+      case x => throw new IllegalArgumentException(s"bad column $x")
     }
     val n = cols.headOption.map(_.length).getOrElse(0)
     require(cols.forall(_.length == n), "table: ragged columns")
@@ -200,7 +383,6 @@ object Rayfall {
         case _: java.lang.Double => org.apache.spark.sql.types.DoubleType
         case _: String => org.apache.spark.sql.types.StringType
       }.getOrElse(org.apache.spark.sql.types.LongType)
-      // coerce mixed int/decimal literals up to double
       val coerced =
         if (tpe == org.apache.spark.sql.types.DoubleType)
           vals.map[Any] { case l: java.lang.Long => l.doubleValue(); case v => v }

@@ -191,6 +191,24 @@ class DocsSpec extends SparkSpec {
     assert(g2.toSeq == Seq(200L, 206L)) // (99+1)*2, (102+1)*2
   }
 
+  test("reference examples/aj.rfl runs VERBATIM; asof values correct") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/examples/aj.rfl")))
+    val aj = Rayfall.script(spark, src)
+    // n=10 per the script header: trades are 10 AAPL rows at ms
+    // [0,0,0,0,1,1,1,2,2,2]; the docs show Bid 9/12/15, Ask 13/16/19
+    val got = aj.orderBy($"Price").collect()
+    assert(got.length == 10)
+    val expect = Map(0L -> (9L, 13L), 1L -> (12L, 16L), 2L -> (15L, 19L))
+    got.foreach { r =>
+      val ts = r.getLong(r.fieldIndex("Ts"))
+      // Ts is 09:00:00 + offset ms
+      val (b, a) = expect(ts - (9L * 3600 * 1000))
+      assert(r.getLong(r.fieldIndex("Bid")) == b)
+      assert(r.getLong(r.fieldIndex("Ask")) == a)
+    }
+  }
+
   test("alter.md: table column alter example") {
     val trades = Seq((100L, 50L), (200L, 60L)).toDF("price", "volume")
     val got = Rayfall.query("(alter trades + 'price 10)",
