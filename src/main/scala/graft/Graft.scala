@@ -52,4 +52,29 @@ object Graft {
     Tables.registerAll(spark, sfDir)
     enableSql(spark)
   }
+
+  /** The cluster profile this engine is designed for (a ~1000-executor
+    * job over ~100 TB of partitioned Parquet). Local test sessions set
+    * shuffle.partitions to the core count instead; everything else
+    * applies as-is.
+    *
+    *  - AQE on with skew-join splitting: hot keys in joins/aggregations
+    *    re-plan at runtime instead of straggling;
+    *  - coalescePartitions trims the fixed shuffle width after filters;
+    *  - 128 MB scan splits / 256 MB shuffle targets keep task counts in
+    *    the tens-of-thousands, not millions, at 100 TB;
+    *  - shuffle.partitions sized ~2 tasks per core at 1000×16 cores —
+    *    AQE coalesces down, skew split fans out.
+    */
+  val clusterProfile: Map[String, String] = Map(
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+    "spark.sql.adaptive.skewJoin.enabled" -> "true",
+    "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256m",
+    "spark.sql.files.maxPartitionBytes" -> "134217728",
+    "spark.sql.shuffle.partitions" -> "32768",
+    "spark.sql.parquet.filterPushdown" -> "true",
+    "spark.sql.parquet.aggregatePushdown" -> "true",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.session.timeZone" -> "UTC")
 }
