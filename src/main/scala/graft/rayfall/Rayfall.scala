@@ -286,6 +286,48 @@ object Rayfall {
           case x => throw new IllegalArgumentException(s"at needs a table, got $x")
         }
 
+      // (map-left fn [a b] vec) — fn of each left element vs the whole
+      // right (core/iter.c:665); the docs' interval constructor yields a
+      // LIST of two vectors [vec∘a, vec∘b]
+      case RList(RSym("map-left") :: RSym(op) :: RVec(items) :: v :: Nil) =>
+        val right = ev(v)
+        VVec(items.map(i =>
+          broadcastArith(op, ev(i), right): Any).toVector)
+
+      // (window-join … [k… t] intervals l r {aggs}) with BOUND interval
+      // vectors: recover the constant offsets the docs construct them
+      // with ((map-left + [lo hi] ts) ⇒ lo_i = ts_i + lo), then route to
+      // the query-level operator. Non-uniform intervals are rejected.
+      case RList(RSym(wj @ ("window-join" | "window-join1")) :: RVec(keys) ::
+          RSym(intervalsName) :: l :: r :: RDict(aggPairs) :: Nil)
+          if env.get(intervalsName).exists(_.isInstanceOf[VVec]) =>
+        val VVec(iv) = env(intervalsName): @unchecked
+        val (loV, hiV) = iv match {
+          case Vector(VVec(a), VVec(b)) => (a, b)
+          case x => throw new IllegalArgumentException(
+            s"window-join intervals must be a list of two vectors, got $x")
+        }
+        val ks = keyNames(keys)
+        val left = ev(l) match { case VTab(df) => df
+          case x => throw new IllegalArgumentException(s"bad left $x") }
+        val ts = left.select(col(ks.last)).collect().map(_.getLong(0))
+        require(ts.length == loV.length && ts.length == hiV.length,
+          "interval vectors must match the left row count")
+        def offsets(bound: Vector[Any]): Long = {
+          val off = bound.head.asInstanceOf[Long] - ts(0)
+          require(ts.indices.forall(i =>
+            bound(i).asInstanceOf[Long] - ts(i) == off),
+            "only constant-offset intervals are supported")
+          off
+        }
+        val (lo, hi) = (offsets(loV), offsets(hiV))
+        val form = RList(RSym(wj) :: RVec(keys) ::
+          RVec(List(RNum(0.0, isInt = true, l = lo),
+            RNum(0.0, isInt = true, l = hi))) :: l :: r :: RDict(aggPairs) :: Nil)
+        val df = eval(form, tablesOf)
+        hook(df)
+        VTab(df)
+
       case RList(RSym(op @ ("+" | "-" | "*" | "/" | "%")) :: a :: b :: Nil)
           if !isTableForm(a, env) && !isTableForm(b, env) =>
         broadcastArith(op, ev(a), ev(b))

@@ -209,6 +209,37 @@ class DocsSpec extends SparkSpec {
     }
   }
 
+  test("reference examples/wj.rfl runs VERBATIM; window-join matches a model") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/examples/wj.rfl")))
+    // the script guards with (if (nil? (resolve 'n)) (set n 100000)) —
+    // pre-bind a smaller n exactly as a reference user would
+    val wj1 = Rayfall.script(spark, "(set n 1000)\n" + src)
+    // regenerate the script's data in Scala and model window-join1
+    // (inclusive ±1000 ms) per trade
+    val n = 1000
+    val base = 9L * 3600 * 1000
+    val tsymPat = Vector.fill(99)("AAPL") :+ "MSFT"
+    val trades = (0 until n).map(i =>
+      (tsymPat(i % 100), base + i * 3 / 10, 10L + i))
+    val bsymPat = Vector("AAPL", "AAPL", "AAPL", "MSFT", "MSFT", "GOOG")
+    val quotes = (0 until 2 * n).map(i =>
+      (bsymPat(i % 6), base + i * 2 / 10, 8L + i / 2, 12L + i / 2))
+    val model = trades.map { case (sym, ts, price) =>
+      val in = quotes.filter(q => q._1 == sym &&
+        q._2 >= ts - 1000 && q._2 <= ts + 1000)
+      (sym, ts, price,
+        if (in.isEmpty) None else Some(in.map(_._3).min),
+        if (in.isEmpty) None else Some(in.map(_._4).max))
+    }
+    val got = wj1.orderBy($"Price").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(got.length == n)
+    got.zip(model).foreach { case (g, m) => assert(g == m, s"got $g want $m") }
+  }
+
   test("alter.md: table column alter example") {
     val trades = Seq((100L, 50L), (200L, 60L)).toDF("price", "volume")
     val got = Rayfall.query("(alter trades + 'price 10)",
