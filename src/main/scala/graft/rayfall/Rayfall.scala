@@ -341,12 +341,94 @@ object Rayfall {
         hook(df)
         VTab(df)
 
+      case RList(RSym("exit") :: _) => VAtom(null)
+
+      // (insert t rows) / (insert 't rows) — append with the reference's
+      // literal row forms (examples/insert.rfl): list-of-atoms (one row),
+      // list-of-vectors (columns), dict with reordered or partial columns
+      // (missing → null), or another table. Quoted target = in-place
+      // (the env binding is replaced).
+      case RList(RSym("insert") :: target :: rowsForm :: Nil) =>
+        val (name, targetDf) = target match {
+          case RQuote(n) => (Some(n), env(n) match {
+            case VTab(df) => df
+            case x => throw new IllegalArgumentException(s"'$n is not a table ($x)")
+          })
+          case other => (None, ev(other) match {
+            case VTab(df) => df
+            case x => throw new IllegalArgumentException(s"bad insert target $x")
+          })
+        }
+        val rowsDf = insertRows(spark, targetDf, rowsForm, ev)
+        val res = targetDf.unionByName(rowsDf)
+        name.foreach(n => env(n) = VTab(res))
+        hook(res)
+        VTab(res)
+
       // everything else: a query/table form for the Column-level evaluator
       case other =>
         val df = eval(other, tablesOf)
         hook(df)
         VTab(df)
     }
+  }
+
+  /** Build the rows-to-append DataFrame for a script `insert`, aligned
+    * and cast to the target's schema; absent columns become nulls. */
+  private def insertRows(spark: SparkSession,
+                         target: DataFrame, rowsForm: RExpr,
+                         ev: RExpr => RVal): DataFrame = {
+    val (names, cols): (Seq[String], Seq[Vector[Any]]) = rowsForm match {
+      // (dict [names…] (list …)) — named, possibly reordered/partial
+      case RList(RSym("dict") :: RVec(ns) :: RList(RSym("list") :: items) :: Nil) =>
+        val vals = items.map(ev)
+        val columns =
+          if (vals.forall(_.isInstanceOf[VAtom]))
+            vals.map { case VAtom(x) => Vector(x); case _ => ??? }
+          else vals.map {
+            case VVec(xs) => xs
+            case VAtom(x) => Vector(x)
+            case x => throw new IllegalArgumentException(s"bad dict value $x")
+          }
+        (keyNames(ns), columns)
+      // positional forms: one row of atoms, or a list of column vectors
+      case other => ev(other) match {
+        case VTab(df) => return df
+          .select(target.columns.map(c =>
+            col(c).cast(target.schema(c).dataType)): _*)
+        case VVec(xs) if xs.forall(!_.isInstanceOf[RVal]) =>
+          (target.columns.toSeq, xs.map(Vector(_)))
+        case VVec(xs) =>
+          (target.columns.toSeq, xs.map {
+            case VVec(ys) => ys
+            case VAtom(y) => Vector(y)
+            case y => Vector(y)
+          })
+        case x => throw new IllegalArgumentException(s"bad insert rows $x")
+      }
+    }
+    require(names.length == cols.length,
+      s"insert: ${names.length} names for ${cols.length} columns")
+    val n = cols.head.length
+    require(cols.forall(_.length == n), "insert: ragged columns")
+    val byName = names.zip(cols).toMap
+    val data = (0 until n).map { i =>
+      org.apache.spark.sql.Row.fromSeq(target.columns.toSeq.map(c =>
+        byName.get(c).map(_(i)).orNull))
+    }
+    // long literals may feed double columns — coerce to the target type
+    val coerced = data.map(r => org.apache.spark.sql.Row.fromSeq(
+      target.schema.fields.toSeq.zip(r.toSeq).map {
+        case (f, l: java.lang.Long)
+          if f.dataType == org.apache.spark.sql.types.DoubleType =>
+          l.doubleValue()
+        case (_, v) => v
+      }))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(coerced).asJava),
+      org.apache.spark.sql.types.StructType(
+        target.schema.fields.map(_.copy(nullable = true))))
   }
 
   /** Is this sub-form one the table-level evaluator owns? (Arithmetic on

@@ -240,6 +240,24 @@ class DocsSpec extends SparkSpec {
     got.zip(model).foreach { case (g, m) => assert(g == m, s"got $g want $m") }
   }
 
+  test("reference examples/insert.rfl runs VERBATIM; all 12 insert forms") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/examples/insert.rfl")))
+    val t = Rayfall.script(spark, src)
+    val rows = t.orderBy($"ID").collect()
+    assert(rows.length == 20)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 20L))
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getString(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    assert(byId(4L) == (("David", Some(40.0))))       // list of atoms
+    assert(byId(6L) == (("Frank", Some(60.0))))       // list of vectors
+    assert(byId(12L) == (("Leo", Some(120.0))))       // reordered dict
+    assert(byId(14L) == (("Nancy", None)))            // partial → null
+    assert(byId(17L) == (("Quinn", Some(170.0))))     // multi-row reordered
+    assert(byId(19L) == (("Sam", Some(190.0))))       // table reordered
+    assert(byId(20L) == (("Tom", Some(200.0))))       // in-place quoted
+  }
+
   test("alter.md: table column alter example") {
     val trades = Seq((100L, 50L), (200L, 60L)).toDF("price", "volume")
     val got = Rayfall.query("(alter trades + 'price 10)",
