@@ -618,7 +618,9 @@ object Queries {
 
   // ---------------------------------------------------------------- d06
   // MinHash-LSH dedup end-to-end: banded candidate generation, then
-  // exact Jaccard verification (no SQL oracle — rows-only).
+  // exact Jaccard verification — DuckDB-oracled end to end (the oracle
+  // replays the full pipeline: 16 minhashes, 2 banded buckets, the
+  // degenerate-bucket cap, pair distinct, token-set Jaccard ≥ 0.5).
   def d06_lsh_candidates(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text",
@@ -627,12 +629,51 @@ object Queries {
       .orderBy($"id_a", $"id_b")
   }
 
+  private val d06_sql = {
+    val sigCols = Text.minhashSeeds(16).zipWithIndex.map { case ((a, b), i) =>
+      s"${Text.duck.minhashSql("text", a, b)} AS s$i"
+    }.mkString(",\n    ")
+    def band(lo: Int) = (lo until lo + 8).map(i => s"s$i").mkString(", ")
+    s"""WITH sigs AS (
+       |  SELECT doc_id, $sigCols
+       |  FROM documents),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, concat_ws('_', ${band(0)}) AS bucket FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, concat_ws('_', ${band(8)}) AS bucket FROM sigs),
+       |big AS (SELECT band, bucket FROM bands
+       |  GROUP BY band, bucket HAVING COUNT(*) > 100),
+       |kept AS (SELECT bands.* FROM bands ANTI JOIN big USING (band, bucket)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM kept a JOIN kept b USING (band, bucket) WHERE a.doc_id < b.doc_id),
+       |tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+       |  FROM documents)
+       |SELECT p.id_a, p.id_b,
+       |  ROUND(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE) /
+       |    (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))), 4) AS jac
+       |FROM pairs p JOIN tok ta ON ta.doc_id = p.id_a
+       |  JOIN tok tb ON tb.doc_id = p.id_b
+       |WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE) /
+       |    (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d07
-  // SimHash near-dup pairs (blocked hamming; no SQL oracle — rows-only).
+  // SimHash near-dup pairs (blocked hamming), DuckDB-oracled end to end.
   def d07_simhash_neardup(spark: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(t(spark, dir, "documents"), "doc_id", "text",
       maxHamming = 3, blockBits = 8)
       .orderBy($"id_a", $"id_b")
+
+  private val d07_sql =
+    s"""WITH sh AS (SELECT doc_id, ${Text.duck.simhash16Sql("text")} AS sh
+       |  FROM documents),
+       |blk AS (SELECT doc_id, sh, sh // 256 AS blk FROM sh)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       |FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
 
   // ================================================================
   // Storage, streaming, temporal, casts, generation (SURVEY §2.1/§2.8/
@@ -1756,5 +1797,7 @@ object Queries {
     "q48_meta" -> q48_sql,
     "q49_binr" -> q49_sql,
     "q50_time_millis" -> q50_sql,
+    "d06_lsh_candidates" -> d06_sql,
+    "d07_simhash_neardup" -> d07_sql,
   )
 }
