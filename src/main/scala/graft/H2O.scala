@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The reference's headline benchmark, run VERBATIM: the seven H2O
+  * db-benchmark group-by queries exactly as published in its docs
+  * (`/root/reference/docs/docs/content/get-started/benchmarks/group-by.md:54-60`),
+  * evaluated through the Rayfall front-end against a G1-style table.
+  *
+  *   SPARK_GRAFT_H2O_N=10000000 sbt "runMain graft.H2O"
+  *
+  * The table is generated deterministically (hash-based uniform ids, the
+  * G1_1e7_1e2 shape: 100 groups for id1/id2/id4/id5, n/100 for id3/id6,
+  * v1/v2 in 1..5, v3 double) and cached before timing, matching the
+  * reference's in-memory setup.
+  */
+object H2O {
+  val queries: Seq[(String, String)] = Seq(
+    "Q1" -> "(select {v1: (sum v1) from: t by: id1})",
+    "Q2" -> "(select {v1: (sum v1) from: t by: {id1: id1 id2: id2}})",
+    "Q3" -> "(select {v1: (sum v1) v3: (avg v3) from: t by: id3})",
+    "Q4" -> "(select {v1: (avg v1) v2: (avg v2) v3: (avg v3) from: t by: id4})",
+    "Q5" -> "(select {v1: (sum v1) v2: (sum v2) v3: (sum v3) from: t by: id6})",
+    "Q6" -> "(select {range_v1_v2: (- (max v1) (min v2)) from: t by: id3})",
+    "Q7" -> ("(select {v3: (sum v3) count: (map count v3) from: t " +
+      "by: {id1: id1 id2: id2 id3: id3 id4: id4 id5: id5 id6: id6}})"))
+
+  /** Deterministic G1-style table (no RNG: hashes of the row id). */
+  def g1(spark: SparkSession, n: Long): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val big = math.max(n / 100, 1L)
+    def h(salt: Int, m: Long) =
+      pmod(hash($"id" * lit(salt + 7) + lit(salt)), lit(m)) + 1
+    spark.range(n).select(
+      concat(lit("id"), lpad(h(1, 100).cast("string"), 3, "0")).as("id1"),
+      concat(lit("id"), lpad(h(2, 100).cast("string"), 3, "0")).as("id2"),
+      concat(lit("id"), h(3, big).cast("string")).as("id3"),
+      h(4, 100).cast("int").as("id4"),
+      h(5, 100).cast("int").as("id5"),
+      h(6, big).cast("int").as("id6"),
+      h(7, 5).cast("int").as("v1"),
+      h(8, 5).cast("int").as("v2"),
+      (h(9, 100000000).cast("double") / 1e6).as("v3"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_H2O_N", "1000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val t = g1(spark, n).cache()
+    t.count() // materialize before timing, like the reference's CSV load
+    val times = queries.map { case (name, q) =>
+      rayfall.Rayfall.query(q, Map("t" -> t)).count() // warm codegen
+      val t0 = System.nanoTime()
+      val rows = rayfall.Rayfall.query(q, Map("t" -> t)).count()
+      val ms = (System.nanoTime() - t0) / 1e6
+      println(f"[h2o] $name ${ms}%.1f ms ($rows groups)")
+      name -> ms
+    }
+    val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"h2o_groupby_ms","n":$n,"queries":$qs}""")
+    spark.stop()
+  }
+}

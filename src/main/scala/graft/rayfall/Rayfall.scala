@@ -762,6 +762,10 @@ object Rayfall {
       // unconditionally — it counts null elements too, so map to group size
       // rather than Spark's null-skipping count(col).
       case ("count", Seq(_)) => count(lit(1))
+      // (map count x) under by: maps count over the grouped column —
+      // group size again (the H2O Q7 form, docs/.../benchmarks/group-by.md)
+      case ("map", Seq(_, _)) if raw.headOption.contains(RSym("count")) =>
+        count(lit(1))
       case ("first", Seq(a)) => first(a)
       case ("last", Seq(a)) => last(a)
       case ("med", Seq(a)) => RF.med(a)
