@@ -67,6 +67,26 @@ object H2O {
     val qs = times.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
       .mkString("{", ",", "}")
     println(s"""{"metric":"h2o_groupby_ms","n":$n,"queries":$qs}""")
+
+    // ---- the join benchmark surface (inner-join.md Q2: `(ij [id1 id2] x y)`,
+    // J1_1e7 ⋈ J1_1e7_1e7 where DuckDB/ClickHouse OOM'd). Deterministic
+    // J1-style tables: row i of x matches row i of y on (id1, id2).
+    import spark.implicits._
+    def j1(v: String) = spark.range(n).select(
+      pmod(hash($"id" * 11 + 3), lit(n)).as("id1"),
+      pmod(hash($"id" * 13 + 5), lit(100)).as("id2"),
+      $"id".as("id3"),
+      concat(lit("id"), ($"id" % 1000).cast("string")).as("id4"),
+      (pmod(hash($"id" * 17 + 7), lit(1000000)).cast("double") / 100).as(v))
+    val x = j1("v1").cache(); x.count()
+    val y = j1("v2").cache(); y.count()
+    for ((name, q) <- Seq("ij" -> "(ij [id1 id2] x y)",
+      "lj" -> "(lj [id1 id2] x y)")) {
+      rayfall.Rayfall.query(q, Map("x" -> x, "y" -> y)).count()
+      val t0 = System.nanoTime()
+      val rows = rayfall.Rayfall.query(q, Map("x" -> x, "y" -> y)).count()
+      println(f"[h2o] $name ${(System.nanoTime() - t0) / 1e6}%.1f ms ($rows rows)")
+    }
     spark.stop()
   }
 }

@@ -524,13 +524,15 @@ object Rayfall {
   }
 
   def eval(e: RExpr, tables: Map[String, DataFrame]): DataFrame = e match {
-    case RList(RSym("left-join") :: RVec(keys) :: l :: r :: Nil) =>
+    // the reference accepts both long names and the kdb-style short
+    // aliases (its benchmark scripts use ij/lj/aj)
+    case RList(RSym("left-join" | "lj") :: RVec(keys) :: l :: r :: Nil) =>
       graft.operators.Joins.leftJoinOverride(
         evalTable(l, tables), evalTable(r, tables), keyNames(keys))
-    case RList(RSym("inner-join") :: RVec(keys) :: l :: r :: Nil) =>
+    case RList(RSym("inner-join" | "ij") :: RVec(keys) :: l :: r :: Nil) =>
       graft.operators.Joins.innerJoinOverride(
         evalTable(l, tables), evalTable(r, tables), keyNames(keys))
-    case RList(RSym("asof-join") :: RVec(keys) :: l :: r :: Nil) =>
+    case RList(RSym("asof-join" | "aj") :: RVec(keys) :: l :: r :: Nil) =>
       // last key symbol is the time column (reference asof-join form)
       val ks = keyNames(keys)
       graft.operators.AsofJoin.asofJoin(
