@@ -87,6 +87,32 @@ object H2O {
       val rows = rayfall.Rayfall.query(q, Map("x" -> x, "y" -> y)).count()
       println(f"[h2o] $name ${(System.nanoTime() - t0) / 1e6}%.1f ms ($rows rows)")
     }
+    x.unpersist(); y.unpersist()
+
+    // ---- the window-join benchmark (window-join.md, examples/wj.rfl
+    // data at scale: n trades ⋈ 2n quotes, ±1000 ms, min Bid / max Ask;
+    // reference: 59,145 ms at n=1e7, kdb ~33 min). The ±1000 ms window
+    // holds ~10k quotes (~1e11 pairs at 1e7) — the materializing range
+    // join is infeasible, so this runs the sliding two-pointer operator
+    // (the reference's own aggr_map_window algorithm, distributed).
+    val wn = sys.env.getOrElse("SPARK_GRAFT_H2O_WJ_N", n.toString).toLong
+    val trades = spark.range(wn).select(
+      when($"id" % 100 === 99, "MSFT").otherwise("AAPL").as("Sym"),
+      (lit(9L * 3600 * 1000) + expr("id * 3L div 10L")).as("Ts"),
+      ($"id" + 10).as("Price")).cache()
+    val quotes = spark.range(2 * wn).select(
+      element_at(array(lit("AAPL"), lit("AAPL"), lit("AAPL"),
+        lit("MSFT"), lit("MSFT"), lit("GOOG")), ($"id" % 6 + 1).cast("int")).as("Sym"),
+      (lit(9L * 3600 * 1000) + expr("id * 2L div 10L")).as("Ts"),
+      (expr("id div 2L") + 8).as("Bid"),
+      (expr("id div 2L") + 12).as("Ask")).cache()
+    trades.count(); quotes.count()
+    val wjAggs = Seq(operators.WindowJoin.Agg("min", "Bid", "bid"),
+      operators.WindowJoin.Agg("max", "Ask", "ask"))
+    val t0 = System.nanoTime()
+    val rows = operators.WindowJoin.windowJoinSliding(
+      trades, quotes, Seq("Sym"), "Ts", -1000L, 1000L, wjAggs).count()
+    println(f"[h2o] wj1 ${(System.nanoTime() - t0) / 1e6}%.1f ms ($rows rows, n=$wn)")
     spark.stop()
   }
 }

@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Window (interval) join: for each left row, aggregate the right rows
   * with the same keys whose time lies within `[ts+loOffset, ts+hiOffset]`
@@ -48,5 +49,184 @@ object WindowJoin {
     val idCond = leftId.map(c => left(c) === grouped(s"l_$c")).reduce(_ && _)
     left.join(grouped, idCond, "left")
       .drop(leftId.map(c => s"l_$c"): _*)
+  }
+
+  /** One supported sliding aggregate: op ∈ min|max|sum|count over a
+    * numeric right column (LongType or DoubleType). */
+  final case class Agg(op: String, col: String, as: String)
+
+  /** SLIDING window join — the reference's own algorithm
+    * (`aggr_map_window`, `/root/reference/core/aggr.c:331-373`): per key,
+    * both sides sorted by ts, a two-pointer window advances monotonically
+    * and min/max maintain monotonic deques, so the cost is O(n+m) per key
+    * with NO fan-out materialization. The generic [[windowJoin]] builds
+    * every (left, right-in-window) pair first, which explodes when
+    * windows are wide relative to event spacing (the reference's 1e7
+    * window-join benchmark has ~10k quotes per window: 1e11 pairs).
+    *
+    * Scale shape: cogroup shuffles each side once on the keys; a hot key
+    * is processed by one task, but linearly — same contract as the
+    * reference's per-key kernel. Bounds are INCLUSIVE (window-join1);
+    * pass exclusive=true for window-join.
+    */
+  def windowJoinSliding(left: DataFrame, right: DataFrame,
+                        keys: Seq[String], ts: String,
+                        loOffset: Long, hiOffset: Long,
+                        aggs: Seq[Agg], exclusive: Boolean = false): DataFrame = {
+    val spark = left.sparkSession
+    val leftCols = left.columns.toSeq
+    val aggFields = aggs.map { a =>
+      val src = right.schema(a.col).dataType
+      val t = a.op match {
+        case "count" => LongType
+        case "sum" => if (src == DoubleType) DoubleType else LongType
+        case _ => src
+      }
+      StructField(a.as, t, nullable = true)
+    }
+    val outSchema = StructType(left.schema.fields.map(_.copy()) ++ aggFields)
+    val outEnc = Encoders.row(outSchema)
+
+    // single composite string key for the cogroup (unit separator
+    // avoids accidental key collisions like ("a","bc") vs ("ab","c"))
+    val sep = "\u001f"
+    val lKeyed = left.withColumn("__k",
+      concat_ws(sep, keys.map(c => col(c).cast("string")): _*))
+    val rKeyed = right.withColumn("__k",
+      concat_ws(sep, keys.map(c => col(c).cast("string")): _*))
+    val rSlim = rKeyed.select(col("__k"), col(ts).cast("long").as("__ts"),
+      struct(aggs.map(_.col).distinct.map(col): _*).as("__v"))
+
+    import spark.implicits._
+    val lGrouped = lKeyed.groupByKey(r => r.getAs[String]("__k"))(Encoders.STRING)
+    val rGrouped = rSlim.groupByKey(r => r.getAs[String]("__k"))(Encoders.STRING)
+    val tsIdx = lKeyed.columns.indexOf(ts)
+    val kIdx = lKeyed.columns.indexOf("__k")
+    val aggB = aggs.toArray
+    val excl = exclusive
+    // static per-agg layout: struct field index + whether a sum is double
+    val structCols = aggs.map(_.col).distinct
+    val fieldOf = aggs.map(a => structCols.indexOf(a.col)).toArray
+    val isDouble = aggs.map(a =>
+      right.schema(a.col).dataType == DoubleType).toArray
+
+    val joined = lGrouped.cogroup(rGrouped) { (_, lIt, rIt) =>
+      val ls = lIt.toArray.sortBy(r => anyToLong(r.get(tsIdx)))
+      val rs = rIt.toArray.sortBy(_.getLong(1))
+      val rTs = rs.map(_.getLong(1))
+      val rVals: Array[Row] = rs.map(_.getStruct(2))
+      SlidingWindow.run(ls, rTs, rVals, tsIdx, kIdx, loOffset, hiOffset,
+        excl, aggB, fieldOf, isDouble)
+    }(outEnc)
+    joined
+  }
+
+  private[operators] def anyToLong(x: Any): Long = x match {
+    case l: java.lang.Long => l
+    case i: java.lang.Integer => i.toLong
+    case t: java.sql.Timestamp => t.getTime
+    case x => throw new IllegalArgumentException(s"unsupported ts $x")
+  }
+}
+
+/** The per-key two-pointer sliding aggregation. min/max use monotonic
+  * deques (amortized O(1) per step); sum/count are incremental. */
+private[operators] object SlidingWindow {
+  import WindowJoin.Agg
+
+  def run(ls: Array[Row], rTs: Array[Long], rVals: Array[Row],
+          tsIdx: Int, kIdx: Int, lo: Long, hi: Long, exclusive: Boolean,
+          aggs: Array[Agg], fieldOf: Array[Int],
+          isDouble: Array[Boolean]): Iterator[Row] = {
+    val nR = rTs.length
+    // per-agg state
+    val deques = aggs.map(_ => new java.util.ArrayDeque[Int]())
+    var sumL = new Array[Long](aggs.length)
+    var sumD = new Array[Double](aggs.length)
+    var from = 0 // first right idx inside the window
+    var to = 0   // first right idx beyond the window
+
+    def numL(ri: Int, ai: Int): Long = rVals(ri).get(fieldOf(ai)) match {
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => i.toLong
+      case d: java.lang.Double => d.toLong
+      case _ => 0L
+    }
+    def numD(ri: Int, ai: Int): Double = rVals(ri).get(fieldOf(ai)) match {
+      case d: java.lang.Double => d
+      case l: java.lang.Long => l.toDouble
+      case i: java.lang.Integer => i.toDouble
+      case _ => 0.0
+    }
+    def cmp(a: Int, b: Int, ai: Int, isMin: Boolean): Boolean = {
+      // deque keeps candidates: drop tail while new elem is better-or-equal
+      val x = rVals(a).get(fieldOf(ai)); val y = rVals(b).get(fieldOf(ai))
+      val c = (x, y) match {
+        case (p: java.lang.Long, q: java.lang.Long) => java.lang.Long.compare(p, q)
+        case (p: java.lang.Integer, q: java.lang.Integer) => Integer.compare(p, q)
+        case _ => java.lang.Double.compare(numD(a, ai), numD(b, ai))
+      }
+      if (isMin) c <= 0 else c >= 0
+    }
+
+    ls.iterator.map { l =>
+      val ts = WindowJoin.anyToLong(l.get(tsIdx))
+      val wLo = ts + lo
+      val wHi = ts + hi
+      // advance `to`: add rows entering the window
+      while (to < nR && (if (exclusive) rTs(to) < wHi else rTs(to) <= wHi)) {
+        var ai = 0
+        while (ai < aggs.length) {
+          aggs(ai).op match {
+            case "min" =>
+              val dq = deques(ai)
+              while (!dq.isEmpty && cmp(to, dq.peekLast, ai, isMin = true))
+                dq.pollLast()
+              dq.addLast(to)
+            case "max" =>
+              val dq = deques(ai)
+              while (!dq.isEmpty && cmp(to, dq.peekLast, ai, isMin = false))
+                dq.pollLast()
+              dq.addLast(to)
+            case "sum" => sumL(ai) += numL(to, ai); sumD(ai) += numD(to, ai)
+            case "count" => sumL(ai) += 1
+          }
+          ai += 1
+        }
+        to += 1
+      }
+      // advance `from`: drop rows leaving the window
+      while (from < to && (if (exclusive) rTs(from) <= wLo else rTs(from) < wLo)) {
+        var ai = 0
+        while (ai < aggs.length) {
+          aggs(ai).op match {
+            case "min" | "max" =>
+              val dq = deques(ai)
+              if (!dq.isEmpty && dq.peekFirst == from) dq.pollFirst()
+            case "sum" => sumL(ai) -= numL(from, ai); sumD(ai) -= numD(from, ai)
+            case "count" => sumL(ai) -= 1
+          }
+          ai += 1
+        }
+        from += 1
+      }
+      val empty = from >= to
+      val aggVals: Seq[Any] = aggs.zipWithIndex.map { case (a, ai) =>
+        if (empty) null
+        else a.op match {
+          case "count" => sumL(ai)
+          // box explicitly: `if (c) double else long` would widen the
+          // Long branch to Double (Scala weak conformance)
+          case "sum" =>
+            if (isDouble(ai)) java.lang.Double.valueOf(sumD(ai))
+            else java.lang.Long.valueOf(sumL(ai))
+          case "min" | "max" => rVals(deques(ai).peekFirst).get(fieldOf(ai))
+        }
+      }
+      // drop the composite key column from the left row
+      val base = l.toSeq.zipWithIndex.collect {
+        case (v, i) if i != kIdx => v }
+      Row.fromSeq(base ++ aggVals)
+    }
   }
 }

@@ -99,6 +99,38 @@ class OperatorsSpec extends SparkSpec {
     assert(exc.collect().head.getLong(3) == 1L)
   }
 
+  test("sliding window join equals the generic range join (incl/excl)") {
+    val rnd = new scala.util.Random(7)
+    val l = (0 until 300).map(i =>
+      (i.toLong, if (rnd.nextBoolean()) "a" else "b", rnd.nextInt(1000).toLong))
+      .toDF("id", "k", "ts")
+    val r = (0 until 500).map(_ =>
+      (if (rnd.nextBoolean()) "a" else "b", rnd.nextInt(1000).toLong,
+        rnd.nextInt(100).toLong, rnd.nextDouble()))
+      .toDF("k", "ts", "v", "d")
+    for (excl <- Seq(false, true)) {
+      val generic = WindowJoin.windowJoin(l, r, Seq("id"), Seq("k"), "ts",
+        lit(-50L), lit(50L),
+        Seq(min($"v").as("mn"), max($"v").as("mx"),
+          sum($"v").as("sv"), count($"v").as("n"),
+          round(sum($"d"), 6).as("sd")),
+        inclusive = !excl)
+        .select($"id", $"mn", $"mx", expr("CAST(sv AS LONG) AS sv"), $"n", $"sd")
+        .orderBy($"id").collect()
+      val sliding = WindowJoin.windowJoinSliding(l, r, Seq("k"), "ts",
+        -50L, 50L,
+        Seq(WindowJoin.Agg("min", "v", "mn"), WindowJoin.Agg("max", "v", "mx"),
+          WindowJoin.Agg("sum", "v", "sv"), WindowJoin.Agg("count", "v", "n"),
+          WindowJoin.Agg("sum", "d", "sd")),
+        exclusive = excl)
+        .select($"id", $"mn", $"mx", $"sv", $"n", round($"sd", 6).as("sd"))
+        .orderBy($"id").collect()
+      assert(generic.length == sliding.length)
+      generic.zip(sliding).foreach { case (g, s) =>
+        assert(g.toSeq == s.toSeq, s"excl=$excl\n g=$g\n s=$s") }
+    }
+  }
+
   test("upsert: hit rows take source wholesale (incl. nulls), misses append") {
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "bal")
     val source = Seq((2L, "B2", null.asInstanceOf[java.lang.Double]),
