@@ -903,8 +903,9 @@ object Queries {
 
   // ---------------------------------------------------------------- m02
   // Multimodal decode stub via typed mapPartitions (mapInPandas shape):
-  // per-media pseudo-pixel features. Deterministic but engine-specific →
-  // rows-only driver check; exact values pinned in MultimodalSpec.
+  // per-media pseudo-pixel features. DuckDB-oracled: the payloads are the
+  // docs' UTF-8 bytes and the corpus is ASCII, so byte values == ascii()
+  // codes on the oracle side (MultimodalSpec pins non-ASCII bytes too).
   def m02_media_decode(spark: SparkSession, dir: String): DataFrame = {
     val media = t(spark, dir, "documents")
       .select($"doc_id", $"text".cast("binary").as("data"))
@@ -913,6 +914,16 @@ object Queries {
         round($"mean_intensity", 4).as("mean_intensity"))
       .orderBy($"media_id")
   }
+
+  private val m02_sql =
+    """SELECT doc_id AS media_id,
+      |  CAST(length(text) AS INTEGER) AS n_bytes,
+      |  CAST(ceil(length(text) / 64.0) AS INTEGER) AS n_frames,
+      |  ROUND(CASE WHEN length(text) = 0 THEN 0.0
+      |    ELSE CAST(list_sum(list_transform(range(1, length(text) + 1),
+      |      j -> ascii(substr(text, j, 1)))) AS DOUBLE) / length(text) END, 4)
+      |    AS mean_intensity
+      |FROM documents ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------- m03
   // Frame sampling (flatMap/UDTF shape): every 2nd 64-byte frame.
@@ -924,6 +935,18 @@ object Queries {
         round($"intensity", 4).as("intensity"))
       .orderBy($"media_id", $"frame_idx")
   }
+
+  private val m03_sql =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents)
+      |SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
+      |  CAST(LEAST(64, n - i * 64) AS INTEGER) AS frame_bytes,
+      |  ROUND(CAST(list_sum(list_transform(
+      |      range(i * 64 + 1, LEAST(n, (i + 1) * 64) + 1),
+      |      j -> ascii(substr(text, j, 1)))) AS DOUBLE)
+      |    / LEAST(64, n - i * 64), 4) AS intensity
+      |FROM d, unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS t(i)
+      |WHERE i % 2 = 0
+      |ORDER BY media_id, frame_idx""".stripMargin
 
   // ---------------------------------------------------------------- q28
   // bin (vectorized binary search: greatest threshold ≤ x, reference
@@ -1799,5 +1822,7 @@ object Queries {
     "q50_time_millis" -> q50_sql,
     "d06_lsh_candidates" -> d06_sql,
     "d07_simhash_neardup" -> d07_sql,
+    "m02_media_decode" -> m02_sql,
+    "m03_frame_sample" -> m03_sql,
   )
 }
