@@ -72,6 +72,13 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
   override def outputOrdering: Seq[SortOrder] =
     (leftKeys :+ leftTs).map(SortOrder(_, Ascending))
 
+  /** Rows stay in the left child's partitions (the merge only appends
+    * payload), so downstream operators clustered on the same keys reuse
+    * the exchange instead of re-shuffling. */
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output

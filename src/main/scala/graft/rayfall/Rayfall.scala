@@ -632,6 +632,16 @@ object Rayfall {
       require(n > 0, "(take n t) on a table needs n > 0")
       evalTable(tExpr, tables).limit(n.toInt)
 
+    // (meta t) — schema introspection as a table (reference meta,
+    // core/misc.c:245)
+    case RList(RSym("meta") :: t :: Nil) =>
+      val df = evalTable(t, tables)
+      val spark = df.sparkSession
+      import spark.implicits._
+      Tbl(df).meta.zipWithIndex
+        .map { case ((n, ty), i) => (i.toLong, n, ty) }
+        .toDF("idx", "col_name", "col_type")
+
     // (distinct t) / (xasc [c…] t) / (xdesc [c…] t) table forms
     case RList(RSym("distinct") :: t :: Nil) =>
       evalTable(t, tables).distinct()

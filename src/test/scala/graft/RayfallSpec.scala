@@ -149,6 +149,15 @@ class RayfallSpec extends SparkSpec {
     assert(viaMapLeft.count() == 2)
   }
 
+  test("(meta t) returns the schema as rows") {
+    val t = Seq((1L, "a", 2.5)).toDF("id", "name", "score")
+    val got = Rayfall.query("(meta t)", Map("t" -> t))
+      .orderBy($"idx").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    assert(got.toSeq == Seq(("id", "bigint"), ("name", "string"),
+      ("score", "double")))
+  }
+
   test("alter applies a binary fn to a table column (docs/queries/alter.md)") {
     val trades = Seq((100L, 50L), (200L, 60L)).toDF("price", "volume")
     val plus = Rayfall.query("(alter trades + 'price 10)",
