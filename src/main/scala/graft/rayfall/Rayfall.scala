@@ -343,6 +343,24 @@ object Rayfall {
 
       case RList(RSym("exit") :: _) => VAtom(null)
 
+      // in-place quoted forms (reference docs): the result replaces the
+      // env binding — (update {… from: 'tab …}), (upsert 't n s),
+      // (alter 't fn 'col v)
+      case RList(RSym("update") :: RDict(pairs) :: Nil)
+          if pairs.toMap.get("from").exists(_.isInstanceOf[RQuote]) =>
+        val RQuote(name) = (pairs.toMap.apply("from"): RExpr): @unchecked
+        val df = eval(RList(RSym("update") :: RDict(pairs) :: Nil), tablesOf)
+        env(name) = VTab(df); hook(df); VTab(df)
+      case RList(RSym("upsert") :: RQuote(name) :: n :: s :: Nil) =>
+        val df = eval(RList(RSym("upsert") :: RSym(name) :: n :: s :: Nil),
+          tablesOf)
+        env(name) = VTab(df); hook(df); VTab(df)
+      case RList(RSym("alter") :: RQuote(name) :: fn :: c :: v :: Nil)
+          if env.get(name).exists(_.isInstanceOf[VTab]) =>
+        val df = eval(RList(RSym("alter") :: RSym(name) :: fn :: c :: v :: Nil),
+          tablesOf)
+        env(name) = VTab(df); hook(df); VTab(df)
+
       // (insert t rows) / (insert 't rows) — append with the reference's
       // literal row forms (examples/insert.rfl): list-of-atoms (one row),
       // list-of-vectors (columns), dict with reordered or partial columns
@@ -675,6 +693,10 @@ object Rayfall {
   private def evalTable(e: RExpr, tables: Map[String, DataFrame]): DataFrame =
     e match {
       case RSym(n) => tables.getOrElse(n,
+        throw new IllegalArgumentException(s"unknown table $n"))
+      // quoted = the reference's in-place form; same table resolution
+      // here (re-binding is the script evaluator's job)
+      case RQuote(n) => tables.getOrElse(n,
         throw new IllegalArgumentException(s"unknown table $n"))
       case l: RList => eval(l, tables)
       case x => throw new IllegalArgumentException(s"bad table ref $x")

@@ -258,6 +258,20 @@ class DocsSpec extends SparkSpec {
     assert(byId(20L) == (("Tom", Some(200.0))))       // in-place quoted
   }
 
+  test("in-place quoted forms rebind the script environment") {
+    val got = Rayfall.script(spark,
+      """(set t (table [id v] (list [1 2 3] [10.0 20.0 30.0])))
+        |(update {v: (* v 2) from: 't where: (> id 1)})
+        |(alter 't + 'v 1)
+        |(set s (table [id v] (list [3 4] [0.5 0.25])))
+        |(upsert 't 1 s)
+        |(select {id: id v: v from: t})""".stripMargin)
+      .orderBy($"id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // update doubles v for id>1; alter adds 1; upsert overwrites id=3,
+    // appends id=4
+    assert(got.toSeq == Seq((1L, 11.0), (2L, 41.0), (3L, 0.5), (4L, 0.25)))
+  }
+
   test("alter.md: table column alter example") {
     val trades = Seq((100L, 50L), (200L, 60L)).toDF("price", "volume")
     val got = Rayfall.query("(alter trades + 'price 10)",
