@@ -257,6 +257,70 @@ object Rayfall {
           case x => throw new IllegalArgumentException(s"if needs a boolean, got $x")
         }
 
+      // value-level lambda application and the iteration combinators
+      // (reference tests/lang.c:27-33, :4417-4422, :5010-5014)
+      case RList(RList(RSym("fn") :: RVec(ps) :: body :: Nil) :: args) =>
+        applyFn(spark, keyNames(ps), body, args.map(ev), env, hook)
+      case RList(RSym("map" | "pmap") ::
+          (fnForm @ RList(RSym("fn") :: RVec(ps) :: body :: Nil)) :: v :: Nil) =>
+        // pmap == map: everything in Spark is parallel; driver vectors
+        // are small by construction
+        VVec(vec(ev(v)).map(x =>
+          applyFn(spark, keyNames(ps), body, Seq(VAtom(x)), env, hook) match {
+            case VAtom(y) => y
+            case VVec(ys) => ys
+            case y => throw new IllegalArgumentException(s"bad map result $y")
+          }))
+      case RList(RSym("map-left") :: RSym(op) :: a :: v :: Nil) =>
+        val right = ev(v)
+        ev(a) match {
+          case VAtom(x) => broadcastArith(op, VAtom(x), right)
+          case VVec(xs) =>
+            VVec(xs.map(x => broadcastArith(op, VAtom(x), right): Any))
+          case x => throw new IllegalArgumentException(s"bad map-left arg $x")
+        }
+      case RList(RSym("map-right") :: RSym(op) :: l :: r :: Nil) =>
+        // fn of each RIGHT element vs the whole left
+        ev(r) match {
+          case VAtom(x) => broadcastArith(op, ev(l), VAtom(x))
+          case VVec(xs) =>
+            VVec(xs.map(x => broadcastArith(op, ev(l), VAtom(x)): Any))
+          case x => throw new IllegalArgumentException(s"bad map-right arg $x")
+        }
+      case RList(RSym("filter") :: v :: mask :: Nil)
+          if !isTableForm(v, env) =>
+        val xs = vec(ev(v)); val ms = vec(ev(mask))
+        require(xs.length == ms.length, "filter length mismatch")
+        VVec(xs.zip(ms).collect {
+          case (x, b: java.lang.Boolean) if b => x })
+      case RList(RSym("fold") :: RSym(op) :: v :: Nil) =>
+        vec(ev(v)).map(x => VAtom(x): RVal)
+          .reduce((a, b) => broadcastArith(op, a, b))
+      case RList(RSym(agg @ ("sum" | "min" | "max" | "avg")) :: v :: Nil)
+          if !isTableForm(v, env) && vecValued(v, env) =>
+        val xs = vec(ev(v))
+        val allLong = xs.forall(_.isInstanceOf[java.lang.Long])
+        if (allLong) {
+          val ls = xs.map(_.asInstanceOf[java.lang.Long].longValue())
+          agg match {
+            case "sum" => VAtom(java.lang.Long.valueOf(ls.sum))
+            case "min" => VAtom(java.lang.Long.valueOf(ls.min))
+            case "max" => VAtom(java.lang.Long.valueOf(ls.max))
+            case "avg" => VAtom(java.lang.Double.valueOf(
+              ls.sum.toDouble / ls.length))
+          }
+        } else {
+          val ds = xs.map { case d: java.lang.Double => d.doubleValue()
+            case l: java.lang.Long => l.toDouble
+            case x => throw new IllegalArgumentException(s"non-numeric $x") }
+          agg match {
+            case "sum" => VAtom(java.lang.Double.valueOf(ds.sum))
+            case "min" => VAtom(java.lang.Double.valueOf(ds.min))
+            case "max" => VAtom(java.lang.Double.valueOf(ds.max))
+            case "avg" => VAtom(java.lang.Double.valueOf(ds.sum / ds.length))
+          }
+        }
+
       case RList(RSym("til") :: n :: Nil) =>
         VVec(Vector.range(0L, num(ev(n))).map(x => x: Any))
       case RList(RSym("take") :: x :: n :: Nil) =>
@@ -328,8 +392,11 @@ object Rayfall {
         hook(df)
         VTab(df)
 
-      case RList(RSym(op @ ("+" | "-" | "*" | "/" | "%")) :: a :: b :: Nil)
-          if !isTableForm(a, env) && !isTableForm(b, env) =>
+      case RList(RSym(op @ ("+" | "-" | "*" | "/" | "%" |
+          ">" | "<" | ">=" | "<=" | "==" | "=" | "!=")) :: a :: b :: Nil)
+          if !isTableForm(a, env) && !isTableForm(b, env) &&
+            (vecValued(a, env) || vecValued(b, env) ||
+              (!refsColumns(a, env) && !refsColumns(b, env))) =>
         broadcastArith(op, ev(a), ev(b))
 
       case RList(RSym("table") :: RVec(cols) :: listForm :: Nil) =>
@@ -463,8 +530,52 @@ object Rayfall {
       case _ => false
     }
 
-  /** Element-wise arithmetic with scalar↔vector broadcast; `/` and `%`
-    * are Euclidean on integers (core/ops.h:171-183). */
+  /** Value-level lambda application: params bound in a child scope. */
+  private def applyFn(spark: SparkSession, names: Seq[String], body: RExpr,
+                      args: Seq[RVal],
+                      env: scala.collection.mutable.Map[String, RVal],
+                      hook: DataFrame => Unit): RVal = {
+    require(names.length == args.length, "lambda arity mismatch")
+    val inner = env.clone()
+    names.zip(args).foreach { case (p, a) => inner(p) = a }
+    evalScript(spark, body, inner, hook)
+  }
+
+  /** Is the sub-form vector-valued in the script env (so script-level
+    * arithmetic should own it rather than the Column translator)? */
+  private def vecValued(e: RExpr,
+                        env: scala.collection.mutable.Map[String, RVal]): Boolean =
+    e match {
+      case RSym(n) => env.get(n).exists(v =>
+        v.isInstanceOf[VVec] || v.isInstanceOf[VAtom])
+      case RVec(_) => true
+      case RNum(_, _, _) | RStr(_) | RQuote(_) => true
+      case RList(RSym("til" | "take" | "concat" | "list" | "map" | "pmap" |
+        "map-left" | "map-right" | "filter" | "fold" | "sum" | "min" | "max" |
+        "avg" | "count" | "at" | "as" | "+" | "-" | "*" | "/" | "%" |
+        ">" | "<" | ">=" | "<=" | "==" | "=" | "!=") :: rest) =>
+        rest.forall(x => vecValued(x, env) || !refsColumns(x, env))
+      case RList(RList(RSym("fn") :: _) :: _) => true
+      case _ => false
+    }
+
+  /** Does the form reference an unbound symbol (i.e. a table column)? */
+  private def refsColumns(e: RExpr,
+                          env: scala.collection.mutable.Map[String, RVal]): Boolean =
+    e match {
+      case RSym(n) => !env.contains(n)
+      case RList(RSym(_) :: rest) => rest.exists(refsColumns(_, env))
+      case RList(items) => items.exists(refsColumns(_, env))
+      case RVec(items) => items.exists {
+        case RSym(_) => false // symbol literal inside a vector
+        case x => refsColumns(x, env)
+      }
+      case RDict(pairs) => pairs.exists(p => refsColumns(p._2, env))
+      case _ => false
+    }
+
+  /** Element-wise arithmetic/comparison with scalar↔vector broadcast;
+    * `/` and `%` are Euclidean on integers (core/ops.h:171-183). */
   private def broadcastArith(op: String, a: RVal, b: RVal): RVal = {
     def asVec(v: RVal): Option[Vector[Any]] = v match {
       case VVec(xs) => Some(xs); case _ => None
@@ -476,6 +587,12 @@ object Rayfall {
         case "*" => i * j
         case "/" => java.lang.Math.floorDiv(i, j)
         case "%" => java.lang.Math.floorMod(i, j)
+        case ">" => java.lang.Boolean.valueOf(i > j)
+        case "<" => java.lang.Boolean.valueOf(i < j)
+        case ">=" => java.lang.Boolean.valueOf(i >= j)
+        case "<=" => java.lang.Boolean.valueOf(i <= j)
+        case "==" | "=" => java.lang.Boolean.valueOf(i == j)
+        case "!=" => java.lang.Boolean.valueOf(i != j)
       }
       case _ =>
         val (d1, d2) = (toD(x), toD(y))
@@ -485,6 +602,12 @@ object Rayfall {
           case "*" => d1 * d2
           case "/" => math.floor(d1 / d2)
           case "%" => d1 - math.floor(d1 / d2) * d2
+          case ">" => java.lang.Boolean.valueOf(d1 > d2)
+          case "<" => java.lang.Boolean.valueOf(d1 < d2)
+          case ">=" => java.lang.Boolean.valueOf(d1 >= d2)
+          case "<=" => java.lang.Boolean.valueOf(d1 <= d2)
+          case "==" | "=" => java.lang.Boolean.valueOf(d1 == d2)
+          case "!=" => java.lang.Boolean.valueOf(d1 != d2)
         }
     }
     def toD(x: Any): Double = x match {
@@ -516,7 +639,7 @@ object Rayfall {
       case VVec(xs) => xs
       case VAtom(x) => Vector(x)
       case xs: Vector[_] => xs.asInstanceOf[Vector[Any]]
-      case x => throw new IllegalArgumentException(s"bad column $x")
+      case x => Vector(x) // a bare atom (the list form flattens all-atom lists)
     }
     val n = cols.headOption.map(_.length).getOrElse(0)
     require(cols.forall(_.length == n), "table: ragged columns")

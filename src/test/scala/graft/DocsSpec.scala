@@ -272,6 +272,28 @@ class DocsSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 11.0), (2L, 41.0), (3L, 0.5), (4L, 0.25)))
   }
 
+  test("lang.c iteration golden group: map/pmap/map-left/map-right/filter") {
+    // tests/lang.c:27-33, :4417-4422, :5010-5014 — evaluated through the
+    // script value layer; results surfaced as a one-column table
+    def vecOf(src: String): Seq[Any] =
+      Rayfall.script(spark, s"(table [x] (list $src))")
+        .collect().map(_.get(0)).toSeq
+    assert(vecOf("(map (fn [x] (* x x)) [1 2 3 4 5])") ==
+      Seq(1L, 4L, 9L, 16L, 25L))
+    assert(vecOf("(pmap (fn [x] (* x x)) [1 2 3 4 5])") ==
+      Seq(1L, 4L, 9L, 16L, 25L))
+    assert(vecOf("(map (fn [x] (sum (til 100))) (til 5))") ==
+      Seq.fill(5)(4950L))
+    assert(vecOf("(map-left - 10 [1 2 3])") == Seq(9L, 8L, 7L))
+    assert(vecOf("(map-left / 100 [2 4 5])") == Seq(50L, 25L, 20L))
+    assert(vecOf("(map-right - [10 20 30] 5)") == Seq(5L, 15L, 25L))
+    assert(vecOf("(map-right / [10 20 30] 2)") == Seq(5L, 10L, 15L))
+    assert(vecOf("(map (fn [x] (+ x 10)) [0 1 2])") == Seq(10L, 11L, 12L))
+    assert(vecOf("(filter [1 2 3 4 5 6] (map (fn [x] (> x 3)) [1 2 3 4 5 6]))")
+      == Seq(4L, 5L, 6L))
+    assert(vecOf("(fold + [1 2 3 4])") == Seq(10L))
+  }
+
   test("alter.md: table column alter example") {
     val trades = Seq((100L, 50L), (200L, 60L)).toDF("price", "volume")
     val got = Rayfall.query("(alter trades + 'price 10)",
