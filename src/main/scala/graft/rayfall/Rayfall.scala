@@ -168,11 +168,17 @@ object Rayfall {
     *  - `(table [cols…] (list col…))` — table from value vectors
     *    (`core/compose.c:217`);
     *  - value forms: literals (incl. `HH:MM:SS.mmm` TIME), `til`, `take`
-    *    (atom-repeat / cycling), `concat`, `list`, broadcast `+ - * / %`
-    *    (Euclidean integer division), `(as 'TIME x)` (millis identity),
-    *    `(at t 'col)`, `count`;
-    *  - `show`/`println` (display no-ops), `(timeit form)` (ms),
-    *    `(if c e)`, `(nil? x)`, `(resolve 'n)`;
+    *    (atom-repeat / cycling), `concat`, `list`, broadcast arithmetic
+    *    and comparisons (Euclidean integer division), `(as 'TIME x)`
+    *    (millis identity), `(at t 'col)`, `count`, vector
+    *    `sum`/`min`/`max`/`avg`;
+    *  - lambdas `((fn [x…] body) …)` and the iteration combinators
+    *    `map`/`pmap`/`map-left`/`map-right`/`filter`/`fold`
+    *    (`core/iter.c`);
+    *  - `show`/`println` (display no-ops that still evaluate args),
+    *    `(timeit form)` (ms), `(if c e)`, `(nil? x)`, `(resolve 'n)`;
+    *  - in-place quoted forms: `(insert 't …)`, `(update {from: 't …})`,
+    *    `(upsert 't n s)`, `(alter 't fn 'col v)` rebind the env;
     *  - every table/query form from [[eval]].
     *
     * Returns the last table-valued result; `tables` seeds the env.
