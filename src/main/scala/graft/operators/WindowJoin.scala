@@ -73,6 +73,14 @@ object WindowJoin {
                         keys: Seq[String], ts: String,
                         loOffset: Long, hiOffset: Long,
                         aggs: Seq[Agg], exclusive: Boolean = false): DataFrame = {
+    // integral time axes only: a TimestampType would read as seconds on
+    // one side (cast long) and millis on the other (getTime) — reject
+    // rather than silently mis-join (this engine carries time as long
+    // nanos/millis per the repo convention)
+    for ((df, side) <- Seq((left, "left"), (right, "right")))
+      require(Seq(LongType, IntegerType).contains(df.schema(ts).dataType),
+        s"windowJoinSliding needs an integral $side ts column, got " +
+          s"${df.schema(ts).dataType}")
     val spark = left.sparkSession
     val leftCols = left.columns.toSeq
     val aggFields = aggs.map { a =>
