@@ -105,6 +105,11 @@ class GoldenSpec extends SparkSpec {
       .getSeq[Long](0) == Seq(2L, 3L))
     assert(one(RF.takeCycle(array(lit(1L), lit(2L), lit(3L)), -5))
       .getSeq[Long](0) == Seq(2L, 3L, 1L, 2L, 3L))
+    // the reference's own assertions (lang.c:2642-2644, 4-elem vector)
+    assert(one(RF.takeCycle(array((0L to 3L).map(lit): _*), -3))
+      .getSeq[Long](0) == Seq(1L, 2L, 3L))
+    assert(one(RF.takeCycle(array((0L to 3L).map(lit): _*), -5))
+      .getSeq[Long](0) == Seq(3L, 0L, 1L, 2L, 3L))
   }
 
   test("except keeps x order and multiplicity; sect distinct (lang.c §2.7)") {
