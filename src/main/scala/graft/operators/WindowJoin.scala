@@ -181,11 +181,16 @@ private[operators] object SlidingWindow {
       val ts = WindowJoin.anyToLong(l.get(tsIdx))
       val wLo = ts + lo
       val wHi = ts + hi
-      // advance `to`: add rows entering the window
+      // advance `to`: add rows entering the window (null values are
+      // skipped for min/max/sum — null-skipping aggregation; count
+      // counts every window row, the reference's unconditional count)
       while (to < nR && (if (exclusive) rTs(to) < wHi else rTs(to) <= wHi)) {
         var ai = 0
         while (ai < aggs.length) {
+          val isNull = aggs(ai).op != "count" &&
+            rVals(to).isNullAt(fieldOf(ai))
           aggs(ai).op match {
+            case _ if isNull => ()
             case "min" =>
               val dq = deques(ai)
               while (!dq.isEmpty && cmp(to, dq.peekLast, ai, isMin = true))
@@ -207,7 +212,10 @@ private[operators] object SlidingWindow {
       while (from < to && (if (exclusive) rTs(from) <= wLo else rTs(from) < wLo)) {
         var ai = 0
         while (ai < aggs.length) {
+          val isNull = aggs(ai).op != "count" &&
+            rVals(from).isNullAt(fieldOf(ai))
           aggs(ai).op match {
+            case _ if isNull => ()
             case "min" | "max" =>
               val dq = deques(ai)
               if (!dq.isEmpty && dq.peekFirst == from) dq.pollFirst()
@@ -228,7 +236,10 @@ private[operators] object SlidingWindow {
           case "sum" =>
             if (isDouble(ai)) java.lang.Double.valueOf(sumD(ai))
             else java.lang.Long.valueOf(sumL(ai))
-          case "min" | "max" => rVals(deques(ai).peekFirst).get(fieldOf(ai))
+          case "min" | "max" =>
+            // deque may be empty if every window value was null
+            if (deques(ai).isEmpty) null
+            else rVals(deques(ai).peekFirst).get(fieldOf(ai))
         }
       }
       // drop the composite key column from the left row

@@ -131,6 +131,26 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("sliding window join skips null values; count counts window rows") {
+    val l = Seq((1L, "a", 100L)).toDF("id", "k", "ts")
+    val r = Seq(("a", 90L, Some(5L)), ("a", 95L, None), ("a", 105L, Some(3L)))
+      .toDF("k", "ts", "v")
+    val got = WindowJoin.windowJoinSliding(l, r, Seq("k"), "ts", -50L, 50L,
+      Seq(WindowJoin.Agg("min", "v", "mn"), WindowJoin.Agg("max", "v", "mx"),
+        WindowJoin.Agg("sum", "v", "sv"), WindowJoin.Agg("count", "v", "n")))
+      .collect().head
+    assert(got.getLong(got.fieldIndex("mn")) == 3L)
+    assert(got.getLong(got.fieldIndex("mx")) == 5L)
+    assert(got.getLong(got.fieldIndex("sv")) == 8L)
+    // reference count is unconditional: 3 rows in the window
+    assert(got.getLong(got.fieldIndex("n")) == 3L)
+    // all-null window → null min/max
+    val rNull = Seq(("a", 90L, None: Option[Long])).toDF("k", "ts", "v")
+    val g2 = WindowJoin.windowJoinSliding(l, rNull, Seq("k"), "ts", -50L, 50L,
+      Seq(WindowJoin.Agg("min", "v", "mn"))).collect().head
+    assert(g2.isNullAt(g2.fieldIndex("mn")))
+  }
+
   test("upsert: hit rows take source wholesale (incl. nulls), misses append") {
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "name", "bal")
     val source = Seq((2L, "B2", null.asInstanceOf[java.lang.Double]),
