@@ -149,8 +149,8 @@ private[operators] object SlidingWindow {
     val nR = rTs.length
     // per-agg state
     val deques = aggs.map(_ => new java.util.ArrayDeque[Int]())
-    var sumL = new Array[Long](aggs.length)
-    var sumD = new Array[Double](aggs.length)
+    val sumL = new Array[Long](aggs.length)
+    val sumD = new Array[Double](aggs.length)
     var from = 0 // first right idx inside the window
     var to = 0   // first right idx beyond the window
 
