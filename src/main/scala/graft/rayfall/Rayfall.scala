@@ -391,10 +391,31 @@ object Rayfall {
           off
         }
         val (lo, hi) = (offsets(loV), offsets(hiV))
-        val form = RList(RSym(wj) :: RVec(keys) ::
-          RVec(List(RNum(0.0, isInt = true, l = lo),
-            RNum(0.0, isInt = true, l = hi))) :: l :: r :: RDict(aggPairs) :: Nil)
-        val df = eval(form, tablesOf)
+        // route to the SLIDING operator when every aggregate is a simple
+        // (min|max|sum|count col) — no fan-out materialization, so the
+        // reference's wide-window benchmark shapes run at O(n+m) per key;
+        // otherwise the generic range join handles arbitrary aggregates
+        val slidingAggs = aggPairs.map {
+          case (as, RList(RSym(op @ ("min" | "max" | "sum" | "count")) ::
+            RSym(c) :: Nil)) => Some(graft.operators.WindowJoin.Agg(op, c, as))
+          case _ => None
+        }
+        val right = ev(r) match { case VTab(df) => df
+          case x => throw new IllegalArgumentException(s"bad right $x") }
+        val integralTs = Seq(left, right).forall(df =>
+          df.schema(ks.last).dataType == org.apache.spark.sql.types.LongType ||
+            df.schema(ks.last).dataType == org.apache.spark.sql.types.IntegerType)
+        val df =
+          if (slidingAggs.forall(_.isDefined) && integralTs)
+            graft.operators.WindowJoin.windowJoinSliding(
+              left, right, ks.init, ks.last, lo, hi,
+              slidingAggs.flatten, exclusive = wj == "window-join")
+          else {
+            val form = RList(RSym(wj) :: RVec(keys) ::
+              RVec(List(RNum(0.0, isInt = true, l = lo),
+                RNum(0.0, isInt = true, l = hi))) :: l :: r :: RDict(aggPairs) :: Nil)
+            eval(form, tablesOf)
+          }
         hook(df)
         VTab(df)
 
