@@ -48,6 +48,15 @@ def main(outdir, sfdir):
             continue
         got = got.reindex(sorted(got.columns), axis=1)
         want = want.reindex(sorted(want.columns), axis=1)
+        # The driver sorts rows by every column before hashing — replicate so
+        # unsortable columns (arrays) and order-insensitive diffs fail here too.
+        try:
+            got = got.sort_values(list(got.columns)).reset_index(drop=True)
+            want = want.sort_values(list(want.columns)).reset_index(drop=True)
+        except Exception as e:
+            print(f"[FAIL] {name}: driver-style row sort failed: {e}")
+            n_fail += 1
+            continue
         if list(got.columns) != list(want.columns):
             print(f"[FAIL] {name}: columns {list(got.columns)} != {list(want.columns)}")
             n_fail += 1

@@ -609,12 +609,28 @@ object Queries {
       |ORDER BY score DESC, v.vec_id LIMIT 10""".stripMargin
 
   // ---------------------------------------------------------------- s02
-  // LSH-bucketed approximate top-k (scale path; no SQL oracle — the
-  // driver records a rows-only check).
+  // LSH-bucketed approximate top-k (scale path). Oracled: the fixed-seed
+  // hyperplanes are embedded in the DuckDB SQL as DOUBLE[] literals
+  // (shortest-repr round-trip = identical binary), so bucket membership
+  // replays exactly; the rerank is the s01-proven cosine parity.
   def s02_ann_lsh(spark: SparkSession, dir: String): DataFrame =
     Similarity.lshTopK(t(spark, dir, "embeddings"),
       "vec_id", "embedding", queryId = 0L, k = 10, dim = 64, nBits = 4)
       .select($"id".as("vec_id"), $"score")
+
+  private val s02_sql = {
+    val bkt = Similarity.hyperplanes(64, 4).zipWithIndex.map { case (p, i) =>
+      val arr = p.map(_.toString).mkString("[", ", ", "]")
+      s"CASE WHEN list_inner_product(v, $arr::DOUBLE[]) > 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString("\n    + ")
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |  b AS (SELECT id, v, $bkt AS bkt FROM v),
+       |  q AS (SELECT v AS qv, bkt AS qbkt FROM b WHERE id = 0)
+       |SELECT b.id AS vec_id, ROUND(list_cosine_similarity(b.v, q.qv), 6) AS score
+       |FROM b, q WHERE b.bkt = q.qbkt AND b.id <> 0
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+  }
 
   // ---------------------------------------------------------------- d06
   // MinHash-LSH dedup end-to-end: banded candidate generation, then
@@ -1410,6 +1426,38 @@ object Queries {
       "vec_id", "embedding", queryId = 0L, k = 10, nCells = 8, nProbe = 2)
       .select($"id".as("vec_id"), $"score")
 
+  /** Explicit cosine (dot / norms) — textually the engine's formula so the
+    * oracle's assignment argmax sees the same FP ops as NearestCentroid. */
+  private def duckCos(a: String, b: String) =
+    s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
+
+  // Self-contained IVF replication: centroids = every 16th of the first
+  // 128 rows by id; assignment = argmax cosine (sim DESC, cell ASC);
+  // probe = the query's 2 nearest cells; exact rerank within them.
+  private val s03_sql =
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |  topv AS (SELECT id, v FROM v ORDER BY id LIMIT 128),
+       |  num AS (SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM topv),
+       |  cent AS (SELECT CAST(rn // 16 AS INT) AS cell, v AS cv
+       |    FROM num WHERE rn % 16 = 1),
+       |  a AS (SELECT id, v, cell FROM (
+       |    SELECT v.id, v.v, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.id
+       |        ORDER BY ${duckCos("v.v", "c.cv")} DESC, c.cell) AS rk
+       |    FROM v CROSS JOIN cent c) WHERE rk = 1),
+       |  q AS (SELECT v AS qv FROM v WHERE id = 0),
+       |  probe AS (SELECT c.cell FROM cent c, q
+       |    ORDER BY ${duckCos("q.qv", "c.cv")} DESC, c.cell LIMIT 2)
+       |SELECT a.id AS vec_id, ROUND(list_cosine_similarity(a.v, q.qv), 6) AS score
+       |FROM a, q WHERE a.cell IN (SELECT cell FROM probe) AND a.id <> 0
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+
+  // s04 searches the PERSISTED index built from the same data with the
+  // same nCells/nProbe/k — by construction its answer equals s03's, so
+  // the oracle is the same replication.
+  private val s04_sql = s03_sql
+
   // ---------------------------------------------------------------- s04
   // Persisted IVF index lifecycle: build once (centroids + cell-partitioned
   // inverted lists on disk), then a partition-pruned probe — the scan
@@ -1450,22 +1498,23 @@ object Queries {
 
   // ---------------------------------------------------------------- r05
   // Rayfall update: where-gated column rewrite through the parser
-  // (reference ray_update, /root/reference/core/update.c; the *2 keeps
-  // the arithmetic FP-exact so DECIMAL routing hash-matches).
+  // (reference ray_update, /root/reference/core/update.c). *2 is exact in
+  // IEEE double, so both engines hold bit-identical doubles — emit DOUBLE
+  // on both sides; a double→DECIMAL cast would reintroduce per-engine
+  // rounding at .xx5 binary boundaries (the r2 HASHFAIL).
   def r05_rayfall_update(spark: SparkSession, dir: String): DataFrame =
     rayfall.Rayfall.query(
       """(update {o_totalprice: (* o_totalprice 2)
         |         from: orders
         |         where: (== o_orderpriority "1-URGENT")})""".stripMargin,
       Map("orders" -> t(spark, dir, "orders")))
-      .select($"o_orderkey", $"o_totalprice".cast("decimal(18,2)").as("price"))
+      .select($"o_orderkey", $"o_totalprice".as("price"))
       .orderBy($"o_orderkey")
 
   private val r05_sql =
     """SELECT o_orderkey,
-      |  CAST(CASE WHEN o_orderpriority = '1-URGENT'
-      |    THEN o_totalprice * 2 ELSE o_totalprice END
-      |    AS DECIMAL(18,2)) AS price
+      |  CASE WHEN o_orderpriority = '1-URGENT'
+      |    THEN o_totalprice * 2 ELSE o_totalprice END AS price
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------- r06
@@ -1479,15 +1528,15 @@ object Queries {
         |         by: o_orderpriority
         |         where: (> o_totalprice 100000.0)})""".stripMargin,
       Map("orders" -> t(spark, dir, "orders")))
-      .select($"o_orderkey", $"o_totalprice".cast("decimal(18,2)").as("price"))
+      .select($"o_orderkey", $"o_totalprice".as("price"))
       .orderBy($"o_orderkey")
 
   private val r06_sql =
     """SELECT o_orderkey,
-      |  CAST(CASE WHEN o_totalprice > 100000.0
+      |  CASE WHEN o_totalprice > 100000.0
       |    THEN MAX(CASE WHEN o_totalprice > 100000.0 THEN o_totalprice END)
       |      OVER (PARTITION BY o_orderpriority)
-      |    ELSE o_totalprice END AS DECIMAL(18,2)) AS price
+      |    ELSE o_totalprice END AS price
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------- r07
@@ -1576,16 +1625,19 @@ object Queries {
   // map-left (reference /root/reference/core/iter.c:665: fn of each left
   // element vs the whole right argument): per row, map a fixed vector of
   // multipliers over the row's key — an array-valued column, exact i64.
+  // Emitted as a joined string, not an array column: the driver's checker
+  // sorts rows by every column before hashing and cannot sort ndarrays.
   def q47_map_left(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "orders")
       .select($"o_orderkey",
-        transform(array(lit(1L), lit(2L), lit(3L)),
-          e => e * $"o_orderkey").as("multiples"))
+        array_join(transform(array(lit(1L), lit(2L), lit(3L)),
+          e => e * $"o_orderkey"), ",").as("multiples"))
       .orderBy($"o_orderkey")
 
   private val q47_sql =
     """SELECT o_orderkey,
-      |  list_transform([1, 2, 3], e -> e * o_orderkey) AS multiples
+      |  array_to_string(list_transform([1, 2, 3], e -> e * o_orderkey), ',')
+      |    AS multiples
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
   // ---------------------------------------------------------------- q48
@@ -1824,5 +1876,8 @@ object Queries {
     "d07_simhash_neardup" -> d07_sql,
     "m02_media_decode" -> m02_sql,
     "m03_frame_sample" -> m03_sql,
+    "s02_ann_lsh" -> s02_sql,
+    "s03_ann_ivf" -> s03_sql,
+    "s04_ivf_index" -> s04_sql,
   )
 }

@@ -40,8 +40,10 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplanes (fixed seed) for LSH. */
-  private def hyperplanes(dim: Int, nBits: Int): Seq[Seq[Double]] = {
+  /** Deterministic pseudo-random hyperplanes (fixed seed) for LSH.
+    * Package-visible so the DuckDB oracle SQL can embed the same planes
+    * as literals (the d06 seeds-in-SQL pattern). */
+  private[graft] def hyperplanes(dim: Int, nBits: Int): Seq[Seq[Double]] = {
     val rnd = new scala.util.Random(42)
     Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
   }
@@ -62,35 +64,48 @@ object Similarity {
     *
     * @param nProbe how many nearest cells to search (recall knob)
     */
-  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-              queryId: Long, k: Int, nCells: Int, nProbe: Int = 1): DataFrame = {
-    val v = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    // deterministic coarse centroids: every (n/nCells)-th row by id order
-    val centroids = v.orderBy(col("id")).limit(nCells * 16)
+  /** Deterministic coarse centroids: every 16th of the first nCells*16
+    * rows by id order (at scale you'd k-means; the assignment/search
+    * machinery is identical). nCells rows — always driver-collectable. */
+  private def centroidRows(v: DataFrame, nCells: Int): Array[(Int, Seq[Double])] =
+    v.orderBy(col("id")).limit(nCells * 16)
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
       .filter(col("__rn") % 16 === 1)
       .select((col("__rn") / 16).cast("int").as("cell"), col("v").as("cv"))
-    // assign every vector to its max-cosine centroid (broadcast centroids)
-    val assigned = v.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosine(col("v"), col("cv")))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("sim").desc, col("cell"))))
-      .filter(col("rk") === 1)
-      .select(col("id"), col("v"), col("cell"))
-    // the query's nProbe nearest cells
-    val qCells = assigned.filter(col("id") === queryId)
-      .select(col("v").as("qv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("sim", cosine(col("qv"), col("cv")))
-      .orderBy(col("sim").desc, col("cell")).limit(nProbe)
-      .select(col("cell"), col("qv"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+
+  /** Single-pass, shuffle-free cell assignment: the centroid matrix rides
+    * along as one array<array<double>> literal and the codegen'd
+    * NearestCentroid picks the argmax-cosine index — no crossJoin, no
+    * row_number window, no Exchange (vs the n×nCells shuffle both cost a
+    * 100 TB index build). */
+  private def assignCells(v: DataFrame, cents: Array[(Int, Seq[Double])]): DataFrame = {
+    import graft.functions.VectorExprs.nearestCentroid
+    val centLit = typedLit(cents.map(_._2).toSeq)
+    v.withColumn("cell", nearestCentroid(col("v"), centLit))
+  }
+
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, nCells: Int, nProbe: Int = 1): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cents = centroidRows(v, nCells)
+    val assigned = assignCells(v, cents)
+    // the query's nProbe nearest cells — nCells candidates, driver-side
+    val qv = v.filter(col("id") === queryId).select(col("v"))
+      .collect().head.getSeq[Double](0)
+    val probed = cents
+      .map { case (cell, cv) => (cell, cosineLocal(qv, cv)) }
+      .sortBy { case (cell, sim) => (-sim, cell) }
+      .take(nProbe).map(_._1)
     // exact rerank within the probed cells only
-    assigned.join(broadcast(qCells), Seq("cell"))
+    val qvLit = array(qv.map(lit): _*)
+    assigned.filter(col("cell").isin(probed.map(x => x: Any): _*))
       .filter(col("id") =!= queryId)
-      .select(col("id"), round(cosine(col("v"), col("qv")), 6).as("score"))
+      .select(col("id"), round(cosine(col("v"), qvLit), 6).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
@@ -105,20 +120,17 @@ object Similarity {
                     nCells: Int, path: String): Unit = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val centroids = v.orderBy(col("id")).limit(nCells * 16)
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
-      .filter(col("__rn") % 16 === 1)
-      .select((col("__rn") / 16).cast("int").as("cell"), col("v").as("cv"))
-    centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    val assigned = v.crossJoin(broadcast(centroids))
-      .withColumn("sim", cosine(col("v"), col("cv")))
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
-          .orderBy(col("sim").desc, col("cell"))))
-      .filter(col("rk") === 1)
+    val cents = centroidRows(v, nCells)
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.toSeq.toDF("cell", "cv")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    // one narrow assignment pass (no shuffle), then the partitioned write
+    // — the only Exchange in the build is the repartition that sizes the
+    // per-cell output files.
+    assignCells(v, cents)
       .select(col("id"), col("v"), col("cell"))
-    assigned.repartition(col("cell"))
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
   }
 

@@ -120,6 +120,34 @@ class PipelineSpec extends SparkSpec {
     assert(wide.head >= ivf.map(_.getDouble(1)).max)
   }
 
+  test("ivf assignment is shuffle-free: no Exchange/Window before the write") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val v = emb.selectExpr("vec_id AS id", "CAST(embedding AS array<double>) AS v")
+    val cents = (0 until 4).map(i => (i, Seq.fill(64)(i + 1.0)))
+    val centLit = typedLit(cents.map(_._2))
+    val assigned = v.withColumn("cell",
+      graft.functions.VectorExprs.nearestCentroid($"v", centLit))
+    val plan = assigned.queryExecution.executedPlan.toString
+    // the r2 crossJoin+row_number assignment cost an n×nCells shuffle+sort;
+    // the NearestCentroid expression must keep the scan narrow
+    assert(!plan.contains("Exchange"), plan.take(600))
+    assert(!plan.contains("Window"), plan.take(600))
+    assert(!plan.contains("Join"), plan.take(600))
+    // and agree with the brute-force argmax
+    val got = assigned.collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val local = v.collect().map { r =>
+      val vec = r.getSeq[Double](1)
+      val best = cents.map { case (i, c) =>
+        val dot = vec.zip(c).map { case (a, b) => a * b }.sum
+        val sim = dot / (math.sqrt(vec.map(x => x * x).sum) *
+          math.sqrt(c.map(x => x * x).sum))
+        (i, sim)
+      }.maxBy(_._2)._1
+      r.getLong(0) -> best
+    }.toMap
+    assert(got == local)
+  }
+
   test("persisted IVF index: partition-pruned probe, scores match brute force") {
     val emb = Tables.load(spark, sf, "embeddings")
     val path = s"/tmp/graft_ivf_spec/${System.nanoTime()}"
