@@ -159,6 +159,34 @@ object Rayfall {
   final case class VTab(df: DataFrame) extends RVal
   final case class VVec(xs: Vector[Any]) extends RVal
   final case class VAtom(x: Any) extends RVal
+  /** Lazy view of `base` column of a table plus a constant offset —
+    * produced by `(at t 'col)` and kept lazy through +/- so the docs'
+    * window-join interval construction
+    * `(map-left + [lo hi] (at trades 'Ts))` never materializes the
+    * column: the bridge reads the offsets straight off the provenance.
+    * Materializing (when a driver vector is genuinely required) is
+    * size-guarded by [[maxDriverVec]]. */
+  final case class VColView(df: DataFrame, base: String, offset: Long) extends RVal
+
+  /** Refuse to `collect()` a lazy value bigger than this into the driver
+    * (the reference materializes freely — its vectors live in one
+    * process; ours are distributed and unbounded). */
+  val maxDriverVec: Long = 1L << 21
+
+  private def materialize(v: VColView): Vector[Any] = {
+    val n = v.df.count()
+    require(n <= maxDriverVec,
+      s"refusing to materialize $n-row column '${v.base}' into the driver " +
+        s"(max $maxDriverVec); keep it lazy or aggregate it distributed")
+    val xs = v.df.select(col(v.base)).collect().map(_.get(0)).toVector
+    if (v.offset == 0L) xs
+    else xs.map {
+      case l: java.lang.Long => java.lang.Long.valueOf(l + v.offset): Any
+      case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue + v.offset): Any
+      case x => throw new IllegalArgumentException(
+        s"non-integral column '${v.base}' under offset ${v.offset}: $x")
+    }
+  }
 
   /** Evaluate a SCRIPT: a sequence of top-level forms in the reference's
     * `.rfl` style (the scripts under `/root/reference/examples/` run
@@ -209,6 +237,7 @@ object Rayfall {
     def vec(v: RVal): Vector[Any] = v match {
       case VVec(xs) => xs
       case VAtom(x) => Vector(x)
+      case cv: VColView => materialize(cv)
       case VTab(_) => throw new IllegalArgumentException("expected a vector")
     }
     def num(v: RVal): Long = v match {
@@ -347,12 +376,14 @@ object Rayfall {
       case RList(RSym("count") :: x :: Nil) => ev(x) match {
         case VVec(xs) => VAtom(xs.length.toLong)
         case VTab(df) => VAtom(df.count())
+        case VColView(df, _, _) => VAtom(df.count())
         case VAtom(_) => VAtom(1L)
       }
+      // (at t 'col) stays LAZY — a column view, not a driver vector
+      // (the reference's columns are in-process; ours are unbounded)
       case RList(RSym("at") :: t :: RQuote(c) :: Nil) =>
         ev(t) match {
-          case VTab(df) => VVec(df.select(col(c)).collect()
-            .map(_.get(0): Any).toVector)
+          case VTab(df) => VColView(df, c, 0L)
           case x => throw new IllegalArgumentException(s"at needs a table, got $x")
         }
 
@@ -372,25 +403,43 @@ object Rayfall {
           RSym(intervalsName) :: l :: r :: RDict(aggPairs) :: Nil)
           if env.get(intervalsName).exists(_.isInstanceOf[VVec]) =>
         val VVec(iv) = env(intervalsName): @unchecked
-        val (loV, hiV) = iv match {
-          case Vector(VVec(a), VVec(b)) => (a, b)
-          case x => throw new IllegalArgumentException(
-            s"window-join intervals must be a list of two vectors, got $x")
-        }
         val ks = keyNames(keys)
         val left = ev(l) match { case VTab(df) => df
           case x => throw new IllegalArgumentException(s"bad left $x") }
-        val ts = left.select(col(ks.last)).collect().map(_.getLong(0))
-        require(ts.length == loV.length && ts.length == hiV.length,
-          "interval vectors must match the left row count")
-        def offsets(bound: Vector[Any]): Long = {
-          val off = bound.head.asInstanceOf[Long] - ts(0)
-          require(ts.indices.forall(i =>
-            bound(i).asInstanceOf[Long] - ts(i) == off),
-            "only constant-offset intervals are supported")
-          off
+        val (lo, hi) = iv match {
+          // the docs' construction (map-left + [lo hi] (at l 'ts)) stayed
+          // LAZY: offsets come straight off the column-view provenance —
+          // zero distributed work, scale-safe at any left size
+          case Vector(VColView(_, c1, o1), VColView(_, c2, o2))
+              if c1 == ks.last && c2 == ks.last =>
+            (o1, o2)
+          // literal driver vectors (e.g. examples/window.rfl): these are
+          // already driver-resident, so fetching the SAME NUMBER of ts
+          // rows is bounded by an existing driver value — limit(n+1)
+          // also catches a longer table without counting it
+          case Vector(loRv: RVal, hiRv: RVal) =>
+            val loV = loRv match { case VVec(a) => a
+              case cv: VColView => materialize(cv)
+              case x => throw new IllegalArgumentException(s"bad interval $x") }
+            val hiV = hiRv match { case VVec(a) => a
+              case cv: VColView => materialize(cv)
+              case x => throw new IllegalArgumentException(s"bad interval $x") }
+            val n = loV.length
+            val ts = left.select(col(ks.last)).limit(n + 1).collect()
+              .map(_.getLong(0))
+            require(ts.length == n && hiV.length == n,
+              "interval vectors must match the left row count")
+            def offsets(bound: Vector[Any]): Long = {
+              val off = bound.head.asInstanceOf[Long] - ts(0)
+              require(ts.indices.forall(i =>
+                bound(i).asInstanceOf[Long] - ts(i) == off),
+                "only constant-offset intervals are supported")
+              off
+            }
+            (offsets(loV), offsets(hiV))
+          case x => throw new IllegalArgumentException(
+            s"window-join intervals must be a list of two vectors, got $x")
         }
-        val (lo, hi) = (offsets(loV), offsets(hiV))
         // route to the SLIDING operator when every aggregate is a simple
         // (min|max|sum|count col) — no fan-out materialization, so the
         // reference's wide-window benchmark shapes run at O(n+m) per key;
@@ -604,8 +653,21 @@ object Rayfall {
   /** Element-wise arithmetic/comparison with scalar↔vector broadcast;
     * `/` and `%` are Euclidean on integers (core/ops.h:171-183). */
   private def broadcastArith(op: String, a: RVal, b: RVal): RVal = {
+    // column view ± integer constant stays lazy (offset provenance);
+    // anything else materializes under the size guard
+    (op, a, b) match {
+      case ("+", VColView(df, c, o), VAtom(l: java.lang.Long)) =>
+        return VColView(df, c, o + l)
+      case ("+", VAtom(l: java.lang.Long), VColView(df, c, o)) =>
+        return VColView(df, c, o + l)
+      case ("-", VColView(df, c, o), VAtom(l: java.lang.Long)) =>
+        return VColView(df, c, o - l)
+      case _ => ()
+    }
     def asVec(v: RVal): Option[Vector[Any]] = v match {
-      case VVec(xs) => Some(xs); case _ => None
+      case VVec(xs) => Some(xs)
+      case cv: VColView => Some(materialize(cv))
+      case _ => None
     }
     def scalar(x: Any, y: Any): Any = (x, y) match {
       case (i: java.lang.Long, j: java.lang.Long) => op match {
