@@ -167,11 +167,105 @@ object Rayfall {
     * Materializing (when a driver vector is genuinely required) is
     * size-guarded by [[maxDriverVec]]. */
   final case class VColView(df: DataFrame, base: String, offset: Long) extends RVal
+  /** Lazy `spark.range`-backed vector: length `n` plus a Column transform
+    * of the range id. `til`/`take`/`concat`/`guid`, broadcast arithmetic
+    * and `as`-casts compose on it without materializing, so the reference
+    * scripts' 1e7-row generation expressions (`examples/asof.rfl:7-9`,
+    * `examples/table.rfl`) become engine-side columns — the Spark analog
+    * of the reference building them as engine vectors
+    * (`core/compose.c:70-143`) rather than driver values. */
+  final case class VRange(n: Long, f: Column => Column) extends RVal
+
+  /** Vectors at or above this length are built lazily (below it, driver
+    * vectors keep the simple eager semantics the goldens pin). */
+  val lazyVecLen: Long = 10000L
 
   /** Refuse to `collect()` a lazy value bigger than this into the driver
     * (the reference materializes freely — its vectors live in one
     * process; ours are distributed and unbounded). */
   val maxDriverVec: Long = 1L << 21
+
+  /** Lift an eager vector into a literal array column (for cycling /
+    * positional indexing inside a lazy expression — constant-folds to a
+    * single Literal, so the per-row cost is one array access). */
+  private def eltArr(xs: Vector[Any]): Column = xs.head match {
+    case _: java.lang.Long =>
+      typedLit(xs.map(_.asInstanceOf[java.lang.Long].longValue))
+    case _: java.lang.Double =>
+      typedLit(xs.map(_.asInstanceOf[java.lang.Double].doubleValue))
+    case _: String => typedLit(xs.map(_.asInstanceOf[String]))
+    case x => throw new IllegalArgumentException(
+      s"cannot lift a vector of ${x.getClass.getSimpleName} into an expression")
+  }
+
+  /** Cycling element lookup: src(i mod len) as a Column of the range id. */
+  private def cycleF(src: Vector[Any], shift: Long): Column => Column = {
+    val arr = eltArr(src)
+    val len = src.length.toLong
+    id => element_at(arr, (pmod(id + lit(shift), lit(len)) + 1).cast("int"))
+  }
+
+  /** Deterministic pseudo-guid of the range id (scripts' (guid n); the
+    * reference's guids are random — any stable value works, md5 in
+    * 8-4-4-4-12 layout keeps it engine-side and reproducible). */
+  private def guidF(id: Column): Column = {
+    val m = md5(id.cast("string"))
+    concat(substring(m, 1, 8), lit("-"), substring(m, 9, 4), lit("-"),
+      substring(m, 13, 4), lit("-"), substring(m, 17, 4), lit("-"),
+      substring(m, 21, 12))
+  }
+
+  private def materializeRange(spark: SparkSession, v: VRange): Vector[Any] = {
+    require(v.n <= maxDriverVec,
+      s"refusing to materialize a ${v.n}-element lazy vector into the driver " +
+        s"(max $maxDriverVec)")
+    spark.range(v.n).select(v.f(col("id")).as("v"))
+      .collect().map(_.get(0): Any).toVector
+  }
+
+  /** Column-level mirror of the script's broadcast arithmetic (Euclidean
+    * `/` `%` — the same ops the query translator uses). */
+  private def colOp(op: String, a: Column, b: Column): Column = op match {
+    case "+" => a + b
+    case "-" => a - b
+    case "*" => a * b
+    case "/" => RF.euclidDiv(a, b)
+    case "%" => RF.euclidMod(a, b)
+    case ">" => a > b
+    case "<" => a < b
+    case ">=" => a >= b
+    case "<=" => a <= b
+    case "==" | "=" => a === b
+    case "!=" => a =!= b
+    case x => throw new IllegalArgumentException(s"unknown lazy op $x")
+  }
+
+  /** Value-level `(as 'TYPE x)`: TIME/TIMESTAMP are identities under the
+    * repo's millis/nanos-as-long convention; other casts apply lazily on
+    * ranges and eagerly on atoms/vectors. */
+  private def valueCast(spark: SparkSession, t: String, v: RVal): RVal =
+    t match {
+      case "TIME" | "TIMESTAMP" => v
+      case _ =>
+        val target = castTargets.getOrElse(t,
+          throw new IllegalArgumentException(s"unknown cast type '$t"))
+        def atom(x: Any): Any = (target, x) match {
+          case (_, null) => null
+          case ("string", v) => v.toString
+          case ("double", l: java.lang.Long) => java.lang.Double.valueOf(l.doubleValue)
+          case ("double", d: java.lang.Double) => d
+          case ("bigint" | "int" | "smallint" | "tinyint", d: java.lang.Double) =>
+            java.lang.Long.valueOf(d.toLong)
+          case (_, v) => v
+        }
+        v match {
+          case VRange(n, f) => VRange(n, id => f(id).cast(target))
+          case VAtom(x) => VAtom(atom(x))
+          case VVec(xs) => VVec(xs.map(atom))
+          case cv: VColView => VVec(materialize(cv).map(atom))
+          case x => throw new IllegalArgumentException(s"cannot cast $x")
+        }
+    }
 
   private def materialize(v: VColView): Vector[Any] = {
     val n = v.df.count()
@@ -238,6 +332,7 @@ object Rayfall {
       case VVec(xs) => xs
       case VAtom(x) => Vector(x)
       case cv: VColView => materialize(cv)
+      case r: VRange => materializeRange(spark, r)
       case VTab(_) => throw new IllegalArgumentException("expected a vector")
     }
     def num(v: RVal): Long = v match {
@@ -300,12 +395,29 @@ object Rayfall {
           (fnForm @ RList(RSym("fn") :: RVec(ps) :: body :: Nil)) :: v :: Nil) =>
         // pmap == map: everything in Spark is parallel; driver vectors
         // are small by construction
-        VVec(vec(ev(v)).map(x =>
-          applyFn(spark, keyNames(ps), body, Seq(VAtom(x)), env, hook) match {
-            case VAtom(y) => y
-            case VVec(ys) => ys
-            case y => throw new IllegalArgumentException(s"bad map result $y")
-          }))
+        ev(v) match {
+          case VRange(n, f) if keyNames(ps).length == 1 =>
+            // column-compile the lambda body so the map stays lazy
+            // (table.rfl maps (fn [x] (as 'C8 x)) over a 1e7 range);
+            // bodies the column translator can't express fall back to
+            // the guarded driver path
+            val p = keyNames(ps).head
+            try VRange(n, id => toColumn(body, Map(p -> f(id))))
+            catch { case _: IllegalArgumentException =>
+              VVec(materializeRange(spark, VRange(n, f)).map(x =>
+                applyFn(spark, Seq(p), body, Seq(VAtom(x)), env, hook) match {
+                  case VAtom(y) => y
+                  case y => throw new IllegalArgumentException(s"bad map result $y")
+                }))
+            }
+          case src =>
+            VVec(vec(src).map(x =>
+              applyFn(spark, keyNames(ps), body, Seq(VAtom(x)), env, hook) match {
+                case VAtom(y) => y
+                case VVec(ys) => ys
+                case y => throw new IllegalArgumentException(s"bad map result $y")
+              }))
+        }
       case RList(RSym("map-left") :: RSym(op) :: a :: v :: Nil) =>
         val right = ev(v)
         ev(a) match {
@@ -314,6 +426,10 @@ object Rayfall {
             VVec(xs.map(x => broadcastArith(op, VAtom(x), right): Any))
           case x => throw new IllegalArgumentException(s"bad map-left arg $x")
         }
+      // (map-right as 'TYPE v): per-element cast, lazy on ranges
+      // (asof.rfl builds its symbol universe with (map-right as 'C8 (til …)))
+      case RList(RSym("map-right") :: RSym("as") :: RQuote(t) :: v :: Nil) =>
+        valueCast(spark, t, ev(v))
       case RList(RSym("map-right") :: RSym(op) :: l :: r :: Nil) =>
         // fn of each RIGHT element vs the whole left
         ev(r) match {
@@ -333,7 +449,19 @@ object Rayfall {
           .reduce((a, b) => broadcastArith(op, a, b))
       case RList(RSym(agg @ ("sum" | "min" | "max" | "avg")) :: v :: Nil)
           if !isTableForm(v, env) && vecValued(v, env) =>
-        val xs = vec(ev(v))
+        val value = ev(v)
+        value match {
+          case VRange(n, f) =>
+            // aggregate distributed — a lazy vector may be any length
+            val c = f(col("id"))
+            val a = agg match {
+              case "sum" => sum(c); case "min" => min(c)
+              case "max" => max(c); case "avg" => avg(c)
+            }
+            return VAtom(spark.range(n).agg(a.as("v")).collect().head.get(0))
+          case _ => ()
+        }
+        val xs = vec(value)
         val allLong = xs.forall(_.isInstanceOf[java.lang.Long])
         if (allLong) {
           val ls = xs.map(_.asInstanceOf[java.lang.Long].longValue())
@@ -357,26 +485,61 @@ object Rayfall {
         }
 
       case RList(RSym("til") :: n :: Nil) =>
-        VVec(Vector.range(0L, num(ev(n))).map(x => x: Any))
-      case RList(RSym("take") :: x :: n :: Nil) =>
-        val src = vec(ev(x)); val k = num(ev(n)).toInt
-        require(src.nonEmpty, "take from empty")
-        if (k >= 0) VVec(Vector.tabulate(k)(i => src(i % src.length)))
-        else VVec(Vector.tabulate(-k)(i =>
-          src(java.lang.Math.floorMod(k + i, src.length))))
+        val k = num(ev(n))
+        if (k >= lazyVecLen) VRange(k, id => id)
+        else VVec(Vector.range(0L, k).map(x => x: Any))
+      case RList(RSym("guid") :: n :: Nil) =>
+        val k = num(ev(n))
+        if (k >= lazyVecLen) VRange(k, guidF)
+        else VVec(Vector.tabulate(k.toInt)(i =>
+          java.util.UUID.nameUUIDFromBytes(
+            i.toString.getBytes("UTF-8")).toString: Any))
+      case RList(RSym("take") :: x :: n :: Nil)
+          if !isTableForm(x, env) && !isTableForm(n, env) =>
+        val k = num(ev(n))
+        ev(x) match {
+          case VRange(sn, sf) =>
+            require(sn > 0, "take from empty")
+            if (k >= 0) VRange(k, id => sf(pmod(id, lit(sn))))
+            else VRange(-k, id => sf(pmod(lit(k) + id, lit(sn))))
+          case src0 =>
+            val src = vec(src0)
+            require(src.nonEmpty, "take from empty")
+            if (math.abs(k) >= lazyVecLen)
+              if (k >= 0) VRange(k, cycleF(src, 0L))
+              else VRange(-k, cycleF(src, k))
+            else if (k >= 0) VVec(Vector.tabulate(k.toInt)(i => src(i % src.length)))
+            else VVec(Vector.tabulate(-k.toInt)(i =>
+              src(java.lang.Math.floorMod(k.toInt + i, src.length))))
+        }
       case RList(RSym("concat") :: a :: b :: Nil) =>
-        VVec(vec(ev(a)) ++ vec(ev(b)))
+        (ev(a), ev(b)) match {
+          case (VRange(na, fa), VRange(nb, fb)) =>
+            VRange(na + nb, id => when(id < na, fa(id)).otherwise(fb(id - na)))
+          case (VRange(na, fa), bv) =>
+            val xs = vec(bv)
+            VRange(na + xs.length,
+              id => when(id < na, fa(id)).otherwise(cycleF(xs, -na)(id)))
+          case (av, VRange(nb, fb)) =>
+            val xs = vec(av); val na = xs.length.toLong
+            VRange(na + nb,
+              id => when(id < na, cycleF(xs, 0L)(id)).otherwise(fb(id - na)))
+          case (av, bv) => VVec(vec(av) ++ vec(bv))
+        }
       case RList(RSym("list") :: items) =>
         val vals = items.map(ev)
         if (vals.forall(_.isInstanceOf[VAtom]))
           VVec(vals.map { case VAtom(x) => x; case _ => ??? }.toVector)
         else VVec(vals.map(x => x: Any).toVector) // list of vectors (table cols)
-      case RList(RSym("as") :: RQuote("TIME") :: x :: Nil) =>
-        ev(x) // TIME is millis-as-long — identity under the repo convention
+      // value-level (as 'TYPE x): lazy on ranges, eager on driver values
+      case RList(RSym("as") :: RQuote(t) :: x :: Nil)
+          if !isTableForm(x, env) && !refsColumns(x, env) =>
+        valueCast(spark, t, ev(x))
       case RList(RSym("count") :: x :: Nil) => ev(x) match {
         case VVec(xs) => VAtom(xs.length.toLong)
         case VTab(df) => VAtom(df.count())
         case VColView(df, _, _) => VAtom(df.count())
+        case VRange(n, _) => VAtom(n)
         case VAtom(_) => VAtom(1L)
       }
       // (at t 'col) stays LAZY — a column view, not a driver vector
@@ -628,7 +791,7 @@ object Rayfall {
       case RNum(_, _, _) | RStr(_) | RQuote(_) => true
       case RList(RSym("til" | "take" | "concat" | "list" | "map" | "pmap" |
         "map-left" | "map-right" | "filter" | "fold" | "sum" | "min" | "max" |
-        "avg" | "count" | "at" | "as" | "+" | "-" | "*" | "/" | "%" |
+        "avg" | "count" | "at" | "as" | "guid" | "+" | "-" | "*" | "/" | "%" |
         ">" | "<" | ">=" | "<=" | "==" | "=" | "!=") :: rest) =>
         rest.forall(x => vecValued(x, env) || !refsColumns(x, env))
       case RList(RList(RSym("fn") :: _) :: _) => true
@@ -640,6 +803,9 @@ object Rayfall {
                           env: scala.collection.mutable.Map[String, RVal]): Boolean =
     e match {
       case RSym(n) => !env.contains(n)
+      // the combinators take an OPERATOR symbol first — not a column ref
+      case RList(RSym("map-left" | "map-right" | "fold" | "map" | "pmap") ::
+          RSym(_) :: rest) => rest.exists(refsColumns(_, env))
       case RList(RSym(_) :: rest) => rest.exists(refsColumns(_, env))
       case RList(items) => items.exists(refsColumns(_, env))
       case RVec(items) => items.exists {
@@ -662,6 +828,23 @@ object Rayfall {
         return VColView(df, c, o + l)
       case ("-", VColView(df, c, o), VAtom(l: java.lang.Long)) =>
         return VColView(df, c, o - l)
+      case _ => ()
+    }
+    // lazy ranges compose column-wise — no materialization at any length
+    (a, b) match {
+      case (VRange(n, f), VAtom(x)) =>
+        return VRange(n, id => colOp(op, f(id), lit(x)))
+      case (VAtom(x), VRange(n, f)) =>
+        return VRange(n, id => colOp(op, lit(x), f(id)))
+      case (VRange(n1, f1), VRange(n2, f2)) =>
+        require(n1 == n2, "vector length mismatch")
+        return VRange(n1, id => colOp(op, f1(id), f2(id)))
+      case (VRange(n1, f1), VVec(xs)) =>
+        require(n1 == xs.length, "vector length mismatch")
+        return VRange(n1, id => colOp(op, f1(id), cycleF(xs, 0L)(id)))
+      case (VVec(xs), VRange(n2, f2)) =>
+        require(xs.length == n2, "vector length mismatch")
+        return VRange(n2, id => colOp(op, cycleF(xs, 0L)(id), f2(id)))
       case _ => ()
     }
     def asVec(v: RVal): Option[Vector[Any]] = v match {
@@ -724,9 +907,29 @@ object Rayfall {
                               colVals: Seq[Any]): DataFrame = {
     require(names.length == colVals.length,
       s"table: ${names.length} names but ${colVals.length} columns")
+    // any lazy column → the whole table is one spark.range scan with the
+    // generation expressions as projections (no driver materialization)
+    val lazyNs = colVals.collect { case VRange(n, _) => n }
+    if (lazyNs.nonEmpty) {
+      val n = lazyNs.head
+      require(lazyNs.forall(_ == n), "table: ragged lazy columns")
+      val projections = names.zip(colVals).map {
+        case (name, VRange(_, f)) => f(col("id")).as(name)
+        case (name, VAtom(x)) => lit(x).as(name)
+        case (name, VVec(xs)) if xs.length == n =>
+          cycleF(xs, 0L)(col("id")).as(name)
+        case (name, VColView(df, c, off)) =>
+          throw new IllegalArgumentException(
+            s"table: cannot zip column view $name ($df.$c+$off) with lazy columns")
+        case (name, v) => throw new IllegalArgumentException(
+          s"table: column $name ($v) does not match lazy length $n")
+      }
+      return spark.range(n).select(projections: _*)
+    }
     val cols: Seq[Vector[Any]] = colVals.map {
       case VVec(xs) => xs
       case VAtom(x) => Vector(x)
+      case cv: VColView => materialize(cv)
       case xs: Vector[_] => xs.asInstanceOf[Vector[Any]]
       case x => Vector(x) // a bare atom (the list form flattens all-atom lists)
     }
@@ -938,19 +1141,23 @@ object Rayfall {
     "C8" -> "string", "SYMBOL" -> "string", "DATE" -> "date",
     "TIMESTAMP" -> "bigint")
 
-  /** Rayfall expression → Catalyst Column. */
-  def toColumn(e: RExpr): Column = e match {
+  /** Rayfall expression → Catalyst Column. `bind` maps lambda params to
+    * already-built columns (the lazy-vector map compiler). */
+  def toColumn(e: RExpr): Column = toColumn(e, Map.empty[String, Column])
+
+  def toColumn(e: RExpr, bind: Map[String, Column]): Column = e match {
     // (as 'TYPE x) — the reference cast (core/compose.c:42)
     case RList(RSym("as") :: RQuote(t) :: x :: Nil) =>
       val target = castTargets.getOrElse(t,
         throw new IllegalArgumentException(s"unknown cast type '$t"))
-      toColumn(x).cast(target)
+      toColumn(x, bind).cast(target)
     case RNum(_, true, l) => lit(l)
     case RNum(v, false, _) => lit(v)
     case RStr(v) => lit(v)
     case RQuote(n) => lit(n)
+    case RSym(n) if bind.contains(n) => bind(n)
     case RSym(n) => col(n)
-    case RVec(items) => array(items.map(toColumn): _*)
+    case RVec(items) => array(items.map(toColumn(_, bind)): _*)
     // ((fn [x…] body) arg…) — immediate lambda application (reference
     // lambdas, core/lambda.c; update.md uses ((fn [x] (+ x 11)) price)).
     // Compiled by substitution: the body IS the column expression with
@@ -961,8 +1168,8 @@ object Rayfall {
       val names = keyNames(params)
       require(names.length == args.length,
         s"lambda arity ${names.length} != ${args.length} args")
-      toColumn(substitute(body, names.zip(args).toMap))
-    case RList(RSym(fn) :: args) => apply1(fn, args.map(toColumn), args)
+      toColumn(substitute(body, names.zip(args).toMap), bind)
+    case RList(RSym(fn) :: args) => apply1(fn, args.map(toColumn(_, bind)), args)
     case x => throw new IllegalArgumentException(s"cannot translate $x")
   }
 

@@ -240,6 +240,45 @@ class DocsSpec extends SparkSpec {
     got.zip(model).foreach { case (g, m) => assert(g == m, s"got $g want $m") }
   }
 
+  test("reference examples/asof.rfl runs VERBATIM at n=1e7; follow-up asof-join") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/examples/asof.rfl")))
+    // the script builds quotes (18000 syms) and trades (8000 syms) at
+    // n=10,000,000 as spark.range-backed tables (its header comments show
+    // the intended follow-up query); the last set wins → trades
+    val trades = Rayfall.script(spark, src)
+    assert(trades.columns.toSeq == Seq("Sym", "Ts", "Qty", "Price"))
+    assert(trades.count() == 10000000L)
+    val row = trades.where($"Qty" === 9999999L).collect().head
+    assert(row.getString(0) == (9999999 % 8000).toString)
+    assert(row.getLong(1) == 2L + 1000L * 9999999L)
+    // the script's own commented query: (asof-join [Sym Ts] trades quotes)
+    val aj = Rayfall.script(spark, src + "\n(asof-join [Sym Ts] trades quotes)")
+    assert(aj.columns.toSeq ==
+      Seq("Sym", "Ts", "Qty", "Price", "Bid", "Ask"))
+    // trade i matches the latest quote with the same sym and ts ≤ 1000i+2:
+    // quote ts = 1000j → j = i for syms congruent mod lcm windows; spot-check
+    val a = aj.where($"Qty" === 4000000L).collect().head
+    assert(!a.isNullAt(4) && a.getDouble(4) > 0.0)
+  }
+
+  test("reference examples/table.rfl runs VERBATIM at n=1e7 (lazy generation)") {
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/examples/table.rfl")))
+    val t = Rayfall.script(spark, src)
+    assert(t.columns.toSeq ==
+      Seq("OrderId", "Symbol", "Price", "Size", "Tape", "Timestamp"))
+    assert(t.count() == 10000000L)
+    val r = t.where($"Timestamp" === 1234567L).collect().head
+    assert(r.getString(1) == Seq("AAPL", "GOOG", "MSFT", "IBM", "AMZN",
+      "FB", "BABA")(1234567 % 7))
+    assert(r.getDouble(2) == 1234567.0)
+    assert(r.getLong(3) == 1L + 1234567L % 3)        // take (+ 1 (til 3)) n
+    assert(r.getString(4) == (1234567L % 10).toString) // map (as 'C8 x)
+    // the guid column is the deterministic md5 layout, 36 chars
+    assert(r.getString(0).length == 36 && r.getString(0)(8) == '-')
+  }
+
   test("reference examples/insert.rfl runs VERBATIM; all 12 insert forms") {
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/examples/insert.rfl")))
