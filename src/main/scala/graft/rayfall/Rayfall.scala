@@ -167,6 +167,9 @@ object Rayfall {
     * Materializing (when a driver vector is genuinely required) is
     * size-guarded by [[maxDriverVec]]. */
   final case class VColView(df: DataFrame, base: String, offset: Long) extends RVal
+  /** A lambda VALUE bound with (set f (fn [x…] body)) — applied by name;
+    * `self` recurses (reference `examples/fib.rfl:2-7`, core/lambda.c). */
+  final case class VFn(params: Seq[String], body: RExpr) extends RVal
   /** Lazy `spark.range`-backed vector: length `n` plus a Column transform
     * of the range id. `til`/`take`/`concat`/`guid`, broadcast arithmetic
     * and `as`-casts compose on it without materializing, so the reference
@@ -307,6 +310,18 @@ object Rayfall {
     */
   def script(spark: SparkSession, src: String,
              tables: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val (last, _) = scriptCapture(spark, src, tables)
+    last.getOrElse(throw new IllegalArgumentException(
+      "script produced no table"))
+  }
+
+  /** Run a script and also return what it printed (println/show render
+    * through the reference's %-placeholder formatting — the docs pin
+    * script output as tests, `docs/tests/test_docs.py`). The table result
+    * is optional: display-only scripts (examples/iter.rfl) are valid. */
+  def scriptCapture(spark: SparkSession, src: String,
+                    tables: Map[String, DataFrame] = Map.empty)
+      : (Option[DataFrame], String) = {
     val p = new Parser(src)
     val env = scala.collection.mutable.Map[String, RVal](
       tables.map { case (k, v) => k -> (VTab(v): RVal) }.toSeq: _*)
@@ -315,19 +330,81 @@ object Rayfall {
     // (println "…" (timeit (set aj (asof-join …))))
     var last: DataFrame = null
     val hook: DataFrame => Unit = df => last = df
+    val out = new StringBuilder
     p.skipWs()
     while (!p.eof) {
-      evalScript(spark, p.parseExpr(), env, hook)
+      evalScript(spark, p.parseExpr(), env, hook, out)
       p.skipWs()
     }
-    require(last != null, "script produced no table")
-    last
+    (Option(last), out.toString)
+  }
+
+  /** Render a script value the way the reference prints it (C8 atoms as
+    * bare chars, symbols/strings bare, numbers as digits). */
+  private def render(v: RVal): String = v match {
+    case VAtom(null) => "nil"
+    case VAtom(s: String) => s
+    case VAtom(d: java.lang.Double) => d.toString
+    case VAtom(x) => x.toString
+    case VVec(xs) => xs.map(x => render(VAtom(x))).mkString("[", " ", "]")
+    case VTab(df) => s"table[${df.columns.mkString(" ")}]"
+    case VFn(ps, _) => s"fn[${ps.mkString(" ")}]"
+    case x => x.toString
+  }
+
+  /** The reference's %-placeholder formatting (core format/println). */
+  private def fmt(f: String, args: Seq[RVal]): String = {
+    val sb = new StringBuilder
+    var ai = 0
+    f.foreach {
+      case '%' if ai < args.length => sb ++= render(args(ai)); ai += 1
+      case c => sb += c
+    }
+    sb.toString
+  }
+
+  /** Elements of a value for the lambda combinators: vectors yield their
+    * items, STRINGS yield their characters (reference C8 vectors,
+    * core/iter.c IS_VECTOR), atoms are not iterable. */
+  private def charElems(v: RVal): Option[Vector[RVal]] = v match {
+    case VVec(xs) => Some(xs.map[RVal] {
+      case r: RVal => r
+      case x => VAtom(x)
+    })
+    case VAtom(s: String) => Some(s.toVector.map(c => VAtom(c.toString): RVal))
+    case _ => None
+  }
+
+  private def unwrapAtom(v: RVal): Any = v match {
+    case VAtom(x) => x
+    case VVec(xs) => xs
+    case x => x
+  }
+
+  /** Map `f` over the elements of `v` (single call on a non-vector —
+    * core/iter.c:691). */
+  private def mapOver(v: RVal, f: RVal => RVal): RVal =
+    charElems(v) match {
+      case Some(es) => VVec(es.map(e => unwrapAtom(f(e))))
+      case None => f(v)
+    }
+
+  private def fnOf(e: RExpr,
+                   env: scala.collection.mutable.Map[String, RVal])
+      : (Seq[String], RExpr) = e match {
+    case RList(RSym("fn") :: RVec(ps) :: body :: Nil) => (keyNames(ps), body)
+    case RSym(n) => env(n) match {
+      case VFn(ps, body) => (ps, body)
+      case x => throw new IllegalArgumentException(s"$n is not a function ($x)")
+    }
+    case x => throw new IllegalArgumentException(s"bad function form $x")
   }
 
   private def evalScript(spark: SparkSession, e: RExpr,
                          env: scala.collection.mutable.Map[String, RVal],
-                         hook: DataFrame => Unit): RVal = {
-    def ev(x: RExpr): RVal = evalScript(spark, x, env, hook)
+                         hook: DataFrame => Unit,
+                         out: StringBuilder = new StringBuilder): RVal = {
+    def ev(x: RExpr): RVal = evalScript(spark, x, env, hook, out)
     def vec(v: RVal): Vector[Any] = v match {
       case VVec(xs) => xs
       case VAtom(x) => Vector(x)
@@ -363,14 +440,24 @@ object Rayfall {
         val v = ev(value); env(name) = v
         v match { case VTab(df) => hook(df); case _ => () }
         v
-      // display forms: args still evaluate (reference scripts nest real
-      // work inside println, e.g. (println "…" (timeit (set aj (…)))))
-      case RList(RSym("show" | "println") :: args) =>
-        args.foreach {
-          case RStr(_) => ()
-          case a => ev(a)
-        }
+      // display forms render into the capture sink (the docs pin script
+      // output as tests); args evaluate for their side effects either way
+      // (reference scripts nest real work, e.g. (println "…" (timeit …)))
+      case RList(RSym("println") :: RStr(f) :: args) =>
+        out ++= fmt(f, args.map(ev)) += '\n'
         VAtom(null)
+      case RList(RSym("show" | "println") :: args) =>
+        args.map(ev).foreach(v => out ++= render(v) += '\n')
+        VAtom(null)
+      // lambda values, local bindings, string formatting (reference
+      // core/lambda.c, examples/fib.rfl, examples/parted.rfl)
+      case RList(RSym("fn") :: RVec(ps) :: body :: Nil) =>
+        VFn(keyNames(ps), body)
+      case RList(RSym("let") :: RSym(name) :: value :: Nil) =>
+        // env is cloned per lambda call, so let stays call-scoped
+        val v = ev(value); env(name) = v; v
+      case RList(RSym("format") :: RStr(f) :: args) =>
+        VAtom(fmt(f, args.map(ev)))
       case RList(RSym("timeit") :: form :: Nil) =>
         val t0 = System.nanoTime(); ev(form)
         VAtom((System.nanoTime() - t0) / 1000000L)
@@ -390,7 +477,7 @@ object Rayfall {
       // value-level lambda application and the iteration combinators
       // (reference tests/lang.c:27-33, :4417-4422, :5010-5014)
       case RList(RList(RSym("fn") :: RVec(ps) :: body :: Nil) :: args) =>
-        applyFn(spark, keyNames(ps), body, args.map(ev), env, hook)
+        applyFn(spark, keyNames(ps), body, args.map(ev), env, hook, out)
       case RList(RSym("map" | "pmap") ::
           (fnForm @ RList(RSym("fn") :: RVec(ps) :: body :: Nil)) :: v :: Nil) =>
         // pmap == map: everything in Spark is parallel; driver vectors
@@ -405,14 +492,14 @@ object Rayfall {
             try VRange(n, id => toColumn(body, Map(p -> f(id))))
             catch { case _: IllegalArgumentException =>
               VVec(materializeRange(spark, VRange(n, f)).map(x =>
-                applyFn(spark, Seq(p), body, Seq(VAtom(x)), env, hook) match {
+                applyFn(spark, Seq(p), body, Seq(VAtom(x)), env, hook, out) match {
                   case VAtom(y) => y
                   case y => throw new IllegalArgumentException(s"bad map result $y")
                 }))
             }
           case src =>
             VVec(vec(src).map(x =>
-              applyFn(spark, keyNames(ps), body, Seq(VAtom(x)), env, hook) match {
+              applyFn(spark, keyNames(ps), body, Seq(VAtom(x)), env, hook, out) match {
                 case VAtom(y) => y
                 case VVec(ys) => ys
                 case y => throw new IllegalArgumentException(s"bad map result $y")
@@ -438,6 +525,49 @@ object Rayfall {
             VVec(xs.map(x => broadcastArith(op, ev(l), VAtom(x)): Any))
           case x => throw new IllegalArgumentException(s"bad map-right arg $x")
         }
+      // lambda combinators (core/iter.c ray_map_left:665 / ray_map_right /
+      // ray_map / apply): strings are C8 VECTORS — iterating one yields
+      // its characters (examples/iter.rfl)
+      case RList(RSym("map-left") ::
+          (fnForm @ RList(RSym("fn") :: _)) :: l :: r :: Nil) =>
+        val (ps, body) = fnOf(fnForm, env)
+        val right = ev(r)
+        mapOver(ev(l), e =>
+          applyFn(spark, ps, body, Seq(e, right), env, hook, out))
+      case RList(RSym("map-right") ::
+          (fnForm @ RList(RSym("fn") :: _)) :: l :: r :: Nil) =>
+        val (ps, body) = fnOf(fnForm, env)
+        val left = ev(l)
+        mapOver(ev(r), e =>
+          applyFn(spark, ps, body, Seq(left, e), env, hook, out))
+      case RList(RSym("map" | "pmap") ::
+          (fnForm @ RList(RSym("fn") :: _)) :: a :: b :: Nil) =>
+        // two-argument map: vectors zip, atoms broadcast (map_lambda)
+        val (ps, body) = fnOf(fnForm, env)
+        val (av, bv) = (ev(a), ev(b))
+        (charElems(av), charElems(bv)) match {
+          case (Some(xs), Some(ys)) =>
+            require(xs.length == ys.length, "map length mismatch")
+            VVec(xs.zip(ys).map { case (x, y) =>
+              unwrapAtom(applyFn(spark, ps, body, Seq(x, y), env, hook, out)) })
+          case (Some(xs), None) =>
+            VVec(xs.map(x =>
+              unwrapAtom(applyFn(spark, ps, body, Seq(x, bv), env, hook, out))))
+          case (None, Some(ys)) =>
+            VVec(ys.map(y =>
+              unwrapAtom(applyFn(spark, ps, body, Seq(av, y), env, hook, out))))
+          case (None, None) =>
+            applyFn(spark, ps, body, Seq(av, bv), env, hook, out)
+        }
+      case RList(RSym("apply") :: fnForm :: args)
+          if args.nonEmpty && (fnForm match {
+            case RList(RSym("fn") :: _) => true
+            case RSym(n) => env.get(n).exists(_.isInstanceOf[VFn])
+            case _ => false
+          }) =>
+        val (ps, body) = fnOf(fnForm, env)
+        applyFn(spark, ps, body, args.map(ev), env, hook, out)
+
       case RList(RSym("filter") :: v :: mask :: Nil)
           if !isTableForm(v, env) =>
         val xs = vec(ev(v)); val ms = vec(ev(mask))
@@ -689,6 +819,13 @@ object Rayfall {
         hook(res)
         VTab(res)
 
+      // application of a lambda VALUE by name, with `self` recursion
+      // (fib.rfl: (fib 20) → applyFn binds self → (self (- x 1)) recurses)
+      case RList(RSym(f) :: args) if env.get(f).exists(_.isInstanceOf[VFn]) =>
+        val fn = env(f).asInstanceOf[VFn]
+        applyFn(spark, fn.params, fn.body, args.map(ev), env, hook, out,
+          self = Some(fn))
+
       // everything else: a query/table form for the Column-level evaluator
       case other =>
         val df = eval(other, tablesOf)
@@ -769,15 +906,20 @@ object Rayfall {
       case _ => false
     }
 
-  /** Value-level lambda application: params bound in a child scope. */
+  /** Value-level lambda application: params bound in a child scope;
+    * `self` (when given) enables recursion per the reference's lambda
+    * convention (examples/fib.rfl). */
   private def applyFn(spark: SparkSession, names: Seq[String], body: RExpr,
                       args: Seq[RVal],
                       env: scala.collection.mutable.Map[String, RVal],
-                      hook: DataFrame => Unit): RVal = {
+                      hook: DataFrame => Unit,
+                      out: StringBuilder = new StringBuilder,
+                      self: Option[VFn] = None): RVal = {
     require(names.length == args.length, "lambda arity mismatch")
     val inner = env.clone()
     names.zip(args).foreach { case (p, a) => inner(p) = a }
-    evalScript(spark, body, inner, hook)
+    self.foreach(f => inner("self") = f)
+    evalScript(spark, body, inner, hook, out)
   }
 
   /** Is the sub-form vector-valued in the script env (so script-level

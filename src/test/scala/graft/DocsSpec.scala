@@ -279,6 +279,83 @@ class DocsSpec extends SparkSpec {
     assert(r.getString(0).length == 36 && r.getString(0)(8) == '-')
   }
 
+  private def readExample(name: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"/root/reference/examples/$name")))
+
+  test("reference examples/iter.rfl runs VERBATIM; printed output pinned") {
+    // map-left/map-right/map iterate C8 vectors (strings) element-wise,
+    // apply calls once with whole args (core/iter.c:665, :752, ray_map)
+    val (_, printed) = Rayfall.scriptCapture(spark, readExample("iter.rfl"))
+    assert(printed ==
+      """x=1212 y=a
+        |x=1212 y=s
+        |x=1212 y=d
+        |x=a y=188
+        |x=s y=188
+        |x=d y=188
+        |x=a y=188
+        |x=s y=188
+        |x=d y=188
+        |x=asd y=188
+        |""".stripMargin)
+  }
+
+  test("reference examples/fib.rfl runs VERBATIM; self-recursion computes fib") {
+    val src = readExample("fib.rfl")
+    val (none, _) = Rayfall.scriptCapture(spark, src)
+    assert(none.isEmpty) // definition only — no table produced
+    // the script's own commented check is (fib 35); pin a smaller call
+    val (_, printed) = Rayfall.scriptCapture(spark,
+      src + "\n(println \"%\" (fib 20))")
+    assert(printed == "10946\n")
+  }
+
+  test("reference examples/apply.rfl runs VERBATIM") {
+    val t = Rayfall.script(spark, readExample("apply.rfl"))
+    assert(t.columns.toSeq == Seq("sym", "price", "volume"))
+    val rows = t.orderBy($"price").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("vod", "aapl", "goog"))
+    assert(rows.map(_.getLong(2)).toSeq == Seq(400L, 500L, 900L))
+  }
+
+  test("reference examples/window.rfl runs VERBATIM; its window-join matches") {
+    val src = readExample("window.rfl")
+    val quotes = Rayfall.script(spark, src)
+    assert(quotes.count() == 10)
+    // the script's own (commented) query over its literal intervals:
+    // per-trade windows [11:59:59,12:00:03] [12:00:02,12:00:06]
+    // [12:00:04,12:00:08] — constant ±offsets around trade times
+    val wj = Rayfall.script(spark, src +
+      "\n(window-join [Sym Time] intervals trades quotes " +
+      "{a: (sum Size) b: (count Size)})")
+    val got = wj.orderBy($"Time").collect()
+      .map(r => (r.getLong(r.fieldIndex("a")), r.getLong(r.fieldIndex("b"))))
+    // trades at 12:00:01/12:00:04/12:00:06; quotes every second 12:00:00-09
+    // sizes [928 528 648 914 918 626 577 817 620 698]; window-join is
+    // EXCLUSIVE bounds (wj.rfl doc): (lo,hi) → strictly inside
+    val sizes = Seq(928L, 528L, 648L, 914L, 918L, 626L, 577L, 817L, 620L, 698L)
+    def win(loSec: Int, hiSec: Int) = { // seconds offsets exclusive
+      val in = sizes.zipWithIndex.filter { case (_, i) => i > loSec && i < hiSec }
+      (in.map(_._1).sum, in.length.toLong)
+    }
+    assert(got(0) == win(-1, 3))  // trade 12:00:01, window (11:59:59,12:00:03)
+    assert(got(1) == win(2, 6))   // trade 12:00:04, window (12:00:02,12:00:06)
+    assert(got(2) == win(4, 8))   // trade 12:00:06, window (12:00:04,12:00:08)
+  }
+
+  test("reference examples/join.rfl runs VERBATIM; its commented joins work") {
+    val src = readExample("join.rfl")
+    val y = Rayfall.script(spark, src)
+    assert(y.columns.toSeq == Seq("a", "b", "c", "d", "e"))
+    assert(y.count() == 10)
+    val lj = Rayfall.script(spark, src + "\n(left-join [a] x y)")
+    assert(lj.count() >= 10 && lj.columns.toSeq ==
+      Seq("a", "b", "c", "d", "e"))
+    val lj2 = Rayfall.script(spark, src + "\n(left-join [a b] x y)")
+    assert(lj2.count() >= 10)
+  }
+
   test("reference examples/insert.rfl runs VERBATIM; all 12 insert forms") {
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/examples/insert.rfl")))
