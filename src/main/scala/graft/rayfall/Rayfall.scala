@@ -170,6 +170,10 @@ object Rayfall {
   /** A lambda VALUE bound with (set f (fn [x…] body)) — applied by name;
     * `self` recurses (reference `examples/fib.rfl:2-7`, core/lambda.c). */
   final case class VFn(params: Seq[String], body: RExpr) extends RVal
+  /** First-class dict value `(dict [k…] vals)` (reference
+    * core/compose.c:205, dict literals core/parse.c:784); values may
+    * nest dicts/vectors. `key`/`value`/`at` project it. */
+  final case class VDict(keys: Vector[String], vals: Vector[Any]) extends RVal
   /** Lazy `spark.range`-backed vector: length `n` plus a Column transform
     * of the range id. `til`/`take`/`concat`/`guid`, broadcast arithmetic
     * and `as`-casts compose on it without materializing, so the reference
@@ -346,9 +350,15 @@ object Rayfall {
     case VAtom(s: String) => s
     case VAtom(d: java.lang.Double) => d.toString
     case VAtom(x) => x.toString
-    case VVec(xs) => xs.map(x => render(VAtom(x))).mkString("[", " ", "]")
+    case VVec(xs) => xs.map {
+      case r: RVal => render(r)
+      case x => render(VAtom(x))
+    }.mkString("[", " ", "]")
     case VTab(df) => s"table[${df.columns.mkString(" ")}]"
     case VFn(ps, _) => s"fn[${ps.mkString(" ")}]"
+    case VDict(ks, vs) => ks.zip(vs).map { case (k, v) =>
+      s"$k: ${v match { case r: RVal => render(r); case x => render(VAtom(x)) }}"
+    }.mkString("{", " ", "}")
     case x => x.toString
   }
 
@@ -677,6 +687,13 @@ object Rayfall {
       case RList(RSym("at") :: t :: RQuote(c) :: Nil) =>
         ev(t) match {
           case VTab(df) => VColView(df, c, 0L)
+          case VDict(ks, vs) => ks.indexOf(c) match {
+            case -1 => VAtom(null)
+            case i => vs(i) match {
+              case r: RVal => r
+              case x => VAtom(x)
+            }
+          }
           case x => throw new IllegalArgumentException(s"at needs a table, got $x")
         }
 
@@ -787,15 +804,109 @@ object Rayfall {
         val RQuote(name) = (pairs.toMap.apply("from"): RExpr): @unchecked
         val df = eval(RList(RSym("update") :: RDict(pairs) :: Nil), tablesOf)
         env(name) = VTab(df); hook(df); VTab(df)
-      case RList(RSym("upsert") :: RQuote(name) :: n :: s :: Nil) =>
-        val df = eval(RList(RSym("upsert") :: RSym(name) :: n :: s :: Nil),
-          tablesOf)
-        env(name) = VTab(df); hook(df); VTab(df)
+      // (upsert t n src) — keyed merge on the first n columns; src may be
+      // a table OR any of the insert value forms: list of atoms, list of
+      // vectors, dict with reordered columns (examples/upsert.rfl).
+      // Quoted target = in-place.
+      case RList(RSym("upsert") :: target :: RNum(_, true, n) :: s :: Nil)
+          if (target match {
+            case RQuote(nm) => env.get(nm).exists(_.isInstanceOf[VTab])
+            case RSym(nm) => env.get(nm).exists(_.isInstanceOf[VTab])
+            case _ => isTableForm(target, env)
+          }) =>
+        val (nameOpt, df) = target match {
+          case RQuote(nm) => (Some(nm), env(nm).asInstanceOf[VTab].df)
+          case RSym(nm) => (None, env(nm).asInstanceOf[VTab].df)
+          case other => (None, ev(other) match {
+            case VTab(d) => d
+            case x => throw new IllegalArgumentException(s"bad upsert target $x")
+          })
+        }
+        val srcDf =
+          if (isTableForm(s, env)) ev(s) match {
+            case VTab(d) => d
+            case x => throw new IllegalArgumentException(s"bad upsert source $x")
+          }
+          else insertRows(spark, df, s, ev)
+        val res = Tbl(df).upsert(srcDf, df.columns.take(n.toInt).toSeq).df
+        nameOpt.foreach(nm => env(nm) = VTab(res))
+        hook(res); VTab(res)
+      // (alter 'vec fn …) on VECTOR/LIST bindings (examples/update.rfl:
+      // alter set at indices, concat-append, remove at indices;
+      // reference core/update.c:268 alter on vectors)
+      case RList(RSym("alter") :: RQuote(name) :: RSym("set") :: i :: v :: Nil)
+          if env.get(name).exists(_.isInstanceOf[VVec]) =>
+        val xs = env(name).asInstanceOf[VVec].xs
+        val idxs = ev(i) match {
+          case VAtom(l: java.lang.Long) => Vector(l.toInt)
+          case VVec(is) => is.map {
+            case l: java.lang.Long => l.toInt
+            case x => throw new IllegalArgumentException(s"bad index $x")
+          }
+          case x => throw new IllegalArgumentException(s"bad alter index $x")
+        }
+        val vals = ev(v) match {
+          case VAtom(x) => idxs.map(_ => x) // atom broadcasts to all indices
+          case VVec(vs) =>
+            require(vs.length == idxs.length, "alter set length mismatch")
+            vs
+          case x => throw new IllegalArgumentException(s"bad alter value $x")
+        }
+        val res = VVec(idxs.zip(vals).foldLeft(xs) {
+          case (acc, (ix, value)) => acc.updated(ix, value) })
+        env(name) = res; res
+      case RList(RSym("alter") :: RQuote(name) :: RSym("concat") :: v :: Nil)
+          if env.get(name).exists(_.isInstanceOf[VVec]) =>
+        val xs = env(name).asInstanceOf[VVec].xs
+        val res = VVec(ev(v) match {
+          case VAtom(x) => xs :+ x
+          case VVec(vs) => xs ++ vs
+          case x => throw new IllegalArgumentException(s"bad alter concat $x")
+        })
+        env(name) = res; res
+      case RList(RSym("alter") :: RQuote(name) :: RSym("remove") :: i :: Nil)
+          if env.get(name).exists(_.isInstanceOf[VVec]) =>
+        val xs = env(name).asInstanceOf[VVec].xs
+        val drop = (ev(i) match {
+          case VAtom(l: java.lang.Long) => Vector(l.toInt)
+          case VVec(is) => is.map(_.asInstanceOf[java.lang.Long].toInt)
+          case x => throw new IllegalArgumentException(s"bad remove index $x")
+        }).toSet
+        val res = VVec(xs.zipWithIndex.collect {
+          case (x, ix) if !drop(ix) => x })
+        env(name) = res; res
       case RList(RSym("alter") :: RQuote(name) :: fn :: c :: v :: Nil)
           if env.get(name).exists(_.isInstanceOf[VTab]) =>
         val df = eval(RList(RSym("alter") :: RSym(name) :: fn :: c :: v :: Nil),
           tablesOf)
         env(name) = VTab(df); hook(df); VTab(df)
+
+      // first-class dict values (core/compose.c:205): values from a
+      // (list …) or a vector literal, zipped with the keys
+      case RList(RSym("dict") :: RVec(ks) :: vForm :: Nil) =>
+        val names = keyNames(ks).toVector
+        val vals: Vector[Any] = ev(vForm) match {
+          case VVec(xs) => xs.map {
+            case VAtom(x) => x
+            case other => other
+          }
+          case VAtom(x) => Vector(x)
+          case d: VDict => Vector(d)
+          case x => throw new IllegalArgumentException(s"bad dict values $x")
+        }
+        require(names.length == vals.length,
+          s"dict: ${names.length} keys for ${vals.length} values")
+        VDict(names, vals)
+      case RList(RSym("key") :: d :: Nil) if !isTableForm(d, env) =>
+        ev(d) match {
+          case VDict(ks, _) => VVec(ks.map(x => x: Any))
+          case x => throw new IllegalArgumentException(s"key needs a dict, got $x")
+        }
+      case RList(RSym("value") :: d :: Nil) if !isTableForm(d, env) =>
+        ev(d) match {
+          case VDict(_, vs) => VVec(vs)
+          case x => throw new IllegalArgumentException(s"value needs a dict, got $x")
+        }
 
       // (insert t rows) / (insert 't rows) — append with the reference's
       // literal row forms (examples/insert.rfl): list-of-atoms (one row),

@@ -356,6 +356,37 @@ class DocsSpec extends SparkSpec {
     assert(lj2.count() >= 10)
   }
 
+  test("reference examples/update.rfl runs VERBATIM; vector alter + updates") {
+    val (tab, printed) = Rayfall.scriptCapture(spark, readExample("update.rfl"))
+    // final table state: volume+1 everywhere; price 0 where volume 79
+    // (post-increment) and per the by-group update where volume > 400
+    val rows = tab.get.orderBy($"volume").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows == Seq(("aapl", 102L, 11L), ("aapl", 103L, 31L),
+      ("vod", 10L, 41L), ("mod", 0L, 79L), ("vod", 0L, 401L),
+      ("aapl", 0L, 501L), ("goog", 0L, 901L)))
+    // the script shows l after each list alter: set [0 2] 192 → concat 88
+    // → remove 1 → remove [0 2]
+    val shows = printed.linesIterator.filter(_.startsWith("[")).toSeq
+    assert(shows == Seq("[192 asd 192 88]", "[192 192 88]", "[192]"))
+  }
+
+  test("reference examples/upsert.rfl runs VERBATIM; all 13 upsert forms") {
+    val t = Rayfall.script(spark, readExample("upsert.rfl"))
+    val rows = t.orderBy($"ID").collect()
+    assert(rows.length == 17)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 17L))
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getString(1), r.getDouble(2))).toMap
+    assert(byId(1L) == (("Alice", 10.0)))      // untouched original
+    assert(byId(2L) == (("Bobby2", 22.0)))     // updated twice, reordered dict
+    assert(byId(3L) == (("Charlie2", 35.0)))   // mixed insert/update batch
+    assert(byId(7L) == (("Grace", 70.0)))      // dict single record
+    assert(byId(13L) == (("Mike", 130.0)))     // multi-row reordered dict
+    assert(byId(16L) == (("Pete", 160.0)))     // table source reordered
+    assert(byId(17L) == (("Quinn", 170.0)))    // in-place quoted upsert
+  }
+
   test("reference examples/insert.rfl runs VERBATIM; all 12 insert forms") {
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/examples/insert.rfl")))
