@@ -30,6 +30,9 @@ object Rayfall {
     * 2^53 exact range); `v` is only meaningful when `isInt` is false.
     */
   final case class RNum(v: Double, isInt: Boolean, l: Long = 0L) extends RExpr
+  /** DATE literal yyyy.mm.dd (reference core/parse.c temporal literals;
+    * DATE = days since 2000.01.01, SURVEY §1.2). */
+  final case class RDate(date: java.time.LocalDate) extends RExpr
   final case class RStr(v: String) extends RExpr
   final case class RSym(name: String) extends RExpr
   final case class RQuote(name: String) extends RExpr
@@ -111,7 +114,7 @@ object Rayfall {
       pos += 1
       RStr(sb.toString)
     }
-    private def parseNum(): RNum = {
+    private def parseNum(): RExpr = {
       val start = pos
       if (s(pos) == '-') pos += 1
       while (!eof && s(pos).isDigit) pos += 1
@@ -139,6 +142,23 @@ object Rayfall {
       }
       while (!eof && (s(pos).isDigit || s(pos) == '.')) pos += 1
       val text = s.substring(start, pos)
+      // kdb-style typed-number suffix (0s = short zero etc.,
+      // examples/sesslog.rfl): the value is what matters here — all
+      // integral types are LongType under the repo's conventions
+      if (!eof && !text.contains('.') &&
+          "sijfh".indexOf(s(pos).toInt) >= 0 &&
+          (pos + 1 >= s.length || s(pos + 1).isWhitespace ||
+            "()[]{}':;,".indexOf(s(pos + 1).toInt) >= 0)) {
+        pos += 1
+        return RNum(0.0, isInt = true, l = text.toLong)
+      }
+      // DATE literal yyyy.mm.dd
+      text.split('.') match {
+        case Array(y, m, d)
+            if y.length == 4 && m.length == 2 && d.length == 2 =>
+          return RDate(java.time.LocalDate.of(y.toInt, m.toInt, d.toInt))
+        case _ => ()
+      }
       if (text.contains('.')) RNum(text.toDouble, isInt = false)
       else RNum(0.0, isInt = true, l = text.toLong)
     }
@@ -169,7 +189,13 @@ object Rayfall {
   final case class VColView(df: DataFrame, base: String, offset: Long) extends RVal
   /** A lambda VALUE bound with (set f (fn [x…] body)) — applied by name;
     * `self` recurses (reference `examples/fib.rfl:2-7`, core/lambda.c). */
-  final case class VFn(params: Seq[String], body: RExpr) extends RVal
+  final case class VFn(params: Seq[String], bodies: List[RExpr]) extends RVal {
+    def body: RExpr = bodies.last
+  }
+  /** A value-journal handle (reference hopen/write/read,
+    * `examples/journal.rfl`): an append-only text journal of s-exprs;
+    * `read` replays each record through the evaluator. */
+  final case class VHandle(path: java.nio.file.Path) extends RVal
   /** First-class dict value `(dict [k…] vals)` (reference
     * core/compose.c:205, dict literals core/parse.c:784); values may
     * nest dicts/vectors. `key`/`value`/`at` project it. */
@@ -401,10 +427,11 @@ object Rayfall {
 
   private def fnOf(e: RExpr,
                    env: scala.collection.mutable.Map[String, RVal])
-      : (Seq[String], RExpr) = e match {
-    case RList(RSym("fn") :: RVec(ps) :: body :: Nil) => (keyNames(ps), body)
+      : (Seq[String], List[RExpr]) = e match {
+    case RList(RSym("fn") :: RVec(ps) :: bodies) if bodies.nonEmpty =>
+      (keyNames(ps), bodies)
     case RSym(n) => env(n) match {
-      case VFn(ps, body) => (ps, body)
+      case VFn(ps, bodies) => (ps, bodies)
       case x => throw new IllegalArgumentException(s"$n is not a function ($x)")
     }
     case x => throw new IllegalArgumentException(s"bad function form $x")
@@ -460,9 +487,11 @@ object Rayfall {
         args.map(ev).foreach(v => out ++= render(v) += '\n')
         VAtom(null)
       // lambda values, local bindings, string formatting (reference
-      // core/lambda.c, examples/fib.rfl, examples/parted.rfl)
-      case RList(RSym("fn") :: RVec(ps) :: body :: Nil) =>
-        VFn(keyNames(ps), body)
+      // core/lambda.c, examples/fib.rfl, examples/parted.rfl); bodies may
+      // be multi-form — evaluated in order, last value returned
+      // (examples/sesslog.rfl putLog)
+      case RList(RSym("fn") :: RVec(ps) :: bodies) if bodies.nonEmpty =>
+        VFn(keyNames(ps), bodies)
       case RList(RSym("let") :: RSym(name) :: value :: Nil) =>
         // env is cloned per lambda call, so let stays call-scoped
         val v = ev(value); env(name) = v; v
@@ -486,30 +515,32 @@ object Rayfall {
 
       // value-level lambda application and the iteration combinators
       // (reference tests/lang.c:27-33, :4417-4422, :5010-5014)
-      case RList(RList(RSym("fn") :: RVec(ps) :: body :: Nil) :: args) =>
-        applyFn(spark, keyNames(ps), body, args.map(ev), env, hook, out)
+      case RList(RList(RSym("fn") :: RVec(ps) :: bodies) :: args)
+          if bodies.nonEmpty =>
+        applyFn(spark, keyNames(ps), bodies, args.map(ev), env, hook, out)
       case RList(RSym("map" | "pmap") ::
-          (fnForm @ RList(RSym("fn") :: RVec(ps) :: body :: Nil)) :: v :: Nil) =>
+          (fnForm @ RList(RSym("fn") :: RVec(ps) :: bodies)) :: v :: Nil)
+          if bodies.nonEmpty =>
         // pmap == map: everything in Spark is parallel; driver vectors
         // are small by construction
         ev(v) match {
-          case VRange(n, f) if keyNames(ps).length == 1 =>
+          case VRange(n, f) if keyNames(ps).length == 1 && bodies.length == 1 =>
             // column-compile the lambda body so the map stays lazy
             // (table.rfl maps (fn [x] (as 'C8 x)) over a 1e7 range);
             // bodies the column translator can't express fall back to
             // the guarded driver path
             val p = keyNames(ps).head
-            try VRange(n, id => toColumn(body, Map(p -> f(id))))
+            try VRange(n, id => toColumn(bodies.head, Map(p -> f(id))))
             catch { case _: IllegalArgumentException =>
               VVec(materializeRange(spark, VRange(n, f)).map(x =>
-                applyFn(spark, Seq(p), body, Seq(VAtom(x)), env, hook, out) match {
+                applyFn(spark, Seq(p), bodies, Seq(VAtom(x)), env, hook, out) match {
                   case VAtom(y) => y
                   case y => throw new IllegalArgumentException(s"bad map result $y")
                 }))
             }
           case src =>
             VVec(vec(src).map(x =>
-              applyFn(spark, keyNames(ps), body, Seq(VAtom(x)), env, hook, out) match {
+              applyFn(spark, keyNames(ps), bodies, Seq(VAtom(x)), env, hook, out) match {
                 case VAtom(y) => y
                 case VVec(ys) => ys
                 case y => throw new IllegalArgumentException(s"bad map result $y")
@@ -540,43 +571,50 @@ object Rayfall {
       // its characters (examples/iter.rfl)
       case RList(RSym("map-left") ::
           (fnForm @ RList(RSym("fn") :: _)) :: l :: r :: Nil) =>
-        val (ps, body) = fnOf(fnForm, env)
+        val (ps, bodies) = fnOf(fnForm, env)
         val right = ev(r)
         mapOver(ev(l), e =>
-          applyFn(spark, ps, body, Seq(e, right), env, hook, out))
+          applyFn(spark, ps, bodies, Seq(e, right), env, hook, out))
       case RList(RSym("map-right") ::
           (fnForm @ RList(RSym("fn") :: _)) :: l :: r :: Nil) =>
-        val (ps, body) = fnOf(fnForm, env)
+        val (ps, bodies) = fnOf(fnForm, env)
         val left = ev(l)
         mapOver(ev(r), e =>
-          applyFn(spark, ps, body, Seq(left, e), env, hook, out))
+          applyFn(spark, ps, bodies, Seq(left, e), env, hook, out))
       case RList(RSym("map" | "pmap") ::
           (fnForm @ RList(RSym("fn") :: _)) :: a :: b :: Nil) =>
         // two-argument map: vectors zip, atoms broadcast (map_lambda)
-        val (ps, body) = fnOf(fnForm, env)
+        val (ps, bodies) = fnOf(fnForm, env)
         val (av, bv) = (ev(a), ev(b))
         (charElems(av), charElems(bv)) match {
           case (Some(xs), Some(ys)) =>
             require(xs.length == ys.length, "map length mismatch")
             VVec(xs.zip(ys).map { case (x, y) =>
-              unwrapAtom(applyFn(spark, ps, body, Seq(x, y), env, hook, out)) })
+              unwrapAtom(applyFn(spark, ps, bodies, Seq(x, y), env, hook, out)) })
           case (Some(xs), None) =>
             VVec(xs.map(x =>
-              unwrapAtom(applyFn(spark, ps, body, Seq(x, bv), env, hook, out))))
+              unwrapAtom(applyFn(spark, ps, bodies, Seq(x, bv), env, hook, out))))
           case (None, Some(ys)) =>
             VVec(ys.map(y =>
-              unwrapAtom(applyFn(spark, ps, body, Seq(av, y), env, hook, out))))
+              unwrapAtom(applyFn(spark, ps, bodies, Seq(av, y), env, hook, out))))
           case (None, None) =>
-            applyFn(spark, ps, body, Seq(av, bv), env, hook, out)
+            applyFn(spark, ps, bodies, Seq(av, bv), env, hook, out)
         }
+      // (map named-fn v) — single-arg map over a bound lambda
+      // (examples/parted.rfl (map gen-tab (til 5)))
+      case RList(RSym("map" | "pmap") :: RSym(f) :: v :: Nil)
+          if env.get(f).exists(_.isInstanceOf[VFn]) =>
+        val fn = env(f).asInstanceOf[VFn]
+        mapOver(ev(v), e =>
+          applyFn(spark, fn.params, fn.bodies, Seq(e), env, hook, out, Some(fn)))
       case RList(RSym("apply") :: fnForm :: args)
           if args.nonEmpty && (fnForm match {
             case RList(RSym("fn") :: _) => true
             case RSym(n) => env.get(n).exists(_.isInstanceOf[VFn])
             case _ => false
           }) =>
-        val (ps, body) = fnOf(fnForm, env)
-        applyFn(spark, ps, body, args.map(ev), env, hook, out)
+        val (ps, bodies) = fnOf(fnForm, env)
+        applyFn(spark, ps, bodies, args.map(ev), env, hook, out)
 
       case RList(RSym("filter") :: v :: mask :: Nil)
           if !isTableForm(v, env) =>
@@ -796,6 +834,55 @@ object Rayfall {
 
       case RList(RSym("exit") :: _) => VAtom(null)
 
+      // value journal (reference hopen/write/read/hclose,
+      // examples/journal.rfl; core/unary.c hopen): an append-only text
+      // journal of s-exprs; read replays each record through the
+      // evaluator (a logged (f args…) application re-executes)
+      case RList(RSym("hopen") :: p :: Nil) =>
+        val path = ev(p) match {
+          case VAtom(s: String) => java.nio.file.Paths.get(s)
+          case x => throw new IllegalArgumentException(s"hopen needs a path, got $x")
+        }
+        if (!java.nio.file.Files.exists(path)) java.nio.file.Files.createFile(path)
+        VHandle(path)
+      case RList(RSym("write") :: h :: v :: Nil) =>
+        val handle = ev(h) match {
+          case hd: VHandle => hd
+          case x => throw new IllegalArgumentException(s"write needs a handle, got $x")
+        }
+        val rec = ev(v) match {
+          case VVec(xs) => xs.map {
+            case s: String => s
+            case l: java.lang.Long => l.toString
+            case d: java.lang.Double => d.toString
+            case x => throw new IllegalArgumentException(s"cannot journal $x")
+          }.mkString("(", " ", ")")
+          case VAtom(x) => x.toString
+          case x => throw new IllegalArgumentException(s"cannot journal $x")
+        }
+        java.nio.file.Files.writeString(handle.path, rec + "\n",
+          java.nio.file.StandardOpenOption.APPEND)
+        VAtom(null)
+      case RList(RSym("read") :: h :: Nil) =>
+        val handle = ev(h) match {
+          case hd: VHandle => hd
+          case x => throw new IllegalArgumentException(s"read needs a handle, got $x")
+        }
+        val p = new Parser(java.nio.file.Files.readString(handle.path))
+        var lastV: RVal = VAtom(null)
+        p.skipWs()
+        while (!p.eof) {
+          lastV = ev(p.parseExpr())
+          p.skipWs()
+        }
+        lastV
+      case RList(RSym("hclose") :: h :: Nil) =>
+        ev(h); VAtom(null)
+      // (timestamp 'utc) — current time as nanos-since-epoch long (the
+      // repo's TIMESTAMP convention)
+      case RList(RSym("timestamp") :: _) =>
+        VAtom(java.lang.Long.valueOf(System.currentTimeMillis() * 1000000L))
+
       // in-place quoted forms (reference docs): the result replaces the
       // env binding — (update {… from: 'tab …}), (upsert 't n s),
       // (alter 't fn 'col v)
@@ -934,7 +1021,7 @@ object Rayfall {
       // (fib.rfl: (fib 20) → applyFn binds self → (self (- x 1)) recurses)
       case RList(RSym(f) :: args) if env.get(f).exists(_.isInstanceOf[VFn]) =>
         val fn = env(f).asInstanceOf[VFn]
-        applyFn(spark, fn.params, fn.body, args.map(ev), env, hook, out,
+        applyFn(spark, fn.params, fn.bodies, args.map(ev), env, hook, out,
           self = Some(fn))
 
       // everything else: a query/table form for the Column-level evaluator
@@ -1020,8 +1107,8 @@ object Rayfall {
   /** Value-level lambda application: params bound in a child scope;
     * `self` (when given) enables recursion per the reference's lambda
     * convention (examples/fib.rfl). */
-  private def applyFn(spark: SparkSession, names: Seq[String], body: RExpr,
-                      args: Seq[RVal],
+  private def applyFn(spark: SparkSession, names: Seq[String],
+                      bodies: Seq[RExpr], args: Seq[RVal],
                       env: scala.collection.mutable.Map[String, RVal],
                       hook: DataFrame => Unit,
                       out: StringBuilder = new StringBuilder,
@@ -1030,7 +1117,8 @@ object Rayfall {
     val inner = env.clone()
     names.zip(args).foreach { case (p, a) => inner(p) = a }
     self.foreach(f => inner("self") = f)
-    evalScript(spark, body, inner, hook, out)
+    // multi-form bodies evaluate in order; the last value is the result
+    bodies.map(b => evalScript(spark, b, inner, hook, out)).last
   }
 
   /** Is the sub-form vector-valued in the script env (so script-level

@@ -387,6 +387,20 @@ class DocsSpec extends SparkSpec {
     assert(byId(17L) == (("Quinn", 170.0)))    // in-place quoted upsert
   }
 
+  test("reference examples/journal.rfl runs VERBATIM; replay re-executes") {
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get("/tmp/jou.log"))
+    val (_, printed) = Rayfall.scriptCapture(spark, readExample("journal.rfl"))
+    // write logs (f 1 2)/(f 2 3)/(f 3 4); read replays them through f
+    assert(printed == "RES: 3\nRES: 5\nRES: 7\n")
+  }
+
+  test("reference examples/sesslog.rfl runs VERBATIM; empty typed table + putLog") {
+    val (t, _) = Rayfall.scriptCapture(spark, readExample("sesslog.rfl"))
+    assert(t.get.columns.toSeq == Seq("time", "sym", "sn", "outlie",
+      "origSNRC", "origSN", "origTR", "body", "proxyId", "feId"))
+    assert(t.get.count() == 0)
+  }
+
   test("reference examples/insert.rfl runs VERBATIM; all 12 insert forms") {
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/examples/insert.rfl")))
