@@ -374,6 +374,8 @@ object Rayfall {
   private def render(v: RVal): String = v match {
     case VAtom(null) => "nil"
     case VAtom(s: String) => s
+    case VAtom(d: java.time.LocalDate) =>
+      f"${d.getYear}%04d.${d.getMonthValue}%02d.${d.getDayOfMonth}%02d"
     case VAtom(d: java.lang.Double) => d.toString
     case VAtom(x) => x.toString
     case VVec(xs) => xs.map {
@@ -459,6 +461,7 @@ object Rayfall {
     e match {
       case RNum(_, true, l) => VAtom(l)
       case RNum(v, false, _) => VAtom(v)
+      case RDate(d) => VAtom(d)
       case RStr(s) => VAtom(s)
       case RQuote(s) => VAtom(s)
       // vector literal: bare symbols are SYMBOL atoms (reference [I J K]
@@ -883,6 +886,105 @@ object Rayfall {
       case RList(RSym("timestamp") :: _) =>
         VAtom(java.lang.Long.valueOf(System.currentTimeMillis() * 1000000L))
 
+      // storage forms (reference set-splayed/get-splayed/get-parted,
+      // core/io.c:1194, core/vary.c:176; examples/parted.rfl). The third
+      // set-splayed arg is the reference's shared symfile — Parquet
+      // dictionary encoding subsumes it, accepted and ignored.
+      case RList(RSym("set-splayed") :: p :: t :: rest) if rest.length <= 1 =>
+        val path = ev(p) match {
+          case VAtom(s: String) => s
+          case x => throw new IllegalArgumentException(s"set-splayed needs a path, got $x")
+        }
+        val df = ev(t) match {
+          case VTab(d) => d
+          case x => throw new IllegalArgumentException(s"set-splayed needs a table, got $x")
+        }
+        graft.sources.Store.setSplayed(df, path)
+        VAtom(null)
+      case RList(RSym("get-splayed") :: p :: Nil) =>
+        val path = ev(p) match { case VAtom(s: String) => s
+          case x => throw new IllegalArgumentException(s"bad path $x") }
+        val df = graft.sources.Store.getSplayed(spark, path)
+        hook(df); VTab(df)
+      // (except x y): table × symbol drops the column; vector × vector
+      // filters members out (reference ray_except, core/items.c:916 —
+      // TYPE_TABLE×-TYPE_SYMBOL and TYPE_I64/SYMBOL vector cases;
+      // examples/flips.rfl (except … 'date), docs operations/iterable.md)
+      case RList(RSym("except") :: a :: b :: Nil)
+          if isTableForm(a, env) || !refsColumns(a, env) =>
+        (ev(a), ev(b)) match {
+          case (VTab(df), VAtom(c: String)) =>
+            val r = df.drop(c); hook(r); VTab(r)
+          case (VTab(df), VVec(cs)) =>
+            val r = df.drop(cs.map(_.toString): _*); hook(r); VTab(r)
+          case (av, bv) =>
+            val excl = vec(bv).toSet
+            VVec(vec(av).filterNot(excl))
+        }
+      // (read-csv [TYPE…] path): typed CSV read, column names from the
+      // header line (reference ray_read_csv, core/io.c:670;
+      // examples/flips.rfl). TIME columns land as the repo's
+      // millis-since-midnight longs.
+      case RList(RSym("read-csv") :: RVec(types) :: p :: Nil) =>
+        val path = ev(p) match { case VAtom(s: String) => s
+          case x => throw new IllegalArgumentException(s"bad csv path $x") }
+        val tnames = keyNames(types)
+        val header = scala.util.Using(scala.io.Source.fromFile(path))(
+          _.getLines().next()).get.split(",", -1).map(_.trim).toSeq
+        require(header.length == tnames.length,
+          s"read-csv: ${tnames.length} types for ${header.length} header columns")
+        import org.apache.spark.sql.types._
+        val fields = header.zip(tnames).map { case (n, t) => StructField(n,
+          t match {
+            case "I64" | "I32" | "I16" => LongType
+            case "F64" | "F32" => DoubleType
+            case "DATE" => DateType
+            case "SYMBOL" | "C8" | "GUID" | "STRING" => StringType
+            case "TIME" => StringType // post-converted below
+            case "TIMESTAMP" => TimestampType
+            case x => throw new IllegalArgumentException(s"read-csv type $x")
+          }, nullable = true) }
+        var df = spark.read.schema(StructType(fields))
+          .option("header", "true").option("dateFormat", "yyyy.MM.dd")
+          .csv(path)
+        header.zip(tnames).collect { case (n, "TIME") => n }.foreach { c =>
+          val ps = split(col(c), "[:.]")
+          df = df.withColumn(c,
+            ((ps(0).cast("long") * 60 + ps(1).cast("long")) * 60 +
+              ps(2).cast("long")) * 1000 +
+              coalesce(element_at(ps, 4).cast("long"), lit(0L)))
+        }
+        hook(df); VTab(df)
+      // (get-parted dbpath 'tab): the reference's parted DB is bare
+      // per-date dirs each holding a splayed table; the date dir name
+      // comes back as the virtual `date` partition column. Listing is
+      // driver-side but bounded by the number of PARTITIONS (dates), not
+      // rows; each partition's read stays a lazy parquet scan.
+      case RList(RSym("get-parted") :: p :: tExpr :: Nil) =>
+        val root = ev(p) match { case VAtom(s: String) => s
+          case x => throw new IllegalArgumentException(s"bad path $x") }
+        val tab = tExpr match {
+          case RQuote(n) => n
+          case other => ev(other) match { case VAtom(s: String) => s
+            case x => throw new IllegalArgumentException(s"bad table name $x") }
+        }
+        val dateRe = "^\\d{4}\\.\\d{2}\\.\\d{2}$".r
+        val dirs = scala.jdk.CollectionConverters
+          .IteratorHasAsScala(
+            java.nio.file.Files.list(java.nio.file.Paths.get(root)).iterator())
+          .asScala
+          .filter(d => dateRe.matches(d.getFileName.toString) &&
+            java.nio.file.Files.isDirectory(d.resolve(tab)))
+          .toVector.sortBy(_.getFileName.toString)
+        require(dirs.nonEmpty, s"no parted dirs under $root")
+        val parts = dirs.map { d =>
+          val ds = d.getFileName.toString.replace('.', '-')
+          graft.sources.Store.getSplayed(spark, d.resolve(tab).toString)
+            .withColumn("date", to_date(lit(ds)))
+        }
+        val df = parts.reduce(_.unionByName(_))
+        hook(df); VTab(df)
+
       // in-place quoted forms (reference docs): the result replaces the
       // env binding — (update {… from: 'tab …}), (upsert 't n s),
       // (alter 't fn 'col v)
@@ -1129,7 +1231,7 @@ object Rayfall {
       case RSym(n) => env.get(n).exists(v =>
         v.isInstanceOf[VVec] || v.isInstanceOf[VAtom])
       case RVec(_) => true
-      case RNum(_, _, _) | RStr(_) | RQuote(_) => true
+      case RNum(_, _, _) | RStr(_) | RQuote(_) | RDate(_) => true
       case RList(RSym("til" | "take" | "concat" | "list" | "map" | "pmap" |
         "map-left" | "map-right" | "filter" | "fold" | "sum" | "min" | "max" |
         "avg" | "count" | "at" | "as" | "guid" | "+" | "-" | "*" | "/" | "%" |
@@ -1194,6 +1296,15 @@ object Rayfall {
       case _ => None
     }
     def scalar(x: Any, y: Any): Any = (x, y) match {
+      // DATE ± days stays a date (reference DATE = i32 days since
+      // 2000.01.01, core/date.c:34; parted.rfl (+ 2024.01.01 x))
+      case (d: java.time.LocalDate, j: java.lang.Long) => op match {
+        case "+" => d.plusDays(j)
+        case "-" => d.minusDays(j)
+        case _ => scalar(d.toEpochDay: java.lang.Long, j)
+      }
+      case (i: java.lang.Long, d: java.time.LocalDate) if op == "+" =>
+        d.plusDays(i)
       case (i: java.lang.Long, j: java.lang.Long) => op match {
         case "+" => i + j
         case "-" => i - j

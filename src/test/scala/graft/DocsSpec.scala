@@ -401,6 +401,57 @@ class DocsSpec extends SparkSpec {
     assert(t.get.count() == 0)
   }
 
+  test("reference examples/parted.rfl runs VERBATIM; parted DB written + read back") {
+    import org.apache.commons.io.FileUtils
+    FileUtils.deleteQuietly(new java.io.File("/tmp/db"))
+    val (_, printed) = Rayfall.scriptCapture(spark, readExample("parted.rfl"))
+    // 5 per-date splayed dirs, 1e7 rows each (examples/parted.rfl:7,23)
+    val lines = printed.linesIterator.toVector
+    assert(lines.count(_.startsWith("Creating table: /tmp/db/2024.01.0")) == 5)
+    assert(lines.last == "Done.")
+    for (d <- 1 to 5)
+      assert(java.nio.file.Files.isDirectory(
+        java.nio.file.Paths.get(s"/tmp/db/2024.01.0$d/a")))
+    // the commented follow-up: (set t (get-parted "/tmp/db/" 'a))
+    val t = Rayfall.script(spark, """(get-parted "/tmp/db/" 'a)""")
+    assert(t.columns.toSeq == Seq("OrderId", "Symbol", "Price", "Size",
+      "Tape", "Timestamp", "date"))
+    assert(t.count() == 50000000L)
+    // date is the virtual partition column; Price was offset by x per day
+    val day3 = t.where($"date" === java.sql.Date.valueOf("2024-01-03"))
+    assert(day3.where($"Timestamp" === 0L).select($"Price").collect()
+      .head.getDouble(0) == 2.0)
+  }
+
+  test("flips.rfl forms: typed read-csv (names from header) + table except") {
+    // flips.rfl itself needs an external download (its usage comment:
+    // "unzip ~/Downloads/flips.zip"); exercise its exact language forms —
+    // (except (read-csv [TYPE…] path) 'col) — on a synthetic CSV with the
+    // same type shapes (examples/flips.rfl:13-24)
+    val csv = "/tmp/flips_mini.csv"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(csv),
+      """date,qty,seq,sym,id,venue,t,px,sz,n
+        |2024.01.01,5,1,AAPL,10,X,09:30:01.250,1.5,100,7
+        |2024.01.02,6,2,GOOG,11,Y,16:00:00.000,2.5,200,8
+        |""".stripMargin)
+    val t = Rayfall.script(spark,
+      s"""(set flips (except (read-csv
+         |  [DATE I64 I64 SYMBOL I64 SYMBOL TIME F64 F64 I64] "$csv") 'date))
+         |flips""".stripMargin)
+    assert(t.columns.toSeq ==
+      Seq("qty", "seq", "sym", "id", "venue", "t", "px", "sz", "n"))
+    val rows = t.orderBy($"seq").collect()
+    // TIME lands as millis-since-midnight (the repo's TIME convention)
+    assert(rows(0).getAs[Long]("t") == ((9 * 60 + 30) * 60 + 1) * 1000 + 250)
+    assert(rows(1).getAs[Long]("t") == 16 * 3600 * 1000L)
+    assert(rows(0).getAs[String]("sym") == "AAPL" &&
+      rows(0).getAs[Double]("px") == 1.5)
+    // vector except (docs operations/iterable.md:103-106)
+    val v = Rayfall.scriptCapture(spark,
+      "(println \"%\" (except [1 2 3 4 5] [2 4]))")._2
+    assert(v == "[1 3 5]\n")
+  }
+
   test("reference examples/insert.rfl runs VERBATIM; all 12 insert forms") {
     val src = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/root/reference/examples/insert.rfl")))
