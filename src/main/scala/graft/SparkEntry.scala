@@ -1009,28 +1009,24 @@ object Queries {
   // ---------------------------------------------------------------- q30
   // union (distinct, reference /root/reference/core/items.c:1022) and
   // sect (intersection, :898) over key vectors.
-  def q30_union_sect(spark: SparkSession, dir: String): DataFrame = {
-    val orders = t(spark, dir, "orders")
-    val urgent = orders.filter($"o_orderpriority" === "1-URGENT")
-      .select($"o_custkey")
-    val low = orders.filter($"o_orderpriority" === "5-LOW")
-      .select($"o_custkey")
-    val u = urgent.union(low).distinct().count()
-    val s = urgent.intersect(low).count()
-    import spark.implicits._
-    Seq((u, s)).toDF("n_union", "n_sect")
-  }
+  def q30_union_sect(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .filter($"o_orderpriority".isin("1-URGENT", "5-LOW"))
+      .groupBy($"o_custkey")
+      .agg(max($"o_orderpriority" === "1-URGENT").as("has_u"),
+           max($"o_orderpriority" === "5-LOW").as("has_l"))
+      .agg(count(lit(1)).as("n_union"),
+           count(when($"has_u" && $"has_l", 1)).as("n_sect"))
 
   private val q30_sql =
-    """SELECT
-      |  (SELECT COUNT(*) FROM (
-      |     SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-      |     UNION
-      |     SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')) AS n_union,
-      |  (SELECT COUNT(*) FROM (
-      |     SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
-      |     INTERSECT
-      |     SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')) AS n_sect""".stripMargin
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_union,
+      |  CAST(COUNT(*) FILTER (WHERE has_u AND has_l) AS BIGINT) AS n_sect
+      |FROM (
+      |  SELECT o_custkey,
+      |    BOOL_OR(o_orderpriority = '1-URGENT') AS has_u,
+      |    BOOL_OR(o_orderpriority = '5-LOW') AS has_l
+      |  FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+      |  GROUP BY o_custkey)""".stripMargin
 
   // ---------------------------------------------------------------- q31
   // Array ops over the embedding column (reference list ops + fold,

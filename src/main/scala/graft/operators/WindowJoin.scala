@@ -118,13 +118,20 @@ object WindowJoin {
     val isDouble = aggs.map(a =>
       right.schema(a.col).dataType == DoubleType).toArray
 
-    val joined = lGrouped.cogroup(rGrouped) { (_, lIt, rIt) =>
-      val ls = lIt.toArray.sortBy(r => anyToLong(r.get(tsIdx)))
-      val rs = rIt.toArray.sortBy(_.getLong(1))
-      val rTs = rs.map(_.getLong(1))
-      val rVals: Array[Row] = rs.map(_.getStruct(2))
-      SlidingWindow.run(ls, rTs, rVals, tsIdx, kIdx, loOffset, hiOffset,
-        excl, aggB, fieldOf, isDouble)
+    // cogroupSorted hands each side's iterator already ts-sorted (Spark
+    // sorts within the shuffle, not in task memory), so the LEFT side
+    // STREAMS through the two-pointer kernel — a hot key with 1e8 left
+    // rows never materializes in the task (SkewSpec pins this with a
+    // single-key 1e6 input). Only the right side buffers, which is the
+    // algorithm's contract (the deques need indexed lookback), same as
+    // the reference's per-key kernel over its right arrays.
+    val joined = lGrouped.cogroupSorted(rGrouped)(col(ts).asc)(col("__ts").asc) {
+      (_, lIt, rIt) =>
+        val rs = rIt.toArray
+        val rTs = rs.map(_.getLong(1))
+        val rVals: Array[Row] = rs.map(_.getStruct(2))
+        SlidingWindow.run(lIt, rTs, rVals, tsIdx, kIdx, loOffset, hiOffset,
+          excl, aggB, fieldOf, isDouble)
     }(outEnc)
     joined
   }
@@ -142,7 +149,7 @@ object WindowJoin {
 private[operators] object SlidingWindow {
   import WindowJoin.Agg
 
-  def run(ls: Array[Row], rTs: Array[Long], rVals: Array[Row],
+  def run(ls: Iterator[Row], rTs: Array[Long], rVals: Array[Row],
           tsIdx: Int, kIdx: Int, lo: Long, hi: Long, exclusive: Boolean,
           aggs: Array[Agg], fieldOf: Array[Int],
           isDouble: Array[Boolean]): Iterator[Row] = {
@@ -177,7 +184,7 @@ private[operators] object SlidingWindow {
       if (isMin) c <= 0 else c >= 0
     }
 
-    ls.iterator.map { l =>
+    ls.map { l =>
       val ts = WindowJoin.anyToLong(l.get(tsIdx))
       val wLo = ts + lo
       val wHi = ts + hi
