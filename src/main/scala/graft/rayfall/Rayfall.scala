@@ -185,7 +185,15 @@ object Rayfall {
     * `(map-left + [lo hi] (at trades 'Ts))` never materializes the
     * column: the bridge reads the offsets straight off the provenance.
     * Materializing (when a driver vector is genuinely required) is
-    * size-guarded by [[maxDriverVec]]. */
+    * size-guarded by [[maxDriverVec]].
+    *
+    * ORDER CONTRACT: materializing collects WITHOUT an ORDER BY and
+    * takes Spark's partition order as the logical row order. That holds
+    * for the sources scripts build views from — `tableFromValues`
+    * (single-partition driver data) and file scans (stable file order) —
+    * but NOT for a table that went through a join/shuffle. Views over
+    * shuffled tables must stay lazy (offset provenance) or be aggregated
+    * distributed; don't collect them into positional driver vectors. */
   final case class VColView(df: DataFrame, base: String, offset: Long) extends RVal
   /** A lambda VALUE bound with (set f (fn [x…] body)) — applied by name;
     * `self` recurses (reference `examples/fib.rfl:2-7`, core/lambda.c). */
@@ -241,6 +249,17 @@ object Rayfall {
   /** Deterministic pseudo-guid of the range id (scripts' (guid n); the
     * reference's guids are random — any stable value works, md5 in
     * 8-4-4-4-12 layout keeps it engine-side and reproducible). */
+  /** Driver-side mirror of [[guidF]]: md5 of the decimal index in
+    * 8-4-4-4-12 layout, so (guid n) yields the SAME value for a given
+    * index on both sides of the lazy threshold. */
+  private def guidOf(i: Long): String = {
+    val m = java.security.MessageDigest.getInstance("MD5")
+      .digest(i.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    s"${m.substring(0, 8)}-${m.substring(8, 12)}-${m.substring(12, 16)}-" +
+      s"${m.substring(16, 20)}-${m.substring(20, 32)}"
+  }
+
   private def guidF(id: Column): Column = {
     val m = md5(id.cast("string"))
     concat(substring(m, 1, 8), lit("-"), substring(m, 9, 4), lit("-"),
@@ -300,6 +319,7 @@ object Rayfall {
         }
     }
 
+  /** Collects in partition order — see the VColView ORDER CONTRACT. */
   private def materialize(v: VColView): Vector[Any] = {
     val n = v.df.count()
     require(n <= maxDriverVec,
@@ -533,7 +553,14 @@ object Rayfall {
             // bodies the column translator can't express fall back to
             // the guarded driver path
             val p = keyNames(ps).head
-            try VRange(n, id => toColumn(bodies.head, Map(p -> f(id))))
+            try {
+              // probe the translation EAGERLY: toColumn must throw here,
+              // not inside the deferred closure, or a body the column
+              // translator can't express would escape this catch and
+              // fail later when the range is forced
+              toColumn(bodies.head, Map(p -> f(col("id"))))
+              VRange(n, id => toColumn(bodies.head, Map(p -> f(id))))
+            }
             catch { case _: IllegalArgumentException =>
               VVec(materializeRange(spark, VRange(n, f)).map(x =>
                 applyFn(spark, Seq(p), bodies, Seq(VAtom(x)), env, hook, out) match {
@@ -672,9 +699,7 @@ object Rayfall {
       case RList(RSym("guid") :: n :: Nil) =>
         val k = num(ev(n))
         if (k >= lazyVecLen) VRange(k, guidF)
-        else VVec(Vector.tabulate(k.toInt)(i =>
-          java.util.UUID.nameUUIDFromBytes(
-            i.toString.getBytes("UTF-8")).toString: Any))
+        else VVec(Vector.tabulate(k.toInt)(i => guidOf(i): Any))
       case RList(RSym("take") :: x :: n :: Nil)
           if !isTableForm(x, env) && !isTableForm(n, env) =>
         val k = num(ev(n))
@@ -853,13 +878,23 @@ object Rayfall {
           case hd: VHandle => hd
           case x => throw new IllegalArgumentException(s"write needs a handle, got $x")
         }
+        // a journaled (list 'f args…) record is written as the s-expr
+        // (f args…) so read REPLAYS it as an application (journal.rfl);
+        // symbol-like strings stay bare to keep that, anything else is
+        // quoted+escaped so spaces/parens/quotes round-trip instead of
+        // silently splitting the record
+        val symbolLike = "^[A-Za-z_][A-Za-z0-9_-]*$".r
+        def enc(x: Any): String = x match {
+          case s: String if symbolLike.matches(s) => s
+          case s: String =>
+            "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+          case l: java.lang.Long => l.toString
+          case d: java.lang.Double => d.toString
+          case x => throw new IllegalArgumentException(s"cannot journal $x")
+        }
         val rec = ev(v) match {
-          case VVec(xs) => xs.map {
-            case s: String => s
-            case l: java.lang.Long => l.toString
-            case d: java.lang.Double => d.toString
-            case x => throw new IllegalArgumentException(s"cannot journal $x")
-          }.mkString("(", " ", ")")
+          case VVec(xs) => xs.map(enc).mkString("(", " ", ")")
+          case VAtom(s: String) => enc(s)
           case VAtom(x) => x.toString
           case x => throw new IllegalArgumentException(s"cannot journal $x")
         }
@@ -949,10 +984,13 @@ object Rayfall {
           .csv(path)
         header.zip(tnames).collect { case (n, "TIME") => n }.foreach { c =>
           val ps = split(col(c), "[:.]")
+          // ANSI-safe fraction: element_at throws on a missing index, so
+          // gate on size; rpad makes ".25" read as 250 ms, not 25
           df = df.withColumn(c,
             ((ps(0).cast("long") * 60 + ps(1).cast("long")) * 60 +
               ps(2).cast("long")) * 1000 +
-              coalesce(element_at(ps, 4).cast("long"), lit(0L)))
+              when(size(ps) >= 4, rpad(element_at(ps, 4), 3, "0").cast("long"))
+                .otherwise(lit(0L)))
         }
         hook(df); VTab(df)
       // (get-parted dbpath 'tab): the reference's parted DB is bare
