@@ -30,6 +30,9 @@ object Rayfall {
     * 2^53 exact range); `v` is only meaningful when `isInt` is false.
     */
   final case class RNum(v: Double, isInt: Boolean, l: Long = 0L) extends RExpr
+  /** Typed null literal (`0Nl`/`0Ni`/`0Nf`/`null` — reference sentinel
+    * nulls, SURVEY §1.2: all become real SQL NULLs here). */
+  case object RNull extends RExpr
   /** DATE literal yyyy.mm.dd (reference core/parse.c temporal literals;
     * DATE = days since 2000.01.01, SURVEY §1.2). */
   final case class RDate(date: java.time.LocalDate) extends RExpr
@@ -67,6 +70,11 @@ object Rayfall {
         case '(' => pos += 1; RList(parseSeq(')'))
         case '[' => pos += 1; RVec(parseSeq(']'))
         case '{' => pos += 1; parseDict()
+        // char literal 'x' (reference C8 atom) — a 1-char string here;
+        // distinguished from a symbol quote by the closing apostrophe
+        case '\'' if pos + 2 < s.length && s(pos + 2) == '\'' &&
+            s(pos + 1) != '\'' && s(pos + 1) != ' ' =>
+          val c = s(pos + 1); pos += 3; RStr(c.toString)
         case '\'' => pos += 1; RQuote(parseSymName())
         case '"' => parseStr()
         case c if c.isDigit || (c == '-' && pos + 1 < s.length &&
@@ -140,6 +148,14 @@ object Rayfall {
         return RNum(0.0, isInt = true,
           l = ((hh * 60 + mm) * 60 + ss) * 1000 + ms)
       }
+      // typed null literal 0N{l,i,f,h,s,g} (reference sentinel nulls)
+      if (!eof && s.substring(start, pos) == "0" && s(pos) == 'N' &&
+          pos + 1 < s.length && "lifhsg".indexOf(s(pos + 1).toInt) >= 0 &&
+          (pos + 2 >= s.length || s(pos + 2).isWhitespace ||
+            "()[]{}':;,".indexOf(s(pos + 2).toInt) >= 0)) {
+        pos += 2
+        return RNull
+      }
       while (!eof && (s(pos).isDigit || s(pos) == '.')) pos += 1
       val text = s.substring(start, pos)
       // kdb-style typed-number suffix (0s = short zero etc.,
@@ -169,6 +185,27 @@ object Rayfall {
   /** Evaluate a Rayfall query string against a table catalog. */
   def query(src: String, tables: Map[String, DataFrame]): DataFrame =
     eval(parse(src), tables)
+
+  /** Script-level `(raise msg)` (reference try/raise, core/error.c). */
+  final class RayfallError(msg: String) extends RuntimeException(msg)
+
+  /** Run a script and return the LAST form's VALUE (reference eval
+    * semantics: every form is an expression — tests/lang.c asserts on
+    * the final value; LangSpec drives this entry point). */
+  def scriptValue(spark: SparkSession, src: String,
+                  tables: Map[String, DataFrame] = Map.empty): RVal = {
+    val p = new Parser(src)
+    val env = scala.collection.mutable.Map[String, RVal](
+      tables.map { case (k, v) => k -> (VTab(v): RVal) }.toSeq: _*)
+    val out = new StringBuilder
+    var last: RVal = VAtom(null)
+    p.skipWs()
+    while (!p.eof) {
+      last = evalScript(spark, p.parseExpr(), env, _ => (), out)
+      p.skipWs()
+    }
+    last
+  }
 
   // ------------------------------------------------------ script values
 
@@ -296,18 +333,24 @@ object Rayfall {
     * repo's millis/nanos-as-long convention; other casts apply lazily on
     * ranges and eagerly on atoms/vectors. */
   private def valueCast(spark: SparkSession, t: String, v: RVal): RVal =
-    t match {
+    t.toUpperCase match {
       case "TIME" | "TIMESTAMP" => v
-      case _ =>
-        val target = castTargets.getOrElse(t,
+      case tu =>
+        val target = castTargets.getOrElse(tu,
           throw new IllegalArgumentException(s"unknown cast type '$t"))
         def atom(x: Any): Any = (target, x) match {
           case (_, null) => null
           case ("string", v) => v.toString
           case ("double", l: java.lang.Long) => java.lang.Double.valueOf(l.doubleValue)
           case ("double", d: java.lang.Double) => d
+          // string → number parses with trim (lang.c:47, :54)
+          case ("double", s: String) => java.lang.Double.valueOf(s.trim.toDouble)
+          case ("bigint" | "int" | "smallint" | "tinyint", s: String) =>
+            java.lang.Long.valueOf(s.trim.toLong)
           case ("bigint" | "int" | "smallint" | "tinyint", d: java.lang.Double) =>
             java.lang.Long.valueOf(d.toLong)
+          case ("boolean", l: java.lang.Long) =>
+            java.lang.Boolean.valueOf(l != 0L)
           case (_, v) => v
         }
         v match {
@@ -481,12 +524,18 @@ object Rayfall {
     e match {
       case RNum(_, true, l) => VAtom(l)
       case RNum(v, false, _) => VAtom(v)
+      case RNull => VAtom(null)
+      case RSym("null") => VAtom(null)
+      case RSym("true") => VAtom(java.lang.Boolean.TRUE)
+      case RSym("false") => VAtom(java.lang.Boolean.FALSE)
       case RDate(d) => VAtom(d)
       case RStr(s) => VAtom(s)
       case RQuote(s) => VAtom(s)
       // vector literal: bare symbols are SYMBOL atoms (reference [I J K]
       // is a symbol vector, not variable references)
       case RVec(items) => VVec(items.map[Any] {
+        case RSym("true") => java.lang.Boolean.TRUE
+        case RSym("false") => java.lang.Boolean.FALSE
         case RSym(n) => n
         case i => ev(i) match {
           case VAtom(x) => x
@@ -655,7 +704,8 @@ object Rayfall {
       case RList(RSym("fold") :: RSym(op) :: v :: Nil) =>
         vec(ev(v)).map(x => VAtom(x): RVal)
           .reduce((a, b) => broadcastArith(op, a, b))
-      case RList(RSym(agg @ ("sum" | "min" | "max" | "avg")) :: v :: Nil)
+      case RList(RSym(agg @ ("sum" | "min" | "max" | "avg" | "med" | "dev"))
+          :: v :: Nil)
           if !isTableForm(v, env) && vecValued(v, env) =>
         val value = ev(v)
         value match {
@@ -665,11 +715,33 @@ object Rayfall {
             val a = agg match {
               case "sum" => sum(c); case "min" => min(c)
               case "max" => max(c); case "avg" => avg(c)
+              case "med" => graft.functions.RF.med(c)
+              case "dev" => graft.functions.RF.dev(c)
             }
             return VAtom(spark.range(n).agg(a.as("v")).collect().head.get(0))
           case _ => ()
         }
-        val xs = vec(value)
+        // null-skipping aggregation (tests/lang.c:2455-2501); empty/
+        // all-null: sum = 0, the rest = null
+        val xs0 = vec(value)
+        val xs = xs0.filter(_ != null)
+        if (agg == "med" || agg == "dev") {
+          if (xs.isEmpty) return VAtom(null)
+          val ds = xs.map { case d: java.lang.Double => d.doubleValue()
+            case l: java.lang.Long => l.toDouble
+            case x => throw new IllegalArgumentException(s"non-numeric $x") }
+            .sorted
+          return VAtom(java.lang.Double.valueOf(agg match {
+            case "med" =>
+              if (ds.length % 2 == 1) ds(ds.length / 2)
+              else (ds(ds.length / 2 - 1) + ds(ds.length / 2)) / 2.0
+            case "dev" =>
+              val m = ds.sum / ds.length
+              math.sqrt(ds.map(x => (x - m) * (x - m)).sum / ds.length)
+          }))
+        }
+        if (xs.isEmpty)
+          return if (agg == "sum") VAtom(0L) else VAtom(null)
         val allLong = xs.forall(_.isInstanceOf[java.lang.Long])
         if (allLong) {
           val ls = xs.map(_.asInstanceOf[java.lang.Long].longValue())
@@ -694,8 +766,19 @@ object Rayfall {
 
       case RList(RSym("til") :: n :: Nil) =>
         val k = num(ev(n))
+        require(k >= 0, s"til: domain — negative length $k (lang.c:5224)")
         if (k >= lazyVecLen) VRange(k, id => id)
         else VVec(Vector.range(0L, k).map(x => x: Any))
+      // (rand n bound): n draws in [0, bound) — DETERMINISTIC here
+      // (hash-based; the reference's are random, tests/lang.c:5138-5147
+      // only pin count/range, which hold either way)
+      case RList(RSym("rand") :: n :: bound :: Nil)
+          if !refsColumns(n, env) && !refsColumns(bound, env) =>
+        val k = num(ev(n)); val b = num(ev(bound))
+        require(k >= 0 && b > 0, "rand: domain")
+        VVec(Vector.tabulate(k.toInt)(i =>
+          java.lang.Math.floorMod(
+            scala.util.hashing.MurmurHash3.productHash((i, b)).toLong, b): Any))
       case RList(RSym("guid") :: n :: Nil) =>
         val k = num(ev(n))
         if (k >= lazyVecLen) VRange(k, guidF)
@@ -704,6 +787,16 @@ object Rayfall {
           if !isTableForm(x, env) && !isTableForm(n, env) =>
         val k = num(ev(n))
         ev(x) match {
+          // STRING LITERALS are C8 VECTORS (lang.c:2646-2653): take
+          // cycles over characters and yields a string. Symbols share
+          // the runtime repr, so gate on the SYNTAX — (take 'AAPL 99)
+          // must stay an atom-repeat (aj.rfl's symbol universe)
+          case VAtom(s: String) if s.nonEmpty && x.isInstanceOf[RStr] =>
+            val cs =
+              if (k >= 0) (0 until k.toInt).map(i => s(i % s.length))
+              else (0 until -k.toInt).map(i =>
+                s(java.lang.Math.floorMod(k.toInt + i, s.length)))
+            VAtom(cs.mkString)
           case VRange(sn, sf) =>
             require(sn > 0, "take from empty")
             if (k >= 0) VRange(k, id => sf(pmod(id, lit(sn))))
@@ -718,6 +811,11 @@ object Rayfall {
             else VVec(Vector.tabulate(-k.toInt)(i =>
               src(java.lang.Math.floorMod(k.toInt + i, src.length))))
         }
+      // string × string concatenation (lang.c:3748-3755): both sides
+      // syntactically strings/chars; symbols (same runtime repr) keep
+      // the vector path below
+      case RList(RSym("concat") :: RStr(a) :: RStr(b) :: Nil) =>
+        VAtom(a + b)
       case RList(RSym("concat") :: a :: b :: Nil) =>
         (ev(a), ev(b)) match {
           case (VRange(na, fa), VRange(nb, fb)) =>
@@ -746,7 +844,10 @@ object Rayfall {
         case VTab(df) => VAtom(df.count())
         case VColView(df, _, _) => VAtom(df.count())
         case VRange(n, _) => VAtom(n)
-        case VAtom(_) => VAtom(1L)
+        // strings are C8 vectors (lang.c:4097); dicts count their keys
+        case VAtom(s: String) => VAtom(s.length.toLong)
+        case VDict(ks, _) => VAtom(ks.length.toLong)
+        case _ => VAtom(1L)
       }
       // (at t 'col) stays LAZY — a column view, not a driver vector
       // (the reference's columns are in-process; ours are unbounded)
@@ -1157,6 +1258,260 @@ object Rayfall {
         hook(res)
         VTab(res)
 
+      // ------------------------------------------------- value library
+      // Driver-value analogs of the reference's vector builtins, pinned
+      // group-by-group from tests/lang.c in LangSpec (cited line ranges
+      // there). Guards route column-referencing forms to the query
+      // translator untouched.
+      case RList(RSym("do") :: forms) if forms.nonEmpty =>
+        forms.map(ev).last
+      case RList(RSym("raise") :: m :: Nil) =>
+        throw new RayfallError(ev(m) match {
+          case VAtom(s: String) => s
+          case x => x.toString
+        })
+      case RList(RSym("try") :: body :: handler :: Nil) =>
+        try ev(body)
+        catch {
+          case scala.util.control.NonFatal(ex) =>
+            val (ps, bodies) = fnOf(handler, env)
+            applyFn(spark, ps, bodies,
+              Seq(VAtom(Option(ex.getMessage).getOrElse(ex.getClass.getName))),
+              env, hook, out)
+        }
+      case RList(RSym("neg") :: x :: Nil)
+          if !isTableForm(x, env) && !refsColumns(x, env) =>
+        broadcastArith("-", VAtom(java.lang.Long.valueOf(0L)), ev(x))
+      case RList(RSym("not") :: x :: Nil)
+          if !isTableForm(x, env) && !refsColumns(x, env) =>
+        def nb(v: Any): Any = v match {
+          case b: java.lang.Boolean => java.lang.Boolean.valueOf(!b)
+          case x => throw new IllegalArgumentException(s"not needs booleans, got $x")
+        }
+        ev(x) match {
+          case VAtom(v) => VAtom(nb(v))
+          case other => VVec(vec(other).map(nb))
+        }
+      case RList(RSym(op @ ("or" | "and")) :: args) if args.length >= 2 &&
+          args.forall(a => !isTableForm(a, env) && !refsColumns(a, env)) =>
+        def bb(x: Any, y: Any): Any = (x, y) match {
+          case (a: java.lang.Boolean, b: java.lang.Boolean) =>
+            java.lang.Boolean.valueOf(if (op == "or") a || b else a && b)
+          case _ => throw new IllegalArgumentException(s"$op needs booleans")
+        }
+        args.map(ev).reduce { (a, b) => (a, b) match {
+          case (VAtom(x), VAtom(y)) => VAtom(bb(x, y))
+          case (VVec(xs), VAtom(y)) => VVec(xs.map(bb(_, y)))
+          case (VAtom(x), VVec(ys)) => VVec(ys.map(bb(x, _)))
+          case (VVec(xs), VVec(ys)) =>
+            require(xs.length == ys.length, s"$op length mismatch")
+            VVec(xs.lazyZip(ys).map(bb).toVector)
+          case x => throw new IllegalArgumentException(s"bad $op args $x")
+        }}
+      case RList(RSym("where") :: m :: Nil)
+          if !isTableForm(m, env) && !refsColumns(m, env) =>
+        VVec(vec(ev(m)).zipWithIndex.collect {
+          case (b: java.lang.Boolean, i) if b => i.toLong: Any })
+      case RList(RSym("group") :: v :: Nil)
+          if !isTableForm(v, env) && !refsColumns(v, env) =>
+        val order = scala.collection.mutable.LinkedHashMap[String, Vector[Any]]()
+        vec(ev(v)).zipWithIndex.foreach { case (x, i) =>
+          val k = String.valueOf(x)
+          order(k) = order.getOrElse(k, Vector.empty) :+ (i.toLong: Any)
+        }
+        VDict(order.keys.toVector,
+          order.values.map(ix => VVec(ix): Any).toVector)
+      case RList(RSym(op @ ("union" | "sect")) :: a :: b :: Nil)
+          if Seq(a, b).forall(x => !isTableForm(x, env) && !refsColumns(x, env)) =>
+        val (xs, ys) = (vec(ev(a)), vec(ev(b)))
+        if (op == "union") VVec((xs ++ ys).distinct)
+        else { val s = ys.toSet; VVec(xs.filter(s)) }
+      case RList(RSym("within") :: x :: b :: Nil)
+          if !isTableForm(x, env) && !refsColumns(x, env) && !refsColumns(b, env) =>
+        def cd(v: Any): Double = v match {
+          case l: java.lang.Long => l.toDouble
+          case d: java.lang.Double => d
+          case x => throw new IllegalArgumentException(s"non-numeric $x")
+        }
+        val bounds = vec(ev(b))
+        require(bounds.length == 2, "within needs [lo hi]")
+        val (lo, hi) = (cd(bounds(0)), cd(bounds(1)))
+        def w(v: Any): Any =
+          java.lang.Boolean.valueOf(cd(v) >= lo && cd(v) <= hi)
+        ev(x) match {
+          case VAtom(v) => VAtom(w(v))
+          case other => VVec(vec(other).map(w))
+        }
+      case RList(RSym("find") :: v :: x :: Nil)
+          if !isTableForm(v, env) && !refsColumns(v, env) && !refsColumns(x, env) =>
+        val src: Vector[Any] = ev(v) match {
+          case VAtom(s: String) => s.toVector.map(_.toString: Any)
+          case other => vec(other)
+        }
+        def idx(t: Any): Any = src.indexOf(t) match {
+          case -1 => null
+          case i => i.toLong
+        }
+        ev(x) match {
+          // empty source + vector probe yields [] (lang.c:5124)
+          case VVec(ts) =>
+            if (src.isEmpty) VVec(Vector.empty) else VVec(ts.map(idx))
+          case VAtom(t) => VAtom(idx(t))
+          case other => VVec(vec(other).map(idx))
+        }
+      case RList(RSym("at") :: x :: i :: Nil)
+          if !refsColumns(x, env) && !refsColumns(i, env) =>
+        def el(xs: Vector[Any], k: Long): Any =
+          if (k < 0 || k >= xs.length) null
+          else xs(k.toInt) match { case r: RVal => r; case v => v }
+        (ev(x), ev(i)) match {
+          case (VAtom(s: String), VAtom(k: java.lang.Long)) =>
+            VAtom(if (k < 0 || k >= s.length) null else s(k.toInt).toString)
+          case (VAtom(s: String), VVec(ks)) =>
+            VAtom(ks.map { case k: java.lang.Long => s(k.toInt) }.mkString)
+          case (VTab(df), VAtom(k: java.lang.Long)) =>
+            // one bounded driver row — a row DICT (lang.c:4478-4481)
+            require(k >= 0 && k < maxDriverVec, s"row index $k out of range")
+            val rows = df.limit(k.toInt + 1).collect()
+            require(rows.length > k, s"row $k beyond table end")
+            VDict(df.columns.toVector, rows(k.toInt).toSeq.toVector)
+          case (vv, VAtom(k: java.lang.Long)) => el(vec(vv), k) match {
+            case r: RVal => r
+            case v => VAtom(v)
+          }
+          case (vv, VVec(ks)) =>
+            val xs = vec(vv)
+            VVec(ks.map { case k: java.lang.Long => el(xs, k) })
+          case x => throw new IllegalArgumentException(s"bad at args $x")
+        }
+      case RList(RSym(fl @ ("first" | "last")) :: x :: Nil)
+          if !refsColumns(x, env) =>
+        ev(x) match {
+          case VAtom(s: String) =>
+            VAtom(if (s.isEmpty) null
+              else (if (fl == "first") s.head else s.last).toString)
+          case VAtom(v) => VAtom(v)
+          case VTab(df) =>
+            val r = if (fl == "first") df.limit(1).collect() else df.tail(1)
+            r.headOption
+              .map(row => VDict(df.columns.toVector, row.toSeq.toVector))
+              .getOrElse(VAtom(null))
+          case VDict(ks, vs) =>
+            if (ks.isEmpty) VAtom(null)
+            else (if (fl == "first") vs.head else vs.last) match {
+              case r: RVal => r
+              case v => VAtom(v)
+            }
+          case other =>
+            val xs = vec(other)
+            if (xs.isEmpty) VAtom(null)
+            else (if (fl == "first") xs.head else xs.last) match {
+              case r: RVal => r
+              case v => VAtom(v)
+            }
+        }
+      case RList(RSym("raze") :: x :: Nil)
+          if !isTableForm(x, env) && !refsColumns(x, env) =>
+        ev(x) match {
+          case VVec(xs) => VVec(xs.flatMap {
+            case VVec(ys) => ys
+            case r: VRange => materializeRange(spark, r)
+            case v => Vector(v)
+          })
+          case v => v // (raze atom) is the atom (lang.c:3837)
+        }
+      case RList(RSym("enlist") :: args) if args.nonEmpty &&
+          args.forall(a => !isTableForm(a, env) && !refsColumns(a, env)) =>
+        VVec(args.map(a => ev(a) match {
+          case VAtom(x) => x
+          case other => other: Any
+        }).toVector)
+      case RList(RSym("split") :: a :: b :: Nil)
+          if !isTableForm(a, env) && !refsColumns(a, env) && !refsColumns(b, env) =>
+        (ev(a), ev(b)) match {
+          case (VAtom(s: String), VAtom(d: String)) =>
+            VVec(s.split(java.util.regex.Pattern.quote(d), -1).toVector)
+          case (src, other) =>
+            val ks = vec(other)
+            if (ks.isEmpty) VAtom(null) // (split v []) (lang.c:2851-2852)
+            else {
+              val starts = ks.map {
+                case l: java.lang.Long => l.toInt
+                case x => throw new IllegalArgumentException(s"bad index $x")
+              }
+              src match {
+                case VAtom(s: String) =>
+                  VVec((starts :+ s.length).sliding(2)
+                    .map(p => s.substring(p(0), p(1)): Any).toVector)
+                case other2 =>
+                  val xs = vec(other2)
+                  VVec((starts :+ xs.length).sliding(2)
+                    .map(p => VVec(xs.slice(p(0), p(1))): Any).toVector)
+              }
+            }
+        }
+      case RList(RSym("in") :: x :: y :: Nil)
+          if Seq(x, y).forall(e => !isTableForm(e, env) && !refsColumns(e, env)) =>
+        val yv = ev(y)
+        val member: Any => Boolean = yv match {
+          case VAtom(s: String) => {
+            case c: String => s.contains(c)
+            case _ => false
+          }
+          case VAtom(v) => t => t == v
+          case other => val ys = vec(other); t => ys.contains(t)
+        }
+        ev(x) match {
+          // string probe: per-character membership (lang.c:3872-3874)
+          case VAtom(s: String) if s.length > 1 =>
+            VVec(s.toVector.map(c =>
+              java.lang.Boolean.valueOf(member(c.toString)): Any))
+          case VAtom(v) => VAtom(java.lang.Boolean.valueOf(member(v)))
+          case other => VVec(vec(other).map(t =>
+            java.lang.Boolean.valueOf(member(t)): Any))
+        }
+      case RList(RSym(bf @ ("bin" | "binr")) :: v :: x :: Nil)
+          if !isTableForm(v, env) && !refsColumns(v, env) && !refsColumns(x, env) =>
+        val xs = vec(ev(v)).map {
+          case l: java.lang.Long => l.longValue
+          case x => throw new IllegalArgumentException(s"bin needs integers, got $x")
+        }
+        def one(t: Long): Any =
+          if (bf == "bin") { // greatest i with xs(i) <= t; -1 if none
+            var i = xs.length - 1
+            while (i >= 0 && xs(i) > t) i -= 1
+            i.toLong
+          } else { // least i with xs(i) >= t
+            var i = 0
+            while (i < xs.length && xs(i) < t) i += 1
+            i.toLong
+          }
+        ev(x) match {
+          case VAtom(l: java.lang.Long) => VAtom(one(l))
+          case other => VVec(vec(other).map {
+            case l: java.lang.Long => one(l)
+            case x => throw new IllegalArgumentException(s"bad bin probe $x")
+          })
+        }
+      case RList(RSym("distinct") :: v :: Nil)
+          if !isTableForm(v, env) && !refsColumns(v, env) =>
+        VVec(vec(ev(v)).distinct)
+      // table × boolean-mask filter (lang.c:3860): positional, driver-
+      // bounded; the column-predicate form stays with the query evaluator
+      case RList(RSym("filter") :: v :: mask :: Nil)
+          if isTableForm(v, env) && !refsColumns(mask, env) =>
+        val df = ev(v) match { case VTab(d) => d
+          case x => throw new IllegalArgumentException(s"bad filter table $x") }
+        val ms = vec(ev(mask))
+        require(ms.length <= maxDriverVec.toInt, "mask too large for driver filter")
+        val rows = df.limit(ms.length + 1).collect()
+        require(rows.length == ms.length, "filter length mismatch")
+        val kept = rows.zip(ms).collect {
+          case (r, b: java.lang.Boolean) if b => r }
+        val res = spark.createDataFrame(
+          java.util.Arrays.asList(kept: _*), df.schema)
+        hook(res); VTab(res)
+
       // application of a lambda VALUE by name, with `self` recursion
       // (fib.rfl: (fib 20) → applyFn binds self → (self (- x 1)) recurses)
       case RList(RSym(f) :: args) if env.get(f).exists(_.isInstanceOf[VFn]) =>
@@ -1266,14 +1621,19 @@ object Rayfall {
   private def vecValued(e: RExpr,
                         env: scala.collection.mutable.Map[String, RVal]): Boolean =
     e match {
+      case RSym("true" | "false" | "null") => true
       case RSym(n) => env.get(n).exists(v =>
         v.isInstanceOf[VVec] || v.isInstanceOf[VAtom])
       case RVec(_) => true
-      case RNum(_, _, _) | RStr(_) | RQuote(_) | RDate(_) => true
+      case RNum(_, _, _) | RStr(_) | RQuote(_) | RDate(_) | RNull => true
       case RList(RSym("til" | "take" | "concat" | "list" | "map" | "pmap" |
         "map-left" | "map-right" | "filter" | "fold" | "sum" | "min" | "max" |
         "avg" | "count" | "at" | "as" | "guid" | "+" | "-" | "*" | "/" | "%" |
-        ">" | "<" | ">=" | "<=" | "==" | "=" | "!=") :: rest) =>
+        ">" | "<" | ">=" | "<=" | "==" | "=" | "!=" |
+        "rand" | "where" | "distinct" | "union" | "sect" | "except" | "find" |
+        "raze" | "enlist" | "split" | "in" | "bin" | "binr" | "neg" | "not" |
+        "within" | "first" | "last" | "med" | "dev" | "group" | "or" | "and")
+        :: rest) =>
         rest.forall(x => vecValued(x, env) || !refsColumns(x, env))
       case RList(RList(RSym("fn") :: _) :: _) => true
       case _ => false
@@ -1283,6 +1643,7 @@ object Rayfall {
   private def refsColumns(e: RExpr,
                           env: scala.collection.mutable.Map[String, RVal]): Boolean =
     e match {
+      case RSym("true" | "false" | "null") => false // literals, not columns
       case RSym(n) => !env.contains(n)
       // the combinators take an OPERATOR symbol first — not a column ref
       case RList(RSym("map-left" | "map-right" | "fold" | "map" | "pmap") ::
@@ -1334,6 +1695,13 @@ object Rayfall {
       case _ => None
     }
     def scalar(x: Any, y: Any): Any = (x, y) match {
+      // null propagation (tests/lang.c:77-90): arithmetic with a null
+      // yields null; equality treats null == null as TRUE (lang.c:4553)
+      case (null, _) | (_, null) => op match {
+        case "==" | "=" => java.lang.Boolean.valueOf(x == null && y == null)
+        case "!=" => java.lang.Boolean.valueOf(!(x == null && y == null))
+        case _ => null
+      }
       // DATE ± days stays a date (reference DATE = i32 days since
       // 2000.01.01, core/date.c:34; parted.rfl (+ 2024.01.01 x))
       case (d: java.time.LocalDate, j: java.lang.Long) => op match {
@@ -1343,12 +1711,16 @@ object Rayfall {
       }
       case (i: java.lang.Long, d: java.time.LocalDate) if op == "+" =>
         d.plusDays(i)
+      // DATE - DATE = day count (lang.c:4392-4409)
+      case (d1: java.time.LocalDate, d2: java.time.LocalDate) if op == "-" =>
+        java.lang.Long.valueOf(d1.toEpochDay - d2.toEpochDay)
       case (i: java.lang.Long, j: java.lang.Long) => op match {
         case "+" => i + j
         case "-" => i - j
         case "*" => i * j
-        case "/" => java.lang.Math.floorDiv(i, j)
-        case "%" => java.lang.Math.floorMod(i, j)
+        // division by zero yields null, not an error (lang.c:5249 (/ 1 0))
+        case "/" => if (j == 0L) null else java.lang.Math.floorDiv(i, j)
+        case "%" => if (j == 0L) null else java.lang.Math.floorMod(i, j)
         case ">" => java.lang.Boolean.valueOf(i > j)
         case "<" => java.lang.Boolean.valueOf(i < j)
         case ">=" => java.lang.Boolean.valueOf(i >= j)
@@ -1362,8 +1734,8 @@ object Rayfall {
           case "+" => d1 + d2
           case "-" => d1 - d2
           case "*" => d1 * d2
-          case "/" => math.floor(d1 / d2)
-          case "%" => d1 - math.floor(d1 / d2) * d2
+          case "/" => if (d2 == 0.0) null else math.floor(d1 / d2)
+          case "%" => if (d2 == 0.0) null else d1 - math.floor(d1 / d2) * d2
           case ">" => java.lang.Boolean.valueOf(d1 > d2)
           case "<" => java.lang.Boolean.valueOf(d1 < d2)
           case ">=" => java.lang.Boolean.valueOf(d1 >= d2)
@@ -1627,9 +1999,9 @@ object Rayfall {
     * stays LongType nanos per the repo-wide convention). */
   private val castTargets: Map[String, String] = Map(
     "B8" -> "boolean", "U8" -> "tinyint", "I16" -> "smallint",
-    "I32" -> "int", "I64" -> "bigint", "F64" -> "double",
-    "C8" -> "string", "SYMBOL" -> "string", "DATE" -> "date",
-    "TIMESTAMP" -> "bigint")
+    "I32" -> "int", "I64" -> "bigint", "F64" -> "double", "F32" -> "double",
+    "C8" -> "string", "SYMBOL" -> "string", "STRING" -> "string",
+    "GUID" -> "string", "DATE" -> "date", "TIMESTAMP" -> "bigint")
 
   /** Rayfall expression → Catalyst Column. `bind` maps lambda params to
     * already-built columns (the lazy-vector map compiler). */
@@ -1638,11 +2010,12 @@ object Rayfall {
   def toColumn(e: RExpr, bind: Map[String, Column]): Column = e match {
     // (as 'TYPE x) — the reference cast (core/compose.c:42)
     case RList(RSym("as") :: RQuote(t) :: x :: Nil) =>
-      val target = castTargets.getOrElse(t,
+      val target = castTargets.getOrElse(t.toUpperCase,
         throw new IllegalArgumentException(s"unknown cast type '$t"))
       toColumn(x, bind).cast(target)
     case RNum(_, true, l) => lit(l)
     case RNum(v, false, _) => lit(v)
+    case RNull => lit(null)
     case RStr(v) => lit(v)
     case RQuote(n) => lit(n)
     case RSym(n) if bind.contains(n) => bind(n)
