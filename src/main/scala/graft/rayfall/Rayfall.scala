@@ -378,6 +378,112 @@ object Rayfall {
     }
   }
 
+  // ------------------------------------------------ generic value storage
+
+  /** Render a VALUE as a parseable script s-expr (the text side of the
+    * generic set/get — reference `ray_set` of any object,
+    * core/binary.c:317; symbols and strings share one repr here, so
+    * both come back as strings, SURVEY §1.2). */
+  private def valueText(v: RVal): String = v match {
+    case VAtom(null) => "null"
+    case VAtom(l: java.lang.Long) => l.toString
+    case VAtom(d: java.lang.Double) => new java.math.BigDecimal(d).toPlainString
+    case VAtom(b: java.lang.Boolean) => b.toString
+    case VAtom(s: String) =>
+      "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case VAtom(d: java.time.LocalDate) =>
+      f"${d.getYear}%04d.${d.getMonthValue}%02d.${d.getDayOfMonth}%02d"
+    case VVec(xs) => xs.map {
+      case r: RVal => valueText(r)
+      case x => valueText(VAtom(x))
+    }.mkString("(list ", " ", ")")
+    case VDict(ks, vs) =>
+      s"(dict [${ks.mkString(" ")}] " +
+        vs.map { case r: RVal => valueText(r); case x => valueText(VAtom(x)) }
+          .mkString("(list ", " ", ")") + ")"
+    case VFn(ps, bodies) =>
+      s"(fn [${ps.mkString(" ")}] ${bodies.map(exprText).mkString(" ")})"
+    case x => throw new IllegalArgumentException(s"cannot persist $x as text")
+  }
+
+  /** Print an RExpr back to source (lambda bodies under set/get). */
+  private def exprText(e: RExpr): String = e match {
+    case RNum(_, true, l) => l.toString
+    case RNum(v, false, _) => new java.math.BigDecimal(v).toPlainString
+    case RNull => "0Nl"
+    case RDate(d) =>
+      f"${d.getYear}%04d.${d.getMonthValue}%02d.${d.getDayOfMonth}%02d"
+    case RStr(s) => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    case RSym(n) => n
+    case RQuote(n) => s"'$n"
+    case RList(items) => items.map(exprText).mkString("(", " ", ")")
+    case RVec(items) => items.map(exprText).mkString("[", " ", "]")
+    case RDict(pairs) => pairs.map { case (k, v) => s"$k: ${exprText(v)}" }
+      .mkString("{", " ", "}")
+  }
+
+  /** `(set "path" v)`: tables → splayed parquet; vectors → indexed
+    * single-value parquet (a LAZY vector writes distributed — the 1e7
+    * generation expressions persist with zero driver materialization);
+    * atoms/dicts/lambdas → s-expr text. */
+  private def setPath(spark: SparkSession, path: String, v: RVal): Unit =
+    v match {
+      case VTab(df) => graft.sources.Store.setSplayed(df, path)
+      case VRange(n, f) =>
+        graft.sources.Store.setVector(
+          spark.range(n).select(col("id").as("__i"), f(col("id")).as("__v")),
+          path)
+      case cv: VColView =>
+        // partition-order index (see the VColView ORDER CONTRACT)
+        val base = cv.df.select(col(cv.base).as("__v"))
+          .withColumn("__i", monotonically_increasing_id())
+        val adj =
+          if (cv.offset == 0L) base
+          else base.withColumn("__v", col("__v") + cv.offset)
+        graft.sources.Store.setVector(adj.select("__i", "__v"), path)
+      case VVec(xs) if xs.nonEmpty && !xs.exists(_.isInstanceOf[RVal]) &&
+          (xs.forall(_.isInstanceOf[java.lang.Long]) ||
+            xs.forall(_.isInstanceOf[java.lang.Double]) ||
+            xs.forall(_.isInstanceOf[String])) =>
+        import spark.implicits._
+        val df = xs.head match {
+          case _: java.lang.Long => xs.zipWithIndex.map { case (x, i) =>
+            (i.toLong, x.asInstanceOf[java.lang.Long].longValue) }
+            .toDF("__i", "__v")
+          case _: java.lang.Double => xs.zipWithIndex.map { case (x, i) =>
+            (i.toLong, x.asInstanceOf[java.lang.Double].doubleValue) }
+            .toDF("__i", "__v")
+          case _ => xs.zipWithIndex.map { case (x, i) =>
+            (i.toLong, x.asInstanceOf[String]) }.toDF("__i", "__v")
+        }
+        graft.sources.Store.setVector(df, path)
+      case other =>
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
+          valueText(other))
+    }
+
+  /** `(get "path")`: directory = parquet (indexed value column → vector,
+    * anything else → table); file = s-expr text re-evaluated. A large
+    * persisted vector comes back LAZY (a column view), not a driver
+    * vector. */
+  private def getPath(spark: SparkSession, path: String): RVal = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) {
+      val df = spark.read.parquet(path)
+      if (df.columns.sorted.toSeq == Seq("__i", "__v")) {
+        val ordered = df.orderBy("__i")
+        val n = ordered.count()
+        if (n < lazyVecLen)
+          VVec(ordered.select("__v").collect().map(_.get(0)).toVector)
+        else VColView(ordered, "__v", 0L)
+      } else VTab(df)
+    } else {
+      val src = java.nio.file.Files.readString(p)
+      evalScript(spark, new Parser(src).parseExpr(),
+        scala.collection.mutable.Map.empty, _ => ())
+    }
+  }
+
   /** Evaluate a SCRIPT: a sequence of top-level forms in the reference's
     * `.rfl` style (the scripts under `/root/reference/examples/` run
     * verbatim — see DocsSpec). Supported surface:
@@ -549,6 +655,20 @@ object Rayfall {
         val v = ev(value); env(name) = v
         v match { case VTab(df) => hook(df); case _ => () }
         v
+      // generic set/get of ANY value to a path (reference ray_set/ray_get,
+      // core/binary.c:317, core/unary.c:48-137): tables and vectors go to
+      // parquet (vectors with an explicit order index; lazy vectors write
+      // DISTRIBUTED), atoms/dicts/lambdas to a parseable s-expr file
+      case RList(RSym("set") :: RStr(path) :: value :: Nil) =>
+        setPath(spark, path, ev(value)); VAtom(null)
+      case RList(RSym("get") :: p :: Nil) =>
+        val path = ev(p) match {
+          case VAtom(s: String) => s
+          case x => throw new IllegalArgumentException(s"get needs a path, got $x")
+        }
+        val v = getPath(spark, path)
+        v match { case VTab(df) => hook(df); case _ => () }
+        v
       // display forms render into the capture sink (the docs pin script
       // output as tests); args evaluate for their side effects either way
       // (reference scripts nest real work, e.g. (println "…" (timeit …)))
@@ -708,17 +828,20 @@ object Rayfall {
           :: v :: Nil)
           if !isTableForm(v, env) && vecValued(v, env) =>
         val value = ev(v)
+        def distAgg(df: DataFrame, c: Column): RVal = {
+          val a = agg match {
+            case "sum" => sum(c); case "min" => min(c)
+            case "max" => max(c); case "avg" => avg(c)
+            case "med" => graft.functions.RF.med(c)
+            case "dev" => graft.functions.RF.dev(c)
+          }
+          VAtom(df.agg(a.as("v")).collect().head.get(0))
+        }
         value match {
-          case VRange(n, f) =>
-            // aggregate distributed — a lazy vector may be any length
-            val c = f(col("id"))
-            val a = agg match {
-              case "sum" => sum(c); case "min" => min(c)
-              case "max" => max(c); case "avg" => avg(c)
-              case "med" => graft.functions.RF.med(c)
-              case "dev" => graft.functions.RF.dev(c)
-            }
-            return VAtom(spark.range(n).agg(a.as("v")).collect().head.get(0))
+          // aggregate distributed — a lazy vector may be any length
+          case VRange(n, f) => return distAgg(spark.range(n).toDF(), f(col("id")))
+          case VColView(df, base, off) =>
+            return distAgg(df, if (off == 0L) col(base) else col(base) + off)
           case _ => ()
         }
         // null-skipping aggregation (tests/lang.c:2455-2501); empty/
@@ -1632,8 +1755,8 @@ object Rayfall {
         ">" | "<" | ">=" | "<=" | "==" | "=" | "!=" |
         "rand" | "where" | "distinct" | "union" | "sect" | "except" | "find" |
         "raze" | "enlist" | "split" | "in" | "bin" | "binr" | "neg" | "not" |
-        "within" | "first" | "last" | "med" | "dev" | "group" | "or" | "and")
-        :: rest) =>
+        "within" | "first" | "last" | "med" | "dev" | "group" | "or" | "and" |
+        "get") :: rest) =>
         rest.forall(x => vecValued(x, env) || !refsColumns(x, env))
       case RList(RList(RSym("fn") :: _) :: _) => true
       case _ => false

@@ -56,6 +56,19 @@ object Store {
   def getParted(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Persist a VALUE column for the generic `(set "path" v)` of a
+    * vector (reference `ray_set` of any object to a path,
+    * `core/binary.c:317`). The frame carries `(__i, __v)`: the explicit
+    * order index makes the round-trip deterministic regardless of how
+    * parquet part files come back, and a lazy script vector writes
+    * DISTRIBUTED through here — no driver materialization at any n. */
+  def setVector(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").parquet(path)
+
+  /** Read a persisted value column, order restored from `__i`. */
+  def getVector(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).orderBy("__i")
+
   /** Typed CSV read — schema is explicit, as in the reference (inference
     * only by request). */
   def readCsv(spark: SparkSession, path: String, schema: StructType,
