@@ -71,10 +71,22 @@ object Rayfall {
         case '[' => pos += 1; RVec(parseSeq(']'))
         case '{' => pos += 1; parseDict()
         // char literal 'x' (reference C8 atom) — a 1-char string here;
-        // distinguished from a symbol quote by the closing apostrophe
+        // distinguished from a symbol quote by the closing apostrophe.
+        // Escaped forms '\n' '\t' '\r' '\\' '\'' and octal '\001'
+        // (tests/lang.c:3253-3277 — FIX-protocol style payloads)
+        case '\'' if pos + 2 < s.length && s(pos + 1) == '\\' =>
+          pos += 2 // opening quote + backslash
+          val c = parseEscape()
+          require(!eof && s(pos) == '\'', s"unterminated char literal at $pos")
+          pos += 1
+          RStr(c.toString)
         case '\'' if pos + 2 < s.length && s(pos + 2) == '\'' &&
             s(pos + 1) != '\'' && s(pos + 1) != ' ' =>
           val c = s(pos + 1); pos += 3; RStr(c.toString)
+        // a bare quote is the null symbol 0Ns (tests/lang.c:3280)
+        case '\'' if pos + 1 >= s.length || s(pos + 1).isWhitespace ||
+            "()[]{}':;,".indexOf(s(pos + 1).toInt) >= 0 =>
+          pos += 1; RNull
         case '\'' => pos += 1; RQuote(parseSymName())
         case '"' => parseStr()
         case c if c.isDigit || (c == '-' && pos + 1 < s.length &&
@@ -115,12 +127,31 @@ object Rayfall {
       pos += 1
       val sb = new StringBuilder
       while ({ require(!eof, "unterminated string"); s(pos) != '"' }) {
-        if (s(pos) == '\\' && pos + 1 < s.length) { pos += 1; sb += s(pos) }
-        else sb += s(pos)
-        pos += 1
+        if (s(pos) == '\\' && pos + 1 < s.length) { pos += 1; sb += parseEscape() }
+        else { sb += s(pos); pos += 1 }
       }
       pos += 1
       RStr(sb.toString)
+    }
+    /** One escape body (cursor ON the char after the backslash): standard
+      * C escapes plus 1-3 digit octal (reference string/char literals,
+      * tests/lang.c:3258-3309 — the FIX-protocol SOH payload case).
+      * Leaves the cursor just past the escape. */
+    private def parseEscape(): Char = {
+      val c = s(pos)
+      if (c >= '0' && c <= '7') {
+        val b = pos
+        while (!eof && pos - b < 3 && s(pos) >= '0' && s(pos) <= '7') pos += 1
+        Integer.parseInt(s.substring(b, pos), 8).toChar
+      } else {
+        pos += 1
+        c match {
+          case 'n' => '\n'
+          case 'r' => '\r'
+          case 't' => '\t'
+          case other => other // \\ \" \' and any literal char
+        }
+      }
     }
     private def parseNum(): RExpr = {
       val start = pos
@@ -148,6 +179,16 @@ object Rayfall {
         return RNum(0.0, isInt = true,
           l = ((hh * 60 + mm) * 60 + ss) * 1000 + ms)
       }
+      // hex byte literal 0xNN (reference u8 atoms, tests/lang.c:218-222;
+      // integral-to-Long convention as with every other int width)
+      if (!eof && s.substring(start, pos) == "0" && s(pos) == 'x' &&
+          pos + 1 < s.length && Character.digit(s(pos + 1), 16) >= 0) {
+        pos += 1
+        val b = pos
+        while (!eof && Character.digit(s(pos), 16) >= 0) pos += 1
+        return RNum(0.0, isInt = true,
+          l = java.lang.Long.parseLong(s.substring(b, pos), 16))
+      }
       // typed null literal 0N{l,i,f,h,s,g} (reference sentinel nulls)
       if (!eof && s.substring(start, pos) == "0" && s(pos) == 'N' &&
           pos + 1 < s.length && "lifhsg".indexOf(s(pos + 1).toInt) >= 0 &&
@@ -167,6 +208,35 @@ object Rayfall {
             "()[]{}':;,".indexOf(s(pos + 1).toInt) >= 0)) {
         pos += 1
         return RNum(0.0, isInt = true, l = text.toLong)
+      }
+      // TIMESTAMP literal yyyy.mm.ddDHH:MM:SS.fffffffff → nanos-since-
+      // epoch long (reference core/parse.c temporal literals; the repo's
+      // ns-as-long TIMESTAMP convention, SURVEY §1.2)
+      if (!eof && s(pos) == 'D') text.split('.') match {
+        case Array(y, m, d)
+            if y.length == 4 && m.length == 2 && d.length == 2 =>
+          pos += 1 // 'D'
+          def part(): Long = {
+            val b = pos
+            while (!eof && s(pos).isDigit) pos += 1
+            s.substring(b, pos).toLong
+          }
+          val hh = part()
+          require(!eof && s(pos) == ':', "bad timestamp literal"); pos += 1
+          val mm = part()
+          require(!eof && s(pos) == ':', "bad timestamp literal"); pos += 1
+          val ss = part()
+          val frac =
+            if (!eof && s(pos) == '.') {
+              pos += 1
+              val b = pos
+              while (!eof && s(pos).isDigit) pos += 1
+              s.substring(b, pos).padTo(9, '0').toLong
+            } else 0L
+          val days = java.time.LocalDate.of(y.toInt, m.toInt, d.toInt).toEpochDay
+          return RNum(0.0, isInt = true,
+            l = (days * 86400L + hh * 3600 + mm * 60 + ss) * 1000000000L + frac)
+        case _ => ()
       }
       // DATE literal yyyy.mm.dd
       text.split('.') match {
@@ -332,9 +402,44 @@ object Rayfall {
   /** Value-level `(as 'TYPE x)`: TIME/TIMESTAMP are identities under the
     * repo's millis/nanos-as-long convention; other casts apply lazily on
     * ranges and eagerly on atoms/vectors. */
+  /** `(as 'timestamp "…")` — every string form the reference accepts
+    * (`tests/lang.c:4004-4062`): ISO date / date-time with space or `T`,
+    * 1-9 fractional digits, `Z` / `±HH:MM` / `±HHMM` offsets (converted
+    * to UTC), and the engine's own `yyyy.mm.ddDHH:MM:SS.fffffffff`.
+    * Result is nanos-since-epoch (the repo's TIMESTAMP convention). */
+  private val tsIso = ("""(\d{4})[-.](\d{2})[-.](\d{2})""" +
+    """(?:[ TD](\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,9}))?""" +
+    """(Z|[+-]\d{2}:?\d{2})?)?""").r
+  private[rayfall] def parseTimestampNs(s: String): java.lang.Long =
+    s.trim match {
+      case tsIso(y, mo, d, hh, mi, ss, frac, off) =>
+        val days = java.time.LocalDate.of(y.toInt, mo.toInt, d.toInt).toEpochDay
+        val secs = if (hh == null) 0L
+          else hh.toLong * 3600 + mi.toLong * 60 + ss.toLong
+        val ns = if (frac == null) 0L else frac.padTo(9, '0').toLong
+        val offSecs = off match {
+          case null | "Z" => 0L
+          case o =>
+            val sign = if (o.head == '-') -1L else 1L
+            val hm = o.tail.replace(":", "")
+            sign * (hm.take(2).toLong * 3600 + hm.drop(2).toLong * 60)
+        }
+        java.lang.Long.valueOf((days * 86400L + secs - offSecs) * 1000000000L + ns)
+      case other =>
+        throw new IllegalArgumentException(s"bad timestamp string '$other'")
+    }
+
   private def valueCast(spark: SparkSession, t: String, v: RVal): RVal =
     t.toUpperCase match {
-      case "TIME" | "TIMESTAMP" => v
+      case "TIMESTAMP" => v match {
+        case VAtom(s: String) => VAtom(parseTimestampNs(s))
+        case VVec(xs) => VVec(xs.map {
+          case s: String => parseTimestampNs(s): Any
+          case x => x
+        })
+        case other => other // longs already ARE ns under the convention
+      }
+      case "TIME" => v
       case tu =>
         val target = castTargets.getOrElse(tu,
           throw new IllegalArgumentException(s"unknown cast type '$t"))
@@ -780,9 +885,15 @@ object Rayfall {
         val left = ev(l)
         mapOver(ev(r), e =>
           applyFn(spark, ps, bodies, Seq(left, e), env, hook, out))
-      case RList(RSym("map" | "pmap") ::
-          (fnForm @ RList(RSym("fn") :: _)) :: a :: b :: Nil) =>
-        // two-argument map: vectors zip, atoms broadcast (map_lambda)
+      case RList(RSym("map" | "pmap") :: fnForm :: a :: b :: Nil)
+          if (fnForm match {
+            case RList(RSym("fn") :: _) => true
+            case RSym(n) => env.get(n).exists(_.isInstanceOf[VFn])
+            case _ => false
+          }) =>
+        // two-argument map (inline or bound lambda): vectors zip, atoms
+        // broadcast (map_lambda; the lang.c:3380+ comparison matrices
+        // run `(map f x l)` with a bound f)
         val (ps, bodies) = fnOf(fnForm, env)
         val (av, bv) = (ev(a), ev(b))
         (charElems(av), charElems(bv)) match {
@@ -962,6 +1073,19 @@ object Rayfall {
       case RList(RSym("as") :: RQuote(t) :: x :: Nil)
           if !isTableForm(x, env) && !refsColumns(x, env) =>
         valueCast(spark, t, ev(x))
+      // (enum 'domain v) — an enumerated vector; the reference stores an
+      // index vector into the domain list (core/enum.c) but is value-wise
+      // the symbol vector itself, which is what this value model carries
+      // (tests/lang.c:4330-4339 window-join over enum columns)
+      case RList(RSym("enum") :: RQuote(_) :: v :: Nil) => ev(v)
+      // (ser v) / (de s) — value serde round-trip through the same
+      // parseable s-expr text the generic set/get uses
+      // (tests/lang.c:3245-3249; reference core/serde.c)
+      case RList(RSym("ser") :: x :: Nil) => VAtom(valueText(ev(x)))
+      case RList(RSym("de") :: x :: Nil) => ev(x) match {
+        case VAtom(s: String) => scriptValue(spark, s)
+        case v => throw new IllegalArgumentException(s"de needs a string, got $v")
+      }
       case RList(RSym("count") :: x :: Nil) => ev(x) match {
         case VVec(xs) => VAtom(xs.length.toLong)
         case VTab(df) => VAtom(df.count())
@@ -1817,14 +1941,34 @@ object Rayfall {
       case cv: VColView => Some(materialize(cv))
       case _ => None
     }
+    val isCmp = op match {
+      case ">" | "<" | ">=" | "<=" | "==" | "=" | "!=" => true
+      case _ => false
+    }
+    def cmpBool(c: Int): Any = op match {
+      case ">" => java.lang.Boolean.valueOf(c > 0)
+      case "<" => java.lang.Boolean.valueOf(c < 0)
+      case ">=" => java.lang.Boolean.valueOf(c >= 0)
+      case "<=" => java.lang.Boolean.valueOf(c <= 0)
+      case "==" | "=" => java.lang.Boolean.valueOf(c == 0)
+      case "!=" => java.lang.Boolean.valueOf(c != 0)
+    }
     def scalar(x: Any, y: Any): Any = (x, y) match {
+      // comparisons are a TOTAL ORDER with null smallest, and nulls of
+      // every type equal each other (the lang.c:3380-3719 comparison
+      // matrices: (== 0Ni 0Nf) → true, (< 0Ni -2) → true)
+      case (null, _) | (_, null) if isCmp =>
+        cmpBool((if (x == null) 0 else 1) - (if (y == null) 0 else 1))
       // null propagation (tests/lang.c:77-90): arithmetic with a null
-      // yields null; equality treats null == null as TRUE (lang.c:4553)
-      case (null, _) | (_, null) => op match {
-        case "==" | "=" => java.lang.Boolean.valueOf(x == null && y == null)
-        case "!=" => java.lang.Boolean.valueOf(!(x == null && y == null))
-        case _ => null
-      }
+      // yields null
+      case (null, _) | (_, null) => null
+      // strings (and chars — 1-char strings here) compare
+      // lexicographically, cross-compatibly (lang.c:3313-3378)
+      case (s1: String, s2: String) if isCmp => cmpBool(s1.compareTo(s2))
+      case (b1: java.lang.Boolean, b2: java.lang.Boolean) if isCmp =>
+        cmpBool(b1.compareTo(b2))
+      case (d1: java.time.LocalDate, d2: java.time.LocalDate) if isCmp =>
+        cmpBool(d1.compareTo(d2))
       // DATE ± days stays a date (reference DATE = i32 days since
       // 2000.01.01, core/date.c:34; parted.rfl (+ 2024.01.01 x))
       case (d: java.time.LocalDate, j: java.lang.Long) => op match {

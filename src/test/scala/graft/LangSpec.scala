@@ -524,4 +524,291 @@ class LangSpec extends SparkSpec {
     assert(atom("(/ 1 0)") == null)
     assert(atom("(count (group []))") == 0L)
   }
+
+  // ------------------------------------------------- round-4 golden sweep
+
+  /** nanos-since-epoch for the TIMESTAMP-as-long convention. */
+  private def ns(date: String, h: Int = 0, m: Int = 0, s: Int = 0,
+                 nano: Long = 0): Long =
+    (d(date).toEpochDay * 86400L + h * 3600 + m * 60 + s) * 1000000000L + nano
+
+  test("serde round-trip (lang.c:3245-3249)") {
+    assert(atom("(de (ser null))") == null)
+    assert(vecOf("(de (ser [5 3 8]))") == Vector(5L, 3L, 8L))
+    assert(atom("(de (ser \"two words\"))") == "two words")
+  }
+
+  test("literals: char/string escapes incl. octal (lang.c:3251-3309)") {
+    assert(atom("'a'") == "a")
+    assert(atom("'z'") == "z" && atom("'0'") == "0" && atom("'9'") == "9")
+    assert(atom("'\\n'") == "\n")
+    assert(atom("'\\r'") == "\r")
+    assert(atom("'\\t'") == "\t")
+    assert(atom("'\\\\'") == "\\")
+    assert(atom("'\\''") == "'")
+    assert(atom("'\\001'") == "\u0001")
+    assert(atom("'\\007'") == "\u0007")
+    assert(atom("'\\012'") == "\n") // octal 12 = LF
+    assert(atom("'\\015'") == "\r") // octal 15 = CR
+    assert(atom("'\\032'") == "\u001a")
+    assert(atom("'") == null) // bare quote = null symbol 0Ns
+    assert(atom("\"Hello, World!\"") == "Hello, World!")
+    assert(atom("\"\"") == "")
+    assert(atom("\"Hello\\nWorld\"") == "Hello\nWorld")
+    assert(atom("\"Hello\\tWorld\"") == "Hello\tWorld")
+    assert(atom("\"Hello\\\\World\"") == "Hello\\World")
+    assert(atom("\"Hello\\\"World\"") == "Hello\"World")
+    assert(atom("\"Hello\\001World\"") == "Hello\u0001World")
+    // FIX protocol message with SOH separators (lang.c:3304)
+    assert(atom("\"8=FIX.4.2\\0019=006035=A49=CL156=TR34=152=20\"") ==
+      "8=FIX.4.2\u00019=006035=A49=CL156=TR34=152=20")
+    assert(atom("\"Mixed\\001\\n\\t\\015Escapes\"") ==
+      "Mixed\u0001\n\t\rEscapes")
+  }
+
+  test("cmp: char/string comparisons are cross-compatible (lang.c:3311-3378)") {
+    assert(atom("(== 'a' \"a\")") == true)
+    assert(atom("(== 'a' \"b\")") == false)
+    assert(atom("(== 'a' \"ab\")") == false)
+    assert(atom("(!= 'a' \"b\")") == true)
+    assert(atom("(< 'a' \"b\")") == true)
+    assert(atom("(< 'b' \"a\")") == false)
+    assert(atom("(> \"b\" 'a')") == true)
+    assert(atom("(<= 'a' \"a\")") == true)
+    assert(atom("(<= \"b\" 'a')") == false)
+    assert(atom("(>= \"a\" 'a')") == true)
+    assert(atom("(== 'a' 'a')") == true)
+    assert(atom("(< 'a' 'b')") == true)
+    assert(atom("(== \"ab\" \"ab\")") == true)
+    assert(atom("(== \"ab\" \"ac\")") == false)
+    assert(atom("(< \"a\" \"b\")") == true)
+    assert(atom("(>= \"b\" \"a\")") == true)
+  }
+
+  test("cmp: cross-type null-total-order matrices (lang.c:3380-3719)") {
+    // the reference's 16-value list crossed with itself under ==, <, >
+    // via a bound 2-arg lambda: nulls of EVERY numeric type compare
+    // equal to each other and smaller than every non-null value
+    val pre = "(set l (list -2i 0i 0Ni 1i 2i -2 0 0Nl 1 2 " +
+      "-2.0 -0.0 0Nf 0.0 1.0 2.0)) "
+    def matrix(opBody: String): Vector[Any] =
+      vecOf(pre + s"(set f (fn [x y] (if ($opBody x y) 1 0))) " +
+        "(map (fn [x] (map f x l)) l)")
+    def row(bits: String): Vector[Any] =
+      bits.split(" ").toVector.map(_.toLong: Any)
+    // == : value-equality groups {-2}, {0, -0.0}, {nulls}, {1}, {2}
+    val eA = row("1 0 0 0 0 1 0 0 0 0 1 0 0 0 0 0")
+    val eB = row("0 1 0 0 0 0 1 0 0 0 0 1 0 1 0 0")
+    val eC = row("0 0 1 0 0 0 0 1 0 0 0 0 1 0 0 0")
+    val eD = row("0 0 0 1 0 0 0 0 1 0 0 0 0 0 1 0")
+    val eE = row("0 0 0 0 1 0 0 0 0 1 0 0 0 0 0 1")
+    assert(matrix("==") == Vector(eA, eB, eC, eD, eE, eA, eB, eC, eD, eE,
+      eA, eB, eC, eB, eD, eE))
+    // < : null row is below all non-nulls, equal to other nulls
+    val lA = row("0 1 0 1 1 0 1 0 1 1 0 1 0 1 1 1")
+    val lB = row("0 0 0 1 1 0 0 0 1 1 0 0 0 0 1 1")
+    val lC = row("1 1 0 1 1 1 1 0 1 1 1 1 0 1 1 1")
+    val lD = row("0 0 0 0 1 0 0 0 0 1 0 0 0 0 0 1")
+    val lE = row("0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0")
+    assert(matrix("<") == Vector(lA, lB, lC, lD, lE, lA, lB, lC, lD, lE,
+      lA, lB, lC, lB, lD, lE))
+    // > : transpose shape of <
+    val gA = row("0 0 1 0 0 0 0 1 0 0 0 0 1 0 0 0")
+    val gB = row("1 0 1 0 0 1 0 1 0 0 1 0 1 0 0 0")
+    val gC = row("0 0 0 0 0 0 0 0 0 0 0 0 0 0 0 0")
+    val gD = row("1 1 1 0 0 1 1 1 0 0 1 1 1 1 0 0")
+    val gE = row("1 1 1 1 0 1 1 1 1 0 1 1 1 1 1 0")
+    assert(matrix(">") == Vector(gA, gB, gC, gD, gE, gA, gB, gC, gD, gE,
+      gA, gB, gC, gB, gD, gE))
+  }
+
+  test("timestamp literals and ISO-string casts (lang.c:4004-4062)") {
+    // engine literal form parses to ns-since-epoch
+    assert(atom("2024.01.01D10:00:01.000000000") == ns("2024-01-01", 10, 0, 1))
+    assert(atom("2025.03.04D15:41:47.087221025") ==
+      ns("2025-03-04", 15, 41, 47, 87221025L))
+    // ISO date-only
+    assert(atom("(as 'timestamp \"2004-10-21\")") == ns("2004-10-21"))
+    assert(atom("(as 'timestamp \"2025-01-01\")") == ns("2025-01-01"))
+    // space and T separators
+    assert(atom("(as 'timestamp \"2004-10-21 12:00:00\")") ==
+      ns("2004-10-21", 12))
+    assert(atom("(as 'timestamp \"2025-03-04T15:41:47\")") ==
+      ns("2025-03-04", 15, 41, 47))
+    // fractional seconds: ms, µs, ns widths
+    assert(atom("(as 'timestamp \"2004-10-21 12:00:00.010\")") ==
+      ns("2004-10-21", 12, 0, 0, 10000000L))
+    assert(atom("(as 'timestamp \"2004-10-21 12:00:00.010500\")") ==
+      ns("2004-10-21", 12, 0, 0, 10500000L))
+    assert(atom("(as 'timestamp \"2025-03-04T15:41:47.087221025\")") ==
+      ns("2025-03-04", 15, 41, 47, 87221025L))
+    // Z and ± offsets (with/without colon), converted to UTC
+    assert(atom("(as 'timestamp \"2004-10-21T12:00:00Z\")") ==
+      ns("2004-10-21", 12))
+    assert(atom("(as 'timestamp \"2004-10-21 12:00:00+02:00\")") ==
+      ns("2004-10-21", 10))
+    assert(atom("(as 'timestamp \"2025-03-04 15:41:47+05:30\")") ==
+      ns("2025-03-04", 10, 11, 47))
+    assert(atom("(as 'timestamp \"2004-10-21 12:00:00-05:00\")") ==
+      ns("2004-10-21", 17))
+    assert(atom("(as 'timestamp \"2004-10-21 12:00:00.010-23:00\")") ==
+      ns("2004-10-22", 11, 0, 0, 10000000L))
+    assert(atom("(as 'timestamp \"2004-10-21 12:00:00+0200\")") ==
+      ns("2004-10-21", 10))
+    assert(atom("(as 'timestamp \"2025-03-04T15:41:47.087-05:00\")") ==
+      ns("2025-03-04", 20, 41, 47, 87000000L))
+    // engine format through the cast too
+    assert(atom("(as 'timestamp \"2004.10.21D12:00:00.000000000\")") ==
+      ns("2004-10-21", 12))
+  }
+
+  test("math: typed arithmetic values — hex/suffix/timestamp (lang.c:176-260)") {
+    // u8 hex atoms (integral-to-Long convention)
+    assert(atom("(+ 0x02 0x03)") == 5L)
+    assert(vecOf("(+ 0x02 [0x01 0x03])") == Vector(3L, 5L))
+    assert(vecOf("(+ [0x01 0x02] [0x03 0x04])") == Vector(4L, 6L))
+    assert(atom("(+ 0x02 5)") == 7L)
+    // i16 h-suffix atoms
+    assert(atom("(+ 2h 3h)") == 5L)
+    assert(vecOf("(+ 2h [1h 3h])") == Vector(3L, 5L))
+    assert(atom("(+ 2h 5.0)") == 7.0)
+    assert(atom("(+ 0Nh 5h)") == null)
+    assert(vecOf("(+ [1h 0Nh 3h] 1h)") == Vector(2L, null, 4L))
+    // timestamp ± integral ns
+    assert(vecOf("(+ [2025.03.04D15:41:47.087221025] 1000000000i)") ==
+      Vector(ns("2025-03-04", 15, 41, 48, 87221025L)))
+    assert(vecOf("(+ [2025.03.04D15:41:47.087221025] [3000000000])") ==
+      Vector(ns("2025-03-04", 15, 41, 50, 87221025L)))
+    assert(vecOf("(+ [-3] [2025.03.04D15:41:47.087221025])") ==
+      Vector(ns("2025-03-04", 15, 41, 47, 87221022L)))
+    // mixed-type lists broadcast per-element
+    assert(vecOf("(+ (list -10i -10 -10.0) 5)") == Vector(-5L, -5L, -5.0))
+    // negative-zero and null edges
+    assert(atom("(- -0.00 0.00)") == 0.0)
+    assert(atom("(- -0.00 0Nf)") == null)
+    // TIME vector + scalar stays millis
+    assert(vecOf("(+ [20:15:07.000 15:41:47.087] 60000)") ==
+      Vector(ms(20, 16, 7), ms(15, 42, 47, 87)))
+  }
+
+  test("joins: asof goldens over TIME/timestamp/date keys (lang.c:4147-4195)") {
+    val aj = Rayfall.script(spark,
+      "(set trades (table [Sym Time Price] (list [x x] " +
+        "[10:00:01.000 10:00:03.000] [100.0 101.0])))" +
+        "(set quotes (table [Sym Time Bid] (list [x x x] " +
+        "[10:00:00.000 10:00:02.000 10:00:04.000] [99.0 100.5 101.5])))" +
+        "(asof-join [Sym Time] trades quotes)")
+    assert(aj.orderBy("Time").collect().map(_.getDouble(3)).toSeq ==
+      Seq(99.0, 100.5))
+    // boundary time matches exactly (greatest right ts <= left ts)
+    assert(atom(
+      "(set trades (table [Sym Time Price] (list [a] [10:00:01.000] [50.0])))" +
+        "(set quotes (table [Sym Time Bid] (list [a a] " +
+        "[10:00:01.000 10:00:03.000] [48.0 49.0])))" +
+        "(sum (at (asof-join [Sym Time] trades quotes) 'Bid))") == 48.0)
+    // I64 key + timestamp-literal time axis
+    val ts = Rayfall.script(spark,
+      "(set aj1 (table [ID Ts Val] (list [1 1 2 2] " +
+        "[2024.01.01D10:00:01.000000000 2024.01.01D10:00:05.000000000 " +
+        "2024.01.01D10:00:03.000000000 2024.01.01D10:00:07.000000000] " +
+        "[100 200 300 400])))" +
+        "(set aj2 (table [ID Ts Ref] (list [1 1 2 2] " +
+        "[2024.01.01D10:00:00.000000000 2024.01.01D10:00:04.000000000 " +
+        "2024.01.01D10:00:02.000000000 2024.01.01D10:00:06.000000000] " +
+        "[10 20 30 40])))" +
+        "(asof-join [ID Ts] aj1 aj2)")
+    assert(ts.orderBy("ID", "Ts").collect().map(_.getLong(3)).toSeq ==
+      Seq(10L, 20L, 30L, 40L))
+    // Symbol + Date keys
+    val dj = Rayfall.script(spark,
+      "(set orders (table [Cust Date Amount] (list [A A B B] " +
+        "[2024.01.02 2024.01.05 2024.01.03 2024.01.06] [100 200 300 400])))" +
+        "(set rates (table [Cust Date Rate] (list [A A B B] " +
+        "[2024.01.01 2024.01.04 2024.01.01 2024.01.05] [0.1 0.15 0.2 0.25])))" +
+        "(asof-join [Cust Date] orders rates)")
+    assert(dj.orderBy("Cust", "Date").collect().map(_.getDouble(3)).toSeq ==
+      Seq(0.1, 0.15, 0.2, 0.25))
+    // no right row before the left time → null survives
+    assert(atom(
+      "(set trades (table [Sym Time Price] (list [a] [10:00:00.000] [100.0])))" +
+        "(set quotes (table [Sym Time Bid] (list [a] [10:00:05.000] [99.0])))" +
+        "(count (asof-join [Sym Time] trades quotes))") == 1L)
+  }
+
+  test("joins: left/inner goldens incl. empty and multi-key (lang.c:4192-4386)") {
+    def n(src: String): Long = atom(src).asInstanceOf[Long]
+    val t12 = "(set t1 (table [id val1] (list [1 2 3 4 5] [100 200 300 400 500])))" +
+      "(set t2 (table [id val2] (list [1 3 5 6 7] [1000 3000 5000 6000 7000])))"
+    assert(n(t12 + "(count (inner-join [id] t1 t2))") == 3L)
+    assert(atom(t12 + "(sum (at (inner-join [id] t1 t2) 'val2))") == 9000L)
+    assert(atom(t12 + "(sum (at (inner-join [id] t1 t2) 'val1))") == 900L)
+    assert(n("(set t1 (table [ID Name] (list [1 2 3] [a b c])))" +
+      "(set t2 (table [ID Value] (list [1 3] [100 300])))" +
+      "(count (left-join [ID] t1 t2))") == 3L)
+    // date/time/timestamp/f64/symbol key types
+    assert(n("(set t1 (table [dt v] (list [2024.01.01 2024.01.02 2024.01.03] [1 2 3])))" +
+      "(set t2 (table [dt w] (list [2024.01.01 2024.01.03 2024.01.05] [10 30 50])))" +
+      "(count (inner-join [dt] t1 t2))") == 2L)
+    assert(n("(set t1 (table [tm v] (list [10:00:00 10:00:01 10:00:02] [1 2 3])))" +
+      "(set t2 (table [tm w] (list [10:00:00 10:00:02 10:00:05] [10 30 50])))" +
+      "(count (inner-join [tm] t1 t2))") == 2L)
+    assert(n("(set t1 (table [ts v] (list [2024.01.01D10:00:00.000000000 " +
+      "2024.01.01D10:00:01.000000000 2024.01.01D10:00:02.000000000] [1 2 3])))" +
+      "(set t2 (table [ts w] (list [2024.01.01D10:00:00.000000000 " +
+      "2024.01.01D10:00:02.000000000] [10 30])))" +
+      "(count (inner-join [ts] t1 t2))") == 2L)
+    assert(n("(set t1 (table [price v] (list [1.0 2.0 3.0] [1 2 3])))" +
+      "(set t2 (table [price w] (list [1.0 3.0 5.0] [10 30 50])))" +
+      "(count (inner-join [price] t1 t2))") == 2L)
+    assert(n("(set t1 (table [sym v] (list [AAPL GOOG MSFT] [1 2 3])))" +
+      "(set t2 (table [sym w] (list [AAPL MSFT TSLA] [10 30 50])))" +
+      "(count (inner-join [sym] t1 t2))") == 2L)
+    // no / all matches, multi-key both joins
+    assert(n("(set t1 (table [id v] (list [1 2 3] [1 2 3])))" +
+      "(set t2 (table [id w] (list [4 5 6] [4 5 6])))" +
+      "(count (inner-join [id] t1 t2))") == 0L)
+    val mk = "(set t1 (table [id1 id2 val1] (list [1 1 2] [a b a] [100 200 300])))" +
+      "(set t2 (table [id1 id2 val2] (list [1 2] [a a] [1000 3000])))"
+    assert(n(mk + "(count (inner-join [id1 id2] t1 t2))") == 2L)
+    assert(n(mk + "(count (left-join [id1 id2] t1 t2))") == 3L)
+    // empty sides via (take [1] 0)
+    assert(n("(set t1 (table [id val1] (list (take [1] 0) (take [1] 0))))" +
+      "(set t2 (table [id val2] (list [1 2 3] [100 200 300])))" +
+      "(count (left-join [id] t1 t2))") == 0L)
+    assert(n("(set t1 (table [id val1] (list [1 2 3] [100 200 300])))" +
+      "(set t2 (table [id val2] (list (take [1] 0) (take [1] 0))))" +
+      "(count (left-join [id] t1 t2))") == 3L)
+    // wrong-type / wrong-arity errors
+    intercept[Exception](sv(
+      "(left-join 123 (table [a] (list [1])) (table [a] (list [1])))"))
+    intercept[Exception](sv("(asof-join [a b])"))
+  }
+
+  test("joins: window-join goldens incl. enum columns (lang.c:4289-4339)") {
+    val pre = "(set trades (table [Sym Time Price] (list [a a] " +
+      "[10:00:01.000 10:00:05.000] [100 200])))" +
+      "(set quotes (table [Sym Time Bid] (list [a a a] " +
+      "[10:00:00.000 10:00:02.000 10:00:04.000] [99 100 101])))" +
+      "(set intervals (map-left + [-2000 2000] (at trades 'Time)))"
+    val wj = Rayfall.script(spark, pre +
+      "(window-join [Sym Time] intervals trades quotes {minBid: (min Bid)})")
+    assert(wj.orderBy("Time").collect().map(_.getLong(3)).toSeq ==
+      Seq(99L, 100L))
+    val wj1 = Rayfall.script(spark, pre +
+      "(window-join1 [Sym Time] intervals trades quotes {minBid: (min Bid)})")
+    assert(wj1.orderBy("Time").collect().map(_.getLong(3)).toSeq ==
+      Seq(99L, 101L))
+    // enum-typed key columns resolve to their symbol values
+    val en = Rayfall.script(spark,
+      "(set sym ['a 'b])" +
+        "(set trades (table [s time price] (list (enum 'sym ['a 'a 'b]) " +
+        "[10:00:01.000 10:00:05.000 10:00:03.000] [100 200 150])))" +
+        "(set quotes (table [s time bid] (list (enum 'sym ['a 'a 'a 'b 'b]) " +
+        "[10:00:00.000 10:00:02.000 10:00:04.000 10:00:01.000 10:00:04.000] " +
+        "[99 100 101 149 151])))" +
+        "(set intervals (map-left + [-2000 2000] (at trades 'time)))" +
+        "(window-join [s time] intervals trades quotes {minBid: (min bid)})")
+    assert(en.orderBy("s", "time").collect().map(_.getLong(3)).toSeq ==
+      Seq(99L, 100L, 149L))
+  }
 }
