@@ -1260,9 +1260,12 @@ object Queries {
       .orderBy($"l_returnflag")
 
   // ---------------------------------------------------------------- q40
-  // window-join with EXCLUSIVE bounds (reference window-join vs
-  // window-join1 distinction, /root/reference/core/join.c:358).
-  def q40_window_join_excl(spark: SparkSession, dir: String): DataFrame = {
+  // window-join jtype 0 — the reference's `window-join` proper: the
+  // PREVAILING right row (last view at-or-before the window start) plus
+  // the rows in (lo, hi] (kdb wj; /root/reference/core/aggr.c:143-151,
+  // core/join.c:358). The oracle mirrors the two pair sets: an ASOF
+  // join at the window start, UNION ALL the half-open range join.
+  def q40_window_join_prev(spark: SparkSession, dir: String): DataFrame = {
     val halfHourNs = 1800L * 1000 * 1000 * 1000
     val e = t(spark, dir, "events")
     val left = e.filter($"event_type" === "signup")
@@ -1274,20 +1277,29 @@ object Queries {
       loOffset = lit(-halfHourNs), hiOffset = lit(halfHourNs),
       aggs = Seq(count($"value").as("n_views"),
         round(sum($"value"), 4).as("sum_views")),
-      inclusive = false)
+      jtype = 0)
       .select($"event_id", $"user_id",
         coalesce($"n_views", lit(0L)).as("n_views"), $"sum_views")
       .orderBy($"event_id")
   }
 
   private val q40_sql =
-    """SELECT l.event_id, l.user_id, COUNT(r.value) AS n_views,
-      |  ROUND(SUM(r.value), 4) AS sum_views
-      |FROM (SELECT * FROM events WHERE event_type = 'signup') l
-      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
-      |  ON l.user_id = r.user_id
-      |  AND epoch_us(r.ts) > epoch_us(l.ts) - 1800000000
-      |  AND epoch_us(r.ts) < epoch_us(l.ts) + 1800000000
+    """WITH l AS (SELECT * FROM events WHERE event_type = 'signup'),
+      |  r AS (SELECT * FROM events WHERE event_type = 'view'),
+      |  pairs AS (
+      |    SELECT l.event_id, r.value
+      |    FROM l JOIN r ON l.user_id = r.user_id
+      |      AND epoch_ns(r.ts) > epoch_ns(l.ts) - 1800000000000
+      |      AND epoch_ns(r.ts) <= epoch_ns(l.ts) + 1800000000000
+      |    UNION ALL
+      |    SELECT lw.event_id, rp.value
+      |    FROM (SELECT event_id, user_id,
+      |            epoch_ns(ts) - 1800000000000 AS lo FROM l) lw
+      |    ASOF JOIN (SELECT user_id, epoch_ns(ts) AS rts, value FROM r) rp
+      |      ON lw.user_id = rp.user_id AND lw.lo >= rp.rts)
+      |SELECT l.event_id, l.user_id, COUNT(p.value) AS n_views,
+      |  ROUND(SUM(p.value), 4) AS sum_views
+      |FROM l LEFT JOIN pairs p ON l.event_id = p.event_id
       |GROUP BY l.event_id, l.user_id
       |ORDER BY l.event_id""".stripMargin
 
@@ -1779,7 +1791,7 @@ object Queries {
     "q37_wordcount" -> (q37_wordcount _),
     "q38_find_group" -> (q38_find_group _),
     "q39_approx" -> (q39_approx _),
-    "q40_window_join_excl" -> (q40_window_join_excl _),
+    "q40_window_join_prev" -> (q40_window_join_prev _),
     "r03_rayfall_join" -> (r03_rayfall_join _),
     "q41_asof_multikey" -> (q41_asof_multikey _),
     "q42_group_indices" -> (q42_group_indices _),
@@ -1852,7 +1864,7 @@ object Queries {
     "r02_rayfall_scalars" -> r02_sql,
     "q37_wordcount" -> q37_sql,
     "q38_find_group" -> q38_sql,
-    "q40_window_join_excl" -> q40_sql,
+    "q40_window_join_prev" -> q40_sql,
     "r03_rayfall_join" -> r03_sql,
     "q41_asof_multikey" -> q41_sql,
     "q42_group_indices" -> q42_sql,

@@ -5,15 +5,27 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Window (interval) join: for each left row, aggregate the right rows
-  * with the same keys whose time lies within `[ts+loOffset, ts+hiOffset]`
+  * with the same keys whose time lies in the row's window
   * (reference `window-join`/`window-join1`,
   * `/root/reference/core/join.c:358-489`, `core/index.c:3287-3346`).
+  *
+  * Window semantics follow the reference's aggregation kernel
+  * (`core/aggr.c:39-68,133-158`), which are the kdb `wj`/`wj1` rules:
+  *  - jtype 0 (`window-join`): rows in `(lo, hi]` PLUS the PREVAILING
+  *    row — the last right row with `ts <= lo` (`li = indexr_bin(lo)`,
+  *    `ri = indexr_bin(hi)`, aggregate `li..ri`; empty iff
+  *    `ts[li] > hi`).
+  *  - jtype 1 (`window-join1`): rows in `[lo, hi]` inclusive
+  *    (`li = indexl_bin(lo)`).
   *
   * Spark-first plan: an equi-join on the keys with the range predicate as
   * a join condition (hash-join on keys, range filter inside), then a
   * groupBy on the left row identity, then a left join back so left rows
   * with no right rows in range survive with NULL aggregates — matching
-  * the reference, which emits every left row.
+  * the reference, which emits every left row. For jtype 0 the prevailing
+  * pairs come from the as-of machinery (left time = window start), then
+  * union with the in-window pairs — the two sets are disjoint because a
+  * prevailing row has `ts <= lo` and in-window rows have `ts > lo`.
   *
   * Scale notes: the equi-keys carry the shuffle, so this is a standard
   * shuffled hash/sort-merge join — no broadcast needed. If a single key's
@@ -28,22 +40,45 @@ object WindowJoin {
     * @param loOffset lower bound offset (added to left ts; may be negative)
     * @param hiOffset upper bound offset
     * @param aggs     aggregates over right columns, pre-aliased
-    * @param inclusive include the interval endpoints (`window-join1`);
-    *                  exclusive otherwise (`window-join`)
+    * @param jtype    0 = `window-join` (prevailing row + `(lo, hi]`),
+    *                 1 = `window-join1` (inclusive `[lo, hi]`)
     */
   def windowJoin(left: DataFrame, right: DataFrame, leftId: Seq[String],
                  keys: Seq[String], ts: String, loOffset: Column, hiOffset: Column,
-                 aggs: Seq[Column], inclusive: Boolean = true): DataFrame = {
+                 aggs: Seq[Column], jtype: Int = 1): DataFrame = {
+    require(jtype == 0 || jtype == 1, s"jtype must be 0 or 1, got $jtype")
     val l = left.select(left.columns.map(c => col(c).as(s"l_$c")).toSeq: _*)
     val keyCond = keys.map(k => col(s"l_$k") === col(k)).reduce(_ && _)
     val lo = col(s"l_$ts") + loOffset
     val hi = col(s"l_$ts") + hiOffset
-    val rangeCond =
-      if (inclusive) col(ts) >= lo && col(ts) <= hi
-      else col(ts) > lo && col(ts) < hi
+    val lIds = leftId.map(c => s"l_$c")
 
-    val grouped = l.join(right, keyCond && rangeCond, "inner")
-      .groupBy(leftId.map(c => col(s"l_$c")): _*)
+    val pairs =
+      if (jtype == 1)
+        l.join(right, keyCond && col(ts) >= lo && col(ts) <= hi, "inner")
+      else {
+        val inWin = l.join(right, keyCond && col(ts) > lo && col(ts) <= hi,
+          "inner")
+        // prevailing row per left row: as-of join at the window start.
+        // __wjhit distinguishes a real match (whose payload may be null)
+        // from a miss; among right rows tied on ts the asof tie rule
+        // (last in table order) picks the one the reference's
+        // indexr_bin lands on.
+        val rightPlus = right.withColumn("__wjhit", lit(1L))
+        val payload =
+          right.columns.filterNot(keys.contains).toSeq :+ "__wjhit"
+        val asofLeft = l.select(
+          lIds.map(col) ++ keys.map(k => col(s"l_$k").as(k)) :+ lo.as(ts): _*)
+        val prev = AsofJoin.asofJoin(asofLeft, rightPlus, keys, ts, payload)
+          .filter(col("__wjhit").isNotNull)
+        val common = (lIds ++ keys ++
+          right.columns.filterNot(keys.contains)).distinct
+        inWin.select(common.map(col): _*)
+          .unionByName(prev.select(common.map(col): _*))
+      }
+
+    val grouped = pairs
+      .groupBy(lIds.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
 
     val idCond = leftId.map(c => left(c) === grouped(s"l_$c")).reduce(_ && _)
@@ -66,13 +101,16 @@ object WindowJoin {
     *
     * Scale shape: cogroup shuffles each side once on the keys; a hot key
     * is processed by one task, but linearly — same contract as the
-    * reference's per-key kernel. Bounds are INCLUSIVE (window-join1);
-    * pass exclusive=true for window-join.
+    * reference's per-key kernel. jtype 1 (`window-join1`, the default)
+    * aggregates inclusive `[lo, hi]`; jtype 0 (`window-join`) adds the
+    * prevailing row — the last right row with ts <= lo
+    * (`core/aggr.c:143-151`).
     */
   def windowJoinSliding(left: DataFrame, right: DataFrame,
                         keys: Seq[String], ts: String,
                         loOffset: Long, hiOffset: Long,
-                        aggs: Seq[Agg], exclusive: Boolean = false): DataFrame = {
+                        aggs: Seq[Agg], jtype: Int = 1): DataFrame = {
+    require(jtype == 0 || jtype == 1, s"jtype must be 0 or 1, got $jtype")
     // integral time axes only: a TimestampType would read as seconds on
     // one side (cast long) and millis on the other (getTime) — reject
     // rather than silently mis-join (this engine carries time as long
@@ -111,7 +149,7 @@ object WindowJoin {
     val tsIdx = lKeyed.columns.indexOf(ts)
     val kIdx = lKeyed.columns.indexOf("__k")
     val aggB = aggs.toArray
-    val excl = exclusive
+    val jt = jtype
     // static per-agg layout: struct field index + whether a sum is double
     val structCols = aggs.map(_.col).distinct
     val fieldOf = aggs.map(a => structCols.indexOf(a.col)).toArray
@@ -131,7 +169,7 @@ object WindowJoin {
         val rTs = rs.map(_.getLong(1))
         val rVals: Array[Row] = rs.map(_.getStruct(2))
         SlidingWindow.run(lIt, rTs, rVals, tsIdx, kIdx, loOffset, hiOffset,
-          excl, aggB, fieldOf, isDouble)
+          jt, aggB, fieldOf, isDouble)
     }(outEnc)
     joined
   }
@@ -150,7 +188,7 @@ private[operators] object SlidingWindow {
   import WindowJoin.Agg
 
   def run(ls: Iterator[Row], rTs: Array[Long], rVals: Array[Row],
-          tsIdx: Int, kIdx: Int, lo: Long, hi: Long, exclusive: Boolean,
+          tsIdx: Int, kIdx: Int, lo: Long, hi: Long, jtype: Int,
           aggs: Array[Agg], fieldOf: Array[Int],
           isDouble: Array[Boolean]): Iterator[Row] = {
     val nR = rTs.length
@@ -191,7 +229,7 @@ private[operators] object SlidingWindow {
       // advance `to`: add rows entering the window (null values are
       // skipped for min/max/sum — null-skipping aggregation; count
       // counts every window row, the reference's unconditional count)
-      while (to < nR && (if (exclusive) rTs(to) < wHi else rTs(to) <= wHi)) {
+      while (to < nR && rTs(to) <= wHi) {
         var ai = 0
         while (ai < aggs.length) {
           val isNull = aggs(ai).op != "count" &&
@@ -215,8 +253,14 @@ private[operators] object SlidingWindow {
         }
         to += 1
       }
-      // advance `from`: drop rows leaving the window
-      while (from < to && (if (exclusive) rTs(from) <= wLo else rTs(from) < wLo)) {
+      // advance `from`: drop rows leaving the window. jtype 1 keeps
+      // rows with ts >= lo; jtype 0 additionally keeps the PREVAILING
+      // row — the last row with ts <= lo (it is dropped only when a
+      // later row is still at-or-before lo), mirroring the reference's
+      // li = indexr_bin(lo) lower index (core/aggr.c:143-151).
+      while (from < to &&
+          (if (jtype == 0) from + 1 < to && rTs(from + 1) <= wLo
+           else rTs(from) < wLo)) {
         var ai = 0
         while (ai < aggs.length) {
           val isNull = aggs(ai).op != "count" &&

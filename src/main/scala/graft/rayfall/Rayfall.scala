@@ -231,7 +231,13 @@ object Rayfall {
               pos += 1
               val b = pos
               while (!eof && s(pos).isDigit) pos += 1
-              s.substring(b, pos).padTo(9, '0').toLong
+              val digits = s.substring(b, pos)
+              // ns precision is the maximum the convention carries: a
+              // 10+-digit fraction would silently parse to wrong nanos
+              // (mirrors the tsIso \d{1,9} regex, which rejects it)
+              require(digits.length <= 9,
+                s"timestamp fraction exceeds ns precision: .$digits")
+              digits.padTo(9, '0').toLong
             } else 0L
           val days = java.time.LocalDate.of(y.toInt, m.toInt, d.toInt).toEpochDay
           return RNum(0.0, isInt = true,
@@ -498,6 +504,7 @@ object Rayfall {
       "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     case VAtom(d: java.time.LocalDate) =>
       f"${d.getYear}%04d.${d.getMonthValue}%02d.${d.getDayOfMonth}%02d"
+    case VAtom(d: java.sql.Date) => valueText(VAtom(d.toLocalDate))
     case VVec(xs) => xs.map {
       case r: RVal => valueText(r)
       case x => valueText(VAtom(x))
@@ -508,6 +515,22 @@ object Rayfall {
           .mkString("(list ", " ", ")") + ")"
     case VFn(ps, bodies) =>
       s"(fn [${ps.mkString(" ")}] ${bodies.map(exprText).mkString(" ")})"
+    // tables/column views serialize as their literal forms, like the
+    // reference's serde of any object (core/serde.c). ser is a VALUE
+    // operation: the whole object round-trips through the driver, so it
+    // is bounded by the same driver-vector cap as other materializations
+    // (persist unbounded tables with set/get-splayed instead).
+    case VTab(df) =>
+      val n = df.count()
+      require(n <= maxDriverVec, s"ser: table too large ($n rows, max " +
+        s"$maxDriverVec); use set/set-splayed for distributed persistence")
+      val rows = df.collect()
+      val cols = df.columns.indices.map { i =>
+        rows.map(r => valueText(VAtom(r.get(i))))
+          .mkString("(list ", " ", ")") }
+      s"(table [${df.columns.mkString(" ")}] (list ${cols.mkString(" ")}))"
+    case cv: VColView => valueText(VVec(materialize(cv)))
+    case VAtom(i: java.lang.Integer) => i.toString
     case x => throw new IllegalArgumentException(s"cannot persist $x as text")
   }
 
@@ -1182,7 +1205,7 @@ object Rayfall {
           if (slidingAggs.forall(_.isDefined) && integralTs)
             graft.operators.WindowJoin.windowJoinSliding(
               left, right, ks.init, ks.last, lo, hi,
-              slidingAggs.flatten, exclusive = wj == "window-join")
+              slidingAggs.flatten, jtype = if (wj == "window-join") 0 else 1)
           else {
             val form = RList(RSym(wj) :: RVec(keys) ::
               RVec(List(RNum(0.0, isInt = true, l = lo),
@@ -2068,6 +2091,8 @@ object Rayfall {
       val tpe = vals.collectFirst {
         case _: java.lang.Double => org.apache.spark.sql.types.DoubleType
         case _: String => org.apache.spark.sql.types.StringType
+        case _: java.time.LocalDate => org.apache.spark.sql.types.DateType
+        case _: java.lang.Boolean => org.apache.spark.sql.types.BooleanType
       }.getOrElse(org.apache.spark.sql.types.LongType)
       val coerced =
         if (tpe == org.apache.spark.sql.types.DoubleType)
@@ -2103,8 +2128,9 @@ object Rayfall {
     // (window-join [k… t] intervals l r {aggs}) — reference form,
     // core/join.c:358. Intervals: either a literal [lo hi] offsets pair,
     // or the docs' (map-left + [lo hi] (at l 'ts)) construction — both
-    // mean "per left row, [ts+lo, ts+hi]". window-join = exclusive
-    // bounds, window-join1 = inclusive (examples/wj.rfl).
+    // mean "per left row, [ts+lo, ts+hi]". window-join (jtype 0) =
+    // prevailing row + (lo, hi] (kdb wj, core/aggr.c:143-151);
+    // window-join1 (jtype 1) = inclusive [lo, hi] (examples/wj.rfl).
     case RList(RSym(wj @ ("window-join" | "window-join1")) :: RVec(keys) ::
         intervals :: l :: r :: RDict(aggPairs) :: Nil) =>
       val ks = keyNames(keys)
@@ -2120,7 +2146,7 @@ object Rayfall {
       val aggs = aggPairs.map { case (n, a) => toColumn(a).as(n) }
       graft.operators.WindowJoin.windowJoin(
         left, evalTable(r, tables), left.columns.toSeq, eqKeys, ts,
-        lo, hi, aggs, inclusive = wj == "window-join1")
+        lo, hi, aggs, jtype = if (wj == "window-join1") 1 else 0)
 
     // (insert t rows) — append, aligning columns by name (reference
     // insert accepts reordered dict/table forms, examples/insert.rfl).

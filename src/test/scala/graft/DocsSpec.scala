@@ -332,16 +332,19 @@ class DocsSpec extends SparkSpec {
     val got = wj.orderBy($"Time").collect()
       .map(r => (r.getLong(r.fieldIndex("a")), r.getLong(r.fieldIndex("b"))))
     // trades at 12:00:01/12:00:04/12:00:06; quotes every second 12:00:00-09
-    // sizes [928 528 648 914 918 626 577 817 620 698]; window-join is
-    // EXCLUSIVE bounds (wj.rfl doc): (lo,hi) → strictly inside
+    // sizes [928 528 648 914 918 626 577 817 620 698]; window-join
+    // (jtype 0, kdb wj) = PREVAILING row (last quote at-or-before lo,
+    // core/aggr.c:143-151) + rows in (lo, hi]
     val sizes = Seq(928L, 528L, 648L, 914L, 918L, 626L, 577L, 817L, 620L, 698L)
-    def win(loSec: Int, hiSec: Int) = { // seconds offsets exclusive
-      val in = sizes.zipWithIndex.filter { case (_, i) => i > loSec && i < hiSec }
-      (in.map(_._1).sum, in.length.toLong)
+    def win(loSec: Int, hiSec: Int) = { // quote index i = its second
+      val prevailing = sizes.indices.filter(_ <= loSec).lastOption
+      val in = prevailing.toSeq ++
+        sizes.indices.filter(i => i > loSec && i <= hiSec)
+      (in.map(sizes).sum, in.length.toLong)
     }
-    assert(got(0) == win(-1, 3))  // trade 12:00:01, window (11:59:59,12:00:03)
-    assert(got(1) == win(2, 6))   // trade 12:00:04, window (12:00:02,12:00:06)
-    assert(got(2) == win(4, 8))   // trade 12:00:06, window (12:00:04,12:00:08)
+    assert(got(0) == win(-1, 3))  // trade 12:00:01, window [11:59:59,12:00:03]
+    assert(got(1) == win(2, 6))   // trade 12:00:04, window [12:00:02,12:00:06]
+    assert(got(2) == win(4, 8))   // trade 12:00:06, window [12:00:04,12:00:08]
   }
 
   test("reference examples/join.rfl runs VERBATIM; its commented joins work") {

@@ -536,6 +536,24 @@ class LangSpec extends SparkSpec {
     assert(atom("(de (ser null))") == null)
     assert(vecOf("(de (ser [5 3 8]))") == Vector(5L, 3L, 8L))
     assert(atom("(de (ser \"two words\"))") == "two words")
+    // tables round-trip through their literal form (reference serde
+    // covers any object, core/serde.c) — incl. date and string columns
+    val rt = Rayfall.script(spark,
+      "(set t (table [d s v] (list [2024.01.02 2024.01.05] [x \"y z\"] " +
+        "[1.5 2.5])))" +
+        "(de (ser t))")
+    assert(rt.orderBy("d").collect().map(r =>
+      (r.get(0).toString, r.getString(1), r.getDouble(2))).toSeq ==
+      Seq(("2024-01-02", "x", 1.5), ("2024-01-05", "y z", 2.5)))
+    // column views serialize as vectors
+    assert(vecOf("(set t2 (table [a] (list [7 8 9]))) (de (ser (at t2 'a)))")
+      == Vector(7L, 8L, 9L))
+  }
+
+  test("timestamp literal fraction beyond ns precision is rejected") {
+    // 9 digits = ns, fine; 10 digits would silently lose precision
+    assert(atom("2025.03.04D15:41:47.087221025") != null)
+    intercept[Exception](atom("2025.03.04D15:41:47.0872210251"))
   }
 
   test("literals: char/string escapes incl. octal (lang.c:3251-3309)") {

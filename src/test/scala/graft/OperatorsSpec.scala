@@ -87,19 +87,30 @@ class OperatorsSpec extends SparkSpec {
     assert(got(1).isNullAt(got(1).fieldIndex("n"))) // no clicks near ts=900
   }
 
-  test("window join exclusive bounds drop endpoint matches") {
-    val l = Seq((1L, "a", 100L)).toDF("id", "k", "ts")
-    val r = Seq(("a", 90L, 1.0), ("a", 110L, 2.0), ("a", 100L, 4.0))
+  test("window join jtype 0 includes the prevailing row (kdb wj)") {
+    // windows are ±10. For ts=100 → [90,110]: no right row at-or-before
+    // 90 except 85 (the prevailing), 105 in-window, 120 outside.
+    // jtype 1 sees only [90,110] → just 105.
+    val l = Seq((1L, "a", 100L), (2L, "a", 200L)).toDF("id", "k", "ts")
+    val r = Seq(("a", 85L, 1.0), ("a", 105L, 2.0), ("a", 120L, 9.0))
       .toDF("k", "ts", "v")
+    val prev = WindowJoin.windowJoin(l, r, Seq("id"), Seq("k"), "ts",
+      lit(-10L), lit(10L), Seq(count($"v").as("n"), sum($"v").as("s")),
+      jtype = 0).orderBy($"id").collect()
+    // ts=100: prevailing 85 + in-window 105
+    assert(prev(0).getLong(prev(0).fieldIndex("n")) == 2L)
+    assert(prev(0).getDouble(prev(0).fieldIndex("s")) == 3.0)
+    // ts=200 → [190,210]: nothing in-window, prevailing 120 still counts
+    assert(prev(1).getLong(prev(1).fieldIndex("n")) == 1L)
+    assert(prev(1).getDouble(prev(1).fieldIndex("s")) == 9.0)
     val inc = WindowJoin.windowJoin(l, r, Seq("id"), Seq("k"), "ts",
-      lit(-10L), lit(10L), Seq(count($"v").as("n")), inclusive = true)
-    val exc = WindowJoin.windowJoin(l, r, Seq("id"), Seq("k"), "ts",
-      lit(-10L), lit(10L), Seq(count($"v").as("n")), inclusive = false)
-    assert(inc.collect().head.getLong(3) == 3L)
-    assert(exc.collect().head.getLong(3) == 1L)
+      lit(-10L), lit(10L), Seq(count($"v").as("n")), jtype = 1)
+      .orderBy($"id").collect()
+    assert(inc(0).getLong(inc(0).fieldIndex("n")) == 1L)
+    assert(inc(1).isNullAt(inc(1).fieldIndex("n")))
   }
 
-  test("sliding window join equals the generic range join (incl/excl)") {
+  test("sliding window join equals the generic range join (jtype 0/1)") {
     val rnd = new scala.util.Random(7)
     val l = (0 until 300).map(i =>
       (i.toLong, if (rnd.nextBoolean()) "a" else "b", rnd.nextInt(1000).toLong))
@@ -108,13 +119,13 @@ class OperatorsSpec extends SparkSpec {
       (if (rnd.nextBoolean()) "a" else "b", rnd.nextInt(1000).toLong,
         rnd.nextInt(100).toLong, rnd.nextDouble()))
       .toDF("k", "ts", "v", "d")
-    for (excl <- Seq(false, true)) {
+    for (jt <- Seq(1, 0)) {
       val generic = WindowJoin.windowJoin(l, r, Seq("id"), Seq("k"), "ts",
         lit(-50L), lit(50L),
         Seq(min($"v").as("mn"), max($"v").as("mx"),
           sum($"v").as("sv"), count($"v").as("n"),
           round(sum($"d"), 6).as("sd")),
-        inclusive = !excl)
+        jtype = jt)
         .select($"id", $"mn", $"mx", expr("CAST(sv AS LONG) AS sv"), $"n", $"sd")
         .orderBy($"id").collect()
       val sliding = WindowJoin.windowJoinSliding(l, r, Seq("k"), "ts",
@@ -122,12 +133,12 @@ class OperatorsSpec extends SparkSpec {
         Seq(WindowJoin.Agg("min", "v", "mn"), WindowJoin.Agg("max", "v", "mx"),
           WindowJoin.Agg("sum", "v", "sv"), WindowJoin.Agg("count", "v", "n"),
           WindowJoin.Agg("sum", "d", "sd")),
-        exclusive = excl)
+        jtype = jt)
         .select($"id", $"mn", $"mx", $"sv", $"n", round($"sd", 6).as("sd"))
         .orderBy($"id").collect()
       assert(generic.length == sliding.length)
       generic.zip(sliding).foreach { case (g, s) =>
-        assert(g.toSeq == s.toSeq, s"excl=$excl\n g=$g\n s=$s") }
+        assert(g.toSeq == s.toSeq, s"jtype=$jt\n g=$g\n s=$s") }
     }
   }
 

@@ -135,12 +135,16 @@ class RayfallSpec extends SparkSpec {
       .orderBy($"ts").collect()
     assert(incl.map(_.getDouble(3)).toSeq == Seq(7.0, 5.0))
     assert(incl.map(_.getLong(4)).toSeq == Seq(3L, 1L))
-    // exclusive (ts-10, ts+10): trade@100 sees only 100 -> endpoints dropped
-    val excl = Rayfall.query(
-      "(window-join [sym ts] [-10 10] trades quotes {n: (count bid)})",
+    // window-join (jtype 0, kdb wj): prevailing row + (lo, hi].
+    // trade@100 → prevailing quote@90 + {100, 110} = 3 rows;
+    // trade@200 → prevailing quote@110 + {205} = 2 rows, min bid 5.0
+    val wj0 = Rayfall.query(
+      "(window-join [sym ts] [-10 10] trades quotes " +
+        "{n: (count bid) lo: (min bid)})",
       Map("trades" -> trades, "quotes" -> quotes))
       .orderBy($"ts").collect()
-    assert(excl.map(_.getLong(3)).toSeq == Seq(1L, 1L))
+    assert(wj0.map(_.getLong(3)).toSeq == Seq(3L, 2L))
+    assert(wj0.map(_.getDouble(4)).toSeq == Seq(7.0, 5.0))
     // the docs' map-left interval construction is accepted too
     val viaMapLeft = Rayfall.query(
       "(window-join1 [sym ts] (map-left + [-10 10] (at trades 'ts)) " +

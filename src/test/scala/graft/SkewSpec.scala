@@ -25,7 +25,7 @@ class SkewSpec extends SparkSpec {
     val rTs = Array.tabulate(1000)(i => i.toLong * 10)
     val rVals: Array[Row] = rTs.map(t => Row(t))
     val out = SlidingWindow.run(ls, rTs, rVals, tsIdx = 0, kIdx = 1,
-      lo = -100L, hi = 0L, exclusive = false,
+      lo = -100L, hi = 0L, jtype = 1,
       aggs = Array(WindowJoin.Agg("count", "v", "cnt")),
       fieldOf = Array(0), isDouble = Array(false))
     // consume ONE output row: a streaming kernel pulls exactly one left
