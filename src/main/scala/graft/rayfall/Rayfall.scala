@@ -269,7 +269,8 @@ object Rayfall {
     * semantics: every form is an expression — tests/lang.c asserts on
     * the final value; LangSpec drives this entry point). */
   def scriptValue(spark: SparkSession, src: String,
-                  tables: Map[String, DataFrame] = Map.empty): RVal = {
+                  tables: Map[String, DataFrame] = Map.empty): RVal =
+      withEvalStack {
     val p = new Parser(src)
     val env = scala.collection.mutable.Map[String, RVal](
       tables.map { case (k, v) => k -> (VTab(v): RVal) }.toSeq: _*)
@@ -329,6 +330,12 @@ object Rayfall {
     * of the reference building them as engine vectors
     * (`core/compose.c:70-143`) rather than driver values. */
   final case class VRange(n: Long, f: Column => Column) extends RVal
+
+  /** A parsed-but-unevaluated script — what `(parse "src")` returns and
+    * `(eval x)` runs (reference ray_parse/ray_eval,
+    * `core/io.c:1031-1052`; the reference's parse tree is a LIST
+    * object, here the expression list is carried opaquely). */
+  final case class VExprs(es: List[RExpr]) extends RVal
 
   /** Vectors at or above this length are built lazily (below it, driver
     * vectors keep the simple eager semantics the goldens pin). */
@@ -648,7 +655,7 @@ object Rayfall {
     * is optional: display-only scripts (examples/iter.rfl) are valid. */
   def scriptCapture(spark: SparkSession, src: String,
                     tables: Map[String, DataFrame] = Map.empty)
-      : (Option[DataFrame], String) = {
+      : (Option[DataFrame], String) = withEvalStack {
     val p = new Parser(src)
     val env = scala.collection.mutable.Map[String, RVal](
       tables.map { case (k, v) => k -> (VTab(v): RVal) }.toSeq: _*)
@@ -665,6 +672,29 @@ object Rayfall {
     }
     (Option(last), out.toString)
   }
+
+  /** Run the tree-walking interpreter on a dedicated 256 MB-stack
+    * thread: evalScript is one giant match whose JVM frame is sized to
+    * its worst branch, so deep script recursion (fib.rfl self-calls)
+    * would exhaust a default 512 KB–1 MB thread stack at depth ~20.
+    * The reference runs on its own VM stack (core/vm.c) — this is the
+    * JVM equivalent. No-op when already on the eval thread (nested
+    * script/eval/load). */
+  private val evalThreadName = "rayfall-eval"
+  private def withEvalStack[A](body: => A): A =
+    if (Thread.currentThread().getName == evalThreadName) body
+    else {
+      var res: Either[Throwable, A] = Left(
+        new IllegalStateException("eval thread died"))
+      val t = new Thread(null,
+        () => res = try Right(body) catch { case e: Throwable => Left(e) },
+        evalThreadName, 256L * 1024 * 1024)
+      // the active Spark session is an InheritableThreadLocal, so the
+      // child thread sees it; every call here also passes `spark`
+      // explicitly
+      t.start(); t.join()
+      res.fold(e => throw e, identity)
+    }
 
   /** Render a script value the way the reference prints it (C8 atoms as
     * bare chars, symbols/strings bare, numbers as digits). */
@@ -736,6 +766,322 @@ object Rayfall {
     case x => throw new IllegalArgumentException(s"bad function form $x")
   }
 
+  /** Total order over script atoms for the vector sort family —
+    * numerics widen, nulls sort FIRST (the reference's null is the
+    * type's minimum, e.g. MIN_I64 for I64, SURVEY §1.2). */
+  private def cmpAny(a: Any, b: Any): Int = (a, b) match {
+    case (null, null) => 0
+    case (null, _) => -1
+    case (_, null) => 1
+    case (x: java.lang.Long, y: java.lang.Long) => java.lang.Long.compare(x, y)
+    case (x: java.lang.Double, y: java.lang.Double) =>
+      java.lang.Double.compare(x, y)
+    case (x: java.lang.Long, y: java.lang.Double) =>
+      java.lang.Double.compare(x.doubleValue, y)
+    case (x: java.lang.Double, y: java.lang.Long) =>
+      java.lang.Double.compare(x, y.doubleValue)
+    case (x: String, y: String) => x.compareTo(y)
+    case (x: java.lang.Boolean, y: java.lang.Boolean) =>
+      java.lang.Boolean.compare(x, y)
+    case (x: java.time.LocalDate, y: java.time.LocalDate) => x.compareTo(y)
+    case (x, y) =>
+      throw new IllegalArgumentException(s"cannot order $x vs $y")
+  }
+
+  /** Is `e` usable as the binary function slot of a fold/scan form —
+    * an inline lambda, a bound lambda, or a broadcastArith operator? */
+  private val arithOps =
+    Set("+", "-", "*", "/", "%", ">", "<", ">=", "<=", "==", "=", "!=")
+  private def callable2(e: RExpr,
+                        env: scala.collection.mutable.Map[String, RVal])
+      : Boolean = e match {
+    case RList(RSym("fn") :: RVec(_) :: bodies) => bodies.nonEmpty
+    case RSym(n) =>
+      env.get(n).exists(_.isInstanceOf[VFn]) || arithOps.contains(n)
+    case _ => false
+  }
+
+  // --- extracted bodies for the fold/scan/sort/storage/meta-eval forms.
+  // evalScript is ONE giant method: the JVM sizes its stack frame to the
+  // max locals across ALL match branches, so heavyweight case bodies
+  // inline would tax EVERY recursive eval step (fib.rfl overflows at
+  // depth ~18). Keeping these in their own methods keeps the
+  // interpreter's frame small.
+
+  private type SEnv = scala.collection.mutable.Map[String, RVal]
+
+  /** Driver-vector view of a value (object-level twin of evalScript's
+    * local `vec`). */
+  private def vecV(spark: SparkSession, v: RVal): Vector[Any] = v match {
+    case VVec(xs) => xs
+    case VAtom(x) => Vector(x)
+    case cv: VColView => materialize(cv)
+    case r: VRange => materializeRange(spark, r)
+    case _ => throw new IllegalArgumentException(s"expected a vector, got $v")
+  }
+
+  /** Binary-function dispatch for the fold/scan forms: an operator
+    * symbol routes to broadcastArith, anything else applies as a
+    * lambda with (x, y). */
+  private def callBinary(spark: SparkSession, f: RExpr, env: SEnv,
+                         hook: DataFrame => Unit, out: StringBuilder,
+                         x: RVal, y: RVal): RVal = f match {
+    case RSym(op) if !env.get(op).exists(_.isInstanceOf[VFn]) &&
+        arithOps.contains(op) => broadcastArith(op, x, y)
+    case _ =>
+      val (ps, bodies) = fnOf(f, env)
+      applyFn(spark, ps, bodies, Seq(x, y), env, hook, out)
+  }
+
+  private def evalFoldDir(spark: SparkSession, dir: String, f: RExpr,
+                          a: RExpr, b: RExpr, env: SEnv,
+                          hook: DataFrame => Unit,
+                          out: StringBuilder): RVal = {
+    def ev(x: RExpr) = evalScript(spark, x, env, hook, out)
+    val (xsv, seed) =
+      if (dir == "fold-left") (vecV(spark, ev(a)), ev(b))
+      else (vecV(spark, ev(b)), ev(a))
+    xsv.foldLeft(seed) { (acc, x) =>
+      f match {
+        case RSym(op) if !env.get(op).exists(_.isInstanceOf[VFn]) &&
+            arithOps.contains(op) =>
+          broadcastArith(op, VAtom(x), acc)
+        case _ =>
+          val (ps, bodies) = fnOf(f, env)
+          val args = if (dir == "fold-right") Seq(acc, VAtom(x))
+                     else Seq(VAtom(x), acc)
+          applyFn(spark, ps, bodies, args, env, hook, out)
+      }
+    }
+  }
+
+  private def evalScanForm(spark: SparkSession, f: RExpr, a: RExpr,
+                           b: RExpr, env: SEnv, hook: DataFrame => Unit,
+                           out: StringBuilder): RVal = {
+    def ev(x: RExpr) = evalScript(spark, x, env, hook, out)
+    def call(x: RVal, y: RVal) = callBinary(spark, f, env, hook, out, x, y)
+    (ev(a), ev(b)) match {
+      case (av @ VAtom(_), bv @ VAtom(_)) => call(av, bv)
+      case (av @ VAtom(_), ys) =>
+        var acc: RVal = av
+        VVec(vecV(spark, ys).map { y =>
+          acc = call(acc, VAtom(y)); unwrapAtom(acc) })
+      case (xs, bv @ VAtom(_)) =>
+        var acc: RVal = bv
+        VVec(vecV(spark, xs).map { x =>
+          acc = call(VAtom(x), acc); unwrapAtom(acc) })
+      case (xs, ys) =>
+        val (xv, yv) = (vecV(spark, xs), vecV(spark, ys))
+        require(xv.length == yv.length, "scan length mismatch")
+        VVec(xv.zip(yv).map { case (x, y) =>
+          unwrapAtom(call(VAtom(x), VAtom(y))) })
+    }
+  }
+
+  private def evalScanDir(spark: SparkSession, dir: String, f: RExpr,
+                          a: RExpr, b: RExpr, env: SEnv,
+                          hook: DataFrame => Unit,
+                          out: StringBuilder): RVal = {
+    def ev(x: RExpr) = evalScript(spark, x, env, hook, out)
+    val (xsv, seed) =
+      if (dir == "scan-left") (vecV(spark, ev(a)), ev(b))
+      else (vecV(spark, ev(b)), ev(a))
+    if (xsv.isEmpty) VVec(Vector.empty)
+    else {
+      var acc: RVal = seed
+      VVec(unwrapAtom(seed) +: xsv.map { x =>
+        acc = callBinary(spark, f, env, hook, out, VAtom(x), acc)
+        unwrapAtom(acc)
+      })
+    }
+  }
+
+  private def evalVecSort(spark: SparkSession, op: String,
+                          value: RVal): RVal = {
+    val asStr = value match { case VAtom(_: String) => true; case _ => false }
+    val xs: Vector[Any] = value match {
+      case VAtom(s: String) => s.toVector.map(_.toString)
+      case other => vecV(spark, other)
+    }
+    def restr(ys: Vector[Any]): RVal =
+      if (asStr) VAtom(ys.mkString) else VVec(ys)
+    lazy val perm: Vector[Int] =
+      xs.indices.toVector.sortWith((i, j) => cmpAny(xs(i), xs(j)) < 0)
+    op match {
+      case "iasc" => VVec(perm.map(i => i.toLong: Any))
+      case "idesc" => VVec(xs.indices.toVector
+        .sortWith((i, j) => cmpAny(xs(i), xs(j)) > 0)
+        .map(i => i.toLong: Any))
+      case "asc" => restr(perm.map(xs))
+      case "desc" => restr(xs.indices.toVector
+        .sortWith((i, j) => cmpAny(xs(i), xs(j)) > 0).map(xs))
+      case "rank" =>
+        val r = new Array[Any](xs.length)
+        perm.zipWithIndex.foreach { case (p, i) => r(p) = i.toLong }
+        VVec(r.toVector)
+      case "reverse" => restr(xs.reverse)
+    }
+  }
+
+  private def evalXrank(spark: SparkSession, value: RVal, nb: Long): RVal = {
+    val xs = vecV(spark, value)
+    require(nb > 0, s"xrank buckets must be positive, got $nb")
+    val perm = xs.indices.toVector
+      .sortWith((i, j) => cmpAny(xs(i), xs(j)) < 0)
+    val r = new Array[Any](xs.length)
+    perm.zipWithIndex.foreach { case (p, rk) => r(p) = rk * nb / xs.length }
+    VVec(r.toVector)
+  }
+
+  private def evalWriteCsv(df: DataFrame, path: String, sep: String): RVal = {
+    import java.nio.file.{Files, Paths, Path}
+    val staging = path + ".staging"
+    // dates render yyyy.MM.dd — the literal form read-csv parses
+    df.coalesce(1).write.mode("overwrite").option("header", "true")
+      .option("sep", sep).option("dateFormat", "yyyy.MM.dd").csv(staging)
+    val part = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(Files.list(Paths.get(staging)).iterator())
+      .asScala.find(_.getFileName.toString.endsWith(".csv"))
+      .getOrElse(throw new IllegalStateException("no csv part written"))
+    Files.move(part, Paths.get(path),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.walk(Paths.get(staging))
+      .sorted(java.util.Comparator.reverseOrder())
+      .forEach((f: Path) => Files.delete(f))
+    VAtom(null)
+  }
+
+  private def evalSetParted(df: DataFrame, root: String, tab: String,
+                            dateCol: String): RVal = {
+    require(df.columns.contains(dateCol),
+      s"set-parted: no column '$dateCol' in ${df.columns.mkString(",")}")
+    import java.nio.file.{Files, Paths, Path}
+    val staging = Paths.get(root, s".staging-$tab")
+    // repartition on the date first — without it every task writes a
+    // sliver into every partition (tasks × dates small files)
+    df.repartition(col(dateCol))
+      .write.mode("overwrite").partitionBy(dateCol)
+      .parquet(staging.toString)
+    val moved = scala.jdk.CollectionConverters
+      .IteratorHasAsScala(Files.list(staging).iterator()).asScala
+      .filter(d => Files.isDirectory(d) &&
+        d.getFileName.toString.startsWith(s"$dateCol="))
+      .map { d =>
+        val raw = d.getFileName.toString.stripPrefix(s"$dateCol=")
+        require(raw != "__HIVE_DEFAULT_PARTITION__",
+          s"set-parted: null $dateCol values cannot form a partition dir")
+        // DateType partitions render ISO; the parted layout uses dots
+        val dirName =
+          if (raw.matches("\\d{4}-\\d{2}-\\d{2}")) raw.replace('-', '.')
+          else raw
+        val target = Paths.get(root, dirName, tab)
+        if (Files.exists(target)) { // overwrite an existing partition
+          Files.walk(target).sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => Files.delete(f))
+        }
+        Files.createDirectories(target.getParent)
+        Files.move(d, target)
+        dirName
+      }.toVector
+    Files.walk(staging).sorted(java.util.Comparator.reverseOrder())
+      .forEach((f: Path) => Files.delete(f))
+    VVec(moved.map(s => s: Any))
+  }
+
+  private def evalModify(spark: SparkSession, f: RExpr, pathIdx: List[Any],
+                         vVal: RVal, targetVal: RVal, env: SEnv,
+                         hook: DataFrame => Unit,
+                         out: StringBuilder): RVal = {
+    val leaf: RVal => RVal = f match {
+      case RSym("set") => _ => vVal
+      case _ => old => callBinary(spark, f, env, hook, out, old, vVal)
+    }
+    def amendAt(cur: RVal, path: List[Any]): RVal = (cur, path) match {
+      case (x, Nil) => leaf(x)
+      case (VVec(xs), (ix: java.lang.Long) :: rest) =>
+        val at = ix.toInt
+        require(at >= 0 && at < xs.length, s"modify index $at out of range")
+        val elem: RVal = xs(at) match {
+          case r: RVal => r
+          case vv: Vector[_] => VVec(vv.asInstanceOf[Vector[Any]])
+          case a => VAtom(a)
+        }
+        VVec(xs.updated(at, unwrapAtom(amendAt(elem, rest))))
+      case (VDict(ks, vs), (key: String) :: rest) =>
+        val at = ks.indexOf(key)
+        require(at >= 0, s"modify: no key $key")
+        val elem: RVal = vs(at) match {
+          case r: RVal => r
+          case vv: Vector[_] => VVec(vv.asInstanceOf[Vector[Any]])
+          case a => VAtom(a)
+        }
+        VDict(ks, vs.updated(at, unwrapAtom(amendAt(elem, rest))))
+      case (x, p) => throw new IllegalArgumentException(
+        s"modify: cannot index $x with $p")
+    }
+    amendAt(targetVal, pathIdx)
+  }
+
+  private def parseAll(src: String): List[RExpr] = {
+    val p = new Parser(src)
+    val es = scala.collection.mutable.ListBuffer[RExpr]()
+    p.skipWs()
+    while (!p.eof) { es += p.parseExpr(); p.skipWs() }
+    es.toList
+  }
+
+  private def evalExprs(spark: SparkSession, es: List[RExpr], env: SEnv,
+                        hook: DataFrame => Unit,
+                        out: StringBuilder): RVal =
+    es.foldLeft(VAtom(null): RVal)((_, e2) =>
+      evalScript(spark, e2, env, hook, out))
+
+  /** The reference typename table (core/misc.c:32, core/env.c:272-326):
+    * lowercase atoms, UPPERCASE vectors. Divergences the §1.2 value
+    * model forces: strings and symbols share one repr (both report
+    * C8/SYMBOL), timestamps/times are carried as i64. */
+  private def typeNameOf(v: RVal): String = {
+    def vecType(dt: org.apache.spark.sql.types.DataType): String = {
+      import org.apache.spark.sql.types._
+      dt match {
+        case LongType | IntegerType => "I64"
+        case DoubleType | FloatType => "F64"
+        case BooleanType => "B8"
+        case StringType => "SYMBOL"
+        case DateType => "DATE"
+        case _ => "LIST"
+      }
+    }
+    v match {
+      case VAtom(null) => "NULL"
+      case VAtom(_: java.lang.Long) => "i64"
+      case VAtom(_: java.lang.Integer) => "i32"
+      case VAtom(_: java.lang.Double) => "f64"
+      case VAtom(_: java.lang.Boolean) => "b8"
+      case VAtom(_: String) => "C8" // a string IS a C8 vector
+      case VAtom(_: java.time.LocalDate) => "date"
+      case VAtom(_: Vector[_]) => "LIST"
+      case VVec(xs) => xs.collectFirst {
+        case _: java.lang.Long => "I64"
+        case _: java.lang.Integer => "I64"
+        case _: java.lang.Double => "F64"
+        case _: java.lang.Boolean => "B8"
+        case _: String => "SYMBOL"
+        case _: java.time.LocalDate => "DATE"
+        case _: Vector[_] => "LIST"
+        case _: RVal => "LIST"
+      }.getOrElse("LIST")
+      case VTab(_) => "TABLE"
+      case VDict(_, _) => "DICT"
+      case _: VFn => "LAMBDA"
+      case VExprs(_) => "LIST" // the reference parse tree is a LIST
+      case VRange(_, _) => "I64"
+      case cv: VColView => vecType(cv.df.schema(cv.base).dataType)
+      case VHandle(_) => "i64" // fd-like handle
+      case _ => "LIST"
+    }
+  }
+
   private def evalScript(spark: SparkSession, e: RExpr,
                          env: scala.collection.mutable.Map[String, RVal],
                          hook: DataFrame => Unit,
@@ -797,6 +1143,45 @@ object Rayfall {
         val v = getPath(spark, path)
         v match { case VTab(df) => hook(df); case _ => () }
         v
+      // meta-eval (core/env.c:127-130; core/io.c:1031-1090): parse
+      // yields the AST as a first-class value; eval runs a string or a
+      // parsed AST in the CURRENT environment; load runs a script file
+      // (a trailing-"/" path instead loads a stored object and binds it
+      // under the file name, io.c:1063-1080).
+      case RList(RSym("parse") :: s :: Nil) =>
+        ev(s) match {
+          case VAtom(src: String) => VExprs(parseAll(src))
+          case x => throw new IllegalArgumentException(
+            s"parse needs a string, got $x")
+        }
+      case RList(RSym("eval") :: x :: Nil) =>
+        ev(x) match {
+          case VAtom(src: String) =>
+            evalExprs(spark, parseAll(src), env, hook, out)
+          case VExprs(es) => evalExprs(spark, es, env, hook, out)
+          // eval of a non-code value is the value (reference eval_obj)
+          case v => v
+        }
+      case RList(RSym("load") :: pathE :: Nil) =>
+        ev(pathE) match {
+          case VAtom(path: String) if path.endsWith("/") =>
+            // stored-object load: bind under the trailing path segment
+            val name = path.stripSuffix("/").split('/').last
+            val v = getPath(spark, path.stripSuffix("/"))
+            env(name) = v
+            v match { case VTab(df) => hook(df); case _ => () }
+            v
+          case VAtom(path: String) =>
+            evalExprs(spark, parseAll(java.nio.file.Files.readString(
+              java.nio.file.Paths.get(path))), env, hook, out)
+          case x => throw new IllegalArgumentException(
+            s"load needs a path, got $x")
+        }
+
+      // (type x) — the reference typename table; see [[typeNameOf]]
+      case RList(RSym("type") :: x :: Nil) =>
+        VAtom(typeNameOf(ev(x)))
+
       // display forms render into the capture sink (the docs pin script
       // output as tests); args evaluate for their side effects either way
       // (reference scripts nest real work, e.g. (println "…" (timeit …)))
@@ -958,6 +1343,55 @@ object Rayfall {
       case RList(RSym("fold") :: RSym(op) :: v :: Nil) =>
         vec(ev(v)).map(x => VAtom(x): RVal)
           .reduce((a, b) => broadcastArith(op, a, b))
+
+      // (fold-left f xs seed) / (fold-right f seed xs) — seed-carrying
+      // folds (core/iter.c:1044-1211). BOTH iterate the vector
+      // left-to-right (at_idx(…, i), i = 0..l-1, in every branch); they
+      // differ only in which argument slot carries the seed. Binary ops
+      // receive (elem, acc) in both directions; a fold-right LAMBDA
+      // receives (acc, elem) — the reference's push order
+      // (iter.c:1181-1199). Empty vector → the seed.
+      case RList(RSym(dir @ ("fold-left" | "fold-right")) :: f :: a :: b :: Nil)
+          if callable2(f, env) =>
+        evalFoldDir(spark, dir, f, a, b, env, hook, out)
+
+      // (scan f a b) — cumulative scan over whichever side is the
+      // vector (core/iter.c:1212-1480): (scan f xs seed) runs
+      // v = f(x_i, v) from v = f(x_0, seed); (scan f seed ys) runs
+      // v = f(v, y_i); TWO vectors apply f PAIRWISE (the reference's
+      // dual-vector branch does not thread the accumulator,
+      // iter.c:1259-1263). One result entry per element.
+      case RList(RSym("scan") :: f :: a :: b :: Nil) if callable2(f, env) =>
+        evalScanForm(spark, f, a, b, env, hook, out)
+
+      // vector sorts and ranking (core/env.c:148-153,216;
+      // core/order.c:32-648): iasc/idesc = the stable sort
+      // permutation, asc/desc = the sorted copy, rank = each
+      // element's position in ascending order (res[perm[i]] = i,
+      // order.c:519), reverse = reversal. Strings are C8 vectors, so
+      // they sort and reverse charwise (lang.c string-take rule).
+      case RList(RSym(op @ ("iasc" | "idesc" | "asc" | "desc" | "rank" |
+          "reverse")) :: v :: Nil)
+          if !isTableForm(v, env) =>
+        evalVecSort(spark, op, ev(v))
+
+      // (xrank v n) — n-tile bucket per element: bucket = rank·n div
+      // len over the ascending sort permutation (core/order.c:598,
+      // xrank_worker: out[perm[rank]] = rank*n/len)
+      case RList(RSym("xrank") :: v :: nE :: Nil)
+          if !isTableForm(v, env) =>
+        evalXrank(spark, ev(v), num(ev(nE)))
+
+      // (scan-left f xs seed) / (scan-right f seed xs) — like the
+      // folds but emit every intermediate with the seed at index 0
+      // (l+1 entries, core/iter.c:1482-1674). Both iterate the vector
+      // left-to-right and hand f (elem, acc) — scan-right's lambda
+      // push order matches its binary order here (iter.c:1641-1647).
+      // Empty vector → EMPTY result (the reference returns LIST(0)
+      // without the seed, iter.c:1504,1601).
+      case RList(RSym(dir @ ("scan-left" | "scan-right")) :: f :: a :: b :: Nil)
+          if callable2(f, env) =>
+        evalScanDir(spark, dir, f, a, b, env, hook, out)
       case RList(RSym(agg @ ("sum" | "min" | "max" | "avg" | "med" | "dev"))
           :: v :: Nil)
           if !isTableForm(v, env) && vecValued(v, env) =>
@@ -1312,6 +1746,50 @@ object Rayfall {
           case x => throw new IllegalArgumentException(s"bad path $x") }
         val df = graft.sources.Store.getSplayed(spark, path)
         hook(df); VTab(df)
+
+      // (write-csv path t [sep]) — header CSV, the write side of the
+      // typed read-csv (reference ray_write_csv, core/io.c:946). The
+      // reference writes ONE file at exactly `path` (and the script
+      // read-csv reads one file's header), so the part file is staged
+      // and moved; the engine-level Store.writeCsv stays the
+      // distributed multi-part form.
+      case RList(RSym("write-csv") :: p :: t :: rest) if rest.length <= 1 =>
+        val path = ev(p) match { case VAtom(s: String) => s
+          case x => throw new IllegalArgumentException(s"write-csv needs a path, got $x") }
+        val df = ev(t) match { case VTab(d) => d
+          case x => throw new IllegalArgumentException(s"write-csv needs a table, got $x") }
+        val sep = rest.headOption.map(ev(_) match {
+          case VAtom(s: String) => s
+          case x => throw new IllegalArgumentException(s"bad separator $x")
+        }).getOrElse(",")
+        evalWriteCsv(df, path, sep)
+
+      // (set-parted dbpath 'tab t ['datecol]) — write the reference's
+      // parted-DB layout: one splayed table dir per date,
+      // root/yyyy.mm.dd/tab (exactly what get-parted above reads; the
+      // reference's parted.rfl builds the same dirs via per-partition
+      // set-splayed, and its 2-arg set-parted is plain ray_set,
+      // core/vary.c:176). ONE partitionBy job writes every partition —
+      // no per-date Spark job — then rename-only filesystem moves put
+      // the dirs into the bare-date layout, bounded by the number of
+      // PARTITIONS, not rows.
+      case RList(RSym("set-parted") :: p :: tn :: t :: rest)
+          if rest.length <= 1 =>
+        val root = ev(p) match { case VAtom(s: String) => s
+          case x => throw new IllegalArgumentException(s"set-parted needs a path, got $x") }
+        val tab = tn match {
+          case RQuote(n) => n
+          case other => ev(other) match { case VAtom(s: String) => s
+            case x => throw new IllegalArgumentException(s"bad table name $x") }
+        }
+        val df = ev(t) match { case VTab(d) => d
+          case x => throw new IllegalArgumentException(s"set-parted needs a table, got $x") }
+        val dateCol = rest.headOption.map {
+          case RQuote(n) => n
+          case other => ev(other) match { case VAtom(s: String) => s
+            case x => throw new IllegalArgumentException(s"bad date column $x") }
+        }.getOrElse("date")
+        evalSetParted(df, root, tab, dateCol)
       // (except x y): table × symbol drops the column; vector × vector
       // filters members out (reference ray_except, core/items.c:916 —
       // TYPE_TABLE×-TYPE_SYMBOL and TYPE_I64/SYMBOL vector cases;
@@ -1478,6 +1956,36 @@ object Rayfall {
         val df = eval(RList(RSym("alter") :: RSym(name) :: fn :: c :: v :: Nil),
           tablesOf)
         env(name) = VTab(df); hook(df); VTab(df)
+
+      // (modify 'name f [i …] v) — nested amend (reference ray_modify,
+      // core/update.c:359: dot_obj walks every index but the LAST,
+      // __alter applies f at the last): the element at the index path
+      // becomes f(elem, v); 'set replaces it outright. A quoted target
+      // rebinds the environment, a value target returns the amended
+      // copy. Dict hops take the key symbol; vector hops take indices.
+      case RList(RSym("modify") :: target :: f :: i :: v :: Nil)
+          if (f match {
+            case RSym("set") => true
+            case other => callable2(other, env)
+          }) && (target match {
+            case RQuote(nm) => env.contains(nm)
+            case _ => !isTableForm(target, env)
+          }) =>
+        val path: List[Any] = i match {
+          case RQuote(k) => List(k)
+          case _ => ev(i) match {
+            case VAtom(x) => List(x)
+            case VVec(xs) => xs.toList
+            case x => throw new IllegalArgumentException(s"bad modify path $x")
+          }
+        }
+        target match {
+          case RQuote(nm) =>
+            val res = evalModify(spark, f, path, ev(v), env(nm), env, hook, out)
+            env(nm) = res; res
+          case other =>
+            evalModify(spark, f, path, ev(v), ev(other), env, hook, out)
+        }
 
       // first-class dict values (core/compose.c:205): values from a
       // (list …) or a vector literal, zipped with the keys

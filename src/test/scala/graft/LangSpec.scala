@@ -550,6 +550,151 @@ class LangSpec extends SparkSpec {
       == Vector(7L, 8L, 9L))
   }
 
+  test("fold-left / fold-right: seed slots and argument order " +
+      "(core/iter.c:1044-1211)") {
+    assert(atom("(fold-left + [1 2 3 4] 0)") == 10L)
+    // binary ops receive (elem, acc): v=1-0=1, v=2-1=1, v=3-1=2
+    assert(atom("(fold-left - [1 2 3] 0)") == 2L)
+    // fold-right seeds from the LEFT slot, same (elem, acc) order
+    assert(atom("(fold-right - 0 [1 2 3])") == 2L)
+    // lambdas: fold-left hands (elem, acc) …
+    assert(atom("(fold-left (fn [x acc] (+ acc (* x x))) [1 2 3] 0)") == 14L)
+    // … fold-right hands (acc, elem) — the reference's push order
+    // (iter.c:1181-1199): v=1-100=-99, v=2-(-99)=101, v=3-101=-98
+    assert(atom("(fold-right (fn [acc x] (- x acc)) 100 [1 2 3])") == -98L)
+    // empty vector → the seed
+    assert(atom("(fold-left + (take [1] 0) 5)") == 5L)
+    assert(atom("(fold-right + 7 (take [1] 0))") == 7L)
+    // doubles flow through
+    assert(atom("(fold-left * [1.5 2.0] 2.0)") == 6.0)
+  }
+
+  test("scan / scan-left / scan-right: cumulative + pairwise forms " +
+      "(core/iter.c:1212-1674)") {
+    // (scan f seed ys): v = f(v, y_i)
+    assert(vecOf("(scan + 0 [1 2 3 4])") == Vector(1L, 3L, 6L, 10L))
+    assert(vecOf("(scan - 100 [1 2 3])") == Vector(99L, 97L, 94L))
+    // (scan f xs seed): v = f(x_i, v)
+    assert(vecOf("(scan + [1 2 3 4] 0)") == Vector(1L, 3L, 6L, 10L))
+    // dual-vector scan applies f PAIRWISE (iter.c:1259-1263)
+    assert(vecOf("(scan * [1 2 3] [4 5 6])") == Vector(4L, 10L, 18L))
+    // scan-left: l+1 entries, seed first
+    assert(vecOf("(scan-left + [1 2 3] 0)") == Vector(0L, 1L, 3L, 6L))
+    // scan-right: seed from the left slot, still (elem, acc):
+    // [10, 1-10, 2-(-9), 3-11]
+    assert(vecOf("(scan-right - 10 [1 2 3])") == Vector(10L, -9L, 11L, -8L))
+    assert(vecOf("(scan-right + 0 [1 2 3])") == Vector(0L, 1L, 3L, 6L))
+    // lambda scan-left, (elem, acc)
+    assert(vecOf("(scan-left (fn [x acc] (+ acc x)) [5 6] 1)") ==
+      Vector(1L, 6L, 12L))
+    // empty vector → EMPTY scan (no seed entry, iter.c:1504,1601)
+    assert(vecOf("(scan-left + (take [1] 0) 5)") == Vector())
+    // running max via lambda over a comparison
+    assert(vecOf("(scan-left (fn [x acc] (if (> x acc) x acc)) [3 1 4 1 5] 0)")
+      == Vector(0L, 3L, 3L, 4L, 4L, 5L))
+  }
+
+  test("vector sorts: iasc/idesc/asc/desc/rank/xrank/reverse " +
+      "(core/order.c:32-648)") {
+    assert(vecOf("(iasc [5 1 4])") == Vector(1L, 2L, 0L))
+    assert(vecOf("(idesc [5 1 4])") == Vector(0L, 2L, 1L))
+    assert(vecOf("(asc [5 1 4])") == Vector(1L, 4L, 5L))
+    assert(vecOf("(desc [5 1 4])") == Vector(5L, 4L, 1L))
+    // rank: each element's position in the ascending order
+    // (res[perm[i]] = i, order.c:519)
+    assert(vecOf("(rank [5 1 4])") == Vector(2L, 0L, 1L))
+    assert(vecOf("(rank [10 20 30])") == Vector(0L, 1L, 2L))
+    // xrank: rank*n div len n-tiles (order.c:598)
+    assert(vecOf("(xrank [10 30 20 40] 2)") == Vector(0L, 1L, 0L, 1L))
+    // asc order 10,15,20,30,40,50 → ranks 0..5, buckets rank*3 div 6
+    assert(vecOf("(xrank [10 30 20 40 50 15] 3)") ==
+      Vector(0L, 1L, 1L, 2L, 2L, 0L))
+    assert(vecOf("(reverse [1 2 3])") == Vector(3L, 2L, 1L))
+    // strings are C8 vectors: charwise sort/reverse
+    assert(atom("(reverse \"abc\")") == "cba")
+    assert(atom("(asc \"dcba\")") == "abcd")
+    // mixed numerics widen; stable ties keep first occurrence
+    assert(vecOf("(iasc [2.5 1 3])") == Vector(1L, 0L, 2L))
+    assert(vecOf("(iasc [2 1 2])") == Vector(1L, 0L, 2L))
+    // nulls sort first (null = the type's minimum)
+    assert(vecOf("(asc (list 3 null 1))") == Vector(null, 1L, 3L))
+    // symbols sort lexically
+    assert(vecOf("(asc [b c a])") == Vector("a", "b", "c"))
+    // sorting a sorted vector round-trips through iasc/at
+    assert(vecOf("(at [50 10 40] (iasc [50 10 40]))") ==
+      Vector(10L, 40L, 50L))
+  }
+
+  test("modify: nested amend at an index path (core/update.c:359)") {
+    // op leaf: elem becomes f(elem, v)
+    assert(vecOf("(set v [1 2 3]) (modify 'v + [1] 10) v") ==
+      Vector(1L, 12L, 3L))
+    // 'set replaces outright
+    assert(vecOf("(set v [1 2 3]) (modify 'v set [0] 7) v") ==
+      Vector(7L, 2L, 3L))
+    // nested path into a list of vectors ((at m 0) yields the inner
+    // vector as an atom-wrapped value)
+    assert(sv("(set m (list [1 2] [3 4])) (modify 'm set [0 1] 99) " +
+      "(at m 0)") == Rayfall.VAtom(Vector(1L, 99L)))
+    // value target returns the amended copy, source binding unchanged
+    assert(vecOf("(set v [5 6]) (modify v * [1] 3)") == Vector(5L, 18L))
+    assert(vecOf("(set v [5 6]) (modify v * [1] 3) v") == Vector(5L, 6L))
+    // lambda leaf receives (elem, v)
+    assert(vecOf("(set v [1 2]) (modify 'v (fn [old x] (- old x)) [0] 10) v")
+      == Vector(-9L, 2L))
+    // dict hop by key
+    assert(atom("(set d (dict [a b] (list 1 2))) (modify 'd + ['b] 5) " +
+      "(at d 'b)") == 7L)
+    // out-of-range path errors
+    intercept[Exception](sv("(set v [1 2]) (modify 'v + [9] 1)"))
+  }
+
+  test("meta-eval: parse/eval/load run constructed code in the current " +
+      "env (core/io.c:1031-1090)") {
+    // eval of a string, in the CURRENT environment
+    assert(atom("(set x 5) (eval \"(+ x 2)\")") == 7L)
+    // eval round-trips through parse
+    assert(atom("(eval (parse \"(* 6 7)\"))") == 42L)
+    // side effects land in the calling environment (ray_eval_str)
+    assert(atom("(eval \"(set y 11)\") y") == 11L)
+    // eval of a non-code value is the value (reference eval_obj)
+    assert(atom("(eval 9)") == 9L)
+    assert(vecOf("(eval [1 2])") == Vector(1L, 2L))
+    // multi-form strings evaluate in order, last value wins
+    assert(atom("(eval \"(set a 1) (set a (+ a 1)) a\")") == 2L)
+    // load: run a script file
+    val f = java.nio.file.Files.createTempFile("graft_load", ".rfl")
+    java.nio.file.Files.writeString(f, "(set loaded 123) (* loaded 2)")
+    assert(atom(s"""(load "$f")""") == 246L)
+    assert(atom(s"""(load "$f") loaded""") == 123L)
+    // trailing-"/" load binds a stored object under the file name
+    val dir = java.nio.file.Files.createTempDirectory("graft_loadtab")
+    assert(atom(
+      s"""(set t (table [k v] (list [1 2] [10 20])))
+         (set "$dir/tt" t)
+         (load "$dir/tt/")
+         (sum (at tt 'v))""".replace("\n", " ")) == 30L)
+  }
+
+  test("(type x) follows the reference typename table " +
+      "(core/misc.c:32, core/env.c:272-326)") {
+    assert(atom("(type 1)") == "i64")
+    assert(atom("(type 1.5)") == "f64")
+    assert(atom("(type true)") == "b8")
+    assert(atom("(type null)") == "NULL")
+    assert(atom("(type \"abc\")") == "C8") // a string IS a C8 vector
+    assert(atom("(type 2024.01.01)") == "date")
+    assert(atom("(type [1 2 3])") == "I64")
+    assert(atom("(type [1.5])") == "F64")
+    assert(atom("(type [a b])") == "SYMBOL")
+    assert(atom("(type [2024.01.01 2024.01.02])") == "DATE")
+    assert(atom("(type (table [a] (list [1])))") == "TABLE")
+    assert(atom("(type (dict [a] (list 1)))") == "DICT")
+    assert(atom("(type (fn [x] x))") == "LAMBDA")
+    assert(atom("(type (parse \"(+ 1 2)\"))") == "LIST")
+    assert(atom("(type (til 100000))") == "I64") // lazy vectors type too
+  }
+
   test("timestamp literal fraction beyond ns precision is rejected") {
     // 9 digits = ns, fine; 10 digits would silently lose precision
     assert(atom("2025.03.04D15:41:47.087221025") != null)

@@ -73,6 +73,52 @@ class ValueStoreSpec extends SparkSpec {
       Seq(10L, 20L, 30L))
   }
 
+  test("script write-csv writes ONE file that read-csv round-trips " +
+      "(core/io.c:946)") {
+    val p = tmp("wcsv") + ".csv"
+    val df = Rayfall.script(spark,
+      s"""(set t (table [id sym price d] (list [3 1 2] [a b c]
+         | [1.5 2.5 3.5] [2024.01.02 2024.01.03 2024.01.04])))
+         |(write-csv "$p" t)
+         |(read-csv [I64 SYMBOL F64 DATE] "$p")""".stripMargin
+        .replace("\n", " "))
+    assert(new java.io.File(p).isFile) // one file at the exact path
+    val rows = df.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(rows.map(_.getString(1)).toSeq == Seq("b", "c", "a"))
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(2.5, 3.5, 1.5))
+    assert(rows.map(_.get(3).toString).toSeq ==
+      Seq("2024-01-03", "2024-01-04", "2024-01-02"))
+  }
+
+  test("script set-parted writes the bare-date layout get-parted reads " +
+      "(one partitionBy job)") {
+    val root = tmp("parted")
+    val df = Rayfall.script(spark,
+      s"""(set t (table [date k v] (list
+         | [2024.01.01 2024.01.01 2024.01.02 2024.01.03]
+         | [1 2 3 4] [10 20 30 40])))
+         |(set-parted "$root" 'trades t)
+         |(get-parted "$root" 'trades)""".stripMargin.replace("\n", " "))
+    // the reference layout: root/yyyy.mm.dd/<tab>, date virtualized back
+    for (d <- Seq("2024.01.01", "2024.01.02", "2024.01.03"))
+      assert(new java.io.File(s"$root/$d/trades").isDirectory, d)
+    assert(!new java.io.File(s"$root/.staging-trades").exists)
+    val rows = df.orderBy("k").collect()
+    val (vi, di) = (df.columns.indexOf("v"), df.columns.indexOf("date"))
+    assert(rows.map(_.getLong(vi)).toSeq == Seq(10L, 20L, 30L, 40L))
+    assert(rows.map(_.get(di).toString).toSeq ==
+      Seq("2024-01-01", "2024-01-01", "2024-01-02", "2024-01-03"))
+    // overwriting one partition replaces it, leaves the others
+    val df2 = Rayfall.script(spark,
+      s"""(set t2 (table [date k v] (list [2024.01.02] [9] [99])))
+         |(set-parted "$root" 'trades t2)
+         |(get-parted "$root" 'trades)""".stripMargin.replace("\n", " "))
+    val rows2 = df2.orderBy("k").collect()
+    assert(rows2.map(r => r.getLong(df2.columns.indexOf("v"))).toSeq ==
+      Seq(10L, 20L, 40L, 99L))
+  }
+
   test("(timeit form) returns elapsed ms >= 0 and evaluates the form") {
     val got = sv("(set acc 1) (set ms (timeit (set acc (+ acc 41)))) " +
       "(list acc ms)")
