@@ -1547,6 +1547,57 @@ object Queries {
       |    ELSE o_totalprice END AS price
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- r08
+  // Script-surface scan: the Rayfall `(scan + seed v)` cumulative form
+  // (reference ray_scan, /root/reference/core/iter.c:1212) over a
+  // DETERMINISTICALLY ordered, bounded slice — scan is a driver-value
+  // operation (the reference's vectors are in-process), so the input is
+  // capped; the distributed cumulative twin is q10.
+  def r08_rayfall_scan(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").orderBy($"o_orderkey").limit(20000)
+      .select($"o_orderkey", $"o_custkey")
+    rayfall.Rayfall.script(spark,
+      "(set k (at o 'o_orderkey))" +
+        "(set c (scan + 0 (at o 'o_custkey)))" +
+        "(table [o_orderkey cum] (list k c))",
+      Map("o" -> o))
+      .orderBy($"o_orderkey")
+  }
+
+  private val r08_sql =
+    """WITH s AS (SELECT o_orderkey, o_custkey FROM orders
+      |           ORDER BY o_orderkey LIMIT 20000)
+      |SELECT o_orderkey,
+      |  CAST(SUM(o_custkey) OVER (ORDER BY o_orderkey
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |FROM s ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- r09
+  // Script-surface vector ranking: `(rank v)` (stable ascending
+  // position, core/order.c:519) and `(xrank v n)` n-tiles
+  // (core/order.c:598, bucket = rank*n div len) over part prices; the
+  // stable tie rule maps to ROW_NUMBER ordered by (value, position).
+  def r09_rayfall_rank(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part").orderBy($"p_partkey")
+      .select($"p_partkey", $"p_retailprice")
+    rayfall.Rayfall.script(spark,
+      "(set k (at p 'p_partkey))" +
+        "(set rnk (rank (at p 'p_retailprice)))" +
+        "(set tile (xrank (at p 'p_retailprice) 4))" +
+        "(table [p_partkey rnk tile] (list k rnk tile))",
+      Map("p" -> p))
+      .orderBy($"p_partkey")
+  }
+
+  private val r09_sql =
+    """WITH s AS (SELECT p_partkey, p_retailprice,
+      |    ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS pos FROM part),
+      |  r AS (SELECT p_partkey,
+      |    ROW_NUMBER() OVER (ORDER BY p_retailprice, pos) - 1 AS rnk,
+      |    COUNT(*) OVER () AS n FROM s)
+      |SELECT p_partkey, rnk, (rnk * 4) // n AS tile
+      |FROM r ORDER BY p_partkey""".stripMargin
+
   // ---------------------------------------------------------------- r07
   // Rayfall window-join: the reference's 6-ary form with interval
   // offsets and an aggregation dict (examples/wj.rfl) — purchases
@@ -1803,6 +1854,8 @@ object Queries {
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
     "r07_rayfall_window_join" -> (r07_rayfall_window_join _),
+    "r08_rayfall_scan" -> (r08_rayfall_scan _),
+    "r09_rayfall_rank" -> (r09_rayfall_rank _),
     "q45_scan_right" -> (q45_scan_right _),
     "q46_alter" -> (q46_alter _),
     "q47_map_left" -> (q47_map_left _),
@@ -1874,6 +1927,8 @@ object Queries {
     "r05_rayfall_update" -> r05_sql,
     "r06_rayfall_group_update" -> r06_sql,
     "r07_rayfall_window_join" -> r07_sql,
+    "r08_rayfall_scan" -> r08_sql,
+    "r09_rayfall_rank" -> r09_sql,
     "q45_scan_right" -> q45_sql,
     "q46_alter" -> q46_sql,
     "q47_map_left" -> q47_sql,

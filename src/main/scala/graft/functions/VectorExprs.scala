@@ -132,11 +132,67 @@ object NearestCentroid {
   }
 }
 
+/** Sign-LSH bucket id in ONE codegen pass over all hyperplanes: bit i
+  * set iff dot(v, plane_i) > 0. Replaces nBits stacked
+  * `zip_with`/`aggregate` columns (CodegenFallback — a lambda
+  * interpretation per element per bit, the round-2 lesson). Sequential
+  * per-plane accumulation keeps the sums bit-identical to the
+  * higher-order-function form, so the seeds-in-SQL oracle is unchanged. */
+case class LshBucket(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"lsh_bucket expects (array<double>, array<array<double>>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    LshBucket.bucket(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, p) => s"graft.functions.LshBucket.bucket($v, $p)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LshBucket =
+    copy(left = newLeft, right = newRight)
+}
+
+object LshBucket {
+  /** Static kernel shared by eval and codegen. */
+  def bucket(v: ArrayData, planes: ArrayData): Int = {
+    val n = planes.numElements()
+    var bkt = 0
+    var p = 0
+    while (p < n) {
+      val pv = planes.getArray(p)
+      val m = math.min(v.numElements(), pv.numElements())
+      var dot = 0.0; var i = 0
+      while (i < m) { dot += v.getDouble(i) * pv.getDouble(i); i += 1 }
+      if (dot > 0) bkt |= 1 << p
+      p += 1
+    }
+    bkt
+  }
+}
+
 object VectorExprs {
   /** Codegen'd dot product of two array<double> columns. */
   def dot(a: Column, b: Column): Column =
     ColumnInternals.column(
       DotProduct(ColumnInternals.expr(a), ColumnInternals.expr(b)))
+
+  /** Codegen'd one-pass sign-LSH bucket (see [[LshBucket]]). */
+  def lshBucket(vec: Column, planes: Column): Column =
+    ColumnInternals.column(
+      LshBucket(ColumnInternals.expr(vec), ColumnInternals.expr(planes)))
 
   /** Codegen'd argmax-cosine centroid index (see [[NearestCentroid]]). */
   def nearestCentroid(vec: Column, centroids: Column): Column =

@@ -49,13 +49,15 @@ object Similarity {
   }
 
   /** Sign-LSH bucket id: one bit per hyperplane (sign of the dot
-    * product). Vectors in the same bucket are likely neighbors. */
-  def lshBucket(vec: Column, dim: Int, nBits: Int): Column =
-    hyperplanes(dim, nBits).zipWithIndex.map { case (h, i) =>
-      val planeLit = array(h.map(lit): _*)
-      when(aggregate(zip_with(vec, planeLit, (x, y) => x * y),
-        lit(0.0), _ + _) > 0, shiftleft(lit(1), i)).otherwise(lit(0))
-    }.reduce(_ + _)
+    * product). Vectors in the same bucket are likely neighbors.
+    * One codegen pass over all planes ([[graft.functions.LshBucket]])
+    * instead of nBits stacked CodegenFallback zip_with/aggregate
+    * columns — same bits, same oracle. */
+  def lshBucket(vec: Column, dim: Int, nBits: Int): Column = {
+    val planes = array(hyperplanes(dim, nBits)
+      .map(h => array(h.map(lit): _*)): _*)
+    graft.functions.VectorExprs.lshBucket(vec, planes)
+  }
 
   /** IVF (inverted-file) index: partition vectors into cells by nearest
     * coarse centroid, search only the query's cell(s). Centroids are

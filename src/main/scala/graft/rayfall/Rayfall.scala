@@ -1082,6 +1082,60 @@ object Rayfall {
     }
   }
 
+  // --- introspection / environment (reference core/env.c:97 memstat,
+  // core/vary.c:107 gc, core/sys.c:362 system / :417 sysinfo,
+  // core/os.c:86-120 os-get/set-var)
+
+  /** os-set-var overlay: the JVM cannot mutate its own process
+    * environment, so set vars live here and os-get-var consults the
+    * overlay before the real environment. */
+  private val envOverlay =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def sysMemstat(): RVal = {
+    val rt = Runtime.getRuntime
+    VDict(Vector("msys", "heap", "free", "syms"),
+      Vector(rt.maxMemory(), rt.totalMemory(), rt.freeMemory(),
+        0L)) // no interned-symbol table in this engine
+  }
+
+  private def sysGc(): RVal = {
+    val rt = Runtime.getRuntime
+    val before = rt.totalMemory() - rt.freeMemory()
+    System.gc()
+    val after = rt.totalMemory() - rt.freeMemory()
+    VAtom(java.lang.Long.valueOf(math.max(0L, before - after)))
+  }
+
+  private def sysInfo(spark: SparkSession): RVal =
+    VDict(
+      Vector("version", "build", "hash", "cpu", "os", "cwd", "mem",
+        "cores", "threads"),
+      Vector(
+        spark.version, "graft", "",
+        System.getProperty("os.arch", ""),
+        System.getProperty("os.name", ""),
+        System.getProperty("user.dir", ""),
+        Runtime.getRuntime.maxMemory(),
+        Runtime.getRuntime.availableProcessors().toLong,
+        Thread.activeCount().toLong))
+
+  /** Run a shell command, stderr merged (the reference pipes through
+    * `popen(cmd + " 2>&1")`): one output line comes back as a string
+    * atom, several as a string vector, none as the empty string. */
+  private def sysCommand(cmd: String): RVal = {
+    val pb = new ProcessBuilder("sh", "-c", cmd).redirectErrorStream(true)
+    val proc = pb.start()
+    val lines = scala.io.Source.fromInputStream(proc.getInputStream)
+      .getLines().toVector
+    proc.waitFor()
+    lines match {
+      case Vector() => VAtom("")
+      case Vector(one) => VAtom(one)
+      case many => VVec(many.map(s => s: Any))
+    }
+  }
+
   private def evalScript(spark: SparkSession, e: RExpr,
                          env: scala.collection.mutable.Map[String, RVal],
                          hook: DataFrame => Unit,
@@ -1181,6 +1235,35 @@ object Rayfall {
       // (type x) — the reference typename table; see [[typeNameOf]]
       case RList(RSym("type") :: x :: Nil) =>
         VAtom(typeNameOf(ev(x)))
+
+      // introspection / environment (core/env.c:97, core/vary.c:107,
+      // core/sys.c:362,417, core/os.c:86-120)
+      case RList(RSym("memstat") :: Nil) => sysMemstat()
+      case RList(RSym("gc") :: Nil) => sysGc()
+      case RList(RSym("sysinfo") :: Nil) => sysInfo(spark)
+      case RList(RSym("system") :: c :: Nil) =>
+        ev(c) match {
+          case VAtom(cmd: String) => sysCommand(cmd)
+          case x => throw new IllegalArgumentException(
+            s"system needs a command string, got $x")
+        }
+      case RList(RSym("os-get-var") :: v :: Nil) =>
+        ev(v) match {
+          case VAtom(name: String) =>
+            val x = Option(envOverlay.get(name))
+              .orElse(Option(System.getenv(name)))
+            VAtom(x.getOrElse(throw new IllegalArgumentException(
+              s"os-get-var: $name is unset")))
+          case x => throw new IllegalArgumentException(
+            s"os-get-var needs a name, got $x")
+        }
+      case RList(RSym("os-set-var") :: k :: v :: Nil) =>
+        (ev(k), ev(v)) match {
+          case (VAtom(name: String), VAtom(value: String)) =>
+            envOverlay.put(name, value); VAtom(null)
+          case (a, b) => throw new IllegalArgumentException(
+            s"os-set-var needs (name, value) strings, got ($a, $b)")
+        }
 
       // display forms render into the capture sink (the docs pin script
       // output as tests); args evaluate for their side effects either way

@@ -695,6 +695,30 @@ class LangSpec extends SparkSpec {
     assert(atom("(type (til 100000))") == "I64") // lazy vectors type too
   }
 
+  test("introspection/env: memstat/gc/sysinfo/system/os-*-var " +
+      "(core/env.c:97, core/sys.c:362,417, core/os.c:86-120)") {
+    sv("(memstat)") match {
+      case Rayfall.VDict(ks, vs) =>
+        assert(ks == Vector("msys", "heap", "free", "syms"))
+        assert(vs.take(3).forall(_.asInstanceOf[Long] >= 0L))
+      case x => fail(s"bad memstat $x")
+    }
+    assert(atom("(gc)").asInstanceOf[Long] >= 0L)
+    sv("(sysinfo)") match {
+      case Rayfall.VDict(ks, vs) =>
+        assert(ks.contains("os") && ks.contains("cores"))
+        assert(vs(ks.indexOf("cores")).asInstanceOf[Long] >= 1L)
+      case x => fail(s"bad sysinfo $x")
+    }
+    // one line → string atom; several → string vector (popen rule)
+    assert(atom("(system \"echo hi\")") == "hi")
+    assert(vecOf("(system \"printf 'a\\nb\\n'\")") == Vector("a", "b"))
+    // set/get env overlay (a JVM cannot mutate its real environment)
+    assert(atom("(os-set-var \"GRAFT_T\" \"42\") (os-get-var \"GRAFT_T\")")
+      == "42")
+    intercept[Exception](sv("(os-get-var \"GRAFT_UNSET_VAR_X\")"))
+  }
+
   test("timestamp literal fraction beyond ns precision is rejected") {
     // 9 digits = ns, fine; 10 digits would silently lose precision
     assert(atom("2025.03.04D15:41:47.087221025") != null)

@@ -60,6 +60,26 @@ class PipelineSpec extends SparkSpec {
     assert(native.toSeq == sql.toSeq)
   }
 
+  test("native LshBucket equals the stacked higher-order form, bit by bit") {
+    val dim = 8; val nBits = 8
+    val rnd = new scala.util.Random(3)
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Seq.fill(dim)(rnd.nextGaussian()))).toDF("id", "v")
+    val native = vecs
+      .select(operators.Similarity.lshBucket($"v", dim, nBits).as("b"))
+      .collect().map(_.getInt(0))
+    // the pre-round-5 form: one zip_with/aggregate column per bit
+    val sql = vecs.select(
+      operators.Similarity.hyperplanes(dim, nBits).zipWithIndex.map {
+        case (h, i) =>
+          val planeLit = array(h.map(lit): _*)
+          when(aggregate(zip_with($"v", planeLit, (x, y) => x * y),
+            lit(0.0), _ + _) > 0, shiftleft(lit(1), i)).otherwise(lit(0))
+      }.reduce(_ + _).as("b"))
+      .collect().map(_.getInt(0))
+    assert(native.toSeq == sql.toSeq)
+  }
+
   test("jaccard is exact on token sets") {
     val j = docs.filter($"doc_id" === 0).crossJoin(
       docs.filter($"doc_id" === 1).select($"text".as("t2")))
