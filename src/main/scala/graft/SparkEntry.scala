@@ -691,6 +691,40 @@ object Queries {
        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- d08
+  // Multi-permutation SimHash near-dup: 3 rotations of the signature
+  // each block on their top 8 bits, candidates UNION — recovers pairs a
+  // single blocking table misses when they differ in the top bits.
+  // Fully DuckDB-oracled (rotation arithmetic mirrored in SQL).
+  def d08_simhash_multiperm(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupMulti(t(spark, dir, "documents"), "doc_id", "text",
+      maxHamming = 3, blockBits = 8, rotations = Seq(0, 5, 11))
+      .orderBy($"id_a", $"id_b")
+
+  private val d08_sql = {
+    val rots = Seq(0, 5, 11)
+    def blk(c: String, r: Int) =
+      s"(($c * ${1L << r}) % 65536 + $c // ${1L << (16 - r)}) // 256"
+    val joins = rots.zipWithIndex.map { case (r, i) =>
+      // first-match rule mirrors the Spark operator: a pair reports
+      // under its first rotation whose blocks collide → disjoint
+      // branches, UNION ALL
+      val earlier = rots.take(i)
+        .map(pr => s"${blk("a.sh", pr)} <> ${blk("b.sh", pr)}")
+        .map(c => s"\n  AND $c").mkString
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |FROM sh a JOIN sh b
+         |  ON ${blk("a.sh", r)} = ${blk("b.sh", r)}
+         |  AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3$earlier""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (SELECT doc_id, ${graft.functions.Text.duck.simhash16Sql("text")} AS sh
+       |  FROM documents)
+       |  $joins
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ================================================================
   // Storage, streaming, temporal, casts, generation (SURVEY §2.1/§2.8/
   // §2.10).
@@ -1814,6 +1848,7 @@ object Queries {
     "d05_embed_neardup" -> (d05_embed_neardup _),
     "d06_lsh_candidates" -> (d06_lsh_candidates _),
     "d07_simhash_neardup" -> (d07_simhash_neardup _),
+    "d08_simhash_multiperm" -> (d08_simhash_multiperm _),
     "s01_cosine_topk" -> (s01_cosine_topk _),
     "s02_ann_lsh" -> (s02_ann_lsh _),
     "q19_parted" -> (q19_parted _),
@@ -1937,6 +1972,7 @@ object Queries {
     "q50_time_millis" -> q50_sql,
     "d06_lsh_candidates" -> d06_sql,
     "d07_simhash_neardup" -> d07_sql,
+    "d08_simhash_multiperm" -> d08_sql,
     "m02_media_decode" -> m02_sql,
     "m03_frame_sample" -> m03_sql,
     "s02_ann_lsh" -> s02_sql,

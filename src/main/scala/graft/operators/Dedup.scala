@@ -120,6 +120,44 @@ object Dedup {
         bit_count($"sh_a".bitwiseXOR($"sh_b")).as("hamming"))
   }
 
+  /** Multi-permutation SimHash near-dup: each rotation of the 16-bit
+    * signature gets its own blocking table (block key = the rotation's
+    * top bits), candidates union across tables. A single blocking table
+    * misses pairs that differ anywhere in the top `16 - blockBits` bits
+    * even at hamming 1; rotations give every bit a turn inside the
+    * block key — the standard production multi-table scheme. Still
+    * bucket-local at scale: one shuffle per rotation (small constant),
+    * never all-pairs. */
+  def simhashNearDupMulti(df: DataFrame, idCol: String, textCol: String,
+                          maxHamming: Int = 3, blockBits: Int = 8,
+                          rotations: Seq[Int] = Seq(0, 5, 11)): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      graft.functions.SimHashExpr.simhash16(col(textCol)).as("sh"))
+      .localCheckpoint()
+    // 16-bit rotate-left by r, then keep the top bits as the block key:
+    // ((sh << r) | (sh >> (16-r))) & 0xFFFF == (sh*2^r) % 65536 + sh div 2^(16-r)
+    def blkOf(c: String, r: Int) = expr(
+      s"CAST((($c * ${1L << r}L) % 65536L + $c div ${1L << (16 - r)}L) " +
+        s"div ${1L << blockBits}L AS BIGINT)")
+    rotations.zipWithIndex.map { case (r, i) =>
+      val blocked = sh.withColumn("blk", blkOf("sh", r))
+      val a = blocked.select($"blk", $"id".as("id_a"), $"sh".as("sh_a"))
+      val b = blocked.select($"blk", $"id".as("id_b"), $"sh".as("sh_b"))
+      // a pair belongs to its FIRST matching rotation: later rotations
+      // drop pairs an earlier table already emitted (cheap per-row
+      // predicates), so the branches are DISJOINT and the union needs
+      // no multi-million-row DISTINCT shuffle
+      val firstMatch = rotations.take(i)
+        .map(pr => blkOf("sh_a", pr) =!= blkOf("sh_b", pr))
+        .foldLeft(lit(true))(_ && _)
+      a.join(b, Seq("blk"))
+        .filter($"id_a" < $"id_b" &&
+          bit_count($"sh_a".bitwiseXOR($"sh_b")) <= maxHamming && firstMatch)
+        .select($"id_a", $"id_b",
+          bit_count($"sh_a".bitwiseXOR($"sh_b")).as("hamming"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Embedding near-dup: cosine similarity over pairs blocked by a
     * coarse key (e.g. a cluster/label id — the IVF idea: only compare
     * within a cell). */

@@ -90,6 +90,22 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(j - 7.0 / 9.0) < 1e-12)
   }
 
+  test("multi-permutation simhash is a superset of single-table blocking") {
+    // rotation 0 IS the single-table scheme, so every d07-style pair
+    // must reappear; the extra rotations may only ADD pairs (recall)
+    val single = operators.Dedup.simhashNearDup(docs, "doc_id", "text",
+      maxHamming = 3, blockBits = 8)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val multi = operators.Dedup.simhashNearDupMulti(docs, "doc_id", "text",
+      maxHamming = 3, blockBits = 8, rotations = Seq(0, 5, 11))
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(single.subsetOf(multi))
+    // and every reported pair is a true near-dup at the hamming cap
+    val overCap = operators.Dedup.simhashNearDupMulti(docs, "doc_id", "text",
+      maxHamming = 3, blockBits = 8).filter($"hamming" > 3).count()
+    assert(overCap == 0L)
+  }
+
   test("simhash: near-dup texts within small hamming distance") {
     val pairs = Dedup.simhashNearDup(docs, "doc_id", "text",
       maxHamming = 4, blockBits = 16) // blockBits=16 -> single block
