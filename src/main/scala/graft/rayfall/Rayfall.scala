@@ -469,6 +469,17 @@ object Rayfall {
             java.lang.Long.valueOf(d.toLong)
           case ("boolean", l: java.lang.Long) =>
             java.lang.Boolean.valueOf(l != 0L)
+          // b8 <- f64 / String: nonzero / nonempty → true
+          // (tests/lang.c:4600-4623)
+          case ("boolean", d: java.lang.Double) =>
+            java.lang.Boolean.valueOf(d != 0.0)
+          case ("boolean", s: String) =>
+            java.lang.Boolean.valueOf(s.nonEmpty)
+          // numeric <- b8: false/true → 0/1 (tests/lang.c:4632-4668)
+          case ("bigint" | "int" | "smallint" | "tinyint", b: java.lang.Boolean) =>
+            java.lang.Long.valueOf(if (b) 1L else 0L)
+          case ("double", b: java.lang.Boolean) =>
+            java.lang.Double.valueOf(if (b) 1.0 else 0.0)
           case (_, v) => v
         }
         v match {
@@ -2609,6 +2620,13 @@ object Rayfall {
         case "==" | "=" => java.lang.Boolean.valueOf(i == j)
         case "!=" => java.lang.Boolean.valueOf(i != j)
       }
+      // `/` is floor division whose result TYPE follows the DIVIDEND
+      // (tests/lang.c:441: (/ -5 0.60) = -9 i64; :732: (/ 3.00 -2) =
+      // -2.00 f64): an integer dividend stays i64 even under a double
+      // divisor
+      case (i: java.lang.Long, d: java.lang.Double) if op == "/" =>
+        if (d == 0.0 || d.isNaN) null
+        else java.lang.Long.valueOf(math.floor(i.toDouble / d).toLong)
       case _ =>
         val (d1, d2) = (toD(x), toD(y))
         op match {

@@ -76,12 +76,27 @@ class LangSpec extends SparkSpec {
       Vector(ms(20, 16, 7), ms(15, 42, 47, 87)))
   }
 
-  test("Euclidean division and div-by-zero null (lang.c:426-437, 1742-1748, 5249)") {
+  test("floor division/mod and div-by-zero null " +
+      "(lang.c:426-560, 732-760, 1742-1748, 5249)") {
     assert(atom("(/ -5 -2)") == 2L)
     assert(atom("(/ -5 6)") == -1L)
     assert(atom("(/ 1 0)") == null)
     assert(atom("(% 10 0)") == null)
     assert(atom("(% 11 5)") == 1L)
+    // `/` is FLOOR (toward -inf), not Euclidean — they differ on
+    // negative divisors (lang.c:444: (/ -2 -5) = 0, Euclidean would be 1)
+    assert(atom("(/ -2 -5)") == 0L)
+    assert(atom("(/ 7 -3)") == -3L)
+    assert(atom("(% 7 -3)") == -2L) // floor-mod takes the divisor's sign
+    // result type follows the DIVIDEND (lang.c:441,732): int dividend
+    // stays i64 under a double divisor; double dividend stays f64 floored
+    assert(atom("(/ -5 0.60)") == -9L)
+    assert(atom("(/ -2 -0.60)") == 3L)
+    assert(atom("(/ 3.00 -2)") == -2.0)
+    assert(atom("(/ 3.00 6)") == 0.0)
+    assert(atom("(/ 3.00 0)") == null)
+    assert(vecOf("(/ [-5] -2)") == Vector(2L))
+    assert(vecOf("(/ [-5 -2] 0.60)") == Vector(-9L, -4L))
   }
 
   test("take: cyclic, negative, strings (lang.c:2629-2799)") {
@@ -404,13 +419,30 @@ class LangSpec extends SparkSpec {
       Vector(true, false, false))
   }
 
-  test("casts (lang.c:4590-4620, 44-47)") {
+  test("casts (lang.c:4590-4760, 44-47)") {
     assert(atom("(as 'b8 1h)") == true)
     assert(atom("(as 'b8 0h)") == false)
     assert(atom("(as 'i64 \" 42\")") == 42L)
     assert(atom("(as 'f64 2)") == 2.0)
     assert(atom("(as 'symbol 12)") == "12")
     assert(vecOf("(as 'f64 [1 2])") == Vector(1.0, 2.0))
+    // float → int TRUNCATES toward zero (lang.c:4670,4706: 100.9→100,
+    // -100.9→-100 — not floor, not round)
+    assert(atom("(as 'i64 100.9)") == 100L)
+    assert(atom("(as 'i64 -100.9)") == -100L)
+    assert(vecOf("(as 'I64 [0.0 100.9 -100.9])") ==
+      Vector(0L, 100L, -100L))
+    // b8 from doubles/strings: nonzero / nonempty → true (lang.c:4600-4623)
+    assert(atom("(as 'b8 -1.5)") == true)
+    assert(atom("(as 'b8 0.0)") == false)
+    assert(atom("(as 'b8 \"hello\")") == true)
+    assert(vecOf("(as 'B8 [0 1 -1])") == Vector(false, true, true))
+    assert(vecOf("(as 'B8 [0.0 1.0 -1.5])") == Vector(false, true, true))
+    // numbers from booleans (lang.c:4632-4668)
+    assert(atom("(as 'i64 true)") == 1L)
+    assert(atom("(as 'i64 false)") == 0L)
+    assert(atom("(as 'f64 true)") == 1.0)
+    assert(vecOf("(as 'I64 [false true])") == Vector(0L, 1L))
   }
 
   test("lambdas: immediate, stored, recursion (lang.c:4995-5025)") {
