@@ -117,6 +117,61 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("window-join jtype 0/1 match the reference index model on random data") {
+    // independent oracle: the reference's aggregation kernel verbatim
+    // (core/aggr.c:39-68,133-158) — li = indexr_bin(lo) (jtype 0) or
+    // indexl_bin(lo) (jtype 1), ri = indexr_bin(hi), aggregate li..ri,
+    // null per the kernel's guard conditions
+    def model(rts: Vector[Long], rvs: Vector[Long], lo: Long, hi: Long,
+              jtype: Int): Option[(Long, Long)] = { // (count, min)
+      if (rts.isEmpty) return None
+      def indexrBin(v: Long) = { // last idx with ts <= v, else 0
+        val i = rts.lastIndexWhere(_ <= v); if (i < 0) 0 else i }
+      def indexlBin(v: Long) = { // first idx with ts >= v, else 0
+        val i = rts.indexWhere(_ >= v); if (i < 0) 0 else i }
+      val li = if (jtype == 0) indexrBin(lo) else indexlBin(lo)
+      val ri = indexrBin(hi)
+      if (rts(li) > hi || (jtype == 1 && rts(ri) < lo)) None
+      else {
+        val in = (li to ri).map(rvs)
+        Some((in.size.toLong, in.min))
+      }
+    }
+    val gen = Gen.zip(
+      Gen.listOfN(40, Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0L, 400L))),
+      Gen.listOfN(60, Gen.zip(Gen.oneOf("a", "b"), Gen.chooseNum(0L, 400L),
+        Gen.chooseNum(0L, 99L))))
+    forAll(gen) { case (ls, rs0) =>
+      // distinct right ts per key: at equal ts the kernel and the model
+      // may pick different physical duplicates as the prevailing row
+      val rs = rs0.distinctBy(x => (x._1, x._2))
+      whenever(ls.nonEmpty && rs.nonEmpty) {
+        val l = ls.zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+          .toDF("id", "k", "ts")
+        val r = rs.toDF("k", "ts", "v")
+        val byKey = rs.groupBy(_._1).map { case (k, xs) =>
+          val sorted = xs.sortBy(_._2)
+          k -> (sorted.map(_._2).toVector, sorted.map(_._3).toVector)
+        }
+        for (jt <- Seq(0, 1)) {
+          val got = operators.WindowJoin.windowJoinSliding(l, r, Seq("k"),
+            "ts", -25L, 25L,
+            Seq(operators.WindowJoin.Agg("count", "v", "n"),
+              operators.WindowJoin.Agg("min", "v", "mn")), jtype = jt)
+            .collect().map(x => (x.getLong(0), (x.getString(1), x.getLong(2)),
+              if (x.isNullAt(3)) None else Some((x.getLong(3), x.getLong(4)))))
+          got.foreach { case (_, (k, ts), res) =>
+            val (rts, rvs) =
+              byKey.getOrElse(k, (Vector.empty[Long], Vector.empty[Long]))
+            val want = model(rts, rvs, ts - 25L, ts + 25L, jt)
+            assert(res == want, s"jt=$jt k=$k ts=$ts got=$res want=$want " +
+              s"rts=$rts")
+          }
+        }
+      }
+    }
+  }
+
   test("upsert: output keys = target keys ∪ source keys, each exactly once") {
     val gen = Gen.zip(
       Gen.listOfN(10, Gen.chooseNum(0L, 15L)),
