@@ -1632,6 +1632,38 @@ object Queries {
       |SELECT p_partkey, rnk, (rnk * 4) // n AS tile
       |FROM r ORDER BY p_partkey""".stripMargin
 
+  // ---------------------------------------------------------------- r10
+  // Script storage closure, oracled end to end: set-parted writes the
+  // bare-date parted layout (ONE partitionBy job + renames), get-parted
+  // reads it back with the virtual date column, and the aggregate must
+  // match DuckDB reading the ORIGINAL parquet. One month keeps the
+  // partition count (and the driver-side renames) bounded.
+  def r10_rayfall_parted(spark: SparkSession, dir: String): DataFrame = {
+    // o_orderdate is TIMESTAMP in this testdata — partition on its DATE
+    val slice = t(spark, dir, "orders")
+      .filter($"o_orderdate" >= "1995-03-01" && $"o_orderdate" < "1995-04-01")
+      .select($"o_orderdate".cast("date").as("date"),
+        $"o_orderkey", $"o_totalprice")
+    val root = s"/tmp/graft_rfl_parted/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    rayfall.Rayfall.script(spark,
+      s"""(set-parted "$root" 'orders t)
+         |(set p (get-parted "$root" 'orders))
+         |(select {n: (count o_orderkey) total: (sum o_totalprice)
+         |         from: p by: date})""".stripMargin.replace("\n", " "),
+      Map("t" -> slice))
+      .select($"date", $"n",
+        round($"total", 4).as("total"))
+      .orderBy($"date")
+  }
+
+  private val r10_sql =
+    """SELECT CAST(o_orderdate AS DATE) AS date, COUNT(o_orderkey) AS n,
+      |  ROUND(SUM(o_totalprice), 4) AS total
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1995-03-01'
+      |  AND o_orderdate < DATE '1995-04-01'
+      |GROUP BY 1 ORDER BY date""".stripMargin
+
   // ---------------------------------------------------------------- r07
   // Rayfall window-join: the reference's 6-ary form with interval
   // offsets and an aggregation dict (examples/wj.rfl) — purchases
@@ -1891,6 +1923,7 @@ object Queries {
     "r07_rayfall_window_join" -> (r07_rayfall_window_join _),
     "r08_rayfall_scan" -> (r08_rayfall_scan _),
     "r09_rayfall_rank" -> (r09_rayfall_rank _),
+    "r10_rayfall_parted" -> (r10_rayfall_parted _),
     "q45_scan_right" -> (q45_scan_right _),
     "q46_alter" -> (q46_alter _),
     "q47_map_left" -> (q47_map_left _),
@@ -1964,6 +1997,7 @@ object Queries {
     "r07_rayfall_window_join" -> r07_sql,
     "r08_rayfall_scan" -> r08_sql,
     "r09_rayfall_rank" -> r09_sql,
+    "r10_rayfall_parted" -> r10_sql,
     "q45_scan_right" -> q45_sql,
     "q46_alter" -> q46_sql,
     "q47_map_left" -> q47_sql,
