@@ -1958,12 +1958,15 @@ object Rayfall {
             java.nio.file.Files.isDirectory(d.resolve(tab)))
           .toVector.sortBy(_.getFileName.toString)
         require(dirs.nonEmpty, s"no parted dirs under $root")
-        val parts = dirs.map { d =>
-          val ds = d.getFileName.toString.replace('.', '-')
-          graft.sources.Store.getSplayed(spark, d.resolve(tab).toString)
-            .withColumn("date", to_date(lit(ds)))
-        }
-        val df = parts.reduce(_.unionByName(_))
+        // ONE multi-path scan relation, date derived from the file
+        // path — an N-way unionByName of per-dir reads would give a
+        // thousand-leaf plan on a real parted DB (one dir per date).
+        // Driver-side listing stays bounded by the PARTITION count.
+        val df = spark.read
+          .parquet(dirs.map(_.resolve(tab).toString): _*)
+          .withColumn("date", to_date(
+            regexp_extract(input_file_name(),
+              "/(\\d{4}\\.\\d{2}\\.\\d{2})/", 1), "yyyy.MM.dd"))
         hook(df); VTab(df)
 
       // in-place quoted forms (reference docs): the result replaces the
