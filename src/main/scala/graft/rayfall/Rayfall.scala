@@ -1819,6 +1819,36 @@ object Rayfall {
       // repo's TIMESTAMP convention)
       case RList(RSym("timestamp") :: _) =>
         VAtom(java.lang.Long.valueOf(System.currentTimeMillis() * 1000000L))
+      // (date 'utc) / (time 'utc) — current clock date / millis since
+      // midnight (reference core/date.c:138, core/time.c:126; the tz
+      // symbol picks the zone, UTC default)
+      case RList(RSym("date") :: Nil) | RList(RSym("date") :: RQuote(_) :: Nil) =>
+        VAtom(java.time.LocalDate.now(java.time.ZoneOffset.UTC))
+      case RList(RSym("time") :: Nil) | RList(RSym("time") :: RQuote(_) :: Nil) =>
+        VAtom(java.lang.Long.valueOf(
+          java.time.LocalTime.now(java.time.ZoneOffset.UTC).toNanoOfDay
+            / 1000000L))
+      // (return x) — in recursive eval return is just its value
+      // (reference core/eval.c:899-907)
+      case RList(RSym("return") :: rest) =>
+        rest.headOption.map(ev).getOrElse(VAtom(null))
+      // (rc x) — refcount introspection; JVM objects aren't refcounted,
+      // report 1 (reference core/misc.c:85)
+      case RList(RSym("rc") :: x :: Nil) => ev(x); VAtom(1L)
+      // (env) — bound names; (internals) — runtime constants
+      // (reference core/env.c:91, env.c:330)
+      case RList(RSym("env") :: Nil) =>
+        VVec(env.keys.toVector.sorted.map(s => s: Any))
+      case RList(RSym("internals") :: Nil) =>
+        VDict(Vector("pid"), Vector(ProcessHandle.current().pid()))
+      // (diverse x) — typed vector → LIST of its elements; this value
+      // model's vectors are already element-wise, so content-identity
+      // (reference core/compose.c:1082, the inverse of unify)
+      case RList(RSym("diverse") :: x :: Nil) => ev(x) match {
+        case v: VVec => v
+        case VAtom(x0) => VVec(Vector(x0))
+        case other => other
+      }
 
       // storage forms (reference set-splayed/get-splayed/get-parted,
       // core/io.c:1194, core/vary.c:176; examples/parted.rfl). The third

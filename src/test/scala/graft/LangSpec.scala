@@ -751,6 +751,33 @@ class LangSpec extends SparkSpec {
     intercept[Exception](sv("(os-get-var \"GRAFT_UNSET_VAR_X\")"))
   }
 
+  test("registry closure: date/time clocks, return, rc, env, internals, " +
+      "diverse (core/date.c:138, core/time.c:126, core/eval.c:899)") {
+    // wall-clock forms: shape-pinned (engine nondeterminism, like rand)
+    sv("(date 'utc)") match {
+      case Rayfall.VAtom(d: java.time.LocalDate) =>
+        assert(d.getYear >= 2026)
+      case x => fail(s"bad (date) $x")
+    }
+    val t = atom("(time 'utc)").asInstanceOf[Long]
+    assert(t >= 0L && t < 86400000L) // millis since midnight
+    // return is its value in recursive eval
+    assert(atom("(return 7)") == 7L)
+    assert(atom("((fn [x] (if (< x 0) (return 0) (* x 2))) 5)") == 10L)
+    assert(atom("((fn [x] (if (< x 0) (return 0) (* x 2))) -5)") == 0L)
+    assert(atom("(rc [1 2 3])") == 1L)
+    // env lists bound names
+    val names = vecOf("(set zq 1) (set za 2) (env)")
+    assert(names.contains("zq") && names.contains("za"))
+    sv("(internals)") match {
+      case Rayfall.VDict(ks, vs) =>
+        assert(ks.contains("pid") &&
+          vs(ks.indexOf("pid")).asInstanceOf[Long] > 0L)
+      case x => fail(s"bad internals $x")
+    }
+    assert(vecOf("(diverse [1 2 3])") == Vector(1L, 2L, 3L))
+  }
+
   test("timestamp literal fraction beyond ns precision is rejected") {
     // 9 digits = ns, fine; 10 digits would silently lose precision
     assert(atom("2025.03.04D15:41:47.087221025") != null)
