@@ -1231,7 +1231,7 @@ object Queries {
     rayfall.Rayfall.query(
       """(select {o_orderkey: o_orderkey
         |         halfkey: (/ o_orderkey 2)
-        |         bucket: (xbar 1000 o_orderkey)
+        |         bucket: (xbar o_orderkey 1000)
         |         midprice: (within o_totalprice [50000.0 150000.0])
         |         urgent: (like o_orderpriority "1*")
         |         from: orders})""".stripMargin,

@@ -403,6 +403,12 @@ object Rayfall {
     case "*" => a * b
     case "/" => RF.euclidDiv(a, b)
     case "%" => RF.euclidMod(a, b)
+    // `div` is REAL division, always f64, null divisor/zero → null
+    // (tests/lang.c:2081-2430; `/` is the floor-dividing one here)
+    case "div" => when(b === 0, lit(null))
+      .otherwise(a.cast("double") / b.cast("double"))
+    // (xbar VALUE bar) floors to a multiple of the bar
+    case "xbar" => RF.xbar(b, a)
     case ">" => a > b
     case "<" => a < b
     case ">=" => a >= b
@@ -802,7 +808,8 @@ object Rayfall {
   /** Is `e` usable as the binary function slot of a fold/scan form —
     * an inline lambda, a bound lambda, or a broadcastArith operator? */
   private val arithOps =
-    Set("+", "-", "*", "/", "%", ">", "<", ">=", "<=", "==", "=", "!=")
+    Set("+", "-", "*", "/", "%", "div",
+      ">", "<", ">=", "<=", "==", "=", "!=")
   private def callable2(e: RExpr,
                         env: scala.collection.mutable.Map[String, RVal])
       : Boolean = e match {
@@ -931,6 +938,31 @@ object Rayfall {
         perm.zipWithIndex.foreach { case (p, i) => r(p) = i.toLong }
         VVec(r.toVector)
       case "reverse" => restr(xs.reverse)
+    }
+  }
+
+  /** Unary rounding family (core math unaries, tests/lang.c:2546-2561):
+    * round = half-away-from-zero, f64 stays f64, integers pass through. */
+  private def evalRoundOp(spark: SparkSession, op: String, v: RVal): RVal = {
+    def f(x: Any): Any = x match {
+      case null => null
+      case d: java.lang.Double => op match {
+        case "round" => java.lang.Double.valueOf(
+          if (d.isNaN) d.doubleValue
+          else math.signum(d) * math.floor(math.abs(d) + 0.5))
+        case "floor" => java.lang.Double.valueOf(math.floor(d))
+        case "ceil" => java.lang.Double.valueOf(math.ceil(d))
+      }
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => i
+      case x => throw new IllegalArgumentException(s"$op: non-numeric $x")
+    }
+    v match {
+      case VAtom(x) => VAtom(f(x))
+      case VVec(xs) => VVec(xs.map(f))
+      case cv: VColView => VVec(materialize(cv).map(f))
+      case r: VRange => r // integral lazy ranges are already whole
+      case x => throw new IllegalArgumentException(s"$op: cannot apply to $x")
     }
   }
 
@@ -1743,12 +1775,19 @@ object Rayfall {
         hook(df)
         VTab(df)
 
-      case RList(RSym(op @ ("+" | "-" | "*" | "/" | "%" |
+      case RList(RSym(op @ ("+" | "-" | "*" | "/" | "%" | "div" | "xbar" |
           ">" | "<" | ">=" | "<=" | "==" | "=" | "!=")) :: a :: b :: Nil)
           if !isTableForm(a, env) && !isTableForm(b, env) &&
             (vecValued(a, env) || vecValued(b, env) ||
               (!refsColumns(a, env) && !refsColumns(b, env))) =>
         broadcastArith(op, ev(a), ev(b))
+
+      // (round x) / (floor x) / (ceil x) — unary rounding over values:
+      // f64 → f64 (round = half-AWAY, lang.c:2546-2561), integers pass
+      // through, nulls/NaN propagate
+      case RList(RSym(op @ ("round" | "floor" | "ceil")) :: v :: Nil)
+          if !isTableForm(v, env) && !refsColumns(v, env) =>
+        evalRoundOp(spark, op, ev(v))
 
       case RList(RSym("table") :: RVec(cols) :: listForm :: Nil) =>
         val colVals = ev(listForm) match {
@@ -2646,6 +2685,14 @@ object Rayfall {
         // division by zero yields null, not an error (lang.c:5249 (/ 1 0))
         case "/" => if (j == 0L) null else java.lang.Math.floorDiv(i, j)
         case "%" => if (j == 0L) null else java.lang.Math.floorMod(i, j)
+        // div = REAL division, always f64 (lang.c:2081-2110)
+        case "div" =>
+          if (j == 0L) null
+          else java.lang.Double.valueOf(i.toDouble / j.toDouble)
+        // (xbar VALUE bar): floor to a multiple (lang.c:2411-2430)
+        case "xbar" =>
+          if (j == 0L) null
+          else java.lang.Long.valueOf(java.lang.Math.floorDiv(i, j) * j)
         case ">" => java.lang.Boolean.valueOf(i > j)
         case "<" => java.lang.Boolean.valueOf(i < j)
         case ">=" => java.lang.Boolean.valueOf(i >= j)
@@ -2668,6 +2715,8 @@ object Rayfall {
           case "*" => d1 * d2
           case "/" => if (d2 == 0.0) null else math.floor(d1 / d2)
           case "%" => if (d2 == 0.0) null else d1 - math.floor(d1 / d2) * d2
+          case "div" => if (d2 == 0.0) null else d1 / d2
+          case "xbar" => if (d2 == 0.0) null else math.floor(d1 / d2) * d2
           case ">" => java.lang.Boolean.valueOf(d1 > d2)
           case "<" => java.lang.Boolean.valueOf(d1 < d2)
           case ">=" => java.lang.Boolean.valueOf(d1 >= d2)
@@ -3027,7 +3076,9 @@ object Rayfall {
       case ("ceil", Seq(a)) => ceil(a)
       case ("floor", Seq(a)) => floor(a)
       case ("round", Seq(a)) => round(a)
-      case ("xbar", Seq(w, x)) => RF.xbar(w, x)
+      // reference order is (xbar VALUE bar): (xbar 17 5) = 15
+      // (docs operations/math.md:246, tests/lang.c:2411-2430)
+      case ("xbar", Seq(x, w)) => RF.xbar(w, x)
       case ("within", Seq(x, bounds)) => raw(1) match {
         case RVec(List(lo, hi)) => RF.within(cs.head, toColumn(lo), toColumn(hi))
         case _ => throw new IllegalArgumentException("within needs [lo hi]")

@@ -97,6 +97,15 @@ class LangSpec extends SparkSpec {
     assert(atom("(/ 3.00 0)") == null)
     assert(vecOf("(/ [-5] -2)") == Vector(2L))
     assert(vecOf("(/ [-5 -2] 0.60)") == Vector(-9L, -4L))
+    // div is REAL division, always f64, zero/null divisor → null
+    // (lang.c:2081-2110, 2400-2430)
+    assert(atom("(div 9 5)") == 1.8)
+    assert(atom("(div -9 5)") == -1.8)
+    assert(atom("(div 11.5 1.0)") == 11.5)
+    assert(atom("(div 10 0)") == null)
+    assert(atom("(div 3 0.0)") == null)
+    assert(vecOf("(div [10.0 5.0] 5)") == Vector(2.0, 1.0))
+    assert(vecOf("(div [9] [-5])") == Vector(-1.8))
   }
 
   test("take: cyclic, negative, strings (lang.c:2629-2799)") {
@@ -776,6 +785,29 @@ class LangSpec extends SparkSpec {
       case x => fail(s"bad internals $x")
     }
     assert(vecOf("(diverse [1 2 3])") == Vector(1L, 2L, 3L))
+  }
+
+  test("value xbar and unary round/floor/ceil (lang.c:2411-2430, " +
+      "2546-2561; docs math.md:246)") {
+    // (xbar VALUE bar) floors to a multiple of the bar
+    assert(atom("(xbar 17 5)") == 15L)
+    assert(vecOf("(xbar [10 11 12 13 14] 3)") ==
+      Vector(9L, 9L, 12L, 12L, 12L))
+    assert(vecOf("(xbar (- (til 10) 5) 3)") ==
+      Vector(-6L, -6L, -3L, -3L, -3L, 0L, 0L, 0L, 3L, 3L))
+    assert(vecOf("(xbar [152.30 157.80 163.20] 5)") ==
+      Vector(150.0, 155.0, 160.0))
+    assert(atom("(xbar 7 0)") == null)
+    // round is half-AWAY; floor/ceil toward -inf/+inf; ints pass through
+    assert(atom("(round -0.5)") == -1.0)
+    assert(vecOf("(round [-1.5 -1.1 0.0 1.1 1.5])") ==
+      Vector(-2.0, -1.0, 0.0, 1.0, 2.0))
+    assert(vecOf("(floor [1.1 2.5 -1.1])") == Vector(1.0, 2.0, -2.0))
+    assert(atom("(floor 1.5)") == 1.0)
+    assert(atom("(ceil 1.2)") == 2.0)
+    assert(vecOf("(ceil [1.2 -1.2])") == Vector(2.0, -1.0))
+    assert(atom("(floor -5)") == -5L)
+    assert(atom("(round null)") == null)
   }
 
   test("timestamp literal fraction beyond ns precision is rejected") {

@@ -59,7 +59,7 @@ class RayfallSpec extends SparkSpec {
   test("scalar shims: euclidean /, xbar, within, like, in") {
     val df = Seq((-7L, "apple"), (9L, "brass")).toDF("x", "s")
     val r = Rayfall.query(
-      "(select {d: (/ x 2) b: (xbar 4 x) w: (within x [0 10]) " +
+      "(select {d: (/ x 2) b: (xbar x 4) w: (within x [0 10]) " +
         "l: (like s \"app*\") m: (in x [9 11]) from: t})",
       Map("t" -> df)).collect()
     assert(r(0).getLong(0) == -4L) // floor(-7/2)
