@@ -1559,6 +1559,14 @@ object Rayfall {
         }
         if (xs.isEmpty)
           return if (agg == "sum") VAtom(0L) else VAtom(null)
+        // min/max order ANY comparable type (dates etc.,
+        // lang.c:2505,2532); sum/avg stay numeric
+        if ((agg == "min" || agg == "max") && xs.exists(x =>
+            !x.isInstanceOf[java.lang.Long] &&
+              !x.isInstanceOf[java.lang.Double]))
+          return VAtom(
+            if (agg == "min") xs.reduce((a, b) => if (cmpAny(a, b) <= 0) a else b)
+            else xs.reduce((a, b) => if (cmpAny(a, b) >= 0) a else b))
         val allLong = xs.forall(_.isInstanceOf[java.lang.Long])
         if (allLong) {
           val ls = xs.map(_.asInstanceOf[java.lang.Long].longValue())

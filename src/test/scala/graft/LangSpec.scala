@@ -810,6 +810,14 @@ class LangSpec extends SparkSpec {
     assert(atom("(round null)") == null)
   }
 
+  test("min/max order dates and mixed comparables (lang.c:2493-2535)") {
+    assert(atom("(min [2024.01.02 2024.01.01])").toString == "2024-01-01")
+    assert(atom("(max [2024.01.02 2024.01.01])").toString == "2024-01-02")
+    assert(atom("(min [a c b])") == "a") // symbols order lexically
+    assert(atom("(min [10:00:01.000 09:00:00.000])") == 32400000L)
+    assert(atom("(min (take [1] 0))") == null) // (min []) = null
+  }
+
   test("timestamp literal fraction beyond ns precision is rejected") {
     // 9 digits = ns, fine; 10 digits would silently lose precision
     assert(atom("2025.03.04D15:41:47.087221025") != null)
