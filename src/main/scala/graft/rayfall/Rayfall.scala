@@ -251,8 +251,25 @@ object Rayfall {
           return RDate(java.time.LocalDate.of(y.toInt, m.toInt, d.toInt))
         case _ => ()
       }
+      // scientific notation 1.23e-02 / 5E3 → f64 (reference float
+      // literals, tests/lang.c:50-53)
+      if (!eof && (s(pos) == 'e' || s(pos) == 'E')) {
+        val mark = pos
+        pos += 1
+        if (!eof && (s(pos) == '+' || s(pos) == '-')) pos += 1
+        if (!eof && s(pos).isDigit) {
+          while (!eof && s(pos).isDigit) pos += 1
+          return RNum(s.substring(start, pos).toDouble, isInt = false)
+        }
+        pos = mark
+      }
       if (text.contains('.')) RNum(text.toDouble, isInt = false)
-      else RNum(0.0, isInt = true, l = text.toLong)
+      else try RNum(0.0, isInt = true, l = text.toLong)
+      catch {
+        // i64 overflow falls back to f64, like the reference's parser
+        // (tests/lang.c:54: -1000123…555 → -1.000124e+30)
+        case _: NumberFormatException => RNum(text.toDouble, isInt = false)
+      }
     }
   }
 

@@ -52,6 +52,18 @@ class LangSpec extends SparkSpec {
       .asInstanceOf[Double] > 9.99)
     assert(vecOf("(enlist 1 2 3)") == Vector(1L, 2L, 3L))
     assert(atom("'asd") == "asd")
+    // scientific-notation literals are f64 (lang.c:50-53)
+    assert(atom("1.000000123555555555555555555555555e-02")
+      .asInstanceOf[Double] == 1.000000123555555555555555555555555e-02)
+    assert(atom("(* 5e3 2)") == 10000.0)
+    assert(atom("(+ 1E-1 0.0)") == 0.1)
+    // i64 overflow falls back to f64 (lang.c:54)
+    assert(atom("-1000123555555555555555555555555")
+      .asInstanceOf[Double] < -1e30)
+    // hex u8 and h-suffix i16 literals carry as longs
+    assert(atom("0x1a") == 26L)
+    assert(vecOf("[0x1a 0x1b]") == Vector(26L, 27L))
+    assert(atom("(- 5h 3h)") == 2L)
   }
 
   test("null propagation in arithmetic (lang.c:77-90)") {
