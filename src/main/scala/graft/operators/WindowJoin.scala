@@ -155,21 +155,35 @@ object WindowJoin {
     val fieldOf = aggs.map(a => structCols.indexOf(a.col)).toArray
     val isDouble = aggs.map(a =>
       right.schema(a.col).dataType == DoubleType).toArray
+    val colKinds = structCols.map(c => right.schema(c).dataType match {
+      case DoubleType => 2
+      case IntegerType => 1
+      case _ => 0 // LongType
+    }).toArray
 
     // cogroupSorted hands each side's iterator already ts-sorted (Spark
     // sorts within the shuffle, not in task memory), so the LEFT side
     // STREAMS through the two-pointer kernel — a hot key with 1e8 left
     // rows never materializes in the task (SkewSpec pins this with a
     // single-key 1e6 input). Only the right side buffers, which is the
-    // algorithm's contract (the deques need indexed lookback), same as
-    // the reference's per-key kernel over its right arrays.
+    // algorithm's contract (the deques need indexed lookback) — and it
+    // buffers COLUMNAR PRIMITIVES, not Row objects: each right Row is
+    // dropped as soon as its fields are extracted, so a 2e7-quote hot
+    // key holds ~9 bytes/column/row instead of a boxed GenericRow
+    // (the 1e7 benchmark's GC variance came from the Row buffer).
     val joined = lGrouped.cogroupSorted(rGrouped)(col(ts).asc)(col("__ts").asc) {
       (_, lIt, rIt) =>
-        val rs = rIt.toArray
-        val rTs = rs.map(_.getLong(1))
-        val rVals: Array[Row] = rs.map(_.getStruct(2))
-        SlidingWindow.run(lIt, rTs, rVals, tsIdx, kIdx, loOffset, hiOffset,
-          jt, aggB, fieldOf, isDouble)
+        val tsB = new scala.collection.mutable.ArrayBuilder.ofLong
+        val nF = structCols.length
+        val colBs = Array.tabulate(nF)(i => ColVec.builder(colKinds(i)))
+        rIt.foreach { r =>
+          tsB += r.getLong(1)
+          val st = r.getStruct(2)
+          var i = 0
+          while (i < nF) { colBs(i).add(st, i); i += 1 }
+        }
+        SlidingWindow.run(lIt, tsB.result(), colBs.map(_.result()),
+          tsIdx, kIdx, loOffset, hiOffset, jt, aggB, fieldOf, isDouble)
     }(outEnc)
     joined
   }
@@ -182,12 +196,55 @@ object WindowJoin {
   }
 }
 
+/** Columnar primitive buffer for ONE right-side agg source column:
+  * kind 0 = long, 1 = int (carried as long, boxed back to Integer on
+  * output), 2 = double. Nulls ride a parallel boolean array. */
+private[operators] final class ColVec(val kind: Int, val ls: Array[Long],
+                                      val ds: Array[Double],
+                                      val nulls: Array[Boolean]) {
+  def isNull(i: Int): Boolean = nulls(i)
+  def numL(i: Int): Long = if (kind == 2) ds(i).toLong else ls(i)
+  def numD(i: Int): Double = if (kind == 2) ds(i) else ls(i).toDouble
+  def cmp(a: Int, b: Int): Int =
+    if (kind == 2) java.lang.Double.compare(ds(a), ds(b))
+    else java.lang.Long.compare(ls(a), ls(b))
+  def boxed(i: Int): Any =
+    if (nulls(i)) null
+    else if (kind == 2) java.lang.Double.valueOf(ds(i))
+    else if (kind == 1) java.lang.Integer.valueOf(ls(i).toInt)
+    else java.lang.Long.valueOf(ls(i))
+}
+
+private[operators] object ColVec {
+  final class Builder(kind: Int) {
+    private val lB = if (kind != 2) new scala.collection.mutable.ArrayBuilder.ofLong else null
+    private val dB = if (kind == 2) new scala.collection.mutable.ArrayBuilder.ofDouble else null
+    private val nB = new scala.collection.mutable.ArrayBuilder.ofBoolean
+    def add(st: Row, field: Int): Unit =
+      if (st.isNullAt(field)) {
+        nB += true
+        if (kind == 2) dB += 0.0 else lB += 0L
+      } else {
+        nB += false
+        kind match {
+          case 2 => dB += st.getDouble(field)
+          case 1 => lB += st.getInt(field).toLong
+          case _ => lB += st.getLong(field)
+        }
+      }
+    def result(): ColVec = new ColVec(kind,
+      if (kind != 2) lB.result() else null,
+      if (kind == 2) dB.result() else null, nB.result())
+  }
+  def builder(kind: Int): Builder = new Builder(kind)
+}
+
 /** The per-key two-pointer sliding aggregation. min/max use monotonic
   * deques (amortized O(1) per step); sum/count are incremental. */
 private[operators] object SlidingWindow {
   import WindowJoin.Agg
 
-  def run(ls: Iterator[Row], rTs: Array[Long], rVals: Array[Row],
+  def run(ls: Iterator[Row], rTs: Array[Long], rCols: Array[ColVec],
           tsIdx: Int, kIdx: Int, lo: Long, hi: Long, jtype: Int,
           aggs: Array[Agg], fieldOf: Array[Int],
           isDouble: Array[Boolean]): Iterator[Row] = {
@@ -199,26 +256,11 @@ private[operators] object SlidingWindow {
     var from = 0 // first right idx inside the window
     var to = 0   // first right idx beyond the window
 
-    def numL(ri: Int, ai: Int): Long = rVals(ri).get(fieldOf(ai)) match {
-      case l: java.lang.Long => l
-      case i: java.lang.Integer => i.toLong
-      case d: java.lang.Double => d.toLong
-      case _ => 0L
-    }
-    def numD(ri: Int, ai: Int): Double = rVals(ri).get(fieldOf(ai)) match {
-      case d: java.lang.Double => d
-      case l: java.lang.Long => l.toDouble
-      case i: java.lang.Integer => i.toDouble
-      case _ => 0.0
-    }
+    def numL(ri: Int, ai: Int): Long = rCols(fieldOf(ai)).numL(ri)
+    def numD(ri: Int, ai: Int): Double = rCols(fieldOf(ai)).numD(ri)
     def cmp(a: Int, b: Int, ai: Int, isMin: Boolean): Boolean = {
       // deque keeps candidates: drop tail while new elem is better-or-equal
-      val x = rVals(a).get(fieldOf(ai)); val y = rVals(b).get(fieldOf(ai))
-      val c = (x, y) match {
-        case (p: java.lang.Long, q: java.lang.Long) => java.lang.Long.compare(p, q)
-        case (p: java.lang.Integer, q: java.lang.Integer) => Integer.compare(p, q)
-        case _ => java.lang.Double.compare(numD(a, ai), numD(b, ai))
-      }
+      val c = rCols(fieldOf(ai)).cmp(a, b)
       if (isMin) c <= 0 else c >= 0
     }
 
@@ -233,7 +275,7 @@ private[operators] object SlidingWindow {
         var ai = 0
         while (ai < aggs.length) {
           val isNull = aggs(ai).op != "count" &&
-            rVals(to).isNullAt(fieldOf(ai))
+            rCols(fieldOf(ai)).isNull(to)
           aggs(ai).op match {
             case _ if isNull => ()
             case "min" =>
@@ -264,7 +306,7 @@ private[operators] object SlidingWindow {
         var ai = 0
         while (ai < aggs.length) {
           val isNull = aggs(ai).op != "count" &&
-            rVals(from).isNullAt(fieldOf(ai))
+            rCols(fieldOf(ai)).isNull(from)
           aggs(ai).op match {
             case _ if isNull => ()
             case "min" | "max" =>
@@ -290,7 +332,7 @@ private[operators] object SlidingWindow {
           case "min" | "max" =>
             // deque may be empty if every window value was null
             if (deques(ai).isEmpty) null
-            else rVals(deques(ai).peekFirst).get(fieldOf(ai))
+            else rCols(fieldOf(ai)).boxed(deques(ai).peekFirst)
         }
       }
       // drop the composite key column from the left row

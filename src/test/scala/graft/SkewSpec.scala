@@ -23,8 +23,9 @@ class SkewSpec extends SparkSpec {
       def next(): Row = { pulled += 1; i += 1; Row(i.toLong - 1, "k") }
     }
     val rTs = Array.tabulate(1000)(i => i.toLong * 10)
-    val rVals: Array[Row] = rTs.map(t => Row(t))
-    val out = SlidingWindow.run(ls, rTs, rVals, tsIdx = 0, kIdx = 1,
+    val rCols = Array(new ColVec(0, rTs.clone(), null,
+      new Array[Boolean](rTs.length)))
+    val out = SlidingWindow.run(ls, rTs, rCols, tsIdx = 0, kIdx = 1,
       lo = -100L, hi = 0L, jtype = 1,
       aggs = Array(WindowJoin.Agg("count", "v", "cnt")),
       fieldOf = Array(0), isDouble = Array(false))
