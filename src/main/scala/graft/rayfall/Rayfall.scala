@@ -2963,17 +2963,61 @@ object Rayfall {
         case l: RList => eval(l, tables)
         case x => throw new IllegalArgumentException(s"bad from: $x")
       }
-      val mappings = pairs.filterNot { case (k, _) =>
+      val rawMappings = pairs.filterNot { case (k, _) =>
         Set("from", "where", "by", "take").contains(k) }
-        .map { case (k, v) => k -> toColumn(v) }
-      val where = opts.get("where").map(toColumn).orNull
       val by = opts.get("by").toList.flatMap(byNames)
-      val take = opts.get("take").map {
-        case RNum(_, true, l) => l.toInt
-        case x => throw new IllegalArgumentException(s"bad take: $x")
-      }.getOrElse(0)
-      Tbl(table).select(mappings, where, by, take).df
+      // dense dictionary-encoded kernel fast path (operators.GroupKernel):
+      // applies only to registered tables, plain grouped aggregates, no
+      // where/take — anything else falls through to the Catalyst plan.
+      val kernel =
+        if (opts.contains("where") || opts.contains("take") || by.isEmpty ||
+            rawMappings.isEmpty || !graft.operators.GroupKernel.has(table)) None
+        else kernelSelect(table, rawMappings, by)
+      kernel.getOrElse {
+        val mappings = rawMappings.map { case (k, v) => k -> toColumn(v) }
+        val where = opts.get("where").map(toColumn).orNull
+        val take = opts.get("take").map {
+          case RNum(_, true, l) => l.toInt
+          case x => throw new IllegalArgumentException(s"bad take: $x")
+        }.getOrElse(0)
+        Tbl(table).select(mappings, where, by, take).df
+      }
     case x => throw new IllegalArgumentException(s"cannot evaluate $x as a query")
+  }
+
+  /** Rewrite a select mapping into kernel primitives: supported agg leaves
+    * (sum/avg/min/max/count over a plain column) become `__pN` placeholder
+    * symbols; +,-,*,/ arithmetic and numeric literals are allowed above
+    * them (Q6's `(- (max v1) (min v2))` shape). Anything else → None. */
+  private def kernelAggTree(e: RExpr,
+      prims: scala.collection.mutable.LinkedHashMap[(String, String), String])
+      : Option[RExpr] = e match {
+    case RList(RSym(op) :: RSym(c) :: Nil)
+        if Set("sum", "avg", "min", "max", "count")(op) =>
+      Some(RSym(prims.getOrElseUpdate((op, c), s"__p${prims.size}")))
+    // `(map count c)` — the reference's count-per-group spelling
+    // (group-by.md Q7)
+    case RList(RSym("map") :: RSym("count") :: RSym(c) :: Nil) =>
+      Some(RSym(prims.getOrElseUpdate(("count", c), s"__p${prims.size}")))
+    case RList(RSym(op) :: a :: b :: Nil) if Set("+", "-", "*", "/")(op) =>
+      for (x <- kernelAggTree(a, prims); y <- kernelAggTree(b, prims))
+        yield RList(RSym(op) :: x :: y :: Nil)
+    case n: RNum => Some(n)
+    case _ => None
+  }
+
+  private def kernelSelect(table: DataFrame, rawMappings: List[(String, RExpr)],
+                           by: Seq[String]): Option[DataFrame] = {
+    val prims = scala.collection.mutable.LinkedHashMap.empty[(String, String), String]
+    val trees = rawMappings.map { case (n, e) => kernelAggTree(e, prims).map(n -> _) }
+    if (trees.exists(_.isEmpty)) return None
+    // at least one real aggregate, and no literal-only mappings
+    if (prims.isEmpty) return None
+    val bind: Map[String, Column] =
+      prims.values.map(ph => ph -> col(ph)).toMap
+    graft.operators.GroupKernel.tryRun(table, by, prims.keys.toSeq, small =>
+      small.select(by.map(col) ++ trees.flatten.map { case (n, t) =>
+        toColumn(t, bind).as(n) }: _*))
   }
 
   private def evalTable(e: RExpr, tables: Map[String, DataFrame]): DataFrame =

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.operators.GroupKernel
+import graft.rayfall.Rayfall
+
+/** The dense dictionary-encoded group-by kernel must be result-identical
+  * to the Catalyst plan it replaces, for every H2O query shape
+  * (`/root/reference/docs/docs/content/get-started/benchmarks/group-by.md:54-60`),
+  * and must fall back (not fail) on anything it doesn't cover. */
+class GroupKernelSpec extends SparkSpec {
+
+  private lazy val t: DataFrame = {
+    val df = H2O.g1(spark, 20000L).cache()
+    df.count()
+    df
+  }
+  // a twin DataFrame over the same rows that is NOT kernel-registered:
+  // queries against it take the Catalyst path and serve as the oracle
+  private lazy val plain: DataFrame = H2O.g1(spark, 20000L)
+
+  private def registered: DataFrame = {
+    if (!GroupKernel.has(t))
+      GroupKernel.encode(t, Seq("id1", "id2", "id3", "id4", "id5", "id6"))
+    t
+  }
+
+  private def both(q: String): (Array[Seq[Any]], Array[Seq[Any]]) = {
+    def rows(df: DataFrame) = {
+      val cols = df.columns
+      df.orderBy(cols.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toSeq)
+    }
+    (rows(Rayfall.query(q, Map("t" -> registered))),
+      rows(Rayfall.query(q, Map("t" -> plain))))
+  }
+
+  private def assertSame(q: String): Unit = {
+    val (k, s) = both(q)
+    assert(k.length == s.length, s"row count for $q")
+    k.zip(s).foreach { case (a, b) =>
+      a.zip(b).foreach {
+        case (x: Double, y: Double) =>
+          assert(math.abs(x - y) <= math.max(1e-9, math.abs(y) * 1e-12),
+            s"double mismatch in $q: $x vs $y")
+        case (x, y) => assert(x == y, s"mismatch in $q: $a vs $b")
+      }
+    }
+  }
+
+  test("Q1 sum by string key — kernel matches Catalyst") {
+    assertSame("(select {v1: (sum v1) from: t by: id1})")
+  }
+
+  test("Q2 sum by two string keys") {
+    assertSame("(select {v1: (sum v1) from: t by: {id1: id1 id2: id2}})")
+  }
+
+  test("Q3 sum + avg by high-card string key") {
+    assertSame("(select {v1: (sum v1) v3: (avg v3) from: t by: id3})")
+  }
+
+  test("Q4 three avgs by int key") {
+    assertSame("(select {v1: (avg v1) v2: (avg v2) v3: (avg v3) from: t by: id4})")
+  }
+
+  test("Q5 three sums (int + double) by high-card int key") {
+    assertSame("(select {v1: (sum v1) v2: (sum v2) v3: (sum v3) from: t by: id6})")
+  }
+
+  test("Q6 agg arithmetic (- (max v1) (min v2)) — types and values") {
+    val q = "(select {range_v1_v2: (- (max v1) (min v2)) from: t by: id3})"
+    assertSame(q)
+    val kdf = Rayfall.query(q, Map("t" -> registered))
+    val sdf = Rayfall.query(q, Map("t" -> plain))
+    assert(kdf.schema == sdf.schema, "kernel schema must match Catalyst schema")
+  }
+
+  test("count spellings: (count c) and (map count c)") {
+    assertSame("(select {n: (map count v3) s: (sum v1) from: t by: id4})")
+    assertSame("(select {n: (count v3) from: t by: id1})")
+  }
+
+  test("min/max keep the source integer type") {
+    val q = "(select {lo: (min v1) hi: (max v2) from: t by: id5})"
+    assertSame(q)
+    val kdf = Rayfall.query(q, Map("t" -> registered))
+    assert(kdf.schema("lo").dataType == org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("where / take / unsupported aggs fall back to the Catalyst plan") {
+    // med is not a kernel primitive; where and take disable the kernel —
+    // all three must still answer correctly through the fallback
+    assertSame("(select {v1: (med v1) from: t by: id1})")
+    val q = "(select {v1: (sum v1) from: t where: (> v2 2) by: id1})"
+    assertSame(q)
+  }
+
+  test("huge key product (Q7 shape) falls back and still answers") {
+    val q = "(select {v3: (sum v3) count: (map count v3) from: t " +
+      "by: {id1: id1 id2: id2 id3: id3 id4: id4 id5: id5 id6: id6}})"
+    val (k, s) = both(q)
+    assert(k.length == s.length && k.nonEmpty)
+  }
+
+  test("non-grouped select on a registered table is untouched") {
+    val df = Rayfall.query("(select {v1: v1 id1: id1 from: t take: 5})",
+      Map("t" -> registered))
+    assert(df.count() == 5L)
+  }
+}
