@@ -108,4 +108,17 @@ object Tbl {
   private[graft] def isAggregate(c: Column): Boolean =
     org.apache.spark.sql.graftshim.ColumnInternals
       .containsAggregate(c, aggNames, aggSqlRegex)
+
+  /** Attach 0-based table positions (the reference's row indices —
+    * `core/aggr.c:3118` aggr_row pushes scan positions). zipWithIndex is
+    * the distributed-correct way: one extra partition-count pass, no
+    * single-partition window, indices contiguous in table order. */
+  def withRowIndex(df: org.apache.spark.sql.DataFrame,
+                   name: String = "__rowidx"): org.apache.spark.sql.DataFrame = {
+    val schema = df.schema.add(name, org.apache.spark.sql.types.LongType,
+      nullable = false)
+    val rdd = df.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
 }

@@ -72,11 +72,13 @@ object Dedup {
       .select($"id_a", $"id_b").distinct()
   }
 
-  /** Exact token-set Jaccard between two token-array columns. */
+  /** Exact token-set Jaccard between two token-array columns. The
+    * intersect (the expensive kernel) is evaluated once and its size
+    * reused for the union term via |A∪B| = |A| + |B| − |A∩B|. */
   def jaccard(a: Column, b: Column): Column = {
     val da = array_distinct(a); val db = array_distinct(b)
-    val inter = size(array_intersect(da, db)).cast("double")
-    inter / (size(da) + size(db) - size(array_intersect(da, db)))
+    val inter = size(array_intersect(da, db))
+    inter.cast("double") / (size(da) + size(db) - inter)
   }
 
   /** Verify candidate pairs by exact n-gram (token-set) Jaccard: join the

@@ -1675,7 +1675,10 @@ object Rayfall {
       case RList(RSym("list") :: items) =>
         val vals = items.map(ev)
         if (vals.forall(_.isInstanceOf[VAtom]))
-          VVec(vals.map { case VAtom(x) => x; case _ => ??? }.toVector)
+          VVec(vals.map {
+            case VAtom(x) => x
+            case v => throw new RayfallError(s"list: expected atom, got $v")
+          }.toVector)
         else VVec(vals.map(x => x: Any).toVector) // list of vectors (table cols)
       // value-level (as 'TYPE x): lazy on ranges, eager on driver values
       case RList(RSym("as") :: RQuote(t) :: x :: Nil)
@@ -1694,6 +1697,11 @@ object Rayfall {
         case VAtom(s: String) => scriptValue(spark, s)
         case v => throw new IllegalArgumentException(s"de needs a string, got $v")
       }
+      // value-level (row x): the reference's ray_row default arm returns
+      // ops_count (core/compose.c:1203) — grouped/filtered forms are
+      // handled inside select compilation
+      case RList(RSym("row") :: x :: Nil) =>
+        ev(RList(RSym("count") :: x :: Nil))
       case RList(RSym("count") :: x :: Nil) => ev(x) match {
         case VVec(xs) => VAtom(xs.length.toLong)
         case VTab(df) => VAtom(df.count())
@@ -2507,7 +2515,10 @@ object Rayfall {
         val vals = items.map(ev)
         val columns =
           if (vals.forall(_.isInstanceOf[VAtom]))
-            vals.map { case VAtom(x) => Vector(x); case _ => ??? }
+            vals.map {
+              case VAtom(x) => Vector(x)
+              case v => throw new RayfallError(s"insert: expected atom, got $v")
+            }
           else vals.map {
             case VVec(xs) => xs
             case VAtom(x) => Vector(x)
@@ -2974,15 +2985,35 @@ object Rayfall {
             rawMappings.isEmpty || !graft.operators.GroupKernel.has(table)) None
         else kernelSelect(table, rawMappings, by)
       kernel.getOrElse {
-        val mappings = rawMappings.map { case (k, v) => k -> toColumn(v) }
+        // script `row` form (core/env.c:177, core/aggr.c:3118 aggr_row):
+        // 0-based table positions — per-group lists under by:, bare
+        // positions of matching rows otherwise (the MAPFILTER path,
+        // core/compose.c:1170). Positions are attached BEFORE the where
+        // filter, so filtered selects report original table positions.
+        val hasRow = rawMappings.exists { case (_, e) => isRowForm(e) }
+        val src = if (hasRow) graft.Tbl.withRowIndex(table) else table
+        val mappings = rawMappings.map {
+          case (k, e) if isRowForm(e) =>
+            k -> (if (by.nonEmpty) sort_array(collect_list(col("__rowidx")))
+                  else col("__rowidx"))
+          case (k, v) => k -> toColumn(v)
+        }
         val where = opts.get("where").map(toColumn).orNull
         val take = opts.get("take").map {
           case RNum(_, true, l) => l.toInt
           case x => throw new IllegalArgumentException(s"bad take: $x")
         }.getOrElse(0)
-        Tbl(table).select(mappings, where, by, take).df
+        Tbl(src).select(mappings, where, by, take).df
       }
     case x => throw new IllegalArgumentException(s"cannot evaluate $x as a query")
+  }
+
+  /** `(row)` / `(row col)` — the reference's row-position aggregate
+    * (registered FN_AGGR in core/env.c:177). */
+  private def isRowForm(e: RExpr): Boolean = e match {
+    case RList(RSym("row") :: Nil) => true
+    case RList(RSym("row") :: (RSym(_) | RQuote(_)) :: Nil) => true
+    case _ => false
   }
 
   /** Rewrite a select mapping into kernel primitives: supported agg leaves

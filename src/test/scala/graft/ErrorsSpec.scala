@@ -29,6 +29,24 @@ class ErrorsSpec extends SparkSpec {
     assert(e3.getMessage.contains("missing"))
   }
 
+  test("list/insert value forms: no NotImplementedError escapes — every " +
+      "malformed shape gets a typed, message-bearing error") {
+    // the two historical `???` fallback arms (list-of-atoms and
+    // insert-dict-of-atoms) are unreachable by their forall guards, but
+    // the surrounding forms must keep failing with TYPED errors, never
+    // scala.NotImplementedError
+    def typedFailure(script: String): Unit = {
+      val r = scala.util.Try(rayfall.Rayfall.scriptValue(spark, script))
+      assert(r.isFailure, s"expected failure: $script")
+      val e = r.failed.get
+      assert(!e.isInstanceOf[NotImplementedError],
+        s"NotImplementedError escaped for: $script")
+      assert(e.getMessage != null && e.getMessage.nonEmpty)
+    }
+    typedFailure("(def t (table {a: [1 2]})) (insert t (dict [a] 7))")
+    typedFailure("(list 1 (frobnicate 2))")
+  }
+
   test("query-level try: failures are values, successes pass through") {
     val ok = scala.util.Try(Seq(1).toDF("x").select($"x" + 1).collect())
     assert(ok.isSuccess)

@@ -1109,4 +1109,24 @@ class LangSpec extends SparkSpec {
     assert(en.orderBy("s", "time").collect().map(_.getLong(3)).toSeq ==
       Seq(99L, 100L, 149L))
   }
+
+  test("row: per-group table positions in select; count on values " +
+      "(core/env.c:177, core/aggr.c:3118 aggr_row, compose.c:1166 ray_row)") {
+    val pre = "(set t (table [g v] (list ['a 'b 'a 'b 'a] [10 20 30 40 50])))"
+    // grouped: each group's 0-based scan positions, ascending (the q42
+    // group→indices surface, now reachable from a script)
+    val g = Rayfall.script(spark,
+      pre + "(select {r: (row v) n: (count v) from: t by: g})")
+    val got = g.orderBy("g").collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", Seq(0L, 2L, 4L), 3L), ("b", Seq(1L, 3L), 2L)))
+    // filtered, ungrouped: original table positions of the matching rows
+    // (the MAPFILTER arm, compose.c:1170)
+    val f = Rayfall.script(spark,
+      pre + "(select {r: (row v) from: t where: (> v 20)})")
+    assert(f.orderBy("r").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L, 4L))
+    // value-level: ray_row's default arm is ops_count
+    assert(Rayfall.scriptValue(spark, "(row [7 8 9])") == VAtom(3L))
+    assert(Rayfall.scriptValue(spark, pre + "(row t)") == VAtom(5L))
+  }
 }
