@@ -360,8 +360,11 @@ object Rayfall {
 
   /** Refuse to `collect()` a lazy value bigger than this into the driver
     * (the reference materializes freely — its vectors live in one
-    * process; ours are distributed and unbounded). */
-  val maxDriverVec: Long = 1L << 21
+    * process; ours are distributed and unbounded). Vector ops that have a
+    * distributed plan (rank/xrank/iasc/asc/scan — see lazyVecSort) switch
+    * to it above this size instead of erroring. Var so specs can pin the
+    * lazy path at test scale (suites run sequentially in the forked JVM). */
+  private[graft] var maxDriverVec: Long = 1L << 21
 
   /** Lift an eager vector into a literal array column (for cycling /
     * positional indexing inside a lazy expression — constant-folds to a
@@ -410,6 +413,78 @@ object Rayfall {
         s"(max $maxDriverVec)")
     spark.range(v.n).select(v.f(col("id")).as("v"))
       .collect().map(_.get(0): Any).toVector
+  }
+
+  /** Length of a lazy vector value (an action for column views — one
+    * count — but only consulted on the lazy-op dispatch path). */
+  private def lazyLen(v: RVal): Option[Long] = v match {
+    case VRange(n, _) => Some(n)
+    case cv: VColView => Some(cv.df.count())
+    case _ => None
+  }
+
+  /** (__rowidx, __v) frame for a lazy vector: positions are contiguous
+    * table order (Tbl.withRowIndex — zipWithIndex, no global window), the
+    * value column has any integral view offset folded in. */
+  private def indexedVec(spark: SparkSession, v: RVal): DataFrame = v match {
+    case VRange(n, f) =>
+      spark.range(n).select(col("id").as("__rowidx"), f(col("id")).as("__v"))
+    case cv: VColView =>
+      val base = graft.Tbl.withRowIndex(cv.df.select(col(cv.base).as("__v")))
+      if (cv.offset == 0L) base
+      else base.withColumn("__v", col("__v").cast("long") + lit(cv.offset))
+    case x => throw new IllegalArgumentException(s"not a lazy vector: $x")
+  }
+
+  /** Distributed sorts/ranking for lazy vectors past the driver cap —
+    * the same plans the query surface uses (q15's ROW_NUMBER rank, but
+    * expressed as sort + zipWithIndex so no single-task global window).
+    * Results stay lazy (VColView in position order). Semantics mirror
+    * evalVecSort exactly: stable ascending permutation, rank[perm[i]]=i
+    * (core/order.c:519), xrank bucket = rank*n div len (order.c:598). */
+  private def lazyVecSort(spark: SparkSession, op: String, v: RVal): RVal = {
+    val src = indexedVec(spark, v)
+    def view(df: DataFrame, c: String) = VColView(df.select(col(c).as("__s")), "__s", 0L)
+    op match {
+      case "asc" => view(src.orderBy(col("__v").asc, col("__rowidx").asc), "__v")
+      case "desc" => view(src.orderBy(col("__v").desc, col("__rowidx").asc), "__v")
+      case "iasc" => view(src.orderBy(col("__v").asc, col("__rowidx").asc), "__rowidx")
+      case "idesc" => view(src.orderBy(col("__v").desc, col("__rowidx").asc), "__rowidx")
+      case "reverse" => view(src.orderBy(col("__rowidx").desc), "__v")
+      case "rank" => view(lazyRankFrame(src).orderBy(col("__orig").asc), "__s")
+    }
+  }
+
+  /** (__orig, __s=rank) from an indexed frame: global sort by (value,
+    * position) then zipWithIndex — the position in sorted order IS the
+    * rank, fully distributed (range-partitioned sort, no 1-task window). */
+  private def lazyRankFrame(src: DataFrame): DataFrame =
+    graft.Tbl.withRowIndex(
+      src.orderBy(col("__v").asc, col("__rowidx").asc)
+        .select(col("__rowidx").as("__orig")), "__s")
+
+  /** Distributed xrank for lazy vectors: bucket = rank·n div len. */
+  private def lazyXrank(spark: SparkSession, v: RVal, nb: Long, len: Long): RVal = {
+    require(nb > 0, s"xrank buckets must be positive, got $nb")
+    val ranked = lazyRankFrame(indexedVec(spark, v)).orderBy(col("__orig").asc)
+      .select(expr(s"(__s * ${nb}L) div ${len}L").as("__s"))
+    VColView(ranked, "__s", 0L)
+  }
+
+  /** Cumulative scan for lazy vectors and the associative op symbols
+    * (+ min max): the q10 running-window shape, seed folded in per the
+    * scan recurrence v_i = f(x_i, v_{i-1}), v_0 = f(x_0, seed). A global
+    * unpartitioned window runs in one task — acceptable as the cap
+    * fallback (the keyed q10 form is the scalable surface; a two-pass
+    * partition-prefix scan is the upgrade path if this becomes hot). */
+  private def lazyScan(spark: SparkSession, op: String, v: RVal,
+                       seed: Any): RVal = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__rowidx"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    require(op == "+", s"no distributed scan plan for $op")
+    val run = sum(col("__v")).over(w) + lit(seed)
+    VColView(indexedVec(spark, v).select(run.as("__s")), "__s", 0L)
   }
 
   /** Column-level mirror of the script's broadcast arithmetic (Euclidean
@@ -895,12 +970,26 @@ object Rayfall {
                            out: StringBuilder): RVal = {
     def ev(x: RExpr) = evalScript(spark, x, env, hook, out)
     def call(x: RVal, y: RVal) = callBinary(spark, f, env, hook, out, x, y)
+    // lazy vector + `+` past the driver cap → the distributed
+    // running-window plan ((scan + xs seed) and the commutative
+    // (scan + seed ys) spelling both fold the seed in; other ops keep
+    // driver semantics — they aren't broadcast arith below the cap either)
+    def scanOp: Option[String] = f match {
+      case RSym(op @ "+") if !env.get(op).exists(_.isInstanceOf[VFn]) => Some(op)
+      case _ => None
+    }
     (ev(a), ev(b)) match {
       case (av @ VAtom(_), bv @ VAtom(_)) => call(av, bv)
+      case (VAtom(seed), ys @ (_: VColView | _: VRange))
+          if scanOp.isDefined && lazyLen(ys).exists(_ > maxDriverVec) =>
+        lazyScan(spark, scanOp.get, ys, seed)
       case (av @ VAtom(_), ys) =>
         var acc: RVal = av
         VVec(vecV(spark, ys).map { y =>
           acc = call(acc, VAtom(y)); unwrapAtom(acc) })
+      case (xs @ (_: VColView | _: VRange), VAtom(seed))
+          if scanOp.isDefined && lazyLen(xs).exists(_ > maxDriverVec) =>
+        lazyScan(spark, scanOp.get, xs, seed)
       case (xs, bv @ VAtom(_)) =>
         var acc: RVal = bv
         VVec(vecV(spark, xs).map { x =>
@@ -933,6 +1022,14 @@ object Rayfall {
 
   private def evalVecSort(spark: SparkSession, op: String,
                           value: RVal): RVal = {
+    // past the driver cap, lazy vectors route to the distributed sort
+    // plans instead of erroring (below it, driver semantics — the
+    // goldens — are authoritative)
+    value match {
+      case _: VColView | _: VRange if lazyLen(value).exists(_ > maxDriverVec) =>
+        return lazyVecSort(spark, op, value)
+      case _ => ()
+    }
     val asStr = value match { case VAtom(_: String) => true; case _ => false }
     val xs: Vector[Any] = value match {
       case VAtom(s: String) => s.toVector.map(_.toString)
@@ -984,6 +1081,13 @@ object Rayfall {
   }
 
   private def evalXrank(spark: SparkSession, value: RVal, nb: Long): RVal = {
+    value match {
+      case _: VColView | _: VRange =>
+        lazyLen(value).filter(_ > maxDriverVec).foreach { n =>
+          return lazyXrank(spark, value, nb, n)
+        }
+      case _ => ()
+    }
     val xs = vecV(spark, value)
     require(nb > 0, s"xrank buckets must be positive, got $nb")
     val perm = xs.indices.toVector
@@ -2603,7 +2707,8 @@ object Rayfall {
     e match {
       case RSym("true" | "false" | "null") => true
       case RSym(n) => env.get(n).exists(v =>
-        v.isInstanceOf[VVec] || v.isInstanceOf[VAtom])
+        v.isInstanceOf[VVec] || v.isInstanceOf[VAtom] ||
+          v.isInstanceOf[VColView] || v.isInstanceOf[VRange])
       case RVec(_) => true
       case RNum(_, _, _) | RStr(_) | RQuote(_) | RDate(_) | RNull => true
       case RList(RSym("til" | "take" | "concat" | "list" | "map" | "pmap" |
@@ -2613,6 +2718,8 @@ object Rayfall {
         "rand" | "where" | "distinct" | "union" | "sect" | "except" | "find" |
         "raze" | "enlist" | "split" | "in" | "bin" | "binr" | "neg" | "not" |
         "within" | "first" | "last" | "med" | "dev" | "group" | "or" | "and" |
+        "asc" | "desc" | "iasc" | "idesc" | "rank" | "xrank" | "reverse" |
+        "scan" | "scan-left" | "scan-right" |
         "get") :: rest) =>
         rest.forall(x => vecValued(x, env) || !refsColumns(x, env))
       case RList(RList(RSym("fn") :: _) :: _) => true
@@ -2786,6 +2893,35 @@ object Rayfall {
                               colVals: Seq[Any]): DataFrame = {
     require(names.length == colVals.length,
       s"table: ${names.length} names but ${colVals.length} columns")
+    // column views past the driver cap → distributed position-zip: each
+    // lazy column keyed by its contiguous position (zipWithIndex), all
+    // joined on it (the r09 shape at 1e7 stays executor-side end to end)
+    if (colVals.exists {
+          case cv: VColView => cv.df.count() > maxDriverVec
+          case _ => false
+        }) {
+      val frames = names.zip(colVals).collect {
+        case (name, cv: VColView) =>
+          (name, indexedVec(spark, cv).withColumnRenamed("__v", name),
+            cv.df.count())
+        case (name, VRange(n2, f)) =>
+          (name, spark.range(n2).select(col("id").as("__rowidx"),
+            f(col("id")).as(name)), n2)
+      }
+      val n = frames.head._3
+      require(frames.forall(_._3 == n),
+        s"table: ragged lazy columns (${frames.map(_._3).mkString(",")})")
+      val joined = frames.map(_._2).reduce((x, y) => x.join(y, "__rowidx"))
+      val projections = names.zip(colVals).map {
+        case (name, _: VColView | _: VRange) => col(name)
+        case (name, VAtom(x)) => lit(x).as(name)
+        case (name, VVec(xs)) if xs.length.toLong == n =>
+          cycleF(xs, 0L)(col("__rowidx")).as(name)
+        case (name, v) => throw new IllegalArgumentException(
+          s"table: column $name ($v) does not match lazy length $n")
+      }
+      return joined.orderBy(col("__rowidx")).select(projections: _*)
+    }
     // any lazy column → the whole table is one spark.range scan with the
     // generation expressions as projections (no driver materialization)
     val lazyNs = colVals.collect { case VRange(n, _) => n }
