@@ -725,6 +725,48 @@ object Queries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d09
+  // 64-bit-space SimHash signatures (63 active bits; the production
+  // dedup width — four 16-bit polynomial token-code lanes, see
+  // functions.SimHash64 / Text.duck.tokenCode64Sql).
+  def d09_simhash64(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select($"doc_id",
+        graft.functions.SimHashExpr.simhash64($"text").as("sh"))
+      .orderBy($"doc_id")
+
+  private val d09_sql =
+    s"""SELECT doc_id, ${Text.duck.simhash64Sql("text")} AS sh
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d10
+  // 64-bit SimHash near-dup: four 16-bit chunk tables; hamming ≤ 3
+  // pairs share ≥ 1 untouched chunk (pigeonhole) — EXACT candidate
+  // recall, first-match-disjoint branches, no DISTINCT shuffle.
+  def d10_simhash64_neardup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup64(t(spark, dir, "documents"), "doc_id", "text",
+      maxHamming = 3)
+      .orderBy($"id_a", $"id_b")
+
+  private val d10_sql = {
+    def chunk(c: String, k: Int) = s"($c // ${1L << (16 * k)}) % 65536"
+    val joins = (0 until 4).map { k =>
+      val earlier = (0 until k)
+        .map(pk => s"${chunk("a.sh", pk)} <> ${chunk("b.sh", pk)}")
+        .map(c => s"\n  AND $c").mkString
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |FROM sh a JOIN sh b
+         |  ON ${chunk("a.sh", k)} = ${chunk("b.sh", k)}
+         |  AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3$earlier""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (SELECT doc_id, ${Text.duck.simhash64Sql("text")} AS sh
+       |  FROM documents)
+       |  $joins
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ================================================================
   // Storage, streaming, temporal, casts, generation (SURVEY §2.1/§2.8/
   // §2.10).
@@ -1890,6 +1932,8 @@ object Queries {
     "d06_lsh_candidates" -> (d06_lsh_candidates _),
     "d07_simhash_neardup" -> (d07_simhash_neardup _),
     "d08_simhash_multiperm" -> (d08_simhash_multiperm _),
+    "d09_simhash64" -> (d09_simhash64 _),
+    "d10_simhash64_neardup" -> (d10_simhash64_neardup _),
     "s01_cosine_topk" -> (s01_cosine_topk _),
     "s02_ann_lsh" -> (s02_ann_lsh _),
     "q19_parted" -> (q19_parted _),
@@ -2016,6 +2060,8 @@ object Queries {
     "d06_lsh_candidates" -> d06_sql,
     "d07_simhash_neardup" -> d07_sql,
     "d08_simhash_multiperm" -> d08_sql,
+    "d09_simhash64" -> d09_sql,
+    "d10_simhash64_neardup" -> d10_sql,
     "m02_media_decode" -> m02_sql,
     "m03_frame_sample" -> m03_sql,
     "s02_ann_lsh" -> s02_sql,

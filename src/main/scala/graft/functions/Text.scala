@@ -131,5 +131,28 @@ object Text {
         s"2 * len(list_filter($toks, w -> ((${tokenCodeSql("w")} >> j) & 1) = 1)) " +
         s"> len($toks) THEN (1 << j) ELSE 0 END)) AS BIGINT)"
     }
+
+    /** 64-bit-space token code (63 active bits): four 16-bit polynomial
+      * lanes, multipliers 31/37/41/43, lane 3 held to 15 bits so the
+      * packed BIGINT never goes negative (mirrors
+      * functions.SimHash64.tokenCode64 exactly). */
+    def tokenCode64Sql(w: String): String = {
+      val lanes = Seq(31L, 37L, 41L, 43L).zipWithIndex.map { case (m, k) =>
+        val mod = if (k == 3) 32768L else 65536L
+        s"(((ascii(substr($w,1,1)) + $m*ascii(substr($w,2,1)) + " +
+          s"${m * m}*ascii(substr($w,3,1)) + ${m * m * m}*length($w)) % $mod) " +
+          s"* ${1L << (16 * k)})"
+      }
+      lanes.mkString("(", " + ", ")")
+    }
+
+    /** 64-bit-space SimHash (63 active bits — bit 63 constantly 0 on
+      * both engines; see functions.SimHash64). */
+    def simhash64Sql(textCol: String): String = {
+      val toks = s"string_split($textCol, ' ')"
+      s"CAST(list_sum(list_transform(range(0, 63), j -> CASE WHEN " +
+        s"2 * len(list_filter($toks, w -> ((${tokenCode64Sql("w")} >> j) & 1) = 1)) " +
+        s"> len($toks) THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)"
+    }
   }
 }

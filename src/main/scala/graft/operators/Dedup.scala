@@ -160,6 +160,39 @@ object Dedup {
     }.reduce(_ unionByName _)
   }
 
+  /** 64-bit-space SimHash near-dup — the production dedup shape: the
+    * signature (63 active bits, functions.SimHash64) splits into four
+    * 16-bit chunks; table k blocks on chunk k, so any pair within
+    * hamming ≤ 3 shares at least one UNTOUCHED chunk (pigeonhole over 4
+    * chunks) — candidate recall is EXACT, not probabilistic, unlike the
+    * rotation scheme the 16-bit width needs. Pairs report under their
+    * first matching chunk (disjoint branches — no DISTINCT shuffle, the
+    * round-5 lesson), so the union is append-only. One bounded shuffle
+    * per chunk table at any scale. */
+  def simhashNearDup64(df: DataFrame, idCol: String, textCol: String,
+                       maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit blocking is exact only for hamming <= 3, got $maxHamming")
+    val sh = df.select(col(idCol).as("id"),
+      graft.functions.SimHashExpr.simhash64(col(textCol)).as("sh"))
+      .localCheckpoint()
+    def chunk(c: String, k: Int) =
+      expr(s"($c div ${1L << (16 * k)}L) % 65536L")
+    (0 until 4).map { k =>
+      val blocked = sh.withColumn("blk", chunk("sh", k))
+      val a = blocked.select($"blk", $"id".as("id_a"), $"sh".as("sh_a"))
+      val b = blocked.select($"blk", $"id".as("id_b"), $"sh".as("sh_b"))
+      val firstMatch = (0 until k)
+        .map(pk => chunk("sh_a", pk) =!= chunk("sh_b", pk))
+        .foldLeft(lit(true))(_ && _)
+      a.join(b, Seq("blk"))
+        .filter($"id_a" < $"id_b" &&
+          bit_count($"sh_a".bitwiseXOR($"sh_b")) <= maxHamming && firstMatch)
+        .select($"id_a", $"id_b",
+          bit_count($"sh_a".bitwiseXOR($"sh_b")).as("hamming"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Embedding near-dup: cosine similarity over pairs blocked by a
     * coarse key (e.g. a cluster/label id — the IVF idea: only compare
     * within a cell). */

@@ -113,6 +113,25 @@ class PipelineSpec extends SparkSpec {
     assert(got.contains((0L, 1L)) || got.contains((0L, 2L)))
   }
 
+  test("simhash64: 4x16-bit chunk blocking is pigeonhole-EXACT — every " +
+      "hamming<=3 pair found, each exactly once (disjoint branches)") {
+    // brute-force truth: all pairs within hamming 3 of the 63-bit sigs
+    val sh = docs.select($"doc_id",
+      graft.functions.SimHashExpr.simhash64($"text").as("sh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, sa) <- sh; (ib, sb) <- sh
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val gotAll = Dedup.simhashNearDup64(docs, "doc_id", "text", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(gotAll.toSet == want, "exact recall over all hamming<=3 pairs")
+    assert(gotAll.length == gotAll.distinct.length,
+      "first-match branches must be disjoint (no pair reported twice)")
+    // signatures keep the sign bit clear (both engines' BIGINTs agree)
+    assert(sh.forall(_._2 >= 0L))
+  }
+
   test("cosine matches hand-computed value") {
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
     val c = df.select(Similarity.cosine($"a", $"b").as("c"))
