@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Plan-shape pins for the TPC-H star joins: the dims must broadcast and
+  * the fact must shuffle exactly once (for the aggregation) — the plan
+  * that survives a 100× scale-up. A regression to SortMergeJoin or an
+  * extra fact shuffle fails here before it shows up in BENCH. */
+class PlanShapeSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution
+      .explainString(FormattedMode)
+
+  // FormattedMode prints each Exchange's partitioning on its own
+  // "Arguments:" line — count those, not the node names
+  private def count(s: String, token: String): Int =
+    s.linesIterator.count(_.trim.startsWith(token))
+
+  test("q43 (TPC-H Q3 shape): dims broadcast, one fact shuffle, top-k folds") {
+    val p = plan("q43_tpch3")
+    assert(!p.contains("SortMergeJoin"), "star dims must broadcast")
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 2, "customer+orders side broadcast")
+    assert(count(p, "Arguments: hashpartitioning") == 1,
+      s"exactly one shuffle (the aggregation), got plan:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      "ORDER BY + LIMIT must fold to TakeOrderedAndProject (no global sort)")
+  }
+
+  test("q44 (TPC-H Q5 shape): all four dims broadcast, one fact shuffle") {
+    val p = plan("q44_tpch5")
+    assert(!p.contains("SortMergeJoin"), "star dims must broadcast")
+    assert(p.sliding("BroadcastHashJoin".length)
+      .count(_ == "BroadcastHashJoin") >= 4,
+      "region/nation/supplier/customer must all broadcast")
+    assert(count(p, "Arguments: hashpartitioning") == 1,
+      s"exactly one shuffle (the aggregation), got plan:\n$p")
+    assert(count(p, "Arguments: rangepartitioning") <= 1,
+      "at most the final ORDER BY range exchange")
+  }
+}
