@@ -328,6 +328,11 @@ object Rayfall {
   final case class VColView(df: DataFrame, base: String, offset: Long) extends RVal
   /** A lambda VALUE bound with (set f (fn [x…] body)) — applied by name;
     * `self` recurses (reference `examples/fib.rfl:2-7`, core/lambda.c). */
+  /** A JVM-native function loaded via `(loadfn class method arity)` —
+    * the analog of the reference's dynlib symbols
+    * (`core/env.c:262` loadfn → dynlib_loadfn). */
+  final case class VNative(name: String, f: Seq[RVal] => RVal) extends RVal
+
   final case class VFn(params: Seq[String], bodies: List[RExpr]) extends RVal {
     def body: RExpr = bodies.last
   }
@@ -790,6 +795,20 @@ object Rayfall {
     * JVM equivalent. No-op when already on the eval thread (nested
     * script/eval/load). */
   private val evalThreadName = "rayfall-eval"
+
+  // ---- script timers (core/chrono.c:361-402 ray_timer): a shared
+  // single-thread scheduler; callbacks evaluate against the live env, so
+  // their observable surface is side effects (journal writes, file
+  // appends) — the analog of the reference's event-loop timers
+  private val timerSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  private val timerReg = new java.util.concurrent.ConcurrentHashMap[
+    java.lang.Long, java.util.concurrent.ScheduledFuture[_]]()
+  private lazy val timerPool =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+      (r: Runnable) => {
+        val t = new Thread(null, r, "rayfall-timer", 64L * 1024 * 1024)
+        t.setDaemon(true); t
+      })
   private def withEvalStack[A](body: => A): A =
     if (Thread.currentThread().getName == evalThreadName) body
     else {
@@ -820,6 +839,7 @@ object Rayfall {
     }.mkString("[", " ", "]")
     case VTab(df) => s"table[${df.columns.mkString(" ")}]"
     case VFn(ps, _) => s"fn[${ps.mkString(" ")}]"
+    case VNative(n, _) => s"native[$n]"
     case VDict(ks, vs) => ks.zip(vs).map { case (k, v) =>
       s"$k: ${v match { case r: RVal => render(r); case x => render(VAtom(x)) }}"
     }.mkString("{", " ", "}")
@@ -862,6 +882,20 @@ object Rayfall {
       case Some(es) => VVec(es.map(e => unwrapAtom(f(e))))
       case None => f(v)
     }
+
+  /** Coerce a script atom to a JVM parameter type (loadfn call sites). */
+  private def coerceJvm(x: Any, t: Class[_]): AnyRef = (x, t) match {
+    case (l: java.lang.Long, c) if c == classOf[Long] || c == classOf[java.lang.Long] => l
+    case (l: java.lang.Long, c) if c == classOf[Int] || c == classOf[java.lang.Integer] =>
+      java.lang.Integer.valueOf(l.intValue)
+    case (l: java.lang.Long, c) if c == classOf[Double] || c == classOf[java.lang.Double] =>
+      java.lang.Double.valueOf(l.doubleValue)
+    case (d: java.lang.Double, c) if c == classOf[Double] || c == classOf[java.lang.Double] => d
+    case (s: String, c) if c == classOf[String] || c == classOf[Object] => s
+    case (v: AnyRef, c) if c.isInstance(v) || c == classOf[Object] => v
+    case (v, c) => throw new IllegalArgumentException(
+      s"loadfn: cannot pass $v to a ${c.getName} parameter")
+  }
 
   private def fnOf(e: RExpr,
                    env: scala.collection.mutable.Map[String, RVal])
@@ -1238,6 +1272,7 @@ object Rayfall {
       case VTab(_) => "TABLE"
       case VDict(_, _) => "DICT"
       case _: VFn => "LAMBDA"
+      case _: VNative => "LAMBDA" // dynlib symbols apply like lambdas
       case VExprs(_) => "LIST" // the reference parse tree is a LIST
       case VRange(_, _) => "I64"
       case cv: VColView => vecType(cv.df.schema(cv.base).dataType)
@@ -1452,6 +1487,68 @@ object Rayfall {
       case RList(RSym("timeit") :: form :: Nil) =>
         val t0 = System.nanoTime(); ev(form)
         VAtom((System.nanoTime() - t0) / 1000000L)
+
+      // (timer interval reps fn) — fire a 1-arg lambda (given the timer
+      // id) every `interval` ms for `reps` repetitions (0 = until
+      // cancelled), returning the id; (timer id) cancels. Mirrors
+      // ray_timer's two arities (core/chrono.c:361-402; the reference's
+      // 3-arg form is (interval, reps, lambda) with NULL_I64 for 0 reps).
+      case RList(RSym("timer") :: i :: Nil) =>
+        Option(timerReg.remove(java.lang.Long.valueOf(num(ev(i)))))
+          .foreach(_.cancel(false))
+        VAtom(null)
+      case RList(RSym("timer") :: iv :: rp :: fnE :: Nil) =>
+        val interval = num(ev(iv))
+        require(interval > 0, s"timer interval must be positive, got $interval")
+        val reps = num(ev(rp))
+        val (ps, bodies) = fnOf(fnE, env)
+        require(ps.length == 1,
+          s"timer lambda takes 1 arg (the id), got ${ps.length}")
+        val id = timerSeq.incrementAndGet()
+        val remaining = new java.util.concurrent.atomic.AtomicLong(
+          if (reps == 0) Long.MaxValue else reps)
+        val task: Runnable = () => {
+          // a failing callback must never kill the scheduler thread
+          try applyFn(spark, ps, bodies, Seq(VAtom(id)), env, hook, out)
+          catch { case scala.util.control.NonFatal(_) => () }
+          if (remaining.decrementAndGet() <= 0)
+            Option(timerReg.remove(java.lang.Long.valueOf(id)))
+              .foreach(_.cancel(false))
+        }
+        timerReg.put(id, timerPool.scheduleAtFixedRate(task, interval,
+          interval, java.util.concurrent.TimeUnit.MILLISECONDS))
+        VAtom(id)
+
+      // (loadfn class method arity) — the reference loads a native symbol
+      // from a shared library (ray_loadfn → dynlib_loadfn); the JVM
+      // analog resolves a public static method from the classpath and
+      // wraps it as a callable script value. Long/Double/String atoms
+      // map to the method's parameters positionally.
+      case RList(RSym("loadfn") :: p :: f :: a :: Nil) =>
+        (ev(p), ev(f), num(ev(a))) match {
+          case (VAtom(cls: String), VAtom(fname: String), arity) =>
+            val m = Class.forName(cls).getMethods.find(m =>
+              m.getName == fname && m.getParameterCount == arity &&
+                java.lang.reflect.Modifier.isStatic(m.getModifiers))
+              .getOrElse(throw new IllegalArgumentException(
+                s"loadfn: no public static $fname/$arity in $cls"))
+            VNative(s"$cls.$fname", args => {
+              require(args.length == arity.toInt,
+                s"$fname expects $arity args, got ${args.length}")
+              val jargs = args.zip(m.getParameterTypes).map {
+                case (VAtom(x), t) => coerceJvm(x, t)
+                case (v, _) => throw new IllegalArgumentException(
+                  s"loadfn args must be atoms, got $v")
+              }
+              m.invoke(null, jargs: _*) match {
+                case null => VAtom(null)
+                case i: java.lang.Integer => VAtom(i.longValue)
+                case x => VAtom(x)
+              }
+            })
+          case (a, b, _) => throw new IllegalArgumentException(
+            s"loadfn needs (class, method, arity), got ($a, $b)")
+        }
       case RList(RSym("resolve") :: RQuote(n) :: Nil) =>
         env.getOrElse(n, VAtom(null))
       case RList(RSym("nil?") :: x :: Nil) =>
@@ -2599,6 +2696,10 @@ object Rayfall {
         val fn = env(f).asInstanceOf[VFn]
         applyFn(spark, fn.params, fn.bodies, args.map(ev), env, hook, out,
           self = Some(fn))
+
+      // application of a loadfn-loaded native function
+      case RList(RSym(f) :: args) if env.get(f).exists(_.isInstanceOf[VNative]) =>
+        env(f).asInstanceOf[VNative].f(args.map(ev))
 
       // everything else: a query/table form for the Column-level evaluator
       case other =>

@@ -1110,6 +1110,39 @@ class LangSpec extends SparkSpec {
       Seq(99L, 100L, 149L))
   }
 
+  test("loadfn: JVM static methods load as script fns " +
+      "(core/env.c:262 ray_loadfn analog)") {
+    assert(atom("(set f (loadfn \"java.lang.Math\" \"max\" 2)) (f 3 9)") == 9L)
+    assert(atom("(set g (loadfn \"java.lang.Math\" \"hypot\" 2)) (g 3 4)")
+      == 5.0)
+    assert(atom("(type (loadfn \"java.lang.Math\" \"abs\" 1))") == "LAMBDA")
+    val bad = scala.util.Try(sv("(loadfn \"java.lang.Math\" \"nope\" 1)"))
+    assert(bad.isFailure && bad.failed.get.getMessage.contains("nope"))
+  }
+
+  test("timer: fires a lambda `reps` times then stops; (timer id) cancels " +
+      "(core/chrono.c:361-402 ray_timer)") {
+    val log = java.nio.file.Files.createTempFile("graft-timer", ".jnl")
+    java.nio.file.Files.delete(log)
+    // 3 reps at 30 ms: each fire journals the timer id
+    sv(s"""(set h (hopen "$log"))
+          |(set t (timer 30 3 (fn [id] (write h id))))""".stripMargin)
+    Thread.sleep(400)
+    val lines = java.nio.file.Files.readAllLines(log)
+    assert(lines.size == 3, s"expected 3 timer fires, got $lines")
+    // cancellation: an until-cancelled timer (reps 0) stops on (timer id)
+    val log2 = java.nio.file.Files.createTempFile("graft-timer2", ".jnl")
+    java.nio.file.Files.delete(log2)
+    sv(s"""(set h (hopen "$log2"))
+          |(set t (timer 30 0 (fn [id] (write h id))))
+          |(timer t)""".stripMargin)
+    Thread.sleep(150)
+    assert(java.nio.file.Files.readAllLines(log2).isEmpty,
+      "cancelled timer must not fire")
+    java.nio.file.Files.deleteIfExists(log)
+    java.nio.file.Files.deleteIfExists(log2)
+  }
+
   test("row: per-group table positions in select; count on values " +
       "(core/env.c:177, core/aggr.c:3118 aggr_row, compose.c:1166 ray_row)") {
     val pre = "(set t (table [g v] (list ['a 'b 'a 'b 'a] [10 20 30 40 50])))"
