@@ -1899,6 +1899,42 @@ object Queries {
         expr("uuid()").as("guid"))
       .filter($"draw" >= 0 && $"draw" < 100)
 
+  // ---------------------------------------------------------------- q52
+  // The dense dictionary-encoded group-by kernel (operators.GroupKernel —
+  // the H2O sub-second engine) under the DuckDB oracle: lineitem grouped
+  // by (returnflag, linestatus) through the Rayfall select path, which
+  // routes to the kernel because the table is encoded and the key
+  // product is dense. Integer sums/min/max/count only — exact on both
+  // engines. Encoded once per (session, dir); reps reuse the blocks.
+  private val kernelTables =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+
+  def q52_kernel_groupby(spark: SparkSession, dir: String): DataFrame = {
+    val li = kernelTables.synchronized {
+      kernelTables.getOrElseUpdate((spark, dir), {
+        val df = t(spark, dir, "lineitem")
+          .select($"l_returnflag", $"l_linestatus", $"l_orderkey",
+            $"l_linenumber")
+        operators.GroupKernel.encode(df,
+          Seq("l_returnflag", "l_linestatus"))
+        df
+      })
+    }
+    rayfall.Rayfall.query(
+      "(select {s: (sum l_linenumber) lo: (min l_orderkey) " +
+        "hi: (max l_orderkey) n: (map count l_orderkey) " +
+        "from: t by: {l_returnflag: l_returnflag l_linestatus: l_linestatus}})",
+      Map("t" -> li))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  private val q52_sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(l_linenumber) AS BIGINT) AS s,
+      |  MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1984,6 +2020,7 @@ object Queries {
     "q49_binr" -> (q49_binr _),
     "q50_time_millis" -> (q50_time_millis _),
     "q51_rand_guid" -> (q51_rand_guid _),
+    "q52_kernel_groupby" -> (q52_kernel_groupby _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2057,6 +2094,7 @@ object Queries {
     "q48_meta" -> q48_sql,
     "q49_binr" -> q49_sql,
     "q50_time_millis" -> q50_sql,
+    "q52_kernel_groupby" -> q52_sql,
     "d06_lsh_candidates" -> d06_sql,
     "d07_simhash_neardup" -> d07_sql,
     "d08_simhash_multiperm" -> d08_sql,
