@@ -767,6 +767,41 @@ object Queries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d11
+  // Near-dup cluster resolution: connected components over the d10
+  // (simhash64) pairs by min-label propagation — every doc labeled with
+  // its cluster's minimum doc_id; `comp == doc_id` rows are the
+  // canonical keep-list. Oracled against a DuckDB recursive transitive
+  // closure over the same edges.
+  def d11_dedup_components(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.simhashNearDup64(docs, "doc_id", "text", maxHamming = 3)
+    Dedup.connectedComponents(docs, "doc_id", pairs)
+      .select($"id".as("doc_id"), $"comp")
+      .orderBy($"doc_id")
+  }
+
+  private val d11_sql = {
+    def chunk(c: String, k: Int) = s"($c // ${1L << (16 * k)}) % 65536"
+    val on = (0 until 4)
+      .map(k => s"${chunk("a.sh", k)} = ${chunk("b.sh", k)}")
+      .mkString(" OR ")
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, ${Text.duck.simhash64Sql("text")} AS sh
+       |  FROM documents),
+       |edges AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sh a JOIN sh b
+       |    ON ($on) AND a.doc_id <> b.doc_id
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+       |walk(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM sh
+       |  UNION
+       |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id)
+       |SELECT id AS doc_id, MIN(comp) AS comp
+       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
   // ================================================================
   // Storage, streaming, temporal, casts, generation (SURVEY §2.1/§2.8/
   // §2.10).
@@ -1970,6 +2005,7 @@ object Queries {
     "d08_simhash_multiperm" -> (d08_simhash_multiperm _),
     "d09_simhash64" -> (d09_simhash64 _),
     "d10_simhash64_neardup" -> (d10_simhash64_neardup _),
+    "d11_dedup_components" -> (d11_dedup_components _),
     "s01_cosine_topk" -> (s01_cosine_topk _),
     "s02_ann_lsh" -> (s02_ann_lsh _),
     "q19_parted" -> (q19_parted _),
@@ -2100,6 +2136,7 @@ object Queries {
     "d08_simhash_multiperm" -> d08_sql,
     "d09_simhash64" -> d09_sql,
     "d10_simhash64_neardup" -> d10_sql,
+    "d11_dedup_components" -> d11_sql,
     "m02_media_decode" -> m02_sql,
     "m03_frame_sample" -> m03_sql,
     "s02_ann_lsh" -> s02_sql,

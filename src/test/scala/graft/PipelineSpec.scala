@@ -132,6 +132,23 @@ class PipelineSpec extends SparkSpec {
     assert(sh.forall(_._2 >= 0L))
   }
 
+  test("connectedComponents: min-label clusters, chains collapse, " +
+      "isolated nodes keep themselves") {
+    val nodes = (1L to 6L).toDF("doc_id")
+    // a 3-chain (1-2, 2-3), a pair (4-5), and isolated 6
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L)
+    val got = Dedup.connectedComponents(nodes, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // cap 0 forces the distributed propagation path — same answer
+    val dist = Dedup.connectedComponents(nodes, "doc_id", pairs,
+      driverEdgeCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist == want)
+  }
+
   test("cosine matches hand-computed value") {
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))).toDF("a", "b")
     val c = df.select(Similarity.cosine($"a", $"b").as("c"))
