@@ -1345,7 +1345,8 @@ object Rayfall {
       case VAtom(x) => Vector(x)
       case cv: VColView => materialize(cv)
       case r: VRange => materializeRange(spark, r)
-      case VTab(_) => throw new IllegalArgumentException("expected a vector")
+      case x => throw new RayfallError(
+        s"expected a vector, got ${typeNameOf(x)}")
     }
     def num(v: RVal): Long = v match {
       case VAtom(l: java.lang.Long) => l
@@ -1927,14 +1928,6 @@ object Rayfall {
           }
           case x => throw new IllegalArgumentException(s"at needs a table, got $x")
         }
-
-      // (map-left fn [a b] vec) — fn of each left element vs the whole
-      // right (core/iter.c:665); the docs' interval constructor yields a
-      // LIST of two vectors [vec∘a, vec∘b]
-      case RList(RSym("map-left") :: RSym(op) :: RVec(items) :: v :: Nil) =>
-        val right = ev(v)
-        VVec(items.map(i =>
-          broadcastArith(op, ev(i), right): Any).toVector)
 
       // (window-join … [k… t] intervals l r {aggs}) with BOUND interval
       // vectors: recover the constant offsets the docs construct them
