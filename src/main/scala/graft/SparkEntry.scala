@@ -497,6 +497,29 @@ object Queries {
       |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t05
+  // PII redaction (emails / IPv4 / long digit runs → typed
+  // placeholders). The synthetic corpus has no PII, so the query plants
+  // a deterministic contact line per doc and redacts it — both engines
+  // build and scrub the same string (Java-regex ∩ RE2 patterns).
+  def t05_redact(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select($"doc_id", Text.redactPii(concat($"text",
+        lit(" contact user"), $"doc_id", lit("@mail.example.com at 10.0."),
+        ($"doc_id" % 256).cast("string"), lit(".7 or 555"),
+        ($"doc_id" % 10000).cast("string"), lit("9999."))).as("clean"))
+      .orderBy($"doc_id")
+
+  private val t05_sql =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(
+      |    text || ' contact user' || doc_id || '@mail.example.com at 10.0.'
+      |      || (doc_id % 256) || '.7 or 555' || (doc_id % 10000) || '9999.',
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+      |    '\b\d{7,}\b', '<NUM>', 'g') AS clean
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- d01
   // Exact dedup: hash-groupBy on the fingerprint, keep min doc_id.
   def d01_dedup_exact(spark: SparkSession, dir: String): DataFrame =
@@ -1995,6 +2018,7 @@ object Queries {
     "t02_quality" -> (t02_quality _),
     "t03_langid" -> (t03_langid _),
     "t04_fingerprint" -> (t04_fingerprint _),
+    "t05_redact" -> (t05_redact _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -2082,6 +2106,7 @@ object Queries {
     "t02_quality" -> t02_sql,
     "t03_langid" -> t03_sql,
     "t04_fingerprint" -> t04_sql,
+    "t05_redact" -> t05_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

@@ -27,6 +27,21 @@ object Text {
   def fingerprint(c: Column): Column =
     md5(lower(regexp_replace(c, "\\s+", " ")))
 
+  /** PII redaction for training corpora: emails, IPv4 addresses and
+    * long digit runs (phone-ish) replaced by typed placeholders, in
+    * that order. Patterns restricted to the Java-regex ∩ RE2 common
+    * subset so the DuckDB oracle replays them identically. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val longNumRe = "\\b\\d{7,}\\b"
+
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      longNumRe, "<NUM>")
+
   /** Punctuation character ratio. */
   def punctRatio(c: Column): Column =
     when(length(c) === 0, 0.0)

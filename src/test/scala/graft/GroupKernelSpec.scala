@@ -103,6 +103,21 @@ class GroupKernelSpec extends SparkSpec {
     assert(k.length == s.length && k.nonEmpty)
   }
 
+  test("null-bearing key columns are skipped at encode — group-bys on " +
+      "them fall back to Catalyst and stay correct") {
+    import spark.implicits._
+    val df = Seq((Some("a"), 1L), (None, 2L), (Some("b"), 3L),
+      (Some("a"), 4L)).toDF("k", "v").cache()
+    df.count()
+    GroupKernel.encode(df, Seq("k")) // k has a null → no dict for k
+    val got = Rayfall.query("(select {s: (sum v) from: t by: k})",
+      Map("t" -> df)).orderBy("k").collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSeq
+    assert(got == Seq((None, 2L), (Some("a"), 5L), (Some("b"), 3L)))
+    GroupKernel.unregister(df)
+    df.unpersist()
+  }
+
   test("non-grouped select on a registered table is untouched") {
     val df = Rayfall.query("(select {v1: v1 id1: id1 from: t take: 5})",
       Map("t" -> registered))

@@ -240,6 +240,22 @@ class PipelineSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
   }
 
+  test("redactPii: emails, IPv4s, 7+-digit runs become placeholders; " +
+      "short numbers and plain text survive") {
+    val df = Seq(
+      "mail bob.smith+x@corp.example.org now",
+      "server 192.168.001.1 port 80",
+      "call 5551234567 ext 42",
+      "version 1.2 of 3 things").toDF("t")
+    val got = df.select(graft.functions.Text.redactPii($"t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq(
+      "mail <EMAIL> now",
+      "server <IP> port 80",
+      "call <NUM> ext 42",
+      "version 1.2 of 3 things"))
+  }
+
   test("langId votes marker words deterministically") {
     val df = Seq("der hund und die katze ist da",
       "the cat and the dog", "xyzzy plugh").toDF("text")
