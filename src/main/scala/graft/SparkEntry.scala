@@ -825,6 +825,49 @@ object Queries {
        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d12
+  // The applied dedup: keep one canonical doc per near-dup cluster
+  // (comp == doc_id) and report the kept corpus with its cluster size —
+  // the end-to-end raw-docs → clusters → shipped-corpus step.
+  def d12_dedup_apply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.simhashNearDup64(docs, "doc_id", "text", maxHamming = 3)
+    val comps = Dedup.connectedComponents(docs, "doc_id", pairs)
+    val sizes = comps.groupBy($"comp").agg(count(lit(1)).as("cluster_n"))
+    comps.filter($"id" === $"comp")
+      .join(sizes, "comp")
+      .join(docs.select($"doc_id", length($"text").as("text_len")),
+        $"id" === $"doc_id")
+      .select($"doc_id", $"cluster_n", $"text_len")
+      .orderBy($"doc_id")
+  }
+
+  private val d12_sql = {
+    def chunk(c: String, k: Int) = s"($c // ${1L << (16 * k)}) % 65536"
+    val on = (0 until 4)
+      .map(k => s"${chunk("a.sh", k)} = ${chunk("b.sh", k)}")
+      .mkString(" OR ")
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, ${Text.duck.simhash64Sql("text")} AS sh
+       |  FROM documents),
+       |edges AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sh a JOIN sh b
+       |    ON ($on) AND a.doc_id <> b.doc_id
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+       |walk(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM sh
+       |  UNION
+       |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+       |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+       |sizes AS (SELECT comp, COUNT(*) AS cluster_n FROM comps GROUP BY comp)
+       |SELECT c.id AS doc_id, s.cluster_n,
+       |  CAST(length(d.text) AS INTEGER) AS text_len
+       |FROM comps c JOIN sizes s ON c.comp = s.comp
+       |  JOIN documents d ON d.doc_id = c.id
+       |WHERE c.id = c.comp ORDER BY doc_id""".stripMargin
+  }
+
   // ================================================================
   // Storage, streaming, temporal, casts, generation (SURVEY §2.1/§2.8/
   // §2.10).
@@ -2030,6 +2073,7 @@ object Queries {
     "d09_simhash64" -> (d09_simhash64 _),
     "d10_simhash64_neardup" -> (d10_simhash64_neardup _),
     "d11_dedup_components" -> (d11_dedup_components _),
+    "d12_dedup_apply" -> (d12_dedup_apply _),
     "s01_cosine_topk" -> (s01_cosine_topk _),
     "s02_ann_lsh" -> (s02_ann_lsh _),
     "q19_parted" -> (q19_parted _),
@@ -2162,6 +2206,7 @@ object Queries {
     "d09_simhash64" -> d09_sql,
     "d10_simhash64_neardup" -> d10_sql,
     "d11_dedup_components" -> d11_sql,
+    "d12_dedup_apply" -> d12_sql,
     "m02_media_decode" -> m02_sql,
     "m03_frame_sample" -> m03_sql,
     "s02_ann_lsh" -> s02_sql,
