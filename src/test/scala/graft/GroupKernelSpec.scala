@@ -103,6 +103,27 @@ class GroupKernelSpec extends SparkSpec {
     assert(k.length == s.length && k.nonEmpty)
   }
 
+  test("large key product (≥ 2^14) takes the multi-block local-combine " +
+      "path and still matches Catalyst") {
+    import org.apache.spark.sql.functions._
+    // 20k distinct keys over 60k rows forces the coalesced several-
+    // blocks-per-task accumulation (the H2O Q3/Q5/Q6 shape)
+    val df = spark.range(60000L).select(
+      concat(lit("id"), pmod(hash($"id" * 3 + 1), lit(20000)).cast("string"))
+        .as("k"),
+      pmod(hash($"id" * 5 + 2), lit(7)).cast("int").as("v")).cache()
+    df.count()
+    GroupKernel.encode(df, Seq("k"))
+    val q = "(select {s: (sum v) n: (count v) from: t by: k})"
+    val kernel = Rayfall.query(q, Map("t" -> df)).orderBy("k")
+      .collect().map(_.toSeq).toSeq
+    GroupKernel.unregister(df)
+    val plain = Rayfall.query(q, Map("t" -> df)).orderBy("k")
+      .collect().map(_.toSeq).toSeq
+    assert(kernel == plain && kernel.size > 15000)
+    df.unpersist()
+  }
+
   test("null-bearing key columns are skipped at encode — group-bys on " +
       "them fall back to Catalyst and stay correct") {
     import spark.implicits._
