@@ -476,20 +476,70 @@ object Rayfall {
     VColView(ranked, "__s", 0L)
   }
 
-  /** Cumulative scan for lazy vectors and the associative op symbols
-    * (+ min max): the q10 running-window shape, seed folded in per the
-    * scan recurrence v_i = f(x_i, v_{i-1}), v_0 = f(x_0, seed). A global
-    * unpartitioned window runs in one task — acceptable as the cap
-    * fallback (the keyed q10 form is the scalable surface; a two-pass
-    * partition-prefix scan is the upgrade path if this becomes hot). */
+  /** Cumulative scan for lazy vectors and `+`: the classic two-pass
+    * distributed prefix scan — pass 1 collects one partial sum per
+    * partition (numPartitions scalars to the driver), pass 2 streams
+    * each partition once more with its prefix offset + the seed folded
+    * in per the scan recurrence v_i = x_i + v_{i-1}, v_0 = x_0 + seed.
+    * No single-task global window, no shuffle: both passes are narrow.
+    * Result type follows the driver path's broadcast arithmetic: double
+    * when the source or the seed is floating, else i64. */
   private def lazyScan(spark: SparkSession, op: String, v: RVal,
                        seed: Any): RVal = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__rowidx"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
     require(op == "+", s"no distributed scan plan for $op")
-    val run = sum(col("__v")).over(w) + lit(seed)
-    VColView(indexedVec(spark, v).select(run.as("__s")), "__s", 0L)
+    val src = indexedVec(spark, v).select(col("__v"))
+    val isDouble = src.schema("__v").dataType ==
+      org.apache.spark.sql.types.DoubleType ||
+      seed.isInstanceOf[java.lang.Double]
+    val rdd = src.rdd
+    def numOf(x: Any): Double = x match {
+      case l: java.lang.Long => l.toDouble
+      case i: java.lang.Integer => i.toDouble
+      case d: java.lang.Double => d
+    }
+    if (isDouble) {
+      val seedD = numOf(seed)
+      val partials = rdd.mapPartitionsWithIndex { (i, it) =>
+        var s = 0.0; it.foreach(r => s += numOf(r.get(0)))
+        Iterator((i, s))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = partials.scanLeft(0.0)(_ + _)
+      val out = rdd.mapPartitionsWithIndex { (i, it) =>
+        var acc = offsets(i) + seedD
+        it.map { r => acc += numOf(r.get(0))
+          new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](acc))
+            : org.apache.spark.sql.catalyst.InternalRow }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__s",
+          org.apache.spark.sql.types.DoubleType)))
+      VColView(org.apache.spark.sql.graftshim.ColumnInternals
+        .internalDataFrame(spark, schema, out), "__s", 0L)
+    } else {
+      def longOf(x: Any): Long = x match {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.toLong
+      }
+      val seedL = longOf(seed)
+      val partials = rdd.mapPartitionsWithIndex { (i, it) =>
+        var s = 0L; it.foreach(r => s += longOf(r.get(0)))
+        Iterator((i, s))
+      }.collect().sortBy(_._1).map(_._2)
+      val offsets = partials.scanLeft(0L)(_ + _)
+      val out = rdd.mapPartitionsWithIndex { (i, it) =>
+        var acc = offsets(i) + seedL
+        it.map { r => acc += longOf(r.get(0))
+          new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](acc))
+            : org.apache.spark.sql.catalyst.InternalRow }
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__s",
+          org.apache.spark.sql.types.LongType)))
+      VColView(org.apache.spark.sql.graftshim.ColumnInternals
+        .internalDataFrame(spark, schema, out), "__s", 0L)
+    }
   }
 
   /** Column-level mirror of the script's broadcast arithmetic (Euclidean
@@ -2573,6 +2623,26 @@ object Rayfall {
               case r: RVal => r
               case v => VAtom(v)
             }
+          // lazy values: one-row actions, no driver materialization
+          case cv: VColView =>
+            val one = cv.df.select(col(cv.base))
+            val r = if (fl == "first") one.limit(1).collect() else one.tail(1)
+            r.headOption.map { row =>
+              VAtom(row.get(0) match {
+                case l: java.lang.Long if cv.offset != 0L =>
+                  java.lang.Long.valueOf(l + cv.offset): Any
+                case i: java.lang.Integer if cv.offset != 0L =>
+                  java.lang.Long.valueOf(i.longValue + cv.offset): Any
+                case x => x
+              })
+            }.getOrElse(VAtom(null))
+          case VRange(n, f) =>
+            if (n == 0) VAtom(null)
+            else {
+              val id = if (fl == "first") 0L else n - 1
+              VAtom(spark.range(id, id + 1).select(f(col("id")))
+                .collect()(0).get(0))
+            }
           case other =>
             val xs = vec(other)
             if (xs.isEmpty) VAtom(null)
@@ -2827,7 +2897,8 @@ object Rayfall {
       case RSym("true" | "false" | "null") => false // literals, not columns
       case RSym(n) => !env.contains(n)
       // the combinators take an OPERATOR symbol first — not a column ref
-      case RList(RSym("map-left" | "map-right" | "fold" | "map" | "pmap") ::
+      case RList(RSym("map-left" | "map-right" | "fold" | "map" | "pmap" |
+          "scan" | "scan-left" | "scan-right" | "fold-left" | "fold-right") ::
           RSym(_) :: rest) => rest.exists(refsColumns(_, env))
       case RList(RSym(_) :: rest) => rest.exists(refsColumns(_, env))
       case RList(items) => items.exists(refsColumns(_, env))

@@ -50,6 +50,15 @@ class LazyVecSpec extends SparkSpec {
       val r = Rayfall.scriptValue(spark,
         "(set v (til 20000)) (sum (reverse v))")
       assert(r == Rayfall.VAtom(20000L * 19999 / 2))
+      // prefix-scan type rule: double seed promotes, and the last
+      // element of (scan + v seed) is sum(v) + seed
+      val s2 = Rayfall.scriptValue(spark,
+        "(set v (til 20000)) (last (scan + v 0.5))")
+      s2 match {
+        case Rayfall.VAtom(d: java.lang.Double) =>
+          assert(math.abs(d - (20000.0 * 19999 / 2 + 0.5)) < 1e-6)
+        case x => fail(s"expected double scan tail, got $x")
+      }
     } finally Rayfall.maxDriverVec = old
   }
 }
