@@ -77,8 +77,11 @@ object H2O {
     // the group keys into global dictionaries once (operators.GroupKernel);
     // Q1-Q6 then run the dense columnar kernel, Q7 (1e7-group product)
     // falls back to the Catalyst plan.
-    if (sys.env.getOrElse("SPARK_GRAFT_H2O_KERNEL", "true") == "true")
+    if (sys.env.getOrElse("SPARK_GRAFT_H2O_KERNEL", "true") == "true") {
+      val te = System.nanoTime()
       operators.GroupKernel.encode(t, Seq("id1", "id2", "id3", "id4", "id5", "id6"))
+      println(f"[h2o] kernel-encode ${(System.nanoTime() - te) / 1e6}%.0f ms")
+    }
     val times = if (!sections("groupby")) Seq.empty else {
       spark.conf.set("spark.sql.adaptive.enabled", aqeGroupBy)
       val r = queries.map { case (name, q) =>

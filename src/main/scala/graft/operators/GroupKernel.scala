@@ -268,8 +268,12 @@ object GroupKernel {
     // shipping cost (P=1e5 × 3 accumulators ≈ 2.4 MB per partition): merge
     // locally first by giving each task several cached blocks (coalesce
     // keeps locality on a cluster), so fewer, same-sized partials travel.
+    // The fan-in is proportional (×4, floor 8) — a fixed small number
+    // would collapse a big cluster's scan to a handful of tasks.
     val src =
-      if (p >= (1 << 14)) enc.blocks.coalesce(8, shuffle = false)
+      if (p >= (1 << 14))
+        enc.blocks.coalesce(
+          math.max(8, enc.blocks.getNumPartitions / 4), shuffle = false)
       else enc.blocks
     val partials = src.mapPartitions { blocks =>
       if (blocks.isEmpty) Iterator.empty
