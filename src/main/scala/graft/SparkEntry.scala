@@ -520,6 +520,31 @@ object Queries {
       |    '\b\d{7,}\b', '<NUM>', 'g') AS clean
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t06
+  // Deterministic weighted sampling (data mixing): per-language keep
+  // rates, decision = Knuth multiplicative hash of doc_id — the same
+  // integer arithmetic DuckDB evaluates, so the SAMPLE ITSELF (not just
+  // its size) is oracle-checked.
+  def t06_sample_mix(spark: SparkSession, dir: String): DataFrame =
+    operators.Sampling.sampleByRates(t(spark, dir, "documents"),
+      "doc_id", "lang", Map("en" -> 0.9, "de" -> 0.5), default = 0.25)
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("kept"),
+        sum(length($"text")).as("kept_chars"),
+        min($"doc_id").as("first_kept"))
+      .orderBy($"lang")
+
+  private val t06_sql =
+    """WITH s AS (SELECT *,
+      |    (doc_id * 2654435761) % 4294967296 / 4294967296.0 AS u,
+      |    CASE WHEN lang = 'de' THEN 0.5 WHEN lang = 'en' THEN 0.9
+      |         ELSE 0.25 END AS rate
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS kept,
+      |  CAST(SUM(length(text)) AS BIGINT) AS kept_chars,
+      |  MIN(doc_id) AS first_kept
+      |FROM s WHERE u < rate GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- d01
   // Exact dedup: hash-groupBy on the fingerprint, keep min doc_id.
   def d01_dedup_exact(spark: SparkSession, dir: String): DataFrame =
@@ -2062,6 +2087,7 @@ object Queries {
     "t03_langid" -> (t03_langid _),
     "t04_fingerprint" -> (t04_fingerprint _),
     "t05_redact" -> (t05_redact _),
+    "t06_sample_mix" -> (t06_sample_mix _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -2151,6 +2177,7 @@ object Queries {
     "t03_langid" -> t03_sql,
     "t04_fingerprint" -> t04_sql,
     "t05_redact" -> t05_sql,
+    "t06_sample_mix" -> t06_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

@@ -256,6 +256,22 @@ class PipelineSpec extends SparkSpec {
       "version 1.2 of 3 things"))
   }
 
+  test("deterministic sampling: reproducible, repartition-stable, and " +
+      "within 2% of the nominal rate at 100k ids") {
+    import org.apache.spark.sql.functions._
+    val ids = spark.range(100000L).toDF("id")
+    val kept = ids.filter(operators.Sampling.keep($"id", lit(0.3)))
+    val n1 = kept.count()
+    assert(math.abs(n1 - 30000L) < 2000, s"rate off: $n1/100000 at 0.3")
+    // same ids, different partitioning → identical sample
+    val n2 = ids.repartition(7).filter(
+      operators.Sampling.keep($"id", lit(0.3))).count()
+    assert(n1 == n2)
+    val first = kept.orderBy("id").limit(5).collect().map(_.getLong(0)).toSeq
+    val again = kept.orderBy("id").limit(5).collect().map(_.getLong(0)).toSeq
+    assert(first == again)
+  }
+
   test("langId votes marker words deterministically") {
     val df = Seq("der hund und die katze ist da",
       "the cat and the dog", "xyzzy plugh").toDF("text")
