@@ -1338,7 +1338,10 @@ object Queries {
   def q35_groupby_wide(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy($"l_returnflag", $"l_linestatus", $"l_suppkey",
-        date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+        // year/month int extracts + lpad: same string as
+        // date_format(…, "yyyy-MM") without the per-row DateTimeFormatter
+        concat(year($"l_shipdate").cast("string"), lit("-"),
+          lpad(month($"l_shipdate").cast("string"), 2, "0")).as("ship_month"))
       .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
       .orderBy($"l_returnflag", $"l_linestatus", $"l_suppkey", $"ship_month")
 
