@@ -206,6 +206,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("distributed prefix scan == driver scan on random lazy vectors") {
+    val cases = Gen.zip(Gen.chooseNum(11000, 40000), Gen.chooseNum(-500L, 500L))
+    forAll(cases) { case (n, seed) =>
+      // n > lazyVecLen makes (til n) a lazy VRange; the lowered cap
+      // forces the distributed prefix-scan path
+      val q = s"(last (scan + (til $n) $seed))"
+      val want = rayfall.Rayfall.scriptValue(spark, q) // driver path
+      val old = rayfall.Rayfall.maxDriverVec
+      try {
+        rayfall.Rayfall.maxDriverVec = 1000
+        assert(rayfall.Rayfall.scriptValue(spark, q) == want)
+      } finally rayfall.Rayfall.maxDriverVec = old
+    }
+  }
+
   test("GroupKernel == Catalyst on random tables, keys, and agg mixes") {
     val tables = Gen.zip(
       Gen.chooseNum(1, 2000),            // rows
