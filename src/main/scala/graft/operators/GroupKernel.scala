@@ -4,6 +4,7 @@ import java.util.IdentityHashMap
 
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions.{approx_count_distinct, col, collect_set, count, lit}
 import org.apache.spark.sql.types._
 import org.apache.spark.storage.StorageLevel
 
@@ -72,21 +73,42 @@ object GroupKernel {
     val fields = df.schema.fields.toSeq
     val typeOf = fields.map(f => f.name -> f.dataType).toMap
 
-    val dicts: Map[String, Array[Any]] = keyCols.flatMap { k =>
-      typeOf.get(k).collect {
-        case StringType | IntegerType | LongType | BooleanType =>
-          val vals = df.select(k).distinct().collect().map(_.get(0))
-          k -> vals
-      }.filter { case (_, vs) => vs.length <= MaxDense && !vs.contains(null) }
-        .map { case (k, vs) =>
-          k -> (typeOf(k) match {
+    // dictionary build in TWO jobs regardless of key count: one stats
+    // pass (row count + per-key approx cardinality + null count) to pick
+    // the dictionary-worthy keys, then one collect_set pass for the
+    // survivors — instead of a distinct().collect() job per key column
+    val candidates = keyCols.filter(k => typeOf.get(k).exists {
+      case StringType | IntegerType | LongType | BooleanType => true
+      case _ => false
+    })
+    val dicts: Map[String, Array[Any]] = if (candidates.isEmpty) Map.empty
+    else {
+      val statAggs = count(lit(1)).as("__n") +: candidates.flatMap(k =>
+        Seq(approx_count_distinct(col(k)).as(s"a_$k"),
+          count(col(k)).as(s"c_$k")))
+      val stats = df.agg(statAggs.head, statAggs.tail: _*).head()
+      val total = stats.getAs[Long]("__n")
+      val survivors = candidates.filter { k =>
+        // 10% approx margin; the exact size is re-checked after collect
+        stats.getAs[Long](s"a_$k") <= MaxDense.toLong * 11 / 10 &&
+          stats.getAs[Long](s"c_$k") == total // nulls disqualify a key
+      }
+      if (survivors.isEmpty) Map.empty
+      else {
+        val setAggs = survivors.map(k => collect_set(col(k)).as(k))
+        val sets = df.agg(setAggs.head, setAggs.tail: _*).head()
+        survivors.flatMap { k =>
+          val vs = sets.getSeq[Any](sets.fieldIndex(k)).toArray
+          if (vs.length > MaxDense) None
+          else Some(k -> (typeOf(k) match {
             case StringType => vs.map(_.asInstanceOf[String]).sorted.toArray[Any]
             case IntegerType => vs.map(_.asInstanceOf[Int]).sorted.toArray[Any]
             case LongType => vs.map(_.asInstanceOf[Long]).sorted.toArray[Any]
             case _ => vs.sortBy(_.toString)
-          })
-        }
-    }.toMap
+          }))
+        }.toMap
+      }
+    }
 
     val longCols = fields.collect {
       case f if f.dataType == IntegerType || f.dataType == LongType => f.name
@@ -98,58 +120,74 @@ object GroupKernel {
       case f if f.dataType == IntegerType => f.name
     }.toSet
 
-    // per-column encoder index maps, broadcast once
+    // per-column encoder index maps, broadcast once. String dicts are
+    // keyed by UTF8String so the encode loop can probe with the scan's
+    // zero-copy getUTF8String pointer — no per-row String allocation.
     val codeMaps: Map[String, java.util.HashMap[Any, Integer]] = dicts.map {
       case (k, vs) =>
         val m = new java.util.HashMap[Any, Integer](vs.length * 2)
-        vs.zipWithIndex.foreach { case (v, i) => m.put(v, i) }
+        vs.zipWithIndex.foreach {
+          case (v: String, i) =>
+            m.put(org.apache.spark.unsafe.types.UTF8String.fromString(v), i)
+          case (v, i) => m.put(v, i)
+        }
         k -> m
     }
     val bcCodes = sc.broadcast(codeMaps)
     val names = fields.map(_.name).toArray
+    val types = fields.map(_.dataType).toArray
     val wantCode = dicts.keySet
     val wantLong = longCols
     val wantDbl = dblCols
 
-    val blocks: RDD[Block] = df.rdd.mapPartitions { it =>
-      val rows = it.toArray
-      if (rows.isEmpty) Iterator.empty
+    // encode straight off InternalRows (the codegen'd scan output):
+    // primitive getters, growable primitive builders, one pass — keeps
+    // the load step off the Row-encoder path entirely
+    val blocks: RDD[Block] = df.queryExecution.toRdd.mapPartitions { it =>
+      val nCols = names.length
+      val codeB = Array.tabulate(nCols)(ci =>
+        if (wantCode(names(ci))) new scala.collection.mutable.ArrayBuilder.ofInt
+        else null)
+      val longB = Array.tabulate(nCols)(ci =>
+        if (wantLong(names(ci))) new scala.collection.mutable.ArrayBuilder.ofLong
+        else null)
+      val dblB = Array.tabulate(nCols)(ci =>
+        if (wantDbl(names(ci))) new scala.collection.mutable.ArrayBuilder.ofDouble
+        else null)
+      val maps = Array.tabulate(nCols)(ci =>
+        if (wantCode(names(ci))) bcCodes.value(names(ci)) else null)
+      var any = false
+      while (it.hasNext) {
+        val row = it.next()
+        any = true
+        var ci = 0
+        while (ci < nCols) {
+          if (codeB(ci) != null) {
+            val key: Any = types(ci) match {
+              case StringType => row.getUTF8String(ci)
+              case IntegerType => Int.box(row.getInt(ci))
+              case LongType => Long.box(row.getLong(ci))
+              case BooleanType => Boolean.box(row.getBoolean(ci))
+            }
+            codeB(ci) += maps(ci).get(key).intValue()
+          }
+          if (longB(ci) != null)
+            longB(ci) += (if (types(ci) == IntegerType) row.getInt(ci).toLong
+                          else row.getLong(ci))
+          else if (dblB(ci) != null)
+            dblB(ci) += (if (types(ci) == FloatType) row.getFloat(ci).toDouble
+                         else row.getDouble(ci))
+          ci += 1
+        }
+      }
+      if (!any) Iterator.empty
       else {
-        val n = rows.length
         val out = Map.newBuilder[String, AnyRef]
         var ci = 0
-        while (ci < names.length) {
-          val name = names(ci)
-          if (wantCode(name)) {
-            val codes = new Array[Int](n)
-            val m = bcCodes.value(name)
-            var i = 0
-            while (i < n) { codes(i) = m.get(rows(i).get(ci)).intValue(); i += 1 }
-            out += s"#$name" -> codes
-          }
-          if (wantLong(name)) {
-            val vs = new Array[Long](n)
-            var i = 0
-            while (i < n) {
-              vs(i) = rows(i).get(ci) match {
-                case x: Int => x.toLong
-                case x: Long => x
-              }
-              i += 1
-            }
-            out += name -> vs
-          } else if (wantDbl(name)) {
-            val vs = new Array[Double](n)
-            var i = 0
-            while (i < n) {
-              vs(i) = rows(i).get(ci) match {
-                case x: Double => x
-                case x: Float => x.toDouble
-              }
-              i += 1
-            }
-            out += name -> vs
-          }
+        while (ci < nCols) {
+          if (codeB(ci) != null) out += s"#${names(ci)}" -> codeB(ci).result()
+          if (longB(ci) != null) out += names(ci) -> longB(ci).result()
+          else if (dblB(ci) != null) out += names(ci) -> dblB(ci).result()
           ci += 1
         }
         Iterator.single(out.result())
