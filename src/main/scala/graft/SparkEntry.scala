@@ -536,7 +536,9 @@ object Queries {
 
   private val t06_sql =
     """WITH s AS (SELECT *,
-      |    (doc_id * 2654435761) % 4294967296 / 4294967296.0 AS u,
+      |    (((doc_id % 2147483648) * 2654435761) % 4294967296
+      |     + ((doc_id // 2147483648) * 2246822519) % 4294967296)
+      |    % 4294967296 / 4294967296.0 AS u,
       |    CASE WHEN lang = 'de' THEN 0.5 WHEN lang = 'en' THEN 0.9
       |         ELSE 0.25 END AS rate
       |  FROM documents)

@@ -232,9 +232,19 @@ object Dedup {
       // min-label per component root
       val minOf = scala.collection.mutable.HashMap.empty[Any, Any]
       val members = parent.keySet ++ parent.values
+      // numeric ids must compare numerically (the distributed path's
+      // least() and the oracle's MIN are numeric) — toString ordering
+      // would flip the canonical keep-id, e.g. min{9,12} = 12
       def lt(x: Any, y: Any): Boolean = (x, y) match {
         case (a: Long, b: Long) => a < b
+        case (a: Int, b: Int) => a < b
+        case (a: Short, b: Short) => a < b
+        case (a: Byte, b: Byte) => a < b
+        case (a: Double, b: Double) => a < b
+        case (a: Float, b: Float) => a < b
         case (a: String, b: String) => a < b
+        case (a: java.lang.Number, b: java.lang.Number) =>
+          a.doubleValue() < b.doubleValue()
         case (a, b) => a.toString < b.toString
       }
       members.foreach { m =>

@@ -54,6 +54,7 @@ object GroupKernel {
       val longCols: Set[String],
       val dblCols: Set[String],
       val intSourced: Set[String],
+      val nullCols: Set[String],
       val blocks: RDD[Block])
 
   private val registry = new IdentityHashMap[DataFrame, Encoded]()
@@ -81,13 +82,24 @@ object GroupKernel {
       case StringType | IntegerType | LongType | BooleanType => true
       case _ => false
     })
+    // null-bearing VALUE columns are excluded from the encodable set:
+    // the dense accumulate loops have no null slots (sum/min/max/avg over
+    // them would silently treat null as 0 / let a phantom value compete,
+    // and the kernel's count is a row count while Catalyst's count(col)
+    // null-skips — reference and Spark both null-skip, core/ops.h:139-204),
+    // so a query aggregating such a column must fall back to Catalyst.
+    var nullValueCols: Set[String] = Set.empty
+    val allNames = fields.map(_.name)
     val dicts: Map[String, Array[Any]] = if (candidates.isEmpty) Map.empty
     else {
-      val statAggs = count(lit(1)).as("__n") +: candidates.flatMap(k =>
+      val statAggs = count(lit(1)).as("__n") +: (candidates.flatMap(k =>
         Seq(approx_count_distinct(col(k)).as(s"a_$k"),
-          count(col(k)).as(s"c_$k")))
+          count(col(k)).as(s"c_$k"))) ++
+        allNames.map(k => count(col(k)).as(s"v_$k")))
       val stats = df.agg(statAggs.head, statAggs.tail: _*).head()
       val total = stats.getAs[Long]("__n")
+      nullValueCols = allNames.filter(k =>
+        stats.getAs[Long](s"v_$k") != total).toSet
       val survivors = candidates.filter { k =>
         // 10% approx margin; the exact size is re-checked after collect
         stats.getAs[Long](s"a_$k") <= MaxDense.toLong * 11 / 10 &&
@@ -111,10 +123,12 @@ object GroupKernel {
     }
 
     val longCols = fields.collect {
-      case f if f.dataType == IntegerType || f.dataType == LongType => f.name
+      case f if (f.dataType == IntegerType || f.dataType == LongType) &&
+        !nullValueCols(f.name) => f.name
     }.toSet
     val dblCols = fields.collect {
-      case f if f.dataType == DoubleType || f.dataType == FloatType => f.name
+      case f if (f.dataType == DoubleType || f.dataType == FloatType) &&
+        !nullValueCols(f.name) => f.name
     }.toSet
     val intSourced = fields.collect {
       case f if f.dataType == IntegerType => f.name
@@ -169,7 +183,13 @@ object GroupKernel {
               case LongType => Long.box(row.getLong(ci))
               case BooleanType => Boolean.box(row.getBoolean(ci))
             }
-            codeB(ci) += maps(ci).get(key).intValue()
+            val code = maps(ci).get(key)
+            if (code == null) throw new IllegalStateException(
+              s"GroupKernel.encode: value $key of column ${names(ci)} not " +
+                "in the dictionary — the table changed between the " +
+                "dictionary build and the encode pass; cache the " +
+                "DataFrame before registering it")
+            codeB(ci) += code.intValue()
           }
           if (longB(ci) != null)
             longB(ci) += (if (types(ci) == IntegerType) row.getInt(ci).toLong
@@ -197,7 +217,7 @@ object GroupKernel {
 
     registry.synchronized {
       registry.put(df, new Encoded(dicts, dicts.keys.map(k => k -> typeOf(k)).toMap,
-        longCols, dblCols, intSourced, blocks))
+        longCols, dblCols, intSourced, nullValueCols, blocks))
     }
   }
 
@@ -220,7 +240,9 @@ object GroupKernel {
       while (a < accL.length) {
         val x = accL(a); val y = o.accL(a)
         opsL(a) match {
-          case OpSum => var i = 0; while (i < p) { x(i) += y(i); i += 1 }
+          // addExact: ANSI mode is on repo-wide, so the Catalyst plan this
+          // kernel replaces raises on BIGINT sum overflow — match it
+          case OpSum => var i = 0; while (i < p) { x(i) = Math.addExact(x(i), y(i)); i += 1 }
           case OpMin => var i = 0; while (i < p) { if (y(i) < x(i)) x(i) = y(i); i += 1 }
           case OpMax => var i = 0; while (i < p) { if (y(i) > x(i)) x(i) = y(i); i += 1 }
         }
@@ -259,6 +281,9 @@ object GroupKernel {
 
     val supported = prims.forall { case (op, c) =>
       op match {
+        // count is LENGTH semantics in the script surface (Rayfall maps
+        // `(count v)` to count(lit(1)), like the reference) — row count
+        // is correct parity even over a null-bearing column
         case "count" => true
         case "sum" | "avg" | "min" | "max" => enc.longCols(c) || enc.dblCols(c)
         case _ => false
@@ -352,7 +377,7 @@ object GroupKernel {
             val acc = accL(a)
             val vs = block(colL(a)).asInstanceOf[Array[Long]]
             opsL(a) match {
-              case OpSum => var i = 0; while (i < n) { acc(codes(i)) += vs(i); i += 1 }
+              case OpSum => var i = 0; while (i < n) { val c = codes(i); acc(c) = Math.addExact(acc(c), vs(i)); i += 1 }
               case OpMin => var i = 0; while (i < n) { val c = codes(i); if (vs(i) < acc(c)) acc(c) = vs(i); i += 1 }
               case OpMax => var i = 0; while (i < n) { val c = codes(i); if (vs(i) > acc(c)) acc(c) = vs(i); i += 1 }
             }

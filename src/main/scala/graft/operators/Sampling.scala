@@ -8,19 +8,29 @@ import graft.StringToColumn
   * decision is a pure function of its id, so a sample is reproducible
   * run-to-run, engine-to-engine, and stable under repartitioning —
   * unlike `rand()`-based sampling, which is none of those. The decision
-  * value is a Knuth multiplicative hash of the id mapped to [0, 1)
-  * (id·2654435761 mod 2³², golden-ratio constant), plain integer
-  * arithmetic any SQL engine evaluates bit-identically — ids up to
-  * ~3.4e9 stay within signed-64 range before the mod.
+  * value is a multiplicative hash mapped to [0, 1): the id is split into
+  * its low 31 bits and the (floored) high word, each word multiplied by
+  * a public odd constant (Knuth 2654435761 / xxHash PRIME32_2) and the
+  * mix reduced mod 2³² — plain integer arithmetic any SQL engine
+  * evaluates bit-identically. The two-word split keeps every multiply
+  * under 2⁶² so the FULL i64 id range is in-domain under ANSI mode (a
+  * 100 TB corpus has more than 2³¹ documents); for ids below 2³¹ the
+  * high word is 0 and the value reduces to the classic id·K mod 2³².
   *
   * At 100 TB this is a narrow map over the scan — no shuffle, no RNG
   * state, prunable columns untouched. */
 object Sampling {
 
-  /** Uniform [0,1) decision value for an integral id column. */
-  def decision(id: Column): Column =
-    pmod(id * lit(2654435761L), lit(4294967296L)).cast("double") /
-      4294967296.0
+  /** Uniform [0,1) decision value for an integral id column (total on
+    * the full i64 range). */
+  def decision(id: Column): Column = {
+    val idL = id.cast("long")
+    val lo = pmod(idL, lit(2147483648L))              // low 31 bits
+    val hi = pmod(shiftright(idL, 31), lit(2147483648L)) // floor(id/2^31)
+    pmod(pmod(lo * lit(2654435761L), lit(4294967296L)) +
+        pmod(hi * lit(2246822519L), lit(4294967296L)),
+      lit(4294967296L)).cast("double") / 4294967296.0
+  }
 
   /** Keep predicate at a fixed rate. */
   def keep(id: Column, rate: Column): Column = decision(id) < rate

@@ -488,32 +488,47 @@ object Rayfall {
                        seed: Any): RVal = {
     require(op == "+", s"no distributed scan plan for $op")
     val src = indexedVec(spark, v).select(col("__v"))
-    val isDouble = src.schema("__v").dataType ==
-      org.apache.spark.sql.types.DoubleType ||
-      seed.isInstanceOf[java.lang.Double]
-    val rdd = src.rdd
+    val dt = src.schema("__v").dataType
+    import org.apache.spark.sql.types.{DoubleType, FloatType, IntegerType, LongType}
+    val isDouble = dt == DoubleType || dt == FloatType ||
+      seed.isInstanceOf[java.lang.Double] || seed.isInstanceOf[java.lang.Float]
+    // read InternalRows off the codegen'd scan (queryExecution.toRdd) —
+    // the Row-encoder path (`src.rdd`) costs ~80 ms / 1e5 rows just in
+    // per-Row conversion (same idiom as GroupKernel.encode)
+    val tag = dt match {
+      case DoubleType => 0; case FloatType => 1
+      case LongType => 2; case IntegerType => 3
+      case x => throw new IllegalArgumentException(s"no scan plan for $x vector")
+    }
+    val rdd = src.queryExecution.toRdd
+    type IR = org.apache.spark.sql.catalyst.InternalRow
+    def getD(r: IR): Double = tag match {
+      case 0 => r.getDouble(0); case 1 => r.getFloat(0).toDouble
+      case 2 => r.getLong(0).toDouble; case _ => r.getInt(0).toDouble
+    }
+    def getL(r: IR): Long =
+      if (tag == 2) r.getLong(0) else r.getInt(0).toLong
     def numOf(x: Any): Double = x match {
       case l: java.lang.Long => l.toDouble
       case i: java.lang.Integer => i.toDouble
+      case f: java.lang.Float => f.toDouble
       case d: java.lang.Double => d
     }
     if (isDouble) {
       val seedD = numOf(seed)
       val partials = rdd.mapPartitionsWithIndex { (i, it) =>
-        var s = 0.0; it.foreach(r => s += numOf(r.get(0)))
+        var s = 0.0; it.foreach(r => s += getD(r))
         Iterator((i, s))
       }.collect().sortBy(_._1).map(_._2)
       val offsets = partials.scanLeft(0.0)(_ + _)
       val out = rdd.mapPartitionsWithIndex { (i, it) =>
         var acc = offsets(i) + seedD
-        it.map { r => acc += numOf(r.get(0))
+        it.map { r => acc += getD(r)
           new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(Array[Any](acc))
-            : org.apache.spark.sql.catalyst.InternalRow }
+            .GenericInternalRow(Array[Any](acc)): IR }
       }
       val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__s",
-          org.apache.spark.sql.types.DoubleType)))
+        org.apache.spark.sql.types.StructField("__s", DoubleType)))
       VColView(org.apache.spark.sql.graftshim.ColumnInternals
         .internalDataFrame(spark, schema, out), "__s", 0L)
     } else {
@@ -523,20 +538,18 @@ object Rayfall {
       }
       val seedL = longOf(seed)
       val partials = rdd.mapPartitionsWithIndex { (i, it) =>
-        var s = 0L; it.foreach(r => s += longOf(r.get(0)))
+        var s = 0L; it.foreach(r => s += getL(r))
         Iterator((i, s))
       }.collect().sortBy(_._1).map(_._2)
       val offsets = partials.scanLeft(0L)(_ + _)
       val out = rdd.mapPartitionsWithIndex { (i, it) =>
         var acc = offsets(i) + seedL
-        it.map { r => acc += longOf(r.get(0))
+        it.map { r => acc += getL(r)
           new org.apache.spark.sql.catalyst.expressions
-            .GenericInternalRow(Array[Any](acc))
-            : org.apache.spark.sql.catalyst.InternalRow }
+            .GenericInternalRow(Array[Any](acc)): IR }
       }
       val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__s",
-          org.apache.spark.sql.types.LongType)))
+        org.apache.spark.sql.types.StructField("__s", LongType)))
       VColView(org.apache.spark.sql.graftshim.ColumnInternals
         .internalDataFrame(spark, schema, out), "__s", 0L)
     }

@@ -139,6 +139,48 @@ class GroupKernelSpec extends SparkSpec {
     df.unpersist()
   }
 
+  test("null-bearing VALUE columns disqualify themselves at encode — " +
+      "aggregates on them fall back to Catalyst null-skip semantics") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1L), 1.5), ("a", None, 2.5), ("b", None, 3.5))
+      .toDF("k", "v", "w").cache()
+    df.count()
+    GroupKernel.encode(df, Seq("k"))
+    // v has nulls → the kernel must NOT answer sum over it (the dense
+    // pass would read 0s); Catalyst null-skips: sum of an all-null group
+    // is null. count keeps LENGTH semantics (rows) on both paths.
+    val got = Rayfall.query(
+      "(select {s: (sum v) n: (count v) from: t by: k})", Map("t" -> df))
+      .orderBy("k").collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 1L, 2L), ("b", null, 1L)))
+    // w is null-free → the kernel still answers over the same table
+    val w = Rayfall.query("(select {s: (sum w) from: t by: k})",
+      Map("t" -> df)).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(w == Seq(("a", 4.0), ("b", 3.5)))
+    GroupKernel.unregister(df)
+    df.unpersist()
+  }
+
+  test("BIGINT sum overflow raises (ANSI parity with the Catalyst plan), " +
+      "not a silent wraparound") {
+    import spark.implicits._
+    val df = Seq(("a", Long.MaxValue), ("a", 1L)).toDF("k", "v").cache()
+    df.count()
+    GroupKernel.encode(df, Seq("k"))
+    val ex = intercept[Exception] {
+      Rayfall.query("(select {s: (sum v) from: t by: k})", Map("t" -> df))
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.toLowerCase.contains("overflow")),
+      s"expected an overflow error, got: $ex")
+    GroupKernel.unregister(df)
+    df.unpersist()
+  }
+
   test("non-grouped select on a registered table is untouched") {
     val df = Rayfall.query("(select {v1: v1 id1: id1 from: t take: 5})",
       Map("t" -> registered))

@@ -61,4 +61,24 @@ class LazyVecSpec extends SparkSpec {
       }
     } finally Rayfall.maxDriverVec = old
   }
+
+  test("FloatType-backed lazy vectors scan on the floating branch " +
+      "(no MatchError on the long path)") {
+    val old = Rayfall.maxDriverVec
+    try {
+      Rayfall.maxDriverVec = 100
+      val p = spark.range(500).select(col("id").as("k"),
+        (col("id") % 7).cast("float").as("v"))
+      val got = Rayfall.script(spark,
+        "(set c (scan + (at p 'v) 0)) (table [k c] (list (at p 'k) c))",
+        Map("p" -> p)).orderBy("k").collect()
+      // prefix-sum recurrence over the float column, checked exactly
+      var acc = 0.0
+      got.zipWithIndex.foreach { case (r, i) =>
+        acc += (i % 7).toDouble
+        assert(math.abs(r.getDouble(1) - acc) < 1e-9, s"row $i")
+      }
+      assert(got.length == 500)
+    } finally Rayfall.maxDriverVec = old
+  }
 }

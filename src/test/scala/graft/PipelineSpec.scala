@@ -272,6 +272,33 @@ class PipelineSpec extends SparkSpec {
     assert(first == again)
   }
 
+  test("sampling decision is total on the full i64 id range (a 100 TB " +
+      "corpus has > 2^31 docs) and matches the classic hash below 2^31") {
+    import org.apache.spark.sql.functions._
+    // ids straddling 2^31, 2^32 and Long extremes: no ANSI overflow,
+    // every decision in [0,1)
+    val big = Seq(0L, 1L, 2147483647L, 2147483648L, 4294967296L,
+      4294967297L, 1L << 40, Long.MaxValue, -1L, Long.MinValue)
+      .toDF("id")
+    val ds = big.select($"id",
+      operators.Sampling.decision($"id").as("u")).collect()
+    ds.foreach(r => assert(r.getDouble(1) >= 0.0 && r.getDouble(1) < 1.0,
+      s"decision out of range for id ${r.getLong(0)}"))
+    // uniformity sanity at scale: rate holds for ids around 2^40
+    val n = spark.range(1L << 40, (1L << 40) + 100000L).toDF("id")
+      .filter(operators.Sampling.keep($"id", lit(0.3))).count()
+    assert(math.abs(n - 30000L) < 2000, s"rate off above 2^32: $n")
+    // below 2^31 the hi word is 0: value equals id*K mod 2^32 (the t06
+    // oracle's historical formula — small-id samples are unchanged)
+    val small = spark.range(1000L).toDF("id").select($"id",
+      operators.Sampling.decision($"id").as("u")).collect()
+    small.foreach { r =>
+      val want = java.lang.Math.floorMod(
+        r.getLong(0) * 2654435761L, 4294967296L).toDouble / 4294967296.0
+      assert(math.abs(r.getDouble(1) - want) < 1e-15)
+    }
+  }
+
   test("langId votes marker words deterministically") {
     val df = Seq("der hund und die katze ist da",
       "the cat and the dog", "xyzzy plugh").toDF("text")
