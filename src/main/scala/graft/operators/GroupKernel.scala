@@ -422,58 +422,97 @@ object GroupKernel {
       case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
       case x => x
     })
-    // Merge + decode run where the partials are: a 1-partition shuffle
-    // (Kryo, a few MB) into one task that merges the dense arrays and
-    // streams decoded InternalRows straight into the lazy finish plan.
-    // The result stays distributed — nothing routes through the driver,
-    // and the caller's action executes the whole thing as ONE job:
-    // scan → tiny shuffle → merge + decode + project.
+    // Merge + decode run where the partials are — nothing routes through
+    // the driver, and the caller's action executes the whole thing as ONE
+    // job: scan → tiny shuffle → merge + decode + project. Small key
+    // products take a 1-partition shuffle (a few KB). Large products
+    // (P ≥ 2^14 — the H2O 1e5-group family) split every partial into
+    // `nChunks` contiguous code ranges and shuffle BY RANGE, so the
+    // merge's fetch + deserialize + dense add + row decode all run
+    // `nChunks`-wide instead of serializing ~partials × P cells through
+    // one task (measured: that single task was the whole Q3/Q5/Q6 gap vs
+    // the reference; the bytes moved are identical, only parallel).
     val nKeys = keyArr.length
     val primsArr = prims.toArray
     val intSrc = enc.intSourced
-    val mergedRows = partials.repartition(1).mapPartitions { ps =>
-      if (ps.isEmpty) Iterator.empty
-      else {
-        val merged = ps.reduce((a, b) => a.merge(b, opsL, opsD))
-        val rows = scala.collection.mutable.ArrayBuffer
-          .empty[org.apache.spark.sql.catalyst.InternalRow]
-        var code = 0
-        while (code < p) {
-          if (merged.counts(code) > 0) {
-            val vals = new Array[Any](nKeys + primsArr.length)
-            var rem = code
-            var j = nKeys - 1
-            while (j >= 0) {
-              vals(j) = dictsInternal(j)(rem % cardsArr(j))
-              rem /= cardsArr(j)
-              j -= 1
-            }
-            var i = 0
-            while (i < primsArr.length) {
-              val (op, c) = primsArr(i)
-              vals(nKeys + i) = op match {
-                case "count" => merged.counts(code)
-                case "avg" =>
-                  val (isL, s) = slotIdx(("sum", c))
-                  if (isL) merged.accL(s)(code).toDouble / merged.counts(code)
-                  else merged.accD(s)(code) / merged.counts(code)
-                case o =>
-                  val (isL, s) = slotIdx((o, c))
-                  if (isL) {
-                    val v = merged.accL(s)(code)
-                    if (intSrc(c) && (o == "min" || o == "max")) v.toInt else v
-                  } else merged.accD(s)(code)
-              }
-              i += 1
-            }
-            rows += new org.apache.spark.sql.catalyst.expressions
-              .GenericInternalRow(vals)
+    // decode one merged dense range [base, base + counts.length) of the
+    // global code space into output rows (key decode + post-agg slots)
+    def decodeRange(merged: Partial, base: Int)
+        : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.catalyst.InternalRow]
+      val len = merged.counts.length
+      var i = 0
+      while (i < len) {
+        if (merged.counts(i) > 0) {
+          val vals = new Array[Any](nKeys + primsArr.length)
+          var rem = base + i
+          var j = nKeys - 1
+          while (j >= 0) {
+            vals(j) = dictsInternal(j)(rem % cardsArr(j))
+            rem /= cardsArr(j)
+            j -= 1
           }
-          code += 1
+          var q = 0
+          while (q < primsArr.length) {
+            val (op, c) = primsArr(q)
+            vals(nKeys + q) = op match {
+              case "count" => merged.counts(i)
+              case "avg" =>
+                val (isL, s) = slotIdx(("sum", c))
+                if (isL) merged.accL(s)(i).toDouble / merged.counts(i)
+                else merged.accD(s)(i) / merged.counts(i)
+              case o =>
+                val (isL, s) = slotIdx((o, c))
+                if (isL) {
+                  val v = merged.accL(s)(i)
+                  if (intSrc(c) && (o == "min" || o == "max")) v.toInt else v
+                } else merged.accD(s)(i)
+            }
+            q += 1
+          }
+          rows += new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(vals)
         }
-        rows.iterator
+        i += 1
       }
+      rows.iterator
     }
+    val nChunks = if (p >= (1 << 14)) 8 else 1
+    val mergedRows =
+      if (nChunks == 1)
+        partials.repartition(1).mapPartitions { ps =>
+          if (ps.isEmpty) Iterator.empty
+          else decodeRange(ps.reduce((a, b) => a.merge(b, opsL, opsD)), 0)
+        }
+      else {
+        val chunkSize = (p + nChunks - 1) / nChunks
+        partials.flatMap { pt =>
+          (0 until nChunks).iterator.map { ch =>
+            val from = ch * chunkSize
+            val until = math.min(p, from + chunkSize)
+            ch -> Partial(
+              java.util.Arrays.copyOfRange(pt.counts, from, until),
+              pt.accL.map(a => java.util.Arrays.copyOfRange(a, from, until)),
+              pt.accD.map(a => java.util.Arrays.copyOfRange(a, from, until)))
+          }
+        }.partitionBy(new org.apache.spark.HashPartitioner(nChunks))
+          .mapPartitions { it =>
+            if (it.isEmpty) Iterator.empty
+            else {
+              // one chunk id per partition (ids 0..nChunks-1 hash to
+              // themselves); merge its slices, decode its code range
+              var ch = -1
+              var merged: Partial = null
+              it.foreach { case (c, slice) =>
+                ch = c
+                merged =
+                  if (merged == null) slice else merged.merge(slice, opsL, opsD)
+              }
+              decodeRange(merged, ch * chunkSize)
+            }
+          }
+      }
     val out = finish(org.apache.spark.sql.graftshim.ColumnInternals
       .internalDataFrame(df.sparkSession, schema, mergedRows))
     lap("build")
