@@ -2066,6 +2066,42 @@ object Queries {
       |  COUNT(*) AS n
       |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  // Kernel under where: — the reference's canonical select ALWAYS runs
+  // its filter fused with the group (core/query.c:311-404); round 8
+  // compiles simple predicates to a mask over the encoded blocks so the
+  // same query text keeps the dense fast path. Numeric >, string !=,
+  // and a string in-list, all fused, under the DuckDB oracle.
+  def q53_kernel_where(spark: SparkSession, dir: String): DataFrame = {
+    val li = kernelTables.synchronized {
+      kernelTables.getOrElseUpdate((spark, dir), {
+        val df = t(spark, dir, "lineitem")
+          .select($"l_returnflag", $"l_linestatus", $"l_orderkey",
+            $"l_linenumber")
+        operators.GroupKernel.encode(df,
+          Seq("l_returnflag", "l_linestatus"))
+        df
+      })
+    }
+    rayfall.Rayfall.query(
+      "(select {s: (sum l_linenumber) n: (map count l_orderkey) " +
+        "lo: (min l_orderkey) " +
+        "from: t where: (and (> l_linenumber 2) (!= l_returnflag \"N\") " +
+        "(in l_linestatus [\"F\"])) " +
+        "by: {l_returnflag: l_returnflag l_linestatus: l_linestatus}})",
+      Map("t" -> li))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  private val q53_sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(l_linenumber) AS BIGINT) AS s,
+      |  COUNT(*) AS n, MIN(l_orderkey) AS lo
+      |FROM lineitem
+      |WHERE l_linenumber > 2 AND l_returnflag <> 'N'
+      |  AND l_linestatus IN ('F')
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2156,6 +2192,7 @@ object Queries {
     "q50_time_millis" -> (q50_time_millis _),
     "q51_rand_guid" -> (q51_rand_guid _),
     "q52_kernel_groupby" -> (q52_kernel_groupby _),
+    "q53_kernel_where" -> (q53_kernel_where _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2232,6 +2269,7 @@ object Queries {
     "q49_binr" -> q49_sql,
     "q50_time_millis" -> q50_sql,
     "q52_kernel_groupby" -> q52_sql,
+    "q53_kernel_where" -> q53_sql,
     "d06_lsh_candidates" -> d06_sql,
     "d07_simhash_neardup" -> d07_sql,
     "d08_simhash_multiperm" -> d08_sql,

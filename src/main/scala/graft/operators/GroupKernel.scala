@@ -226,6 +226,168 @@ object GroupKernel {
   private final val OpMin = 1
   private final val OpMax = 2
 
+  /** Filter predicates the kernel can fuse into the dense pass — the
+    * reference's canonical `(select {… where: … by: …})` always runs its
+    * filter+group fused (`core/query.c:311-404`). The grammar mirrors the
+    * script surface's simple predicate forms (comparison / in / within /
+    * and / or / not over a plain column and literals); anything richer
+    * fails to compile and the caller falls back to the Catalyst plan. */
+  sealed trait Pred extends Serializable
+  object Pred {
+    /** op ∈ < <= > >= = != */
+    final case class Cmp(col: String, op: String, value: Any) extends Pred
+    final case class In(col: String, values: Seq[Any]) extends Pred
+    /** inclusive both ends (reference `within` = between) */
+    final case class Within(col: String, lo: Any, hi: Any) extends Pred
+    final case class And(a: Pred, b: Pred) extends Pred
+    final case class Or(a: Pred, b: Pred) extends Pred
+    final case class Not(p: Pred) extends Pred
+  }
+
+  private type MaskFn = (Block, Int) => Array[Boolean]
+
+  private def longMask(c: String, f: Long => Boolean): MaskFn = (blk, n) => {
+    val vs = blk(c).asInstanceOf[Array[Long]]
+    val m = new Array[Boolean](n); var i = 0
+    while (i < n) { m(i) = f(vs(i)); i += 1 }; m
+  }
+  private def dblMask(c: String, f: Double => Boolean): MaskFn = (blk, n) => {
+    val vs = blk(c).asInstanceOf[Array[Double]]
+    val m = new Array[Boolean](n); var i = 0
+    while (i < n) { m(i) = f(vs(i)); i += 1 }; m
+  }
+  private def codeMask(c: String, ok: Array[Boolean]): MaskFn = (blk, n) => {
+    val cs = blk(s"#$c").asInstanceOf[Array[Int]]
+    val m = new Array[Boolean](n); var i = 0
+    while (i < n) { m(i) = ok(cs(i)); i += 1 }; m
+  }
+
+  private def isIntegral(x: Any): Boolean =
+    x.isInstanceOf[java.lang.Long] || x.isInstanceOf[java.lang.Integer]
+  private def toL(x: Any): Long = x match {
+    case l: java.lang.Long => l; case i: java.lang.Integer => i.toLong
+  }
+  private def toD(x: Any): Double = x match {
+    case l: java.lang.Long => l.toDouble; case i: java.lang.Integer => i.toDouble
+    case d: java.lang.Double => d; case f: java.lang.Float => f.toDouble
+  }
+  private def isNum(x: Any): Boolean = x match {
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Double |
+         _: java.lang.Float => true
+    case _ => false
+  }
+  private def cmpL(op: String, v: Long, k: Long): Boolean = op match {
+    case "<" => v < k; case "<=" => v <= k; case ">" => v > k
+    case ">=" => v >= k; case "=" => v == k; case _ => v != k
+  }
+  private def cmpD(op: String, v: Double, k: Double): Boolean = op match {
+    case "<" => v < k; case "<=" => v <= k; case ">" => v > k
+    case ">=" => v >= k; case "=" => v == k; case _ => v != k
+  }
+  // string order must match Spark's (binary UTF-8), not UTF-16 compareTo
+  private def cmpS(op: String, v: String, k: String): Boolean = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val c = UTF8String.fromString(v).compareTo(UTF8String.fromString(k))
+    op match {
+      case "<" => c < 0; case "<=" => c <= 0; case ">" => c > 0
+      case ">=" => c >= 0; case "=" => c == 0; case _ => c != 0
+    }
+  }
+
+  /** Driver-side compile of a Pred over an encoded table: numeric block
+    * columns evaluate per row; dictionary (string) columns pre-evaluate
+    * ONCE PER DICT CODE — a predicate over a 1e5-value dictionary costs
+    * 1e5 driver comparisons, then one array probe per row. Returns None
+    * (→ Catalyst fallback) for any column/type pairing whose semantics
+    * the kernel can't reproduce exactly. */
+  private def compilePred(enc: Encoded, p: Pred): Option[MaskFn] = p match {
+    case Pred.And(a, b) =>
+      for (x <- compilePred(enc, a); y <- compilePred(enc, b)) yield {
+        (blk: Block, n: Int) => {
+          val m = x(blk, n); val o = y(blk, n); var i = 0
+          while (i < n) { m(i) = m(i) && o(i); i += 1 }; m
+        }: Array[Boolean]
+      }
+    case Pred.Or(a, b) =>
+      for (x <- compilePred(enc, a); y <- compilePred(enc, b)) yield {
+        (blk: Block, n: Int) => {
+          val m = x(blk, n); val o = y(blk, n); var i = 0
+          while (i < n) { m(i) = m(i) || o(i); i += 1 }; m
+        }: Array[Boolean]
+      }
+    case Pred.Not(q) =>
+      compilePred(enc, q).map { x => (blk: Block, n: Int) => {
+        val m = x(blk, n); var i = 0
+        while (i < n) { m(i) = !m(i); i += 1 }; m
+      }: Array[Boolean] }
+    case leaf =>
+      val c = leaf match {
+        case Pred.Cmp(c0, _, _) => c0
+        case Pred.In(c0, _) => c0
+        case Pred.Within(c0, _, _) => c0
+        case _ => return None
+      }
+      if (enc.longCols(c)) compileNumLeaf(leaf, isLong = true)
+      else if (enc.dblCols(c)) compileNumLeaf(leaf, isLong = false)
+      else if (enc.dicts.contains(c) && enc.keyTypes(c) == StringType)
+        compileDictLeaf(enc, c, leaf)
+      else None
+
+    }
+
+  /** Numeric leaf: integral column+literals compare as Long, anything
+    * floating compares as Double — the same promotions Catalyst applies. */
+  private def compileNumLeaf(leaf: Pred, isLong: Boolean): Option[MaskFn] =
+    leaf match {
+      case Pred.Cmp(c, op, v) if isNum(v) =>
+        if (isLong && isIntegral(v)) { val k = toL(v); Some(longMask(c, cmpL(op, _, k))) }
+        else if (isLong) { val k = toD(v); Some(longMask(c, x => cmpD(op, x.toDouble, k))) }
+        else { val k = toD(v); Some(dblMask(c, cmpD(op, _, k))) }
+      case Pred.Within(c, lo, hi) if isNum(lo) && isNum(hi) =>
+        if (isLong && isIntegral(lo) && isIntegral(hi)) {
+          val l = toL(lo); val h = toL(hi)
+          Some(longMask(c, x => x >= l && x <= h))
+        } else if (isLong) {
+          val l = toD(lo); val h = toD(hi)
+          Some(longMask(c, x => { val d = x.toDouble; d >= l && d <= h }))
+        } else {
+          val l = toD(lo); val h = toD(hi)
+          Some(dblMask(c, x => x >= l && x <= h))
+        }
+      case Pred.In(c, vs) if vs.nonEmpty && vs.forall(isNum) =>
+        if (isLong && vs.forall(isIntegral)) {
+          val ks = vs.map(toL).toArray
+          Some(longMask(c, x => { var i = 0; var hit = false
+            while (i < ks.length && !hit) { hit = ks(i) == x; i += 1 }; hit }))
+        } else {
+          val ks = vs.map(toD).toArray
+          val f = (d: Double) => { var i = 0; var hit = false
+            while (i < ks.length && !hit) { hit = ks(i) == d; i += 1 }; hit }
+          if (isLong) Some(longMask(c, x => f(x.toDouble)))
+          else Some(dblMask(c, f))
+        }
+      case _ => None
+    }
+
+  /** String-dictionary leaf: evaluate the predicate once per dict value
+    * on the driver, probe per row. Only string literals compile (mixed
+    * string/number comparisons fall back to Catalyst's cast semantics). */
+  private def compileDictLeaf(enc: Encoded, c: String, leaf: Pred)
+      : Option[MaskFn] = {
+    val dict = enc.dicts(c)
+    def build(f: String => Boolean): MaskFn =
+      codeMask(c, dict.map(v => f(v.asInstanceOf[String])))
+    leaf match {
+      case Pred.Cmp(_, op, k: String) => Some(build(cmpS(op, _, k)))
+      case Pred.Within(_, lo: String, hi: String) =>
+        Some(build(v => cmpS(">=", v, lo) && cmpS("<=", v, hi)))
+      case Pred.In(_, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        val set = vs.map(_.asInstanceOf[String]).toSet
+        Some(build(set.contains))
+      case _ => None
+    }
+  }
+
   /** Dense per-partition partials: occupancy counts + one slot array per
     * long/double accumulator. */
   private final case class Partial(
@@ -268,7 +430,8 @@ object GroupKernel {
     * primitive cols, Spark-typed) and applies the query's post-arithmetic
     * and naming. Returns None whenever the kernel doesn't apply. */
   def tryRun(df: DataFrame, keys: Seq[String], prims: Seq[(String, String)],
-             finish: DataFrame => DataFrame): Option[DataFrame] = {
+             finish: DataFrame => DataFrame,
+             filter: Option[Pred] = None): Option[DataFrame] = {
     val enc = registry.synchronized(registry.get(df))
     if (enc == null || keys.isEmpty) return None
     if (!keys.forall(enc.dicts.contains)) return None
@@ -290,6 +453,12 @@ object GroupKernel {
       }
     }
     if (!supported) return None
+    // fused filter: compile once on the driver (dict leaves pre-evaluate
+    // per code); an uncompilable predicate falls back to Catalyst
+    val maskF: MaskFn = filter match {
+      case None => null
+      case Some(pred) => compilePred(enc, pred).getOrElse(return None)
+    }
 
     // accumulator plan: avg(int) sums in Long (exact), avg(double) in Double
     final case class Slot(op: Int, col: String, isLong: Boolean, init: Long, initD: Double)
@@ -353,22 +522,43 @@ object GroupKernel {
           acc
         }
         var codes: Array[Int] = null
+        var idx: Array[Int] = null
         blocks.foreach { block =>
           val keyCodes = keyArr.map(k => block(s"#$k").asInstanceOf[Array[Int]])
           val n = if (keyCodes.isEmpty) 0 else keyCodes(0).length
           if (codes == null || codes.length < n) codes = new Array[Int](n)
-          // pass 1: combined dense codes + occupancy
+          val mask = if (maskF == null) null else maskF(block, n)
+          // pass 1: combined dense codes + occupancy. With a fused filter
+          // the surviving rows compact into codes[0..m) with idx mapping
+          // back to source positions, so the value loops below stay tight
+          // (branch-free over m) instead of re-testing the mask per slot.
           val k0 = keyCodes(0)
-          if (keyCodes.length == 1) {
-            var i = 0
-            while (i < n) { val c = k0(i); codes(i) = c; counts(c) += 1; i += 1 }
+          var m = 0
+          if (mask == null) {
+            if (keyCodes.length == 1) {
+              var i = 0
+              while (i < n) { val c = k0(i); codes(i) = c; counts(c) += 1; i += 1 }
+            } else {
+              var i = 0
+              while (i < n) {
+                var c = k0(i)
+                var j = 1
+                while (j < keyCodes.length) { c = c * cardsArr(j) + keyCodes(j)(i); j += 1 }
+                codes(i) = c; counts(c) += 1; i += 1
+              }
+            }
+            m = n
           } else {
+            if (idx == null || idx.length < n) idx = new Array[Int](n)
             var i = 0
             while (i < n) {
-              var c = k0(i)
-              var j = 1
-              while (j < keyCodes.length) { c = c * cardsArr(j) + keyCodes(j)(i); j += 1 }
-              codes(i) = c; counts(c) += 1; i += 1
+              if (mask(i)) {
+                var c = k0(i)
+                var j = 1
+                while (j < keyCodes.length) { c = c * cardsArr(j) + keyCodes(j)(i); j += 1 }
+                codes(m) = c; idx(m) = i; counts(c) += 1; m += 1
+              }
+              i += 1
             }
           }
           // pass 2: one tight loop per accumulator
@@ -376,10 +566,14 @@ object GroupKernel {
           while (a < colL.length) {
             val acc = accL(a)
             val vs = block(colL(a)).asInstanceOf[Array[Long]]
-            opsL(a) match {
-              case OpSum => var i = 0; while (i < n) { val c = codes(i); acc(c) = Math.addExact(acc(c), vs(i)); i += 1 }
-              case OpMin => var i = 0; while (i < n) { val c = codes(i); if (vs(i) < acc(c)) acc(c) = vs(i); i += 1 }
-              case OpMax => var i = 0; while (i < n) { val c = codes(i); if (vs(i) > acc(c)) acc(c) = vs(i); i += 1 }
+            if (mask == null) opsL(a) match {
+              case OpSum => var i = 0; while (i < m) { val c = codes(i); acc(c) = Math.addExact(acc(c), vs(i)); i += 1 }
+              case OpMin => var i = 0; while (i < m) { val c = codes(i); if (vs(i) < acc(c)) acc(c) = vs(i); i += 1 }
+              case OpMax => var i = 0; while (i < m) { val c = codes(i); if (vs(i) > acc(c)) acc(c) = vs(i); i += 1 }
+            } else opsL(a) match {
+              case OpSum => var i = 0; while (i < m) { val c = codes(i); acc(c) = Math.addExact(acc(c), vs(idx(i))); i += 1 }
+              case OpMin => var i = 0; while (i < m) { val c = codes(i); val v = vs(idx(i)); if (v < acc(c)) acc(c) = v; i += 1 }
+              case OpMax => var i = 0; while (i < m) { val c = codes(i); val v = vs(idx(i)); if (v > acc(c)) acc(c) = v; i += 1 }
             }
             a += 1
           }
@@ -387,10 +581,14 @@ object GroupKernel {
           while (a < colD.length) {
             val acc = accD(a)
             val vs = block(colD(a)).asInstanceOf[Array[Double]]
-            opsD(a) match {
-              case OpSum => var i = 0; while (i < n) { acc(codes(i)) += vs(i); i += 1 }
-              case OpMin => var i = 0; while (i < n) { val c = codes(i); if (vs(i) < acc(c)) acc(c) = vs(i); i += 1 }
-              case OpMax => var i = 0; while (i < n) { val c = codes(i); if (vs(i) > acc(c)) acc(c) = vs(i); i += 1 }
+            if (mask == null) opsD(a) match {
+              case OpSum => var i = 0; while (i < m) { acc(codes(i)) += vs(i); i += 1 }
+              case OpMin => var i = 0; while (i < m) { val c = codes(i); if (vs(i) < acc(c)) acc(c) = vs(i); i += 1 }
+              case OpMax => var i = 0; while (i < m) { val c = codes(i); if (vs(i) > acc(c)) acc(c) = vs(i); i += 1 }
+            } else opsD(a) match {
+              case OpSum => var i = 0; while (i < m) { acc(codes(i)) += vs(idx(i)); i += 1 }
+              case OpMin => var i = 0; while (i < m) { val c = codes(i); val v = vs(idx(i)); if (v < acc(c)) acc(c) = v; i += 1 }
+              case OpMax => var i = 0; while (i < m) { val c = codes(i); val v = vs(idx(i)); if (v > acc(c)) acc(c) = v; i += 1 }
             }
             a += 1
           }

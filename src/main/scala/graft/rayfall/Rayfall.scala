@@ -3292,12 +3292,20 @@ object Rayfall {
         Set("from", "where", "by", "take").contains(k) }
       val by = opts.get("by").toList.flatMap(byNames)
       // dense dictionary-encoded kernel fast path (operators.GroupKernel):
-      // applies only to registered tables, plain grouped aggregates, no
-      // where/take — anything else falls through to the Catalyst plan.
+      // applies to registered tables with plain grouped aggregates and no
+      // take; simple where-predicates fuse into the dense pass (the
+      // reference's canonical select always runs filter+group fused,
+      // core/query.c:311-404) — anything else falls through to Catalyst.
       val kernel =
-        if (opts.contains("where") || opts.contains("take") || by.isEmpty ||
+        if (opts.contains("take") || by.isEmpty ||
             rawMappings.isEmpty || !graft.operators.GroupKernel.has(table)) None
-        else kernelSelect(table, rawMappings, by)
+        else opts.get("where") match {
+          case None => kernelSelect(table, rawMappings, by, None)
+          case Some(w) => kernelPred(w) match {
+            case None => None // not kernel-compilable → Catalyst
+            case p => kernelSelect(table, rawMappings, by, p)
+          }
+        }
       kernel.getOrElse {
         // script `row` form (core/env.c:177, core/aggr.c:3118 aggr_row):
         // 0-based table positions — per-group lists under by:, bare
@@ -3352,7 +3360,9 @@ object Rayfall {
   }
 
   private def kernelSelect(table: DataFrame, rawMappings: List[(String, RExpr)],
-                           by: Seq[String]): Option[DataFrame] = {
+                           by: Seq[String],
+                           filter: Option[graft.operators.GroupKernel.Pred])
+      : Option[DataFrame] = {
     val prims = scala.collection.mutable.LinkedHashMap.empty[(String, String), String]
     val trees = rawMappings.map { case (n, e) => kernelAggTree(e, prims).map(n -> _) }
     if (trees.exists(_.isEmpty)) return None
@@ -3362,7 +3372,48 @@ object Rayfall {
       prims.values.map(ph => ph -> col(ph)).toMap
     graft.operators.GroupKernel.tryRun(table, by, prims.keys.toSeq, small =>
       small.select(by.map(col) ++ trees.flatten.map { case (n, t) =>
-        toColumn(t, bind).as(n) }: _*))
+        toColumn(t, bind).as(n) }: _*), filter)
+  }
+
+  /** where:-clause → kernel Pred, mirroring apply1's predicate semantics
+    * (comparisons, in over a literal vector, inclusive within, variadic
+    * and/or, not) — column-vs-LITERAL leaves only. Anything else → None
+    * and the select keeps its Catalyst plan. */
+  private def kernelPred(e: RExpr)
+      : Option[graft.operators.GroupKernel.Pred] = {
+    import graft.operators.GroupKernel.Pred
+    def lit1(x: RExpr): Option[Any] = x match {
+      case RNum(_, true, l) => Some(Long.box(l))
+      case RNum(v, false, _) => Some(Double.box(v))
+      case RStr(s) => Some(s)
+      case RQuote(s) => Some(s)
+      case _ => None
+    }
+    val cmpOps = Set("<", ">", "<=", ">=", "=", "==", "!=")
+    def norm(op: String) = if (op == "==") "=" else op
+    def flip(op: String) = op match {
+      case "<" => ">"; case ">" => "<"; case "<=" => ">="
+      case ">=" => "<="; case o => o
+    }
+    def seqOpt[A](xs: List[Option[A]]): Option[List[A]] =
+      if (xs.forall(_.isDefined)) Some(xs.map(_.get)) else None
+    e match {
+      case RList(RSym("and") :: args) if args.length >= 2 =>
+        seqOpt(args.map(kernelPred)).map(_.reduce(Pred.And(_, _)))
+      case RList(RSym("or") :: args) if args.length >= 2 =>
+        seqOpt(args.map(kernelPred)).map(_.reduce(Pred.Or(_, _)))
+      case RList(RSym("not") :: a :: Nil) => kernelPred(a).map(Pred.Not(_))
+      case RList(RSym(op) :: RSym(c) :: v :: Nil) if cmpOps(op) =>
+        lit1(v).map(Pred.Cmp(c, norm(op), _))
+      case RList(RSym(op) :: v :: RSym(c) :: Nil)
+          if cmpOps(op) && lit1(v).isDefined =>
+        lit1(v).map(x => Pred.Cmp(c, flip(norm(op)), x))
+      case RList(RSym("within") :: RSym(c) :: RVec(List(lo, hi)) :: Nil) =>
+        for (l <- lit1(lo); h <- lit1(hi)) yield Pred.Within(c, l, h)
+      case RList(RSym("in") :: RSym(c) :: RVec(items) :: Nil) =>
+        seqOpt(items.map(lit1)).filter(_.nonEmpty).map(Pred.In(c, _))
+      case _ => None
+    }
   }
 
   private def evalTable(e: RExpr, tables: Map[String, DataFrame]): DataFrame =

@@ -88,12 +88,58 @@ class GroupKernelSpec extends SparkSpec {
     assert(kdf.schema("lo").dataType == org.apache.spark.sql.types.IntegerType)
   }
 
-  test("where / take / unsupported aggs fall back to the Catalyst plan") {
-    // med is not a kernel primitive; where and take disable the kernel —
-    // all three must still answer correctly through the fallback
+  // kernel results come back through an internal-rows scan (LogicalRDD);
+  // the Catalyst fallback aggregates the cached relation directly
+  private def usedKernel(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.collect {
+      case _: org.apache.spark.sql.execution.LogicalRDD => true
+    }.nonEmpty
+
+  test("take / unsupported aggs fall back to the Catalyst plan") {
+    // med is not a kernel primitive — must still answer correctly
     assertSame("(select {v1: (med v1) from: t by: id1})")
-    val q = "(select {v1: (sum v1) from: t where: (> v2 2) by: id1})"
-    assertSame(q)
+    assert(!usedKernel(Rayfall.query(
+      "(select {v1: (med v1) from: t by: id1})", Map("t" -> registered))))
+  }
+
+  test("simple where-predicates fuse into the dense pass and match " +
+      "Catalyst on every leaf form") {
+    val qs = Seq(
+      "(select {v1: (sum v1) from: t where: (> v2 2) by: id1})",
+      "(select {v3: (avg v3) from: t where: (<= v3 500000.0) by: id4})",
+      "(select {n: (count v1) s: (sum v3) from: t where: (= id1 \"id042\") by: id2})",
+      "(select {v1: (sum v1) from: t where: (< id1 \"id050\") by: id4})",
+      "(select {v1: (sum v1) from: t where: (in id4 [1 2 3]) by: id1})",
+      "(select {v1: (sum v1) from: t where: (in id1 [\"id001\" \"id002\"]) by: id4})",
+      "(select {v2: (sum v2) from: t where: (within v1 [2 4]) by: id5})",
+      // literal-first comparison flips; nested and/or/not combine masks
+      "(select {v1: (sum v1) from: t where: (> 3 v1) by: id1})",
+      "(select {v1: (sum v1) from: t where: " +
+        "(and (> v1 2) (or (= id2 \"id001\") (not (in id4 [5])))) by: id1})")
+    qs.foreach { q =>
+      assertSame(q)
+      assert(usedKernel(Rayfall.query(q, Map("t" -> registered))),
+        s"expected the kernel route for $q")
+    }
+  }
+
+  test("predicates the kernel can't compile (like, column-vs-column, " +
+      "unencoded columns) fall back to Catalyst and stay correct") {
+    val qs = Seq(
+      "(select {v1: (sum v1) from: t where: (like id1 \"id00*\") by: id4})",
+      "(select {v1: (sum v1) from: t where: (> v1 v2) by: id1})")
+    qs.foreach { q =>
+      assertSame(q)
+      assert(!usedKernel(Rayfall.query(q, Map("t" -> registered))),
+        s"expected the Catalyst route for $q")
+    }
+  }
+
+  test("where-fused kernel keeps filtered-out groups absent (not " +
+      "zero-count rows), like Catalyst") {
+    val (k, s) = both("(select {v1: (sum v1) from: t " +
+      "where: (= id1 \"id042\") by: id1})")
+    assert(k.length == 1 && k.sameElements(s))
   }
 
   test("huge key product (Q7 shape) falls back and still answers") {
