@@ -1646,23 +1646,50 @@ object Queries {
   private def duckCos(a: String, b: String) =
     s"list_inner_product($a, $b) / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b)))"
 
-  // Self-contained IVF replication: centroids = every 16th of the first
-  // 128 rows by id; assignment = argmax cosine (sim DESC, cell ASC);
-  // probe = the query's 2 nearest cells; exact rerank within them.
+  /** One Lloyd iteration in DuckDB: assign to `prev` centroids (argmax
+    * cosine, lowest cell on ties — NearestCentroid's rule), then the
+    * element-wise mean per cell with coordinate sums in DECIMAL(38,18) —
+    * exact, so bit-identical to the Spark build; empty cells keep their
+    * previous centroid. Produces CTEs a<n>, m<n>, cent<n>. */
+  private def lloydIterSql(prev: String, n: Int): String =
+    s"""  a$n AS (SELECT id, v, cell FROM (
+       |    SELECT v.id, v.v, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.id
+       |        ORDER BY ${duckCos("v.v", "c.cv")} DESC, c.cell) AS rk
+       |    FROM v CROSS JOIN $prev c) WHERE rk = 1),
+       |  m$n AS (SELECT a.cell, p.pos,
+       |      CAST(SUM(CAST(a.v[p.pos] AS DECIMAL(38,18))) AS DOUBLE)
+       |        / COUNT(*) AS m
+       |    FROM a$n a CROSS JOIN
+       |      (SELECT generate_series AS pos FROM generate_series(1, 64)) p
+       |    GROUP BY a.cell, p.pos),
+       |  cent$n AS (SELECT c.cell,
+       |      CASE WHEN COUNT(m.m) = 0 THEN first(c.cv)
+       |           ELSE list(m.m ORDER BY m.pos) END AS cv
+       |    FROM $prev c LEFT JOIN m$n m ON m.cell = c.cell
+       |    GROUP BY c.cell)""".stripMargin
+
+  // Self-contained IVF replication: seed centroids = every 16th of the
+  // first 128 rows by id, refined by 3 Lloyd iterations (exact decimal
+  // means — see lloydIterSql); assignment = argmax cosine (sim DESC,
+  // cell ASC); probe = the query's 2 nearest cells; exact rerank within.
   private val s03_sql =
     s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
        |    FROM embeddings),
        |  topv AS (SELECT id, v FROM v ORDER BY id LIMIT 128),
        |  num AS (SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM topv),
-       |  cent AS (SELECT CAST(rn // 16 AS INT) AS cell, v AS cv
+       |  cent0 AS (SELECT CAST(rn // 16 AS INT) AS cell, v AS cv
        |    FROM num WHERE rn % 16 = 1),
+       |${lloydIterSql("cent0", 1)},
+       |${lloydIterSql("cent1", 2)},
+       |${lloydIterSql("cent2", 3)},
        |  a AS (SELECT id, v, cell FROM (
        |    SELECT v.id, v.v, c.cell,
        |      ROW_NUMBER() OVER (PARTITION BY v.id
        |        ORDER BY ${duckCos("v.v", "c.cv")} DESC, c.cell) AS rk
-       |    FROM v CROSS JOIN cent c) WHERE rk = 1),
+       |    FROM v CROSS JOIN cent3 c) WHERE rk = 1),
        |  q AS (SELECT v AS qv FROM v WHERE id = 0),
-       |  probe AS (SELECT c.cell FROM cent c, q
+       |  probe AS (SELECT c.cell FROM cent3 c, q
        |    ORDER BY ${duckCos("q.qv", "c.cv")} DESC, c.cell LIMIT 2)
        |SELECT a.id AS vec_id, ROUND(list_cosine_similarity(a.v, q.qv), 6) AS score
        |FROM a, q WHERE a.cell IN (SELECT cell FROM probe) AND a.id <> 0
@@ -1679,7 +1706,9 @@ object Queries {
   // reads only nProbe/nCells of the corpus (rows-only; scores asserted
   // against brute force in PipelineSpec).
   def s04_ivf_index(spark: SparkSession, dir: String): DataFrame = {
-    val path = s"/tmp/graft_ivf/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // v2: round-8 Lloyd centroids — new path so a stale every-16th index
+    // staged by an earlier run can't satisfy the _SUCCESS guard
+    val path = s"/tmp/graft_ivf_v2/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
     if (!new java.io.File(s"$path/vectors/_SUCCESS").exists())
       Similarity.buildIvfIndex(t(spark, dir, "embeddings"),
         "vec_id", "embedding", nCells = 8, path)

@@ -60,15 +60,12 @@ object Similarity {
   }
 
   /** IVF (inverted-file) index: partition vectors into cells by nearest
-    * coarse centroid, search only the query's cell(s). Centroids are
-    * taken deterministically from the data (every n/k-th vector) — at
-    * scale you'd k-means them; assignment/search machinery is identical.
+    * coarse centroid, search only the query's cell(s).
     *
     * @param nProbe how many nearest cells to search (recall knob)
     */
-  /** Deterministic coarse centroids: every 16th of the first nCells*16
-    * rows by id order (at scale you'd k-means; the assignment/search
-    * machinery is identical). nCells rows — always driver-collectable. */
+  /** Deterministic SEED centroids: every 16th of the first nCells*16
+    * rows by id order. nCells rows — always driver-collectable. */
   private def centroidRows(v: DataFrame, nCells: Int): Array[(Int, Seq[Double])] =
     v.orderBy(col("id")).limit(nCells * 16)
       .withColumn("__rn", row_number().over(
@@ -78,6 +75,47 @@ object Similarity {
       .collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
+
+  /** Lloyd's k-means refinement of the seed centroids: each iteration is
+    * one distributed assignment pass (the codegen NearestCentroid — no
+    * shuffle) plus one element-wise mean aggregation (one shuffle,
+    * O(cells × dim) output). Means sum per coordinate in DECIMAL(38,18):
+    * exact, so order-independent and BIT-IDENTICAL in any engine — that
+    * keeps the whole build replayable as the s03/s04 DuckDB oracle.
+    * Cells that lose all members keep their previous centroid. At 100 TB
+    * each iteration is a scan + a cells×dim-sized agg — the standard
+    * batch index-build cost, bounded and deterministic. */
+  private[graft] def lloyd(v: DataFrame, seeds: Array[(Int, Seq[Double])],
+                           iters: Int): Array[(Int, Seq[Double])] = {
+    var cents = seeds
+    var it = 0
+    while (it < iters) {
+      val means = assignCells(v, cents)
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cell"), col("pos"))
+        .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("m"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)")
+          .as("cv"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.map { case (cell, old) => (cell, means.getOrElse(cell, old)) }
+      it += 1
+    }
+    cents
+  }
+
+  /** Default Lloyd iterations for the IVF build (0 = raw seeds). */
+  private[graft] val LloydIters = 3
+
+  /** Seed + refine in one call (spec/diagnostic surface). */
+  private[graft] def fitCentroids(df: DataFrame, idCol: String, vecCol: String,
+                                  nCells: Int, iters: Int): Array[(Int, Seq[Double])] = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    lloyd(v, centroidRows(v, nCells), iters)
+  }
 
   /** Single-pass, shuffle-free cell assignment: the centroid matrix rides
     * along as one array<array<double>> literal and the codegen'd
@@ -91,10 +129,11 @@ object Similarity {
   }
 
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
-              queryId: Long, k: Int, nCells: Int, nProbe: Int = 1): DataFrame = {
+              queryId: Long, k: Int, nCells: Int, nProbe: Int = 1,
+              lloydIters: Int = LloydIters): DataFrame = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val cents = centroidRows(v, nCells)
+    val cents = lloyd(v, centroidRows(v, nCells), lloydIters)
     val assigned = assignCells(v, cents)
     // the query's nProbe nearest cells — nCells candidates, driver-side
     val qv = v.filter(col("id") === queryId).select(col("v"))
@@ -119,10 +158,11 @@ object Similarity {
     * Build cost is one assignment pass + one partitioned write — the
     * batch-index lifecycle a 100 TB embedding store needs. */
   def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
-                    nCells: Int, path: String): Unit = {
+                    nCells: Int, path: String,
+                    lloydIters: Int = LloydIters): Unit = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val cents = centroidRows(v, nCells)
+    val cents = lloyd(v, centroidRows(v, nCells), lloydIters)
     val spark = df.sparkSession
     import spark.implicits._
     cents.toSeq.toDF("cell", "cv")

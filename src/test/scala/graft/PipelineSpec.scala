@@ -220,6 +220,46 @@ class PipelineSpec extends SparkSpec {
     assert(got == local)
   }
 
+  test("lloyd centroids move to the real clusters raw seeds miss, and " +
+      "recall at nProbe=1 is at least the raw-seed baseline") {
+    import spark.implicits._
+    // skewed fixture: the first 128 ids (where ALL every-16th seeds come
+    // from) sit in cluster 0; clusters 1-3 live entirely outside the
+    // seed window — the raw-seed weakness Lloyd exists to fix
+    def vec(cl: Int, i: Int): Seq[Double] = {
+      val v = Array.fill(8)(0.0)
+      v(cl) = 1.0
+      v((cl + 1 + i % 3) % 8) = 0.01 * (1 + i % 7)
+      v.toSeq
+    }
+    val rows = (0 until 128).map(i => (i.toLong, vec(0, i))) ++
+      (128 until 158).map(i => (i.toLong, vec(1, i))) ++
+      (158 until 188).map(i => (i.toLong, vec(2, i))) ++
+      (188 until 288).map(i => (i.toLong, vec(3, i)))
+    val df = rows.toDF("vec_id", "embedding")
+    def maxCosTo(cents: Array[(Int, Seq[Double])], axis: Int): Double =
+      cents.map { case (_, c) =>
+        c(axis) / math.sqrt(c.map(x => x * x).sum)
+      }.max
+    val naive = Similarity.fitCentroids(df, "vec_id", "embedding", 8, 0)
+    val fitted = Similarity.fitCentroids(df, "vec_id", "embedding", 8, 3)
+    // raw seeds are all cluster-0 vectors: nothing points at cluster 3
+    assert(maxCosTo(naive, 3) < 0.5, s"fixture broken: ${maxCosTo(naive, 3)}")
+    // after Lloyd a centroid has migrated onto the cluster-3 mass
+    assert(maxCosTo(fitted, 3) > 0.9, s"lloyd missed: ${maxCosTo(fitted, 3)}")
+    val brute = Similarity.bruteForceTopK(df, "vec_id", "embedding", 200L, 5)
+      .collect().map(_.getLong(0)).toSet
+    def recall(iters: Int): Double = {
+      val got = Similarity.ivfTopK(df, "vec_id", "embedding", 200L, 5,
+        nCells = 8, nProbe = 1, lloydIters = iters)
+        .collect().map(_.getLong(0)).toSet
+      got.intersect(brute).size.toDouble / 5
+    }
+    val rN = recall(0); val rL = recall(3)
+    assert(rL >= rN, s"lloyd recall $rL < raw-seed recall $rN")
+    assert(rL >= 0.8, s"lloyd recall $rL too low on separable clusters")
+  }
+
   test("persisted IVF index: partition-pruned probe, scores match brute force") {
     val emb = Tables.load(spark, sf, "embeddings")
     val path = s"/tmp/graft_ivf_spec/${System.nanoTime()}"
