@@ -85,24 +85,60 @@ object Similarity {
     * Cells that lose all members keep their previous centroid. At 100 TB
     * each iteration is a scan + a cells×dim-sized agg — the standard
     * batch index-build cost, bounded and deterministic. */
-  private[graft] def lloyd(v: DataFrame, seeds: Array[(Int, Seq[Double])],
+  private[graft] def lloyd(v0: DataFrame, seeds: Array[(Int, Seq[Double])],
                            iters: Int): Array[(Int, Seq[Double])] = {
+    // each iteration is its own action over v — persist for the loop's
+    // lifetime so the source is scanned once, not iters times
+    val v = if (iters > 0) v0.persist() else v0
     var cents = seeds
     var it = 0
     while (it < iters) {
-      val means = assignCells(v, cents)
-        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy(col("cell"), col("pos"))
-        .agg((sum(col("x").cast("decimal(38,18)")).cast("double") /
-          count(lit(1))).as("m"))
-        .groupBy(col("cell"))
-        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)")
-          .as("cv"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      // zero-shuffle iteration (the classic scalable k-means shape):
+      // each partition folds its rows into O(cells × dim) decimal
+      // partial sums, the driver adds the partials. BigDecimal add is
+      // exact, so the result is order-independent; per-value rounding
+      // replicates Spark's double→DECIMAL(38,18) cast (shortest-repr
+      // valueOf, HALF_UP at scale 18), which is what the DuckDB oracle
+      // replays with CAST(x AS DECIMAL(38,18)).
+      val dim = cents.head._2.length
+      val nC = cents.map(_._1).max + 1
+      val partials = assignCells(v, cents).select(col("cell"), col("v"))
+        .queryExecution.toRdd.mapPartitions { it =>
+          val s = Array.fill(nC, dim)(java.math.BigDecimal.ZERO)
+          val n = new Array[Long](nC)
+          it.foreach { row =>
+            val cell = row.getInt(0)
+            val arr = row.getArray(1)
+            var i = 0
+            while (i < dim) {
+              s(cell)(i) = s(cell)(i).add(java.math.BigDecimal
+                .valueOf(arr.getDouble(i))
+                .setScale(18, java.math.RoundingMode.HALF_UP))
+              i += 1
+            }
+            n(cell) += 1
+          }
+          Iterator.single((s, n))
+        }.reduce { case ((s1, n1), (s2, n2)) =>
+          var c = 0
+          while (c < nC) {
+            var i = 0
+            while (i < dim) { s1(c)(i) = s1(c)(i).add(s2(c)(i)); i += 1 }
+            n1(c) += n2(c); c += 1
+          }
+          (s1, n1)
+        }
+      val (sums, counts) = partials
+      val means = cents.indices.collect {
+        case k if counts(cents(k)._1) > 0 =>
+          val cell = cents(k)._1
+          cell -> (0 until dim).map(i =>
+            sums(cell)(i).doubleValue() / counts(cell)).toSeq
+      }.toMap
       cents = cents.map { case (cell, old) => (cell, means.getOrElse(cell, old)) }
       it += 1
     }
+    if (iters > 0) v.unpersist(blocking = false)
     cents
   }
 
