@@ -547,6 +547,84 @@ object Queries {
       |  MIN(doc_id) AS first_kept
       |FROM s WHERE u < rate GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- t07
+  // Sequence packing, greedy first-fit (no doc spanning): 256-token
+  // bins, 4 shards, sequential fill state in one mapPartitions pass per
+  // shard. The oracle replays the fill as a DuckDB recursive CTE.
+  def t07_pack_greedy(spark: SparkSession, dir: String): DataFrame =
+    operators.Packing.packGreedy(t(spark, dir, "documents"),
+      "doc_id", size(Text.tokens($"text")), budget = 256L, shards = 4)
+      .orderBy($"doc_id")
+
+  private val t07_sql =
+    """WITH RECURSIVE docs AS (
+      |  SELECT doc_id, doc_id % 4 AS shard,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+      |         row_number() OVER (PARTITION BY doc_id % 4
+      |                            ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |fill AS (
+      |  SELECT shard, rn, doc_id, len, 0 AS bin, len AS filled
+      |  FROM docs WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.shard, d.rn, d.doc_id, d.len,
+      |    CASE WHEN f.filled + d.len <= 256 THEN f.bin ELSE f.bin + 1 END,
+      |    CASE WHEN f.filled + d.len <= 256 THEN f.filled + d.len
+      |         ELSE d.len END
+      |  FROM fill f JOIN docs d ON d.shard = f.shard AND d.rn = f.rn + 1)
+      |SELECT doc_id, shard, bin FROM fill ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t08
+  // Sequence packing, concat-and-chunk (docs may span chunk
+  // boundaries): pure per-shard window arithmetic, no sequential state.
+  def t08_pack_chunks(spark: SparkSession, dir: String): DataFrame =
+    operators.Packing.chunkSpans(t(spark, dir, "documents"),
+      "doc_id", size(Text.tokens($"text")), budget = 256L, shards = 4)
+      .orderBy($"doc_id")
+
+  private val t08_sql =
+    """WITH d AS (
+      |  SELECT doc_id, doc_id % 4 AS shard,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+      |    CAST(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+      |      OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cum_excl
+      |  FROM documents)
+      |SELECT doc_id, shard,
+      |  cum_excl // 256 AS start_chunk,
+      |  CASE WHEN len > 0 THEN (cum_excl + len - 1) // 256
+      |       ELSE cum_excl // 256 END AS end_chunk,
+      |  cum_excl % 256 AS chunk_offset
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t09
+  // Benchmark decontamination: corpus docs sharing any word 3-gram with
+  // the benchmark slice (doc_id % 97 = 0), with distinct-hit counts.
+  // Benchmark gram set broadcast; corpus side is explode + hash probe.
+  def t09_decontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    operators.Decontam.report(docs.filter($"doc_id" % 97 =!= 0),
+        "doc_id", "text", docs.filter($"doc_id" % 97 === 0), "text", n = 3)
+      .orderBy($"doc_id")
+  }
+
+  private val t09_sql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pos AS (
+      |  SELECT doc_id, w,
+      |         unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+      |  FROM toks),
+      |grams AS (
+      |  SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
+      |  FROM pos),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+      |SELECT doc_id, COUNT(DISTINCT g) AS n_hits
+      |FROM grams
+      |WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- d01
   // Exact dedup: hash-groupBy on the fingerprint, keep min doc_id.
   def d01_dedup_exact(spark: SparkSession, dir: String): DataFrame =
@@ -2158,6 +2236,9 @@ object Queries {
     "t04_fingerprint" -> (t04_fingerprint _),
     "t05_redact" -> (t05_redact _),
     "t06_sample_mix" -> (t06_sample_mix _),
+    "t07_pack_greedy" -> (t07_pack_greedy _),
+    "t08_pack_chunks" -> (t08_pack_chunks _),
+    "t09_decontam" -> (t09_decontam _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -2249,6 +2330,9 @@ object Queries {
     "t04_fingerprint" -> t04_sql,
     "t05_redact" -> t05_sql,
     "t06_sample_mix" -> t06_sql,
+    "t07_pack_greedy" -> t07_sql,
+    "t08_pack_chunks" -> t08_sql,
+    "t09_decontam" -> t09_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

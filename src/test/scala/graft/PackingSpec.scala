@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Decontam, Packing}
+
+/** Sequence packing + benchmark decontamination. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // lengths chosen to exercise: exact fit, overflow rollover, an
+  // over-budget doc (gets its own bin), and a zero-length doc
+  private val docs = Seq(
+    (0L, 60L), (4L, 50L), (8L, 0L), (12L, 150L), (16L, 40L), (20L, 90L),
+    (1L, 100L), (5L, 100L), (9L, 1L), (13L, 99L), (17L, 300L), (21L, 10L),
+    (2L, 128L), (6L, 128L), (10L, 128L), (14L, 1L),
+    (3L, 7L), (7L, 11L), (11L, 13L)
+  ).toDF("id", "len")
+
+  private def referenceGreedy(rows: Seq[(Long, Long)], budget: Long)
+      : Map[Long, Int] = {
+    var bin = 0; var filled = 0L; var first = true
+    rows.sortBy(_._1).map { case (id, len) =>
+      if (first) { first = false; filled = len }
+      else if (filled + len <= budget) filled += len
+      else { bin += 1; filled = len }
+      id -> bin
+    }.toMap
+  }
+
+  test("packGreedy matches the sequential reference fill per shard") {
+    val got = Packing.packGreedy(docs, "id", $"len", budget = 256L, shards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val byShard = docs.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy { case (id, _) => id % 4 }
+    for ((shard, rows) <- byShard) {
+      val want = referenceGreedy(rows.toSeq, 256L)
+      for ((id, s, bin) <- got if s == shard)
+        assert(bin == want(id), s"doc $id in shard $shard: bin $bin != ${want(id)}")
+    }
+  }
+
+  test("packGreedy: bins respect the budget except single oversized docs") {
+    val got = Packing.packGreedy(docs, "id", $"len", budget = 256L, shards = 4)
+      .join(docs, docs("id") === col("doc_id"))
+      .groupBy($"shard", $"bin")
+      .agg(sum($"len").as("fill"), count(lit(1)).as("n"))
+      .collect()
+    for (r <- got) {
+      val fill = r.getLong(2); val n = r.getLong(3)
+      assert(fill <= 256L || n == 1L, s"overfull shared bin: $r")
+    }
+  }
+
+  test("packGreedy is stable under input repartitioning") {
+    val a = Packing.packGreedy(docs, "id", $"len", 256L, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    val b = Packing.packGreedy(docs.repartition(7), "id", $"len", 256L, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    assert(a == b)
+  }
+
+  test("chunkSpans: offsets bounded, spans ordered, tokens conserved") {
+    val got = Packing.chunkSpans(docs, "id", $"len", budget = 100L, shards = 2)
+      .join(docs, docs("id") === col("doc_id")).collect()
+    for (r <- got) {
+      val start = r.getLong(r.fieldIndex("start_chunk"))
+      val end = r.getLong(r.fieldIndex("end_chunk"))
+      val off = r.getLong(r.fieldIndex("chunk_offset"))
+      val len = r.getLong(r.fieldIndex("len"))
+      assert(off >= 0 && off < 100)
+      assert(end >= start)
+      // a doc's last token lands where its start offset + length says
+      if (len > 0) assert(end == start + (off + len - 1) / 100)
+    }
+    // per shard: the last chunk touched is where token (total-1) lands
+    val totals = docs.groupBy(($"id" % 2).as("shard")).agg(sum($"len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val maxEnd = got.groupBy(_.getLong(1)).map { case (s, rs) =>
+      s -> rs.map(r => r.getLong(r.fieldIndex("end_chunk"))).max
+    }
+    for ((s, total) <- totals)
+      assert(maxEnd(s) == (total - 1) / 100, s"shard $s: $maxEnd vs $total")
+  }
+
+  test("decontam report matches brute-force n-gram intersection") {
+    val corpus = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x y z w v"),
+      (3L, "c d e q r"),
+      (4L, "one two")  // shorter than n=3: no grams
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "b c d e z z")).toDF("doc_id", "text")
+    val got = Decontam.report(corpus, "doc_id", "text", bench, "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // bench grams: {b c d, c d e, d e z, e z z}
+    // doc 1 grams: {a b c, b c d, c d e, d e f} → hits {b c d, c d e} = 2
+    // doc 3 grams: {c d e, d e q, e q r}       → hits {c d e} = 1
+    assert(got == Map(1L -> 2L, 3L -> 1L))
+  }
+
+  test("decontam clean drops exactly the reported docs") {
+    val corpus = Seq(
+      (1L, "a b c d e f"), (2L, "x y z w v"), (3L, "c d e q r")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "b c d e z z")).toDF("doc_id", "text")
+    val kept = Decontam.clean(corpus, "doc_id", "text", bench, "text", 3)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L))
+  }
+
+  test("ngrams guards the short-doc descending-sequence trap") {
+    val got = Seq("a b", "", "a b c").toDF("text")
+      .select(Decontam.ngrams($"text", 3).as("g"))
+      .collect().map(_.getSeq[String](0))
+    assert(got(0) == Seq.empty)
+    assert(got(1) == Seq.empty)
+    assert(got(2) == Seq("a b c"))
+  }
+}
