@@ -610,20 +610,98 @@ object Queries {
   }
 
   private val t09_sql =
-    """WITH toks AS (
-      |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |pos AS (
-      |  SELECT doc_id, w,
-      |         unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
-      |  FROM toks),
-      |grams AS (
-      |  SELECT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g
-      |  FROM pos),
-      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
-      |SELECT doc_id, COUNT(DISTINCT g) AS n_hits
-      |FROM grams
-      |WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
-      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |pos AS (
+       |  SELECT doc_id, w,
+       |         unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+       |  FROM toks),
+       |grams AS (
+       |  SELECT doc_id, ${Text.duck.ngramHashSql("w", "i", 3)} AS g
+       |  FROM pos),
+       |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+       |SELECT doc_id, COUNT(DISTINCT g) AS n_hits
+       |FROM grams
+       |WHERE doc_id % 97 <> 0 AND g IN (SELECT g FROM bench)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t10
+  // The training-data pipeline END TO END in one query — quality
+  // filter → language gate → exact-dedup keep-list → deterministic
+  // 50% sample → chunk-span packing — every stage one of the t/d
+  // operators, composed, with the whole composition under ONE oracle.
+  def t10_pipeline_e2e(spark: SparkSession, dir: String): DataFrame = {
+    val scored = t(spark, dir, "documents")
+      .select($"doc_id", $"text",
+        Text.qualityScore($"text").as("q"),
+        graft.functions.LangIdExpr.langId($"text").as("lp"),
+        Text.fingerprint($"text").as("fp"))
+      .filter($"q" >= 0.7 && $"lp" === "en")
+    val keep = scored.groupBy($"fp").agg(min($"doc_id").as("doc_id"))
+      .select($"doc_id")
+    val surv = scored.join(keep, Seq("doc_id"), "left_semi")
+      .filter(operators.Sampling.keep($"doc_id", lit(0.5)))
+    operators.Packing.chunkSpans(surv, "doc_id",
+        size(Text.tokens($"text")), budget = 512L, shards = 4)
+      .orderBy($"doc_id")
+  }
+
+  private val t10_sql = {
+    val punct =
+      """CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / length(text) END""".stripMargin
+    val stop =
+      s"""CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0 ELSE
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      w -> w IN ($t02_stop))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) END""".stripMargin
+    val quality =
+      s"""0.4 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100)
+         |    + 0.3 * (1.0 - $punct)
+         |    + 0.3 * (1.0 - $stop)""".stripMargin
+    def hits(ms: Seq[String]) =
+      s"len(list_filter(string_split(lower(text), ' '), " +
+        s"w -> w IN (${ms.map(m => s"'$m'").mkString(", ")})))"
+    val en = hits(Seq("the", "and", "of", "to", "is"))
+    val de = hits(Seq("der", "die", "und", "das", "ist"))
+    val es = hits(Seq("el", "la", "que", "los", "por"))
+    val fr = hits(Seq("le", "les", "des", "est", "une"))
+    val lang =
+      s"""CASE WHEN greatest($en, $de, $es, $fr) = 0 THEN 'unknown'
+         |    WHEN $en = greatest($en, $de, $es, $fr) THEN 'en'
+         |    WHEN $de = greatest($en, $de, $es, $fr) THEN 'de'
+         |    WHEN $es = greatest($en, $de, $es, $fr) THEN 'es'
+         |    WHEN $fr = greatest($en, $de, $es, $fr) THEN 'fr'
+         |    ELSE 'unknown' END""".stripMargin
+    s"""WITH filt AS (
+       |  SELECT doc_id, text,
+       |    md5(lower(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+       |  FROM documents
+       |  WHERE floor(($quality) * 10000 + 0.5) / 10000 >= 0.7
+       |    AND ($lang) = 'en'),
+       |keep AS (SELECT MIN(doc_id) AS doc_id FROM filt GROUP BY fp),
+       |surv AS (
+       |  SELECT f.doc_id, f.text FROM filt f
+       |  JOIN keep k ON f.doc_id = k.doc_id
+       |  WHERE (((f.doc_id % 2147483648) * 2654435761) % 4294967296
+       |     + ((f.doc_id // 2147483648) * 2246822519) % 4294967296)
+       |    % 4294967296 / 4294967296.0 < 0.5),
+       |d AS (
+       |  SELECT doc_id, doc_id % 4 AS shard,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS len,
+       |    CAST(COALESCE(SUM(CAST(len(string_split(text, ' ')) AS BIGINT))
+       |      OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum_excl
+       |  FROM surv)
+       |SELECT doc_id, shard,
+       |  cum_excl // 512 AS start_chunk,
+       |  CASE WHEN len > 0 THEN (cum_excl + len - 1) // 512
+       |       ELSE cum_excl // 512 END AS end_chunk,
+       |  cum_excl % 512 AS chunk_offset
+       |FROM d ORDER BY doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- d01
   // Exact dedup: hash-groupBy on the fingerprint, keep min doc_id.
@@ -2239,6 +2317,7 @@ object Queries {
     "t07_pack_greedy" -> (t07_pack_greedy _),
     "t08_pack_chunks" -> (t08_pack_chunks _),
     "t09_decontam" -> (t09_decontam _),
+    "t10_pipeline_e2e" -> (t10_pipeline_e2e _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -2333,6 +2412,7 @@ object Queries {
     "t07_pack_greedy" -> t07_sql,
     "t08_pack_chunks" -> t08_sql,
     "t09_decontam" -> t09_sql,
+    "t10_pipeline_e2e" -> t10_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

@@ -84,7 +84,7 @@ object MinHashes {
 
   /** cp(c1) + 31·cp(c2) + 961·cp(c3) + 29791·len over code points of
     * s[from, until) — `Text.tokenCodeSql` exactly (ascii('')=0). */
-  private def tokenCode(s: String, from: Int, until: Int): Long = {
+  private[functions] def tokenCode(s: String, from: Int, until: Int): Long = {
     var cpLen = 0L
     var code = 0L
     var i = from

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftshim.ColumnInternals
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** All word-n-gram hashes of a document in ONE pass — the corpus-scale
+  * form of `Decontam.ngrams`: instead of materializing each gram as a
+  * string (array-of-slices HOFs are CodegenFallback, and the strings
+  * then carry through explode + shuffle), tokenize once, compute each
+  * token's code once, and slide an n-window emitting
+  *
+  *   hash(p) = XOR_{j<n} code(token_{p+j}) · K_j
+  *
+  * with fixed odd constants K_j. Codes are < 2^22 + 29791·len and the
+  * K_j < 2^32, so every product stays well inside i64 (no ANSI
+  * overflow) and the SAME arithmetic evaluates bit-identically in
+  * DuckDB (`Text.duck` builds the replay SQL) — collisions, if any,
+  * are deterministic and shared by both engines, so distinct-hit
+  * counts still hash-match. Position-distinct constants keep the hash
+  * order-sensitive; 8 bytes/gram replaces ~3 words of UTF-8 on the
+  * shuffle wire.
+  *
+  * Token semantics match `split(text, ' ')` limit=-1 (empty tokens
+  * kept), codes match `Text.tokenCodeSql` — both pinned by spec
+  * against the string/HOF forms.
+  */
+case class NgramHashes(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1 && n <= NgramHashes.keys.length,
+    s"ngram width $n outside 1..${NgramHashes.keys.length}")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ngramHashes expects a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    NgramHashes.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NgramHashes.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHashes =
+    copy(child = newChild)
+}
+
+object NgramHashes {
+  /** Position constants (public xxHash/Knuth/FNV-family odd constants,
+    * < 2^32 so code·K stays inside i64 for any sane token — wraps only
+    * past ~100k-char tokens, and a wrap is still just a hash). 16 slots
+    * covers the standard 13-gram decontamination width. */
+  val keys: Array[Long] = Array(
+    2654435761L, 2246822519L, 3266489917L, 668265263L, 374761393L,
+    2654435769L, 40503L, 2166136261L, 16777619L, 2147483647L,
+    1000000007L, 998244353L, 754974721L, 167772161L, 469762049L,
+    3221225473L)
+
+  def compute(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    // token codes, one pass
+    var codes = new Array[Long](8)
+    var nTok = 0
+    var start = 0
+    val len = s.length
+    var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (nTok == codes.length)
+          codes = java.util.Arrays.copyOf(codes, nTok * 2)
+        codes(nTok) = MinHashes.tokenCode(s, start, i)
+        nTok += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](math.max(0, nTok - n + 1))
+    var p = 0
+    while (p < out.length) {
+      var h = 0L
+      var j = 0
+      while (j < n) { h ^= codes(p + j) * keys(j); j += 1 }
+      out(p) = h
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+object NgramHashExpr {
+  /** Column of all word-n-gram hashes (array<long>), one pass. */
+  def ngramHashes(text: Column, n: Int): Column =
+    ColumnInternals.column(NgramHashes(ColumnInternals.expr(text), n))
+}

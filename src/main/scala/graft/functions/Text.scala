@@ -136,6 +136,15 @@ object Text {
 
   /** DuckDB equivalents of the above, for oracle construction. */
   object duck {
+    /** Hash of the word n-gram starting at 1-based list index `i` of
+      * token list `w` — replays `functions.NgramHashes` exactly:
+      * XOR of position-keyed token-code products. */
+    def ngramHashSql(w: String, i: String, n: Int): String =
+      (0 until n).map { j =>
+        s"(CAST(${tokenCodeSql(s"$w[$i + $j]")} AS BIGINT) * " +
+          s"${graft.functions.NgramHashes.keys(j)})"
+      }.reduce((a, b) => s"xor($a, $b)")
+
     def minhashSql(textCol: String, a: Long, b: Long): String =
       s"list_min(list_transform(string_split($textCol, ' '), " +
         s"w -> ($a * ${tokenCodeSql("w")} + $b) % $minhashPrime))"

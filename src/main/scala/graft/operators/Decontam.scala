@@ -32,13 +32,21 @@ object Decontam {
 
   /** Per-document contamination report: (doc_id, n_hits) for every
     * corpus doc sharing ≥1 n-gram with the benchmark set, n_hits =
-    * number of DISTINCT shared n-grams. Clean docs are absent. */
+    * number of DISTINCT shared n-grams. Clean docs are absent.
+    *
+    * Grams travel as 8-byte hashes (`functions.NgramHashes`, one
+    * codegen pass per doc), never as strings: the corpus side is a
+    * scan + explode + broadcast-hash probe on longs, and only MATCHING
+    * (id, hash) pairs reach a shuffle. Hash collisions are
+    * deterministic and engine-identical (the oracle replays the same
+    * arithmetic), so counts stay exact cross-engine. */
   def report(corpus: DataFrame, idCol: String, textCol: String,
              bench: DataFrame, benchTextCol: String, n: Int): DataFrame = {
+    import graft.functions.NgramHashExpr.ngramHashes
     val benchGrams = bench
-      .select(explode(ngrams(col(benchTextCol), n)).as("g")).distinct()
+      .select(explode(ngramHashes(col(benchTextCol), n)).as("g")).distinct()
     corpus
-      .select(col(idCol), explode(ngrams(col(textCol), n)).as("g"))
+      .select(col(idCol), explode(ngramHashes(col(textCol), n)).as("g"))
       // probe FIRST (narrow, broadcast), dedupe AFTER — the distinct
       // then shuffles only the matching pairs, not the corpus gram set
       .join(broadcast(benchGrams), "g")

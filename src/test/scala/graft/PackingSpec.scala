@@ -108,6 +108,43 @@ class PackingSpec extends SparkSpec {
     assert(kept == Set(2L))
   }
 
+  // independent restatement of Text.tokenCodeSql / MinHashes.tokenCode
+  private def refTokenCode(w: String): Long = {
+    val cps = w.codePoints().toArray
+    val first3 = cps.take(3).zip(Seq(1L, 31L, 961L)).map { case (c, m) => c * m }
+    first3.sum + 29791L * cps.length
+  }
+
+  test("ngramHashes mirrors the string-gram structure, gram by gram") {
+    import graft.functions.NgramHashExpr
+    val tricky = Seq(
+      "a b c d e f", "a  b", " leading", "trailing ", "", "one two",
+      "héllo wörld ☃ snow man here", "a b c a b c a b c")
+    val df = tricky.toDF("text")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val hashed = df.select(
+        NgramHashExpr.ngramHashes($"text", n).as("h"))
+        .collect().map(_.getSeq[Long](0))
+      val strings = df.select(
+        graft.operators.Decontam.ngrams($"text", n).as("g"))
+        .collect().map(_.getSeq[String](0))
+      // same gram count per doc
+      assert(hashed.map(_.length).toSeq == strings.map(_.length).toSeq)
+      // equality structure matches across ALL docs (no collisions on
+      // this set): hash(i)==hash(j) iff gram(i)==gram(j)
+      val pairs = hashed.flatten.toSeq.zip(strings.flatten.toSeq)
+      assert(pairs.groupBy(_._1).forall(_._2.map(_._2).distinct.length == 1))
+      assert(pairs.groupBy(_._2).forall(_._2.map(_._1).distinct.length == 1))
+      // and each hash is the XOR-of-keyed-token-codes reference
+      val want = strings.flatten.map { g =>
+        val toks = g.split(" ", -1)
+        toks.indices.map(j => refTokenCode(toks(j)) *
+          graft.functions.NgramHashes.keys(j)).reduce(_ ^ _)
+      }
+      assert(hashed.flatten.toSeq == want.toSeq)
+    }
+  }
+
   test("ngrams guards the short-doc descending-sequence trap") {
     val got = Seq("a b", "", "a b c").toDF("text")
       .select(Decontam.ngrams($"text", 3).as("g"))
