@@ -733,6 +733,33 @@ object Queries {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d13
+  // Shingle MinHash: signatures over word-3-gram hashes — the
+  // production MinHash form (unigram MinHash loses word order). Docs
+  // with < 3 tokens take the sentinel P in every slot.
+  def d13_minhash_shingles(spark: SparkSession, dir: String): DataFrame = {
+    val sigged = Dedup.withShingleMinhashSignature(
+      t(spark, dir, "documents"), "text", k = 4, n = 3)
+    sigged.select($"doc_id", $"ssig_0", $"ssig_1", $"ssig_2", $"ssig_3")
+      .orderBy($"doc_id")
+  }
+
+  private val d13_sql = {
+    val p = Text.minhashPrime
+    val grams = "list_transform(generate_series(1, greatest(len(w) - 2, 0)), " +
+      s"i -> ${Text.duck.ngramHashSql("w", "i", 3)})"
+    val sigs = Text.minhashSeeds(4).zipWithIndex.map { case ((a, b), i) =>
+      s"coalesce(list_min(list_transform(g, " +
+        s"h -> ($a * (h % $p) + $b) % $p)), $p) AS ssig_$i"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id,
+       |  $sigs
+       |FROM (SELECT doc_id, $grams AS g
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |            FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d03
   // Exact n-gram (token-set) Jaccard over blocked candidate pairs.
   def d03_jaccard_pairs(spark: SparkSession, dir: String): DataFrame = {
@@ -2330,6 +2357,7 @@ object Queries {
     "d10_simhash64_neardup" -> (d10_simhash64_neardup _),
     "d11_dedup_components" -> (d11_dedup_components _),
     "d12_dedup_apply" -> (d12_dedup_apply _),
+    "d13_minhash_shingles" -> (d13_minhash_shingles _),
     "s01_cosine_topk" -> (s01_cosine_topk _),
     "s02_ann_lsh" -> (s02_ann_lsh _),
     "q19_parted" -> (q19_parted _),
@@ -2418,6 +2446,7 @@ object Queries {
     "d03_jaccard_pairs" -> d03_sql,
     "d04_simhash" -> d04_sql,
     "d05_embed_neardup" -> d05_sql,
+    "d13_minhash_shingles" -> d13_sql,
     "s01_cosine_topk" -> s01_sql,
     "q19_parted" -> q19_sql,
     "q20_csv" -> q20_sql,

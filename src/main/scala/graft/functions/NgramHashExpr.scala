@@ -64,8 +64,11 @@ object NgramHashes {
     1000000007L, 998244353L, 754974721L, 167772161L, 469762049L,
     3221225473L)
 
-  def compute(text: UTF8String, n: Int): ArrayData = {
-    val s = text.toString
+  def compute(text: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(gramHashes(text.toString, n))
+
+  /** Raw gram-hash array — shared with `ShingleMinHashes`. */
+  def gramHashes(s: String, n: Int): Array[Long] = {
     // token codes, one pass
     var codes = new Array[Long](8)
     var nTok = 0
@@ -91,7 +94,7 @@ object NgramHashes {
       out(p) = h
       p += 1
     }
-    new GenericArrayData(out)
+    out
   }
 }
 
@@ -99,4 +102,72 @@ object NgramHashExpr {
   /** Column of all word-n-gram hashes (array<long>), one pass. */
   def ngramHashes(text: Column, n: Int): Column =
     ColumnInternals.column(NgramHashes(ColumnInternals.expr(text), n))
+
+  /** Column of all-k shingle-MinHash values (array<long>), one pass. */
+  def shingleMinhashes(text: Column, n: Int, seeds: Seq[(Long, Long)]): Column =
+    ColumnInternals.column(ShingleMinHashes(ColumnInternals.expr(text), n,
+      seeds.map(_._1), seeds.map(_._2)))
+}
+
+/** MinHash signature over word-n-gram SHINGLES — the production form of
+  * document MinHash (unigram-token MinHash, `MinHashes`, loses word
+  * order; shingles keep local structure, so the Jaccard estimate tracks
+  * edit locality). One pass: tokenize → gram hashes (`NgramHashes`
+  * arithmetic) → fold all k (a·(h mod P) + b) mod P minima. A doc with
+  * fewer than n tokens has NO shingles; its signature slots take the
+  * sentinel P itself (unreachable: real values are < P), which the
+  * DuckDB replay mirrors as `coalesce(list_min(...), P)`. */
+case class ShingleMinHashes(child: Expression, n: Int,
+                            seedsA: Seq[Long], seedsB: Seq[Long])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingleMinhashes expects a string input, got ${child.dataType}")
+
+  @transient private lazy val aArr: Array[Long] = seedsA.toArray
+  @transient private lazy val bArr: Array[Long] = seedsB.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleMinHashes.compute(input.asInstanceOf[UTF8String], n, aArr, bArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("shMinhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("shMinhashB", bArr, "long[]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.ShingleMinHashes.compute($c, $n, $aRef, $bRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : ShingleMinHashes = copy(child = newChild)
+}
+
+object ShingleMinHashes {
+  val P: Long = Text.minhashPrime
+
+  def compute(text: UTF8String, n: Int,
+              a: Array[Long], b: Array[Long]): ArrayData = {
+    val grams = NgramHashes.gramHashes(text.toString, n)
+    val k = a.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, P) // sentinel: no shingles → P
+    var i = 0
+    while (i < grams.length) {
+      val hm = grams(i) % P // grams are non-negative (XOR of products < 2^62)
+      var j = 0
+      while (j < k) {
+        val v = (a(j) * hm + b(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
 }

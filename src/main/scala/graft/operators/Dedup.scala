@@ -35,6 +35,19 @@ object Dedup {
     }.drop("__mh")
   }
 
+  /** Add `ssig_0..ssig_{k-1}` shingle-MinHash columns (signatures over
+    * word-n-gram hashes — the production MinHash form; see
+    * `functions.ShingleMinHashes`). One codegen pass per doc. */
+  def withShingleMinhashSignature(df: DataFrame, textCol: String,
+                                  k: Int, n: Int): DataFrame = {
+    val withArr = df.withColumn("__smh",
+      graft.functions.NgramHashExpr.shingleMinhashes(
+        col(textCol), n, Text.minhashSeeds(k)))
+    (0 until k).foldLeft(withArr) { (d, i) =>
+      d.withColumn(s"ssig_$i", element_at($"__smh", i + 1))
+    }.drop("__smh")
+  }
+
   /** MinHash-LSH candidate pairs: k hashes split into `bands` bands; docs
     * sharing any band bucket become a candidate pair (id_a < id_b).
     * Scale shape: explode to (band, bucket) rows, self-join on the bucket

@@ -33,6 +33,30 @@ class PipelineSpec extends SparkSpec {
     assert(!verified.exists(p => p._2 == 3L || p._2 == 4L && p._1 == 3L))
   }
 
+  test("shingle minhashes = affine-min over the pinned gram hashes; " +
+      "short docs take the sentinel") {
+    import graft.functions.{NgramHashExpr, ShingleMinHashes}
+    val P = ShingleMinHashes.P
+    val seeds = Text.minhashSeeds(5)
+    val tricky = docs.select($"text")
+      .union(Seq("a b", "", "x  y", "solo").toDF("text"))
+    val got = tricky.select(
+      NgramHashExpr.shingleMinhashes($"text", 3, seeds).as("s"))
+      .collect().map(_.getSeq[Long](0))
+    val grams = tricky.select(
+      NgramHashExpr.ngramHashes($"text", 3).as("g"))
+      .collect().map(_.getSeq[Long](0))
+    val want = grams.map { gs =>
+      seeds.map { case (a, b) =>
+        if (gs.isEmpty) P
+        else gs.map(h => (a * (h % P) + b) % P).min
+      }
+    }
+    assert(got.map(_.toSeq).toSeq == want.map(_.toSeq).toSeq)
+    // the sentinel rows really are the short ones
+    assert(got(5).forall(_ == P) && got(6).forall(_ == P)) // "a b", ""
+  }
+
   test("native MinHashes equals the SQL higher-order form, hash by hash") {
     // edge tokens too: consecutive / leading / trailing spaces, unicode
     val tricky = docs.select($"text")

@@ -28,6 +28,19 @@ class PlanShapeSpec extends SparkSpec {
       "ORDER BY + LIMIT must fold to TakeOrderedAndProject (no global sort)")
   }
 
+  test("t09 (decontamination): benchmark grams broadcast, corpus side " +
+      "probes before any shuffle") {
+    val p = plan("t09_decontam")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the benchmark gram set must broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    // exactly three hash exchanges: the (tiny) benchmark-side distinct,
+    // the post-probe distinct, and the per-doc aggregate — the raw
+    // corpus gram explode must never hit one
+    assert(count(p, "Arguments: hashpartitioning") <= 3,
+      s"corpus gram set leaked into a shuffle:\n$p")
+  }
+
   test("q44 (TPC-H Q5 shape): all four dims broadcast, one fact shuffle") {
     val p = plan("q44_tpch5")
     assert(!p.contains("SortMergeJoin"), "star dims must broadcast")
