@@ -426,13 +426,15 @@ object Queries {
 
   // ---------------------------------------------------------------- t02
   // Quality scoring: punctuation + stopword ratios → composite score.
-  def t02_quality(spark: SparkSession, dir: String): DataFrame =
+  def t02_quality(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.QualityExpr
     t(spark, dir, "documents")
       .select($"doc_id",
-        RF.roundBin(Text.punctRatio($"text"), 4).as("punct_ratio"),
-        RF.roundBin(Text.stopwordRatio($"text"), 4).as("stop_ratio"),
-        Text.qualityScore($"text").as("quality"))
+        RF.roundBin(QualityExpr.punctRatio($"text"), 4).as("punct_ratio"),
+        RF.roundBin(QualityExpr.stopwordRatio($"text"), 4).as("stop_ratio"),
+        QualityExpr.qualityScore($"text").as("quality"))
       .orderBy($"doc_id")
+  }
 
   private val t02_stop = Text.stopwords.map(s => s"'$s'").mkString(", ")
   // floor(x*1e4 + 0.5)/1e4 instead of ROUND: bit-identical to the Spark
@@ -633,7 +635,7 @@ object Queries {
   def t10_pipeline_e2e(spark: SparkSession, dir: String): DataFrame = {
     val scored = t(spark, dir, "documents")
       .select($"doc_id", $"text",
-        Text.qualityScore($"text").as("q"),
+        graft.functions.QualityExpr.qualityScore($"text").as("q"),
         graft.functions.LangIdExpr.langId($"text").as("lp"),
         Text.fingerprint($"text").as("fp"))
       .filter($"q" >= 0.7 && $"lp" === "en")

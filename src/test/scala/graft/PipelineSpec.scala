@@ -57,6 +57,31 @@ class PipelineSpec extends SparkSpec {
     assert(got(5).forall(_ == P) && got(6).forall(_ == P)) // "a b", ""
   }
 
+  test("one-pass QualityStats equals the HOF quality forms, bit by bit") {
+    import graft.functions.QualityExpr
+    val tricky = docs.select($"text")
+      .union(Seq("", " ", "a  b", "it is, it is! the: end.", "héllo ☃ ;",
+        "the quick. brown? fox; and: dog, it!", "   ", "a.b,c!d?e;f:g")
+        .toDF("text"))
+    val native = tricky.select(
+      QualityExpr.punctRatio($"text").as("p"),
+      QualityExpr.stopwordRatio($"text").as("s"),
+      QualityExpr.qualityScore($"text").as("q"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val hof = tricky.select(
+      Text.punctRatio($"text").as("p"),
+      Text.stopwordRatio($"text").as("s"),
+      Text.qualityScore($"text").as("q"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    // bit-exact, not approximate: the oracle hashes these doubles
+    assert(native.map(t3 => (java.lang.Double.doubleToLongBits(t3._1),
+      java.lang.Double.doubleToLongBits(t3._2),
+      java.lang.Double.doubleToLongBits(t3._3))).toSeq ==
+      hof.map(t3 => (java.lang.Double.doubleToLongBits(t3._1),
+        java.lang.Double.doubleToLongBits(t3._2),
+        java.lang.Double.doubleToLongBits(t3._3))).toSeq)
+  }
+
   test("native MinHashes equals the SQL higher-order form, hash by hash") {
     // edge tokens too: consecutive / leading / trailing spaces, unicode
     val tricky = docs.select($"text")
