@@ -705,6 +705,74 @@ object Queries {
        |FROM d ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t11
+  // Gopher-style repetition signals: per-doc duplicate-bigram fraction
+  // and top-bigram share, one codegen pass (functions.RepStats); the
+  // oracle replays the bigram hashes and recomputes the counts with
+  // unnest + group-by.
+  def t11_repetition(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select($"doc_id", graft.functions.RepStatsExpr.repStats($"text").as("st"))
+      .select($"doc_id",
+        $"st.dup".as("dup_frac"), $"st.top".as("top_frac"),
+        $"st.nbig".cast("long").as("nbig"))
+      .orderBy($"doc_id")
+
+  private val t11_sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |pos AS (
+       |  SELECT doc_id, w,
+       |         unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+       |  FROM toks),
+       |grams AS (
+       |  SELECT doc_id, ${Text.duck.ngramHashSql("w", "i", 2)} AS g
+       |  FROM pos),
+       |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+       |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nbig,
+       |               CAST(MAX(c) AS BIGINT) AS topc, COUNT(*) AS ndist
+       |        FROM cnt GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CASE WHEN a.nbig IS NULL THEN 0.0
+       |       ELSE CAST(a.nbig - a.ndist AS DOUBLE) / a.nbig END AS dup_frac,
+       |  CASE WHEN a.nbig IS NULL THEN 0.0
+       |       ELSE CAST(a.topc AS DOUBLE) / a.nbig END AS top_frac,
+       |  COALESCE(a.nbig, 0) AS nbig
+       |FROM documents d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t12
+  // Data mixing to TARGET PROPORTIONS: one count-by-stratum agg fixes
+  // the largest downsample-only corpus hitting the target mix, then the
+  // deterministic hash keeps each stratum at its derived rate. The
+  // oracle recomputes counts, rates, and the SAME keep decision.
+  def t12_mix_targets(spark: SparkSession, dir: String): DataFrame =
+    operators.Sampling.sampleToMix(t(spark, dir, "documents"),
+      "doc_id", "lang", Map("en" -> 0.6, "de" -> 0.25, "fr" -> 0.15))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("kept"), min($"doc_id").as("first_kept"),
+        max($"doc_id").as("last_kept"))
+      .orderBy($"lang")
+
+  private val t12_sql =
+    """WITH c AS (
+      |  SELECT lang, COUNT(*) AS n,
+      |    CAST(CASE WHEN lang = 'de' THEN 0.25 WHEN lang = 'en' THEN 0.6
+      |         WHEN lang = 'fr' THEN 0.15 END AS DOUBLE) AS tgt
+      |  FROM documents GROUP BY lang),
+      |r AS (
+      |  SELECT lang, tgt * (SELECT MIN(n / tgt) FROM c WHERE tgt IS NOT NULL)
+      |               / n AS rate
+      |  FROM c WHERE tgt IS NOT NULL),
+      |s AS (
+      |  SELECT d.lang, d.doc_id FROM documents d JOIN r ON d.lang = r.lang
+      |  WHERE (((d.doc_id % 2147483648) * 2654435761) % 4294967296
+      |     + ((d.doc_id // 2147483648) * 2246822519) % 4294967296)
+      |    % 4294967296 / 4294967296.0 < r.rate)
+      |SELECT lang, COUNT(*) AS kept, MIN(doc_id) AS first_kept,
+      |  MAX(doc_id) AS last_kept
+      |FROM s GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- d01
   // Exact dedup: hash-groupBy on the fingerprint, keep min doc_id.
   def d01_dedup_exact(spark: SparkSession, dir: String): DataFrame =
@@ -2347,6 +2415,8 @@ object Queries {
     "t08_pack_chunks" -> (t08_pack_chunks _),
     "t09_decontam" -> (t09_decontam _),
     "t10_pipeline_e2e" -> (t10_pipeline_e2e _),
+    "t11_repetition" -> (t11_repetition _),
+    "t12_mix_targets" -> (t12_mix_targets _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -2443,6 +2513,8 @@ object Queries {
     "t08_pack_chunks" -> t08_sql,
     "t09_decontam" -> t09_sql,
     "t10_pipeline_e2e" -> t10_sql,
+    "t11_repetition" -> t11_sql,
+    "t12_mix_targets" -> t12_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

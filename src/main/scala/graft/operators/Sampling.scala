@@ -46,4 +46,38 @@ object Sampling {
     }
     df.filter(keep(col(idCol), rate))
   }
+
+  /** Mixing to TARGET PROPORTIONS (downsample-only): derive per-stratum
+    * keep rates so the sample's expected composition matches `targets`
+    * (fractions of the output, e.g. en→0.6, de→0.25, fr→0.15) at the
+    * largest total the corpus supports without upsampling — the stratum
+    * that runs out first is kept whole and everything else is thinned
+    * to match. Strata not in `targets` are dropped; target strata
+    * absent from the corpus are ignored (the mix is over present
+    * strata). One count-by-stratum aggregation (output rows = stratum
+    * cardinality, a bounded driver collect for a mixing config), then
+    * the same hash-keep narrow map — at 100 TB: one cheap agg + scan,
+    * no shuffle of the data itself, reproducible under repartitioning. */
+  def sampleToMix(df: DataFrame, idCol: String, stratumCol: String,
+                  targets: Map[String, Double]): DataFrame = {
+    require(targets.nonEmpty && targets.values.forall(_ > 0),
+      "targets must be positive fractions")
+    val counts = df.groupBy(col(stratumCol)).count()
+      .filter(col(stratumCol).isInCollection(targets.keys.toSeq))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "no target stratum present in the corpus")
+    // the binding stratum: largest supportable total = min n_s / t_s;
+    // double arithmetic written identically to the oracle SQL
+    // (tgt * T / n) so driver rates are bit-exact with its recompute
+    val tmin = targets.collect {
+      case (k, t) if counts.contains(k) => counts(k) / t
+    }.min
+    val rates = targets.collect { case (k, t) if counts.contains(k) =>
+      k -> (t * tmin / counts(k))
+    }
+    val rate = rates.foldLeft(lit(-1.0)) { case (acc, (k, r)) =>
+      when(col(stratumCol) === k, lit(r)).otherwise(acc) // -1 → drop
+    }
+    df.filter(keep(col(idCol), rate))
+  }
 }

@@ -416,4 +416,71 @@ class PipelineSpec extends SparkSpec {
     assert(got.forall(q => q >= 0 && q <= 1))
     assert(got(1) > got(0))
   }
+
+  test("RepStats pins handmade repetition fractions (0-bigram docs zero)") {
+    import graft.functions.RepStatsExpr
+    val df = Seq(
+      "a b a b a b", // bigrams ab ba ab ba ab: 5 total, 2 distinct, top 3
+      "x y z",       // 2 distinct of 2 → dup 0, top 1/2
+      "w w w w",     // ww ww ww → dup 2/3, top 1
+      "solo", "",    // no bigrams
+      "repeat repeat repeat stop repeat repeat" // rr rr rs sr rr: top 3/5
+    ).toDF("text")
+    val got = df.select(RepStatsExpr.repStats($"text").as("st"))
+      .select($"st.dup", $"st.top", $"st.nbig")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getInt(2)))
+    assert(got(0) == ((3.0 / 5, 3.0 / 5, 5)))
+    assert(got(1) == ((0.0, 0.5, 2)))
+    assert(got(2) == ((2.0 / 3, 1.0, 3)))
+    assert(got(3) == ((0.0, 0.0, 0)) && got(4) == ((0.0, 0.0, 0)))
+    assert(got(5) == ((2.0 / 5, 3.0 / 5, 5)))
+  }
+
+  test("RepStats counts equal explode+groupBy over the same gram hashes") {
+    import graft.functions.{NgramHashExpr, RepStatsExpr}
+    val withId = docs.union(Seq((90L, "a b a b a b"), (91L, ""),
+      (92L, "x  y x  y")).toDF("doc_id", "text"))
+    val native = withId.select($"doc_id",
+        RepStatsExpr.repStats($"text").as("st"))
+      .select($"doc_id", $"st.dup", $"st.top", $"st.nbig")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getInt(3)))).toMap
+    val sql = withId.select($"doc_id",
+        explode(NgramHashExpr.ngramHashes($"text", 2)).as("g"))
+      .groupBy($"doc_id", $"g").count()
+      .groupBy($"doc_id")
+      .agg(sum($"count").as("nbig"), max($"count").as("topc"),
+        count(lit(1)).as("ndist"))
+      .collect().map { r =>
+        val nbig = r.getLong(1)
+        r.getLong(0) -> (((nbig - r.getLong(3)).toDouble / nbig,
+          r.getLong(2).toDouble / nbig, nbig.toInt))
+      }.toMap
+    sql.foreach { case (id, want) => assert(native(id) == want, s"doc $id") }
+    assert(native(91L) == ((0.0, 0.0, 0))) // no-bigram doc absent from sql side
+  }
+
+  test("sampleToMix hits target proportions, keeps the binding stratum " +
+      "whole, and drops untargeted strata") {
+    import org.apache.spark.sql.functions._
+    // 60k en, 20k de, 5k fr, 1k xx; targets 60/25/15 → fr binds:
+    // total = 5000/0.15 = 33333.3, en rate=.333, de rate=.417, fr rate=1
+    val df = spark.range(86000L).toDF("id").select($"id",
+      when($"id" < 60000L, "en").when($"id" < 80000L, "de")
+        .when($"id" < 85000L, "fr").otherwise("xx").as("lang"))
+    val kept = operators.Sampling.sampleToMix(df, "id", "lang",
+      Map("en" -> 0.6, "de" -> 0.25, "fr" -> 0.15))
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!kept.contains("xx"))
+    assert(kept("fr") == 5000L, s"binding stratum thinned: $kept")
+    val total = kept.values.sum.toDouble
+    assert(math.abs(kept("en") / total - 0.6) < 0.02, s"en share: $kept")
+    assert(math.abs(kept("de") / total - 0.25) < 0.02, s"de share: $kept")
+    assert(math.abs(kept("fr") / total - 0.15) < 0.02, s"fr share: $kept")
+    // deterministic: same input, same sample
+    val again = operators.Sampling.sampleToMix(df, "id", "lang",
+      Map("en" -> 0.6, "de" -> 0.25, "fr" -> 0.15)).count()
+    assert(again == kept.values.sum)
+  }
 }
