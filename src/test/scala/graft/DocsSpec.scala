@@ -516,4 +516,31 @@ class DocsSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(got.toSeq == Seq(110L, 210L))
   }
+
+  test("examples dir enumeration: the 16/17-verbatim claim is pinned, " +
+      "not prose — new scripts can't be silently skipped") {
+    import scala.jdk.CollectionConverters._
+    val dir = java.nio.file.Paths.get("/root/reference/examples")
+    val scripts = java.nio.file.Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".rfl")).toSet
+    val known = Set("aj.rfl", "apply.rfl", "asof.rfl", "fib.rfl",
+      "flips.rfl", "insert.rfl", "ipc.rfl", "iter.rfl", "join.rfl",
+      "journal.rfl", "parted.rfl", "sesslog.rfl", "table.rfl",
+      "update.rfl", "upsert.rfl", "window.rfl", "wj.rfl")
+    assert(scripts == known,
+      s"examples changed: unexpected=${scripts -- known} gone=${known -- scripts}")
+    // ipc.rfl is ALL comments/blank lines — nothing executable, so
+    // 16/17 is the honest verbatim maximum (IPC = declared non-goal)
+    val ipc = java.nio.file.Files.readAllLines(dir.resolve("ipc.rfl")).asScala
+    assert(ipc.forall(l => l.trim.isEmpty || l.trim.startsWith(";")),
+      "ipc.rfl grew executable lines — revisit the non-goal")
+    // every other script is named by a test in THIS suite (flips.rfl's
+    // test exercises its forms on synthetic data — its input needs an
+    // external download)
+    val src = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths
+      .get("src/test/scala/graft/DocsSpec.scala")))
+    (known - "ipc.rfl").foreach { s =>
+      assert(src.contains(s), s"no DocsSpec coverage mentions $s")
+    }
+  }
 }
