@@ -773,6 +773,86 @@ object Queries {
       |  MAX(doc_id) AS last_kept
       |FROM s GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- t13
+  // TF-IDF keyword extraction: per-doc top-3 terms. Score = the exact
+  // rational tf·N/df (not tf·ln(N/df)): ln is a libm call with no
+  // cross-engine rounding guarantee; the rational form ranks the same
+  // keywords and is bit-identical in both engines (integer products
+  // under one correctly-rounded IEEE division).
+  def t13_tfidf(spark: SparkSession, dir: String): DataFrame =
+    operators.TfIdf.topKeywords(t(spark, dir, "documents"), "doc_id", "text", 3)
+      .orderBy($"doc_id", $"rnk")
+
+  private val t13_sql =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY doc_id, tok),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |r AS (
+      |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+      |    CAST(tf.tf * n.n AS DOUBLE) / df.df AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.tok) AS rnk
+      |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+      |SELECT doc_id, rnk, tok, tf, df, score FROM r
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- t14
+  // Corpus-level 3-gram frequency census (boilerplate / template
+  // detection): top-20 gram hashes by total occurrences with distinct
+  // document counts. Grams travel as i64 hashes (NgramHashes, one
+  // codegen pass — the t09/t11 convention), the oracle replays the
+  // same position-keyed XOR arithmetic.
+  def t14_top_ngrams(spark: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.topNgrams(t(spark, dir, "documents"),
+      "doc_id", "text", n = 3, k = 20)
+
+  private val t14_sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |pos AS (
+       |  SELECT doc_id, w,
+       |         unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+       |  FROM toks),
+       |grams AS (
+       |  SELECT doc_id, ${Text.duck.ngramHashSql("w", "i", 3)} AS g
+       |  FROM pos),
+       |c AS (SELECT g, COUNT(*) AS total, COUNT(DISTINCT doc_id) AS ndocs
+       |      FROM grams GROUP BY g)
+       |SELECT g, total, ndocs FROM c
+       |ORDER BY total DESC, g ASC LIMIT 20""".stripMargin
+
+  // ---------------------------------------------------------------- t15
+  // Deterministic train/val/test split: the t06/t12 id hash against
+  // literal cumulative bounds (0.8 / 0.9 — never summed fractions:
+  // 0.8+0.1 ≠ 0.9 in IEEE doubles). Census per (lang, split) proves
+  // both the assignment and its stratum independence; id extremes pin
+  // the exact membership.
+  def t15_split(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("split", operators.Sampling.splitAssign($"doc_id",
+        Seq("train" -> 0.8, "val" -> 0.9), "test"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n"), min($"doc_id").as("first_id"),
+        max($"doc_id").as("last_id"))
+      .orderBy($"lang", $"split")
+
+  private val t15_sql =
+    """WITH u AS (
+      |  SELECT lang, doc_id,
+      |    (((doc_id % 2147483648) * 2654435761) % 4294967296
+      |     + ((doc_id // 2147483648) * 2246822519) % 4294967296)
+      |    % 4294967296 / 4294967296.0 AS d
+      |  FROM documents)
+      |SELECT lang,
+      |  CASE WHEN d < 0.8 THEN 'train' WHEN d < 0.9 THEN 'val'
+      |       ELSE 'test' END AS split,
+      |  COUNT(*) AS n, MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
+      |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ---------------------------------------------------------------- d01
   // Exact dedup: hash-groupBy on the fingerprint, keep min doc_id.
   def d01_dedup_exact(spark: SparkSession, dir: String): DataFrame =
@@ -1973,6 +2053,45 @@ object Queries {
       .select($"id".as("vec_id"), $"score")
   }
 
+  // ---------------------------------------------------------------- s05
+  // Scalar int8 quantization of the embedding corpus: per-dimension
+  // min-max ranges (pass 1, d-row agg) inlined as literals, then a
+  // narrow quantize+reconstruction-error map (pass 2, no shuffle).
+  // Codes and errors are chains of correctly-rounded IEEE double ops
+  // on exact inputs, so both engines hash-match without rounding.
+  def s05_quantize(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val (mins, maxs) = operators.Quantize.dimensionRanges(emb, "embedding")
+    operators.Quantize.quantize(emb, "embedding", mins, maxs)
+      // CSV, not array<long>: the driver's row sort needs every output
+      // column orderable (the d02 flatten convention)
+      .select($"vec_id",
+        concat_ws(",", $"codes".cast("array<string>")).as("codes_csv"),
+        $"max_err")
+      .orderBy($"vec_id")
+  }
+
+  private val s05_sql =
+    """WITH px AS (
+      |  SELECT vec_id, i, CAST(e[i] AS DOUBLE) AS x FROM (
+      |    SELECT vec_id, embedding AS e,
+      |           unnest(generate_series(1, len(embedding))) AS i
+      |    FROM embeddings)),
+      |st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM px GROUP BY i),
+      |q AS (
+      |  SELECT vec_id, px.i, x, mn, mx,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE CAST(floor((x - mn) / (mx - mn) * 255 + 0.5) AS BIGINT)
+      |    END AS c
+      |  FROM px JOIN st USING (i)),
+      |e AS (
+      |  SELECT vec_id, i, c,
+      |    abs(x - (mn + CAST(c AS DOUBLE) * (mx - mn) / 255)) AS err
+      |  FROM q)
+      |SELECT vec_id, array_to_string(list(c ORDER BY i), ',') AS codes_csv,
+      |  MAX(err) AS max_err
+      |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- r04
   // Rayfall as-of join: the reference's (asof-join [keys t] l r) form.
   def r04_rayfall_asof(spark: SparkSession, dir: String): DataFrame = {
@@ -2417,6 +2536,9 @@ object Queries {
     "t10_pipeline_e2e" -> (t10_pipeline_e2e _),
     "t11_repetition" -> (t11_repetition _),
     "t12_mix_targets" -> (t12_mix_targets _),
+    "t13_tfidf" -> (t13_tfidf _),
+    "t14_top_ngrams" -> (t14_top_ngrams _),
+    "t15_split" -> (t15_split _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -2466,6 +2588,7 @@ object Queries {
     "q44_tpch5" -> (q44_tpch5 _),
     "s03_ann_ivf" -> (s03_ann_ivf _),
     "s04_ivf_index" -> (s04_ivf_index _),
+    "s05_quantize" -> (s05_quantize _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
@@ -2515,6 +2638,9 @@ object Queries {
     "t10_pipeline_e2e" -> t10_sql,
     "t11_repetition" -> t11_sql,
     "t12_mix_targets" -> t12_sql,
+    "t13_tfidf" -> t13_sql,
+    "t14_top_ngrams" -> t14_sql,
+    "t15_split" -> t15_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,
@@ -2578,5 +2704,6 @@ object Queries {
     "s02_ann_lsh" -> s02_sql,
     "s03_ann_ivf" -> s03_sql,
     "s04_ivf_index" -> s04_sql,
+    "s05_quantize" -> s05_sql,
   )
 }

@@ -80,4 +80,22 @@ object Sampling {
     }
     df.filter(keep(col(idCol), rate))
   }
+
+  /** Deterministic train/val/test (or any n-way) split assignment: the
+    * id's decision value against explicit cumulative UPPER BOUNDS —
+    * `bounds = (train→0.8, val→0.9)` labels u<0.8 train, u<0.9 val,
+    * everything else `lastLabel`. Bounds are caller-supplied literals
+    * (never summed fractions: 0.8+0.1 ≠ 0.9 in IEEE doubles, and a
+    * recomputed boundary would disagree with an engine replaying the
+    * literal). Same properties as `decision`: reproducible,
+    * repartition-stable, a narrow map — rows never shuffle to split. */
+  def splitAssign(id: Column, bounds: Seq[(String, Double)],
+                  lastLabel: String): Column = {
+    require(bounds.map(_._2) == bounds.map(_._2).sorted,
+      "split bounds must be non-decreasing")
+    val d = decision(id)
+    bounds.foldRight(lit(lastLabel): Column) { case ((label, ub), acc) =>
+      when(d < ub, label).otherwise(acc)
+    }
+  }
 }

@@ -483,4 +483,77 @@ class PipelineSpec extends SparkSpec {
       Map("en" -> 0.6, "de" -> 0.25, "fr" -> 0.15)).count()
     assert(again == kept.values.sum)
   }
+
+  test("splitAssign: labels partition the corpus, agree with keep() at " +
+      "the same bound, and stay in-domain on huge ids") {
+    val df = spark.range(0, 20000).toDF("id")
+    val lab = df.withColumn("s", operators.Sampling.splitAssign($"id",
+      Seq("train" -> 0.8, "val" -> 0.9), "test"))
+    val counts = lab.groupBy($"s").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 20000L)
+    assert(math.abs(counts("train") / 20000.0 - 0.8) < 0.02, s"$counts")
+    assert(math.abs(counts("val") / 20000.0 - 0.1) < 0.01, s"$counts")
+    // the train slice IS the keep(0.8) sample — same hash, same bound
+    val kept = df.filter(operators.Sampling.keep($"id", lit(0.8))).count()
+    assert(kept == counts("train"))
+    // full-i64 ids survive ANSI mode (the round-8 two-word hash domain)
+    val big = Seq(Long.MaxValue - 1, 1L << 40).toDF("id")
+      .withColumn("s", operators.Sampling.splitAssign($"id",
+        Seq("train" -> 0.8, "val" -> 0.9), "test"))
+    assert(big.select($"s").collect().length == 2)
+  }
+
+  test("tf-idf top keywords: exact ranks on a hand-computed corpus") {
+    val c = Seq((0L, "apple banana apple"), (1L, "banana cherry"),
+      (2L, "durian")).toDF("doc_id", "text")
+    // N=3; df: apple 1, banana 2, cherry 1, durian 1
+    // d0: apple 2*3/1=6.0 > banana 1*3/2=1.5; d1: cherry 3.0 > banana 1.5
+    val got = operators.TfIdf.topKeywords(c, "doc_id", "text", 2)
+      .orderBy($"doc_id", $"rnk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (0L, 1, "apple", 2L, 1L, 6.0), (0L, 2, "banana", 1L, 2L, 1.5),
+      (1L, 1, "cherry", 1L, 1L, 3.0), (1L, 2, "banana", 1L, 2L, 1.5),
+      (2L, 1, "durian", 1L, 1L, 3.0)))
+  }
+
+  test("corpus top n-grams: counts match a driver recompute") {
+    val c = Seq((0L, "a b c a b c d"), (1L, "a b c x y z"),
+      (2L, "x y z x y z")).toDF("doc_id", "text")
+    val got = operators.CorpusStats.topNgrams(c, "doc_id", "text", 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // driver model: same NgramHashes arithmetic, counted in Scala
+    val rows = c.collect().map(r => (r.getLong(0), r.getString(1)))
+    val occ = rows.flatMap { case (id, s) =>
+      functions.NgramHashes.gramHashes(s, 3).map(g => (g, id)) }
+    val model = occ.groupBy(_._1).map { case (g, xs) =>
+      (g, xs.length.toLong, xs.map(_._2).distinct.length.toLong) }
+      .toSeq.sortBy(t => (-t._2, t._1)).take(5)
+    assert(got.toSeq == model)
+    // the twice-planted "x y z" gram: total 3, in 2 docs
+    val xyz = functions.NgramHashes.gramHashes("x y z", 3).head
+    assert(got.contains((xyz, 3L, 2L)))
+  }
+
+  test("scalar quantization: codes in range, errors within the half-step " +
+      "bound, degenerate dimension codes to 0") {
+    val vecs = Seq(
+      (0L, Array(0.0f, 1.0f, 5.0f)), (1L, Array(2.0f, 1.0f, -3.0f)),
+      (2L, Array(1.0f, 1.0f, 0.5f))).toDF("vec_id", "embedding")
+    val (mins, maxs) = operators.Quantize.dimensionRanges(vecs, "embedding")
+    assert(mins.toSeq == Seq(0.0, 1.0, -3.0) && maxs.toSeq == Seq(2.0, 1.0, 5.0))
+    val got = operators.Quantize.quantize(vecs, "embedding", mins, maxs)
+      .orderBy($"vec_id")
+      .select($"codes", $"max_err").collect()
+    val codes = got.map(_.getSeq[Long](0))
+    assert(codes.forall(_.forall(v => v >= 0L && v <= 255L)))
+    assert(codes.forall(_.apply(1) == 0L)) // constant dim → 0
+    // half-step reconstruction bound: span/255/2 per dimension
+    val bound = (0 until 3).map(i => (maxs(i) - mins(i)) / 255.0 / 2.0).max
+    assert(got.map(_.getDouble(1)).forall(_ <= bound + 1e-12))
+    // exact endpoints: min → 0, max → 255
+    assert(codes(0).toSeq == Seq(0L, 0L, 255L))
+  }
 }
