@@ -19,10 +19,13 @@ object TimeStream {
     val batch = Tables.load(spark, sfDir, "events")
     val stage = s"/tmp/graft_stream/${sfDir.replaceAll("[^a-zA-Z0-9]", "_")}/events"
 
-    for (i <- 1 to 3) {
+    // second arg: comma-separated state-partition widths to probe (the
+    // VERDICT-8 floor experiment); each runs 3× to expose the warm floor
+    val widths = args.drop(1).headOption.getOrElse("8,8,8").split(",").map(_.toInt)
+    for ((w, i) <- widths.zipWithIndex) {
       val t0 = System.nanoTime()
       val ss = spark.newSession()
-      ss.conf.set("spark.sql.shuffle.partitions", "8")
+      ss.conf.set("spark.sql.shuffle.partitions", w.toString)
       val stream = ss.readStream.schema(batch.schema).parquet(stage)
         .withColumn("ts2", expr("timestamp_micros(ts div 1000)"))
       val agg = stream
@@ -41,7 +44,7 @@ object TimeStream {
       val n = ss.table(s"ts_$i").count()
       val t5 = System.nanoTime()
       def ms(a: Long, b: Long) = (b - a) / 1e6
-      println(f"[stream] run$i build=${ms(t0,t1)}%.0f start=${ms(t1,t2)}%.0f " +
+      println(f"[stream] run$i w=$w build=${ms(t0,t1)}%.0f start=${ms(t1,t2)}%.0f " +
         f"process=${ms(t2,t3)}%.0f stop=${ms(t3,t4)}%.0f collect=${ms(t4,t5)}%.0f ms ($n rows)")
     }
     spark.stop()

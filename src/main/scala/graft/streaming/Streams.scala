@@ -24,15 +24,20 @@ object Streams {
   def tumblingCounts(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
                      tsCol: String, keyCol: String, valueCol: String,
                      windowSec: Int, queryName: String,
-                     prep: DataFrame => DataFrame = identity): DataFrame = {
+                     prep: DataFrame => DataFrame = identity,
+                     statePartitions: Int = 4): DataFrame = {
     // Run the stateful query in a cloned session with few shuffle
     // partitions: streaming state-store partitions = shuffle partitions,
     // and each one pays per-micro-batch snapshot/commit IO. The windowed
-    // key space is tiny relative to the batch engine's partitioning needs,
-    // so 8 state stores beat 32+ (on a real cluster, size this to the
-    // stateful-key cardinality, not the batch shuffle width).
+    // key space is tiny relative to the batch engine's partitioning
+    // needs — size this to the stateful-key cardinality, not the batch
+    // shuffle width. Measured floor at sf0.1 (TimeStream probe, warm):
+    // width 8 ≈ 1.06 s, 4 ≈ 0.92, 2 ≈ 0.84, 1 ≈ 0.83 — the input scan
+    // keeps its own parallelism either way (map-side partial agg does
+    // the row work; only the 3600-key final merge + state commit runs at
+    // this width), so past ~4 the commit overhead is the whole spread.
     val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val stream = prep(ss.readStream.schema(schemaFrom.schema).parquet(srcDir))
     val agg = stream
       .groupBy(window(col(tsCol), s"$windowSec seconds"), col(keyCol))
