@@ -18,14 +18,18 @@ import graft.StringToColumn
   * hash-match. The rational form is monotone in the same (tf, 1/df)
   * ordering, so the extracted keywords are the same ranking.
   *
-  * 100 TB shape: three aggregations, each strictly smaller than the
-  * last — (1) tf = groupBy(doc, token) over the exploded scan
-  * (map-side combine absorbs the per-doc repeats), (2) df =
-  * groupBy(token) over the tf PAIRS (already one row per distinct
-  * (doc, token) — never recounts raw tokens), broadcast back
-  * (vocabulary-sized), (3) per-doc top-k via a doc-partitioned rank
-  * window whose input carries only (token, tf, df) — no text. Nothing
-  * driver-side; the only broadcast is the vocabulary table.
+  * 100 TB shape: (1) tf = groupBy(doc, token) over the exploded scan —
+  * map-side combine absorbs the per-doc repeats, ONE corpus-wide
+  * shuffle; (2) df = groupBy(token) over per-ROW distinct tokens
+  * (`array_distinct` is row-local, so this side shuffles only
+  * (token, partial-count) pairs — deriving df from the tf result reads
+  * nicer but Catalyst can't reuse the exchange across the pruned
+  * replan, and the corpus-wide (doc, token) shuffle runs TWICE),
+  * broadcast back (vocabulary-sized); (3) per-doc top-k via a
+  * doc-partitioned rank window whose input carries only
+  * (token, tf, df) — no text, and Spark's WindowGroupLimit prunes to
+  * ~k rows per doc before the window shuffle. Nothing driver-side;
+  * the only broadcast is the vocabulary table.
   */
 object TfIdf {
 
@@ -39,7 +43,9 @@ object TfIdf {
     val tf = corpus
       .select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col(idCol), $"tok").agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val df = corpus
+      .select(explode(array_distinct(split(col(textCol), " "))).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col(idCol))
       .orderBy($"score".desc, $"tok".asc)
     tf.join(broadcast(df), "tok")
