@@ -2503,6 +2503,26 @@ object Queries {
       |  AND l_linestatus IN ('F')
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- q54
+  // Streaming exact-dedup of the ingest path: dropDuplicates over the
+  // event feed (state-store backed — the streaming twin of Dedup.exact
+  // on a journal/live table), then a distinct-key census. The batch
+  // oracle is COUNT(DISTINCT): the streamed answer must equal it.
+  def q54_stream_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val batch = t(spark, dir, "events")
+    val stage = s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events"
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      Store.setSplayed(batch, stage)
+    Streams.dedupCounts(spark, stage, batch,
+      keyCols = Seq("user_id", "event_type"), outKey = "event_type",
+      queryName = "graft_sdedup_" + math.abs(dir.hashCode))
+      .orderBy($"event_type")
+  }
+
+  private val q54_sql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2605,6 +2625,7 @@ object Queries {
     "q51_rand_guid" -> (q51_rand_guid _),
     "q52_kernel_groupby" -> (q52_kernel_groupby _),
     "q53_kernel_where" -> (q53_kernel_where _),
+    "q54_stream_dedup" -> (q54_stream_dedup _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2692,6 +2713,7 @@ object Queries {
     "q50_time_millis" -> q50_sql,
     "q52_kernel_groupby" -> q52_sql,
     "q53_kernel_where" -> q53_sql,
+    "q54_stream_dedup" -> q54_sql,
     "d06_lsh_candidates" -> d06_sql,
     "d07_simhash_neardup" -> d07_sql,
     "d08_simhash_multiperm" -> d08_sql,

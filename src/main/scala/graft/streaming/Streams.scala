@@ -51,6 +51,33 @@ object Streams {
     ss.table(queryName)
   }
 
+  /** Streaming exact-dedup of the ingest path: `dropDuplicates` on the
+    * key columns (state-store backed — the streaming twin of
+    * `Dedup.exact`, deduping a journal/live feed as it arrives), then a
+    * per-`outKey` census of the distinct keys. Unbounded state by
+    * design here (the harness replays a bounded journal); a production
+    * feed would add `withWatermark` so old fingerprints age out. */
+  def dedupCounts(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
+                  keyCols: Seq[String], outKey: String, queryName: String,
+                  prep: DataFrame => DataFrame = identity,
+                  statePartitions: Int = 4): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val stream = prep(ss.readStream.schema(schemaFrom.schema).parquet(srcDir))
+    val agg = stream
+      .select(keyCols.map(col): _*)
+      .dropDuplicates(keyCols)
+      .groupBy(col(outKey))
+      .agg(count(lit(1)).as("n_distinct"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    ss.table(queryName)
+  }
+
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, start_us: Long, end_us: Long,

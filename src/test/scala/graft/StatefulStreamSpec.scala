@@ -28,4 +28,21 @@ class StatefulStreamSpec extends SparkSpec {
     assert(rows(0).getLong(1) == 0L && rows(0).getLong(2) == 900000L)
     assert(rows(0).getInt(3) == 3)
   }
+
+  test("dedupCounts: streamed dropDuplicates census equals the batch " +
+      "COUNT(DISTINCT) on planted duplicates") {
+    val fixture = Seq(
+      (1L, "click"), (1L, "click"), (1L, "click"), // dup key ×3
+      (2L, "click"), (1L, "view"), (2L, "view"),
+      (2L, "view"), (3L, "view")
+    ).toDF("user_id", "event_type")
+    val dir = "/tmp/graft_test_stream_dedup"
+    fixture.write.mode("overwrite").parquet(dir)
+    val got = Streams.dedupCounts(spark, dir, fixture,
+      keyCols = Seq("user_id", "event_type"), outKey = "event_type",
+      queryName = "sdedup_test")
+      .orderBy($"event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("click", 2L), ("view", 3L)))
+  }
 }
