@@ -41,6 +41,40 @@ class PlanShapeSpec extends SparkSpec {
       s"corpus gram set leaked into a shuffle:\n$p")
   }
 
+  test("t13 (TF-IDF): vocabulary broadcasts, the corpus (doc, token) " +
+      "shuffle runs exactly once") {
+    val p = plan("t13_tfidf")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the df vocabulary table must broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    // tf (doc, tok), df (tok), and the doc-partitioned rank window —
+    // a 4th hash exchange means the df side re-ran the corpus shuffle
+    // (the round-8 exchange-reuse regression this pin guards)
+    assert(count(p, "Arguments: hashpartitioning") == 3,
+      s"unexpected shuffle count:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      "rank-limit pushdown must prune before the window shuffle")
+  }
+
+  test("t14 (n-gram census): one gram-hash shuffle family, top-k folds") {
+    val p = plan("t14_top_ngrams")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k must fold to TakeOrderedAndProject (no global sort)")
+    // distinct-doc counting expands to two agg levels over one gram key
+    assert(count(p, "Arguments: hashpartitioning") <= 2,
+      s"gram census grew an extra shuffle:\n$p")
+  }
+
+  test("s05 (quantization) pass 2 is a pure narrow map: no exchange " +
+      "between the scan and the quantized output") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (mins, maxs) = operators.Quantize.dimensionRanges(emb, "embedding")
+    val p = operators.Quantize.quantize(emb, "embedding", mins, maxs)
+      .queryExecution.explainString(FormattedMode)
+    assert(count(p, "Arguments: hashpartitioning") == 0 &&
+      !p.contains("Exchange"), s"quantize pass must not shuffle:\n$p")
+  }
+
   test("q44 (TPC-H Q5 shape): all four dims broadcast, one fact shuffle") {
     val p = plan("q44_tpch5")
     assert(!p.contains("SortMergeJoin"), "star dims must broadcast")
