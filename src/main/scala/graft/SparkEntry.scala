@@ -853,6 +853,117 @@ object Queries {
       |  COUNT(*) AS n, MIN(doc_id) AS first_id, MAX(doc_id) AS last_id
       |FROM u GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ---------------------------------------------------------------- t16
+  // Duplicate-span coverage (exact-substring dedup at gram granularity,
+  // the Lee-et-al signal): fraction of each doc's tokens covered by a
+  // 3-gram occurring in ≥5 distinct docs. Grams travel as i64 hashes
+  // (the t09/t14 convention); the frequent set broadcasts.
+  def t16_dup_spans(spark: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.dupSpanCoverage(t(spark, dir, "documents"),
+      "doc_id", "text", n = 3, minDocs = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+
+  private val t16_sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |pos AS (
+       |  SELECT doc_id, w,
+       |         unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+       |  FROM toks),
+       |grams AS (
+       |  SELECT doc_id, i, ${Text.duck.ngramHashSql("w", "i", 3)} AS g
+       |  FROM pos),
+       |freq AS (
+       |  SELECT g FROM grams GROUP BY g
+       |  HAVING COUNT(DISTINCT doc_id) >= 5),
+       |cov AS (
+       |  SELECT doc_id, COUNT(DISTINCT p) AS ncov FROM (
+       |    SELECT gr.doc_id, unnest(generate_series(gr.i, gr.i + 2)) AS p
+       |    FROM grams gr JOIN freq USING (g))
+       |  GROUP BY doc_id),
+       |base AS (
+       |  SELECT doc_id, len(string_split(text, ' ')) AS ntok
+       |  FROM documents)
+       |SELECT b.doc_id, b.ntok, COALESCE(c.ncov, 0) AS ncov,
+       |  floor(CAST(COALESCE(c.ncov, 0) AS DOUBLE) / b.ntok * 10000 + 0.5)
+       |    / 10000 AS cov
+       |FROM base b LEFT JOIN cov c USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t17
+  // Per-source document caps (crawl-corpus domain caps): keep the top-10
+  // docs per source by length with doc_id tie-break. The rank filter
+  // triggers WindowGroupLimit — each task forwards only its local top-10
+  // per source before the single source-partitioned shuffle.
+  def t17_source_caps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+    t(spark, dir, "documents")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 10)
+      .select($"source", $"rk", $"doc_id", $"n_chars")
+      .orderBy($"source", $"rk")
+  }
+
+  private val t17_sql =
+    """WITH r AS (
+      |  SELECT source, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |SELECT source, rk, doc_id, n_chars FROM r
+      |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+
+  // ---------------------------------------------------------------- t18
+  // Per-language quality deciles (percentile-threshold filtering): NTILE
+  // over the exact t02 quality score with doc_id tie-break (total order
+  // → deterministic tile edges), decile census per language. One
+  // lang-partitioned window shuffle; the census folds map-side.
+  def t18_quality_deciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.QualityExpr
+    val w = Window.partitionBy($"lang")
+      .orderBy($"quality".asc, $"doc_id".asc)
+    t(spark, dir, "documents")
+      .select($"lang", $"doc_id",
+        QualityExpr.qualityScore($"text").as("quality"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"lang", $"decile")
+      .agg(count(lit(1)).as("n"),
+        min($"quality").as("q_min"), max($"quality").as("q_max"),
+        min($"doc_id").as("first_id"))
+      .orderBy($"lang", $"decile")
+  }
+
+  private val t18_sql = {
+    val punct =
+      """CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / length(text) END""".stripMargin
+    val stop =
+      s"""CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0 ELSE
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      w -> w IN ($t02_stop))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) END""".stripMargin
+    val quality =
+      s"""floor((0.4 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100)
+         |    + 0.3 * (1.0 - $punct)
+         |    + 0.3 * (1.0 - $stop)) * 10000 + 0.5) / 10000""".stripMargin
+    s"""WITH q AS (
+       |  SELECT lang, doc_id, $quality AS quality FROM documents),
+       |d AS (
+       |  SELECT lang, doc_id, quality,
+       |    NTILE(10) OVER (PARTITION BY lang
+       |      ORDER BY quality, doc_id) AS decile
+       |  FROM q)
+       |SELECT lang, decile, COUNT(*) AS n,
+       |  MIN(quality) AS q_min, MAX(quality) AS q_max,
+       |  MIN(doc_id) AS first_id
+       |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d01
   // Exact dedup: hash-groupBy on the fingerprint, keep min doc_id.
   def d01_dedup_exact(spark: SparkSession, dir: String): DataFrame =
@@ -2092,6 +2203,32 @@ object Queries {
       |  MAX(err) AS max_err
       |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- s06
+  // k-NN join: exact top-3 cosine neighbors for a 10-vector query set in
+  // one pass (batch retrieval / hard-negative mining). Query side
+  // broadcasts; WindowGroupLimit caps the qid shuffle at tasks×Q×k rows.
+  def s06_knn_join(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnJoin(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryIds = 0L until 10L, k = 3)
+      .select($"qid", $"rk", $"id".as("vec_id"), $"score")
+      .orderBy($"qid", $"rk")
+
+  private val s06_sql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |    FROM embeddings),
+      |q AS (SELECT vec_id AS qid, emb AS qv FROM v WHERE vec_id < 10),
+      |s AS (
+      |  SELECT q.qid, v.vec_id,
+      |    ROUND(list_cosine_similarity(v.emb, q.qv), 6) AS score
+      |  FROM v, q WHERE v.vec_id <> q.qid),
+      |r AS (
+      |  SELECT qid, vec_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY score DESC, vec_id) AS rk
+      |  FROM s)
+      |SELECT qid, rk, vec_id, score FROM r
+      |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
   // ---------------------------------------------------------------- r04
   // Rayfall as-of join: the reference's (asof-join [keys t] l r) form.
   def r04_rayfall_asof(spark: SparkSession, dir: String): DataFrame = {
@@ -2559,6 +2696,9 @@ object Queries {
     "t13_tfidf" -> (t13_tfidf _),
     "t14_top_ngrams" -> (t14_top_ngrams _),
     "t15_split" -> (t15_split _),
+    "t16_dup_spans" -> (t16_dup_spans _),
+    "t17_source_caps" -> (t17_source_caps _),
+    "t18_quality_deciles" -> (t18_quality_deciles _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -2609,6 +2749,7 @@ object Queries {
     "s03_ann_ivf" -> (s03_ann_ivf _),
     "s04_ivf_index" -> (s04_ivf_index _),
     "s05_quantize" -> (s05_quantize _),
+    "s06_knn_join" -> (s06_knn_join _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
@@ -2662,6 +2803,9 @@ object Queries {
     "t13_tfidf" -> t13_sql,
     "t14_top_ngrams" -> t14_sql,
     "t15_split" -> t15_sql,
+    "t16_dup_spans" -> t16_sql,
+    "t17_source_caps" -> t17_sql,
+    "t18_quality_deciles" -> t18_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,
@@ -2727,5 +2871,6 @@ object Queries {
     "s03_ann_ivf" -> s03_sql,
     "s04_ivf_index" -> s04_sql,
     "s05_quantize" -> s05_sql,
+    "s06_knn_join" -> s06_sql,
   )
 }

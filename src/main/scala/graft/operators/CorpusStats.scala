@@ -31,4 +31,44 @@ object CorpusStats {
       .orderBy($"total".desc, $"g".asc)
       .limit(k)
   }
+
+  /** Duplicate-span coverage (the exact-substring-dedup signal at gram
+    * granularity): the fraction of each document's tokens lying inside a
+    * word n-gram that occurs in ≥ `minDocs` distinct documents. Docs
+    * dominated by corpus-frequent spans are templates/boilerplate and
+    * the standard policy drops or trims them.
+    *
+    * Output: (id, ntok, ncov, cov) per document — token count, covered
+    * token count, coverage fraction (4-dp `roundBin`, engine-portable).
+    *
+    * 100 TB shape: one census shuffle over (hash, partial-count) pairs
+    * with map-side combine (grams travel as i64 hashes, never strings);
+    * the frequent set is a heavy-hitter list — bounded above by
+    * total-grams / minDocs and in practice tiny — so the membership
+    * probe is a broadcast semi-join over the per-doc gram scan, and the
+    * only other shuffle is the per-doc distinct-position count. Token
+    * positions never leave their document's rows. */
+  def dupSpanCoverage(corpus: DataFrame, idCol: String, textCol: String,
+                      n: Int, minDocs: Int): DataFrame = {
+    import graft.functions.NgramHashExpr.ngramHashes
+    val grams = corpus.select(col(idCol).as("id"),
+      posexplode(ngramHashes(col(textCol), n)).as(Seq("i", "g")))
+    val freq = grams.groupBy($"g")
+      .agg(countDistinct($"id").as("nd"))
+      .filter($"nd" >= minDocs)
+      .select($"g")
+    // A gram at token position i covers tokens i..i+n-1; a token is
+    // covered if ANY frequent gram spans it → distinct positions.
+    val covered = grams.join(broadcast(freq), Seq("g"))
+      .select($"id", explode(sequence($"i", $"i" + lit(n - 1))).as("p"))
+      .groupBy($"id").agg(countDistinct($"p").as("ncov"))
+    corpus
+      .select(col(idCol).as("id"),
+        size(split(col(textCol), " ")).cast("long").as("ntok"))
+      .join(covered, Seq("id"), "left")
+      .select($"id", $"ntok",
+        coalesce($"ncov", lit(0L)).as("ncov"),
+        graft.functions.RF.roundBin(
+          coalesce($"ncov", lit(0L)).cast("double") / $"ntok", 4).as("cov"))
+  }
 }

@@ -40,6 +40,36 @@ object Similarity {
       .limit(k)
   }
 
+  /** k-NN JOIN: exact top-k cosine neighbors for EVERY query in a query
+    * set (vs `bruteForceTopK`'s single query row) — the batch-retrieval
+    * shape (eval-set contamination probes, hard-negative mining,
+    * embedding-cluster labeling all ask "neighbors of these Q vectors").
+    *
+    * Output: (qid, rk, id, score), rk = 1..k per query by score DESC
+    * with id ASC tie-break on the 6-dp rounded score.
+    *
+    * 100 TB shape: the query side broadcasts (Q rows — eval sets are
+    * small by definition), so scoring is a broadcast nested-loop over
+    * ONE base scan with no base shuffle; the rank filter triggers
+    * Spark's WindowGroupLimit, so each map task forwards only its local
+    * top-k per query before the single qid-partitioned shuffle —
+    * shuffle volume is O(tasks × Q × k), independent of base rows. */
+  def knnJoin(df: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+    val q = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id").asc)
+    v.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        round(cosine(col("v"), col("qv")), 6).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("id"), col("score"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed) for LSH.
     * Package-visible so the DuckDB oracle SQL can embed the same planes
     * as literals (the d06 seeds-in-SQL pattern). */

@@ -556,4 +556,43 @@ class PipelineSpec extends SparkSpec {
     // exact endpoints: min → 0, max → 255
     assert(codes(0).toSeq == Seq(0L, 0L, 255L))
   }
+
+  test("dup-span coverage: overlapping frequent spans count positions " +
+      "once; untouched docs report zero") {
+    val c = Seq(
+      (0L, "a b c d e"),            // "a b c" frequent → positions 0-2
+      (1L, "a b c x y"),
+      (2L, "a b c z w"),
+      (3L, "p q r s"),              // no frequent gram
+      (4L, "a b c a b c a b c")     // 3 disjoint hits tile all 9 tokens
+    ).toDF("doc_id", "text")
+    val got = operators.CorpusStats
+      .dupSpanCoverage(c, "doc_id", "text", n = 3, minDocs = 3)
+      .orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    // only "a b c" is in ≥3 docs ("b c a"/"c a b" live in doc 4 alone)
+    assert(got.toSeq == Seq(
+      (0L, 5L, 3L, 0.6), (1L, 5L, 3L, 0.6), (2L, 5L, 3L, 0.6),
+      (3L, 4L, 0L, 0.0), (4L, 9L, 9L, 1.0)))
+  }
+
+  test("knn join: each query's block equals the single-query brute force") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)), (3L, Array(0.1f, 0.9f, 0.1f)),
+      (4L, Array(0.5f, 0.5f, 0.0f)), (5L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.knnJoin(vecs, "vec_id", "embedding", Seq(0L, 2L), 3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      }
+    for (q <- Seq(0L, 2L)) {
+      val single = Similarity.bruteForceTopK(vecs, "vec_id", "embedding", q, 3)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got(q) == single, s"query $q diverges from bruteForceTopK")
+    }
+  }
 }

@@ -75,6 +75,39 @@ class PlanShapeSpec extends SparkSpec {
       !p.contains("Exchange"), s"quantize pass must not shuffle:\n$p")
   }
 
+  test("t16 (dup spans): frequent-gram set broadcasts; census + coverage " +
+      "are the only hash shuffles") {
+    val p = plan("t16_dup_spans")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the frequent-gram set must broadcast")
+    assert(p.contains("BroadcastHashJoin"))
+    // 2 for the distinct-doc census (g,id → g), 2 for the per-doc
+    // distinct-position count (id,p → id); a 5th means the raw gram
+    // explode leaked into a shuffle
+    assert(count(p, "Arguments: hashpartitioning") <= 4,
+      s"gram rows leaked into an extra shuffle:\n$p")
+  }
+
+  test("t17 (source caps): rank-limit prunes map-side, one hash shuffle") {
+    val p = plan("t17_source_caps")
+    assert(p.contains("WindowGroupLimit"),
+      "rank filter must push a partial group-limit below the shuffle")
+    assert(count(p, "Arguments: hashpartitioning") == 1,
+      s"per-source cap needs exactly the source shuffle:\n$p")
+  }
+
+  test("s06 (knn join): query side broadcasts, rank-limit caps the qid " +
+      "shuffle") {
+    val p = plan("s06_knn_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the query set must broadcast (no base-side shuffle join)")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"))
+    assert(p.contains("WindowGroupLimit"),
+      "per-query top-k must prune before the qid shuffle")
+    assert(count(p, "Arguments: hashpartitioning") == 1,
+      s"scoring must not shuffle the base side:\n$p")
+  }
+
   test("q44 (TPC-H Q5 shape): all four dims broadcast, one fact shuffle") {
     val p = plan("q44_tpch5")
     assert(!p.contains("SortMergeJoin"), "star dims must broadcast")
