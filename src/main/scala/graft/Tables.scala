@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
   *
@@ -14,9 +16,28 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Load one table from a scale-factor directory. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Load one table from a scale-factor directory.
+    *
+    * `events.ts` is kept as LongType epoch-nanoseconds everywhere
+    * downstream (the reference's TIMESTAMP is an i64 ns count,
+    * `/root/reference/core/chrono.c`). Earlier testdata generations wrote
+    * parquet TIMESTAMP(NANOS), which `nanosAsLong` surfaced as that long
+    * directly; the current generation writes TIMESTAMP(µs), so the long
+    * is reconstructed at load (session tz is UTC, so
+    * `unix_micros(cast(ts as timestamp))` is exact — no sub-µs data ever
+    * existed at µs physical resolution). A production deployment would
+    * store the i64 directly and keep parquet min/max pushdown on `ts`;
+    * this shim trades that pushdown on one column for compatibility with
+    * the driver's generator.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events" &&
+        (df.schema("ts").dataType == TimestampType ||
+         df.schema("ts").dataType == TimestampNTZType))
+      df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+    else df
+  }
 
   /** Register every table as a temp view (for spark.sql usage). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
