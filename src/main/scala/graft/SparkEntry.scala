@@ -1021,6 +1021,47 @@ object Queries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d14
+  // SemDeDup (arXiv:2303.09540): k-means-cell-blocked semantic dedup
+  // over the embedding column — Lloyd centroids (the s03 build), cosine
+  // pairs within cells only, connected components, canonical keep-id +
+  // cluster size per vector. The oracle replays the whole chain: the
+  // s03 Lloyd CTEs, argmax-cos assignment, a within-cell pair join, and
+  // the d11 recursive transitive closure.
+  def d14_semdedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semDedup(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      nCells = 8, lloydIters = 3, threshold = 0.35)
+      .select($"id".as("vec_id"), $"cell", $"comp", $"cluster_n")
+      .orderBy($"vec_id")
+
+  private val d14_sql =
+    s"""WITH RECURSIVE v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |  topv AS (SELECT id, v FROM v ORDER BY id LIMIT 128),
+       |  num AS (SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM topv),
+       |  cent0 AS (SELECT CAST(rn // 16 AS INT) AS cell, v AS cv
+       |    FROM num WHERE rn % 16 = 1),
+       |${lloydIterSql("cent0", 1)},
+       |${lloydIterSql("cent1", 2)},
+       |${lloydIterSql("cent2", 3)},
+       |  a AS (SELECT id, v, cell FROM (
+       |    SELECT v.id, v.v, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.id
+       |        ORDER BY ${duckCos("v.v", "c.cv")} DESC, c.cell) AS rk
+       |    FROM v CROSS JOIN cent3 c) WHERE rk = 1),
+       |  e AS (SELECT x.id AS src, y.id AS dst
+       |    FROM a x JOIN a y ON x.cell = y.cell AND x.id <> y.id
+       |    WHERE list_cosine_similarity(x.v, y.v) >= 0.35),
+       |  walk(id, comp) AS (
+       |    SELECT id, id FROM v
+       |    UNION
+       |    SELECT e.dst, w.comp FROM walk w JOIN e ON e.src = w.id),
+       |  comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+       |  sizes AS (SELECT comp, COUNT(*) AS cluster_n FROM comps GROUP BY comp)
+       |SELECT c.id AS vec_id, a.cell, c.comp, s.cluster_n
+       |FROM comps c JOIN sizes s ON s.comp = c.comp JOIN a ON a.id = c.id
+       |ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- d03
   // Exact n-gram (token-set) Jaccard over blocked candidate pairs.
   def d03_jaccard_pairs(spark: SparkSession, dir: String): DataFrame = {
@@ -2712,6 +2753,7 @@ object Queries {
     "d11_dedup_components" -> (d11_dedup_components _),
     "d12_dedup_apply" -> (d12_dedup_apply _),
     "d13_minhash_shingles" -> (d13_minhash_shingles _),
+    "d14_semdedup" -> (d14_semdedup _),
     "s01_cosine_topk" -> (s01_cosine_topk _),
     "s02_ann_lsh" -> (s02_ann_lsh _),
     "q19_parted" -> (q19_parted _),
@@ -2812,6 +2854,7 @@ object Queries {
     "d04_simhash" -> d04_sql,
     "d05_embed_neardup" -> d05_sql,
     "d13_minhash_shingles" -> d13_sql,
+    "d14_semdedup" -> d14_sql,
     "s01_cosine_topk" -> s01_sql,
     "q19_parted" -> q19_sql,
     "q20_csv" -> q20_sql,

@@ -310,6 +310,38 @@ object Dedup {
       .select($"id", coalesce($"__c", $"id").as("comp"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup over
+    * an embedding column. K-means the embedding space (the existing
+    * Lloyd/IVF build — deterministic seeds + exact-decimal means, so the
+    * DuckDB oracle replays the centroids bit-identically), compare
+    * cosine only WITHIN a cell, resolve the qualifying pairs to clusters
+    * (connected components), and label every vector with its cluster's
+    * canonical (minimum) id plus the cluster size. `id == comp` rows are
+    * the keep-list.
+    *
+    * 100 TB shape: the cell assignment is the shuffle-free codegen
+    * NearestCentroid pass, pair generation is the cell-blocked self-join
+    * (never all-pairs — the SemDeDup approximation by construction:
+    * cross-cell near-dups are unreported on both engines alike), and
+    * cluster resolution auto-routes driver/distributed on edge volume.
+    * Each Lloyd iteration is one zero-shuffle partial-sum pass. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String,
+               nCells: Int, lloydIters: Int, threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val cents = Similarity.fitCentroids(df, idCol, vecCol, nCells, lloydIters)
+    // no checkpoint: each reuse re-runs the narrow scan+NearestCentroid
+    // pass (codegen, no shuffle) — cheaper at corpus scale than
+    // materializing id+vector+cell to executor storage
+    val assigned = Similarity.assignCells(v, cents)
+    val pairs = embeddingNearDup(assigned, "id", "v", "cell", threshold)
+    val comps = connectedComponents(assigned, "id", pairs)
+    val sizes = comps.groupBy($"comp").agg(count(lit(1)).as("cluster_n"))
+    comps.join(sizes, "comp")
+      .join(assigned.select($"id", $"cell"), "id")
+      .select($"id", $"cell", $"comp", $"cluster_n")
+  }
+
   /** Embedding near-dup: cosine similarity over pairs blocked by a
     * coarse key (e.g. a cluster/label id — the IVF idea: only compare
     * within a cell). */

@@ -188,7 +188,7 @@ object Similarity {
     * NearestCentroid picks the argmax-cosine index — no crossJoin, no
     * row_number window, no Exchange (vs the n×nCells shuffle both cost a
     * 100 TB index build). */
-  private def assignCells(v: DataFrame, cents: Array[(Int, Seq[Double])]): DataFrame = {
+  private[graft] def assignCells(v: DataFrame, cents: Array[(Int, Seq[Double])]): DataFrame = {
     import graft.functions.VectorExprs.nearestCentroid
     val centLit = typedLit(cents.map(_._2).toSeq)
     v.withColumn("cell", nearestCentroid(col("v"), centLit))

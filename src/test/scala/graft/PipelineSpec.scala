@@ -309,6 +309,35 @@ class PipelineSpec extends SparkSpec {
     assert(rL >= 0.8, s"lloyd recall $rL too low on separable clusters")
   }
 
+  test("semDedup: within-cell cosine clusters resolve to min-id components; " +
+      "cross-cell near-dups are out of scope by construction") {
+    import spark.implicits._
+    // 4 well-separated axis clusters (k-means must isolate them), two of
+    // which contain near-identical vectors; singletons keep themselves.
+    // 32+ rows so the every-16th seed window covers at least 2 vectors.
+    def vec(axis: Int, eps: Double): Seq[Double] = {
+      val v = Array.fill(8)(0.0); v(axis) = 1.0; v((axis + 4) % 8) = eps
+      v.toSeq
+    }
+    val rows: Seq[(Long, Seq[Double])] =
+      (0L until 10L).map(i => i -> vec(0, 0.001 * i)) ++       // dup cluster A
+      (10L until 20L).map(i => i -> vec(1, 0.001 * (i - 10))) ++ // dup cluster B
+      (20L until 30L).map(i => i -> vec(2, 0.15 * (i - 19))) ++  // spread: no dups
+      (30L until 36L).map(i => i -> vec(3, 0.001 * (i - 30)))    // dup cluster C
+    val df = rows.toDF("vec_id", "embedding")
+    val got = Dedup.semDedup(df, "vec_id", "embedding",
+      nCells = 4, lloydIters = 3, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val comp = got.map(t => t._1 -> t._2).toMap
+    val size = got.map(t => t._1 -> t._3).toMap
+    // tight clusters collapse to their min id
+    (0L until 10L).foreach(i => assert(comp(i) == 0L && size(i) == 10L, s"id $i"))
+    (10L until 20L).foreach(i => assert(comp(i) == 10L && size(i) == 10L))
+    (30L until 36L).foreach(i => assert(comp(i) == 30L && size(i) == 6L))
+    // the spread cluster stays all-singleton at this threshold
+    (20L until 30L).foreach(i => assert(comp(i) == i && size(i) == 1L))
+  }
+
   test("persisted IVF index: partition-pruned probe, scores match brute force") {
     val emb = Tables.load(spark, sf, "embeddings")
     val path = s"/tmp/graft_ivf_spec/${System.nanoTime()}"
