@@ -326,10 +326,12 @@ object Dedup {
     * cluster resolution auto-routes driver/distributed on edge volume.
     * Each Lloyd iteration is one zero-shuffle partial-sum pass. */
   def semDedup(df: DataFrame, idCol: String, vecCol: String,
-               nCells: Int, lloydIters: Int, threshold: Double): DataFrame = {
+               nCells: Int, lloydIters: Int, threshold: Double,
+               cents0: Option[Array[(Int, Seq[Double])]] = None): DataFrame = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val cents = Similarity.fitCentroids(df, idCol, vecCol, nCells, lloydIters)
+    val cents = cents0.getOrElse(
+      Similarity.fitCentroids(df, idCol, vecCol, nCells, lloydIters))
     // no checkpoint: each reuse re-runs the narrow scan+NearestCentroid
     // pass (codegen, no shuffle) — cheaper at corpus scale than
     // materializing id+vector+cell to executor storage

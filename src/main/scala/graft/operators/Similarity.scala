@@ -196,10 +196,11 @@ object Similarity {
 
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int, nCells: Int, nProbe: Int = 1,
-              lloydIters: Int = LloydIters): DataFrame = {
+              lloydIters: Int = LloydIters,
+              cents0: Option[Array[(Int, Seq[Double])]] = None): DataFrame = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val cents = lloyd(v, centroidRows(v, nCells), lloydIters)
+    val cents = cents0.getOrElse(lloyd(v, centroidRows(v, nCells), lloydIters))
     val assigned = assignCells(v, cents)
     // the query's nProbe nearest cells — nCells candidates, driver-side
     val qv = v.filter(col("id") === queryId).select(col("v"))

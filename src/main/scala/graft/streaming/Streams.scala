@@ -78,6 +78,35 @@ object Streams {
     ss.table(queryName)
   }
 
+  /** Stream-static enrichment (the reference pattern: an insert-driven
+    * live table joined against an in-memory dimension on every
+    * callback): the streaming feed joins a BROADCAST static dimension —
+    * Spark re-plans the broadcast hash join per micro-batch, no state
+    * store is involved in the join itself — then aggregates. `dimOf`
+    * builds the dimension against the cloned session (Datasets are
+    * session-bound; a parent-session frame can't cross over). */
+  def enrichedCounts(spark: SparkSession, srcDir: String,
+                     schemaFrom: DataFrame, dimOf: SparkSession => DataFrame,
+                     streamKey: String, dimKey: String, outKey: String,
+                     valueCol: String, queryName: String,
+                     statePartitions: Int = 4): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val stream = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val dim = broadcast(dimOf(ss))
+    val agg = stream
+      .join(dim, col(streamKey) === col(dimKey))
+      .groupBy(col(outKey))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    ss.table(queryName)
+  }
+
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, start_us: Long, end_us: Long,
