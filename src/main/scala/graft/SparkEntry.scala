@@ -964,6 +964,66 @@ object Queries {
        |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t19
+  // FUZZY benchmark decontamination: MinHash-LSH candidates between the
+  // corpus and a (broadcast) benchmark set, verified by exact gram-set
+  // containment — catches partial/paraphrased eval leakage t09's
+  // verbatim-width probe can't. The benchmark here is the leaked-eval
+  // scenario: each bench item is the first ¾ of every 83rd doc's tokens
+  // (an eval suite quoting corpus passages); the operator must find the
+  // source docs. 8 shingle-minhashes in 4 bands of 2 (LSH recall at the
+  // snippet's J≈0.75 is ~96% — and deterministic: fixed seeds, so both
+  // engines flag the identical set); the verify gate is the integer
+  // compare 2·|common| ≥ |bench|.
+  def t19_fuzzy_decontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val bench = docs.filter($"doc_id" % 83 === 0)
+      .select($"doc_id", concat_ws(" ", slice(split($"text", " "), lit(1),
+        greatest(lit(3), expr("(size(split(text, ' ')) * 3) div 4"))))
+        .as("text"))
+    operators.Decontam.fuzzyReport(
+      docs, "doc_id", "text", bench, "doc_id", "text",
+      n = 3, numHashes = 8, bands = 4)
+      .orderBy($"doc_id", $"bench_id")
+  }
+
+  private val t19_sql = {
+    val p = Text.minhashPrime
+    val gramsExpr = "list_transform(generate_series(1, greatest(len(w) - 2, 0)), " +
+      s"i -> ${Text.duck.ngramHashSql("w", "i", 3)})"
+    val sigs = Text.minhashSeeds(8).zipWithIndex.map { case ((a, b), i) =>
+      s"coalesce(list_min(list_transform(g, h -> ($a * (h % $p) + $b) % $p)), $p) AS s$i"
+    }.mkString(",\n  ")
+    val bandCond = (0 until 4).map { k =>
+      s"(c.s${2 * k} = b.s${2 * k} AND c.s${2 * k + 1} = b.s${2 * k + 1})"
+    }.mkString(" OR ")
+    def sigCte(src: String, name: String) =
+      s"""${name}_toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+         |${name}_gr AS (SELECT doc_id, $gramsExpr AS g FROM ${name}_toks),
+         |$name AS (SELECT doc_id,
+         |  $sigs
+         |  FROM ${name}_gr)""".stripMargin
+    s"""WITH bench AS (
+       |  SELECT doc_id, array_to_string(list_slice(w, 1,
+       |    greatest(3, (len(w) * 3) // 4)), ' ') AS text
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM documents WHERE doc_id % 83 = 0)),
+       |${sigCte("documents", "c")},
+       |${sigCte("bench", "b")},
+       |cand AS (SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id
+       |  FROM c JOIN b ON $bandCond),
+       |cdg AS (SELECT doc_id, list_distinct(g) AS dg FROM c_gr),
+       |bdg AS (SELECT doc_id, list_distinct(g) AS dg FROM b_gr)
+       |SELECT cand.doc_id, cand.bench_id,
+       |  CAST(len(list_intersect(x.dg, y.dg)) AS INTEGER) AS n_common,
+       |  CAST(len(y.dg) AS INTEGER) AS n_bench
+       |FROM cand JOIN cdg x ON x.doc_id = cand.doc_id
+       |  JOIN bdg y ON y.doc_id = cand.bench_id
+       |WHERE len(list_intersect(x.dg, y.dg)) > 0
+       |  AND len(list_intersect(x.dg, y.dg)) * 2 >= len(y.dg)
+       |ORDER BY cand.doc_id, cand.bench_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d01
   // Exact dedup: hash-groupBy on the fingerprint, keep min doc_id.
   def d01_dedup_exact(spark: SparkSession, dir: String): DataFrame =
@@ -2784,6 +2844,7 @@ object Queries {
     "t16_dup_spans" -> (t16_dup_spans _),
     "t17_source_caps" -> (t17_source_caps _),
     "t18_quality_deciles" -> (t18_quality_deciles _),
+    "t19_fuzzy_decontam" -> (t19_fuzzy_decontam _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -2893,6 +2954,7 @@ object Queries {
     "t16_dup_spans" -> t16_sql,
     "t17_source_caps" -> t17_sql,
     "t18_quality_deciles" -> t18_sql,
+    "t19_fuzzy_decontam" -> t19_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

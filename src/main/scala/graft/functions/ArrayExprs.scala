@@ -5,9 +5,10 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.ColumnInternals
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 
-/** Intersection size of two SORTED string arrays by a single merge scan.
+/** Intersection size of two SORTED string (or i64) arrays by a single
+  * merge scan.
   *
   * `size(array_intersect(a, b))` builds a hash set per row pair; in a
   * blocked self-join (n-gram Jaccard dedup) the pair count is quadratic
@@ -27,25 +28,36 @@ case class SortedIntersectSize(left: Expression, right: Expression)
 
   private def ok(t: DataType): Boolean = t match {
     case ArrayType(StringType, _) => true
+    case ArrayType(LongType, _) => true
     case _ => false
   }
 
+  private def isLong: Boolean =
+    left.dataType.isInstanceOf[ArrayType] &&
+      left.dataType.asInstanceOf[ArrayType].elementType == LongType
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (ok(left.dataType) && ok(right.dataType))
+    if (ok(left.dataType) && left.dataType == right.dataType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"sorted_intersect_size expects array<string> inputs, got " +
-          s"(${left.dataType}, ${right.dataType})")
+        s"sorted_intersect_size expects matching array<string>/array<bigint>" +
+          s" inputs, got (${left.dataType}, ${right.dataType})")
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    SortedIntersectSize.merge(
-      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (isLong)
+      SortedIntersectSize.mergeLong(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      SortedIntersectSize.merge(
+        a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (isLong) "mergeLong" else "merge"
     defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.SortedIntersectSize.merge($a, $b)")
+      s"graft.functions.SortedIntersectSize.$fn($a, $b)")
+  }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectSize =
@@ -63,6 +75,22 @@ object SortedIntersectSize {
       val c = x.compareTo(y)
       if (c == 0) { n += 1; i += 1; j += 1 }
       else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  /** Same merge over sorted distinct i64 arrays (gram-hash sets —
+    * `sort_array` on longs is numeric order, matching the scan). */
+  def mergeLong(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0; var j = 0; var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
       else j += 1
     }
     n

@@ -55,6 +55,56 @@ object Decontam {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** FUZZY decontamination: flag corpus docs that NEAR-duplicate a
+    * benchmark doc even when no single n-gram survives verbatim-width
+    * overlap — paraphrased or lightly-edited eval leakage. MinHash-LSH
+    * candidate generation (bipartite: the corpus band rows probe the
+    * BROADCAST benchmark band table — eval suites are MBs, so the
+    * benchmark side always broadcasts and the corpus side never
+    * shuffles for candidates), verified by exact gram-set containment
+    * of the benchmark doc in the corpus doc. The gate is the integer
+    * compare `2·|common| ≥ |bench|` (containment ≥ ½): no division, so
+    * the result is exact ints end to end.
+    *
+    * Output: (doc_id, bench_id, n_common, n_bench) per flagged pair. */
+  def fuzzyReport(corpus: DataFrame, idCol: String, textCol: String,
+                  bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                  n: Int, numHashes: Int, bands: Int): DataFrame = {
+    import graft.functions.NgramHashExpr.{ngramHashes, shingleMinhashes}
+    import graft.functions.Text
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val seeds = Text.minhashSeeds(numHashes)
+    def bandRows(df: DataFrame, id: String, text: String,
+                 outId: String): DataFrame = {
+      val sigd = df.withColumn("__smh", shingleMinhashes(col(text), n, seeds))
+      val bandCols = (0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          concat_ws("_", (0 until rowsPerBand)
+            .map(r => element_at($"__smh", b * rowsPerBand + r + 1)): _*)
+            .as("bucket"))
+      }
+      sigd.select(col(id).as(outId), explode(array(bandCols: _*)).as("bb"))
+        .select(col(outId), $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+    }
+    val cand = bandRows(corpus, idCol, textCol, "__cid")
+      .join(broadcast(bandRows(bench, benchIdCol, benchTextCol, "bench_id")),
+        Seq("band", "bucket"))
+      .select($"__cid", $"bench_id").distinct()
+    // verify on sorted distinct gram-hash arrays: one merge scan per
+    // candidate pair (SortedIntersectSize), benchmark grams broadcast
+    val cg = corpus.select(col(idCol).as("__cid"),
+      sort_array(array_distinct(ngramHashes(col(textCol), n))).as("g_c"))
+    val bg = bench.select(col(benchIdCol).as("bench_id"),
+      sort_array(array_distinct(ngramHashes(col(benchTextCol), n))).as("g_b"))
+    cand.join(cg, "__cid").join(broadcast(bg), "bench_id")
+      .withColumn("n_common",
+        graft.functions.ArrayExprs.sortedIntersectSize($"g_c", $"g_b"))
+      .withColumn("n_bench", size($"g_b"))
+      .filter($"n_common" > 0 && $"n_common" * 2 >= $"n_bench")
+      .select($"__cid".as(idCol), $"bench_id", $"n_common", $"n_bench")
+  }
+
   /** The corpus with contaminated docs dropped. */
   def clean(corpus: DataFrame, idCol: String, textCol: String,
             bench: DataFrame, benchTextCol: String, n: Int): DataFrame = {

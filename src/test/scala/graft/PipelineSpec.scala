@@ -309,6 +309,45 @@ class PipelineSpec extends SparkSpec {
     assert(rL >= 0.8, s"lloyd recall $rL too low on separable clusters")
   }
 
+  test("sortedIntersectSize on i64 arrays equals size(array_intersect) " +
+      "(randomized)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((
+      Seq.fill(rnd.nextInt(30))(rnd.nextLong() % 50),
+      Seq.fill(rnd.nextInt(30))(rnd.nextLong() % 50)))
+    val df = rows.toDF("a", "b").select(
+      sort_array(array_distinct($"a")).as("sa"),
+      sort_array(array_distinct($"b")).as("sb"))
+    val got = df.select(
+      graft.functions.ArrayExprs.sortedIntersectSize($"sa", $"sb").as("m"),
+      size(array_intersect($"sa", $"sb")).as("r")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("fuzzyReport flags the source doc of a benchmark snippet with full " +
+      "containment; unrelated docs stay clean") {
+    import spark.implicits._
+    val words = (0 until 40).map(i => s"w$i").mkString(" ")
+    val other = (100 until 140).map(i => s"x$i").mkString(" ")
+    val corpus = Seq(
+      (1L, words),                       // source of the leak
+      (2L, other),                       // unrelated
+      (3L, words.split(" ").take(35).mkString(" "))) // partial copy
+      .toDF("doc_id", "text")
+    val bench = Seq((9L, words.split(" ").take(30).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = operators.Decontam.fuzzyReport(
+      corpus, "doc_id", "text", bench, "doc_id", "text",
+      n = 3, numHashes = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    val byDoc = got.map(t => t._1 -> t).toMap
+    // 30 tokens → 28 distinct 3-grams, all inside doc 1 (and doc 3)
+    assert(byDoc.contains(1L) && byDoc(1L)._3 == byDoc(1L)._4)
+    assert(byDoc.contains(3L))
+    assert(!byDoc.contains(2L))
+  }
+
   test("semDedup: within-cell cosine clusters resolve to min-id components; " +
       "cross-cell near-dups are out of scope by construction") {
     import spark.implicits._
