@@ -1885,12 +1885,19 @@ object Queries {
   // keys, partial+final hash aggregation, single shuffle.
   def q35_groupby_wide(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
+      // group on the INT month key (year*100+month) and render the
+      // "yyyy-MM" string once per GROUP after the agg, not once per row
+      // — at 200k groups over 600k rows that's 3× fewer string builds,
+      // and the narrow int key hashes/compares cheaper in the partial
+      // agg. Lexicographic "yyyy-MM" order == numeric ym order, so the
+      // ORDER BY is unchanged.
       .groupBy($"l_returnflag", $"l_linestatus", $"l_suppkey",
-        // year/month int extracts + lpad: same string as
-        // date_format(…, "yyyy-MM") without the per-row DateTimeFormatter
-        concat(year($"l_shipdate").cast("string"), lit("-"),
-          lpad(month($"l_shipdate").cast("string"), 2, "0")).as("ship_month"))
+        (year($"l_shipdate") * 100 + month($"l_shipdate")).as("__ym"))
       .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select($"l_returnflag", $"l_linestatus", $"l_suppkey",
+        concat(($"__ym" / 100).cast("int").cast("string"), lit("-"),
+          lpad(($"__ym" % 100).cast("string"), 2, "0")).as("ship_month"),
+        $"sum_qty", $"n")
       .orderBy($"l_returnflag", $"l_linestatus", $"l_suppkey", $"ship_month")
 
   private val q35_sql =

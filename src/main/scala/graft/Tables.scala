@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md).
@@ -23,19 +23,21 @@ object Tables {
     * `/root/reference/core/chrono.c`). Earlier testdata generations wrote
     * parquet TIMESTAMP(NANOS), which `nanosAsLong` surfaced as that long
     * directly; the current generation writes TIMESTAMP(µs), so the long
-    * is reconstructed at load (session tz is UTC, so
-    * `unix_micros(cast(ts as timestamp))` is exact — no sub-µs data ever
-    * existed at µs physical resolution). A production deployment would
-    * store the i64 directly and keep parquet min/max pushdown on `ts`;
-    * this shim trades that pushdown on one column for compatibility with
-    * the driver's generator.
+    * is reconstructed at load — a codegen reinterpret (`MicrosAsNanos`:
+    * Catalyst's internal timestamp value IS µs-since-epoch, and the UTC
+    * session tz makes the NTZ reading an instant), exact because no
+    * sub-µs data ever existed at µs physical resolution. A production
+    * deployment would store the i64 directly and keep parquet min/max
+    * pushdown on `ts`; this shim trades that pushdown on one column for
+    * compatibility with the driver's generator.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" &&
         (df.schema("ts").dataType == TimestampType ||
          df.schema("ts").dataType == TimestampNTZType))
-      df.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+      df.withColumn("ts",
+        graft.functions.TsExprs.microsAsNanos(col("ts")))
     else df
   }
 

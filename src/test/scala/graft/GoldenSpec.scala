@@ -15,6 +15,31 @@ class GoldenSpec extends SparkSpec {
   private def one[T](c: org.apache.spark.sql.Column): Row =
     Seq(1).toDF("dummy").select(c.as("v")).collect().head
 
+  test("Tables.load surfaces events.ts as LongType epoch-nanos whatever " +
+      "the parquet physical type (µs since the 2026-08-13 regen; ns-as-long " +
+      "before)") {
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "events")
+    assert(e.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    val ts = e.orderBy($"event_id").limit(3).select($"ts")
+      .collect().map(_.getLong(0))
+    // ns values are whole microseconds (the physical resolution) and in
+    // a sane epoch range (2020-2040)
+    ts.foreach { t =>
+      assert(t % 1000L == 0L, s"sub-µs residue in $t")
+      assert(t > 1.5e18.toLong && t < 2.3e18.toLong, s"epoch range: $t")
+    }
+  }
+
+  test("MicrosAsNanos reinterpret equals the unix_micros SQL route on the " +
+      "real events column") {
+    val raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val both = raw.select(
+      graft.functions.TsExprs.microsAsNanos($"ts").as("fast"),
+      expr("unix_micros(cast(ts as timestamp)) * 1000").as("sql"))
+    assert(both.filter($"fast" =!= $"sql").count() == 0)
+    assert(both.count() > 0)
+  }
+
   test("Euclidean division table (lang.c:426-437)") {
     // (/ -5 -5)=1  (/ -5 -2)=2  (/ -5 6)=-1  (/ -5 0)=null  (/ -5 -0.60)=8
     assert(one(RF.euclidDiv(lit(-5L), lit(-5L))).getLong(0) == 1L)
