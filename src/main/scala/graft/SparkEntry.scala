@@ -1024,6 +1024,33 @@ object Queries {
        |ORDER BY cand.doc_id, cand.bench_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t20
+  // Overlapping token windows (RAG/context prep): 64-token windows at
+  // stride 48 (16-token overlap), last window clipped, every token
+  // covered. Pure per-row arithmetic + explode — no shuffle.
+  def t20_chunk_overlap(spark: SparkSession, dir: String): DataFrame =
+    operators.Packing.chunkOverlap(t(spark, dir, "documents"),
+      "doc_id", size(Text.tokens($"text")), size = 64, stride = 48)
+      .orderBy($"doc_id", $"chunk_idx")
+
+  private val t20_sql =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, len,
+      |    1 + (greatest(len - 64, 0) + 47) // 48 AS n_chunks
+      |  FROM d WHERE len > 0),
+      |e AS (
+      |  SELECT doc_id, len,
+      |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      |  FROM c)
+      |SELECT doc_id, chunk_idx,
+      |  chunk_idx * 48 + 1 AS start_tok,
+      |  least(chunk_idx * 48 + 64, len) AS end_tok,
+      |  least(chunk_idx * 48 + 64, len) - (chunk_idx * 48 + 1) + 1 AS n_toks
+      |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ---------------------------------------------------------------- d01
   // Exact dedup: hash-groupBy on the fingerprint, keep min doc_id.
   def d01_dedup_exact(spark: SparkSession, dir: String): DataFrame =
@@ -2852,6 +2879,7 @@ object Queries {
     "t17_source_caps" -> (t17_source_caps _),
     "t18_quality_deciles" -> (t18_quality_deciles _),
     "t19_fuzzy_decontam" -> (t19_fuzzy_decontam _),
+    "t20_chunk_overlap" -> (t20_chunk_overlap _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -2962,6 +2990,7 @@ object Queries {
     "t17_source_caps" -> t17_sql,
     "t18_quality_deciles" -> t18_sql,
     "t19_fuzzy_decontam" -> t19_sql,
+    "t20_chunk_overlap" -> t20_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

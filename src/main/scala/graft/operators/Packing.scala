@@ -64,6 +64,34 @@ object Packing {
     * token lands in, the chunk its last token lands in, and the offset
     * of its first token within that chunk. Zero-length docs pin both
     * spans to the start chunk. */
+  /** Overlapping token windows per document (RAG/context-window prep):
+    * windows of `size` tokens advancing by `stride` (< size ⇒ overlap
+    * of size−stride), last window clipped to the doc end. Chunk count
+    * is `1 + ceil(max(0, len−size)/stride)` — the standard convention:
+    * every token is covered, no degenerate tail windows.
+    *
+    * Pure per-row arithmetic + explode: no shuffle, no state — the
+    * narrow map shape that scales to any corpus. Emits (doc_id,
+    * chunk_idx, start_tok, end_tok, n_toks), 1-based inclusive. */
+  def chunkOverlap(df: DataFrame, idCol: String, lenCol: Column,
+                   size: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && stride <= size, "need 1 <= stride <= size")
+    val len = lenCol.cast("long")
+    df.select(col(idCol).as("doc_id"), len.as("len"))
+      .filter($"len" > 0)
+      .select($"doc_id", $"len",
+        // ceil div on non-negative ints: (a + b - 1) div b
+        expr(s"1L + (greatest(len - ${size}L, 0L) + ${stride}L - 1L) " +
+          s"div ${stride}L").as("n_chunks"))
+      .select($"doc_id", $"len",
+        explode(sequence(lit(0L), $"n_chunks" - 1)).as("chunk_idx"))
+      .select($"doc_id", $"chunk_idx",
+        ($"chunk_idx" * stride + 1).as("start_tok"),
+        least($"chunk_idx" * stride + size, $"len").as("end_tok"))
+      .select($"doc_id", $"chunk_idx", $"start_tok", $"end_tok",
+        ($"end_tok" - $"start_tok" + 1).as("n_toks"))
+  }
+
   def chunkSpans(df: DataFrame, idCol: String, lenCol: Column,
                  budget: Long, shards: Int): DataFrame = {
     val id = col(idCol).cast("long")

@@ -16,6 +16,35 @@ class PackingSpec extends SparkSpec {
     (3L, 7L), (7L, 11L), (11L, 13L)
   ).toDF("id", "len")
 
+  test("chunkOverlap: full coverage, fixed overlap, clipped tail, and the " +
+      "boundary cases (len == size, len < stride, empty doc)") {
+    val fixture = Seq((1L, 200L), (2L, 64L), (3L, 10L), (4L, 0L), (5L, 65L))
+      .toDF("id", "len")
+    val got = Packing.chunkOverlap(fixture, "id", $"len", size = 64, stride = 48)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1)
+    // len 200: chunks = 1 + ceil(136/48) = 4; starts 1,49,97,145
+    val c1 = got(1L).sortBy(_._2)
+    assert(c1.map(c => (c._3, c._4)).toSeq ==
+      Seq((1L, 64L), (49L, 112L), (97L, 160L), (145L, 200L)))
+    // every token covered, consecutive windows overlap by exactly 16
+    // (except the clipped tail, which may overlap more)
+    c1.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 <= a._4 + 1, "gap in coverage")
+    }
+    assert(c1.last._4 == 200L)
+    // len == size → exactly one full window
+    assert(got(2L).map(c => (c._3, c._4)).toSeq == Seq((1L, 64L)))
+    // len < stride → one clipped window
+    assert(got(3L).map(c => (c._3, c._4, c._5)).toSeq == Seq((1L, 10L, 10L)))
+    // empty doc → no chunks
+    assert(!got.contains(4L))
+    // len = size+1 → second window starts at stride+1, covers the tail
+    assert(got(5L).sortBy(_._2).map(c => (c._3, c._4)).toSeq ==
+      Seq((1L, 64L), (49L, 65L)))
+  }
+
   private def referenceGreedy(rows: Seq[(Long, Long)], budget: Long)
       : Map[Long, Int] = {
     var bin = 0; var filled = 0L; var first = true
