@@ -253,6 +253,29 @@ object Similarity {
   /** Search a persisted IVF index. Probe-cell selection reads only the
     * centroid table (nCells rows — driver-side by construction); the
     * vector scan is partition-pruned to the probed cells. */
+  /** Append vectors to a PERSISTED IVF index without refitting:
+    * assignment reuses the stored centroids (a tiny scan → driver →
+    * broadcast literal, same as the build), and the cell-partitioned
+    * layout means only the appended rows' partitions gain files — the
+    * incremental-ingest half of the index lifecycle. The recall contract
+    * is the usual IVF maintenance trade: centroids don't track the
+    * appended distribution until the next rebuild, but every appended
+    * vector is exactly searchable immediately (it lands in its
+    * argmax-cos cell, the same rule the probe uses). */
+  def appendToIvfIndex(df: DataFrame, idCol: String, vecCol: String,
+                       path: String): Unit = {
+    val spark = df.sparkSession
+    val cents = spark.read.parquet(s"$path/centroids").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    assignCells(v, cents)
+      .select(col("id"), col("v"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
+  }
+
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      queryVec: Seq[Double], k: Int, nProbe: Int,
                      excludeId: Long = -1L): DataFrame = {

@@ -397,6 +397,29 @@ class PipelineSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
   }
 
+  test("appendToIvfIndex: appended vectors are immediately searchable, " +
+      "scores stay brute-force-exact, and the old rows are untouched") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val first = emb.filter($"vec_id" < 250)
+    val rest = emb.filter($"vec_id" >= 250)
+    val path = s"/tmp/graft_ivf_append/${System.nanoTime()}"
+    Similarity.buildIvfIndex(first, "vec_id", "embedding", nCells = 8, path)
+    Similarity.appendToIvfIndex(rest, "vec_id", "embedding", path)
+    val all = spark.read.parquet(s"$path/vectors")
+    assert(all.count() == emb.count(), "append added exactly the new rows")
+    val qv = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>")).collect().head.getSeq[Double](0)
+    val hits = Similarity.searchIvfIndex(spark, path, qv, k = 5, nProbe = 8,
+      excludeId = 0L).collect()
+    assert(hits.length == 5)
+    // probing ALL cells makes the index search exhaustive → must equal
+    // brute force exactly, proving appended rows landed in real cells
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(hits.map(r => (r.getLong(0), r.getDouble(1))).toSeq == brute.toSeq)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+  }
+
   test("redactPii: emails, IPv4s, 7+-digit runs become placeholders; " +
       "short numbers and plain text survive") {
     val df = Seq(

@@ -221,6 +221,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("semDedup laws on random vectors: labels are a partition refinement " +
+      "(comp = member min, sizes sum to n, comp is reflexive-transitive " +
+      "over the pair graph)") {
+    import graft.operators.Dedup
+    val gen = for {
+      n <- Gen.choose(30, 80)
+      dim <- Gen.choose(4, 8)
+      vals <- Gen.listOfN(n * dim, Gen.choose(-5, 5).map(_.toDouble))
+    } yield (n, dim, vals)
+    forAll(gen) { case (n, dim, vals) =>
+      val rows = (0 until n).map(i =>
+        (i.toLong, vals.slice(i * dim, (i + 1) * dim)))
+      // guard all-zero vectors (cosine undefined) by offsetting dim 0
+      val df = rows.map { case (id, v) => (id, v.updated(0, v.head + 10.0)) }
+        .toDF("vec_id", "embedding")
+      val got = Dedup.semDedup(df, "vec_id", "embedding",
+        nCells = 4, lloydIters = 2, threshold = 0.995)
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      assert(got.length == n, "every vector labeled exactly once")
+      val byComp = got.groupBy(_._2)
+      byComp.foreach { case (comp, members) =>
+        // canonical id is the minimum member and a member itself
+        assert(members.map(_._1).min == comp)
+        // every member agrees on the cluster size, which is the count
+        assert(members.forall(_._3 == members.length))
+      }
+      assert(byComp.values.map(_.length).sum == n)
+    }
+  }
+
   test("GroupKernel == Catalyst on random tables, keys, and agg mixes") {
     val tables = Gen.zip(
       Gen.chooseNum(1, 2000),            // rows
