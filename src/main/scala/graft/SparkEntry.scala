@@ -1024,6 +1024,39 @@ object Queries {
        |ORDER BY cand.doc_id, cand.bench_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q56
+  // Stream-STREAM interval join: clicks joined to same-user purchases
+  // within 6 hours, both sides live feeds off the staged journal — the
+  // state-store-backed funnel join. The oracle is the equivalent batch
+  // self-join; the streamed pair set must equal it exactly.
+  def q56_stream_interval_join(spark: SparkSession, dir: String): DataFrame = {
+    val batch = t(spark, dir, "events")
+    val stage = s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events"
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      graft.sources.Store.setSplayed(batch, stage)
+    graft.streaming.Streams.intervalJoin(spark, stage, batch,
+      prepLeft = df => df.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          expr("timestamp_micros(ts div 1000)").as("c_ts"),
+          col("event_id").as("c_id")),
+      prepRight = df => df.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          expr("timestamp_micros(ts div 1000)").as("p_ts"),
+          col("event_id").as("p_id")),
+      joinExpr = "c_user = p_user AND p_ts >= c_ts AND " +
+        "p_ts <= c_ts + INTERVAL 6 HOURS",
+      queryName = "graft_sjoin_" + math.abs(dir.hashCode))
+      .select($"c_id", $"p_id", $"c_user".as("user_id"))
+      .orderBy($"c_id", $"p_id")
+  }
+
+  private val q56_sql =
+    """SELECT a.event_id AS c_id, b.event_id AS p_id, a.user_id
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |  AND a.event_type = 'click' AND b.event_type = 'purchase'
+      |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+      |ORDER BY c_id, p_id""".stripMargin
+
   // ---------------------------------------------------------------- t20
   // Overlapping token windows (RAG/context prep): 64-token windows at
   // stride 48 (16-token overlap), last window clipped, every token
@@ -2950,6 +2983,7 @@ object Queries {
     "q53_kernel_where" -> (q53_kernel_where _),
     "q54_stream_dedup" -> (q54_stream_dedup _),
     "q55_stream_enrich" -> (q55_stream_enrich _),
+    "q56_stream_interval_join" -> (q56_stream_interval_join _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3045,6 +3079,7 @@ object Queries {
     "q53_kernel_where" -> q53_sql,
     "q54_stream_dedup" -> q54_sql,
     "q55_stream_enrich" -> q55_sql,
+    "q56_stream_interval_join" -> q56_sql,
     "d06_lsh_candidates" -> d06_sql,
     "d07_simhash_neardup" -> d07_sql,
     "d08_simhash_multiperm" -> d08_sql,

@@ -107,6 +107,36 @@ object Streams {
     ss.table(queryName)
   }
 
+  /** Stream-STREAM inner join with an event-time interval condition —
+    * a capability the reference's live-table callbacks cannot express
+    * (correlating two live feeds requires cross-feed state; Structured
+    * Streaming holds both sides' unmatched rows in the state store and
+    * emits pairs as they meet). Both sides come from the same staged
+    * feed here (two filtered views — the self-join shape of
+    * click→conversion funnels); `joinExpr` carries the key equality and
+    * the time bounds. Inner join needs no watermark for correctness on
+    * a bounded replay; a production feed would add watermarks on both
+    * sides so the stores age out (the q54 note, applied twice). */
+  def intervalJoin(spark: SparkSession, srcDir: String,
+                   schemaFrom: DataFrame,
+                   prepLeft: DataFrame => DataFrame,
+                   prepRight: DataFrame => DataFrame,
+                   joinExpr: String, queryName: String,
+                   statePartitions: Int = 4): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val l = prepLeft(ss.readStream.schema(schemaFrom.schema).parquet(srcDir))
+    val r = prepRight(ss.readStream.schema(schemaFrom.schema).parquet(srcDir))
+    val joined = l.join(r, expr(joinExpr))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    ss.table(queryName)
+  }
+
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, start_us: Long, end_us: Long,
