@@ -25,7 +25,7 @@ object Streams {
                      tsCol: String, keyCol: String, valueCol: String,
                      windowSec: Int, queryName: String,
                      prep: DataFrame => DataFrame = identity,
-                     statePartitions: Int = 4): DataFrame = {
+                     statePartitions: Int = 2): DataFrame = {
     // Run the stateful query in a cloned session with few shuffle
     // partitions: streaming state-store partitions = shuffle partitions,
     // and each one pays per-micro-batch snapshot/commit IO. The windowed
@@ -60,7 +60,7 @@ object Streams {
   def dedupCounts(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
                   keyCols: Seq[String], outKey: String, queryName: String,
                   prep: DataFrame => DataFrame = identity,
-                  statePartitions: Int = 4): DataFrame = {
+                  statePartitions: Int = 2): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val stream = prep(ss.readStream.schema(schemaFrom.schema).parquet(srcDir))
@@ -89,7 +89,7 @@ object Streams {
                      schemaFrom: DataFrame, dimOf: SparkSession => DataFrame,
                      streamKey: String, dimKey: String, outKey: String,
                      valueCol: String, queryName: String,
-                     statePartitions: Int = 4): DataFrame = {
+                     statePartitions: Int = 2): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val stream = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
@@ -122,7 +122,7 @@ object Streams {
                    prepLeft: DataFrame => DataFrame,
                    prepRight: DataFrame => DataFrame,
                    joinExpr: String, queryName: String,
-                   statePartitions: Int = 4): DataFrame = {
+                   statePartitions: Int = 2): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val l = prepLeft(ss.readStream.schema(schemaFrom.schema).parquet(srcDir))
