@@ -112,4 +112,15 @@ object Decontam {
       .select(col(idCol))
     corpus.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** The corpus with fuzzily-contaminated docs dropped (the applied form
+    * of [[fuzzyReport]] — anti-join on the flagged ids). */
+  def fuzzyClean(corpus: DataFrame, idCol: String, textCol: String,
+                 bench: DataFrame, benchIdCol: String, benchTextCol: String,
+                 n: Int, numHashes: Int, bands: Int): DataFrame = {
+    val bad = fuzzyReport(corpus, idCol, textCol,
+        bench, benchIdCol, benchTextCol, n, numHashes, bands)
+      .select(col(idCol)).distinct()
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
 }

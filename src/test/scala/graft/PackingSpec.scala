@@ -45,6 +45,23 @@ class PackingSpec extends SparkSpec {
       Seq((1L, 64L), (49L, 65L)))
   }
 
+  test("fuzzyClean = corpus minus exactly the fuzzyReport-flagged ids") {
+    val words = (0 until 40).map(i => s"w$i").mkString(" ")
+    val other = (100 until 140).map(i => s"x$i").mkString(" ")
+    val corpus = Seq((1L, words), (2L, other),
+      (3L, words.split(" ").take(35).mkString(" "))).toDF("doc_id", "text")
+    val bench = Seq((9L, words.split(" ").take(30).mkString(" ")))
+      .toDF("doc_id", "text")
+    val flagged = Decontam.fuzzyReport(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 3, numHashes = 8, bands = 4)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val kept = Decontam.fuzzyClean(corpus, "doc_id", "text",
+        bench, "doc_id", "text", n = 3, numHashes = 8, bands = 4)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L) -- flagged)
+    assert(flagged.nonEmpty)
+  }
+
   private def referenceGreedy(rows: Seq[(Long, Long)], budget: Long)
       : Map[Long, Int] = {
     var bin = 0; var filled = 0L; var first = true
