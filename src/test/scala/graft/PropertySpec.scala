@@ -221,6 +221,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("fuzzyReport laws on random corpora: flagged pairs satisfy the " +
+      "containment gate, n_common <= n_bench, and a verbatim copy of a " +
+      "bench doc is always flagged with full containment") {
+    import graft.operators.Decontam
+    val word = Gen.oneOf((0 until 25).map(i => s"w$i"))
+    val doc = Gen.choose(5, 30).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    val gen = for {
+      nc <- Gen.choose(4, 10)
+      corpus <- Gen.listOfN(nc, doc)
+      bench <- doc
+    } yield (corpus, bench)
+    forAll(gen) { case (corpusDocs, benchDoc) =>
+      // plant a verbatim copy of the bench doc in the corpus
+      val corpus = (corpusDocs :+ benchDoc).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val bench = Seq((99L, benchDoc)).toDF("doc_id", "text")
+      val got = Decontam.fuzzyReport(corpus, "doc_id", "text",
+          bench, "doc_id", "text", n = 3, numHashes = 8, bands = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(2), r.getInt(3)))
+      got.foreach { case (_, common, nb) =>
+        assert(common >= 1 && common <= nb && 2 * common >= nb)
+      }
+      // the planted copy shares every band bucket → always a candidate,
+      // and containment is total
+      val planted = got.find(_._1 == corpusDocs.length.toLong)
+      assert(planted.isDefined, "verbatim copy not flagged")
+      assert(planted.get._2 == planted.get._3)
+    }
+  }
+
   test("semDedup laws on random vectors: labels are a partition refinement " +
       "(comp = member min, sizes sum to n, comp is reflexive-transitive " +
       "over the pair graph)") {
