@@ -67,7 +67,14 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) =>
       "\"" + k + "\":\"" + m + "\"" }.mkString("{", ",", "}")
     val total = results.map { case (_, v, _) => math.max(v, 0.0) }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(line)
+    // The driver captures only a bounded tail of stdout, which truncated
+    // the per-query map in past rounds (BENCH_r08 lost q01–q27). Persist
+    // the complete line so every number survives.
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
+      (line + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -17,11 +17,13 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * that already exist.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     Graft.builders.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.Graft", name),
         builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.NanosFilterInference)
+  }
 }

@@ -1955,7 +1955,7 @@ object Queries {
         (year($"l_shipdate") * 100 + month($"l_shipdate")).as("__ym"))
       .agg(dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
       .select($"l_returnflag", $"l_linestatus", $"l_suppkey",
-        concat(($"__ym" / 100).cast("int").cast("string"), lit("-"),
+        concat(expr("__ym div 100").cast("string"), lit("-"),
           lpad(($"__ym" % 100).cast("string"), 2, "0")).as("ship_month"),
         $"sum_qty", $"n")
       .orderBy($"l_returnflag", $"l_linestatus", $"l_suppkey", $"ship_month")
@@ -2263,10 +2263,17 @@ object Queries {
   private val centCache = new java.util.concurrent.ConcurrentHashMap[
     String, Array[(Int, Seq[Double])]]()
   private def embCentroids(spark: SparkSession,
-                           dir: String): Array[(Int, Seq[Double])] =
-    centCache.computeIfAbsent(dir, _ =>
+                           dir: String): Array[(Int, Seq[Double])] = {
+    // key on the source mtime too: a driver-side testdata regeneration
+    // within a long-lived JVM must not reuse stale centroids
+    val src = new java.io.File(dir, "embeddings.parquet")
+    val stamp = if (src.isFile) src.lastModified
+      else Option(src.listFiles).map(_.map(_.lastModified).foldLeft(0L)(math.max))
+        .getOrElse(0L)
+    centCache.computeIfAbsent(s"$dir@$stamp", _ =>
       Similarity.fitCentroids(t(spark, dir, "embeddings"),
         "vec_id", "embedding", nCells = 8, Similarity.LloydIters))
+  }
 
   /** Explicit cosine (dot / norms) — textually the engine's formula so the
     * oracle's assignment argmax sees the same FP ops as NearestCentroid. */

@@ -35,10 +35,13 @@ object Tables {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     if (name == "events" &&
         (df.schema("ts").dataType == TimestampType ||
-         df.schema("ts").dataType == TimestampNTZType))
+         df.schema("ts").dataType == TimestampNTZType)) {
+      // ts-range predicates over the reinterpret regain parquet
+      // row-group pruning via the inference rule (NanosFilterInference)
+      graft.plans.NanosFilterInference.ensureInstalled(spark)
       df.withColumn("ts",
         graft.functions.TsExprs.microsAsNanos(col("ts")))
-    else df
+    } else df
   }
 
   /** Register every table as a temp view (for spark.sql usage). */

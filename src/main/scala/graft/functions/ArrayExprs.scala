@@ -36,9 +36,16 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     left.dataType.isInstanceOf[ArrayType] &&
       left.dataType.asInstanceOf[ArrayType].elementType == LongType
 
+  private def sameElementType: Boolean = (left.dataType, right.dataType) match {
+    // containsNull may differ between e.g. a literal array and split()'s
+    // output; only the element type matters for the merge scan.
+    case (ArrayType(a, _), ArrayType(b, _)) => a == b
+    case _ => false
+  }
+
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    if (ok(left.dataType) && left.dataType == right.dataType)
+    if (ok(left.dataType) && sameElementType)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(

@@ -265,7 +265,13 @@ object Similarity {
   def appendToIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                        path: String): Unit = {
     val spark = df.sparkSession
-    val cents = spark.read.parquet(s"$path/centroids").collect()
+    val centDir = new java.io.File(s"$path/centroids")
+    require(centDir.isDirectory,
+      s"appendToIvfIndex: no IVF index at $path (missing $path/centroids — " +
+        "build one with writeIvfIndex first)")
+    // select by NAME: the on-disk column order is a writer detail
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cell"), col("cv")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
     val v = df.select(col(idCol).as("id"),

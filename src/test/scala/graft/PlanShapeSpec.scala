@@ -108,6 +108,26 @@ class PlanShapeSpec extends SparkSpec {
       s"scoring must not shuffle the base side:\n$p")
   }
 
+  test("events ts-range filter pushes a µs predicate to the parquet scan " +
+      "(NanosFilterInference under MicrosAsNanos)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = Tables.load(spark, sf, "events")
+    val Array(lo, hi) = e.agg(min($"ts"), max($"ts")).collect()
+      .map(r => Array(r.getLong(0), r.getLong(1))).head
+    val mid = lo + (hi - lo) / 2
+    val q = e.filter($"ts" >= mid && $"ts" < hi).select($"event_id", $"ts")
+    val p = q.queryExecution.explainString(FormattedMode)
+    assert(p.contains("PushedFilters") &&
+      (p.contains("GreaterThanOrEqual(ts") || p.contains("GreaterThan(ts")),
+      s"ts-range must reach the scan as a pushed parquet filter:\n$p")
+    // the inference is an implication, never a substitute: the exact
+    // ns-domain filter still gates, so the count matches a driver check
+    val expected = e.select($"ts").collect()
+      .count(r => r.getLong(0) >= mid && r.getLong(0) < hi)
+    assert(q.count() == expected)
+  }
+
   test("q44 (TPC-H Q5 shape): all four dims broadcast, one fact shuffle") {
     val p = plan("q44_tpch5")
     assert(!p.contains("SortMergeJoin"), "star dims must broadcast")
