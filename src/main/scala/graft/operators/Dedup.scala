@@ -18,6 +18,10 @@ import graft.functions.Text
   */
 object Dedup {
 
+  /** Auto-sized SemDeDup cells target ~this many vectors per cell —
+    * cells scale with the corpus so within-cell pair work stays flat. */
+  val semDedupTargetCellSize: Long = 256L
+
   /** Exact dedup: representative (min id) + multiplicity per distinct
     * fingerprint. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -330,8 +334,17 @@ object Dedup {
                cents0: Option[Array[(Int, Seq[Double])]] = None): DataFrame = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
+    // nCells bounds the quadratic within-cell term: a FIXED cell count
+    // means 10× corpus → 100× pair comparisons. Passing nCells <= 0
+    // sizes it from the corpus (~targetCellSize vectors per cell, the
+    // way the SemDeDup paper scales cluster count with data), keeping
+    // the per-cell pair work constant as data grows. Explicit nCells
+    // (the d14 oracle) is untouched.
+    val cells =
+      if (nCells > 0) nCells
+      else math.max(8, (df.count() / semDedupTargetCellSize).toInt)
     val cents = cents0.getOrElse(
-      Similarity.fitCentroids(df, idCol, vecCol, nCells, lloydIters))
+      Similarity.fitCentroids(df, idCol, vecCol, cells, lloydIters))
     // no checkpoint: each reuse re-runs the narrow scan+NearestCentroid
     // pass (codegen, no shuffle) — cheaper at corpus scale than
     // materializing id+vector+cell to executor storage

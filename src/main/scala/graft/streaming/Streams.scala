@@ -107,6 +107,23 @@ object Streams {
     ss.table(queryName)
   }
 
+  /** PRODUCTION form of the q54 streaming dedup: `withWatermark` +
+    * `dropDuplicatesWithinWatermark`, so the fingerprint state for keys
+    * older than the watermark ages out instead of growing with the whole
+    * feed's key cardinality — the difference between O(distinct keys
+    * ever) and O(distinct keys per watermark window) state at 100 TB of
+    * journal. Late rows (event time behind the watermark) are dropped at
+    * the operator (observable as `numRowsDroppedByWatermark` in
+    * `StreamingQueryProgress`); a duplicate arriving AFTER its first
+    * occurrence aged out would re-emit — the documented trade of the
+    * bounded-state form, which is why the deterministic q54 oracle keeps
+    * the unbounded variant. `tsCol` must survive in `stream`'s columns.
+    */
+  def dedupWithinWatermark(stream: DataFrame, tsCol: String, delay: String,
+                           keyCols: Seq[String]): DataFrame =
+    stream.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Stream-STREAM inner join with an event-time interval condition —
     * a capability the reference's live-table callbacks cannot express
     * (correlating two live feeds requires cross-feed state; Structured
@@ -115,18 +132,26 @@ object Streams {
     * feed here (two filtered views — the self-join shape of
     * click→conversion funnels); `joinExpr` carries the key equality and
     * the time bounds. Inner join needs no watermark for correctness on
-    * a bounded replay; a production feed would add watermarks on both
-    * sides so the stores age out (the q54 note, applied twice). */
+    * a bounded replay (the q56 oracle path — both defaults None); a
+    * production feed passes `(eventTimeCol, delay)` per side so the
+    * join's unmatched-row stores age out — with both watermarks and a
+    * time-bound condition Spark derives each side's state eviction
+    * horizon (`numRowsRemoved` in progress), keeping state proportional
+    * to the interval width, not the feed length. */
   def intervalJoin(spark: SparkSession, srcDir: String,
                    schemaFrom: DataFrame,
                    prepLeft: DataFrame => DataFrame,
                    prepRight: DataFrame => DataFrame,
                    joinExpr: String, queryName: String,
-                   statePartitions: Int = 2): DataFrame = {
+                   statePartitions: Int = 2,
+                   leftWatermark: Option[(String, String)] = None,
+                   rightWatermark: Option[(String, String)] = None): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val l = prepLeft(ss.readStream.schema(schemaFrom.schema).parquet(srcDir))
-    val r = prepRight(ss.readStream.schema(schemaFrom.schema).parquet(srcDir))
+    val l0 = prepLeft(ss.readStream.schema(schemaFrom.schema).parquet(srcDir))
+    val r0 = prepRight(ss.readStream.schema(schemaFrom.schema).parquet(srcDir))
+    val l = leftWatermark.fold(l0) { case (c, d) => l0.withWatermark(c, d) }
+    val r = rightWatermark.fold(r0) { case (c, d) => r0.withWatermark(c, d) }
     val joined = l.join(r, expr(joinExpr))
     val q = joined.writeStream
       .outputMode("append")

@@ -377,6 +377,23 @@ class PipelineSpec extends SparkSpec {
     (20L until 30L).foreach(i => assert(comp(i) == i && size(i) == 1L))
   }
 
+  test("semDedup nCells<=0 auto-sizes cells from the corpus " +
+      "(n/targetCellSize, floor 8)") {
+    import spark.implicits._
+    val emb = Tables.load(spark, sf, "embeddings")
+    val n = emb.count()
+    val expectCells = math.max(8, (n / Dedup.semDedupTargetCellSize).toInt)
+    // at this SF the auto size lands on the floor (8): auto == explicit 8
+    assert(expectCells == 8, s"fixture assumption: n=$n")
+    val auto = Dedup.semDedup(emb, "vec_id", "embedding",
+      nCells = 0, lloydIters = 2, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    val explicit = Dedup.semDedup(emb, "vec_id", "embedding",
+      nCells = 8, lloydIters = 2, threshold = 0.35)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sorted
+    assert(auto.sameElements(explicit))
+  }
+
   test("persisted IVF index: partition-pruned probe, scores match brute force") {
     val emb = Tables.load(spark, sf, "embeddings")
     val path = s"/tmp/graft_ivf_spec/${System.nanoTime()}"
@@ -417,6 +434,53 @@ class PipelineSpec extends SparkSpec {
     val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 5)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(hits.map(r => (r.getLong(0), r.getDouble(1))).toSeq == brute.toSeq)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+  }
+
+  test("IVF recall: nProbe=2 of 8 cells keeps recall@10 >= 0.9 vs brute " +
+      "force on a clustered corpus, including after appended drift") {
+    import spark.implicits._
+    // 8 tight axis-aligned clusters in 8-dim, interleaved so the seed
+    // window sees every cluster; deterministic jitter on a second axis.
+    def vec(c: Int, i: Long): Seq[Double] = {
+      val v = Array.fill(8)(0.0)
+      v(c) = 1.0
+      v((c + 1) % 8) = 0.01 * (((i * 7) % 13) - 6) / 13.0
+      v.toSeq
+    }
+    val base = (0L until 512L).map(i => (i, vec((i % 8).toInt, i)))
+      .toDF("vec_id", "embedding")
+    val path = s"/tmp/graft_ivf_recall/${System.nanoTime()}"
+    Similarity.buildIvfIndex(base, "vec_id", "embedding", nCells = 8, path)
+
+    def recallAt10(corpus: org.apache.spark.sql.DataFrame, qid: Long,
+                   nProbe: Int): Double = {
+      val truth = Similarity.bruteForceTopK(
+        corpus, "vec_id", "embedding", qid, 10)
+        .collect().map(_.getLong(0)).toSet
+      val qv = corpus.filter($"vec_id" === qid)
+        .select($"embedding".cast("array<double>"))
+        .collect().head.getSeq[Double](0)
+      val got = Similarity.searchIvfIndex(spark, path, qv, k = 10,
+        nProbe = nProbe, excludeId = qid)
+        .collect().map(_.getLong(0)).toSet
+      truth.intersect(got).size / 10.0
+    }
+    assert(recallAt10(base, qid = 3L, nProbe = 2) >= 0.9)
+
+    // drift: a new mode between axes 0 and 1 that the centroids were
+    // never fitted on — the index must stay useful as data arrives
+    val drifted = (512L until 576L).map { i =>
+      val v = Array.fill(8)(0.0)
+      v(0) = 0.7071; v(1) = 0.7071
+      v(2) = 0.01 * (((i * 5) % 11) - 5) / 11.0
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    Similarity.appendToIvfIndex(drifted, "vec_id", "embedding", path)
+    val all = base.union(drifted)
+    // the drifted mode sits between two fitted cells; probing both must
+    // recover its neighborhood
+    assert(recallAt10(all, qid = 520L, nProbe = 2) >= 0.9)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
   }
 
