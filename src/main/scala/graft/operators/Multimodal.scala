@@ -11,11 +11,14 @@ import graft.StringToColumn
   * `mapInPandas` (same batch-iterator shape, executor-side, no
   * driver collect).
   *
-  * The actual codec step is a STUB (this environment ships no
-  * image/audio libraries): `fakeDecode` derives deterministic
-  * pseudo-pixels from the bytes themselves, so the plumbing — schema,
-  * partitioning, batch iteration, output shape — is real and testable,
-  * and swapping in a real codec changes one function.
+  * The codec step is REAL for images the JDK can decode — PNG, BMP,
+  * JPEG, GIF via `javax.imageio` (no external libraries needed): a
+  * payload carrying an image magic header decodes to per-pixel BT.601
+  * luma. Audio/video and unrecognized payloads fall back to
+  * `fakeDecode` (deterministic pseudo-pixels from the bytes), keeping
+  * the plumbing — schema, partitioning, batch iteration, output shape
+  * — exercised for every media kind; swapping in a full codec suite
+  * still changes one function.
   */
 object Multimodal {
 
@@ -30,10 +33,49 @@ object Multimodal {
   val FrameSize = 64
   val FeatDim = 4
 
-  /** STUB codec: deterministic "pixels" from raw bytes. A real build
-    * replaces this with an image/audio decode. */
+  /** STUB codec for non-image payloads: deterministic "pixels" from raw
+    * bytes — keeps the distributed plumbing testable for media kinds
+    * this environment cannot decode (audio/video). */
   private[graft] def fakeDecode(bytes: Array[Byte]): Array[Int] =
     bytes.map(b => (b & 0xff))
+
+  /** True when the payload starts with a magic header of an image
+    * format the JDK's ImageIO decodes out of the box. */
+  private[graft] def isImage(bytes: Array[Byte]): Boolean =
+    bytes.length >= 8 && (
+      (bytes(0) == 0x89.toByte && bytes(1) == 'P' &&
+        bytes(2) == 'N' && bytes(3) == 'G') ||
+      (bytes(0) == 'B' && bytes(1) == 'M') ||
+      (bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte) ||
+      (bytes(0) == 'G' && bytes(1) == 'I' && bytes(2) == 'F'))
+
+  /** Decode: real pixels (integer BT.601 luma, row-major) when the
+    * payload is a decodable image; `fakeDecode` otherwise. Corrupt or
+    * merely magic-prefixed payloads (e.g. text starting with "BM") fall
+    * back too — ImageIO returns null / throws and we never fail a row. */
+  private[graft] def decodePixels(bytes: Array[Byte]): Array[Int] =
+    if (!isImage(bytes)) fakeDecode(bytes)
+    else try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) fakeDecode(bytes)
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        val out = new Array[Int](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            out(y * w + x) = (((rgb >> 16) & 0xff) * 299 +
+              ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+    } catch { case _: java.io.IOException => fakeDecode(bytes) }
 
   /** Feature extraction over a media table: one pass, executor-side,
     * partition-parallel. Input needs (idCol: long, dataCol: binary). */
@@ -43,7 +85,7 @@ object Multimodal {
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     src.mapPartitions { it =>
       it.map { case (id, bytes) =>
-        val px = fakeDecode(bytes)
+        val px = decodePixels(bytes)
         val nFrames = (px.length + FrameSize - 1) / FrameSize
         val mean = if (px.isEmpty) 0.0 else px.sum.toDouble / px.length
         val feat = Array.tabulate(FeatDim) { k =>
@@ -63,7 +105,7 @@ object Multimodal {
       .select(col(idCol).cast("long"), col(dataCol))
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     src.flatMap { case (id, bytes) =>
-      val px = fakeDecode(bytes)
+      val px = decodePixels(bytes)
       px.grouped(FrameSize).zipWithIndex.collect {
         case (frame, i) if i % stride == 0 =>
           Frame(id, i, frame.length,

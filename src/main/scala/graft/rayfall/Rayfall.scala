@@ -850,6 +850,91 @@ object Rayfall {
     (Option(last), out.toString)
   }
 
+  /** Interactive REPL over the script evaluator — the `app/repl.c`
+    * surface: a persistent environment across inputs (so `(set x …)` on
+    * one line is visible on the next), paren-balanced multi-line form
+    * accumulation (the reference terminal's multiline mode,
+    * `app/term.c`), each complete form evaluated and its value printed
+    * (errors print without killing the session, like `repl_on_data`
+    * routing IS_ERR to stderr). EOF ends the loop; piped input thus
+    * behaves as the reference's oneshot mode. Tables print their first
+    * rows; everything else prints through the same renderer scripts'
+    * `show` uses. */
+  def repl(spark: SparkSession, tables: Map[String, DataFrame],
+           in: java.io.BufferedReader, out: java.io.PrintStream,
+           prompt: Boolean = true): Unit = withEvalStack {
+    val env = scala.collection.mutable.Map[String, RVal](
+      tables.map { case (k, v) => k -> (VTab(v): RVal) }.toSeq: _*)
+    // net paren balance with string/comment awareness — a form is
+    // complete when the accumulated text closes every list it opens
+    def balance(s: String): Int = {
+      var depth = 0; var i = 0; var inStr = false; var inCom = false
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (inStr) {
+          if (c == '\\') i += 1
+          else if (c == '"') inStr = false
+        } else if (inCom) { if (c == '\n') inCom = false }
+        else c match {
+          case '"' => inStr = true
+          case ';' => inCom = true
+          case '(' | '[' | '{' => depth += 1
+          case ')' | ']' | '}' => depth -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      depth
+    }
+    def tableText(df: DataFrame): String = {
+      val rows = df.limit(21).collect()
+      val shown = rows.take(20)
+      val header = df.columns.mkString(" | ")
+      val body = shown.map(r => df.columns.indices.map { i =>
+        r.get(i) match {
+          case null => "nil"
+          case v => render(VAtom(v))
+        }
+      }.mkString(" | "))
+      (Seq(header) ++ body ++
+        (if (rows.length > 20) Seq("…") else Nil)).mkString("\n")
+    }
+    val pending = new StringBuilder
+    if (prompt) { out.print("rayfall> "); out.flush() }
+    var line = in.readLine()
+    while (line != null) {
+      pending.append(line).append('\n')
+      val src = pending.toString
+      if (src.trim.isEmpty) pending.clear()
+      else if (balance(src) <= 0) {
+        pending.clear()
+        try {
+          val p = new Parser(src)
+          p.skipWs()
+          while (!p.eof) {
+            val sb = new StringBuilder
+            val v = evalScript(spark, p.parseExpr(), env, _ => (), sb)
+            if (sb.nonEmpty) out.print(sb)
+            v match {
+              case VTab(df) => out.println(tableText(df))
+              case VAtom(null) => () // display forms already printed
+              case other => out.println(render(other))
+            }
+            p.skipWs()
+          }
+        } catch {
+          case e: Exception => out.println(
+            s"error: ${Option(e.getMessage).getOrElse(e.toString)}")
+        }
+      }
+      if (prompt) {
+        out.print(if (pending.nonEmpty) "       … " else "rayfall> ")
+        out.flush()
+      }
+      line = in.readLine()
+    }
+  }
+
   /** Run the tree-walking interpreter on a dedicated 256 MB-stack
     * thread: evalScript is one giant match whose JVM frame is sized to
     * its worst branch, so deep script recursion (fib.rfl self-calls)

@@ -46,4 +46,46 @@ class MultimodalSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("DeserializeToObject"), plan.take(300))
   }
+
+  /** Encode a tiny image with exactly-known pixels through the JDK's
+    * own writer, so the decode assertion is self-contained. */
+  private def imageBytes(fmt: String, lumas: Seq[Seq[Int]]): Array[Byte] = {
+    val h = lumas.length; val w = lumas.head.length
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = lumas(y)(x)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v) // gray → luma == v exactly
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("real image decode: PNG and BMP payloads decode to true pixels " +
+      "(known mean luma), text payloads keep the byte fallback") {
+    // 8×2 gray gradient: lumas 10,30,..,150 twice → mean 80, 16 pixels
+    val lumas = Seq.tabulate(2, 8)((_, x) => 10 + 20 * x)
+    val png = imageBytes("png", lumas)
+    val bmp = imageBytes("bmp", lumas)
+    assert(Multimodal.isImage(png) && Multimodal.isImage(bmp))
+    val df = Seq((1L, png), (2L, bmp),
+      (3L, "BMnot really a bitmap".getBytes("UTF-8"))).toDF("media_id", "data")
+    val got = Multimodal.extractFeatures(df, "media_id", "data")
+      .orderBy($"media_id").collect()
+    // n_bytes is the PAYLOAD size, pixel stats come from the decode
+    assert(got(0).getInt(1) == png.length && got(1).getInt(1) == bmp.length)
+    assert(got(0).getDouble(3) == 80.0, s"png mean ${got(0).getDouble(3)}")
+    assert(got(1).getDouble(3) == 80.0, s"bmp mean ${got(1).getDouble(3)}")
+    assert(got(0).getInt(2) == 1, "16 pixels → one 64-px frame")
+    // magic-prefixed text is not decodable → byte fallback, mean = mean
+    // of the UTF-8 bytes
+    val bytes = "BMnot really a bitmap".getBytes("UTF-8").map(_ & 0xff)
+    assert(got(2).getDouble(3) == bytes.sum.toDouble / bytes.length)
+    // frame sampling sees the same decoded pixels
+    val frames = Multimodal.sampleFrames(
+      df.filter($"media_id" === 1L), "media_id", "data", stride = 1).collect()
+    assert(frames.length == 1 && frames(0).getInt(2) == 16 &&
+      frames(0).getDouble(3) == 80.0)
+  }
 }
