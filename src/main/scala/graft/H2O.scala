@@ -84,13 +84,32 @@ object H2O {
     }
     val times = if (!sections("groupby")) Seq.empty else {
       spark.conf.set("spark.sql.adaptive.enabled", aqeGroupBy)
+      val debugReps = sys.env.contains("SPARK_GRAFT_H2O_DEBUG")
+      // steady-state warm-up: the kernel's hot loops (dense accumulate +
+      // chunked range merge) take a handful of executions before C2
+      // compiles them, and the code paths are SHARED across Q1-Q6 — so
+      // three rounds of one small-key-product and one large-key-product
+      // shape warm every timed query at once (measured: without this the
+      // first kernel query's early reps ran 2-4× its steady state)
+      for (_ <- 1 to 3; q <- Seq(queries.head._2, queries(2)._2))
+        rayfall.Rayfall.query(q, Map("t" -> t)).count()
+      def gcMs: Long = {
+        import scala.jdk.CollectionConverters._
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+          .asScala.map(_.getCollectionTime).sum
+      }
       val r = queries.map { case (name, q) =>
         rayfall.Rayfall.query(q, Map("t" -> t)).count() // warm codegen
-        val best = (1 to reps).map { _ =>
+        val ts = (1 to reps).map { _ =>
+          val g0 = gcMs
           val t0 = System.nanoTime()
           rayfall.Rayfall.query(q, Map("t" -> t)).count()
-          (System.nanoTime() - t0) / 1e6
-        }.min
+          ((System.nanoTime() - t0) / 1e6, gcMs - g0)
+        }
+        if (debugReps) println(
+          s"[h2o] $name reps " +
+            ts.map { case (v, g) => f"$v%.0f(gc$g)" }.mkString(" "))
+        val best = ts.map(_._1).min
         val rows = rayfall.Rayfall.query(q, Map("t" -> t)).count()
         println(f"[h2o] $name ${best}%.1f ms ($rows groups)")
         name -> best

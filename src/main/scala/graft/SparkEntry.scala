@@ -1972,9 +1972,17 @@ object Queries {
   // ---------------------------------------------------------------- q36
   // Large⋈large equi-join (the H2O join shape, BASELINE.md inner-join):
   // both sides over the broadcast threshold → shuffled join on the key.
+  // Round-9 100× audit (graft.TimeJoin A/B at 60M⋈15M): the SHUFFLED
+  // HASH join is the stable winner (4.5 s vs sort-merge's 4.6-24 s —
+  // SMJ pays two 15M-row sorts and spills erratically), and
+  // pre-aggregating lineitem by orderkey before the join LOSES: the 15M-
+  // key partial agg hash map costs more than the ~4× row fold saves.
+  // The hint pins SHJ per-query (the reference's ij is a hash join too,
+  // core/join.c) without flipping preferSortMergeJoin session-wide.
   def q36_join_big(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
-      .join(t(spark, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(t(spark, dir, "orders").hint("shuffle_hash"),
+        $"l_orderkey" === $"o_orderkey")
       .groupBy($"o_orderpriority")
       .agg(count(lit(1)).as("n"),
         dsum($"l_extendedprice").as("sum_price"),

@@ -55,14 +55,25 @@ object GroupKernel {
       val dblCols: Set[String],
       val intSourced: Set[String],
       val nullCols: Set[String],
-      val blocks: RDD[Block])
+      val blocks: RDD[Block],
+      // decode dictionaries (strings pre-converted to UTF8String) as a
+      // BROADCAST: a big-cardinality key's dictionary (the H2O id3 case,
+      // 1e5 entries) must not travel in the merge stage's task closure —
+      // closure deserialization re-built those 1e5 objects in EVERY task
+      // of EVERY query (measured 120-150 ms per merge task before JIT
+      // warm-up, the bulk of the Q3/Q5/Q6 per-rep variance). A broadcast
+      // deserializes once per executor and is shared from then on.
+      val bcDecode: org.apache.spark.broadcast.Broadcast[Map[String, Array[Any]]])
 
   private val registry = new IdentityHashMap[DataFrame, Encoded]()
 
   def has(df: DataFrame): Boolean = registry.synchronized(registry.containsKey(df))
 
   def unregister(df: DataFrame): Unit = registry.synchronized {
-    Option(registry.remove(df)).foreach(_.blocks.unpersist(blocking = false))
+    Option(registry.remove(df)).foreach { e =>
+      e.blocks.unpersist(blocking = false)
+      e.bcDecode.destroy()
+    }
   }
 
   /** Encode `df` for kernel group-bys on `keyCols` (the typed-load step —
@@ -215,9 +226,16 @@ object GroupKernel {
     }.persist(StorageLevel.MEMORY_AND_DISK)
     blocks.count()
 
+    val decodeDicts: Map[String, Array[Any]] = dicts.map { case (k, vs) =>
+      k -> vs.map {
+        case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        case x => x
+      }
+    }
     registry.synchronized {
       registry.put(df, new Encoded(dicts, dicts.keys.map(k => k -> typeOf(k)).toMap,
-        longCols, dblCols, intSourced, nullValueCols, blocks))
+        longCols, dblCols, intSourced, nullValueCols, blocks,
+        sc.broadcast(decodeDicts)))
     }
   }
 
@@ -599,7 +617,6 @@ object GroupKernel {
     lap("plan")
 
     // decode occupied cells into a local DataFrame
-    val dicts = keyArr.map(enc.dicts)
     val outFields =
       keyArr.map(k => StructField(k, enc.keyTypes(k))) ++
         prims.zipWithIndex.map { case ((op, c), i) =>
@@ -614,12 +631,9 @@ object GroupKernel {
           StructField(s"__p$i", dt)
         }
     val schema = StructType(outFields.toArray)
-    // pre-converted dictionaries (UTF8String for string keys) so the
-    // decode loop emits InternalRows directly — no per-Row encoder pass
-    val dictsInternal: Array[Array[Any]] = dicts.map(_.map {
-      case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
-      case x => x
-    })
+    // decode dictionaries ride the per-table broadcast (see Encoded) —
+    // only this stub enters the merge-task closure
+    val bcDecode = enc.bcDecode
     // Merge + decode run where the partials are — nothing routes through
     // the driver, and the caller's action executes the whole thing as ONE
     // job: scan → tiny shuffle → merge + decode + project. Small key
@@ -637,6 +651,10 @@ object GroupKernel {
     // global code space into output rows (key decode + post-agg slots)
     def decodeRange(merged: Partial, base: Int)
         : Iterator[org.apache.spark.sql.catalyst.InternalRow] = {
+      // executor-side: resolve the broadcast once per range
+      val dictsInternal: Array[Array[Any]] = {
+        val m = bcDecode.value; keyArr.map(m)
+      }
       val rows = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.spark.sql.catalyst.InternalRow]
       val len = merged.counts.length
@@ -678,7 +696,23 @@ object GroupKernel {
     }
     val nChunks = if (p >= (1 << 14)) 8 else 1
     val mergedRows =
-      if (nChunks == 1)
+      if (p <= (1 << 12)) {
+        // tiny dense space (the H2O Q1/Q4 shape: ≤4096 groups): the
+        // partials are a few KB each — collect and merge on the driver,
+        // decode locally, re-distribute the handful of result rows as a
+        // single-partition RDD. Removes the 1-partition shuffle stage
+        // (its 32 map-output files + an extra scheduled stage cost more
+        // than the result ships for). The large-row LocalRelation trap
+        // (round 7) doesn't apply: rows ≤ 4096 and they enter as
+        // InternalRows, no encoder pass.
+        val ps = partials.collect()
+        val rows =
+          if (ps.isEmpty) Array.empty[org.apache.spark.sql.catalyst.InternalRow]
+          else decodeRange(ps.reduce((a, b) => a.merge(b, opsL, opsD)), 0).toArray
+        df.sparkSession.sparkContext.parallelize(
+          scala.collection.immutable.ArraySeq.unsafeWrapArray(rows), 1)
+      }
+      else if (nChunks == 1)
         partials.repartition(1).mapPartitions { ps =>
           if (ps.isEmpty) Iterator.empty
           else decodeRange(ps.reduce((a, b) => a.merge(b, opsL, opsD)), 0)
