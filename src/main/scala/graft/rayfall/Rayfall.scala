@@ -340,6 +340,15 @@ object Rayfall {
     * `examples/journal.rfl`): an append-only text journal of s-exprs;
     * `read` replays each record through the evaluator. */
   final case class VHandle(path: java.nio.file.Path) extends RVal
+  /** An IPC connection handle (reference `hopen "host:port"`,
+    * `core/ipc.c:39-527`, `examples/ipc.rfl`): `write` ships a record to
+    * the server — the same `(f args…)` application encoding the journal
+    * uses — the server evaluates it against its live environment and the
+    * VALUE comes back (parseable `valueText`, re-hydrated client-side).
+    * The journal write/read pair over a socket. */
+  final case class VIpc(id: Long, sock: java.net.Socket,
+                        in: java.io.DataInputStream,
+                        out: java.io.DataOutputStream) extends RVal
   /** First-class dict value `(dict [k…] vals)` (reference
     * core/compose.c:205, dict literals core/parse.c:784); values may
     * nest dicts/vectors. `key`/`value`/`at` project it. */
@@ -933,6 +942,118 @@ object Rayfall {
       }
       line = in.readLine()
     }
+  }
+
+  // -------------------------------------------------------------- IPC
+
+  /** A running IPC server (the `rayforce -p <port>` surface). `port` is
+    * the bound port (useful when 0 requested an ephemeral one). */
+  final class IpcServer private[rayfall] (val port: Int,
+                                          ss: java.net.ServerSocket) {
+    def stop(): Unit = try ss.close() catch { case _: Exception => () }
+  }
+
+  private val MaxIpcFrame = 64 << 20
+  private val ipcClientSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def ipcWriteFrame(out: java.io.DataOutputStream, text: String): Unit = {
+    val bytes = text.getBytes("UTF-8")
+    out.writeInt(bytes.length); out.write(bytes); out.flush()
+  }
+
+  private def ipcReadFrame(in: java.io.DataInputStream): String = {
+    val n = in.readInt()
+    require(n >= 0 && n <= MaxIpcFrame, s"ipc frame length $n out of range")
+    val buf = new Array[Byte](n); in.readFully(buf)
+    new String(buf, "UTF-8")
+  }
+
+  /** Serve the script evaluator over TCP (reference IPC server,
+    * `core/ipc.c`; started by `rayforce -p 5101` — here `graft.Serve`):
+    * one persistent server environment seeded from `tables` and an
+    * optional `init` script (where `ipc.rfl` binds `.z.po`/`.z.pc`/`f`),
+    * a daemon accept loop, one connection per client. Each incoming
+    * frame evaluates under a global lock (the reference's event loop is
+    * single-threaded too) with `.z.w` bound to the connection handle;
+    * `.z.po`/`.z.pc` fire on open/close when bound (their observable
+    * surface is side effects, as with timers). A frame that is a single
+    * string literal evaluates its CONTENT as script — the "send code as
+    * text" convention; anything else evaluates as forms and the last
+    * value returns as `valueText` (re-parseable; falls back to the
+    * display rendering when the value has no literal form). Pass port 0
+    * for an ephemeral port. */
+  def serveIpc(spark: SparkSession, port: Int,
+               tables: Map[String, DataFrame] = Map.empty,
+               init: String = ""): IpcServer = {
+    val env = scala.collection.mutable.Map[String, RVal](
+      tables.map { case (k, v) => k -> (VTab(v): RVal) }.toSeq: _*)
+    if (init.nonEmpty) withEvalStack {
+      val p = new Parser(init); p.skipWs()
+      while (!p.eof) {
+        evalScript(spark, p.parseExpr(), env, _ => (), new StringBuilder)
+        p.skipWs()
+      }
+    }
+    val ss = new java.net.ServerSocket(port)
+    val nextHandle = new java.util.concurrent.atomic.AtomicLong(2L)
+    val lock = new Object
+    def callback(name: String, h: Long): Unit = env.get(name) match {
+      case Some(f: VFn) if f.params.length == 1 =>
+        try applyFn(spark, f.params, f.bodies, Seq(VAtom(java.lang.Long.valueOf(h))), env, _ => ())
+        catch { case _: Exception => () }
+      case _ => ()
+    }
+    val acceptor = new Thread(() => {
+      try while (true) {
+        val sock = ss.accept()
+        val h = nextHandle.incrementAndGet()
+        val worker = new Thread(() => {
+          val in = new java.io.DataInputStream(
+            new java.io.BufferedInputStream(sock.getInputStream))
+          val out = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(sock.getOutputStream))
+          lock.synchronized(withEvalStack(callback(".z.po", h)))
+          try while (true) {
+            val text = ipcReadFrame(in)
+            val reply = lock.synchronized(withEvalStack {
+              try {
+                env(".z.w") = VAtom(java.lang.Long.valueOf(h))
+                val p = new Parser(text); p.skipWs()
+                var forms = List.empty[RExpr]
+                while (!p.eof) { forms :+= p.parseExpr(); p.skipWs() }
+                // single string frame = code-as-text (kdb convention)
+                val run: List[RExpr] = forms match {
+                  case RStr(src) :: Nil =>
+                    val ip = new Parser(src); ip.skipWs()
+                    var fs = List.empty[RExpr]
+                    while (!ip.eof) { fs :+= ip.parseExpr(); ip.skipWs() }
+                    fs
+                  case fs => fs
+                }
+                var v: RVal = VAtom(null)
+                run.foreach(f =>
+                  v = evalScript(spark, f, env, _ => (), new StringBuilder))
+                try "ok:" + valueText(v)
+                catch { case _: Exception => "tx:" + render(v) }
+              } catch {
+                case e: Exception =>
+                  "er:" + Option(e.getMessage).getOrElse(e.toString)
+              }
+            })
+            ipcWriteFrame(out, reply)
+          } catch { case _: java.io.IOException => () }
+          finally {
+            lock.synchronized(withEvalStack(callback(".z.pc", h)))
+            try sock.close() catch { case _: Exception => () }
+          }
+        }, s"rayfall-ipc-conn-$h")
+        worker.setDaemon(true)
+        worker.start()
+      } catch { case _: java.io.IOException => () } // server stopped
+    }, "rayfall-ipc-accept")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    new IpcServer(ss.getLocalPort, ss)
   }
 
   /** Run the tree-walking interpreter on a dedicated 256 MB-stack
@@ -2180,22 +2301,33 @@ object Rayfall {
       // journal of s-exprs; read replays each record through the
       // evaluator (a logged (f args…) application re-executes)
       case RList(RSym("hopen") :: p :: Nil) =>
-        val path = ev(p) match {
-          case VAtom(s: String) => java.nio.file.Paths.get(s)
-          case x => throw new IllegalArgumentException(s"hopen needs a path, got $x")
+        ev(p) match {
+          // "host:port" → IPC connection (reference hopen, core/ipc.c;
+          // examples/ipc.rfl); anything else → journal file handle
+          case VAtom(s: String) if s.matches("^[A-Za-z0-9_.-]+:\\d+$") =>
+            val Array(host, portS) = s.split(":")
+            val sock = new java.net.Socket(host, portS.toInt)
+            VIpc(ipcClientSeq.incrementAndGet(), sock,
+              new java.io.DataInputStream(
+                new java.io.BufferedInputStream(sock.getInputStream)),
+              new java.io.DataOutputStream(
+                new java.io.BufferedOutputStream(sock.getOutputStream)))
+          case VAtom(s: String) =>
+            val path = java.nio.file.Paths.get(s)
+            if (!java.nio.file.Files.exists(path))
+              java.nio.file.Files.createFile(path)
+            VHandle(path)
+          case x => throw new IllegalArgumentException(
+            s"hopen needs a path or host:port, got $x")
         }
-        if (!java.nio.file.Files.exists(path)) java.nio.file.Files.createFile(path)
-        VHandle(path)
       case RList(RSym("write") :: h :: v :: Nil) =>
-        val handle = ev(h) match {
-          case hd: VHandle => hd
-          case x => throw new IllegalArgumentException(s"write needs a handle, got $x")
-        }
         // a journaled (list 'f args…) record is written as the s-expr
         // (f args…) so read REPLAYS it as an application (journal.rfl);
         // symbol-like strings stay bare to keep that, anything else is
         // quoted+escaped so spaces/parens/quotes round-trip instead of
-        // silently splitting the record
+        // silently splitting the record. The SAME encoding carries IPC
+        // frames: (write h (list 'f)) ships (f), which the server
+        // evaluates as an application — core/ipc.c's call convention.
         val symbolLike = "^[A-Za-z_][A-Za-z0-9_-]*$".r
         def enc(x: Any): String = x match {
           case s: String if symbolLike.matches(s) => s
@@ -2205,15 +2337,35 @@ object Rayfall {
           case d: java.lang.Double => d.toString
           case x => throw new IllegalArgumentException(s"cannot journal $x")
         }
-        val rec = ev(v) match {
+        def record: String = ev(v) match {
           case VVec(xs) => xs.map(enc).mkString("(", " ", ")")
           case VAtom(s: String) => enc(s)
           case VAtom(x) => x.toString
-          case x => throw new IllegalArgumentException(s"cannot journal $x")
+          case other => valueText(other)
         }
-        java.nio.file.Files.writeString(handle.path, rec + "\n",
-          java.nio.file.StandardOpenOption.APPEND)
-        VAtom(null)
+        ev(h) match {
+          case handle: VHandle =>
+            java.nio.file.Files.writeString(handle.path, record + "\n",
+              java.nio.file.StandardOpenOption.APPEND)
+            VAtom(null)
+          case ipc: VIpc =>
+            // remote call: ship the record, the server evaluates it
+            // against its live env and the VALUE comes back (ipc.rfl's
+            // (write h (list 'f)) returns what f returns)
+            ipcWriteFrame(ipc.out, record)
+            ipcReadFrame(ipc.in) match {
+              case r if r.startsWith("ok:") =>
+                val p = new Parser(r.drop(3)); p.skipWs()
+                var rv: RVal = VAtom(null)
+                while (!p.eof) { rv = ev(p.parseExpr()); p.skipWs() }
+                rv
+              case r if r.startsWith("tx:") => VAtom(r.drop(3))
+              case r if r.startsWith("er:") =>
+                throw new RayfallError(s"ipc remote error: ${r.drop(3)}")
+              case r => throw new RayfallError(s"ipc bad reply: ${r.take(80)}")
+            }
+          case x => throw new IllegalArgumentException(s"write needs a handle, got $x")
+        }
       case RList(RSym("read") :: h :: Nil) =>
         val handle = ev(h) match {
           case hd: VHandle => hd
@@ -2228,7 +2380,11 @@ object Rayfall {
         }
         lastV
       case RList(RSym("hclose") :: h :: Nil) =>
-        ev(h); VAtom(null)
+        ev(h) match {
+          case ipc: VIpc => try ipc.sock.close() catch { case _: Exception => () }
+          case _ => ()
+        }
+        VAtom(null)
       // (timestamp 'utc) — current time as nanos-since-epoch long (the
       // repo's TIMESTAMP convention)
       case RList(RSym("timestamp") :: _) =>

@@ -529,11 +529,13 @@ class DocsSpec extends SparkSpec {
       "update.rfl", "upsert.rfl", "window.rfl", "wj.rfl")
     assert(scripts == known,
       s"examples changed: unexpected=${scripts -- known} gone=${known -- scripts}")
-    // ipc.rfl is ALL comments/blank lines — nothing executable, so
-    // 16/17 is the honest verbatim maximum (IPC = declared non-goal)
+    // ipc.rfl is ALL comments/blank lines — nothing executable to run
+    // directly; its DOCUMENTED server/client flow runs verbatim in
+    // IpcSpec against the round-9 IPC implementation (serveIpc + script
+    // hopen/write/hclose)
     val ipc = java.nio.file.Files.readAllLines(dir.resolve("ipc.rfl")).asScala
     assert(ipc.forall(l => l.trim.isEmpty || l.trim.startsWith(";")),
-      "ipc.rfl grew executable lines — revisit the non-goal")
+      "ipc.rfl grew executable lines — extend IpcSpec to run them")
     // every other script is named by a test in THIS suite (flips.rfl's
     // test exercises its forms on synthetic data — its input needs an
     // external download)

@@ -1,0 +1,85 @@
+package graft
+
+import graft.rayfall.Rayfall
+
+/** The IPC client/server surface (reference `core/ipc.c`,
+  * `examples/ipc.rfl`): hopen "host:port", remote application via
+  * `(write h (list 'f args…))`, code-as-string frames, remote table
+  * results, `.z.po`/`.z.pc`/`.z.w` handle hooks, error propagation. */
+class IpcSpec extends SparkSpec {
+
+  test("the ipc.rfl flow runs verbatim: .z.po/.z.pc fire, (write h " +
+      "(list 'f)) returns .z.w (the connection handle)") {
+    val log = java.nio.file.Files.createTempFile("graft_ipc_log", ".rfl")
+    java.nio.file.Files.delete(log)
+    // the ipc.rfl server script, with the Open/Close printlns journaled
+    // so the callback side effects are observable from the test
+    val server = Rayfall.serveIpc(spark, 0, Map.empty,
+      s"""(set j (hopen "$log"))
+         |(set .z.po (fn [x] (write j (list 'open x))))
+         |(set .z.pc (fn [x] (write j (list 'close x))))
+         |(set f (fn [] .z.w))""".stripMargin)
+    try {
+      // the ipc.rfl client script, verbatim shape
+      val got = Rayfall.scriptValue(spark,
+        s"""(set h (hopen "127.0.0.1:${server.port}"))
+           |(set r (write h (list 'f)))
+           |(hclose h)
+           |r""".stripMargin)
+      val handle = got match {
+        case Rayfall.VAtom(l: java.lang.Long) => l.longValue
+        case x => fail(s"expected a handle id, got $x")
+      }
+      assert(handle >= 3L, s"handle $handle")
+      // wait for the close callback to land in the journal
+      val deadline = System.currentTimeMillis + 5000
+      def logText = java.nio.file.Files.readString(log)
+      while (!logText.contains("close") && System.currentTimeMillis < deadline)
+        Thread.sleep(50)
+      assert(logText.contains(s"(open $handle)"), logText)
+      assert(logText.contains(s"(close $handle)"), logText)
+    } finally {
+      server.stop()
+      java.nio.file.Files.deleteIfExists(log)
+    }
+  }
+
+  test("remote calls with args, code-as-string frames, and persistent " +
+      "server state across frames") {
+    val server = Rayfall.serveIpc(spark, 0, Map.empty,
+      "(set add (fn [a b] (+ a b)))")
+    try {
+      val v = Rayfall.scriptValue(spark,
+        s"""(set h (hopen "127.0.0.1:${server.port}"))
+           |(set x (write h (list 'add 19 23)))
+           |(write h "(set n 8)")
+           |(set y (write h "(* n n)"))
+           |(hclose h)
+           |(+ x y)""".stripMargin)
+      assert(v == Rayfall.VAtom(106L), s"got $v") // 42 + 64
+    } finally server.stop()
+  }
+
+  test("a remote select returns a TABLE the client can keep querying; " +
+      "remote errors surface as script errors") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val server = Rayfall.serveIpc(spark, 0, Map("lineitem" -> li))
+    try {
+      val v = Rayfall.scriptValue(spark,
+        s"""(set h (hopen "127.0.0.1:${server.port}"))
+           |(set t (write h "(select {n: (count l_quantity)
+           |                          from: lineitem by: l_returnflag})"))
+           |(hclose h)
+           |(count (at t 'n))""".stripMargin)
+      // 3 return flags at this SF
+      assert(v == Rayfall.VAtom(3L), s"got $v")
+
+      val err = intercept[Rayfall.RayfallError] {
+        Rayfall.scriptValue(spark,
+          s"""(set h (hopen "127.0.0.1:${server.port}"))
+             |(write h "(raise \\"remote boom\\")")""".stripMargin)
+      }
+      assert(err.getMessage.contains("remote boom"), err.getMessage)
+    } finally server.stop()
+  }
+}
