@@ -1084,6 +1084,90 @@ object Queries {
       |  least(chunk_idx * 48 + 64, len) - (chunk_idx * 48 + 1) + 1 AS n_toks
       |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
 
+  // ---------------------------------------------------------------- t21
+  // Gopher-style hard quality rules (Rae et al. 2021 §A1.1): per-rule
+  // 0/1 flags + keep, all INTEGER gates (rationals cross-multiplied) so
+  // the decision is bit-identical cross-engine. Word-count bounds are
+  // scaled to this corpus (docs run 10-99 words; Gopher's 50-100k bound
+  // would pass everything) — the RULE SHAPE is what's under test.
+  def t21_gopher_rules(spark: SparkSession, dir: String): DataFrame =
+    operators.QualityRules.gopher(t(spark, dir, "documents"),
+      "doc_id", "text", minWords = 35, maxWords = 70)
+      .orderBy($"doc_id")
+
+  private val t21_sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS sl
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS wc,
+      |    CAST(CASE WHEN len(ws) BETWEEN 35 AND 70
+      |      THEN 1 ELSE 0 END AS BIGINT) AS r_wc,
+      |    CAST(CASE WHEN sl >= 3 * len(ws) AND sl <= 10 * len(ws)
+      |      THEN 1 ELSE 0 END AS BIGINT) AS r_mwl,
+      |    CAST(CASE WHEN
+      |      (CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'a') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'in') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'is') THEN 1 ELSE 0 END) >= 2
+      |      THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+      |    CAST(CASE WHEN 2 * len(list_distinct(ws)) >= len(ws)
+      |      THEN 1 ELSE 0 END AS BIGINT) AS r_uniq
+      |  FROM w)
+      |SELECT doc_id, wc, r_wc, r_mwl, r_stop, r_uniq,
+      |  r_wc * r_mwl * r_stop * r_uniq AS keep
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t22
+  // Cross-source contamination census: the d10 simhash near-dup pairs
+  // annotated with each side's source, folded to an unordered
+  // source-pair matrix — "which sources copy from each other", the
+  // audit a multi-source 100 TB crawl mix runs before weighting
+  // sources. The doc→source joins broadcast (the pair list is small
+  // relative to the corpus by construction).
+  def t22_source_overlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.simhashNearDup64(docs, "doc_id", "text", maxHamming = 3)
+    val src = docs.select($"doc_id", $"source")
+    pairs
+      .join(src.select($"doc_id".as("id_a"), $"source".as("__sa")), "id_a")
+      .join(src.select($"doc_id".as("id_b"), $"source".as("__sb")), "id_b")
+      .select(least($"__sa", $"__sb").as("src_a"),
+        greatest($"__sa", $"__sb").as("src_b"))
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  private val t22_sql = {
+    def chunk(c: String, k: Int) = s"($c // ${1L << (16 * k)}) % 65536"
+    val joins = (0 until 4).map { k =>
+      val earlier = (0 until k)
+        .map(pk => s"${chunk("a.sh", pk)} <> ${chunk("b.sh", pk)}")
+        .map(c => s"\n    AND $c").mkString
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b
+         |    ON ${chunk("a.sh", k)} = ${chunk("b.sh", k)}
+         |    AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3$earlier""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (SELECT doc_id, ${Text.duck.simhash64Sql("text")} AS sh
+       |  FROM documents),
+       |p AS (
+       |  $joins),
+       |ann AS (
+       |  SELECT least(da.source, db.source) AS src_a,
+       |    greatest(da.source, db.source) AS src_b
+       |  FROM p JOIN documents da ON p.id_a = da.doc_id
+       |         JOIN documents db ON p.id_b = db.doc_id)
+       |SELECT src_a, src_b, COUNT(*) AS n_pairs
+       |FROM ann GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d01
   // Exact dedup: hash-groupBy on the fingerprint, keep min doc_id.
   def d01_dedup_exact(spark: SparkSession, dir: String): DataFrame =
@@ -2928,6 +3012,8 @@ object Queries {
     "t18_quality_deciles" -> (t18_quality_deciles _),
     "t19_fuzzy_decontam" -> (t19_fuzzy_decontam _),
     "t20_chunk_overlap" -> (t20_chunk_overlap _),
+    "t21_gopher_rules" -> (t21_gopher_rules _),
+    "t22_source_overlap" -> (t22_source_overlap _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -3040,6 +3126,8 @@ object Queries {
     "t18_quality_deciles" -> t18_sql,
     "t19_fuzzy_decontam" -> t19_sql,
     "t20_chunk_overlap" -> t20_sql,
+    "t21_gopher_rules" -> t21_sql,
+    "t22_source_overlap" -> t22_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

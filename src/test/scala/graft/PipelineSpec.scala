@@ -484,6 +484,29 @@ class PipelineSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
   }
 
+  test("gopher rules: integer gates pin handmade pass/fail per rule") {
+    import spark.implicits._
+    val docs = Seq(
+      // 1: passes everything (8 words, the+a present, distinct-ish)
+      (1L, "the a quick brown fox jumps over dog"),
+      // 2: fails r_wc (3 words) and r_stop (no 2 stop hits)
+      (2L, "quick brown fox"),
+      // 3: fails r_uniq (one word repeated 8x) and r_mwl (mean len 2)
+      (3L, "ab ab ab ab ab ab ab ab"),
+      // 4: fails r_mwl high side (mean word length > 10)
+      (4L, "the a abcdefghijklmnop qrstuvwxyzabcdef ghijklmnopqrstuv wxyzabcdefghijkl mnopqrstuvwxyzab cdefghijklmnopqr")
+    ).toDF("doc_id", "text")
+    val got = operators.QualityRules.gopher(docs, "doc_id", "text",
+      minWords = 5, maxWords = 100)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+      .toMap
+    assert(got(1L) == ((1L, 1L, 1L, 1L, 1L)))
+    assert(got(2L) == ((0L, 1L, 0L, 1L, 0L)))
+    assert(got(3L) == ((1L, 0L, 0L, 0L, 0L)))
+    assert(got(4L) == ((1L, 0L, 1L, 1L, 0L)))
+  }
+
   test("redactPii: emails, IPv4s, 7+-digit runs become placeholders; " +
       "short numbers and plain text survive") {
     val df = Seq(
