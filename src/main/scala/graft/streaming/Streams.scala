@@ -162,6 +162,21 @@ object Streams {
     ss.table(queryName)
   }
 
+  /** Declarative watermarked SESSIONIZATION: `session_window` merges
+    * per-key state-store sessions as rows arrive and emits each session
+    * exactly once when the watermark passes its end — the production
+    * form of the `sessionizeStream` gap logic (which keeps the custom
+    * flatMapGroupsWithState shape for arbitrary per-session state). A
+    * closed session can never reopen, so state is bounded by the open
+    * sessions inside the watermark horizon — the property that keeps a
+    * 100 TB clickstream's session store flat. */
+  def sessionWindowAgg(stream: DataFrame, tsCol: String, keyCol: String,
+                       gap: String, delay: String): DataFrame =
+    stream
+      .withWatermark(tsCol, delay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+
   final case class Ev(user_id: Long, ts_us: Long)
   final case class SessState(start: Long, last: Long, n: Int)
   final case class Session(user_id: Long, start_us: Long, end_us: Long,

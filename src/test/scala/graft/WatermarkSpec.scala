@@ -88,6 +88,37 @@ class WatermarkSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session_window: gap-merged sessions emit once when the watermark " +
+      "passes their end, with exact bounds and counts") {
+    val dir = "/tmp/graft_test_wm_sess"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    def write(rows: (Long, Long)*): Unit =
+      rows.map { case (k, s) => (k, new java.sql.Timestamp(s * 1000)) }
+        .toDF("k", "ts").write.mode("append").parquet(dir)
+
+    // u1: one 3-event session (10-14) + a later singleton (100);
+    // u2: one 2-event session (20-21); 10 s gap
+    write((1L, 10L), (1L, 12L), (1L, 14L), (2L, 20L), (2L, 21L), (1L, 100L))
+    val agg = streaming.Streams.sessionWindowAgg(
+      spark.readStream.schema(kTsSchema).parquet(dir),
+      "ts", "k", gap = "10 seconds", delay = "5 seconds")
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_sess").start()
+    try {
+      q.processAllAvailable()
+      write((3L, 300L)) // watermark → 295 s: closes every session above
+      q.processAllAvailable()
+      val got = spark.table("wm_sess")
+        .select($"k", unix_timestamp($"session_window.start").as("s"),
+          unix_timestamp($"session_window.end").as("e"), $"n_events")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      // session end = last event + gap; each session exactly once
+      assert(got == Set((1L, 10L, 24L, 3L), (1L, 100L, 110L, 1L),
+        (2L, 20L, 31L, 2L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("watermarked interval join: pairs emit, unmatched-row state is " +
       "evicted once both watermarks pass it") {
     val dir = "/tmp/graft_test_wm_ijoin"
