@@ -28,6 +28,11 @@ object Run {
     spark.sparkContext.setLogLevel("WARN")
     val tables = Tables.all
       .map(n => n -> Tables.load(spark, args(0), n)).toMap
+    // surface the invocation to scripts as the reference's (args) dict
+    rayfall.Rayfall.setCliArgs(
+      if (args.length == 1) Seq("-i")
+      else if (args(1).endsWith(".rfl")) Seq("-f", args(1))
+      else Seq.empty)
     if (args.length == 1) {
       rayfall.Rayfall.repl(spark, tables,
         new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),

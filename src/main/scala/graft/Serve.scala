@@ -31,6 +31,8 @@ object Serve {
         new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(args(2))))
       else ""
+    rayfall.Rayfall.setCliArgs(Seq("-p", args(1)) ++
+      (if (args.length > 2) Seq("-f", args(2)) else Seq.empty))
     val server = rayfall.Rayfall.serveIpc(spark, args(1).toInt, tables, init)
     println(s"[serve] listening on port ${server.port}")
     Thread.currentThread().join() // serve until killed

@@ -944,6 +944,58 @@ object Rayfall {
     }
   }
 
+  // ------------------------------------------------------------- args
+
+  /** Parse a command line into the reference's argument dict
+    * (`core/runtime.c:40` `parse_cmdline`, surfaced by `(args)` —
+    * `core/vary.c:139`): `-f/--file`, `-p/--port`, `-c/--cores`,
+    * `-t/--timeit` take a value; `-i/--interactive` is boolean ("1");
+    * the first bare argument is the file; `--` switches to user-defined
+    * `-flag value` pairs collected under `uargs` as a nested dict.
+    * Malformed lines raise (the reference prints usage and exits). */
+  def parseCmdline(argv: Seq[String]): VDict = {
+    var keys = Vector.empty[String]; var vals = Vector.empty[Any]
+    var uk = Vector.empty[String]; var uv = Vector.empty[Any]
+    var fileHandled = false; var userDefined = false
+    var i = 0
+    def value(flag: String): String = {
+      i += 1
+      if (i >= argv.length) throw new RayfallError(s"-$flag needs a value")
+      argv(i)
+    }
+    while (i < argv.length) {
+      val a = argv(i)
+      if (a.startsWith("-") && a.length > 1) {
+        val flag = a.drop(1)
+        if (!userDefined && (flag == "f" || flag == "-file")) {
+          keys :+= "file"; vals :+= value(flag); fileHandled = true
+        } else if (!userDefined && (flag == "p" || flag == "-port")) {
+          keys :+= "port"; vals :+= value(flag)
+        } else if (!userDefined && (flag == "c" || flag == "-cores")) {
+          keys :+= "cores"; vals :+= value(flag)
+        } else if (!userDefined && (flag == "t" || flag == "-timeit")) {
+          keys :+= "timeit"; vals :+= value(flag)
+        } else if (!userDefined && (flag == "i" || flag == "-interactive")) {
+          keys :+= "interactive"; vals :+= "1"
+        } else if (flag == "-") {
+          userDefined = true
+        } else if (userDefined) {
+          uk :+= flag; uv :+= value(flag)
+        } else throw new RayfallError(s"unknown flag -$flag")
+      } else if (!fileHandled) {
+        keys :+= "file"; vals :+= a; fileHandled = true
+      } else throw new RayfallError(s"unexpected argument $a")
+      i += 1
+    }
+    if (uk.nonEmpty) { keys :+= "uargs"; vals :+= VDict(uk, uv) }
+    VDict(keys, vals)
+  }
+
+  @volatile private var cliArgs: VDict = VDict(Vector.empty, Vector.empty)
+
+  /** Register the process argv for `(args)` (entry points call this). */
+  def setCliArgs(argv: Seq[String]): Unit = cliArgs = parseCmdline(argv)
+
   // -------------------------------------------------------------- IPC
 
   /** A running IPC server (the `rayforce -p <port>` surface). `port` is
@@ -1710,6 +1762,12 @@ object Rayfall {
       case RList(RSym("memstat") :: Nil) => sysMemstat()
       case RList(RSym("gc") :: Nil) => sysGc()
       case RList(RSym("sysinfo") :: Nil) => sysInfo(spark)
+      // (args) — the process command line parsed to the reference's arg
+      // dict (core/vary.c:139 ray_args → runtime args,
+      // core/runtime.c:40 parse_cmdline): file/port/cores/timeit/
+      // interactive flags plus user flags after "--" under 'uargs'.
+      // Entry points (Run/Serve) register their argv via setCliArgs.
+      case RList(RSym("args") :: Nil) => cliArgs
       case RList(RSym("system") :: c :: Nil) =>
         ev(c) match {
           case VAtom(cmd: String) => sysCommand(cmd)

@@ -1162,4 +1162,30 @@ class LangSpec extends SparkSpec {
     assert(Rayfall.scriptValue(spark, "(row [7 8 9])") == VAtom(3L))
     assert(Rayfall.scriptValue(spark, pre + "(row t)") == VAtom(5L))
   }
+
+  test("(args): the reference's parse_cmdline grammar — flags, bare " +
+      "file, -- user args under uargs, malformed lines raise") {
+    // core/runtime.c:40: -f/-p/-c/-t take values, -i is boolean "1",
+    // first bare arg is the file, -- switches to user flags
+    val d = Rayfall.parseCmdline(Seq(
+      "-p", "5101", "script.rfl", "-c", "8", "-i",
+      "--", "-depth", "3", "-mode", "fast"))
+    assert(d.keys == Vector("port", "file", "cores", "interactive", "uargs"))
+    assert(d.vals.take(4) == Vector("5101", "script.rfl", "8", "1"))
+    val u = d.vals(4).asInstanceOf[Rayfall.VDict]
+    assert(u.keys == Vector("depth", "mode") &&
+      u.vals == Vector("3", "fast"))
+    // long forms alias the short ones; a second bare arg is an error
+    assert(Rayfall.parseCmdline(Seq("--file", "x.rfl")).keys ==
+      Vector("file"))
+    intercept[Rayfall.RayfallError](Rayfall.parseCmdline(Seq("a", "b")))
+    intercept[Rayfall.RayfallError](Rayfall.parseCmdline(Seq("-p")))
+    intercept[Rayfall.RayfallError](Rayfall.parseCmdline(Seq("-zz", "1")))
+    // the script form reads what the entry point registered
+    Rayfall.setCliArgs(Seq("-p", "7777"))
+    try {
+      val got = Rayfall.scriptValue(spark, "(at (args) 'port)")
+      assert(got == VAtom("7777"), s"got $got")
+    } finally Rayfall.setCliArgs(Seq.empty)
+  }
 }
