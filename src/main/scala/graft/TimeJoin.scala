@@ -48,6 +48,36 @@ object TimeJoin {
     time("preagg-shj", smj = false)(preAgg)
     time("distinct-smj", smj = true)(joined)
     time("distinct-shj", smj = false)(joined)
+
+    if (args.contains("bucketed")) {
+      // the 100 TB layout: pay the orderkey shuffle ONCE at write time
+      // (bucketBy+sortBy), then the join runs zero-exchange, zero-sort
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      for (tb <- Seq("bj_orders", "bj_lineitem")) {
+        spark.sql(s"DROP TABLE IF EXISTS $tb")
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"spark-warehouse/$tb"))
+      }
+      val tw0 = System.nanoTime()
+      ord.write.bucketBy(32, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("bj_orders")
+      li.withColumnRenamed("l_orderkey", "o_orderkey")
+        .write.bucketBy(32, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable("bj_lineitem")
+      println(f"[tj] bucket-write     ${(System.nanoTime() - tw0) / 1e9}%.2f")
+      def bucketed = spark.table("bj_lineitem")
+        .join(spark.table("bj_orders"), "o_orderkey")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_price"),
+          countDistinct($"o_orderkey").as("n_orders"))
+        .orderBy($"o_orderpriority")
+      val p = bucketed.queryExecution.executedPlan.toString
+      println("[tj] bucketed plan exchanges (post-join aggs only when " +
+        "bucketing works): " +
+        p.linesIterator.count(_.trim.startsWith("+- Exchange")))
+      time("bucketed-smj", smj = true)(bucketed)
+    }
     spark.stop()
   }
 }

@@ -348,7 +348,8 @@ object Rayfall {
     * The journal write/read pair over a socket. */
   final case class VIpc(id: Long, sock: java.net.Socket,
                         in: java.io.DataInputStream,
-                        out: java.io.DataOutputStream) extends RVal
+                        out: java.io.DataOutputStream,
+                        async: Boolean = false) extends RVal
   /** First-class dict value `(dict [k…] vals)` (reference
     * core/compose.c:205, dict literals core/parse.c:784); values may
     * nest dicts/vectors. `key`/`value`/`at` project it. */
@@ -1066,7 +1067,12 @@ object Rayfall {
             new java.io.BufferedOutputStream(sock.getOutputStream))
           lock.synchronized(withEvalStack(callback(".z.po", h)))
           try while (true) {
-            val text = ipcReadFrame(in)
+            val framed = ipcReadFrame(in)
+            // a:-prefixed frames are ASYNC (negated-handle writes): the
+            // reference evaluates them without replying
+            val isAsync = framed.startsWith("a:")
+            val text =
+              if (isAsync || framed.startsWith("s:")) framed.drop(2) else framed
             val reply = lock.synchronized(withEvalStack {
               try {
                 env(".z.w") = VAtom(java.lang.Long.valueOf(h))
@@ -1092,7 +1098,7 @@ object Rayfall {
                   "er:" + Option(e.getMessage).getOrElse(e.toString)
               }
             })
-            ipcWriteFrame(out, reply)
+            if (!isAsync) ipcWriteFrame(out, reply)
           } catch { case _: java.io.IOException => () }
           finally {
             lock.synchronized(withEvalStack(callback(".z.pc", h)))
@@ -2410,8 +2416,9 @@ object Rayfall {
             // remote call: ship the record, the server evaluates it
             // against its live env and the VALUE comes back (ipc.rfl's
             // (write h (list 'f)) returns what f returns)
-            ipcWriteFrame(ipc.out, record)
-            ipcReadFrame(ipc.in) match {
+            ipcWriteFrame(ipc.out, (if (ipc.async) "a:" else "s:") + record)
+            if (ipc.async) VAtom(null)
+            else ipcReadFrame(ipc.in) match {
               case r if r.startsWith("ok:") =>
                 val p = new Parser(r.drop(3)); p.skipWs()
                 var rv: RVal = VAtom(null)
@@ -2814,7 +2821,13 @@ object Rayfall {
         }
       case RList(RSym("neg") :: x :: Nil)
           if !isTableForm(x, env) && !refsColumns(x, env) =>
-        broadcastArith("-", VAtom(java.lang.Long.valueOf(0L)), ev(x))
+        ev(x) match {
+          // (neg h) on an IPC handle = the ASYNC handle (the reference's
+          // negated-handle convention, docs/.../IPC.md): write on it is
+          // fire-and-forget — no reply frame
+          case ipc: VIpc => ipc.copy(id = -ipc.id, async = true)
+          case v => broadcastArith("-", VAtom(java.lang.Long.valueOf(0L)), v)
+        }
       case RList(RSym("not") :: x :: Nil)
           if !isTableForm(x, env) && !refsColumns(x, env) =>
         def nb(v: Any): Any = v match {

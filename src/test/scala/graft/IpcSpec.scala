@@ -60,6 +60,29 @@ class IpcSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("async writes via the negated handle: fire-and-forget, applied " +
+      "in order before the next sync call") {
+    val server = Rayfall.serveIpc(spark, 0, Map.empty, "(set n 1)")
+    try {
+      val v = Rayfall.scriptValue(spark,
+        s"""(set h (hopen "127.0.0.1:${server.port}"))
+           |(set a (neg h))
+           |(set r1 (write a "(set n (* n 3))"))
+           |(write a "(set n (+ n 4))")
+           |(set r2 (write h "n"))
+           |(hclose h)
+           |(list r1 r2)""".stripMargin)
+      v match {
+        case Rayfall.VVec(xs) =>
+          // async write returns nil immediately; the sync read observes
+          // BOTH async frames already applied (same-socket ordering)
+          assert(xs(0) == null || xs(0) == Rayfall.VAtom(null), s"r1=${xs(0)}")
+          assert(xs(1) == 7L || xs(1) == Rayfall.VAtom(7L), s"r2=${xs(1)}")
+        case x => fail(s"got $x")
+      }
+    } finally server.stop()
+  }
+
   test("a remote select returns a TABLE the client can keep querying; " +
       "remote errors surface as script errors") {
     val li = Tables.load(spark, sf, "lineitem")
