@@ -1877,6 +1877,9 @@ object Rayfall {
               m.invoke(null, jargs: _*) match {
                 case null => VAtom(null)
                 case i: java.lang.Integer => VAtom(i.longValue)
+                // a native that already speaks script values (the raykx
+                // bridge returns decoded tables/vectors) passes through
+                case v: RVal => v
                 case x => VAtom(x)
               }
             })
@@ -3379,7 +3382,7 @@ object Rayfall {
   /** `(table [c…] (list col…))` — build a DataFrame from value columns.
     * Long → LongType, Double → DoubleType, String → StringType; mixed
     * numeric promotes to double. */
-  private def tableFromValues(spark: SparkSession, names: Seq[String],
+  private[graft] def tableFromValues(spark: SparkSession, names: Seq[String],
                               colVals: Seq[Any]): DataFrame = {
     require(names.length == colVals.length,
       s"table: ${names.length} names but ${colVals.length} columns")

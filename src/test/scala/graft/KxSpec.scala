@@ -1,0 +1,98 @@
+package graft
+
+import graft.kx.{KdbSerde, RayKx}
+import graft.rayfall.Rayfall
+import graft.rayfall.Rayfall._
+
+/** The raykx kdb+ bridge (`ext/raykx`): wire codec pinned against the
+  * PUBLICLY documented example frames, client/server loopback through
+  * the real sockets + handshake, and the `raykx.rfl` loadfn surface
+  * verbatim (with the JVM class standing in for libraykx.so). */
+class KxSpec extends SparkSpec {
+
+  private def hex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02x").mkString
+
+  test("golden frames: the documented int-vector example decodes, and " +
+      "atoms/vectors encode to the spec's exact bytes") {
+    // code.kx.com's canonical example: (1;2;3i) as an int vector —
+    // 0x01000000 1a000000 06 00 03000000 01.. 02.. 03..
+    val docExample = ("01000000" + "1a000000" + "0600" + "03000000" +
+      "01000000" + "02000000" + "03000000")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val (mt, v) = KdbSerde.decodeMsg(spark, docExample)
+    assert(mt == 0)
+    assert(v == VVec(Vector(1L, 2L, 3L)), s"got $v") // ints widen to i64
+    // long atom -7: header(8) + type(1) + 8 bytes = 17 = 0x11
+    assert(hex(KdbSerde.encodeMsg(VAtom(java.lang.Long.valueOf(7L)), 1)) ==
+      "01010000" + "11000000" + "f9" + "0700000000000000")
+    // char vector (string): type 10, attrib 0, count, bytes
+    assert(hex(KdbSerde.encodeMsg(VAtom("hi"), 1)) ==
+      "01010000" + "10000000" + "0a00" + "02000000" + "6869")
+    // symbol vector: NUL-terminated entries
+    assert(hex(KdbSerde.encodeMsg(VVec(Vector("ab", "c")), 2)) ==
+      "01020000" + "13000000" + "0b00" + "02000000" + "616200" + "6300")
+    // error frame: -128 + NUL-terminated text
+    assert(hex(KdbSerde.encodeError("type")) ==
+      "01020000" + "0e000000" + "80" + "7479706500")
+  }
+
+  test("round-trip: atoms, vectors, mixed lists, dicts and tables " +
+      "survive encode→decode") {
+    def rt(v: RVal): RVal = KdbSerde.decodeMsg(spark,
+      KdbSerde.encodeMsg(v, 1))._2
+    assert(rt(VAtom(java.lang.Long.valueOf(-42L))) == VAtom(-42L))
+    assert(rt(VAtom(java.lang.Double.valueOf(2.5))) == VAtom(2.5))
+    assert(rt(VAtom(java.lang.Boolean.TRUE)) == VAtom(true))
+    assert(rt(VAtom("hello world")) == VAtom("hello world"))
+    assert(rt(VVec(Vector(1L, 2L))) == VVec(Vector(1L, 2L)))
+    assert(rt(VVec(Vector(1.5, -0.25))) == VVec(Vector(1.5, -0.25)))
+    assert(rt(VVec(Vector("x", "y"))) == VVec(Vector("x", "y")))
+    assert(rt(VVec(Vector(1L, "mix", 2.0))) == VVec(Vector(1L, "mix", 2.0)))
+    val d = rt(VDict(Vector("a", "b"), Vector(1L, 2L)))
+    assert(d == VDict(Vector("a", "b"), Vector(1L, 2L)), s"got $d")
+    // a table round-trips through the 98/99 encoding
+    import spark.implicits._
+    val t = VTab(Seq((1L, "x"), (2L, "y")).toDF("id", "s"))
+    rt(t) match {
+      case VTab(df) =>
+        assert(df.columns.toSeq == Seq("id", "s"))
+        assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+          Set((1L, "x"), (2L, "y")))
+      case x => fail(s"expected a table, got $x")
+    }
+  }
+
+  test("the raykx.rfl surface runs verbatim via loadfn: listen, hopen, " +
+      "send (remote query -> typed result, tables included), hclose") {
+    RayKx.bind(spark, Map("lineitem" -> Tables.load(spark, sf, "lineitem")))
+    val port = RayKx.listen(0L)
+    try {
+      val v = Rayfall.scriptValue(spark,
+        s"""(set .kx.hopen (loadfn "graft.kx.RayKx" "hopen" 1))
+           |(set .kx.send (loadfn "graft.kx.RayKx" "send" 2))
+           |(set .kx.hclose (loadfn "graft.kx.RayKx" "hclose" 1))
+           |(set h (.kx.hopen "127.0.0.1:$port"))
+           |(set x (.kx.send h "(+ 40 2)"))
+           |(set t (.kx.send h "(select {n: (count l_quantity)
+           |                             from: lineitem by: l_returnflag})"))
+           |(.kx.hclose h)
+           |(list x (count (at t 'n)))""".stripMargin)
+      assert(v == VVec(Vector(42L, 3L)), s"got $v")
+    } finally RayKx.stopListen(port)
+  }
+
+  test("remote errors come back as kdb error frames and raise") {
+    RayKx.bind(spark, Map.empty)
+    val port = RayKx.listen(0L)
+    try {
+      val h = RayKx.hopen(s"127.0.0.1:$port")
+      val err = intercept[Rayfall.RayfallError](
+        RayKx.send(h, "(raise \"kx boom\")"))
+      assert(err.getMessage.contains("kx boom"), err.getMessage)
+      // the connection survives an error frame
+      assert(RayKx.send(h, "(* 6 7)") == VAtom(42L))
+      RayKx.hclose(h)
+    } finally RayKx.stopListen(port)
+  }
+}
