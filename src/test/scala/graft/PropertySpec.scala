@@ -311,4 +311,38 @@ class PropertySpec extends SparkSpec {
       base.unpersist()
     }
   }
+
+  test("kdb wire serde round-trips random nested values bit-exactly") {
+    import graft.rayfall.Rayfall._
+    val atomGen: Gen[Any] = Gen.oneOf(
+      Gen.choose(Long.MinValue, Long.MaxValue).map(java.lang.Long.valueOf),
+      Gen.choose(-1e12, 1e12).map(java.lang.Double.valueOf),
+      Gen.oneOf(true, false).map(java.lang.Boolean.valueOf),
+      Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString))
+    def vecGen: Gen[RVal] = Gen.oneOf(
+      Gen.nonEmptyListOf(Gen.choose(-999999L, 999999L)
+        .map(java.lang.Long.valueOf)).map(xs => VVec(xs.toVector)),
+      Gen.nonEmptyListOf(Gen.choose(-10.0, 10.0)
+        .map(java.lang.Double.valueOf)).map(xs => VVec(xs.toVector)),
+      Gen.nonEmptyListOf(Gen.listOfN(4, Gen.alphaChar).map(_.mkString))
+        .map(xs => VVec(xs.toVector)),
+      Gen.nonEmptyListOf(atomGen).map(xs => VVec(xs.toVector)))
+    val dictGen: Gen[RVal] = for {
+      n <- Gen.choose(1, 5)
+      ks <- Gen.listOfN(n, Gen.listOfN(3, Gen.alphaChar).map(_.mkString))
+      vs <- Gen.listOfN(n, atomGen)
+    } yield VDict(ks.toVector, vs.toVector)
+    val valGen: Gen[RVal] =
+      Gen.oneOf(atomGen.map(VAtom(_)), vecGen, dictGen)
+    forAll(Gen.listOfN(20, valGen)) { vs =>
+      vs.foreach { v =>
+        val rt = kx.KdbSerde.decodeMsg(spark,
+          kx.KdbSerde.encodeMsg(v, 1))._2
+        // mixed lists of uniform longs/doubles/strings come back as the
+        // corresponding typed vector — the value equality is what the
+        // protocol promises
+        assert(rt == v, s"round-trip changed $v -> $rt")
+      }
+    }
+  }
 }
