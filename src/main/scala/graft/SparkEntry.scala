@@ -1057,6 +1057,28 @@ object Queries {
       |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
       |ORDER BY c_id, p_id""".stripMargin
 
+  // ---------------------------------------------------------------- q57
+  // Time-range scan over events: the predicate lands on the ns-long ts
+  // (i.e. on MicrosAsNanos of the physical µs column) and the
+  // NanosFilterInference rule adds the exact µs-domain conjunct, so the
+  // parquet scan row-group-prunes on min/max — the plan property
+  // PlanShapeSpec pins. Jan 10-20 of the generated Jan-2024 window.
+  private val q57LoNs = 1704844800L * 1000000000L // 2024-01-10T00:00Z
+  private val q57HiNs = 1705708800L * 1000000000L // 2024-01-20T00:00Z
+  def q57_events_range(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter($"ts" >= q57LoNs && $"ts" < q57HiNs)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+
+  private val q57_sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE epoch_us(ts) >= 1704844800000000 AND epoch_us(ts) < 1705708800000000
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- t20
   // Overlapping token windows (RAG/context prep): 64-token windows at
   // stride 48 (16-token overlap), last window clipped, every token
@@ -3012,6 +3034,7 @@ object Queries {
     "t18_quality_deciles" -> (t18_quality_deciles _),
     "t19_fuzzy_decontam" -> (t19_fuzzy_decontam _),
     "t20_chunk_overlap" -> (t20_chunk_overlap _),
+    "q57_events_range" -> (q57_events_range _),
     "t21_gopher_rules" -> (t21_gopher_rules _),
     "t22_source_overlap" -> (t22_source_overlap _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
@@ -3126,6 +3149,7 @@ object Queries {
     "t18_quality_deciles" -> t18_sql,
     "t19_fuzzy_decontam" -> t19_sql,
     "t20_chunk_overlap" -> t20_sql,
+    "q57_events_range" -> q57_sql,
     "t21_gopher_rules" -> t21_sql,
     "t22_source_overlap" -> t22_sql,
     "d01_dedup_exact" -> d01_sql,

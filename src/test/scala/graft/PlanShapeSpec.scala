@@ -128,6 +128,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(q.count() == expected)
   }
 
+  test("q57 (events time-range): the inferred µs conjunct reaches the " +
+      "parquet scan as a pushed filter") {
+    val p = plan("q57_events_range")
+    assert(p.contains("PushedFilters") &&
+      p.contains("GreaterThanOrEqual(ts") && p.contains("LessThan(ts"),
+      s"q57's range must row-group-prune:\n${p.take(1200)}")
+  }
+
   test("q44 (TPC-H Q5 shape): all four dims broadcast, one fact shuffle") {
     val p = plan("q44_tpch5")
     assert(!p.contains("SortMergeJoin"), "star dims must broadcast")
