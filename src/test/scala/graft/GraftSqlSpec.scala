@@ -41,6 +41,13 @@ class GraftSqlSpec extends SparkSpec {
     assert(n == 2)
     // the config-time path registers the same builders without error
     new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+    // inputs differing only in element containsNull analyze fine: a
+    // literal array (containsNull=false) vs split() output (true)
+    val m = spark.sql(
+      """SELECT sorted_intersect_size(array('a','b'),
+        |  sort_array(split('b a', ' '))) AS n""".stripMargin)
+      .collect().head.getInt(0)
+    assert(m == 2)
   }
 
   test("bootstrap registers tables for SQL use") {
