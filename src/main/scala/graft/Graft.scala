@@ -37,7 +37,25 @@ object Graft {
       "xbar" -> ((exprs: Seq[Expression]) =>
         Subtract(exprs(1), Pmod(exprs(1), exprs.head))),
       "sorted_intersect_size" -> ((exprs: Seq[Expression]) =>
-        functions.SortedIntersectSize(exprs.head, exprs(1))))
+        functions.SortedIntersectSize(exprs.head, exprs(1))),
+      // the text/dedup expression library, SQL-callable (all codegen):
+      "lang_id" -> ((exprs: Seq[Expression]) =>
+        functions.LangId(exprs.head)),
+      "simhash16" -> ((exprs: Seq[Expression]) =>
+        functions.SimHash16(exprs.head)),
+      "simhash64" -> ((exprs: Seq[Expression]) =>
+        functions.SimHash64(exprs.head)),
+      "quality_stats" -> ((exprs: Seq[Expression]) =>
+        functions.QualityStats(exprs.head)),
+      "rep_stats" -> ((exprs: Seq[Expression]) =>
+        functions.RepStats(exprs.head)),
+      "ngram_hashes" -> ((exprs: Seq[Expression]) => exprs(1) match {
+        case Literal(n: Int, _) => functions.NgramHashes(exprs.head, n)
+        case x => throw new IllegalArgumentException(
+          s"ngram_hashes(text, n) needs a literal n, got $x")
+      }),
+      "micros_as_nanos" -> ((exprs: Seq[Expression]) =>
+        functions.MicrosAsNanos(exprs.head)))
 
   def enableSql(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -50,6 +50,24 @@ class GraftSqlSpec extends SparkSpec {
     assert(m == 2)
   }
 
+  test("the text/dedup expression library is SQL-callable") {
+    Graft.enableSql(spark)
+    val r = spark.sql(
+      """SELECT lang_id('the quick brown fox and the dog') AS lang,
+        |  simhash64('a b c') AS sh,
+        |  size(ngram_hashes('a b c d', 2)) AS ngrams,
+        |  quality_stats('Hello world this is fine.').ntok AS words
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "en")
+    // pinned equal to the Column-API form every d-query uses
+    import spark.implicits._
+    val viaCol = Seq("a b c").toDF("t")
+      .select(functions.SimHashExpr.simhash64($"t")).collect().head.getLong(0)
+    assert(r.getLong(1) == viaCol)
+    assert(r.getInt(2) == 3)
+    assert(r.getInt(3) == 5)
+  }
+
   test("bootstrap registers tables for SQL use") {
     Graft.bootstrap(spark, sf)
     val n = spark.sql("SELECT COUNT(*) FROM lineitem").collect().head.getLong(0)
