@@ -114,6 +114,46 @@ object Multimodal {
     }(Encoders.product[Frame]).toDF()
   }
 
+  final case class Resized(media_id: Long, data: Array[Byte],
+                           width: Int, height: Int)
+
+  /** Image RESIZE over a media table: decodable payloads re-encode as
+    * `w`×`h` PNGs (NEAREST_NEIGHBOR sampling — deterministic pixel
+    * picks, so specs can pin exact lumas), non-image payloads pass
+    * through untouched with width/height −1. Executor-side typed
+    * `mapPartitions`, the same batch shape as `extractFeatures` — at
+    * corpus scale this is the map-only normalization stage in front of
+    * a vision encoder. */
+  def resizeImages(df: DataFrame, idCol: String, dataCol: String,
+                   w: Int, h: Int): DataFrame = {
+    val src: Dataset[(Long, Array[Byte])] = df
+      .select(col(idCol).cast("long"), col(dataCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    src.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val img =
+          if (!isImage(bytes)) null
+          else try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          catch { case _: java.io.IOException => null }
+        if (img == null) Resized(id, bytes, -1, -1)
+        else {
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          Resized(id, bos.toByteArray, w, h)
+        }
+      }
+    }(Encoders.product[Resized]).toDF()
+  }
+
   /** Expression-level media metadata (no decode): sizes, checksums,
     * kind census — stays in whole-stage codegen. */
   def mediaMeta(df: DataFrame, idCol: String, dataCol: String,

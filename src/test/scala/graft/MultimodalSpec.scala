@@ -88,4 +88,26 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.length == 1 && frames(0).getInt(2) == 16 &&
       frames(0).getDouble(3) == 80.0)
   }
+
+  test("resizeImages: nearest-neighbor downscale re-encodes to exact " +
+      "known pixels; non-image payloads pass through") {
+    // 8×2 → 4×1 nearest-neighbor: deterministic source-pixel picks
+    val lumas = Seq.tabulate(2, 8)((_, x) => 10 + 20 * x)
+    val png = imageBytes("png", lumas)
+    val df = Seq((1L, png),
+      (2L, "not an image".getBytes("UTF-8"))).toDF("media_id", "data")
+    val got = Multimodal.resizeImages(df, "media_id", "data", w = 4, h = 1)
+      .orderBy($"media_id").collect()
+    assert(got(0).getInt(2) == 4 && got(0).getInt(3) == 1)
+    // decode the resized payload back: 4 pixels drawn from the source
+    // grid (every 2nd column, one of the two identical rows)
+    val px = Multimodal.decodePixels(got(0).getAs[Array[Byte]](1))
+    assert(px.length == 4, px.toSeq)
+    assert(px.forall(v => lumas.flatten.contains(v)), px.toSeq)
+    // nearest-neighbor at exactly 2:1 keeps a strictly increasing ramp
+    assert(px.sliding(2).forall(p => p(0) < p(1)), px.toSeq)
+    // the text payload is untouched
+    assert(got(1).getInt(2) == -1 &&
+      new String(got(1).getAs[Array[Byte]](1), "UTF-8") == "not an image")
+  }
 }
