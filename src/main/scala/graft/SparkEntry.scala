@@ -1079,6 +1079,68 @@ object Queries {
       |WHERE epoch_us(ts) >= 1704844800000000 AND epoch_us(ts) < 1705708800000000
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q58
+  // CUBE over (returnflag, linestatus): all four grouping-set levels in
+  // one pass — Spark's Expand feeds a single hash aggregate, so the
+  // rollup/cube family costs one shuffle regardless of level count (the
+  // multi-select UNION a user would hand-write costs one per level).
+  // GROUPING() flags disambiguate real NULLs from subtotal rows; within
+  // a (g_rf, g_ls) level the nulled columns are constant, so the ORDER
+  // BY is total without a null-placement convention.
+  def q58_cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(grouping($"l_returnflag").cast("int").as("g_rf"),
+        grouping($"l_linestatus").cast("int").as("g_ls"),
+        dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select($"g_rf", $"g_ls", $"l_returnflag", $"l_linestatus",
+        $"sum_qty", $"n")
+      .orderBy($"g_rf", $"g_ls", $"l_returnflag", $"l_linestatus")
+
+  private val q58_sql =
+    """SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+      |  l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  // Rolling-window aggregates — the kdb m-family (msum/mavg/mmax) plus
+  // lag, per user over the event stream: a 5-row trailing frame ordered
+  // by (ts, event_id) (ts alone is not a total order — the tie-break
+  // rule every window query here follows). Sums route through
+  // DECIMAL(18,2): exact, so Spark's frame accumulation and DuckDB's
+  // segment-tree sliding sum agree bit-for-bit; mavg divides the exact
+  // decimal sum AFTER the double cast (two correctly-rounded IEEE ops —
+  // no round() needed); mmax/lag move values untouched. One shuffle
+  // (the partitionBy), every frame computed within its partition.
+  def q59_moving(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-4, 0)
+    val wo = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val decSum = sum($"value".cast("decimal(18,2)")).over(w).cast("double")
+    t(spark, dir, "events").select($"user_id", $"event_id",
+        decSum.as("msum"),
+        (decSum / count(lit(1)).over(w)).as("mavg"),
+        max($"value").over(w).as("mmax"),
+        lag($"value", 1).over(wo).as("lag1"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val q59_sql =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS msum,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    / COUNT(*) OVER w AS mavg,
+      |  MAX(value) OVER w AS mmax,
+      |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag1
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ---------------------------------------------------------------- t20
   // Overlapping token windows (RAG/context prep): 64-token windows at
   // stride 48 (16-token overlap), last window clipped, every token
@@ -1189,6 +1251,36 @@ object Queries {
        |SELECT src_a, src_b, COUNT(*) AS n_pairs
        |FROM ann GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
   }
+
+  // ---------------------------------------------------------------- t23
+  // Temperature-flattened source mix (α = 1/2, the XLM-R multilingual
+  // sampling rule): keep rate_s = sqrt(n_min / n_s), so kept counts are
+  // ∝ sqrt(n_s) — the head sources thinned, the smallest kept whole.
+  // sqrt is IEEE-correctly-rounded on the exact rational n_min/n_s, so
+  // the rates — and every id-hash keep decision under them — are
+  // bit-identical cross-engine with NO rounding tricks.
+  def t23_temperature_mix(spark: SparkSession, dir: String): DataFrame =
+    operators.Sampling.temperatureSample(
+        t(spark, dir, "documents"), "doc_id", "source")
+      .groupBy($"source")
+      .agg(min($"rate").as("rate"), count(lit(1)).as("kept"),
+        min($"doc_id").as("first_kept"))
+      .orderBy($"source")
+
+  private val t23_sql =
+    """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      |r AS (SELECT source,
+      |    sqrt(CAST((SELECT MIN(n) FROM c) AS DOUBLE) / n) AS rate
+      |  FROM c),
+      |s AS (
+      |  SELECT d.source, d.doc_id, r.rate
+      |  FROM documents d JOIN r ON d.source = r.source
+      |  WHERE (((d.doc_id % 2147483648) * 2654435761) % 4294967296
+      |     + ((d.doc_id // 2147483648) * 2246822519) % 4294967296)
+      |    % 4294967296 / 4294967296.0 < r.rate)
+      |SELECT source, MIN(rate) AS rate, COUNT(*) AS kept,
+      |  MIN(doc_id) AS first_kept
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
 
   // ---------------------------------------------------------------- d01
   // Exact dedup: hash-groupBy on the fingerprint, keep min doc_id.
@@ -2377,16 +2469,18 @@ object Queries {
   private val centCache = new java.util.concurrent.ConcurrentHashMap[
     String, Array[(Int, Seq[Double])]]()
   private def embCentroids(spark: SparkSession,
-                           dir: String): Array[(Int, Seq[Double])] = {
-    // key on the source mtime too: a driver-side testdata regeneration
-    // within a long-lived JVM must not reuse stale centroids
-    val src = new java.io.File(dir, "embeddings.parquet")
-    val stamp = if (src.isFile) src.lastModified
-      else Option(src.listFiles).map(_.map(_.lastModified).foldLeft(0L)(math.max))
-        .getOrElse(0L)
-    centCache.computeIfAbsent(s"$dir@$stamp", _ =>
+                           dir: String): Array[(Int, Seq[Double])] =
+    centCache.computeIfAbsent(s"$dir@${srcStamp(dir, "embeddings.parquet")}", _ =>
       Similarity.fitCentroids(t(spark, dir, "embeddings"),
         "vec_id", "embedding", nCells = 8, Similarity.LloydIters))
+
+  /** Source mtime for index-artifact cache keys: a driver-side testdata
+    * regeneration within a long-lived JVM must not reuse stale fits. */
+  private def srcStamp(dir: String, file: String): Long = {
+    val src = new java.io.File(dir, file)
+    if (src.isFile) src.lastModified
+    else Option(src.listFiles).map(_.map(_.lastModified).foldLeft(0L)(math.max))
+      .getOrElse(0L)
   }
 
   /** Explicit cosine (dot / norms) — textually the engine's formula so the
@@ -2506,6 +2600,184 @@ object Queries {
       |SELECT vec_id, array_to_string(list(c ORDER BY i), ',') AS codes_csv,
       |  MAX(err) AS max_err
       |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- s07
+  // Product quantization (Jégou et al. 2011): the 64-dim corpus encoded
+  // as 4 sub-centroid codes (16-dim subspaces, 8 L2 Lloyd centroids
+  // each — 64 floats → 4 codes), then ADC-scored against query 0: the
+  // approximate distance is 4 table lookups per vector, never a float
+  // read. One query oracles the whole chain — per-subspace Lloyd fit,
+  // code assignment, and the ADC sum — replayed in DuckDB with the
+  // identical IEEE op sequence (unrolled left-associated L2 chains,
+  // exact-decimal Lloyd means).
+  private val PqM = 4; private val PqKSub = 8; private val PqIters = 2
+  private val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[(Int, Seq[Double])]]]()
+  private def pqBooks(spark: SparkSession,
+                      dir: String): Array[Array[(Int, Seq[Double])]] =
+    pqCache.computeIfAbsent(s"$dir@${srcStamp(dir, "embeddings.parquet")}", _ =>
+      operators.Pq.fitCodebooks(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", m = PqM, kSub = PqKSub, iters = PqIters))
+
+  def s07_pq_adc(spark: SparkSession, dir: String): DataFrame = {
+    val books = pqBooks(spark, dir)
+    val enc = operators.Pq.encode(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", books)
+    val qv = enc.filter($"id" === 0).select($"v")
+      .collect().head.getSeq[Double](0)
+    enc.select($"id".as("vec_id"),
+        concat_ws(",", $"codes".cast("array<string>")).as("codes_csv"),
+        round(operators.Pq.adcDistance($"codes", qv, books), 6).as("adc"))
+      .orderBy($"vec_id")
+  }
+
+  /** Left-associated unrolled squared-L2 chain over dims 1..d — the
+    * exact IEEE op order of NearestCentroidL2.dist2's sequential loop
+    * (0.0 + t1 == t1 for the non-negative squares). */
+  private def pqL2Sql(a: Int => String, b: Int => String, d: Int): String =
+    (1 to d).map(i => s"(${a(i)}-${b(i)})*(${a(i)}-${b(i)})").mkString(" + ")
+
+  /** One Lloyd iteration of chain `p`, subspace `s`, in DuckDB: L2
+    * assignment against `cent${n-1}$p_$s` (dist ASC, cell ASC —
+    * NearestCentroidL2's lowest-index tie rule), then exact
+    * DECIMAL(38,18) coordinate means; empty cells keep their previous
+    * centroid. */
+  private def pqLloydIterSql(p: String, s: Int, n: Int, dsub: Int): String = {
+    val dist = pqL2Sql(i => s"vs.v[$i]", i => s"c.cv[$i]", dsub)
+    s"""  a$n$p$s AS MATERIALIZED (SELECT id, v, cell FROM (
+       |    SELECT vs.id, vs.v, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vs.id
+       |        ORDER BY $dist ASC, c.cell) AS rk
+       |    FROM vs$p$s vs CROSS JOIN cent${n - 1}$p$s c) WHERE rk = 1),
+       |  m$n$p$s AS MATERIALIZED (SELECT a.cell, p.pos,
+       |      CAST(SUM(CAST(a.v[p.pos] AS DECIMAL(38,18))) AS DOUBLE)
+       |        / COUNT(*) AS m
+       |    FROM a$n$p$s a CROSS JOIN
+       |      (SELECT generate_series AS pos FROM generate_series(1, $dsub)) p
+       |    GROUP BY a.cell, p.pos),
+       |  cent$n$p$s AS MATERIALIZED (SELECT c.cell,
+       |      CASE WHEN COUNT(m.m) = 0 THEN first(c.cv)
+       |           ELSE list(m.m ORDER BY m.pos) END AS cv
+       |    FROM cent${n - 1}$p$s c LEFT JOIN m$n$p$s m ON m.cell = c.cell
+       |    GROUP BY c.cell)""".stripMargin
+  }
+
+  /** Full per-subspace chain of prefix `p` over source CTE `src` (with
+    * row numbering `num`): slice, seeds (every 16th of the first
+    * kSub·16 rows by id — centroidRows' rule), `iters` Lloyd rounds,
+    * final assignment `asg$p$s` (id, cell). */
+  private def pqSubChainSql(p: String, src: String, num: String,
+                            s: Int, lo: Int, dsub: Int, iters: Int): String = {
+    val seeds =
+      s"""  vs$p$s AS MATERIALIZED (SELECT id, v[${lo + 1}:${lo + dsub}] AS v FROM $src),
+         |  cent0$p$s AS MATERIALIZED (SELECT CAST(rn // 16 AS INT) AS cell,
+         |    v[${lo + 1}:${lo + dsub}] AS cv FROM $num WHERE rn % 16 = 1)""".stripMargin
+    val its = (1 to iters).map(n => pqLloydIterSql(p, s, n, dsub))
+    val dist = pqL2Sql(i => s"vs.v[$i]", i => s"c.cv[$i]", dsub)
+    val asg =
+      s"""  asg$p$s AS MATERIALIZED (SELECT id, cell FROM (
+         |    SELECT vs.id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vs.id
+         |        ORDER BY $dist ASC, c.cell) AS rk
+         |    FROM vs$p$s vs CROSS JOIN cent$iters$p$s c) WHERE rk = 1)""".stripMargin
+    (seeds +: its :+ asg).mkString(",\n")
+  }
+
+  private def pqNumSql(num: String, src: String, rows: Int): String =
+    s"""  $num AS MATERIALIZED (SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn
+       |    FROM (SELECT id, v FROM $src ORDER BY id LIMIT $rows))""".stripMargin
+
+  private val s07_sql = {
+    val dsub = 16
+    val perSub = (0 until PqM)
+      .map(s => pqSubChainSql("_", "v", "num", s, s * dsub, dsub, PqIters))
+      .mkString(",\n")
+    val codeJoin = (1 until PqM)
+      .map(s => s"JOIN asg_$s a$s ON a$s.id = a0.id").mkString(" ")
+    val codeCols = (0 until PqM).map(s => s"a$s.cell AS c$s").mkString(", ")
+    val csv = (0 until PqM).map(s => s"CAST(k.c$s AS VARCHAR)")
+      .mkString(" || ',' || ")
+    val adcJoin = (0 until PqM)
+      .map(s => s"JOIN cent${PqIters}_$s b$s ON b$s.cell = k.c$s").mkString(" ")
+    val adc = (0 until PqM).map { s =>
+      val lo = s * dsub
+      "(" + pqL2Sql(i => s"q.qv[${lo + i}]", i => s"b$s.cv[$i]", dsub) + ")"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |${pqNumSql("num", "v", PqKSub * 16)},
+       |$perSub,
+       |  k AS (SELECT a0.id, $codeCols FROM asg_0 a0 $codeJoin),
+       |  q AS (SELECT v AS qv FROM v WHERE id = 0)
+       |SELECT k.id AS vec_id, $csv AS codes_csv,
+       |  ROUND($adc, 6) AS adc
+       |FROM k CROSS JOIN q $adcJoin
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- s08
+  // IVFADC (Jégou et al. 2011 §IV — the FAISS `IVF8,PQ4` layout): L2
+  // coarse cells, PQ codebooks on the CELL RESIDUALS, search = probe 2
+  // cells + ADC over their codes only. The oracle replays the full
+  // chain: coarse Lloyd (64-dim unrolled L2), residual construction,
+  // per-subspace residual Lloyd, code assignment, per-cell ADC tables.
+  private val ivfPqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, operators.Pq.IvfPqModel]()
+  private def ivfPqModel(spark: SparkSession,
+                         dir: String): operators.Pq.IvfPqModel =
+    ivfPqCache.computeIfAbsent(s"$dir@${srcStamp(dir, "embeddings.parquet")}",
+      _ => operators.Pq.fitIvfPq(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", nCells = 8, m = PqM, kSub = PqKSub,
+        coarseIters = PqIters, pqIters = PqIters))
+
+  def s08_ivfpq(spark: SparkSession, dir: String): DataFrame =
+    operators.Pq.ivfPqTopK(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryId = 0L, k = 10, nProbe = 2,
+      ivfPqModel(spark, dir))
+      .select($"id".as("vec_id"), $"adc")
+
+  private val s08_sql = {
+    val dsub = 16
+    val coarse = pqSubChainSql("c", "v", "num", 0, 0, 64, PqIters)
+    val resid =
+      s"""  resv AS MATERIALIZED (SELECT a.id, a.cell AS ccell,
+         |    list_transform(generate_series(1, 64), i -> vv.v[i] - cc.cv[i]) AS v
+         |    FROM asgc0 a JOIN vsc0 vv ON vv.id = a.id
+         |    JOIN cent${PqIters}c0 cc ON cc.cell = a.cell)""".stripMargin
+    val perSub = (0 until PqM)
+      .map(s => pqSubChainSql("r", "resv", "numr", s, s * dsub, dsub, PqIters))
+      .mkString(",\n")
+    val codeJoin = (1 until PqM)
+      .map(s => s"JOIN asgr$s a$s ON a$s.id = a0.id").mkString(" ")
+    val codeCols = (0 until PqM).map(s => s"a$s.cell AS c$s").mkString(", ")
+    val probeDist = pqL2Sql(i => s"q.qv[$i]", i => s"c.cv[$i]", 64)
+    val adcJoin = (0 until PqM)
+      .map(s => s"JOIN cent${PqIters}r$s b$s ON b$s.cell = sel.c$s").mkString(" ")
+    val adc = (0 until PqM).map { s =>
+      val lo = s * dsub
+      "(" + pqL2Sql(i => s"(q.qv[${lo + i}]-cc.cv[${lo + i}])",
+        i => s"b$s.cv[$i]", dsub) + ")"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |${pqNumSql("num", "v", PqKSub * 16)},
+       |$coarse,
+       |$resid,
+       |${pqNumSql("numr", "resv", PqKSub * 16)},
+       |$perSub,
+       |  k AS (SELECT a0.id, $codeCols FROM asgr0 a0 $codeJoin),
+       |  q AS (SELECT v AS qv FROM v WHERE id = 0),
+       |  probe AS (SELECT c.cell FROM cent${PqIters}c0 c CROSS JOIN q
+       |    ORDER BY $probeDist ASC, c.cell LIMIT 2),
+       |  sel AS (SELECT k.id, k.c0, k.c1, k.c2, k.c3, a.cell AS ccell
+       |    FROM k JOIN asgc0 a ON a.id = k.id
+       |    WHERE a.cell IN (SELECT cell FROM probe) AND k.id <> 0)
+       |SELECT sel.id AS vec_id, ROUND($adc, 6) AS adc
+       |FROM sel CROSS JOIN q
+       |JOIN cent${PqIters}c0 cc ON cc.cell = sel.ccell
+       |$adcJoin
+       |ORDER BY adc, vec_id LIMIT 10""".stripMargin
+  }
 
   // ---------------------------------------------------------------- s06
   // k-NN join: exact top-3 cosine neighbors for a 10-vector query set in
@@ -3035,8 +3307,11 @@ object Queries {
     "t19_fuzzy_decontam" -> (t19_fuzzy_decontam _),
     "t20_chunk_overlap" -> (t20_chunk_overlap _),
     "q57_events_range" -> (q57_events_range _),
+    "q58_cube" -> (q58_cube _),
+    "q59_moving" -> (q59_moving _),
     "t21_gopher_rules" -> (t21_gopher_rules _),
     "t22_source_overlap" -> (t22_source_overlap _),
+    "t23_temperature_mix" -> (t23_temperature_mix _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -3089,6 +3364,8 @@ object Queries {
     "s04_ivf_index" -> (s04_ivf_index _),
     "s05_quantize" -> (s05_quantize _),
     "s06_knn_join" -> (s06_knn_join _),
+    "s07_pq_adc" -> (s07_pq_adc _),
+    "s08_ivfpq" -> (s08_ivfpq _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
@@ -3150,6 +3427,9 @@ object Queries {
     "t19_fuzzy_decontam" -> t19_sql,
     "t20_chunk_overlap" -> t20_sql,
     "q57_events_range" -> q57_sql,
+    "q58_cube" -> q58_sql,
+    "q59_moving" -> q59_sql,
+    "t23_temperature_mix" -> t23_sql,
     "t21_gopher_rules" -> t21_sql,
     "t22_source_overlap" -> t22_sql,
     "d01_dedup_exact" -> d01_sql,
@@ -3221,5 +3501,7 @@ object Queries {
     "s04_ivf_index" -> s04_sql,
     "s05_quantize" -> s05_sql,
     "s06_knn_join" -> s06_sql,
+    "s07_pq_adc" -> s07_sql,
+    "s08_ivfpq" -> s08_sql,
   )
 }

@@ -132,6 +132,71 @@ object NearestCentroid {
   }
 }
 
+/** Argmin-EUCLIDEAN centroid assignment — the product-quantization
+  * sub-codebook rule (PQ trains and assigns in L2, Jégou et al. 2011,
+  * "Product quantization for nearest neighbor search"). Same one-pass
+  * narrow-scan shape as [[NearestCentroid]]; distance per centroid is
+  * the sequential `s += d*d` loop, so the DuckDB oracle's left-
+  * associated unrolled sum reproduces it bit-for-bit. Strict `<` keeps
+  * the LOWEST index on ties (ORDER BY dist ASC, cell ASC); NaN never
+  * replaces (compare(NaN, best) > 0 for every finite best — so a NaN
+  * distance loses, keeping assignment total). */
+case class NearestCentroidL2(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid_l2 expects (array<double>, array<array<double>>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    NearestCentroidL2.nearest(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, c) => s"graft.functions.NearestCentroidL2.nearest($v, $c)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCentroidL2 =
+    copy(left = newLeft, right = newRight)
+}
+
+object NearestCentroidL2 {
+  /** Static kernel shared by eval and codegen: sequential squared-L2
+    * accumulation per centroid, argmin with lowest-index tie-break. */
+  def nearest(v: ArrayData, cents: ArrayData): Int = {
+    val n = cents.numElements()
+    var best = Double.PositiveInfinity
+    var bestCell = 0
+    var c = 0
+    while (c < n) {
+      val cv = cents.getArray(c)
+      val d2 = dist2(v, cv)
+      if (java.lang.Double.compare(d2, best) < 0) { best = d2; bestCell = c }
+      c += 1
+    }
+    bestCell
+  }
+
+  /** Sequential squared Euclidean distance (the ADC table entry). */
+  def dist2(v: ArrayData, cv: ArrayData): Double = {
+    val m = math.min(v.numElements(), cv.numElements())
+    var s = 0.0; var i = 0
+    while (i < m) {
+      val d = v.getDouble(i) - cv.getDouble(i)
+      s += d * d; i += 1
+    }
+    s
+  }
+}
+
 /** Sign-LSH bucket id in ONE codegen pass over all hyperplanes: bit i
   * set iff dot(v, plane_i) > 0. Replaces nBits stacked
   * `zip_with`/`aggregate` columns (CodegenFallback — a lambda
@@ -198,4 +263,9 @@ object VectorExprs {
   def nearestCentroid(vec: Column, centroids: Column): Column =
     ColumnInternals.column(
       NearestCentroid(ColumnInternals.expr(vec), ColumnInternals.expr(centroids)))
+
+  /** Codegen'd argmin-L2 centroid index (see [[NearestCentroidL2]]). */
+  def nearestCentroidL2(vec: Column, centroids: Column): Column =
+    ColumnInternals.column(
+      NearestCentroidL2(ColumnInternals.expr(vec), ColumnInternals.expr(centroids)))
 }

@@ -75,3 +75,217 @@ object Quantize {
       .withColumn("max_err", array_max(errs))
   }
 }
+
+/** Product quantization (Jégou et al. 2011, "Product Quantization for
+  * Nearest Neighbor Search" — the compression behind every
+  * billion-vector ANN deployment): split each d-dim vector into `m`
+  * contiguous subspaces of d/m dims, fit an independent kSub-centroid
+  * L2 codebook per subspace (Lloyd, reusing the exact-decimal
+  * machinery of the IVF build so the fit is engine-replayable), and
+  * store each vector as `m` sub-centroid indices — d·4 bytes of float
+  * become m·log2(kSub) bits (64-dim float → 4 codes here, a 64×
+  * compression). Search is ADC (asymmetric distance): the query builds
+  * an m×kSub table of subspace distances ONCE, then every database
+  * vector's approximate distance is m table lookups — no float vector
+  * is ever read.
+  *
+  * 100 TB shape: the codebooks are m·kSub·(d/m) doubles — always a
+  * broadcast literal; encoding is a narrow codegen map over the scan
+  * (one [[graft.functions.NearestCentroidL2]] pass per subspace, no
+  * shuffle); ADC scoring is a narrow map over the CODES table (the
+  * only thing a PQ deployment scans — 4 bytes/vector here), followed
+  * by a top-k TakeOrdered. The float corpus is touched only at fit and
+  * encode time.
+  *
+  * Determinism: L2 assignment distances accumulate sequentially
+  * (`s += d*d`), Lloyd means sum in DECIMAL(38,18) (exact, order-free),
+  * and the ADC sum is a fixed left-associated m-term chain — every
+  * step is a correctly-rounded IEEE op on identical inputs in any
+  * engine, so codes AND ADC scores hash-match the DuckDB replay. */
+object Pq {
+  import graft.functions.VectorExprs.nearestCentroidL2
+
+  /** Per-subspace codebooks: `books(s)` = the kSub (code, centroid)
+    * pairs of subspace s. Seeds follow the IVF rule (every 16th of the
+    * first kSub·16 rows by id); `iters` Lloyd refinements in L2. */
+  def fitCodebooks(df: DataFrame, idCol: String, vecCol: String,
+                   m: Int, kSub: Int, iters: Int): Array[Array[(Int, Seq[Double])]] = {
+    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    (0 until m).toArray.map { s =>
+      val v = df.select(col(idCol).as("id"),
+        slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub).as("v"))
+      Similarity.lloyd(v, Similarity.centroidRows(v, kSub), iters, l2 = true)
+    }
+  }
+
+  /** Encode: `id`, `v` (full vector) plus `codes` — array<int> of the
+    * m nearest-sub-centroid indices. One narrow pass, no shuffle. */
+  def encode(df: DataFrame, idCol: String, vecCol: String,
+             books: Array[Array[(Int, Seq[Double])]]): DataFrame = {
+    val dsub = books(0)(0)._2.length
+    val codeCols = books.indices.map { s =>
+      nearestCentroidL2(
+        slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub),
+        typedLit(books(s).map(_._2).toSeq))
+    }
+    df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"),
+      array(codeCols: _*).as("codes"))
+  }
+
+  /** Squared-L2 ADC distance of every encoded row to `queryVec`: the
+    * query's m×kSub distance table is computed driver-side (the same
+    * sequential `s += d*d` loop as assignment) and inlined; the
+    * distance column is the left-associated m-term lookup sum. */
+  def adcDistance(codesCol: Column, queryVec: Seq[Double],
+                  books: Array[Array[(Int, Seq[Double])]]): Column = {
+    val dsub = books(0)(0)._2.length
+    val table = books.indices.map { s =>
+      val q = queryVec.slice(s * dsub, (s + 1) * dsub)
+      books(s).map { case (_, cv) => dist2Local(q, cv) }.toSeq
+    }
+    books.indices.map { s =>
+      element_at(typedLit(table(s)), codesCol.getItem(s) + lit(1))
+    }.reduceLeft(_ + _)
+  }
+
+  /** Sequential squared L2 — bit-identical to
+    * [[graft.functions.NearestCentroidL2.dist2]]. */
+  private[graft] def dist2Local(a: Seq[Double], b: Seq[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var s = 0.0; var i = 0
+    while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** ADC top-k neighbors of `queryId` (excluded from results): encode,
+    * score against the query's distance table, TakeOrdered k. */
+  def adcTopK(df: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int, m: Int, kSub: Int,
+              iters: Int = 2,
+              books0: Option[Array[Array[(Int, Seq[Double])]]] = None): DataFrame = {
+    val books = books0.getOrElse(fitCodebooks(df, idCol, vecCol, m, kSub, iters))
+    val enc = encode(df, idCol, vecCol, books)
+    val qv = enc.filter(col("id") === queryId).select(col("v"))
+      .collect().head.getSeq[Double](0)
+    enc.filter(col("id") =!= queryId)
+      .select(col("id"), adcDistance(col("codes"), qv, books).as("adc"))
+      .orderBy(col("adc"), col("id"))
+      .limit(k)
+  }
+
+  /** IVFADC artifacts (Jégou et al. 2011 §IV): coarse L2 cells plus PQ
+    * codebooks fit on the CELL RESIDUALS v − centroid(cell) — residuals
+    * concentrate near 0, so the same codebook budget quantizes far
+    * finer than raw-vector PQ. This is the FAISS `IVFx,PQy` layout —
+    * the standard billion-vector index. */
+  case class IvfPqModel(coarse: Array[(Int, Seq[Double])],
+                        books: Array[Array[(Int, Seq[Double])]])
+
+  /** Fit: coarse centroids by L2 Lloyd (the IVF build), then
+    * per-subspace codebooks on the residuals (one extra narrow
+    * assignment + subtraction pass; no shuffle beyond the Lloyd means).
+    * Every step reuses the exact-decimal machinery — the whole fit is
+    * engine-replayable. */
+  def fitIvfPq(df: DataFrame, idCol: String, vecCol: String,
+               nCells: Int, m: Int, kSub: Int,
+               coarseIters: Int = 2, pqIters: Int = 2): IvfPqModel = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val coarse = Similarity.lloyd(
+      v, Similarity.centroidRows(v, nCells), coarseIters, l2 = true)
+    val res = residuals(v, coarse)
+    val books = fitCodebooks(res, "id", "r", m, kSub, pqIters)
+    IvfPqModel(coarse, books)
+  }
+
+  /** id, cell, r = v − coarse(cell): one narrow codegen assignment +
+    * element-wise subtraction — no shuffle. */
+  private def residuals(v: DataFrame,
+                        coarse: Array[(Int, Seq[Double])]): DataFrame = {
+    val centsLit = typedLit(coarse.map(_._2).toSeq)
+    Similarity.assignCells(v, coarse, l2 = true)
+      .withColumn("r",
+        zip_with(col("v"), element_at(centsLit, col("cell") + lit(1)),
+          (a, b) => a - b))
+  }
+
+  /** Encode the corpus: id, cell, codes (the m residual-PQ indices).
+    * The float vector is consumed here and never again — an IVFADC
+    * deployment persists (cell, codes) partitioned by cell. */
+  def encodeIvfPq(df: DataFrame, idCol: String, vecCol: String,
+                  ix: IvfPqModel): DataFrame = {
+    import graft.functions.VectorExprs.nearestCentroidL2
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val res = residuals(v, ix.coarse)
+    val dsub = ix.books(0)(0)._2.length
+    val codeCols = ix.books.indices.map { s =>
+      nearestCentroidL2(slice(col("r"), s * dsub + 1, dsub),
+        typedLit(ix.books(s).map(_._2).toSeq))
+    }
+    res.select(col("id"), col("cell"), array(codeCols: _*).as("codes"))
+  }
+
+  /** IVFADC search: probe the query's nProbe nearest cells (driver-side
+    * — the coarse table is nCells rows), then ADC-score ONLY those
+    * cells' codes against the per-cell residual distance table (the
+    * query residual differs per probed cell, so each probed cell gets
+    * its own inlined table). Cost: nProbe/nCells of the CODES scan —
+    * at 100 TB neither the float corpus nor the unprobed cells are
+    * read. */
+  def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, k: Int, nProbe: Int,
+                ix: IvfPqModel): DataFrame = {
+    val enc = encodeIvfPq(df, idCol, vecCol, ix)
+    val qv = df.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>"))
+      .collect().head.getSeq[Double](0)
+    val probed = ix.coarse
+      .map { case (c, cv) => (c, dist2Local(qv, cv)) }
+      .sortBy { case (c, d) => (d, c) }.take(nProbe).map(_._1)
+    val adcCol = probed.foldLeft(lit(Double.NaN)) { case (acc, c) =>
+      val ccv = ix.coarse.find(_._1 == c).get._2
+      val qr = qv.zip(ccv).map { case (a, b) => a - b }
+      when(col("cell") === c, adcDistance(col("codes"), qr, ix.books))
+        .otherwise(acc)
+    }
+    enc.filter(col("cell").isin(probed.map(x => x: Any): _*))
+      .filter(col("id") =!= queryId)
+      .select(col("id"), round(adcCol, 6).as("adc"))
+      .orderBy(col("adc"), col("id")).limit(k)
+  }
+
+  /** The PRODUCTION search shape: ADC shortlist → exact rerank. Pure
+    * ADC ordering is bounded by quantization distortion; every PQ
+    * deployment scans codes for a `shortlist`-sized candidate set,
+    * then reads the float vectors for those rows ONLY and reranks
+    * exactly. Here the shortlist is a TakeOrdered over the narrow
+    * codes scan, and the rerank joins the (broadcast, shortlist-sized)
+    * id set back to the vectors — at 100 TB the float corpus is
+    * touched for `shortlist` rows per query, not scanned. */
+  def adcRerankTopK(df: DataFrame, idCol: String, vecCol: String,
+                    queryId: Long, k: Int, shortlist: Int, m: Int, kSub: Int,
+                    iters: Int = 2,
+                    books0: Option[Array[Array[(Int, Seq[Double])]]] = None): DataFrame = {
+    import graft.functions.VectorExprs.dot
+    require(shortlist >= k, "shortlist must cover k")
+    val books = books0.getOrElse(fitCodebooks(df, idCol, vecCol, m, kSub, iters))
+    val enc = encode(df, idCol, vecCol, books)
+    val qv = enc.filter(col("id") === queryId).select(col("v"))
+      .collect().head.getSeq[Double](0)
+    val cand = enc.filter(col("id") =!= queryId)
+      .select(col("id"), adcDistance(col("codes"), qv, books).as("adc"))
+      .orderBy(col("adc"), col("id")).limit(shortlist)
+    val qLit = array(qv.map(lit(_)): _*)
+    val qq = dist2Local(qv, Seq.fill(qv.length)(0.0)) // = dot(q,q)
+    enc.join(broadcast(cand.select(col("id"))), "id")
+      .select(col("id"),
+        (dot(col("v"), col("v")) - lit(2.0) * dot(col("v"), qLit) + lit(qq))
+          .as("d2"))
+      .orderBy(col("d2"), col("id"))
+      .limit(k)
+  }
+}

@@ -81,6 +81,40 @@ object Sampling {
     df.filter(keep(col(idCol), rate))
   }
 
+  /** Temperature-flattened source rebalancing at α = 1/2 — the
+    * multilingual/multi-source mixing rule (sample stratum s with
+    * probability ∝ n_s^α, α < 1 flattening the head: XLM-R, mT5 and
+    * every multilingual pretraining mix use this family). Realized as
+    * downsample-only keep rates `rate_s = sqrt(n_min / n_s)`: the
+    * smallest stratum is kept whole and every larger one thinned so
+    * kept counts are ∝ n_s^(1/2). α is FIXED at 1/2 because sqrt is
+    * the one power IEEE guarantees correctly rounded — `n_min / n_s`
+    * is one exact-input division, so the rate (and therefore every
+    * keep decision) is bit-identical in any engine; a general pow(x,α)
+    * is a libm call with no cross-engine rounding contract.
+    *
+    * One count-by-stratum aggregation (bounded driver collect — strata
+    * are a mixing config, not data-scale), then the deterministic
+    * id-hash keep: at 100 TB one cheap agg plus a narrow scan. */
+  def temperatureRates(df: DataFrame, stratumCol: String): Map[String, Double] = {
+    val counts = df.groupBy(col(stratumCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "empty corpus")
+    val nMin = counts.values.min
+    counts.map { case (k, n) => k -> math.sqrt(nMin.toDouble / n) }
+  }
+
+  /** Apply [[temperatureRates]]: rows kept iff hash(id) < rate(stratum),
+    * with the per-row `rate` column retained for audit. */
+  def temperatureSample(df: DataFrame, idCol: String,
+                        stratumCol: String): DataFrame = {
+    val rates = temperatureRates(df, stratumCol)
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(-1.0)) {
+      case (acc, (k, r)) => when(col(stratumCol) === k, lit(r)).otherwise(acc)
+    }
+    df.withColumn("rate", rate).filter(keep(col(idCol), col("rate")))
+  }
+
   /** Deterministic train/val/test (or any n-way) split assignment: the
     * id's decision value against explicit cumulative UPPER BOUNDS —
     * `bounds = (train→0.8, val→0.9)` labels u<0.8 train, u<0.9 val,

@@ -96,7 +96,7 @@ object Similarity {
     */
   /** Deterministic SEED centroids: every 16th of the first nCells*16
     * rows by id order. nCells rows — always driver-collectable. */
-  private def centroidRows(v: DataFrame, nCells: Int): Array[(Int, Seq[Double])] =
+  private[graft] def centroidRows(v: DataFrame, nCells: Int): Array[(Int, Seq[Double])] =
     v.orderBy(col("id")).limit(nCells * 16)
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window.orderBy(col("id"))))
@@ -116,7 +116,7 @@ object Similarity {
     * each iteration is a scan + a cells×dim-sized agg — the standard
     * batch index-build cost, bounded and deterministic. */
   private[graft] def lloyd(v0: DataFrame, seeds: Array[(Int, Seq[Double])],
-                           iters: Int): Array[(Int, Seq[Double])] = {
+                           iters: Int, l2: Boolean = false): Array[(Int, Seq[Double])] = {
     // each iteration is its own action over v — persist for the loop's
     // lifetime so the source is scanned once, not iters times
     val v = if (iters > 0) v0.persist() else v0
@@ -132,7 +132,7 @@ object Similarity {
       // replays with CAST(x AS DECIMAL(38,18)).
       val dim = cents.head._2.length
       val nC = cents.map(_._1).max + 1
-      val partials = assignCells(v, cents).select(col("cell"), col("v"))
+      val partials = assignCells(v, cents, l2).select(col("cell"), col("v"))
         .queryExecution.toRdd.mapPartitions { it =>
           val s = Array.fill(nC, dim)(java.math.BigDecimal.ZERO)
           val n = new Array[Long](nC)
@@ -188,10 +188,13 @@ object Similarity {
     * NearestCentroid picks the argmax-cosine index — no crossJoin, no
     * row_number window, no Exchange (vs the n×nCells shuffle both cost a
     * 100 TB index build). */
-  private[graft] def assignCells(v: DataFrame, cents: Array[(Int, Seq[Double])]): DataFrame = {
-    import graft.functions.VectorExprs.nearestCentroid
+  private[graft] def assignCells(v: DataFrame, cents: Array[(Int, Seq[Double])],
+                                 l2: Boolean = false): DataFrame = {
+    import graft.functions.VectorExprs.{nearestCentroid, nearestCentroidL2}
     val centLit = typedLit(cents.map(_._2).toSeq)
-    v.withColumn("cell", nearestCentroid(col("v"), centLit))
+    val cell = if (l2) nearestCentroidL2(col("v"), centLit)
+               else nearestCentroid(col("v"), centLit)
+    v.withColumn("cell", cell)
   }
 
   def ivfTopK(df: DataFrame, idCol: String, vecCol: String,

@@ -662,6 +662,30 @@ class PipelineSpec extends SparkSpec {
     assert(again == kept.values.sum)
   }
 
+  test("temperatureSample: kept counts ∝ sqrt(n), smallest stratum whole, " +
+      "rates are exactly sqrt(n_min/n)") {
+    import org.apache.spark.sql.functions._
+    // 40k en, 10k de, 2.5k fr → rates 1/4, 1/2, 1 (exact sqrt of 1/16,
+    // 1/4, 1); kept ∝ sqrt(n): 10k, 5k, 2.5k expected
+    val df = spark.range(52500L).toDF("id").select($"id",
+      when($"id" < 40000L, "en").when($"id" < 50000L, "de")
+        .otherwise("fr").as("lang"))
+    val rates = operators.Sampling.temperatureRates(df, "lang")
+    assert(rates("fr") == 1.0)
+    assert(rates("de") == 0.5)   // sqrt(2500/10000) exactly
+    assert(rates("en") == 0.25)  // sqrt(2500/40000) exactly
+    val kept = operators.Sampling.temperatureSample(df, "id", "lang")
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("fr") == 2500L, s"smallest stratum thinned: $kept")
+    assert(math.abs(kept("de") - 5000.0) / 5000.0 < 0.05, s"$kept")
+    assert(math.abs(kept("en") - 10000.0) / 10000.0 < 0.05, s"$kept")
+    // repartition-stable (the decision is a pure id function)
+    val again = operators.Sampling.temperatureSample(
+      df.repartition(7), "id", "lang").count()
+    assert(again == kept.values.sum)
+  }
+
   test("splitAssign: labels partition the corpus, agree with keep() at " +
       "the same bound, and stay in-domain on huge ids") {
     val df = spark.range(0, 20000).toDF("id")

@@ -1,0 +1,219 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Pq, Similarity}
+
+/** Product quantization: codebook fit, encoding, ADC scoring.
+  * Pins the s07 semantics — per-subspace L2 Lloyd codebooks, argmin
+  * codes with the lowest-index tie rule, and the ADC distance as the
+  * exact left-associated table-lookup sum. */
+class PqSpec extends SparkSpec {
+
+  private val M = 4; private val KSub = 8; private val Iters = 2
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+  private lazy val books =
+    Pq.fitCodebooks(emb, "vec_id", "embedding", M, KSub, Iters)
+  private lazy val encoded = Pq.encode(emb, "vec_id", "embedding", books)
+    .orderBy(col("id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getSeq[Int](2)))
+
+  test("codebooks: m subspaces of kSub centroids, dsub dims each") {
+    assert(books.length == M)
+    books.foreach { b =>
+      assert(b.length == KSub)
+      assert(b.map(_._1).toSeq == (0 until KSub))
+      b.foreach { case (_, cv) => assert(cv.length == 64 / M) }
+    }
+  }
+
+  test("codes match a local argmin-L2 recompute (lowest index on ties)") {
+    val dsub = 64 / M
+    assert(encoded.nonEmpty)
+    encoded.foreach { case (_, v, codes) =>
+      assert(codes.length == M)
+      codes.zipWithIndex.foreach { case (c, s) =>
+        val sub = v.slice(s * dsub, (s + 1) * dsub)
+        val dists = books(s).map { case (_, cv) => Pq.dist2Local(sub, cv) }
+        val want = dists.zipWithIndex.minBy { case (d, i) => (d, i) }._2
+        assert(c == want, s"subspace $s")
+        assert(c >= 0 && c < KSub)
+      }
+    }
+  }
+
+  test("ADC distance is exactly the per-subspace table-lookup sum") {
+    val dsub = 64 / M
+    val qv = encoded.find(_._1 == 0L).get._2
+    val adc = Pq.encode(emb, "vec_id", "embedding", books)
+      .select(col("id"), Pq.adcDistance(col("codes"), qv, books).as("adc"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    encoded.foreach { case (id, _, codes) =>
+      val want = (0 until M).map { s =>
+        Pq.dist2Local(qv.slice(s * dsub, (s + 1) * dsub), books(s)(codes(s))._2)
+      }.reduceLeft(_ + _)
+      assert(adc(id) == want, s"id $id") // bitwise: same IEEE chain
+    }
+  }
+
+  test("ADC approximates the true distance within quantization error") {
+    // ADC(x) = d²(q, reconstruction(x)); it must correlate with the true
+    // distance: over all rows, |adc - d²(q,v)| is bounded by the worst
+    // reconstruction error (loose structural sanity, not a tight bound)
+    val qv = encoded.find(_._1 == 0L).get._2
+    val dsub = 64 / M
+    val errs = encoded.filter(_._1 != 0L).map { case (_, v, codes) =>
+      val recon = (0 until M).flatMap(s => books(s)(codes(s))._2)
+      val adc = (0 until M).map { s =>
+        Pq.dist2Local(qv.slice(s * dsub, (s + 1) * dsub), books(s)(codes(s))._2)
+      }.sum
+      val reconD = Pq.dist2Local(qv, recon)
+      math.abs(adc - reconD)
+    }
+    // ADC distance IS the distance to the reconstruction (up to FP
+    // association) — the defining PQ identity
+    assert(errs.max < 1e-9)
+  }
+
+  test("ADC shortlist recall, and shortlist+rerank recovers the exact " +
+      "top-k (the production search shape)") {
+    val k = 10
+    val qv = encoded.find(_._1 == 0L).get._2
+    val exact = encoded.filter(_._1 != 0L)
+      .map { case (id, v, _) => (id, Pq.dist2Local(qv, v)) }
+      .sortBy { case (d1, d2) => (d2, d1) }.take(k).map(_._1).toSet
+    // pure ADC ordering is distortion-bounded — its value is the
+    // SHORTLIST: the top-50 ADC candidates must hold a usable share of
+    // the true neighbors even under the coarse 4x8 oracle codebook
+    // (measured 0.5 on this corpus; floor leaves regeneration margin)
+    val short50 = Pq.adcTopK(emb, "vec_id", "embedding", 0L, 50, M, KSub,
+        Iters, Some(books)).collect().map(_.getLong(0)).toSet
+    val sRecall = (exact & short50).size.toDouble / k
+    info(s"shortlist@50 recall of exact top-$k = $sRecall")
+    assert(sRecall >= 0.3, s"shortlist recall $sRecall")
+    // the deployment form: finer m=8 codebook, ADC shortlist@100 →
+    // exact rerank → near-exact top-k reading only 100 float vectors
+    // (measured: shortlist@100 holds 10/10 true neighbors here)
+    val books8 = Pq.fitCodebooks(emb, "vec_id", "embedding", 8, 8, Iters)
+    val rer = Pq.adcRerankTopK(emb, "vec_id", "embedding", 0L, k,
+        shortlist = 100, m = 8, kSub = 8, Iters, Some(books8))
+      .collect().map(_.getLong(0)).toSet
+    val rRecall = (exact & rer).size.toDouble / k
+    info(s"rerank recall@$k = $rRecall")
+    assert(rRecall >= 0.8, s"rerank recall $rRecall")
+  }
+
+  test("appending the full vector path is never read by ADC scoring") {
+    // the ADC score column depends only on `codes` — projecting it away
+    // from the float vector must still resolve (the 100 TB contract:
+    // PQ scans codes, not floats)
+    val qv = encoded.find(_._1 == 0L).get._2
+    val codesOnly = Pq.encode(emb, "vec_id", "embedding", books)
+      .select(col("id"), col("codes"))
+    val scored = codesOnly
+      .select(col("id"), Pq.adcDistance(col("codes"), qv, books).as("adc"))
+    assert(scored.count() == encoded.length)
+  }
+
+  test("fitCodebooks rejects a dimension not divisible by m") {
+    intercept[IllegalArgumentException] {
+      Pq.fitCodebooks(emb, "vec_id", "embedding", m = 7, KSub, 0)
+    }
+  }
+
+  test("ivfPq: encode emits (id, cell, codes) only — floats never " +
+      "persist — with every code and cell in range") {
+    val ix = Pq.fitIvfPq(emb, "vec_id", "embedding",
+      nCells = 8, m = M, kSub = KSub)
+    val enc = Pq.encodeIvfPq(emb, "vec_id", "embedding", ix)
+    assert(enc.columns.toSeq == Seq("id", "cell", "codes"))
+    val rows = enc.collect()
+    assert(rows.length == encoded.length)
+    rows.foreach { r =>
+      assert(r.getInt(1) >= 0 && r.getInt(1) < 8)
+      val cs = r.getSeq[Int](2)
+      assert(cs.length == M && cs.forall(c => c >= 0 && c < KSub))
+    }
+  }
+
+  test("ivfPq: residual quantization distorts no more than raw PQ, and " +
+      "the probed search returns k ranked rows without the query") {
+    val ix = Pq.fitIvfPq(emb, "vec_id", "embedding",
+      nCells = 8, m = M, kSub = KSub)
+    val qv = encoded.find(_._1 == 0L).get._2
+    val dsub = 64 / M
+    val coarseMap = ix.coarse.toMap
+    def adcErr(v: Seq[Double]): Double = {
+      val cell = ix.coarse.map { case (c, cv) => (c, Pq.dist2Local(v, cv)) }
+        .minBy { case (c, d) => (d, c) }._1
+      val r = v.zip(coarseMap(cell)).map { case (a, b) => a - b }
+      val qr = qv.zip(coarseMap(cell)).map { case (a, b) => a - b }
+      val adc = (0 until M).map { s =>
+        val sub = r.slice(s * dsub, (s + 1) * dsub)
+        val code = ix.books(s).map { case (_, cv) => Pq.dist2Local(sub, cv) }
+          .zipWithIndex.minBy { case (d, i) => (d, i) }._2
+        Pq.dist2Local(qr.slice(s * dsub, (s + 1) * dsub), ix.books(s)(code)._2)
+      }.sum
+      math.abs(adc - Pq.dist2Local(qv, v))
+    }
+    def rawErr(v: Seq[Double], codes: Seq[Int]): Double = {
+      val adc = (0 until M).map { s =>
+        Pq.dist2Local(qv.slice(s * dsub, (s + 1) * dsub), books(s)(codes(s))._2)
+      }.sum
+      math.abs(adc - Pq.dist2Local(qv, v))
+    }
+    val others = encoded.filter(_._1 != 0L)
+    val ivfMean = others.map { case (_, v, _) => adcErr(v) }.sum / others.length
+    val rawMean = others.map { case (_, v, c) => rawErr(v, c) }.sum / others.length
+    info(f"mean |ADC - d²| raw=$rawMean%.4f ivfpq=$ivfMean%.4f")
+    assert(ivfMean <= rawMean * 1.1,
+      s"residual PQ distortion $ivfMean worse than raw $rawMean")
+    val top = Pq.ivfPqTopK(emb, "vec_id", "embedding", 0L, 10, 2, ix).collect()
+    assert(top.length == 10)
+    assert(!top.map(_.getLong(0)).contains(0L))
+    assert(top.map(_.getDouble(1)).toSeq == top.map(_.getDouble(1)).sorted.toSeq)
+  }
+
+  test("ivfPq on separable clusters: probing 2 of 8 cells recovers the " +
+      "true neighbors (the billion-scale layout's recall contract)") {
+    import spark.implicits._
+    // 4 well-separated clusters on distinct axes of a 64-dim space,
+    // INTERLEAVED across the id range — the seed rule (every 16th of
+    // the first kSub·16 ids, the documented IVF convention) assumes
+    // shuffled ingest; a corpus SORTED by cluster starves both the
+    // coarse seeds and the residual codebook seeds (they'd all see one
+    // cluster) and needs more Lloyd rounds or a pre-shuffle. That
+    // caveat is inherent to windowed seeding, not to IVFADC.
+    def vec(cl: Int, i: Int): Seq[Double] = {
+      val v = Array.fill(64)(0.0)
+      v(cl * 16) = 1.0
+      v(cl * 16 + 1 + i % 5) = 0.02 * (1 + i % 7)
+      v.toSeq
+    }
+    // (i % 13) % 4, not i % 4: the seed stride is 16, and 16 ≡ 0 mod 4
+    // would put every seed in cluster 0 — the shuffled-ingest assumption
+    // needs the cluster pattern coprime with the stride
+    val rows = (0 until 328).map(i => (i.toLong, vec((i % 13) % 4, i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val ix = Pq.fitIvfPq(df, "vec_id", "embedding",
+      nCells = 8, m = M, kSub = KSub, coarseIters = 3, pqIters = 2)
+    val local = rows.toMap
+    val qv = local(250L)
+    // within a cluster the points are near-identical (d² ~1e-3) while
+    // cross-cluster distances are ~2.0 — the IVFADC contract here is
+    // "every result is a TRUE near neighbor" (ordering within
+    // quantization noise is what the exact-rerank stage is for)
+    val dists = rows.filter(_._1 != 250L)
+      .map { case (id, v) => (id, Pq.dist2Local(qv, v)) }.toMap
+    val inCluster = dists.values.count(_ < 0.5)
+    val got = Pq.ivfPqTopK(df, "vec_id", "embedding", 250L, 5, 2, ix)
+      .collect().map(_.getLong(0))
+    info(s"returned dists: ${got.map(id => f"${dists(id)}%.4f").mkString(",")}" +
+      s" ($inCluster in-cluster candidates)")
+    assert(got.length == 5)
+    got.foreach { id =>
+      assert(dists(id) < 0.5,
+        s"id $id at true d² ${dists(id)} is not a near neighbor")
+    }
+  }
+}
