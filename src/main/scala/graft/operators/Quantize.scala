@@ -229,13 +229,29 @@ object Pq {
     res.select(col("id"), col("cell"), array(codeCols: _*).as("codes"))
   }
 
-  /** IVFADC search: probe the query's nProbe nearest cells (driver-side
-    * — the coarse table is nCells rows), then ADC-score ONLY those
-    * cells' codes against the per-cell residual distance table (the
-    * query residual differs per probed cell, so each probed cell gets
-    * its own inlined table). Cost: nProbe/nCells of the CODES scan —
-    * at 100 TB neither the float corpus nor the unprobed cells are
-    * read. */
+  /** Probed cells for a query (driver-side — the coarse table is
+    * nCells rows), L2 ascending with the lowest-cell tie rule. */
+  private def probeCells(qv: Seq[Double], ix: IvfPqModel,
+                         nProbe: Int): Array[Int] =
+    ix.coarse.map { case (c, cv) => (c, dist2Local(qv, cv)) }
+      .sortBy { case (c, d) => (d, c) }.take(nProbe).map(_._1)
+
+  /** Per-cell ADC column over an encoded (cell, codes) scan: the query
+    * residual differs per probed cell, so each probed cell gets its own
+    * inlined distance table. */
+  private def adcByCell(qv: Seq[Double], ix: IvfPqModel,
+                        probed: Array[Int]): Column =
+    probed.foldLeft(lit(Double.NaN)) { case (acc, c) =>
+      val ccv = ix.coarse.find(_._1 == c).get._2
+      val qr = qv.zip(ccv).map { case (a, b) => a - b }
+      when(col("cell") === c, adcDistance(col("codes"), qr, ix.books))
+        .otherwise(acc)
+    }
+
+  /** IVFADC search: probe the query's nProbe nearest cells, then
+    * ADC-score ONLY those cells' codes. Cost: nProbe/nCells of the
+    * CODES scan — at 100 TB neither the float corpus nor the unprobed
+    * cells are read. */
   def ivfPqTopK(df: DataFrame, idCol: String, vecCol: String,
                 queryId: Long, k: Int, nProbe: Int,
                 ix: IvfPqModel): DataFrame = {
@@ -243,19 +259,82 @@ object Pq {
     val qv = df.filter(col(idCol) === queryId)
       .select(col(vecCol).cast("array<double>"))
       .collect().head.getSeq[Double](0)
-    val probed = ix.coarse
-      .map { case (c, cv) => (c, dist2Local(qv, cv)) }
-      .sortBy { case (c, d) => (d, c) }.take(nProbe).map(_._1)
-    val adcCol = probed.foldLeft(lit(Double.NaN)) { case (acc, c) =>
-      val ccv = ix.coarse.find(_._1 == c).get._2
-      val qr = qv.zip(ccv).map { case (a, b) => a - b }
-      when(col("cell") === c, adcDistance(col("codes"), qr, ix.books))
-        .otherwise(acc)
-    }
+    val probed = probeCells(qv, ix, nProbe)
     enc.filter(col("cell").isin(probed.map(x => x: Any): _*))
       .filter(col("id") =!= queryId)
-      .select(col("id"), round(adcCol, 6).as("adc"))
+      .select(col("id"), round(adcByCell(qv, ix, probed), 6).as("adc"))
       .orderBy(col("adc"), col("id")).limit(k)
+  }
+
+  /** Persist an IVFADC index: `coarse` (cell, cv) and `books`
+    * (sub, code, cv) are tiny parquet tables; `codes` is (id, codes)
+    * Hive-partitioned by cell — the inverted lists. The float corpus
+    * is consumed at build time and NEVER stored: the persisted index
+    * is ~m bytes per vector (vs d·4 for floats), and a search reads
+    * only the probed cells' code files. */
+  def buildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                      nCells: Int, m: Int, kSub: Int, path: String,
+                      coarseIters: Int = 2, pqIters: Int = 2): Unit = {
+    val ix = fitIvfPq(df, idCol, vecCol, nCells, m, kSub,
+      coarseIters, pqIters)
+    val spark = df.sparkSession
+    import spark.implicits._
+    ix.coarse.toSeq.toDF("cell", "cv")
+      .write.mode("overwrite").parquet(s"$path/coarse")
+    ix.books.zipWithIndex
+      .flatMap { case (b, s) => b.map { case (c, cv) => (s, c, cv) } }
+      .toSeq.toDF("sub", "code", "cv")
+      .write.mode("overwrite").parquet(s"$path/books")
+    encodeIvfPq(df, idCol, vecCol, ix)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+  }
+
+  /** Load the model half of a persisted index (columns by NAME — the
+    * on-disk order is a writer detail), failing fast on a bad path. */
+  def loadIvfPqModel(spark: org.apache.spark.sql.SparkSession,
+                     path: String): IvfPqModel = {
+    require(new java.io.File(s"$path/coarse").isDirectory,
+      s"no IVFADC index at $path (missing $path/coarse — " +
+        "build one with buildIvfPqIndex first)")
+    val coarse = spark.read.parquet(s"$path/coarse")
+      .select(col("cell"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+    val books = spark.read.parquet(s"$path/books")
+      .select(col("sub"), col("code"), col("cv")).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map { case (_, rows) => rows.map(r => (r._2, r._3)).sortBy(_._1) }
+    IvfPqModel(coarse, books)
+  }
+
+  /** Search a persisted IVFADC index: probe selection reads the tiny
+    * coarse table; the codes scan is partition-pruned to the probed
+    * cells. */
+  def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                       path: String, queryVec: Seq[Double], k: Int,
+                       nProbe: Int, excludeId: Long = -1L): DataFrame = {
+    val ix = loadIvfPqModel(spark, path)
+    val probed = probeCells(queryVec, ix, nProbe)
+    spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probed.map(x => x: Any): _*))
+      .filter(col("id") =!= excludeId)
+      .select(col("id"), round(adcByCell(queryVec, ix, probed), 6).as("adc"))
+      .orderBy(col("adc"), col("id")).limit(k)
+  }
+
+  /** Incremental ingest: encode new vectors against the STORED model
+    * (no refit) and append — only the touched cells' partitions gain
+    * files. Same maintenance trade as IVF append: the model doesn't
+    * track the appended distribution until the next rebuild, but every
+    * appended vector is immediately searchable under the same
+    * assignment rule the probe uses. */
+  def appendToIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                         path: String): Unit = {
+    val ix = loadIvfPqModel(df.sparkSession, path)
+    encodeIvfPq(df, idCol, vecCol, ix)
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
   /** The PRODUCTION search shape: ADC shortlist → exact rerank. Pure

@@ -174,6 +174,45 @@ class PqSpec extends SparkSpec {
     assert(top.map(_.getDouble(1)).toSeq == top.map(_.getDouble(1)).sorted.toSeq)
   }
 
+  test("persisted IVFADC index: search equals the in-memory model bit " +
+      "for bit, the codes scan partition-prunes, and append is " +
+      "immediately searchable") {
+    import org.apache.spark.sql.functions.col
+    val path = s"/tmp/graft_ivfpq_spec/${System.nanoTime()}"
+    Pq.buildIvfPqIndex(emb, "vec_id", "embedding",
+      nCells = 8, m = M, kSub = KSub, path)
+    val qv = encoded.find(_._1 == 0L).get._2
+    val viaIndex = Pq.searchIvfPqIndex(spark, path, qv, k = 10, nProbe = 2,
+      excludeId = 0L)
+    // the codes scan must prune to the probed cells before any IO
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      plan.take(600))
+    // the fit is exact-decimal deterministic, so an independent
+    // in-memory fit IS the persisted model — answers must match exactly
+    val ix = Pq.fitIvfPq(emb, "vec_id", "embedding", 8, M, KSub)
+    val direct = Pq.ivfPqTopK(emb, "vec_id", "embedding", 0L, 10, 2, ix)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(viaIndex.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == direct)
+    // append a twin of vector 0 under a fresh id: with all cells probed
+    // it must surface with the same ADC distance as any exact-duplicate
+    val twin = emb.filter(col("vec_id") === 0)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    Pq.appendToIvfPqIndex(twin, "vec_id", "embedding", path)
+    // the twin's codes minimize every subspace distance to q's residual,
+    // so its ADC is the global minimum (ties with any vector sharing
+    // q's exact codes — membership in the minimal-ADC set is the law)
+    val after = Pq.searchIvfPqIndex(spark, path, qv, k = 10, nProbe = 8,
+      excludeId = 0L).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val twinAdc = after.collectFirst { case (100000L, a) => a }
+    assert(twinAdc.isDefined, s"appended twin not in top-10: ${after.toSeq}")
+    assert(twinAdc.get == after.map(_._2).min,
+      s"twin ADC ${twinAdc.get} not minimal: ${after.toSeq}")
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File("/tmp/graft_ivfpq_spec"))
+  }
+
   test("ivfPq on separable clusters: probing 2 of 8 cells recovers the " +
       "true neighbors (the billion-scale layout's recall contract)") {
     import spark.implicits._
