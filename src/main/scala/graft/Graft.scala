@@ -55,7 +55,18 @@ object Graft {
           s"ngram_hashes(text, n) needs a literal n, got $x")
       }),
       "micros_as_nanos" -> ((exprs: Seq[Expression]) =>
-        functions.MicrosAsNanos(exprs.head)))
+        functions.MicrosAsNanos(exprs.head)),
+      // vector quantization/assignment kernels (the PQ/IVF family):
+      "nearest_centroid" -> ((exprs: Seq[Expression]) =>
+        functions.NearestCentroid(
+          Cast(exprs.head, ArrayType(DoubleType, containsNull = true)),
+          Cast(exprs(1), ArrayType(ArrayType(DoubleType, containsNull = true),
+            containsNull = true)))),
+      "nearest_centroid_l2" -> ((exprs: Seq[Expression]) =>
+        functions.NearestCentroidL2(
+          Cast(exprs.head, ArrayType(DoubleType, containsNull = true)),
+          Cast(exprs(1), ArrayType(ArrayType(DoubleType, containsNull = true),
+            containsNull = true)))))
 
   def enableSql(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry

@@ -68,6 +68,23 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getInt(3) == 5)
   }
 
+  test("the centroid-assignment kernels are SQL-callable, with float " +
+      "arrays coerced") {
+    Graft.enableSql(spark)
+    val r = spark.sql(
+      """SELECT
+        |  nearest_centroid_l2(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>),
+        |    array(array(0.0d, 1.0d), array(1.0d, 0.1d))) AS l2,
+        |  nearest_centroid(array(1.0d, 0.0d),
+        |    array(array(0.0d, 1.0d), array(0.9d, 0.1d))) AS cos,
+        |  nearest_centroid_l2(array(1.0d, 0.0d),
+        |    array(array(1.0d, 0.0d), array(1.0d, 0.0d))) AS tie
+        |""".stripMargin).collect().head
+    assert(r.getInt(0) == 1) // nearer in L2
+    assert(r.getInt(1) == 1) // higher cosine
+    assert(r.getInt(2) == 0) // equal distances -> lowest index
+  }
+
   test("bootstrap registers tables for SQL use") {
     Graft.bootstrap(spark, sf)
     val n = spark.sql("SELECT COUNT(*) FROM lineitem").collect().head.getLong(0)
