@@ -110,7 +110,9 @@ object Pq {
     * first kSub·16 rows by id); `iters` Lloyd refinements in L2. */
   def fitCodebooks(df: DataFrame, idCol: String, vecCol: String,
                    m: Int, kSub: Int, iters: Int): Array[Array[(Int, Seq[Double])]] = {
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
+    val first = df.select(size(col(vecCol))).head(1)
+    require(first.nonEmpty, "fitCodebooks: empty corpus")
+    val dim = first.head.getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
     (0 until m).toArray.map { s =>
@@ -294,9 +296,11 @@ object Pq {
     * on-disk order is a writer detail), failing fast on a bad path. */
   def loadIvfPqModel(spark: org.apache.spark.sql.SparkSession,
                      path: String): IvfPqModel = {
-    require(new java.io.File(s"$path/coarse").isDirectory,
-      s"no IVFADC index at $path (missing $path/coarse — " +
-        "build one with buildIvfPqIndex first)")
+    Seq("coarse", "books").foreach { part =>
+      require(new java.io.File(s"$path/$part").isDirectory,
+        s"no IVFADC index at $path (missing $path/$part — " +
+          "build one with buildIvfPqIndex first)")
+    }
     val coarse = spark.read.parquet(s"$path/coarse")
       .select(col("cell"), col("cv")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)

@@ -107,6 +107,35 @@ object Streams {
     ss.table(queryName)
   }
 
+  /** Continuous ANN-index maintenance: a streaming embeddings feed
+    * appends to a persisted IVFADC index per micro-batch. foreachBatch
+    * encodes each batch against the STORED model — no refit, the same
+    * append rule as `Pq.appendToIvfPqIndex` — so each micro-batch
+    * touches only its vectors' cell partitions. This closes the index
+    * lifecycle at 100 TB: the batch build runs periodically, the
+    * stream keeps the index current in between, searches see new
+    * vectors at micro-batch latency. No state store is involved (the
+    * index on disk IS the state); exactly-once across restarts rides
+    * the checkpoint's batch-id dedup as with any foreachBatch sink.
+    * Synchronous like every form here: drains what's available, then
+    * returns. */
+  def ivfPqIngest(spark: SparkSession, srcDir: String,
+                  schemaFrom: DataFrame, idCol: String, vecCol: String,
+                  indexPath: String, checkpoint: String,
+                  statePartitions: Int = 2): Unit = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val stream = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Pq.appendToIvfPqIndex(batch, idCol, vecCol, indexPath)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** PRODUCTION form of the q54 streaming dedup: `withWatermark` +
     * `dropDuplicatesWithinWatermark`, so the fingerprint state for keys
     * older than the watermark ages out instead of growing with the whole

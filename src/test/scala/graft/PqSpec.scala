@@ -213,6 +213,37 @@ class PqSpec extends SparkSpec {
       new java.io.File("/tmp/graft_ivfpq_spec"))
   }
 
+  test("streaming ingest keeps the persisted IVFADC index current, and " +
+      "a checkpoint replay is a no-op (exactly-once append)") {
+    import org.apache.spark.sql.functions.col
+    val base = s"/tmp/graft_ivfpq_stream/${System.nanoTime()}"
+    val (idxPath, feed, ckpt) = (s"$base/index", s"$base/feed", s"$base/ckpt")
+    val first = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    Pq.buildIvfPqIndex(first, "vec_id", "embedding",
+      nCells = 8, m = M, kSub = KSub, idxPath)
+    rest.write.parquet(feed)
+    streaming.Streams.ivfPqIngest(spark, feed, rest,
+      "vec_id", "embedding", idxPath, ckpt)
+    val codes = spark.read.parquet(s"$idxPath/codes")
+    assert(codes.count() == emb.count(), "ingest appended exactly the feed")
+    // an ingested vector is immediately searchable: querying with its own
+    // floats over all cells, it must sit in the minimal-ADC set
+    val qv300 = encoded.find(_._1 == 300L).get._2
+    val res = Pq.searchIvfPqIndex(spark, idxPath, qv300, k = 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val own = res.collectFirst { case (300L, a) => a }
+    assert(own.isDefined, s"ingested vector not searchable: ${res.toSeq}")
+    assert(own.get == res.map(_._2).min)
+    // replaying the drained feed against the same checkpoint appends
+    // nothing — the foreachBatch batch-id dedup contract
+    streaming.Streams.ivfPqIngest(spark, feed, rest,
+      "vec_id", "embedding", idxPath, ckpt)
+    assert(spark.read.parquet(s"$idxPath/codes").count() == emb.count(),
+      "checkpoint replay duplicated rows")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("ivfPq on separable clusters: probing 2 of 8 cells recovers the " +
       "true neighbors (the billion-scale layout's recall contract)") {
     import spark.implicits._
