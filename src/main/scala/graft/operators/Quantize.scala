@@ -198,8 +198,11 @@ object Pq {
       col(vecCol).cast("array<double>").as("v"))
     val coarse = Similarity.lloyd(
       v, Similarity.centroidRows(v, nCells), coarseIters, l2 = true)
-    val res = residuals(v, coarse)
-    val books = fitCodebooks(res, "id", "r", m, kSub, pqIters)
+    // persist across the m per-subspace fits: each subspace's Lloyd
+    // loop would otherwise re-run the assignment+subtraction map
+    val res = residuals(v, coarse).persist()
+    val books = try fitCodebooks(res, "id", "r", m, kSub, pqIters)
+                finally res.unpersist(blocking = false)
     IvfPqModel(coarse, books)
   }
 

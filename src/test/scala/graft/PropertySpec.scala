@@ -20,6 +20,31 @@ class PropertySpec extends SparkSpec {
 
   private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
 
+  test("nearestCentroidL2 == the local argmin model on random vectors " +
+      "(negatives, exact ties, and duplicate centroids included)") {
+    // centroid coordinates from a tiny value set force frequent EXACT
+    // distance ties (incl. duplicate centroids) — the lowest-index rule
+    // is the law under test, alongside plain argmin correctness
+    val gen = Gen.zip(
+      Gen.listOfN(40, Gen.listOfN(6, Gen.chooseNum(-3.0, 3.0))),
+      Gen.nonEmptyListOf(Gen.listOfN(6, Gen.oneOf(-1.0, 0.0, 0.5, 1.0)))
+        .map(_.take(6)))
+    forAll(gen) { case (vs, cs) =>
+      whenever(vs.nonEmpty && cs.nonEmpty) {
+        val got = vs.toDF("v")
+          .select(graft.functions.VectorExprs.nearestCentroidL2(
+            $"v", typedLit(cs)).as("c"))
+          .collect().map(_.getInt(0)).toSeq
+        val want = vs.map { v =>
+          cs.zipWithIndex.map { case (c, i) =>
+            (graft.operators.Pq.dist2Local(v, c), i)
+          }.minBy { case (d, i) => (d, i) }._2
+        }
+        assert(got == want)
+      }
+    }
+  }
+
   test("sortedIntersectSize == size(array_intersect) on sorted distinct arrays") {
     val words = Gen.listOfN(30, Gen.zip(
       Gen.listOfN(12, Gen.oneOf("a", "bb", "ccc", "Δδ", "x1", "y", "zz", "", "q")),
