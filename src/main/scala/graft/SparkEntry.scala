@@ -2601,6 +2601,42 @@ object Queries {
       |  MAX(err) AS max_err
       |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- s09
+  // SQ8 search: brute-force max-inner-product over the dequantized int8
+  // codes (the FAISS SQ8 layout — d bytes/vector scanned, floats
+  // untouched after the quantize pass). Reconstructions and dot
+  // products are exact IEEE chains on both engines, so the scores
+  // hash-match without tolerance.
+  def s09_sq8_search(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val (mins, maxs) = operators.Quantize.dimensionRanges(emb, "embedding")
+    operators.Quantize.sq8TopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, mins, maxs)
+      .select($"id".as("vec_id"), $"score")
+  }
+
+  private val s09_sql =
+    """WITH px AS (
+      |  SELECT vec_id, i, CAST(e[i] AS DOUBLE) AS x FROM (
+      |    SELECT vec_id, embedding AS e,
+      |           unnest(generate_series(1, len(embedding))) AS i
+      |    FROM embeddings)),
+      |st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM px GROUP BY i),
+      |q AS (
+      |  SELECT vec_id, px.i, mn, mx,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE CAST(floor((x - mn) / (mx - mn) * 255 + 0.5) AS BIGINT)
+      |    END AS c
+      |  FROM px JOIN st USING (i)),
+      |deq AS (
+      |  SELECT vec_id,
+      |    list(mn + CAST(c AS DOUBLE) * (mx - mn) / 255 ORDER BY i) AS dv
+      |  FROM q GROUP BY vec_id),
+      |qd AS (SELECT dv AS qv FROM deq WHERE vec_id = 0)
+      |SELECT d.vec_id, ROUND(list_inner_product(d.dv, qd.qv), 6) AS score
+      |FROM deq d CROSS JOIN qd WHERE d.vec_id <> 0
+      |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- s07
   // Product quantization (Jégou et al. 2011): the 64-dim corpus encoded
   // as 4 sub-centroid codes (16-dim subspaces, 8 L2 Lloyd centroids
@@ -3366,6 +3402,7 @@ object Queries {
     "s06_knn_join" -> (s06_knn_join _),
     "s07_pq_adc" -> (s07_pq_adc _),
     "s08_ivfpq" -> (s08_ivfpq _),
+    "s09_sq8_search" -> (s09_sq8_search _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
@@ -3503,5 +3540,6 @@ object Queries {
     "s06_knn_join" -> s06_sql,
     "s07_pq_adc" -> s07_sql,
     "s08_ivfpq" -> s08_sql,
+    "s09_sq8_search" -> s09_sql,
   )
 }

@@ -74,6 +74,31 @@ object Quantize {
     df.withColumn("codes", q)
       .withColumn("max_err", array_max(errs))
   }
+
+  /** SQ8 search (the FAISS `SQ8` analog): brute-force max-inner-product
+    * over the DEQUANTIZED int8 codes — both sides reconstructed. In a
+    * deployment the persisted `codes` table is what's scanned (d
+    * bytes/vector instead of d·4, the floats untouched after the one
+    * quantize pass); this self-contained form derives the codes inline
+    * from the same ranges. One narrow codegen map (the
+    * [[graft.functions.DotProduct]] loop over the reconstruction) plus
+    * a TakeOrdered — no shuffle. Scores are exact IEEE chains on the
+    * exact-rational reconstructions, so the whole search is
+    * engine-replayable (the s09 oracle). */
+  def sq8TopK(df: DataFrame, idCol: String, vecCol: String,
+              queryId: Long, k: Int,
+              mins: Array[Double], maxs: Array[Double]): DataFrame = {
+    import graft.functions.VectorExprs.dot
+    val deq = df.select(col(idCol).as("id"),
+      dequantize(codes(col(vecCol), mins, maxs), mins, maxs).as("dv"))
+    val qd = deq.filter(col("id") === queryId).select(col("dv"))
+      .collect().head.getSeq[Double](0)
+    val qLit = array(qd.map(lit(_)): _*)
+    deq.filter(col("id") =!= queryId)
+      .select(col("id"), round(dot(col("dv"), qLit), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
 }
 
 /** Product quantization (Jégou et al. 2011, "Product Quantization for

@@ -759,6 +759,30 @@ class PipelineSpec extends SparkSpec {
     assert(codes(0).toSeq == Seq(0L, 0L, 255L))
   }
 
+  test("SQ8 search: top-k over dequantized codes tracks the float " +
+      "brute force (8-bit reconstruction error is sub-ranking)") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (mins, maxs) = operators.Quantize.dimensionRanges(emb, "embedding")
+    val sq8 = operators.Quantize.sq8TopK(emb, "vec_id", "embedding",
+      0L, 10, mins, maxs).collect()
+    assert(sq8.length == 10)
+    // scores descend with the id tie-break
+    val scores = sq8.map(_.getDouble(1)).toSeq
+    assert(scores == scores.sorted.reverse)
+    // float-side brute force by the same (dot-product) metric
+    val rows = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val qv = rows.find(_._1 == 0L).get._2
+    def dot(a: Seq[Double], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val exact = rows.filter(_._1 != 0L)
+      .map { case (id, v) => (id, dot(qv, v)) }
+      .sortBy { case (id, d) => (-d, id) }.take(10).map(_._1).toSet
+    val recall = (exact & sq8.map(_.getLong(0)).toSet).size / 10.0
+    info(s"sq8 recall@10 = $recall")
+    assert(recall >= 0.8, s"sq8 recall $recall")
+  }
+
   test("dup-span coverage: overlapping frequent spans count positions " +
       "once; untouched docs report zero") {
     val c = Seq(
