@@ -147,4 +147,42 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Arguments: rangepartitioning") <= 1,
       "at most the final ORDER BY range exchange")
   }
+
+  test("q58 (cube): ONE Expand + one aggregation shuffle covers all four " +
+      "grouping-set levels") {
+    val p = plan("q58_cube")
+    assert(p.sliding("Expand".length).count(_ == "Expand") >= 1 &&
+      p.linesIterator.count(_.trim.matches("""\(\d+\) Expand.*""")) == 1,
+      s"cube must plan exactly one Expand:\n$p")
+    assert(count(p, "Arguments: hashpartitioning") == 1,
+      s"all cube levels must ride one aggregation shuffle:\n$p")
+  }
+
+  test("q59 (rolling windows): one user_id partition shuffle feeds every " +
+      "frame; no extra exchange between the window functions") {
+    val p = plan("q59_moving")
+    assert(count(p, "Arguments: hashpartitioning") == 1,
+      s"msum/mavg/mmax/lag must share the user_id exchange:\n$p")
+  }
+
+  test("s07 (PQ encode+ADC): a narrow map — no hash exchange anywhere") {
+    val p = plan("s07_pq_adc")
+    assert(count(p, "Arguments: hashpartitioning") == 0,
+      s"PQ encode/score must not shuffle:\n$p")
+  }
+
+  test("s08 (IVFADC search): zero exchanges — probed filter + map-side " +
+      "TakeOrdered") {
+    val p = plan("s08_ivfpq")
+    assert(!p.contains("Exchange"), s"IVFADC search must not shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
+  test("s09 (SQ8 search): no hash exchange — dequantized scan + " +
+      "TakeOrdered") {
+    val p = plan("s09_sq8_search")
+    assert(count(p, "Arguments: hashpartitioning") == 0,
+      s"SQ8 scoring must not shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
 }
