@@ -31,7 +31,8 @@ object Bench {
     for ((_, fn) <- SparkEntry.queries.toSeq.sortBy(_._1))
       try fn(spark, warmupDir).count()
       catch { case _: Throwable => () }
-    for (q <- Seq("q19_parted", "q20_csv", "q21_stream_tumbling", "s03_ann_ivf"))
+    for (q <- Seq("q19_parted", "q20_csv", "q21_stream_tumbling",
+        "s03_ann_ivf", "s07_pq_adc", "s08_ivfpq"))
       try SparkEntry.queries(q)(spark, sfDir).count()
       catch { case _: Throwable => () }
 

@@ -248,6 +248,65 @@ object LshBucket {
   }
 }
 
+/** Fused SQ8 scoring: quantize → dequantize → dot-accumulate in ONE
+  * pass per row. The column form (`transform` for codes, `transform`
+  * for dequantize, then the dot) pays two CodegenFallback lambda
+  * interpretations per element — 8× the runtime at 100× corpus scale.
+  * `right` packs [mins, maxs, dequantizedQuery] as one
+  * array<array<double>> literal; the arithmetic chain per element is
+  * IDENTICAL (floor((x-mn)/(mx-mn)*255+0.5), mn+c*(mx-mn)/255,
+  * s += deq*q — all correctly-rounded IEEE ops in the same order), so
+  * the s09 oracle is unchanged. */
+case class Sq8Dot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sq8_dot expects (array<double>, array<array<double>>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sq8Dot.score(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, p) => s"graft.functions.Sq8Dot.score($v, $p)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8Dot =
+    copy(left = newLeft, right = newRight)
+}
+
+object Sq8Dot {
+  /** Static kernel shared by eval and codegen. pack = [mins, maxs,
+    * dequantized query]; a degenerate dimension (mx == mn) codes to 0
+    * and reconstructs to mn — the Quantize.codes/dequantize rule. */
+  def score(v: ArrayData, pack: ArrayData): Double = {
+    val mins = pack.getArray(0)
+    val maxs = pack.getArray(1)
+    val qd = pack.getArray(2)
+    val n = math.min(v.numElements(), qd.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      val mn = mins.getDouble(i); val mx = maxs.getDouble(i)
+      val deq = if (mx == mn) mn else {
+        val c = math.floor((v.getDouble(i) - mn) / (mx - mn) * 255d + 0.5d)
+        mn + c * (mx - mn) / 255d
+      }
+      s += deq * qd.getDouble(i)
+      i += 1
+    }
+    s
+  }
+}
+
 object VectorExprs {
   /** Codegen'd dot product of two array<double> columns. */
   def dot(a: Column, b: Column): Column =
@@ -268,4 +327,9 @@ object VectorExprs {
   def nearestCentroidL2(vec: Column, centroids: Column): Column =
     ColumnInternals.column(
       NearestCentroidL2(ColumnInternals.expr(vec), ColumnInternals.expr(centroids)))
+
+  /** Codegen'd fused SQ8 quantize+dequantize+dot (see [[Sq8Dot]]). */
+  def sq8Dot(vec: Column, pack: Column): Column =
+    ColumnInternals.column(
+      Sq8Dot(ColumnInternals.expr(vec), ColumnInternals.expr(pack)))
 }

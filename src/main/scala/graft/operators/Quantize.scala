@@ -88,17 +88,34 @@ object Quantize {
   def sq8TopK(df: DataFrame, idCol: String, vecCol: String,
               queryId: Long, k: Int,
               mins: Array[Double], maxs: Array[Double]): DataFrame = {
-    import graft.functions.VectorExprs.dot
-    val deq = df.select(col(idCol).as("id"),
-      dequantize(codes(col(vecCol), mins, maxs), mins, maxs).as("dv"))
-    val qd = deq.filter(col("id") === queryId).select(col("dv"))
+    import graft.functions.VectorExprs.sq8Dot
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val qv = v.filter(col("id") === queryId).select(col("v"))
       .collect().head.getSeq[Double](0)
-    val qLit = array(qd.map(lit(_)): _*)
-    deq.filter(col("id") =!= queryId)
-      .select(col("id"), round(dot(col("dv"), qLit), 6).as("score"))
+    // one fused codegen pass per row (quantize→dequantize→dot); the
+    // stacked transform/transform/dot column form is CodegenFallback
+    // twice over — 8× slower at the 100× probe, same bits out
+    // (PipelineSpec pins the equality)
+    val pack = typedLit(Seq(mins.toSeq, maxs.toSeq,
+      dequantLocal(qv, mins, maxs)))
+    v.filter(col("id") =!= queryId)
+      .select(col("id"), round(sq8Dot(col("v"), pack), 6).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  /** Driver-side quantize+dequantize of the query — the exact
+    * [[graft.functions.Sq8Dot]] element chain. */
+  private[graft] def dequantLocal(v: Seq[Double], mins: Array[Double],
+                                  maxs: Array[Double]): Seq[Double] =
+    v.indices.map { i =>
+      val mn = mins(i); val mx = maxs(i)
+      if (mx == mn) mn else {
+        val c = math.floor((v(i) - mn) / (mx - mn) * 255d + 0.5d)
+        mn + c * (mx - mn) / 255d
+      }
+    }
 }
 
 /** Product quantization (Jégou et al. 2011, "Product Quantization for

@@ -781,6 +781,22 @@ class PipelineSpec extends SparkSpec {
     val recall = (exact & sq8.map(_.getLong(0)).toSet).size / 10.0
     info(s"sq8 recall@10 = $recall")
     assert(recall >= 0.8, s"sq8 recall $recall")
+    // the fused Sq8Dot kernel must equal the stacked HOF column form
+    // (transform→transform→dot) BIT FOR BIT on every row — the codegen
+    // rewrite is a performance change only
+    val qdeq = operators.Quantize.dequantLocal(qv, mins, maxs)
+    val hof = emb
+      .select($"vec_id", operators.Quantize.dequantize(
+        operators.Quantize.codes($"embedding", mins, maxs), mins, maxs).as("dv"))
+      .select($"vec_id", functions.VectorExprs.dot(
+        $"dv", array(qdeq.map(lit(_)): _*)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fused = emb
+      .select($"vec_id", functions.VectorExprs.sq8Dot(
+        $"embedding".cast("array<double>"),
+        typedLit(Seq(mins.toSeq, maxs.toSeq, qdeq))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fused == hof)
   }
 
   test("dup-span coverage: overlapping frequent spans count positions " +
