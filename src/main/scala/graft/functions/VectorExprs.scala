@@ -284,6 +284,46 @@ case class Sq8Dot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Element-wise array<double> subtraction (the PQ residual map).
+  * `zip_with(a, b, _-_)` is CodegenFallback — a lambda interpretation
+  * per element; this is one primitive loop, identical doubles out. */
+case class ArraySub(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"array_sub expects two array<double>, got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ArraySub.sub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ArraySub.sub($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArraySub =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArraySub {
+  def sub(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = math.min(a.numElements(), b.numElements())
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) { out(i) = a.getDouble(i) - b.getDouble(i); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object Sq8Dot {
   /** Static kernel shared by eval and codegen. pack = [mins, maxs,
     * dequantized query]; a degenerate dimension (mx == mn) codes to 0
@@ -332,4 +372,9 @@ object VectorExprs {
   def sq8Dot(vec: Column, pack: Column): Column =
     ColumnInternals.column(
       Sq8Dot(ColumnInternals.expr(vec), ColumnInternals.expr(pack)))
+
+  /** Codegen'd element-wise array<double> subtraction (see [[ArraySub]]). */
+  def arraySub(a: Column, b: Column): Column =
+    ColumnInternals.column(
+      ArraySub(ColumnInternals.expr(a), ColumnInternals.expr(b)))
 }

@@ -249,14 +249,15 @@ object Pq {
   }
 
   /** id, cell, r = v − coarse(cell): one narrow codegen assignment +
-    * element-wise subtraction — no shuffle. */
+    * element-wise subtraction — no shuffle, fully codegen (ArraySub;
+    * zip_with would interpret a lambda per element). */
   private def residuals(v: DataFrame,
                         coarse: Array[(Int, Seq[Double])]): DataFrame = {
+    import graft.functions.VectorExprs.arraySub
     val centsLit = typedLit(coarse.map(_._2).toSeq)
     Similarity.assignCells(v, coarse, l2 = true)
       .withColumn("r",
-        zip_with(col("v"), element_at(centsLit, col("cell") + lit(1)),
-          (a, b) => a - b))
+        arraySub(col("v"), element_at(centsLit, col("cell") + lit(1))))
   }
 
   /** Encode the corpus: id, cell, codes (the m residual-PQ indices).
