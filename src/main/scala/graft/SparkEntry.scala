@@ -2762,6 +2762,52 @@ object Queries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s10
+  // Batched ADC k-NN join: top-5 PQ-approximate neighbors for three
+  // query vectors in ONE pass over the codes scan (broadcast distance
+  // tables + WindowGroupLimit). Ranked on the RAW ADC chain (bitwise
+  // cross-engine), rounded for output.
+  private val s10Qids = Seq(0L, 7L, 42L)
+  def s10_pq_knn(spark: SparkSession, dir: String): DataFrame =
+    operators.Pq.adcKnnJoin(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", s10Qids, k = 5, m = PqM, kSub = PqKSub,
+      iters = PqIters, books0 = Some(pqBooks(spark, dir)))
+      .select($"qid", $"rk", $"id".as("vec_id"),
+        round($"adc", 6).as("adc"))
+      .orderBy($"qid", $"rk")
+
+  private val s10_sql = {
+    val dsub = 16
+    val perSub = (0 until PqM)
+      .map(s => pqSubChainSql("_", "v", "num", s, s * dsub, dsub, PqIters))
+      .mkString(",\n")
+    val codeJoin = (1 until PqM)
+      .map(s => s"JOIN asg_$s a$s ON a$s.id = a0.id").mkString(" ")
+    val codeCols = (0 until PqM).map(s => s"a$s.cell AS c$s").mkString(", ")
+    val adcJoin = (0 until PqM)
+      .map(s => s"JOIN cent${PqIters}_$s b$s ON b$s.cell = k.c$s").mkString(" ")
+    val adc = (0 until PqM).map { s =>
+      val lo = s * dsub
+      "(" + pqL2Sql(i => s"q.qv[${lo + i}]", i => s"b$s.cv[$i]", dsub) + ")"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |${pqNumSql("num", "v", PqKSub * 16)},
+       |$perSub,
+       |  k AS (SELECT a0.id, $codeCols FROM asg_0 a0 $codeJoin),
+       |  q AS (SELECT id AS qid, v AS qv FROM v
+       |    WHERE id IN (${s10Qids.mkString(", ")})),
+       |  scored AS (SELECT q.qid, k.id, $adc AS adc
+       |    FROM k CROSS JOIN q $adcJoin
+       |    WHERE k.id <> q.qid),
+       |  ranked AS (SELECT qid, id, adc,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY adc ASC, id ASC) AS rk
+       |    FROM scored)
+       |SELECT qid, rk, id AS vec_id, ROUND(adc, 6) AS adc
+       |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+  }
+
   // ---------------------------------------------------------------- s08
   // IVFADC (Jégou et al. 2011 §IV — the FAISS `IVF8,PQ4` layout): L2
   // coarse cells, PQ codebooks on the CELL RESIDUALS, search = probe 2
@@ -3414,6 +3460,7 @@ object Queries {
     "s07_pq_adc" -> (s07_pq_adc _),
     "s08_ivfpq" -> (s08_ivfpq _),
     "s09_sq8_search" -> (s09_sq8_search _),
+    "s10_pq_knn" -> (s10_pq_knn _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
@@ -3552,5 +3599,6 @@ object Queries {
     "s07_pq_adc" -> s07_sql,
     "s08_ivfpq" -> s08_sql,
     "s09_sq8_search" -> s09_sql,
+    "s10_pq_knn" -> s10_sql,
   )
 }

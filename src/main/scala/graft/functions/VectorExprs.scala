@@ -284,6 +284,54 @@ case class Sq8Dot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Batched ADC scoring: sum the flat (m·kSub) distance-table entries
+  * selected by a PQ code word — `Σ_s table[s·kSub + codes[s]]`, kSub
+  * derived from the operand lengths. One primitive loop per row, in
+  * subspace order (the same left-associated chain as the single-query
+  * `adcDistance` column), so batched and single-query scores are
+  * bit-identical. */
+case class AdcLookup(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+            ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"adc_lookup expects (array<int> codes, array<double> table), got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    AdcLookup.score(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (c, t) => s"graft.functions.AdcLookup.score($c, $t)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): AdcLookup =
+    copy(left = newLeft, right = newRight)
+}
+
+object AdcLookup {
+  def score(codes: ArrayData, table: ArrayData): Double = {
+    val m = codes.numElements()
+    if (m == 0) return 0.0
+    val kSub = table.numElements() / m
+    var s = 0.0; var i = 0
+    while (i < m) {
+      s += table.getDouble(i * kSub + codes.getInt(i))
+      i += 1
+    }
+    s
+  }
+}
+
 /** Element-wise array<double> subtraction (the PQ residual map).
   * `zip_with(a, b, _-_)` is CodegenFallback — a lambda interpretation
   * per element; this is one primitive loop, identical doubles out. */
@@ -377,4 +425,9 @@ object VectorExprs {
   def arraySub(a: Column, b: Column): Column =
     ColumnInternals.column(
       ArraySub(ColumnInternals.expr(a), ColumnInternals.expr(b)))
+
+  /** Codegen'd batched ADC table lookup (see [[AdcLookup]]). */
+  def adcLookup(codes: Column, table: Column): Column =
+    ColumnInternals.column(
+      AdcLookup(ColumnInternals.expr(codes), ColumnInternals.expr(table)))
 }

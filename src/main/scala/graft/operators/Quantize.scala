@@ -387,6 +387,48 @@ object Pq {
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
+  /** Batched ADC k-NN JOIN — the corpus-scale retrieval shape
+    * (hard-negative mining, eval-set probes, cluster labeling ask
+    * "PQ-approximate neighbors of these Q vectors"): top-k by ADC
+    * distance for EVERY query in one pass over the CODES scan. The Q
+    * per-query distance tables (m·kSub doubles each — tiny) broadcast;
+    * scoring is the codegen [[graft.functions.AdcLookup]] loop; the
+    * rank filter triggers WindowGroupLimit, so each map task forwards
+    * only its local top-k per query before the single qid shuffle —
+    * shuffle volume O(tasks × Q × k), float corpus untouched. Scores
+    * are bit-identical to per-query [[adcTopK]] (same table values,
+    * same summation order — the spec pins it). */
+  def adcKnnJoin(df: DataFrame, idCol: String, vecCol: String,
+                 queryIds: Seq[Long], k: Int, m: Int, kSub: Int,
+                 iters: Int = 2,
+                 books0: Option[Array[Array[(Int, Seq[Double])]]] = None): DataFrame = {
+    import graft.functions.VectorExprs.adcLookup
+    import org.apache.spark.sql.expressions.Window
+    val books = books0.getOrElse(fitCodebooks(df, idCol, vecCol, m, kSub, iters))
+    val dsub = books(0)(0)._2.length
+    val enc = encode(df, idCol, vecCol, books)
+    val qvs = enc.filter(col("id").isInCollection(queryIds))
+      .select(col("id"), col("v")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tables = qvs.toSeq.map { case (qid, qv) =>
+      (qid, books.indices.flatMap { s =>
+        val q = qv.slice(s * dsub, (s + 1) * dsub)
+        books(s).map { case (_, cv) => dist2Local(q, cv) }
+      })
+    }.toDF("qid", "qtab")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("adc").asc, col("id").asc)
+    enc.select(col("id"), col("codes"))
+      .join(broadcast(tables), col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        adcLookup(col("codes"), col("qtab")).as("adc"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("id"), col("adc"))
+  }
+
   /** The PRODUCTION search shape: ADC shortlist → exact rerank. Pure
     * ADC ordering is bounded by quantization distortion; every PQ
     * deployment scans codes for a `shortlist`-sized candidate set,

@@ -174,6 +174,26 @@ class PqSpec extends SparkSpec {
     assert(top.map(_.getDouble(1)).toSeq == top.map(_.getDouble(1)).sorted.toSeq)
   }
 
+  test("adcKnnJoin: the batched join equals per-query adcTopK bit for " +
+      "bit, k rows per query, map-side rank limit in the plan") {
+    import org.apache.spark.sql.functions.col
+    val qids = Seq(0L, 7L, 42L)
+    val joined = Pq.adcKnnJoin(emb, "vec_id", "embedding",
+      qids, k = 5, M, KSub, Iters, Some(books))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank limit must prune map-side:\n${plan.take(600)}")
+    val rows = joined.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    qids.foreach { qid =>
+      val got = rows.filter(_._1 == qid).sortBy(_._2).map(t => (t._3, t._4))
+      val single = Pq.adcTopK(emb, "vec_id", "embedding", qid, 5, M, KSub,
+          Iters, Some(books))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got.toSeq == single, s"query $qid")
+    }
+  }
+
   test("persisted IVFADC index: search equals the in-memory model bit " +
       "for bit, the codes scan partition-prunes, and append is " +
       "immediately searchable") {
