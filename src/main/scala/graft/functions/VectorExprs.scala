@@ -332,6 +332,103 @@ object AdcLookup {
   }
 }
 
+/** SQ8 encode: per-dimension min-max codes 0..255 in one primitive
+  * loop (`right` packs [mins, maxs]). Same chain as the
+  * `transform`-based `Quantize.codes` column — floor((x-mn)/(mx-mn)
+  * ·255+0.5), degenerate dims code 0 — but codegen instead of a
+  * lambda interpretation per element (the corpus quantize pass at
+  * 100 TB is exactly this loop). */
+case class Sq8Codes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sq8_codes expects (array<double>, array<array<double>>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sq8Codes.encode(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, p) => s"graft.functions.Sq8Codes.encode($v, $p)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8Codes =
+    copy(left = newLeft, right = newRight)
+}
+
+object Sq8Codes {
+  def encode(v: ArrayData, pack: ArrayData): ArrayData = {
+    val mins = pack.getArray(0); val maxs = pack.getArray(1)
+    val n = math.min(v.numElements(), mins.numElements())
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val mn = mins.getDouble(i); val mx = maxs.getDouble(i)
+      out(i) = if (mx == mn) 0L
+        else math.floor((v.getDouble(i) - mn) / (mx - mn) * 255d + 0.5d).toLong
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Max |x − dequant(code)| in the same pass shape — the s05
+    * reconstruction-error column, identical chain to the HOF form. */
+  def maxErr(v: ArrayData, pack: ArrayData): Double = {
+    val mins = pack.getArray(0); val maxs = pack.getArray(1)
+    val n = math.min(v.numElements(), mins.numElements())
+    var worst = Double.NegativeInfinity
+    var i = 0
+    while (i < n) {
+      val mn = mins.getDouble(i); val mx = maxs.getDouble(i)
+      val err = if (mx == mn) math.abs(v.getDouble(i) - mn) else {
+        val c = math.floor((v.getDouble(i) - mn) / (mx - mn) * 255d + 0.5d)
+        math.abs(v.getDouble(i) - (mn + c * (mx - mn) / 255d))
+      }
+      if (err > worst) worst = err
+      i += 1
+    }
+    worst
+  }
+}
+
+/** Max reconstruction error twin of [[Sq8Codes]] (one loop, double). */
+case class Sq8MaxErr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sq8_max_err expects (array<double>, array<array<double>>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    Sq8Codes.maxErr(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (v, p) => s"graft.functions.Sq8Codes.maxErr($v, $p)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8MaxErr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Element-wise array<double> subtraction (the PQ residual map).
   * `zip_with(a, b, _-_)` is CodegenFallback — a lambda interpretation
   * per element; this is one primitive loop, identical doubles out. */
@@ -430,4 +527,14 @@ object VectorExprs {
   def adcLookup(codes: Column, table: Column): Column =
     ColumnInternals.column(
       AdcLookup(ColumnInternals.expr(codes), ColumnInternals.expr(table)))
+
+  /** Codegen'd SQ8 encode (see [[Sq8Codes]]). */
+  def sq8Codes(vec: Column, pack: Column): Column =
+    ColumnInternals.column(
+      Sq8Codes(ColumnInternals.expr(vec), ColumnInternals.expr(pack)))
+
+  /** Codegen'd SQ8 max reconstruction error (see [[Sq8MaxErr]]). */
+  def sq8MaxErr(vec: Column, pack: Column): Column =
+    ColumnInternals.column(
+      Sq8MaxErr(ColumnInternals.expr(vec), ColumnInternals.expr(pack)))
 }

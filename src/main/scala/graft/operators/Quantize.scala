@@ -65,14 +65,19 @@ object Quantize {
 
   /** Quantize `vecCol`, returning the input plus `codes` (array<long>
     * 0..255) and `max_err` (per-row max |x - dequant(code)| — the
-    * worst-case per-dimension reconstruction error). */
+    * worst-case per-dimension reconstruction error). Runs on the
+    * fused codegen kernels ([[graft.functions.Sq8Codes]]) — the
+    * `transform`/`zip_with` column forms above are kept as the
+    * readable reference semantics and the parity pin (PipelineSpec
+    * asserts the two produce identical bits; the corpus pass a 100 TB
+    * quantize job runs must not interpret a lambda per element). */
   def quantize(df: DataFrame, vecCol: String,
                mins: Array[Double], maxs: Array[Double]): DataFrame = {
-    val q = codes(col(vecCol), mins, maxs)
-    val errs = zip_with(col(vecCol), dequantize(q, mins, maxs),
-      (x, r) => abs(x.cast("double") - r))
-    df.withColumn("codes", q)
-      .withColumn("max_err", array_max(errs))
+    import graft.functions.VectorExprs.{sq8Codes, sq8MaxErr}
+    val pack = typedLit(Seq(mins.toSeq, maxs.toSeq))
+    val v = col(vecCol).cast("array<double>")
+    df.withColumn("codes", sq8Codes(v, pack))
+      .withColumn("max_err", sq8MaxErr(v, pack))
   }
 
   /** SQ8 search (the FAISS `SQ8` analog): brute-force max-inner-product

@@ -757,7 +757,25 @@ class PipelineSpec extends SparkSpec {
     assert(got.map(_.getDouble(1)).forall(_ <= bound + 1e-12))
     // exact endpoints: min → 0, max → 255
     assert(codes(0).toSeq == Seq(0L, 0L, 255L))
+    // the fused Sq8Codes/Sq8MaxErr kernels must equal the HOF column
+    // forms bit for bit on a real corpus (codegen rewrite, same chain)
+    val emb = Tables.load(spark, sf, "embeddings")
+    val hof = emb.select($"vec_id",
+        operators.Quantize.codes($"embedding", mins3, maxs3).as("c"),
+        array_max(zip_with($"embedding".cast("array<double>"),
+          operators.Quantize.dequantize(
+            operators.Quantize.codes($"embedding", mins3, maxs3),
+            mins3, maxs3),
+          (x, r) => abs(x - r))).as("e"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+    val fused = operators.Quantize.quantize(emb, "embedding", mins3, maxs3)
+      .select($"vec_id", $"codes", $"max_err")
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getDouble(2)))
+    assert(fused.sortBy(_._1).toSeq == hof.sortBy(_._1).toSeq)
   }
+
+  private lazy val (mins3, maxs3) = operators.Quantize.dimensionRanges(
+    Tables.load(spark, sf, "embeddings"), "embedding")
 
   test("SQ8 search: top-k over dequantized codes tracks the float " +
       "brute force (8-bit reconstruction error is sub-ranking)") {
