@@ -66,6 +66,23 @@ object Graft {
         functions.NearestCentroidL2(
           Cast(exprs.head, ArrayType(DoubleType, containsNull = true)),
           Cast(exprs(1), ArrayType(ArrayType(DoubleType, containsNull = true),
+            containsNull = true)))),
+      "array_sub" -> ((exprs: Seq[Expression]) =>
+        functions.ArraySub(
+          Cast(exprs.head, ArrayType(DoubleType, containsNull = true)),
+          Cast(exprs(1), ArrayType(DoubleType, containsNull = true)))),
+      "adc_lookup" -> ((exprs: Seq[Expression]) =>
+        functions.AdcLookup(exprs.head,
+          Cast(exprs(1), ArrayType(DoubleType, containsNull = true)))),
+      "sq8_dot" -> ((exprs: Seq[Expression]) =>
+        functions.Sq8Dot(
+          Cast(exprs.head, ArrayType(DoubleType, containsNull = true)),
+          Cast(exprs(1), ArrayType(ArrayType(DoubleType, containsNull = true),
+            containsNull = true)))),
+      "sq8_codes" -> ((exprs: Seq[Expression]) =>
+        functions.Sq8Codes(
+          Cast(exprs.head, ArrayType(DoubleType, containsNull = true)),
+          Cast(exprs(1), ArrayType(ArrayType(DoubleType, containsNull = true),
             containsNull = true)))))
 
   def enableSql(spark: SparkSession): Unit = {

@@ -83,6 +83,21 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getInt(0) == 1) // nearer in L2
     assert(r.getInt(1) == 1) // higher cosine
     assert(r.getInt(2) == 0) // equal distances -> lowest index
+    // the quantization kernels: residual subtract, SQ8 encode, ADC sum
+    val r2 = spark.sql(
+      """SELECT
+        |  array_sub(array(3.0d, 1.0d), array(1.0d, 1.0d)) AS sub,
+        |  sq8_codes(array(0.0d, 10.0d),
+        |    array(array(0.0d, 0.0d), array(10.0d, 10.0d))) AS codes,
+        |  adc_lookup(array(1, 0), array(5.0d, 7.0d, 11.0d, 13.0d)) AS adc,
+        |  sq8_dot(array(10.0d, 0.0d),
+        |    array(array(0.0d, 0.0d), array(10.0d, 10.0d),
+        |          array(1.0d, 1.0d))) AS sdot
+        |""".stripMargin).collect().head
+    assert(r2.getSeq[Double](0) == Seq(2.0, 0.0))
+    assert(r2.getSeq[Long](1) == Seq(0L, 255L))
+    assert(r2.getDouble(2) == 7.0 + 11.0) // table[0*2+1] + table[1*2+0]
+    assert(r2.getDouble(3) == 10.0)       // deq = [10, 0] · [1, 1]
   }
 
   test("bootstrap registers tables for SQL use") {
