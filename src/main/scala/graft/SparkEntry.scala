@@ -1141,6 +1141,35 @@ object Queries {
       |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q60
+  // RANGE-frame windowing: trailing ONE HOUR of events per user (the
+  // kdb time-windowed running aggregate — frames defined by event-TIME
+  // distance, not row count; rows at the same instant are peers and
+  // share a frame in both engines). The ordering key is the µs long
+  // (`ts div 1000` ↔ epoch_us — the events oracle convention), the
+  // frame is a numeric range on it, and the sum rides DECIMAL(18,2) so
+  // frame accumulation strategies can't skew the doubles.
+  def q60_range_frame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-3600L * 1000000L, 0)
+    t(spark, dir, "events")
+      .withColumn("us", expr("ts div 1000"))
+      .select($"user_id", $"event_id", $"us",
+        count(lit(1)).over(w).as("n_1h"),
+        sum($"value".cast("decimal(18,2)")).over(w).cast("double")
+          .as("sum_1h"))
+      .orderBy($"user_id", $"us", $"event_id")
+  }
+
+  private val q60_sql =
+    """SELECT user_id, event_id, epoch_us(ts) AS us,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, us, event_id""".stripMargin
+
   // ---------------------------------------------------------------- t20
   // Overlapping token windows (RAG/context prep): 64-token windows at
   // stride 48 (16-token overlap), last window clipped, every token
@@ -3402,6 +3431,7 @@ object Queries {
     "q57_events_range" -> (q57_events_range _),
     "q58_cube" -> (q58_cube _),
     "q59_moving" -> (q59_moving _),
+    "q60_range_frame" -> (q60_range_frame _),
     "t21_gopher_rules" -> (t21_gopher_rules _),
     "t22_source_overlap" -> (t22_source_overlap _),
     "t23_temperature_mix" -> (t23_temperature_mix _),
@@ -3524,6 +3554,7 @@ object Queries {
     "q57_events_range" -> q57_sql,
     "q58_cube" -> q58_sql,
     "q59_moving" -> q59_sql,
+    "q60_range_frame" -> q60_sql,
     "t23_temperature_mix" -> t23_sql,
     "t21_gopher_rules" -> t21_sql,
     "t22_source_overlap" -> t22_sql,
