@@ -185,4 +185,21 @@ class PlanShapeSpec extends SparkSpec {
       s"SQ8 scoring must not shuffle:\n$p")
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("s10 (batched ADC knn join): query tables broadcast, rank-limit " +
+      "caps the single qid shuffle") {
+    val p = plan("s10_pq_knn")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the Q distance tables must broadcast")
+    assert(p.contains("WindowGroupLimit"),
+      "map tasks must forward only their local top-k per query")
+    assert(count(p, "Arguments: hashpartitioning") == 1,
+      s"one qid shuffle only:\n$p")
+  }
+
+  test("q60 (RANGE frame): the user_id exchange is the only hash shuffle") {
+    val p = plan("q60_range_frame")
+    assert(count(p, "Arguments: hashpartitioning") == 1,
+      s"range frames must ride one partition shuffle:\n$p")
+  }
 }
