@@ -1170,6 +1170,35 @@ object Queries {
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, us, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q61
+  // Arbitrary GROUPING SETS (the rollup/cube generalization): exactly
+  // the ((returnflag), (linestatus), ()) levels — a set list neither
+  // rollup nor cube produces — in ONE Expand+aggregate pass. SQL text
+  // on both sides (Spark's DataFrame API exposes only rollup/cube;
+  // GROUPING SETS is its SQL surface).
+  def q61_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("q61_lineitem")
+    spark.sql(
+      """SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |  l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM q61_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  private val q61_sql =
+    """SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+      |  l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
+
   // ---------------------------------------------------------------- t20
   // Overlapping token windows (RAG/context prep): 64-token windows at
   // stride 48 (16-token overlap), last window clipped, every token
@@ -3432,6 +3461,7 @@ object Queries {
     "q58_cube" -> (q58_cube _),
     "q59_moving" -> (q59_moving _),
     "q60_range_frame" -> (q60_range_frame _),
+    "q61_grouping_sets" -> (q61_grouping_sets _),
     "t21_gopher_rules" -> (t21_gopher_rules _),
     "t22_source_overlap" -> (t22_source_overlap _),
     "t23_temperature_mix" -> (t23_temperature_mix _),
@@ -3555,6 +3585,7 @@ object Queries {
     "q58_cube" -> q58_sql,
     "q59_moving" -> q59_sql,
     "q60_range_frame" -> q60_sql,
+    "q61_grouping_sets" -> q61_sql,
     "t23_temperature_mix" -> t23_sql,
     "t21_gopher_rules" -> t21_sql,
     "t22_source_overlap" -> t22_sql,
