@@ -72,7 +72,9 @@ object Graft {
           Cast(exprs.head, ArrayType(DoubleType, containsNull = true)),
           Cast(exprs(1), ArrayType(DoubleType, containsNull = true)))),
       "adc_lookup" -> ((exprs: Seq[Expression]) =>
-        functions.AdcLookup(exprs.head,
+        functions.AdcLookup(
+          Cast(exprs.head, ArrayType(
+            org.apache.spark.sql.types.IntegerType, containsNull = true)),
           Cast(exprs(1), ArrayType(DoubleType, containsNull = true)))),
       "sq8_dot" -> ((exprs: Seq[Expression]) =>
         functions.Sq8Dot(
