@@ -1170,6 +1170,59 @@ object Queries {
       |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, us, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q62
+  // PIVOT: event_type rows → columns, per user (the wide-format export
+  // every BI handoff asks for). The pivot value list is EXPLICIT —
+  // letting the engine discover it adds a distinct scan AND makes the
+  // output schema data-dependent, which breaks both determinism and a
+  // 100 TB plan (Spark's auto-pivot collects the distinct values to
+  // the driver). One Expand-free pass: pivot compiles to conditional
+  // aggregates, exactly the CASE WHEN sums the oracle writes out.
+  private val q62Types = Seq("click", "error", "purchase", "signup", "view")
+  def q62_pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", q62Types)
+      .agg(dsum($"value"))
+      .na.fill(0.0, q62Types)
+      .orderBy($"user_id")
+
+  private val q62_sql =
+    """SELECT user_id,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'click'
+      |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS click,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'error'
+      |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS error,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+      |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS purchase,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'signup'
+      |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS signup,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'view'
+      |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  // UNPIVOT (melt): the q62 wide table back to long form — the other
+  // half of the reshape pair (feature tables melt to (id, key, value)
+  // for storage/streaming). A pure narrow Expand: 5 output rows per
+  // input row, no shuffle beyond q62's aggregate.
+  def q63_unpivot(spark: SparkSession, dir: String): DataFrame =
+    q62_pivot(spark, dir)
+      .unpivot(Array($"user_id"), q62Types.map(col).toArray,
+        "event_type", "total")
+      .orderBy($"user_id", $"event_type")
+
+  private val q63_sql = {
+    val body = q62_sql.replace("ORDER BY user_id", "")
+    val arms = q62Types.map(t =>
+      s"SELECT user_id, '$t' AS event_type, $t AS total FROM p")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH p AS ($body)
+       |SELECT user_id, event_type, total FROM (
+       |  $arms)
+       |ORDER BY user_id, event_type""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q61
   // Arbitrary GROUPING SETS (the rollup/cube generalization): exactly
   // the ((returnflag), (linestatus), ()) levels — a set list neither
@@ -3462,6 +3515,8 @@ object Queries {
     "q59_moving" -> (q59_moving _),
     "q60_range_frame" -> (q60_range_frame _),
     "q61_grouping_sets" -> (q61_grouping_sets _),
+    "q62_pivot" -> (q62_pivot _),
+    "q63_unpivot" -> (q63_unpivot _),
     "t21_gopher_rules" -> (t21_gopher_rules _),
     "t22_source_overlap" -> (t22_source_overlap _),
     "t23_temperature_mix" -> (t23_temperature_mix _),
@@ -3586,6 +3641,8 @@ object Queries {
     "q59_moving" -> q59_sql,
     "q60_range_frame" -> q60_sql,
     "q61_grouping_sets" -> q61_sql,
+    "q62_pivot" -> q62_sql,
+    "q63_unpivot" -> q63_sql,
     "t23_temperature_mix" -> t23_sql,
     "t21_gopher_rules" -> t21_sql,
     "t22_source_overlap" -> t22_sql,
