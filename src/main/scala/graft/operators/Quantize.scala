@@ -156,7 +156,8 @@ object Pq {
     * pairs of subspace s. Seeds follow the IVF rule (every 16th of the
     * first kSub·16 rows by id); `iters` Lloyd refinements in L2. */
   def fitCodebooks(df: DataFrame, idCol: String, vecCol: String,
-                   m: Int, kSub: Int, iters: Int): Array[Array[(Int, Seq[Double])]] = {
+                   m: Int, kSub: Int, iters: Int,
+                   kppSeed: Boolean = false): Array[Array[(Int, Seq[Double])]] = {
     val first = df.select(size(col(vecCol))).head(1)
     require(first.nonEmpty, "fitCodebooks: empty corpus")
     val dim = first.head.getInt(0)
@@ -165,7 +166,9 @@ object Pq {
     (0 until m).toArray.map { s =>
       val v = df.select(col(idCol).as("id"),
         slice(col(vecCol).cast("array<double>"), s * dsub + 1, dsub).as("v"))
-      Similarity.lloyd(v, Similarity.centroidRows(v, kSub), iters, l2 = true)
+      val seeds = if (kppSeed) Similarity.kppSeeds(v, kSub)
+                  else Similarity.centroidRows(v, kSub)
+      Similarity.lloyd(v, seeds, iters, l2 = true)
     }
   }
 
@@ -238,17 +241,24 @@ object Pq {
     * assignment + subtraction pass; no shuffle beyond the Lloyd means).
     * Every step reuses the exact-decimal machinery — the whole fit is
     * engine-replayable. */
+  /** `kppSeed = true` switches BOTH the coarse and the residual fits to
+    * k-means++ seeding over a deterministic hash-sample — required when
+    * the corpus arrives SORTED/clustered by the id order (the windowed
+    * default seed rule would see only the head; see
+    * [[Similarity.kppSeeds]] and the PqSpec sorted-ingest fixture). */
   def fitIvfPq(df: DataFrame, idCol: String, vecCol: String,
                nCells: Int, m: Int, kSub: Int,
-               coarseIters: Int = 2, pqIters: Int = 2): IvfPqModel = {
+               coarseIters: Int = 2, pqIters: Int = 2,
+               kppSeed: Boolean = false): IvfPqModel = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val coarse = Similarity.lloyd(
-      v, Similarity.centroidRows(v, nCells), coarseIters, l2 = true)
+    val seeds = if (kppSeed) Similarity.kppSeeds(v, nCells)
+                else Similarity.centroidRows(v, nCells)
+    val coarse = Similarity.lloyd(v, seeds, coarseIters, l2 = true)
     // persist across the m per-subspace fits: each subspace's Lloyd
     // loop would otherwise re-run the assignment+subtraction map
     val res = residuals(v, coarse).persist()
-    val books = try fitCodebooks(res, "id", "r", m, kSub, pqIters)
+    val books = try fitCodebooks(res, "id", "r", m, kSub, pqIters, kppSeed)
                 finally res.unpersist(blocking = false)
     IvfPqModel(coarse, books)
   }

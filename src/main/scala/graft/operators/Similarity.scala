@@ -106,6 +106,48 @@ object Similarity {
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
 
+  /** k-means++ seeding (Arthur & Vassilvitskii 2007) over a
+    * DETERMINISTIC hash-sample — the seed mode for corpora SORTED or
+    * clustered by ingest order, where the windowed every-16th rule
+    * sees only the head of the table and starves every later cluster
+    * (the failure PqSpec's sorted fixture demonstrates). The sample is
+    * the `sampleCap` lowest id-hash rows (`Sampling.decision` — spread
+    * uniformly over the corpus REGARDLESS of row order; TakeOrdered,
+    * no full sort), and the D²-weighted draw runs driver-side with a
+    * fixed-seed PRNG, so the seeds — and everything Lloyd builds on
+    * them — stay reproducible run-to-run. */
+  private[graft] def kppSeeds(v: DataFrame, k: Int,
+                              sampleCap: Int = 4096): Array[(Int, Seq[Double])] = {
+    val rows = v
+      .withColumn("__u", Sampling.decision(col("id")))
+      .orderBy(col("__u"), col("id")).limit(sampleCap)
+      .select(col("v")).collect().map(_.getSeq[Double](0))
+    require(rows.nonEmpty, "kppSeeds: empty corpus")
+    val rnd = new scala.util.Random(42)
+    val chosen = scala.collection.mutable.ArrayBuffer(rows(rnd.nextInt(rows.length)))
+    // cache min-distance-to-chosen per sample row, update incrementally
+    val d2 = rows.map(r => Pq.dist2Local(r, chosen.head)).toArray
+    while (chosen.size < k) {
+      val tot = d2.sum
+      val next =
+        if (tot <= 0) rows(rnd.nextInt(rows.length))
+        else {
+          val t = rnd.nextDouble() * tot
+          var acc = 0.0; var i = 0
+          while (i < rows.length - 1 && acc + d2(i) < t) { acc += d2(i); i += 1 }
+          rows(i)
+        }
+      chosen += next
+      var i = 0
+      while (i < rows.length) {
+        val d = Pq.dist2Local(rows(i), next)
+        if (d < d2(i)) d2(i) = d
+        i += 1
+      }
+    }
+    chosen.zipWithIndex.map { case (c, i) => (i, c) }.toArray
+  }
+
   /** Lloyd's k-means refinement of the seed centroids: each iteration is
     * one distributed assignment pass (the codegen NearestCentroid — no
     * shuffle) plus one element-wise mean aggregation (one shuffle,

@@ -264,6 +264,50 @@ class PqSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("kppSeed rescues SORTED ingest: the id-block-clustered corpus " +
+      "that starves the windowed seeds gets its neighbors back") {
+    import spark.implicits._
+    // the adversarial layout: clusters occupy CONTIGUOUS id blocks, so
+    // every windowed seed (and every windowed residual seed) lands in
+    // cluster 0 and the residual codebooks collapse to zero vectors —
+    // measured recall 0 under the default rule
+    def vec(cl: Int, i: Int): Seq[Double] = {
+      val v = Array.fill(64)(0.0)
+      v(cl * 16) = 1.0
+      v(cl * 16 + 1 + i % 5) = 0.02 * (1 + i % 7)
+      v.toSeq
+    }
+    val rows = (0 until 128).map(i => (i.toLong, vec(0, i))) ++
+      (128 until 178).map(i => (i.toLong, vec(1, i))) ++
+      (178 until 228).map(i => (i.toLong, vec(2, i))) ++
+      (228 until 328).map(i => (i.toLong, vec(3, i)))
+    val df = rows.toDF("vec_id", "embedding")
+    val ix = Pq.fitIvfPq(df, "vec_id", "embedding",
+      nCells = 8, m = M, kSub = KSub, coarseIters = 3, pqIters = 2,
+      kppSeed = true)
+    // the hash-sample sees all clusters → the residual codebooks carry
+    // real spread (at least one non-degenerate codeword per subspace
+    // beyond the zero vector)
+    assert(ix.books.forall(b =>
+      b.map { case (_, cv) => cv.map(math.abs).max }.max > 1e-6),
+      "residual codebooks still degenerate under kpp seeding")
+    val dists = rows.filter(_._1 != 250L)
+      .map { case (id, v) => (id, Pq.dist2Local(rows.toMap.apply(250L), v)) }
+      .toMap
+    val got = Pq.ivfPqTopK(df, "vec_id", "embedding", 250L, 5, 2, ix)
+      .collect().map(_.getLong(0))
+    assert(got.length == 5)
+    got.foreach { id =>
+      assert(dists(id) < 0.5,
+        s"id $id at true d² ${dists(id)} is not a near neighbor")
+    }
+    // and the fit is deterministic: same seeds, same model
+    val again = Pq.fitIvfPq(df, "vec_id", "embedding",
+      nCells = 8, m = M, kSub = KSub, coarseIters = 3, pqIters = 2,
+      kppSeed = true)
+    assert(again.coarse.toSeq == ix.coarse.toSeq)
+  }
+
   test("ivfPq on separable clusters: probing 2 of 8 cells recovers the " +
       "true neighbors (the billion-scale layout's recall contract)") {
     import spark.implicits._
