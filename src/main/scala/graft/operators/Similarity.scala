@@ -217,12 +217,17 @@ object Similarity {
   /** Default Lloyd iterations for the IVF build (0 = raw seeds). */
   private[graft] val LloydIters = 3
 
-  /** Seed + refine in one call (spec/diagnostic surface). */
+  /** Seed + refine in one call (spec/diagnostic surface). `kppSeed`
+    * swaps the windowed seed rule for [[kppSeeds]] — the id-sorted
+    * ingest fix (defaults off: the s03/s04/d14 oracles replay the
+    * windowed rule). */
   private[graft] def fitCentroids(df: DataFrame, idCol: String, vecCol: String,
-                                  nCells: Int, iters: Int): Array[(Int, Seq[Double])] = {
+                                  nCells: Int, iters: Int,
+                                  kppSeed: Boolean = false): Array[(Int, Seq[Double])] = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    lloyd(v, centroidRows(v, nCells), iters)
+    val seeds = if (kppSeed) kppSeeds(v, nCells) else centroidRows(v, nCells)
+    lloyd(v, seeds, iters)
   }
 
   /** Single-pass, shuffle-free cell assignment: the centroid matrix rides
@@ -271,10 +276,12 @@ object Similarity {
     * batch-index lifecycle a 100 TB embedding store needs. */
   def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                     nCells: Int, path: String,
-                    lloydIters: Int = LloydIters): Unit = {
+                    lloydIters: Int = LloydIters,
+                    kppSeed: Boolean = false): Unit = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val cents = lloyd(v, centroidRows(v, nCells), lloydIters)
+    val seeds = if (kppSeed) kppSeeds(v, nCells) else centroidRows(v, nCells)
+    val cents = lloyd(v, seeds, lloydIters)
     val spark = df.sparkSession
     import spark.implicits._
     cents.toSeq.toDF("cell", "cv")

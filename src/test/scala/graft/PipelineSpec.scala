@@ -309,6 +309,32 @@ class PipelineSpec extends SparkSpec {
     assert(rL >= 0.8, s"lloyd recall $rL too low on separable clusters")
   }
 
+  test("kppSeed covers every cluster on id-sorted ingest with ZERO lloyd " +
+      "iterations (the windowed rule needs lloyd to migrate)") {
+    import spark.implicits._
+    def vec(cl: Int, i: Int): Seq[Double] = {
+      val v = Array.fill(8)(0.0)
+      v(cl) = 1.0
+      v((cl + 1 + i % 3) % 8) = 0.01 * (1 + i % 7)
+      v.toSeq
+    }
+    val rows = (0 until 128).map(i => (i.toLong, vec(0, i))) ++
+      (128 until 158).map(i => (i.toLong, vec(1, i))) ++
+      (158 until 188).map(i => (i.toLong, vec(2, i))) ++
+      (188 until 288).map(i => (i.toLong, vec(3, i)))
+    val df = rows.toDF("vec_id", "embedding")
+    def maxCosTo(cents: Array[(Int, Seq[Double])], axis: Int): Double =
+      cents.map { case (_, c) =>
+        c(axis) / math.sqrt(c.map(x => x * x).sum)
+      }.max
+    val kpp = Similarity.fitCentroids(df, "vec_id", "embedding", 8, 0,
+      kppSeed = true)
+    (1 to 3).foreach { cl =>
+      assert(maxCosTo(kpp, cl) > 0.9,
+        s"kpp seeds missed cluster $cl: ${maxCosTo(kpp, cl)}")
+    }
+  }
+
   test("sortedIntersectSize on i64 arrays equals size(array_intersect) " +
       "(randomized)") {
     import spark.implicits._
