@@ -322,10 +322,22 @@ object AdcLookup {
   def score(codes: ArrayData, table: ArrayData): Double = {
     val m = codes.numElements()
     if (m == 0) return 0.0
-    val kSub = table.numElements() / m
+    val n = table.numElements()
+    val kSub = n / m
+    // bounds-check every code: the function is SQL-exposed (adc_lookup)
+    // and UnsafeArrayData.getDouble would otherwise silently read
+    // arbitrary row-buffer bytes for an out-of-range index. The branch
+    // is perfectly predicted on the in-range hot path.
+    if (kSub * m != n)
+      throw new IllegalArgumentException(
+        s"adc_lookup: table size $n not divisible by code count $m")
     var s = 0.0; var i = 0
     while (i < m) {
-      s += table.getDouble(i * kSub + codes.getInt(i))
+      val c = codes.getInt(i)
+      if (c < 0 || c >= kSub)
+        throw new IllegalArgumentException(
+          s"adc_lookup: code $c out of range [0, $kSub) at subspace $i")
+      s += table.getDouble(i * kSub + c)
       i += 1
     }
     s
@@ -382,10 +394,14 @@ object Sq8Codes {
   }
 
   /** Max |x − dequant(code)| in the same pass shape — the s05
-    * reconstruction-error column, identical chain to the HOF form. */
-  def maxErr(v: ArrayData, pack: ArrayData): Double = {
+    * reconstruction-error column, identical chain to the HOF form
+    * INCLUDING edges: an empty vector yields null (array_max of an
+    * empty array) and a NaN element propagates (array_max sorts NaN
+    * greatest — Double.compare does the same here). */
+  def maxErr(v: ArrayData, pack: ArrayData): Any = {
     val mins = pack.getArray(0); val maxs = pack.getArray(1)
     val n = math.min(v.numElements(), mins.numElements())
+    if (n == 0) return null
     var worst = Double.NegativeInfinity
     var i = 0
     while (i < n) {
@@ -394,7 +410,7 @@ object Sq8Codes {
         val c = math.floor((v.getDouble(i) - mn) / (mx - mn) * 255d + 0.5d)
         math.abs(v.getDouble(i) - (mn + c * (mx - mn) / 255d))
       }
-      if (err > worst) worst = err
+      if (java.lang.Double.compare(err, worst) > 0) worst = err
       i += 1
     }
     worst
@@ -417,12 +433,22 @@ case class Sq8MaxErr(left: Expression, right: Expression)
           s"sq8_max_err expects (array<double>, array<array<double>>), got ($l, $r)")
     }
 
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any =
     Sq8Codes.maxErr(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      (v, p) => s"graft.functions.Sq8Codes.maxErr($v, $p)")
+    nullSafeCodeGen(ctx, ev, (v, p) => {
+      val r = ctx.freshName("r")
+      // boxed call: an empty vector yields null (array_max-of-empty
+      // parity), which a primitive-returning kernel cannot express
+      s"""
+         |Object $r = graft.functions.Sq8Codes.maxErr($v, $p);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Double) $r).doubleValue(); }
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Sq8MaxErr =

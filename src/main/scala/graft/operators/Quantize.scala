@@ -250,6 +250,19 @@ object Pq {
                nCells: Int, m: Int, kSub: Int,
                coarseIters: Int = 2, pqIters: Int = 2,
                kppSeed: Boolean = false): IvfPqModel = {
+    val (ix, res) = fitIvfPqWithRes(df, idCol, vecCol, nCells, m, kSub,
+      coarseIters, pqIters, kppSeed)
+    res.unpersist(blocking = false)
+    ix
+  }
+
+  /** Fit, returning the PERSISTED residual frame alongside the model so
+    * a build can encode from it without re-running the full-corpus
+    * assignment+subtraction pass (the caller unpersists). */
+  private def fitIvfPqWithRes(df: DataFrame, idCol: String, vecCol: String,
+                              nCells: Int, m: Int, kSub: Int,
+                              coarseIters: Int, pqIters: Int,
+                              kppSeed: Boolean): (IvfPqModel, DataFrame) = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val seeds = if (kppSeed) Similarity.kppSeeds(v, nCells)
@@ -258,9 +271,8 @@ object Pq {
     // persist across the m per-subspace fits: each subspace's Lloyd
     // loop would otherwise re-run the assignment+subtraction map
     val res = residuals(v, coarse).persist()
-    val books = try fitCodebooks(res, "id", "r", m, kSub, pqIters, kppSeed)
-                finally res.unpersist(blocking = false)
-    IvfPqModel(coarse, books)
+    val books = fitCodebooks(res, "id", "r", m, kSub, pqIters, kppSeed)
+    (IvfPqModel(coarse, books), res)
   }
 
   /** id, cell, r = v − coarse(cell): one narrow codegen assignment +
@@ -280,14 +292,21 @@ object Pq {
     * deployment persists (cell, codes) partitioned by cell. */
   def encodeIvfPq(df: DataFrame, idCol: String, vecCol: String,
                   ix: IvfPqModel): DataFrame = {
-    import graft.functions.VectorExprs.nearestCentroidL2
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val res = residuals(v, ix.coarse)
-    val dsub = ix.books(0)(0)._2.length
-    val codeCols = ix.books.indices.map { s =>
+    codesFromResiduals(residuals(v, ix.coarse), ix.books)
+  }
+
+  /** The encode tail over an (id, cell, r) residual frame — shared by
+    * encodeIvfPq and the build (which reuses the fit's persisted
+    * residuals instead of recomputing the corpus pass). */
+  private def codesFromResiduals(res: DataFrame,
+      books: Array[Array[(Int, Seq[Double])]]): DataFrame = {
+    import graft.functions.VectorExprs.nearestCentroidL2
+    val dsub = books(0)(0)._2.length
+    val codeCols = books.indices.map { s =>
       nearestCentroidL2(slice(col("r"), s * dsub + 1, dsub),
-        typedLit(ix.books(s).map(_._2).toSeq))
+        typedLit(books(s).map(_._2).toSeq))
     }
     res.select(col("id"), col("cell"), array(codeCols: _*).as("codes"))
   }
@@ -337,20 +356,26 @@ object Pq {
     * only the probed cells' code files. */
   def buildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
                       nCells: Int, m: Int, kSub: Int, path: String,
-                      coarseIters: Int = 2, pqIters: Int = 2): Unit = {
-    val ix = fitIvfPq(df, idCol, vecCol, nCells, m, kSub,
-      coarseIters, pqIters)
-    val spark = df.sparkSession
-    import spark.implicits._
-    ix.coarse.toSeq.toDF("cell", "cv")
-      .write.mode("overwrite").parquet(s"$path/coarse")
-    ix.books.zipWithIndex
-      .flatMap { case (b, s) => b.map { case (c, cv) => (s, c, cv) } }
-      .toSeq.toDF("sub", "code", "cv")
-      .write.mode("overwrite").parquet(s"$path/books")
-    encodeIvfPq(df, idCol, vecCol, ix)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+                      coarseIters: Int = 2, pqIters: Int = 2,
+                      kppSeed: Boolean = false): Unit = {
+    val (ix, res) = fitIvfPqWithRes(df, idCol, vecCol, nCells, m, kSub,
+      coarseIters, pqIters, kppSeed)
+    try {
+      val spark = df.sparkSession
+      import spark.implicits._
+      ix.coarse.toSeq.toDF("cell", "cv")
+        .write.mode("overwrite").parquet(s"$path/coarse")
+      ix.books.zipWithIndex
+        .flatMap { case (b, s) => b.map { case (c, cv) => (s, c, cv) } }
+        .toSeq.toDF("sub", "code", "cv")
+        .write.mode("overwrite").parquet(s"$path/books")
+      // encode from the fit's persisted residuals — NOT a fresh
+      // residuals(df) pass: that would re-run the full-corpus coarse
+      // assignment + subtraction a second time
+      codesFromResiduals(res, ix.books)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    } finally res.unpersist(blocking = false)
   }
 
   /** Load the model half of a persisted index (columns by NAME — the
@@ -425,6 +450,11 @@ object Pq {
     val qvs = enc.filter(col("id").isInCollection(queryIds))
       .select(col("id"), col("v")).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1))
+    // fail fast like the per-query adcTopK would — a silently-absent
+    // query id would otherwise read as "no neighbors"
+    val missing = queryIds.distinct.toSet -- qvs.map(_._1).toSet
+    require(missing.isEmpty,
+      s"adcKnnJoin: query ids not in the corpus: ${missing.toSeq.sorted.mkString(", ")}")
     val spark = df.sparkSession
     import spark.implicits._
     val tables = qvs.toSeq.map { case (qid, qv) =>

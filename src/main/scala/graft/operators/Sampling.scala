@@ -97,9 +97,13 @@ object Sampling {
     * are a mixing config, not data-scale), then the deterministic
     * id-hash keep: at 100 TB one cheap agg plus a narrow scan. */
   def temperatureRates(df: DataFrame, stratumCol: String): Map[String, Double] = {
-    val counts = df.groupBy(col(stratumCol)).count()
+    // NULL strata are excluded from the mix entirely (they'd never
+    // match the equality-keyed rate column anyway) — and must not
+    // reach the map/sort as a null String key
+    val counts = df.filter(col(stratumCol).isNotNull)
+      .groupBy(col(stratumCol)).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(counts.nonEmpty, "empty corpus")
+    require(counts.nonEmpty, "empty corpus (or all-null strata)")
     val nMin = counts.values.min
     counts.map { case (k, n) => k -> math.sqrt(nMin.toDouble / n) }
   }

@@ -127,22 +127,27 @@ object Similarity {
     val chosen = scala.collection.mutable.ArrayBuffer(rows(rnd.nextInt(rows.length)))
     // cache min-distance-to-chosen per sample row, update incrementally
     val d2 = rows.map(r => Pq.dist2Local(r, chosen.head)).toArray
-    while (chosen.size < k) {
+    var exhausted = false
+    while (chosen.size < k && !exhausted) {
       val tot = d2.sum
-      val next =
-        if (tot <= 0) rows(rnd.nextInt(rows.length))
-        else {
-          val t = rnd.nextDouble() * tot
-          var acc = 0.0; var i = 0
-          while (i < rows.length - 1 && acc + d2(i) < t) { acc += d2(i); i += 1 }
-          rows(i)
+      if (tot <= 0) {
+        // every sample point coincides with a chosen seed: emitting a
+        // duplicate centroid would create a forever-empty cell under
+        // the lowest-index tie rule — return fewer seeds instead (the
+        // windowed rule's behavior on a tiny corpus)
+        exhausted = true
+      } else {
+        val t = rnd.nextDouble() * tot
+        var acc = 0.0; var i = 0
+        while (i < rows.length - 1 && acc + d2(i) < t) { acc += d2(i); i += 1 }
+        val next = rows(i)
+        chosen += next
+        var j = 0
+        while (j < rows.length) {
+          val d = Pq.dist2Local(rows(j), next)
+          if (d < d2(j)) d2(j) = d
+          j += 1
         }
-      chosen += next
-      var i = 0
-      while (i < rows.length) {
-        val d = Pq.dist2Local(rows(i), next)
-        if (d < d2(i)) d2(i) = d
-        i += 1
       }
     }
     chosen.zipWithIndex.map { case (c, i) => (i, c) }.toArray

@@ -115,10 +115,15 @@ object Streams {
     * lifecycle at 100 TB: the batch build runs periodically, the
     * stream keeps the index current in between, searches see new
     * vectors at micro-batch latency. No state store is involved (the
-    * index on disk IS the state); exactly-once across restarts rides
-    * the checkpoint's batch-id dedup as with any foreachBatch sink.
-    * Synchronous like every form here: drains what's available, then
-    * returns. */
+    * index on disk IS the state). Delivery is AT-LEAST-ONCE: foreachBatch
+    * re-executes an uncommitted micro-batch after a crash, and a plain
+    * parquet append is not idempotent — a failure between the append and
+    * the checkpoint commit can duplicate that one batch's rows (same
+    * codes under the same ids; dedupe on id at read, or use a
+    * transactional table format, if duplicates matter). A PLANNED
+    * restart over a drained feed appends nothing — the checkpoint skips
+    * completed batch ids (the spec pins that case). Synchronous like
+    * every form here: drains what's available, then returns. */
   def ivfPqIngest(spark: SparkSession, srcDir: String,
                   schemaFrom: DataFrame, idCol: String, vecCol: String,
                   indexPath: String, checkpoint: String,

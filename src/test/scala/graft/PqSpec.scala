@@ -234,7 +234,7 @@ class PqSpec extends SparkSpec {
   }
 
   test("streaming ingest keeps the persisted IVFADC index current, and " +
-      "a checkpoint replay is a no-op (exactly-once append)") {
+      "a checkpoint replay of completed batches appends nothing") {
     import org.apache.spark.sql.functions.col
     val base = s"/tmp/graft_ivfpq_stream/${System.nanoTime()}"
     val (idxPath, feed, ckpt) = (s"$base/index", s"$base/feed", s"$base/ckpt")
@@ -256,7 +256,10 @@ class PqSpec extends SparkSpec {
     assert(own.isDefined, s"ingested vector not searchable: ${res.toSeq}")
     assert(own.get == res.map(_._2).min)
     // replaying the drained feed against the same checkpoint appends
-    // nothing — the foreachBatch batch-id dedup contract
+    // nothing — completed batch ids are skipped (NOTE: this is the
+    // planned-restart half of the contract; a crash BETWEEN the append
+    // and the checkpoint commit re-executes that batch — at-least-once,
+    // per the operator's scaladoc)
     streaming.Streams.ivfPqIngest(spark, feed, rest,
       "vec_id", "embedding", idxPath, ckpt)
     assert(spark.read.parquet(s"$idxPath/codes").count() == emb.count(),
