@@ -779,8 +779,14 @@ object Queries {
   // cross-engine rounding guarantee; the rational form ranks the same
   // keywords and is bit-identical in both engines (integer products
   // under one correctly-rounded IEEE division).
+  // maxVocab bounds the vocabulary (top-2^20 by df) — far above any
+  // test-SF vocabulary so the result set is identical to the uncapped
+  // form (the oracle carries no cap), while licensing the broadcast
+  // under TfIdf's gate: an UNbounded vocab would shuffle-join instead
+  // (web-crawl vocabularies are 10⁸⁺ tokens; see TfIdf scaladoc).
   def t13_tfidf(spark: SparkSession, dir: String): DataFrame =
-    operators.TfIdf.topKeywords(t(spark, dir, "documents"), "doc_id", "text", 3)
+    operators.TfIdf.topKeywords(t(spark, dir, "documents"), "doc_id", "text",
+      3, maxVocab = 1 << 20)
       .orderBy($"doc_id", $"rnk")
 
   private val t13_sql =
@@ -797,6 +803,36 @@ object Queries {
       |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
       |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / df.df DESC, tf.tok) AS rnk
       |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+      |SELECT doc_id, rnk, tok, tf, df, score FROM r
+      |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+
+  // ---------------------------------------------------------------- t25
+  // TF-IDF with vocabulary CONTROL (the production form): hapax pruning
+  // (df ≥ 2) + a top-50 most-frequent-token cap — the bounded vocab is
+  // what makes the broadcast safe at crawl scale. Oracle replays the
+  // identical prune + deterministic (df DESC, tok) cap.
+  def t25_tfidf_pruned(spark: SparkSession, dir: String): DataFrame =
+    operators.TfIdf.topKeywords(t(spark, dir, "documents"), "doc_id", "text",
+      3, minDf = 2L, maxVocab = 50)
+      .orderBy($"doc_id", $"rnk")
+
+  private val t25_sql =
+    """WITH tf AS (
+      |  SELECT doc_id, tok, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |        FROM documents)
+      |  GROUP BY doc_id, tok),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |vocab AS (
+      |  SELECT tok, df FROM df WHERE df >= 2
+      |  ORDER BY df DESC, tok LIMIT 50),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |r AS (
+      |  SELECT tf.doc_id, tf.tok, tf.tf, v.df,
+      |    CAST(tf.tf * n.n AS DOUBLE) / v.df AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+      |      ORDER BY CAST(tf.tf * n.n AS DOUBLE) / v.df DESC, tf.tok) AS rnk
+      |  FROM tf JOIN vocab v USING (tok) CROSS JOIN n)
       |SELECT doc_id, rnk, tok, tf, df, score FROM r
       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
@@ -890,6 +926,64 @@ object Queries {
        |    / 10000 AS cov
        |FROM base b LEFT JOIN cov c USING (doc_id)
        |ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t24
+  // Exact substring-span REMOVAL (ExactSubstr, Lee et al. 2022): the
+  // applied form of t16 — excise every 3-gram span occurring in ≥5
+  // distinct docs from the surviving text (overlaps merged into maximal
+  // spans), emitting the cleaned text + per-doc removal accounting.
+  // Census shuffles i64 gram hashes; frequent set broadcasts; the span
+  // merge + rebuild is one codegen pass per row (SpanExcise).
+  def t24_span_removal(spark: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.dupSpanRemove(t(spark, dir, "documents"),
+      "doc_id", "text", n = 3, minDocs = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+
+  private val t24_sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+       |pos AS (
+       |  SELECT doc_id, w,
+       |         unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+       |  FROM toks),
+       |grams AS (
+       |  SELECT doc_id, i, ${Text.duck.ngramHashSql("w", "i", 3)} AS g
+       |  FROM pos),
+       |freq AS (
+       |  SELECT g FROM grams GROUP BY g
+       |  HAVING COUNT(DISTINCT doc_id) >= 5),
+       |cp AS (
+       |  SELECT DISTINCT doc_id, p FROM (
+       |    SELECT gr.doc_id, unnest(generate_series(gr.i, gr.i + 2)) AS p
+       |    FROM grams gr JOIN freq USING (g))),
+       |spans AS (
+       |  SELECT doc_id,
+       |    COUNT(*) FILTER (WHERE prev IS NULL OR p > prev + 1) AS nspans,
+       |    COUNT(*) AS removed
+       |  FROM (SELECT doc_id, p,
+       |          lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+       |        FROM cp)
+       |  GROUP BY doc_id),
+       |tokpos AS (
+       |  SELECT doc_id, w,
+       |         unnest(generate_series(1, len(w))) AS tp
+       |  FROM toks),
+       |clean AS (
+       |  SELECT t.doc_id,
+       |    COALESCE(string_agg(t.w[t.tp], ' ' ORDER BY t.tp)
+       |      FILTER (WHERE c.p IS NULL), '') AS clean_text
+       |  FROM tokpos t LEFT JOIN cp c ON c.doc_id = t.doc_id AND c.p = t.tp
+       |  GROUP BY t.doc_id)
+       |SELECT b.doc_id, len(b.w) AS ntok,
+       |  COALESCE(s.nspans, 0) AS nspans,
+       |  COALESCE(s.removed, 0) AS tok_removed,
+       |  c.clean_text,
+       |  len(b.text) - len(c.clean_text) AS chars_removed
+       |FROM toks b
+       |LEFT JOIN spans s USING (doc_id)
+       |JOIN clean c USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t17
   // Per-source document caps (crawl-corpus domain caps): keep the top-10
@@ -3520,6 +3614,8 @@ object Queries {
     "t21_gopher_rules" -> (t21_gopher_rules _),
     "t22_source_overlap" -> (t22_source_overlap _),
     "t23_temperature_mix" -> (t23_temperature_mix _),
+    "t24_span_removal" -> (t24_span_removal _),
+    "t25_tfidf_pruned" -> (t25_tfidf_pruned _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -3646,6 +3742,8 @@ object Queries {
     "t23_temperature_mix" -> t23_sql,
     "t21_gopher_rules" -> t21_sql,
     "t22_source_overlap" -> t22_sql,
+    "t24_span_removal" -> t24_sql,
+    "t25_tfidf_pruned" -> t25_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

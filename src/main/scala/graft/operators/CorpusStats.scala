@@ -71,4 +71,49 @@ object CorpusStats {
         graft.functions.RF.roundBin(
           coalesce($"ncov", lit(0L)).cast("double") / $"ntok", 4).as("cov"))
   }
+
+  /** Exact substring-span REMOVAL (ExactSubstr, Lee et al. 2022): excise
+    * every word n-gram span occurring in ≥ `minDocs` distinct documents
+    * from the surviving text, instead of dropping whole documents
+    * (`Decontam.clean`) or merely measuring coverage
+    * (`dupSpanCoverage`). Overlapping flagged grams merge into maximal
+    * spans; the uncovered tokens are re-joined with ' '.
+    *
+    * Output per document: (id, ntok, nspans, tok_removed, clean_text,
+    * chars_removed) — token count, maximal merged span count, covered
+    * token count, the cleaned text, characters dropped.
+    *
+    * 100 TB shape: identical to `dupSpanCoverage` — ONE census shuffle
+    * over (hash, partial-count) pairs with map-side combine (grams are
+    * i64 hashes, never strings), the frequent set is a heavy-hitter
+    * broadcast (bounded by total-grams / minDocs), and the only other
+    * shuffle groups flagged START positions per document (≤ ntok ints
+    * per doc — positions never pair up across documents). The span
+    * merge + text rebuild is one codegen pass per row
+    * (`functions.SpanExcise`), O(ntok + n·|starts|). */
+  def dupSpanRemove(corpus: DataFrame, idCol: String, textCol: String,
+                    n: Int, minDocs: Int): DataFrame = {
+    import graft.functions.NgramHashExpr.ngramHashes
+    import graft.functions.SpanExciseExpr.excise
+    val grams = corpus.select(col(idCol).as("id"),
+      posexplode(ngramHashes(col(textCol), n)).as(Seq("i", "g")))
+    val freq = grams.groupBy($"g")
+      .agg(countDistinct($"id").as("nd"))
+      .filter($"nd" >= minDocs)
+      .select($"g")
+    val flagged = grams.join(broadcast(freq), Seq("g"))
+      .groupBy($"id").agg(collect_set($"i").as("starts"))
+    corpus
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(flagged, Seq("id"), "left")
+      .withColumn("x", excise($"text",
+        coalesce($"starts", array().cast("array<int>")), n))
+      .select($"id",
+        size(split($"text", " ")).cast("long").as("ntok"),
+        $"x".getField("nspans").cast("long").as("nspans"),
+        $"x".getField("removed").cast("long").as("tok_removed"),
+        $"x".getField("clean").as("clean_text"),
+        (length($"text") - length($"x".getField("clean")))
+          .cast("long").as("chars_removed"))
+  }
 }

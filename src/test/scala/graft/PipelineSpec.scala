@@ -863,6 +863,43 @@ class PipelineSpec extends SparkSpec {
       (3L, 4L, 0L, 0.0), (4L, 9L, 9L, 1.0)))
   }
 
+  test("dup-span removal: planted spans excised, adjacent hits merge to " +
+      "one maximal span, untouched docs round-trip") {
+    val c = Seq(
+      (0L, "a b c d e"),            // "a b c" frequent → excise tokens 0-2
+      (1L, "a b c x y"),
+      (2L, "a b c z w"),
+      (3L, "p q r s"),              // no frequent gram → verbatim
+      (4L, "a b c a b c a b c")     // hits at 0,3,6 tile → ONE merged span
+    ).toDF("doc_id", "text")
+    val got = operators.CorpusStats
+      .dupSpanRemove(c, "doc_id", "text", n = 3, minDocs = 3)
+      .orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (0L, 5L, 1L, 3L, "d e", 6L),
+      (1L, 5L, 1L, 3L, "x y", 6L),
+      (2L, 5L, 1L, 3L, "z w", 6L),
+      (3L, 4L, 0L, 0L, "p q r s", 0L),
+      (4L, 9L, 1L, 9L, "", 17L)))
+  }
+
+  test("dup-span removal: OVERLAPPING frequent grams merge into one span") {
+    // both "a b c" (pos 0) and "b c d" (pos 1) are in all 3 docs →
+    // intervals [0,2] and [1,3] overlap → single span covering 0-3
+    val c = Seq(
+      (0L, "a b c d x"), (1L, "a b c d y"), (2L, "a b c d z")
+    ).toDF("doc_id", "text")
+    val got = operators.CorpusStats
+      .dupSpanRemove(c, "doc_id", "text", n = 3, minDocs = 3)
+      .orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    assert(got.toSeq == Seq(
+      (0L, 1L, 4L, "x"), (1L, 1L, 4L, "y"), (2L, 1L, 4L, "z")))
+  }
+
   test("knn join: each query's block equals the single-query brute force") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),

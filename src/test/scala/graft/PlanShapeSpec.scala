@@ -202,4 +202,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(count(p, "Arguments: hashpartitioning") == 1,
       s"range frames must ride one partition shuffle:\n$p")
   }
+
+  test("TfIdf vocabulary gate: a bounded vocab carries the broadcast " +
+      "hint; an unbounded vocab leaves the join to the optimizer") {
+    import spark.implicits._
+    val docs = Seq((0L, "a b c"), (1L, "a b d"), (2L, "a c e"))
+      .toDF("doc_id", "text")
+    // threshold -1 disables STATS-based broadcast, isolating the hint:
+    // the gated (bounded) call must still broadcast, the unbounded call
+    // must be free to shuffle-join (the crawl-scale OOM guard)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gated = operators.TfIdf
+        .topKeywords(docs, "doc_id", "text", 3, maxVocab = 10)
+        .queryExecution.explainString(FormattedMode)
+      assert(gated.contains("BroadcastHashJoin"),
+        s"bounded vocab must broadcast:\n$gated")
+      val open = operators.TfIdf.topKeywords(docs, "doc_id", "text", 3)
+        .queryExecution.explainString(FormattedMode)
+      assert(!open.contains("BroadcastHashJoin"),
+        s"unbounded vocab must not force a broadcast:\n$open")
+      val overCap = operators.TfIdf.topKeywords(docs, "doc_id", "text", 3,
+          maxVocab = operators.TfIdf.maxBroadcastVocab + 1)
+        .queryExecution.explainString(FormattedMode)
+      assert(!overCap.contains("BroadcastHashJoin"),
+        s"an over-cap vocab bound must not force a broadcast:\n$overCap")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
 }
