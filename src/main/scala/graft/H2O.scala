@@ -55,6 +55,10 @@ object H2O {
     // overhead on sub-second in-memory inputs (the group-by family) — off
     // by default here; the join/wj sections re-enable it (skew handling).
     val aqeGroupBy = sys.env.getOrElse("SPARK_GRAFT_H2O_AQE", "false")
+    // per-run artifact (h2o_last.json): every timed query + the env it
+    // ran under, so cross-session variance (JIT/page-cache state) is
+    // auditable instead of a README claim
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufP)
@@ -112,6 +116,7 @@ object H2O {
         val best = ts.map(_._1).min
         val rows = rayfall.Rayfall.query(q, Map("t" -> t)).count()
         println(f"[h2o] $name ${best}%.1f ms ($rows groups)")
+        results(name) = best
         name -> best
       }
       spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -149,7 +154,9 @@ object H2O {
       rayfall.Rayfall.query(q, Map("x" -> x, "y" -> y)).count()
       val t0 = System.nanoTime()
       val rows = rayfall.Rayfall.query(q, Map("x" -> x, "y" -> y)).count()
-      println(f"[h2o] $name ${(System.nanoTime() - t0) / 1e6}%.1f ms ($rows rows)")
+      val ms = (System.nanoTime() - t0) / 1e6
+      results(name) = ms
+      println(f"[h2o] $name $ms%.1f ms ($rows rows)")
     }
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
     x.unpersist(); y.unpersist()
@@ -179,8 +186,22 @@ object H2O {
     val t0 = System.nanoTime()
     val rows = operators.WindowJoin.windowJoinSliding(
       trades, quotes, Seq("Sym"), "Ts", -1000L, 1000L, wjAggs).count()
-    println(f"[h2o] wj1 ${(System.nanoTime() - t0) / 1e6}%.1f ms ($rows rows, n=$wn)")
+    val ms = (System.nanoTime() - t0) / 1e6
+    results("wj1") = ms
+    println(f"[h2o] wj1 $ms%.1f ms ($rows rows, n=$wn)")
     }
+    val qJson = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.1f" }
+      .mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"h2o_ms","n":$n,"cpus":$cpus,"reps":$reps,""" +
+      s""""shuffle":$shufP,"sections":"${sections.toSeq.sorted.mkString("+")}",""" +
+      s""""jvm":"${System.getProperty("java.version")}",""" +
+      s""""timing":"best-of-$reps per group-by after shared JIT warm-up; """ +
+      s"""joins/wj single timed run after one warm run",""" +
+      s""""queries":$qJson}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("h2o_last.json"), json)
+    println(s"[h2o] wrote h2o_last.json")
     spark.stop()
   }
 }

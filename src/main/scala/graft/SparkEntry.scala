@@ -836,6 +836,65 @@ object Queries {
       |SELECT doc_id, rnk, tok, tf, df, score FROM r
       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- t26
+  // Trained linear quality classifier (model-based quality filtering,
+  // the fastText/CCNet-style pipeline stage): score every document with
+  // the in-repo-fit logistic-family model over the t02/t11/t21 signal
+  // columns. Weights are the spec-pinned constants; the link is the
+  // ALGEBRAIC sigmoid (no libm) and every feature is an exact rational
+  // of integer counts, so the oracle replays the full chain bit-exactly.
+  def t26_quality_model(spark: SparkSession, dir: String): DataFrame =
+    operators.QualityClassifier.score(t(spark, dir, "documents"),
+      "doc_id", "text")
+      .select($"doc_id", $"pred", RF.roundBin($"score", 6).as("score"))
+      .orderBy($"doc_id")
+
+  private val t26_sql = {
+    val w = operators.QualityClassifier.defaultWeights
+    val punct =
+      """CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / length(text) END""".stripMargin
+    val stop =
+      s"""CASE WHEN len(ws) = 0 THEN 0.0 ELSE
+         |    CAST(len(list_filter(ws, x -> x IN ($t02_stop))) AS DOUBLE)
+         |      / len(ws) END""".stripMargin
+    s"""WITH toks AS (
+       |  SELECT doc_id, text, string_split(text, ' ') AS ws FROM documents),
+       |pos AS (
+       |  SELECT doc_id, ws AS w,
+       |         unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+       |  FROM toks),
+       |grams AS (
+       |  SELECT doc_id, ${Text.duck.ngramHashSql("w", "i", 2)} AS g
+       |  FROM pos),
+       |cnt AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY doc_id, g),
+       |rep AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS nbig,
+       |               CAST(MAX(c) AS BIGINT) AS topc, COUNT(*) AS ndist
+       |        FROM cnt GROUP BY doc_id),
+       |feat AS (
+       |  SELECT t.doc_id,
+       |    least(CAST(len(ws) AS DOUBLE) / 200, 1.0) AS f1,
+       |    $punct AS f2,
+       |    $stop AS f3,
+       |    CASE WHEN r.nbig IS NULL THEN 0.0
+       |         ELSE CAST(r.nbig - r.ndist AS DOUBLE) / r.nbig END AS f4,
+       |    CASE WHEN r.nbig IS NULL THEN 0.0
+       |         ELSE CAST(r.topc AS DOUBLE) / r.nbig END AS f5,
+       |    CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS f6
+       |  FROM toks t LEFT JOIN rep r USING (doc_id)),
+       |z AS (
+       |  SELECT doc_id,
+       |    ${w(0)} * 1.0 + ${w(1)} * f1 + ${w(2)} * f2 + ${w(3)} * f3
+       |      + ${w(4)} * f4 + ${w(5)} * f5 + ${w(6)} * f6 AS z
+       |  FROM feat)
+       |SELECT doc_id,
+       |  CAST(CASE WHEN z >= 0 THEN 1 ELSE 0 END AS BIGINT) AS pred,
+       |  floor((0.5 + z / (2 * (1 + abs(z)))) * 1000000 + 0.5) / 1000000
+       |    AS score
+       |FROM z ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- t14
   // Corpus-level 3-gram frequency census (boilerplate / template
   // detection): top-20 gram hashes by total occurrences with distinct
@@ -3616,6 +3675,7 @@ object Queries {
     "t23_temperature_mix" -> (t23_temperature_mix _),
     "t24_span_removal" -> (t24_span_removal _),
     "t25_tfidf_pruned" -> (t25_tfidf_pruned _),
+    "t26_quality_model" -> (t26_quality_model _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -3744,6 +3804,7 @@ object Queries {
     "t22_source_overlap" -> t22_sql,
     "t24_span_removal" -> t24_sql,
     "t25_tfidf_pruned" -> t25_sql,
+    "t26_quality_model" -> t26_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

@@ -18,6 +18,23 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * the reference's monomorphic SIMD kernels,
   * `/root/reference/core/math.c`, autovectorized by JIT).
   */
+/** Input validation shared by the SQL-exposed kernels (adc_lookup,
+  * sq8_codes, sq8_dot, array_sub, nearest_centroid[_l2]): arbitrary SQL
+  * can hand them containsNull=true arrays or mismatched dimensions, and
+  * UnsafeArrayData reads a null slot as garbage bytes — fail fast with
+  * the offending operand instead (the HOF forms these kernels are
+  * pinned against error under ANSI element_at on the same inputs). */
+private[functions] object KernelChecks {
+  def nullElem(fn: String, operand: String, i: Int): Nothing =
+    throw new IllegalArgumentException(
+      s"$fn: null $operand element at index $i")
+  def sameLen(fn: String, n: Int, mins: ArrayData, maxs: ArrayData): Unit =
+    if (mins.numElements() != n || maxs.numElements() != n)
+      throw new IllegalArgumentException(
+        s"$fn: vector/ranges dimension mismatch (vec $n, " +
+          s"mins ${mins.numElements()}, maxs ${maxs.numElements()})")
+}
+
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -117,10 +134,14 @@ object NearestCentroid {
     var bestCell = 0
     var c = 0
     while (c < n) {
+      if (cents.isNullAt(c))
+        KernelChecks.nullElem("nearest_centroid", "centroid", c)
       val cv = cents.getArray(c)
       val m = math.min(v.numElements(), cv.numElements())
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
       while (i < m) {
+        if (v.isNullAt(i) || cv.isNullAt(i))
+          KernelChecks.nullElem("nearest_centroid", "vector", i)
         val x = v.getDouble(i); val y = cv.getDouble(i)
         dot += x * y; na += x * x; nb += y * y; i += 1
       }
@@ -177,6 +198,8 @@ object NearestCentroidL2 {
     var bestCell = 0
     var c = 0
     while (c < n) {
+      if (cents.isNullAt(c))
+        KernelChecks.nullElem("nearest_centroid_l2", "centroid", c)
       val cv = cents.getArray(c)
       val d2 = dist2(v, cv)
       if (java.lang.Double.compare(d2, best) < 0) { best = d2; bestCell = c }
@@ -190,6 +213,8 @@ object NearestCentroidL2 {
     val m = math.min(v.numElements(), cv.numElements())
     var s = 0.0; var i = 0
     while (i < m) {
+      if (v.isNullAt(i) || cv.isNullAt(i))
+        KernelChecks.nullElem("nearest_centroid_l2", "vector", i)
       val d = v.getDouble(i) - cv.getDouble(i)
       s += d * d; i += 1
     }
@@ -324,20 +349,24 @@ object AdcLookup {
     if (m == 0) return 0.0
     val n = table.numElements()
     val kSub = n / m
-    // bounds-check every code: the function is SQL-exposed (adc_lookup)
-    // and UnsafeArrayData.getDouble would otherwise silently read
-    // arbitrary row-buffer bytes for an out-of-range index. The branch
-    // is perfectly predicted on the in-range hot path.
+    // bounds- and null-check every element: the function is SQL-exposed
+    // (adc_lookup) and UnsafeArrayData.getInt/getDouble would otherwise
+    // silently read arbitrary row-buffer bytes for an out-of-range index
+    // or garbage for a null slot. The branches are perfectly predicted
+    // on the valid hot path.
     if (kSub * m != n)
       throw new IllegalArgumentException(
         s"adc_lookup: table size $n not divisible by code count $m")
     var s = 0.0; var i = 0
     while (i < m) {
+      if (codes.isNullAt(i)) KernelChecks.nullElem("adc_lookup", "codes", i)
       val c = codes.getInt(i)
       if (c < 0 || c >= kSub)
         throw new IllegalArgumentException(
           s"adc_lookup: code $c out of range [0, $kSub) at subspace $i")
-      s += table.getDouble(i * kSub + c)
+      val idx = i * kSub + c
+      if (table.isNullAt(idx)) KernelChecks.nullElem("adc_lookup", "table", idx)
+      s += table.getDouble(idx)
       i += 1
     }
     s
@@ -381,10 +410,14 @@ case class Sq8Codes(left: Expression, right: Expression)
 object Sq8Codes {
   def encode(v: ArrayData, pack: ArrayData): ArrayData = {
     val mins = pack.getArray(0); val maxs = pack.getArray(1)
-    val n = math.min(v.numElements(), mins.numElements())
+    val n = v.numElements()
+    KernelChecks.sameLen("sq8_codes", n, mins, maxs)
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
+      if (v.isNullAt(i)) KernelChecks.nullElem("sq8_codes", "vector", i)
+      if (mins.isNullAt(i) || maxs.isNullAt(i))
+        KernelChecks.nullElem("sq8_codes", "ranges", i)
       val mn = mins.getDouble(i); val mx = maxs.getDouble(i)
       out(i) = if (mx == mn) 0L
         else math.floor((v.getDouble(i) - mn) / (mx - mn) * 255d + 0.5d).toLong
@@ -400,11 +433,15 @@ object Sq8Codes {
     * greatest — Double.compare does the same here). */
   def maxErr(v: ArrayData, pack: ArrayData): Any = {
     val mins = pack.getArray(0); val maxs = pack.getArray(1)
-    val n = math.min(v.numElements(), mins.numElements())
+    val n = v.numElements()
+    KernelChecks.sameLen("sq8_max_err", n, mins, maxs)
     if (n == 0) return null
     var worst = Double.NegativeInfinity
     var i = 0
     while (i < n) {
+      if (v.isNullAt(i)) KernelChecks.nullElem("sq8_max_err", "vector", i)
+      if (mins.isNullAt(i) || maxs.isNullAt(i))
+        KernelChecks.nullElem("sq8_max_err", "ranges", i)
       val mn = mins.getDouble(i); val mx = maxs.getDouble(i)
       val err = if (mx == mn) math.abs(v.getDouble(i) - mn) else {
         val c = math.floor((v.getDouble(i) - mn) / (mx - mn) * 255d + 0.5d)
@@ -487,10 +524,17 @@ case class ArraySub(left: Expression, right: Expression)
 
 object ArraySub {
   def sub(a: ArrayData, b: ArrayData): ArrayData = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"array_sub: input lengths differ ($n vs ${b.numElements()})")
     val out = new Array[Double](n)
     var i = 0
-    while (i < n) { out(i) = a.getDouble(i) - b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i))
+        KernelChecks.nullElem("array_sub", "input", i)
+      out(i) = a.getDouble(i) - b.getDouble(i); i += 1
+    }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }
@@ -503,9 +547,16 @@ object Sq8Dot {
     val mins = pack.getArray(0)
     val maxs = pack.getArray(1)
     val qd = pack.getArray(2)
-    val n = math.min(v.numElements(), qd.numElements())
+    val n = v.numElements()
+    KernelChecks.sameLen("sq8_dot", n, mins, maxs)
+    if (qd.numElements() != n)
+      throw new IllegalArgumentException(
+        s"sq8_dot: vector/query dimension mismatch ($n vs ${qd.numElements()})")
     var s = 0.0; var i = 0
     while (i < n) {
+      if (v.isNullAt(i)) KernelChecks.nullElem("sq8_dot", "vector", i)
+      if (mins.isNullAt(i) || maxs.isNullAt(i) || qd.isNullAt(i))
+        KernelChecks.nullElem("sq8_dot", "pack", i)
       val mn = mins.getDouble(i); val mx = maxs.getDouble(i)
       val deq = if (mx == mn) mn else {
         val c = math.floor((v.getDouble(i) - mn) / (mx - mn) * 255d + 0.5d)

@@ -26,10 +26,32 @@ import graft.rayfall.Rayfall._
   * i64); symbol and char vectors both decode to strings (symbols and
   * strings share one repr here, SURVEY §1.2); tables decode to driver
   * `VTab`s via `tableFromValues` and encode within the same
-  * driver-value bound as `valueText`. Compression (msg byte 2 = 1) and
-  * the temporal/guid/byte types are NOT implemented — frames using
-  * them raise. */
+  * driver-value bound as `valueText`.
+  *
+  * Temporal/guid/byte wire types (layouts per the public protocol and
+  * `ext/raykx/serde.c:331-470`): date 14 (i32 days from 2000.01.01) ↔
+  * `LocalDate`; month 13 (i32 months from 2000.01) → first-of-month
+  * `LocalDate`; timestamp 12 (i64 ns from 2000.01.01) → epoch-1970
+  * nanos long (this engine's TIMESTAMP convention — the reference
+  * bridge retags the raw value because its native epoch is also 2000,
+  * serde.c:342-345); time 19 (i32 ms) → millis long (the TIME
+  * convention); minute 17 / second 18 → millis long via ×60000/×1000
+  * (the reference retags raw, serde.c:358-364 — here the instant is
+  * preserved instead); timespan 16 (i64 ns) → nanos long; real 8
+  * (f32) → double; byte 4 (u8) → long 0-255; guid 2 (16 B big-endian)
+  * → canonical UUID string. Temporal/guid atoms other than dates
+  * decode to plain longs/strings (one-repr value model), so they
+  * re-encode as long/string — same one-way widening as kdb
+  * shorts/ints. Legacy datetime 15 is skipped to null like the
+  * reference (serde.c:366-371). Compression (msg byte 2 = 1) is NOT
+  * implemented — compressed frames raise. */
 object KdbSerde {
+
+  /** kdb epoch 2000.01.01 as an epoch-1970 day / nanosecond offset. */
+  private[kx] val epochDate = java.time.LocalDate.of(2000, 1, 1)
+  private[kx] val epochMonth = epochDate
+  private[kx] val kdbEpochDay: Long = epochDate.toEpochDay // 10957
+  private[kx] val kdbEpochNanos: Long = kdbEpochDay * 86400L * 1000000000L
 
   // ------------------------------------------------------------ encode
 
@@ -50,6 +72,10 @@ object KdbSerde {
     case VAtom(l: java.lang.Long) => w.u8(0xf9); w.i64(l)
     case VAtom(i: java.lang.Integer) => w.u8(0xf9); w.i64(i.longValue)
     case VAtom(d: java.lang.Double) => w.u8(0xf7); w.f64(d)
+    case VAtom(d: java.time.LocalDate) => // date atom −14, days from 2000.01.01
+      w.u8(0xf2); w.i32((d.toEpochDay - KdbSerde.kdbEpochDay).toInt)
+    case VAtom(d: java.sql.Date) =>
+      w.u8(0xf2); w.i32((d.toLocalDate.toEpochDay - KdbSerde.kdbEpochDay).toInt)
     case VAtom(s: String) => // char vector (string)
       val b = s.getBytes("UTF-8")
       w.u8(10); w.u8(0); w.i32(b.length); w.bytes(b)
@@ -65,6 +91,15 @@ object KdbSerde {
     case VVec(xs) if xs.nonEmpty && xs.forall(_.isInstanceOf[String]) =>
       w.u8(11); w.u8(0); w.i32(xs.length)
       xs.foreach(x => w.sym(x.asInstanceOf[String]))
+    case VVec(xs) if xs.nonEmpty &&
+        xs.forall(_.isInstanceOf[java.time.LocalDate]) =>
+      w.u8(14); w.u8(0); w.i32(xs.length) // date vector
+      xs.foreach(x => w.i32((x.asInstanceOf[java.time.LocalDate].toEpochDay
+        - KdbSerde.kdbEpochDay).toInt))
+    case VVec(xs) if xs.nonEmpty && xs.forall(_.isInstanceOf[java.sql.Date]) =>
+      w.u8(14); w.u8(0); w.i32(xs.length)
+      xs.foreach(x => w.i32((x.asInstanceOf[java.sql.Date].toLocalDate
+        .toEpochDay - KdbSerde.kdbEpochDay).toInt))
     case VVec(xs) => // mixed → general list
       w.u8(0); w.u8(0); w.i32(xs.length)
       xs.foreach {
@@ -133,6 +168,15 @@ object KdbSerde {
     }
   }
 
+  /** 16 wire bytes (big-endian, the kdb guid layout) → canonical
+    * 8-4-4-4-12 UUID string — guids are strings in this value model. */
+  private def guidString(r: R): String = {
+    val b = new Array[Byte](16)
+    (0 until 16).foreach(i => b(i) = r.u8().toByte)
+    val bb = java.nio.ByteBuffer.wrap(b)
+    new java.util.UUID(bb.getLong, bb.getLong).toString
+  }
+
   private def readObj(spark: org.apache.spark.sql.SparkSession,
                       r: R): RVal = {
     val t = r.i8()
@@ -147,6 +191,19 @@ object KdbSerde {
       case -9 => VAtom(java.lang.Double.valueOf(r.f64()))
       case -10 => VAtom(new String(Array(r.u8().toByte), "UTF-8"))
       case -11 => VAtom(r.sym())
+      case -12 => // timestamp: ns from 2000.01.01 → epoch-1970 nanos
+        VAtom(java.lang.Long.valueOf(r.i64() + KdbSerde.kdbEpochNanos))
+      case -13 => // month: months from 2000.01 → first-of-month date
+        VAtom(KdbSerde.epochMonth.plusMonths(r.i32().toLong))
+      case -14 => VAtom(KdbSerde.epochDate.plusDays(r.i32().toLong))
+      case -15 => r.f64(); VAtom(null) // legacy datetime: skipped
+      case -16 => VAtom(java.lang.Long.valueOf(r.i64())) // timespan ns
+      case -17 => // minute → millis (TIME convention)
+        VAtom(java.lang.Long.valueOf(r.i32().toLong * 60000L))
+      case -18 => // second → millis
+        VAtom(java.lang.Long.valueOf(r.i32().toLong * 1000L))
+      case -19 => VAtom(java.lang.Long.valueOf(r.i32().toLong)) // time ms
+      case -2 => VAtom(KdbSerde.guidString(r))
       case -128 => throw new RayfallError(s"kx remote error: ${r.sym()}")
       case 0 =>
         r.u8(); val n = r.i32()
@@ -177,6 +234,43 @@ object KdbSerde {
       case 11 =>
         r.u8(); val n = r.i32()
         VVec(Vector.fill(n)(r.sym(): Any))
+      case 2 => // guid vector
+        r.u8(); val n = r.i32()
+        VVec(Vector.fill(n)(KdbSerde.guidString(r): Any))
+      case 4 => // byte vector → longs 0-255
+        r.u8(); val n = r.i32()
+        VVec(Vector.fill(n)(java.lang.Long.valueOf(r.u8().toLong): Any))
+      case 8 => // real (f32) vector → doubles
+        r.u8(); val n = r.i32()
+        VVec(Vector.fill(n)(java.lang.Double.valueOf(r.f32().toDouble): Any))
+      case 12 =>
+        r.u8(); val n = r.i32()
+        VVec(Vector.fill(n)(
+          java.lang.Long.valueOf(r.i64() + KdbSerde.kdbEpochNanos): Any))
+      case 13 =>
+        r.u8(); val n = r.i32()
+        VVec(Vector.fill(n)(
+          KdbSerde.epochMonth.plusMonths(r.i32().toLong): Any))
+      case 14 =>
+        r.u8(); val n = r.i32()
+        VVec(Vector.fill(n)(KdbSerde.epochDate.plusDays(r.i32().toLong): Any))
+      case 15 =>
+        r.u8(); val n = r.i32()
+        VVec(Vector.fill(n) { r.f64(); null: Any }) // legacy datetime
+      case 16 =>
+        r.u8(); val n = r.i32()
+        VVec(Vector.fill(n)(java.lang.Long.valueOf(r.i64()): Any))
+      case 17 =>
+        r.u8(); val n = r.i32()
+        VVec(Vector.fill(n)(
+          java.lang.Long.valueOf(r.i32().toLong * 60000L): Any))
+      case 18 =>
+        r.u8(); val n = r.i32()
+        VVec(Vector.fill(n)(
+          java.lang.Long.valueOf(r.i32().toLong * 1000L): Any))
+      case 19 =>
+        r.u8(); val n = r.i32()
+        VVec(Vector.fill(n)(java.lang.Long.valueOf(r.i32().toLong): Any))
       case 99 =>
         val keys = readObj(spark, r)
         val vals = readObj(spark, r)
@@ -195,8 +289,7 @@ object KdbSerde {
           case x => throw new IllegalArgumentException(s"kx: bad table body $x")
         }
       case x => throw new IllegalArgumentException(
-        s"kx: unsupported wire type $x (compression and temporal/guid " +
-          "types are not implemented)")
+        s"kx: unsupported wire type $x")
     }
   }
 

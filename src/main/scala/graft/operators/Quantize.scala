@@ -27,6 +27,16 @@ import graft.StringToColumn
   */
 object Quantize {
 
+  /** Driver-side fetch of ONE query vector from a (id, v) projection,
+    * failing fast with the missing id (adcKnnJoin's error shape) instead
+    * of a bare NoSuchElementException from `.head`. */
+  private[operators] def queryVector(sel: org.apache.spark.sql.DataFrame,
+                                     fn: String, queryId: Long): Seq[Double] = {
+    val rows = sel.limit(1).collect()
+    require(rows.nonEmpty, s"$fn: query id $queryId not in the corpus")
+    rows.head.getSeq[Double](0)
+  }
+
   /** Per-dimension (min, max) of an array<float/double> column,
     * as driver-side arrays indexed by 0-based dimension. */
   def dimensionRanges(df: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
@@ -96,8 +106,8 @@ object Quantize {
     import graft.functions.VectorExprs.sq8Dot
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val qv = v.filter(col("id") === queryId).select(col("v"))
-      .collect().head.getSeq[Double](0)
+    val qv = queryVector(v.filter(col("id") === queryId).select(col("v")),
+      "sq8TopK", queryId)
     // one fused codegen pass per row (quantize→dequantize→dot); the
     // stacked transform/transform/dot column form is CodegenFallback
     // twice over — 8× slower at the 100× probe, same bits out
@@ -220,8 +230,8 @@ object Pq {
               books0: Option[Array[Array[(Int, Seq[Double])]]] = None): DataFrame = {
     val books = books0.getOrElse(fitCodebooks(df, idCol, vecCol, m, kSub, iters))
     val enc = encode(df, idCol, vecCol, books)
-    val qv = enc.filter(col("id") === queryId).select(col("v"))
-      .collect().head.getSeq[Double](0)
+    val qv = Quantize.queryVector(
+      enc.filter(col("id") === queryId).select(col("v")), "adcTopK", queryId)
     enc.filter(col("id") =!= queryId)
       .select(col("id"), adcDistance(col("codes"), qv, books).as("adc"))
       .orderBy(col("adc"), col("id"))
@@ -338,9 +348,8 @@ object Pq {
                 queryId: Long, k: Int, nProbe: Int,
                 ix: IvfPqModel): DataFrame = {
     val enc = encodeIvfPq(df, idCol, vecCol, ix)
-    val qv = df.filter(col(idCol) === queryId)
-      .select(col(vecCol).cast("array<double>"))
-      .collect().head.getSeq[Double](0)
+    val qv = Quantize.queryVector(df.filter(col(idCol) === queryId)
+      .select(col(vecCol).cast("array<double>")), "ivfPqTopK", queryId)
     val probed = probeCells(qv, ix, nProbe)
     enc.filter(col("cell").isin(probed.map(x => x: Any): _*))
       .filter(col("id") =!= queryId)
@@ -383,7 +392,7 @@ object Pq {
   def loadIvfPqModel(spark: org.apache.spark.sql.SparkSession,
                      path: String): IvfPqModel = {
     Seq("coarse", "books").foreach { part =>
-      require(new java.io.File(s"$path/$part").isDirectory,
+      require(Similarity.fsDirExists(spark, s"$path/$part"),
         s"no IVFADC index at $path (missing $path/$part — " +
           "build one with buildIvfPqIndex first)")
     }
@@ -490,8 +499,9 @@ object Pq {
     require(shortlist >= k, "shortlist must cover k")
     val books = books0.getOrElse(fitCodebooks(df, idCol, vecCol, m, kSub, iters))
     val enc = encode(df, idCol, vecCol, books)
-    val qv = enc.filter(col("id") === queryId).select(col("v"))
-      .collect().head.getSeq[Double](0)
+    val qv = Quantize.queryVector(
+      enc.filter(col("id") === queryId).select(col("v")),
+      "adcRerankTopK", queryId)
     val cand = enc.filter(col("id") =!= queryId)
       .select(col("id"), adcDistance(col("codes"), qv, books).as("adc"))
       .orderBy(col("adc"), col("id")).limit(shortlist)

@@ -15,6 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** True iff `path` is a directory on its OWN filesystem — resolved
+    * through the Hadoop FileSystem API so HDFS/S3/file: index paths all
+    * validate (a java.io.File check would spuriously reject any
+    * non-local URI even though the index is written through Spark). */
+  private[operators] def fsDirExists(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
+  }
+
   /** Cosine similarity of two double-array columns (left-to-right
     * summation — deterministic and identical in DuckDB's
     * list_cosine_similarity). Uses the codegen'd DotProduct expression:
@@ -258,8 +269,8 @@ object Similarity {
     val cents = cents0.getOrElse(lloyd(v, centroidRows(v, nCells), lloydIters))
     val assigned = assignCells(v, cents)
     // the query's nProbe nearest cells — nCells candidates, driver-side
-    val qv = v.filter(col("id") === queryId).select(col("v"))
-      .collect().head.getSeq[Double](0)
+    val qv = Quantize.queryVector(
+      v.filter(col("id") === queryId).select(col("v")), "ivfTopK", queryId)
     val probed = cents
       .map { case (cell, cv) => (cell, cosineLocal(qv, cv)) }
       .sortBy { case (cell, sim) => (-sim, cell) }
@@ -322,8 +333,7 @@ object Similarity {
   def appendToIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                        path: String): Unit = {
     val spark = df.sparkSession
-    val centDir = new java.io.File(s"$path/centroids")
-    require(centDir.isDirectory,
+    require(fsDirExists(spark, s"$path/centroids"),
       s"appendToIvfIndex: no IVF index at $path (missing $path/centroids — " +
         "build one with writeIvfIndex first)")
     // select by NAME: the on-disk column order is a writer detail

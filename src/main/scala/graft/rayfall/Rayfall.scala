@@ -1729,6 +1729,11 @@ object Rayfall {
       // parsed AST in the CURRENT environment; load runs a script file
       // (a trailing-"/" path instead loads a stored object and binds it
       // under the file name, io.c:1063-1080).
+      // (quote expr) — the FN_SPECIAL_FORM (reference core/env.c:124,
+      // core/misc.c:90 ray_quote = clone of the UNevaluated argument):
+      // returns the parse tree as a first-class code value, eval's
+      // inverse — (eval (quote e)) ≡ e. 'sym literals stay RQuote.
+      case RList(RSym("quote") :: x :: Nil) => VExprs(List(x))
       case RList(RSym("parse") :: s :: Nil) =>
         ev(s) match {
           case VAtom(src: String) => VExprs(parseAll(src))
@@ -1806,6 +1811,14 @@ object Rayfall {
         VAtom(null)
       case RList(RSym("show" | "println") :: args) =>
         args.map(ev).foreach(v => out ++= render(v) += '\n')
+        VAtom(null)
+      // (print …) — println without the trailing newline (reference
+      // ray_print vs ray_println, core/vary.c:115,127)
+      case RList(RSym("print") :: RStr(f) :: args) =>
+        out ++= fmt(f, args.map(ev))
+        VAtom(null)
+      case RList(RSym("print") :: args) =>
+        args.map(ev).foreach(v => out ++= render(v))
         VAtom(null)
       // lambda values, local bindings, string formatting (reference
       // core/lambda.c, examples/fib.rfl, examples/parted.rfl); bodies may
@@ -2487,6 +2500,12 @@ object Rayfall {
         case VAtom(x0) => VVec(Vector(x0))
         case other => other
       }
+      // (unify x) — diverse's inverse: a LIST of same-type atoms becomes
+      // a typed vector, anything else passes through (reference
+      // core/compose.c:1089 → rayforce.c:583 unify_list). This value
+      // model has no atom-list vs typed-vector representation split
+      // (VVec is both), so unify, like diverse, is content-identity.
+      case RList(RSym("unify") :: x :: Nil) => ev(x)
 
       // storage forms (reference set-splayed/get-splayed/get-parted,
       // core/io.c:1194, core/vary.c:176; examples/parted.rfl). The third

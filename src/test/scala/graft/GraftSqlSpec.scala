@@ -100,6 +100,34 @@ class GraftSqlSpec extends SparkSpec {
     assert(r2.getDouble(3) == 10.0)       // deq = [10, 0] · [1, 1]
   }
 
+  test("SQL-exposed kernels fail fast on null elements and dimension " +
+      "mismatches instead of misreading row-buffer bytes") {
+    Graft.enableSql(spark)
+    def boom(sql: String, msg: String): Unit = {
+      val e = intercept[Exception](spark.sql(s"SELECT $sql").collect())
+      def all(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "|" + all(t.getCause)
+      assert(all(e).contains(msg), s"for $sql got ${all(e)}")
+    }
+    // null elements: each kernel names the offending operand
+    boom("adc_lookup(array(0, NULL), array(1.0d, 2.0d, 3.0d, 4.0d))",
+      "null codes element")
+    boom("array_sub(array(1.0d, NULL), array(1.0d, 2.0d))",
+      "null input element")
+    boom("sq8_codes(array(1.0d, NULL), array(array(0.0d, 0.0d), array(1.0d, 1.0d)))",
+      "null vector element")
+    boom("sq8_dot(array(1.0d, NULL), array(array(0.0d, 0.0d), array(1.0d, 1.0d), array(0.5d, 0.5d)))",
+      "null vector element")
+    boom("nearest_centroid_l2(array(1.0d, NULL), array(array(0.0d, 0.0d)))",
+      "null vector element")
+    // dimension mismatch: fail like the ANSI element_at HOF forms would
+    boom("array_sub(array(1.0d), array(1.0d, 2.0d))", "lengths differ")
+    boom("sq8_codes(array(1.0d), array(array(0.0d, 0.0d), array(1.0d, 1.0d)))",
+      "dimension mismatch")
+    boom("sq8_dot(array(1.0d), array(array(0.0d, 0.0d), array(1.0d, 1.0d), array(0.5d, 0.5d)))",
+      "dimension mismatch")
+  }
+
   test("bootstrap registers tables for SQL use") {
     Graft.bootstrap(spark, sf)
     val n = spark.sql("SELECT COUNT(*) FROM lineitem").collect().head.getLong(0)

@@ -63,6 +63,72 @@ class KxSpec extends SparkSpec {
     }
   }
 
+  test("temporal/guid/byte/real wire types decode per the serde.c " +
+      "layouts; dates encode back (ext/raykx/serde.c:331-470)") {
+    def frame(bodyHex: String): Array[Byte] = {
+      val body = bodyHex.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+      val n = 8 + body.length
+      (Array(1, 0, 0, 0, n, n >> 8, n >> 16, n >> 24).map(_.toByte) ++ body)
+    }
+    def dec(bodyHex: String): RVal = KdbSerde.decodeMsg(spark, frame(bodyHex))._2
+    // timestamp −12: i64 ns from 2000.01.01 → epoch-1970 nanos
+    // (1e9 ns past the kdb epoch = 946684801000000000)
+    assert(dec("f4" + "00ca9a3b00000000") ==
+      VAtom(946684801000000000L))
+    // date −14: 1 day past 2000.01.01
+    assert(dec("f2" + "01000000") ==
+      VAtom(java.time.LocalDate.of(2000, 1, 2)))
+    // month −13: 25 months past 2000.01 → 2002-02-01
+    assert(dec("f3" + "19000000") ==
+      VAtom(java.time.LocalDate.of(2002, 2, 1)))
+    // time −19 (ms), second −18 (→ms), minute −17 (→ms), timespan −16 (ns)
+    assert(dec("ed" + "e8030000") == VAtom(1000L))
+    assert(dec("ee" + "1e000000") == VAtom(30000L))
+    assert(dec("ef" + "5a000000") == VAtom(5400000L))
+    assert(dec("f0" + "7b00000000000000") == VAtom(123L))
+    // legacy datetime −15 skips its 8 bytes → null (serde.c:366)
+    assert(dec("f1" + "0000000000000000") == VAtom(null))
+    // guid −2: 16 big-endian bytes → canonical UUID string
+    assert(dec("fe" + "00112233445566778899aabbccddeeff") ==
+      VAtom("00112233-4455-6677-8899-aabbccddeeff"))
+    // byte vector 4 → longs 0-255; real vector 8 (f32) → doubles
+    assert(dec("0400" + "02000000" + "01" + "ff") == VVec(Vector(1L, 255L)))
+    assert(dec("0800" + "01000000" + "0000c03f") == VVec(Vector(1.5)))
+    // guid vector 2; date vector 14; time vector 19; timestamp vector 12
+    assert(dec("0200" + "01000000" + "00112233445566778899aabbccddeeff") ==
+      VVec(Vector("00112233-4455-6677-8899-aabbccddeeff")))
+    assert(dec("0e00" + "02000000" + "00000000" + "01000000") ==
+      VVec(Vector(java.time.LocalDate.of(2000, 1, 1),
+        java.time.LocalDate.of(2000, 1, 2))))
+    assert(dec("1300" + "02000000" + "e8030000" + "d0070000") ==
+      VVec(Vector(1000L, 2000L)))
+    assert(dec("0c00" + "01000000" + "00ca9a3b00000000") ==
+      VVec(Vector(946684801000000000L)))
+    // encode side: date atom −14 and date vector 14, days from 2000.01.01
+    assert(hex(KdbSerde.encodeMsg(
+      VAtom(java.time.LocalDate.of(2000, 1, 2)), 1)) ==
+      "01010000" + "0d000000" + "f2" + "01000000")
+    assert(hex(KdbSerde.encodeMsg(VVec(Vector(
+      java.time.LocalDate.of(2000, 1, 1),
+      java.time.LocalDate.of(2000, 1, 2))), 1)) ==
+      "01010000" + "16000000" + "0e00" + "02000000" + "00000000" + "01000000")
+    // date round-trip through its own frame
+    val d = VAtom(java.time.LocalDate.of(2026, 8, 14))
+    assert(KdbSerde.decodeMsg(spark, KdbSerde.encodeMsg(d, 1))._2 == d)
+  }
+
+  test("a table beyond maxDriverVec raises instead of collecting " +
+      "(the ser driver-value bound, Rayfall.scala maxDriverVec)") {
+    import spark.implicits._
+    val old = Rayfall.maxDriverVec
+    Rayfall.maxDriverVec = 3
+    try {
+      val t = VTab((1L to 10L).toDF("x"))
+      val e = intercept[IllegalArgumentException](KdbSerde.encodeMsg(t, 1))
+      assert(e.getMessage.contains("too large"), e.getMessage)
+    } finally Rayfall.maxDriverVec = old
+  }
+
   test("the raykx.rfl surface runs verbatim via loadfn: listen, hopen, " +
       "send (remote query -> typed result, tables included), hclose") {
     RayKx.bind(spark, Map("lineitem" -> Tables.load(spark, sf, "lineitem")))

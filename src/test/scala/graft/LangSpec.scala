@@ -799,6 +799,25 @@ class LangSpec extends SparkSpec {
     assert(vecOf("(diverse [1 2 3])") == Vector(1L, 2L, 3L))
   }
 
+  test("registry closure: quote special form, unify, print " +
+      "(core/env.c:124, core/compose.c:1089, core/vary.c:115)") {
+    // (quote e) holds the UNevaluated parse tree; eval is its inverse
+    assert(atom("(eval (quote (+ 1 2)))") == 3L)
+    assert(atom("(type (quote (+ 1 2)))") == "LIST")
+    // quoting must not evaluate: the inner set never runs
+    assert(atom("(set qz 1) (quote (set qz 2)) qz") == 1L)
+    // a quoted expression is a value: bindable, then evaluable later
+    assert(atom("(set code (quote (* 6 7))) (eval code)") == 42L)
+    // unify: diverse's inverse (content-identity in this value model)
+    assert(vecOf("(unify (diverse [1 2 3]))") == Vector(1L, 2L, 3L))
+    assert(vecOf("(unify [a b c])") == Vector("a", "b", "c"))
+    assert(atom("(unify 5)") == 5L)
+    // print = println minus the trailing newline, same % formatting
+    val (_, printed) = Rayfall.scriptCapture(spark,
+      """(print "a: %" 1) (print [1 2]) (println 3)""")
+    assert(printed == "a: 1[1 2]3\n", s"got <$printed>")
+  }
+
   test("value xbar and unary round/floor/ceil (lang.c:2411-2430, " +
       "2546-2561; docs math.md:246)") {
     // (xbar VALUE bar) floors to a multiple of the bar

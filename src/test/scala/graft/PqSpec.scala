@@ -229,8 +229,9 @@ class PqSpec extends SparkSpec {
     assert(twinAdc.isDefined, s"appended twin not in top-10: ${after.toSeq}")
     assert(twinAdc.get == after.map(_._2).min,
       s"twin ADC ${twinAdc.get} not minimal: ${after.toSeq}")
-    org.apache.commons.io.FileUtils.deleteQuietly(
-      new java.io.File("/tmp/graft_ivfpq_spec"))
+    // delete only THIS run's nanoTime-suffixed index — removing the
+    // shared parent could race a concurrent test invocation's index
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
   }
 
   test("streaming ingest keeps the persisted IVFADC index current, and " +
