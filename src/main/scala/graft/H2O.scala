@@ -68,6 +68,12 @@ object H2O {
       .config("spark.sql.codegen.aggregate.map.vectorized.enable", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ad-hoc conf sweeps (e.g. the Q7 fastHashMap probe):
+    //   SPARK_GRAFT_H2O_CONF="spark.sql.codegen.aggregate.fastHashMap.capacityBit=20"
+    sys.env.get("SPARK_GRAFT_H2O_CONF").foreach(_.split(";").filter(_.nonEmpty)
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     // group-by table cached raw (no dictionary/RLE decode on every scan —
     // the reference holds it as native columns too); scoped to this cache
     // only, the big join/wj tables stay compressed
@@ -88,6 +94,15 @@ object H2O {
     }
     val times = if (!sections("groupby")) Seq.empty else {
       spark.conf.set("spark.sql.adaptive.enabled", aqeGroupBy)
+      // the only Catalyst aggregation in this section is Q7 (~n distinct
+      // 6-key groups): its every probe MISSES the 64k first-level fast
+      // hash map before falling to the real map — pure overhead at high
+      // cardinality. Disabling the two-level map halves Q7 (2.5 s →
+      // 1.24 s, beating the reference's 1394 ms); raising capacityBit
+      // instead (20) was 5× WORSE (32 tasks × 1M-slot columnar maps →
+      // 9.6 s of GC). Q1-Q6 run the dense GroupKernel and never touch
+      // this path; restored after the section for the sf0.1 bench mix.
+      spark.conf.set("spark.sql.codegen.aggregate.map.twolevel.enabled", "false")
       val debugReps = sys.env.contains("SPARK_GRAFT_H2O_DEBUG")
       // steady-state warm-up: the kernel's hot loops (dense accumulate +
       // chunked range merge) take a handful of executions before C2
@@ -120,6 +135,7 @@ object H2O {
         name -> best
       }
       spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.codegen.aggregate.map.twolevel.enabled", "true")
       r
     }
     // release the group-by table + kernel blocks before the join section —

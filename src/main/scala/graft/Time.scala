@@ -25,9 +25,15 @@ object Time {
     spark.sparkContext.setLogLevel("WARN")
     for (name <- names) {
       val fn = SparkEntry.queries(name)
+      // SPARK_GRAFT_TIME_FULL=1: materialize every OUTPUT column
+      // (toRdd) instead of count() — count() lets Catalyst prune
+      // expensive projections (e.g. t24's span excision) clean out of
+      // the measured plan
+      val full = sys.env.get("SPARK_GRAFT_TIME_FULL").contains("1")
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        val df = fn(spark, sfDir)
+        if (full) df.queryExecution.toRdd.count() else df.count()
         (System.nanoTime() - t0) / 1e9
       }
       println(f"[time] $name%-24s ${times.map(t => f"$t%.2f").mkString(" ")}")
