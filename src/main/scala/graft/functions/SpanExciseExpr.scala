@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * per row, codegen'd — the corpus census (the heavy half) stays a
   * separate distributed aggregate.
   */
-case class SpanExcise(text: Expression, starts: Expression, n: Int)
+case class SpanExcise(text: Expression, starts: Expression, n: Int,
+                      minSpan: Int = 0)
     extends BinaryExpression {
   require(n >= 1, s"span width $n must be >= 1")
 
@@ -50,15 +51,18 @@ case class SpanExcise(text: Expression, starts: Expression, n: Int)
           s"(${text.dataType}, ${starts.dataType})")
 
   override def nullSafeEval(t: Any, s: Any): Any =
-    SpanExcise.compute(t.asInstanceOf[UTF8String], s.asInstanceOf[ArrayData], n)
+    SpanExcise.compute(t.asInstanceOf[UTF8String], s.asInstanceOf[ArrayData],
+      n, minSpan)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev,
-      (t, s) => s"graft.functions.SpanExcise.compute($t, $s, $n)")
+      (t, s) => s"graft.functions.SpanExcise.compute($t, $s, $n, $minSpan)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SpanExcise =
     copy(text = newLeft, starts = newRight)
+
+  override def prettyName: String = "span_excise"
 }
 
 object SpanExcise {
@@ -67,7 +71,8 @@ object SpanExcise {
     StructField("nspans", IntegerType, nullable = false),
     StructField("removed", IntegerType, nullable = false)))
 
-  def compute(text: UTF8String, starts: ArrayData, n: Int): InternalRow = {
+  def compute(text: UTF8String, starts: ArrayData, n: Int,
+              minSpan: Int = 0): InternalRow = {
     val s = text.toString
     val toks = s.split(" ", -1)
     val ntok = toks.length
@@ -83,6 +88,23 @@ object SpanExcise {
         while (j <= end) { covered(j) = true; j += 1 }
       }
       i += 1
+    }
+    // ExactSubstr's span-length floor: a maximal merged run shorter than
+    // minSpan tokens is NOT excised (Lee et al. remove only long
+    // repeated substrings; short frequent grams are ordinary language)
+    if (minSpan > 1) {
+      var p0 = 0
+      while (p0 < ntok) {
+        if (covered(p0) && (p0 == 0 || !covered(p0 - 1))) {
+          var e = p0
+          while (e + 1 < ntok && covered(e + 1)) e += 1
+          if (e - p0 + 1 < minSpan) {
+            var j = p0
+            while (j <= e) { covered(j) = false; j += 1 }
+          }
+          p0 = e + 1
+        } else p0 += 1
+      }
     }
     var nspans = 0
     var removed = 0
@@ -106,8 +128,11 @@ object SpanExcise {
 
 object SpanExciseExpr {
   /** struct<clean, nspans, removed> of `text` with the n-token spans
-    * starting at 0-based positions `starts` (array<int>) excised. */
-  def excise(text: Column, starts: Column, n: Int): Column =
+    * starting at 0-based positions `starts` (array<int>) excised;
+    * merged spans shorter than `minSpan` tokens survive (the
+    * ExactSubstr length floor — 0 excises every flagged span). */
+  def excise(text: Column, starts: Column, n: Int, minSpan: Int = 0): Column =
     ColumnInternals.column(
-      SpanExcise(ColumnInternals.expr(text), ColumnInternals.expr(starts), n))
+      SpanExcise(ColumnInternals.expr(text), ColumnInternals.expr(starts), n,
+        minSpan))
 }

@@ -91,8 +91,12 @@ object CorpusStats {
     * per doc — positions never pair up across documents). The span
     * merge + text rebuild is one codegen pass per row
     * (`functions.SpanExcise`), O(ntok + n·|starts|). */
+  /** @param minSpanTokens ExactSubstr's span-length floor: merged spans
+    *        shorter than this many tokens are left in place (Lee et al.
+    *        excise only LONG repeated substrings; short frequent grams
+    *        are ordinary language). 0 = excise every flagged span. */
   def dupSpanRemove(corpus: DataFrame, idCol: String, textCol: String,
-                    n: Int, minDocs: Int): DataFrame = {
+                    n: Int, minDocs: Int, minSpanTokens: Int = 0): DataFrame = {
     import graft.functions.NgramHashExpr.ngramHashes
     import graft.functions.SpanExciseExpr.excise
     val grams = corpus.select(col(idCol).as("id"),
@@ -107,7 +111,7 @@ object CorpusStats {
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .join(flagged, Seq("id"), "left")
       .withColumn("x", excise($"text",
-        coalesce($"starts", array().cast("array<int>")), n))
+        coalesce($"starts", array().cast("array<int>")), n, minSpanTokens))
       .select($"id",
         size(split($"text", " ")).cast("long").as("ntok"),
         $"x".getField("nspans").cast("long").as("nspans"),

@@ -900,6 +900,27 @@ class PipelineSpec extends SparkSpec {
       (0L, 1L, 4L, "x"), (1L, 1L, 4L, "y"), (2L, 1L, 4L, "z")))
   }
 
+  test("dup-span removal minSpanTokens: merged spans under the length " +
+      "floor survive, longer ones are still excised") {
+    // "a b c" (3 tokens) is frequent in all docs; doc 3 additionally
+    // carries the 6-token run "a b c a b c" (hits at 0 and 3 merge)
+    val c = Seq(
+      (0L, "a b c d e"), (1L, "a b c x y"), (2L, "a b c z w"),
+      (3L, "a b c a b c t")
+    ).toDF("doc_id", "text")
+    val got = operators.CorpusStats
+      .dupSpanRemove(c, "doc_id", "text", n = 3, minDocs = 4,
+        minSpanTokens = 5)
+      .orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    // docs 0-2: span [0,2] is 3 < 5 tokens → kept verbatim;
+    // doc 3: merged run [0,5] is 6 ≥ 5 → excised
+    assert(got.toSeq == Seq(
+      (0L, 0L, 0L, "a b c d e"), (1L, 0L, 0L, "a b c x y"),
+      (2L, 0L, 0L, "a b c z w"), (3L, 1L, 6L, "t")))
+  }
+
   test("knn join: each query's block equals the single-query brute force") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)), (1L, Array(0.9f, 0.1f, 0.0f)),

@@ -88,6 +88,20 @@ class PlanShapeSpec extends SparkSpec {
       s"gram rows leaked into an extra shuffle:\n$p")
   }
 
+  test("t24 (dup-span removal): frequent-gram set broadcasts; census + " +
+      "per-doc start-position fold are the only hash shuffles") {
+    val p = plan("t24_span_removal")
+    // the freq membership probe must be a broadcast join (heavy-hitter
+    // set is bounded by total-grams / minDocs)
+    assert(p.contains("BroadcastHashJoin Inner"),
+      s"the frequent-gram set must broadcast:\n$p")
+    // 2 for the distinct-doc census (g,id → g), 1 for the per-doc
+    // collect_set of flagged starts; a 4th hash exchange means the raw
+    // gram explode leaked into a shuffle
+    assert(count(p, "Arguments: hashpartitioning") <= 3,
+      s"gram rows leaked into an extra shuffle:\n$p")
+  }
+
   test("t17 (source caps): rank-limit prunes map-side, one hash shuffle") {
     val p = plan("t17_source_caps")
     assert(p.contains("WindowGroupLimit"),
