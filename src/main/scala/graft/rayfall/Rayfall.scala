@@ -729,7 +729,7 @@ object Rayfall {
   }
 
   /** Print an RExpr back to source (lambda bodies under set/get). */
-  private def exprText(e: RExpr): String = e match {
+  private[rayfall] def exprText(e: RExpr): String = e match {
     case RNum(_, true, l) => l.toString
     case RNum(v, false, _) => new java.math.BigDecimal(v).toPlainString
     case RNull => "0Nl"
@@ -1547,7 +1547,7 @@ object Rayfall {
     amendAt(targetVal, pathIdx)
   }
 
-  private def parseAll(src: String): List[RExpr] = {
+  private[rayfall] def parseAll(src: String): List[RExpr] = {
     val p = new Parser(src)
     val es = scala.collection.mutable.ListBuffer[RExpr]()
     p.skipWs()
@@ -2243,10 +2243,27 @@ object Rayfall {
       // (ser v) / (de s) — value serde round-trip through the same
       // parseable s-expr text the generic set/get uses
       // (tests/lang.c:3245-3249; reference core/serde.c)
-      case RList(RSym("ser") :: x :: Nil) => VAtom(valueText(ev(x)))
+      // (ser x) → U8 byte vector in the reference's OWN binary wire
+      // format (core/serde.c ser_obj/de_obj; worked bytes in
+      // docs/.../serialization.md — round 10 closed the byte-compat
+      // non-goal). ser is a VALUE operation: bounded by the driver cap
+      // like every other materialization. (de bytes) reconstructs;
+      // de of a STRING keeps the pre-round-10 s-expr text form.
+      case RList(RSym("ser") :: x :: Nil) =>
+        val v = ev(x) match {
+          case cv: VColView => VVec(materialize(cv))
+          case other => other
+        }
+        VVec(RaySerde.serialize(v).toVector
+          .map(b => java.lang.Long.valueOf(b & 0xffL): Any))
       case RList(RSym("de") :: x :: Nil) => ev(x) match {
+        case VVec(xs) if xs.nonEmpty &&
+            xs.forall(_.isInstanceOf[java.lang.Long]) =>
+          RaySerde.deserialize(spark,
+            xs.map(v => v.asInstanceOf[java.lang.Long].toByte).toArray)
         case VAtom(s: String) => scriptValue(spark, s)
-        case v => throw new IllegalArgumentException(s"de needs a string, got $v")
+        case v => throw new IllegalArgumentException(
+          s"de needs a byte vector or a string, got $v")
       }
       // value-level (row x): the reference's ray_row default arm returns
       // ops_count (core/compose.c:1203) — grouped/filtered forms are

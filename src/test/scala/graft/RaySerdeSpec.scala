@@ -1,0 +1,146 @@
+package graft
+
+import graft.rayfall.{RaySerde, Rayfall}
+import graft.rayfall.Rayfall._
+
+/** The reference's binary `ser`/`de` wire format (core/serde.c,
+  * serde.h header; worked byte examples in
+  * docs/.../documentation/serialization.md) — golden frames pinned
+  * byte-for-byte against the DOCUMENTED output, full round-trips for
+  * every value-model shape, and sentinel-null mapping. */
+class RaySerdeSpec extends SparkSpec {
+
+  private def hex(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02x").mkString
+
+  private def unhex(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def rt(v: RVal): RVal =
+    RaySerde.deserialize(spark, RaySerde.serialize(v))
+
+  test("golden frames match the documented bytes (serialization.md:14-22)") {
+    // (ser 42): prefix fa de fa ce, version 01, flags/endian/msgtype 00,
+    // size 9 (i64 LE), then i64 atom −5 (0xfb) + 42 LE
+    assert(hex(RaySerde.serialize(VAtom(java.lang.Long.valueOf(42L)))) ==
+      "fadeface" + "01" + "000000" + "0900000000000000" +
+        "fb" + "2a00000000000000")
+    // (ser "hello"): size 15 = tag + attrs + i64 len + 5 chars (C8 vec)
+    assert(hex(RaySerde.serialize(VAtom("hello"))) ==
+      "fadeface" + "01" + "000000" + "0f00000000000000" +
+        "0c" + "00" + "0500000000000000" + "68656c6c6f")
+    // (ser [1 2 3]): size 0x22 = 34 = tag + attrs + len + 3×8 (I64 vec)
+    assert(hex(RaySerde.serialize(VVec(Vector(1L, 2L, 3L)))) ==
+      "fadeface" + "01" + "000000" + "2200000000000000" +
+        "05" + "00" + "0300000000000000" +
+        "0100000000000000" + "0200000000000000" + "0300000000000000")
+  }
+
+  test("round-trips: atoms, typed vectors (with sentinel nulls), mixed " +
+      "lists, dicts, dates") {
+    assert(rt(VAtom(null)) == VAtom(null)) // the reference's own lang.c test
+    assert(rt(VAtom(java.lang.Boolean.TRUE)) == VAtom(true))
+    assert(rt(VAtom(java.lang.Long.valueOf(-42L))) == VAtom(-42L))
+    assert(rt(VAtom(java.lang.Double.valueOf(150.25))) == VAtom(150.25))
+    assert(rt(VAtom("two words")) == VAtom("two words"))
+    val d = java.time.LocalDate.of(2026, 8, 14)
+    assert(rt(VAtom(d)) == VAtom(d))
+    assert(rt(VVec(Vector(5L, 3L, 8L))) == VVec(Vector(5L, 3L, 8L)))
+    // a null long element travels as NULL_I64 and comes back null
+    assert(rt(VVec(Vector(5L, null, 8L))) == VVec(Vector(5L, null, 8L)))
+    assert(rt(VVec(Vector(1.5, null, -0.25))) == VVec(Vector(1.5, null, -0.25)))
+    assert(rt(VVec(Vector("AAPL", "MSFT"))) == VVec(Vector("AAPL", "MSFT")))
+    assert(rt(VVec(Vector(d, null))) == VVec(Vector(d, null)))
+    assert(rt(VVec(Vector(true, false))) == VVec(Vector(true, false)))
+    assert(rt(VVec(Vector(1L, "mix", 2.5))) == VVec(Vector(1L, "mix", 2.5)))
+    assert(rt(VDict(Vector("symbol", "price"), Vector("AAPL", 150.25))) ==
+      VDict(Vector("symbol", "price"), Vector("AAPL", 150.25)))
+  }
+
+  test("string vectors are SYMBOL vectors, strings are C8 vectors (the " +
+      "script literal types); symbol atoms decode to the shared repr") {
+    val sv = RaySerde.serialize(VVec(Vector("ab", "c")))
+    // payload: tag 6, attrs, len 2, "ab\0", "c\0"
+    assert(hex(sv).endsWith("06" + "00" + "0200000000000000" + "616200" + "6300"))
+    // a symbol ATOM (−6, NUL-terminated) decodes to the same string repr
+    val frame = unhex("fadeface" + "01" + "000000" + "0500000000000000" +
+      "fa" + "61624300")
+    assert(RaySerde.deserialize(spark, frame) == VAtom("abC"))
+  }
+
+  test("temporal/guid/narrow-int frames decode per the layout: i16/i32/u8 " +
+      "widen, TIME=ms, TIMESTAMP shifts 2000->1970 ns, sentinels go null") {
+    def de(bodyHex: String): RVal = {
+      val body = unhex(bodyHex)
+      val szHex = f"${body.length}%02x" + "00000000000000"
+      RaySerde.deserialize(spark,
+        unhex("fadeface" + "01" + "000000" + szHex + bodyHex))
+    }
+    assert(de("fd" + "0700") == VAtom(7L))              // i16 atom −3
+    assert(de("fd" + "0080") == VAtom(null))            // NULL_I16
+    assert(de("fc" + "07000000") == VAtom(7L))          // i32 atom −4
+    assert(de("fc" + "00000080") == VAtom(null))        // NULL_I32
+    assert(de("fb" + "0000000000000080") == VAtom(null)) // NULL_I64
+    assert(de("fe" + "ff") == VAtom(255L))              // u8 atom −2
+    assert(de("f8" + "e8030000") == VAtom(1000L))       // time −8: ms
+    // timestamp −9: 1e9 ns past 2000.01.01 → epoch-1970 nanos
+    assert(de("f7" + "00ca9a3b00000000") == VAtom(946684801000000000L))
+    assert(de("f9" + "01000000") ==                      // date −7
+      VAtom(java.time.LocalDate.of(2000, 1, 2)))
+    assert(de("f5" + "00112233445566778899aabbccddeeff") ==
+      VAtom("00112233-4455-6677-8899-aabbccddeeff"))    // guid −11
+    assert(de("f4" + "41") == VAtom("A"))               // c8 atom −12
+    // u8 VECTOR (2) widens to longs; error frame (127) raises
+    assert(de("02" + "00" + "0200000000000000" + "01ff") ==
+      VVec(Vector(1L, 255L)))
+    val e = intercept[Rayfall.RayfallError](
+      de("7f" + "08" + "0000000000000000" + "626f6f6d00"))
+    assert(e.getMessage.contains("boom"))
+  }
+
+  test("tables and lambdas round-trip (lambda body travels as source, " +
+      "the documented encoding); bad prefix/size fail fast") {
+    import spark.implicits._
+    val t = VTab(Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "s", "v"))
+    rt(t) match {
+      case VTab(df) =>
+        assert(df.columns.toSeq == Seq("id", "s", "v"))
+        assert(df.collect().map(r =>
+          (r.getLong(0), r.getString(1), r.getDouble(2))).toSet ==
+          Set((1L, "x", 1.5), (2L, "y", 2.5)))
+      case x => fail(s"expected table, got $x")
+    }
+    val fn = Rayfall.scriptValue(spark, "(fn [x y] (+ (* x x) y))")
+    rt(fn.asInstanceOf[RVal]) match {
+      case f: VFn =>
+        assert(f.params == Seq("x", "y"))
+      case x => fail(s"expected lambda, got $x")
+    }
+    // the deserialized lambda is CALLABLE with the same semantics
+    val out = Rayfall.scriptValue(spark,
+      "(set f (de (ser (fn [x y] (+ (* x x) y))))) (f 6 7)")
+    assert(out == VAtom(43L))
+    intercept[IllegalArgumentException](
+      RaySerde.deserialize(spark, unhex("deadbeef" + "01" + "000000" +
+        "0100000000000000" + "7e")))
+    intercept[IllegalArgumentException](
+      RaySerde.deserialize(spark, unhex("fadeface" + "01" + "000000" +
+        "0900000000000000" + "7e"))) // size lies
+  }
+
+  test("script surface: (ser x) is a U8 byte vector with the documented " +
+      "header; (de (ser ...)) round-trips through script values") {
+    val bytes = Rayfall.scriptValue(spark, "(ser 42)") match {
+      case VVec(xs) => xs.map(_.asInstanceOf[Long])
+      case x => fail(s"expected byte vector, got $x")
+    }
+    assert(bytes.length == 25) // 16 header + 1 tag + 8 payload
+    assert(bytes.take(4) == Vector(0xfaL, 0xdeL, 0xfaL, 0xceL))
+    assert(Rayfall.scriptValue(spark, "(de (ser 42))") == VAtom(42L))
+    assert(Rayfall.scriptValue(spark,
+      "(de (ser (dict [a b] (list 1 2))))") match {
+      case VDict(ks, _) => ks == Vector("a", "b")
+      case _ => false
+    })
+  }
+}
