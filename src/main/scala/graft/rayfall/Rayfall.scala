@@ -1006,35 +1006,26 @@ object Rayfall {
     def stop(): Unit = try ss.close() catch { case _: Exception => () }
   }
 
-  private val MaxIpcFrame = 64 << 20
   private val ipcClientSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  private def ipcWriteFrame(out: java.io.DataOutputStream, text: String): Unit = {
-    val bytes = text.getBytes("UTF-8")
-    out.writeInt(bytes.length); out.write(bytes); out.flush()
-  }
-
-  private def ipcReadFrame(in: java.io.DataInputStream): String = {
-    val n = in.readInt()
-    require(n >= 0 && n <= MaxIpcFrame, s"ipc frame length $n out of range")
-    val buf = new Array[Byte](n); in.readFully(buf)
-    new String(buf, "UTF-8")
-  }
-
-  /** Serve the script evaluator over TCP (reference IPC server,
-    * `core/ipc.c`; started by `rayforce -p 5101` — here `graft.Serve`):
-    * one persistent server environment seeded from `tables` and an
+  /** Serve the script evaluator over TCP speaking the reference's OWN
+    * BINARY IPC protocol (`core/ipc.c`; started by `rayforce -p 5101` —
+    * here `graft.Serve`): the 2-byte `[version, 0]` handshake each way
+    * (ipc.c:63-98), then `RaySerde` frames — 16-byte 0xcefadefa header
+    * whose msgtype field is 0 async / 1 sync / 2 response, followed by
+    * one serialized object. Message dispatch mirrors `ipc_process_msg`
+    * (ipc.c:375-395): a C8 payload evaluates as code text, a symbol
+    * resolves, a LIST `[f, args…]` applies `f` to the argument VALUES,
+    * plain data returns itself; sync messages get a msgtype-2 response
+    * frame (errors as type-127 ERR objects, which raise client-side).
+    * One persistent server environment seeded from `tables` and an
     * optional `init` script (where `ipc.rfl` binds `.z.po`/`.z.pc`/`f`),
     * a daemon accept loop, one connection per client. Each incoming
     * frame evaluates under a global lock (the reference's event loop is
     * single-threaded too) with `.z.w` bound to the connection handle;
     * `.z.po`/`.z.pc` fire on open/close when bound (their observable
-    * surface is side effects, as with timers). A frame that is a single
-    * string literal evaluates its CONTENT as script — the "send code as
-    * text" convention; anything else evaluates as forms and the last
-    * value returns as `valueText` (re-parseable; falls back to the
-    * display rendering when the value has no literal form). Pass port 0
-    * for an ephemeral port. */
+    * surface is side effects, as with timers). Values with no wire form
+    * fall back to a C8 rendering. Pass port 0 for an ephemeral port. */
   def serveIpc(spark: SparkSession, port: Int,
                tables: Map[String, DataFrame] = Map.empty,
                init: String = ""): IpcServer = {
@@ -1065,40 +1056,79 @@ object Rayfall {
             new java.io.BufferedInputStream(sock.getInputStream))
           val out = new java.io.DataOutputStream(
             new java.io.BufferedOutputStream(sock.getOutputStream))
+          // reference handshake (core/ipc.c:139-160 via ipc_read_handshake):
+          // client sends [version, 0], server echoes [version, 0]
+          val hs = new Array[Byte](2)
+          in.readFully(hs)
+          if (hs(1) != 0) throw new java.io.IOException("ipc: bad handshake")
+          out.write(RaySerde.Version); out.write(0); out.flush()
           lock.synchronized(withEvalStack(callback(".z.po", h)))
           try while (true) {
-            val framed = ipcReadFrame(in)
-            // a:-prefixed frames are ASYNC (negated-handle writes): the
-            // reference evaluates them without replying
-            val isAsync = framed.startsWith("a:")
-            val text =
-              if (isAsync || framed.startsWith("s:")) framed.drop(2) else framed
-            val reply = lock.synchronized(withEvalStack {
+            val frame = RaySerde.readFrame(in)
+            // header msgtype 0 = ASYNC (negated-handle writes): the
+            // reference evaluates them without replying (core/ipc.c:436)
+            val isAsync = RaySerde.frameMsgType(frame) == 0
+            val reply: Array[Byte] = lock.synchronized(withEvalStack {
               try {
                 env(".z.w") = VAtom(java.lang.Long.valueOf(h))
-                val p = new Parser(text); p.skipWs()
-                var forms = List.empty[RExpr]
-                while (!p.eof) { forms :+= p.parseExpr(); p.skipWs() }
-                // single string frame = code-as-text (kdb convention)
-                val run: List[RExpr] = forms match {
-                  case RStr(src) :: Nil =>
-                    val ip = new Parser(src); ip.skipWs()
-                    var fs = List.empty[RExpr]
-                    while (!ip.eof) { fs :+= ip.parseExpr(); ip.skipWs() }
-                    fs
-                  case fs => fs
+                // dispatch on the payload tag like ipc_process_msg
+                // (core/ipc.c:375-395): C8 = code-as-text through
+                // eval_str; a symbol resolves; a LIST [f, args…]
+                // applies f to the arg VALUES; data returns itself
+                val v: RVal =
+                  if (RaySerde.frameTypeTag(frame) == 12) {
+                    val src = RaySerde.deserialize(spark, frame) match {
+                      case VAtom(s: String) => s
+                      case x => throw new IllegalArgumentException(
+                        s"ipc: bad C8 frame $x")
+                    }
+                    val p = new Parser(src); p.skipWs()
+                    var last: RVal = VAtom(null)
+                    while (!p.eof) {
+                      last = evalScript(spark, p.parseExpr(), env,
+                        _ => (), new StringBuilder)
+                      p.skipWs()
+                    }
+                    last
+                  } else if (RaySerde.frameTypeTag(frame) == -6) {
+                    val name = RaySerde.deserialize(spark, frame) match {
+                      case VAtom(s: String) => s
+                      case x => throw new IllegalArgumentException(s"$x")
+                    }
+                    evalScript(spark, RSym(name), env, _ => (),
+                      new StringBuilder)
+                  } else RaySerde.deserialize(spark, frame) match {
+                    case VVec(xs) if xs.nonEmpty &&
+                        xs.head.isInstanceOf[String] =>
+                      val lits: List[RExpr] = xs.tail.toList.map {
+                        case null => RNull
+                        case l: java.lang.Long =>
+                          RNum(0.0, isInt = true, l = l)
+                        case d: java.lang.Double =>
+                          RNum(d, isInt = false, l = 0L)
+                        case s: String => RStr(s)
+                        case x => throw new IllegalArgumentException(
+                          s"ipc: cannot apply argument $x")
+                      }
+                      evalScript(spark,
+                        RList(RSym(xs.head.asInstanceOf[String]) :: lits),
+                        env, _ => (), new StringBuilder)
+                    case data => data // eval_obj of data is the data
+                  }
+                val norm = v match {
+                  case cv: VColView => VVec(materialize(cv))
+                  case other => other
                 }
-                var v: RVal = VAtom(null)
-                run.foreach(f =>
-                  v = evalScript(spark, f, env, _ => (), new StringBuilder))
-                try "ok:" + valueText(v)
-                catch { case _: Exception => "tx:" + render(v) }
+                try RaySerde.serialize(norm, msgtype = 2)
+                catch { case _: Exception => // no wire form → rendering
+                  RaySerde.serialize(VAtom(render(norm)), msgtype = 2)
+                }
               } catch {
-                case e: Exception =>
-                  "er:" + Option(e.getMessage).getOrElse(e.toString)
+                case e: Exception => RaySerde.serializeError(
+                  Option(e.getMessage).getOrElse(e.toString))
               }
             })
-            if (!isAsync) ipcWriteFrame(out, reply)
+            if (!isAsync) { out.write(reply); out.flush() }
           } catch { case _: java.io.IOException => () }
           finally {
             lock.synchronized(withEvalStack(callback(".z.pc", h)))
@@ -2404,11 +2434,15 @@ object Rayfall {
           case VAtom(s: String) if s.matches("^[A-Za-z0-9_.-]+:\\d+$") =>
             val Array(host, portS) = s.split(":")
             val sock = new java.net.Socket(host, portS.toInt)
-            VIpc(ipcClientSeq.incrementAndGet(), sock,
-              new java.io.DataInputStream(
-                new java.io.BufferedInputStream(sock.getInputStream)),
-              new java.io.DataOutputStream(
-                new java.io.BufferedOutputStream(sock.getOutputStream)))
+            val inS = new java.io.DataInputStream(
+              new java.io.BufferedInputStream(sock.getInputStream))
+            val outS = new java.io.DataOutputStream(
+              new java.io.BufferedOutputStream(sock.getOutputStream))
+            // reference handshake (core/ipc.c:63-98): [version, 0] each way
+            outS.write(RaySerde.Version); outS.write(0); outS.flush()
+            val resp = new Array[Byte](2); inS.readFully(resp)
+            require(resp(1) == 0, "ipc: bad handshake response")
+            VIpc(ipcClientSeq.incrementAndGet(), sock, inS, outS)
           case VAtom(s: String) =>
             val path = java.nio.file.Paths.get(s)
             if (!java.nio.file.Files.exists(path))
@@ -2446,21 +2480,30 @@ object Rayfall {
               java.nio.file.StandardOpenOption.APPEND)
             VAtom(null)
           case ipc: VIpc =>
-            // remote call: ship the record, the server evaluates it
-            // against its live env and the VALUE comes back (ipc.rfl's
-            // (write h (list 'f)) returns what f returns)
-            ipcWriteFrame(ipc.out, (if (ipc.async) "a:" else "s:") + record)
+            // remote call in the binary wire format: a STRING message
+            // ships as a raw C8 code-text object (the reference's
+            // "send code as a string" convention, core/ipc.c:382); a
+            // (list 'f args…) record ships as a LIST [symbol, values]
+            // apply message (eval_obj, core/ipc.c:388); msgtype 1 =
+            // sync (await the response frame), 0 = async negated-handle
+            // fire-and-forget. The server evaluates against its live
+            // env and the VALUE comes back as a ser frame (ipc.rfl's
+            // (write h (list 'f)) returns what f returns).
+            val mt = if (ipc.async) 0 else 1
+            val msgBytes = ev(v) match {
+              case VAtom(s: String) => RaySerde.serialize(VAtom(s), mt)
+              case VVec(xs) if xs.nonEmpty && xs.head.isInstanceOf[String] =>
+                RaySerde.serializeApply(xs.head.asInstanceOf[String],
+                  xs.tail, mt)
+              case other => RaySerde.serialize(other, mt)
+            }
+            ipc.out.write(msgBytes)
+            ipc.out.flush()
             if (ipc.async) VAtom(null)
-            else ipcReadFrame(ipc.in) match {
-              case r if r.startsWith("ok:") =>
-                val p = new Parser(r.drop(3)); p.skipWs()
-                var rv: RVal = VAtom(null)
-                while (!p.eof) { rv = ev(p.parseExpr()); p.skipWs() }
-                rv
-              case r if r.startsWith("tx:") => VAtom(r.drop(3))
-              case r if r.startsWith("er:") =>
-                throw new RayfallError(s"ipc remote error: ${r.drop(3)}")
-              case r => throw new RayfallError(s"ipc bad reply: ${r.take(80)}")
+            else try RaySerde.deserialize(spark, RaySerde.readFrame(ipc.in))
+            catch {
+              case e: RayfallError =>
+                throw new RayfallError(s"ipc remote error: ${e.getMessage}")
             }
           case x => throw new IllegalArgumentException(s"write needs a handle, got $x")
         }

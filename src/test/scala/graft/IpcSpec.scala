@@ -105,4 +105,34 @@ class IpcSpec extends SparkSpec {
       assert(err.getMessage.contains("remote boom"), err.getMessage)
     } finally server.stop()
   }
+
+  test("the WIRE is the reference binary protocol: 2-byte handshake, " +
+      "0xcefadefa-framed C8 sync message, msgtype-2 ser response " +
+      "(core/ipc.c:63-98, serde.h:30-41)") {
+    import graft.rayfall.RaySerde
+    val server = Rayfall.serveIpc(spark, 0)
+    try {
+      val sock = new java.net.Socket("127.0.0.1", server.port)
+      val out = new java.io.DataOutputStream(sock.getOutputStream)
+      val in = new java.io.DataInputStream(sock.getInputStream)
+      // handshake: [version, 0] each way
+      out.write(Array[Byte](1, 0)); out.flush()
+      val hs = new Array[Byte](2); in.readFully(hs)
+      assert(hs(1) == 0)
+      // hand-built sync frame: header + C8 "(+ 40 2)"
+      val code = "(+ 40 2)".getBytes("UTF-8")
+      out.write(Array[Byte](0xfa.toByte, 0xde.toByte, 0xfa.toByte,
+        0xce.toByte, 1, 0, 0, 1)) // prefix LE, version, flags, endian, SYNC
+      val size = 1 + 1 + 8 + code.length // tag + attrs + i64 len + chars
+      out.write(Array[Byte](size.toByte, 0, 0, 0, 0, 0, 0, 0))
+      out.write(12); out.write(0)
+      out.write(Array[Byte](code.length.toByte, 0, 0, 0, 0, 0, 0, 0))
+      out.write(code); out.flush()
+      // the response is a ser frame with msgtype 2 carrying i64 42
+      val resp = RaySerde.readFrame(in)
+      assert(RaySerde.frameMsgType(resp) == 2)
+      assert(RaySerde.deserialize(spark, resp) == Rayfall.VAtom(42L))
+      sock.close()
+    } finally server.stop()
+  }
 }
