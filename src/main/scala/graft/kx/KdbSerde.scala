@@ -43,8 +43,10 @@ import graft.rayfall.Rayfall._
   * decode to plain longs/strings (one-repr value model), so they
   * re-encode as long/string — same one-way widening as kdb
   * shorts/ints. Legacy datetime 15 is skipped to null like the
-  * reference (serde.c:366-371). Compression (msg byte 2 = 1) is NOT
-  * implemented — compressed frames raise. */
+  * reference (serde.c:366-371). Compressed inbound frames (header
+  * byte 2 = 1) DECOMPRESS via the public kdb LZ scheme (see
+  * [[decompress]]); sends stay uncompressed, exactly like the
+  * reference bridge (raykx.c:67,174 set compressed = 0). */
 object KdbSerde {
 
   /** kdb epoch 2000.01.01 as an epoch-1970 day / nanosecond offset. */
@@ -293,16 +295,56 @@ object KdbSerde {
     }
   }
 
+  /** The kdb IPC LZ decompression (public algorithm; the bridge's
+    * `raykx_decompress`, ext/raykx/raykx.c:268-335): after the 8-byte
+    * message header, a compressed frame carries a u32 TOTAL uncompressed
+    * size (header included) and a flag-bit token stream — bit 0 = one
+    * literal byte, bit 1 = a back-reference `[xorKey, extraLen]` copying
+    * 2+extraLen bytes from the rolling 256-slot XOR-pair dictionary. */
+  private[kx] def decompress(frame: Array[Byte], offset: Int): Array[Byte] = {
+    val total = (frame(offset) & 0xff) | ((frame(offset + 1) & 0xff) << 8) |
+      ((frame(offset + 2) & 0xff) << 16) | ((frame(offset + 3) & 0xff) << 24)
+    val len = total - 8 // minus the message header
+    require(len > 0, s"kx: bad uncompressed size $total")
+    val result = new Array[Byte](len)
+    val buffer = new Array[Int](256)
+    var i = 0; var n = 0; var f = 0; var s = 0; var p = 0
+    var d = offset + 4
+    while (s < len) {
+      if (i == 0) { f = frame(d) & 0xff; d += 1; i = 1 }
+      val isRef = (f & i) != 0
+      if (isRef) {
+        var r = buffer(frame(d) & 0xff); d += 1
+        result(s) = result(r); s += 1; r += 1
+        result(s) = result(r); s += 1; r += 1
+        n = frame(d) & 0xff; d += 1
+        var m = 0
+        while (m < n) { result(s + m) = result(r + m); m += 1 }
+      } else {
+        result(s) = frame(d); s += 1; d += 1
+      }
+      while (p < s - 1) {
+        val pp = p; p += 1
+        buffer((result(pp) ^ result(p)) & 0xff) = pp
+      }
+      if (isRef) { s += n; p = s }
+      i *= 2
+      if (i == 256) i = 0
+    }
+    result
+  }
+
   /** Decode one full message (header + object); returns (msgType, value).
-    * Raises on compressed frames and on error responses. */
+    * Compressed frames (header byte 2 = 1) decompress first; error
+    * responses raise. */
   def decodeMsg(spark: org.apache.spark.sql.SparkSession,
                 frame: Array[Byte]): (Int, RVal) = {
     val r = new R(frame)
     val arch = r.u8(); val msgType = r.u8(); val compressed = r.u8(); r.u8()
     require(arch == 1, s"kx: big-endian frames not supported (arch $arch)")
-    require(compressed == 0, "kx: compressed frames not supported")
     val total = r.i32()
     require(total == frame.length, s"kx: frame length $total != ${frame.length}")
-    (msgType, readObj(spark, r))
+    if (compressed == 1) (msgType, readObj(spark, new R(decompress(frame, 8))))
+    else (msgType, readObj(spark, r))
   }
 }

@@ -117,6 +117,23 @@ class KxSpec extends SparkSpec {
     assert(KdbSerde.decodeMsg(spark, KdbSerde.encodeMsg(d, 1))._2 == d)
   }
 
+  test("compressed inbound frames decode: the kdb LZ token stream " +
+      "(raykx.c:268-335) reconstructs the object") {
+    // hand-derived stream for the char vector "abababab" (wire object
+    // 0a 00 08000000 'abababab', 14 B): 8 literal tokens (flag 0x00)
+    // emit [0a 00 08 00 00 00 61 62], then flag 0x01 with one
+    // back-reference [xorKey 0x03 = 'a'^'b', extra 0x04] copying
+    // 2+4 bytes from the rolling dictionary → "abab"+"abab".
+    val frame = ("01010100" + "18000000" + // header: compressed=1, len 24
+      "16000000" +                         // u32 total uncompressed = 14+8
+      "00" + "0a000800000061" + "62" +     // flag 0 + 8 literals
+      "01" + "03" + "04")                  // flag 1 + [key, extraLen]
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val (mt, v) = KdbSerde.decodeMsg(spark, frame)
+    assert(mt == 1)
+    assert(v == VAtom("abababab"), s"got $v")
+  }
+
   test("a table beyond maxDriverVec raises instead of collecting " +
       "(the ser driver-value bound, Rayfall.scala maxDriverVec)") {
     import spark.implicits._
