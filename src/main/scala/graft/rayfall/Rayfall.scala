@@ -780,14 +780,19 @@ object Rayfall {
         }
         graft.sources.Store.setVector(df, path)
       case other =>
-        java.nio.file.Files.writeString(java.nio.file.Paths.get(path),
-          valueText(other))
+        // driver-value objects (atoms/dicts/lambdas/small mixed lists)
+        // persist as the reference's binary ser file — `(set "path" v)`
+        // writes ser_obj bytes (core/binary.c:85-93), so a native peer
+        // can read this file and vice versa
+        java.nio.file.Files.write(java.nio.file.Paths.get(path),
+          RaySerde.serialize(other))
     }
 
   /** `(get "path")`: directory = parquet (indexed value column → vector,
-    * anything else → table); file = s-expr text re-evaluated. A large
-    * persisted vector comes back LAZY (a column view), not a driver
-    * vector. */
+    * anything else → table); file = a binary ser frame (0xcefadefa
+    * magic — the reference's on-disk object format) or, for files from
+    * earlier rounds, s-expr text re-evaluated. A large persisted vector
+    * comes back LAZY (a column view), not a driver vector. */
   private def getPath(spark: SparkSession, path: String): RVal = {
     val p = java.nio.file.Paths.get(path)
     if (java.nio.file.Files.isDirectory(p)) {
@@ -800,8 +805,12 @@ object Rayfall {
         else VColView(ordered, "__v", 0L)
       } else VTab(df)
     } else {
-      val src = java.nio.file.Files.readString(p)
-      evalScript(spark, new Parser(src).parseExpr(),
+      val bytes = java.nio.file.Files.readAllBytes(p)
+      if (bytes.length >= 4 && (bytes(0) & 0xff) == 0xfa &&
+          (bytes(1) & 0xff) == 0xde && (bytes(2) & 0xff) == 0xfa &&
+          (bytes(3) & 0xff) == 0xce)
+        RaySerde.deserialize(spark, bytes)
+      else evalScript(spark, new Parser(new String(bytes, "UTF-8")).parseExpr(),
         scala.collection.mutable.Map.empty, _ => ())
     }
   }

@@ -128,6 +128,29 @@ class RaySerdeSpec extends SparkSpec {
         "0900000000000000" + "7e"))) // size lies
   }
 
+  test("(set \"path\" v) persists the binary ser file (core/binary.c:85) " +
+      "and (get) reads both it and a frame written by hand") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_serfile")
+    val p1 = s"$dir/d.bin"
+    val v = Rayfall.scriptValue(spark,
+      s"""(set "$p1" (dict [a b] (list 1 2.5))) (get "$p1")""")
+    assert(v == VDict(Vector("a", "b"), Vector(1L, 2.5)), s"got $v")
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p1))
+    assert(hex(bytes.take(4)) == "fadeface", "file must carry the ser magic")
+    // a frame produced by the codec directly (stand-in for a native
+    // peer's ser_obj write) reads back through script (get)
+    val p2 = s"$dir/peer.bin"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p2),
+      RaySerde.serialize(VVec(Vector(10L, 20L, 30L))))
+    assert(Rayfall.scriptValue(spark, s"""(get "$p2")""") ==
+      VVec(Vector(10L, 20L, 30L)))
+    // pre-round-10 s-expr text files still load
+    val p3 = s"$dir/legacy.txt"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p3), "(+ 40 2)")
+    assert(Rayfall.scriptValue(spark, s"""(get "$p3")""") == VAtom(42L))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("script surface: (ser x) is a U8 byte vector with the documented " +
       "header; (de (ser ...)) round-trips through script values") {
     val bytes = Rayfall.scriptValue(spark, "(ser 42)") match {
