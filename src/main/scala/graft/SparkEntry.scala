@@ -1044,6 +1044,30 @@ object Queries {
        |JOIN clean c USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t27
+  // STREAMING ExactSubstr (the t24 production twin): the document feed
+  // cleaned per micro-batch against a static frequent-gram set built
+  // from the reference corpus. Stateless per batch — foreachBatch
+  // appends to parquet (disk is the state, the ivfPqIngest pattern), a
+  // checkpointed replay appends nothing. Because the static set here is
+  // the same corpus's census, the streamed result must equal batch t24
+  // exactly — the oracle IS t24's SQL.
+  def t27_stream_span_clean(spark: SparkSession, dir: String): DataFrame = {
+    val batch = t(spark, dir, "documents")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stage = s"/tmp/graft_stream/$key/documents"
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      sources.Store.setSplayed(batch, stage)
+    val base = s"/tmp/graft_stream/$key/span_clean"
+    streaming.Streams.spanRemoveStream(spark, stage, batch,
+      "doc_id", "text", n = 3,
+      freqOf = ss => operators.CorpusStats.frequentGrams(
+        Tables.load(ss, dir, "documents"), "doc_id", "text", 3, 5),
+      outDir = s"$base/out", checkpoint = s"$base/ckpt")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- t17
   // Per-source document caps (crawl-corpus domain caps): keep the top-10
   // docs per source by length with doc_id tie-break. The rank filter
@@ -3676,6 +3700,7 @@ object Queries {
     "t24_span_removal" -> (t24_span_removal _),
     "t25_tfidf_pruned" -> (t25_tfidf_pruned _),
     "t26_quality_model" -> (t26_quality_model _),
+    "t27_stream_span_clean" -> (t27_stream_span_clean _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -3805,6 +3830,8 @@ object Queries {
     "t24_span_removal" -> t24_sql,
     "t25_tfidf_pruned" -> t25_sql,
     "t26_quality_model" -> t26_sql,
+    // the streamed clean must equal the batch ExactSubstr exactly
+    "t27_stream_span_clean" -> t24_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

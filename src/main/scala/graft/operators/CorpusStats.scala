@@ -96,16 +96,39 @@ object CorpusStats {
     *        excise only LONG repeated substrings; short frequent grams
     *        are ordinary language). 0 = excise every flagged span. */
   def dupSpanRemove(corpus: DataFrame, idCol: String, textCol: String,
-                    n: Int, minDocs: Int, minSpanTokens: Int = 0): DataFrame = {
+                    n: Int, minDocs: Int, minSpanTokens: Int = 0): DataFrame =
+    dupSpanRemoveWithFreq(corpus, idCol, textCol, n,
+      frequentGrams(corpus, idCol, textCol, n, minDocs), minSpanTokens)
+
+  /** The corpus-frequent gram set: hashes of word n-grams occurring in
+    * ≥ `minDocs` distinct documents (column `g`) — the heavy-hitter
+    * artifact the excise pass probes. Computed once per reference
+    * corpus; at scale this is the thing you persist and reuse (the
+    * streaming form cleans a live feed against a STATIC set). */
+  def frequentGrams(corpus: DataFrame, idCol: String, textCol: String,
+                    n: Int, minDocs: Int): DataFrame = {
+    import graft.functions.NgramHashExpr.ngramHashes
+    corpus
+      .select(col(idCol).as("id"),
+        explode(ngramHashes(col(textCol), n)).as("g"))
+      .groupBy($"g")
+      .agg(countDistinct($"id").as("nd"))
+      .filter($"nd" >= minDocs)
+      .select($"g")
+  }
+
+  /** [[dupSpanRemove]] against a PRE-COMPUTED frequent-gram set (one
+    * `g` column) — the production split: census over the reference
+    * corpus once, excise any number of corpora / stream micro-batches
+    * against the broadcast set. */
+  def dupSpanRemoveWithFreq(corpus: DataFrame, idCol: String,
+                            textCol: String, n: Int, freq: DataFrame,
+                            minSpanTokens: Int = 0): DataFrame = {
     import graft.functions.NgramHashExpr.ngramHashes
     import graft.functions.SpanExciseExpr.excise
     val grams = corpus.select(col(idCol).as("id"),
       posexplode(ngramHashes(col(textCol), n)).as(Seq("i", "g")))
-    val freq = grams.groupBy($"g")
-      .agg(countDistinct($"id").as("nd"))
-      .filter($"nd" >= minDocs)
-      .select($"g")
-    val flagged = grams.join(broadcast(freq), Seq("g"))
+    val flagged = grams.join(broadcast(freq.select(col("g"))), Seq("g"))
       .groupBy($"id").agg(collect_set($"i").as("starts"))
     corpus
       .select(col(idCol).as("id"), col(textCol).as("text"))

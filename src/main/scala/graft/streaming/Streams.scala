@@ -141,6 +141,44 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming ExactSubstr: clean a live document feed per micro-batch
+    * against a STATIC frequent-gram set (the production split —
+    * `CorpusStats.frequentGrams` runs over the reference corpus
+    * periodically, the stream excises spans from today's feed against
+    * the broadcast set at micro-batch latency). Stateless per batch (a
+    * document's gram positions never leave its micro-batch), so no
+    * state store is involved: foreachBatch appends cleaned rows to
+    * `outDir` — the disk is the state, like `ivfPqIngest`, with the
+    * same at-least-once caveat and checkpointed batch-skip on replay
+    * (a drained restart appends nothing). Returns the cleaned corpus
+    * read back from `outDir`. */
+  def spanRemoveStream(spark: SparkSession, srcDir: String,
+                       schemaFrom: DataFrame, idCol: String,
+                       textCol: String, n: Int,
+                       freqOf: SparkSession => DataFrame,
+                       outDir: String, checkpoint: String,
+                       minSpanTokens: Int = 0,
+                       statePartitions: Int = 2): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // Datasets are session-bound (the q55 lesson): the freq set is
+    // built INSIDE the cloned streaming session
+    val freqSs = freqOf(ss)
+    val stream = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.CorpusStats
+          .dupSpanRemoveWithFreq(batch, idCol, textCol, n, freqSs,
+            minSpanTokens)
+          .write.mode("append").parquet(outDir)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** PRODUCTION form of the q54 streaming dedup: `withWatermark` +
     * `dropDuplicatesWithinWatermark`, so the fingerprint state for keys
     * older than the watermark ages out instead of growing with the whole

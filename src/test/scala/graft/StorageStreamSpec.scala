@@ -56,4 +56,27 @@ class StorageStreamSpec extends SparkSpec {
     val batchHours = batch.collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(streamHours.toSeq == batchHours.toSeq)
   }
+
+  test("streaming span removal equals the batch ExactSubstr, and a " +
+      "checkpointed replay over the drained feed appends nothing") {
+    val docs = Tables.load(spark, sf, "documents")
+    val base = s"/tmp/graft_spanstream_spec/${System.nanoTime()}"
+    val (feed, outDir, ckpt) = (s"$base/feed", s"$base/out", s"$base/ckpt")
+    docs.write.parquet(feed)
+    def run() = streaming.Streams.spanRemoveStream(spark, feed, docs,
+      "doc_id", "text", n = 3,
+      freqOf = ss => operators.CorpusStats.frequentGrams(
+        Tables.load(ss, sf, "documents"), "doc_id", "text", 3, 5),
+      outDir = outDir, checkpoint = ckpt)
+    val streamed = run().orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getString(4), r.getLong(3)))
+    val batch = operators.CorpusStats
+      .dupSpanRemove(docs, "doc_id", "text", n = 3, minDocs = 5)
+      .orderBy($"id")
+      .collect().map(r => (r.getLong(0), r.getString(4), r.getLong(3)))
+    assert(streamed.toSeq == batch.toSeq)
+    // drained replay: completed batch ids skip, nothing re-appends
+    assert(run().count() == batch.length.toLong)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }
