@@ -102,6 +102,13 @@ class PlanShapeSpec extends SparkSpec {
       s"gram rows leaked into an extra shuffle:\n$p")
   }
 
+  test("t26 (quality classifier): scoring is a pure narrow map — no " +
+      "hash exchange anywhere") {
+    val p = plan("t26_quality_model")
+    assert(count(p, "Arguments: hashpartitioning") == 0,
+      s"model scoring must not shuffle:\n$p")
+  }
+
   test("t17 (source caps): rank-limit prunes map-side, one hash shuffle") {
     val p = plan("t17_source_caps")
     assert(p.contains("WindowGroupLimit"),

@@ -370,4 +370,42 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("native binary serde round-trips random nested values bit-exactly " +
+      "(dates and null vector elements included)") {
+    import graft.rayfall.{RaySerde, Rayfall}
+    import graft.rayfall.Rayfall._
+    val dateGen: Gen[Any] = Gen.choose(-9000L, 20000L)
+      .map(d => java.time.LocalDate.ofEpochDay(10957 + d))
+    val atomGen: Gen[Any] = Gen.oneOf(
+      Gen.choose(Long.MinValue + 1, Long.MaxValue).map(java.lang.Long.valueOf),
+      Gen.choose(-1e12, 1e12).map(java.lang.Double.valueOf),
+      Gen.oneOf(true, false).map(java.lang.Boolean.valueOf),
+      Gen.listOfN(6, Gen.alphaNumChar).map(_.mkString),
+      dateGen)
+    def orNull(g: Gen[Any]): Gen[Any] =
+      Gen.frequency(4 -> g, 1 -> Gen.const(null: Any))
+    def vecGen: Gen[RVal] = Gen.oneOf(
+      Gen.nonEmptyListOf(orNull(Gen.choose(-999999L, 999999L)
+        .map(java.lang.Long.valueOf))).map(xs => VVec(xs.toVector)),
+      Gen.nonEmptyListOf(orNull(Gen.choose(-10.0, 10.0)
+        .map(java.lang.Double.valueOf))).map(xs => VVec(xs.toVector)),
+      Gen.nonEmptyListOf(Gen.listOfN(4, Gen.alphaChar).map(_.mkString))
+        .map(xs => VVec(xs.toVector)),
+      Gen.nonEmptyListOf(orNull(dateGen)).map(xs => VVec(xs.toVector)),
+      Gen.nonEmptyListOf(atomGen).map(xs => VVec(xs.toVector)))
+    val dictGen: Gen[RVal] = for {
+      n <- Gen.choose(1, 5)
+      ks <- Gen.listOfN(n, Gen.listOfN(3, Gen.alphaChar).map(_.mkString))
+      vs <- Gen.listOfN(n, atomGen)
+    } yield VDict(ks.toVector, vs.toVector)
+    val valGen: Gen[RVal] =
+      Gen.oneOf(atomGen.map(VAtom(_)), Gen.const(VAtom(null)), vecGen, dictGen)
+    forAll(Gen.listOfN(20, valGen)) { vs =>
+      vs.foreach { v =>
+        val rt = RaySerde.deserialize(spark, RaySerde.serialize(v))
+        assert(rt == v, s"round-trip changed $v -> $rt")
+      }
+    }
+  }
 }
