@@ -696,18 +696,22 @@ object GroupKernel {
     }
     val nChunks = if (p >= (1 << 14)) 8 else 1
     val mergedRows =
-      if (p <= (1 << 12) && src.getNumPartitions <= 512) {
-        // tiny dense space (the H2O Q1/Q4 shape: ≤4096 groups): the
-        // partials are a few KB each — collect and merge on the driver,
-        // decode locally, re-distribute the handful of result rows as a
+      if (p.toLong * src.getNumPartitions <= (1L << 12) * 512 &&
+          src.getNumPartitions <= 512) {
+        // small dense space (the H2O Q1/Q2/Q4 shapes): the partials are
+        // a few KB-to-hundreds-of-KB each — collect and merge on the
+        // driver, decode locally, re-distribute the result rows as a
         // single-partition RDD. Removes the 1-partition shuffle stage
         // (its 32 map-output files + an extra scheduled stage cost more
         // than the result ships for). The large-row LocalRelation trap
-        // (round 7) doesn't apply: rows ≤ 4096 and they enter as
-        // InternalRows, no encoder pass. The partition gate keeps the
-        // driver pull bounded (≤ 512 × ~100 KB): a 1000-executor scan
-        // with 100k partitions must NOT fan 10 GB of partials into the
-        // driver — past the gate the executor-side merge below runs.
+        // (round 7) doesn't apply: rows enter as InternalRows, no
+        // encoder pass. The gate bounds the PRODUCT slots×partitions
+        // (≤ 2^21, the same worst-case driver pull as the original
+        // p ≤ 4096 × 512-partition gate — round 10 widened it so a
+        // 10k-group query on a 32-partition scan merges driver-side
+        // too): a 1000-executor scan with 100k partitions must NOT fan
+        // 10 GB of partials into the driver — past the gate the
+        // executor-side merge below runs.
         val ps = partials.collect()
         val rows =
           if (ps.isEmpty) Array.empty[org.apache.spark.sql.catalyst.InternalRow]
