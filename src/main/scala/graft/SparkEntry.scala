@@ -780,10 +780,11 @@ object Queries {
   // keywords and is bit-identical in both engines (integer products
   // under one correctly-rounded IEEE division).
   // maxVocab bounds the vocabulary (top-2^20 by df) — far above any
-  // test-SF vocabulary so the result set is identical to the uncapped
-  // form (the oracle carries no cap), while licensing the broadcast
-  // under TfIdf's gate: an UNbounded vocab would shuffle-join instead
-  // (web-crawl vocabularies are 10⁸⁺ tokens; see TfIdf scaladoc).
+  // test-SF vocabulary, but the oracle carries the SAME deterministic
+  // cap so both engines agree at ANY corpus size; the bound licenses
+  // the broadcast under TfIdf's gate (an UNbounded vocab would
+  // shuffle-join instead — web-crawl vocabularies are 10⁸⁺ tokens; see
+  // TfIdf scaladoc).
   def t13_tfidf(spark: SparkSession, dir: String): DataFrame =
     operators.TfIdf.topKeywords(t(spark, dir, "documents"), "doc_id", "text",
       3, maxVocab = 1 << 20)
@@ -795,7 +796,8 @@ object Queries {
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
       |        FROM documents)
       |  GROUP BY doc_id, tok),
-      |df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |df0 AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      |df AS (SELECT tok, df FROM df0 ORDER BY df DESC, tok LIMIT 1048576),
       |n AS (SELECT COUNT(*) AS n FROM documents),
       |r AS (
       |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,

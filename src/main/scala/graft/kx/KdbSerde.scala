@@ -185,7 +185,7 @@ object KdbSerde {
     t match {
       case 101 => r.u8(); VAtom(null)
       case -1 => VAtom(java.lang.Boolean.valueOf(r.u8() != 0))
-      case -4 => VAtom(java.lang.Long.valueOf(r.i8().toLong))
+      case -4 => VAtom(java.lang.Long.valueOf(r.u8().toLong)) // byte: 0-255
       case -5 => VAtom(java.lang.Long.valueOf(r.i16().toLong))
       case -6 => VAtom(java.lang.Long.valueOf(r.i32().toLong))
       case -7 => VAtom(java.lang.Long.valueOf(r.i64()))
@@ -310,17 +310,28 @@ object KdbSerde {
     val buffer = new Array[Int](256)
     var i = 0; var n = 0; var f = 0; var s = 0; var p = 0
     var d = offset + 4
+    // every token read/copy is bounds-checked so a truncated or corrupt
+    // frame fails with a diagnosable error, not a raw index crash
+    def in(need: Int): Unit =
+      if (d + need > frame.length) throw new IllegalArgumentException(
+        s"kx: corrupt compressed frame (token stream ends at $d/${frame.length})")
     while (s < len) {
-      if (i == 0) { f = frame(d) & 0xff; d += 1; i = 1 }
+      if (i == 0) { in(1); f = frame(d) & 0xff; d += 1; i = 1 }
       val isRef = (f & i) != 0
       if (isRef) {
-        var r = buffer(frame(d) & 0xff); d += 1
+        in(2) // key byte + extraLen byte
+        var r = buffer(frame(d) & 0xff)
+        n = frame(d + 1) & 0xff
+        d += 2
+        if (s + 2 + n > len || r + 2 + n > len)
+          throw new IllegalArgumentException(
+            s"kx: corrupt compressed frame (copy past $len bytes)")
         result(s) = result(r); s += 1; r += 1
         result(s) = result(r); s += 1; r += 1
-        n = frame(d) & 0xff; d += 1
         var m = 0
         while (m < n) { result(s + m) = result(r + m); m += 1 }
       } else {
+        in(1)
         result(s) = frame(d); s += 1; d += 1
       }
       while (p < s - 1) {

@@ -84,11 +84,21 @@ object QualityClassifier {
     * Bit-reproducible: per-row doubles are fixed chains, the class
     * weights derive from exact counts, and the only cross-row reduction
     * is an exact DECIMAL sum. */
-  def fit(feats: DataFrame, labelCol: String,
+  def fit(feats0: DataFrame, labelCol: String,
           iters: Int = 48, lr: Double = 2.0,
           balanced: Boolean = true): Array[Double] = {
     val k = featureNames.length
     val y = col(labelCol).cast("double")
+    // the feature plan (split/regex/bigram kernels over raw text) would
+    // otherwise re-execute on every gradient pass — compute it once
+    val feats = feats0.persist()
+    try fitCached(feats, labelCol, iters, lr, balanced, k, y)
+    finally feats.unpersist()
+  }
+
+  private def fitCached(feats: DataFrame, labelCol: String, iters: Int,
+                        lr: Double, balanced: Boolean, k: Int,
+                        y: Column): Array[Double] = {
     val n = feats.count().toDouble
     val n1 = feats.filter(col(labelCol) === 1).count().toDouble
     require(n1 > 0 && n1 < n, s"labels are degenerate ($n1 of $n positive)")

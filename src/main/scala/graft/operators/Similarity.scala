@@ -23,7 +23,9 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.exists(p) && fs.getFileStatus(p).isDirectory
+    // one RPC, no exists/getFileStatus TOCTOU window
+    try fs.getFileStatus(p).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
   }
 
   /** Cosine similarity of two double-array columns (left-to-right

@@ -1017,6 +1017,26 @@ object Rayfall {
 
   private val ipcClientSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** An IPC apply-message argument VALUE as a literal expression — the
+    * server applies args as values (eval_obj semantics), never as code.
+    * Shared by server dispatch and the client's pre-flight check, so an
+    * unsupported arg fails fast BEFORE the socket write, with both
+    * sides accepting the same set. */
+  private def ipcArgLit(x: Any): RExpr = x match {
+    case null => RNull
+    case l: java.lang.Long => RNum(0.0, isInt = true, l = l)
+    case i: java.lang.Integer => RNum(0.0, isInt = true, l = i.longValue)
+    case d: java.lang.Double => RNum(d, isInt = false, l = 0L)
+    case s: String => RStr(s)
+    case b: java.lang.Boolean => RSym(if (b) "true" else "false")
+    case d: java.time.LocalDate => RDate(d)
+    case d: java.sql.Date => RDate(d.toLocalDate)
+    case VAtom(a) => ipcArgLit(a)
+    case VVec(items) => RVec(items.toList.map(ipcArgLit))
+    case x => throw new IllegalArgumentException(
+      s"ipc: cannot apply argument $x")
+  }
+
   /** Serve the script evaluator over TCP speaking the reference's OWN
     * BINARY IPC protocol (`core/ipc.c`; started by `rayforce -p 5101` —
     * here `graft.Serve`): the 2-byte `[version, 0]` handshake each way
@@ -1109,18 +1129,9 @@ object Rayfall {
                   } else RaySerde.deserialize(spark, frame) match {
                     case VVec(xs) if xs.nonEmpty &&
                         xs.head.isInstanceOf[String] =>
-                      val lits: List[RExpr] = xs.tail.toList.map {
-                        case null => RNull
-                        case l: java.lang.Long =>
-                          RNum(0.0, isInt = true, l = l)
-                        case d: java.lang.Double =>
-                          RNum(d, isInt = false, l = 0L)
-                        case s: String => RStr(s)
-                        case x => throw new IllegalArgumentException(
-                          s"ipc: cannot apply argument $x")
-                      }
                       evalScript(spark,
-                        RList(RSym(xs.head.asInstanceOf[String]) :: lits),
+                        RList(RSym(xs.head.asInstanceOf[String]) ::
+                          xs.tail.toList.map(ipcArgLit)),
                         env, _ => (), new StringBuilder)
                     case data => data // eval_obj of data is the data
                   }
@@ -2502,6 +2513,7 @@ object Rayfall {
             val msgBytes = ev(v) match {
               case VAtom(s: String) => RaySerde.serialize(VAtom(s), mt)
               case VVec(xs) if xs.nonEmpty && xs.head.isInstanceOf[String] =>
+                xs.tail.foreach(ipcArgLit) // fail fast before the write
                 RaySerde.serializeApply(xs.head.asInstanceOf[String],
                   xs.tail, mt)
               case other => RaySerde.serialize(other, mt)

@@ -176,7 +176,16 @@ object Streams {
       .outputMode("append")
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(outDir)
+    // an empty feed runs zero batches and writes nothing: return the
+    // empty cleaned corpus with the right schema instead of failing on
+    // a missing outDir
+    if (new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(outDir)))
+      spark.read.parquet(outDir)
+    else graft.operators.CorpusStats.dupSpanRemoveWithFreq(
+      schemaFrom.limit(0), idCol, textCol, n,
+      freqOf(spark).limit(0), minSpanTokens)
   }
 
   /** PRODUCTION form of the q54 streaming dedup: `withWatermark` +

@@ -106,6 +106,28 @@ class IpcSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("apply messages carry dates, booleans and vector args as VALUES " +
+      "(both sides accept the same literal set; unsupported args fail " +
+      "fast client-side)") {
+    val server = Rayfall.serveIpc(spark, 0, Map.empty,
+      "(set probe (fn [b d v] (list b d (sum v))))")
+    try {
+      val v = Rayfall.scriptValue(spark,
+        s"""(set h (hopen "127.0.0.1:${server.port}"))
+           |(set r (write h (list 'probe true 2024.01.02 [1 2 3])))
+           |(hclose h)
+           |r""".stripMargin)
+      v match {
+        case Rayfall.VVec(xs) =>
+          assert(xs(0) == true || xs(0) == java.lang.Boolean.TRUE, s"$xs")
+          assert(xs(1).toString.startsWith("2024-01-02") ||
+            xs(1) == java.time.LocalDate.of(2024, 1, 2), s"$xs")
+          assert(xs(2) == 6L, s"$xs")
+        case x => fail(s"got $x")
+      }
+    } finally server.stop()
+  }
+
   test("the WIRE is the reference binary protocol: 2-byte handshake, " +
       "0xcefadefa-framed C8 sync message, msgtype-2 ser response " +
       "(core/ipc.c:63-98, serde.h:30-41)") {

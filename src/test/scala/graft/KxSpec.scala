@@ -91,6 +91,8 @@ class KxSpec extends SparkSpec {
     // guid −2: 16 big-endian bytes → canonical UUID string
     assert(dec("fe" + "00112233445566778899aabbccddeeff") ==
       VAtom("00112233-4455-6677-8899-aabbccddeeff"))
+    // byte ATOM −4 is unsigned like the vector form (0x00-0xFF)
+    assert(dec("fc" + "ff") == VAtom(255L))
     // byte vector 4 → longs 0-255; real vector 8 (f32) → doubles
     assert(dec("0400" + "02000000" + "01" + "ff") == VVec(Vector(1L, 255L)))
     assert(dec("0800" + "01000000" + "0000c03f") == VVec(Vector(1.5)))
@@ -132,6 +134,13 @@ class KxSpec extends SparkSpec {
     val (mt, v) = KdbSerde.decodeMsg(spark, frame)
     assert(mt == 1)
     assert(v == VAtom("abababab"), s"got $v")
+    // a TRUNCATED token stream fails with the codec's diagnosable
+    // error, not a raw index crash
+    val truncated = ("01010100" + "0e000000" + "16000000" + "00" + "0a")
+      .grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    val e = intercept[IllegalArgumentException](
+      KdbSerde.decodeMsg(spark, truncated))
+    assert(e.getMessage.contains("corrupt compressed"), e.getMessage)
   }
 
   test("a table beyond maxDriverVec raises instead of collecting " +

@@ -77,6 +77,18 @@ class StorageStreamSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
     // drained replay: completed batch ids skip, nothing re-appends
     assert(run().count() == batch.length.toLong)
+    // an EMPTY feed yields the empty cleaned corpus with the right
+    // schema instead of failing on the unwritten output dir
+    val emptyBase = s"$base/empty"
+    new java.io.File(s"$emptyBase/feed").mkdirs()
+    val empty = streaming.Streams.spanRemoveStream(spark,
+      s"$emptyBase/feed", docs, "doc_id", "text", n = 3,
+      freqOf = ss => operators.CorpusStats.frequentGrams(
+        Tables.load(ss, sf, "documents"), "doc_id", "text", 3, 5),
+      outDir = s"$emptyBase/out", checkpoint = s"$emptyBase/ckpt")
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq == Seq("id", "ntok", "nspans",
+      "tok_removed", "clean_text", "chars_removed"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 }
