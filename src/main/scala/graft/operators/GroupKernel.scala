@@ -696,8 +696,15 @@ object GroupKernel {
     }
     val nChunks = if (p >= (1 << 14)) 8 else 1
     val mergedRows =
-      if (p.toLong * src.getNumPartitions <= (1L << 12) * 512 &&
+      if (p <= (1 << 14) &&
+          p.toLong * src.getNumPartitions <= (1L << 12) * 512 &&
           src.getNumPartitions <= 512) {
+        // p ≤ 2^14 keeps the DECODED result small: the driver path
+        // ships result rows in one task closure, and a 1e5-group query
+        // sneaking under the product bound (few source partitions)
+        // re-opened the round-7 LocalRelation trap — its single-task
+        // stage paid ~40 ms of closure deserialization per query
+        // (measured: Q6 255 ms vs 140 via the executor merge).
         // small dense space (the H2O Q1/Q2/Q4 shapes): the partials are
         // a few KB-to-hundreds-of-KB each — collect and merge on the
         // driver, decode locally, re-distribute the result rows as a
