@@ -44,6 +44,21 @@ object GroupKernel {
     * cache and the hash-based Spark plan is the right one anyway. */
   val MaxDense: Int = 1 << 20
 
+  /** Whether a (key-product, source-partitions) pair may merge on the
+    * DRIVER instead of the executor chunk merge. Both bounds are
+    * load-bearing and protect different sides:
+    *  - p ≤ 2^14 bounds the DECODED result the driver path ships in a
+    *    single task closure (a 1e5-group query sneaking through on a
+    *    low-partition scan re-opens the round-7 LocalRelation trap:
+    *    ~40 ms of closure deserialization per query);
+    *  - p·partitions ≤ 2^21 bounds the partials COLLECT (a
+    *    1000-executor scan with 100k partitions must not fan GBs of
+    *    partials into the driver). */
+  private[graft] def driverMergeEligible(p: Int, partitions: Int): Boolean =
+    p <= (1 << 14) &&
+      p.toLong * partitions <= (1L << 12) * 512 &&
+      partitions <= 512
+
   /** One columnar block per partition: name → Array[Int] (dict codes),
     * Array[Long] (integral values) or Array[Double] (floating values). */
   type Block = Map[String, AnyRef]
@@ -696,9 +711,7 @@ object GroupKernel {
     }
     val nChunks = if (p >= (1 << 14)) 8 else 1
     val mergedRows =
-      if (p <= (1 << 14) &&
-          p.toLong * src.getNumPartitions <= (1L << 12) * 512 &&
-          src.getNumPartitions <= 512) {
+      if (GroupKernel.driverMergeEligible(p, src.getNumPartitions)) {
         // p ≤ 2^14 keeps the DECODED result small: the driver path
         // ships result rows in one task closure, and a 1e5-group query
         // sneaking under the product bound (few source partitions)
