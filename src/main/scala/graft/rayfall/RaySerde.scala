@@ -207,6 +207,39 @@ object RaySerde {
     frame
   }
 
+  /** One HEADERLESS object record — the journal encoding: `ray_write`
+    * to a file handle appends raw ser_raw bytes per record
+    * (core/io.c:343-355), no per-record frame header. */
+  def serializeRawObj(v: RVal): Array[Byte] = {
+    val bw = new W; writeObj(bw, v); bw.result()
+  }
+
+  /** A headerless apply record: LIST [symbol `name`, arg values…] —
+    * the `(write h (list 'f args…))` journal form `ray_read` replays
+    * through eval_obj (core/io.c:246-256). */
+  def serializeRawApply(name: String, args: Seq[Any]): Array[Byte] = {
+    val bw = new W
+    bw.u8(0); bw.u8(0); bw.i64((1 + args.length).toLong)
+    bw.u8(-6 & 0xff); bw.nulTerm(name)
+    args.foreach {
+      case r: RVal => writeObj(bw, r)
+      case x => writeObj(bw, VAtom(x))
+    }
+    bw.result()
+  }
+
+  /** Parse a headerless CONCATENATION of object records (the journal
+    * file layout) into the record values, in order. Throws if the
+    * stream is not a clean record sequence — callers use that to fall
+    * back to legacy text journals. */
+  def deserializeRawStream(spark: org.apache.spark.sql.SparkSession,
+                           bytes: Array[Byte]): List[RVal] = {
+    val r = new R(bytes)
+    val out = List.newBuilder[RVal]
+    while (r.remaining > 0) out += readObj(spark, r)
+    out.result()
+  }
+
   /** The IPC msgtype field of a frame (header byte 7). */
   def frameMsgType(frame: Array[Byte]): Int = frame(7) & 0xff
 

@@ -2472,31 +2472,24 @@ object Rayfall {
             s"hopen needs a path or host:port, got $x")
         }
       case RList(RSym("write") :: h :: v :: Nil) =>
-        // a journaled (list 'f args…) record is written as the s-expr
-        // (f args…) so read REPLAYS it as an application (journal.rfl);
-        // symbol-like strings stay bare to keep that, anything else is
-        // quoted+escaped so spaces/parens/quotes round-trip instead of
-        // silently splitting the record. The SAME encoding carries IPC
-        // frames: (write h (list 'f)) ships (f), which the server
-        // evaluates as an application — core/ipc.c's call convention.
-        val symbolLike = "^[A-Za-z_][A-Za-z0-9_-]*$".r
-        def enc(x: Any): String = x match {
-          case s: String if symbolLike.matches(s) => s
-          case s: String =>
-            "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-          case l: java.lang.Long => l.toString
-          case d: java.lang.Double => d.toString
-          case x => throw new IllegalArgumentException(s"cannot journal $x")
-        }
-        def record: String = ev(v) match {
-          case VVec(xs) => xs.map(enc).mkString("(", " ", ")")
-          case VAtom(s: String) => enc(s)
-          case VAtom(x) => x.toString
-          case other => valueText(other)
-        }
+        // (write h v): to a FILE handle, append one headerless binary
+        // ser_raw record — (list 'f args…) as the symbol-headed apply
+        // record read REPLAYS (journal.rfl), any other value as itself;
+        // to an IPC handle, ship the binary message (below). Both sides
+        // are the reference's own byte layouts (core/io.c:343, ipc.c).
         ev(h) match {
           case handle: VHandle =>
-            java.nio.file.Files.writeString(handle.path, record + "\n",
+            // journal record = headerless ser_raw bytes appended
+            // (reference ray_write on a file fd, core/io.c:343-355);
+            // (list 'f args…) becomes the symbol-headed apply record
+            val rec = ev(v) match {
+              case VVec(xs) if xs.nonEmpty && xs.head.isInstanceOf[String] =>
+                xs.tail.foreach(ipcArgLit) // same arg set as replay
+                RaySerde.serializeRawApply(xs.head.asInstanceOf[String],
+                  xs.tail)
+              case other => RaySerde.serializeRawObj(other)
+            }
+            java.nio.file.Files.write(handle.path, rec,
               java.nio.file.StandardOpenOption.APPEND)
             VAtom(null)
           case ipc: VIpc =>
@@ -2533,14 +2526,35 @@ object Rayfall {
           case hd: VHandle => hd
           case x => throw new IllegalArgumentException(s"read needs a handle, got $x")
         }
-        val p = new Parser(java.nio.file.Files.readString(handle.path))
-        var lastV: RVal = VAtom(null)
-        p.skipWs()
-        while (!p.eof) {
-          lastV = ev(p.parseExpr())
-          p.skipWs()
+        // binary journal (headerless ser_raw records, the reference's
+        // ray_read/eval_obj replay, core/io.c:214-256): an apply record
+        // [f, args…] re-executes, anything else is its value. Files
+        // that do not parse as a clean record stream are legacy s-expr
+        // text journals and replay through the parser as before.
+        val jBytes = java.nio.file.Files.readAllBytes(handle.path)
+        val binRecords =
+          try Some(RaySerde.deserializeRawStream(spark, jBytes))
+          catch { case _: Exception => None }
+        binRecords match {
+          case Some(records) =>
+            var lastV: RVal = VAtom(null)
+            records.foreach {
+              case VVec(xs) if xs.nonEmpty && xs.head.isInstanceOf[String] =>
+                lastV = ev(RList(RSym(xs.head.asInstanceOf[String]) ::
+                  xs.tail.toList.map(ipcArgLit)))
+              case value => lastV = value
+            }
+            lastV
+          case None =>
+            val p = new Parser(new String(jBytes, "UTF-8"))
+            var lastV: RVal = VAtom(null)
+            p.skipWs()
+            while (!p.eof) {
+              lastV = ev(p.parseExpr())
+              p.skipWs()
+            }
+            lastV
         }
-        lastV
       case RList(RSym("hclose") :: h :: Nil) =>
         ev(h) match {
           case ipc: VIpc => try ipc.sock.close() catch { case _: Exception => () }

@@ -31,13 +31,19 @@ class IpcSpec extends SparkSpec {
         case x => fail(s"expected a handle id, got $x")
       }
       assert(handle >= 3L, s"handle $handle")
-      // wait for the close callback to land in the journal
+      // wait for the close callback to land in the journal — records
+      // are binary ser_raw apply lists since round 10
+      def records: Seq[Seq[Any]] =
+        graft.rayfall.RaySerde.deserializeRawStream(spark,
+          java.nio.file.Files.readAllBytes(log)).collect {
+          case Rayfall.VVec(xs) => xs.toSeq
+        }
       val deadline = System.currentTimeMillis + 5000
-      def logText = java.nio.file.Files.readString(log)
-      while (!logText.contains("close") && System.currentTimeMillis < deadline)
+      while (!records.exists(_.headOption.contains("close")) &&
+          System.currentTimeMillis < deadline)
         Thread.sleep(50)
-      assert(logText.contains(s"(open $handle)"), logText)
-      assert(logText.contains(s"(close $handle)"), logText)
+      assert(records.contains(Seq("open", handle)), records.toString)
+      assert(records.contains(Seq("close", handle)), records.toString)
     } finally {
       server.stop()
       java.nio.file.Files.deleteIfExists(log)

@@ -1147,8 +1147,10 @@ class LangSpec extends SparkSpec {
     sv(s"""(set h (hopen "$log"))
           |(set t (timer 30 3 (fn [id] (write h id))))""".stripMargin)
     Thread.sleep(400)
-    val lines = java.nio.file.Files.readAllLines(log)
-    assert(lines.size == 3, s"expected 3 timer fires, got $lines")
+    // journals are binary ser_raw records since round 10 — count records
+    val recs = graft.rayfall.RaySerde.deserializeRawStream(spark,
+      java.nio.file.Files.readAllBytes(log))
+    assert(recs.size == 3, s"expected 3 timer fires, got $recs")
     // cancellation: an until-cancelled timer (reps 0) stops on (timer id)
     val log2 = java.nio.file.Files.createTempFile("graft-timer2", ".jnl")
     java.nio.file.Files.delete(log2)
@@ -1156,7 +1158,7 @@ class LangSpec extends SparkSpec {
           |(set t (timer 30 0 (fn [id] (write h id))))
           |(timer t)""".stripMargin)
     Thread.sleep(150)
-    assert(java.nio.file.Files.readAllLines(log2).isEmpty,
+    assert(java.nio.file.Files.readAllBytes(log2).isEmpty,
       "cancelled timer must not fire")
     java.nio.file.Files.deleteIfExists(log)
     java.nio.file.Files.deleteIfExists(log2)

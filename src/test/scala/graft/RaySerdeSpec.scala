@@ -151,6 +151,31 @@ class RaySerdeSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("journals append headerless ser_raw records (core/io.c:343) and " +
+      "(read h) replays apply records through the evaluator") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jnl")
+    val p = s"$dir/j.jnl"
+    Rayfall.scriptValue(spark,
+      s"""(set h (hopen "$p"))
+         |(write h (list 'f 1 2))
+         |(write h 42)
+         |(hclose h)""".stripMargin)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // record 1: LIST tag 0, attrs, count 3, symbol 'f', i64 1, i64 2;
+    // record 2: i64 atom 42 — NO per-record header (the journal layout)
+    assert(hex(bytes) ==
+      "00" + "00" + "0300000000000000" + "fa" + "6600" +
+        "fb" + "0100000000000000" + "fb" + "0200000000000000" +
+        "fb" + "2a00000000000000", hex(bytes))
+    // replay: f applies to the journaled VALUES; last record is 42
+    val v = Rayfall.scriptValue(spark,
+      s"""(set f (fn [a b] (+ a b)))
+         |(set h (hopen "$p"))
+         |(read h)""".stripMargin)
+    assert(v == VAtom(42L), s"got $v")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("script surface: (ser x) is a U8 byte vector with the documented " +
       "header; (de (ser ...)) round-trips through script values") {
     val bytes = Rayfall.scriptValue(spark, "(ser 42)") match {
