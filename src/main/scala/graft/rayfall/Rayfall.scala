@@ -1085,12 +1085,18 @@ object Rayfall {
             new java.io.BufferedInputStream(sock.getInputStream))
           val out = new java.io.DataOutputStream(
             new java.io.BufferedOutputStream(sock.getOutputStream))
-          // reference handshake (core/ipc.c:139-160 via ipc_read_handshake):
-          // client sends [version, 0], server echoes [version, 0]
-          val hs = new Array[Byte](2)
-          in.readFully(hs)
-          if (hs(1) != 0) throw new java.io.IOException("ipc: bad handshake")
-          out.write(RaySerde.Version); out.write(0); out.flush()
+          // reference handshake (ipc_read_handshake, core/ipc.c:282-316):
+          // the client frame is any byte sequence ENDING in 0x00 (the
+          // reference client sends [version, 0]; the docs' optional
+          // [user:password] prefix also lands here) — the server reads
+          // to the NUL and replies with ONE byte, its version
+          var hsRead = 0
+          while ({ val b = in.read()
+                   if (b < 0) throw new java.io.IOException("ipc: eof in handshake")
+                   hsRead += 1
+                   require(hsRead <= 256, "ipc: handshake too long")
+                   b != 0 }) ()
+          out.write(RaySerde.Version); out.flush()
           lock.synchronized(withEvalStack(callback(".z.po", h)))
           try while (true) {
             val frame = RaySerde.readFrame(in)
@@ -2458,10 +2464,11 @@ object Rayfall {
               new java.io.BufferedInputStream(sock.getInputStream))
             val outS = new java.io.DataOutputStream(
               new java.io.BufferedOutputStream(sock.getOutputStream))
-            // reference handshake (core/ipc.c:63-98): [version, 0] each way
+            // reference handshake (Unix ipc_open, core/ipc.c): the
+            // client sends [version, 0x00], the server replies ONE
+            // byte (its version)
             outS.write(RaySerde.Version); outS.write(0); outS.flush()
-            val resp = new Array[Byte](2); inS.readFully(resp)
-            require(resp(1) == 0, "ipc: bad handshake response")
+            val resp = new Array[Byte](1); inS.readFully(resp)
             VIpc(ipcClientSeq.incrementAndGet(), sock, inS, outS)
           case VAtom(s: String) =>
             val path = java.nio.file.Paths.get(s)

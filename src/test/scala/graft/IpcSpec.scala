@@ -143,10 +143,11 @@ class IpcSpec extends SparkSpec {
       val sock = new java.net.Socket("127.0.0.1", server.port)
       val out = new java.io.DataOutputStream(sock.getOutputStream)
       val in = new java.io.DataInputStream(sock.getInputStream)
-      // handshake: [version, 0] each way
+      // handshake: client sends [version, 0]; the server replies ONE
+      // byte, its version (ipc_read_handshake, core/ipc.c:296-300)
       out.write(Array[Byte](1, 0)); out.flush()
-      val hs = new Array[Byte](2); in.readFully(hs)
-      assert(hs(1) == 0)
+      val hs = new Array[Byte](1); in.readFully(hs)
+      assert(hs(0) == 1, s"server version byte ${hs(0)}")
       // hand-built sync frame: header + C8 "(+ 40 2)"
       val code = "(+ 40 2)".getBytes("UTF-8")
       out.write(Array[Byte](0xfa.toByte, 0xde.toByte, 0xfa.toByte,
