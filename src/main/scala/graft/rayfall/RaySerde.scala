@@ -155,25 +155,16 @@ object RaySerde {
 
   /** Full `ser` frame: header + one object. `msgtype` is the IPC field
     * (0 async, 1 sync, 2 response — core/serde.h:37); plain `ser` uses 0. */
-  def serialize(v: RVal, msgtype: Int = 0): Array[Byte] = {
-    val bw = new W; writeObj(bw, v)
-    wrap(bw.result(), msgtype)
-  }
+  def serialize(v: RVal, msgtype: Int = 0): Array[Byte] =
+    wrap(serializeRawObj(v), msgtype)
 
   /** An IPC apply message: LIST [symbol `name`, arg objects…] — the
     * `(write h (list 'f args…))` call convention the server runs
     * through eval_obj (core/ipc.c:388). The head is written as a
-    * SYMBOL atom (the reference's function reference), args as values. */
-  def serializeApply(name: String, args: Seq[Any], msgtype: Int): Array[Byte] = {
-    val bw = new W
-    bw.u8(0); bw.u8(0); bw.i64((1 + args.length).toLong)
-    bw.u8(-6 & 0xff); bw.nulTerm(name)
-    args.foreach {
-      case r: RVal => writeObj(bw, r)
-      case x => writeObj(bw, VAtom(x))
-    }
-    wrap(bw.result(), msgtype)
-  }
+    * SYMBOL atom (the reference's function reference), args as values.
+    * Same record body as the journal form, framed. */
+  def serializeApply(name: String, args: Seq[Any], msgtype: Int): Array[Byte] =
+    wrap(serializeRawApply(name, args), msgtype)
 
   /** An ERR frame (type 127: code u8 + 8-byte context + NUL message for
     * EC_USER=11, core/serde.c:319-333) — the IPC error-response shape;

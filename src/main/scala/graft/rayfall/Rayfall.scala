@@ -1021,7 +1021,9 @@ object Rayfall {
     * server applies args as values (eval_obj semantics), never as code.
     * Shared by server dispatch and the client's pre-flight check, so an
     * unsupported arg fails fast BEFORE the socket write, with both
-    * sides accepting the same set. */
+    * sides accepting the same set: atoms and FLAT vectors of atoms
+    * (the RVec literal evaluator has no nested-vector form, so nesting
+    * must be rejected here or the ship succeeds and the replay throws). */
   private def ipcArgLit(x: Any): RExpr = x match {
     case null => RNull
     case l: java.lang.Long => RNum(0.0, isInt = true, l = l)
@@ -1032,7 +1034,13 @@ object Rayfall {
     case d: java.time.LocalDate => RDate(d)
     case d: java.sql.Date => RDate(d.toLocalDate)
     case VAtom(a) => ipcArgLit(a)
-    case VVec(items) => RVec(items.toList.map(ipcArgLit))
+    case VVec(items) =>
+      RVec(items.toList.map {
+        case VAtom(a) => ipcArgLit(a)
+        case r: RVal => throw new IllegalArgumentException(
+          s"ipc: nested $r argument is not applicable")
+        case a => ipcArgLit(a)
+      })
     case x => throw new IllegalArgumentException(
       s"ipc: cannot apply argument $x")
   }
@@ -2466,7 +2474,10 @@ object Rayfall {
               new java.io.BufferedOutputStream(sock.getOutputStream))
             // reference handshake (Unix ipc_open, core/ipc.c): the
             // client sends [version, 0x00], the server replies ONE
-            // byte (its version)
+            // byte (its version). Like the reference client, the reply
+            // byte is consumed but NOT validated — cross-version peers
+            // negotiate nothing; a non-rayforce peer surfaces later as
+            // a bad-frame-prefix error from the first read.
             outS.write(RaySerde.Version); outS.write(0); outS.flush()
             val resp = new Array[Byte](1); inS.readFully(resp)
             VIpc(ipcClientSeq.incrementAndGet(), sock, inS, outS)
@@ -2487,17 +2498,55 @@ object Rayfall {
         ev(h) match {
           case handle: VHandle =>
             // journal record = headerless ser_raw bytes appended
-            // (reference ray_write on a file fd, core/io.c:343-355);
-            // (list 'f args…) becomes the symbol-headed apply record
-            val rec = ev(v) match {
-              case VVec(xs) if xs.nonEmpty && xs.head.isInstanceOf[String] =>
-                xs.tail.foreach(ipcArgLit) // same arg set as replay
-                RaySerde.serializeRawApply(xs.head.asInstanceOf[String],
-                  xs.tail)
-              case other => RaySerde.serializeRawObj(other)
+            // (reference ray_write on a file fd, core/io.c:343-355).
+            // A string-headed vector is journaled as the symbol-headed
+            // APPLY record (the journal.rfl call convention) — symbols
+            // and strings share one repr here (SURVEY §1.2), so a plain
+            // symbol-vector VALUE is indistinguishable from a journaled
+            // call and takes the apply reading, exactly as the old text
+            // journal did.
+            val value = ev(v)
+            // a NON-EMPTY file whose first byte is not a plausible
+            // record tag is a legacy round-9 TEXT journal: keep
+            // appending text so the mixed file stays replayable
+            val legacyText = {
+              val p = handle.path
+              java.nio.file.Files.exists(p) &&
+                java.nio.file.Files.size(p) > 0 && {
+                  val in0 = java.nio.file.Files.newInputStream(p)
+                  val b0 = try in0.read() finally in0.close()
+                  // valid record tags: null/err 126/127, vector tags
+                  // 0-12, table/dict/lambda 98-100, atom tags 0xf4-0xff
+                  !(b0 == 126 || b0 == 127 || (b0 >= 0 && b0 <= 12) ||
+                    (b0 >= 98 && b0 <= 100) || b0 >= 244)
+                }
             }
-            java.nio.file.Files.write(handle.path, rec,
-              java.nio.file.StandardOpenOption.APPEND)
+            if (legacyText) {
+              val symbolLike = "^[A-Za-z_][A-Za-z0-9_-]*$".r
+              def encT(x: Any): String = x match {
+                case s: String if symbolLike.matches(s) => s
+                case s: String => "\"" +
+                  s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+                case x => String.valueOf(x)
+              }
+              val rec = value match {
+                case VVec(xs) => xs.map(encT).mkString("(", " ", ")")
+                case VAtom(x) => encT(x)
+                case other => valueText(other)
+              }
+              java.nio.file.Files.writeString(handle.path, rec + "\n",
+                java.nio.file.StandardOpenOption.APPEND)
+            } else {
+              val rec = value match {
+                case VVec(xs) if xs.nonEmpty && xs.head.isInstanceOf[String] =>
+                  xs.tail.foreach(ipcArgLit) // same arg set as replay
+                  RaySerde.serializeRawApply(xs.head.asInstanceOf[String],
+                    xs.tail)
+                case other => RaySerde.serializeRawObj(other)
+              }
+              java.nio.file.Files.write(handle.path, rec,
+                java.nio.file.StandardOpenOption.APPEND)
+            }
             VAtom(null)
           case ipc: VIpc =>
             // remote call in the binary wire format: a STRING message

@@ -34,10 +34,13 @@ class IpcSpec extends SparkSpec {
       // wait for the close callback to land in the journal — records
       // are binary ser_raw apply lists since round 10
       def records: Seq[Seq[Any]] =
-        graft.rayfall.RaySerde.deserializeRawStream(spark,
-          java.nio.file.Files.readAllBytes(log)).collect {
-          case Rayfall.VVec(xs) => xs.toSeq
-        }
+        // a concurrent append can expose a torn partial record — treat
+        // an unparseable snapshot as "not yet" and keep polling
+        scala.util.Try(
+          graft.rayfall.RaySerde.deserializeRawStream(spark,
+            java.nio.file.Files.readAllBytes(log)).collect {
+            case Rayfall.VVec(xs) => xs.toSeq
+          }).getOrElse(Seq.empty)
       val deadline = System.currentTimeMillis + 5000
       while (!records.exists(_.headOption.contains("close")) &&
           System.currentTimeMillis < deadline)

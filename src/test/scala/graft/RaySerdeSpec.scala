@@ -173,6 +173,19 @@ class RaySerdeSpec extends SparkSpec {
          |(set h (hopen "$p"))
          |(read h)""".stripMargin)
     assert(v == VAtom(42L), s"got $v")
+    // appending to a PRE-round-10 TEXT journal stays text, so the
+    // mixed file replays end-to-end instead of becoming unreadable
+    val pt = s"$dir/legacy.jnl"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(pt), "(g 5)\n")
+    val v2 = Rayfall.scriptValue(spark,
+      s"""(set g (fn [a] (* a 10)))
+         |(set h (hopen "$pt"))
+         |(write h (list 'g 7))
+         |(read h)""".stripMargin)
+    assert(v2 == VAtom(70L), s"got $v2") // last record: (g 7)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(pt)), "UTF-8").startsWith("(g 5)"),
+      "legacy journal must stay text")
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
