@@ -137,6 +137,40 @@ class IpcSpec extends SparkSpec {
     } finally server.stop()
   }
 
+  test("the CLIENT's wire: a hand-rolled raw-socket peer sees the " +
+      "[version,0] handshake and a framed C8 sync message, and its ser " +
+      "reply comes back as the script value") {
+    import graft.rayfall.RaySerde
+    val ss = new java.net.ServerSocket(0)
+    @volatile var seen: Option[(Int, Rayfall.RVal)] = None
+    val peer = new Thread(() => {
+      val s = ss.accept()
+      val in = new java.io.DataInputStream(s.getInputStream)
+      val out = s.getOutputStream
+      // handshake: read to the NUL, reply one version byte
+      while (in.read() != 0) ()
+      out.write(1); out.flush()
+      val frame = RaySerde.readFrame(in)
+      seen = Some((RaySerde.frameMsgType(frame),
+        RaySerde.deserialize(spark, frame)))
+      out.write(RaySerde.serialize(Rayfall.VAtom(java.lang.Long.valueOf(7L)),
+        msgtype = 2))
+      out.flush(); s.close()
+    })
+    peer.setDaemon(true); peer.start()
+    try {
+      val v = Rayfall.scriptValue(spark,
+        s"""(set h (hopen "127.0.0.1:${ss.getLocalPort}"))
+           |(set r (write h "(+ 1 2)"))
+           |(hclose h)
+           |r""".stripMargin)
+      assert(v == Rayfall.VAtom(7L), s"got $v")
+      peer.join(5000)
+      assert(seen == Some((1, Rayfall.VAtom("(+ 1 2)"))),
+        s"peer saw $seen") // sync msgtype 1, C8 code text verbatim
+    } finally ss.close()
+  }
+
   test("the WIRE is the reference binary protocol: 2-byte handshake, " +
       "0xcefadefa-framed C8 sync message, msgtype-2 ser response " +
       "(core/ipc.c:63-98, serde.h:30-41)") {
