@@ -224,10 +224,23 @@ object RaySerde {
     * stream is not a clean record sequence — callers use that to fall
     * back to legacy text journals. */
   def deserializeRawStream(spark: org.apache.spark.sql.SparkSession,
-                           bytes: Array[Byte]): List[RVal] = {
+                           bytes: Array[Byte]): List[RVal] =
+    deserializeRawStreamTagged(spark, bytes).map(_._2)
+
+  /** Like [[deserializeRawStream]] but pairs each record with its
+    * LEADING type tag. Replay needs the tag to tell a LIST apply
+    * record (tag 0 — eval_obj applies it, core/io.c:246-256) from a
+    * symbol-vector VALUE record (tag 6 — eval_obj returns it
+    * unchanged, core/eval.c:884-893): both decode to a VVec of
+    * strings under the one-repr symbol/string convention. */
+  def deserializeRawStreamTagged(spark: org.apache.spark.sql.SparkSession,
+                                 bytes: Array[Byte]): List[(Int, RVal)] = {
     val r = new R(bytes)
-    val out = List.newBuilder[RVal]
-    while (r.remaining > 0) out += readObj(spark, r)
+    val out = List.newBuilder[(Int, RVal)]
+    while (r.remaining > 0) {
+      val tag = bytes(r.pos).toInt
+      out += ((tag, readObj(spark, r)))
+    }
     out.result()
   }
 
@@ -400,7 +413,8 @@ object RaySerde {
     val prefix = r.i32().toLong & 0xffffffffL
     require(prefix == Prefix,
       f"de: bad prefix 0x$prefix%08x (expected 0x$Prefix%08x)")
-    r.u8() // version — accepted (the reference checks only on IPC)
+    val ver = r.u8() // de_obj rejects frames newer than the build
+    require(ver <= Version, s"de: unsupported version $ver (max $Version)")
     r.u8(); r.u8(); r.u8()
     val size = r.i64()
     require(size == frame.length - HeaderLen,

@@ -1108,9 +1108,10 @@ object Rayfall {
           lock.synchronized(withEvalStack(callback(".z.po", h)))
           try while (true) {
             val frame = RaySerde.readFrame(in)
-            // header msgtype 0 = ASYNC (negated-handle writes): the
-            // reference evaluates them without replying (core/ipc.c:436)
-            val isAsync = RaySerde.frameMsgType(frame) == 0
+            // the reference replies ONLY to msgtype 1 (sync,
+            // ipc_on_data, core/ipc.c): async (0) and stray response
+            // (2) frames evaluate without a reply
+            val shouldReply = RaySerde.frameMsgType(frame) == 1
             val reply: Array[Byte] = lock.synchronized(withEvalStack {
               try {
                 env(".z.w") = VAtom(java.lang.Long.valueOf(h))
@@ -1141,8 +1142,12 @@ object Rayfall {
                     evalScript(spark, RSym(name), env, _ => (),
                       new StringBuilder)
                   } else RaySerde.deserialize(spark, frame) match {
-                    case VVec(xs) if xs.nonEmpty &&
-                        xs.head.isInstanceOf[String] =>
+                    // only a LIST payload (tag 0) is an apply — a
+                    // SYMBOL-VECTOR frame (tag 6) also decodes to a
+                    // VVec of strings but eval() returns symbol
+                    // vectors unchanged (core/eval.c:884-893)
+                    case VVec(xs) if RaySerde.frameTypeTag(frame) == 0 &&
+                        xs.nonEmpty && xs.head.isInstanceOf[String] =>
                       evalScript(spark,
                         RList(RSym(xs.head.asInstanceOf[String]) ::
                           xs.tail.toList.map(ipcArgLit)),
@@ -1162,7 +1167,7 @@ object Rayfall {
                   Option(e.getMessage).getOrElse(e.toString))
               }
             })
-            if (!isAsync) { out.write(reply); out.flush() }
+            if (shouldReply) { out.write(reply); out.flush() }
           } catch { case _: java.io.IOException => () }
           finally {
             lock.synchronized(withEvalStack(callback(".z.pc", h)))
@@ -2517,8 +2522,22 @@ object Rayfall {
                   val b0 = try in0.read() finally in0.close()
                   // valid record tags: null/err 126/127, vector tags
                   // 0-12, table/dict/lambda 98-100, atom tags 0xf4-0xff
-                  !(b0 == 126 || b0 == 127 || (b0 >= 0 && b0 <= 12) ||
-                    (b0 >= 98 && b0 <= 100) || b0 >= 244)
+                  val binaryTag = b0 == 126 || b0 == 127 ||
+                    (b0 >= 0 && b0 <= 12) || (b0 >= 98 && b0 <= 100) ||
+                    b0 >= 244
+                  // the only tags in printable ASCII are 98-100
+                  // ('b','c','d') and 126 ('~') — a legacy TEXT journal
+                  // whose first record is a bare symbol like `banana`
+                  // starts there too. Disambiguate by attempting a full
+                  // binary record-stream parse: text never parses clean.
+                  val ambiguous = binaryTag &&
+                    ((b0 >= 98 && b0 <= 100) || b0 == 126)
+                  if (!binaryTag) true
+                  else if (!ambiguous) false
+                  else !(try {
+                    RaySerde.deserializeRawStream(spark,
+                      java.nio.file.Files.readAllBytes(p)); true
+                  } catch { case _: Exception => false })
                 }
             }
             if (legacyText) {
@@ -2589,16 +2608,20 @@ object Rayfall {
         // text journals and replay through the parser as before.
         val jBytes = java.nio.file.Files.readAllBytes(handle.path)
         val binRecords =
-          try Some(RaySerde.deserializeRawStream(spark, jBytes))
+          try Some(RaySerde.deserializeRawStreamTagged(spark, jBytes))
           catch { case _: Exception => None }
         binRecords match {
           case Some(records) =>
             var lastV: RVal = VAtom(null)
             records.foreach {
-              case VVec(xs) if xs.nonEmpty && xs.head.isInstanceOf[String] =>
+              // only LIST records (leading tag 0) replay as applies —
+              // a foreign tag-6 symbol-vector record is a VALUE
+              // (eval_obj returns symbol vectors, core/eval.c:884-893)
+              case (0, VVec(xs)) if xs.nonEmpty &&
+                  xs.head.isInstanceOf[String] =>
                 lastV = ev(RList(RSym(xs.head.asInstanceOf[String]) ::
                   xs.tail.toList.map(ipcArgLit)))
-              case value => lastV = value
+              case (_, value) => lastV = value
             }
             lastV
           case None =>

@@ -201,4 +201,41 @@ class IpcSpec extends SparkSpec {
       sock.close()
     } finally server.stop()
   }
+
+  test("only LIST frames apply: a sync SYMBOL-VECTOR data frame echoes " +
+      "back unchanged (eval of a symbol vector is itself, " +
+      "core/eval.c:884-893), and a stray msgtype-2 frame gets NO reply " +
+      "(the reference replies only to MSG_TYPE_SYNC)") {
+    import graft.rayfall.RaySerde
+    val server = Rayfall.serveIpc(spark, 0, Map.empty,
+      "(set a (fn [b] (raise \"must not apply\")))")
+    try {
+      val sock = new java.net.Socket("127.0.0.1", server.port)
+      val out = new java.io.DataOutputStream(sock.getOutputStream)
+      val in = new java.io.DataInputStream(sock.getInputStream)
+      out.write(Array[Byte](1, 0)); out.flush()
+      val hs = new Array[Byte](1); in.readFully(hs)
+      // 1: symbol-vector DATA ['a 'b] as sync — tag 6, NOT an apply,
+      // even though it decodes to a string-headed VVec whose head is
+      // a bound unary function
+      val symVec = Rayfall.VVec(Vector("a", "b"))
+      val dataFrame = RaySerde.serialize(symVec, msgtype = 1)
+      assert(RaySerde.frameTypeTag(dataFrame) == 6)
+      out.write(dataFrame); out.flush()
+      val echo = RaySerde.readFrame(in)
+      assert(RaySerde.deserialize(spark, echo) == symVec,
+        s"got ${RaySerde.deserialize(spark, echo)}")
+      // 2: a stray RESPONSE frame evaluates silently (no reply) — the
+      // next sync call's reply must be the sync call's value, not an
+      // unsolicited reply to the response frame
+      out.write(RaySerde.serialize(Rayfall.VAtom("(set zz 5)"),
+        msgtype = 2))
+      out.write(RaySerde.serialize(Rayfall.VAtom("zz"), msgtype = 1))
+      out.flush()
+      val next = RaySerde.readFrame(in)
+      assert(RaySerde.deserialize(spark, next) == Rayfall.VAtom(5L),
+        "the first reply after a response frame must answer the SYNC call")
+      sock.close()
+    } finally server.stop()
+  }
 }

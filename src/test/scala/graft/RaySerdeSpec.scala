@@ -189,6 +189,54 @@ class RaySerdeSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("a foreign tag-6 symbol-vector journal record replays as its " +
+      "VALUE — only LIST (tag 0) records apply (eval_obj returns " +
+      "symbol vectors unchanged, core/eval.c:884-893)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jnl6")
+    val p = java.nio.file.Paths.get(s"$dir/sym.jnl")
+    // a native peer journals the symbol vector ['f 'x] as DATA: the
+    // record is tag 6, not the in-repo writer's tag-0 apply form
+    val rec = RaySerde.serializeRawObj(VVec(Vector("f", "x")))
+    assert((rec(0) & 0xff) == 6, hex(rec)) // pinned: it IS a tag-6 record
+    java.nio.file.Files.write(p, rec)
+    val v = Rayfall.scriptValue(spark,
+      s"""(set f (fn [a] (raise "must not apply")))
+         |(set h (hopen "$p"))
+         |(read h)""".stripMargin)
+    assert(v == VVec(Vector("f", "x")), s"got $v")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
+  test("de rejects frames with a version newer than the build " +
+      "(de_obj, core/serde.c)") {
+    val frame = RaySerde.serialize(VAtom(java.lang.Long.valueOf(42L)))
+    frame(4) = (RaySerde.Version + 1).toByte
+    val err = intercept[IllegalArgumentException] {
+      RaySerde.deserialize(spark, frame)
+    }
+    assert(err.getMessage.contains("version"), err.getMessage)
+  }
+
+  test("a legacy TEXT journal whose first record is a bare symbol in " +
+      "the 'b'..'d'/'~' byte range still sniffs as text (the full " +
+      "binary-parse disambiguation)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jnlb")
+    val pt = java.nio.file.Paths.get(s"$dir/bare.jnl")
+    // first byte 'b' = 98 = the TABLE tag — the naive first-byte sniff
+    // called this binary and appended raw bytes, corrupting the file
+    java.nio.file.Files.writeString(pt, "banana\n")
+    val v = Rayfall.scriptValue(spark,
+      s"""(set banana 5)
+         |(set g (fn [a] (* a 10)))
+         |(set h (hopen "$pt"))
+         |(write h (list 'g 7))
+         |(read h)""".stripMargin)
+    assert(v == VAtom(70L), s"got $v")
+    assert(new String(java.nio.file.Files.readAllBytes(pt), "UTF-8")
+      .startsWith("banana\n(g 7)"), "journal must stay text")
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("script surface: (ser x) is a U8 byte vector with the documented " +
       "header; (de (ser ...)) round-trips through script values") {
     val bytes = Rayfall.scriptValue(spark, "(ser 42)") match {
