@@ -1070,6 +1070,85 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  // ------------------------------------------------------------- t28/t29
+  // BPE subword tokenizer (Sennrich et al. 2016): t28 = the trained
+  // merge table, t29 = the corpus token census under those merges. The
+  // only corpus-sized work is ONE word-frequency shuffle; training runs
+  // on the bounded dictionary (top-2^20 by freq, word tie-break — the
+  // cap rides in the oracle like t13's), and encoding touches each
+  // DISTINCT word once. The oracle replays training verbatim: stage k
+  // derives the best pair from stage k-1's counts (count DESC, lhs,
+  // rhs) and rewrites every word with a left-to-right recursive-CTE
+  // walker; its stage-K word states ARE the rank-order encodings, which
+  // equal Spark's greedy lowest-rank-first encode (merge k can only
+  // create pairs containing its new token, all ranked > k).
+  private val bpeMergeCount = 40
+
+  def t28_bpe_merges(spark: SparkSession, dir: String): DataFrame =
+    operators.Bpe.mergesDf(spark,
+      operators.Bpe.trainMerges(t(spark, dir, "documents"), "text",
+        bpeMergeCount))
+      .orderBy($"rank")
+
+  def t29_bpe_tokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val merges = operators.Bpe.trainMerges(docs, "text", bpeMergeCount)
+    operators.Bpe.tokenCensus(docs, "text", merges)
+      .orderBy($"freq".desc, $"token".asc)
+  }
+
+  // one training stage: pair counts over the vocab (iv), best pair,
+  // left-to-right rewrite of EVERY word (encode applies universally)
+  private def bpeStageSql(k: Int): String =
+    s"""pairs_$k AS MATERIALIZED (
+       |  SELECT s1, s2, SUM(freq) AS cnt FROM (
+       |    SELECT freq, syms[i] AS s1, syms[i+1] AS s2
+       |    FROM words_${k - 1}, UNNEST(range(1, len(syms))) AS t(i) WHERE iv)
+       |  GROUP BY s1, s2),
+       |best_$k AS MATERIALIZED (
+       |  SELECT s1, s2 FROM pairs_$k ORDER BY cnt DESC, s1, s2 LIMIT 1),
+       |rw_$k AS (
+       |  SELECT word, freq, iv, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc
+       |  FROM words_${k - 1}
+       |  UNION ALL
+       |  SELECT word, freq, iv, syms,
+       |    CASE WHEN i < len(syms) AND syms[i] = (SELECT s1 FROM best_$k)
+       |              AND syms[i+1] = (SELECT s2 FROM best_$k)
+       |         THEN i + 2 ELSE i + 1 END,
+       |    CASE WHEN i < len(syms) AND syms[i] = (SELECT s1 FROM best_$k)
+       |              AND syms[i+1] = (SELECT s2 FROM best_$k)
+       |         THEN list_append(acc, syms[i] || syms[i+1])
+       |         ELSE list_append(acc, syms[i]) END
+       |  FROM rw_$k WHERE i <= len(syms)),
+       |words_$k AS MATERIALIZED (
+       |  SELECT word, freq, iv, acc AS syms FROM rw_$k
+       |  WHERE i = len(syms) + 1)""".stripMargin
+
+  private def bpeHeadSql: String =
+    """WITH RECURSIVE words_0 AS MATERIALIZED (
+      |  SELECT word, freq, list_append(string_split(word, ''), '</w>') AS syms,
+      |         ROW_NUMBER() OVER (ORDER BY freq DESC, word) <= 1048576 AS iv
+      |  FROM (
+      |    SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      |    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |    WHERE tok <> '' GROUP BY tok)),
+      |""".stripMargin +
+      (1 to bpeMergeCount).map(bpeStageSql).mkString(",\n")
+
+  private lazy val t28_sql =
+    bpeHeadSql + s"""
+      |SELECT k AS rank, s1 AS lhs, s2 AS rhs FROM (
+      |${(1 to bpeMergeCount)
+         .map(k => s"SELECT $k AS k, s1, s2 FROM best_$k")
+         .mkString(" UNION ALL ")}
+      |) ORDER BY rank""".stripMargin
+
+  private lazy val t29_sql =
+    bpeHeadSql + s"""
+      |SELECT token, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+      |  SELECT unnest(syms) AS token, freq FROM words_$bpeMergeCount)
+      |GROUP BY token ORDER BY freq DESC, token""".stripMargin
+
   // ---------------------------------------------------------------- t17
   // Per-source document caps (crawl-corpus domain caps): keep the top-10
   // docs per source by length with doc_id tie-break. The rank filter
@@ -3703,6 +3782,8 @@ object Queries {
     "t25_tfidf_pruned" -> (t25_tfidf_pruned _),
     "t26_quality_model" -> (t26_quality_model _),
     "t27_stream_span_clean" -> (t27_stream_span_clean _),
+    "t28_bpe_merges" -> (t28_bpe_merges _),
+    "t29_bpe_tokens" -> (t29_bpe_tokens _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -3834,6 +3915,8 @@ object Queries {
     "t26_quality_model" -> t26_sql,
     // the streamed clean must equal the batch ExactSubstr exactly
     "t27_stream_span_clean" -> t24_sql,
+    "t28_bpe_merges" -> t28_sql,
+    "t29_bpe_tokens" -> t29_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

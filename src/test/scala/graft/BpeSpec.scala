@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.Bpe
+import graft.operators.Bpe.Merge
+
+/** BPE subword tokenizer (Sennrich et al. 2016): training goldens on
+  * the paper's classic corpus under this repo's deterministic
+  * tie-break, the greedy-encode ≡ rank-order-application equivalence,
+  * round-trip detokenization, and the census/row surfaces. */
+class BpeSpec extends SparkSpec {
+
+  private def corpus = {
+    val s = spark
+    import s.implicits._
+    // the Sennrich corpus: low×5, lower×2, newest×6, widest×3
+    Seq((1L, (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")))
+      .toDF("doc_id", "text")
+  }
+
+  test("training goldens on the classic corpus: (count DESC, lhs, rhs) " +
+      "tie-break, left-to-right passes") {
+    val m = Bpe.trainMerges(corpus, "text", 6)
+    assert(m == Seq(
+      Merge(1, "e", "s"), Merge(2, "es", "t"), Merge(3, "est", "</w>"),
+      Merge(4, "l", "o"), Merge(5, "lo", "w"), Merge(6, "e", "w")), m)
+  }
+
+  test("greedy encode of an UNSEEN word composes trained subwords: " +
+      "lowest -> [low, est</w>] (the paper's example)") {
+    val rk = Bpe.trainMerges(corpus, "text", 6)
+      .map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    assert(Bpe.encodeWord("lowest", rk).toSeq == Seq("low", "est</w>"))
+    // untrained symbols survive as singletons
+    assert(Bpe.encodeWord("lox", rk).toSeq == Seq("lo", "x", "</w>"))
+  }
+
+  test("greedy encode equals applying merges in rank order (one " +
+      "left-to-right pass each) for every trained word") {
+    val merges = Bpe.trainMerges(corpus, "text", 6)
+    val rk = merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    for (w <- Seq("low", "lower", "newest", "widest")) {
+      var syms = Bpe.toSyms(w)
+      merges.foreach(m => syms = Bpe.mergePass(syms, m.lhs, m.rhs))
+      assert(Bpe.encodeWord(w, rk).toSeq == syms.toSeq, w)
+    }
+  }
+
+  test("overlapping occurrences merge left-to-right: aaa under (a,a) " +
+      "-> [aa, a]") {
+    assert(Bpe.mergePass(Array("a", "a", "a"), "a", "a").toSeq ==
+      Seq("aa", "a"))
+  }
+
+  test("tokens detokenize: concatenation minus the end mark rebuilds " +
+      "the word") {
+    val rk = Bpe.trainMerges(corpus, "text", 6)
+      .map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    for (w <- Seq("low", "lowered", "newest", "zzz"))
+      assert(Bpe.encodeWord(w, rk).mkString.stripSuffix(Bpe.EndMark) == w)
+  }
+
+  test("tokenCensus aggregates freq-weighted subword counts; " +
+      "withBpeTokens flattens per-row tokens consistently") {
+    val merges = Bpe.trainMerges(corpus, "text", 6)
+    val census = Bpe.tokenCensus(corpus, "text", merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // est</w> closes newest (6) and widest (3); low opens low (5),
+    // lower (2) — after merge 6 'newest' is n,ew,est</w>
+    assert(census("est</w>") == 9L, census)
+    assert(census("low") == 7L, census)
+    assert(census("ew") == 6L, census)
+    val rk = merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    val rows = Bpe.withBpeTokens(corpus, "text", merges, "toks")
+      .select("toks").collect()
+    val flat = rows.head.getSeq[String](0)
+    val expect = corpus.collect().head.getString(1).split(" ").toSeq
+      .flatMap(w => Bpe.encodeWord(w, rk))
+    assert(flat == expect)
+    // census == the flat stream's counts (one doc, so they must agree)
+    assert(flat.groupBy(identity).view.mapValues(_.size.toLong).toMap ==
+      census)
+  }
+}
