@@ -127,6 +127,19 @@ object Bpe {
     merges.toDF("rank", "lhs", "rhs")
   }
 
+  /** Persist the trained model (the merge table) as parquet — the
+    * tokenizer artifact a pipeline trains once and reuses across runs,
+    * like the IVF index lifecycle. */
+  def saveModel(spark: SparkSession, merges: Seq[Merge],
+                path: String): Unit =
+    mergesDf(spark, merges).coalesce(1).write.mode("overwrite").parquet(path)
+
+  /** Load a persisted model, rank-ordered. */
+  def loadModel(spark: SparkSession, path: String): Seq[Merge] =
+    spark.read.parquet(path).select("rank", "lhs", "rhs")
+      .orderBy(col("rank")).collect().toSeq
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2)))
+
   /** Encode one word greedily: repeatedly merge the lowest-rank pair
     * present (left-to-right within a pass) until none applies —
     * equivalent to applying the merges in rank order (see scaladoc). */

@@ -60,6 +60,19 @@ class BpeSpec extends SparkSpec {
       assert(Bpe.encodeWord(w, rk).mkString.stripSuffix(Bpe.EndMark) == w)
   }
 
+  test("the model persists: save/load round-trips the merge table and " +
+      "the loaded model encodes identically") {
+    val merges = Bpe.trainMerges(corpus, "text", 6)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe")
+    val p = s"$dir/model"
+    Bpe.saveModel(spark, merges, p)
+    val loaded = Bpe.loadModel(spark, p)
+    assert(loaded == merges)
+    val rk = loaded.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    assert(Bpe.encodeWord("lowest", rk).toSeq == Seq("low", "est</w>"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("tokenCensus aggregates freq-weighted subword counts; " +
       "withBpeTokens flattens per-row tokens consistently") {
     val merges = Bpe.trainMerges(corpus, "text", 6)
