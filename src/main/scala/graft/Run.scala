@@ -34,7 +34,22 @@ object Run {
       else if (args(1).endsWith(".rfl")) Seq("-f", args(1))
       else Seq.empty)
     if (args.length == 1) {
-      rayfall.Rayfall.repl(spark, tables,
+      // on a real TTY: the app/term.c line editor (raw mode via stty —
+      // the JVM analog of term_create's termios setup); piped stdin
+      // falls back to the line-oriented REPL (the oneshot mode)
+      if (System.console() != null &&
+          sys.env.getOrElse("SPARK_GRAFT_PLAIN_REPL", "0") != "1") {
+        def stty(modes: String*): Unit =
+          try new ProcessBuilder((Seq("stty") ++ modes): _*)
+            .redirectInput(ProcessBuilder.Redirect.INHERIT)
+            .start().waitFor()
+          catch { case _: Exception => () }
+        stty("raw", "-echo")
+        try rayfall.Rayfall.termRepl(spark, tables, System.in, System.out,
+          Some(java.nio.file.Paths.get(
+            sys.props.getOrElse("user.home", "."), ".rayhist.dat")))
+        finally { stty("sane"); System.out.println() }
+      } else rayfall.Rayfall.repl(spark, tables,
         new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),
         System.out)
     } else {

@@ -879,6 +879,21 @@ object Rayfall {
     * behaves as the reference's oneshot mode. Tables print their first
     * rows; everything else prints through the same renderer scripts'
     * `show` uses. */
+  /** First-rows rendering shared by both REPL front-ends. */
+  private def tableText(df: DataFrame): String = {
+    val rows = df.limit(21).collect()
+    val shown = rows.take(20)
+    val header = df.columns.mkString(" | ")
+    val body = shown.map(r => df.columns.indices.map { i =>
+      r.get(i) match {
+        case null => "nil"
+        case v => render(VAtom(v))
+      }
+    }.mkString(" | "))
+    (Seq(header) ++ body ++
+      (if (rows.length > 20) Seq("…") else Nil)).mkString("\n")
+  }
+
   def repl(spark: SparkSession, tables: Map[String, DataFrame],
            in: java.io.BufferedReader, out: java.io.PrintStream,
            prompt: Boolean = true): Unit = withEvalStack {
@@ -904,19 +919,6 @@ object Rayfall {
         i += 1
       }
       depth
-    }
-    def tableText(df: DataFrame): String = {
-      val rows = df.limit(21).collect()
-      val shown = rows.take(20)
-      val header = df.columns.mkString(" | ")
-      val body = shown.map(r => df.columns.indices.map { i =>
-        r.get(i) match {
-          case null => "nil"
-          case v => render(VAtom(v))
-        }
-      }.mkString(" | "))
-      (Seq(header) ++ body ++
-        (if (rows.length > 20) Seq("…") else Nil)).mkString("\n")
     }
     val pending = new StringBuilder
     if (prompt) { out.print("rayfall> "); out.flush() }
@@ -953,6 +955,92 @@ object Rayfall {
       line = in.readLine()
     }
   }
+
+  /** The reference's registry names (core/env.c init_keywords:334-356,
+    * init_functions:123-331) — the terminal editor's highlight and
+    * completion universe (env_get_internal_keyword_name /
+    * env_get_internal_function_name). */
+  val builtinKeywords: Seq[String] = Seq(
+    "fn", "do", "set", "self", "let", "take", "by", "from", "where", "sym")
+  val builtinFunctions: Seq[String] = Seq(
+    "alter", "and", "apply", "args", "as", "asc", "asof-join", "at", "avg",
+    "bin", "binr", "ceil", "concat", "count", "date", "de", "desc", "dev",
+    "dict", "distinct", "div", "diverse", "enlist", "enum", "env", "eval",
+    "except", "exit", "filter", "find", "first", "floor", "fold",
+    "fold-left", "fold-right", "format", "gc", "get", "get-parted",
+    "get-splayed", "group", "guid", "hclose", "hopen", "iasc", "idesc",
+    "if", "in", "inner-join", "insert", "internals", "key", "last",
+    "left-join", "like", "list", "load", "loadfn", "map", "map-left",
+    "map-right", "max", "med", "memstat", "meta", "min", "modify", "neg",
+    "nil?", "not", "or", "os-get-var", "os-set-var", "parse", "pmap",
+    "print", "println", "quote", "raise", "rand", "rank", "raze", "rc",
+    "read", "read-csv", "remove", "resolve", "return", "reverse", "round",
+    "row", "scan", "scan-left", "scan-right", "sect", "select", "ser",
+    "show", "split", "sum", "sysinfo", "system", "table", "til", "time",
+    "timeit", "timer", "timestamp", "try", "type", "unify", "union",
+    "update", "upsert", "value", "window-join", "window-join1", "within",
+    "write", "write-csv", "xasc", "xbar", "xdesc", "xrank")
+
+  /** The TERMINAL REPL — the `app/term.c` front-end: raw input bytes
+    * drive the [[Term]] line editor (history, multi-line continuation,
+    * syntax highlight, TAB completion, `:q`/`:t`/`:?` commands); each
+    * completed balanced form evaluates against the persistent env like
+    * [[repl]]. The caller owns raw mode (graft.Run shells out to
+    * `stty raw -echo`, the JVM analog of term_create's termios setup,
+    * app/term.c:621-683); output newlines are emitted as CRLF because
+    * raw mode disables output post-processing. */
+  def termRepl(spark: SparkSession, tables: Map[String, DataFrame],
+               in: java.io.InputStream, out: java.io.PrintStream,
+               histPath: Option[java.nio.file.Path] = None): Unit =
+    withEvalStack {
+      val env = scala.collection.mutable.Map[String, RVal](
+        tables.map { case (k, v) => k -> (VTab(v): RVal) }.toSeq: _*)
+      var running = true
+      var timeitOn = false
+      def raw(s: String): Unit = {
+        out.print(s.replace("\n", "\r\n")); out.flush()
+      }
+      val term = new Term(
+        write = s => { out.print(s); out.flush() },
+        keywords = () => builtinKeywords,
+        functions = () => builtinFunctions,
+        globals = () => env.keys.toSeq.sorted,
+        histPath = histPath,
+        width = sys.env.get("COLUMNS").flatMap(_.toIntOption).getOrElse(80),
+        onExit = _ => running = false,
+        onTimeit = on => timeitOn = on)
+      term.prompt()
+      var b = in.read()
+      while (running && b >= 0) {
+        term.feed(b) match {
+          case Some(src) =>
+            val t0 = System.nanoTime()
+            try {
+              val p = new Parser(src)
+              p.skipWs()
+              while (!p.eof) {
+                val sb = new StringBuilder
+                val v = evalScript(spark, p.parseExpr(), env, _ => (), sb)
+                if (sb.nonEmpty) raw(sb.toString)
+                v match {
+                  case VTab(df) => raw(tableText(df) + "\n")
+                  case VAtom(null) => ()
+                  case other => raw(render(other) + "\n")
+                }
+                p.skipWs()
+              }
+            } catch {
+              case e: Exception => raw(
+                s"error: ${Option(e.getMessage).getOrElse(e.toString)}\n")
+            }
+            if (timeitOn)
+              raw(s"${(System.nanoTime() - t0) / 1000000L} ms\n")
+            if (running) term.prompt()
+          case None => ()
+        }
+        if (running) b = in.read()
+      }
+    }
 
   // ------------------------------------------------------------- args
 
