@@ -1092,8 +1092,11 @@ object Queries {
 
   def t29_bpe_tokens(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val merges = operators.Bpe.trainMerges(docs, "text", bpeMergeCount)
-    operators.Bpe.tokenCensus(docs, "text", merges)
+    // one cached word-freq feeds BOTH training and the census — the
+    // raw corpus is scanned exactly once for the whole chain
+    val wf = operators.Bpe.wordFreq(docs, "text").cache()
+    val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
+    operators.Bpe.tokenCensusFromFreq(wf, merges)
       .orderBy($"freq".desc, $"token".asc)
   }
 

@@ -85,8 +85,14 @@ object Bpe {
     * the merge loop is O(numMerges × total symbols), independent of
     * corpus size. Stops early when no adjacent pair remains. */
   def trainMerges(corpus: DataFrame, textCol: String, numMerges: Int,
-                  maxWords: Int = 1 << 20): Seq[Merge] = {
-    val wf = wordFreq(corpus, textCol)
+                  maxWords: Int = 1 << 20): Seq[Merge] =
+    trainMergesFromFreq(wordFreq(corpus, textCol), numMerges, maxWords)
+
+  /** Train from a precomputed (word, freq) table — so one corpus scan
+    * (cached or persisted) can feed both training and encoding. */
+  def trainMergesFromFreq(freqDf: DataFrame, numMerges: Int,
+                          maxWords: Int = 1 << 20): Seq[Merge] = {
+    val wf = freqDf
       .orderBy($"freq".desc, $"word".asc).limit(maxWords)
       .collect()
     var entries: Array[(Array[String], Long)] =
@@ -170,11 +176,18 @@ object Bpe {
     * word-freq shuffle), then explodes subword tokens and re-aggregates
     * freq-weighted — the raw corpus is read exactly once. */
   def tokenCensus(corpus: DataFrame, textCol: String,
-                  merges: Seq[Merge]): DataFrame = {
-    val spark = corpus.sparkSession
+                  merges: Seq[Merge]): DataFrame =
+    tokenCensusFromFreq(wordFreq(corpus, textCol), merges)
+
+  /** Census over a precomputed (word, freq) table — pair with
+    * [[trainMergesFromFreq]] on a cached word-freq to read the raw
+    * corpus exactly ONCE for the whole train+encode chain. */
+  def tokenCensusFromFreq(freqDf: DataFrame,
+                          merges: Seq[Merge]): DataFrame = {
+    val spark = freqDf.sparkSession
     import spark.implicits._
     val rk = rankMap(merges)
-    val enc = wordFreq(corpus, textCol).as[(String, Long)]
+    val enc = freqDf.select(col("word"), col("freq")).as[(String, Long)]
       .map { case (w, f) => (encodeWord(w, rk).toSeq, f) }
     enc.select(explode(col("_1")).as("token"), col("_2").as("freq"))
       .groupBy(col("token")).agg(sum(col("freq")).as("freq"))
