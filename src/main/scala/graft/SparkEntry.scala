@@ -1152,6 +1152,70 @@ object Queries {
       |  SELECT unnest(syms) AS token, freq FROM words_$bpeMergeCount)
       |GROUP BY token ORDER BY freq DESC, token""".stripMargin
 
+  // ---------------------------------------------------------------- t30
+  // Deterministic global shuffle + sharding (the trainer's "last mile"):
+  // shard = floor(u·8) on the id-hash decision (hash-balanced, no global
+  // sort), pos = rank by (u, id) WITHIN the shard — the rank window is
+  // shard-partitioned, so the one exchange is 8-way parallel, never a
+  // single-partition global row_number. u is an exact 32-bit-significand
+  // double → floor/products replay bit-identically in DuckDB.
+  def t30_shard_shuffle(spark: SparkSession, dir: String): DataFrame =
+    operators.Sampling.shardShuffle(t(spark, dir, "documents"), "doc_id", 8)
+      .select($"shard", $"pos", $"doc_id")
+      .orderBy($"shard", $"pos")
+
+  private val t30_sql =
+    """WITH s AS (SELECT doc_id,
+      |    (((doc_id % 2147483648) * 2654435761) % 4294967296
+      |     + ((doc_id // 2147483648) * 2246822519) % 4294967296)
+      |    % 4294967296 / 4294967296.0 AS u FROM documents),
+      |b AS (SELECT doc_id, u, CAST(floor(u * 8) AS INT) AS shard FROM s)
+      |SELECT shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY u, doc_id) - 1
+      |    AS BIGINT) AS pos,
+      |  doc_id
+      |FROM b ORDER BY shard, pos""".stripMargin
+
+  // ---------------------------------------------------------------- t31
+  // Cluster-balanced downsampling (topic balance): nearest-centroid cell
+  // per embedding (the s03 cached Lloyd fit + shuffle-free codegen
+  // assignment), every cell capped at the SMALLEST cell's population,
+  // kept rows chosen by the deterministic id-hash order. The oracle
+  // replays the whole chain: the s03 centroid CTEs, the argmax-cosine
+  // assignment, the min-cell cap, and the same hash-rank keep.
+  def t31_cluster_balance(spark: SparkSession, dir: String): DataFrame =
+    operators.Sampling.clusterBalance(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", embCentroids(spark, dir))
+      .select($"cell", $"rk", $"id".as("vec_id"))
+      .orderBy($"cell", $"rk")
+
+  private lazy val t31_sql =
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |  topv AS (SELECT id, v FROM v ORDER BY id LIMIT 128),
+       |  num AS (SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM topv),
+       |  cent0 AS (SELECT CAST(rn // 16 AS INT) AS cell, v AS cv
+       |    FROM num WHERE rn % 16 = 1),
+       |${lloydIterSql("cent0", 1)},
+       |${lloydIterSql("cent1", 2)},
+       |${lloydIterSql("cent2", 3)},
+       |  a AS (SELECT id, cell FROM (
+       |    SELECT v.id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.id
+       |        ORDER BY ${duckCos("v.v", "c.cv")} DESC, c.cell) AS rk
+       |    FROM v CROSS JOIN cent3 c) WHERE rk = 1),
+       |  cap AS (SELECT MIN(cnt) AS m FROM
+       |    (SELECT COUNT(*) AS cnt FROM a GROUP BY cell)),
+       |  r AS (SELECT cell, id,
+       |      ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
+       |        (((id % 2147483648) * 2654435761) % 4294967296
+       |         + ((id // 2147483648) * 2246822519) % 4294967296)
+       |        % 4294967296 / 4294967296.0, id) AS rk
+       |    FROM a)
+       |SELECT r.cell, CAST(r.rk AS INT) AS rk, r.id AS vec_id
+       |FROM r, cap WHERE r.rk <= cap.m
+       |ORDER BY r.cell, r.rk""".stripMargin
+
   // ---------------------------------------------------------------- t17
   // Per-source document caps (crawl-corpus domain caps): keep the top-10
   // docs per source by length with doc_id tie-break. The rank filter
@@ -3787,6 +3851,8 @@ object Queries {
     "t27_stream_span_clean" -> (t27_stream_span_clean _),
     "t28_bpe_merges" -> (t28_bpe_merges _),
     "t29_bpe_tokens" -> (t29_bpe_tokens _),
+    "t30_shard_shuffle" -> (t30_shard_shuffle _),
+    "t31_cluster_balance" -> (t31_cluster_balance _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -3920,6 +3986,8 @@ object Queries {
     "t27_stream_span_clean" -> t24_sql,
     "t28_bpe_merges" -> t28_sql,
     "t29_bpe_tokens" -> t29_sql,
+    "t30_shard_shuffle" -> t30_sql,
+    "t31_cluster_balance" -> t31_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

@@ -136,4 +136,47 @@ object Sampling {
       when(d < ub, label).otherwise(acc)
     }
   }
+
+  /** Deterministic global shuffle + sharding — the training-data "last
+    * mile": every row gets a reproducible pseudorandom shard and a
+    * position within it, so any trainer reading shard files sees the
+    * same order run-to-run. shard = floor(u·nShards) on the id-hash
+    * decision (u is an exact 32-bit-significand double, so the product
+    * and floor are exact in any engine); position = rank by (u, id)
+    * WITHIN the shard. 100 TB shape: hash-bucketing balances shards
+    * without a global sort, and the rank window is PARTITIONED by shard
+    * — one nShards-way exchange, never a single-partition global
+    * row_number. */
+  def shardShuffle(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(nShards > 0, "nShards must be positive")
+    val w = Window.partitionBy($"shard").orderBy($"__u", col(idCol))
+    df.withColumn("__u", decision(col(idCol)))
+      .withColumn("shard", floor($"__u" * nShards).cast("int"))
+      .withColumn("pos", (row_number().over(w) - 1).cast("long"))
+      .drop("__u")
+  }
+
+  /** Cluster-balanced downsampling (topic balance for a training mix):
+    * assign each vector to its nearest-centroid cell (the shuffle-free
+    * codegen map from the IVF build), cap every cell at the SMALLEST
+    * cell's population, and keep each cell's rows in the deterministic
+    * id-hash order — an equal-representation sample over latent topics
+    * (the cluster-proportional curation step semantic-dedup pipelines
+    * pair with SemDeDup). One narrow assignment map + one nCells-row
+    * count agg + one cell-partitioned rank window; the embedding column
+    * never shuffles. */
+  def clusterBalance(df: DataFrame, idCol: String, vecCol: String,
+                     cents: Array[(Int, Seq[Double])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val assigned = Similarity.assignCells(v, cents)
+    val cap = assigned.groupBy($"cell").count()
+      .agg(min($"count")).collect()(0).getLong(0)
+    val w = Window.partitionBy($"cell").orderBy(decision($"id"), $"id")
+    assigned.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= cap)
+      .select($"cell", $"rk", $"id")
+  }
 }

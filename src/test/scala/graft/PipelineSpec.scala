@@ -939,4 +939,62 @@ class PipelineSpec extends SparkSpec {
       assert(got(q) == single, s"query $q diverges from bruteForceTopK")
     }
   }
+
+  test("shard shuffle: a partition of the corpus, reproducible, " +
+      "repartition-stable, positions contiguous from 0 per shard") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 1000).toDF("doc_id")
+    val s1 = Sampling.shardShuffle(df, "doc_id", 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    // every row lands in exactly one shard
+    assert(s1.length == 1000 && s1.map(_._1).distinct.length == 1000)
+    assert(s1.forall(x => x._2 >= 0 && x._2 < 8))
+    // positions are 0..n_s-1 within each shard
+    s1.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq,
+        s"shard $s positions not contiguous")
+    }
+    // reproducible and stable under a different partitioning
+    val s2 = Sampling.shardShuffle(df.repartition(7), "doc_id", 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(s1.toSeq == s2.toSeq)
+    // the hash balances shards without a global sort (loose 2x bound)
+    val sizes = s1.groupBy(_._2).values.map(_.length)
+    assert(sizes.min > 1000 / 8 / 2 && sizes.max < 1000 / 8 * 2, sizes)
+  }
+
+  test("cluster balance: every cell capped at the smallest cell, keep " +
+      "set = the hash-order prefix of each cell") {
+    import graft.operators.Sampling
+    // three separable directions with unequal populations 4/3/2
+    val vecs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0.95f, 0f, 0.05f)), (3L, Array(0.85f, 0.15f, 0f)),
+      (10L, Array(0f, 1f, 0f)), (11L, Array(0.1f, 0.9f, 0f)),
+      (12L, Array(0f, 0.95f, 0.05f)),
+      (20L, Array(0f, 0f, 1f)), (21L, Array(0.05f, 0f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    val cents = Array(
+      (0, Seq(1.0, 0.0, 0.0)), (1, Seq(0.0, 1.0, 0.0)),
+      (2, Seq(0.0, 0.0, 1.0)))
+    val got = Sampling.clusterBalance(vecs, "vec_id", "embedding", cents)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+    // min cell population is 2 -> every cell keeps exactly 2
+    assert(got.groupBy(_._1).view.mapValues(_.length).toMap ==
+      Map(0 -> 2, 1 -> 2, 2 -> 2), got.toSeq)
+    // the kept rows are the 2 lowest by (decision, id) in each cell
+    def u(id: Long): Double =
+      ((id % 2147483648L) * 2654435761L % 4294967296L +
+        (id / 2147483648L) * 2246822519L % 4294967296L) %
+        4294967296L / 4294967296.0
+    val cellOf = Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 0,
+      10L -> 1, 11L -> 1, 12L -> 1, 20L -> 2, 21L -> 2)
+    val expect = cellOf.groupBy(_._2).view.mapValues(
+      _.keys.toSeq.sortBy(id => (u(id), id)).take(2).toSet).toMap
+    got.groupBy(_._1).foreach { case (cell, rows) =>
+      assert(rows.map(_._3).toSet == expect(cell), s"cell $cell")
+    }
+  }
 }
