@@ -251,4 +251,28 @@ class PlanShapeSpec extends SparkSpec {
         s"an over-cap vocab bound must not force a broadcast:\n$overCap")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
+
+  test("t30 (shard shuffle): the rank window partitions BY SHARD (no " +
+      "single-partition global row_number) and the scan prunes to the " +
+      "id column") {
+    val p = plan("t30_shard_shuffle")
+    assert(p.contains("hashpartitioning(shard"),
+      s"the window exchange must partition by shard:\n$p")
+    assert(!p.contains("SinglePartition"),
+      s"a global single-partition window would bottleneck at scale:\n$p")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"only doc_id should be read:\n$p")
+  }
+
+  test("t31 (cluster balance): the cap filter plans a map-side " +
+      "WindowGroupLimit before the cell shuffle; assignment is a " +
+      "narrow map (no crossJoin, no extra exchange)") {
+    val p = plan("t31_cluster_balance")
+    assert(p.contains("WindowGroupLimit"),
+      s"rk <= cap must prune map-side before the window shuffle:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"assignment must be the codegen nearest-centroid map:\n$p")
+    assert(p.contains("hashpartitioning(cell"),
+      s"the rank window partitions by cell:\n$p")
+  }
 }
