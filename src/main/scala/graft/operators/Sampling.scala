@@ -172,8 +172,10 @@ object Sampling {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val assigned = Similarity.assignCells(v, cents)
-    val cap = assigned.groupBy($"cell").count()
-      .agg(min($"count")).collect()(0).getLong(0)
+    val capRow = assigned.groupBy($"cell").count()
+      .agg(min($"count")).collect()(0)
+    require(!capRow.isNullAt(0), "clusterBalance: empty input")
+    val cap = capRow.getLong(0)
     val w = Window.partitionBy($"cell").orderBy(decision($"id"), $"id")
     assigned.withColumn("rk", row_number().over(w))
       .filter($"rk" <= cap)

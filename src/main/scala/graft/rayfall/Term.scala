@@ -506,14 +506,23 @@ final class Term(
   }
 
   // --------------------------------------------------------- edit ops
+  // deletes operate on whole code points (a surrogate pair is one
+  // character — the reference's find_prev_utf8_char rule, term.c:886)
   private def deleteChar(): Unit =
-    if (bufPos < buf.length) buf.deleteCharAt(bufPos)
+    if (bufPos < buf.length) {
+      val n = Character.charCount(buf.toString.codePointAt(bufPos))
+      (0 until n).foreach(_ => buf.deleteCharAt(bufPos))
+    }
 
   private def backspace(): Unit = {
     if (bufPos == 0) return
-    buf.deleteCharAt(bufPos - 1)
-    bufPos -= 1
-    write("\u001b[1D")
+    val pair = bufPos >= 2 && Character.isLowSurrogate(buf(bufPos - 1)) &&
+      Character.isHighSurrogate(buf(bufPos - 2))
+    val n = if (pair) 2 else 1
+    (0 until n).foreach { _ => buf.deleteCharAt(bufPos - 1); bufPos -= 1 }
+    // move left by the DISPLAY width of the removed character
+    // (utf8_char_width: supplementary chars render 2 columns)
+    write(if (pair) "\u001b[2D" else "\u001b[1D")
     redraw()
   }
 
@@ -529,6 +538,28 @@ final class Term(
     buf.insert(bufPos, c)
     bufPos += 1
     redraw()
+  }
+
+  // multi-byte UTF-8 input assembly (the reference's utf8_char_width /
+  // find_prev_utf8_char handling, term.c:867-903): continuation bytes
+  // buffer until the sequence completes, then the decoded character —
+  // possibly a surrogate pair — inserts as one edit
+  private val utf8Buf = new java.io.ByteArrayOutputStream
+  private def utf8Expected(b: Int): Int =
+    if ((b & 0xe0) == 0xc0) 2
+    else if ((b & 0xf0) == 0xe0) 3
+    else if ((b & 0xf8) == 0xf0) 4
+    else 1
+  private def feedUtf8(b: Int): Unit = {
+    utf8Buf.write(b)
+    val bytes = utf8Buf.toByteArray
+    if (bytes.length >= utf8Expected(bytes(0) & 0xff)) {
+      utf8Buf.reset()
+      val s = new String(bytes, "UTF-8")
+      acReset()
+      s.foreach { ch => buf.insert(bufPos, ch); bufPos += 1 }
+      redraw()
+    }
   }
 
   // ------------------------------------------------------------ input
@@ -584,6 +615,7 @@ final class Term(
           buf.deleteCharAt(bufPos - 1); bufPos -= 1
         }
         redraw(); None
+      case c if c >= 0x80 => feedUtf8(c); None
       case c if c >= 0x20 => acReset(); insert(c.toChar); None
       case _ => None
     }

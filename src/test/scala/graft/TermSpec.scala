@@ -146,6 +146,23 @@ class TermSpec extends AnyFunSuite {
     assert(t.bufferText == "ac" && t.cursor == 1)
   }
 
+  test("multi-byte UTF-8 input assembles into characters; backspace " +
+      "removes whole code points (term.c:867-944)") {
+    val t = mk()
+    // é = C3 A9, 🎉 = F0 9F 8E 89 (a surrogate pair in UTF-16)
+    "né🎉".getBytes("UTF-8").foreach(b => t.feed(b & 0xff))
+    assert(t.bufferText == "né🎉", t.bufferText)
+    val out = new StringBuilder
+    val t2 = mk(out)
+    "a🎉".getBytes("UTF-8").foreach(b => t2.feed(b & 0xff))
+    out.clear()
+    t2.feed(0x7f) // backspace: the whole pair goes, cursor moves 2 cols
+    assert(t2.bufferText == "a", t2.bufferText)
+    assert(out.toString.contains(s"$Esc[2D"), out.toString)
+    t2.feed(0x7f)
+    assert(t2.bufferText == "")
+  }
+
   test("CTRL_D on an empty line exits; elsewhere it deletes forward " +
       "(term.c:1618-1626)") {
     var exited = -1
