@@ -879,19 +879,117 @@ object Rayfall {
     * behaves as the reference's oneshot mode. Tables print their first
     * rows; everything else prints through the same renderer scripts'
     * `show` uses. */
-  /** First-rows rendering shared by both REPL front-ends. */
-  private def tableText(df: DataFrame): String = {
-    val rows = df.limit(21).collect()
-    val shown = rows.take(20)
-    val header = df.columns.mkString(" | ")
-    val body = shown.map(r => df.columns.indices.map { i =>
+  /** The reference's table renderer (table_fmt_into,
+    * core/format.c:1039-1353), shared by both REPL front-ends:
+    * box-drawing borders, CENTERED column-name and type header rows,
+    * left-aligned cells, a head-half/tail-half split with a `┆ … ┆` row
+    * when truncated, a hidden-column `… ` gutter past 10 columns, and
+    * the ` N rows (n shown) M columns (m shown)` footer (the last
+    * column widens to fit it, earlier columns floor at 4 —
+    * format.c:1157-1170). REPL caps: 10 columns × 20 rows
+    * (TABLE_MAX_WIDTH/HEIGHT, format.c:49-50); `replCaps = false` is
+    * the uncapped full==2 mode. */
+  private[graft] def tableText(df: DataFrame,
+                                 replCaps: Boolean = true): String = {
+    import org.apache.spark.sql.types._
+    val totalRows = df.count()
+    val totalCols = df.columns.length
+    if (totalCols == 0) return "@table"
+    val showCols = if (replCaps) math.min(totalCols, 10) else totalCols
+    val showRows: Int =
+      if (replCaps) math.min(totalRows, 20L).toInt else totalRows.toInt
+    val hiddenCols = showCols < totalCols
+    val truncated = showRows < totalRows
+    val names = df.columns.take(showCols).toSeq
+    def typeName(dt: DataType): String = dt match {
+      case LongType | IntegerType | ShortType => "I64"
+      case DoubleType | FloatType | _: DecimalType => "F64"
+      case BooleanType => "B8"
+      case StringType => "SYMBOL"
+      case DateType => "DATE"
+      case TimestampType | TimestampNTZType => "TIMESTAMP"
+      case BinaryType => "U8"
+      case _ => "LIST"
+    }
+    val types = df.schema.fields.take(showCols).map(f => typeName(f.dataType))
+    // head half from the top, the rest from the bottom (format.c:1118-1146)
+    val headN = if (truncated) showRows / 2 else showRows
+    val tailN = showRows - headN
+    val projected = df.select(names.map(org.apache.spark.sql.functions.col): _*)
+    val rows: Array[org.apache.spark.sql.Row] =
+      if (truncated) projected.limit(headN).collect() ++ projected.tail(tailN)
+      else projected.limit(showRows).collect()
+    val cells: Array[Array[String]] = rows.map(r => names.indices.map { i =>
       r.get(i) match {
         case null => "nil"
         case v => render(VAtom(v))
       }
-    }.mkString(" | "))
-    (Seq(header) ++ body ++
-      (if (rows.length > 20) Seq("…") else Nil)).mkString("\n")
+    }.toArray)
+    val widths = names.indices.map { i =>
+      val w = (Seq(names(i).length, types(i).length) ++
+        cells.map(_(i).length)).max
+      w + 2
+    }.toArray
+    var totalWidth = widths.sum + showCols - 1
+    val footer = s" $totalRows rows ($showRows shown) " +
+      s"$totalCols columns ($showCols shown)"
+    if (totalWidth < footer.length) {
+      widths(showCols - 1) += footer.length - totalWidth
+      totalWidth = footer.length
+      names.indices.dropRight(1).foreach { i =>
+        if (widths(i) < 4) { totalWidth += 4 - widths(i); widths(i) = 4 }
+      }
+    }
+    if (hiddenCols) totalWidth += 4
+    val sb = new StringBuilder
+    def border(l: String, mid: String, r: String): Unit = {
+      sb ++= l
+      names.indices.foreach { i =>
+        sb ++= "─" * widths(i)
+        sb ++= (if (i < showCols - 1 || hiddenCols) mid else r)
+      }
+      if (hiddenCols) { sb ++= "───"; sb ++= r }
+      sb += '\n'
+    }
+    def centeredRow(vals: Seq[String]): Unit = {
+      sb ++= "│"
+      names.indices.foreach { i =>
+        val lp = (widths(i) - vals(i).length) / 2
+        sb ++= " " * lp
+        sb ++= vals(i)
+        sb ++= " " * (widths(i) - vals(i).length - lp)
+        sb ++= "│"
+      }
+      if (hiddenCols) sb ++= " … │"
+      sb += '\n'
+    }
+    border("┌", "┬", "┐")
+    centeredRow(names)
+    centeredRow(types.toSeq)
+    border("├", "┼", "┤")
+    cells.zipWithIndex.foreach { case (row, j) =>
+      if (truncated && j == showRows / 2) { // the missing-rows marker
+        sb ++= "┆"
+        names.indices.foreach { i =>
+          sb ++= " …"; sb ++= " " * (widths(i) - 2); sb ++= "┆"
+        }
+        if (hiddenCols) sb ++= " … ┆"
+        sb += '\n'
+      }
+      sb ++= "│"
+      names.indices.foreach { i =>
+        sb ++= " "; sb ++= row(i)
+        sb ++= " " * (widths(i) - row(i).length - 1)
+        sb ++= "│"
+      }
+      if (hiddenCols) sb ++= " … │"
+      sb += '\n'
+    }
+    border("├", "┴", "┤")
+    sb ++= "│"; sb ++= footer
+    sb ++= " " * (totalWidth - footer.length); sb ++= "│\n"
+    sb ++= "└"; sb ++= "─" * totalWidth; sb ++= "┘"
+    sb.toString
   }
 
   def repl(spark: SparkSession, tables: Map[String, DataFrame],

@@ -34,12 +34,49 @@ class ReplSpec extends SparkSpec {
     assert(got.linesIterator.contains("42"), s"got:\n$got")
   }
 
-  test("a table result prints a header and rows") {
+  test("a table result prints the reference's box layout: borders, " +
+      "name + type header rows, footer (table_fmt_into, format.c:1039)") {
     val got = drive(
       "(select {n: (count l_quantity) from: lineitem by: l_returnflag})")
-    assert(got.linesIterator.exists(_.startsWith("l_returnflag")),
+    assert(got.contains("l_returnflag"), s"got:\n$got")
+    val lines = got.linesIterator.toSeq
+    assert(lines.exists(_.startsWith("┌")), s"got:\n$got")
+    assert(lines.exists(_.startsWith("└")), s"got:\n$got")
+    // the type header row under the names
+    assert(lines.exists(l => l.contains("SYMBOL") && l.contains("I64")),
       s"got:\n$got")
-    // 3 return flags at this SF → header + 3 rows
-    assert(got.linesIterator.size >= 4, s"got:\n$got")
+    // 3 return flags at this SF → footer says so
+    assert(got.contains("3 rows (3 shown) 2 columns (2 shown)"),
+      s"got:\n$got")
+  }
+
+  test("the table renderer: head/tail split with the ┆ … ┆ marker past " +
+      "20 rows, hidden-column gutter past 10 columns, aligned borders") {
+    val spark0 = spark
+    import spark0.implicits._
+    val big = (1L to 50L).map(i => (i, s"v$i")).toDF("id", "name")
+    val t = Rayfall.tableText(big)
+    val lines = t.linesIterator.toSeq
+    assert(t.contains("50 rows (20 shown) 2 columns (2 shown)"), t)
+    assert(lines.count(_.startsWith("│")) == 2 + 20 + 1,
+      s"names+types+20 data+footer:\n$t") // bordered rows
+    assert(lines.exists(_.startsWith("┆")), s"missing-rows marker:\n$t")
+    // head half is ids 1..10, tail half ids 41..50 (format.c:1118-1146)
+    assert(t.contains(" 1 ") && t.contains(" 50 "), t)
+    assert(!t.contains(" 25 "), s"middle rows must be elided:\n$t")
+    // every border row has the same display width
+    val widths = lines.map(l => l.codePointCount(0, l.length)).toSet
+    assert(widths.size <= 2, s"ragged layout (widths $widths):\n$t")
+    // 12 columns → 10 shown + the … gutter
+    val wide = Seq((1 to 12).map(_.toLong)).map(s =>
+      (s(0), s(1), s(2), s(3), s(4), s(5), s(6), s(7), s(8), s(9), s(10),
+        s(11))).toDF((1 to 12).map(i => s"c$i"): _*)
+    val tw = Rayfall.tableText(wide)
+    assert(tw.contains("12 columns (10 shown)"), tw)
+    assert(tw.linesIterator.exists(_.endsWith(" … │")), tw)
+    // uncapped mode renders everything
+    val full = Rayfall.tableText(big, replCaps = false)
+    assert(full.contains("50 rows (50 shown)"), full)
+    assert(!full.linesIterator.exists(_.startsWith("┆")), full)
   }
 }
