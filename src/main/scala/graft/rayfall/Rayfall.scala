@@ -2064,7 +2064,15 @@ object Rayfall {
       case RList(RSym("println") :: RStr(f) :: args) =>
         out ++= fmt(f, args.map(ev)) += '\n'
         VAtom(null)
-      case RList(RSym("show" | "println") :: args) =>
+      case RList(RSym("show") :: args) =>
+        // ray_show formats FULL without limits (format.c:1499-1507):
+        // a table prints the uncapped box layout; println stays compact
+        args.map(ev).foreach {
+          case VTab(df) => out ++= tableText(df, replCaps = false) += '\n'
+          case v => out ++= render(v) += '\n'
+        }
+        VAtom(null)
+      case RList(RSym("println") :: args) =>
         args.map(ev).foreach(v => out ++= render(v) += '\n')
         VAtom(null)
       // (print …) — println without the trailing newline (reference

@@ -161,7 +161,8 @@ class DocsSpec extends SparkSpec {
     assert(got.head.getLong(2) == 3L)
   }
 
-  test("script: set chains bindings, show is a no-op, last value returned") {
+  test("script: set chains bindings, show prints without changing the " +
+      "value flow, last value returned") {
     val got = Rayfall.script(spark,
       """(set t (table [k v] (list [a a b] [1 2 5])))
         |(show t)

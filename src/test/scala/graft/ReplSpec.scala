@@ -79,4 +79,14 @@ class ReplSpec extends SparkSpec {
     assert(full.contains("50 rows (50 shown)"), full)
     assert(!full.linesIterator.exists(_.startsWith("┆")), full)
   }
+
+  test("script (show t) prints the UNCAPPED box table (ray_show = full " +
+      "without limits, format.c:1499); println stays compact") {
+    val (_, printed) = Rayfall.scriptCapture(spark,
+      "(set t (table [k v] (list [a b] [1 2]))) (show t) (println t)")
+    assert(printed.contains("┌"), printed)
+    assert(printed.contains("2 rows (2 shown) 2 columns (2 shown)"),
+      printed)
+    assert(printed.contains("table[k v]"), printed) // the println form
+  }
 }
