@@ -1093,7 +1093,11 @@ object Queries {
   def t29_bpe_tokens(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     // one cached word-freq feeds BOTH training and the census — the
-    // raw corpus is scanned exactly once for the whole chain
+    // raw corpus is scanned exactly once for the whole chain. The cache
+    // is deliberately left resident: it is VOCABULARY-bounded (distinct
+    // words, not corpus rows — bytes, not gigabytes), unlike the
+    // benchmark-table caches the round-7 lesson scopes/unpersists, and
+    // the lazily returned census still references it
     val wf = operators.Bpe.wordFreq(docs, "text").cache()
     val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
     operators.Bpe.tokenCensusFromFreq(wf, merges)

@@ -52,6 +52,26 @@ object Bpe {
       .filter($"word" =!= "")
       .groupBy($"word").agg(count(lit(1)).as("freq"))
 
+  /** Code-point (binary UTF-8) string order — what Spark's UTF8String
+    * comparisons and DuckDB's ORDER BY use. Java's `String` `<`
+    * compares UTF-16 code units, which reorders supplementary-plane
+    * symbols (an emoji's surrogates sort below U+E000..U+FFFF), so the
+    * driver-side tie-break must compare code points to stay
+    * cross-engine-identical. (Residual caveat, documented: DuckDB's
+    * `string_split(word, '')` splits per grapheme cluster, so a
+    * combining-mark sequence becomes ONE seed symbol there vs two code
+    * points here — the test corpora and any NFC-normalized input are
+    * unaffected.) */
+  private[graft] def cpLess(a: String, b: String): Boolean = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return ca < cb
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    i >= a.length && j < b.length
+  }
+
   /** Split a word into per-code-point symbols plus the end marker. */
   private[graft] def toSyms(word: String): Array[String] = {
     val out = Array.newBuilder[String]
@@ -114,8 +134,9 @@ object Bpe {
         var best: ((String, String), Long) = null
         counts.forEach { (p, c) =>
           if (best == null || c > best._2 ||
-              (c == best._2 && (p._1 < best._1._1 ||
-                (p._1 == best._1._1 && p._2 < best._1._2)))) best = (p, c)
+              (c == best._2 && (cpLess(p._1, best._1._1) ||
+                (p._1 == best._1._1 && cpLess(p._2, best._1._2)))))
+            best = (p, c)
         }
         val (lhs, rhs) = best._1
         merges += Merge(rank, lhs, rhs)

@@ -889,12 +889,21 @@ object Rayfall {
     * format.c:1157-1170). REPL caps: 10 columns × 20 rows
     * (TABLE_MAX_WIDTH/HEIGHT, format.c:49-50); `replCaps = false` is
     * the uncapped full==2 mode. */
+  /** Journal format per absolute path (true = legacy text), sniffed on
+    * the first append to a non-empty file — see the write handler. */
+  private val journalTextSniff =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+
   private[graft] def tableText(df: DataFrame,
                                  replCaps: Boolean = true): String = {
     import org.apache.spark.sql.types._
     val totalRows = df.count()
     val totalCols = df.columns.length
     if (totalCols == 0) return "@table"
+    // the uncapped (show) mode materializes every row driver-side —
+    // same cap discipline as `ser` (maxDriverVec) rather than an OOM
+    if (!replCaps) require(totalRows <= maxDriverVec,
+      s"show: table too large to render ($totalRows rows)")
     val showCols = if (replCaps) math.min(totalCols, 10) else totalCols
     val showRows: Int =
       if (replCaps) math.min(totalRows, 20L).toInt else totalRows.toInt
@@ -1099,7 +1108,9 @@ object Rayfall {
         out.print(s.replace("\n", "\r\n")); out.flush()
       }
       val term = new Term(
-        write = s => { out.print(s); out.flush() },
+        // raw mode disables output post-processing, so the editor's own
+        // newlines (submission, :t/:? messages) need the CR too
+        write = s => { out.print(s.replace("\n", "\r\n")); out.flush() },
         keywords = () => builtinKeywords,
         functions = () => builtinFunctions,
         globals = () => env.keys.toSeq.sorted,
@@ -2712,26 +2723,38 @@ object Rayfall {
               val p = handle.path
               java.nio.file.Files.exists(p) &&
                 java.nio.file.Files.size(p) > 0 && {
-                  val in0 = java.nio.file.Files.newInputStream(p)
-                  val b0 = try in0.read() finally in0.close()
-                  // valid record tags: null/err 126/127, vector tags
-                  // 0-12, table/dict/lambda 98-100, atom tags 0xf4-0xff
-                  val binaryTag = b0 == 126 || b0 == 127 ||
-                    (b0 >= 0 && b0 <= 12) || (b0 >= 98 && b0 <= 100) ||
-                    b0 >= 244
-                  // the only tags in printable ASCII are 98-100
-                  // ('b','c','d') and 126 ('~') — a legacy TEXT journal
-                  // whose first record is a bare symbol like `banana`
-                  // starts there too. Disambiguate by attempting a full
-                  // binary record-stream parse: text never parses clean.
-                  val ambiguous = binaryTag &&
-                    ((b0 >= 98 && b0 <= 100) || b0 == 126)
-                  if (!binaryTag) true
-                  else if (!ambiguous) false
-                  else !(try {
-                    RaySerde.deserializeRawStream(spark,
-                      java.nio.file.Files.readAllBytes(p)); true
-                  } catch { case _: Exception => false })
+                  // appends preserve a journal's format, so sniff a
+                  // non-empty file ONCE per path — the ambiguous case
+                  // below re-parses the whole file, which would make
+                  // every (write h v) O(file size) otherwise
+                  val key = p.toAbsolutePath.toString
+                  val cached = journalTextSniff.get(key)
+                  if (cached != null) cached.booleanValue
+                  else {
+                    val in0 = java.nio.file.Files.newInputStream(p)
+                    val b0 = try in0.read() finally in0.close()
+                    // valid record tags: null/err 126/127, vector tags
+                    // 0-12, table/dict/lambda 98-100, atom tags 0xf4-0xff
+                    val binaryTag = b0 == 126 || b0 == 127 ||
+                      (b0 >= 0 && b0 <= 12) || (b0 >= 98 && b0 <= 100) ||
+                      b0 >= 244
+                    // the only tags in printable ASCII are 98-100
+                    // ('b','c','d') and 126 ('~') — a legacy TEXT journal
+                    // whose first record is a bare symbol like `banana`
+                    // starts there too. Disambiguate by attempting a full
+                    // binary record-stream parse: text never parses clean.
+                    val ambiguous = binaryTag &&
+                      ((b0 >= 98 && b0 <= 100) || b0 == 126)
+                    val res =
+                      if (!binaryTag) true
+                      else if (!ambiguous) false
+                      else !(try {
+                        RaySerde.deserializeRawStream(spark,
+                          java.nio.file.Files.readAllBytes(p)); true
+                      } catch { case _: Exception => false })
+                    journalTextSniff.put(key, java.lang.Boolean.valueOf(res))
+                    res
+                  }
                 }
             }
             if (legacyText) {

@@ -58,7 +58,12 @@ final class Term(
   private var bufPos = 0                   // cursor (term->buf_pos)
   private val multiline = new StringBuilder // accumulated lines
   private val input = new StringBuilder    // pending escape bytes
-  private var lastTotalRows = 1            // wrapped-row memory for redraw
+  // visual row of the PHYSICAL cursor within the wrapped input (0 =
+  // prompt row). The reference climbs last_total_rows-1 on redraw
+  // (term.c:832-838), which over-climbs when the cursor sits on an
+  // earlier wrapped row after Home/arrow moves — tracking the actual
+  // row is the fix, and plain ASCII flows behave identically.
+  private var physRow = 0
 
   // history (hist_t): lines + cursor-over-lines + saved current line
   private val histLines = scala.collection.mutable.ArrayBuffer[String]()
@@ -124,8 +129,10 @@ final class Term(
   }
 
   // ----------------------------------------------------------- prompt
-  def prompt(): Unit = write(s"$Green$PromptGlyph $Reset")
-  private def continuationPrompt(): Unit = write(s"$Gray$ContGlyph $Reset")
+  def prompt(): Unit = { write(s"$Green$PromptGlyph $Reset"); physRow = 0 }
+  private def continuationPrompt(): Unit = {
+    write(s"$Gray$ContGlyph $Reset"); physRow = 0
+  }
   private def promptLen = 2 // visual width of "❯ " / "┆ "
 
   // ---------------------------------------------------- balance check
@@ -176,6 +183,7 @@ final class Term(
     else if (tr > fr) write(s"\u001b[${tr - fr}B")
     if (tc < fc) write(s"\u001b[${fc - tc}D")
     else if (tc > fc) write(s"\u001b[${tc - fc}C")
+    physRow = tr
   }
 
   // -------------------------------------------------------- highlight
@@ -252,13 +260,13 @@ final class Term(
   private def redraw(): Unit = {
     write(CursorHide)
     write("\r")
-    var r = 1
-    while (r < lastTotalRows) { write("\u001b[1A\r"); r += 1 }
+    var r = 0
+    while (r < physRow) { write("\u001b[1A\r"); r += 1 }
     write("\u001b[J")
     write(highlighted)
-    val total = promptLen + visual(buf.toString, buf.length)
-    lastTotalRows = if (width > 0) math.max(1, (total + width - 1) / width)
-                    else 1
+    // the repaint leaves the physical cursor on the input's last row
+    physRow = if (width > 0)
+      (promptLen + visual(buf.toString, buf.length)) / width else 0
     gotoPosition(buf.length, bufPos)
     write(CursorShow)
   }
@@ -272,8 +280,11 @@ final class Term(
     val line = buf.toString
     if (multiline.isEmpty) {
       if (line.startsWith(":q")) {
+        // i64_from_str semantics: a clean integer parse is the exit
+        // code, anything else (junk, overflow) exits 0 (term.c:1347-1351)
         val code = line.drop(2).trim
-        onExit(if (code.nonEmpty && code.forall(_.isDigit)) code.toInt else 0)
+        onExit(if (code.nonEmpty && code.forall(_.isDigit))
+          scala.util.Try(code.toInt).getOrElse(0) else 0)
         resetLine(); return None
       }
       if (line.startsWith(":t")) {
@@ -306,7 +317,7 @@ final class Term(
     }
   }
 
-  private def resetLine(): Unit = { buf.clear(); bufPos = 0 }
+  private def resetLine(): Unit = { buf.clear(); bufPos = 0; physRow = 0 }
 
   // ----------------------------------------------------- autocomplete
   private def opposite(c: Char): Char = c match {
@@ -473,6 +484,10 @@ final class Term(
         buf.clear(); buf ++= l; bufPos = l.length; redraw()
       }
     case "\u001b[B" => // down: recall next or restore the typed line
+      // save the in-progress line first (the CTRL_P branch of the
+      // reference does; its bare down-arrow loses the line to the
+      // stale curr_len — term.c:1424-1436 vs 1648-1652)
+      histSaveCurrent()
       val l = histNext().getOrElse(histRestoreCurrent())
       buf.clear(); buf ++= l; bufPos = l.length
       redraw()
@@ -569,8 +584,17 @@ final class Term(
     if (input.nonEmpty) { // inside an escape sequence
       input += b.toChar
       val s = input.toString
-      if (EscapeSeqs.contains(s)) { input.clear(); handleEscape(s) }
-      else if (!EscapeSeqs.exists(_.startsWith(s))) input.clear()
+      // CSI sequences (ESC [ params… final) end at a byte in 0x40-0x7e;
+      // UNKNOWN ones are consumed whole and dropped — without this, an
+      // unhandled key like Ctrl-Right (ESC[1;5C) would spill its tail
+      // bytes into the buffer as literal text
+      if (s.length == 2 && s(1) != '[') {
+        input.clear()
+        if (EscapeSeqs.contains(s)) handleEscape(s) // ESC f / ESC b
+      } else if (s.length >= 3 && b >= 0x40 && b <= 0x7e) {
+        input.clear()
+        if (EscapeSeqs.contains(s)) handleEscape(s)
+      } else if (s.length > 16) input.clear() // runaway guard
       return None
     }
     b match {

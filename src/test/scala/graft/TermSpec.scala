@@ -146,6 +146,22 @@ class TermSpec extends AnyFunSuite {
     assert(t.bufferText == "ac" && t.cursor == 1)
   }
 
+  test("unknown CSI sequences are consumed whole (Ctrl-Right ESC[1;5C " +
+      "must not type '5C'); down-arrow with no prior up keeps the line") {
+    val t = mk()
+    t.feedAll("ab")
+    t.feedAll(s"$Esc[1;5C") // xterm Ctrl-Right — not bound, must vanish
+    assert(t.bufferText == "ab", t.bufferText)
+    t.feedAll(s"$Esc[200~") // bracketed-paste guard — also consumed
+    assert(t.bufferText == "ab", t.bufferText)
+    // a bare down-arrow must not clear the in-progress line
+    val t2 = mk()
+    t2.feedAll("(x)\r")
+    t2.feedAll("(partial")
+    t2.feedAll(s"$Esc[B")
+    assert(t2.bufferText == "(partial", t2.bufferText)
+  }
+
   test("multi-byte UTF-8 input assembles into characters; backspace " +
       "removes whole code points (term.c:867-944)") {
     val t = mk()
