@@ -1156,6 +1156,53 @@ object Queries {
       |  SELECT unnest(syms) AS token, freq FROM words_$bpeMergeCount)
       |GROUP BY token ORDER BY freq DESC, token""".stripMargin
 
+  // ---------------------------------------------------------------- t32
+  // The tokenize-then-pack final step, with the TRAINED tokenizer: BPE
+  // merges fit from the word-freq dict, each distinct word's subword
+  // count broadcast back as a lookup table (corpus token counting is a
+  // hash probe, never a per-row merge loop), per-doc BPE token totals,
+  // then t08's concat-and-chunk span arithmetic at a 512-token budget.
+  // The oracle chains the full BPE replay (words_40 lengths), the
+  // count join, and the window-cumsum pack.
+  def t32_bpe_pack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val wf = operators.Bpe.wordFreq(docs, "text").cache()
+    val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
+    val wt = operators.Bpe.wordTokenCounts(wf, merges)
+    val docTok = docs
+      .select($"doc_id", explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+      .join(broadcast(wt), "word")
+      .groupBy($"doc_id").agg(sum($"ntok").as("n_btok"))
+    operators.Packing.chunkSpans(docTok, "doc_id", $"n_btok",
+      budget = 512L, shards = 4)
+      .orderBy($"doc_id")
+  }
+
+  private lazy val t32_sql =
+    bpeHeadSql + s""",
+      |wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS ntok
+      |       FROM words_$bpeMergeCount),
+      |dt AS (
+      |  SELECT doc_id, CAST(SUM(ntok) AS BIGINT) AS len
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents) dw
+      |  JOIN wt USING (word)
+      |  WHERE word <> '' GROUP BY doc_id),
+      |d AS (
+      |  SELECT doc_id, doc_id % 4 AS shard, len,
+      |    CAST(COALESCE(SUM(len)
+      |      OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cum_excl
+      |  FROM dt)
+      |SELECT doc_id, shard,
+      |  cum_excl // 512 AS start_chunk,
+      |  CASE WHEN len > 0 THEN (cum_excl + len - 1) // 512
+      |       ELSE cum_excl // 512 END AS end_chunk,
+      |  cum_excl % 512 AS chunk_offset
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t30
   // Deterministic global shuffle + sharding (the trainer's "last mile"):
   // shard = floor(u·8) on the id-hash decision (hash-balanced, no global
@@ -3857,6 +3904,7 @@ object Queries {
     "t29_bpe_tokens" -> (t29_bpe_tokens _),
     "t30_shard_shuffle" -> (t30_shard_shuffle _),
     "t31_cluster_balance" -> (t31_cluster_balance _),
+    "t32_bpe_pack" -> (t32_bpe_pack _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -3992,6 +4040,7 @@ object Queries {
     "t29_bpe_tokens" -> t29_sql,
     "t30_shard_shuffle" -> t30_sql,
     "t31_cluster_balance" -> t31_sql,
+    "t32_bpe_pack" -> t32_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

@@ -214,6 +214,18 @@ object Bpe {
       .groupBy(col("token")).agg(sum(col("freq")).as("freq"))
   }
 
+  /** (word, ntok) — each distinct word's subword token count under the
+    * merges: the broadcastable tokenizer lookup table. Corpus-side
+    * token counting is then a hash-probe join, never a per-row merge
+    * loop (the 100 TB shape for "how many tokens is this corpus"). */
+  def wordTokenCounts(freqDf: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = freqDf.sparkSession
+    import spark.implicits._
+    val rk = rankMap(merges)
+    freqDf.select(col("word")).as[String]
+      .map(w => (w, encodeWord(w, rk).length.toLong)).toDF("word", "ntok")
+  }
+
   /** Per-row subword tokens column. The merge table is bounded
     * (numMerges entries) and ships in the closure; a per-executor memo
     * caches word → tokens, so repeated words cost a hash probe. The

@@ -60,6 +60,17 @@ class BpeSpec extends SparkSpec {
       assert(Bpe.encodeWord(w, rk).mkString.stripSuffix(Bpe.EndMark) == w)
   }
 
+  test("wordTokenCounts: the broadcastable word -> subword-count table " +
+      "equals per-word greedy encode lengths") {
+    val wf = Bpe.wordFreq(corpus, "text")
+    val merges = Bpe.trainMergesFromFreq(wf, 6)
+    val rk = merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    val got = Bpe.wordTokenCounts(wf, merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (w <- Seq("low", "lower", "newest", "widest"))
+      assert(got(w) == Bpe.encodeWord(w, rk).length.toLong, w)
+  }
+
   test("the model persists: save/load round-trips the merge table and " +
       "the loaded model encodes identically") {
     val merges = Bpe.trainMerges(corpus, "text", 6)
