@@ -408,4 +408,43 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("BPE laws on random corpora: greedy encode == rank-order " +
+      "application, detokenization round-trips, census mass is " +
+      "conserved (token count per word never exceeds chars+1)") {
+    import graft.operators.Bpe
+    val wordGen = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')).map(_.mkString))
+    val corpusGen = Gen.chooseNum(5, 40).flatMap(n =>
+      Gen.listOfN(n, wordGen))
+    forAll(corpusGen) { words =>
+      val df = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      val merges = Bpe.trainMerges(df, "text", 12)
+      val rk = merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+      // ranks are 1..k with no duplicate pairs
+      assert(merges.map(_.rank) == (1 to merges.length))
+      assert(merges.map(m => (m.lhs, m.rhs)).distinct.length ==
+        merges.length)
+      words.distinct.foreach { w =>
+        val greedy = Bpe.encodeWord(w, rk)
+        // law 1: greedy lowest-rank-first == merges applied in rank
+        // order, one exhaustive left-to-right pass each
+        var syms = Bpe.toSyms(w)
+        merges.foreach(m => syms = Bpe.mergePass(syms, m.lhs, m.rhs))
+        assert(greedy.toSeq == syms.toSeq, s"word $w")
+        // law 2: concatenation minus the end mark rebuilds the word
+        assert(greedy.mkString.stripSuffix(Bpe.EndMark) == w, w)
+        // law 3: 1 <= tokens <= chars + endmark
+        assert(greedy.length >= 1 && greedy.length <= w.length + 1, w)
+      }
+      // census mass conservation: sum(freq over tokens of word w) ==
+      // occurrences(w) * tokens(w), aggregated corpus-wide
+      val census = Bpe.tokenCensus(df, "text", merges)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = words.groupBy(identity).map { case (w, occ) =>
+        occ.length.toLong * Bpe.encodeWord(w, rk).length
+      }.sum
+      assert(census.values.sum == expect, census)
+    }
+  }
 }
