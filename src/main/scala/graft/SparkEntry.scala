@@ -1163,17 +1163,16 @@ object Queries {
   // hash probe, never a per-row merge loop), per-doc BPE token totals,
   // then t08's concat-and-chunk span arithmetic at a 512-token budget.
   // The oracle chains the full BPE replay (words_40 lengths), the
-  // count join, and the window-cumsum pack.
+  // count join, and the window-cumsum pack. The lookup broadcast is
+  // GATED on the measured vocabulary size (Bpe.docTokenCounts — the
+  // TfIdf pattern; PlanShapeSpec pins hint-under-gate vs no-hint-above)
+  // so a 10⁸-distinct-word crawl shuffle-joins instead of OOMing.
   def t32_bpe_pack(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val wf = operators.Bpe.wordFreq(docs, "text").cache()
     val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
-    val wt = operators.Bpe.wordTokenCounts(wf, merges)
-    val docTok = docs
-      .select($"doc_id", explode(split($"text", " ")).as("word"))
-      .filter($"word" =!= "")
-      .join(broadcast(wt), "word")
-      .groupBy($"doc_id").agg(sum($"ntok").as("n_btok"))
+    val docTok =
+      operators.Bpe.docTokenCounts(docs, "doc_id", "text", wf, merges)
     operators.Packing.chunkSpans(docTok, "doc_id", $"n_btok",
       budget = 512L, shards = 4)
       .orderBy($"doc_id")

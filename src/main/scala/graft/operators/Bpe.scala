@@ -62,14 +62,18 @@ object Bpe {
     * combining-mark sequence becomes ONE seed symbol there vs two code
     * points here — the test corpora and any NFC-normalized input are
     * unaffected.) */
-  private[graft] def cpLess(a: String, b: String): Boolean = {
+  private[graft] def cpLess(a: String, b: String): Boolean =
+    cpCompare(a, b) < 0
+
+  /** Three-way code-point comparison (see [[cpLess]]). */
+  private[graft] def cpCompare(a: String, b: String): Int = {
     var i = 0; var j = 0
     while (i < a.length && j < b.length) {
       val ca = a.codePointAt(i); val cb = b.codePointAt(j)
-      if (ca != cb) return ca < cb
+      if (ca != cb) return Integer.compare(ca, cb)
       i += Character.charCount(ca); j += Character.charCount(cb)
     }
-    i >= a.length && j < b.length
+    Integer.compare(a.length - i, b.length - j)
   }
 
   /** Split a word into per-code-point symbols plus the end marker. */
@@ -115,8 +119,167 @@ object Bpe {
     val wf = freqDf
       .orderBy($"freq".desc, $"word".asc).limit(maxWords)
       .collect()
-    var entries: Array[(Array[String], Long)] =
-      wf.map(r => (toSyms(r.getString(0)), r.getLong(1)))
+    trainMergesLocal(
+      wf.map(r => (toSyms(r.getString(0)), r.getLong(1))), numMerges)
+  }
+
+  /** Growable primitive int list — `where` index entries without the
+    * boxing of ArrayBuffer[Int] (10⁷ memberships at the 2^20-word dict). */
+  private final class IntBuf {
+    private var a = new Array[Int](8)
+    private var n = 0
+    def add(v: Int): Unit = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, n * 2)
+      a(n) = v; n += 1
+    }
+    def size: Int = n
+    def apply(i: Int): Int = a(i)
+  }
+
+  /** Incremental pair-index trainer (the production-trainer shape, cf.
+    * HuggingFace tokenizers' `word_to_pairs` update-at-merge-sites):
+    * pair counts and a pair→words occurrence index are built ONCE, then
+    * each merge rewrites only the words that actually contain the
+    * winning pair, updating the counts by the exact before/after pair
+    * delta of each rewritten word. Best-pair selection is a lazy-
+    * invalidation max-heap on (count DESC, lhs ASC, rhs ASC by code
+    * point) — stale heap entries are discarded when their count no
+    * longer matches the live map, so the selected merge sequence is
+    * BIT-IDENTICAL to the reference full-rescan loop
+    * ([[trainMergesRescan]]; BpeSpec pins equality at numMerges=300).
+    * Cost: O(Σ|syms| + numMerges × Σ|affected words| + heap churn)
+    * instead of O(numMerges × Σ|syms|) — a 32k-merge production
+    * vocabulary over the 2^20-word dict becomes minutes, not hours
+    * (numMerges=1000 probe in README). */
+  private[graft] def trainMergesLocal(
+      entries: Array[(Array[String], Long)], numMerges: Int): Seq[Merge] = {
+    import scala.collection.mutable
+    val syms: Array[Array[String]] = entries.map(_._1)
+    val freq: Array[Long] = entries.map(_._2)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    // pair → word indices that (at some point) gained the pair;
+    // append-only with stale/duplicate tolerance — consumers re-verify
+    // against the live word before rewriting
+    val where = mutable.HashMap.empty[(String, String), IntBuf]
+    // max-heap: highest count first, then code-point-smallest lhs, rhs
+    val ord = new Ordering[(Long, String, String)] {
+      def compare(x: (Long, String, String),
+                  y: (Long, String, String)): Int = {
+        val c = java.lang.Long.compare(x._1, y._1)
+        if (c != 0) c
+        else {
+          val l = cpCompare(y._2, x._2)
+          if (l != 0) l else cpCompare(y._3, x._3)
+        }
+      }
+    }
+    val heap = mutable.PriorityQueue.empty[(Long, String, String)](ord)
+    def inc(p: (String, String), f: Long, wi: Int): Unit = {
+      val c = counts.getOrElse(p, 0L) + f
+      counts(p) = c
+      heap.enqueue((c, p._1, p._2))
+      where.getOrElseUpdate(p, new IntBuf).add(wi)
+    }
+    def dec(p: (String, String), f: Long): Unit = {
+      val c = counts(p) - f
+      if (c <= 0L) { counts.remove(p); where.remove(p) }
+      else { counts(p) = c; heap.enqueue((c, p._1, p._2)) }
+    }
+    var w = 0
+    while (w < syms.length) {
+      val s = syms(w); var i = 0
+      while (i < s.length - 1) { inc((s(i), s(i + 1)), freq(w), w); i += 1 }
+      w += 1
+    }
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      // pop until a live entry (count matches the map) or the heap dries
+      var best: (String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val (c, l, r) = heap.dequeue()
+        if (counts.get((l, r)).contains(c)) best = (l, r)
+      }
+      if (best == null) exhausted = true
+      else {
+        val (lhs, rhs) = best
+        merges += Merge(rank, lhs, rhs)
+        val hits = where.getOrElse(best, new IntBuf)
+        val seen = mutable.HashSet.empty[Int]
+        var h = 0
+        while (h < hits.size) {
+          val wi = hits(h)
+          if (seen.add(wi)) {
+            val old = syms(wi)
+            val L = old.length
+            // non-overlapping sites, left-to-right (= mergePass walk);
+            // doubles as the stale-entry verification
+            val sites = new IntBuf
+            var i = 0
+            while (i < L - 1) {
+              if (old(i) == lhs && old(i + 1) == rhs) { sites.add(i); i += 2 }
+              else i += 1
+            }
+            if (sites.size > 0) {
+              val f = freq(wi)
+              // SITE-LOCAL deltas: only adjacencies overlapping a merge
+              // site change, so only those pay a map/heap op — O(sites)
+              // index updates per word, not O(|word|) (the production-
+              // trainer shape; the O(L) scans above are plain string
+              // compares and stay)
+              val consumed = new Array[Boolean](L)
+              var si = 0
+              while (si < sites.size) {
+                consumed(sites(si)) = true
+                consumed(sites(si) + 1) = true
+                si += 1
+              }
+              var j = 0
+              while (j < L - 1) {
+                if (consumed(j) || consumed(j + 1))
+                  dec((old(j), old(j + 1)), f)
+                j += 1
+              }
+              // rebuild with a per-token merged flag for the inc side
+              val nw = new Array[String](L - sites.size)
+              val isNew = new Array[Boolean](nw.length)
+              val merged = lhs + rhs
+              var k = 0; i = 0
+              while (i < L) {
+                if (consumed(i) && i < L - 1 && consumed(i + 1) &&
+                    old(i) == lhs && old(i + 1) == rhs) {
+                  // consumed flags alone can chain across adjacent
+                  // sites, so re-check the actual pair at i
+                  nw(k) = merged; isNew(k) = true; k += 1; i += 2
+                } else { nw(k) = old(i); k += 1; i += 1 }
+              }
+              syms(wi) = nw
+              k = 0
+              while (k < nw.length - 1) {
+                if (isNew(k) || isNew(k + 1))
+                  inc((nw(k), nw(k + 1)), f, wi)
+                k += 1
+              }
+            }
+          }
+          h += 1
+        }
+        // every occurrence was consumed by the left-to-right pass
+        counts.remove(best); where.remove(best)
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** The round-11 full-rescan reference loop (recount all pairs +
+    * rewrite every word per merge) — kept as the oracle for
+    * [[trainMergesLocal]]'s bit-identity spec; O(numMerges × Σ|syms|),
+    * do not use in production paths. */
+  private[graft] def trainMergesRescan(
+      entries0: Array[(Array[String], Long)], numMerges: Int): Seq[Merge] = {
+    var entries = entries0
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var exhausted = false
@@ -224,6 +387,39 @@ object Bpe {
     val rk = rankMap(merges)
     freqDf.select(col("word")).as[String]
       .map(w => (w, encodeWord(w, rk).length.toLong)).toDF("word", "ntok")
+  }
+
+  /** Vocabulary rows above which the per-word token-count lookup no
+    * longer fits a forced broadcast (same budget rationale as
+    * [[TfIdf.maxBroadcastVocab]]: ~4M (word, ntok) entries ≈ a few
+    * hundred MB — past the sane executor broadcast budget). */
+  val maxBroadcastVocab: Long = 4L << 20
+
+  /** Per-document BPE token totals: explode the corpus to words, probe
+    * the per-DISTINCT-word token-count table, sum per doc — corpus-side
+    * token counting is a hash probe, never a per-row merge loop.
+    *
+    * THE VOCABULARY BROADCAST GATE (the TfIdf pattern): on a crawl
+    * corpus the distinct-word set runs 10⁸⁺ rows (URLs, typos, unicode
+    * junk), so a forced `broadcast(wt)` OOMs the driver/executors. The
+    * lookup is broadcast ONLY when the MEASURED vocabulary size is ≤
+    * `maxBroadcast` (freqDf is cached by every caller in this repo, so
+    * the count is one cached-scan job); above it the join carries no
+    * hint and falls back to one bounded shuffle exchange on `word` —
+    * still exact, still a single corpus pass. Unlike TfIdf's top-V cap
+    * this gate never DROPS words (every word needs its count), which is
+    * why it keys on the measured count rather than a truncating cap. */
+  def docTokenCounts(corpus: DataFrame, idCol: String, textCol: String,
+                     freqDf: DataFrame, merges: Seq[Merge],
+                     maxBroadcast: Long = maxBroadcastVocab): DataFrame = {
+    val wt = wordTokenCounts(freqDf, merges)
+    val side =
+      if (freqDf.count() <= maxBroadcast) broadcast(wt) else wt
+    corpus
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(side, "word")
+      .groupBy(col(idCol)).agg(sum(col("ntok")).as("n_btok"))
   }
 
   /** Per-row subword tokens column. The merge table is bounded

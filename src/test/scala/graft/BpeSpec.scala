@@ -26,6 +26,37 @@ class BpeSpec extends SparkSpec {
       Merge(4, "l", "o"), Merge(5, "lo", "w"), Merge(6, "e", "w")), m)
   }
 
+  test("incremental pair-index trainer is BIT-IDENTICAL to the " +
+      "full-rescan reference loop (seeded corpus with ties and runs, " +
+      "trained to full exhaustion)") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcdef"
+    // ~400 distinct words incl. repeated-letter runs (overlap cases)
+    // and freq ties (same freq, different words → tie-break exercised)
+    val entries: Array[(Array[String], Long)] =
+      (0 until 400).map { i =>
+        val len = 2 + rnd.nextInt(7)
+        val w = (0 until len)
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        (Bpe.toSyms(w), (1 + rnd.nextInt(20)).toLong)
+      }.toArray
+    def clone2(e: Array[(Array[String], Long)]) =
+      e.map { case (s, f) => (s.clone(), f) }
+    // 5000 > the total symbol budget (~400 words × ≤8 syms), so both
+    // trainers hit the exhaustion early-stop path
+    val fast = Bpe.trainMergesLocal(clone2(entries), 5000)
+    val ref = Bpe.trainMergesRescan(clone2(entries), 5000)
+    assert(fast == ref,
+      s"first divergence at ${fast.zip(ref).indexWhere(p => p._1 != p._2)}")
+    assert(fast.length < 5000, s"expected exhaustion, got ${fast.length}")
+    // and the Sennrich golden corpus agrees too (the t28 path)
+    val sennrich = Array(
+      ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .map { case (w, f) => (Bpe.toSyms(w), f) }
+    assert(Bpe.trainMergesLocal(clone2(sennrich), 40) ==
+      Bpe.trainMergesRescan(clone2(sennrich), 40))
+  }
+
   test("greedy encode of an UNSEEN word composes trained subwords: " +
       "lowest -> [low, est</w>] (the paper's example)") {
     val rk = Bpe.trainMerges(corpus, "text", 6)

@@ -252,6 +252,42 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("Bpe token-count gate: a vocabulary measured under the cap " +
+      "carries the broadcast hint; over the cap the join is left to " +
+      "the optimizer (the crawl-scale OOM guard, as TfIdf)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Seq((0L, "a b c"), (1L, "a b d"), (2L, "a c e"))
+      .toDF("doc_id", "text")
+    val wf = operators.Bpe.wordFreq(docs, "text")
+    val merges = operators.Bpe.trainMergesFromFreq(wf, 3)
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gated = operators.Bpe
+        .docTokenCounts(docs, "doc_id", "text", wf, merges)
+        .queryExecution.explainString(FormattedMode)
+      assert(gated.contains("BroadcastHashJoin"),
+        s"a bounded vocabulary must broadcast the lookup:\n$gated")
+      val over = operators.Bpe
+        .docTokenCounts(docs, "doc_id", "text", wf, merges,
+          maxBroadcast = 0L)
+        .queryExecution.explainString(FormattedMode)
+      assert(!over.contains("BroadcastHashJoin"),
+        s"an over-cap vocabulary must not force a broadcast:\n$over")
+      // the gated result is the same rows either way (the gate changes
+      // the JOIN STRATEGY, never the semantics — no word is dropped)
+      val a = operators.Bpe
+        .docTokenCounts(docs, "doc_id", "text", wf, merges)
+        .orderBy(col("doc_id")).collect().toSeq
+      val b = operators.Bpe
+        .docTokenCounts(docs, "doc_id", "text", wf, merges,
+          maxBroadcast = 0L)
+        .orderBy(col("doc_id")).collect().toSeq
+      assert(a == b, "gate must not change results")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
   test("t30 (shard shuffle): the rank window partitions BY SHARD (no " +
       "single-partition global row_number) and the scan prunes to the " +
       "id column") {
