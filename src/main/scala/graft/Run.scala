@@ -45,9 +45,10 @@ object Run {
             .start().waitFor()
           catch { case _: Exception => () }
         stty("raw", "-echo")
+        // CWD-relative like the reference's hist_create (term.c:56) —
+        // a per-project history file, not a global $HOME one
         try rayfall.Rayfall.termRepl(spark, tables, System.in, System.out,
-          Some(java.nio.file.Paths.get(
-            sys.props.getOrElse("user.home", "."), ".rayhist.dat")))
+          Some(java.nio.file.Paths.get(".rayhist.dat")))
         finally { stty("sane"); System.out.println() }
       } else rayfall.Rayfall.repl(spark, tables,
         new java.io.BufferedReader(new java.io.InputStreamReader(System.in)),

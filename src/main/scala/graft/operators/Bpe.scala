@@ -146,7 +146,7 @@ object Bpe {
     * point) — stale heap entries are discarded when their count no
     * longer matches the live map, so the selected merge sequence is
     * BIT-IDENTICAL to the reference full-rescan loop
-    * ([[trainMergesRescan]]; BpeSpec pins equality at numMerges=300).
+    * ([[trainMergesRescan]]; BpeSpec pins equality to full exhaustion).
     * Cost: O(Σ|syms| + numMerges × Σ|affected words| + heap churn)
     * instead of O(numMerges × Σ|syms|) — a 32k-merge production
     * vocabulary over the 2^20-word dict becomes minutes, not hours

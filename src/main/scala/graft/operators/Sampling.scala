@@ -146,10 +146,29 @@ object Sampling {
     * WITHIN the shard. 100 TB shape: hash-bucketing balances shards
     * without a global sort, and the rank window is PARTITIONED by shard
     * — one nShards-way exchange, never a single-partition global
-    * row_number. */
+    * row_number.
+    *
+    * SHARD SIZING: each shard's rank sorts inside ONE task, so size
+    * nShards to the corpus — rows/nShards should stay in the low tens
+    * of millions (a few GB of (row, u) per task; Spark's window sort
+    * SPILLS past its row buffer rather than OOMing, but spill is
+    * disk-speed). Rule of thumb: nShards ≈ corpusRows / 10⁷, and at
+    * least the cluster's task parallelism. Measured on the 100×
+    * documents replica (500k rows, `graft.TimeShard`): nShards=64
+    * 0.4-0.6s warm, nShards=8 0.33s; a deliberately skewed nShards=1
+    * (every row through ONE sorting task) still completes in 0.75-0.9s
+    * — graceful single-task degradation; PipelineSpec additionally
+    * forces the window buffer to spill (tiny
+    * spark.sql.windowExec.buffer.spill.threshold) and pins identical
+    * results. */
   def shardShuffle(df: DataFrame, idCol: String, nShards: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(nShards > 0, "nShards must be positive")
+    // reserved output/internal names: clobbering a caller column would
+    // silently corrupt it (project through fresh names instead)
+    val reserved = Seq("__u", "shard", "pos").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"shardShuffle: input already has column(s) ${reserved.mkString(", ")}")
     val w = Window.partitionBy($"shard").orderBy($"__u", col(idCol))
     df.withColumn("__u", decision(col(idCol)))
       .withColumn("shard", floor($"__u" * nShards).cast("int"))

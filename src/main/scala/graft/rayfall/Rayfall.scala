@@ -889,10 +889,15 @@ object Rayfall {
     * format.c:1157-1170). REPL caps: 10 columns × 20 rows
     * (TABLE_MAX_WIDTH/HEIGHT, format.c:49-50); `replCaps = false` is
     * the uncapped full==2 mode. */
-  /** Journal format per absolute path (true = legacy text), sniffed on
-    * the first append to a non-empty file — see the write handler. */
+  /** Journal format per absolute path (isText, fileSizeAtSniff),
+    * sniffed on the first append to a non-empty file — see the write
+    * handler. The size guards staleness: a file REPLACED in the other
+    * format at the same path (deleted+recreated, or truncated by an
+    * external process) is smaller than at sniff time, which re-sniffs;
+    * hclose also drops the entry (appends through a live handle only
+    * ever grow the file, so size-shrink + hclose cover invalidation). */
   private val journalTextSniff =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]
+    new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Long)]
 
   private[graft] def tableText(df: DataFrame,
                                  replCaps: Boolean = true): String = {
@@ -2728,8 +2733,9 @@ object Rayfall {
                   // below re-parses the whole file, which would make
                   // every (write h v) O(file size) otherwise
                   val key = p.toAbsolutePath.toString
+                  val size = java.nio.file.Files.size(p)
                   val cached = journalTextSniff.get(key)
-                  if (cached != null) cached.booleanValue
+                  if (cached != null && size >= cached._2) cached._1
                   else {
                     val in0 = java.nio.file.Files.newInputStream(p)
                     val b0 = try in0.read() finally in0.close()
@@ -2752,7 +2758,7 @@ object Rayfall {
                         RaySerde.deserializeRawStream(spark,
                           java.nio.file.Files.readAllBytes(p)); true
                       } catch { case _: Exception => false })
-                    journalTextSniff.put(key, java.lang.Boolean.valueOf(res))
+                    journalTextSniff.put(key, (res, size))
                     res
                   }
                 }
@@ -2854,6 +2860,10 @@ object Rayfall {
       case RList(RSym("hclose") :: h :: Nil) =>
         ev(h) match {
           case ipc: VIpc => try ipc.sock.close() catch { case _: Exception => () }
+          case hd: VHandle =>
+            // drop the format-sniff verdict: after close, an external
+            // process may rewrite the file in the other format
+            journalTextSniff.remove(hd.path.toAbsolutePath.toString)
           case _ => ()
         }
         VAtom(null)

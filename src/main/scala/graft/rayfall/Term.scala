@@ -102,14 +102,32 @@ final class Term(
   private[graft] def inMultiline: Boolean = multiline.nonEmpty
 
   // ---------------------------------------------------------- history
+  // byte offset of the history file's data end — the first NUL. The
+  // reference mmaps .rayhist.dat as a 4MB NUL-padded file (term.c:56,
+  // hist_create fs_file_extend), so a plain append on a native-created
+  // file would land AFTER the padding, where both the native reader and
+  // this class's own first-NUL truncation drop it. Writes therefore go
+  // INTO the data end, overwriting padding; lazily located once.
+  private var histDataEnd: Long = -1L
   private def histAdd(line: String): Unit = {
     if (histLines.isEmpty || histLines.last != line) {
       histLines += line
       histPath.foreach { p =>
-        java.nio.file.Files.writeString(p, line + "\n",
-          java.nio.charset.StandardCharsets.UTF_8,
-          java.nio.file.StandardOpenOption.CREATE,
-          java.nio.file.StandardOpenOption.APPEND)
+        val bytes = (line + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val raf = new java.io.RandomAccessFile(p.toFile, "rw")
+        try {
+          if (histDataEnd < 0L) {
+            val len = math.min(raf.length(), 16L << 20).toInt
+            val all = new Array[Byte](len)
+            raf.readFully(all, 0, len)
+            val i = all.indexOf(0: Byte)
+            histDataEnd = if (i < 0) raf.length() else i.toLong
+          }
+          raf.seek(histDataEnd)
+          raf.write(bytes)
+          histDataEnd += bytes.length
+        } finally raf.close()
       }
     }
     histIdx = histLines.length

@@ -1164,6 +1164,31 @@ class LangSpec extends SparkSpec {
     java.nio.file.Files.deleteIfExists(log2)
   }
 
+  test("journal format sniff re-runs after hclose + file replacement: " +
+      "a path rewritten externally as a legacy TEXT journal keeps " +
+      "appending text, not stale-cached binary") {
+    val log = java.nio.file.Files.createTempFile("graft-sniffinv", ".jnl")
+    java.nio.file.Files.delete(log)
+    // first life: binary journal; the SECOND write sniffs the non-empty
+    // file and caches the binary verdict; hclose must drop it
+    sv(s"""(set h (hopen "$log"))
+          |(write h 42)
+          |(write h 43)
+          |(hclose h)""".stripMargin)
+    assert(graft.rayfall.RaySerde.deserializeRawStream(spark,
+      java.nio.file.Files.readAllBytes(log)).size == 2)
+    // the file is REPLACED externally as a legacy text journal
+    java.nio.file.Files.writeString(log, "banana\n",
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    // second life: the append re-sniffs and stays text — a stale cached
+    // binary verdict would corrupt the journal with mixed formats
+    sv(s"""(set h2 (hopen "$log"))
+          |(write h2 'cherry)""".stripMargin)
+    val txt = java.nio.file.Files.readString(log)
+    assert(txt == "banana\ncherry\n", txt)
+    java.nio.file.Files.deleteIfExists(log)
+  }
+
   test("row: per-group table positions in select; count on values " +
       "(core/env.c:177, core/aggr.c:3118 aggr_row, compose.c:1166 ray_row)") {
     val pre = "(set t (table [g v] (list ['a 'b 'a 'b 'a] [10 20 30 40 50])))"

@@ -965,6 +965,46 @@ class PipelineSpec extends SparkSpec {
     assert(sizes.min > 1000 / 8 / 2 && sizes.max < 1000 / 8 * 2, sizes)
   }
 
+  test("shard shuffle rejects inputs that already carry a reserved " +
+      "column name instead of silently clobbering it") {
+    import graft.operators.Sampling
+    val withShard = spark.range(0, 10).toDF("doc_id")
+      .withColumn("shard", org.apache.spark.sql.functions.lit(1))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.shardShuffle(withShard, "doc_id", 4)
+    }
+    assert(e.getMessage.contains("shard"))
+  }
+
+  test("shard shuffle degrades gracefully under skew: nShards=1 funnels " +
+      "every row through one sorting task and a forced window-buffer " +
+      "SPILL still yields the exact nShards=8 ordering semantics") {
+    import graft.operators.Sampling
+    val df = spark.range(0, 5000).toDF("doc_id")
+    val reference = Sampling.shardShuffle(df, "doc_id", 1)
+      .select("doc_id", "pos").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    // force the window exec to spill: hold at most 16 rows in memory —
+    // 5000 rows through ONE task must take the UnsafeExternalSorter
+    // spill path (the 100 TB skew story: disk, not OOM)
+    val old = spark.conf.getOption("spark.sql.windowExec.buffer.spill.threshold")
+    spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", "16")
+    try {
+      val spilled = Sampling.shardShuffle(df, "doc_id", 1)
+        .select("doc_id", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      assert(spilled.toSeq == reference.toSeq,
+        "spill path must not change the deterministic order")
+      // one shard, positions are a permutation of 0..n-1
+      assert(spilled.map(_._2).sorted.toSeq == (0L until 5000L).toSeq)
+    } finally old match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.windowExec.buffer.spill.threshold", v)
+      case None =>
+        spark.conf.unset("spark.sql.windowExec.buffer.spill.threshold")
+    }
+  }
+
   test("cluster balance: every cell capped at the smallest cell, keep " +
       "set = the hash-order prefix of each cell") {
     import graft.operators.Sampling

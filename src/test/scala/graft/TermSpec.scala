@@ -113,6 +113,32 @@ class TermSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  test("history writes land BEFORE the NUL padding of a native-created " +
+      "4MB mmapped file (term.c:56 layout), so mixed native/JVM use " +
+      "loses nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_term")
+    val p = dir.resolve("hist.dat")
+    // a native-shaped file: two lines of data, then NUL padding
+    val data = "(old 1)\n(old 2)\n".getBytes("UTF-8")
+    val padded = java.util.Arrays.copyOf(data, 4096) // zero-filled tail
+    java.nio.file.Files.write(p, padded)
+    val t = mk(hist = Some(p))
+    assert(t.source(1).contains("(old 1)") &&
+      t.source(2).contains("(old 2)"))
+    t.feedAll("(new 3)\r")
+    // the new line sits at the data end, before the first NUL, and the
+    // padding tail survives (the reference's reader maps a fixed size)
+    val bytes = java.nio.file.Files.readAllBytes(p)
+    assert(bytes.length == 4096, "file size must not grow into append")
+    val firstNul = bytes.indexOf(0: Byte)
+    val text = new String(bytes, 0, firstNul, "UTF-8")
+    assert(text == "(old 1)\n(old 2)\n(new 3)\n", text)
+    // a fresh session (this class's own first-NUL reader) sees it
+    val t2 = mk(hist = Some(p))
+    assert(t2.source(3).contains("(new 3)"))
+    org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   test("cursor and edit keys: arrows, Home/End (both encodings), " +
       "Delete, backspace mid-line, CTRL A/E/F/B/K/W/U " +
       "(term.c:1405-1523, 1557-1680)") {
