@@ -1225,6 +1225,74 @@ object Queries {
       |  cum_excl % 512 AS chunk_offset
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t33
+  // Perplexity-style LM quality filter (CCNet, Wenzek et al. 2020): fit
+  // a bigram LM with add-one smoothing on the in-domain reference slice
+  // (lang='en' — CCNet's Wikipedia role), score EVERY document by
+  // bits-per-token, keep the low-perplexity slice. Surprisal is the
+  // integer 1/64-bit chain (floor-log2 via bin() + mantissa
+  // interpolation — no libm), the keep gate the cross-multiplied
+  // rational bpt ≤ 24/5: at sf0.01 this keeps ~66% of the in-domain
+  // docs and ~10% of the rest, the CCNet in-domain separation. The
+  // oracle replays the ENTIRE chain: vocab cap, UNK mapping, bigram +
+  // prefix counts, integer odds, shift-interpolated surprisal.
+  def t33_lm_quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val lm = operators.NgramLm.fit(docs.filter($"lang" === "en"), "text")
+    operators.NgramLm.score(docs, "doc_id", "text", lm, 24L, 5L)
+      .orderBy($"doc_id")
+  }
+
+  private val t33_sql =
+    """WITH train AS (SELECT text FROM documents WHERE lang = 'en'),
+      |uni AS (SELECT tok, COUNT(*) AS cnt FROM
+      |  (SELECT unnest(string_split(text, ' ')) AS tok FROM train)
+      |  GROUP BY tok),
+      |vocab AS (SELECT tok FROM uni ORDER BY cnt DESC, tok LIMIT 65536),
+      |vs AS (SELECT CAST(COUNT(*) + 1 AS BIGINT) AS vp FROM vocab),
+      |tws AS (SELECT string_split(text, ' ') AS ws FROM train),
+      |tp AS (SELECT ws,
+      |    unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+      |  FROM tws),
+      |tm AS (SELECT
+      |    CASE WHEN v1.tok IS NULL THEN chr(1) ELSE ws[i] END AS m1,
+      |    CASE WHEN v2.tok IS NULL THEN chr(1) ELSE ws[i+1] END AS m2
+      |  FROM tp LEFT JOIN vocab v1 ON ws[i] = v1.tok
+      |          LEFT JOIN vocab v2 ON ws[i+1] = v2.tok),
+      |bi AS (SELECT m1, m2, COUNT(*) AS cbi FROM tm GROUP BY m1, m2),
+      |pre AS (SELECT m1, CAST(SUM(cbi) AS BIGINT) AS cpre
+      |        FROM bi GROUP BY m1),
+      |sdocs AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |          FROM documents),
+      |sp AS (SELECT doc_id, ws,
+      |    unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+      |  FROM sdocs),
+      |sm AS (SELECT doc_id,
+      |    CASE WHEN v1.tok IS NULL THEN chr(1) ELSE ws[i] END AS m1,
+      |    CASE WHEN v2.tok IS NULL THEN chr(1) ELSE ws[i+1] END AS m2
+      |  FROM sp LEFT JOIN vocab v1 ON ws[i] = v1.tok
+      |          LEFT JOIN vocab v2 ON ws[i+1] = v2.tok),
+      |sq AS (SELECT doc_id,
+      |    (COALESCE(pre.cpre, 0) + vs.vp) // (COALESCE(bi.cbi, 0) + 1) AS q
+      |  FROM sm LEFT JOIN bi ON sm.m1 = bi.m1 AND sm.m2 = bi.m2
+      |          LEFT JOIN pre ON sm.m1 = pre.m1
+      |          CROSS JOIN vs),
+      |su AS (SELECT doc_id,
+      |    CAST(64 * (length(bin(q)) - 1)
+      |         + ((q << 6) >> (length(bin(q)) - 1)) - 64 AS BIGINT) AS s1
+      |  FROM sq),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_big,
+      |    CAST(SUM(s1) AS BIGINT) AS s64 FROM su GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tok,
+      |  CAST(COALESCE(a.n_big, 0) AS BIGINT) AS n_big,
+      |  COALESCE(a.s64, 0) AS s64,
+      |  CASE WHEN a.n_big > 0
+      |       THEN CAST(a.s64 AS DOUBLE) / (64 * a.n_big) END AS bpt,
+      |  CAST(CASE WHEN a.n_big > 0 AND a.s64 * 5 <= 24 * 64 * a.n_big
+      |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM sdocs d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t30
   // Deterministic global shuffle + sharding (the trainer's "last mile"):
   // shard = floor(u·8) on the id-hash decision (hash-balanced, no global
@@ -3927,6 +3995,7 @@ object Queries {
     "t30_shard_shuffle" -> (t30_shard_shuffle _),
     "t31_cluster_balance" -> (t31_cluster_balance _),
     "t32_bpe_pack" -> (t32_bpe_pack _),
+    "t33_lm_quality" -> (t33_lm_quality _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -4063,6 +4132,7 @@ object Queries {
     "t30_shard_shuffle" -> t30_sql,
     "t31_cluster_balance" -> t31_sql,
     "t32_bpe_pack" -> t32_sql,
+    "t33_lm_quality" -> t33_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.StringToColumn
+
+/** Perplexity-style n-gram language-model quality filter — the CCNet
+  * pipeline stage (Wenzek et al. 2020): fit a small LM on an in-domain
+  * reference corpus (CCNet uses Wikipedia), score every crawl document
+  * by bits-per-token under that model, and keep the low-perplexity
+  * (in-domain, fluent) slice. Here the model is a bigram LM with
+  * add-one (Laplace) smoothing over a bounded vocabulary:
+  *
+  *   p(w₂ | w₁) = (c(w₁,w₂) + 1) / (c_prefix(w₁) + V')
+  *
+  * with `c_prefix(w₁) = Σ_w c(w₁,w)` and V' = |vocab| + 1 (the OOV
+  * class — tokens outside the top-V vocabulary map to a single UNK
+  * sentinel, the standard open-vocabulary treatment).
+  *
+  * CROSS-ENGINE DETERMINISM — the whole surprisal chain is integer
+  * arithmetic (the t13/t26 convention: a drop decision must never
+  * depend on libm rounding):
+  *
+  *  1. `log`/`exp` are out, so per-bigram surprisal is computed in
+  *     1/64-bit steps from the integer odds q = (c_prefix + V') div
+  *     (c + 1):  s64 = 64·b + ((q << 6) >> b) − 64  with
+  *     b = floor(log₂ q) = length(bin(q)) − 1.  This is floor-log₂
+  *     plus the standard mantissa-linear interpolation — monotone in
+  *     q, pure integer shifts and string length of the binary repr,
+  *     bit-identical in Spark and DuckDB (both have `bin`, `<<`/
+  *     `shiftleft`). Note floor(log₂(a/b)) = floor(log₂(a div b))
+  *     whenever a ≥ b, which holds here since c ≤ c_prefix.
+  *  2. The keep gate is the cross-multiplied rational
+  *     s64 · keepDen ≤ keepNum · 64 · n_bigrams  (bits-per-token ≤
+  *     keepNum/keepDen) — integer comparison, never a float threshold.
+  *  3. The only float column, `bpt` = s64 / (64·n_bigrams), is ONE
+  *     correctly-rounded IEEE division of two integers.
+  *
+  * 100 TB shape: the model is fit on the REFERENCE corpus (small by
+  * construction — that is the CCNet design) and applied to the crawl as
+  * pure narrow work: per-doc bigram pairs are built array-side before
+  * the explode (no positional self-join), the vocabulary map and both
+  * model lookups are hash joins that are BROADCAST only under the
+  * bounded-vocab gate (the TfIdf/Bpe gate pattern — an uncapped
+  * vocabulary shuffle-joins instead of OOMing the driver), and the only
+  * shuffle is the per-doc (id, partial-sum) aggregate with map-side
+  * combine. Reference capability family: text quality scoring over the
+  * documents table (SURVEY §2 text-analysis rows).
+  */
+object NgramLm {
+
+  /** OOV sentinel — a control char that whitespace tokenization of
+    * normal text never yields (documented collision caveat: a corpus
+    * that legitimately contains U+0001 tokens would alias with UNK). */
+  val Unk = "\u0001"
+
+  /** Same broadcast budget as [[TfIdf.maxBroadcastVocab]]: a top-V cap
+    * at or under this licenses broadcasting the vocab and model tables;
+    * above it (or uncapped) every model join is a shuffle join. */
+  val maxBroadcastVocab: Int = 4 << 20
+
+  /** A fit bigram LM: `vocab` (tok), `bigrams` (m1, m2, cbi) over
+    * vocab-mapped tokens, `prefix` (m1, cpre = Σ cbi), V' = |vocab|+1,
+    * and whether the bounded size licenses broadcast joins. */
+  case class BigramLm(vocab: DataFrame, bigrams: DataFrame,
+                      prefix: DataFrame, vPrime: Long, hinted: Boolean)
+
+  /** Adjacent-token pair array of `textCol` (whitespace-tokenized):
+    * array<struct<w1,w2>>, empty for single-token docs. Built
+    * array-side so bigram formation never needs a positional join. */
+  private def pairArr(textCol: Column): Column = {
+    val ws = split(textCol, " ")
+    val m = greatest(size(ws) - 1, lit(0))
+    arrays_zip(slice(ws, lit(1), m).as("w1"), slice(ws, lit(2), m).as("w2"))
+  }
+
+  /** Map w1/w2 to the bounded vocabulary (OOV → [[Unk]]) via two
+    * left joins against `vocab` — broadcast under the gate. Null w1/w2
+    * (the explode_outer row of a bigram-less doc) stays null. */
+  private def mapToks(pairs: DataFrame, vocab: DataFrame,
+                      hinted: Boolean): DataFrame = {
+    def side(n: Int) = {
+      val v = vocab.select($"tok".as(s"v${n}t"))
+      if (hinted) broadcast(v) else v
+    }
+    pairs
+      .join(side(1), pairs("w1") === col("v1t"), "left")
+      .join(side(2), pairs("w2") === col("v2t"), "left")
+      .withColumn("m1", when($"v1t".isNotNull, $"w1")
+        .when($"w1".isNotNull, lit(Unk)))
+      .withColumn("m2", when($"v2t".isNotNull, $"w2")
+        .when($"w2".isNotNull, lit(Unk)))
+      .drop("v1t", "v2t")
+  }
+
+  /** Fit the bigram LM on `train` (the in-domain reference corpus).
+    * Vocabulary = top-`maxVocab` tokens by (count DESC, tok ASC) — the
+    * deterministic cap both engines replay; counts are exact integer
+    * aggregates, so the model is bit-reproducible on any layout. */
+  def fit(train: DataFrame, textCol: String,
+          maxVocab: Int = 1 << 16): BigramLm = {
+    require(maxVocab > 0, "maxVocab must be positive (the cap is what " +
+      "bounds the model; an unbounded bigram table is not a crawl-safe " +
+      "artifact)")
+    val uni = train
+      .select(explode(split(col(textCol), " ")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+    // top-V folds to TakeOrderedAndProject — no global sort
+    val vocab = uni.orderBy($"cnt".desc, $"tok".asc).limit(maxVocab)
+      .select($"tok")
+    val hinted = maxVocab <= maxBroadcastVocab
+    val pairs = train.select(explode(pairArr(col(textCol))).as("pr"))
+      .select($"pr.w1".as("w1"), $"pr.w2".as("w2"))
+    val bigrams = mapToks(pairs, vocab, hinted)
+      .groupBy($"m1", $"m2").agg(count(lit(1)).as("cbi"))
+    val prefix = bigrams.groupBy($"m1")
+      .agg(sum($"cbi").as("cpre"))
+    BigramLm(vocab, bigrams, prefix, vocab.count() + 1L, hinted)
+  }
+
+  /** Integer 1/64-bit surprisal of the odds column `q` (≥ 1):
+    * 64·floor(log₂ q) + mantissa interpolation. Exact integer shifts;
+    * `bin` is the cross-engine floor-log₂. */
+  def surprisal64(q: Column): Column = {
+    val b = (length(bin(q)) - 1).cast("long")
+    // functions.shiftright only takes a literal shift — call the SQL
+    // function directly for the column-valued shift amount
+    lit(64L) * b +
+      call_function("shiftright", shiftleft(q, 6), b.cast("int")) - lit(64L)
+  }
+
+  /** Score `corpus` under the fit model: per document
+    * (idCol, n_tok, n_big, s64, bpt, keep) where s64 = Σ surprisal64
+    * over the doc's bigrams, bpt = s64/(64·n_big) bits-per-token, and
+    * keep = 1 iff n_big > 0 and bpt ≤ keepNum/keepDen (integer
+    * cross-multiplied gate). Docs with < 2 tokens survive with
+    * n_big = 0, bpt NULL, keep 0. */
+  def score(corpus: DataFrame, idCol: String, textCol: String,
+            lm: BigramLm, keepNum: Long, keepDen: Long): DataFrame = {
+    require(keepDen > 0, "keepDen must be positive")
+    val pairs = corpus.select(col(idCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"),
+        explode_outer(pairArr(col(textCol))).as("pr"))
+      .select(col(idCol), $"n_tok",
+        $"pr.w1".as("w1"), $"pr.w2".as("w2"))
+    def model(df: DataFrame) = if (lm.hinted) broadcast(df) else df
+    val joined = mapToks(pairs, lm.vocab, lm.hinted)
+      .join(model(lm.bigrams), Seq("m1", "m2"), "left")
+      .join(model(lm.prefix), Seq("m1"), "left")
+    // integer odds q = (c_prefix + V') div (c + 1); floor() on the
+    // double quotient is exact here (both operands far below 2^53)
+    val q = graft.functions.RF.euclidDiv(
+      coalesce($"cpre", lit(0L)) + lit(lm.vPrime),
+      coalesce($"cbi", lit(0L)) + lit(1L))
+    joined
+      .withColumn("s1", when($"w1".isNotNull, surprisal64(q)))
+      .groupBy(col(idCol), $"n_tok")
+      .agg(count($"w1").as("n_big"),
+        coalesce(sum($"s1"), lit(0L)).as("s64"))
+      .select(col(idCol), $"n_tok", $"n_big", $"s64",
+        when($"n_big" > 0L,
+          $"s64".cast("double") / ($"n_big" * 64L).cast("double"))
+          .as("bpt"),
+        when($"n_big" > 0L &&
+          $"s64" * lit(keepDen) <= lit(keepNum) * lit(64L) * $"n_big",
+          1L).otherwise(0L).as("keep"))
+  }
+}

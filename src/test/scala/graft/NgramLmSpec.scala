@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.NgramLm
+
+/** The t33 bigram-LM quality filter: surprisal arithmetic bounds, a
+  * hand-computed model on a toy corpus, edge cases, and the CCNet
+  * in-domain separation on the real documents table. */
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("surprisal64 is the 1/64-step interpolated log2: exact at powers " +
+      "of two, within 0.09 bits below log2 elsewhere, monotone") {
+    val qs = (1L to 4096L) ++ Seq(65535L, 65536L, 65537L, 1L << 40)
+    val got = qs.toDF("q")
+      .select($"q", NgramLm.surprisal64($"q").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var prev = -1L
+    for (q <- qs.sorted) {
+      val s = got(q)
+      val exact = math.log(q.toDouble) / math.log(2.0)
+      // linear mantissa interpolation UNDERestimates log2(1+f) by at
+      // most 1−(1+ln ln 2)/ln 2 ≈ 0.0861, plus the 1/64 floor step
+      assert(s / 64.0 <= exact + 1e-9, s"q=$q s=$s over log2=$exact")
+      assert(s / 64.0 >= exact - 0.0861 - 1.0 / 64 - 1e-9,
+        s"q=$q s=$s too far under log2=$exact")
+      if ((q & (q - 1)) == 0) // power of two: exactly 64·log2
+        assert(s == 64L * java.lang.Long.numberOfTrailingZeros(q), s"q=$q")
+      assert(s >= prev, s"not monotone at q=$q")
+      prev = s
+    }
+  }
+
+  test("fit on a toy corpus: hand-computed vocab, bigram and prefix " +
+      "counts, with the OOV class folding under the vocab cap") {
+    val train = Seq("a b a b c", "a b x").toDF("text")
+    // cap the vocab at 3: counts a=3 b=3 c=1 x=1 → vocab {a,b,c}
+    // (count DESC, tok ASC); x maps to UNK
+    val lm = NgramLm.fit(train, "text", maxVocab = 3)
+    assert(lm.vPrime == 4L)
+    assert(lm.vocab.orderBy($"tok").as[String].collect().toSeq ==
+      Seq("a", "b", "c"))
+    val bi = lm.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // pairs: (a,b)x2 (b,a) (b,c) from doc1; (a,b) (b,UNK) from doc2
+    assert(bi == Map(("a", "b") -> 3L, ("b", "a") -> 1L,
+      ("b", "c") -> 1L, ("b", NgramLm.Unk) -> 1L))
+    val pre = lm.prefix.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pre == Map("a" -> 3L, "b" -> 3L))
+  }
+
+  test("score: seen bigrams cost less than unseen; short docs survive " +
+      "with n_big 0 and keep 0; the keep gate is the integer rational") {
+    val train = Seq("a b a b a b").toDF("text")
+    val lm = NgramLm.fit(train, "text", maxVocab = 10)
+    val docs = Seq((1L, "a b a b"), (2L, "z z z z"), (3L, "a"))
+      .toDF("doc_id", "text")
+    val r = NgramLm.score(docs, "doc_id", "text", lm, 2L, 1L)
+      .orderBy($"doc_id").collect()
+    val inDom = r(0)
+    val offDom = r(1)
+    val short = r(2)
+    assert(inDom.getLong(2) == 3L) // n_big of "a b a b"
+    assert(inDom.getLong(3) < offDom.getLong(3),
+      "in-domain doc must accumulate fewer surprisal steps")
+    assert(short.getLong(2) == 0L && short.isNullAt(4) &&
+      short.getLong(5) == 0L)
+    // keep = 1 iff s64·den ≤ num·64·n_big  (bpt ≤ 2 bits here)
+    assert(inDom.getLong(5) ==
+      (if (inDom.getLong(3) * 1L <= 2L * 64L * inDom.getLong(2)) 1L
+       else 0L))
+  }
+
+  test("t33 on the documents table: the en-trained model separates the " +
+      "training domain (en keeps a strictly larger fraction than any " +
+      "other lang)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val lm = NgramLm.fit(docs.filter($"lang" === "en"), "text")
+    val kept = NgramLm.score(docs, "doc_id", "text", lm, 24L, 5L)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang")
+      .agg(avg($"keep".cast("double")).as("frac"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val others = kept.filter(_._1 != "en").values
+    assert(others.nonEmpty && kept("en") > others.max,
+      s"expected en to dominate keeps: $kept")
+  }
+}

@@ -288,6 +288,50 @@ class PlanShapeSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
   }
 
+  test("NgramLm model gate: a capped vocabulary broadcasts the vocab " +
+      "and model lookups; over the cap every model join is left to the " +
+      "optimizer (the crawl-scale OOM guard, as TfIdf/Bpe)") {
+    import spark.implicits._
+    val train = Seq("a b a b c", "b c d").toDF("text")
+    val docs = Seq((0L, "a b c"), (1L, "x y z")).toDF("doc_id", "text")
+    val old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val gatedLm = operators.NgramLm.fit(train, "text", maxVocab = 10)
+      val gated = operators.NgramLm
+        .score(docs, "doc_id", "text", gatedLm, 24L, 5L)
+        .queryExecution.explainString(FormattedMode)
+      assert(gated.contains("BroadcastHashJoin"),
+        s"a capped vocab must broadcast the model joins:\n$gated")
+      val openLm = operators.NgramLm.fit(train, "text",
+        maxVocab = operators.NgramLm.maxBroadcastVocab + 1)
+      val open = operators.NgramLm
+        .score(docs, "doc_id", "text", openLm, 24L, 5L)
+        .queryExecution.explainString(FormattedMode)
+      assert(!open.contains("BroadcastHashJoin"),
+        s"an over-cap vocab must not force broadcasts:\n$open")
+      // the gate changes join STRATEGY only — results are identical
+      val a = operators.NgramLm
+        .score(docs, "doc_id", "text", gatedLm, 24L, 5L)
+        .orderBy($"doc_id").collect().toSeq
+      val b = operators.NgramLm
+        .score(docs, "doc_id", "text", openLm, 24L, 5L)
+        .orderBy($"doc_id").collect().toSeq
+      assert(a == b, "gate must not change results")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+  }
+
+  test("t33 (LM quality): the scoring side is broadcast-join narrow — " +
+      "the only exchanges are the model-fit aggregates and the final " +
+      "per-doc aggregate, never a corpus-side join shuffle") {
+    val p = plan("t33_lm_quality")
+    // 4 scoring-side broadcasts: vocab×2 (w1/w2 map), bigrams, prefix
+    assert(p.split("BroadcastHashJoin").length - 1 >= 4,
+      s"the model lookups must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no sort-merge join anywhere in the t33 plan:\n$p")
+  }
+
   test("t30 (shard shuffle): the rank window partitions BY SHARD (no " +
       "single-partition global row_number) and the scan prunes to the " +
       "id column") {
