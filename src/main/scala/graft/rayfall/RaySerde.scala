@@ -31,7 +31,16 @@ import graft.rayfall.Rayfall._
   * (longs re-encode as plain i64 — the one-repr long convention);
   * strings encode as C8 vectors and string VECTORS as symbol vectors
   * (the script's `"str"` / `[a b c]` literal types); u8/i16/i32 widen
-  * to long on decode like every other ingest path. */
+  * to long on decode like every other ingest path.
+  *
+  * Repr fidelity across `(de (ser x))` and native frames: decode
+  * records the wire repr it read — a symbol ATOM (−6) sets
+  * `VAtom.symRepr` and a general LIST (tag 0) sets `VVec.wireTag` —
+  * and encode honors it, so a native peer's symbol/C8 and LIST/vector
+  * choices survive a round-trip byte-exactly instead of re-inferring
+  * from the shared one-repr value (the SURVEY §1.2 caveat, closed).
+  * Widened narrow ints (u8/i16/i32 → long) still re-encode wide — the
+  * documented widening convention. */
 object RaySerde {
 
   val Prefix: Long = 0xcefadefaL
@@ -63,14 +72,18 @@ object RaySerde {
     case VAtom(l: java.lang.Long) => w.u8(-5 & 0xff); w.i64(l)
     case VAtom(i: java.lang.Integer) => w.u8(-5 & 0xff); w.i64(i.longValue)
     case VAtom(d: java.lang.Double) => w.u8(-10 & 0xff); w.f64(d)
-    case VAtom(s: String) => // C8 vector (the script string type)
-      val b = s.getBytes("UTF-8")
-      w.u8(12); w.u8(0); w.i64(b.length.toLong); w.bytes(b)
+    case a @ VAtom(s: String) =>
+      if (a.symRepr) { // symbol atom (−6): 'sym literal / decoded native
+        w.u8(-6 & 0xff); w.nulTerm(s)
+      } else { // C8 vector (the script string type)
+        val b = s.getBytes("UTF-8")
+        w.u8(12); w.u8(0); w.i64(b.length.toLong); w.bytes(b)
+      }
     case VAtom(d: java.time.LocalDate) =>
       w.u8(-7 & 0xff); w.i32((d.toEpochDay - EpochDay).toInt)
     case VAtom(d: java.sql.Date) =>
       w.u8(-7 & 0xff); w.i32((d.toLocalDate.toEpochDay - EpochDay).toInt)
-    case VVec(xs) => writeVec(w, xs)
+    case v @ VVec(xs) => writeVec(w, xs, v.wireTag)
     case VDict(ks, vs) =>
       w.u8(99); w.u8(0)
       writeVec(w, ks.toVector.map(identity[Any]))
@@ -98,9 +111,20 @@ object RaySerde {
     case x => throw new IllegalArgumentException(s"ser: cannot serialize $x")
   }
 
-  private def writeVec(w: W, xs: Vector[Any]): Unit = {
+  private def writeVec(w: W, xs: Vector[Any],
+                       wireTag: Int = Rayfall.InferWireTag): Unit = {
     def all(p: Any => Boolean) = xs.nonEmpty && xs.forall(x => x == null || p(x))
-    if (xs.nonEmpty && all(_.isInstanceOf[java.lang.Boolean]) &&
+    if (wireTag == 0) {
+      // the value ARRIVED as a general LIST (de recorded tag 0): re-emit
+      // a LIST of nested objects even when the element types would infer
+      // a typed vector — byte-fidelity for native round-trips (a list of
+      // C8 strings must not flip to a symbol vector, serde.c layouts)
+      w.u8(0); w.u8(0); w.i64(xs.length.toLong)
+      xs.foreach {
+        case r: RVal => writeObj(w, r)
+        case x => writeObj(w, VAtom(x))
+      }
+    } else if (xs.nonEmpty && all(_.isInstanceOf[java.lang.Boolean]) &&
         !xs.contains(null)) {
       w.u8(1); w.u8(0); w.i64(xs.length.toLong)
       xs.foreach(x => w.u8(if (x.asInstanceOf[java.lang.Boolean]) 1 else 0))
@@ -292,7 +316,7 @@ object RaySerde {
         case NullI64 => VAtom(null)
         case v => VAtom(java.lang.Long.valueOf(v))
       }
-      case -6 => VAtom(r.nulTerm())
+      case -6 => VAtom.sym(r.nulTerm())
       case -7 => r.i32() match {
         case NullI32 => VAtom(null)
         case v => VAtom(java.time.LocalDate.ofEpochDay(EpochDay + v))
@@ -313,10 +337,12 @@ object RaySerde {
       case -12 => VAtom(new String(Array(r.u8().toByte), "UTF-8"))
       case 0 =>
         r.u8(); val n = r.i64()
-        vec(n)(readObj(spark, r) match {
+        // record the LIST repr so ser re-emits tag 0, not the typed
+        // vector the (unwrapped) element types would infer
+        VVec.tagged(Vector.fill(n.toInt)(readObj(spark, r) match {
           case VAtom(x) => x: Any
           case v => v: Any
-        })
+        }), 0)
       case 1 => r.u8(); val n = r.i64()
         vec(n)(java.lang.Boolean.valueOf(r.u8() != 0): Any)
       case 2 => r.u8(); val n = r.i64()

@@ -306,10 +306,45 @@ object Rayfall {
   /** Script-environment values: tables (distributed), plus driver-side
     * atoms and vectors for the generation/index expressions reference
     * scripts build tables from ((til n), (take x n), literals…). */
+  /** Sentinel for [[VVec.wireTag]]: no recorded wire repr — serde
+    * infers the vector tag from the element types (the default). */
+  val InferWireTag: Int = Int.MinValue
+
   sealed trait RVal
   final case class VTab(df: DataFrame) extends RVal
-  final case class VVec(xs: Vector[Any]) extends RVal
-  final case class VAtom(x: Any) extends RVal
+  /** `wireTag` is a serde-only repr hint OUTSIDE the case-class
+    * parameter list (excluded from equals/unapply — the one-repr value
+    * semantics are untouched): the reference distinguishes a general
+    * LIST (serde tag 0) from the typed vector the element types would
+    * infer, so `de` records the wire tag it read ([[VVec.tagged]]) and
+    * `ser` re-emits a LIST when the value arrived as one
+    * (core/serde.c:166-299 layouts — SURVEY §1.2's strings-vs-symbols
+    * caveat, closed for vectors). [[Rayfall.InferWireTag]] (the
+    * default) = infer from the elements. */
+  final case class VVec(xs: Vector[Any]) extends RVal {
+    private[graft] var wireTag: Int = InferWireTag
+  }
+  object VVec {
+    /** A VVec carrying its decoded wire tag (serde repr fidelity). */
+    def tagged(xs: Vector[Any], tag: Int): VVec = {
+      val v = VVec(xs); v.wireTag = tag; v
+    }
+  }
+  /** `symRepr`: same serde-only hint for string atoms — true means the
+    * value is a SYMBOL (serde tag −6: a `'sym` literal or a decoded
+    * native symbol atom) and `ser` re-emits tag −6 instead of the C8
+    * vector a plain string encodes as. Equality and matching stay on
+    * the shared string repr. */
+  final case class VAtom(x: Any) extends RVal {
+    private[graft] var symRepr: Boolean = false
+  }
+  object VAtom {
+    /** A string atom flagged as a SYMBOL for serde (`'sym` literals,
+      * decoded native −6 atoms). */
+    def sym(s: String): VAtom = {
+      val a = VAtom(s); a.symRepr = true; a
+    }
+  }
   /** Lazy view of `base` column of a table plus a constant offset —
     * produced by `(at t 'col)` and kept lazy through +/- so the docs'
     * window-join interval construction
@@ -1962,7 +1997,9 @@ object Rayfall {
       case RSym("false") => VAtom(java.lang.Boolean.FALSE)
       case RDate(d) => VAtom(d)
       case RStr(s) => VAtom(s)
-      case RQuote(s) => VAtom(s)
+      // symRepr: `(ser 'sym)` emits the reference's symbol atom (−6),
+      // while the shared string repr keeps every other op unchanged
+      case RQuote(s) => VAtom.sym(s)
       // vector literal: bare symbols are SYMBOL atoms (reference [I J K]
       // is a symbol vector, not variable references)
       case RVec(items) => VVec(items.map[Any] {

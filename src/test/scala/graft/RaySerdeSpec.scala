@@ -57,6 +57,42 @@ class RaySerdeSpec extends SparkSpec {
       VDict(Vector("symbol", "price"), Vector("AAPL", 150.25)))
   }
 
+  test("repr fidelity: symbol atoms, C8 vectors, symbol vectors and " +
+      "general LISTs each re-serialize byte-exactly after de (the wire " +
+      "tag is carried — serde.c layouts, the strings-vs-symbols caveat)") {
+    def reser(frameHex: String): String =
+      hex(RaySerde.serialize(RaySerde.deserialize(spark, unhex(frameHex))))
+    // symbol ATOM 'abC (−6 = 0xfa, NUL-terminated) — must NOT flip to C8
+    val symAtom = "fadeface" + "01" + "000000" + "0500000000000000" +
+      "fa" + "61624300"
+    assert(reser(symAtom) == symAtom)
+    // C8 vector "hello" (tag 12) — stays C8
+    val c8 = "fadeface" + "01" + "000000" + "0f00000000000000" +
+      "0c" + "00" + "0500000000000000" + "68656c6c6f"
+    assert(reser(c8) == c8)
+    // symbol VECTOR [ab c] (tag 6) — stays a symbol vector
+    val symVec = "fadeface" + "01" + "000000" + "0f00000000000000" +
+      "06" + "00" + "0200000000000000" + "616200" + "6300"
+    assert(reser(symVec) == symVec)
+    // general LIST of two C8 strings (tag 0 of tag 12s) — must NOT
+    // re-pack as a symbol vector
+    val listOfC8 = "fadeface" + "01" + "000000" + "2100000000000000" +
+      "00" + "00" + "0200000000000000" +
+      "0c" + "00" + "0200000000000000" + "6162" +
+      "0c" + "00" + "0100000000000000" + "63"
+    assert(reser(listOfC8) == listOfC8)
+    // a LIST of i64 atoms likewise stays a LIST (not an i64 vector)
+    val listOfI64 = "fadeface" + "01" + "000000" + "1c00000000000000" +
+      "00" + "00" + "0200000000000000" +
+      "fb" + "0100000000000000" + "fb" + "0200000000000000"
+    assert(reser(listOfI64) == listOfI64)
+    // the script's quoted symbol serializes as a symbol atom while the
+    // VALUE stays the shared string repr (equality unaffected)
+    assert(hex(RaySerde.serialize(VAtom.sym("abC"))) == symAtom)
+    assert(VAtom.sym("abC") == VAtom("abC"))
+    assert(RaySerde.deserialize(spark, unhex(symAtom)) == VAtom("abC"))
+  }
+
   test("string vectors are SYMBOL vectors, strings are C8 vectors (the " +
       "script literal types); symbol atoms decode to the shared repr") {
     val sv = RaySerde.serialize(VVec(Vector("ab", "c")))
