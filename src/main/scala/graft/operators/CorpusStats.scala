@@ -79,6 +79,25 @@ object CorpusStats {
     * (`dupSpanCoverage`). Overlapping flagged grams merge into maximal
     * spans; the uncovered tokens are re-joined with ' '.
     *
+    * EXACTNESS BOUND vs Lee et al.'s suffix-array construction
+    * (PropertySpec pins each clause): at token granularity the census
+    * is EXACT for cross-document duplication — a token is excised iff
+    * it lies inside an n-token window shared by ≥ `minDocs` distinct
+    * documents, so every maximal cross-doc duplicated span of length
+    * ≥ n is excised in full (each of its n-subgrams is shared), and
+    * nothing else is (modulo clause 3). The three divergences:
+    *  1. duplicated spans SHORTER than n tokens are missed entirely —
+    *     the same role as Lee et al.'s 50-char threshold, but measured
+    *     in whole tokens, not characters;
+    *  2. a substring repeated ≥ 2 times WITHIN one document but
+    *     nowhere else is NOT excised (the census counts distinct
+    *     documents); the suffix array counts raw occurrences and would
+    *     drop the repeats — use the t11 repetition signals for
+    *     within-doc repeats;
+    *  3. grams travel as i64 hashes, so a hash collision can
+    *     false-positive a span (~2⁻⁶⁴ per gram pair — negligible, and
+    *     the failure mode is over-removal, never retention).
+    *
     * Output per document: (id, ntok, nspans, tok_removed, clean_text,
     * chars_removed) — token count, maximal merged span count, covered
     * token count, the cleaned text, characters dropped.

@@ -447,4 +447,55 @@ class PropertySpec extends SparkSpec {
       assert(census.values.sum == expect, census)
     }
   }
+
+  test("ExactSubstr exactness bound (the dupSpanRemove scaladoc, each " +
+      "clause adversarially): cross-doc spans >= n are excised in FULL " +
+      "on random corpora; spans of n-1 are missed; within-one-doc " +
+      "repeats are missed (the documented suffix-array divergences)") {
+    import graft.operators.CorpusStats
+    val n = 3
+    // distinct background vocabularies per doc so no accidental shared
+    // gram exists; the planted span is the only cross-doc duplication
+    def bg(tag: String, k: Int): Seq[String] =
+      (0 until k).map(i => s"$tag$i")
+    val planted = Gen.chooseNum(n, 8).flatMap(l =>
+      Gen.chooseNum(0, 5).map(off => (l, off)))
+    forAll(planted) { case (l, off) =>
+      val span = (0 until l).map(i => s"dup$i")
+      val a = (bg("a", off) ++ span ++ bg("x", 4)).mkString(" ")
+      val b = (bg("b", 2) ++ span ++ bg("y", 3)).mkString(" ")
+      val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      val out = CorpusStats.dupSpanRemove(docs, "doc_id", "text", n, 2)
+        .orderBy($"id").collect()
+      // EXACT for cross-doc spans >= n: the whole planted span (and
+      // nothing else — backgrounds are disjoint) is removed from both
+      assert(out.map(_.getLong(3)).toSeq == Seq(l.toLong, l.toLong),
+        s"l=$l off=$off: ${out.mkString(";")}")
+      assert(!out(0).getString(4).contains("dup") &&
+        !out(1).getString(4).contains("dup"))
+    }
+    // miss clause 1: an (n-1)-token shared span has no shared n-gram —
+    // untouched (Lee et al.'s threshold, in whole tokens)
+    val shortSpan = (0 until n - 1).map(i => s"dup$i")
+    val m1 = Seq(
+      (1L, (bg("a", 3) ++ shortSpan ++ bg("x", 3)).mkString(" ")),
+      (2L, (bg("b", 3) ++ shortSpan ++ bg("y", 3)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val r1 = CorpusStats.dupSpanRemove(m1, "doc_id", "text", n, 2)
+      .collect()
+    assert(r1.forall(_.getLong(2) == 0L), r1.mkString(";"))
+    // miss clause 2: a span repeated TWICE in one doc but in no other
+    // doc is not excised (census counts distinct docs; the true
+    // ExactSubstr suffix array counts occurrences and would drop it)
+    val rep = (0 until n).map(i => s"dup$i")
+    val m2 = Seq(
+      (1L, (rep ++ bg("a", 3) ++ rep).mkString(" ")),
+      (2L, bg("b", 8).mkString(" ")))
+      .toDF("doc_id", "text")
+    val r2 = CorpusStats.dupSpanRemove(m2, "doc_id", "text", n, 2)
+      .collect()
+    assert(r2.forall(_.getLong(2) == 0L),
+      "within-doc repeats must not be excised by the cross-doc census: " +
+        r2.mkString(";"))
+  }
 }
