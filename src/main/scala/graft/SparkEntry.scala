@@ -1293,6 +1293,63 @@ object Queries {
       |FROM sdocs d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t34
+  // DSIR importance selection (Xie et al. 2023): hashed-bigram bag
+  // models on the target (lang='en', the t33 reference slice) and the
+  // raw corpus; each doc's log importance weight is the integer
+  // 1/64-bit surprisal sum Σ[s64(ct+1) − s64(cr+1)] + n_gram·K64, and
+  // the selected slice is the deterministic top-100 by (lw64 DESC,
+  // doc_id) — the paper's Gumbel resampling dropped for the replayable
+  // top-k variant. Gram hashes are the t09/t14 i64 convention; the
+  // bucket tables are bounded by construction and broadcast under the
+  // gate; top-k folds to TakeOrderedAndProject (no global sort).
+  def t34_dsir_select(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val m = operators.Dsir.fit(docs.filter($"lang" === "en"), docs,
+      "text", n = 2, buckets = 1 << 16)
+    operators.Dsir.selectTopK(docs, "doc_id", "text", m, 100)
+  }
+
+  private val t34_sql = {
+    def s64(q: String): String =
+      s"(64 * (length(bin($q)) - 1) " +
+        s"+ ((($q) << 6) >> (length(bin($q)) - 1)) - 64)"
+    val b = 1 << 16
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS w
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, lang, w,
+       |         unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+       |  FROM toks),
+       |grams AS (
+       |  SELECT doc_id, lang,
+       |         ((${Text.duck.ngramHashSql("w", "i", 2)} % $b) + $b) % $b
+       |           AS bk
+       |  FROM pos),
+       |tc AS (SELECT bk, COUNT(*) AS ct FROM grams
+       |       WHERE lang = 'en' GROUP BY bk),
+       |rc AS (SELECT bk, COUNT(*) AS cr FROM grams GROUP BY bk),
+       |nt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS n FROM tc),
+       |nr AS (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS n FROM rc),
+       |k64 AS (SELECT ${s64(s"nr.n + $b")} - ${s64(s"nt.n + $b")} AS k
+       |        FROM nt, nr),
+       |term AS (
+       |  SELECT g.doc_id,
+       |    ${s64("COALESCE(tc.ct, 0) + 1")}
+       |      - ${s64("COALESCE(rc.cr, 0) + 1")} AS t64
+       |  FROM grams g LEFT JOIN tc USING (bk) LEFT JOIN rc USING (bk)),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_gram,
+       |               CAST(SUM(t64) AS BIGINT) AS s
+       |        FROM term GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.n_gram, 0) AS BIGINT) AS n_gram,
+       |  CAST(COALESCE(a.s, 0) + COALESCE(a.n_gram, 0) * k64.k AS BIGINT)
+       |    AS lw64
+       |FROM toks d LEFT JOIN agg a USING (doc_id) CROSS JOIN k64
+       |ORDER BY lw64 DESC, d.doc_id LIMIT 100""".stripMargin
+  }
+
   // ---------------------------------------------------------------- t30
   // Deterministic global shuffle + sharding (the trainer's "last mile"):
   // shard = floor(u·8) on the id-hash decision (hash-balanced, no global
@@ -3996,6 +4053,7 @@ object Queries {
     "t31_cluster_balance" -> (t31_cluster_balance _),
     "t32_bpe_pack" -> (t32_bpe_pack _),
     "t33_lm_quality" -> (t33_lm_quality _),
+    "t34_dsir_select" -> (t34_dsir_select _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -4133,6 +4191,7 @@ object Queries {
     "t31_cluster_balance" -> t31_sql,
     "t32_bpe_pack" -> t32_sql,
     "t33_lm_quality" -> t33_sql,
+    "t34_dsir_select" -> t34_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

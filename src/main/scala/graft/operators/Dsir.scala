@@ -1,0 +1,108 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.StringToColumn
+
+/** Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
+  * select the raw-corpus slice that looks most like a target (in-domain)
+  * corpus under hashed-n-gram bag-of-words models. The standard
+  * pretraining-data selection stage when a quality/domain reference set
+  * exists but a trained classifier is unwanted.
+  *
+  * Model: hashed n-gram features — every word n-gram hashes into one of
+  * `buckets` buckets (the paper's 10k-bucket hashed unigram+bigram
+  * model). Laplace-smoothed per-bucket probabilities on the target and
+  * raw corpora give each document a log importance weight
+  *
+  *   log w(d) = Σ_g [ log p̂_t(b(g)) − log p̂_r(b(g)) ]
+  *            = Σ_g [ log(c_t+1) − log(c_r+1) ] + |grams|·K,
+  *   K = log(N_r + B) − log(N_t + B)
+  *
+  * and the selected slice is the top-k by weight (the paper resamples
+  * with Gumbel noise; the deterministic top-k variant drops the noise —
+  * documented divergence, engine randomness cannot hash-replay).
+  *
+  * CROSS-ENGINE DETERMINISM (the t33 convention): every log is the
+  * integer 1/64-bit surprisal [[NgramLm.surprisal64]] of a POSITIVE
+  * integer — log w is decomposed term-by-term (never a product that
+  * could overflow: each operand is ≤ max(corpus grams, buckets)+1,
+  * far below 2^63) — so the weight is a BIGINT and the top-k order is
+  * an integer sort with doc-id tie-break, bit-identical in DuckDB.
+  *
+  * 100 TB shape: gram hashing is one codegen pass per doc (grams never
+  * travel as strings); the two count tables are `buckets`-bounded BY
+  * CONSTRUCTION, so they broadcast under the same cap as the TfIdf/
+  * NgramLm gate (an over-cap bucket count shuffle-joins); the per-doc
+  * weight is ONE (id, partial-sum) shuffle with map-side combine; the
+  * global top-k folds to TakeOrderedAndProject — no global sort, no
+  * rank window. */
+object Dsir {
+
+  /** Per-bucket gram counts of `df`: (b, c) with b = pmod(hash, buckets)
+    * — at most `buckets` rows by construction. */
+  def bucketCounts(df: DataFrame, textCol: String, n: Int,
+                   buckets: Int): DataFrame = {
+    import graft.functions.NgramHashExpr.ngramHashes
+    require(buckets > 0, "buckets must be positive")
+    df.select(explode(ngramHashes(col(textCol), n)).as("g"))
+      .select(pmod($"g", lit(buckets.toLong)).as("b"))
+      .groupBy($"b").agg(count(lit(1)).as("c"))
+  }
+
+  /** The fitted importance model: target/raw bucket-count tables, their
+    * gram totals, and the constant surprisal offset K64 =
+    * surp64(N_r + B) − surp64(N_t + B) (1/64-bit steps). */
+  case class Model(target: DataFrame, raw: DataFrame,
+                   nTarget: Long, nRaw: Long, buckets: Int, n: Int) {
+    def k64: Long = {
+      def s64(q: Long): Long = {
+        val b = 63 - java.lang.Long.numberOfLeadingZeros(q)
+        64L * b + ((q << 6) >> b) - 64L
+      }
+      s64(nRaw + buckets) - s64(nTarget + buckets)
+    }
+  }
+
+  /** Fit the hashed-n-gram importance model (two bounded count tables +
+    * two exact totals). `target` is the in-domain reference corpus,
+    * `raw` the corpus to select from. */
+  def fit(target: DataFrame, raw: DataFrame, textCol: String,
+          n: Int = 2, buckets: Int = 1 << 16): Model = {
+    val t = bucketCounts(target, textCol, n, buckets)
+    val r = bucketCounts(raw, textCol, n, buckets)
+    def total(c: DataFrame): Long =
+      c.agg(coalesce(sum($"c"), lit(0L))).collect().head.getLong(0)
+    Model(t, r, total(t), total(r), buckets, n)
+  }
+
+  /** Top-`k` documents of `corpus` by integer log importance weight:
+    * (idCol, n_gram, lw64) ordered by (lw64 DESC, id ASC) — lw64 in
+    * 1/64-bit log₂ steps. Count-table joins broadcast only under the
+    * bounded-bucket gate. */
+  def selectTopK(corpus: DataFrame, idCol: String, textCol: String,
+                 m: Model, k: Int): DataFrame = {
+    import graft.functions.NgramHashExpr.ngramHashes
+    def side(df: DataFrame, cName: String) = {
+      val r = df.select($"b", $"c".as(cName))
+      if (m.buckets <= NgramLm.maxBroadcastVocab) broadcast(r) else r
+    }
+    val grams = corpus
+      .select(col(idCol),
+        explode_outer(ngramHashes(col(textCol), m.n)).as("g"))
+      .select(col(idCol), pmod($"g", lit(m.buckets.toLong)).as("b"))
+    val term = NgramLm.surprisal64(coalesce($"ct", lit(0L)) + 1L) -
+      NgramLm.surprisal64(coalesce($"cr", lit(0L)) + 1L)
+    grams
+      .join(side(m.target, "ct"), Seq("b"), "left")
+      .join(side(m.raw, "cr"), Seq("b"), "left")
+      .withColumn("t64", when($"b".isNotNull, term))
+      .groupBy(col(idCol))
+      .agg(count($"b").as("n_gram"),
+        coalesce(sum($"t64"), lit(0L)).as("s"))
+      .select(col(idCol), $"n_gram",
+        ($"s" + $"n_gram" * lit(m.k64)).as("lw64"))
+      .orderBy($"lw64".desc, col(idCol).asc)
+      .limit(k)
+  }
+}

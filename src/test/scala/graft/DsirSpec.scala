@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dsir, NgramLm}
+
+/** The t34 DSIR importance selector: model arithmetic, domain ranking,
+  * edge cases, and the in-domain uplift on the real documents table. */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fit: totals are exact gram counts, bucket tables are bounded, " +
+      "and k64 agrees with the column surprisal implementation") {
+    val target = Seq("a b a b c", "a b").toDF("text") // 4 + 1 bigrams
+    val raw = Seq("a b a b c", "a b", "x y z").toDF("text") // + 2
+    val m = Dsir.fit(target, raw, "text", n = 2, buckets = 256)
+    assert(m.nTarget == 5L && m.nRaw == 7L)
+    assert(m.target.count() <= 256 && m.raw.count() <= 256)
+    assert(m.target.agg(sum($"c")).collect().head.getLong(0) == 5L)
+    // local k64 == the codegen surprisal64 column on the same operands
+    val Seq(sr, st) = Seq(m.nRaw + 256, m.nTarget + 256).map { q =>
+      Seq(q).toDF("q").select(NgramLm.surprisal64($"q"))
+        .collect().head.getLong(0)
+    }
+    assert(m.k64 == sr - st)
+  }
+
+  test("selectTopK: in-domain docs outrank off-domain ones; a doc with " +
+      "no bigrams survives with n_gram 0 and lw64 0") {
+    val target = Seq("a b c a b c a b c").toDF("text")
+    val raw = Seq("a b c a b c a b c", "z w q z w q").toDF("text")
+    val m = Dsir.fit(target, raw, "text", n = 2, buckets = 1 << 12)
+    val corpus = Seq((1L, "a b c a b"), (2L, "z w q z w"), (3L, "solo"))
+      .toDF("doc_id", "text")
+    val r = Dsir.selectTopK(corpus, "doc_id", "text", m, 3).collect()
+    assert(r.map(_.getLong(0)).toSeq.head == 1L,
+      s"target-like doc must rank first: ${r.mkString(";")}")
+    val solo = r.find(_.getLong(0) == 3L).get
+    assert(solo.getLong(1) == 0L && solo.getLong(2) == 0L)
+    // in-domain weight strictly above off-domain
+    val byId = r.map(x => x.getLong(0) -> x.getLong(2)).toMap
+    assert(byId(1L) > byId(2L))
+  }
+
+  test("t34 on the documents table: the en-targeted selection holds an " +
+      "en share strictly above the corpus base rate") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val m = Dsir.fit(docs.filter($"lang" === "en"), docs, "text",
+      n = 2, buckets = 1 << 16)
+    val sel = Dsir.selectTopK(docs, "doc_id", "text", m, 100)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+    val enSel = sel.filter($"lang" === "en").count().toDouble / sel.count()
+    val enBase = docs.filter($"lang" === "en").count().toDouble / docs.count()
+    assert(enSel > enBase, s"selected en share $enSel <= base $enBase")
+  }
+}

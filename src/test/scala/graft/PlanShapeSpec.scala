@@ -332,6 +332,16 @@ class PlanShapeSpec extends SparkSpec {
       s"no sort-merge join anywhere in the t33 plan:\n$p")
   }
 
+  test("t34 (DSIR): bucket tables broadcast, the global top-k folds to " +
+      "TakeOrderedAndProject — no sort-merge join, no global sort") {
+    val p = plan("t34_dsir_select")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2,
+      s"the two bucket-count lookups must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k must fold to TakeOrderedAndProject:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no SMJ in the t34 plan:\n$p")
+  }
+
   test("t30 (shard shuffle): the rank window partitions BY SHARD (no " +
       "single-partition global row_number) and the scan prunes to the " +
       "id column") {
