@@ -772,8 +772,16 @@ object GroupKernel {
             }
           }
       }
-    val out = finish(org.apache.spark.sql.graftshim.ColumnInternals
-      .internalDataFrame(df.sparkSession, schema, mergedRows))
+    // 1-partition results (driver merge, single-chunk executor merge)
+    // declare SinglePartition so the caller's count/collect aggregate
+    // plans exchange-free — one stage fewer per sub-second query
+    val idf =
+      if (mergedRows.getNumPartitions == 1)
+        org.apache.spark.sql.graftshim.ColumnInternals
+          .internalDataFrameSingle(df.sparkSession, schema, mergedRows)
+      else org.apache.spark.sql.graftshim.ColumnInternals
+        .internalDataFrame(df.sparkSession, schema, mergedRows)
+    val out = finish(idf)
     lap("build")
     Some(out)
   }

@@ -47,6 +47,29 @@ object ColumnInternals {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rows, schema)
 
+  /** Like [[internalDataFrame]] for a 1-partition RDD, DECLARING the
+    * partitioning as SinglePartition (LogicalRDD carries it through to
+    * the scan exec): a downstream global aggregate or sort then plans
+    * with NO exchange — for GroupKernel's driver-merged results this
+    * removes a whole 1-task stage (+ its stage boundary) from every
+    * sub-second query's count/collect job (measured: the Q1 action job
+    * was 2 × ~10 ms 1-task stages; this folds them into one). */
+  def internalDataFrameSingle(
+      spark: org.apache.spark.sql.SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      rows: org.apache.spark.rdd.RDD[
+        org.apache.spark.sql.catalyst.InternalRow])
+      : org.apache.spark.sql.DataFrame = {
+    require(rows.getNumPartitions == 1,
+      s"SinglePartition declared over ${rows.getNumPartitions} partitions")
+    val s = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    ofRows(spark, org.apache.spark.sql.execution.LogicalRDD(
+      org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(schema),
+      rows,
+      org.apache.spark.sql.catalyst.plans.physical.SinglePartition,
+      Nil, false, None)(s))
+  }
+
   /** Walk a Column's node tree looking for an aggregate function call —
     * named calls matched against `aggNames`, SQL-string fragments against
     * `sqlRegex`. (ColumnNode classes are private[sql].) */
