@@ -1293,6 +1293,32 @@ object Queries {
       |FROM sdocs d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t35
+  // STREAMING perplexity filter (the t33 production twin, the t27
+  // pattern): the document feed scored per micro-batch against the
+  // PERSISTED bigram LM (NgramLm.saveModel — fit once on the reference
+  // slice, loaded inside the cloned streaming session). Stateless per
+  // batch, disk-as-state, checkpointed replay appends nothing. Because
+  // the stored model is fit from the same corpus slice, the streamed
+  // result must equal batch t33 exactly — the oracle IS t33's SQL.
+  def t35_stream_lm_quality(spark: SparkSession, dir: String): DataFrame = {
+    val batch = t(spark, dir, "documents")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stage = s"/tmp/graft_stream/$key/documents"
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      sources.Store.setSplayed(batch, stage)
+    val base = s"/tmp/graft_stream/$key/lm_quality"
+    val modelPath = s"$base/model"
+    if (!new java.io.File(s"$modelPath/meta/_SUCCESS").exists())
+      operators.NgramLm.saveModel(
+        operators.NgramLm.fit(batch.filter($"lang" === "en"), "text"),
+        modelPath)
+    streaming.Streams.lmQualityStream(spark, stage, batch,
+      "doc_id", "text", modelPath, 24L, 5L,
+      outDir = s"$base/out", checkpoint = s"$base/ckpt")
+      .orderBy($"doc_id")
+  }
+
   // ---------------------------------------------------------------- t34
   // DSIR importance selection (Xie et al. 2023): hashed-bigram bag
   // models on the target (lang='en', the t33 reference slice) and the
@@ -4054,6 +4080,7 @@ object Queries {
     "t32_bpe_pack" -> (t32_bpe_pack _),
     "t33_lm_quality" -> (t33_lm_quality _),
     "t34_dsir_select" -> (t34_dsir_select _),
+    "t35_stream_lm_quality" -> (t35_stream_lm_quality _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -4192,6 +4219,7 @@ object Queries {
     "t32_bpe_pack" -> t32_sql,
     "t33_lm_quality" -> t33_sql,
     "t34_dsir_select" -> t34_sql,
+    "t35_stream_lm_quality" -> t33_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

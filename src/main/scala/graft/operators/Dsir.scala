@@ -76,6 +76,36 @@ object Dsir {
     Model(t, r, total(t), total(r), buckets, n)
   }
 
+  /** Persist a fit model: the two bounded bucket-count tables plus a
+    * one-row meta (totals, buckets, n) — same production split as
+    * [[NgramLm.saveModel]]. */
+  def saveModel(m: Model, path: String): Unit = {
+    val spark = m.target.sparkSession
+    import spark.implicits._
+    m.target.write.mode("overwrite").parquet(s"$path/target")
+    m.raw.write.mode("overwrite").parquet(s"$path/raw")
+    Seq((m.nTarget, m.nRaw, m.buckets, m.n)).toDF(
+      "ntarget", "nraw", "buckets", "n")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted model (columns by NAME; fails fast). */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): Model = {
+    Seq("target", "raw", "meta").foreach { part =>
+      require(Similarity.fsDirExists(spark, s"$path/$part"),
+        s"no DSIR model at $path (missing $path/$part — " +
+          "saveModel one first)")
+    }
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("ntarget"), col("nraw"), col("buckets"), col("n"))
+      .collect().head
+    Model(
+      spark.read.parquet(s"$path/target").select($"b", $"c"),
+      spark.read.parquet(s"$path/raw").select($"b", $"c"),
+      meta.getLong(0), meta.getLong(1), meta.getInt(2), meta.getInt(3))
+  }
+
   /** Top-`k` documents of `corpus` by integer log importance weight:
     * (idCol, n_gram, lw64) ordered by (lw64 DESC, id ASC) — lw64 in
     * 1/64-bit log₂ steps. Count-table joins broadcast only under the

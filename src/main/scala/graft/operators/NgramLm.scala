@@ -118,6 +118,40 @@ object NgramLm {
     BigramLm(vocab, bigrams, prefix, vocab.count() + 1L, hinted)
   }
 
+  /** Persist a fit model: vocab/bigrams/prefix as parquet plus a
+    * one-row meta table — the production split (the IVFADC-index
+    * precedent): fit ONCE on the reference corpus, score any number of
+    * corpora / stream micro-batches from the stored artifact without
+    * re-running the fit chain. */
+  def saveModel(lm: BigramLm, path: String): Unit = {
+    val spark = lm.vocab.sparkSession
+    import spark.implicits._
+    lm.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+    lm.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    lm.prefix.write.mode("overwrite").parquet(s"$path/prefix")
+    Seq((lm.vPrime, lm.hinted)).toDF("vprime", "hinted")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted model (columns by NAME; fails fast on a bad
+    * path). Scoring from a loaded model plans exactly like the
+    * in-memory one — the broadcast gate state was stored at fit. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): BigramLm = {
+    Seq("vocab", "bigrams", "prefix", "meta").foreach { part =>
+      require(Similarity.fsDirExists(spark, s"$path/$part"),
+        s"no LM model at $path (missing $path/$part — " +
+          "saveModel one first)")
+    }
+    val meta = spark.read.parquet(s"$path/meta")
+      .select(col("vprime"), col("hinted")).collect().head
+    BigramLm(
+      spark.read.parquet(s"$path/vocab").select($"tok"),
+      spark.read.parquet(s"$path/bigrams").select($"m1", $"m2", $"cbi"),
+      spark.read.parquet(s"$path/prefix").select($"m1", $"cpre"),
+      meta.getLong(0), meta.getBoolean(1))
+  }
+
   /** Integer 1/64-bit surprisal of the odds column `q` (≥ 1):
     * 64·floor(log₂ q) + mantissa interpolation. Exact integer shifts;
     * `bin` is the cross-engine floor-log₂. */

@@ -188,6 +188,44 @@ object Streams {
       freqOf(spark).limit(0), minSpanTokens)
   }
 
+  /** Streaming perplexity filter (the t33 production twin): score a
+    * live document feed per micro-batch against a PERSISTED bigram LM
+    * (`NgramLm.saveModel` over the reference corpus — the model refits
+    * periodically, the stream gates today's feed at micro-batch
+    * latency). Stateless per batch like [[spanRemoveStream]]: the
+    * model loads INSIDE the cloned streaming session (Datasets are
+    * session-bound — the q55 lesson), scored rows append to `outDir`
+    * (disk-as-state, at-least-once, checkpointed batch-skip on
+    * replay). Returns the scored feed read back from `outDir`. */
+  def lmQualityStream(spark: SparkSession, srcDir: String,
+                      schemaFrom: DataFrame, idCol: String,
+                      textCol: String, modelPath: String,
+                      keepNum: Long, keepDen: Long,
+                      outDir: String, checkpoint: String,
+                      statePartitions: Int = 2): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val lmSs = graft.operators.NgramLm.loadModel(ss, modelPath)
+    val stream = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.NgramLm
+          .score(batch, idCol, textCol, lmSs, keepNum, keepDen)
+          .write.mode("append").parquet(outDir)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    if (new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(outDir)))
+      spark.read.parquet(outDir)
+    else graft.operators.NgramLm.score(schemaFrom.limit(0), idCol,
+      textCol, graft.operators.NgramLm.loadModel(spark, modelPath),
+      keepNum, keepDen)
+  }
+
   /** PRODUCTION form of the q54 streaming dedup: `withWatermark` +
     * `dropDuplicatesWithinWatermark`, so the fingerprint state for keys
     * older than the watermark ages out instead of growing with the whole

@@ -41,6 +41,21 @@ class DsirSpec extends SparkSpec {
     assert(byId(1L) > byId(2L))
   }
 
+  test("a persisted model selects bit-identically to the in-memory fit") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val m = Dsir.fit(docs.filter($"lang" === "en"), docs, "text",
+      n = 2, buckets = 1 << 12)
+    val dir = java.nio.file.Files.createTempDirectory("graft_dsir").toString
+    Dsir.saveModel(m, dir)
+    val m2 = Dsir.loadModel(spark, dir)
+    assert((m2.nTarget, m2.nRaw, m2.buckets, m2.n) ==
+      ((m.nTarget, m.nRaw, m.buckets, m.n)) && m2.k64 == m.k64)
+    def run(x: Dsir.Model) =
+      Dsir.selectTopK(docs, "doc_id", "text", x, 50).collect().toSeq
+    assert(run(m2) == run(m))
+    intercept[IllegalArgumentException](Dsir.loadModel(spark, dir + "/no"))
+  }
+
   test("t34 on the documents table: the en-targeted selection holds an " +
       "en share strictly above the corpus base rate") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")

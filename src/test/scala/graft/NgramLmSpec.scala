@@ -72,6 +72,22 @@ class NgramLmSpec extends SparkSpec {
        else 0L))
   }
 
+  test("a persisted model scores bit-identically to the in-memory fit " +
+      "(the fit-once/score-anywhere production split)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val lm = NgramLm.fit(docs.filter($"lang" === "en"), "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_lm").toString
+    NgramLm.saveModel(lm, dir)
+    val lm2 = NgramLm.loadModel(spark, dir)
+    assert(lm2.vPrime == lm.vPrime && lm2.hinted == lm.hinted)
+    def run(m: NgramLm.BigramLm) =
+      NgramLm.score(docs, "doc_id", "text", m, 24L, 5L)
+        .orderBy($"doc_id").collect().toSeq
+    assert(run(lm2) == run(lm))
+    intercept[IllegalArgumentException](
+      NgramLm.loadModel(spark, dir + "/nope"))
+  }
+
   test("t33 on the documents table: the en-trained model separates the " +
       "training domain (en keeps a strictly larger fraction than any " +
       "other lang)") {

@@ -91,4 +91,33 @@ class StorageStreamSpec extends SparkSpec {
       "tok_removed", "clean_text", "chars_removed"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
+
+  test("streaming LM quality equals batch scoring from the persisted " +
+      "model; drained replay appends nothing; empty feed yields the " +
+      "empty scored schema") {
+    val docs = Tables.load(spark, sf, "documents")
+    val base = s"/tmp/graft_lmstream_spec/${System.nanoTime()}"
+    val (feed, model) = (s"$base/feed", s"$base/model")
+    docs.write.parquet(feed)
+    val lm = operators.NgramLm.fit(docs.filter($"lang" === "en"), "text")
+    operators.NgramLm.saveModel(lm, model)
+    def run(out: String, ckpt: String) =
+      streaming.Streams.lmQualityStream(spark, feed, docs,
+        "doc_id", "text", model, 24L, 5L, out, ckpt)
+    val streamed = run(s"$base/out", s"$base/ckpt")
+      .orderBy($"doc_id").collect().toSeq
+    val batch = operators.NgramLm.score(docs, "doc_id", "text", lm, 24L, 5L)
+      .orderBy($"doc_id").collect().toSeq
+    assert(streamed == batch)
+    assert(run(s"$base/out", s"$base/ckpt").count() == batch.length.toLong)
+    val emptyBase = s"$base/empty"
+    new java.io.File(s"$emptyBase/feed").mkdirs()
+    val empty = streaming.Streams.lmQualityStream(spark,
+      s"$emptyBase/feed", docs, "doc_id", "text", model, 24L, 5L,
+      s"$emptyBase/out", s"$emptyBase/ckpt")
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq ==
+      Seq("doc_id", "n_tok", "n_big", "s64", "bpt", "keep"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }
