@@ -1236,10 +1236,33 @@ object Queries {
   // docs and ~10% of the rest, the CCNet in-domain separation. The
   // oracle replays the ENTIRE chain: vocab cap, UNK mapping, bigram +
   // prefix counts, integer odds, shift-interpolated surprisal.
+  /** Cached t33 model per (session, dir, stamp) — the bpeWordFreq memo
+    * pattern: the score plan references the vocab 4× and the bigram
+    * table 2×, so an uncached model re-runs the train-corpus shuffles
+    * per reference; superseded entries unpersist. */
+  private val lmModelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, operators.NgramLm.BigramLm]()
+  private def lmModel(spark: SparkSession,
+                      dir: String): operators.NgramLm.BigramLm = {
+    val pfx = s"${System.identityHashCode(spark)}@$dir@"
+    val key = s"$pfx${srcStamp(dir, "documents.parquet")}"
+    val hit = lmModelCache.get(key)
+    if (hit != null) hit
+    else {
+      import scala.jdk.CollectionConverters._
+      lmModelCache.asScala.keys.filter(_.startsWith(pfx)).toList
+        .foreach(k => Option(lmModelCache.remove(k)).foreach(_.unpersist()))
+      lmModelCache.computeIfAbsent(key, _ =>
+        operators.NgramLm.fit(
+          t(spark, dir, "documents").filter($"lang" === "en"), "text",
+          cacheModel = true))
+    }
+  }
+
   def t33_lm_quality(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val lm = operators.NgramLm.fit(docs.filter($"lang" === "en"), "text")
-    operators.NgramLm.score(docs, "doc_id", "text", lm, 24L, 5L)
+    operators.NgramLm.score(docs, "doc_id", "text",
+      lmModel(spark, dir), 24L, 5L)
       .orderBy($"doc_id")
   }
 
@@ -1310,9 +1333,7 @@ object Queries {
     val base = s"/tmp/graft_stream/$key/lm_quality"
     val modelPath = s"$base/model"
     if (!new java.io.File(s"$modelPath/meta/_SUCCESS").exists())
-      operators.NgramLm.saveModel(
-        operators.NgramLm.fit(batch.filter($"lang" === "en"), "text"),
-        modelPath)
+      operators.NgramLm.saveModel(lmModel(spark, dir), modelPath)
     streaming.Streams.lmQualityStream(spark, stage, batch,
       "doc_id", "text", modelPath, 24L, 5L,
       outDir = s"$base/out", checkpoint = s"$base/ckpt")

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness: stage-by-stage timing of the t33 scoring pipeline —
+  * where does the per-rep time go (pair explode, vocab map, model
+  * joins, aggregate)? `runMain graft.TimeLm <sfDir> [reps]`. */
+object TimeLm {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val reps = if (args.length > 1) args(1).toInt else 4
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val lm = operators.NgramLm.fit(docs.filter($"lang" === "en"), "text",
+      cacheModel = true)
+    def time(tag: String)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+      mk.count() // warm
+      val ts = (1 to reps).map { _ =>
+        val t0 = System.nanoTime(); mk.count()
+        (System.nanoTime() - t0) / 1e3 / 1e3
+      }
+      println(f"[tlm] $tag%-14s " + ts.map(t => f"$t%.0f").mkString(" ") + " ms")
+    }
+    val ws = split($"text", " ")
+    val m = greatest(size(ws) - 1, lit(0))
+    val pair = arrays_zip(slice(ws, lit(1), m).as("w1"),
+      slice(ws, lit(2), m).as("w2"))
+    time("explode")(docs.select($"doc_id", explode_outer(pair).as("pr")))
+    time("explode+agg")(docs.select($"doc_id", explode_outer(pair).as("pr"))
+      .groupBy($"doc_id").agg(count(lit(1))))
+    time("score")(operators.NgramLm.score(docs, "doc_id", "text", lm, 24L, 5L))
+    time("score+sort")(operators.NgramLm
+      .score(docs, "doc_id", "text", lm, 24L, 5L).orderBy($"doc_id"))
+    time("t33")(SparkEntry.queries("t33_lm_quality")(spark, dir))
+    // plan-fixed overhead: same score plan over ZERO corpus rows —
+    // whatever remains is broadcast/stage scheduling, not per-row work
+    time("score-empty")(operators.NgramLm
+      .score(docs.limit(0), "doc_id", "text", lm, 24L, 5L))
+    // AQE off: does stage materialization account for the fixed cost?
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    time("score-noAQE")(operators.NgramLm
+      .score(docs, "doc_id", "text", lm, 24L, 5L))
+    time("empty-noAQE")(operators.NgramLm
+      .score(docs.limit(0), "doc_id", "text", lm, 24L, 5L))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    if (sys.env.contains("SPARK_GRAFT_TIMELM_PLAN")) {
+      val df = operators.NgramLm.score(docs, "doc_id", "text", lm, 24L, 5L)
+      df.count()
+      println(df.queryExecution.executedPlan.toString
+        .linesIterator.map(_.take(110)).take(60).mkString("\n"))
+    }
+    spark.stop()
+  }
+}

@@ -63,7 +63,10 @@ object NgramLm {
     * vocab-mapped tokens, `prefix` (m1, cpre = Σ cbi), V' = |vocab|+1,
     * and whether the bounded size licenses broadcast joins. */
   case class BigramLm(vocab: DataFrame, bigrams: DataFrame,
-                      prefix: DataFrame, vPrime: Long, hinted: Boolean)
+                      prefix: DataFrame, vPrime: Long, hinted: Boolean) {
+    /** Release a `fit(cacheModel = true)` model's cached tables. */
+    def unpersist(): Unit = { vocab.unpersist(); bigrams.unpersist() }
+  }
 
   /** Adjacent-token pair array of `textCol` (whitespace-tokenized):
     * array<struct<w1,w2>>, empty for single-token docs. Built
@@ -96,9 +99,15 @@ object NgramLm {
   /** Fit the bigram LM on `train` (the in-domain reference corpus).
     * Vocabulary = top-`maxVocab` tokens by (count DESC, tok ASC) — the
     * deterministic cap both engines replay; counts are exact integer
-    * aggregates, so the model is bit-reproducible on any layout. */
+    * aggregates, so the model is bit-reproducible on any layout.
+    *
+    * `cacheModel` persists the vocab + bigram tables: the score plan
+    * references the vocab four times and the bigram table twice, so an
+    * uncached model re-runs the train-corpus shuffles per reference —
+    * cache (or [[saveModel]]) any model that scores more than once,
+    * and `unpersist()` it when done. */
   def fit(train: DataFrame, textCol: String,
-          maxVocab: Int = 1 << 16): BigramLm = {
+          maxVocab: Int = 1 << 16, cacheModel: Boolean = false): BigramLm = {
     require(maxVocab > 0, "maxVocab must be positive (the cap is what " +
       "bounds the model; an unbounded bigram table is not a crawl-safe " +
       "artifact)")
@@ -106,13 +115,15 @@ object NgramLm {
       .select(explode(split(col(textCol), " ")).as("tok"))
       .groupBy($"tok").agg(count(lit(1)).as("cnt"))
     // top-V folds to TakeOrderedAndProject — no global sort
-    val vocab = uni.orderBy($"cnt".desc, $"tok".asc).limit(maxVocab)
+    val vocab0 = uni.orderBy($"cnt".desc, $"tok".asc).limit(maxVocab)
       .select($"tok")
+    val vocab = if (cacheModel) vocab0.persist() else vocab0
     val hinted = maxVocab <= maxBroadcastVocab
     val pairs = train.select(explode(pairArr(col(textCol))).as("pr"))
       .select($"pr.w1".as("w1"), $"pr.w2".as("w2"))
-    val bigrams = mapToks(pairs, vocab, hinted)
+    val bigrams0 = mapToks(pairs, vocab, hinted)
       .groupBy($"m1", $"m2").agg(count(lit(1)).as("cbi"))
+    val bigrams = if (cacheModel) bigrams0.persist() else bigrams0
     val prefix = bigrams.groupBy($"m1")
       .agg(sum($"cbi").as("cpre"))
     BigramLm(vocab, bigrams, prefix, vocab.count() + 1L, hinted)
@@ -172,8 +183,14 @@ object NgramLm {
   def score(corpus: DataFrame, idCol: String, textCol: String,
             lm: BigramLm, keepNum: Long, keepDen: Long): DataFrame = {
     require(keepDen > 0, "keepDen must be positive")
-    val pairs = corpus.select(col(idCol),
-        size(split(col(textCol), " ")).cast("long").as("n_tok"),
+    // n_tok is materialized BELOW the explode: computed in the same
+    // select, Catalyst plans the Project above the Generate and
+    // re-splits the full text once per exploded bigram row — O(len²)
+    // per doc (measured 5× the whole scoring cost at sf0.1)
+    val pairs = corpus
+      .select(col(idCol), col(textCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .select(col(idCol), $"n_tok",
         explode_outer(pairArr(col(textCol))).as("pr"))
       .select(col(idCol), $"n_tok",
         $"pr.w1".as("w1"), $"pr.w2".as("w2"))
