@@ -1266,7 +1266,8 @@ object Queries {
       .orderBy($"doc_id")
   }
 
-  private val t33_sql =
+  // the t33 model+scoring CTE chain, shared verbatim by t36's oracle
+  private val lmChainSql =
     """WITH train AS (SELECT text FROM documents WHERE lang = 'en'),
       |uni AS (SELECT tok, COUNT(*) AS cnt FROM
       |  (SELECT unnest(string_split(text, ' ')) AS tok FROM train)
@@ -1306,7 +1307,10 @@ object Queries {
       |  FROM sq),
       |agg AS (SELECT doc_id, COUNT(*) AS n_big,
       |    CAST(SUM(s1) AS BIGINT) AS s64 FROM su GROUP BY doc_id)
-      |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tok,
+      |""".stripMargin
+
+  private val t33_sql = lmChainSql +
+    """SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tok,
       |  CAST(COALESCE(a.n_big, 0) AS BIGINT) AS n_big,
       |  COALESCE(a.s64, 0) AS s64,
       |  CASE WHEN a.n_big > 0
@@ -1315,6 +1319,56 @@ object Queries {
       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM sdocs d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t36
+  // Perplexity-bucketed mixing (CCNet's head/middle/tail): bucket every
+  // document by bits-per-token under the t33 model at the corpus
+  // terciles (integer cross-multiplied gates — bpt ≤ 4.8 head, ≤ 4.9
+  // middle, else tail), then the standard deterministic id-hash
+  // downsampling per bucket (head 1.0 / middle 0.5 / tail 0.1 — CCNet
+  // keeps the head and thins the tail). Composition of the memoized
+  // t33 model with Sampling.sampleByRates: one narrow map over the
+  // scored corpus, census folds map-side. The oracle chains the FULL
+  // t33 replay, the bucket CASE, and the t06 hash gate.
+  def t36_ppl_mix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val scored = operators.NgramLm.score(docs, "doc_id", "text",
+      lmModel(spark, dir), 24L, 5L)
+    val bucket =
+      when($"n_big" > 0L && $"s64" * 5L <= lit(24L) * lit(64L) * $"n_big",
+        "head")
+      .when($"n_big" > 0L && $"s64" * 10L <= lit(49L) * lit(64L) * $"n_big",
+        "middle")
+      .otherwise("tail")
+    operators.Sampling.sampleByRates(
+      scored.select($"doc_id", bucket.as("bucket")),
+      "doc_id", "bucket",
+      Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1), default = 0.1)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("kept"), min($"doc_id").as("first_kept"),
+        max($"doc_id").as("last_kept"))
+      .orderBy($"bucket")
+  }
+
+  private val t36_sql = lmChainSql +
+    """,b AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN a.n_big > 0 AND a.s64 * 5 <= 24 * 64 * a.n_big
+      |           THEN 'head'
+      |         WHEN a.n_big > 0 AND a.s64 * 10 <= 49 * 64 * a.n_big
+      |           THEN 'middle'
+      |         ELSE 'tail' END AS bucket
+      |  FROM sdocs d LEFT JOIN agg a USING (doc_id)),
+      |s AS (
+      |  SELECT doc_id, bucket FROM b
+      |  WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296
+      |     + ((doc_id // 2147483648) * 2246822519) % 4294967296)
+      |    % 4294967296 / 4294967296.0
+      |    < CASE bucket WHEN 'head' THEN 1.0 WHEN 'middle' THEN 0.5
+      |      ELSE 0.1 END)
+      |SELECT bucket, COUNT(*) AS kept, MIN(doc_id) AS first_kept,
+      |  MAX(doc_id) AS last_kept
+      |FROM s GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---------------------------------------------------------------- t35
   // STREAMING perplexity filter (the t33 production twin, the t27
@@ -4102,6 +4156,7 @@ object Queries {
     "t33_lm_quality" -> (t33_lm_quality _),
     "t34_dsir_select" -> (t34_dsir_select _),
     "t35_stream_lm_quality" -> (t35_stream_lm_quality _),
+    "t36_ppl_mix" -> (t36_ppl_mix _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -4241,6 +4296,7 @@ object Queries {
     "t33_lm_quality" -> t33_sql,
     "t34_dsir_select" -> t34_sql,
     "t35_stream_lm_quality" -> t33_sql,
+    "t36_ppl_mix" -> t36_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,
