@@ -53,6 +53,12 @@ object TimeLm {
     time("empty-noAQE")(operators.NgramLm
       .score(docs.limit(0), "doc_id", "text", lm, 24L, 5L))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    if (sys.env.contains("SPARK_GRAFT_TIMELM_DSIR")) {
+      val m = operators.Dsir.fit(docs.filter($"lang" === "en"), docs,
+        "text", n = 2, buckets = 1 << 16)
+      time("dsir-top100")(operators.Dsir
+        .selectTopK(docs, "doc_id", "text", m, 100))
+    }
     if (sys.env.contains("SPARK_GRAFT_TIMELM_PLAN")) {
       val df = operators.NgramLm.score(docs, "doc_id", "text", lm, 24L, 5L)
       df.count()
