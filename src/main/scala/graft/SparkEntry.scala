@@ -1225,6 +1225,104 @@ object Queries {
       |  cum_excl % 512 AS chunk_offset
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t37
+  // MATERIALIZED training shards (the true last mile): per (shard,
+  // chunk) the actual packed token-ID array at a 512-token budget —
+  // not just the t32 span arithmetic. Chain: the trained BPE merges
+  // (cached word-freq), each distinct word's subword SEQUENCE
+  // broadcast back (wordTokens — the materializing form of the t32
+  // lookup), subword→id from the census rank (a bounded MODEL
+  // artifact, so its single-partition rank window is over vocab rows,
+  // never data), the t08/t32 cumulative span arithmetic, then one
+  // (shard, chunk) shuffle assembling position-sorted id arrays. The
+  // oracle replays the 40-stage BPE chain + the same id/rank/pack
+  // arithmetic and compares the ARRAYS.
+  def t37_bpe_shards(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+    val wf = bpeWordFreq(spark, dir)
+    val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
+    val gate = wf.count() <= operators.Bpe.maxBroadcastVocab
+    def side(df: DataFrame) = if (gate) broadcast(df) else df
+    val wt = side(operators.Bpe.wordTokens(wf, merges))
+    val vid = side(operators.Bpe.tokenCensusFromFreq(wf, merges)
+      .withColumn("id", (row_number().over(
+        Window.orderBy($"freq".desc, $"token".asc)) - 1).cast("long"))
+      .select($"token", $"id"))
+    val spans = operators.Packing.chunkSpans(
+      operators.Bpe.docTokenCounts(docs, "doc_id", "text", wf, merges),
+      "doc_id", $"n_btok", budget = 512L, shards = 4)
+      .select($"doc_id", $"shard",
+        ($"start_chunk" * 512L + $"chunk_offset").as("cum_excl"))
+    val toks = docs
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("wi", "word")))
+      .filter($"word" =!= "")
+      .join(wt, "word")
+      .select($"doc_id", $"wi", posexplode($"toks").as(Seq("si", "token")))
+      .join(vid, "token")
+    val k = row_number().over(
+      Window.partitionBy($"doc_id").orderBy($"wi", $"si")).cast("long") - 1L
+    toks.withColumn("k", k)
+      .join(spans, "doc_id")
+      .withColumn("g", $"cum_excl" + $"k")
+      .select($"shard", RF.euclidDiv($"g", lit(512L)).as("chunk"),
+        pmod($"g", lit(512L)).as("pos"), $"id")
+      .groupBy($"shard", $"chunk")
+      .agg(count(lit(1)).as("n_tokens"),
+        // ids as a joined string: the driver's hash compare needs
+        // hashable cells (raw array columns aren't)
+        concat_ws("-",
+          transform(array_sort(collect_list(struct($"pos", $"id"))),
+            x => x.getField("id").cast("string"))).as("token_ids"))
+      .orderBy($"shard", $"chunk")
+  }
+
+  private lazy val t37_sql =
+    bpeHeadSql + s""",
+      |census AS (SELECT token, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+      |  SELECT unnest(syms) AS token, freq FROM words_$bpeMergeCount)
+      |  GROUP BY token),
+      |vid AS (SELECT token,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) - 1 AS BIGINT)
+      |    AS id
+      |  FROM census),
+      |wt AS (SELECT word, syms FROM words_$bpeMergeCount),
+      |dt AS (
+      |  SELECT doc_id, CAST(SUM(len(syms)) AS BIGINT) AS len
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents) dw
+      |  JOIN wt USING (word)
+      |  WHERE word <> '' GROUP BY doc_id),
+      |d AS (
+      |  SELECT doc_id, doc_id % 4 AS shard,
+      |    CAST(COALESCE(SUM(len)
+      |      OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cum_excl
+      |  FROM dt),
+      |dws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |dwp AS (SELECT doc_id, ws,
+      |    unnest(generate_series(1, len(ws))) AS i FROM dws),
+      |dw2 AS (SELECT doc_id, i AS wi, ws[i] AS word FROM dwp
+      |        WHERE ws[i] <> ''),
+      |sub AS (SELECT d2.doc_id, d2.wi, wt.syms,
+      |    unnest(generate_series(1, len(wt.syms))) AS j
+      |  FROM dw2 d2 JOIN wt USING (word)),
+      |st AS (SELECT doc_id, wi, j, syms[j] AS token FROM sub),
+      |si AS (SELECT st.doc_id, st.wi, st.j, vid.id
+      |       FROM st JOIN vid USING (token)),
+      |sk AS (SELECT doc_id, id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wi, j) - 1
+      |    AS BIGINT) AS k
+      |  FROM si),
+      |g AS (SELECT d.shard, (d.cum_excl + sk.k) // 512 AS chunk,
+      |      (d.cum_excl + sk.k) % 512 AS pos, sk.id
+      |      FROM sk JOIN d USING (doc_id))
+      |SELECT shard, CAST(chunk AS BIGINT) AS chunk,
+      |  COUNT(*) AS n_tokens,
+      |  string_agg(CAST(id AS VARCHAR), '-' ORDER BY pos) AS token_ids
+      |FROM g GROUP BY shard, chunk ORDER BY shard, chunk""".stripMargin
+
   // ---------------------------------------------------------------- t33
   // Perplexity-style LM quality filter (CCNet, Wenzek et al. 2020): fit
   // a bigram LM with add-one smoothing on the in-domain reference slice
@@ -4157,6 +4255,7 @@ object Queries {
     "t34_dsir_select" -> (t34_dsir_select _),
     "t35_stream_lm_quality" -> (t35_stream_lm_quality _),
     "t36_ppl_mix" -> (t36_ppl_mix _),
+    "t37_bpe_shards" -> (t37_bpe_shards _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -4297,6 +4396,7 @@ object Queries {
     "t34_dsir_select" -> t34_sql,
     "t35_stream_lm_quality" -> t33_sql,
     "t36_ppl_mix" -> t36_sql,
+    "t37_bpe_shards" -> t37_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

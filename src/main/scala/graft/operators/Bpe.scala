@@ -389,6 +389,18 @@ object Bpe {
       .map(w => (w, encodeWord(w, rk).length.toLong)).toDF("word", "ntok")
   }
 
+  /** (word, toks) — each distinct word's full subword token SEQUENCE
+    * under the merges: the materializing tokenizer lookup ([[
+    * wordTokenCounts]] is the count-only form). Same broadcast-gate
+    * rationale as docTokenCounts — the table is vocabulary-sized. */
+  def wordTokens(freqDf: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val spark = freqDf.sparkSession
+    import spark.implicits._
+    val rk = rankMap(merges)
+    freqDf.select(col("word")).as[String]
+      .map(w => (w, encodeWord(w, rk).toSeq)).toDF("word", "toks")
+  }
+
   /** Vocabulary rows above which the per-word token-count lookup no
     * longer fits a forced broadcast (same budget rationale as
     * [[TfIdf.maxBroadcastVocab]]: ~4M (word, ntok) entries ≈ a few

@@ -136,4 +136,49 @@ class BpeSpec extends SparkSpec {
     assert(flat.groupBy(identity).view.mapValues(_.size.toLong).toMap ==
       census)
   }
+
+  test("t37 shard invariants on the documents table: token mass is " +
+      "conserved, interior chunks are exactly full, ids stay inside " +
+      "the vocab, and a doc's ids concatenate in encode order") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val out = SparkEntry.queries("t37_bpe_shards")(spark, sf).collect()
+    val rows = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getString(3).split("-").map(_.toLong).toSeq))
+    // n_tokens == the emitted id count, every chunk holds ≤ 512
+    rows.foreach { case (sh, ch, n, ids) =>
+      assert(n == ids.length && n <= 512L, s"shard $sh chunk $ch")
+    }
+    // interior chunks (not the shard's last) are exactly full
+    rows.groupBy(_._1).foreach { case (sh, rs) =>
+      val last = rs.map(_._2).max
+      rs.filter(_._2 < last).foreach { case (_, ch, n, _) =>
+        assert(n == 512L, s"shard $sh interior chunk $ch has $n") }
+    }
+    // total mass == the per-doc token totals
+    val docs = Tables.load(spark, sf, "documents")
+    val wf = operators.Bpe.wordFreq(docs, "text")
+    val merges = operators.Bpe.trainMergesFromFreq(wf, 40)
+    val total = operators.Bpe
+      .docTokenCounts(docs, "doc_id", "text", wf, merges)
+      .agg(sum($"n_btok")).collect().head.getLong(0)
+    assert(rows.map(_._3).sum == total)
+    // ids < vocab size
+    val vocabN = operators.Bpe.tokenCensusFromFreq(wf, merges).count()
+    assert(rows.flatMap(_._4).forall(id => id >= 0 && id < vocabN))
+    // shard 0's id stream == the concatenated encodings of its docs in
+    // doc order (the packing preserves encode order end-to-end)
+    val rk = merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    val censusIds = operators.Bpe.tokenCensusFromFreq(wf, merges)
+      .orderBy($"freq".desc, $"token".asc).collect()
+      .map(_.getString(0)).zipWithIndex.toMap
+    val expect = docs.filter($"doc_id" % 4 === 0).orderBy($"doc_id")
+      .select($"text").as[String].collect()
+      .flatMap(_.split(" ").filter(_.nonEmpty)
+        .flatMap(w => operators.Bpe.encodeWord(w, rk)))
+      .map(t => censusIds(t).toLong).toSeq
+    val got = rows.filter(_._1 == 0L).sortBy(_._2).flatMap(_._4).toSeq
+    assert(got == expect)
+  }
 }
