@@ -1502,12 +1502,30 @@ object Queries {
   // top-k variant. Gram hashes are the t09/t14 i64 convention; the
   // bucket tables are bounded by construction and broadcast under the
   // gate; top-k folds to TakeOrderedAndProject (no global sort).
-  def t34_dsir_select(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
-    val m = operators.Dsir.fit(docs.filter($"lang" === "en"), docs,
-      "text", n = 2, buckets = 1 << 16)
-    operators.Dsir.selectTopK(docs, "doc_id", "text", m, 100)
+  /** Cached t34 model per (session, dir, stamp) — the lmModel memo. */
+  private val dsirModelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, operators.Dsir.Model]()
+  private def dsirModel(spark: SparkSession,
+                        dir: String): operators.Dsir.Model = {
+    val pfx = s"${System.identityHashCode(spark)}@$dir@"
+    val key = s"$pfx${srcStamp(dir, "documents.parquet")}"
+    val hit = dsirModelCache.get(key)
+    if (hit != null) hit
+    else {
+      import scala.jdk.CollectionConverters._
+      dsirModelCache.asScala.keys.filter(_.startsWith(pfx)).toList
+        .foreach(k => Option(dsirModelCache.remove(k)).foreach(_.unpersist()))
+      dsirModelCache.computeIfAbsent(key, _ => {
+        val docs = t(spark, dir, "documents")
+        operators.Dsir.fit(docs.filter($"lang" === "en"), docs,
+          "text", n = 2, buckets = 1 << 16, cacheModel = true)
+      })
+    }
   }
+
+  def t34_dsir_select(spark: SparkSession, dir: String): DataFrame =
+    operators.Dsir.selectTopK(t(spark, dir, "documents"),
+      "doc_id", "text", dsirModel(spark, dir), 100)
 
   private val t34_sql = {
     def s64(q: String): String =

@@ -55,6 +55,8 @@ object Dsir {
     * surp64(N_r + B) − surp64(N_t + B) (1/64-bit steps). */
   case class Model(target: DataFrame, raw: DataFrame,
                    nTarget: Long, nRaw: Long, buckets: Int, n: Int) {
+    /** Release a `fit(cacheModel = true)` model's cached tables. */
+    def unpersist(): Unit = { target.unpersist(); raw.unpersist() }
     def k64: Long = {
       def s64(q: Long): Long = {
         val b = 63 - java.lang.Long.numberOfLeadingZeros(q)
@@ -67,10 +69,19 @@ object Dsir {
   /** Fit the hashed-n-gram importance model (two bounded count tables +
     * two exact totals). `target` is the in-domain reference corpus,
     * `raw` the corpus to select from. */
+  /** `cacheModel` persists the two count tables (the selection plan
+    * references each once per action, and the totals are separate
+    * actions — uncached, the corpus gram scans run twice per fit and
+    * again per selection); `unpersist()` releases them. */
   def fit(target: DataFrame, raw: DataFrame, textCol: String,
-          n: Int = 2, buckets: Int = 1 << 16): Model = {
-    val t = bucketCounts(target, textCol, n, buckets)
-    val r = bucketCounts(raw, textCol, n, buckets)
+          n: Int = 2, buckets: Int = 1 << 16,
+          cacheModel: Boolean = false): Model = {
+    def counts(df: DataFrame) = {
+      val c = bucketCounts(df, textCol, n, buckets)
+      if (cacheModel) c.persist() else c
+    }
+    val t = counts(target)
+    val r = counts(raw)
     def total(c: DataFrame): Long =
       c.agg(coalesce(sum($"c"), lit(0L))).collect().head.getLong(0)
     Model(t, r, total(t), total(r), buckets, n)
