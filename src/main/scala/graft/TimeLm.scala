@@ -53,6 +53,43 @@ object TimeLm {
     time("empty-noAQE")(operators.NgramLm
       .score(docs.limit(0), "doc_id", "text", lm, 24L, 5L))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    if (sys.env.contains("SPARK_GRAFT_TIMELM_SHARDS")) {
+      // t37 shape on a bare documents dir: trained merges + subword
+      // sequences + id-mapped packed shards
+      import org.apache.spark.sql.expressions.Window
+      val wf = operators.Bpe.wordFreq(docs, "text").cache()
+      val merges = operators.Bpe.trainMergesFromFreq(wf, 40)
+      time("t37-shards") {
+        val wt = broadcast(operators.Bpe.wordTokens(wf, merges))
+        val vid = broadcast(operators.Bpe.tokenCensusFromFreq(wf, merges)
+          .withColumn("id", (row_number().over(
+            Window.orderBy($"freq".desc, $"token".asc)) - 1).cast("long"))
+          .select($"token", $"id"))
+        val spans = operators.Packing.chunkSpans(
+          operators.Bpe.docTokenCounts(docs, "doc_id", "text", wf, merges),
+          "doc_id", $"n_btok", budget = 512L, shards = 4)
+          .select($"doc_id", $"shard",
+            ($"start_chunk" * 512L + $"chunk_offset").as("cum_excl"))
+        val toks = docs
+          .select($"doc_id",
+            posexplode(split($"text", " ")).as(Seq("wi", "word")))
+          .filter($"word" =!= "")
+          .join(wt, "word")
+          .select($"doc_id", $"wi", posexplode($"toks").as(Seq("si", "token")))
+          .join(vid, "token")
+        val k = row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"wi", $"si"))
+          .cast("long") - 1L
+        toks.withColumn("k", k)
+          .join(spans, "doc_id")
+          .withColumn("g", $"cum_excl" + $"k")
+          .select($"shard",
+            graft.functions.RF.euclidDiv($"g", lit(512L)).as("chunk"),
+            pmod($"g", lit(512L)).as("pos"), $"id")
+          .groupBy($"shard", $"chunk")
+          .agg(count(lit(1)).as("n_tokens"))
+      }
+    }
     if (sys.env.contains("SPARK_GRAFT_TIMELM_DSIR")) {
       val m = operators.Dsir.fit(docs.filter($"lang" === "en"), docs,
         "text", n = 2, buckets = 1 << 16)

@@ -448,6 +448,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("t33/t34 layout invariance: LM scores and DSIR weights are " +
+      "bit-identical across partition layouts (the integer-surprisal " +
+      "determinism claim the oracles rest on)") {
+    import graft.operators.{Dsir, NgramLm}
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val lm = NgramLm.fit(docs.filter($"lang" === "en"), "text")
+    def lmRun(d: org.apache.spark.sql.DataFrame) =
+      NgramLm.score(d, "doc_id", "text", lm, 24L, 5L)
+        .orderBy($"doc_id").collect().toSeq
+    assert(lmRun(docs.repartition(1)) == lmRun(docs.repartition(7)))
+    val m = Dsir.fit(docs.filter($"lang" === "en"), docs, "text",
+      n = 2, buckets = 1 << 12)
+    def dsRun(d: org.apache.spark.sql.DataFrame) =
+      Dsir.selectTopK(d, "doc_id", "text", m, 60).collect().toSeq
+    assert(dsRun(docs.repartition(1)) == dsRun(docs.repartition(5)))
+    // the model FIT is layout-invariant too (exact integer counts)
+    val lm2 = NgramLm.fit(
+      docs.filter($"lang" === "en").repartition(3), "text")
+    assert(lm2.vPrime == lm.vPrime)
+    assert(lm2.bigrams.orderBy($"m1", $"m2").collect().toSeq ==
+      lm.bigrams.orderBy($"m1", $"m2").collect().toSeq)
+  }
+
   test("ExactSubstr exactness bound (the dupSpanRemove scaladoc, each " +
       "clause adversarially): cross-doc spans >= n are excised in FULL " +
       "on random corpora; spans of n-1 are missed; within-one-doc " +
