@@ -1225,6 +1225,61 @@ object Queries {
       |  cum_excl % 512 AS chunk_offset
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t38
+  // Corpus audit card (the governance report a 100 TB shard audit
+  // reads): per (lang, source) slice — docs, exact token mass, Gopher
+  // pass count (the t21 integer gates), and the exact-duplicate count
+  // via md5 fingerprints. Pure composition: one narrow map (flags +
+  // fingerprint are codegen'd), ONE (lang, source) aggregation shuffle
+  // with a two-level distinct expansion for the fingerprint count.
+  // Every cell is an exact integer — the card hash-matches in DuckDB.
+  def t38_corpus_card(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    docs.select($"lang", $"source",
+        size(split($"text", " ")).cast("long").as("wc"),
+        md5($"text").as("fp"),
+        operators.QualityRules.keepFlag($"text",
+          minWords = 35, maxWords = 70).as("keep"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"wc").as("n_tokens"),
+        sum($"keep").as("gopher_pass"),
+        countDistinct($"fp").as("n_uniq"),
+        (count(lit(1)) - countDistinct($"fp")).as("n_dup"))
+      .orderBy($"lang", $"source")
+  }
+
+  private val t38_sql =
+    """WITH w AS (
+      |  SELECT doc_id, lang, source, string_split(text, ' ') AS ws,
+      |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS sl,
+      |    md5(text) AS fp
+      |  FROM documents),
+      |f AS (
+      |  SELECT lang, source, CAST(len(ws) AS BIGINT) AS wc, fp,
+      |    (CASE WHEN len(ws) BETWEEN 35 AND 70 THEN 1 ELSE 0 END) *
+      |    (CASE WHEN sl >= 3 * len(ws) AND sl <= 10 * len(ws)
+      |      THEN 1 ELSE 0 END) *
+      |    (CASE WHEN
+      |      (CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'a') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'in') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'is') THEN 1 ELSE 0 END) >= 2
+      |      THEN 1 ELSE 0 END) *
+      |    (CASE WHEN 2 * len(list_distinct(ws)) >= len(ws)
+      |      THEN 1 ELSE 0 END) AS keep
+      |  FROM w)
+      |SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(wc) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(keep) AS BIGINT) AS gopher_pass,
+      |  COUNT(DISTINCT fp) AS n_uniq,
+      |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup
+      |FROM f GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
   // ---------------------------------------------------------------- t37
   // MATERIALIZED training shards (the true last mile): per (shard,
   // chunk) the actual packed token-ID array at a 512-token budget —
@@ -4274,6 +4329,7 @@ object Queries {
     "t35_stream_lm_quality" -> (t35_stream_lm_quality _),
     "t36_ppl_mix" -> (t36_ppl_mix _),
     "t37_bpe_shards" -> (t37_bpe_shards _),
+    "t38_corpus_card" -> (t38_corpus_card _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -4415,6 +4471,7 @@ object Queries {
     "t35_stream_lm_quality" -> t33_sql,
     "t36_ppl_mix" -> t36_sql,
     "t37_bpe_shards" -> t37_sql,
+    "t38_corpus_card" -> t38_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

@@ -31,22 +31,44 @@ object QualityRules {
              stopWords: Seq[String] = Seq("the", "a", "of", "to", "and",
                "in", "that", "is"),
              minStopHits: Int = 2): DataFrame = {
-    val words = split(col(textCol), " ")
-    val wc = size(words).cast("long")
-    val sumLen = length(translate(col(textCol), " ", "")).cast("long")
-    val uniq = size(array_distinct(words)).cast("long")
-    val stopHits = stopWords.map(w =>
-      when(array_contains(words, w), 1L).otherwise(0L)).reduce(_ + _)
-    def flag(c: org.apache.spark.sql.Column) =
-      when(c, 1L).otherwise(0L)
-    val rWc = flag(wc >= minWords && wc <= maxWords)
-    val rMwl = flag(sumLen >= lit(minMeanLen) * wc &&
-      sumLen <= lit(maxMeanLen) * wc)
-    val rStop = flag(stopHits >= minStopHits)
-    val rUniq = flag(uniq * 2L >= wc)
-    df.select(col(idCol), wc.as("wc"),
+    val Seq(rWc, rMwl, rStop, rUniq) = flags(col(textCol), minWords,
+      maxWords, minMeanLen, maxMeanLen, stopWords, minStopHits)
+    df.select(col(idCol),
+      size(split(col(textCol), " ")).cast("long").as("wc"),
       rWc.as("r_wc"), rMwl.as("r_mwl"), rStop.as("r_stop"),
       rUniq.as("r_uniq"),
       (rWc * rMwl * rStop * rUniq).as("keep"))
   }
+
+  /** The four 0/1 rule flags as COLUMNS over a text column — for
+    * composing the gate into another projection (one narrow pass, no
+    * self-join back on the id; the t38 audit-card shape). */
+  def flags(textCol: org.apache.spark.sql.Column,
+            minWords: Long = 50, maxWords: Long = 100000,
+            minMeanLen: Long = 3, maxMeanLen: Long = 10,
+            stopWords: Seq[String] = Seq("the", "a", "of", "to", "and",
+              "in", "that", "is"),
+            minStopHits: Int = 2): Seq[org.apache.spark.sql.Column] = {
+    val words = split(textCol, " ")
+    val wc = size(words).cast("long")
+    val sumLen = length(translate(textCol, " ", "")).cast("long")
+    val uniq = size(array_distinct(words)).cast("long")
+    val stopHits = stopWords.map(w =>
+      when(array_contains(words, w), 1L).otherwise(0L)).reduce(_ + _)
+    def flag(c: org.apache.spark.sql.Column) = when(c, 1L).otherwise(0L)
+    Seq(flag(wc >= minWords && wc <= maxWords),
+      flag(sumLen >= lit(minMeanLen) * wc && sumLen <= lit(maxMeanLen) * wc),
+      flag(stopHits >= minStopHits),
+      flag(uniq * 2L >= wc))
+  }
+
+  /** The combined keep gate as ONE column (product of [[flags]]). */
+  def keepFlag(textCol: org.apache.spark.sql.Column,
+               minWords: Long = 50, maxWords: Long = 100000,
+               minMeanLen: Long = 3, maxMeanLen: Long = 10,
+               stopWords: Seq[String] = Seq("the", "a", "of", "to", "and",
+                 "in", "that", "is"),
+               minStopHits: Int = 2): org.apache.spark.sql.Column =
+    flags(textCol, minWords, maxWords, minMeanLen, maxMeanLen,
+      stopWords, minStopHits).reduce(_ * _)
 }

@@ -342,6 +342,14 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"no SMJ in the t34 plan:\n$p")
   }
 
+  test("t38 (corpus card): flags + fingerprint compute INLINE — no " +
+      "join anywhere, only the (lang, source) aggregation shuffles") {
+    val p = plan("t38_corpus_card")
+    assert(!p.contains("Join"), s"the card must not self-join:\n$p")
+    assert(p.contains("hashpartitioning(lang"),
+      s"the only exchange family is the slice aggregation:\n$p")
+  }
+
   test("t30 (shard shuffle): the rank window partitions BY SHARD (no " +
       "single-partition global row_number) and the scan prunes to the " +
       "id column") {
