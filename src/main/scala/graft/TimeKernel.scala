@@ -15,6 +15,9 @@ object TimeKernel {
   def main(args: Array[String]): Unit = {
     val qname = if (args.nonEmpty) args(0) else "Q6"
     val reps = if (args.length > 1) args(1).toInt else 8
+    // A/B: SPARK_GRAFT_NO_DRIVER_MERGE=1 forces the executor merge path
+    if (sys.env.contains("SPARK_GRAFT_NO_DRIVER_MERGE"))
+      operators.GroupKernel.driverMergeEnabled = false
     val n = sys.env.getOrElse("SPARK_GRAFT_H2O_N", "10000000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

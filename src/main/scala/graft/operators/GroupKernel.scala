@@ -54,8 +54,19 @@ object GroupKernel {
     *  - p·partitions ≤ 2^21 bounds the partials COLLECT (a
     *    1000-executor scan with 100k partitions must not fan GBs of
     *    partials into the driver). */
+  /** Probe toggle (TimeKernel A/B, SPARK_GRAFT_NO_DRIVER_MERGE): route
+    * small-p merges through the executor path instead of the driver
+    * collect. DOCUMENTED NEGATIVE (round 12, post-stage-fusion): even
+    * with the executor path now ONE job (its 1-partition result also
+    * declares SinglePartition, fusing the count into the merge stage),
+    * Q1 measured 72-162 ms vs the driver path's steady 70-76 — the
+    * repartition(1) shuffle's 32 map-output files still cost more than
+    * the extra collect job saves. The driver merge stays. */
+  private[graft] var driverMergeEnabled = true
+
   private[graft] def driverMergeEligible(p: Int, partitions: Int): Boolean =
-    p <= (1 << 14) &&
+    driverMergeEnabled &&
+      p <= (1 << 14) &&
       p.toLong * partitions <= (1L << 12) * 512 &&
       partitions <= 512
 
