@@ -1437,8 +1437,11 @@ object Queries {
       |  FROM tp LEFT JOIN vocab v1 ON ws[i] = v1.tok
       |          LEFT JOIN vocab v2 ON ws[i+1] = v2.tok),
       |bi AS (SELECT m1, m2, COUNT(*) AS cbi FROM tm GROUP BY m1, m2),
-      |pre AS (SELECT m1, CAST(SUM(cbi) AS BIGINT) AS cpre
-      |        FROM bi GROUP BY m1),
+      |pre AS (SELECT m1, CAST(SUM(cbi) AS BIGINT) AS cpre,
+      |        CAST(COUNT(*) AS BIGINT) AS n1 FROM bi GROUP BY m1),
+      |cont AS (SELECT m2, CAST(COUNT(*) AS BIGINT) AS bplus
+      |         FROM bi GROUP BY m2),
+      |ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM bi),
       |sdocs AS (SELECT doc_id, string_split(text, ' ') AS ws
       |          FROM documents),
       |sp AS (SELECT doc_id, ws,
@@ -1472,6 +1475,54 @@ object Queries {
       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM sdocs d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t39
+  // Kneser-Ney discounted bigram LM (the production smoothing): d = ½
+  // with the add-one continuation distribution keeps the model an
+  // EXACTLY proper distribution whose probabilities are integer
+  // ratios, so the surprisal decomposes term-by-term through the same
+  // 1/64-bit chain as t33 (no overflowable full-numerator products).
+  // The model derives from the MEMOIZED t33 bigram table — three
+  // bounded aggregations, the corpus is not re-read. Same output shape
+  // and keep gate (bpt ≤ 24/5) as t33.
+  def t39_kn_quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val kn = operators.NgramLm.fitKn(lmModel(spark, dir))
+    operators.NgramLm.scoreKn(docs, "doc_id", "text", kn, 24L, 5L)
+      .orderBy($"doc_id")
+  }
+
+  private val t39_sql = {
+    def s64(q: String): String =
+      s"(64 * (length(bin($q)) - 1) " +
+        s"+ ((($q) << 6) >> (length(bin($q)) - 1)) - 64)"
+    lmChainSql +
+      s""",jkn AS (SELECT sm.doc_id, pre.cpre, pre.n1,
+         |    COALESCE(bi.cbi, 0) AS cbi, COALESCE(cont.bplus, 0) AS bplus,
+         |    ct.c + vs.vp AS cv
+         |  FROM sm LEFT JOIN bi ON sm.m1 = bi.m1 AND sm.m2 = bi.m2
+         |          LEFT JOIN pre ON sm.m1 = pre.m1
+         |          LEFT JOIN cont ON sm.m2 = cont.m2
+         |          CROSS JOIN ct CROSS JOIN vs),
+         |skn AS (SELECT doc_id,
+         |    CASE WHEN cpre IS NULL
+         |      THEN ${s64("cv")} - ${s64("bplus + 1")}
+         |      ELSE ${s64("2 * cpre")} + ${s64("cv")}
+         |        - ${s64("greatest(2 * cbi - 1, 0) * cv + n1 * (bplus + 1)")}
+         |    END AS s1
+         |  FROM jkn),
+         |aggkn AS (SELECT doc_id, COUNT(*) AS n_big,
+         |    CAST(SUM(s1) AS BIGINT) AS s64 FROM skn GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tok,
+         |  CAST(COALESCE(a.n_big, 0) AS BIGINT) AS n_big,
+         |  COALESCE(a.s64, 0) AS s64,
+         |  CASE WHEN a.n_big > 0
+         |       THEN CAST(a.s64 AS DOUBLE) / (64 * a.n_big) END AS bpt,
+         |  CAST(CASE WHEN a.n_big > 0 AND a.s64 * 5 <= 24 * 64 * a.n_big
+         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM sdocs d LEFT JOIN aggkn a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- t36
   // Perplexity-bucketed mixing (CCNet's head/middle/tail): bucket every
@@ -4330,6 +4381,7 @@ object Queries {
     "t36_ppl_mix" -> (t36_ppl_mix _),
     "t37_bpe_shards" -> (t37_bpe_shards _),
     "t38_corpus_card" -> (t38_corpus_card _),
+    "t39_kn_quality" -> (t39_kn_quality _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -4472,6 +4524,7 @@ object Queries {
     "t36_ppl_mix" -> t36_sql,
     "t37_bpe_shards" -> t37_sql,
     "t38_corpus_card" -> t38_sql,
+    "t39_kn_quality" -> t39_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

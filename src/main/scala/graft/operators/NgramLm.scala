@@ -129,6 +129,81 @@ object NgramLm {
     BigramLm(vocab, bigrams, prefix, vocab.count() + 1L, hinted)
   }
 
+  /** A Kneser-Ney discounted bigram LM (the production smoothing —
+    * Kneser & Ney 1995 / Chen & Goodman 1998) derived from a fit
+    * [[BigramLm]]'s bigram table: `prefix2` (m1, cpre, n1 = distinct
+    * continuations of m1), `cont` (m2, bplus = distinct predecessors
+    * of m2), `cTypes` = distinct bigram types.
+    *
+    * With discount d = ½ and the ADD-ONE-smoothed continuation
+    * distribution p_cont(w₂) = (B(w₂)+1)/(C+V'), the model is an
+    * EXACTLY proper distribution (Σ_w₂ p = 1 — the discounted mass
+    * ½·N₁(w₁)/c₁ is redistributed by p_cont, which itself sums to 1),
+    * and every probability is a ratio of integers:
+    *
+    *   seen prefix:  p = [(2c₁₂−1)⁺·(C+V') + N₁·(B+1)] / [2c₁·(C+V')]
+    *   unseen:       p = (B+1)/(C+V')
+    *
+    * so per-bigram surprisal decomposes TERM-BY-TERM through
+    * [[surprisal64]] — s = s64(2c₁) + s64(C+V') − s64(D) with
+    * D = (2c₁₂−1)⁺·(C+V') + N₁·(B+1) — never forming the full
+    * numerator product (overflow bound: D ≤ 2·c_max·(C+V'), fine below
+    * ~10⁹ types × 10⁹ counts; document corpora beyond that shard the
+    * model). Bit-identical in DuckDB: integer products, shifts, bin(). */
+  case class KnBigramLm(vocab: DataFrame, bigrams: DataFrame,
+                        prefix2: DataFrame, cont: DataFrame,
+                        cTypes: Long, vPrime: Long, hinted: Boolean)
+
+  /** Derive the KN model from a fit (ideally cached) [[BigramLm]] —
+    * three bounded aggregations of the model's own bigram table plus
+    * one count action; the corpus is not re-read. */
+  def fitKn(lm: BigramLm): KnBigramLm = {
+    val prefix2 = lm.bigrams.groupBy($"m1")
+      .agg(sum($"cbi").as("cpre"), count(lit(1)).as("n1"))
+    val cont = lm.bigrams.groupBy($"m2")
+      .agg(count(lit(1)).as("bplus"))
+    KnBigramLm(lm.vocab, lm.bigrams, prefix2, cont,
+      lm.bigrams.count(), lm.vPrime, lm.hinted)
+  }
+
+  /** Score `corpus` under the KN model — same output shape and keep
+    * gate as [[score]]: (idCol, n_tok, n_big, s64, bpt, keep). */
+  def scoreKn(corpus: DataFrame, idCol: String, textCol: String,
+              m: KnBigramLm, keepNum: Long, keepDen: Long): DataFrame = {
+    require(keepDen > 0, "keepDen must be positive")
+    val pairs = corpus
+      .select(col(idCol), col(textCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .select(col(idCol), $"n_tok",
+        explode_outer(pairArr(col(textCol))).as("pr"))
+      .select(col(idCol), $"n_tok",
+        $"pr.w1".as("w1"), $"pr.w2".as("w2"))
+    def model(df: DataFrame) = if (m.hinted) broadcast(df) else df
+    val joined = mapToks(pairs, m.vocab, m.hinted)
+      .join(model(m.bigrams), Seq("m1", "m2"), "left")
+      .join(model(m.prefix2), Seq("m1"), "left")
+      .join(model(m.cont), Seq("m2"), "left")
+    val cv = lit(m.cTypes + m.vPrime)
+    val bp1 = coalesce($"bplus", lit(0L)) + lit(1L)
+    val d = greatest(lit(2L) * coalesce($"cbi", lit(0L)) - 1L, lit(0L)) *
+      cv + $"n1" * bp1
+    val s = when($"cpre".isNull, surprisal64(cv) - surprisal64(bp1))
+      .otherwise(surprisal64(lit(2L) * $"cpre") + surprisal64(cv) -
+        surprisal64(d))
+    joined
+      .withColumn("s1", when($"w1".isNotNull, s))
+      .groupBy(col(idCol), $"n_tok")
+      .agg(count($"w1").as("n_big"),
+        coalesce(sum($"s1"), lit(0L)).as("s64"))
+      .select(col(idCol), $"n_tok", $"n_big", $"s64",
+        when($"n_big" > 0L,
+          $"s64".cast("double") / ($"n_big" * 64L).cast("double"))
+          .as("bpt"),
+        when($"n_big" > 0L &&
+          $"s64" * lit(keepDen) <= lit(keepNum) * lit(64L) * $"n_big",
+          1L).otherwise(0L).as("keep"))
+  }
+
   /** Persist a fit model: vocab/bigrams/prefix as parquet plus a
     * one-row meta table — the production split (the IVFADC-index
     * precedent): fit ONCE on the reference corpus, score any number of

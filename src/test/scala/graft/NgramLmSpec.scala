@@ -88,6 +88,52 @@ class NgramLmSpec extends SparkSpec {
       NgramLm.loadModel(spark, dir + "/nope"))
   }
 
+  test("Kneser-Ney is an EXACTLY proper distribution: for every seen " +
+      "prefix the integer numerators sum to the denominator (the " +
+      "scaladoc's Σp = 1 claim, checked in exact arithmetic)") {
+    val train = Seq("a b a c a b d e", "b a a c e b").toDF("text")
+    val lm = NgramLm.fit(train, "text", maxVocab = 4) // forces UNK
+    val kn = NgramLm.fitKn(lm)
+    val cv = kn.cTypes + kn.vPrime
+    val bi = kn.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val pre = kn.prefix2.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bplus = kn.cont.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocabAll = lm.vocab.as[String].collect().toSeq :+ NgramLm.Unk
+    assert(vocabAll.length.toLong == kn.vPrime)
+    for ((m1, (cpre, n1)) <- pre) {
+      val total = vocabAll.map { w2 =>
+        val c12 = bi.getOrElse((m1, w2), 0L)
+        math.max(2 * c12 - 1, 0L) * cv + n1 * (bplus.getOrElse(w2, 0L) + 1)
+      }.sum
+      assert(total == 2 * cpre * cv, s"prefix $m1 mass $total")
+    }
+  }
+
+  test("t39 on the documents table: the KN model separates the " +
+      "training domain like the add-one model (en keeps the largest " +
+      "fraction), and the two models agree on the bulk of decisions") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val lm = NgramLm.fit(docs.filter($"lang" === "en"), "text")
+    val kn = NgramLm.fitKn(lm)
+    val scored = NgramLm.scoreKn(docs, "doc_id", "text", kn, 24L, 5L)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+    val kept = scored.groupBy($"lang")
+      .agg(avg($"keep".cast("double")).as("frac"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val others = kept.filter(_._1 != "en").values
+    assert(others.nonEmpty && kept("en") > others.max, kept.toString)
+    val a1 = NgramLm.score(docs, "doc_id", "text", lm, 24L, 5L)
+      .select($"doc_id", $"keep".as("k1"))
+    val agree = scored.select($"doc_id", $"keep".as("k2"))
+      .join(a1, "doc_id")
+      .agg(avg(when($"k1" === $"k2", 1.0).otherwise(0.0)))
+      .collect().head.getDouble(0)
+    assert(agree > 0.6, s"KN and add-one keep decisions agree on $agree")
+  }
+
   test("t33 on the documents table: the en-trained model separates the " +
       "training domain (en keeps a strictly larger fraction than any " +
       "other lang)") {
