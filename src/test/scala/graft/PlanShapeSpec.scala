@@ -342,6 +342,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"no SMJ in the t34 plan:\n$p")
   }
 
+  test("t39 (KN quality): scoring is broadcast-join narrow like t33 — " +
+      "five model lookups broadcast (vocab x2, bigrams, prefix, " +
+      "continuation), never a sort-merge join") {
+    val p = plan("t39_kn_quality")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 5,
+      s"all five model lookups must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no SMJ in t39:\n$p")
+  }
+
+  test("t36 (perplexity mix): the bucket+sample composition adds no " +
+      "join beyond t33's broadcast lookups — no sort-merge join, and " +
+      "the sampling gate is a pure filter (no extra exchange family " +
+      "beyond the doc aggregate and the census)") {
+    val p = plan("t36_ppl_mix")
+    assert(!p.contains("SortMergeJoin"), s"no SMJ in t36:\n$p")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 4,
+      s"the t33 model lookups must broadcast:\n$p")
+  }
+
   test("t38 (corpus card): flags + fingerprint compute INLINE — no " +
       "join anywhere, only the (lang, source) aggregation shuffles") {
     val p = plan("t38_corpus_card")
