@@ -83,7 +83,7 @@ object RaySerde {
       w.u8(-7 & 0xff); w.i32((d.toEpochDay - EpochDay).toInt)
     case VAtom(d: java.sql.Date) =>
       w.u8(-7 & 0xff); w.i32((d.toLocalDate.toEpochDay - EpochDay).toInt)
-    case v @ VVec(xs) => writeVec(w, xs, v.wireTag)
+    case v @ VVec(xs) => writeVec(w, xs, v.wireTag, v.symElems)
     case VDict(ks, vs) =>
       w.u8(99); w.u8(0)
       writeVec(w, ks.toVector.map(identity[Any]))
@@ -112,18 +112,25 @@ object RaySerde {
   }
 
   private def writeVec(w: W, xs: Vector[Any],
-                       wireTag: Int = Rayfall.InferWireTag): Unit = {
+                       wireTag: Int = Rayfall.InferWireTag,
+                       symElems: Set[Int] = Set.empty): Unit = {
     def all(p: Any => Boolean) = xs.nonEmpty && xs.forall(x => x == null || p(x))
+    def listOfObjects(): Unit = {
+      w.u8(0); w.u8(0); w.i64(xs.length.toLong)
+      xs.zipWithIndex.foreach {
+        case (r: RVal, _) => writeObj(w, r)
+        // symbol-flagged elements ('sym in a list literal / decoded
+        // native symbol atoms) keep the −6 repr
+        case (s: String, i) if symElems(i) => w.u8(-6 & 0xff); w.nulTerm(s)
+        case (x, _) => writeObj(w, VAtom(x))
+      }
+    }
     if (wireTag == 0) {
       // the value ARRIVED as a general LIST (de recorded tag 0): re-emit
       // a LIST of nested objects even when the element types would infer
       // a typed vector — byte-fidelity for native round-trips (a list of
       // C8 strings must not flip to a symbol vector, serde.c layouts)
-      w.u8(0); w.u8(0); w.i64(xs.length.toLong)
-      xs.foreach {
-        case r: RVal => writeObj(w, r)
-        case x => writeObj(w, VAtom(x))
-      }
+      listOfObjects()
     } else if (xs.nonEmpty && all(_.isInstanceOf[java.lang.Boolean]) &&
         !xs.contains(null)) {
       w.u8(1); w.u8(0); w.i64(xs.length.toLong)
@@ -145,7 +152,11 @@ object RaySerde {
         case x => throw new IllegalStateException(s"$x")
       }
     } else if (xs.nonEmpty && all(_.isInstanceOf[String]) &&
-        !xs.contains(null)) {
+        !xs.contains(null) &&
+        (symElems.isEmpty || symElems.size == xs.length)) {
+      // all-symbol or plain string vectors infer tag 6; a MIXED
+      // sym/C8 list (e.g. (list "a" 'b)) falls to the LIST branch so
+      // each element keeps its own repr
       // symbol vector — the script's [a b c] literal type
       w.u8(6); w.u8(0); w.i64(xs.length.toLong)
       xs.foreach(x => w.nulTerm(x.asInstanceOf[String]))
@@ -159,13 +170,7 @@ object RaySerde {
           w.i32((d.toLocalDate.toEpochDay - EpochDay).toInt)
         case x => throw new IllegalStateException(s"$x")
       }
-    } else { // general LIST of nested objects
-      w.u8(0); w.u8(0); w.i64(xs.length.toLong)
-      xs.foreach {
-        case r: RVal => writeObj(w, r)
-        case x => writeObj(w, VAtom(x))
-      }
-    }
+    } else listOfObjects() // general LIST of nested objects
   }
 
   private def wrap(body: Array[Byte], msgtype: Int): Array[Byte] = {
@@ -338,11 +343,18 @@ object RaySerde {
       case 0 =>
         r.u8(); val n = r.i64()
         // record the LIST repr so ser re-emits tag 0, not the typed
-        // vector the (unwrapped) element types would infer
-        VVec.tagged(Vector.fill(n.toInt)(readObj(spark, r) match {
-          case VAtom(x) => x: Any
-          case v => v: Any
-        }), 0)
+        // vector the (unwrapped) element types would infer — and note
+        // which elements arrived as SYMBOL atoms so they re-emit −6
+        val symIdx = Set.newBuilder[Int]
+        val elems = Vector.tabulate(n.toInt) { i =>
+          readObj(spark, r) match {
+            case a @ VAtom(x) => if (a.symRepr) symIdx += i; x: Any
+            case v => v: Any
+          }
+        }
+        val vv = VVec.tagged(elems, 0)
+        vv.symElems = symIdx.result()
+        vv
       case 1 => r.u8(); val n = r.i64()
         vec(n)(java.lang.Boolean.valueOf(r.u8() != 0): Any)
       case 2 => r.u8(); val n = r.i64()

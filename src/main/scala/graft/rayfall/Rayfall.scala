@@ -323,6 +323,11 @@ object Rayfall {
     * default) = infer from the elements. */
   final case class VVec(xs: Vector[Any]) extends RVal {
     private[graft] var wireTag: Int = InferWireTag
+    /** Element positions that are SYMBOLS (serde repr only): a quoted
+      * symbol inside a `(list …)` or a decoded native symbol atom in a
+      * LIST re-serializes as tag −6 instead of a C8 vector — so
+      * `(ser (list 'f 1))` matches the reference's apply-list bytes. */
+    private[graft] var symElems: Set[Int] = Set.empty
   }
   object VVec {
     /** A VVec carrying its decoded wire tag (serde repr fidelity). */
@@ -2541,11 +2546,17 @@ object Rayfall {
         }
       case RList(RSym("list") :: items) =>
         val vals = items.map(ev)
-        if (vals.forall(_.isInstanceOf[VAtom]))
-          VVec(vals.map {
+        if (vals.forall(_.isInstanceOf[VAtom])) {
+          val out = VVec(vals.map {
             case VAtom(x) => x
             case v => throw new RayfallError(s"list: expected atom, got $v")
           }.toVector)
+          // carry each quoted symbol's repr so ser emits −6 for it
+          out.symElems = vals.zipWithIndex.collect {
+            case (a: VAtom, i) if a.symRepr => i
+          }.toSet
+          out
+        }
         else VVec(vals.map(x => x: Any).toVector) // list of vectors (table cols)
       // value-level (as 'TYPE x): lazy on ranges, eager on driver values
       case RList(RSym("as") :: RQuote(t) :: x :: Nil)

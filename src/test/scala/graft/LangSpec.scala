@@ -587,6 +587,11 @@ class LangSpec extends SparkSpec {
 
   test("serde round-trip (lang.c:3245-3249)") {
     assert(atom("(de (ser null))") == null)
+    // (ser (list 'f 1)) == the apply-record wire bytes: the quoted
+    // symbol keeps its -6 repr inside the LIST (round-12 closure)
+    assert(vecOf("(ser (list 'f 1))").map(x =>
+      (x.asInstanceOf[Long] & 0xff).toByte).toSeq ==
+      graft.rayfall.RaySerde.serializeApply("f", Seq(1L), 0).toSeq)
     assert(vecOf("(de (ser [5 3 8]))") == Vector(5L, 3L, 8L))
     assert(atom("(de (ser \"two words\"))") == "two words")
     // tables round-trip through their literal form (reference serde

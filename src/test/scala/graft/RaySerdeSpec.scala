@@ -93,6 +93,36 @@ class RaySerdeSpec extends SparkSpec {
     assert(RaySerde.deserialize(spark, unhex(symAtom)) == VAtom("abC"))
   }
 
+  test("element-level symbol repr: a native LIST [sym, i64] round-trips " +
+      "byte-exactly, a quoted symbol in a list sers as -6, and a mixed " +
+      "C8/sym list keeps each element's own repr") {
+    def reser(frameHex: String): String =
+      hex(RaySerde.serialize(RaySerde.deserialize(spark, unhex(frameHex))))
+    // native apply-shaped LIST [symbol 'f, i64 1] — the journal/IPC
+    // record layout; de -> ser must keep the -6 head, not flip to C8
+    val applyList = "fadeface" + "01" + "000000" + "1600000000000000" +
+      "00" + "00" + "0200000000000000" +
+      "fa" + "6600" + "fb" + "0100000000000000"
+    assert(reser(applyList) == applyList)
+    // the same bytes come from the script-built list: (list 'f 1)
+    val v = VVec(Vector("f", 1L))
+    v.symElems = Set(0)
+    v.wireTag = 0
+    assert(hex(RaySerde.serialize(v)) == applyList)
+    // mixed ("a", 'b): LIST [C8 "a", sym 'b] — neither a symbol vector
+    // nor all-C8
+    val m = VVec(Vector("a", "b"))
+    m.symElems = Set(1)
+    assert(hex(RaySerde.serialize(m)).endsWith(
+      "00" + "00" + "0200000000000000" +
+        "0c" + "00" + "0100000000000000" + "61" + "fa" + "6200"))
+    // all-symbol lists still infer the symbol VECTOR (tag 6)
+    val s = VVec(Vector("a", "b"))
+    s.symElems = Set(0, 1)
+    assert(hex(RaySerde.serialize(s)).endsWith(
+      "06" + "00" + "0200000000000000" + "6100" + "6200"))
+  }
+
   test("string vectors are SYMBOL vectors, strings are C8 vectors (the " +
       "script literal types); symbol atoms decode to the shared repr") {
     val sv = RaySerde.serialize(VVec(Vector("ab", "c")))
