@@ -56,6 +56,16 @@ object Graft {
       }),
       "micros_as_nanos" -> ((exprs: Seq[Expression]) =>
         functions.MicrosAsNanos(exprs.head)),
+      // integer 1/64-bit surprisal (the t33/t34/t39 log2 primitive):
+      // 64·floor(log2 q) + mantissa interpolation, exact shifts + bin()
+      "surprisal64" -> ((exprs: Seq[Expression]) => {
+        val q = Cast(exprs.head, org.apache.spark.sql.types.LongType)
+        val b = Cast(Subtract(Length(Bin(q)), Literal(1)),
+          org.apache.spark.sql.types.LongType)
+        Subtract(Add(Multiply(Literal(64L), b),
+          ShiftRight(ShiftLeft(q, Literal(6)),
+            Cast(b, org.apache.spark.sql.types.IntegerType))), Literal(64L))
+      }),
       // vector quantization/assignment kernels (the PQ/IVF family):
       "nearest_centroid" -> ((exprs: Seq[Expression]) =>
         functions.NearestCentroid(

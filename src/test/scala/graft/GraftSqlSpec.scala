@@ -16,6 +16,22 @@ class GraftSqlSpec extends SparkSpec {
     assert(r.getInt(3) == 1200)
   }
 
+  test("surprisal64 from SQL matches the column implementation and is " +
+      "exact at powers of two") {
+    Graft.enableSql(spark)
+    val r = spark.sql(
+      "SELECT surprisal64(1) a, surprisal64(8) b, surprisal64(3) c")
+      .collect().head
+    assert(r.getLong(0) == 0L && r.getLong(1) == 192L)
+    import spark.implicits._
+    (1L to 1000L).toDF("q")
+      .select(operators.NgramLm.surprisal64($"q").as("col"), $"q")
+      .createOrReplaceTempView("sq")
+    val diff = spark.sql("SELECT count(*) FROM sq WHERE col != surprisal64(q)")
+      .collect().head.getLong(0)
+    assert(diff == 0L, s"$diff mismatches vs the column form")
+  }
+
   test("dot_product coerces non-double arrays instead of misreading them") {
     Graft.enableSql(spark)
     // float arrays would be silently byte-misread without the cast/type check
