@@ -53,6 +53,13 @@ object TimeLm {
     time("empty-noAQE")(operators.NgramLm
       .score(docs.limit(0), "doc_id", "text", lm, 24L, 5L))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    if (sys.env.contains("SPARK_GRAFT_TIMELM_BASE")) {
+      // cost decomposition of the pair explode: i64 gram hashes (one
+      // codegen pass, no strings) vs the string-struct pair array
+      import graft.functions.NgramHashExpr.ngramHashes
+      time("hash-explode")(docs.select(explode(ngramHashes($"text", 2))))
+      time("split-explode")(docs.select(explode(split($"text", " "))))
+    }
     if (sys.env.contains("SPARK_GRAFT_TIMELM_SHARDS")) {
       // t37 shape on a bare documents dir: trained merges + subword
       // sequences + id-mapped packed shards

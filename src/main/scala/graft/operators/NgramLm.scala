@@ -70,7 +70,16 @@ object NgramLm {
 
   /** Adjacent-token pair array of `textCol` (whitespace-tokenized):
     * array<struct<w1,w2>>, empty for single-token docs. Built
-    * array-side so bigram formation never needs a positional join. */
+    * array-side so bigram formation never needs a positional join.
+    *
+    * MEASURED COST NOTE (graft.TimeLm on the 500k-doc replica): the
+    * string-struct pair explode is 6.0s where the same corpus's i64
+    * gram-hash explode (`NgramHashes`, the t09/t14 convention) is
+    * 1.1s — the pair STRINGS are ~4.5s of per-row materialization. If
+    * LM scoring ever dominates a pipeline, the next step is hash-space
+    * scoring: vocab and model tables keyed by token hashes, pairs as
+    * (i64, i64) — same shape, ~4× cheaper scan side, at the price of
+    * hash-collision aliasing in the model (standard at crawl scale). */
   private def pairArr(textCol: Column): Column = {
     val ws = split(textCol, " ")
     val m = greatest(size(ws) - 1, lit(0))
