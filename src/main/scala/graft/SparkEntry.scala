@@ -1086,42 +1086,73 @@ object Queries {
 
   def t28_bpe_merges(spark: SparkSession, dir: String): DataFrame =
     operators.Bpe.mergesDf(spark,
-      operators.Bpe.trainMergesFromFreq(bpeWordFreq(spark, dir),
+      operators.Bpe.trainMergesFromFreq(bpeWordFreq(spark, dir)._1,
         bpeMergeCount))
       .orderBy($"rank")
 
   /** Cached (word, freq) per (session, documents dir, source stamp) —
     * ONE resident vocabulary-bounded cache entry shared by the whole
-    * BPE chain (t28/t29/t32), instead of each query leaving its own
-    * plan-deduped entry. Keyed on the session identity (Datasets are
-    * session-bound) and the source mtime; a superseded entry for the
-    * same session+dir (regenerated testdata, or a multi-dir process)
-    * is unpersisted, so the resident cache never grows past one entry
-    * per live (session, dir) — the round-11 advice's unbounded-growth
-    * caveat closed. */
-  private val wordFreqCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-  private def bpeWordFreq(spark: SparkSession, dir: String): DataFrame = {
-    val pfx = s"${System.identityHashCode(spark)}@$dir@"
-    val key = s"$pfx${srcStamp(dir, "documents.parquet")}"
-    val hit = wordFreqCache.get(key)
-    if (hit != null) hit
-    else {
-      import scala.jdk.CollectionConverters._
-      wordFreqCache.asScala.keys.filter(_.startsWith(pfx)).toList
-        .foreach { k =>
-          Option(wordFreqCache.remove(k)).foreach(_.unpersist())
+    * BPE chain (t28/t29/t32/t37), instead of each query leaving its
+    * own plan-deduped entry. */
+  /** Generic per-(session, dir, source-stamp) model memo. ONE resident
+    * entry per live (session, dir): a superseded entry for the same
+    * session+dir (regenerated testdata) is released on the next fill,
+    * and so are entries whose session has been GC'd. Keyed on
+    * `spark.sessionUUID` — `System.identityHashCode` is NOT unique
+    * (two live sessions can collide, handing one a cached Dataset
+    * bound to the other: the q55 session-bound trap) — and holding the
+    * session only WEAKLY so a dead session's entries release instead
+    * of persisting until a same-prefix key happens along. */
+  private final class SessionMemo[V](make: (SparkSession, String) => V,
+                                     release: V => Unit) {
+    private val m = new java.util.concurrent.ConcurrentHashMap[
+      String, (java.lang.ref.WeakReference[SparkSession], V)]()
+    def apply(spark: SparkSession, dir: String, stamp: Long): V = {
+      val pfx = s"${org.apache.spark.sql.graftshim.ColumnInternals
+        .sessionUUID(spark)}@$dir@"
+      val key = s"$pfx$stamp"
+      val hit = m.get(key)
+      if (hit != null) hit._2
+      else {
+        import scala.jdk.CollectionConverters._
+        m.asScala.toList.foreach { case (k, (ref, _)) =>
+          val dead = ref.get == null
+          if (dead || k.startsWith(pfx))
+            Option(m.remove(k)).foreach { e =>
+              // a GC'd session's cached tables died with it — only
+              // live superseded entries need an explicit unpersist
+              if (!dead)
+                try release(e._2)
+                catch { case _: IllegalStateException => () }
+            }
         }
-      wordFreqCache.computeIfAbsent(key, _ =>
-        operators.Bpe.wordFreq(t(spark, dir, "documents"), "text").cache())
+        m.computeIfAbsent(key,
+          _ => (new java.lang.ref.WeakReference(spark), make(spark, dir)))._2
+      }
     }
   }
+
+  /** Cached (word-freq DataFrame, vocabulary count) — the count both
+    * materializes the cache AND is the vocabulary size every broadcast
+    * gate downstream needs, memoized here so no query pays a per-call
+    * `freqDf.count()` action (the round-12 t32 regression: the gate's
+    * extra job per call). */
+  private val wordFreqMemo = new SessionMemo[(DataFrame, Long)](
+    (spark, dir) => {
+      val df =
+        operators.Bpe.wordFreq(t(spark, dir, "documents"), "text").cache()
+      (df, df.count())
+    },
+    _._1.unpersist())
+  private def bpeWordFreq(spark: SparkSession,
+                          dir: String): (DataFrame, Long) =
+    wordFreqMemo(spark, dir, srcStamp(dir, "documents.parquet"))
 
   def t29_bpe_tokens(spark: SparkSession, dir: String): DataFrame = {
     // the shared cached word-freq feeds BOTH training and the census —
     // the raw corpus is scanned exactly once per process per dir for
     // the whole t28/t29/t32 chain
-    val wf = bpeWordFreq(spark, dir)
+    val (wf, _) = bpeWordFreq(spark, dir)
     val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
     operators.Bpe.tokenCensusFromFreq(wf, merges)
       .orderBy($"freq".desc, $"token".asc)
@@ -1192,10 +1223,11 @@ object Queries {
   // so a 10⁸-distinct-word crawl shuffle-joins instead of OOMing.
   def t32_bpe_pack(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val wf = bpeWordFreq(spark, dir)
+    val (wf, nVocab) = bpeWordFreq(spark, dir)
     val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
     val docTok =
-      operators.Bpe.docTokenCounts(docs, "doc_id", "text", wf, merges)
+      operators.Bpe.docTokenCounts(docs, "doc_id", "text", wf, merges,
+        knownVocab = Some(nVocab))
     operators.Packing.chunkSpans(docTok, "doc_id", $"n_btok",
       budget = 512L, shards = 4)
       .orderBy($"doc_id")
@@ -1295,9 +1327,10 @@ object Queries {
   def t37_bpe_shards(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(spark, dir, "documents")
-    val wf = bpeWordFreq(spark, dir)
+    val (wf, nVocab) = bpeWordFreq(spark, dir)
     val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
-    val gate = wf.count() <= operators.Bpe.maxBroadcastVocab
+    // the memoized vocabulary count: the gate costs zero jobs
+    val gate = nVocab <= operators.Bpe.maxBroadcastVocab
     def side(df: DataFrame) = if (gate) broadcast(df) else df
     val wt = side(operators.Bpe.wordTokens(wf, merges))
     val vid = side(operators.Bpe.tokenCensusFromFreq(wf, merges)
@@ -1305,7 +1338,8 @@ object Queries {
         Window.orderBy($"freq".desc, $"token".asc)) - 1).cast("long"))
       .select($"token", $"id"))
     val spans = operators.Packing.chunkSpans(
-      operators.Bpe.docTokenCounts(docs, "doc_id", "text", wf, merges),
+      operators.Bpe.docTokenCounts(docs, "doc_id", "text", wf, merges,
+        knownVocab = Some(nVocab)),
       "doc_id", $"n_btok", budget = 512L, shards = 4)
       .select($"doc_id", $"shard",
         ($"start_chunk" * 512L + $"chunk_offset").as("cum_excl"))
@@ -1393,24 +1427,14 @@ object Queries {
     * pattern: the score plan references the vocab 4× and the bigram
     * table 2×, so an uncached model re-runs the train-corpus shuffles
     * per reference; superseded entries unpersist. */
-  private val lmModelCache = new java.util.concurrent.ConcurrentHashMap[
-    String, operators.NgramLm.BigramLm]()
+  private val lmModelMemo = new SessionMemo[operators.NgramLm.BigramLm](
+    (spark, dir) => operators.NgramLm.fit(
+      t(spark, dir, "documents").filter($"lang" === "en"), "text",
+      cacheModel = true),
+    _.unpersist())
   private def lmModel(spark: SparkSession,
-                      dir: String): operators.NgramLm.BigramLm = {
-    val pfx = s"${System.identityHashCode(spark)}@$dir@"
-    val key = s"$pfx${srcStamp(dir, "documents.parquet")}"
-    val hit = lmModelCache.get(key)
-    if (hit != null) hit
-    else {
-      import scala.jdk.CollectionConverters._
-      lmModelCache.asScala.keys.filter(_.startsWith(pfx)).toList
-        .foreach(k => Option(lmModelCache.remove(k)).foreach(_.unpersist()))
-      lmModelCache.computeIfAbsent(key, _ =>
-        operators.NgramLm.fit(
-          t(spark, dir, "documents").filter($"lang" === "en"), "text",
-          cacheModel = true))
-    }
-  }
+                      dir: String): operators.NgramLm.BigramLm =
+    lmModelMemo(spark, dir, srcStamp(dir, "documents.parquet"))
 
   def t33_lm_quality(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
@@ -1475,6 +1499,86 @@ object Queries {
       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
       |FROM sdocs d LEFT JOIN agg a USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t42
+  // HASH-SPACE perplexity filter — the crawl-scale form of t33: token
+  // identity is the i64 hash tokenCode·K₀ (the t09/t14 convention), so
+  // the scan side explodes (i64, i64) pairs instead of string structs
+  // (the measured 6.0s→1.1s decomposition in NgramLm.pairArr). Same
+  // integer surprisal chain and keep gate; divergence from t33 is the
+  // documented tokenCode aliasing + the hash-order vocab tie-break.
+  // The oracle replays the SAME hash chain (tokenCodeSql·K₀), so the
+  // result hash-matches exactly — collisions are deterministic and
+  // shared by both engines.
+  private val lmHashModelMemo =
+    new SessionMemo[operators.NgramLm.HashedBigramLm](
+      (spark, dir) => operators.NgramLm.fitHashed(
+        t(spark, dir, "documents").filter($"lang" === "en"), "text",
+        cacheModel = true),
+      _.unpersist())
+
+  def t42_lm_quality_hashed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    operators.NgramLm.scoreHashed(docs, "doc_id", "text",
+      lmHashModelMemo(spark, dir, srcStamp(dir, "documents.parquet")),
+      24L, 5L)
+      .orderBy($"doc_id")
+  }
+
+  private val t42_sql = {
+    val k0 = graft.functions.NgramHashes.keys(0)
+    def hlist(src: String) =
+      s"list_transform(string_split($src, ' '), " +
+        s"w -> CAST(${Text.tokenCodeSql("w")} AS BIGINT) * $k0)"
+    s"""WITH train AS (SELECT text FROM documents WHERE lang = 'en'),
+       |thv AS (SELECT ${hlist("text")} AS hs FROM train),
+       |uni AS (SELECT hk, COUNT(*) AS cnt FROM
+       |  (SELECT unnest(hs) AS hk FROM thv) GROUP BY hk),
+       |vocab AS (SELECT hk FROM uni ORDER BY cnt DESC, hk LIMIT 65536),
+       |vs AS (SELECT CAST(COUNT(*) + 1 AS BIGINT) AS vp FROM vocab),
+       |tp AS (SELECT hs,
+       |    unnest(generate_series(1, greatest(len(hs) - 1, 0))) AS i
+       |  FROM thv),
+       |tm AS (SELECT
+       |    CASE WHEN v1.hk IS NULL THEN -1 ELSE hs[i] END AS m1,
+       |    CASE WHEN v2.hk IS NULL THEN -1 ELSE hs[i+1] END AS m2
+       |  FROM tp LEFT JOIN vocab v1 ON hs[i] = v1.hk
+       |          LEFT JOIN vocab v2 ON hs[i+1] = v2.hk),
+       |bi AS (SELECT m1, m2, COUNT(*) AS cbi FROM tm GROUP BY m1, m2),
+       |pre AS (SELECT m1, CAST(SUM(cbi) AS BIGINT) AS cpre
+       |        FROM bi GROUP BY m1),
+       |sdocs AS (SELECT doc_id, string_split(text, ' ') AS ws,
+       |          ${hlist("text")} AS hs FROM documents),
+       |sp AS (SELECT doc_id, hs,
+       |    unnest(generate_series(1, greatest(len(hs) - 1, 0))) AS i
+       |  FROM sdocs),
+       |sm AS (SELECT doc_id,
+       |    CASE WHEN v1.hk IS NULL THEN -1 ELSE hs[i] END AS m1,
+       |    CASE WHEN v2.hk IS NULL THEN -1 ELSE hs[i+1] END AS m2
+       |  FROM sp LEFT JOIN vocab v1 ON hs[i] = v1.hk
+       |          LEFT JOIN vocab v2 ON hs[i+1] = v2.hk),
+       |sq AS (SELECT doc_id,
+       |    (COALESCE(pre.cpre, 0) + vs.vp) // (COALESCE(bi.cbi, 0) + 1)
+       |      AS q
+       |  FROM sm LEFT JOIN bi ON sm.m1 = bi.m1 AND sm.m2 = bi.m2
+       |          LEFT JOIN pre ON sm.m1 = pre.m1
+       |          CROSS JOIN vs),
+       |su AS (SELECT doc_id,
+       |    CAST(64 * (length(bin(q)) - 1)
+       |         + ((q << 6) >> (length(bin(q)) - 1)) - 64 AS BIGINT) AS s1
+       |  FROM sq),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_big,
+       |    CAST(SUM(s1) AS BIGINT) AS s64 FROM su GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tok,
+       |  CAST(COALESCE(a.n_big, 0) AS BIGINT) AS n_big,
+       |  COALESCE(a.s64, 0) AS s64,
+       |  CASE WHEN a.n_big > 0
+       |       THEN CAST(a.s64 AS DOUBLE) / (64 * a.n_big) END AS bpt,
+       |  CAST(CASE WHEN a.n_big > 0 AND a.s64 * 5 <= 24 * 64 * a.n_big
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM sdocs d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- t39
   // Kneser-Ney discounted bigram LM (the production smoothing): d = ½
@@ -1609,25 +1713,16 @@ object Queries {
   // bucket tables are bounded by construction and broadcast under the
   // gate; top-k folds to TakeOrderedAndProject (no global sort).
   /** Cached t34 model per (session, dir, stamp) — the lmModel memo. */
-  private val dsirModelCache = new java.util.concurrent.ConcurrentHashMap[
-    String, operators.Dsir.Model]()
+  private val dsirModelMemo = new SessionMemo[operators.Dsir.Model](
+    (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      operators.Dsir.fit(docs.filter($"lang" === "en"), docs,
+        "text", n = 2, buckets = 1 << 16, cacheModel = true)
+    },
+    _.unpersist())
   private def dsirModel(spark: SparkSession,
-                        dir: String): operators.Dsir.Model = {
-    val pfx = s"${System.identityHashCode(spark)}@$dir@"
-    val key = s"$pfx${srcStamp(dir, "documents.parquet")}"
-    val hit = dsirModelCache.get(key)
-    if (hit != null) hit
-    else {
-      import scala.jdk.CollectionConverters._
-      dsirModelCache.asScala.keys.filter(_.startsWith(pfx)).toList
-        .foreach(k => Option(dsirModelCache.remove(k)).foreach(_.unpersist()))
-      dsirModelCache.computeIfAbsent(key, _ => {
-        val docs = t(spark, dir, "documents")
-        operators.Dsir.fit(docs.filter($"lang" === "en"), docs,
-          "text", n = 2, buckets = 1 << 16, cacheModel = true)
-      })
-    }
-  }
+                        dir: String): operators.Dsir.Model =
+    dsirModelMemo(spark, dir, srcStamp(dir, "documents.parquet"))
 
   def t34_dsir_select(spark: SparkSession, dir: String): DataFrame =
     operators.Dsir.selectTopK(t(spark, dir, "documents"),
@@ -4382,6 +4477,7 @@ object Queries {
     "t37_bpe_shards" -> (t37_bpe_shards _),
     "t38_corpus_card" -> (t38_corpus_card _),
     "t39_kn_quality" -> (t39_kn_quality _),
+    "t42_lm_quality_hashed" -> (t42_lm_quality_hashed _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -4525,6 +4621,7 @@ object Queries {
     "t37_bpe_shards" -> t37_sql,
     "t38_corpus_card" -> t38_sql,
     "t39_kn_quality" -> t39_sql,
+    "t42_lm_quality_hashed" -> t42_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

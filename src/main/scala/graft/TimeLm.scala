@@ -53,6 +53,13 @@ object TimeLm {
     time("empty-noAQE")(operators.NgramLm
       .score(docs.limit(0), "doc_id", "text", lm, 24L, 5L))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // the hash-space twin (t42): same chain, i64 pair structs
+    val hlm = operators.NgramLm.fitHashed(docs.filter($"lang" === "en"),
+      "text", cacheModel = true)
+    time("scoreHashed")(operators.NgramLm
+      .scoreHashed(docs, "doc_id", "text", hlm, 24L, 5L))
+    time("t42")(operators.NgramLm
+      .scoreHashed(docs, "doc_id", "text", hlm, 24L, 5L).orderBy($"doc_id"))
     if (sys.env.contains("SPARK_GRAFT_TIMELM_BASE")) {
       // cost decomposition of the pair explode: i64 gram hashes (one
       // codegen pass, no strings) vs the string-struct pair array

@@ -103,10 +103,71 @@ object NgramHashExpr {
   def ngramHashes(text: Column, n: Int): Column =
     ColumnInternals.column(NgramHashes(ColumnInternals.expr(text), n))
 
+  /** Column of adjacent token-hash pairs
+    * (array<struct<h1:long,h2:long>>), one pass — the hash-space twin
+    * of `NgramLm.pairArr`. */
+  def bigramHashPairs(text: Column): Column =
+    ColumnInternals.column(BigramHashPairs(ColumnInternals.expr(text)))
+
   /** Column of all-k shingle-MinHash values (array<long>), one pass. */
   def shingleMinhashes(text: Column, n: Int, seeds: Seq[(Long, Long)]): Column =
     ColumnInternals.column(ShingleMinHashes(ColumnInternals.expr(text), n,
       seeds.map(_._1), seeds.map(_._2)))
+}
+
+/** Adjacent token-hash pairs of a document in ONE pass — the scan side
+  * of hash-space bigram-LM scoring (`NgramLm.fitHashed`/`scoreHashed`):
+  * tokenize once, compute each token's i64 hash once (the
+  * [[NgramHashes]] n=1 convention: tokenCode·K₀, so the DuckDB replay
+  * is `tokenCodeSql * 2654435761`), and emit the sliding pairs as
+  * (h1, h2) structs. Replaces the measured-4.5s-per-500k-docs
+  * string-struct materialization of the exact path (the
+  * `NgramLm.pairArr` scaladoc's cost decomposition) with two i64s per
+  * pair. Hashes are non-negative (code < 2^22, K₀ < 2^32 — the product
+  * never wraps), so −1 is a safe OOV sentinel. */
+case class BigramHashPairs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BigramHashPairs.tpe
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bigramHashPairs expects a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    BigramHashPairs.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.BigramHashPairs.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : BigramHashPairs = copy(child = newChild)
+}
+
+object BigramHashPairs {
+  import org.apache.spark.sql.types.StructType
+
+  val tpe: DataType = ArrayType(
+    new StructType()
+      .add("h1", LongType, nullable = false)
+      .add("h2", LongType, nullable = false),
+    containsNull = false)
+
+  def compute(text: UTF8String): ArrayData = {
+    val hs = NgramHashes.gramHashes(text.toString, 1)
+    val out = new Array[Any](math.max(0, hs.length - 1))
+    var i = 0
+    while (i < out.length) {
+      out(i) = org.apache.spark.sql.catalyst.InternalRow(hs(i), hs(i + 1))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** MinHash signature over word-n-gram SHINGLES — the production form of

@@ -423,10 +423,16 @@ object Bpe {
     * why it keys on the measured count rather than a truncating cap. */
   def docTokenCounts(corpus: DataFrame, idCol: String, textCol: String,
                      freqDf: DataFrame, merges: Seq[Merge],
-                     maxBroadcast: Long = maxBroadcastVocab): DataFrame = {
+                     maxBroadcast: Long = maxBroadcastVocab,
+                     knownVocab: Option[Long] = None): DataFrame = {
     val wt = wordTokenCounts(freqDf, merges)
+    // callers that already hold the vocabulary size (the SparkEntry
+    // word-freq memo) pass it so the gate costs ZERO jobs — the bare
+    // form still measures (one cached-scan action)
     val side =
-      if (freqDf.count() <= maxBroadcast) broadcast(wt) else wt
+      if (knownVocab.getOrElse(freqDf.count()) <= maxBroadcast)
+        broadcast(wt)
+      else wt
     corpus
       .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")

@@ -57,13 +57,9 @@ object Dsir {
                    nTarget: Long, nRaw: Long, buckets: Int, n: Int) {
     /** Release a `fit(cacheModel = true)` model's cached tables. */
     def unpersist(): Unit = { target.unpersist(); raw.unpersist() }
-    def k64: Long = {
-      def s64(q: Long): Long = {
-        val b = 63 - java.lang.Long.numberOfLeadingZeros(q)
-        64L * b + ((q << 6) >> b) - 64L
-      }
-      s64(nRaw + buckets) - s64(nTarget + buckets)
-    }
+    def k64: Long =
+      NgramLm.surprisal64Long(nRaw + buckets) -
+        NgramLm.surprisal64Long(nTarget + buckets)
   }
 
   /** Fit the hashed-n-gram importance model (two bounded count tables +

@@ -165,14 +165,30 @@ object NgramLm {
 
   /** Derive the KN model from a fit (ideally cached) [[BigramLm]] —
     * three bounded aggregations of the model's own bigram table plus
-    * one count action; the corpus is not re-read. */
+    * one stats action; the corpus is not re-read. Fails fast when the
+    * model's counts would overflow the integer surprisal chain:
+    * D = (2c₁₂−1)⁺·(C+V') + N₁·(B+1) ≤ (2·c_max + V')·(C+V') must stay
+    * under [[surprisal64]]'s 2^57 shift bound (N₁ ≤ V', B+1 ≤ V'+1 ≤
+    * C+V'). ~10⁹ bigram types × ~10⁹ max counts breaches it — shard
+    * the model (fit per corpus shard, score against each, combine)
+    * rather than widening the shift. */
   def fitKn(lm: BigramLm): KnBigramLm = {
     val prefix2 = lm.bigrams.groupBy($"m1")
       .agg(sum($"cbi").as("cpre"), count(lit(1)).as("n1"))
     val cont = lm.bigrams.groupBy($"m2")
       .agg(count(lit(1)).as("bplus"))
+    // ONE action: bigram type count + max count (the overflow operand)
+    val stats = lm.bigrams
+      .agg(count(lit(1)), coalesce(max($"cbi"), lit(0L))).collect().head
+    val (cTypes, cMax) = (stats.getLong(0), stats.getLong(1))
+    val cv = cTypes + lm.vPrime
+    require(2L * cMax + lm.vPrime <= (1L << 57) / cv,
+      s"KN model counts overflow the integer surprisal chain: " +
+        s"(2*c_max + V')*(C+V') = (${2L * cMax} + ${lm.vPrime})*$cv " +
+        s"exceeds 2^57 — shard the model (fit per corpus shard and " +
+        s"combine scores)")
     KnBigramLm(lm.vocab, lm.bigrams, prefix2, cont,
-      lm.bigrams.count(), lm.vPrime, lm.hinted)
+      cTypes, lm.vPrime, lm.hinted)
   }
 
   /** Score `corpus` under the KN model — same output shape and keep
@@ -249,13 +265,31 @@ object NgramLm {
 
   /** Integer 1/64-bit surprisal of the odds column `q` (≥ 1):
     * 64·floor(log₂ q) + mantissa interpolation. Exact integer shifts;
-    * `bin` is the cross-engine floor-log₂. */
+    * `bin` is the cross-engine floor-log₂.
+    *
+    * DOMAIN BOUND: `shiftleft(q, 6)` silently wraps for q ≥ 2^57, so
+    * the result is wrong (still deterministic, still matched by the
+    * DuckDB replay of the same shifts) past that. Callers must keep
+    * q < 2^57: the add-one odds q = (cpre+V') div (cbi+1) would need a
+    * prefix token with ~1.4·10^17 occurrences, and the KN/DSIR paths
+    * guard their composite operands at fit ([[fitKn]]'s `require`).
+    * Shard the model before the bound, don't widen the shift. */
   def surprisal64(q: Column): Column = {
     val b = (length(bin(q)) - 1).cast("long")
     // functions.shiftright only takes a literal shift — call the SQL
     // function directly for the column-valued shift amount
     lit(64L) * b +
       call_function("shiftright", shiftleft(q, 6), b.cast("int")) - lit(64L)
+  }
+
+  /** Driver-side scalar twin of [[surprisal64]] — THE one Scala home
+    * of the bit-level formula (Dsir's K64 constant uses it; a spec
+    * pins it equal to the Column form so the copies cannot drift).
+    * Same q < 2^57 domain bound. */
+  def surprisal64Long(q: Long): Long = {
+    require(q >= 1, s"surprisal64 needs q >= 1, got $q")
+    val b = 63 - java.lang.Long.numberOfLeadingZeros(q)
+    64L * b + ((q << 6) >> b) - 64L
   }
 
   /** Score `corpus` under the fit model: per document
@@ -291,6 +325,112 @@ object NgramLm {
       .withColumn("s1", when($"w1".isNotNull, surprisal64(q)))
       .groupBy(col(idCol), $"n_tok")
       .agg(count($"w1").as("n_big"),
+        coalesce(sum($"s1"), lit(0L)).as("s64"))
+      .select(col(idCol), $"n_tok", $"n_big", $"s64",
+        when($"n_big" > 0L,
+          $"s64".cast("double") / ($"n_big" * 64L).cast("double"))
+          .as("bpt"),
+        when($"n_big" > 0L &&
+          $"s64" * lit(keepDen) <= lit(keepNum) * lit(64L) * $"n_big",
+          1L).otherwise(0L).as("keep"))
+  }
+
+  // ------------------------------------------------------- hash space
+  // The crawl-scale variant of the t33 chain: token identity is the
+  // i64 hash tokenCode·K₀ (the t09/t14 NgramHashes convention) instead
+  // of the string, so the scan side explodes (i64, i64) pairs — the
+  // measured decomposition in [[pairArr]]'s scaladoc: 6.0s of string-
+  // struct materialization per 500k docs vs 1.1s in hash space. The
+  // price is hash-collision ALIASING (tokenCode keys on the first 3
+  // code points + length, so e.g. "apple"/"apply" share a model row —
+  // standard for hashed-feature models at crawl scale, cf. DSIR's
+  // hashed buckets) and a vocab-cap tie-break on (cnt DESC, hash ASC)
+  // rather than token order. On a collision-free corpus with an
+  // untruncated cap the scores equal the exact path bit-for-bit
+  // (NgramLmSpec pins it).
+
+  /** OOV sentinel in hash space: token hashes are non-negative
+    * (code < 2^22 times K₀ < 2^32 never wraps), so −1 is unreachable. */
+  val UnkHash: Long = -1L
+
+  /** A fit hash-space bigram LM — [[BigramLm]] with i64 token keys:
+    * `vocab` (hk), `bigrams` (m1, m2, cbi), `prefix` (m1, cpre). */
+  case class HashedBigramLm(vocab: DataFrame, bigrams: DataFrame,
+                            prefix: DataFrame, vPrime: Long,
+                            hinted: Boolean) {
+    def unpersist(): Unit = { vocab.unpersist(); bigrams.unpersist() }
+  }
+
+  /** Map h1/h2 to the bounded hash vocabulary (OOV → [[UnkHash]]) —
+    * the hash-space [[mapToks]]. */
+  private def mapHashes(pairs: DataFrame, vocab: DataFrame,
+                        hinted: Boolean): DataFrame = {
+    def side(n: Int) = {
+      val v = vocab.select($"hk".as(s"v${n}h"))
+      if (hinted) broadcast(v) else v
+    }
+    pairs
+      .join(side(1), pairs("h1") === col("v1h"), "left")
+      .join(side(2), pairs("h2") === col("v2h"), "left")
+      .withColumn("m1", when($"v1h".isNotNull, $"h1")
+        .when($"h1".isNotNull, lit(UnkHash)))
+      .withColumn("m2", when($"v2h".isNotNull, $"h2")
+        .when($"h2".isNotNull, lit(UnkHash)))
+      .drop("v1h", "v2h")
+  }
+
+  /** Fit the hash-space bigram LM — [[fit]] with i64 token keys; same
+    * caching contract. */
+  def fitHashed(train: DataFrame, textCol: String,
+                maxVocab: Int = 1 << 16,
+                cacheModel: Boolean = false): HashedBigramLm = {
+    import graft.functions.NgramHashExpr.{ngramHashes, bigramHashPairs}
+    require(maxVocab > 0, "maxVocab must be positive (the cap is what " +
+      "bounds the model)")
+    val uni = train
+      .select(explode(ngramHashes(col(textCol), 1)).as("hk"))
+      .groupBy($"hk").agg(count(lit(1)).as("cnt"))
+    val vocab0 = uni.orderBy($"cnt".desc, $"hk".asc).limit(maxVocab)
+      .select($"hk")
+    val vocab = if (cacheModel) vocab0.persist() else vocab0
+    val hinted = maxVocab <= maxBroadcastVocab
+    val pairs = train
+      .select(explode(bigramHashPairs(col(textCol))).as("pr"))
+      .select($"pr.h1".as("h1"), $"pr.h2".as("h2"))
+    val bigrams0 = mapHashes(pairs, vocab, hinted)
+      .groupBy($"m1", $"m2").agg(count(lit(1)).as("cbi"))
+    val bigrams = if (cacheModel) bigrams0.persist() else bigrams0
+    val prefix = bigrams.groupBy($"m1")
+      .agg(sum($"cbi").as("cpre"))
+    HashedBigramLm(vocab, bigrams, prefix, vocab.count() + 1L, hinted)
+  }
+
+  /** Score `corpus` under the hash-space model — same output shape,
+    * integer odds and keep gate as [[score]]. */
+  def scoreHashed(corpus: DataFrame, idCol: String, textCol: String,
+                  lm: HashedBigramLm, keepNum: Long,
+                  keepDen: Long): DataFrame = {
+    import graft.functions.NgramHashExpr.bigramHashPairs
+    require(keepDen > 0, "keepDen must be positive")
+    // n_tok below the explode (the pairArr O(len²) lesson)
+    val pairs = corpus
+      .select(col(idCol), col(textCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .select(col(idCol), $"n_tok",
+        explode_outer(bigramHashPairs(col(textCol))).as("pr"))
+      .select(col(idCol), $"n_tok",
+        $"pr.h1".as("h1"), $"pr.h2".as("h2"))
+    def model(df: DataFrame) = if (lm.hinted) broadcast(df) else df
+    val joined = mapHashes(pairs, lm.vocab, lm.hinted)
+      .join(model(lm.bigrams), Seq("m1", "m2"), "left")
+      .join(model(lm.prefix), Seq("m1"), "left")
+    val q = graft.functions.RF.euclidDiv(
+      coalesce($"cpre", lit(0L)) + lit(lm.vPrime),
+      coalesce($"cbi", lit(0L)) + lit(1L))
+    joined
+      .withColumn("s1", when($"h1".isNotNull, surprisal64(q)))
+      .groupBy(col(idCol), $"n_tok")
+      .agg(count($"h1").as("n_big"),
         coalesce(sum($"s1"), lit(0L)).as("s64"))
       .select(col(idCol), $"n_tok", $"n_big", $"s64",
         when($"n_big" > 0L,

@@ -929,15 +929,15 @@ object Rayfall {
     * format.c:1157-1170). REPL caps: 10 columns × 20 rows
     * (TABLE_MAX_WIDTH/HEIGHT, format.c:49-50); `replCaps = false` is
     * the uncapped full==2 mode. */
-  /** Journal format per absolute path (isText, fileSizeAtSniff),
+  /** Journal format per absolute path (isText, size, mtimeMillis),
     * sniffed on the first append to a non-empty file — see the write
-    * handler. The size guards staleness: a file REPLACED in the other
-    * format at the same path (deleted+recreated, or truncated by an
-    * external process) is smaller than at sniff time, which re-sniffs;
-    * hclose also drops the entry (appends through a live handle only
-    * ever grow the file, so size-shrink + hclose cover invalidation). */
+    * handler. (size, mtime) guard staleness: the verdict is reused
+    * ONLY when both still match the file — our own appends refresh the
+    * pair after each write, so any external replacement (even a
+    * same-path rewrite in the OTHER format that is equal-or-larger)
+    * re-sniffs; hclose also drops the entry. */
   private val journalTextSniff =
-    new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Long)]
+    new java.util.concurrent.ConcurrentHashMap[String, (Boolean, Long, Long)]
 
   private[graft] def tableText(df: DataFrame,
                                  replCaps: Boolean = true): String = {
@@ -2772,6 +2772,10 @@ object Rayfall {
             // a NON-EMPTY file whose first byte is not a plausible
             // record tag is a legacy round-9 TEXT journal: keep
             // appending text so the mixed file stays replayable
+            val sniffKey = handle.path.toAbsolutePath.toString
+            def fileStamp(p: java.nio.file.Path): (Long, Long) =
+              (java.nio.file.Files.size(p),
+                java.nio.file.Files.getLastModifiedTime(p).toMillis)
             val legacyText = {
               val p = handle.path
               java.nio.file.Files.exists(p) &&
@@ -2779,11 +2783,16 @@ object Rayfall {
                   // appends preserve a journal's format, so sniff a
                   // non-empty file ONCE per path — the ambiguous case
                   // below re-parses the whole file, which would make
-                  // every (write h v) O(file size) otherwise
-                  val key = p.toAbsolutePath.toString
-                  val size = java.nio.file.Files.size(p)
+                  // every (write h v) O(file size) otherwise. The
+                  // verdict holds only while (size, mtime) match: our
+                  // appends refresh the stamp below, anything else —
+                  // including an equal-or-larger external rewrite in
+                  // the other format — re-sniffs
+                  val key = sniffKey
+                  val (size, mtime) = fileStamp(p)
                   val cached = journalTextSniff.get(key)
-                  if (cached != null && size >= cached._2) cached._1
+                  if (cached != null && size == cached._2 &&
+                      mtime == cached._3) cached._1
                   else {
                     val in0 = java.nio.file.Files.newInputStream(p)
                     val b0 = try in0.read() finally in0.close()
@@ -2806,7 +2815,7 @@ object Rayfall {
                         RaySerde.deserializeRawStream(spark,
                           java.nio.file.Files.readAllBytes(p)); true
                       } catch { case _: Exception => false })
-                    journalTextSniff.put(key, (res, size))
+                    journalTextSniff.put(key, (res, size, mtime))
                     res
                   }
                 }
@@ -2826,6 +2835,8 @@ object Rayfall {
               }
               java.nio.file.Files.writeString(handle.path, rec + "\n",
                 java.nio.file.StandardOpenOption.APPEND)
+              val (s2, m2) = fileStamp(handle.path)
+              journalTextSniff.put(sniffKey, (true, s2, m2))
             } else {
               val rec = value match {
                 case VVec(xs) if xs.nonEmpty && xs.head.isInstanceOf[String] =>
@@ -2836,6 +2847,9 @@ object Rayfall {
               }
               java.nio.file.Files.write(handle.path, rec,
                 java.nio.file.StandardOpenOption.APPEND)
+              // a first write to an empty file fixes the format too
+              val (s2, m2) = fileStamp(handle.path)
+              journalTextSniff.put(sniffKey, (false, s2, m2))
             }
             VAtom(null)
           case ipc: VIpc =>

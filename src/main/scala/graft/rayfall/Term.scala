@@ -76,13 +76,23 @@ final class Term(
   private var acCandidates: Seq[String] = Seq.empty
   private var acIndex = 0
 
+  // live history sink — cleared on the first failed write so an
+  // unwritable location degrades to in-memory-only history
+  private var histSink: Option[java.nio.file.Path] = histPath
+
   histPath.foreach { p =>
-    if (java.nio.file.Files.exists(p)) {
-      val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-      // the reference maps a NUL-padded 4MB file; data ends at the NUL
-      val end = { val i = txt.indexOf('\u0000'); if (i < 0) txt.length else i }
-      txt.substring(0, end).split("\n", -1).filter(_.nonEmpty)
-        .foreach(histLines += _)
+    try {
+      if (java.nio.file.Files.exists(p)) {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        // the reference maps a NUL-padded 4MB file; data ends at the NUL
+        val end =
+          { val i = txt.indexOf('\u0000'); if (i < 0) txt.length else i }
+        txt.substring(0, end).split("\n", -1).filter(_.nonEmpty)
+          .foreach(histLines += _)
+      }
+    } catch {
+      // unreadable history = start empty, don't kill the REPL
+      case _: java.io.IOException | _: SecurityException => histSink = None
     }
   }
   histIdx = histLines.length
@@ -112,22 +122,32 @@ final class Term(
   private def histAdd(line: String): Unit = {
     if (histLines.isEmpty || histLines.last != line) {
       histLines += line
-      histPath.foreach { p =>
-        val bytes = (line + "\n")
-          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val raf = new java.io.RandomAccessFile(p.toFile, "rw")
+      histSink.foreach { p =>
+        // an unwritable location (read-only CWD, permission change)
+        // degrades to in-memory-only history — persistence is a
+        // convenience, never worth killing the interactive session
+        // over (the first submitted line used to throw out of
+        // handleReturn here)
         try {
-          if (histDataEnd < 0L) {
-            val len = math.min(raf.length(), 16L << 20).toInt
-            val all = new Array[Byte](len)
-            raf.readFully(all, 0, len)
-            val i = all.indexOf(0: Byte)
-            histDataEnd = if (i < 0) raf.length() else i.toLong
-          }
-          raf.seek(histDataEnd)
-          raf.write(bytes)
-          histDataEnd += bytes.length
-        } finally raf.close()
+          val bytes = (line + "\n")
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val raf = new java.io.RandomAccessFile(p.toFile, "rw")
+          try {
+            if (histDataEnd < 0L) {
+              val len = math.min(raf.length(), 16L << 20).toInt
+              val all = new Array[Byte](len)
+              raf.readFully(all, 0, len)
+              val i = all.indexOf(0: Byte)
+              histDataEnd = if (i < 0) raf.length() else i.toLong
+            }
+            raf.seek(histDataEnd)
+            raf.write(bytes)
+            histDataEnd += bytes.length
+          } finally raf.close()
+        } catch {
+          case _: java.io.IOException | _: SecurityException =>
+            histSink = None
+        }
       }
     }
     histIdx = histLines.length

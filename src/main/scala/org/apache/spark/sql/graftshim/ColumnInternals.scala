@@ -70,6 +70,12 @@ object ColumnInternals {
       Nil, false, None)(s))
   }
 
+  /** The session's unique UUID (`sessionUUID` is private[sql]) — the
+    * correct identity key for session-scoped caches: identityHashCode
+    * is not unique across live sessions and is recycled after GC. */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): String =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].sessionUUID
+
   /** Walk a Column's node tree looking for an aggregate function call —
     * named calls matched against `aggNames`, SQL-string fragments against
     * `sqlRegex`. (ColumnNode classes are private[sql].) */

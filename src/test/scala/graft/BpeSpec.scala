@@ -57,6 +57,26 @@ class BpeSpec extends SparkSpec {
       Bpe.trainMergesRescan(clone2(sennrich), 40))
   }
 
+  test("incremental trainer parity holds through a PRODUCTION-scale " +
+      "merge budget (1000 merges on a corpus big enough not to " +
+      "exhaust — the goldens above stop at exhaustion/40)") {
+    val rnd = new scala.util.Random(20260815)
+    val entries: Array[(Array[String], Long)] =
+      (0 until 3000).map { _ =>
+        val len = 4 + rnd.nextInt(9)
+        val w = (0 until len)
+          .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+        (Bpe.toSyms(w), (1 + rnd.nextInt(50)).toLong)
+      }.toArray
+    def clone2(e: Array[(Array[String], Long)]) =
+      e.map { case (s, f) => (s.clone(), f) }
+    val fast = Bpe.trainMergesLocal(clone2(entries), 1000)
+    val ref = Bpe.trainMergesRescan(clone2(entries), 1000)
+    assert(fast.length == 1000, s"corpus exhausted at ${fast.length}")
+    assert(fast == ref,
+      s"first divergence at ${fast.zip(ref).indexWhere(p => p._1 != p._2)}")
+  }
+
   test("greedy encode of an UNSEEN word composes trained subwords: " +
       "lowest -> [low, est</w>] (the paper's example)") {
     val rk = Bpe.trainMerges(corpus, "text", 6)

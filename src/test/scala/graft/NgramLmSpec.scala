@@ -31,6 +31,33 @@ class NgramLmSpec extends SparkSpec {
     }
   }
 
+  test("surprisal64Long (the one driver-side scalar home of the " +
+      "formula) is bit-equal to the Column form over a dense + " +
+      "boundary range") {
+    val qs = (1L to 2048L) ++
+      Seq(65535L, 65536L, 65537L, 1L << 40, (1L << 57) - 1)
+    val col = qs.toDF("q")
+      .select($"q", NgramLm.surprisal64($"q").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (q <- qs)
+      assert(NgramLm.surprisal64Long(q) == col(q), s"drift at q=$q")
+    intercept[IllegalArgumentException](NgramLm.surprisal64Long(0L))
+  }
+
+  test("fitKn fails fast on a model whose counts overflow the integer " +
+      "surprisal chain (the 2^57 shift bound), with the shard-the-" +
+      "model message") {
+    val lm = NgramLm.fit(Seq("a b a b").toDF("text"), "text")
+    // a synthetic over-bound bigram table: one count near 2^56 pushes
+    // (2*c_max + V')*(C+V') far past 2^57
+    val big = lm.copy(bigrams =
+      Seq(("a", "b", 1L << 56)).toDF("m1", "m2", "cbi"))
+    val e = intercept[IllegalArgumentException](NgramLm.fitKn(big))
+    assert(e.getMessage.contains("shard the model"), e.getMessage)
+    // the real model is far under the bound and fits fine
+    NgramLm.fitKn(lm)
+  }
+
   test("fit on a toy corpus: hand-computed vocab, bigram and prefix " +
       "counts, with the OOV class folding under the vocab cap") {
     val train = Seq("a b a b c", "a b x").toDF("text")
@@ -132,6 +159,31 @@ class NgramLmSpec extends SparkSpec {
       .agg(avg(when($"k1" === $"k2", 1.0).otherwise(0.0)))
       .collect().head.getDouble(0)
     assert(agree > 0.6, s"KN and add-one keep decisions agree on $agree")
+  }
+
+  test("hash-space scoring equals the exact path bit-for-bit on a " +
+      "collision-free corpus with an untruncated vocab cap (the " +
+      "documented aliasing is the ONLY divergence)") {
+    // tokens distinct in (first 3 code points, length) → injective
+    // tokenCode → no aliasing; maxVocab 100 → no cap tie-breaks
+    val train = Seq("alpha beta alpha beta gamma", "alpha beta zeta")
+      .toDF("text")
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "omega omega kappa"),
+      (3L, "alpha"), (4L, "")).toDF("doc_id", "text")
+    val ex = NgramLm.fit(train, "text", maxVocab = 100)
+    val hs = NgramLm.fitHashed(train, "text", maxVocab = 100)
+    assert(hs.vPrime == ex.vPrime)
+    val a = NgramLm.score(docs, "doc_id", "text", ex, 24L, 5L)
+      .orderBy($"doc_id").collect().toSeq
+    val b = NgramLm.scoreHashed(docs, "doc_id", "text", hs, 24L, 5L)
+      .orderBy($"doc_id").collect().toSeq
+    assert(a == b, s"hash-space drift:\n exact=$a\n hashed=$b")
+    // and the documented aliasing: same 3-prefix + length collide
+    val cTrain = Seq("apple apple apply").toDF("text")
+    val cLm = NgramLm.fitHashed(cTrain, "text", maxVocab = 100)
+    // "apple" and "apply" share tokenCode → ONE unigram hash row
+    assert(cLm.vPrime == 2L,
+      "tokenCode aliasing must fold apple/apply into one vocab row")
   }
 
   test("t33 on the documents table: the en-trained model separates the " +
