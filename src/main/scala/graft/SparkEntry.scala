@@ -1628,6 +1628,101 @@ object Queries {
          |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t40
+  // Interpolated TRIGRAM Kneser-Ney (production CCNet filters run
+  // 5-gram KenLM — this extends the integer chain one order): d = ½ at
+  // the trigram level interpolating into the full bigram-KN
+  // distribution, every probability still a ratio of integers, so the
+  // surprisal decomposes through the same 1/64-bit chain
+  // (NgramLm.scoreKn3 scaladoc has the derivation + properness proof,
+  // NgramLmSpec checks it in exact arithmetic). The model derives from
+  // the MEMOIZED t33 bigram model + ONE more corpus pass for the
+  // trigram counts. Same keep gate as t33/t39 (bpt ≤ 24/5); the extra
+  // context order makes in-domain text MORE predictable (repeated
+  // trigrams score low), widening the en-vs-rest separation margin —
+  // NgramLmSpec pins margin(KN3) ≥ margin(KN2).
+  private val kn3ModelMemo =
+    new SessionMemo[operators.NgramLm.KnTrigramLm](
+      (spark, dir) => operators.NgramLm.fitKn3(
+        t(spark, dir, "documents").filter($"lang" === "en"), "text",
+        lmModel(spark, dir), cacheModel = true),
+      _.unpersist())
+
+  def t40_kn3_quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    operators.NgramLm.scoreKn3(docs, "doc_id", "text",
+      kn3ModelMemo(spark, dir, srcStamp(dir, "documents.parquet")),
+      24L, 5L)
+      .orderBy($"doc_id")
+  }
+
+  private val t40_sql = {
+    def s64(q: String): String =
+      s"(64 * (length(bin($q)) - 1) " +
+        s"+ ((($q) << 6) >> (length(bin($q)) - 1)) - 64)"
+    lmChainSql +
+      s""",t3p AS (SELECT ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+         |  FROM tws),
+         |t3m AS (SELECT
+         |    CASE WHEN v1.tok IS NULL THEN chr(1) ELSE ws[i] END AS m1,
+         |    CASE WHEN v2.tok IS NULL THEN chr(1) ELSE ws[i+1] END AS m2,
+         |    CASE WHEN v3.tok IS NULL THEN chr(1) ELSE ws[i+2] END AS m3
+         |  FROM t3p LEFT JOIN vocab v1 ON ws[i] = v1.tok
+         |           LEFT JOIN vocab v2 ON ws[i+1] = v2.tok
+         |           LEFT JOIN vocab v3 ON ws[i+2] = v3.tok),
+         |tri AS (SELECT m1, m2, m3, COUNT(*) AS c123 FROM t3m
+         |        GROUP BY m1, m2, m3),
+         |pre12 AS (SELECT m1, m2, CAST(SUM(c123) AS BIGINT) AS c12,
+         |          CAST(COUNT(*) AS BIGINT) AS n12 FROM tri
+         |          GROUP BY m1, m2),
+         |s3p AS (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+         |  FROM sdocs),
+         |s3m AS (SELECT doc_id,
+         |    CASE WHEN v1.tok IS NULL THEN chr(1) ELSE ws[i] END AS m1,
+         |    CASE WHEN v2.tok IS NULL THEN chr(1) ELSE ws[i+1] END AS m2,
+         |    CASE WHEN v3.tok IS NULL THEN chr(1) ELSE ws[i+2] END AS m3
+         |  FROM s3p LEFT JOIN vocab v1 ON ws[i] = v1.tok
+         |           LEFT JOIN vocab v2 ON ws[i+1] = v2.tok
+         |           LEFT JOIN vocab v3 ON ws[i+2] = v3.tok),
+         |j3 AS (SELECT s.doc_id, tri.c123, pre12.c12, pre12.n12,
+         |    bi.cbi, pre.cpre, pre.n1, cont.bplus, ct.c + vs.vp AS cv
+         |  FROM s3m s
+         |    LEFT JOIN tri ON s.m1 = tri.m1 AND s.m2 = tri.m2
+         |                 AND s.m3 = tri.m3
+         |    LEFT JOIN pre12 ON s.m1 = pre12.m1 AND s.m2 = pre12.m2
+         |    LEFT JOIN bi ON s.m2 = bi.m1 AND s.m3 = bi.m2
+         |    LEFT JOIN pre ON s.m2 = pre.m1
+         |    LEFT JOIN cont ON s.m3 = cont.m2
+         |    CROSS JOIN ct CROSS JOIN vs),
+         |k3 AS (SELECT doc_id,
+         |    CASE WHEN cpre IS NULL THEN cv ELSE 2 * cpre * cv END AS q2,
+         |    CASE WHEN cpre IS NULL THEN COALESCE(bplus, 0) + 1
+         |         ELSE greatest(2 * COALESCE(cbi, 0) - 1, 0) * cv
+         |              + n1 * (COALESCE(bplus, 0) + 1) END AS p2,
+         |    c123, c12, n12
+         |  FROM j3),
+         |sk3 AS (SELECT doc_id,
+         |    CASE WHEN c12 IS NULL THEN ${s64("q2")} - ${s64("p2")}
+         |         ELSE ${s64("2 * c12")} + ${s64("q2")}
+         |           - ${s64(
+                "greatest(2 * COALESCE(c123, 0) - 1, 0) * q2 + n12 * p2")}
+         |    END AS s1
+         |  FROM k3),
+         |agg3 AS (SELECT doc_id, COUNT(*) AS n_tri,
+         |    CAST(SUM(s1) AS BIGINT) AS s64 FROM sk3 GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tok,
+         |  CAST(COALESCE(a.n_tri, 0) AS BIGINT) AS n_tri,
+         |  COALESCE(a.s64, 0) AS s64,
+         |  CASE WHEN a.n_tri > 0
+         |       THEN CAST(a.s64 AS DOUBLE) / (64 * a.n_tri) END AS bpt,
+         |  CAST(CASE WHEN a.n_tri > 0 AND a.s64 * 5 <= 24 * 64 * a.n_tri
+         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM sdocs d LEFT JOIN agg3 a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- t36
   // Perplexity-bucketed mixing (CCNet's head/middle/tail): bucket every
   // document by bits-per-token under the t33 model at the corpus
@@ -4477,6 +4572,7 @@ object Queries {
     "t37_bpe_shards" -> (t37_bpe_shards _),
     "t38_corpus_card" -> (t38_corpus_card _),
     "t39_kn_quality" -> (t39_kn_quality _),
+    "t40_kn3_quality" -> (t40_kn3_quality _),
     "t42_lm_quality_hashed" -> (t42_lm_quality_hashed _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
@@ -4621,6 +4717,7 @@ object Queries {
     "t37_bpe_shards" -> t37_sql,
     "t38_corpus_card" -> t38_sql,
     "t39_kn_quality" -> t39_sql,
+    "t40_kn3_quality" -> t40_sql,
     "t42_lm_quality_hashed" -> t42_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,

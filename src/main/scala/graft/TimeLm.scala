@@ -63,9 +63,14 @@ object TimeLm {
     if (sys.env.contains("SPARK_GRAFT_TIMELM_BASE")) {
       // cost decomposition of the pair explode: i64 gram hashes (one
       // codegen pass, no strings) vs the string-struct pair array
-      import graft.functions.NgramHashExpr.ngramHashes
+      import graft.functions.NgramHashExpr.{ngramHashes, bigramHashPairs}
       time("hash-explode")(docs.select(explode(ngramHashes($"text", 2))))
       time("split-explode")(docs.select(explode(split($"text", " "))))
+      time("hpair-explode")(docs.select($"doc_id",
+        explode_outer(bigramHashPairs($"text")).as("pr")))
+      time("hpair+agg")(docs.select($"doc_id",
+        explode_outer(bigramHashPairs($"text")).as("pr"))
+        .groupBy($"doc_id").agg(count(lit(1))))
     }
     if (sys.env.contains("SPARK_GRAFT_TIMELM_SHARDS")) {
       // t37 shape on a bare documents dir: trained merges + subword

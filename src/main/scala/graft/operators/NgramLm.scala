@@ -229,6 +229,149 @@ object NgramLm {
           1L).otherwise(0L).as("keep"))
   }
 
+  /** Adjacent-token TRIPLE array of `textCol` — [[pairArr]] one order
+    * up: array<struct<w1,w2,w3>>, empty for docs under 3 tokens. */
+  private def tripleArr(textCol: Column): Column = {
+    val ws = split(textCol, " ")
+    val m = greatest(size(ws) - 2, lit(0))
+    arrays_zip(slice(ws, lit(1), m).as("w1"),
+      slice(ws, lit(2), m).as("w2"), slice(ws, lit(3), m).as("w3"))
+  }
+
+  /** Vocab-map three token sides (OOV → [[Unk]]) — [[mapToks]] at
+    * order 3. */
+  private def mapToks3(tris: DataFrame, vocab: DataFrame,
+                       hinted: Boolean): DataFrame = {
+    def side(n: Int) = {
+      val v = vocab.select($"tok".as(s"v${n}t"))
+      if (hinted) broadcast(v) else v
+    }
+    tris
+      .join(side(1), tris("w1") === col("v1t"), "left")
+      .join(side(2), tris("w2") === col("v2t"), "left")
+      .join(side(3), tris("w3") === col("v3t"), "left")
+      .withColumn("m1", when($"v1t".isNotNull, $"w1")
+        .when($"w1".isNotNull, lit(Unk)))
+      .withColumn("m2", when($"v2t".isNotNull, $"w2")
+        .when($"w2".isNotNull, lit(Unk)))
+      .withColumn("m3", when($"v3t".isNotNull, $"w3")
+        .when($"w3".isNotNull, lit(Unk)))
+      .drop("v1t", "v2t", "v3t")
+  }
+
+  /** An interpolated Kneser-Ney TRIGRAM LM (production CCNet filters
+    * run 5-gram KenLM; this extends the integer chain one order):
+    * d = ½ at the trigram level interpolating into the full bigram-KN
+    * distribution [[KnBigramLm]] (which itself interpolates into the
+    * add-one continuation distribution):
+    *
+    *   p₃(w₃|w₁w₂) = [max(2c₁₂₃−1, 0)·Q₂ + N₁₂·P₂] / [2c₁₂·Q₂]
+    *
+    * with p_KN2(w₃|w₂) = P₂/Q₂ the bigram-KN integer ratio (seen
+    * prefix: P₂ = (2c₂₃−1)⁺·(C+V') + N₁(w₂)·(B(w₃)+1), Q₂ =
+    * 2c₂(C+V'); unseen: P₂ = B(w₃)+1, Q₂ = C+V') and c₁₂ = Σ_w c₁₂w
+    * the trigram-token prefix count, N₁₂ its continuation-type count.
+    * EXACTLY proper: Σ_w₃ max(2c₁₂₃−1,0) = 2c₁₂ − N₁₂ and
+    * Σ_w₃ P₂ = Q₂ (bigram-KN properness), so the numerators sum to
+    * 2c₁₂·Q₂ (NgramLmSpec proves it in exact integers). A trigram
+    * context never seen in training backs off to p_KN2 wholesale.
+    * Surprisal decomposes term-by-term through [[surprisal64]]:
+    * s = s64(2c₁₂) + s64(Q₂) − s64(D₃), D₃ = (2c₁₂₃−1)⁺·Q₂ + N₁₂·P₂ —
+    * all operands guarded under the 2^57 shift bound at fit. */
+  case class KnTrigramLm(kn: KnBigramLm, trigrams: DataFrame,
+                         prefix12: DataFrame) {
+    /** Release a `fitKn3(cacheModel = true)` model's cached trigram
+      * table (the bigram tables belong to the underlying [[BigramLm]]). */
+    def unpersist(): Unit = { trigrams.unpersist() }
+  }
+
+  /** Fit the trigram-KN model: derive the bigram-KN base from `lm`
+    * (no corpus re-read), then ONE more corpus pass for the
+    * vocab-mapped trigram counts. Fails fast when the composite
+    * surprisal operands would breach the 2^57 bound (checked in
+    * arbitrary precision — the check itself cannot overflow). */
+  def fitKn3(train: DataFrame, textCol: String, lm: BigramLm,
+             cacheModel: Boolean = false): KnTrigramLm = {
+    val kn = fitKn(lm)
+    val tris = train.select(explode(tripleArr(col(textCol))).as("tr"))
+      .select($"tr.w1".as("w1"), $"tr.w2".as("w2"), $"tr.w3".as("w3"))
+    val trigrams0 = mapToks3(tris, lm.vocab, lm.hinted)
+      .groupBy($"m1", $"m2", $"m3").agg(count(lit(1)).as("c123"))
+    val trigrams = if (cacheModel) trigrams0.persist() else trigrams0
+    val prefix12 = trigrams.groupBy($"m1", $"m2")
+      .agg(sum($"c123").as("c12"), count(lit(1)).as("n12"))
+    val c2max = kn.bigrams
+      .agg(coalesce(max($"cbi"), lit(0L))).collect().head.getLong(0)
+    val c3max = trigrams
+      .agg(coalesce(max($"c123"), lit(0L))).collect().head.getLong(0)
+    // D₃ ≤ cv·(4·c₃max·c₂max + V'·(2·c₂max + V')) with cv = C+V',
+    // N₁₂ ≤ V', P₂ ≤ (2c₂max + V')·cv, Q₂ ≤ 2·c₂max·cv
+    val cv = BigInt(kn.cTypes + kn.vPrime)
+    val vP = BigInt(kn.vPrime)
+    val bound = cv * (4 * BigInt(c3max) * BigInt(c2max) +
+      vP * (2 * BigInt(c2max) + vP))
+    require(bound <= (BigInt(1) << 57),
+      s"trigram-KN counts overflow the integer surprisal chain " +
+        s"(worst-case D3 bound $bound exceeds 2^57) — shard the model " +
+        s"(fit per corpus shard and combine scores)")
+    KnTrigramLm(kn, trigrams, prefix12)
+  }
+
+  /** Score `corpus` under the trigram-KN model: per document
+    * (idCol, n_tok, n_tri, s64, bpt, keep) — the [[score]] shape with
+    * trigram events (n_tri = max(n_tok−2, 0); docs under 3 tokens
+    * survive with n_tri 0, bpt NULL, keep 0). */
+  def scoreKn3(corpus: DataFrame, idCol: String, textCol: String,
+               m: KnTrigramLm, keepNum: Long, keepDen: Long): DataFrame = {
+    require(keepDen > 0, "keepDen must be positive")
+    val tris = corpus
+      .select(col(idCol), col(textCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .select(col(idCol), $"n_tok",
+        explode_outer(tripleArr(col(textCol))).as("tr"))
+      .select(col(idCol), $"n_tok",
+        $"tr.w1".as("w1"), $"tr.w2".as("w2"), $"tr.w3".as("w3"))
+    def model(df: DataFrame) = if (m.kn.hinted) broadcast(df) else df
+    // the backoff bigram is (w2, w3) — alias the bigram-level tables
+    // to fresh names so the trigram keys m1/m2/m3 stay unambiguous
+    val bi2 = m.kn.bigrams.select($"m1".as("b1"), $"m2".as("b2"), $"cbi")
+    val pre2 = m.kn.prefix2.select($"m1".as("p1"), $"cpre", $"n1")
+    val cont2 = m.kn.cont.select($"m2".as("c2"), $"bplus")
+    val joined = mapToks3(tris, m.kn.vocab, m.kn.hinted)
+      .join(model(m.trigrams), Seq("m1", "m2", "m3"), "left")
+      .join(model(m.prefix12), Seq("m1", "m2"), "left")
+      .join(model(bi2), $"m2" === $"b1" && $"m3" === $"b2", "left")
+      .join(model(pre2), $"m2" === $"p1", "left")
+      .join(model(cont2), $"m3" === $"c2", "left")
+    val cv = lit(m.kn.cTypes + m.kn.vPrime)
+    val bp1 = coalesce($"bplus", lit(0L)) + lit(1L)
+    // the bigram-KN backoff ratio P2/Q2 (integer numerator/denominator)
+    val q2 = when($"cpre".isNull, cv)
+      .otherwise(lit(2L) * $"cpre" * cv)
+    val p2 = when($"cpre".isNull, bp1)
+      .otherwise(
+        greatest(lit(2L) * coalesce($"cbi", lit(0L)) - 1L, lit(0L)) * cv +
+          $"n1" * bp1)
+    val d3 =
+      greatest(lit(2L) * coalesce($"c123", lit(0L)) - 1L, lit(0L)) * q2 +
+        $"n12" * p2
+    val s = when($"c12".isNull, surprisal64(q2) - surprisal64(p2))
+      .otherwise(surprisal64(lit(2L) * $"c12") + surprisal64(q2) -
+        surprisal64(d3))
+    joined
+      .withColumn("s1", when($"w1".isNotNull, s))
+      .groupBy(col(idCol), $"n_tok")
+      .agg(count($"w1").as("n_tri"),
+        coalesce(sum($"s1"), lit(0L)).as("s64"))
+      .select(col(idCol), $"n_tok", $"n_tri", $"s64",
+        when($"n_tri" > 0L,
+          $"s64".cast("double") / ($"n_tri" * 64L).cast("double"))
+          .as("bpt"),
+        when($"n_tri" > 0L &&
+          $"s64" * lit(keepDen) <= lit(keepNum) * lit(64L) * $"n_tri",
+          1L).otherwise(0L).as("keep"))
+  }
+
   /** Persist a fit model: vocab/bigrams/prefix as parquet plus a
     * one-row meta table — the production split (the IVFADC-index
     * precedent): fit ONCE on the reference corpus, score any number of

@@ -161,6 +161,72 @@ class NgramLmSpec extends SparkSpec {
     assert(agree > 0.6, s"KN and add-one keep decisions agree on $agree")
   }
 
+  test("trigram Kneser-Ney is an EXACTLY proper distribution at order " +
+      "3: for every seen (w1,w2) context the integer numerators " +
+      "D3(w3) sum to 2*c12*Q2 (trigram discount mass routes through " +
+      "the PROPER bigram-KN distribution)") {
+    val train = Seq("a b a c a b d e a b a", "b a a c e b a b")
+      .toDF("text")
+    val lm = NgramLm.fit(train, "text", maxVocab = 4) // forces UNK
+    val m = NgramLm.fitKn3(train, "text", lm)
+    val cv = m.kn.cTypes + m.kn.vPrime
+    val tri = m.trigrams.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    val pre12 = m.prefix12.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val bi = m.kn.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val pre = m.kn.prefix2.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bplus = m.kn.cont.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocabAll = lm.vocab.as[String].collect().toSeq :+ NgramLm.Unk
+    def q2(w2: String): Long = pre.get(w2) match {
+      case Some((cpre, _)) => 2 * cpre * cv
+      case None => cv
+    }
+    def p2(w2: String, w3: String): Long = pre.get(w2) match {
+      case Some((_, n1)) =>
+        math.max(2 * bi.getOrElse((w2, w3), 0L) - 1, 0L) * cv +
+          n1 * (bplus.getOrElse(w3, 0L) + 1)
+      case None => bplus.getOrElse(w3, 0L) + 1
+    }
+    assert(pre12.nonEmpty)
+    for (((w1, w2), (c12, n12)) <- pre12) {
+      val total = vocabAll.map { w3 =>
+        math.max(2 * tri.getOrElse((w1, w2, w3), 0L) - 1, 0L) * q2(w2) +
+          n12 * p2(w2, w3)
+      }.sum
+      assert(total == 2 * c12 * q2(w2), s"context ($w1,$w2) mass $total")
+    }
+  }
+
+  test("t40 on the documents table: the trigram-KN model separates the " +
+      "training domain (en keeps the largest fraction) with a " +
+      "separation margin at least as wide as bigram KN's (more " +
+      "context = sharper in-domain discrimination)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val lm = NgramLm.fit(docs.filter($"lang" === "en"), "text")
+    def fracs(scored: org.apache.spark.sql.DataFrame) = scored
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang")
+      .agg(avg($"keep".cast("double")).as("frac"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val m3 = NgramLm.fitKn3(docs.filter($"lang" === "en"), "text", lm)
+    val kept3 = fracs(NgramLm.scoreKn3(docs, "doc_id", "text", m3, 24L, 5L))
+    val others3 = kept3.filter(_._1 != "en").values
+    assert(others3.nonEmpty && kept3("en") > others3.max, kept3.toString)
+    val kn2 = NgramLm.fitKn(lm)
+    val kept2 = fracs(NgramLm.scoreKn(docs, "doc_id", "text", kn2, 24L, 5L))
+    val margin2 = kept2("en") - kept2.filter(_._1 != "en").values.max
+    val margin3 = kept3("en") - others3.max
+    assert(margin3 >= margin2,
+      s"trigram separation margin $margin3 (kept3=$kept3) below " +
+        s"bigram's $margin2 (kept2=$kept2)")
+  }
+
   test("hash-space scoring equals the exact path bit-for-bit on a " +
       "collision-free corpus with an untruncated vocab cap (the " +
       "documented aliasing is the ONLY divergence)") {
