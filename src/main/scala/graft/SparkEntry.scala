@@ -1324,7 +1324,12 @@ object Queries {
   // (shard, chunk) shuffle assembling position-sorted id arrays. The
   // oracle replays the 40-stage BPE chain + the same id/rank/pack
   // arithmetic and compares the ARRAYS.
-  def t37_bpe_shards(spark: SparkSession, dir: String): DataFrame = {
+  /** The t37 packed-token row stream (shard, chunk, pos, id) — shared
+    * by the oracle query (which string-joins the ids for the driver's
+    * hash compare) and `Packing.writeShards` (the REAL array<long>
+    * parquet artifact a trainer consumes). */
+  private[graft] def t37PackedRows(spark: SparkSession,
+                                   dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = t(spark, dir, "documents")
     val (wf, nVocab) = bpeWordFreq(spark, dir)
@@ -1356,15 +1361,19 @@ object Queries {
       .withColumn("g", $"cum_excl" + $"k")
       .select($"shard", RF.euclidDiv($"g", lit(512L)).as("chunk"),
         pmod($"g", lit(512L)).as("pos"), $"id")
+  }
+
+  def t37_bpe_shards(spark: SparkSession, dir: String): DataFrame =
+    t37PackedRows(spark, dir)
       .groupBy($"shard", $"chunk")
       .agg(count(lit(1)).as("n_tokens"),
         // ids as a joined string: the driver's hash compare needs
-        // hashable cells (raw array columns aren't)
+        // hashable cells (raw array columns aren't) — the array form
+        // is Packing.writeShards over t37PackedRows
         concat_ws("-",
           transform(array_sort(collect_list(struct($"pos", $"id"))),
             x => x.getField("id").cast("string"))).as("token_ids"))
       .orderBy($"shard", $"chunk")
-  }
 
   private lazy val t37_sql =
     bpeHeadSql + s""",
@@ -1502,14 +1511,15 @@ object Queries {
 
   // ---------------------------------------------------------------- t42
   // HASH-SPACE perplexity filter — the crawl-scale form of t33: token
-  // identity is the i64 hash tokenCode·K₀ (the t09/t14 convention), so
-  // the scan side explodes (i64, i64) pairs instead of string structs
-  // (the measured 6.0s→1.1s decomposition in NgramLm.pairArr). Same
-  // integer surprisal chain and keep gate; divergence from t33 is the
-  // documented tokenCode aliasing + the hash-order vocab tie-break.
-  // The oracle replays the SAME hash chain (tokenCodeSql·K₀), so the
-  // result hash-matches exactly — collisions are deterministic and
-  // shared by both engines.
+  // identity is the BOUNDED code tokenCode mod 2^22, an adjacent pair
+  // packs injectively into one i64 (m1<<23 | m2), and the whole model
+  // folds into executor-side probe maps driven by ONE codegen pass per
+  // document (functions.LmScore64 — no pair explode, no model joins,
+  // no per-doc shuffle; measured 8.9s → ~2s at the 100× probe). Same
+  // integer surprisal chain and keep gate as t33; divergence is the
+  // documented deterministic aliasing + the code-order vocab
+  // tie-break. The oracle replays the SAME bounded-code chain, so the
+  // result hash-matches exactly.
   private val lmHashModelMemo =
     new SessionMemo[operators.NgramLm.HashedBigramLm](
       (spark, dir) => operators.NgramLm.fitHashed(
@@ -1526,41 +1536,41 @@ object Queries {
   }
 
   private val t42_sql = {
-    val k0 = graft.functions.NgramHashes.keys(0)
-    def hlist(src: String) =
+    def clist(src: String) =
       s"list_transform(string_split($src, ' '), " +
-        s"w -> CAST(${Text.tokenCodeSql("w")} AS BIGINT) * $k0)"
+        s"w -> CAST(${Text.tokenCodeSql("w")} AS BIGINT) % 4194304)"
     s"""WITH train AS (SELECT text FROM documents WHERE lang = 'en'),
-       |thv AS (SELECT ${hlist("text")} AS hs FROM train),
-       |uni AS (SELECT hk, COUNT(*) AS cnt FROM
-       |  (SELECT unnest(hs) AS hk FROM thv) GROUP BY hk),
-       |vocab AS (SELECT hk FROM uni ORDER BY cnt DESC, hk LIMIT 65536),
+       |tcs AS (SELECT ${clist("text")} AS cs FROM train),
+       |uni AS (SELECT ck, COUNT(*) AS cnt FROM
+       |  (SELECT unnest(cs) AS ck FROM tcs) GROUP BY ck),
+       |vocab AS (SELECT ck FROM uni ORDER BY cnt DESC, ck LIMIT 65536),
        |vs AS (SELECT CAST(COUNT(*) + 1 AS BIGINT) AS vp FROM vocab),
-       |tp AS (SELECT hs,
-       |    unnest(generate_series(1, greatest(len(hs) - 1, 0))) AS i
-       |  FROM thv),
+       |tp AS (SELECT cs,
+       |    unnest(generate_series(1, greatest(len(cs) - 1, 0))) AS i
+       |  FROM tcs),
        |tm AS (SELECT
-       |    CASE WHEN v1.hk IS NULL THEN -1 ELSE hs[i] END AS m1,
-       |    CASE WHEN v2.hk IS NULL THEN -1 ELSE hs[i+1] END AS m2
-       |  FROM tp LEFT JOIN vocab v1 ON hs[i] = v1.hk
-       |          LEFT JOIN vocab v2 ON hs[i+1] = v2.hk),
-       |bi AS (SELECT m1, m2, COUNT(*) AS cbi FROM tm GROUP BY m1, m2),
-       |pre AS (SELECT m1, CAST(SUM(cbi) AS BIGINT) AS cpre
-       |        FROM bi GROUP BY m1),
+       |    CASE WHEN v1.ck IS NULL THEN 4194304 ELSE cs[i] END AS m1,
+       |    CASE WHEN v2.ck IS NULL THEN 4194304 ELSE cs[i+1] END AS m2
+       |  FROM tp LEFT JOIN vocab v1 ON cs[i] = v1.ck
+       |          LEFT JOIN vocab v2 ON cs[i+1] = v2.ck),
+       |bi AS (SELECT (m1 << 23) + m2 AS k, COUNT(*) AS cbi FROM tm
+       |       GROUP BY 1),
+       |pre AS (SELECT k >> 23 AS m1, CAST(SUM(cbi) AS BIGINT) AS cpre
+       |        FROM bi GROUP BY 1),
        |sdocs AS (SELECT doc_id, string_split(text, ' ') AS ws,
-       |          ${hlist("text")} AS hs FROM documents),
-       |sp AS (SELECT doc_id, hs,
-       |    unnest(generate_series(1, greatest(len(hs) - 1, 0))) AS i
+       |          ${clist("text")} AS cs FROM documents),
+       |sp AS (SELECT doc_id, cs,
+       |    unnest(generate_series(1, greatest(len(cs) - 1, 0))) AS i
        |  FROM sdocs),
        |sm AS (SELECT doc_id,
-       |    CASE WHEN v1.hk IS NULL THEN -1 ELSE hs[i] END AS m1,
-       |    CASE WHEN v2.hk IS NULL THEN -1 ELSE hs[i+1] END AS m2
-       |  FROM sp LEFT JOIN vocab v1 ON hs[i] = v1.hk
-       |          LEFT JOIN vocab v2 ON hs[i+1] = v2.hk),
+       |    CASE WHEN v1.ck IS NULL THEN 4194304 ELSE cs[i] END AS m1,
+       |    CASE WHEN v2.ck IS NULL THEN 4194304 ELSE cs[i+1] END AS m2
+       |  FROM sp LEFT JOIN vocab v1 ON cs[i] = v1.ck
+       |          LEFT JOIN vocab v2 ON cs[i+1] = v2.ck),
        |sq AS (SELECT doc_id,
        |    (COALESCE(pre.cpre, 0) + vs.vp) // (COALESCE(bi.cbi, 0) + 1)
        |      AS q
-       |  FROM sm LEFT JOIN bi ON sm.m1 = bi.m1 AND sm.m2 = bi.m2
+       |  FROM sm LEFT JOIN bi ON (sm.m1 << 23) + sm.m2 = bi.k
        |          LEFT JOIN pre ON sm.m1 = pre.m1
        |          CROSS JOIN vs),
        |su AS (SELECT doc_id,
@@ -1781,13 +1791,26 @@ object Queries {
   // batch, disk-as-state, checkpointed replay appends nothing. Because
   // the stored model is fit from the same corpus slice, the streamed
   // result must equal batch t33 exactly — the oracle IS t33's SQL.
+  /** Parameter-stamped stage base for the t35 streaming LM: model /
+    * out / checkpoint live under a dir keyed by (maxVocab, keep gate,
+    * SOURCE STAMP), so changed model params or regenerated testdata
+    * self-invalidate — a fresh stage dir simply gets built, the stale
+    * sibling is never read again (closes the old manual `rm -rf
+    * /tmp/graft_stream/.../lm_quality` note). */
+  private[graft] def lmStreamBase(dir: String, maxVocab: Int,
+                                  keepNum: Long, keepDen: Long): String = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s"/tmp/graft_stream/$key/lm_quality_v${maxVocab}" +
+      s"_k$keepNum-${keepDen}_s${srcStamp(dir, "documents.parquet")}"
+  }
+
   def t35_stream_lm_quality(spark: SparkSession, dir: String): DataFrame = {
     val batch = t(spark, dir, "documents")
     val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val stage = s"/tmp/graft_stream/$key/documents"
     if (!new java.io.File(s"$stage/_SUCCESS").exists())
       sources.Store.setSplayed(batch, stage)
-    val base = s"/tmp/graft_stream/$key/lm_quality"
+    val base = lmStreamBase(dir, 1 << 16, 24L, 5L)
     val modelPath = s"$base/model"
     if (!new java.io.File(s"$modelPath/meta/_SUCCESS").exists())
       operators.NgramLm.saveModel(lmModel(spark, dir), modelPath)
@@ -1822,6 +1845,37 @@ object Queries {
   def t34_dsir_select(spark: SparkSession, dir: String): DataFrame =
     operators.Dsir.selectTopK(t(spark, dir, "documents"),
       "doc_id", "text", dsirModel(spark, dir), 100)
+
+  // ---------------------------------------------------------------- t41
+  // STREAMING DSIR (the t34 production twin, the t35 pattern): the
+  // document feed scored per micro-batch against the PERSISTED
+  // importance model (Dsir.saveModel — fit once, weigh the live feed);
+  // the stream emits EVERY doc's integer weight (global top-k stays a
+  // batch op over the accumulated scores). Stateless per batch,
+  // disk-as-state, parameter-stamped stage (the t35 stamping), replay
+  // appends nothing. The oracle is t34's chain without the top-k —
+  // stream must equal batch.
+  private[graft] def dsirStreamBase(dir: String, n: Int,
+                                    buckets: Int): String = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s"/tmp/graft_stream/$key/dsir_n${n}_b${buckets}" +
+      s"_s${srcStamp(dir, "documents.parquet")}"
+  }
+
+  def t41_stream_dsir(spark: SparkSession, dir: String): DataFrame = {
+    val batch = t(spark, dir, "documents")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stage = s"/tmp/graft_stream/$key/documents"
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      sources.Store.setSplayed(batch, stage)
+    val base = dsirStreamBase(dir, 2, 1 << 16)
+    val modelPath = s"$base/model"
+    if (!new java.io.File(s"$modelPath/meta/_SUCCESS").exists())
+      operators.Dsir.saveModel(dsirModel(spark, dir), modelPath)
+    streaming.Streams.dsirStream(spark, stage, batch, "doc_id", "text",
+      modelPath, outDir = s"$base/out", checkpoint = s"$base/ckpt")
+      .orderBy($"doc_id")
+  }
 
   private val t34_sql = {
     def s64(q: String): String =
@@ -1861,6 +1915,12 @@ object Queries {
        |    AS lw64
        |FROM toks d LEFT JOIN agg a USING (doc_id) CROSS JOIN k64
        |ORDER BY lw64 DESC, d.doc_id LIMIT 100""".stripMargin
+  }
+
+  // t41's oracle IS t34's chain without the top-k (stream == batch)
+  private lazy val t41_sql = {
+    val cut = t34_sql.lastIndexOf("ORDER BY lw64")
+    t34_sql.take(cut) + "ORDER BY d.doc_id"
   }
 
   // ---------------------------------------------------------------- t30
@@ -4573,6 +4633,7 @@ object Queries {
     "t38_corpus_card" -> (t38_corpus_card _),
     "t39_kn_quality" -> (t39_kn_quality _),
     "t40_kn3_quality" -> (t40_kn3_quality _),
+    "t41_stream_dsir" -> (t41_stream_dsir _),
     "t42_lm_quality_hashed" -> (t42_lm_quality_hashed _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
@@ -4718,6 +4779,7 @@ object Queries {
     "t38_corpus_card" -> t38_sql,
     "t39_kn_quality" -> t39_sql,
     "t40_kn3_quality" -> t40_sql,
+    "t41_stream_dsir" -> t41_sql,
     "t42_lm_quality_hashed" -> t42_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,

@@ -53,13 +53,22 @@ object TimeLm {
     time("empty-noAQE")(operators.NgramLm
       .score(docs.limit(0), "doc_id", "text", lm, 24L, 5L))
     spark.conf.set("spark.sql.adaptive.enabled", "true")
-    // the hash-space twin (t42): same chain, i64 pair structs
+    // the hash-space twin (t42). The folded plan is a narrow map, so a
+    // bare count() would PRUNE the scoring expression entirely (the
+    // t24 lesson) — force full evaluation through sum aggregates, and
+    // time the string path the same way for a like-for-like read
     val hlm = operators.NgramLm.fitHashed(docs.filter($"lang" === "en"),
       "text", cacheModel = true)
-    time("scoreHashed")(operators.NgramLm
-      .scoreHashed(docs, "doc_id", "text", hlm, 24L, 5L))
-    time("t42")(operators.NgramLm
-      .scoreHashed(docs, "doc_id", "text", hlm, 24L, 5L).orderBy($"doc_id"))
+    time("score-sum")(operators.NgramLm
+      .score(docs, "doc_id", "text", lm, 24L, 5L)
+      .agg(sum($"s64"), sum($"keep")))
+    time("scoreHashed-sum")(operators.NgramLm
+      .scoreHashed(docs, "doc_id", "text", hlm, 24L, 5L)
+      .agg(sum($"s64"), sum($"keep")))
+    time("hashed-joins-sum")(operators.NgramLm
+      .scoreHashed(docs, "doc_id", "text", hlm, 24L, 5L,
+        forceJoins = true)
+      .agg(sum($"s64"), sum($"keep")))
     if (sys.env.contains("SPARK_GRAFT_TIMELM_BASE")) {
       // cost decomposition of the pair explode: i64 gram hashes (one
       // codegen pass, no strings) vs the string-struct pair array

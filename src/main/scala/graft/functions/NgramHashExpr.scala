@@ -103,11 +103,17 @@ object NgramHashExpr {
   def ngramHashes(text: Column, n: Int): Column =
     ColumnInternals.column(NgramHashes(ColumnInternals.expr(text), n))
 
-  /** Column of adjacent token-hash pairs
+  /** Column of adjacent bounded-token-code pairs
     * (array<struct<h1:long,h2:long>>), one pass — the hash-space twin
-    * of `NgramLm.pairArr`. */
+    * of `NgramLm.pairArr` (the join-fallback scan side; the production
+    * path is the fully-folded [[LmScore64]]). */
   def bigramHashPairs(text: Column): Column =
     ColumnInternals.column(BigramHashPairs(ColumnInternals.expr(text)))
+
+  /** Per-document folded LM score struct<n_tok,n_big,s64> — one pass,
+    * no explode, no joins ([[LmScore64]]). */
+  def lmScore64(text: Column, model: LmFoldModel): Column =
+    ColumnInternals.column(LmScore64(ColumnInternals.expr(text), model))
 
   /** Column of all-k shingle-MinHash values (array<long>), one pass. */
   def shingleMinhashes(text: Column, n: Int, seeds: Seq[(Long, Long)]): Column =
@@ -115,16 +121,18 @@ object NgramHashExpr {
       seeds.map(_._1), seeds.map(_._2)))
 }
 
-/** Adjacent token-hash pairs of a document in ONE pass — the scan side
-  * of hash-space bigram-LM scoring (`NgramLm.fitHashed`/`scoreHashed`):
-  * tokenize once, compute each token's i64 hash once (the
-  * [[NgramHashes]] n=1 convention: tokenCode·K₀, so the DuckDB replay
-  * is `tokenCodeSql * 2654435761`), and emit the sliding pairs as
+/** Adjacent BOUNDED-token-code pairs of a document in ONE pass — the
+  * join-fallback scan side of hash-space bigram-LM scoring
+  * (`NgramLm.fitHashed`/`scoreHashed`): tokenize once, bound each
+  * token's code to 22 bits (tokenCode mod 2^22 — the DuckDB replay is
+  * `tokenCodeSql % 4194304`; the mod is the deterministic aliasing
+  * both engines share, and it licenses the INJECTIVE i64 pair pack
+  * `(m1 << 23) | m2` downstream), and emit the sliding pairs as
   * (h1, h2) structs. Replaces the measured-4.5s-per-500k-docs
   * string-struct materialization of the exact path (the
   * `NgramLm.pairArr` scaladoc's cost decomposition) with two i64s per
-  * pair. Hashes are non-negative (code < 2^22, K₀ < 2^32 — the product
-  * never wraps), so −1 is a safe OOV sentinel. */
+  * pair; the no-explode production path is [[LmScore64]]. Codes are
+  * non-negative, so −1 stays a safe OOV sentinel in the join path. */
 case class BigramHashPairs(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = BigramHashPairs.tpe
@@ -159,11 +167,28 @@ object BigramHashPairs {
     containsNull = false)
 
   def compute(text: UTF8String): ArrayData = {
-    val hs = NgramHashes.gramHashes(text.toString, 1)
-    val out = new Array[Any](math.max(0, hs.length - 1))
+    val s = text.toString
+    // bounded per-token codes, one pass (tokenCode mod 2^22)
+    var codes = new Array[Long](8)
+    var nTok = 0
+    var start = 0
+    val len = s.length
     var i = 0
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (nTok == codes.length)
+          codes = java.util.Arrays.copyOf(codes, nTok * 2)
+        codes(nTok) = MinHashes.tokenCode(s, start, i) & LmScore64.CodeMask
+        nTok += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](math.max(0, nTok - 1))
+    i = 0
     while (i < out.length) {
-      out(i) = org.apache.spark.sql.catalyst.InternalRow(hs(i), hs(i + 1))
+      out(i) =
+        org.apache.spark.sql.catalyst.InternalRow(codes(i), codes(i + 1))
       i += 1
     }
     new GenericArrayData(out)

@@ -113,12 +113,12 @@ object Dsir {
       meta.getLong(0), meta.getLong(1), meta.getInt(2), meta.getInt(3))
   }
 
-  /** Top-`k` documents of `corpus` by integer log importance weight:
-    * (idCol, n_gram, lw64) ordered by (lw64 DESC, id ASC) — lw64 in
-    * 1/64-bit log₂ steps. Count-table joins broadcast only under the
-    * bounded-bucket gate. */
-  def selectTopK(corpus: DataFrame, idCol: String, textCol: String,
-                 m: Model, k: Int): DataFrame = {
+  /** Every document's integer log importance weight: (idCol, n_gram,
+    * lw64) — the full scored corpus (streaming micro-batches score
+    * through this; [[selectTopK]] is the batch selection form).
+    * Count-table joins broadcast only under the bounded-bucket gate. */
+  def scoreAll(corpus: DataFrame, idCol: String,
+               textCol: String, m: Model): DataFrame = {
     import graft.functions.NgramHashExpr.ngramHashes
     def side(df: DataFrame, cName: String) = {
       val r = df.select($"b", $"c".as(cName))
@@ -139,7 +139,14 @@ object Dsir {
         coalesce(sum($"t64"), lit(0L)).as("s"))
       .select(col(idCol), $"n_gram",
         ($"s" + $"n_gram" * lit(m.k64)).as("lw64"))
+  }
+
+  /** Top-`k` documents of `corpus` by integer log importance weight:
+    * (idCol, n_gram, lw64) ordered by (lw64 DESC, id ASC) — lw64 in
+    * 1/64-bit log₂ steps; folds to TakeOrderedAndProject. */
+  def selectTopK(corpus: DataFrame, idCol: String, textCol: String,
+                 m: Model, k: Int): DataFrame =
+    scoreAll(corpus, idCol, textCol, m)
       .orderBy($"lw64".desc, col(idCol).asc)
       .limit(k)
-  }
 }

@@ -480,107 +480,166 @@ object NgramLm {
 
   // ------------------------------------------------------- hash space
   // The crawl-scale variant of the t33 chain: token identity is the
-  // i64 hash tokenCode·K₀ (the t09/t14 NgramHashes convention) instead
-  // of the string, so the scan side explodes (i64, i64) pairs — the
-  // measured decomposition in [[pairArr]]'s scaladoc: 6.0s of string-
-  // struct materialization per 500k docs vs 1.1s in hash space. The
-  // price is hash-collision ALIASING (tokenCode keys on the first 3
-  // code points + length, so e.g. "apple"/"apply" share a model row —
-  // standard for hashed-feature models at crawl scale, cf. DSIR's
-  // hashed buckets) and a vocab-cap tie-break on (cnt DESC, hash ASC)
-  // rather than token order. On a collision-free corpus with an
-  // untruncated cap the scores equal the exact path bit-for-bit
-  // (NgramLmSpec pins it).
+  // BOUNDED integer code tokenCode mod 2^22 instead of the string, so
+  // (a) an adjacent pair packs INJECTIVELY into one i64 key
+  // (m1 << 23 | m2 < 2^46) and (b) the whole model — vocab set, bigram
+  // and prefix counts — collapses into executor-side open-addressing
+  // maps probed by ONE codegen pass per document (functions.LmScore64):
+  // no pair explode, no model joins, no per-doc shuffle. Measured at
+  // the 100× probe: the string chain is 8.9s, the struct-pair explode
+  // alone 2.4s, the folded pass ~2s end-to-end. The price is
+  // deterministic ALIASING (tokenCode keys on the first 3 code points
+  // + length, then mod 2^22 — "apple"/"apply" share a model row;
+  // standard for hashed-feature models, cf. DSIR's buckets) and a
+  // vocab-cap tie-break on (cnt DESC, code ASC). Both engines replay
+  // the identical chain, so results hash-match; on a collision-free
+  // corpus with an untruncated cap the scores equal the exact path
+  // bit-for-bit (NgramLmSpec pins it). Above the map-collection gate
+  // (a reference corpus with > maxFoldEntries bigram types) scoring
+  // falls back to exploded pair keys + gated broadcast joins — same
+  // arithmetic, spec-pinned equal.
+  import graft.functions.{LmFoldModel, LmScore64, LongLongMap}
 
-  /** OOV sentinel in hash space: token hashes are non-negative
-    * (code < 2^22 times K₀ < 2^32 never wraps), so −1 is unreachable. */
-  val UnkHash: Long = -1L
+  /** OOV sentinel in code space: one past the 22-bit code range. */
+  val UnkCode: Long = LmScore64.Unk
 
-  /** A fit hash-space bigram LM — [[BigramLm]] with i64 token keys:
-    * `vocab` (hk), `bigrams` (m1, m2, cbi), `prefix` (m1, cpre). */
+  /** Bigram-type rows at or under this collect into the executor-side
+    * fold maps (~2×16 bytes each in the open table; ≈ 128 MB at the
+    * cap, shipped once per stage via the task-binary broadcast). The
+    * CCNet design keeps the reference corpus — and so the model —
+    * small; a model past the cap scores through the join path. */
+  val maxFoldEntries: Long = 1L << 22
+
+  /** A fit hash-space bigram LM: `vocab` (ck — bounded token code),
+    * `bigrams` (k = m1<<23|m2, cbi), `prefix` (m1, cpre), V' =
+    * |vocab|+1. `foldModel` materializes the collected probe maps when
+    * the bounded sizes license it (None above the gate). */
   case class HashedBigramLm(vocab: DataFrame, bigrams: DataFrame,
                             prefix: DataFrame, vPrime: Long,
-                            hinted: Boolean) {
+                            hinted: Boolean, bigramTypes: Long) {
     def unpersist(): Unit = { vocab.unpersist(); bigrams.unpersist() }
+    /** Collected fold maps — once per model instance (callers memoize
+      * models; the collect is bounded by the gate). */
+    @transient lazy val foldModel: Option[LmFoldModel] =
+      if (!hinted || bigramTypes > maxFoldEntries) None
+      else {
+        val v = vocab.collect().map(_.getLong(0))
+        val bi = bigrams.collect()
+        val pre = prefix.collect()
+        Some(new LmFoldModel(
+          LongLongMap.build(v, Array.fill(v.length)(1L)),
+          LongLongMap.build(bi.map(_.getLong(0)), bi.map(_.getLong(1))),
+          LongLongMap.build(pre.map(_.getLong(0)), pre.map(_.getLong(1))),
+          vPrime))
+      }
   }
 
-  /** Map h1/h2 to the bounded hash vocabulary (OOV → [[UnkHash]]) —
-    * the hash-space [[mapToks]]. */
-  private def mapHashes(pairs: DataFrame, vocab: DataFrame,
-                        hinted: Boolean): DataFrame = {
+  /** Map h1/h2 (bounded codes) to the vocabulary (OOV → [[UnkCode]])
+    * via joins — the fallback [[mapToks]]. */
+  private def mapCodes(pairs: DataFrame, vocab: DataFrame,
+                       hinted: Boolean): DataFrame = {
     def side(n: Int) = {
-      val v = vocab.select($"hk".as(s"v${n}h"))
+      val v = vocab.select($"ck".as(s"v${n}c"))
       if (hinted) broadcast(v) else v
     }
     pairs
-      .join(side(1), pairs("h1") === col("v1h"), "left")
-      .join(side(2), pairs("h2") === col("v2h"), "left")
-      .withColumn("m1", when($"v1h".isNotNull, $"h1")
-        .when($"h1".isNotNull, lit(UnkHash)))
-      .withColumn("m2", when($"v2h".isNotNull, $"h2")
-        .when($"h2".isNotNull, lit(UnkHash)))
-      .drop("v1h", "v2h")
+      .join(side(1), pairs("h1") === col("v1c"), "left")
+      .join(side(2), pairs("h2") === col("v2c"), "left")
+      .withColumn("m1", when($"v1c".isNotNull, $"h1")
+        .when($"h1".isNotNull, lit(UnkCode)))
+      .withColumn("m2", when($"v2c".isNotNull, $"h2")
+        .when($"h2".isNotNull, lit(UnkCode)))
+      .drop("v1c", "v2c")
   }
 
-  /** Fit the hash-space bigram LM — [[fit]] with i64 token keys; same
-    * caching contract. */
+  /** Fit the hash-space bigram LM — [[fit]] in bounded-code space;
+    * same caching contract. */
   def fitHashed(train: DataFrame, textCol: String,
                 maxVocab: Int = 1 << 16,
                 cacheModel: Boolean = false): HashedBigramLm = {
-    import graft.functions.NgramHashExpr.{ngramHashes, bigramHashPairs}
+    import graft.functions.NgramHashExpr.bigramHashPairs
     require(maxVocab > 0, "maxVocab must be positive (the cap is what " +
       "bounds the model)")
+    // per-token bounded codes, flat explode (Text.tokenCodeSql is the
+    // same polynomial the pair expression computes natively —
+    // spec-pinned equal to MinHashes.tokenCode)
     val uni = train
-      .select(explode(ngramHashes(col(textCol), 1)).as("hk"))
-      .groupBy($"hk").agg(count(lit(1)).as("cnt"))
-    val vocab0 = uni.orderBy($"cnt".desc, $"hk".asc).limit(maxVocab)
-      .select($"hk")
+      .select(explode(expr(
+        s"transform(split($textCol, ' '), w -> " +
+          s"CAST(${graft.functions.Text.tokenCodeSql("w")} AS BIGINT) % " +
+          s"${1L << 22}L)")).as("ck"))
+      .groupBy($"ck").agg(count(lit(1)).as("cnt"))
+    val vocab0 = uni.orderBy($"cnt".desc, $"ck".asc).limit(maxVocab)
+      .select($"ck")
     val vocab = if (cacheModel) vocab0.persist() else vocab0
     val hinted = maxVocab <= maxBroadcastVocab
     val pairs = train
       .select(explode(bigramHashPairs(col(textCol))).as("pr"))
       .select($"pr.h1".as("h1"), $"pr.h2".as("h2"))
-    val bigrams0 = mapHashes(pairs, vocab, hinted)
-      .groupBy($"m1", $"m2").agg(count(lit(1)).as("cbi"))
+    val bigrams0 = mapCodes(pairs, vocab, hinted)
+      .select((shiftleft($"m1", 23) + $"m2").as("k"))
+      .groupBy($"k").agg(count(lit(1)).as("cbi"))
     val bigrams = if (cacheModel) bigrams0.persist() else bigrams0
-    val prefix = bigrams.groupBy($"m1")
+    // m1 = k >> 23 exactly (m2 < 2^23): prefix derives from the keys
+    val prefix = bigrams.groupBy(shiftright($"k", 23).as("m1"))
       .agg(sum($"cbi").as("cpre"))
-    HashedBigramLm(vocab, bigrams, prefix, vocab.count() + 1L, hinted)
+    HashedBigramLm(vocab, bigrams, prefix, vocab.count() + 1L, hinted,
+      bigrams.count())
   }
 
   /** Score `corpus` under the hash-space model — same output shape,
-    * integer odds and keep gate as [[score]]. */
+    * integer odds and keep gate as [[score]]. The production plan is
+    * the FOLDED one-pass expression (narrow map, no shuffle); above
+    * the fold gate — or with `forceJoins` (spec parity) — the exploded
+    * pair keys join the model tables under the broadcast gate. */
   def scoreHashed(corpus: DataFrame, idCol: String, textCol: String,
-                  lm: HashedBigramLm, keepNum: Long,
-                  keepDen: Long): DataFrame = {
-    import graft.functions.NgramHashExpr.bigramHashPairs
+                  lm: HashedBigramLm, keepNum: Long, keepDen: Long,
+                  forceJoins: Boolean = false): DataFrame = {
+    import graft.functions.NgramHashExpr.{bigramHashPairs, lmScore64}
     require(keepDen > 0, "keepDen must be positive")
-    // n_tok below the explode (the pairArr O(len²) lesson)
-    val pairs = corpus
-      .select(col(idCol), col(textCol),
-        size(split(col(textCol), " ")).cast("long").as("n_tok"))
-      .select(col(idCol), $"n_tok",
-        explode_outer(bigramHashPairs(col(textCol))).as("pr"))
-      .select(col(idCol), $"n_tok",
-        $"pr.h1".as("h1"), $"pr.h2".as("h2"))
-    def model(df: DataFrame) = if (lm.hinted) broadcast(df) else df
-    val joined = mapHashes(pairs, lm.vocab, lm.hinted)
-      .join(model(lm.bigrams), Seq("m1", "m2"), "left")
-      .join(model(lm.prefix), Seq("m1"), "left")
-    val q = graft.functions.RF.euclidDiv(
-      coalesce($"cpre", lit(0L)) + lit(lm.vPrime),
-      coalesce($"cbi", lit(0L)) + lit(1L))
-    joined
-      .withColumn("s1", when($"h1".isNotNull, surprisal64(q)))
-      .groupBy(col(idCol), $"n_tok")
-      .agg(count($"h1").as("n_big"),
-        coalesce(sum($"s1"), lit(0L)).as("s64"))
-      .select(col(idCol), $"n_tok", $"n_big", $"s64",
-        when($"n_big" > 0L,
-          $"s64".cast("double") / ($"n_big" * 64L).cast("double"))
-          .as("bpt"),
-        when($"n_big" > 0L &&
-          $"s64" * lit(keepDen) <= lit(keepNum) * lit(64L) * $"n_big",
-          1L).otherwise(0L).as("keep"))
+    val fold = if (forceJoins) None else lm.foldModel
+    fold match {
+      case Some(fm) =>
+        corpus
+          .select(col(idCol), lmScore64(col(textCol), fm).as("r"))
+          .select(col(idCol), $"r.n_tok".as("n_tok"),
+            $"r.n_big".as("n_big"), $"r.s64".as("s64"))
+          .select(col(idCol), $"n_tok", $"n_big", $"s64",
+            when($"n_big" > 0L,
+              $"s64".cast("double") / ($"n_big" * 64L).cast("double"))
+              .as("bpt"),
+            when($"n_big" > 0L &&
+              $"s64" * lit(keepDen) <= lit(keepNum) * lit(64L) * $"n_big",
+              1L).otherwise(0L).as("keep"))
+      case None =>
+        // n_tok below the explode (the pairArr O(len²) lesson)
+        val pairs = corpus
+          .select(col(idCol), col(textCol),
+            size(split(col(textCol), " ")).cast("long").as("n_tok"))
+          .select(col(idCol), $"n_tok",
+            explode_outer(bigramHashPairs(col(textCol))).as("pr"))
+          .select(col(idCol), $"n_tok",
+            $"pr.h1".as("h1"), $"pr.h2".as("h2"))
+        def model(df: DataFrame) = if (lm.hinted) broadcast(df) else df
+        val joined = mapCodes(pairs, lm.vocab, lm.hinted)
+          .withColumn("k", shiftleft($"m1", 23) + $"m2")
+          .join(model(lm.bigrams), Seq("k"), "left")
+          .join(model(lm.prefix), Seq("m1"), "left")
+        val q = graft.functions.RF.euclidDiv(
+          coalesce($"cpre", lit(0L)) + lit(lm.vPrime),
+          coalesce($"cbi", lit(0L)) + lit(1L))
+        joined
+          .withColumn("s1", when($"m1".isNotNull, surprisal64(q)))
+          .groupBy(col(idCol), $"n_tok")
+          .agg(count($"m1").as("n_big"),
+            coalesce(sum($"s1"), lit(0L)).as("s64"))
+          .select(col(idCol), $"n_tok", $"n_big", $"s64",
+            when($"n_big" > 0L,
+              $"s64".cast("double") / ($"n_big" * 64L).cast("double"))
+              .as("bpt"),
+            when($"n_big" > 0L &&
+              $"s64" * lit(keepDen) <= lit(keepNum) * lit(64L) * $"n_big",
+              1L).otherwise(0L).as("keep"))
+    }
   }
 }

@@ -92,6 +92,34 @@ object Packing {
         ($"end_tok" - $"start_tok" + 1).as("n_toks"))
   }
 
+  /** Assemble position-sorted token-id arrays per (shard, chunk) from
+    * a (shard, chunk, pos, id) row stream — ONE shuffle; chunk groups
+    * are budget-bounded by construction, so the per-group collect is
+    * safe at any corpus size. Returns (shard, chunk, n_tokens,
+    * token_ids array<long>). */
+  def assembleShards(rows: DataFrame): DataFrame =
+    rows.groupBy($"shard", $"chunk")
+      .agg(count(lit(1)).as("n_tokens"),
+        transform(array_sort(collect_list(struct($"pos", $"id"))),
+          x => x.getField("id")).as("token_ids"))
+
+  /** Materialize the packed training shards as the consumable parquet
+    * artifact — array<long> token ids per (shard, chunk), partitioned
+    * by shard so a trainer's data loader reads its shard's files and
+    * nothing else (partition pruning on `shard`). This is the chain's
+    * true last mile; the dash-joined STRING form in the t37 query
+    * exists only for the driver's hash compare. */
+  def writeShards(rows: DataFrame, path: String): Unit =
+    assembleShards(rows).write.mode("overwrite")
+      .partitionBy("shard").parquet(path)
+
+  /** Read shards back (optionally one shard — partition-pruned). */
+  def readShards(spark: org.apache.spark.sql.SparkSession, path: String,
+                 shard: Option[Int] = None): DataFrame = {
+    val df = spark.read.parquet(path)
+    shard.map(s => df.filter($"shard" === s)).getOrElse(df)
+  }
+
   def chunkSpans(df: DataFrame, idCol: String, lenCol: Column,
                  budget: Long, shards: Int): DataFrame = {
     val id = col(idCol).cast("long")

@@ -226,6 +226,40 @@ object Streams {
       keepNum, keepDen)
   }
 
+  /** Streaming DSIR scoring (the t34 production twin, the
+    * [[lmQualityStream]] pattern verbatim): score a live document feed
+    * per micro-batch against a PERSISTED hashed-n-gram importance
+    * model (`Dsir.saveModel` — fit once on target+raw, the stream
+    * weighs today's feed at micro-batch latency; global top-k stays a
+    * BATCH operation over the accumulated scores, which is why the
+    * stream emits every doc's weight). Stateless per batch, model
+    * loads inside the cloned session, disk-as-state, at-least-once,
+    * checkpointed batch-skip on replay. */
+  def dsirStream(spark: SparkSession, srcDir: String,
+                 schemaFrom: DataFrame, idCol: String, textCol: String,
+                 modelPath: String, outDir: String, checkpoint: String,
+                 statePartitions: Int = 2): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val mSs = graft.operators.Dsir.loadModel(ss, modelPath)
+    val stream = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dsir.scoreAll(batch, idCol, textCol, mSs)
+          .write.mode("append").parquet(outDir)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    if (new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(outDir)))
+      spark.read.parquet(outDir)
+    else graft.operators.Dsir.scoreAll(schemaFrom.limit(0), idCol,
+      textCol, graft.operators.Dsir.loadModel(spark, modelPath))
+  }
+
   /** PRODUCTION form of the q54 streaming dedup: `withWatermark` +
     * `dropDuplicatesWithinWatermark`, so the fingerprint state for keys
     * older than the watermark ages out instead of growing with the whole

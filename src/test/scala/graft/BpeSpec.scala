@@ -201,4 +201,31 @@ class BpeSpec extends SparkSpec {
     val got = rows.filter(_._1 == 0L).sortBy(_._2).flatMap(_._4).toSeq
     assert(got == expect)
   }
+
+  test("writeShards materializes (shard, chunk, array<long>) parquet " +
+      "bit-exact against t37's dash-joined strings, partitioned by " +
+      "shard for pruned loader reads") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_shards").toString
+    operators.Packing.writeShards(Queries.t37PackedRows(spark, sf), dir)
+    // shard=N partition layout on disk → loader partition pruning
+    assert(new java.io.File(dir).list().count(_.startsWith("shard=")) == 4)
+    val back = operators.Packing.readShards(spark, dir)
+      .select($"shard".cast("long"), $"chunk", $"n_tokens",
+        concat_ws("-", transform($"token_ids", x => x.cast("string"))))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(r => (r._1, r._2)).toSeq
+    val q = SparkEntry.queries("t37_bpe_shards")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSeq
+    assert(back == q)
+    // single-shard read returns exactly that shard's chunks
+    val one = operators.Packing.readShards(spark, dir, Some(2))
+    assert(one.select(countDistinct($"shard")).collect().head.getLong(0)
+      == 1L)
+    assert(one.count() == q.count(_._1 == 2L).toLong)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
 }

@@ -67,4 +67,31 @@ class DsirSpec extends SparkSpec {
     val enBase = docs.filter($"lang" === "en").count().toDouble / docs.count()
     assert(enSel > enBase, s"selected en share $enSel <= base $enBase")
   }
+
+  test("streaming DSIR equals batch scoring from the persisted model; " +
+      "drained replay appends nothing; top-k over the streamed scores " +
+      "equals batch selectTopK") {
+    val docs = Tables.load(spark, sf, "documents")
+    val base = s"/tmp/graft_dsirstream_spec/${System.nanoTime()}"
+    val (feed, model) = (s"$base/feed", s"$base/model")
+    docs.write.parquet(feed)
+    val m = Dsir.fit(docs.filter($"lang" === "en"), docs, "text",
+      n = 2, buckets = 1 << 16)
+    Dsir.saveModel(m, model)
+    def run() = streaming.Streams.dsirStream(spark, feed, docs,
+      "doc_id", "text", model, s"$base/out", s"$base/ckpt")
+    val streamed = run().orderBy($"doc_id").collect().toSeq
+    val batch = Dsir.scoreAll(docs, "doc_id", "text", m)
+      .orderBy($"doc_id").collect().toSeq
+    assert(streamed == batch)
+    // replay over the drained feed appends nothing
+    assert(run().count() == batch.length.toLong)
+    // the batch selection = top-k over the streamed weights
+    val topStream = run().orderBy($"lw64".desc, $"doc_id".asc).limit(100)
+      .collect().toSeq
+    val topBatch = Dsir.selectTopK(docs, "doc_id", "text", m, 100)
+      .collect().toSeq
+    assert(topStream == topBatch)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }

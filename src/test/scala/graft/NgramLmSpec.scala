@@ -250,6 +250,20 @@ class NgramLmSpec extends SparkSpec {
     // "apple" and "apply" share tokenCode → ONE unigram hash row
     assert(cLm.vPrime == 2L,
       "tokenCode aliasing must fold apple/apply into one vocab row")
+    // the folded one-pass plan equals the join paths bit-for-bit:
+    // forceJoins = broadcast-join route, hinted=false = shuffle-join
+    // route (the above-the-gate shapes)
+    assert(hs.foldModel.isDefined, "default model must license the fold")
+    val joinPath = NgramLm
+      .scoreHashed(docs, "doc_id", "text", hs, 24L, 5L,
+        forceJoins = true)
+      .orderBy($"doc_id").collect().toSeq
+    assert(joinPath == b, "fold path diverged from the broadcast joins")
+    val shufflePath = NgramLm
+      .scoreHashed(docs, "doc_id", "text", hs.copy(hinted = false),
+        24L, 5L)
+      .orderBy($"doc_id").collect().toSeq
+    assert(shufflePath == b, "fold path diverged from the shuffle joins")
   }
 
   test("t33 on the documents table: the en-trained model separates the " +

@@ -120,4 +120,41 @@ class StorageStreamSpec extends SparkSpec {
       Seq("doc_id", "n_tok", "n_big", "s64", "bpt", "keep"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
+
+  test("parameter-stamped streaming stages: a changed keep gate lands " +
+      "in a FRESH stage dir with correct output — stale state never " +
+      "pollutes, no manual cleanup") {
+    // the t35 stamping wires every model/gate param + the source stamp
+    // into the stage base, so any change self-invalidates
+    val bA = Queries.lmStreamBase(sf, 1 << 16, 24L, 5L)
+    assert(bA == Queries.lmStreamBase(sf, 1 << 16, 24L, 5L))
+    assert(bA != Queries.lmStreamBase(sf, 1 << 16, 2L, 1L))
+    assert(bA != Queries.lmStreamBase(sf, 1 << 15, 24L, 5L))
+    // and behaviorally: run the stream at gate A, then at gate B in
+    // its stamped dir — B's output must match BATCH at gate B (stale
+    // A-state would leak A's keeps if the stages were shared)
+    val docs = Tables.load(spark, sf, "documents")
+    val base = s"/tmp/graft_lmstamp_spec/${System.nanoTime()}"
+    val feed = s"$base/feed"
+    docs.write.parquet(feed)
+    val lm = operators.NgramLm.fit(docs.filter($"lang" === "en"), "text")
+    def run(keepNum: Long, keepDen: Long) = {
+      // the stamped layout: everything under one per-param dir
+      val pbase = s"$base/lm_quality_v65536_k$keepNum-$keepDen"
+      operators.NgramLm.saveModel(lm, s"$pbase/model")
+      streaming.Streams.lmQualityStream(spark, feed, docs,
+        "doc_id", "text", s"$pbase/model", keepNum, keepDen,
+        s"$pbase/out", s"$pbase/ckpt")
+        .orderBy($"doc_id").collect().toSeq
+    }
+    def batch(keepNum: Long, keepDen: Long) =
+      operators.NgramLm.score(docs, "doc_id", "text", lm,
+        keepNum, keepDen).orderBy($"doc_id").collect().toSeq
+    val a = run(24L, 5L)
+    val b = run(2L, 1L)
+    assert(a == batch(24L, 5L))
+    assert(b == batch(2L, 1L))
+    assert(a != b, "gates must differ for the isolation check to bite")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }
