@@ -1257,6 +1257,55 @@ object Queries {
       |  cum_excl % 512 AS chunk_offset
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t43
+  // Tokenizer fertility card — the standard multilingual
+  // tokenizer-health metric (tokens per word and characters per token,
+  // per language): a vocabulary trained on a skewed mix over-segments
+  // under-represented languages, and THIS is the audit that shows it.
+  // Composition: the cached word-freq dict + trained merges + the
+  // broadcast (gated) per-word token-count lookup — so the corpus-side
+  // work is ONE word explode + hash probe + (lang) aggregation. The
+  // two ratio columns are single IEEE divisions of exact integers (the
+  // t33 bpt precedent — deterministic cross-engine). The oracle
+  // replays the 40-stage BPE chain and reads word token counts off
+  // the final stage.
+  def t43_bpe_fertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val (wf, nVocab) = bpeWordFreq(spark, dir)
+    val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
+    val wt = operators.Bpe.wordTokenCounts(wf, merges)
+    val side =
+      if (nVocab <= operators.Bpe.maxBroadcastVocab) broadcast(wt) else wt
+    docs.select($"lang", explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+      .join(side, "word")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"ntok").as("n_btok"),
+        sum(length($"word")).cast("long").as("n_chars"))
+      .select($"lang", $"n_words", $"n_btok", $"n_chars",
+        ($"n_btok".cast("double") / $"n_words".cast("double"))
+          .as("fertility"),
+        ($"n_chars".cast("double") / $"n_btok".cast("double"))
+          .as("chars_per_tok"))
+      .orderBy($"lang")
+  }
+
+  private lazy val t43_sql =
+    bpeHeadSql + s""",
+      |wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS ntok
+      |       FROM words_$bpeMergeCount),
+      |dw AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+      |       FROM documents),
+      |j AS (SELECT lang, dw.word, wt.ntok FROM dw
+      |      JOIN wt USING (word) WHERE word <> '')
+      |SELECT lang, COUNT(*) AS n_words,
+      |  CAST(SUM(ntok) AS BIGINT) AS n_btok,
+      |  CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+      |  CAST(SUM(ntok) AS DOUBLE) / COUNT(*) AS fertility,
+      |  CAST(SUM(length(word)) AS DOUBLE) / SUM(ntok) AS chars_per_tok
+      |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---------------------------------------------------------------- t38
   // Corpus audit card (the governance report a 100 TB shard audit
   // reads): per (lang, source) slice — docs, exact token mass, Gopher
@@ -4635,6 +4684,7 @@ object Queries {
     "t40_kn3_quality" -> (t40_kn3_quality _),
     "t41_stream_dsir" -> (t41_stream_dsir _),
     "t42_lm_quality_hashed" -> (t42_lm_quality_hashed _),
+    "t43_bpe_fertility" -> (t43_bpe_fertility _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -4781,6 +4831,7 @@ object Queries {
     "t40_kn3_quality" -> t40_sql,
     "t41_stream_dsir" -> t41_sql,
     "t42_lm_quality_hashed" -> t42_sql,
+    "t43_bpe_fertility" -> t43_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

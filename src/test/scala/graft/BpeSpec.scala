@@ -202,6 +202,31 @@ class BpeSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("t43 fertility card: every word is at least one token " +
+      "(fertility >= 1), token mass matches docTokenCounts, and word " +
+      "counts match the raw split") {
+    import org.apache.spark.sql.functions._
+    val out = SparkEntry.queries("t43_bpe_fertility")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (nw, nt, nc) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (fert, cpt) = (r.getDouble(4), r.getDouble(5))
+      assert(nt >= nw, s"lang ${r.getString(0)}: fewer tokens than words")
+      assert(fert == nt.toDouble / nw && cpt == nc.toDouble / nt)
+    }
+    val docs = Tables.load(spark, sf, "documents")
+    val words = docs
+      .select(explode(split($"text", " ")).as("w")).filter($"w" =!= "")
+      .count()
+    assert(out.map(_.getLong(1)).sum == words)
+    val wf = operators.Bpe.wordFreq(docs, "text")
+    val merges = operators.Bpe.trainMergesFromFreq(wf, 40)
+    val total = operators.Bpe
+      .docTokenCounts(docs, "doc_id", "text", wf, merges)
+      .agg(sum($"n_btok")).collect().head.getLong(0)
+    assert(out.map(_.getLong(2)).sum == total)
+  }
+
   test("writeShards materializes (shard, chunk, array<long>) parquet " +
       "bit-exact against t37's dash-joined strings, partitioned by " +
       "shard for pruned loader reads") {
