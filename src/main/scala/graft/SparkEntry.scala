@@ -2784,6 +2784,66 @@ object Queries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t44
+  // Persisted LSH dedup index lifecycle — the incremental-snapshot
+  // dedup a rolling crawl needs: BUILD the signature index on the first
+  // half of the corpus, APPEND the third quarter (the next snapshot),
+  // then PROBE the last quarter as the new batch — candidates come from
+  // the STORED signatures (the old corpus's text is never re-read),
+  // verified by exact Jaccard. The oracle cannot tell build from append
+  // (that is the point: incremental ≡ rebuilt — spec-pinned too), so it
+  // replays signatures over doc_id % 4 < 3 as the index side.
+  def t44_lsh_index_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val path = s"/tmp/graft_lshidx/${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+      s"_${srcStamp(dir, "documents.parquet")}"
+    // `appended` marks the END of the two-step lifecycle: buckets/_SUCCESS
+    // alone would pass after a crash between build and append.
+    if (!new java.io.File(s"$path/appended").exists()) {
+      Dedup.buildLshIndex(docs.filter($"doc_id" % 4 < 2), "doc_id", "text",
+        numHashes = 16, bands = 2, path)
+      Dedup.appendToLshIndex(docs.filter($"doc_id" % 4 === 2), "doc_id",
+        "text", path)
+      new java.io.File(s"$path/appended").createNewFile()
+    }
+    val cands = Dedup.probeLshIndex(docs.filter($"doc_id" % 4 === 3),
+      "doc_id", "text", path, maxBucketSize = 100)
+      .select($"id_idx".as("id_a"), $"id_new".as("id_b"))
+    Dedup.jaccardVerify(cands, docs, "doc_id", "text", threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val t44_sql = {
+    val sigCols = Text.minhashSeeds(16).zipWithIndex.map { case ((a, b), i) =>
+      s"${Text.duck.minhashSql("text", a, b)} AS s$i"
+    }.mkString(",\n    ")
+    def band(lo: Int) = (lo until lo + 8).map(i => s"s$i").mkString(", ")
+    s"""WITH sigs AS (
+       |  SELECT doc_id, $sigCols
+       |  FROM documents),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, concat_ws('_', ${band(0)}) AS bucket FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, concat_ws('_', ${band(8)}) AS bucket FROM sigs),
+       |idx AS (SELECT * FROM bands WHERE doc_id % 4 < 3),
+       |newb AS (SELECT * FROM bands WHERE doc_id % 4 = 3),
+       |big AS (SELECT band, bucket FROM idx
+       |  GROUP BY band, bucket HAVING COUNT(*) > 100),
+       |kept AS (SELECT idx.* FROM idx ANTI JOIN big USING (band, bucket)),
+       |pairs AS (SELECT DISTINCT k.doc_id AS id_a, n.doc_id AS id_b
+       |  FROM kept k JOIN newb n USING (band, bucket)),
+       |tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+       |  FROM documents)
+       |SELECT p.id_a, p.id_b,
+       |  ROUND(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE) /
+       |    (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))), 4) AS jac
+       |FROM pairs p JOIN tok ta ON ta.doc_id = p.id_a
+       |  JOIN tok tb ON tb.doc_id = p.id_b
+       |WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE) /
+       |    (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d07
   // SimHash near-dup pairs (blocked hamming), DuckDB-oracled end to end.
   def d07_simhash_neardup(spark: SparkSession, dir: String): DataFrame =
@@ -4685,6 +4745,7 @@ object Queries {
     "t41_stream_dsir" -> (t41_stream_dsir _),
     "t42_lm_quality_hashed" -> (t42_lm_quality_hashed _),
     "t43_bpe_fertility" -> (t43_bpe_fertility _),
+    "t44_lsh_index_dedup" -> (t44_lsh_index_dedup _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -4832,6 +4893,7 @@ object Queries {
     "t41_stream_dsir" -> t41_sql,
     "t42_lm_quality_hashed" -> t42_sql,
     "t43_bpe_fertility" -> t43_sql,
+    "t44_lsh_index_dedup" -> t44_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

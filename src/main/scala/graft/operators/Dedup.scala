@@ -56,9 +56,11 @@ object Dedup {
     * sharing any band bucket become a candidate pair (id_a < id_b).
     * Scale shape: explode to (band, bucket) rows, self-join on the bucket
     * key — work is proportional to bucket sizes, never to n². */
-  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                        numHashes: Int = 16, bands: Int = 4,
-                        maxBucketSize: Int = 1000): DataFrame = {
+  /** The banded-signature rows `(id, band, bucket)` — the unit both the
+    * transient candidate join and the PERSISTED index store. One codegen
+    * signature pass per doc, then an explode to `bands` rows. */
+  private[graft] def bucketRows(df: DataFrame, idCol: String, textCol: String,
+                                numHashes: Int, bands: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     val sigged = withMinhashSignature(df, textCol, numHashes)
     val bandCols = (0 until bands).map { b =>
@@ -66,13 +68,19 @@ object Dedup {
         concat_ws("_", (0 until rowsPerBand)
           .map(r => col(s"sig_${b * rowsPerBand + r}")): _*).as("bucket"))
     }
+    sigged
+      .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bb"))
+      .select($"id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+  }
+
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                        numHashes: Int = 16, bands: Int = 4,
+                        maxBucketSize: Int = 1000): DataFrame = {
     // Materialize the (id, band, bucket) rows ONCE: every consumer below
     // reads them twice (self-join sides) — without this the MinHash
     // signatures are recomputed per consumer. At warehouse scale this is
     // "write the signature table", here a local checkpoint.
-    val buckets = sigged
-      .select(col(idCol).as("id"), explode(array(bandCols: _*)).as("bb"))
-      .select($"id", $"bb.band".as("band"), $"bb.bucket".as("bucket"))
+    val buckets = bucketRows(df, idCol, textCol, numHashes, bands)
       .localCheckpoint()
     // Cap bucket size: a degenerate bucket (boilerplate/spam cluster)
     // would turn the self-join quadratic; production LSH dedup skips such
@@ -371,5 +379,74 @@ object Dedup {
       .withColumn("cos", Similarity.cosine($"v_a", $"v_b"))
       .filter($"cos" >= threshold)
       .select($"id_a", $"id_b", round($"cos", 6).as("cos"))
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted MinHash-LSH dedup index — the incremental-snapshot dedup
+  // lifecycle a rolling 100 TB crawl needs: hash each snapshot's text
+  // ONCE when it arrives, keep only the tiny banded-signature rows on
+  // disk, and dedup every NEW batch against the accumulated corpus by a
+  // signature join — the old corpus's text is never re-read, never
+  // re-hashed. (Reference scope: the batch LSH pipeline above; the
+  // persisted lifecycle mirrors buildIvfIndex/appendToIvfIndex.)
+  // On-disk layout: `path/meta` pins (num_hashes, bands) — a probe or
+  // append under different parameters would silently never match, so
+  // both fail fast on mismatch; `path/buckets` is the signature table
+  // partitioned by band (per-band inverted lists).
+  // ------------------------------------------------------------------
+
+  private def lshMeta(spark: org.apache.spark.sql.SparkSession,
+                      path: String): (Int, Int) = {
+    require(Similarity.fsDirExists(spark, s"$path/meta"),
+      s"no LSH index at $path (missing $path/meta — buildLshIndex first)")
+    val r = spark.read.parquet(s"$path/meta")
+      .select(col("num_hashes"), col("bands")).collect().head
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** Build the persisted index from the initial corpus: one signature
+    * pass + one band-partitioned write. */
+  def buildLshIndex(df: DataFrame, idCol: String, textCol: String,
+                    numHashes: Int, bands: Int, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((numHashes, bands)).toDF("num_hashes", "bands")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    bucketRows(df, idCol, textCol, numHashes, bands)
+      .write.mode("overwrite").partitionBy("band").parquet(s"$path/buckets")
+  }
+
+  /** Append a new snapshot's signatures without touching existing rows:
+    * the incremental half. Parameters are read from the stored meta and
+    * are by construction consistent with the build. */
+  def appendToLshIndex(df: DataFrame, idCol: String, textCol: String,
+                       path: String): Unit = {
+    val (numHashes, bands) = lshMeta(df.sparkSession, path)
+    bucketRows(df, idCol, textCol, numHashes, bands)
+      .write.mode("append").partitionBy("band").parquet(s"$path/buckets")
+  }
+
+  /** Candidate near-dups of a NEW batch against the indexed corpus:
+    * signature rows for the batch (its only text pass), a (band, bucket)
+    * join against the stored rows, distinct pairs. The bucket-size cap
+    * applies to INDEX buckets (degenerate boilerplate clusters live in
+    * the accumulated corpus; their members are caught by exact dedup) —
+    * the oversized-bucket list is tiny → broadcast anti-join. Work is
+    * proportional to |index|+|batch| signature rows, never to the
+    * corpus text. Returns (id_idx, id_new). */
+  def probeLshIndex(newDf: DataFrame, idCol: String, textCol: String,
+                    path: String, maxBucketSize: Int = 1000): DataFrame = {
+    val spark = newDf.sparkSession
+    val (numHashes, bands) = lshMeta(spark, path)
+    val idx = spark.read.parquet(s"$path/buckets")
+      .select(col("id").as("id_idx"), col("band"), col("bucket"))
+    val big = idx.groupBy($"band", $"bucket")
+      .agg(count(lit(1)).as("__n")).filter($"__n" > maxBucketSize)
+      .select($"band", $"bucket")
+    val kept = idx.join(broadcast(big), Seq("band", "bucket"), "left_anti")
+    val batch = bucketRows(newDf, idCol, textCol, numHashes, bands)
+      .select($"band", $"bucket", $"id".as("id_new"))
+    kept.join(batch, Seq("band", "bucket"))
+      .select($"id_idx", $"id_new").distinct()
   }
 }

@@ -33,6 +33,36 @@ class PipelineSpec extends SparkSpec {
     assert(!verified.exists(p => p._2 == 3L || p._2 == 4L && p._1 == 3L))
   }
 
+  test("persisted LSH index: build+append == one-shot rebuild, probe " +
+      "matches the in-memory bucket join, missing index fails fast") {
+    val base = java.nio.file.Files.createTempDirectory("lshidx").toString
+    val all = Tables.load(spark, sf, "documents")
+    val old = all.filter($"doc_id" % 4 < 2)
+    val mid = all.filter($"doc_id" % 4 === 2)
+    val neu = all.filter($"doc_id" % 4 === 3)
+    Dedup.buildLshIndex(old, "doc_id", "text", 16, 2, s"$base/inc")
+    Dedup.appendToLshIndex(mid, "doc_id", "text", s"$base/inc")
+    Dedup.buildLshIndex(all.filter($"doc_id" % 4 < 3), "doc_id", "text",
+      16, 2, s"$base/full")
+    def pairs(p: String) = Dedup.probeLshIndex(neu, "doc_id", "text", p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inc = pairs(s"$base/inc")
+    assert(inc == pairs(s"$base/full"), "incremental != rebuilt index")
+    // the stored-signature join equals the in-memory bucket join
+    val idxRows = Dedup.bucketRows(all.filter($"doc_id" % 4 < 3),
+      "doc_id", "text", 16, 2)
+      .select($"band", $"bucket", $"id".as("id_idx"))
+    val newRows = Dedup.bucketRows(neu, "doc_id", "text", 16, 2)
+      .select($"band", $"bucket", $"id".as("id_new"))
+    val want = idxRows.join(newRows, Seq("band", "bucket"))
+      .select($"id_idx", $"id_new").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == want && want.nonEmpty)
+    intercept[IllegalArgumentException] {
+      Dedup.probeLshIndex(neu, "doc_id", "text", s"$base/nope")
+    }
+  }
+
   test("shingle minhashes = affine-min over the pinned gram hashes; " +
       "short docs take the sentinel") {
     import graft.functions.{NgramHashExpr, ShingleMinHashes}
