@@ -2844,6 +2844,34 @@ object Queries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t45
+  // Prototype semantic quality filter (the CLIP-score/DataComp shape):
+  // centroid of the curated anchor set (label 0) as the quality
+  // prototype — an exact-decimal mean, so a replayable model artifact —
+  // then every vector scored by cosine to it, keep = score ≥ τ. The
+  // scoring plan is ONE narrow codegen map (centroid is a literal):
+  // at 100 TB this is scan-speed model-based filtering.
+  def t45_proto_quality(spark: SparkSession, dir: String): DataFrame =
+    Similarity.prototypeScore(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", protoCentroid(spark, dir), threshold = 0.2)
+      .select($"id".as("vec_id"), $"score", $"keep")
+      .orderBy($"vec_id")
+
+  private val t45_sql =
+    """WITH v AS (SELECT vec_id, label,
+      |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |px AS (SELECT i, CAST(emb[i] AS DOUBLE) AS x FROM (
+      |  SELECT emb, unnest(generate_series(1, len(emb))) AS i
+      |  FROM v WHERE label = 0)),
+      |m AS (SELECT i, CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+      |        / COUNT(*) AS m
+      |      FROM px GROUP BY i),
+      |c AS (SELECT list(m ORDER BY i) AS cv FROM m)
+      |SELECT vec_id, ROUND(list_cosine_similarity(emb, cv), 6) AS score,
+      |  CASE WHEN list_cosine_similarity(emb, cv) >= 0.2 THEN 1 ELSE 0 END
+      |    AS keep
+      |FROM v, c ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- d07
   // SimHash near-dup pairs (blocked hamming), DuckDB-oracled end to end.
   def d07_simhash_neardup(spark: SparkSession, dir: String): DataFrame =
@@ -3789,6 +3817,16 @@ object Queries {
     centCache.computeIfAbsent(s"$dir@${srcStamp(dir, "embeddings.parquet")}", _ =>
       Similarity.fitCentroids(t(spark, dir, "embeddings"),
         "vec_id", "embedding", nCells = 8, Similarity.LloydIters))
+
+  /** Anchor-set prototype centroid (label-0 vectors) — a per-corpus
+    * model artifact like the Lloyd centroids: deterministic exact mean,
+    * so cached == fresh. */
+  private val protoCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Double]]()
+  private def protoCentroid(spark: SparkSession, dir: String): Seq[Double] =
+    protoCache.computeIfAbsent(s"$dir@${srcStamp(dir, "embeddings.parquet")}",
+      _ => Similarity.exactMean(
+        t(spark, dir, "embeddings").filter($"label" === 0), "embedding"))
 
   /** Source mtime for index-artifact cache keys: a driver-side testdata
     * regeneration within a long-lived JVM must not reuse stale fits. */
@@ -4746,6 +4784,7 @@ object Queries {
     "t42_lm_quality_hashed" -> (t42_lm_quality_hashed _),
     "t43_bpe_fertility" -> (t43_bpe_fertility _),
     "t44_lsh_index_dedup" -> (t44_lsh_index_dedup _),
+    "t45_proto_quality" -> (t45_proto_quality _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -4894,6 +4933,7 @@ object Queries {
     "t42_lm_quality_hashed" -> t42_sql,
     "t43_bpe_fertility" -> t43_sql,
     "t44_lsh_index_dedup" -> t44_sql,
+    "t45_proto_quality" -> t45_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

@@ -53,6 +53,53 @@ object Similarity {
       .limit(k)
   }
 
+  /** Exact per-dimension mean of a vector column — a tiny model artifact
+    * (the anchor-set prototype): per-partition BigDecimal(scale-18)
+    * partial sums folded on the driver, so the mean is order-independent
+    * on any layout; the rounding is Spark's double→DECIMAL(38,18) cast,
+    * which a DuckDB oracle replays with CAST(x AS DECIMAL(38,18)). The
+    * same fold `lloyd` uses, minus the cell assignment. */
+  def exactMean(df: DataFrame, vecCol: String): Seq[Double] = {
+    val v = df.select(col(vecCol).cast("array<double>").as("v"))
+    val dim = v.limit(1).collect().head.getSeq[Double](0).length
+    val (sums, n) = v.queryExecution.toRdd.mapPartitions { it =>
+      val s = Array.fill(dim)(java.math.BigDecimal.ZERO)
+      var n = 0L
+      it.foreach { row =>
+        val arr = row.getArray(0)
+        var i = 0
+        while (i < dim) {
+          s(i) = s(i).add(java.math.BigDecimal.valueOf(arr.getDouble(i))
+            .setScale(18, java.math.RoundingMode.HALF_UP))
+          i += 1
+        }
+        n += 1
+      }
+      Iterator.single((s, n))
+    }.reduce { case ((s1, n1), (s2, n2)) =>
+      var i = 0
+      while (i < dim) { s1(i) = s1(i).add(s2(i)); i += 1 }
+      (s1, n1 + n2)
+    }
+    require(n > 0, "exactMean: empty anchor set")
+    sums.map(_.doubleValue() / n).toSeq
+  }
+
+  /** Prototype (anchor-centroid) semantic quality scoring — the
+    * embedding-side model filter (the CLIP-score/DataComp pattern):
+    * score every vector by cosine to the centroid of a curated anchor
+    * set, keep = score ≥ τ. The centroid is a broadcast literal (a
+    * model artifact, not data), so scoring is ONE narrow codegen map —
+    * no join, no shuffle; at 100 TB this runs at scan speed. */
+  def prototypeScore(df: DataFrame, idCol: String, vecCol: String,
+                     centroid: Seq[Double], threshold: Double): DataFrame = {
+    val cv = array(centroid.map(lit): _*)
+    df.select(col(idCol).as("id"),
+      cosine(col(vecCol).cast("array<double>"), cv).as("__c"))
+      .select(col("id"), round(col("__c"), 6).as("score"),
+        when(col("__c") >= threshold, 1).otherwise(0).as("keep"))
+  }
+
   /** k-NN JOIN: exact top-k cosine neighbors for EVERY query in a query
     * set (vs `bruteForceTopK`'s single query row) — the batch-retrieval
     * shape (eval-set contamination probes, hard-negative mining,

@@ -63,6 +63,42 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("prototype scoring: exactMean is layout-independent and exact; " +
+      "anchor rows separate from the rest; keep == unrounded gate") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val anchor = emb.filter($"label" === 0)
+    val m1 = Similarity.exactMean(anchor.repartition(7), "embedding")
+    val m7 = Similarity.exactMean(anchor.coalesce(1), "embedding")
+    assert(m1.map(java.lang.Double.doubleToLongBits) ==
+      m7.map(java.lang.Double.doubleToLongBits), "layout changed the mean")
+    // equals the straightforward exact-decimal mean of the collected rows
+    val rows = anchor.select($"embedding".cast("array<double>"))
+      .collect().map(_.getSeq[Double](0))
+    val want = (0 until rows.head.length).map { i =>
+      rows.map(r => java.math.BigDecimal.valueOf(r(i))
+        .setScale(18, java.math.RoundingMode.HALF_UP))
+        .reduce(_ add _).doubleValue() / rows.length
+    }
+    assert(m1 == want)
+    val scored = Similarity.prototypeScore(emb, "vec_id", "embedding",
+      m1, threshold = 0.2)
+      .join(emb.select($"vec_id".as("id"), $"label"), "id")
+      .collect()
+    val (in, out) = scored.partition(_.getAs[Int]("label") == 0)
+    def avg(xs: Array[Double]) = xs.sum / xs.length
+    assert(avg(in.map(_.getAs[Double]("score"))) >
+      avg(out.map(_.getAs[Double]("score"))) + 0.1,
+      "anchor set does not separate from the rest")
+    scored.foreach { r =>
+      assert(r.getAs[Int]("keep") ==
+        (if (r.getAs[Double]("score") >= 0.2) 1 else 0) ||
+        // rounding can pull a just-above-τ score to the boundary; the
+        // gate uses the unrounded value, so only scores that ROUND to
+        // exactly 0.2 may disagree with the rounded reading
+        math.abs(r.getAs[Double]("score") - 0.2) < 5e-7)
+    }
+  }
+
   test("shingle minhashes = affine-min over the pinned gram hashes; " +
       "short docs take the sentinel") {
     import graft.functions.{NgramHashExpr, ShingleMinHashes}

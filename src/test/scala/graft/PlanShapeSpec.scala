@@ -65,6 +65,19 @@ class PlanShapeSpec extends SparkSpec {
       s"gram census grew an extra shuffle:\n$p")
   }
 
+  test("t45 (prototype scoring) is a pure narrow map: centroid is a " +
+      "literal, no exchange, no join") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cent = operators.Similarity.exactMean(
+      emb.filter(org.apache.spark.sql.functions.col("label") === 0),
+      "embedding")
+    val p = operators.Similarity.prototypeScore(
+      emb, "vec_id", "embedding", cent, 0.2)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"prototype scoring must be a narrow map:\n$p")
+  }
+
   test("s05 (quantization) pass 2 is a pure narrow map: no exchange " +
       "between the scan and the quantized output") {
     val emb = Tables.load(spark, sf, "embeddings")
