@@ -2872,6 +2872,44 @@ object Queries {
       |    AS keep
       |FROM v, c ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- t46
+  // k-center greedy coreset (Gonzalez farthest-point) — the diversity
+  // selector: 8 exemplars covering the embedding space, each round ONE
+  // narrow scan + a 1-row top-k (centers ride as literals). The oracle
+  // replays the greedy chain as 7 generated MATERIALIZED CTE stages
+  // (the s07 lesson: without MATERIALIZED DuckDB re-inlines each stage
+  // per reference and the chain goes exponential).
+  def t46_kcenter_coreset(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterGreedy(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", k = 8, seedId = 0L)
+      .select($"rank", $"id", $"far")
+      .orderBy($"rank")
+
+  private val t46_sql = {
+    def stage(i: Int): String = {
+      val coss = (0 until i).map(j =>
+        s"list_cosine_similarity(v.emb, (SELECT emb FROM c$j))")
+      val mc = if (i == 1) coss.head
+               else s"greatest(${coss.mkString(",\n    ")})"
+      val excl = (0 until i).map(j =>
+        s"v.vec_id <> (SELECT vec_id FROM c$j)").mkString("\n    AND ")
+      s"""c$i AS MATERIALIZED (SELECT vec_id, emb, ROUND($mc, 6) AS far
+         |  FROM v WHERE $excl
+         |  ORDER BY $mc ASC, vec_id LIMIT 1)""".stripMargin
+    }
+    val ranks = (1 until 8).map(i =>
+      s"UNION ALL SELECT $i, vec_id, far FROM c$i").mkString("\n  ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |    FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT vec_id, emb, CAST(NULL AS DOUBLE) AS far
+       |  FROM v WHERE vec_id = 0),
+       |${(1 until 8).map(stage).mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT 0 AS rank, vec_id AS id, far FROM c0
+       |  $ranks
+       |) ORDER BY rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- d07
   // SimHash near-dup pairs (blocked hamming), DuckDB-oracled end to end.
   def d07_simhash_neardup(spark: SparkSession, dir: String): DataFrame =
@@ -4785,6 +4823,7 @@ object Queries {
     "t43_bpe_fertility" -> (t43_bpe_fertility _),
     "t44_lsh_index_dedup" -> (t44_lsh_index_dedup _),
     "t45_proto_quality" -> (t45_proto_quality _),
+    "t46_kcenter_coreset" -> (t46_kcenter_coreset _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -4934,6 +4973,7 @@ object Queries {
     "t43_bpe_fertility" -> t43_sql,
     "t44_lsh_index_dedup" -> t44_sql,
     "t45_proto_quality" -> t45_sql,
+    "t46_kcenter_coreset" -> t46_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

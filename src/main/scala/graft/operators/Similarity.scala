@@ -100,6 +100,45 @@ object Similarity {
         when(col("__c") >= threshold, 1).otherwise(0).as("keep"))
   }
 
+  /** k-center greedy (farthest-point / Gonzalez 1985) coreset selection
+    * — the diversity half of data curation (facility-location-style
+    * "cover the embedding space with k exemplars"): start from a seed,
+    * then repeatedly pick the vector LEAST covered by the chosen set
+    * (minimum of max-cosine to any chosen center, ties to the lowest
+    * id). Each round is ONE narrow map over the corpus (the ≤k chosen
+    * centers ride along as literals — a model artifact, not data) + a
+    * TakeOrderedAndProject(1): k rounds cost k scan-speed passes and
+    * k single-row actions, never a pairwise matrix. `far` is the
+    * max-cosine of the chosen vector to the PREVIOUSLY chosen set at
+    * selection time (the coverage radius trace; null for the seed). */
+  def kCenterGreedy(df: DataFrame, idCol: String, vecCol: String,
+                    k: Int, seedId: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v")).persist()
+    val seedVec = v.filter(col("id") === seedId).collect()
+      .headOption.getOrElse(sys.error(s"kCenterGreedy: seed $seedId missing"))
+      .getSeq[Double](1)
+    var centers = Vector((seedId, seedVec, Option.empty[Double]))
+    while (centers.length < k) {
+      val coss = centers.map(c => cosine($"v", array(c._2.map(lit): _*)))
+      val mc = if (coss.length == 1) coss.head else greatest(coss: _*)
+      val chosenIds = centers.map(_._1)
+      // `far` rounds INSIDE the query (round(col,6) — the d05/s01 parity
+      // route); the unrounded mc stays the ordering key
+      val next = v.filter(!$"id".isin(chosenIds: _*))
+        .select($"id", $"v", mc.as("mc"), round(mc, 6).as("far"))
+        .orderBy($"mc".asc, $"id".asc).limit(1).collect().head
+      centers = centers :+ ((next.getLong(0), next.getSeq[Double](1),
+        Some(next.getDouble(3))))
+    }
+    v.unpersist(blocking = false)
+    centers.zipWithIndex.map { case ((id, _, far), r) =>
+      (r, id, far)
+    }.toDF("rank", "id", "far")
+  }
+
   /** k-NN JOIN: exact top-k cosine neighbors for EVERY query in a query
     * set (vs `bruteForceTopK`'s single query row) — the batch-retrieval
     * shape (eval-set contamination probes, hard-negative mining,

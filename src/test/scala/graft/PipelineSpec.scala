@@ -99,6 +99,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("k-center greedy matches a driver-side replay of the chain; the " +
+      "coverage trace is non-decreasing; ids are distinct") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val got = Similarity.kCenterGreedy(emb, "vec_id", "embedding",
+      k = 6, seedId = 0L).orderBy($"rank").collect()
+    assert(got.length == 6 && got.map(_.getLong(1)).distinct.length == 6)
+    val vecs = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    var chosen = Vector(0L)
+    var fars = Vector(Option.empty[Double])
+    while (chosen.size < 6) {
+      val best = vecs.keysIterator.filterNot(chosen.contains)
+        .map(id => (chosen.map(c => cos(vecs(c), vecs(id))).max, id))
+        .minBy { case (mc, id) => (mc, id) }
+      chosen :+= best._2; fars :+= Some(best._1)
+    }
+    assert(got.map(_.getLong(1)).toVector == chosen, "greedy ids diverge")
+    got.zip(fars).foreach { case (r, f) =>
+      assert(r.isNullAt(2) == f.isEmpty)
+      f.foreach(mc => assert(math.abs(r.getDouble(2) - mc) < 5e-7))
+    }
+    val trace = got.drop(1).map(_.getDouble(2))
+    assert(trace.zip(trace.drop(1)).forall { case (a, b) => b >= a },
+      s"coverage trace must be non-decreasing: ${trace.mkString(",")}")
+  }
+
   test("shingle minhashes = affine-min over the pinned gram hashes; " +
       "short docs take the sentinel") {
     import graft.functions.{NgramHashExpr, ShingleMinHashes}
