@@ -2844,6 +2844,38 @@ object Queries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t47
+  // Streaming LSH-index ingest — t44's incremental snapshot arriving as
+  // a LIVE feed: build the index on the first half, stream-ingest the
+  // third quarter's signatures from the shared documents feed (routed
+  // by a `where` predicate), probe the last quarter. Stream == batch by
+  // construction, so the oracle IS t44's SQL; at-least-once appends are
+  // EXACTLY-ONCE at the candidate level (probe is distinct — a replayed
+  // batch only duplicates signature rows).
+  def t47_stream_lsh_ingest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stage = s"/tmp/graft_stream/$key/documents"
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      sources.Store.setSplayed(docs, stage)
+    val base = s"/tmp/graft_stream/$key/" +
+      s"lsh_h16_b2_${srcStamp(dir, "documents.parquet")}"
+    val idxPath = s"$base/index"
+    if (!new java.io.File(s"$base/done").exists()) {
+      Dedup.buildLshIndex(docs.filter($"doc_id" % 4 < 2), "doc_id", "text",
+        numHashes = 16, bands = 2, idxPath)
+      streaming.Streams.lshIngest(spark, stage, docs, "doc_id", "text",
+        idxPath, checkpoint = s"$base/ckpt",
+        where = Some("doc_id % 4 = 2"))
+      new java.io.File(s"$base/done").createNewFile()
+    }
+    val cands = Dedup.probeLshIndex(docs.filter($"doc_id" % 4 === 3),
+      "doc_id", "text", idxPath, maxBucketSize = 100)
+      .select($"id_idx".as("id_a"), $"id_new".as("id_b"))
+    Dedup.jaccardVerify(cands, docs, "doc_id", "text", threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
   // ---------------------------------------------------------------- t45
   // Prototype semantic quality filter (the CLIP-score/DataComp shape):
   // centroid of the curated anchor set (label 0) as the quality
@@ -4824,6 +4856,7 @@ object Queries {
     "t44_lsh_index_dedup" -> (t44_lsh_index_dedup _),
     "t45_proto_quality" -> (t45_proto_quality _),
     "t46_kcenter_coreset" -> (t46_kcenter_coreset _),
+    "t47_stream_lsh_ingest" -> (t47_stream_lsh_ingest _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -4974,6 +5007,8 @@ object Queries {
     "t44_lsh_index_dedup" -> t44_sql,
     "t45_proto_quality" -> t45_sql,
     "t46_kcenter_coreset" -> t46_sql,
+    // stream == batch by construction: the oracle IS t44's chain
+    "t47_stream_lsh_ingest" -> t44_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

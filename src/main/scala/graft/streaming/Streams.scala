@@ -260,6 +260,35 @@ object Streams {
       textCol, graft.operators.Dsir.loadModel(spark, modelPath))
   }
 
+  /** Streaming ingest into the PERSISTED LSH dedup index: each
+    * micro-batch's banded signatures append via
+    * `Dedup.appendToLshIndex` — the live half of the snapshot-dedup
+    * lifecycle (a crawl feed hashes once, on arrival; probes against
+    * the index never re-read old text). Disk-as-state like
+    * `ivfPqIngest`, with a BETTER at-least-once story: a replayed
+    * batch appends duplicate signature ROWS, but `probeLshIndex`
+    * returns DISTINCT pairs, so the candidate set is exactly-once even
+    * when the append is not. `where` optionally routes a slice of a
+    * shared feed (SQL predicate over the feed's columns). */
+  def lshIngest(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
+                idCol: String, textCol: String, indexPath: String,
+                checkpoint: String, where: Option[String] = None,
+                statePartitions: Int = 2): Unit = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val stream = where.fold(src)(src.filter)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Dedup.appendToLshIndex(batch, idCol, textCol,
+          indexPath)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** PRODUCTION form of the q54 streaming dedup: `withWatermark` +
     * `dropDuplicatesWithinWatermark`, so the fingerprint state for keys
     * older than the watermark ages out instead of growing with the whole

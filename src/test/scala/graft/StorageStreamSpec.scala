@@ -35,6 +35,35 @@ class StorageStreamSpec extends SparkSpec {
     assert(Store.getParted(spark, path).count() == li.count())
   }
 
+  test("lshIngest: drained replay appends nothing; duplicate appends " +
+      "leave the probe candidate set unchanged (exactly-once pairs)") {
+    import graft.operators.Dedup
+    val base = java.nio.file.Files.createTempDirectory("lshing").toString
+    val docs = Tables.load(spark, sf, "documents")
+    Store.setSplayed(docs, s"$base/feed")
+    val idx = s"$base/index"
+    Dedup.buildLshIndex(docs.filter($"doc_id" % 4 < 2), "doc_id", "text",
+      16, 2, idx)
+    def ingest(): Unit = streaming.Streams.lshIngest(spark, s"$base/feed",
+      docs, "doc_id", "text", idx, s"$base/ckpt",
+      where = Some("doc_id % 4 = 2"))
+    ingest()
+    val rows1 = spark.read.parquet(s"$idx/buckets").count()
+    ingest() // drained replay: checkpoint skips the seen files
+    assert(spark.read.parquet(s"$idx/buckets").count() == rows1,
+      "drained replay must append nothing")
+    def pairs() = Dedup.probeLshIndex(docs.filter($"doc_id" % 4 === 3),
+      "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val p1 = pairs()
+    // an at-least-once REPLAYED batch = duplicate signature rows; the
+    // candidate set must not change
+    Dedup.appendToLshIndex(docs.filter($"doc_id" % 4 === 2), "doc_id",
+      "text", idx)
+    assert(spark.read.parquet(s"$idx/buckets").count() > rows1)
+    assert(pairs() == p1, "duplicate append changed the candidate set")
+  }
+
   test("csv round-trip preserves typed columns exactly") {
     val nation = Tables.load(spark, sf, "nation")
     val path = "/tmp/graft_test_csv"
