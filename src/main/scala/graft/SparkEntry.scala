@@ -2876,6 +2876,48 @@ object Queries {
       .orderBy($"id_a", $"id_b")
   }
 
+  // ---------------------------------------------------------------- t48
+  // Token-budget epoch mixing — the repeat-upsampling half of a LLaMA-
+  // style mix recipe: per-source integer token budgets materialize as
+  // full epochs + a deterministic hash-ordered partial epoch (the
+  // greedy-pack overshoot rule). src3's budget is below one epoch (the
+  // partial-only case); unbudgeted sources drop. Output = the trainer's
+  // sampling manifest (one row per materialized copy).
+  def t48_epoch_mix(spark: SparkSession, dir: String): DataFrame =
+    operators.Sampling.epochMix(t(spark, dir, "documents"),
+      "doc_id", "source", "text",
+      Map("src0" -> 8000L, "src1" -> 6000L, "src2" -> 2500L,
+        "src3" -> 700L))
+      .select($"id".as("doc_id"), $"src".as("source"), $"epoch")
+      .orderBy($"doc_id", $"epoch")
+
+  private val t48_sql =
+    """WITH tk AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |    (((doc_id % 2147483648) * 2654435761) % 4294967296
+      |     + ((doc_id // 2147483648) * 2246822519) % 4294967296)
+      |    % 4294967296 AS h
+      |  FROM documents
+      |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+      |b AS (SELECT * FROM (VALUES ('src0', 8000), ('src1', 6000),
+      |    ('src2', 2500), ('src3', 700)) AS t(source, b_src)),
+      |tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS t_src
+      |        FROM tk GROUP BY source),
+      |w AS (SELECT tk.doc_id, tk.source, b.b_src, tot.t_src,
+      |    CAST(COALESCE(SUM(n) OVER (PARTITION BY tk.source
+      |      ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cum_excl
+      |  FROM tk JOIN b USING (source) JOIN tot USING (source)),
+      |e AS (SELECT doc_id, source,
+      |    b_src // t_src
+      |      + CASE WHEN cum_excl < b_src % t_src THEN 1 ELSE 0 END
+      |      AS epochs
+      |  FROM w)
+      |SELECT doc_id, source,
+      |  CAST(unnest(generate_series(0, epochs - 1)) AS BIGINT) AS epoch
+      |FROM e WHERE epochs > 0 ORDER BY doc_id, epoch""".stripMargin
+
   // ---------------------------------------------------------------- t45
   // Prototype semantic quality filter (the CLIP-score/DataComp shape):
   // centroid of the curated anchor set (label 0) as the quality
@@ -4857,6 +4899,7 @@ object Queries {
     "t45_proto_quality" -> (t45_proto_quality _),
     "t46_kcenter_coreset" -> (t46_kcenter_coreset _),
     "t47_stream_lsh_ingest" -> (t47_stream_lsh_ingest _),
+    "t48_epoch_mix" -> (t48_epoch_mix _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -5009,6 +5052,7 @@ object Queries {
     "t46_kcenter_coreset" -> t46_sql,
     // stream == batch by construction: the oracle IS t44's chain
     "t47_stream_lsh_ingest" -> t44_sql,
+    "t48_epoch_mix" -> t48_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

@@ -21,16 +21,23 @@ import graft.StringToColumn
   * state, prunable columns untouched. */
 object Sampling {
 
-  /** Uniform [0,1) decision value for an integral id column (total on
-    * the full i64 range). */
-  def decision(id: Column): Column = {
+  /** The integer mix value in [0, 2³²) behind `decision` — usable
+    * directly as a deterministic pseudorandom ORDER key (dividing by
+    * 2³² is monotone, so ordering by the integer ≡ ordering by the
+    * double, without the float). */
+  def decisionHash(id: Column): Column = {
     val idL = id.cast("long")
     val lo = pmod(idL, lit(2147483648L))              // low 31 bits
     val hi = pmod(shiftright(idL, 31), lit(2147483648L)) // floor(id/2^31)
     pmod(pmod(lo * lit(2654435761L), lit(4294967296L)) +
         pmod(hi * lit(2246822519L), lit(4294967296L)),
-      lit(4294967296L)).cast("double") / 4294967296.0
+      lit(4294967296L))
   }
+
+  /** Uniform [0,1) decision value for an integral id column (total on
+    * the full i64 range). */
+  def decision(id: Column): Column =
+    decisionHash(id).cast("double") / 4294967296.0
 
   /** Keep predicate at a fixed rate. */
   def keep(id: Column, rate: Column): Column = decision(id) < rate
@@ -199,5 +206,47 @@ object Sampling {
     assigned.withColumn("rk", row_number().over(w))
       .filter($"rk" <= cap)
       .select($"cell", $"rk", $"id")
+  }
+
+  /** Token-budget EPOCH mixing — the repeat-upsampling half of a data
+    * mix (`sampleToMix` is the downsample half; LLaMA-style recipes
+    * need both: "3.3 epochs of Wikipedia, 0.6 of CommonCrawl"): each
+    * source s gets an integer token budget B_s; the materialized mix
+    * holds floor(B_s / T_s) FULL epochs of s (T_s = its corpus token
+    * mass) plus one deterministic PARTIAL epoch — docs in hash order
+    * until the remainder is covered, overshooting by at most one
+    * document (the greedy-pack rule, t08). Sources without a budget
+    * are dropped. Output: one (id, src, epoch) row per materialized
+    * copy — the trainer's sampling manifest.
+    *
+    * Scale shape: one narrow token-count map, a source-cardinality agg
+    * broadcast back, ONE per-source window cumsum (the only data
+    * shuffle), and an explode bounded by B_s/T_s. All arithmetic is
+    * integer — engine-exact and oracle-replayable. */
+  def epochMix(df: DataFrame, idCol: String, srcCol: String,
+               textCol: String, budgets: Map[String, Long]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(budgets.nonEmpty && budgets.values.forall(_ >= 0),
+      "budgets must be non-negative token counts")
+    val toks = df
+      .filter(col(srcCol).isInCollection(budgets.keys.toSeq))
+      .select(col(idCol).as("id"), col(srcCol).as("src"),
+        size(split(col(textCol), " ")).cast("long").as("n"))
+    val budget = budgets.foldLeft(lit(-1L)) { case (acc, (k, b)) =>
+      when(col("src") === k, lit(b)).otherwise(acc)
+    }
+    val tot = toks.groupBy($"src").agg(sum($"n").as("t_src"))
+    val w = Window.partitionBy($"src")
+      .orderBy(decisionHash($"id"), $"id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.join(broadcast(tot), "src")
+      .withColumn("b_src", budget)
+      .withColumn("cum_excl", coalesce(sum($"n").over(w), lit(0L)))
+      .withColumn("epochs",
+        expr("b_src div t_src") +
+          when($"cum_excl" < expr("b_src % t_src"), 1L).otherwise(0L))
+      .filter($"epochs" > 0)
+      .select($"id", $"src",
+        explode(sequence(lit(0L), $"epochs" - 1)).as("epoch"))
   }
 }

@@ -131,6 +131,44 @@ class PipelineSpec extends SparkSpec {
       s"coverage trace must be non-decreasing: ${trace.mkString(",")}")
   }
 
+  test("epoch mixing: budget covered with at-most-one-doc overshoot, " +
+      "per-doc copies are full or full+1 with dense epoch ids, " +
+      "layout-invariant, unbudgeted sources dropped") {
+    import graft.operators.Sampling
+    val all = Tables.load(spark, sf, "documents")
+    val budgets = Map("src0" -> 800L, "src1" -> 50L, "src2" -> 0L)
+    val mix = Sampling.epochMix(all, "doc_id", "source", "text", budgets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(mix.forall(m => budgets.contains(m._2)))
+    val toks = all.select($"doc_id", $"source",
+      size(split($"text", " ")).cast("long").as("n")).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    budgets.foreach { case (src, b) =>
+      val srcToks = toks.collect { case (_, (s, n)) if s == src => n }
+      val emitted = mix.filter(_._2 == src)
+        .map(m => toks(m._1)._2).sum
+      assert(emitted >= b && (srcToks.isEmpty ||
+        emitted < b + srcToks.max),
+        s"$src: emitted $emitted vs budget $b")
+      val t = srcToks.sum
+      if (t > 0) {
+        val full = b / t
+        mix.filter(_._2 == src).groupBy(_._1).foreach { case (_, copies) =>
+          val es = copies.map(_._3).sorted
+          assert(es == (0L until es.length).toVector.map(identity) ||
+            es.toSeq == (0L until es.length),
+            s"epoch ids not dense: $es")
+          assert(es.length == full || es.length == full + 1)
+        }
+      }
+    }
+    val again = Sampling.epochMix(all.repartition(7), "doc_id", "source",
+      "text", budgets)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(mix.sortBy(m => (m._1, m._3)).toSeq ==
+      again.sortBy(m => (m._1, m._3)).toSeq, "layout changed the mix")
+  }
+
   test("shingle minhashes = affine-min over the pinned gram hashes; " +
       "short docs take the sentinel") {
     import graft.functions.{NgramHashExpr, ShingleMinHashes}
