@@ -1306,6 +1306,85 @@ object Queries {
       |  CAST(SUM(length(word)) AS DOUBLE) / SUM(ntok) AS chars_per_tok
       |FROM j GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---------------------------------------------------------------- t49
+  // OPTIMAL (Viterbi) unigram segmentation over the trained BPE vocab
+  // (SentencePiece's encode, Kudo 2018) with integer 1/64-bit
+  // surprisal piece costs from the t29 census — greedy BPE is a
+  // feasible segmentation of the same vocabulary, so this is the
+  // strictly-≤-cost segmenter (optimality spec-pinned). The oracle
+  // replays the WHOLE dynamic program as 12 generated MATERIALIZED CTE
+  // stages over symbol positions (the BPE 40-stage replay precedent),
+  // tie-broken (cost, n_pieces, earliest split) so the segmentation —
+  // not just its cost — is unique and engine-exact.
+  def t49_unigram_viterbi(spark: SparkSession, dir: String): DataFrame = {
+    val (wf, _) = bpeWordFreq(spark, dir)
+    val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
+    val census = operators.Bpe.tokenCensusFromFreq(wf, merges)
+    operators.Unigram.viterbiTable(wf, census, maxSyms = 12,
+      topWords = 500, maxPieceSyms = 8)
+      .orderBy($"word")
+  }
+
+  private def s64u(q: String): String =
+    s"(64 * (length(bin($q)) - 1) " +
+      s"+ ((($q) << 6) >> (length(bin($q)) - 1)) - 64)"
+
+  private def uniStageSql(p: Int): String = {
+    val qs = (math.max(0, p - 8) until p).map(q =>
+      s"SELECT word, cost, np, seg, $q AS q FROM udp_$q")
+      .mkString("\n      UNION ALL ")
+    s"""udp_$p AS MATERIALIZED (
+       |  SELECT word, cost, np, seg FROM (
+       |    SELECT word, cost, np, seg,
+       |      ROW_NUMBER() OVER (PARTITION BY word ORDER BY cost, np, q)
+       |        AS rk
+       |    FROM (
+       |      SELECT x.word,
+       |        x.cost + ${s64u("t.cv")}
+       |               - ${s64u("COALESCE(c.cnt, 0) + 1")} AS cost,
+       |        x.np + 1 AS np,
+       |        CASE WHEN x.np = 0 THEN x.piece
+       |             ELSE x.seg || '-' || x.piece END AS seg,
+       |        x.q
+       |      FROM (
+       |        SELECT b.word, b.cost, b.np, b.seg, b.q,
+       |          array_to_string(s.syms[b.q+1:$p], '') AS piece
+       |        FROM ($qs) b
+       |        JOIN usel s USING (word)
+       |        WHERE len(s.syms) >= $p) x
+       |      LEFT JOIN ucen c ON c.token = x.piece
+       |      CROSS JOIN utot t
+       |      WHERE $p - x.q = 1 OR c.cnt IS NOT NULL))
+       |  WHERE rk = 1)""".stripMargin
+  }
+
+  private lazy val t49_sql =
+    bpeHeadSql + s""",
+      |ucen AS MATERIALIZED (
+      |  SELECT token, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(syms) AS token, freq FROM words_$bpeMergeCount)
+      |  GROUP BY token),
+      |utot AS MATERIALIZED (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) + COUNT(*) AS cv FROM ucen),
+      |usel AS MATERIALIZED (
+      |  SELECT word, syms FROM (
+      |    SELECT word, freq, syms,
+      |      ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rn
+      |    FROM words_0 WHERE len(syms) <= 12)
+      |  WHERE rn <= 500),
+      |udp_0 AS MATERIALIZED (
+      |  SELECT word, CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS seg
+      |  FROM usel),
+      |${(1 to 12).map(uniStageSql).mkString(",\n")},
+      |ufin AS (
+      |${(1 to 12).map(p =>
+         s"  SELECT $p AS p, word, cost, np, seg FROM udp_$p")
+         .mkString("\n  UNION ALL\n")}
+      |)
+      |SELECT s.word, u.np AS n_pieces, u.cost AS cost64, u.seg AS seg
+      |FROM usel s JOIN ufin u ON u.word = s.word AND u.p = len(s.syms)
+      |ORDER BY s.word""".stripMargin
+
   // ---------------------------------------------------------------- t38
   // Corpus audit card (the governance report a 100 TB shard audit
   // reads): per (lang, source) slice — docs, exact token mass, Gopher
@@ -4900,6 +4979,7 @@ object Queries {
     "t46_kcenter_coreset" -> (t46_kcenter_coreset _),
     "t47_stream_lsh_ingest" -> (t47_stream_lsh_ingest _),
     "t48_epoch_mix" -> (t48_epoch_mix _),
+    "t49_unigram_viterbi" -> (t49_unigram_viterbi _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -5053,6 +5133,7 @@ object Queries {
     // stream == batch by construction: the oracle IS t44's chain
     "t47_stream_lsh_ingest" -> t44_sql,
     "t48_epoch_mix" -> t48_sql,
+    "t49_unigram_viterbi" -> t49_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

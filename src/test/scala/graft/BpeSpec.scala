@@ -202,6 +202,54 @@ class BpeSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("unigram viterbi: globally optimal (cost, n_pieces) vs " +
+      "brute-force enumeration; never worse than greedy BPE under the " +
+      "same costs; segs reassemble; multi-symbol pieces are in-census") {
+    import graft.operators.Unigram
+    val docs = Tables.load(spark, sf, "documents")
+    val wf = Bpe.wordFreq(docs, "text")
+    val merges = Bpe.trainMergesFromFreq(wf, 40)
+    val census = Bpe.tokenCensusFromFreq(wf, merges)
+    val (cm, cv) = Unigram.censusCosts(census)
+    def pieceCost(c: Long) = operators.NgramLm.surprisal64Long(cv) -
+      operators.NgramLm.surprisal64Long(c + 1)
+    val rk = merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    val got = Unigram.viterbiTable(wf, census, maxSyms = 12,
+      topWords = 500, maxPieceSyms = 8).collect()
+    assert(got.nonEmpty)
+    var vitTotal = 0L; var greedyTotal = 0L
+    got.foreach { r =>
+      val (w, np, c, seg) =
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getString(3))
+      val pieces = seg.split("-").toSeq
+      assert(pieces.length == np && pieces.mkString == w + "</w>")
+      pieces.filter(p => Bpe.toSyms(p).length > 2 ||
+        (p.length > 1 && p != "</w>")).foreach(p =>
+        assert(cm.contains(p), s"piece $p of $w not in census"))
+      // greedy BPE is feasible for the same vocabulary: never cheaper
+      val greedy = Bpe.encodeWord(w, rk)
+        .map(p => pieceCost(cm.getOrElse(p, 0L))).sum
+      assert(c <= greedy, s"$w: viterbi $c > greedy $greedy")
+      vitTotal += c; greedyTotal += greedy
+      // brute-force global optimum on short words
+      val syms = Bpe.toSyms(w)
+      if (syms.length <= 7) {
+        def enum(i: Int): Seq[(Long, Int)] =
+          if (i == syms.length) Seq((0L, 0))
+          else (i + 1 to math.min(syms.length, i + 8)).flatMap { j =>
+            val piece = syms.slice(i, j).mkString
+            val cnt = if (j - i == 1) Some(cm.getOrElse(piece, 0L))
+                      else cm.get(piece)
+            cnt.toSeq.flatMap(cc =>
+              enum(j).map { case (rc, rn) => (pieceCost(cc) + rc, rn + 1) })
+          }
+        val best = enum(0).min
+        assert((c, np) == best, s"$w: dp ($c,$np) vs brute $best")
+      }
+    }
+    assert(vitTotal <= greedyTotal)
+  }
+
   test("t43 fertility card: every word is at least one token " +
       "(fertility >= 1), token mass matches docTokenCounts, and word " +
       "counts match the raw split") {
