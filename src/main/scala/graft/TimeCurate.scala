@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev probe for the round-13 curation operators at the 100× replica
+  * (/tmp/sf10 — 500k docs / 200k embeddings):
+  *
+  *   - t44 LSH dedup index lifecycle, SPLIT into its phases: build
+  *     (the one-time signature hash of the accumulated corpus), append
+  *     (a snapshot's marginal cost), probe+verify (the recurring
+  *     per-batch cost — the number that matters at 100 TB).
+  *   - t45 prototype scoring (narrow-map claim: full-eval via
+  *     agg(sum), never count() — the t24/t42 pruning lesson).
+  *   - t46 k-center greedy (k rounds × one scan each).
+  *   - t48 epoch mixing, full manifest materialized.
+  *
+  *   sbt "runMain graft.TimeCurate /tmp/sf10"
+  */
+object TimeCurate {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/tmp/sf10"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val docs = Tables.load(spark, dir, "documents")
+    val emb = Tables.load(spark, dir, "embeddings")
+
+    // warm the scans + codegen
+    docs.agg(count(lit(1))).collect(); emb.agg(count(lit(1))).collect()
+
+    val base = java.nio.file.Files.createTempDirectory("curate100x").toString
+    val idx = s"$base/lsh"
+    time("t44 buildLshIndex (1/2)") {
+      operators.Dedup.buildLshIndex(docs.filter($"doc_id" % 4 < 2),
+        "doc_id", "text", 16, 2, idx)
+    }
+    time("t44 appendToLshIndex (1/4)") {
+      operators.Dedup.appendToLshIndex(docs.filter($"doc_id" % 4 === 2),
+        "doc_id", "text", idx)
+    }
+    val cands = time("t44 probe (candidates)") {
+      val c = operators.Dedup.probeLshIndex(docs.filter($"doc_id" % 4 === 3),
+        "doc_id", "text", idx, maxBucketSize = 100)
+      println(s"  candidates: ${c.count()}")
+      c
+    }
+    time("t44 jaccard verify") {
+      val v = operators.Dedup.jaccardVerify(
+        cands.select($"id_idx".as("id_a"), $"id_new".as("id_b")),
+        docs, "doc_id", "text", 0.5)
+      println(s"  verified: ${v.count()}")
+    }
+
+    val cent = time("t45 exactMean (anchor)") {
+      operators.Similarity.exactMean(emb.filter($"label" === 0), "embedding")
+    }
+    for (rep <- 1 to 3) time(s"t45 prototypeScore rep$rep") {
+      // full-eval: a bare count() would prune the scoring expression
+      val r = operators.Similarity.prototypeScore(emb, "vec_id",
+        "embedding", cent, 0.2).agg(sum($"score"), sum($"keep")).collect()
+      if (rep == 1) println(s"  sums: ${r.head}")
+    }
+
+    time("t46 kCenterGreedy k=8") {
+      val r = operators.Similarity.kCenterGreedy(emb, "vec_id",
+        "embedding", k = 8, seedId = 0L).collect()
+      println(s"  centers: ${r.map(_.getLong(1)).mkString(",")}")
+    }
+
+    for (rep <- 1 to 3) time(s"t48 epochMix rep$rep") {
+      val m = operators.Sampling.epochMix(docs, "doc_id", "source", "text",
+        Map("src0" -> 800000L, "src1" -> 600000L, "src2" -> 250000L,
+          "src3" -> 70000L))
+      m.queryExecution.toRdd.foreach(_ => ())
+    }
+    spark.stop()
+  }
+}
