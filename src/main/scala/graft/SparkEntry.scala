@@ -1385,6 +1385,56 @@ object Queries {
       |FROM usel s JOIN ufin u ON u.word = s.word AND u.p = len(s.syms)
       |ORDER BY s.word""".stripMargin
 
+  // ---------------------------------------------------------------- t50
+  // Snapshot drift census — the monitoring operator a rolling corpus
+  // needs: per-token log₂ RATE drift between two snapshots (doc_id
+  // halves as the proxy), in exact 1/64-bit integers —
+  // d64 = (s64(cA+1)−s64(TA+1)) − (s64(cB+1)−s64(TB+1)) — and the top
+  // 50 movers by |d64|. ONE token-census shuffle (conditional sums per
+  // half, map-side combined), a 1-row totals broadcast, a narrow s64
+  // map, and a TakeOrderedAndProject top-k. At 100 TB: census-bounded,
+  // never corpus-quadratic.
+  def t50_drift_census(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(($"doc_id" % 2 === 0).as("a"),
+        explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+    val c = tok.groupBy($"token").agg(
+      sum(when($"a", 1L).otherwise(0L)).as("cnt_a"),
+      sum(when(!$"a", 1L).otherwise(0L)).as("cnt_b"))
+    val tot = c.agg(sum($"cnt_a").as("ta"), sum($"cnt_b").as("tb"))
+    import operators.NgramLm.surprisal64
+    c.crossJoin(broadcast(tot))
+      .withColumn("d64",
+        (surprisal64($"cnt_a" + 1) - surprisal64($"ta" + 1)) -
+          (surprisal64($"cnt_b" + 1) - surprisal64($"tb" + 1)))
+      .select($"token", $"cnt_a", $"cnt_b", $"d64")
+      .orderBy(abs($"d64").desc, $"token")
+      .limit(50)
+  }
+
+  private val t50_sql = {
+    def s64(q: String): String =
+      s"(64 * (length(bin($q)) - 1) " +
+        s"+ ((($q) << 6) >> (length(bin($q)) - 1)) - 64)"
+    val d64 = s"(${s64("cnt_a + 1")} - ${s64("ta + 1")})" +
+      s" - (${s64("cnt_b + 1")} - ${s64("tb + 1")})"
+    s"""WITH tk AS (
+       |  SELECT doc_id % 2 = 0 AS a,
+       |         unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |c AS (
+       |  SELECT token,
+       |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+       |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+       |  FROM tk WHERE token <> '' GROUP BY token),
+       |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS ta,
+       |             CAST(SUM(cnt_b) AS BIGINT) AS tb FROM c)
+       |SELECT token, cnt_a, cnt_b, $d64 AS d64
+       |FROM c, t
+       |ORDER BY abs($d64) DESC, token LIMIT 50""".stripMargin
+  }
+
   // ---------------------------------------------------------------- t38
   // Corpus audit card (the governance report a 100 TB shard audit
   // reads): per (lang, source) slice — docs, exact token mass, Gopher
@@ -4980,6 +5030,7 @@ object Queries {
     "t47_stream_lsh_ingest" -> (t47_stream_lsh_ingest _),
     "t48_epoch_mix" -> (t48_epoch_mix _),
     "t49_unigram_viterbi" -> (t49_unigram_viterbi _),
+    "t50_drift_census" -> (t50_drift_census _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -5134,6 +5185,7 @@ object Queries {
     "t47_stream_lsh_ingest" -> t44_sql,
     "t48_epoch_mix" -> t48_sql,
     "t49_unigram_viterbi" -> t49_sql,
+    "t50_drift_census" -> t50_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

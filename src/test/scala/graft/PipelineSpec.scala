@@ -169,6 +169,30 @@ class PipelineSpec extends SparkSpec {
       again.sortBy(m => (m._1, m._3)).toSeq, "layout changed the mix")
   }
 
+  test("drift census: d64 equals the scalar surprisal formula, counts " +
+      "match the corpus, ordering is by |d64| desc") {
+    import graft.operators.NgramLm.surprisal64Long
+    val got = SparkEntry.queries("t50_drift_census")(spark, sf).collect()
+    assert(got.nonEmpty)
+    val docs = Tables.load(spark, sf, "documents")
+    val counts = docs.select(($"doc_id" % 2 === 0).as("a"),
+        explode(split($"text", " ")).as("tok")).filter($"tok" =!= "")
+      .collect().map(r => (r.getBoolean(0), r.getString(1)))
+    val ta = counts.count(_._1).toLong
+    val tb = counts.size - ta
+    got.foreach { r =>
+      val (tok, ca, cb, d) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ca == counts.count(c => c._1 && c._2 == tok))
+      assert(cb == counts.count(c => !c._1 && c._2 == tok))
+      val want = (surprisal64Long(ca + 1) - surprisal64Long(ta + 1)) -
+        (surprisal64Long(cb + 1) - surprisal64Long(tb + 1))
+      assert(d == want, s"$tok: $d vs $want")
+    }
+    val mags = got.map(r => math.abs(r.getLong(3)))
+    assert(mags.zip(mags.drop(1)).forall { case (x, y) => x >= y })
+  }
+
   test("shingle minhashes = affine-min over the pinned gram hashes; " +
       "short docs take the sentinel") {
     import graft.functions.{NgramHashExpr, ShingleMinHashes}
