@@ -3557,6 +3557,45 @@ object Queries {
       |WHERE i % 2 = 0
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- m04
+  // Perceptual-hash media dedup: the aHash family over the decoded
+  // pixel stream — 62 equal spans, bit = span mean > global mean
+  // (CROSS-MULTIPLIED, pure integers, 62 bits so the signature stays
+  // non-negative and the d10 blocked-hamming arithmetic applies
+  // unchanged) — then the shared 4×16-bit pigeonhole pair join
+  // (Dedup.hammingNearDup64). The media-dedup step of a multimodal
+  // pipeline: one typed decode pass, signatures only ever shuffle.
+  def m04_phash(spark: SparkSession, dir: String): DataFrame = {
+    val media = t(spark, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("data"))
+    operators.Multimodal.perceptualHash(media, "doc_id", "data")
+      .select($"media_id", $"n_bytes", $"phash")
+      .orderBy($"media_id")
+  }
+
+  // (The pair join over these signatures — Dedup.hammingNearDup64, the
+  // shared d10 4×16-bit pigeonhole — is exercised on planted near-dup
+  // payloads in MultimodalSpec: this corpus has no hamming≤3 media
+  // pairs, and a 0-row oracle would be vacuous.)
+  private val m04_sql =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |tot AS (SELECT doc_id, n,
+      |  CAST(coalesce(list_sum(list_transform(range(1, n + 1),
+      |    j -> ascii(substr(text, j, 1)))), 0) AS BIGINT) AS total
+      |  FROM d),
+      |cells AS (SELECT d.doc_id, d.n, k, tot.total,
+      |  CAST(coalesce(list_sum(list_transform(
+      |    range((k * d.n) // 62 + 1, ((k + 1) * d.n) // 62 + 1),
+      |    j -> ascii(substr(d.text, j, 1)))), 0) AS BIGINT) AS cs,
+      |  ((k + 1) * d.n) // 62 - (k * d.n) // 62 AS cl
+      |  FROM d JOIN tot USING (doc_id), unnest(range(0, 62)) AS t(k))
+      |SELECT doc_id AS media_id, CAST(MIN(n) AS INTEGER) AS n_bytes,
+      |  CAST(COALESCE(SUM(
+      |    CASE WHEN cl > 0 AND cs * n > total * cl
+      |         THEN (CAST(1 AS BIGINT) << k) ELSE 0 END), 0) AS BIGINT)
+      |    AS phash
+      |FROM cells GROUP BY doc_id ORDER BY media_id""".stripMargin
+
   // ---------------------------------------------------------------- q28
   // bin (vectorized binary search: greatest threshold ≤ x, reference
   // /root/reference/core/items.c:1552) — expressed as an as-of join
@@ -5059,6 +5098,7 @@ object Queries {
     "m01_media_meta" -> (m01_media_meta _),
     "m02_media_decode" -> (m02_media_decode _),
     "m03_frame_sample" -> (m03_frame_sample _),
+    "m04_phash" -> (m04_phash _),
     "q28_bin" -> (q28_bin _),
     "q29_tail" -> (q29_tail _),
     "q30_union_sect" -> (q30_union_sect _),
@@ -5250,6 +5290,7 @@ object Queries {
     "d12_dedup_apply" -> d12_sql,
     "m02_media_decode" -> m02_sql,
     "m03_frame_sample" -> m03_sql,
+    "m04_phash" -> m04_sql,
     "s02_ann_lsh" -> s02_sql,
     "s03_ann_ivf" -> s03_sql,
     "s04_ivf_index" -> s04_sql,

@@ -195,12 +195,20 @@ object Dedup {
     * round-5 lesson), so the union is append-only. One bounded shuffle
     * per chunk table at any scale. */
   def simhashNearDup64(df: DataFrame, idCol: String, textCol: String,
-                       maxHamming: Int = 3): DataFrame = {
+                       maxHamming: Int = 3): DataFrame =
+    hammingNearDup64(df.select(col(idCol).as("id"),
+      graft.functions.SimHashExpr.simhash64(col(textCol)).as("sh")),
+      maxHamming)
+
+  /** Blocked hamming near-dup over a PRECOMPUTED non-negative 64-bit
+    * signature table (columns `id`, `sh`) — the pigeonhole 4×16-bit
+    * chunk join with first-match-disjoint branches, shared by SimHash
+    * (d09/d10) and the perceptual media hash (m04). Exact for
+    * hamming ≤ 3 (4 chunks: one chunk must match untouched). */
+  def hammingNearDup64(sig: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3,
       s"4x16-bit blocking is exact only for hamming <= 3, got $maxHamming")
-    val sh = df.select(col(idCol).as("id"),
-      graft.functions.SimHashExpr.simhash64(col(textCol)).as("sh"))
-      .localCheckpoint()
+    val sh = sig.select(col("id"), col("sh")).localCheckpoint()
     def chunk(c: String, k: Int) =
       expr(s"($c div ${1L << (16 * k)}L) % 65536L")
     (0 until 4).map { k =>

@@ -97,6 +97,49 @@ object Multimodal {
     }(Encoders.product[MediaFeatures]).toDF()
   }
 
+  final case class PHash(media_id: Long, n_bytes: Int, phash: Long)
+
+  /** Cells in the perceptual hash — 62, not 64, so the signature stays
+    * NON-NEGATIVE in i64 and the d07/d10 blocked-hamming integer
+    * arithmetic (floor-div chunks) applies unchanged on both engines. */
+  val PHashCells = 62
+
+  /** 62-bit perceptual (average) hash of the decoded pixel stream —
+    * media dedup's signature (the aHash family): the stream splits into
+    * 62 equal spans, bit k = 1 iff span k's mean intensity exceeds the
+    * global mean. The comparison is CROSS-MULTIPLIED
+    * (spanSum·n > total·spanLen) so the hash is pure integer arithmetic
+    * — deterministic on any engine, replayable in SQL. Executor-side
+    * typed map, one pass, no shuffle. */
+  def perceptualHash(df: DataFrame, idCol: String,
+                     dataCol: String): DataFrame = {
+    val src: Dataset[(Long, Array[Byte])] = df
+      .select(col(idCol).cast("long"), col(dataCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    src.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val px = decodePixels(bytes)
+        val n = px.length.toLong
+        var total = 0L
+        var i = 0
+        while (i < px.length) { total += px(i); i += 1 }
+        var ph = 0L
+        var k = 0
+        while (k < PHashCells) {
+          val lo = (k * n / PHashCells).toInt
+          val hi = ((k + 1) * n / PHashCells).toInt
+          var s = 0L
+          var j = lo
+          while (j < hi) { s += px(j); j += 1 }
+          // span mean > global mean, cross-multiplied (exact integers)
+          if (hi > lo && s * n > total * (hi - lo)) ph |= (1L << k)
+          k += 1
+        }
+        PHash(id, bytes.length, ph)
+      }
+    }(Encoders.product[PHash]).toDF()
+  }
+
   /** Frame sampling: every `stride`-th fixed-size frame per media row —
     * flatMap (generator/UDTF shape), output is one row per kept frame. */
   def sampleFrames(df: DataFrame, idCol: String, dataCol: String,

@@ -15,6 +15,55 @@ class MultimodalSpec extends SparkSpec {
     (3L, Array.emptyByteArray)
   ).toDF("media_id", "data")
 
+  test("perceptual hash: signatures are non-negative and match a " +
+      "driver replay; planted near-dup pairs within hamming<=3 via the " +
+      "blocked join, brute-force parity, unrelated payloads excluded") {
+    import graft.operators.Dedup
+    // 62 cells × 4 bytes each; alternating strong low/high cells are
+    // robust to a single-cell flip (threshold ~ the midpoint)
+    def pattern(flip: Set[Int]): Array[Byte] =
+      Array.tabulate(62 * 4) { i =>
+        val cell = i / 4
+        val hi = (cell % 2 == 0) ^ flip(cell)
+        (if (hi) 200 else 10).toByte
+      }
+    val rows = Seq(
+      (0L, pattern(Set.empty)),
+      (1L, pattern(Set(5))),          // one flipped cell → hamming 1
+      (2L, pattern(Set(7, 20, 33))),  // three flips → hamming 3
+      (3L, pattern((0 until 62).toSet)), // inverted → far
+      (4L, "short".getBytes("UTF-8")))
+    val df = rows.toDF("media_id", "data")
+    val ph = Multimodal.perceptualHash(df, "media_id", "data")
+      .orderBy($"media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(ph.forall(_._2 >= 0), "62-cell hash must be non-negative")
+    // driver replay of the integer rule
+    rows.foreach { case (id, bytes) =>
+      val px = bytes.map(_ & 0xff)
+      val n = px.length.toLong
+      val total = px.map(_.toLong).sum
+      var want = 0L
+      for (k <- 0 until 62) {
+        val lo = (k * n / 62).toInt; val hi = ((k + 1) * n / 62).toInt
+        val s = px.slice(lo, hi).map(_.toLong).sum
+        if (hi > lo && s * n > total * (hi - lo)) want |= 1L << k
+      }
+      assert(ph.find(_._1 == id).get._2 == want, s"id $id")
+    }
+    val got = Dedup.hammingNearDup64(
+      Multimodal.perceptualHash(df, "media_id", "data")
+        .select($"media_id".as("id"), $"phash".as("sh")), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = (for {
+      (a, pa) <- ph; (b, pb) <- ph
+      if a < b && java.lang.Long.bitCount(pa ^ pb) <= 3
+    } yield (a, b)).toSet
+    assert(got == brute, s"blocked $got vs brute $brute")
+    assert(got.contains((0L, 1L)) && got.contains((0L, 2L)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("extractFeatures: byte-derived features, per-partition execution") {
     val got = Multimodal.extractFeatures(media, "media_id", "data")
       .orderBy($"media_id").collect()
