@@ -4176,6 +4176,50 @@ object Queries {
   // the oracle is the same replication.
   private val s04_sql = s03_sql
 
+  // ---------------------------------------------------------------- s11
+  // IVF k-NN JOIN: batch retrieval — 20 query vectors, each searching
+  // only its 2 nearest cells, per-query top-5 via the map-side
+  // WindowGroupLimit (the s06 shape over the s03 index). The oracle
+  // replays the Lloyd chain, per-query probe-cell argmax, and the
+  // rounded-score rank.
+  def s11_ivf_knn_join(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfKnnJoin(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryIds = (0L until 20L).toSeq,
+      k = 5, nProbe = 2, cents = embCentroids(spark, dir))
+      .select($"qid", $"rk", $"id".as("vec_id"), $"score")
+      .orderBy($"qid", $"rk")
+
+  private val s11_sql =
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |  topv AS (SELECT id, v FROM v ORDER BY id LIMIT 128),
+       |  num AS (SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM topv),
+       |  cent0 AS (SELECT CAST(rn // 16 AS INT) AS cell, v AS cv
+       |    FROM num WHERE rn % 16 = 1),
+       |${lloydIterSql("cent0", 1)},
+       |${lloydIterSql("cent1", 2)},
+       |${lloydIterSql("cent2", 3)},
+       |  a AS (SELECT id, v, cell FROM (
+       |    SELECT v.id, v.v, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.id
+       |        ORDER BY ${duckCos("v.v", "c.cv")} DESC, c.cell) AS rk
+       |    FROM v CROSS JOIN cent3 c) WHERE rk = 1),
+       |  qs AS (SELECT id AS qid, v AS qv FROM v WHERE id < 20),
+       |  probe AS (SELECT qid, cell FROM (
+       |    SELECT q.qid, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY ${duckCos("q.qv", "c.cv")} DESC, c.cell) AS rk
+       |    FROM qs q CROSS JOIN cent3 c) WHERE rk <= 2)
+       |SELECT qid, rk, vec_id, score FROM (
+       |  SELECT q.qid, a.id AS vec_id,
+       |    ROUND(list_cosine_similarity(a.v, q.qv), 6) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY q.qid
+       |      ORDER BY ROUND(list_cosine_similarity(a.v, q.qv), 6) DESC,
+       |               a.id) AS rk
+       |  FROM qs q JOIN probe p USING (qid)
+       |  JOIN a ON a.cell = p.cell AND a.id <> q.qid)
+       |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
   // ---------------------------------------------------------------- s04
   // Persisted IVF index lifecycle: build once (centroids + cell-partitioned
   // inverted lists on disk), then a partition-pruned probe — the scan
@@ -5127,6 +5171,7 @@ object Queries {
     "s08_ivfpq" -> (s08_ivfpq _),
     "s09_sq8_search" -> (s09_sq8_search _),
     "s10_pq_knn" -> (s10_pq_knn _),
+    "s11_ivf_knn_join" -> (s11_ivf_knn_join _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
@@ -5300,5 +5345,6 @@ object Queries {
     "s08_ivfpq" -> s08_sql,
     "s09_sq8_search" -> s09_sql,
     "s10_pq_knn" -> s10_sql,
+    "s11_ivf_knn_join" -> s11_sql,
   )
 }

@@ -169,6 +169,46 @@ object Similarity {
       .select(col("qid"), col("rk"), col("id"), col("score"))
   }
 
+  /** IVF-accelerated k-NN JOIN — batch retrieval against the inverted
+    * file: each query vector searches only its `nProbe` nearest cells
+    * (probe cells picked driver-side from the bounded query set — the
+    * searchIvfIndex rule per query), candidates are the cell-matched
+    * corpus rows, per-query top-k folds to a map-side WindowGroupLimit
+    * before the single qid shuffle (the s06 shape). vs `knnJoin`
+    * (exact, scans everything per query): the scan here touches
+    * ~nProbe/nCells of the corpus per query — the batch-retrieval form
+    * that survives a 100 TB embedding store, same recall trade as s03.
+    * Rank ties break on the ROUNDED score then id (the s01 parity
+    * convention), so results replay exactly. */
+  def ivfKnnJoin(df: DataFrame, idCol: String, vecCol: String,
+                 queryIds: Seq[Long], k: Int, nProbe: Int,
+                 cents: Array[(Int, Seq[Double])]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val assigned = assignCells(v, cents)
+    val probes = v.filter(col("id").isin(queryIds: _*)).collect()
+      .flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Double](1)
+        cents.map { case (cell, cv) => (cell, cosineLocal(qv, cv)) }
+          .sortBy { case (cell, sim) => (-sim, cell) }
+          .take(nProbe)
+          .map { case (cell, _) => (qid, cell, qv) }
+      }.toSeq.toDF("qid", "cell", "qv")
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id").asc)
+    assigned.join(broadcast(probes), "cell")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        round(cosine(col("v"), col("qv")), 6).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("id"), col("score"))
+  }
+
   /** Deterministic pseudo-random hyperplanes (fixed seed) for LSH.
     * Package-visible so the DuckDB oracle SQL can embed the same planes
     * as literals (the d06 seeds-in-SQL pattern). */

@@ -99,6 +99,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("ivfKnnJoin: probing ALL cells equals the exact knnJoin " +
+      "bit-for-bit; at nProbe=2 average recall >= 0.75") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cents = Similarity.fitCentroids(emb, "vec_id", "embedding", 4, 3)
+    val qids = (0L until 8L).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"qid", $"rk").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val exact = rows(Similarity.knnJoin(emb, "vec_id", "embedding", qids, 5))
+    val full = rows(Similarity.ivfKnnJoin(emb, "vec_id", "embedding",
+      qids, 5, nProbe = 4, cents))
+    assert(full.toSeq == exact.toSeq, "full probe must equal exact knn")
+    val approx = rows(Similarity.ivfKnnJoin(emb, "vec_id", "embedding",
+      qids, 5, nProbe = 2, cents))
+    val recall = qids.map { q =>
+      val e = exact.filter(_._1 == q).map(_._3).toSet
+      val a = approx.filter(_._1 == q).map(_._3).toSet
+      (e intersect a).size.toDouble / e.size
+    }.sum / qids.size
+    assert(recall >= 0.75, s"recall $recall")
+  }
+
   test("k-center greedy matches a driver-side replay of the chain; the " +
       "coverage trace is non-decreasing; ids are distinct") {
     val emb = Tables.load(spark, sf, "embeddings")
