@@ -1435,6 +1435,50 @@ object Queries {
        |ORDER BY abs($d64) DESC, token LIMIT 50""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t51
+  // BLOOM-FILTER decontamination — the zero-shuffle form of t09: the
+  // benchmark gram set folds into a 2^20-bit Bloom array (a 128 KiB
+  // model artifact, bounded by the filter geometry regardless of
+  // benchmark size), and the corpus side is ONE codegen scan — no
+  // explode, no join, no aggregation; the per-doc distinct-hit count
+  // folds row-locally inside functions.BloomGramHits. At 100 TB this
+  // is the difference between a corpus-wide gram shuffle and a pure
+  // map over the scan. False positives are deterministic (same
+  // arithmetic both engines) and false negatives impossible; the spec
+  // pins n_bloom ≥ t09's exact n_hits per doc.
+  def t51_bloom_decontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val bits = operators.Decontam.bloomBits(
+      docs.filter($"doc_id" % 97 === 0), "text", n = 3, k = 3, mBits = 1 << 20)
+    operators.Decontam.bloomReport(docs.filter($"doc_id" % 97 =!= 0),
+        "doc_id", "text", n = 3, k = 3, mBits = 1 << 20, bits)
+      .orderBy($"doc_id")
+  }
+
+  private val t51_sql = {
+    import graft.functions.BloomGramHits.positionSql
+    val m = 1 << 20
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |pos AS (
+       |  SELECT doc_id, w,
+       |         unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+       |  FROM toks),
+       |grams AS (
+       |  SELECT doc_id, ${Text.duck.ngramHashSql("w", "i", 3)} AS g
+       |  FROM pos),
+       |bps AS (
+       |  SELECT DISTINCT unnest([${(0 until 3).map(j => positionSql("g", j, m)).mkString(", ")}]) AS p
+       |  FROM (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)),
+       |cg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+       |SELECT doc_id, COUNT(*) AS n_bloom
+       |FROM cg
+       |WHERE ${(0 until 3).map(j =>
+             s"${positionSql("g", j, m)} IN (SELECT p FROM bps)")
+             .mkString("\n  AND ")}
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   // ---------------------------------------------------------------- t38
   // Corpus audit card (the governance report a 100 TB shard audit
   // reads): per (lang, source) slice — docs, exact token mass, Gopher
@@ -4220,6 +4264,55 @@ object Queries {
        |  JOIN a ON a.cell = p.cell AND a.id <> q.qid)
        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
+  // ---------------------------------------------------------------- s12
+  // MMR diversified re-ranking (Carbonell & Goldstein 1998) — the
+  // post-ANN diversity pass a RAG retriever runs: greedy
+  // λ·rel − (1−λ)·max-sim-to-selected over the bounded 32-row
+  // relevance shortlist, λ = 7/10 (mmr = the 10-scaled integer-weight
+  // form, NULL for the seed rank). Corpus cost = ONE
+  // TakeOrderedAndProject scan; diversification touches the shortlist
+  // only. The oracle replays the greedy as 7 MATERIALIZED CTE stages
+  // (the t46 pattern).
+  def s12_mmr_rerank(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mmrRerank(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryId = 0L, shortlist = 32, k = 8,
+      lamNum = 7, lamDen = 10)
+      .select($"rank", $"id".as("vec_id"), $"rel", $"mmr")
+      .orderBy($"rank")
+
+  private val s12_sql = {
+    def stage(i: Int): String = {
+      val sims = (0 until i).map(j =>
+        s"ROUND(list_cosine_similarity(sl.emb, (SELECT emb FROM c$j)), 6)")
+      val m = if (i == 1) sims.head
+              else s"greatest(${sims.mkString(",\n      ")})"
+      val excl = (0 until i).map(j =>
+        s"sl.vec_id <> (SELECT vec_id FROM c$j)").mkString("\n    AND ")
+      s"""c$i AS MATERIALIZED (SELECT vec_id, emb, rel,
+         |    7 * rel - 3 * $m AS mmr
+         |  FROM sl WHERE $excl
+         |  ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    val ranks = (1 until 8).map(i =>
+      s"UNION ALL SELECT $i, vec_id, rel, mmr FROM c$i").mkString("\n  ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |    FROM embeddings),
+       |q AS (SELECT emb AS qv FROM v WHERE vec_id = 0),
+       |sl AS MATERIALIZED (
+       |  SELECT v.vec_id, v.emb,
+       |    ROUND(list_cosine_similarity(v.emb, q.qv), 6) AS rel
+       |  FROM v, q WHERE v.vec_id <> 0
+       |  ORDER BY rel DESC, v.vec_id LIMIT 32),
+       |c0 AS MATERIALIZED (SELECT vec_id, emb, rel,
+       |    CAST(NULL AS DOUBLE) AS mmr
+       |  FROM sl ORDER BY rel DESC, vec_id LIMIT 1),
+       |${(1 until 8).map(stage).mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT 0 AS rank, vec_id, rel, mmr FROM c0
+       |  $ranks
+       |) ORDER BY rank""".stripMargin
+  }
+
   // ---------------------------------------------------------------- s04
   // Persisted IVF index lifecycle: build once (centroids + cell-partitioned
   // inverted lists on disk), then a partition-pruned probe — the scan
@@ -5114,6 +5207,7 @@ object Queries {
     "t48_epoch_mix" -> (t48_epoch_mix _),
     "t49_unigram_viterbi" -> (t49_unigram_viterbi _),
     "t50_drift_census" -> (t50_drift_census _),
+    "t51_bloom_decontam" -> (t51_bloom_decontam _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -5172,6 +5266,7 @@ object Queries {
     "s09_sq8_search" -> (s09_sq8_search _),
     "s10_pq_knn" -> (s10_pq_knn _),
     "s11_ivf_knn_join" -> (s11_ivf_knn_join _),
+    "s12_mmr_rerank" -> (s12_mmr_rerank _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
@@ -5271,6 +5366,7 @@ object Queries {
     "t48_epoch_mix" -> t48_sql,
     "t49_unigram_viterbi" -> t49_sql,
     "t50_drift_census" -> t50_sql,
+    "t51_bloom_decontam" -> t51_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,
@@ -5346,5 +5442,6 @@ object Queries {
     "s09_sq8_search" -> s09_sql,
     "s10_pq_knn" -> s10_sql,
     "s11_ivf_knn_join" -> s11_sql,
+    "s12_mmr_rerank" -> s12_sql,
   )
 }

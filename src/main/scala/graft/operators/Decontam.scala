@@ -105,6 +105,62 @@ object Decontam {
       .select($"__cid".as(idCol), $"bench_id", $"n_common", $"n_bench")
   }
 
+  /** Build the Bloom bit array for [[bloomReport]]: every benchmark
+    * n-gram hash sets its k positions. Computed distributedly — the
+    * DISTINCT positions (≤ mBits rows BY CONSTRUCTION, regardless of
+    * benchmark size) are what reaches the driver, so the artifact is
+    * bounded by the filter geometry, never by the data. */
+  def bloomBits(bench: DataFrame, benchTextCol: String, n: Int,
+                k: Int, mBits: Int): Array[Long] = {
+    import graft.functions.NgramHashExpr.ngramHashes
+    import graft.functions.{NgramHashes, Text}
+    val P = Text.minhashPrime
+    // one Column per j, same arithmetic as BloomGramHits.position
+    val positions = bench
+      .select(explode(ngramHashes(col(benchTextCol), n)).as("g")).distinct()
+      .select(explode(array((0 until k).map { j =>
+        ((col("g") % P) * NgramHashes.keys(j) + NgramHashes.keys(j + 3)) % P % mBits
+      }: _*)).as("p"))
+      .distinct()
+      .collect()
+    val bits = new Array[Long](mBits / 64)
+    positions.foreach { r =>
+      val p = r.getLong(0).toInt
+      bits(p >> 6) |= 1L << (p & 63)
+    }
+    bits
+  }
+
+  /** Bloom-filter decontamination report: (doc_id, n_bloom) for every
+    * corpus doc with ≥1 distinct n-gram probing positive against the
+    * benchmark Bloom filter — the ZERO-SHUFFLE form of [[report]]: the
+    * bit array rides inside one codegen expression
+    * ([[graft.functions.BloomGramHits]]), so the corpus side is a pure
+    * narrow scan (no explode, no join, no aggregation — the per-doc
+    * distinct-hit count folds row-locally). n_bloom ≥ the exact
+    * [[report]] n_hits (no false negatives); the overshoot is the
+    * deterministic Bloom false-positive rate, identically replayed by
+    * the DuckDB oracle. */
+  def bloomReport(corpus: DataFrame, idCol: String, textCol: String,
+                  n: Int, k: Int, mBits: Int, bits: Array[Long]): DataFrame = {
+    import graft.functions.BloomExpr.bloomGramHits
+    corpus
+      .select(col(idCol),
+        bloomGramHits(col(textCol), n, k, mBits, bits)
+          .cast("bigint").as("n_bloom"))
+      .filter(col("n_bloom") > 0)
+  }
+
+  /** The corpus with Bloom-flagged docs dropped — a pure FILTER over the
+    * scan (clean docs are the `n_bloom = 0` complement), so the applied
+    * form also costs zero shuffles. */
+  def bloomClean(corpus: DataFrame, idCol: String, textCol: String,
+                 n: Int, k: Int, mBits: Int, bits: Array[Long]): DataFrame = {
+    import graft.functions.BloomExpr.bloomGramHits
+    corpus.filter(
+      bloomGramHits(col(textCol), n, k, mBits, bits) === 0)
+  }
+
   /** The corpus with contaminated docs dropped. */
   def clean(corpus: DataFrame, idCol: String, textCol: String,
             bench: DataFrame, benchTextCol: String, n: Int): DataFrame = {

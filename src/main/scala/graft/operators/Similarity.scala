@@ -139,6 +139,73 @@ object Similarity {
     }.toDF("rank", "id", "far")
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified re-ranking — the retrieval-side dedup a RAG stack runs
+    * after ANN: from a bounded relevance shortlist, greedily pick the
+    * candidate maximizing  λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s), so
+    * near-duplicate passages don't crowd the context window.
+    *
+    * λ is the rational lamNum/lamDen and the reported `mmr` is the
+    * lamDen-SCALED score  lamNum·rel − (lamDen−lamNum)·maxsim  (same
+    * argmax, no division — the value both engines compute with the
+    * identical two-multiply-one-subtract IEEE sequence on the 6-dp
+    * ROUNDED rel/sim inputs, so the greedy replays exactly; rank 0 has
+    * no selected set yet → mmr is NULL, the t46 `far` convention).
+    *
+    * 100 TB shape: stage 1 is the one corpus scan (`bruteForceTopK` —
+    * TakeOrderedAndProject, no global sort); everything after operates
+    * on the SHORTLIST only (≤ shortlist² pairwise sims in one tiny
+    * crossjoin, greedy on the driver over ≤ shortlist rows) — corpus
+    * size never enters the diversification cost. */
+  def mmrRerank(df: DataFrame, idCol: String, vecCol: String,
+                queryId: Long, shortlist: Int, k: Int,
+                lamNum: Int, lamDen: Int): DataFrame = {
+    require(k >= 1 && k <= shortlist, s"k $k outside 1..$shortlist")
+    require(lamNum >= 1 && lamNum <= lamDen,
+      s"lambda $lamNum/$lamDen outside (0, 1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // stage 1: bounded shortlist, already in (rel DESC, id) order
+    val shortRows = bruteForceTopK(df, idCol, vecCol, queryId, shortlist)
+      .collect()
+    val ids = shortRows.map(_.getLong(0))
+    val rel = shortRows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // stage 2: pairwise sims WITHIN the shortlist (≤ shortlist² rows),
+    // rounded in-query so both engines share the exact same doubles
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .filter(col("id").isin(ids.map(x => x: Any): _*))
+    val pairSim = v.as("a").crossJoin(v.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("ia"), col("b.id").as("ib"),
+        round(cosine(col("a.v"), col("b.v")), 6).as("s"))
+      .collect()
+      .flatMap { r =>
+        val (x, y, s) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((x, y) -> s, (y, x) -> s)
+      }.toMap
+    // stage 3: greedy argmax (mmr DESC, id ASC) — the same IEEE op
+    // sequence the DuckDB oracle stages replay
+    var selected = Vector.empty[(Int, Long, Double, Option[Double])]
+    var remaining = ids.toVector
+    while (selected.length < k && remaining.nonEmpty) {
+      val (cid, mmr) =
+        if (selected.isEmpty) (remaining.head, None) // argmax rel = head
+        else {
+          val scored = remaining.map { c =>
+            val m = selected.map(s => pairSim((c, s._2))).max
+            c -> (lamNum * rel(c) - (lamDen - lamNum) * m)
+          }
+          val best = scored.minBy { case (id, s) => (-s, id) }
+          (best._1, Some(best._2))
+        }
+      selected :+= ((selected.length, cid, rel(cid), mmr))
+      remaining = remaining.filterNot(_ == cid)
+    }
+    selected.map { case (r, id, rl, m) => (r, id, rl, m) }
+      .toDF("rank", "id", "rel", "mmr")
+  }
+
   /** k-NN JOIN: exact top-k cosine neighbors for EVERY query in a query
     * set (vs `bruteForceTopK`'s single query row) — the batch-retrieval
     * shape (eval-set contamination probes, hard-negative mining,

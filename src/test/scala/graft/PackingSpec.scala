@@ -62,6 +62,59 @@ class PackingSpec extends SparkSpec {
     assert(flagged.nonEmpty)
   }
 
+  test("bloomReport: no false negatives vs the exact report, clean is the " +
+      "exact complement, and the codegen probe matches a Column replay " +
+      "of the position arithmetic") {
+    import graft.functions.{NgramHashes, Text}
+    import graft.functions.NgramHashExpr.ngramHashes
+    val words = (0 until 40).map(i => s"w$i").mkString(" ")
+    val other = (100 until 140).map(i => s"x$i").mkString(" ")
+    val corpus = Seq(
+      (1L, words),                                        // full overlap
+      (2L, other),                                        // no overlap
+      (3L, words.split(" ").take(10).mkString(" ")),      // partial overlap
+      (4L, "a b"),                                        // too short for 3-grams
+      (5L, (200 until 230).map(i => s"y$i").mkString(" ")) // no overlap
+    ).toDF("doc_id", "text")
+    val bench = Seq((9L, words.split(" ").take(30).mkString(" ")))
+      .toDF("doc_id", "text")
+    val (n, k, mBits) = (3, 3, 1 << 12)
+    val bits = Decontam.bloomBits(bench, "text", n, k, mBits)
+    val bloom = Decontam.bloomReport(corpus, "doc_id", "text", n, k, mBits, bits)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // no false negatives: every exact hit is a bloom hit, count >= exact
+    val exact = Decontam.report(corpus, "doc_id", "text", bench, "text", n)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    exact.foreach { case (id, nh) =>
+      assert(bloom.contains(id) && bloom(id) >= nh,
+        s"doc $id: bloom ${bloom.get(id)} < exact $nh")
+    }
+    assert(exact.keySet == Set(1L, 3L)) // the fixture's true overlaps
+    // clean = corpus minus exactly the bloom-flagged ids
+    val kept = Decontam.bloomClean(corpus, "doc_id", "text", n, k, mBits, bits)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 4L, 5L) -- bloom.keySet)
+    // Column replay of the probe: distinct (doc, gram), the 3 position
+    // expressions, all-in-set filter, per-doc count — must equal the
+    // codegen expression exactly (false positives included)
+    val P = Text.minhashPrime
+    val posSet = (0 until k).flatMap { j =>
+      bench.select(explode(ngramHashes($"text", n)).as("g")).distinct()
+        .select((($"g" % P) * NgramHashes.keys(j) + NgramHashes.keys(j + 3))
+          % P % mBits)
+        .collect().map(_.getLong(0))
+    }.toSet
+    val replay = corpus
+      .select($"doc_id", explode(ngramHashes($"text", n)).as("g")).distinct()
+      .select(($"doc_id" +: (0 until k).map(j =>
+        ((($"g" % P) * NgramHashes.keys(j) + NgramHashes.keys(j + 3))
+          % P % mBits).as(s"p$j"))): _*)
+      .collect()
+      .filter(r => (1 to k).forall(j => posSet.contains(r.getLong(j))))
+      .groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.length.toLong }
+    assert(replay == bloom)
+  }
+
   private def referenceGreedy(rows: Seq[(Long, Long)], budget: Long)
       : Map[Long, Int] = {
     var bin = 0; var filled = 0L; var first = true

@@ -121,6 +121,71 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
+  test("mmrRerank: lambda=1 equals bruteForceTopK bit-for-bit; the greedy " +
+      "matches an independent replay over the collected rel/sim tables; " +
+      "a planted near-duplicate is deferred at lambda=1/2") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    // lambda = 1: no diversity term — selection order IS relevance order
+    val pure = Similarity.mmrRerank(emb, "vec_id", "embedding",
+      queryId = 0L, shortlist = 16, k = 6, lamNum = 5, lamDen = 5)
+      .orderBy($"rank").collect()
+    val brute = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 6)
+      .collect()
+    assert(pure.map(_.getLong(1)).toSeq == brute.map(_.getLong(0)).toSeq,
+      "lambda=1 must reduce to pure relevance ranking")
+    // independent greedy replay from the SAME rounded rel/sim queries
+    val got = Similarity.mmrRerank(emb, "vec_id", "embedding",
+      queryId = 0L, shortlist = 16, k = 6, lamNum = 7, lamDen = 10)
+      .orderBy($"rank").collect()
+    val short = Similarity.bruteForceTopK(emb, "vec_id", "embedding", 0L, 16)
+      .collect()
+    val ids = short.map(_.getLong(0))
+    val rel = short.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val v = emb.select($"vec_id".as("id"),
+      $"embedding".cast("array<double>").as("v"))
+      .filter($"id".isin(ids.map(x => x: Any): _*))
+    val sim = v.as("a").crossJoin(v.as("b")).filter($"a.id" =!= $"b.id")
+      .select($"a.id".as("ia"), $"b.id".as("ib"),
+        round(Similarity.cosine($"a.v", $"b.v"), 6).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    var chosen = Vector(ids.head) // rank 0 = argmax rel (shortlist head)
+    while (chosen.size < 6) {
+      val best = ids.filterNot(chosen.contains).map { c =>
+        (7 * rel(c) - 3 * chosen.map(s => sim((c, s))).max, c)
+      }.maxBy { case (m, id) => (m, -id) }
+      chosen :+= best._2
+    }
+    assert(got.map(_.getLong(1)).toVector == chosen, "greedy ids diverge")
+    assert(got.head.isNullAt(3) && got.drop(1).forall(!_.isNullAt(3)))
+    // emitted mmr values match the formula on the collected tables
+    got.drop(1).foreach { r =>
+      val c = r.getLong(1)
+      val before = chosen.takeWhile(_ != c)
+      val expect = 7 * rel(c) - 3 * before.map(s => sim((c, s))).max
+      assert(r.getDouble(3) == expect, s"mmr mismatch for $c")
+    }
+    // planted near-dup: rel top-2 nearly identical, diverse runner-up —
+    // brute force keeps the dup at rank 1, MMR (lambda=1/2) defers it
+    import spark.implicits._
+    val planted = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),         // query
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),         // top rel
+      (2L, Array(0.9f, 0.1001f, 0.0f, 0.0f)),      // its near-dup
+      (3L, Array(0.5f, 0.0f, 0.5f, 0.0f)),         // diverse, decent rel
+      (4L, Array(0.0f, 0.0f, 0.0f, 1.0f))          // orthogonal filler
+    ).toDF("vec_id", "embedding")
+    val bruteIds = Similarity.bruteForceTopK(planted, "vec_id", "embedding",
+      0L, 3).collect().map(_.getLong(0)).toSeq
+    assert(bruteIds.take(2).toSet == Set(1L, 2L), "fixture: dup must lead")
+    val mmrIds = Similarity.mmrRerank(planted, "vec_id", "embedding",
+      queryId = 0L, shortlist = 4, k = 3, lamNum = 1, lamDen = 2)
+      .orderBy($"rank").collect().map(_.getLong(1)).toSeq
+    // the near-dup (id 2) is pushed out of the top-3 entirely: even the
+    // orthogonal filler's mmr (0 - 0) beats the dup's (rel - ~1)
+    assert(mmrIds == Seq(1L, 3L, 4L),
+      s"MMR must defer the near-dup: got $mmrIds")
+  }
+
   test("k-center greedy matches a driver-side replay of the chain; the " +
       "coverage trace is non-decreasing; ids are distinct") {
     val emb = Tables.load(spark, sf, "embeddings")
