@@ -1479,6 +1479,44 @@ object Queries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- t52
+  // STREAMING Bloom decontamination (the t51 production twin, the
+  // t35/t41 pattern): the benchmark registry folds ONCE into the
+  // PERSISTED 128 KiB Bloom artifact (Decontam.buildBloomFilter;
+  // later eval suites appendToBloomFilter — a pure bitwise OR), and
+  // the live document feed probes it per micro-batch — still the
+  // zero-shuffle codegen scan inside every batch, because the
+  // artifact is a plain long[], not a session-bound Dataset.
+  // Parameter-stamped stage, disk-as-state, replay appends nothing.
+  // The oracle IS t51's SQL — stream must equal batch.
+  private[graft] def bloomStreamBase(dir: String, n: Int, k: Int,
+                                     mBits: Int): String = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s"/tmp/graft_stream/$key/bloom_n${n}_k${k}_m$mBits" +
+      s"_s${srcStamp(dir, "documents.parquet")}"
+  }
+
+  def t52_stream_bloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stage = s"/tmp/graft_stream/$key/documents"
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      sources.Store.setSplayed(docs, stage)
+    val base = bloomStreamBase(dir, 3, 3, 1 << 20)
+    val filterPath = s"$base/filter"
+    if (!new java.io.File(s"$filterPath/meta/_SUCCESS").exists())
+      operators.Decontam.buildBloomFilter(docs.filter($"doc_id" % 97 === 0),
+        "text", n = 3, k = 3, mBits = 1 << 20, filterPath)
+    streaming.Streams.bloomDecontamStream(spark, stage, docs,
+        "doc_id", "text", filterPath,
+        outDir = s"$base/out", checkpoint = s"$base/ckpt",
+        where = Some("doc_id % 97 <> 0"))
+      .orderBy($"doc_id")
+  }
+
+  // t52's oracle IS t51's SQL (stream == batch)
+  private lazy val t52_sql = t51_sql
+
   // ---------------------------------------------------------------- t38
   // Corpus audit card (the governance report a 100 TB shard audit
   // reads): per (lang, source) slice — docs, exact token mass, Gopher
@@ -5208,6 +5246,7 @@ object Queries {
     "t49_unigram_viterbi" -> (t49_unigram_viterbi _),
     "t50_drift_census" -> (t50_drift_census _),
     "t51_bloom_decontam" -> (t51_bloom_decontam _),
+    "t52_stream_bloom" -> (t52_stream_bloom _),
     "d01_dedup_exact" -> (d01_dedup_exact _),
     "d02_minhash" -> (d02_minhash _),
     "d03_jaccard_pairs" -> (d03_jaccard_pairs _),
@@ -5367,6 +5406,7 @@ object Queries {
     "t49_unigram_viterbi" -> t49_sql,
     "t50_drift_census" -> t50_sql,
     "t51_bloom_decontam" -> t51_sql,
+    "t52_stream_bloom" -> t52_sql,
     "d01_dedup_exact" -> d01_sql,
     "d02_minhash" -> d02_sql,
     "d03_jaccard_pairs" -> d03_sql,

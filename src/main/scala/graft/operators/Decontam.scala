@@ -161,6 +161,73 @@ object Decontam {
       bloomGramHits(col(textCol), n, k, mBits, bits) === 0)
   }
 
+  // ------------------------------------------------------------------
+  // Persisted Bloom decontamination artifact — the lifecycle a rolling
+  // benchmark registry needs: each eval-suite snapshot folds its grams
+  // into the SHARED bit array once, on arrival (append is a pure
+  // bitwise OR — order-independent, idempotent, and the old benchmark
+  // text is never re-read); every corpus pass probes the accumulated
+  // filter with the zero-shuffle [[bloomReport]] scan. On-disk layout
+  // mirrors buildLshIndex: `path/meta` pins (n, k, m_bits) — a probe
+  // under different geometry would silently miss, so load fails fast
+  // on absence and append derives its params FROM the store;
+  // `path/bits` holds only the NONZERO words (idx, word), so the
+  // artifact on disk scales with fill, never with mBits.
+  // ------------------------------------------------------------------
+
+  /** The persisted filter, loaded: params + the dense word array. */
+  case class BloomFilter(n: Int, k: Int, mBits: Int, bits: Array[Long])
+
+  /** Write params + nonzero words. Overwrites both dirs (the artifact
+    * is 10s-of-KiB — rewriting beats merge bookkeeping). */
+  def saveBloomFilter(spark: org.apache.spark.sql.SparkSession,
+                      path: String, n: Int, k: Int, mBits: Int,
+                      bits: Array[Long]): Unit = {
+    import spark.implicits._
+    Seq((n, k, mBits)).toDF("n", "k", "m_bits")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    bits.zipWithIndex.collect { case (w, i) if w != 0L => (i, w) }
+      .toSeq.toDF("idx", "word")
+      .write.mode("overwrite").parquet(s"$path/bits")
+  }
+
+  def loadBloomFilter(spark: org.apache.spark.sql.SparkSession,
+                      path: String): BloomFilter = {
+    require(Similarity.fsDirExists(spark, s"$path/meta"),
+      s"no Bloom filter at $path (missing $path/meta — buildBloomFilter first)")
+    val m = spark.read.parquet(s"$path/meta")
+      .select(col("n"), col("k"), col("m_bits")).collect().head
+    val (n, k, mBits) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    val bits = new Array[Long](mBits / 64)
+    spark.read.parquet(s"$path/bits").collect().foreach { r =>
+      bits(r.getInt(0)) = r.getLong(1)
+    }
+    BloomFilter(n, k, mBits, bits)
+  }
+
+  /** Build + persist from the initial benchmark snapshot. */
+  def buildBloomFilter(bench: DataFrame, benchTextCol: String, n: Int,
+                       k: Int, mBits: Int, path: String): BloomFilter = {
+    val bits = bloomBits(bench, benchTextCol, n, k, mBits)
+    saveBloomFilter(bench.sparkSession, path, n, k, mBits, bits)
+    BloomFilter(n, k, mBits, bits)
+  }
+
+  /** OR a new benchmark snapshot into the stored filter (params from
+    * the store — geometry mismatch is impossible by construction).
+    * append(A); append(B) ≡ build(A ∪ B) bit for bit. */
+  def appendToBloomFilter(bench: DataFrame, benchTextCol: String,
+                          path: String): BloomFilter = {
+    val spark = bench.sparkSession
+    val old = loadBloomFilter(spark, path)
+    val add = bloomBits(bench, benchTextCol, old.n, old.k, old.mBits)
+    val merged = old.bits.clone()
+    var i = 0
+    while (i < merged.length) { merged(i) |= add(i); i += 1 }
+    saveBloomFilter(spark, path, old.n, old.k, old.mBits, merged)
+    BloomFilter(old.n, old.k, old.mBits, merged)
+  }
+
   /** The corpus with contaminated docs dropped. */
   def clean(corpus: DataFrame, idCol: String, textCol: String,
             bench: DataFrame, benchTextCol: String, n: Int): DataFrame = {

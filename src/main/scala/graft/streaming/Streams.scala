@@ -260,6 +260,44 @@ object Streams {
       textCol, graft.operators.Dsir.loadModel(spark, modelPath))
   }
 
+  /** Streaming Bloom decontamination (the t51 production twin): probe
+    * a live document feed per micro-batch against the PERSISTED Bloom
+    * artifact (`Decontam.buildBloomFilter` over the benchmark registry
+    * — eval suites append as they publish, the stream gates today's
+    * crawl at micro-batch latency). Unlike the LM/DSIR models the
+    * artifact is a plain driver-side long[] (no session-bound Dataset),
+    * so the probe stays the zero-shuffle codegen scan inside every
+    * micro-batch. Stateless per batch, disk-as-state, at-least-once,
+    * checkpointed batch-skip on replay; `where` optionally routes a
+    * slice of a shared feed. */
+  def bloomDecontamStream(spark: SparkSession, srcDir: String,
+                          schemaFrom: DataFrame, idCol: String,
+                          textCol: String, filterPath: String,
+                          outDir: String, checkpoint: String,
+                          where: Option[String] = None,
+                          statePartitions: Int = 2): DataFrame = {
+    val bf = graft.operators.Decontam.loadBloomFilter(spark, filterPath)
+    def probe(df: DataFrame) = graft.operators.Decontam.bloomReport(
+      df, idCol, textCol, bf.n, bf.k, bf.mBits, bf.bits)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val stream = where.fold(src)(src.filter)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        probe(batch).write.mode("append").parquet(outDir)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    if (new org.apache.hadoop.fs.Path(outDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(new org.apache.hadoop.fs.Path(outDir)))
+      spark.read.parquet(outDir)
+    else probe(schemaFrom.limit(0))
+  }
+
   /** Streaming ingest into the PERSISTED LSH dedup index: each
     * micro-batch's banded signatures append via
     * `Dedup.appendToLshIndex` — the live half of the snapshot-dedup

@@ -115,6 +115,36 @@ class PackingSpec extends SparkSpec {
     assert(replay == bloom)
   }
 
+  test("bloom filter lifecycle: save/load round-trips bit-exact with " +
+      "params; append(A);append(B) == build(A union B) bit for bit and " +
+      "is idempotent; load without a build fails fast") {
+    val mkDoc = (id: Long, lo: Int) =>
+      (id, (lo until lo + 20).map(i => s"w$i").mkString(" "))
+    val a = Seq(mkDoc(1L, 0), mkDoc(2L, 50)).toDF("doc_id", "text")
+    val b = Seq(mkDoc(3L, 100)).toDF("doc_id", "text")
+    val (n, k, mBits) = (3, 2, 1 << 10)
+    val base = s"/tmp/graft_bloom_spec/${System.nanoTime()}"
+    val built = Decontam.buildBloomFilter(a, "text", n, k, mBits, s"$base/f")
+    val loaded = Decontam.loadBloomFilter(spark, s"$base/f")
+    assert(loaded.n == n && loaded.k == k && loaded.mBits == mBits)
+    assert(java.util.Arrays.equals(loaded.bits, built.bits))
+    assert(java.util.Arrays.equals(built.bits,
+      Decontam.bloomBits(a, "text", n, k, mBits)))
+    // append == rebuild over the union, and appending B again is a no-op
+    val appended = Decontam.appendToBloomFilter(b, "text", s"$base/f")
+    val rebuilt = Decontam.bloomBits(a.union(b), "text", n, k, mBits)
+    assert(java.util.Arrays.equals(appended.bits, rebuilt))
+    val again = Decontam.appendToBloomFilter(b, "text", s"$base/f")
+    assert(java.util.Arrays.equals(again.bits, rebuilt))
+    assert(java.util.Arrays.equals(
+      Decontam.loadBloomFilter(spark, s"$base/f").bits, rebuilt))
+    val miss = intercept[IllegalArgumentException] {
+      Decontam.loadBloomFilter(spark, s"$base/nowhere")
+    }
+    assert(miss.getMessage.contains("buildBloomFilter"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   private def referenceGreedy(rows: Seq[(Long, Long)], budget: Long)
       : Map[Long, Int] = {
     var bin = 0; var filled = 0L; var first = true

@@ -150,6 +150,36 @@ class StorageStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("streaming bloom decontamination equals the batch probe against " +
+      "the persisted artifact; where routes the feed slice; drained " +
+      "replay appends nothing; empty feed yields the report schema") {
+    val docs = Tables.load(spark, sf, "documents")
+    val base = s"/tmp/graft_bloomstream_spec/${System.nanoTime()}"
+    val feed = s"$base/feed"
+    docs.write.parquet(feed)
+    val (n, k, mBits) = (3, 3, 1 << 16)
+    val bf = operators.Decontam.buildBloomFilter(
+      docs.filter($"doc_id" % 7 === 0), "text", n, k, mBits, s"$base/f")
+    def run() = streaming.Streams.bloomDecontamStream(spark, feed, docs,
+      "doc_id", "text", s"$base/f", s"$base/out", s"$base/ckpt",
+      where = Some("doc_id % 7 <> 0"))
+    val streamed = run().orderBy($"doc_id").collect().toSeq
+    val batch = operators.Decontam.bloomReport(docs.filter($"doc_id" % 7 =!= 0),
+        "doc_id", "text", n, k, mBits, bf.bits)
+      .orderBy($"doc_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "fixture must flag something")
+    assert(run().count() == batch.length.toLong) // checkpointed replay
+    val emptyBase = s"$base/empty"
+    new java.io.File(s"$emptyBase/feed").mkdirs()
+    val empty = streaming.Streams.bloomDecontamStream(spark,
+      s"$emptyBase/feed", docs, "doc_id", "text", s"$base/f",
+      s"$emptyBase/out", s"$emptyBase/ckpt")
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq == Seq("doc_id", "n_bloom"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("parameter-stamped streaming stages: a changed keep gate lands " +
       "in a FRESH stage dir with correct output — stale state never " +
       "pollutes, no manual cleanup") {
