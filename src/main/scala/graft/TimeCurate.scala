@@ -89,6 +89,32 @@ object TimeCurate {
           "src3" -> 70000L))
       m.queryExecution.toRdd.foreach(_ => ())
     }
+
+    // t51: the zero-shuffle Bloom probe vs the exact broadcast-join
+    // report over the SAME corpus/bench split (the sum keeps the
+    // expression un-pruned; the filter rides the scan either way)
+    val bench = docs.filter($"doc_id" % 97 === 0)
+    val corpus = docs.filter($"doc_id" % 97 =!= 0)
+    val bits = time("t51 bloomBits (bench fold)") {
+      operators.Decontam.bloomBits(bench, "text", 3, 3, 1 << 20)
+    }
+    for (rep <- 1 to 3) time(s"t51 bloomReport rep$rep") {
+      val r = operators.Decontam.bloomReport(corpus, "doc_id", "text",
+        3, 3, 1 << 20, bits).agg(count(lit(1)), sum($"n_bloom")).collect()
+      if (rep == 1) println(s"  flagged/sum: ${r.head}")
+    }
+    for (rep <- 1 to 2) time(s"t09 exact report rep$rep") {
+      val r = operators.Decontam.report(corpus, "doc_id", "text",
+        bench, "text", 3).agg(count(lit(1)), sum($"n_hits")).collect()
+      if (rep == 1) println(s"  flagged/sum: ${r.head}")
+    }
+
+    for (rep <- 1 to 3) time(s"s12 mmrRerank rep$rep") {
+      val r = operators.Similarity.mmrRerank(emb, "vec_id", "embedding",
+        queryId = 0L, shortlist = 32, k = 8, lamNum = 7, lamDen = 10)
+        .collect()
+      if (rep == 1) println(s"  picks: ${r.map(_.getLong(1)).mkString(",")}")
+    }
     spark.stop()
   }
 }
