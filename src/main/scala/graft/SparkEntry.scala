@@ -3991,6 +3991,23 @@ object Queries {
           .as("approx_med_price"))
       .orderBy($"l_returnflag")
 
+  // ---------------------------------------------------------------- q64
+  // DETERMINISTIC HyperLogLog census — q39's missing half: q39's
+  // approx_count_distinct is engine-internal (rows-only check); this
+  // sketch's hashing, registers, integer harmonic sum and estimate are
+  // all replayable arithmetic, so the WHOLE sketch hash-matches in
+  // DuckDB. One narrow hash map over the scan + one (slice, bucket)
+  // register aggregate (≤ m rows/slice cross the shuffle — registers,
+  // never keys). Raw-regime estimator only (ln is libm-unreplayable;
+  // the small-n linear-counting bias is documented on Hll.census).
+  def q64_hll(spark: SparkSession, dir: String): DataFrame =
+    operators.Hll.census(t(spark, dir, "lineitem"),
+      Seq("l_returnflag"), "l_orderkey", logM = 10)
+      .orderBy($"l_returnflag")
+
+  private val q64_sql =
+    operators.Hll.censusSql("lineitem", "l_returnflag", "l_orderkey", 10)
+
   // ---------------------------------------------------------------- q40
   // window-join jtype 0 — the reference's `window-join` proper: the
   // PREVAILING right row (last view at-or-before the window start) plus
@@ -4349,6 +4366,33 @@ object Queries {
        |  SELECT 0 AS rank, vec_id, rel, mmr FROM c0
        |  $ranks
        |) ORDER BY rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- s13
+  // Johnson–Lindenstrauss projected search (Achlioptas ±1): 64 → 16
+  // dims via deterministic Rademacher signs (no stored matrix — the
+  // "matrix" is integer hash arithmetic both engines evaluate
+  // identically), then exact top-k cosine in the projected space. The
+  // projection is ONE narrow codegen map; the oracle unrolls the same
+  // left-assoc ± chains term by term (signs folded at SQL-generation
+  // time), so projected vectors are bit-identical cross-engine.
+  def s13_jl_search(spark: SparkSession, dir: String): DataFrame =
+    Similarity.jlTopK(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryId = 0L, k = 10, dOut = 16)
+      .select($"id".as("vec_id"), $"score")
+
+  private val s13_sql = {
+    import graft.functions.JlExpr.projectionSql
+    val dims = (0 until 16).map(j =>
+      projectionSql("emb", 64, j)).mkString("[\n    ", ",\n    ", "]")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |    FROM embeddings),
+       |p AS (SELECT vec_id, $dims AS pv FROM v),
+       |q AS (SELECT pv AS qv FROM p WHERE vec_id = 0)
+       |SELECT p.vec_id,
+       |  ROUND(list_cosine_similarity(p.pv, q.qv), 6) AS score
+       |FROM p, q WHERE p.vec_id <> 0
+       |ORDER BY score DESC, p.vec_id LIMIT 10""".stripMargin
   }
 
   // ---------------------------------------------------------------- s04
@@ -5306,6 +5350,8 @@ object Queries {
     "s10_pq_knn" -> (s10_pq_knn _),
     "s11_ivf_knn_join" -> (s11_ivf_knn_join _),
     "s12_mmr_rerank" -> (s12_mmr_rerank _),
+    "s13_jl_search" -> (s13_jl_search _),
+    "q64_hll" -> (q64_hll _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
@@ -5483,5 +5529,7 @@ object Queries {
     "s10_pq_knn" -> s10_sql,
     "s11_ivf_knn_join" -> s11_sql,
     "s12_mmr_rerank" -> s12_sql,
+    "s13_jl_search" -> s13_sql,
+    "q64_hll" -> q64_sql,
   )
 }

@@ -109,6 +109,24 @@ object TimeCurate {
       if (rep == 1) println(s"  flagged/sum: ${r.head}")
     }
 
+    // s13 production lifecycle: project + persist ONCE, then per-query
+    // searches over the 16-dim table (vs the 64-dim brute-force scan)
+    val projDir = s"$base/jl16"
+    time("s13 jlProject+persist d'=16") {
+      operators.Similarity.jlProject(emb, "vec_id", "embedding", 16)
+        .write.parquet(projDir)
+    }
+    val projTbl = spark.read.parquet(projDir)
+    for (rep <- 1 to 3) time(s"s13 jlSearchProjected rep$rep") {
+      val r = operators.Similarity.jlSearchProjected(projTbl,
+        queryId = 0L, k = 10).collect()
+      if (rep == 1) println(s"  top: ${r.map(_.getLong(0)).mkString(",")}")
+    }
+    for (rep <- 1 to 2) time(s"s01 bruteForceTopK d=64 rep$rep") {
+      operators.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        0L, 10).collect()
+    }
+
     for (rep <- 1 to 3) time(s"s12 mmrRerank rep$rep") {
       val r = operators.Similarity.mmrRerank(emb, "vec_id", "embedding",
         queryId = 0L, shortlist = 32, k = 8, lamNum = 7, lamDen = 10)

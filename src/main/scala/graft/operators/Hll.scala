@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.StringToColumn
+
+/** DETERMINISTIC HyperLogLog distinct-count census (Flajolet et al.
+  * 2007) — the sketch a 100 TB pipeline runs where exact COUNT
+  * DISTINCT is unaffordable (distinct URLs/users per slice), built so
+  * the whole sketch HASH-MATCHES cross-engine (vs q39's
+  * `approx_count_distinct`, whose engine-internal hashing forces a
+  * rows-only check):
+  *
+  *   - hash = two rounds of ((x·K + K') mod P) over P = 2^31 − 1
+  *     (the t34 bucket-hash convention — every product bounded inside
+  *     i64, non-negative by construction);
+  *   - bucket = h mod m, rest = h div m (a w = 31 − log2(m) bit word);
+  *   - rho = leading-zero rank of `rest` = w − floor(log2 rest) via
+  *     `length(bin(x)) − 1` (the t33/t34 floor-log2 idiom), w+1 when
+  *     rest = 0; registers are per-(slice, bucket) MAX(rho) — the
+  *     merge is a max, so shard-parallel and append-friendly;
+  *   - the harmonic sum is kept INTEGER: t_sum = Σ_b 2^(w+1 − M_b)
+  *     (empty buckets contribute 2^(w+1)), bounded by m·2^(w+1) ≤ 2^32
+  *     — no float accumulation order to disagree on;
+  *   - the estimate alpha·m²·2^(w+1) / t_sum divides ONE shortest-repr
+  *     double literal (identical binary both engines — the s02
+  *     hyperplane-literal rule) by the integer t_sum, 4-dp roundBin.
+  *
+  * Scale shape: one narrow hash map over the scan, then a
+  * (slice, bucket) aggregate whose output is ≤ m rows per slice — the
+  * census shuffle carries registers, never keys. Raw-regime estimator
+  * only (documented): the small-n linear-counting correction needs ln,
+  * which is libm-unreplayable (the t13 rule) — accuracy below
+  * n ≈ 2.5·m is the standard raw-HLL bias, spec-checked above it.
+  */
+object Hll {
+  import graft.functions.{NgramHashes, Text}
+
+  private val P: Long = Text.minhashPrime
+  private def K(i: Int): Long = NgramHashes.keys(i)
+
+  private val M31 = (1L << 31) - 1
+
+  /** Three-round multiply-fold 31-bit mix: x ← (x&M)·K folded as
+    * high32 XOR low31. Linear-congruential rounds (the t34 bucket
+    * hash) have NO avalanche — on dense key ranges the register
+    * distribution skews and the estimate landed 30% off; the
+    * multiply-fold carries the product's high bits back down, which is
+    * what HLL's rho statistic needs. Every product ≤ (2^31−1)·K < 2^63
+    * and every intermediate is non-negative, on both engines. Column
+    * and SQL forms are the same arithmetic — keep them in lockstep. */
+  def hash31(v: Column): Column = {
+    def fold(x: Column, k: Long): Column = {
+      val p = x.bitwiseAND(M31) * k
+      shiftright(p, 32).bitwiseXOR(p.bitwiseAND(M31))
+    }
+    fold(fold(fold(v, K(0)), K(1)), K(2))
+  }
+
+  def hash31Sql(v: String): String = {
+    def fold(x: String, k: Long): String =
+      s"xor((($x & $M31) * $k) >> 32, (($x & $M31) * $k) & $M31)"
+    fold(fold(fold(v, K(0)), K(1)), K(2))
+  }
+
+  /** Per-(slice, bucket) registers: (groupCols…, bucket, m_b). */
+  def registers(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                logM: Int): DataFrame = {
+    require(logM >= 4 && logM <= 16, s"logM $logM outside 4..16")
+    val m = 1L << logM
+    val w = 31 - logM
+    val g = groupCols.map(col)
+    df.select(g :+ hash31(col(keyCol).cast("bigint")).as("__h"): _*)
+      .select(g ++ Seq(
+        ($"__h" % m).as("bucket"),
+        expr(s"__h div ${m}L").as("__rest")): _*)
+      .select(g ++ Seq($"bucket",
+        when($"__rest" === 0L, lit(w + 1).cast("bigint"))
+          .otherwise(lit(w).cast("bigint") -
+            (length(bin($"__rest")) - 1).cast("bigint")).as("__rho")): _*)
+      .groupBy(g :+ $"bucket": _*)
+      .agg(max($"__rho").as("m_b"))
+  }
+
+  /** The census: (groupCols…, n_seen, t_sum, est) per slice.
+    * t_sum is the integer harmonic sum; est the raw-regime estimate. */
+  def census(df: DataFrame, groupCols: Seq[String], keyCol: String,
+             logM: Int): DataFrame = {
+    val m = 1L << logM
+    val w = 31 - logM
+    val g = groupCols.map(col)
+    val seen = registers(df, groupCols, keyCol, logM)
+      .groupBy(g: _*)
+      .agg(count(lit(1)).as("n_seen"),
+        sum(expr(s"shiftleft(1L, cast(${w + 1}L - m_b as int))")).as("__s"))
+    seen.select(g ++ Seq($"n_seen",
+      ($"__s" + (lit(m) - $"n_seen") * (1L << (w + 1))).as("t_sum")): _*)
+      .select(g ++ Seq($"n_seen", $"t_sum",
+        graft.functions.RF.roundBin(
+          lit(constant(logM)) / $"t_sum".cast("double"), 4).as("est")): _*)
+  }
+
+  /** alpha_m · m² · 2^(w+1) — computed ONCE here; both engines consume
+    * the identical shortest-repr double literal. */
+  def constant(logM: Int): Double = {
+    val m = (1L << logM).toDouble
+    0.7213 / (1.0 + 1.079 / m) * m * m * (1L << (31 - logM + 1)).toDouble
+  }
+
+  /** DuckDB replay of [[census]] over `table`, slicing by `groupCol`. */
+  def censusSql(table: String, groupCol: String, keyCol: String,
+                logM: Int): String = {
+    val m = 1L << logM
+    val w = 31 - logM
+    s"""WITH h AS (
+       |  SELECT $groupCol, ${hash31Sql(keyCol)} AS h FROM $table),
+       |b AS (
+       |  SELECT $groupCol, h % $m AS bucket,
+       |    CASE WHEN h // $m = 0 THEN ${w + 1}
+       |         ELSE $w - (length(bin(h // $m)) - 1) END AS rho
+       |  FROM h),
+       |r AS (SELECT $groupCol, bucket, MAX(rho) AS m_b
+       |      FROM b GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT $groupCol, COUNT(*) AS n_seen,
+       |    CAST(SUM(1::BIGINT << CAST(${w + 1} - m_b AS INT)) AS BIGINT)
+       |      AS s
+       |  FROM r GROUP BY 1)
+       |SELECT $groupCol, n_seen,
+       |  s + ($m - n_seen) * ${1L << (w + 1)} AS t_sum,
+       |  floor(${constant(logM)} / CAST(s + ($m - n_seen)
+       |    * ${1L << (w + 1)} AS DOUBLE) * 10000 + 0.5) / 10000 AS est
+       |FROM agg ORDER BY $groupCol""".stripMargin
+  }
+}

@@ -206,6 +206,50 @@ object Similarity {
       .toDF("rank", "id", "rel", "mmr")
   }
 
+  /** Johnson–Lindenstrauss compression + search (Achlioptas ±1 form):
+    * project every vector to dOut dims with deterministic Rademacher
+    * signs (`functions.JlProject` — ONE narrow codegen map, no model
+    * artifact, no shuffle), then exact top-k cosine in the PROJECTED
+    * space. The third ANN scale leg next to SQ8 (same dims, fewer
+    * bits) and PQ (codebooks): at 100 TB the projected table is
+    * dOut/dIn of the scan bytes and every distance costs dOut/dIn of
+    * the full-space multiply-adds, with distortion O(√(log n / d')).
+    * JL preserves inner products to within that ε, so projected-space
+    * ranking tracks full-space ranking WHEN the corpus's neighbor gaps
+    * exceed ε (clustered real-world embeddings — recall floor
+    * spec-pinned on a planted-cluster fixture); on an isotropic corpus
+    * whose top-k cosine gaps are ≈0.03 (the synthetic test vectors) no
+    * d' < dIn can rank — true of any lossy reduction, not JL. */
+  def jlProject(df: DataFrame, idCol: String, vecCol: String,
+                dOut: Int): DataFrame = {
+    import graft.functions.JlExpr
+    df.select(col(idCol).as("id"),
+      JlExpr.jlProject(col(vecCol).cast("array<double>"), dOut).as("pv"))
+  }
+
+  /** Exact top-k by cosine in the projected space (the bruteForceTopK
+    * shape: 1-row query broadcast, TakeOrderedAndProject — no global
+    * sort). One-shot form: projects on the fly, which costs MORE than
+    * one full-space scan (dIn·dOut multiply-adds/row vs dIn) — the
+    * production shape is [[jlProject]] once into a persisted table,
+    * then [[jlSearchProjected]] per query at dOut/dIn scan cost. */
+  def jlTopK(df: DataFrame, idCol: String, vecCol: String,
+             queryId: Long, k: Int, dOut: Int): DataFrame =
+    jlSearchProjected(jlProject(df, idCol, vecCol, dOut), queryId, k)
+
+  /** Per-query search over an ALREADY-projected (id, pv) table — the
+    * repeated-query half of the lifecycle: each search scans dOut/dIn
+    * of the original bytes and pays dOut/dIn of the multiply-adds. */
+  def jlSearchProjected(proj: DataFrame, queryId: Long, k: Int): DataFrame = {
+    val q = proj.filter(col("id") === queryId)
+      .select(col("id").as("qid"), col("pv").as("qv"))
+    proj.crossJoin(broadcast(q))
+      .filter(col("id") =!= col("qid"))
+      .select(col("id"), round(cosine(col("pv"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** k-NN JOIN: exact top-k cosine neighbors for EVERY query in a query
     * set (vs `bruteForceTopK`'s single query row) — the batch-retrieval
     * shape (eval-set contamination probes, hard-negative mining,

@@ -186,6 +186,56 @@ class PipelineSpec extends SparkSpec {
       s"MMR must defer the near-dup: got $mmrIds")
   }
 
+  test("jl projection matches a driver-side replay bit-for-bit; " +
+      "projected top-k recall clears the floor vs full-space brute " +
+      "force; null elements fail fast") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val dOut = 16
+    val got = Similarity.jlProject(emb, "vec_id", "embedding", dOut)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // replay: the exact left-assoc ± chain per output dim
+    val raw = emb.select($"vec_id",
+      $"embedding".cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    raw.foreach { case (id, v) =>
+      val expect = (0 until dOut).map { j =>
+        var s = 0.0
+        v.indices.foreach { i =>
+          s += (if (graft.functions.JlProject.signPositive(i, j)) v(i)
+                else -v(i))
+        }
+        s
+      }
+      assert(got(id) == expect, s"projection diverges for vec $id")
+    }
+    // recall@10 on a CLUSTERED corpus (in-cluster cos ≈ 1 vs cross ≈ 0
+    // — gaps far above the ε ≈ √(ln n / d') distortion; the sf noise
+    // embeddings have top-k gaps ≈ 0.03, under ε for ANY useful d',
+    // so recall there is meaningless — the scaladoc's gap condition)
+    import spark.implicits._
+    def cvec(c: Int, i: Long): Seq[Double] = {
+      val v = Array.fill(64)(0.0)
+      (8 * c until 8 * c + 8).foreach(d => v(d) = 1.0)
+      v((8 * c + (i % 8)).toInt) += 0.02 * (((i * 7) % 13) - 6) / 13.0
+      v.toSeq
+    }
+    val clustered = (0L until 256L).map(i => (i, cvec((i % 8).toInt, i)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(clustered, "vec_id", "embedding",
+      0L, 10).collect().map(_.getLong(0)).toSet
+    val proj = Similarity.jlTopK(clustered, "vec_id", "embedding",
+      0L, 10, dOut).collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(proj).size.toDouble / exact.size
+    assert(recall >= 0.9, s"jl recall@10 $recall below floor")
+    val bad = Seq((1L, Seq[Option[Double]](Some(1.0), None)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Similarity.jlProject(bad, "vec_id", "embedding", 4).collect()
+    }
+    assert(e.getMessage.contains("null") ||
+      Option(e.getCause).exists(_.getMessage.contains("null")))
+  }
+
   test("k-center greedy matches a driver-side replay of the chain; the " +
       "coverage trace is non-decreasing; ids are distinct") {
     val emb = Tables.load(spark, sf, "embeddings")

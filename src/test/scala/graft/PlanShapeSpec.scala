@@ -78,6 +78,19 @@ class PlanShapeSpec extends SparkSpec {
       s"prototype scoring must be a narrow map:\n$p")
   }
 
+  test("t51 (bloom decontam probe) is a pure narrow scan: no exchange, " +
+      "no join, no generate — the bit array rides inside the expression") {
+    val docs = Tables.load(spark, sf, "documents")
+    val bits = operators.Decontam.bloomBits(
+      docs.limit(5), "text", 3, 3, 1 << 12)
+    val p = operators.Decontam.bloomReport(
+      docs, "doc_id", "text", 3, 3, 1 << 12, bits)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Exchange") && !p.contains("Join") &&
+      !p.contains("Generate"),
+      s"bloom probe must be one narrow scan:\n$p")
+  }
+
   test("s05 (quantization) pass 2 is a pure narrow map: no exchange " +
       "between the scan and the quantized output") {
     val emb = Tables.load(spark, sf, "embeddings")

@@ -26,6 +26,48 @@ class SkewApproxSpec extends SparkSpec {
     assert(got(1).isNullAt(2))
   }
 
+  test("deterministic HLL: estimate within 10% of exact distinct in the " +
+      "raw regime; registers merge by MAX (shard-parallel); census " +
+      "estimate is derivable from its own integer t_sum") {
+    import spark.implicits._
+    // 3 slices × distinct counts well above the 2.5·m raw-regime floor
+    // (m = 1024); keys overlap across slices to exercise the hashing
+    val df = spark.range(0L, 120000L)
+      .select(($"id" % 3).cast("string").as("g"),
+        // slice 0: 40k distinct; 1: 20k; 2: 8k (dense ranges, offset)
+        when($"id" % 3 === 0, expr("id div 3") % 40000L + 1000000L)
+          .when($"id" % 3 === 1, expr("id div 3") % 20000L + 7L)
+          .otherwise(expr("id div 3") % 8000L + 31337L).as("k"))
+    val est = operators.Hll.census(df, Seq("g"), "k", logM = 10)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    val exact = df.groupBy($"g").agg(countDistinct($"k").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (g, d) =>
+      val (_, _, e) = est(g)
+      assert(math.abs(e - d) / d < 0.10, s"slice $g: hll $e vs exact $d")
+    }
+    // estimate == the constant over its own t_sum (4-dp roundBin chain)
+    est.foreach { case (g, (nSeen, tSum, e)) =>
+      val c = operators.Hll.constant(10)
+      assert(e == math.floor(c / tSum * 10000 + 0.5) / 10000,
+        s"slice $g estimate not derivable from t_sum")
+      assert(nSeen <= 1024L && tSum > 0L)
+    }
+    // merge = MAX of registers: census(whole) == census over the
+    // max-merged registers of two disjoint halves
+    val (h1, h2) = (df.filter($"k" % 2 === 0), df.filter($"k" % 2 =!= 0))
+    val merged = operators.Hll.registers(h1, Seq("g"), "k", 10)
+      .union(operators.Hll.registers(h2, Seq("g"), "k", 10))
+      .groupBy($"g", $"bucket").agg(max($"m_b").as("m_b"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val whole = operators.Hll.registers(df, Seq("g"), "k", 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(merged == whole, "register merge must equal the whole-corpus fit")
+  }
+
   test("approx aggregates land within tolerance of exact") {
     val li = Tables.load(spark, sf, "lineitem")
     val approx = Queries.q39_approx(spark, sf).collect()
