@@ -4008,6 +4008,40 @@ object Queries {
   private val q64_sql =
     operators.Hll.censusSql("lineitem", "l_returnflag", "l_orderkey", 10)
 
+  // ---------------------------------------------------------------- t53
+  // STREAMING HLL ingest (the q64 production twin): a live feed's
+  // registers append to the PERSISTED store per micro-batch
+  // (Streams.hllIngest — MAX-merge makes at-least-once appends exactly
+  // idempotent), the census max-merges at read time. Stream == batch:
+  // max over per-batch registers equals registers of the whole feed,
+  // so the oracle IS q64's SQL. Parameter-stamped stage dirs.
+  private[graft] def hllStreamBase(dir: String, logM: Int): String = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s"/tmp/graft_stream/$key/hll_m${logM}" +
+      s"_s${srcStamp(dir, "lineitem.parquet")}"
+  }
+
+  def t53_stream_hll(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stage = s"/tmp/graft_stream/$key/lineitem"
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      sources.Store.setSplayed(li, stage)
+    val base = hllStreamBase(dir, 10)
+    val store = s"$base/store"
+    if (!new java.io.File(s"$base/done").exists()) {
+      operators.Hll.buildHllStore(li.limit(0),
+        Seq("l_returnflag"), "l_orderkey", logM = 10, store)
+      streaming.Streams.hllIngest(spark, stage, li, store,
+        checkpoint = s"$base/ckpt")
+      new java.io.File(s"$base/done").createNewFile()
+    }
+    operators.Hll.censusFromStore(spark, store).orderBy($"l_returnflag")
+  }
+
+  // t53's oracle IS q64's SQL (stream == batch)
+  private lazy val t53_sql = q64_sql
+
   // ---------------------------------------------------------------- q40
   // window-join jtype 0 — the reference's `window-join` proper: the
   // PREVAILING right row (last view at-or-before the window start) plus
@@ -5352,6 +5386,7 @@ object Queries {
     "s12_mmr_rerank" -> (s12_mmr_rerank _),
     "s13_jl_search" -> (s13_jl_search _),
     "q64_hll" -> (q64_hll _),
+    "t53_stream_hll" -> (t53_stream_hll _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
@@ -5531,5 +5566,6 @@ object Queries {
     "s12_mmr_rerank" -> s12_sql,
     "s13_jl_search" -> s13_sql,
     "q64_hll" -> q64_sql,
+    "t53_stream_hll" -> t53_sql,
   )
 }

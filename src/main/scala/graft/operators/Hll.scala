@@ -85,11 +85,24 @@ object Hll {
   /** The census: (groupCols…, n_seen, t_sum, est) per slice.
     * t_sum is the integer harmonic sum; est the raw-regime estimate. */
   def census(df: DataFrame, groupCols: Seq[String], keyCol: String,
-             logM: Int): DataFrame = {
+             logM: Int): DataFrame =
+    estimate(registers(df, groupCols, keyCol, logM), groupCols, logM)
+
+  /** The estimate pass over a register table with POSSIBLY duplicate
+    * (slice, bucket) rows (at-least-once appends to the persisted
+    * store): a max-merge first — MAX absorbs replays exactly. */
+  def censusOfRegisters(regs: DataFrame, groupCols: Seq[String],
+                        logM: Int): DataFrame =
+    estimate(regs.groupBy(groupCols.map(col) :+ $"bucket": _*)
+      .agg(max($"m_b").as("m_b")), groupCols, logM)
+
+  /** t_sum + estimate over UNIQUE (slice, bucket) registers. */
+  private def estimate(regs: DataFrame, groupCols: Seq[String],
+                       logM: Int): DataFrame = {
     val m = 1L << logM
     val w = 31 - logM
     val g = groupCols.map(col)
-    val seen = registers(df, groupCols, keyCol, logM)
+    val seen = regs
       .groupBy(g: _*)
       .agg(count(lit(1)).as("n_seen"),
         sum(expr(s"shiftleft(1L, cast(${w + 1}L - m_b as int))")).as("__s"))
@@ -98,6 +111,51 @@ object Hll {
       .select(g ++ Seq($"n_seen", $"t_sum",
         graft.functions.RF.roundBin(
           lit(constant(logM)) / $"t_sum".cast("double"), 4).as("est")): _*)
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted register store — the rolling-distinct-count lifecycle
+  // (distinct users/URLs per slice over an unbounded feed): each batch
+  // appends its ≤ m-rows-per-slice register rows; the estimate pass
+  // max-merges at read time. Because the merge is MAX, at-least-once
+  // appends are EXACTLY idempotent — a replayed batch changes nothing
+  // (stronger than t44's distinct-at-probe story). `path/meta` pins
+  // logM and the group/key columns: registers built under a different
+  // geometry would silently merge wrong, so append fails fast.
+  // ------------------------------------------------------------------
+
+  private def meta(spark: org.apache.spark.sql.SparkSession,
+                   path: String): (Int, Seq[String], String) = {
+    require(Similarity.fsDirExists(spark, s"$path/meta"),
+      s"no HLL store at $path (missing $path/meta — buildHllStore first)")
+    val r = spark.read.parquet(s"$path/meta").collect().head
+    (r.getInt(0), r.getString(1).split(",").toSeq, r.getString(2))
+  }
+
+  def buildHllStore(df: DataFrame, groupCols: Seq[String], keyCol: String,
+                    logM: Int, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((logM, groupCols.mkString(","), keyCol))
+      .toDF("log_m", "group_cols", "key_col")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    registers(df, groupCols, keyCol, logM)
+      .write.mode("overwrite").parquet(s"$path/registers")
+  }
+
+  /** Append a batch's registers (params from the store). */
+  def appendToHllStore(df: DataFrame, path: String): Unit = {
+    val (logM, groupCols, keyCol) = meta(df.sparkSession, path)
+    registers(df, groupCols, keyCol, logM)
+      .write.mode("append").parquet(s"$path/registers")
+  }
+
+  /** The census over everything ingested so far. */
+  def censusFromStore(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DataFrame = {
+    val (logM, groupCols, _) = meta(spark, path)
+    censusOfRegisters(spark.read.parquet(s"$path/registers"),
+      groupCols, logM)
   }
 
   /** alpha_m · m² · 2^(w+1) — computed ONCE here; both engines consume

@@ -298,6 +298,31 @@ object Streams {
     else probe(schemaFrom.limit(0))
   }
 
+  /** Streaming ingest into the PERSISTED HLL register store: each
+    * micro-batch's ≤ m-rows-per-slice registers append via
+    * `Hll.appendToHllStore`; the census max-merges at read time. The
+    * at-least-once story is the strongest of the ingest family: MAX is
+    * idempotent, so a replayed batch changes NOTHING — not just
+    * nothing observable (t44's distinct-at-probe), literally the same
+    * registers. `where` optionally routes a slice of a shared feed. */
+  def hllIngest(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
+                storePath: String, checkpoint: String,
+                where: Option[String] = None,
+                statePartitions: Int = 2): Unit = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val stream = where.fold(src)(src.filter)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Hll.appendToHllStore(batch, storePath)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming ingest into the PERSISTED LSH dedup index: each
     * micro-batch's banded signatures append via
     * `Dedup.appendToLshIndex` — the live half of the snapshot-dedup

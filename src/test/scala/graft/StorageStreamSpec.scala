@@ -180,6 +180,36 @@ class StorageStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("streaming HLL ingest: census from the store equals the batch " +
+      "census; a replayed/duplicate append changes NOTHING (max-merge " +
+      "idempotence); append to a missing store fails fast") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val base = s"/tmp/graft_hllstream_spec/${System.nanoTime()}"
+    val feed = s"$base/feed"
+    li.write.parquet(feed)
+    val store = s"$base/store"
+    operators.Hll.buildHllStore(li.limit(0),
+      Seq("l_returnflag"), "l_orderkey", logM = 8, store)
+    streaming.Streams.hllIngest(spark, feed, li, store, s"$base/ckpt")
+    def censusNow() = operators.Hll.censusFromStore(spark, store)
+      .orderBy($"l_returnflag").collect().toSeq
+    val streamed = censusNow()
+    val batch = operators.Hll.census(li, Seq("l_returnflag"),
+      "l_orderkey", logM = 8).orderBy($"l_returnflag").collect().toSeq
+    assert(streamed == batch)
+    // checkpointed replay appends nothing...
+    streaming.Streams.hllIngest(spark, feed, li, store, s"$base/ckpt")
+    assert(censusNow() == batch)
+    // ...and even a FORCED duplicate append changes nothing (MAX)
+    operators.Hll.appendToHllStore(li, store)
+    assert(censusNow() == batch)
+    val miss = intercept[IllegalArgumentException] {
+      operators.Hll.appendToHllStore(li, s"$base/nowhere")
+    }
+    assert(miss.getMessage.contains("buildHllStore"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("parameter-stamped streaming stages: a changed keep gate lands " +
       "in a FRESH stage dir with correct output — stale state never " +
       "pollutes, no manual cleanup") {
