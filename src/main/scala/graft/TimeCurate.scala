@@ -127,6 +127,19 @@ object TimeCurate {
         0L, 10).collect()
     }
 
+    // q64: HLL census over the 6M-row lineitem replica
+    val li = Tables.load(spark, dir, "lineitem")
+    li.agg(count(lit(1))).collect()
+    for (rep <- 1 to 3) time(s"q64 hll census rep$rep") {
+      val r = operators.Hll.census(li, Seq("l_returnflag"), "l_orderkey",
+        logM = 10).collect()
+      if (rep == 1) r.foreach(x => println(s"  $x"))
+    }
+    for (rep <- 1 to 2) time(s"q64 exact distinct rep$rep") {
+      li.groupBy($"l_returnflag")
+        .agg(countDistinct($"l_orderkey")).collect()
+    }
+
     for (rep <- 1 to 3) time(s"s12 mmrRerank rep$rep") {
       val r = operators.Similarity.mmrRerank(emb, "vec_id", "embedding",
         queryId = 0L, shortlist = 32, k = 8, lamNum = 7, lamDen = 10)
