@@ -3659,8 +3659,11 @@ object Queries {
   // shared d10 4×16-bit pigeonhole — is exercised on planted near-dup
   // payloads in MultimodalSpec: this corpus has no hamming≤3 media
   // pairs, and a 0-row oracle would be vacuous.)
-  private val m04_sql =
-    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+  private def phashSql(where: String, withBytes: Boolean): String = {
+    val bytesCol =
+      if (withBytes) "CAST(MIN(n) AS INTEGER) AS n_bytes,\n  " else ""
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE $where),
       |tot AS (SELECT doc_id, n,
       |  CAST(coalesce(list_sum(list_transform(range(1, n + 1),
       |    j -> ascii(substr(text, j, 1)))), 0) AS BIGINT) AS total
@@ -3671,12 +3674,56 @@ object Queries {
       |    j -> ascii(substr(d.text, j, 1)))), 0) AS BIGINT) AS cs,
       |  ((k + 1) * d.n) // 62 - (k * d.n) // 62 AS cl
       |  FROM d JOIN tot USING (doc_id), unnest(range(0, 62)) AS t(k))
-      |SELECT doc_id AS media_id, CAST(MIN(n) AS INTEGER) AS n_bytes,
+      |SELECT doc_id AS media_id, $bytesCol
       |  CAST(COALESCE(SUM(
       |    CASE WHEN cl > 0 AND cs * n > total * cl
       |         THEN (CAST(1 AS BIGINT) << k) ELSE 0 END), 0) AS BIGINT)
       |    AS phash
       |FROM cells GROUP BY doc_id ORDER BY media_id""".stripMargin
+  }
+
+  private val m04_sql = phashSql("TRUE", withBytes = true)
+
+  // ---------------------------------------------------------------- m05
+  // PERSISTED perceptual-hash signature index + streaming media ingest
+  // (the media half of the t44/t47 snapshot-dedup lifecycle): half the
+  // corpus builds the index (one decode pass), a quarter streams in per
+  // micro-batch (Streams.phashIngest — bytes hash ONCE, on arrival; the
+  // index holds 8-byte signatures, never pixels), probes then dedup new
+  // batches against the accumulated store (probe pairs are spec-pinned
+  // on planted payloads — this corpus has no hamming<=3 media pairs and
+  // a 0-row oracle would be vacuous). The ORACLE pins the lifecycle's
+  // signature contents: store == batch aHash over exactly the
+  // built+ingested docs.
+  def m05_phash_index(spark: SparkSession, dir: String): DataFrame = {
+    val media = t(spark, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("data"))
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stage = s"/tmp/graft_stream/$key/documents"
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      sources.Store.setSplayed(t(spark, dir, "documents"), stage)
+    val base = s"/tmp/graft_stream/$key/" +
+      s"phash_idx_s${srcStamp(dir, "documents.parquet")}"
+    val idxPath = s"$base/index"
+    if (!new java.io.File(s"$base/done").exists()) {
+      operators.Dedup.buildSigIndex(
+        operators.Multimodal.perceptualHash(
+          media.filter($"doc_id" % 4 < 2), "doc_id", "data")
+          .select($"media_id".as("id"), $"phash".as("sh")),
+        kind = "phash62", idxPath)
+      streaming.Streams.phashIngest(spark, stage,
+        t(spark, dir, "documents"), "doc_id", "text",
+        idxPath, checkpoint = s"$base/ckpt",
+        where = Some("doc_id % 4 = 2"))
+      new java.io.File(s"$base/done").createNewFile()
+    }
+    spark.read.parquet(s"$idxPath/chunks")
+      .select($"id".as("media_id"), $"sh".as("phash")).distinct()
+      .orderBy($"media_id")
+  }
+
+  // the oracle replays the signatures of exactly the built+ingested docs
+  private lazy val m05_sql = phashSql("doc_id % 4 <> 3", withBytes = false)
 
   // ---------------------------------------------------------------- q28
   // bin (vectorized binary search: greatest threshold ≤ x, reference
@@ -5354,6 +5401,7 @@ object Queries {
     "m02_media_decode" -> (m02_media_decode _),
     "m03_frame_sample" -> (m03_frame_sample _),
     "m04_phash" -> (m04_phash _),
+    "m05_phash_index" -> (m05_phash_index _),
     "q28_bin" -> (q28_bin _),
     "q29_tail" -> (q29_tail _),
     "q30_union_sect" -> (q30_union_sect _),
@@ -5553,6 +5601,7 @@ object Queries {
     "m02_media_decode" -> m02_sql,
     "m03_frame_sample" -> m03_sql,
     "m04_phash" -> m04_sql,
+    "m05_phash_index" -> m05_sql,
     "s02_ann_lsh" -> s02_sql,
     "s03_ann_ivf" -> s03_sql,
     "s04_ivf_index" -> s04_sql,

@@ -226,6 +226,89 @@ object Dedup {
     }.reduce(_ unionByName _)
   }
 
+  // ------------------------------------------------------------------
+  // Persisted 64-bit-signature dedup index — the hamming/pigeonhole
+  // twin of the LSH index (buildLshIndex below), for signatures rather
+  // than shingle minhashes: media perceptual hashes (m04) or SimHash64
+  // (d09). On-disk layout: `path/meta` pins the signature KIND
+  // ("phash62", "simhash64", …) — a probe mixing kinds would silently
+  // never match, so it fails fast; `path/chunks` stores each signature
+  // exploded into its four 16-bit pigeonhole rows (id, sh, blk)
+  // partitioned by chunk — a probe of chunk k reads ONE partition.
+  // Signatures hash once, on arrival; old media bytes are never
+  // re-decoded (the signature IS the index payload).
+  // ------------------------------------------------------------------
+
+  private def sigChunk(c: String, k: Int): Column =
+    expr(s"($c div ${1L << (16 * k)}L) % 65536L")
+
+  private def sigChunkRows(sig: DataFrame): DataFrame =
+    (0 until 4).map { k =>
+      sig.select(col("id"), col("sh"), lit(k).as("chunk"),
+        sigChunk("sh", k).as("blk"))
+    }.reduce(_ unionByName _)
+
+  private def sigMeta(spark: org.apache.spark.sql.SparkSession,
+                      path: String): String = {
+    require(Similarity.fsDirExists(spark, s"$path/meta"),
+      s"no signature index at $path (missing $path/meta — buildSigIndex first)")
+    spark.read.parquet(s"$path/meta").select(col("kind"))
+      .collect().head.getString(0)
+  }
+
+  /** Build from the initial corpus's (id, sh) signature table. */
+  def buildSigIndex(sig: DataFrame, kind: String, path: String): Unit = {
+    val spark = sig.sparkSession
+    import spark.implicits._
+    Seq(kind).toDF("kind").write.mode("overwrite").parquet(s"$path/meta")
+    sigChunkRows(sig)
+      .write.mode("overwrite").partitionBy("chunk").parquet(s"$path/chunks")
+  }
+
+  /** Append a new batch's signatures (kind re-checked against meta). */
+  def appendToSigIndex(sig: DataFrame, kind: String, path: String): Unit = {
+    val stored = sigMeta(sig.sparkSession, path)
+    require(stored == kind,
+      s"signature kind mismatch: index at $path holds '$stored', append is '$kind'")
+    sigChunkRows(sig)
+      .write.mode("append").partitionBy("chunk").parquet(s"$path/chunks")
+  }
+
+  /** Near-dups of a NEW batch against the indexed corpus: per-chunk
+    * (blk) join + exact popcount verify, first-match-disjoint branches
+    * (pairs report under the first chunk both sides leave untouched —
+    * no DISTINCT shuffle even when an id was appended twice, because
+    * duplicate index rows collapse in the per-pair disjointness only if
+    * deduped: replayed appends CAN duplicate pairs, so the final
+    * distinct here is on (id_idx, id_new), the t44 exactly-once-at-
+    * probe rule). Exact for hamming ≤ 3. Returns (id_idx, id_new,
+    * hamming). */
+  def probeSigIndex(newSig: DataFrame, kind: String, path: String,
+                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x16-bit blocking is exact only for hamming <= 3, got $maxHamming")
+    val spark = newSig.sparkSession
+    val stored = sigMeta(spark, path)
+    require(stored == kind,
+      s"signature kind mismatch: index at $path holds '$stored', probe is '$kind'")
+    val idx = spark.read.parquet(s"$path/chunks")
+      .select(col("chunk"), col("blk"),
+        col("id").as("id_idx"), col("sh").as("sh_idx"))
+    val batch = newSig.select(col("id").as("id_new"), col("sh").as("sh_new"))
+    (0 until 4).map { k =>
+      val firstMatch = (0 until k)
+        .map(pk => sigChunk("sh_idx", pk) =!= sigChunk("sh_new", pk))
+        .foldLeft(lit(true))(_ && _)
+      idx.filter($"chunk" === k)
+        .join(batch.withColumn("blk", sigChunk("sh_new", k)), Seq("blk"))
+        .filter(bit_count($"sh_idx".bitwiseXOR($"sh_new")) <= maxHamming &&
+          firstMatch)
+        .select($"id_idx", $"id_new",
+          bit_count($"sh_idx".bitwiseXOR($"sh_new")).as("hamming"))
+    }.reduce(_ unionByName _)
+      .distinct()
+  }
+
   /** Near-dup CLUSTER resolution: connected components over candidate
     * pairs by iterative min-label propagation — the step a dedup
     * pipeline runs after pair generation, so each near-dup cluster keeps

@@ -323,6 +323,36 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming ingest into the PERSISTED perceptual-hash signature
+    * index: each micro-batch's media decode + 62-bit aHash
+    * (`Multimodal.perceptualHash`) appends via `Dedup.appendToSigIndex`
+    * — media bytes hash once, on arrival; the index holds 8-byte
+    * signatures, never pixels. At-least-once appends are exactly-once
+    * at the probe (distinct pairs, the t44 rule). */
+  def phashIngest(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
+                  idCol: String, dataCol: String, indexPath: String,
+                  checkpoint: String, where: Option[String] = None,
+                  statePartitions: Int = 2): Unit = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val stream = where.fold(src)(src.filter)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // binary→binary cast is a no-op; string feeds (doc twins) coerce
+        val media = batch.select(col(idCol),
+          col(dataCol).cast("binary").as(dataCol))
+        graft.operators.Dedup.appendToSigIndex(
+          graft.operators.Multimodal.perceptualHash(media, idCol, dataCol)
+            .select(col("media_id").as("id"), col("phash").as("sh")),
+          kind = "phash62", indexPath)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming ingest into the PERSISTED LSH dedup index: each
     * micro-batch's banded signatures append via
     * `Dedup.appendToLshIndex` — the live half of the snapshot-dedup

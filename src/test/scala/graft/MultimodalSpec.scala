@@ -64,6 +64,70 @@ class MultimodalSpec extends SparkSpec {
     assert(!got.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("persisted signature index: build + streamed append + probe " +
+      "finds the planted near-dups (== brute force over index × batch); " +
+      "a replayed ingest leaves the probe exactly-once; kind mismatch " +
+      "and missing index fail fast") {
+    import graft.operators.Dedup
+    def pattern(flip: Set[Int]): Array[Byte] =
+      Array.tabulate(62 * 4) { i =>
+        val cell = i / 4
+        val hi = (cell % 2 == 0) ^ flip(cell)
+        (if (hi) 200 else 10).toByte
+      }
+    val built = Seq((0L, pattern(Set.empty)), (1L, pattern(Set(40, 50))))
+      .toDF("media_id", "data")
+    val streamed = Seq((2L, pattern(Set(9))),
+      (3L, pattern((0 until 62).toSet)))
+      .toDF("media_id", "data")
+    val probeBatch = Seq(
+      (10L, pattern(Set(5))),            // near 0 (h=1), near 1 (h=3), near 2 (h=2)
+      (11L, pattern((0 until 62).map(62 - 1 - _).toSet)), // near 3
+      (12L, "unrelated".getBytes("UTF-8")))
+      .toDF("media_id", "data")
+    val base = s"/tmp/graft_sigidx_spec/${System.nanoTime()}"
+    def sigs(df: org.apache.spark.sql.DataFrame) =
+      Multimodal.perceptualHash(df, "media_id", "data")
+        .select($"media_id".as("id"), $"phash".as("sh"))
+    Dedup.buildSigIndex(sigs(built), "phash62", s"$base/idx")
+    // streamed half arrives via the streaming ingest
+    streamed.write.parquet(s"$base/feed")
+    streaming.Streams.phashIngest(spark, s"$base/feed", streamed,
+      "media_id", "data", s"$base/idx", s"$base/ckpt")
+    def probeNow() = Dedup.probeSigIndex(sigs(probeBatch), "phash62",
+      s"$base/idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    val got = probeNow()
+    // brute force over (index ids) × (probe ids)
+    val idxSigs = sigs(built.union(streamed)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val probeSigs = sigs(probeBatch).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (a, pa) <- idxSigs; (b, pb) <- probeSigs
+      if java.lang.Long.bitCount(pa ^ pb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(pa ^ pb).toLong)).toSet
+    assert(got == brute, s"probe $got vs brute $brute")
+    assert(got.map(p => (p._1, p._2)).contains((0L, 10L)) &&
+      got.map(p => (p._1, p._2)).contains((3L, 11L)))
+    assert(!got.exists(_._2 == 12L))
+    // checkpointed replay appends nothing; even a forced duplicate
+    // append stays exactly-once at the probe (distinct pairs)
+    streaming.Streams.phashIngest(spark, s"$base/feed", streamed,
+      "media_id", "data", s"$base/idx", s"$base/ckpt")
+    Dedup.appendToSigIndex(sigs(streamed), "phash62", s"$base/idx")
+    assert(probeNow() == brute)
+    val kindErr = intercept[IllegalArgumentException] {
+      Dedup.probeSigIndex(sigs(probeBatch), "simhash64", s"$base/idx")
+    }
+    assert(kindErr.getMessage.contains("kind mismatch"))
+    val missErr = intercept[IllegalArgumentException] {
+      Dedup.appendToSigIndex(sigs(streamed), "phash62", s"$base/nowhere")
+    }
+    assert(missErr.getMessage.contains("buildSigIndex"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("extractFeatures: byte-derived features, per-partition execution") {
     val got = Multimodal.extractFeatures(media, "media_id", "data")
       .orderBy($"media_id").collect()
