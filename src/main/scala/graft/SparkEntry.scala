@@ -4089,6 +4089,32 @@ object Queries {
   // t53's oracle IS q64's SQL (stream == batch)
   private lazy val t53_sql = q64_sql
 
+  // ---------------------------------------------------------------- t54
+  // Time-windowed distinct-user census (the monitoring report a live
+  // event pipeline reads: distinct users per hour per event type) —
+  // the q64 HLL sketch composed with the q09 xbar hour bucket. Small
+  // windows sit below the raw-regime floor, so the ESTIMATE is biased
+  // there (documented on Hll.census) — but every number is still
+  // replayable arithmetic, so the whole card hash-matches; at 100 TB
+  // the per-window register rows (≤ m per slice) are what cross the
+  // shuffle, never user ids.
+  def t54_hll_windows(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val e = t(spark, dir, "events").select($"event_type",
+      ((RF.xbar(lit(hourNs), $"ts").cast("decimal(38,0)") / hourNs)
+        .cast("long") * 3600).as("hour_epoch"),
+      $"user_id")
+    operators.Hll.census(e, Seq("event_type", "hour_epoch"), "user_id",
+      logM = 8)
+      .orderBy($"event_type", $"hour_epoch")
+  }
+
+  private val t54_sql = operators.Hll.censusSqlFrom(
+    """(SELECT event_type,
+      |   CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+      |   user_id FROM events)""".stripMargin,
+    Seq("event_type", "hour_epoch"), "user_id", logM = 8)
+
   // ---------------------------------------------------------------- q40
   // window-join jtype 0 — the reference's `window-join` proper: the
   // PREVAILING right row (last view at-or-before the window start) plus
@@ -5435,6 +5461,7 @@ object Queries {
     "s13_jl_search" -> (s13_jl_search _),
     "q64_hll" -> (q64_hll _),
     "t53_stream_hll" -> (t53_stream_hll _),
+    "t54_hll_windows" -> (t54_hll_windows _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
@@ -5616,5 +5643,6 @@ object Queries {
     "s13_jl_search" -> s13_sql,
     "q64_hll" -> q64_sql,
     "t53_stream_hll" -> t53_sql,
+    "t54_hll_windows" -> t54_sql,
   )
 }

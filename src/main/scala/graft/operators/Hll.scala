@@ -167,27 +167,35 @@ object Hll {
 
   /** DuckDB replay of [[census]] over `table`, slicing by `groupCol`. */
   def censusSql(table: String, groupCol: String, keyCol: String,
-                logM: Int): String = {
+                logM: Int): String =
+    censusSqlFrom(table, Seq(groupCol), keyCol, logM)
+
+  /** The multi-slice form over any FROM source (a table name or a
+    * parenthesized subquery). */
+  def censusSqlFrom(fromSql: String, groupCols: Seq[String],
+                    keyCol: String, logM: Int): String = {
     val m = 1L << logM
     val w = 31 - logM
+    val g = groupCols.mkString(", ")
+    val gN = groupCols.indices.map(i => (i + 1).toString).mkString(", ")
     s"""WITH h AS (
-       |  SELECT $groupCol, ${hash31Sql(keyCol)} AS h FROM $table),
+       |  SELECT $g, ${hash31Sql(keyCol)} AS h FROM $fromSql),
        |b AS (
-       |  SELECT $groupCol, h % $m AS bucket,
+       |  SELECT $g, h % $m AS bucket,
        |    CASE WHEN h // $m = 0 THEN ${w + 1}
        |         ELSE $w - (length(bin(h // $m)) - 1) END AS rho
        |  FROM h),
-       |r AS (SELECT $groupCol, bucket, MAX(rho) AS m_b
-       |      FROM b GROUP BY 1, 2),
+       |r AS (SELECT $g, bucket, MAX(rho) AS m_b
+       |      FROM b GROUP BY $gN, ${groupCols.size + 1}),
        |agg AS (
-       |  SELECT $groupCol, COUNT(*) AS n_seen,
+       |  SELECT $g, COUNT(*) AS n_seen,
        |    CAST(SUM(1::BIGINT << CAST(${w + 1} - m_b AS INT)) AS BIGINT)
        |      AS s
-       |  FROM r GROUP BY 1)
-       |SELECT $groupCol, n_seen,
+       |  FROM r GROUP BY $gN)
+       |SELECT $g, n_seen,
        |  s + ($m - n_seen) * ${1L << (w + 1)} AS t_sum,
        |  floor(${constant(logM)} / CAST(s + ($m - n_seen)
        |    * ${1L << (w + 1)} AS DOUBLE) * 10000 + 0.5) / 10000 AS est
-       |FROM agg ORDER BY $groupCol""".stripMargin
+       |FROM agg ORDER BY $g""".stripMargin
   }
 }

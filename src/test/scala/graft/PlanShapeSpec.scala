@@ -91,6 +91,14 @@ class PlanShapeSpec extends SparkSpec {
       s"bloom probe must be one narrow scan:\n$p")
   }
 
+  test("q64 (hll census): the register agg partials map-side — exactly " +
+      "two hash shuffles (registers, then slices), no join") {
+    val p = plan("q64_hll")
+    assert(count(p, "Arguments: hashpartitioning") <= 2,
+      s"hll census grew an extra shuffle:\n$p")
+    assert(!p.contains("Join"), s"hll census must not join:\n$p")
+  }
+
   test("s05 (quantization) pass 2 is a pure narrow map: no exchange " +
       "between the scan and the quantized output") {
     val emb = Tables.load(spark, sf, "embeddings")
