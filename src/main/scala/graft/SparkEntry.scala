@@ -3269,24 +3269,69 @@ object Queries {
       maxHamming = 3)
       .orderBy($"id_a", $"id_b")
 
-  private val d10_sql = {
+  // the sh + pigeonhole-pair CTE prefix, shared by d10 and t55
+  private def simhash64PairsSql: String = {
     def chunk(c: String, k: Int) = s"($c // ${1L << (16 * k)}) % 65536"
     val joins = (0 until 4).map { k =>
       val earlier = (0 until k)
         .map(pk => s"${chunk("a.sh", pk)} <> ${chunk("b.sh", pk)}")
-        .map(c => s"\n  AND $c").mkString
+        .map(c => s"\n    AND $c").mkString
       s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
-         |FROM sh a JOIN sh b
-         |  ON ${chunk("a.sh", k)} = ${chunk("b.sh", k)}
-         |  AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.sh, b.sh)) <= 3$earlier""".stripMargin
+         |    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |  FROM sh a JOIN sh b
+         |    ON ${chunk("a.sh", k)} = ${chunk("b.sh", k)}
+         |    AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3$earlier""".stripMargin
     }.mkString("\n  UNION ALL\n  ")
     s"""WITH sh AS (SELECT doc_id, ${Text.duck.simhash64Sql("text")} AS sh
-       |  FROM documents)
-       |  $joins
-       |ORDER BY id_a, id_b""".stripMargin
+       |  FROM documents),
+       |pairs AS (
+       |  $joins)""".stripMargin
   }
+
+  private val d10_sql =
+    s"""$simhash64PairsSql
+       |SELECT id_a, id_b, hamming FROM pairs
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- t55
+  // SPLIT-LEAKAGE census (eval hygiene): near-dup pairs (the d10
+  // simhash64 pigeonhole join) that CROSS the t15 deterministic
+  // train/val/test split — each row is a document whose near-duplicate
+  // sits in a different split, i.e. evaluation contamination by
+  // duplication. The split is a PURE FUNCTION of doc_id
+  // (Sampling.splitAssign), so the engine enriches the pair list with
+  // a narrow map — NO join against the corpus-size split table; at
+  // 100 TB the cost is the d10 blocking join alone.
+  def t55_split_leakage(spark: SparkSession, dir: String): DataFrame = {
+    val sb = Seq("train" -> 0.8, "val" -> 0.9)
+    def sp(c: org.apache.spark.sql.Column) =
+      operators.Sampling.splitAssign(c, sb, "test")
+    Dedup.simhashNearDup64(t(spark, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+      .select($"id_a", $"id_b", sp($"id_a").as("split_a"),
+        sp($"id_b").as("split_b"), $"hamming")
+      .filter($"split_a" =!= $"split_b")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val t55_sql =
+    s"""$simhash64PairsSql,
+       |u AS (
+       |  SELECT doc_id,
+       |    CASE WHEN d < 0.8 THEN 'train' WHEN d < 0.9 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |    (((doc_id % 2147483648) * 2654435761) % 4294967296
+       |     + ((doc_id // 2147483648) * 2246822519) % 4294967296)
+       |    % 4294967296 / 4294967296.0 AS d
+       |  FROM documents))
+       |SELECT p.id_a, p.id_b, ua.split AS split_a, ub.split AS split_b,
+       |  p.hamming
+       |FROM pairs p JOIN u ua ON ua.doc_id = p.id_a
+       |  JOIN u ub ON ub.doc_id = p.id_b
+       |WHERE ua.split <> ub.split
+       |ORDER BY id_a, id_b""".stripMargin
 
   // ---------------------------------------------------------------- d11
   // Near-dup cluster resolution: connected components over the d10
@@ -5462,6 +5507,7 @@ object Queries {
     "q64_hll" -> (q64_hll _),
     "t53_stream_hll" -> (t53_stream_hll _),
     "t54_hll_windows" -> (t54_hll_windows _),
+    "t55_split_leakage" -> (t55_split_leakage _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
@@ -5644,5 +5690,6 @@ object Queries {
     "q64_hll" -> q64_sql,
     "t53_stream_hll" -> t53_sql,
     "t54_hll_windows" -> t54_sql,
+    "t55_split_leakage" -> t55_sql,
   )
 }

@@ -236,6 +236,27 @@ class PipelineSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("null")))
   }
 
+  test("split leakage: reported pairs = exactly the cross-split subset " +
+      "of the near-dup pairs, with splits equal to splitAssign of the " +
+      "ids; fixture is non-vacuous") {
+    val docs = Tables.load(spark, sf, "documents")
+    val all = Dedup.simhashNearDup64(docs, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sb = Seq("train" -> 0.8, "val" -> 0.9)
+    val splitOf = docs.select($"doc_id",
+      operators.Sampling.splitAssign($"doc_id", sb, "test").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = Queries.t55_split_leakage(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getString(2), r.getString(3)))).toMap
+    val expect = all.filter(p => splitOf(p._1) != splitOf(p._2))
+    assert(got.keySet == expect, "cross-split pair set diverges")
+    assert(expect.nonEmpty, "fixture must leak something")
+    got.foreach { case ((a, b), (sa, sbv)) =>
+      assert(sa == splitOf(a) && sbv == splitOf(b) && sa != sbv)
+    }
+  }
+
   test("k-center greedy matches a driver-side replay of the chain; the " +
       "coverage trace is non-decreasing; ids are distinct") {
     val emb = Tables.load(spark, sf, "embeddings")
