@@ -4160,6 +4160,22 @@ object Queries {
       |   user_id FROM events)""".stripMargin,
     Seq("event_type", "hour_epoch"), "user_id", logM = 8)
 
+  // ---------------------------------------------------------------- q65
+  // EXACT quantiles via value census — no global sort, no per-group
+  // row buffering (q17's `median` sorts every row of a group; here
+  // only (slice, value, count) census cells cross the shuffle — at
+  // 100 TB that's |slices|·|distinct values| cells regardless of row
+  // count). percentile_disc lower-bound semantics with cross-
+  // multiplied integer thresholds; the reported cut points are census
+  // KEYS, not computed floats — exact on any engine.
+  def q65_quantile_census(spark: SparkSession, dir: String): DataFrame =
+    operators.Quantiles.quantileCensus(t(spark, dir, "lineitem"),
+      Seq("l_returnflag"), "l_quantity", Seq(50, 90, 99))
+      .orderBy($"l_returnflag")
+
+  private val q65_sql = operators.Quantiles.quantileCensusSql(
+    "lineitem", Seq("l_returnflag"), "l_quantity", Seq(50, 90, 99))
+
   // ---------------------------------------------------------------- q40
   // window-join jtype 0 — the reference's `window-join` proper: the
   // PREVAILING right row (last view at-or-before the window start) plus
@@ -5508,6 +5524,7 @@ object Queries {
     "t53_stream_hll" -> (t53_stream_hll _),
     "t54_hll_windows" -> (t54_hll_windows _),
     "t55_split_leakage" -> (t55_split_leakage _),
+    "q65_quantile_census" -> (q65_quantile_census _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
@@ -5691,5 +5708,6 @@ object Queries {
     "t53_stream_hll" -> t53_sql,
     "t54_hll_windows" -> t54_sql,
     "t55_split_leakage" -> t55_sql,
+    "q65_quantile_census" -> q65_sql,
   )
 }

@@ -134,6 +134,10 @@ object Hll {
 
   def buildHllStore(df: DataFrame, groupCols: Seq[String], keyCol: String,
                     logM: Int, path: String): Unit = {
+    // meta encodes the slice columns comma-joined — a name containing a
+    // comma (or an empty slice list) would round-trip wrong
+    require(groupCols.nonEmpty && groupCols.forall(!_.contains(",")),
+      s"hll store needs >= 1 comma-free group column, got $groupCols")
     val spark = df.sparkSession
     import spark.implicits._
     Seq((logM, groupCols.mkString(","), keyCol))

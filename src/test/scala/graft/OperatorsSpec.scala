@@ -1,13 +1,41 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AsofJoin, Upsert, WindowJoin}
+import graft.operators.{AsofJoin, Quantiles, Upsert, WindowJoin}
 
 /** Semantics pinned to the reference's join/upsert behavior
   * (`/root/reference/core/join.c`, `core/update.c:556`,
   * `examples/asof.rfl`). */
 class OperatorsSpec extends SparkSpec {
   import spark.implicits._
+
+  test("quantile census == the sorted-rank definition (smallest v at " +
+      "rank ceil(p%*n)) per slice, on the real table and on skewed " +
+      "fixtures incl. p100 and single-value slices") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val percents = Seq(25, 50, 90, 99, 100)
+    val got = Quantiles.quantileCensus(li, Seq("l_returnflag"),
+      "l_quantity", percents)
+      .collect().map(r => r.getString(0) ->
+        percents.indices.map(i => r.getDouble(i + 1))).toMap
+    val byFlag = li.select($"l_returnflag", $"l_quantity").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (f, vs) => f -> vs.map(_._2).sorted }
+    byFlag.foreach { case (f, vs) =>
+      val expect = percents.map { p =>
+        vs((math.ceil(p * vs.length / 100.0) - 1).toInt.max(0))
+      }
+      assert(got(f) == expect, s"flag $f: ${got(f)} vs $expect")
+    }
+    // skew: one dominant value + a single-value slice
+    val fix = (Seq.fill(97)(("a", 5.0)) ++ Seq(("a", 1.0), ("a", 9.0),
+      ("a", 9.0)) ++ Seq(("b", 3.0))).toDF("g", "v")
+    val q = Quantiles.quantileCensus(fix, Seq("g"), "v", Seq(1, 50, 98, 100))
+      .collect().map(r => r.getString(0) ->
+        (1 to 4).map(r.getDouble)).toMap
+    assert(q("a") == Seq(1.0, 5.0, 5.0, 9.0))   // rank 1, 50, 98, 100
+    assert(q("b") == Seq(3.0, 3.0, 3.0, 3.0))
+  }
 
   test("asof join: greatest right ts <= left ts, ties inclusive, miss -> null") {
     val trades = Seq(("AAPL", 10L, 100.0), ("AAPL", 20L, 101.0),

@@ -99,6 +99,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"hll census must not join:\n$p")
   }
 
+  test("q65 (quantile census): rows never shuffle — the census agg " +
+      "partials map-side, then one slice window; <= 2 hash shuffles, " +
+      "no join") {
+    val p = plan("q65_quantile_census")
+    assert(count(p, "Arguments: hashpartitioning") <= 2,
+      s"quantile census grew an extra shuffle:\n$p")
+    assert(!p.contains("Join"), s"quantile census must not join:\n$p")
+  }
+
   test("s05 (quantization) pass 2 is a pure narrow map: no exchange " +
       "between the scan and the quantized output") {
     val emb = Tables.load(spark, sf, "embeddings")
