@@ -140,6 +140,18 @@ object TimeCurate {
         .agg(countDistinct($"l_orderkey")).collect()
     }
 
+    // q65: census quantiles vs the row-buffering median aggregate
+    for (rep <- 1 to 3) time(s"q65 quantile census rep$rep") {
+      val r = operators.Quantiles.quantileCensus(li, Seq("l_returnflag"),
+        "l_quantity", Seq(50, 90, 99)).collect()
+      if (rep == 1) r.foreach(x => println(s"  $x"))
+    }
+    for (rep <- 1 to 2) time(s"q65 sort-based median rep$rep") {
+      li.groupBy($"l_returnflag")
+        .agg(median($"l_quantity"), percentile_approx($"l_quantity",
+          lit(0.9), lit(10000))).collect()
+    }
+
     for (rep <- 1 to 3) time(s"s12 mmrRerank rep$rep") {
       val r = operators.Similarity.mmrRerank(emb, "vec_id", "embedding",
         queryId = 0L, shortlist = 32, k = 8, lamNum = 7, lamDen = 10)
