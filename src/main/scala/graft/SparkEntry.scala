@@ -4176,6 +4176,34 @@ object Queries {
   private val q65_sql = operators.Quantiles.quantileCensusSql(
     "lineitem", Seq("l_returnflag"), "l_quantity", Seq(50, 90, 99))
 
+  // ---------------------------------------------------------------- q66
+  // Semi-structured JSON property extraction (events.props is a JSON
+  // blob — the clickstream/telemetry shape): per event type, integer
+  // aggregates over the extracted field. The parse is a narrow map
+  // over the scan (get_json_object; missing/malformed rows yield NULL
+  // and are filtered, spec-pinned) — one agg shuffle after, nothing
+  // else. Integer sums only, so the card hash-matches without any
+  // decimal routing.
+  def q66_json_extract(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .filter($"k".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        max($"k").as("max_k"),
+        count(when($"k" >= 50, 1)).as("n_hi"))
+      .orderBy($"event_type")
+
+  private val q66_sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k,
+      |  CAST(SUM(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi
+      |FROM (SELECT event_type, CAST(props->>'k' AS BIGINT) AS k
+      |      FROM events)
+      |WHERE k IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   // ---------------------------------------------------------------- q40
   // window-join jtype 0 — the reference's `window-join` proper: the
   // PREVAILING right row (last view at-or-before the window start) plus
@@ -5525,6 +5553,7 @@ object Queries {
     "t54_hll_windows" -> (t54_hll_windows _),
     "t55_split_leakage" -> (t55_split_leakage _),
     "q65_quantile_census" -> (q65_quantile_census _),
+    "q66_json_extract" -> (q66_json_extract _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
@@ -5709,5 +5738,6 @@ object Queries {
     "t54_hll_windows" -> t54_sql,
     "t55_split_leakage" -> t55_sql,
     "q65_quantile_census" -> q65_sql,
+    "q66_json_extract" -> q66_sql,
   )
 }

@@ -37,6 +37,23 @@ class OperatorsSpec extends SparkSpec {
     assert(q("b") == Seq(3.0, 3.0, 3.0, 3.0))
   }
 
+  test("json extraction (q66 shape): missing key, malformed JSON and " +
+      "NULL props all yield NULL and drop out; valid rows aggregate") {
+    val df = Seq(("a", "{\"k\": 3}"), ("a", "{\"j\": 9}"),
+      ("a", "not json"), ("a", null), ("b", "{\"k\": 50}"))
+      .toDF("event_type", "props")
+    val got = df.select($"event_type",
+        get_json_object($"props", "$.k").cast("long").as("k"))
+      .filter($"k".isNotNull)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        count(when($"k" >= 50, 1)).as("n_hi"))
+      .orderBy($"event_type").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map("a" -> ((1L, 3L, 0L)), "b" -> ((1L, 50L, 1L))))
+  }
+
   test("asof join: greatest right ts <= left ts, ties inclusive, miss -> null") {
     val trades = Seq(("AAPL", 10L, 100.0), ("AAPL", 20L, 101.0),
       ("MSFT", 5L, 50.0)).toDF("sym", "ts", "price")
