@@ -11,9 +11,8 @@ import graft.StringToColumn
   * `approx_count_distinct`, whose engine-internal hashing forces a
   * rows-only check):
   *
-  *   - hash = two rounds of ((x·K + K') mod P) over P = 2^31 − 1
-  *     (the t34 bucket-hash convention — every product bounded inside
-  *     i64, non-negative by construction);
+  *   - hash = a 3-round multiply-fold 31-bit mix ([[hash31]] — every
+  *     product bounded inside i64, non-negative by construction);
   *   - bucket = h mod m, rest = h div m (a w = 31 − log2(m) bit word);
   *   - rho = leading-zero rank of `rest` = w − floor(log2 rest) via
   *     `length(bin(x)) − 1` (the t33/t34 floor-log2 idiom), w+1 when
@@ -34,9 +33,8 @@ import graft.StringToColumn
   * n ≈ 2.5·m is the standard raw-HLL bias, spec-checked above it.
   */
 object Hll {
-  import graft.functions.{NgramHashes, Text}
+  import graft.functions.NgramHashes
 
-  private val P: Long = Text.minhashPrime
   private def K(i: Int): Long = NgramHashes.keys(i)
 
   private val M31 = (1L << 31) - 1
