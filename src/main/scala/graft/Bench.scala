@@ -68,8 +68,20 @@ object Bench {
     val errs = results.collect { case (k, _, Some(m)) =>
       "\"" + k + "\":\"" + m + "\"" }.mkString("{", ",", "}")
     val total = results.map { case (_, v, _) => math.max(v, 0.0) }.sum
+    // host-noise fingerprint: load average + page-cache size. Round 13
+    // saw a cache drop turn one run into 32 phantom "regressions" on
+    // untouched queries — these two numbers let a reader tell a noisy
+    // window from a real code regression without rerunning.
+    val load = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0)
+    } catch { case _: Throwable => "-1" }
+    val cacheKb = try {
+      scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("Cached:") =>
+          l.split("\\s+")(1) }.getOrElse("-1")
+    } catch { case _: Throwable => "-1" }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"load1":$load,"cached_kb":$cacheKb,"sf":"$sfDir"}"""
     println(line)
     // The driver captures only a bounded tail of stdout, which truncated
     // the per-query map in past rounds (BENCH_r08 lost q01–q27). Persist

@@ -4204,6 +4204,48 @@ object Queries {
       |WHERE k IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q67
+  // Hourly retention cohorts (the product-analytics card): of the
+  // users active in hour h, how many are also active in hour h+1.
+  // Scale shape: ONE distinct (user, hour) census (bounded by
+  // users×hours, not events), then a self-join CO-PARTITIONED on the
+  // census key — the event rows themselves never join. Missing
+  // next-hour cohorts report 0 via the left join.
+  def q67_retention(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val c = t(spark, dir, "events")
+      .select($"user_id",
+        (RF.xbar(lit(hourNs), $"ts").cast("decimal(38,0)") / hourNs)
+          .cast("long").as("h"))
+      .distinct()
+    val act = c.groupBy($"h").agg(count(lit(1)).as("n_active"))
+    val ret = c.as("a")
+      .join(c.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.h") === col("a.h") + 1)
+      .groupBy(col("a.h").as("h"))
+      .agg(count(lit(1)).as("n_retained"))
+    act.join(ret, Seq("h"), "left")
+      .select(($"h" * 3600).as("hour_epoch"), $"n_active",
+        coalesce($"n_retained", lit(0L)).as("n_retained"))
+      .orderBy($"hour_epoch")
+  }
+
+  private val q67_sql =
+    """WITH c AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS h
+      |  FROM events),
+      |act AS (SELECT h, COUNT(*) AS n_active FROM c GROUP BY h),
+      |ret AS (
+      |  SELECT a.h, COUNT(*) AS n_retained
+      |  FROM c a JOIN c b ON a.user_id = b.user_id AND b.h = a.h + 1
+      |  GROUP BY a.h)
+      |SELECT act.h * 3600 AS hour_epoch, act.n_active,
+      |  COALESCE(ret.n_retained, 0) AS n_retained
+      |FROM act LEFT JOIN ret ON ret.h = act.h
+      |ORDER BY hour_epoch""".stripMargin
+
   // ---------------------------------------------------------------- q40
   // window-join jtype 0 — the reference's `window-join` proper: the
   // PREVAILING right row (last view at-or-before the window start) plus
@@ -5554,6 +5596,7 @@ object Queries {
     "t55_split_leakage" -> (t55_split_leakage _),
     "q65_quantile_census" -> (q65_quantile_census _),
     "q66_json_extract" -> (q66_json_extract _),
+    "q67_retention" -> (q67_retention _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
@@ -5739,5 +5782,6 @@ object Queries {
     "t55_split_leakage" -> t55_sql,
     "q65_quantile_census" -> q65_sql,
     "q66_json_extract" -> q66_sql,
+    "q67_retention" -> q67_sql,
   )
 }

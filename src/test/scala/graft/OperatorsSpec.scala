@@ -54,6 +54,32 @@ class OperatorsSpec extends SparkSpec {
     assert(got == Map("a" -> ((1L, 3L, 0L)), "b" -> ((1L, 50L, 1L))))
   }
 
+  test("retention cohort semantics (q67 shape): duplicate events within " +
+      "an hour count once, h+1 retains, h+2 does not, empty next hour " +
+      "reports 0") {
+    val h = 3600L * 1000 * 1000 * 1000 // one hour of epoch-nanos
+    val df = Seq(
+      (1L, 0L), (1L, 10L),      // u1 twice in hour 0 → one census row
+      (1L, h + 5L),             // u1 in hour 1 → retained from 0
+      (2L, 0L),                 // u2 only hour 0 → not retained
+      (3L, h), (3L, 3 * h)      // u3 hours 1 and 3 → gap, not retained
+    ).toDF("user_id", "ts")
+    val c = df.select($"user_id", ($"ts".cast("decimal(38,0)") / h)
+      .cast("long").as("hh")).distinct()
+    val act = c.groupBy($"hh").agg(count(lit(1)).as("n_active"))
+    val ret = c.as("a").join(c.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.hh") === col("a.hh") + 1)
+      .groupBy(col("a.hh").as("hh")).agg(count(lit(1)).as("n_retained"))
+    val got = act.join(ret, Seq("hh"), "left")
+      .select($"hh", $"n_active", coalesce($"n_retained", lit(0L)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(0L -> ((2L, 1L)),   // u1,u2 active; only u1 retained
+      1L -> ((2L, 0L)),                   // u1,u3 active; nobody in hour 2
+      3L -> ((1L, 0L))))
+  }
+
   test("asof join: greatest right ts <= left ts, ties inclusive, miss -> null") {
     val trades = Seq(("AAPL", 10L, 100.0), ("AAPL", 20L, 101.0),
       ("MSFT", 5L, 50.0)).toDF("sym", "ts", "price")
