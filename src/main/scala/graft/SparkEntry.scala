@@ -4246,6 +4246,60 @@ object Queries {
       |FROM act LEFT JOIN ret ON ret.h = act.h
       |ORDER BY hour_epoch""".stripMargin
 
+  // ---------------------------------------------------------------- q68
+  // DETERMINISTIC Pearson correlation + population covariance —
+  // Spark's corr/covar_pop are streaming-moment DOUBLE aggregates
+  // whose value depends on row order (not replayable); here the
+  // moments are EXACT integers (quantity is integral, price scales by
+  // 100 → y100; per-row products fit i64, sums ride DECIMAL(38,0) ↔
+  // DuckDB HUGEINT), and the final scalar chain (cast-to-double,
+  // sqrt, divide — each correctly rounded from exact inputs) is
+  // identical both engines, so the statistics hash-match. One agg
+  // shuffle of 6 integer moments per slice.
+  def q68_corr(spark: SparkSession, dir: String): DataFrame = {
+    val m = t(spark, dir, "lineitem").select($"l_returnflag",
+      $"l_quantity".cast("long").as("x"),
+      round($"l_extendedprice" * 100).cast("long").as("y"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val a = m.groupBy($"l_returnflag").agg(
+      count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+      sum($"x" * $"x").as("sxx"),
+      sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"),
+      sum($"x" * $"y").as("sxy"))
+    val num = d($"n") * d($"sxy") - d($"sx") * d($"sy")
+    val vx = d($"n") * d($"sxx") - d($"sx") * d($"sx")
+    val vy = d($"n") * $"syy" - d($"sy") * d($"sy")
+    a.select($"l_returnflag", $"n",
+        RF.roundBin(num.cast("double") /
+          (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6)
+          .as("corr_qty_price"),
+        RF.roundBin(num.cast("double") / ($"n" * $"n").cast("double")
+          / 100.0, 4).as("covar_pop_qty_price"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val q68_sql =
+    """WITH m AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+      |    CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |  FROM lineitem),
+      |a AS (
+      |  SELECT l_returnflag, COUNT(*) AS n,
+      |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+      |    CAST(SUM(x * x) AS HUGEINT) AS sxx,
+      |    CAST(SUM(y * y) AS HUGEINT) AS syy,
+      |    CAST(SUM(x * y) AS HUGEINT) AS sxy
+      |  FROM m GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      |  floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+      |       * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+      |    * 1000000 + 0.5) / 1000000 AS corr_qty_price,
+      |  floor(CAST(n * sxy - sx * sy AS DOUBLE)
+      |    / CAST(n * n AS DOUBLE) / 100.0
+      |    * 10000 + 0.5) / 10000 AS covar_pop_qty_price
+      |FROM a ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- q40
   // window-join jtype 0 — the reference's `window-join` proper: the
   // PREVAILING right row (last view at-or-before the window start) plus
@@ -5597,6 +5651,7 @@ object Queries {
     "q65_quantile_census" -> (q65_quantile_census _),
     "q66_json_extract" -> (q66_json_extract _),
     "q67_retention" -> (q67_retention _),
+    "q68_corr" -> (q68_corr _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
@@ -5783,5 +5838,6 @@ object Queries {
     "q65_quantile_census" -> q65_sql,
     "q66_json_extract" -> q66_sql,
     "q67_retention" -> q67_sql,
+    "q68_corr" -> q68_sql,
   )
 }

@@ -80,6 +80,62 @@ class OperatorsSpec extends SparkSpec {
       3L -> ((1L, 0L))))
   }
 
+  test("deterministic corr/covar (q68): equals a driver replay of the " +
+      "integer-moment chain, is layout-invariant, and agrees with " +
+      "Spark's corr to 1e-6") {
+    val sfDir = sf
+    def run(mangle: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.DataFrame) = {
+      val base = Tables.load(spark, sfDir, "lineitem")
+      // the q68 chain over a (possibly re-laid-out) input
+      val m = mangle(base).select($"l_returnflag",
+        $"l_quantity".cast("long").as("x"),
+        round($"l_extendedprice" * 100).cast("long").as("y"))
+      val a = m.groupBy($"l_returnflag").agg(
+        count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"x").as("sxx"),
+        sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"),
+        sum($"x" * $"y").as("sxy"))
+      def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val num = d($"n") * d($"sxy") - d($"sx") * d($"sy")
+      val vx = d($"n") * d($"sxx") - d($"sx") * d($"sx")
+      val vy = d($"n") * $"syy" - d($"sy") * d($"sy")
+      a.select($"l_returnflag",
+          graft.functions.RF.roundBin(num.cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 6)
+            .as("c"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    }
+    val got = run(identity)
+    assert(got == run(_.repartition(7)), "moments must be layout-free")
+    // driver replay with BigInt moments, identical final double chain
+    val rows = Tables.load(spark, sfDir, "lineitem")
+      .select($"l_returnflag", $"l_quantity", $"l_extendedprice")
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1).toLong,
+        math.round(r.getDouble(2) * 100)))
+    rows.groupBy(_._1).foreach { case (f, vs) =>
+      val n = BigInt(vs.length)
+      val sx = vs.map(v => BigInt(v._2)).sum
+      val sy = vs.map(v => BigInt(v._3)).sum
+      val sxx = vs.map(v => BigInt(v._2) * v._2).sum
+      val syy = vs.map(v => BigInt(v._3) * v._3).sum
+      val sxy = vs.map(v => BigInt(v._2) * v._3).sum
+      val c = (n * sxy - sx * sy).toDouble /
+        (math.sqrt((n * sxx - sx * sx).toDouble) *
+          math.sqrt((n * syy - sy * sy).toDouble))
+      assert(got(f) == math.floor(c * 1e6 + 0.5) / 1e6, s"flag $f")
+    }
+    // sanity vs Spark's own (order-dependent) corr
+    val sparkCorr = Tables.load(spark, sfDir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(corr($"l_quantity", $"l_extendedprice").as("c"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    got.foreach { case (f, c) =>
+      assert(math.abs(c - sparkCorr(f)) < 1e-6, s"flag $f vs Spark corr")
+    }
+  }
+
   test("asof join: greatest right ts <= left ts, ties inclusive, miss -> null") {
     val trades = Seq(("AAPL", 10L, 100.0), ("AAPL", 20L, 101.0),
       ("MSFT", 5L, 50.0)).toDF("sym", "ts", "price")
