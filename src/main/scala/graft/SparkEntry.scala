@@ -4300,6 +4300,39 @@ object Queries {
       |    * 10000 + 0.5) / 10000 AS covar_pop_qty_price
       |FROM a ORDER BY l_returnflag""".stripMargin
 
+  // ---------------------------------------------------------------- q69
+  // Rank-family windows WITH TIES: dense_rank / percent_rank /
+  // cume_dist ordered by quantity alone (50 distinct values → real
+  // peer groups). These depend only on the ORDER BY key values, never
+  // on row order within a peer group, so they're deterministic without
+  // a tie-break; percent_rank = (rank−1)/(n−1) and cume_dist = peers/n
+  // divide the same integers on both engines → bit-identical doubles,
+  // no rounding needed. Output sampled AFTER the window (the window
+  // must see the full partition).
+  def q69_rank_family(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"l_returnflag").orderBy($"l_quantity")
+    t(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_quantity", $"l_orderkey",
+        $"l_linenumber",
+        dense_rank().over(w).as("drank"),
+        percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"))
+      .filter($"l_orderkey" % 499 === 0)
+      .orderBy($"l_returnflag", $"l_quantity", $"l_orderkey",
+        $"l_linenumber")
+  }
+
+  private val q69_sql =
+    """SELECT * FROM (
+      |  SELECT l_returnflag, l_quantity, l_orderkey, l_linenumber,
+      |    DENSE_RANK() OVER w AS drank,
+      |    PERCENT_RANK() OVER w AS prank,
+      |    CUME_DIST() OVER w AS cdist
+      |  FROM lineitem
+      |  WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity))
+      |WHERE l_orderkey % 499 = 0
+      |ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber""".stripMargin
+
   // ---------------------------------------------------------------- q40
   // window-join jtype 0 — the reference's `window-join` proper: the
   // PREVAILING right row (last view at-or-before the window start) plus
@@ -5652,6 +5685,7 @@ object Queries {
     "q66_json_extract" -> (q66_json_extract _),
     "q67_retention" -> (q67_retention _),
     "q68_corr" -> (q68_corr _),
+    "q69_rank_family" -> (q69_rank_family _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
@@ -5839,5 +5873,6 @@ object Queries {
     "q66_json_extract" -> q66_sql,
     "q67_retention" -> q67_sql,
     "q68_corr" -> q68_sql,
+    "q69_rank_family" -> q69_sql,
   )
 }
