@@ -4333,6 +4333,36 @@ object Queries {
       |WHERE l_orderkey % 499 = 0
       |ORDER BY l_returnflag, l_quantity, l_orderkey, l_linenumber""".stripMargin
 
+  // ---------------------------------------------------------------- q70
+  // Per-key exponential moving average (the kdb-family ema, beyond the
+  // reference's m-family): a RECURSION over each user's time order
+  // that no window frame expresses replayably (the closed form needs
+  // pow — not correctly rounded, the t13 ln rule). Engine = the scan
+  // shape: one key repartition, in-partition sort, one sequential fold
+  // pass (operators/Ema — keys never straddle partitions, so folds run
+  // parallel across keys). α = 1/2 as the rational 1/2; the per-step
+  // chain is identical to the DuckDB recursive-CTE replay, so the
+  // doubles hash-match with NO rounding.
+  def q70_ema(spark: SparkSession, dir: String): DataFrame =
+    operators.Ema.ema(t(spark, dir, "events"), "user_id", "ts",
+        "event_id", "value", aNum = 1, aDen = 2)
+      .orderBy($"user_id", $"event_id")
+
+  private val q70_sql =
+    """WITH RECURSIVE b AS (
+      |  SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |rec AS (
+      |  SELECT user_id, event_id, rn, value AS ema FROM b WHERE rn = 1
+      |  UNION ALL
+      |  SELECT b.user_id, b.event_id, b.rn,
+      |    (1 * b.value + 1 * rec.ema) / 2
+      |  FROM rec JOIN b ON b.user_id = rec.user_id AND b.rn = rec.rn + 1)
+      |SELECT user_id, event_id, ema FROM rec
+      |ORDER BY user_id, event_id""".stripMargin
+
   // ---------------------------------------------------------------- q40
   // window-join jtype 0 — the reference's `window-join` proper: the
   // PREVAILING right row (last view at-or-before the window start) plus
@@ -5686,6 +5716,7 @@ object Queries {
     "q67_retention" -> (q67_retention _),
     "q68_corr" -> (q68_corr _),
     "q69_rank_family" -> (q69_rank_family _),
+    "q70_ema" -> (q70_ema _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
@@ -5874,5 +5905,6 @@ object Queries {
     "q67_retention" -> q67_sql,
     "q68_corr" -> q68_sql,
     "q69_rank_family" -> q69_sql,
+    "q70_ema" -> q70_sql,
   )
 }

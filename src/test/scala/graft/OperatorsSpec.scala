@@ -136,6 +136,35 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("ema: per-key sequential fold matches a driver replay (seed = " +
+      "first value, keys reset the state), at alpha 1/2 and 1/4; " +
+      "result is layout-invariant") {
+    import graft.operators.Ema
+    val df = Seq(
+      (1L, 10L, 100L, 4.0), (1L, 20L, 101L, 8.0), (1L, 30L, 102L, 2.0),
+      (2L, 5L, 200L, 10.0), (2L, 6L, 201L, 0.0),
+      (3L, 1L, 300L, 7.5)  // single-row key: ema == value
+    ).toDF("k", "ts", "id", "v")
+    def run(aNum: Int, aDen: Int, parts: Int) =
+      Ema.ema(df.repartition(parts), "k", "ts", "id", "v", aNum, aDen)
+        .orderBy($"k", $"id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def replay(aNum: Int, aDen: Int) = Seq(
+      (1L, Seq((100L, 4.0), (101L, 8.0), (102L, 2.0))),
+      (2L, Seq((200L, 10.0), (201L, 0.0))),
+      (3L, Seq((300L, 7.5)))).flatMap { case (k, vs) =>
+      var prev = 0.0
+      vs.zipWithIndex.map { case ((id, v), i) =>
+        val e = if (i == 0) v else (aNum * v + (aDen - aNum) * prev) / aDen
+        prev = e
+        (k, id, e)
+      }
+    }
+    assert(run(1, 2, 1) == replay(1, 2))
+    assert(run(1, 2, 5) == replay(1, 2), "layout must not change the fold")
+    assert(run(1, 4, 3) == replay(1, 4))
+  }
+
   test("asof join: greatest right ts <= left ts, ties inclusive, miss -> null") {
     val trades = Seq(("AAPL", 10L, 100.0), ("AAPL", 20L, 101.0),
       ("MSFT", 5L, 50.0)).toDF("sym", "ts", "price")
