@@ -140,6 +140,15 @@ object TimeCurate {
         .agg(countDistinct($"l_orderkey")).collect()
     }
 
+    // q70: per-key ema fold (repartition + in-partition sort + fold)
+    val ev = Tables.load(spark, dir, "events")
+    ev.agg(count(lit(1))).collect()
+    for (rep <- 1 to 3) time(s"q70 ema fold rep$rep") {
+      val r = operators.Ema.ema(ev, "user_id", "ts", "event_id",
+        "value", 1, 2).agg(count(lit(1)), sum($"ema")).collect()
+      if (rep == 1) println(s"  rows/sum: ${r.head}")
+    }
+
     // q65: census quantiles vs the row-buffering median aggregate
     for (rep <- 1 to 3) time(s"q65 quantile census rep$rep") {
       val r = operators.Quantiles.quantileCensus(li, Seq("l_returnflag"),
