@@ -4363,6 +4363,36 @@ object Queries {
       |SELECT user_id, event_id, ema FROM rec
       |ORDER BY user_id, event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q71
+  // Deterministic exact MODE per slice — Spark's `mode` breaks ties
+  // arbitrarily (not replayable); the census form makes the tie-break
+  // total: min value among max-count values, via ONE value census
+  // (cells cross the shuffle, never rows — the q65 shape) and a
+  // min_by/struct argmax. Also reports the count and the number of
+  // tied values (the governance detail an "arbitrary mode" hides).
+  def q71_mode(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_quantity".cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy($"l_returnflag")
+      // (max count, then min value) as ONE integer argmax key — valid
+      // because 0 <= v < 64 (the q17 composite-order-key rule)
+      .agg(max_by($"v", $"c" * 64 - $"v").as("mode_v"),
+        max($"c").as("mode_n"),
+        count(lit(1)).as("n_values"))
+      .orderBy($"l_returnflag")
+
+  private val q71_sql =
+    """WITH c AS (
+      |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+      |    COUNT(*) AS c
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_returnflag,
+      |  arg_max(v, c * 64 - v) AS mode_v,
+      |  MAX(c) AS mode_n,
+      |  COUNT(*) AS n_values
+      |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   // ---------------------------------------------------------------- q40
   // window-join jtype 0 — the reference's `window-join` proper: the
   // PREVAILING right row (last view at-or-before the window start) plus
@@ -5717,6 +5747,7 @@ object Queries {
     "q68_corr" -> (q68_corr _),
     "q69_rank_family" -> (q69_rank_family _),
     "q70_ema" -> (q70_ema _),
+    "q71_mode" -> (q71_mode _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
@@ -5906,5 +5937,6 @@ object Queries {
     "q68_corr" -> q68_sql,
     "q69_rank_family" -> q69_sql,
     "q70_ema" -> q70_sql,
+    "q71_mode" -> q71_sql,
   )
 }

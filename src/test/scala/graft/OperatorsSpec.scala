@@ -165,6 +165,20 @@ class OperatorsSpec extends SparkSpec {
     assert(run(1, 4, 3) == replay(1, 4))
   }
 
+  test("deterministic mode (q71 shape): count ties resolve to the " +
+      "SMALLEST value; n_values counts distinct values") {
+    val df = Seq(("a", 7L), ("a", 7L), ("a", 5L), ("a", 5L), ("a", 9L),
+      ("b", 3L)).toDF("g", "v")
+    val got = df.groupBy($"g", $"v").agg(count(lit(1)).as("c"))
+      .groupBy($"g")
+      .agg(max_by($"v", $"c" * 64 - $"v").as("mode_v"),
+        max($"c").as("mode_n"), count(lit(1)).as("n_values"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == Map("a" -> ((5L, 2L, 3L)), "b" -> ((3L, 1L, 1L))))
+  }
+
   test("asof join: greatest right ts <= left ts, ties inclusive, miss -> null") {
     val trades = Seq(("AAPL", 10L, 100.0), ("AAPL", 20L, 101.0),
       ("MSFT", 5L, 50.0)).toDF("sym", "ts", "price")
