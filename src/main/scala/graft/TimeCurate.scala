@@ -140,6 +140,27 @@ object TimeCurate {
         .agg(countDistinct($"l_orderkey")).collect()
     }
 
+    // m05: persisted signature index lifecycle over the 500k-doc
+    // replica treated as media bytes (decode+hash once per phase)
+    val media = docs.select($"doc_id", $"text".cast("binary").as("data"))
+    def sigs(f: org.apache.spark.sql.DataFrame) =
+      operators.Multimodal.perceptualHash(f, "doc_id", "data")
+        .select($"media_id".as("id"), $"phash".as("sh"))
+    val sigIdx = s"$base/sigidx"
+    time("m05 buildSigIndex (1/2)") {
+      operators.Dedup.buildSigIndex(sigs(media.filter($"doc_id" % 4 < 2)),
+        "phash62", sigIdx)
+    }
+    time("m05 appendToSigIndex (1/4)") {
+      operators.Dedup.appendToSigIndex(sigs(media.filter($"doc_id" % 4 === 2)),
+        "phash62", sigIdx)
+    }
+    time("m05 probeSigIndex (1/4)") {
+      val p = operators.Dedup.probeSigIndex(
+        sigs(media.filter($"doc_id" % 4 === 3)), "phash62", sigIdx)
+      println(s"  pairs: ${p.count()}")
+    }
+
     // q70: per-key ema fold (repartition + in-partition sort + fold)
     val ev = Tables.load(spark, dir, "events")
     ev.agg(count(lit(1))).collect()
