@@ -4208,9 +4208,10 @@ object Queries {
   // Hourly retention cohorts (the product-analytics card): of the
   // users active in hour h, how many are also active in hour h+1.
   // Scale shape: ONE distinct (user, hour) census (bounded by
-  // users×hours, not events), then a self-join CO-PARTITIONED on the
-  // census key — the event rows themselves never join. Missing
-  // next-hour cohorts report 0 via the left join.
+  // users×hours, not events), then NO join at all — "active in h+1"
+  // is `lead(h)` over the per-user hour order, so retention is a
+  // per-user window (one exchange on user_id) followed by the final
+  // per-hour count. Event rows never join, census rows never self-join.
   def q67_retention(spark: SparkSession, dir: String): DataFrame = {
     val hourNs = 3600L * 1000 * 1000 * 1000
     val c = t(spark, dir, "events")
@@ -4218,16 +4219,13 @@ object Queries {
         (RF.xbar(lit(hourNs), $"ts").cast("decimal(38,0)") / hourNs)
           .cast("long").as("h"))
       .distinct()
-    val act = c.groupBy($"h").agg(count(lit(1)).as("n_active"))
-    val ret = c.as("a")
-      .join(c.as("b"),
-        col("a.user_id") === col("b.user_id") &&
-          col("b.h") === col("a.h") + 1)
-      .groupBy(col("a.h").as("h"))
-      .agg(count(lit(1)).as("n_retained"))
-    act.join(ret, Seq("h"), "left")
-      .select(($"h" * 3600).as("hour_epoch"), $"n_active",
-        coalesce($"n_retained", lit(0L)).as("n_retained"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"h")
+    c.withColumn("ret",
+        when(lead($"h", 1).over(w) === $"h" + 1, 1L).otherwise(0L))
+      .groupBy($"h")
+      .agg(count(lit(1)).as("n_active"), sum($"ret").as("n_retained"))
+      .select(($"h" * 3600).as("hour_epoch"), $"n_active", $"n_retained")
       .orderBy($"hour_epoch")
   }
 
@@ -4251,8 +4249,9 @@ object Queries {
   // Spark's corr/covar_pop are streaming-moment DOUBLE aggregates
   // whose value depends on row order (not replayable); here the
   // moments are EXACT integers (quantity is integral, price scales by
-  // 100 → y100; per-row products fit i64, sums ride DECIMAL(38,0) ↔
-  // DuckDB HUGEINT), and the final scalar chain (cast-to-double,
+  // 100 → y100; per-row products fit i64, ALL product sums ride
+  // DECIMAL(38,0) ↔ DuckDB HUGEINT — i64 sums would ANSI-abort at
+  // large SF), and the final scalar chain (cast-to-double,
   // sqrt, divide — each correctly rounded from exact inputs) is
   // identical both engines, so the statistics hash-match. One agg
   // shuffle of 6 integer moments per slice.
@@ -4263,9 +4262,9 @@ object Queries {
     def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val a = m.groupBy($"l_returnflag").agg(
       count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
-      sum($"x" * $"x").as("sxx"),
+      sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
       sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"),
-      sum($"x" * $"y").as("sxy"))
+      sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"))
     val num = d($"n") * d($"sxy") - d($"sx") * d($"sy")
     val vx = d($"n") * d($"sxx") - d($"sx") * d($"sx")
     val vy = d($"n") * $"syy" - d($"sy") * d($"sy")
@@ -4286,9 +4285,9 @@ object Queries {
       |a AS (
       |  SELECT l_returnflag, COUNT(*) AS n,
       |    CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
-      |    CAST(SUM(x * x) AS HUGEINT) AS sxx,
-      |    CAST(SUM(y * y) AS HUGEINT) AS syy,
-      |    CAST(SUM(x * y) AS HUGEINT) AS sxy
+      |    SUM(CAST(x AS HUGEINT) * x) AS sxx,
+      |    SUM(CAST(y AS HUGEINT) * y) AS syy,
+      |    SUM(CAST(x AS HUGEINT) * y) AS sxy
       |  FROM m GROUP BY l_returnflag)
       |SELECT l_returnflag, n,
       |  floor(CAST(n * sxy - sx * sy AS DOUBLE)

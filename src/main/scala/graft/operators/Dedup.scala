@@ -306,6 +306,11 @@ object Dedup {
         .select($"id_idx", $"id_new",
           bit_count($"sh_idx".bitwiseXOR($"sh_new")).as("hamming"))
     }.reduce(_ unionByName _)
+      // self-exclusion: probing a batch already appended to the index
+      // (append-then-probe lifecycle, at-least-once replay) must not
+      // report every doc as its own hamming-0 near-dup — the knnJoin /
+      // jlSearchProjected rule
+      .filter($"id_idx" =!= $"id_new")
       .distinct()
   }
 

@@ -39,6 +39,14 @@ object Ema {
       var haveKey = false
       var prev = 0.0
       it.map { r =>
+        // UnsafeRow getters read a null slot as 0 without signaling —
+        // fail fast rather than merge rows into key 0 / fold in 0.0
+        var c = 0
+        while (c < 4) {
+          if (r.isNullAt(c)) throw new IllegalArgumentException(
+            s"Ema.ema: null in projected column index $c (key/ts/id/value must be non-null)")
+          c += 1
+        }
         val (k, i, v) = (r.getLong(0), r.getLong(2), r.getDouble(3))
         val e =
           if (!haveKey || k != curKey) { haveKey = true; curKey = k; v }

@@ -29,7 +29,11 @@ object Quantiles {
     require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
       s"percents must be in 1..100, got $percents")
     val g = groupCols.map(col)
+    // nulls are excluded on BOTH sides: Spark windows sort NULLS FIRST
+    // while DuckDB sorts NULLS LAST, and a null census row would inflate
+    // __tot without ever being choosable by the min(when...) cut
     val census = df
+      .filter(col(valCol).isNotNull)
       .groupBy(g :+ col(valCol).as("__v"): _*)
       .agg(count(lit(1)).as("__n"))
     // both windows share the slice partitioning → one exchange; census
@@ -56,7 +60,8 @@ object Quantiles {
       .mkString(",\n  ")
     s"""WITH c AS (
        |  SELECT $g, $valCol AS v, COUNT(*) AS n
-       |  FROM $fromSql GROUP BY $gN, ${groupCols.size + 1}),
+       |  FROM $fromSql WHERE $valCol IS NOT NULL
+       |  GROUP BY $gN, ${groupCols.size + 1}),
        |w AS (
        |  SELECT $g, v,
        |    SUM(n) OVER (PARTITION BY $g ORDER BY v) AS cum,

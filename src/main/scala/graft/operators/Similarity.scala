@@ -161,6 +161,12 @@ object Similarity {
                 queryId: Long, shortlist: Int, k: Int,
                 lamNum: Int, lamDen: Int): DataFrame = {
     require(k >= 1 && k <= shortlist, s"k $k outside 1..$shortlist")
+    // the greedy is driver-side and pair sims are shortlist² — an
+    // unbounded shortlist would turn the crossJoin into a corpus-scale
+    // blowup (10⁶ → 10¹² pairs), so cap it at rerank scale
+    require(shortlist <= 4096,
+      s"shortlist $shortlist > 4096 — MMR rerank operates on a bounded " +
+        "shortlist (pair sims cost shortlist²); shrink the shortlist")
     require(lamNum >= 1 && lamNum <= lamDen,
       s"lambda $lamNum/$lamDen outside (0, 1]")
     val spark = df.sparkSession

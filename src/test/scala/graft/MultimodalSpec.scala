@@ -117,6 +117,12 @@ class MultimodalSpec extends SparkSpec {
       "media_id", "data", s"$base/idx", s"$base/ckpt")
     Dedup.appendToSigIndex(sigs(streamed), "phash62", s"$base/idx")
     assert(probeNow() == brute)
+    // probing a batch whose signatures are already IN the index must
+    // not report each doc as its own hamming-0 near-dup
+    val selfProbe = Dedup.probeSigIndex(sigs(streamed), "phash62",
+      s"$base/idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!selfProbe.exists(p => p._1 == p._2), s"self pairs in $selfProbe")
     val kindErr = intercept[IllegalArgumentException] {
       Dedup.probeSigIndex(sigs(probeBatch), "simhash64", s"$base/idx")
     }

@@ -66,13 +66,13 @@ class OperatorsSpec extends SparkSpec {
     ).toDF("user_id", "ts")
     val c = df.select($"user_id", ($"ts".cast("decimal(38,0)") / h)
       .cast("long").as("hh")).distinct()
-    val act = c.groupBy($"hh").agg(count(lit(1)).as("n_active"))
-    val ret = c.as("a").join(c.as("b"),
-        col("a.user_id") === col("b.user_id") &&
-          col("b.hh") === col("a.hh") + 1)
-      .groupBy(col("a.hh").as("hh")).agg(count(lit(1)).as("n_retained"))
-    val got = act.join(ret, Seq("hh"), "left")
-      .select($"hh", $"n_active", coalesce($"n_retained", lit(0L)))
+    // the shipped q67 shape: lead over the per-user hour order, no join
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"hh")
+    val got = c.withColumn("ret",
+        when(lead($"hh", 1).over(w) === $"hh" + 1, 1L).otherwise(0L))
+      .groupBy($"hh")
+      .agg(count(lit(1)).as("n_active"), sum($"ret").as("n_retained"))
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
       .toMap
     assert(got == Map(0L -> ((2L, 1L)),   // u1,u2 active; only u1 retained
@@ -93,9 +93,9 @@ class OperatorsSpec extends SparkSpec {
         round($"l_extendedprice" * 100).cast("long").as("y"))
       val a = m.groupBy($"l_returnflag").agg(
         count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
-        sum($"x" * $"x").as("sxx"),
+        sum(($"x" * $"x").cast("decimal(38,0)")).as("sxx"),
         sum(($"y" * $"y").cast("decimal(38,0)")).as("syy"),
-        sum($"x" * $"y").as("sxy"))
+        sum(($"x" * $"y").cast("decimal(38,0)")).as("sxy"))
       def d(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
       val num = d($"n") * d($"sxy") - d($"sx") * d($"sy")
       val vx = d($"n") * d($"sxx") - d($"sx") * d($"sx")
