@@ -3333,6 +3333,32 @@ object Queries {
        |WHERE ua.split <> ub.split
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- t56
+  // Raw-HTML → clean-text extraction (the stage a crawl pipeline runs
+  // before EVERYTHING else here; functions/HtmlExpr.scala has the rule
+  // chain). The testdata has no raw-HTML column, so a deterministic
+  // page is CONSTRUCTED per doc from (doc_id, lang, source, text) —
+  // identically in both engines, html_len pins the construction — with
+  // style/script to drop, nav boilerplate, entities (incl. the
+  // &amp;lt; double-encoding), and a doc_id%4-selected malformed tail.
+  // Engine side: ONE narrow codegen map, no shuffle; oracle replays
+  // the identical chain via Html.cleanChainSql.
+  def t56_html_extract(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val staged = d.select($"doc_id", $"lang",
+      operators.Html.stagedHtmlCol($"doc_id", $"lang", $"source", $"text")
+        .as("html"))
+    operators.Html.cleanHtml(staged, "html", textOut = "text_out")
+      .select($"doc_id", $"lang", length($"html").as("html_len"),
+        $"n_tags", $"n_blocks", $"n_boiler", $"boiler_frac",
+        length($"text_out").as("text_len"), $"text_out".as("text"))
+      .orderBy($"doc_id")
+  }
+
+  private val t56_sql =
+    operators.Html.cleanChainSql(operators.Html.stagedHtmlSql,
+      Seq("doc_id", "lang")) + "\nORDER BY doc_id"
+
   // ---------------------------------------------------------------- d11
   // Near-dup cluster resolution: connected components over the d10
   // (simhash64) pairs by min-label propagation — every doc labeled with
@@ -5740,6 +5766,7 @@ object Queries {
     "t53_stream_hll" -> (t53_stream_hll _),
     "t54_hll_windows" -> (t54_hll_windows _),
     "t55_split_leakage" -> (t55_split_leakage _),
+    "t56_html_extract" -> (t56_html_extract _),
     "q65_quantile_census" -> (q65_quantile_census _),
     "q66_json_extract" -> (q66_json_extract _),
     "q67_retention" -> (q67_retention _),
@@ -5930,6 +5957,7 @@ object Queries {
     "t53_stream_hll" -> t53_sql,
     "t54_hll_windows" -> t54_sql,
     "t55_split_leakage" -> t55_sql,
+    "t56_html_extract" -> t56_sql,
     "q65_quantile_census" -> q65_sql,
     "q66_json_extract" -> q66_sql,
     "q67_retention" -> q67_sql,

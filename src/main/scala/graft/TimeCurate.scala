@@ -182,6 +182,21 @@ object TimeCurate {
           lit(0.9), lit(10000))).collect()
     }
 
+    // t56: raw-HTML extraction over the staged 500k-doc corpus — full
+    // eval via agg(sum(...)) over the OUTPUT columns (a bare count()
+    // would prune the expression, the t24/t42 lesson)
+    val staged = docs.select($"doc_id",
+      operators.Html.stagedHtmlCol($"doc_id", $"lang", $"source", $"text")
+        .as("html"))
+    for (rep <- 1 to 2) time(s"t56 staging baseline rep$rep") {
+      staged.agg(sum(length($"html"))).collect()
+    }
+    for (rep <- 1 to 3) time(s"t56 htmlExtract rep$rep") {
+      val r = operators.Html.cleanHtml(staged, "html", textOut = "t")
+        .agg(sum(length($"t")), sum($"n_tags"), sum($"n_boiler")).collect()
+      if (rep == 1) println(s"  sums: ${r.head}")
+    }
+
     for (rep <- 1 to 3) time(s"s12 mmrRerank rep$rep") {
       val r = operators.Similarity.mmrRerank(emb, "vec_id", "embedding",
         queryId = 0L, shortlist = 32, k = 8, lamNum = 7, lamDen = 10)
