@@ -1001,23 +1001,48 @@ object Queries {
       .withColumnRenamed("id", "doc_id")
       .orderBy($"doc_id")
 
-  private val t24_sql =
+  /** Shared ExactSubstr replay (t24/t27/t57): the census + excise CTE
+    * chain; `within=true` adds the row_number()>1 within-doc repeat
+    * starts (the `RepeatStarts` replay) unioned with the cross-doc
+    * gram starts, plus the per-doc `n_within` audit column. */
+  private def spanRemoveSql(n: Int, minDocs: Int, within: Boolean): String = {
+    val withinCte = if (within)
+      s"""wst AS (
+         |  SELECT doc_id, i FROM (
+         |    SELECT doc_id, i,
+         |      row_number() OVER (PARTITION BY doc_id, g ORDER BY i) AS rn
+         |    FROM grams)
+         |  WHERE rn > 1),
+         |allst AS (
+         |  SELECT gr.doc_id, gr.i FROM grams gr JOIN freq USING (g)
+         |  UNION
+         |  SELECT doc_id, i FROM wst),
+         |nwi AS (
+         |  SELECT doc_id, COUNT(*) AS n_within FROM wst GROUP BY doc_id),
+         |""".stripMargin
+    else
+      """allst AS (
+        |  SELECT gr.doc_id, gr.i FROM grams gr JOIN freq USING (g)),
+        |""".stripMargin
+    val nwCol = if (within) "COALESCE(nw.n_within, 0) AS n_within,\n  " else ""
+    val nwJoin = if (within) "LEFT JOIN nwi nw USING (doc_id)\n" else ""
     s"""WITH toks AS (
        |  SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
        |pos AS (
        |  SELECT doc_id, w,
-       |         unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+       |         unnest(generate_series(1, greatest(len(w) - ${n - 1}, 0))) AS i
        |  FROM toks),
        |grams AS (
-       |  SELECT doc_id, i, ${Text.duck.ngramHashSql("w", "i", 3)} AS g
+       |  SELECT doc_id, i, ${Text.duck.ngramHashSql("w", "i", n)} AS g
        |  FROM pos),
        |freq AS (
        |  SELECT g FROM grams GROUP BY g
-       |  HAVING COUNT(DISTINCT doc_id) >= 5),
-       |cp AS (
+       |  HAVING COUNT(DISTINCT doc_id) >= $minDocs),
+       |$withinCte""".stripMargin +
+    s"""cp AS (
        |  SELECT DISTINCT doc_id, p FROM (
-       |    SELECT gr.doc_id, unnest(generate_series(gr.i, gr.i + 2)) AS p
-       |    FROM grams gr JOIN freq USING (g))),
+       |    SELECT doc_id, unnest(generate_series(i, i + ${n - 1})) AS p
+       |    FROM allst)),
        |spans AS (
        |  SELECT doc_id,
        |    COUNT(*) FILTER (WHERE prev IS NULL OR p > prev + 1) AS nspans,
@@ -1037,14 +1062,32 @@ object Queries {
        |  FROM tokpos t LEFT JOIN cp c ON c.doc_id = t.doc_id AND c.p = t.tp
        |  GROUP BY t.doc_id)
        |SELECT b.doc_id, len(b.w) AS ntok,
-       |  COALESCE(s.nspans, 0) AS nspans,
+       |  ${nwCol}COALESCE(s.nspans, 0) AS nspans,
        |  COALESCE(s.removed, 0) AS tok_removed,
        |  c.clean_text,
        |  len(b.text) - len(c.clean_text) AS chars_removed
        |FROM toks b
        |LEFT JOIN spans s USING (doc_id)
-       |JOIN clean c USING (doc_id)
+       |${nwJoin}JOIN clean c USING (doc_id)
        |ORDER BY b.doc_id""".stripMargin
+  }
+
+  private val t24_sql = spanRemoveSql(n = 3, minDocs = 5, within = false)
+
+  // ---------------------------------------------------------------- t57
+  // FULL ExactSubstr (both Lee-et-al duplication cases): t24's
+  // cross-document excision + WITHIN-document repeated spans via the
+  // row-local RepeatStarts scan (keep-first — occurrences 2..k of a
+  // gram inside one doc are excised, the first survives unless
+  // corpus-frequent). Only sub-n spans are missed now (PropertySpec
+  // pins the tightened bound). No extra shuffle over t24.
+  def t57_span_removal_full(spark: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.dupSpanRemoveFull(t(spark, dir, "documents"),
+      "doc_id", "text", n = 3, minDocs = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy($"doc_id")
+
+  private val t57_sql = spanRemoveSql(n = 3, minDocs = 5, within = true)
 
   // ---------------------------------------------------------------- t27
   // STREAMING ExactSubstr (the t24 production twin): the document feed
@@ -5767,6 +5810,7 @@ object Queries {
     "t54_hll_windows" -> (t54_hll_windows _),
     "t55_split_leakage" -> (t55_split_leakage _),
     "t56_html_extract" -> (t56_html_extract _),
+    "t57_span_removal_full" -> (t57_span_removal_full _),
     "q65_quantile_census" -> (q65_quantile_census _),
     "q66_json_extract" -> (q66_json_extract _),
     "q67_retention" -> (q67_retention _),
@@ -5958,6 +6002,7 @@ object Queries {
     "t54_hll_windows" -> t54_sql,
     "t55_split_leakage" -> t55_sql,
     "t56_html_extract" -> t56_sql,
+    "t57_span_removal_full" -> t57_sql,
     "q65_quantile_census" -> q65_sql,
     "q66_json_extract" -> q66_sql,
     "q67_retention" -> q67_sql,

@@ -103,6 +103,13 @@ object NgramHashExpr {
   def ngramHashes(text: Column, n: Int): Column =
     ColumnInternals.column(NgramHashes(ColumnInternals.expr(text), n))
 
+  /** 0-based positions whose element REPEATS an earlier element of the
+    * array (keep-first: occurrence 1 is never flagged) — the
+    * within-document half of ExactSubstr over `ngramHashes` output.
+    * Row-local, no shuffle ([[RepeatStarts]]). */
+  def repeatStarts(arr: Column): Column =
+    ColumnInternals.column(RepeatStarts(ColumnInternals.expr(arr)))
+
   /** Column of adjacent bounded-token-code pairs
     * (array<struct<h1:long,h2:long>>), one pass — the hash-space twin
     * of `NgramLm.pairArr` (the join-fallback scan side; the production
@@ -192,6 +199,61 @@ object BigramHashPairs {
       i += 1
     }
     new GenericArrayData(out)
+  }
+}
+
+/** Within-document repeat detection in ONE row-local pass: the 0-based
+  * positions of `arr` (an `NgramHashes` gram-hash array) whose value
+  * already occurred at an EARLIER position — keep-first semantics, so
+  * for a span repeated k times inside one document the occurrences
+  * 2..k are flagged and the first stays (the suffix-array construction
+  * of Lee et al. 2022 likewise keeps one copy). Composed with the
+  * cross-document census in `CorpusStats.dupSpanRemoveFull`; each doc
+  * is self-contained, so this half of ExactSubstr costs NO shuffle at
+  * any scale. The DuckDB replay is `row_number() OVER (PARTITION BY
+  * doc, g ORDER BY i) > 1` over the exploded grams. */
+case class RepeatStarts(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"repeatStarts expects array<bigint>, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    RepeatStarts.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RepeatStarts.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : RepeatStarts = copy(child = newChild)
+}
+
+object RepeatStarts {
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n <= 1) return new GenericArrayData(Array.emptyIntArray)
+    val seen = new java.util.HashSet[java.lang.Long](n * 2)
+    var out = new Array[Int](4)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      if (!seen.add(arr.getLong(i))) {
+        if (m == out.length) out = java.util.Arrays.copyOf(out, m * 2)
+        out(m) = i
+        m += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 }
 

@@ -90,10 +90,10 @@ object CorpusStats {
     *     the same role as Lee et al.'s 50-char threshold, but measured
     *     in whole tokens, not characters;
     *  2. a substring repeated ≥ 2 times WITHIN one document but
-    *     nowhere else is NOT excised (the census counts distinct
-    *     documents); the suffix array counts raw occurrences and would
-    *     drop the repeats — use the t11 repetition signals for
-    *     within-doc repeats;
+    *     nowhere else is NOT excised by THIS form (the census counts
+    *     distinct documents; the suffix array counts raw occurrences) —
+    *     [[dupSpanRemoveFull]] closes this clause with a row-local
+    *     repeat scan, leaving only clauses 1 and 3;
     *  3. grams travel as i64 hashes, so a hash collision can
     *     false-positive a span (~2⁻⁶⁴ per gram pair — negligible, and
     *     the failure mode is over-removal, never retention).
@@ -134,6 +134,48 @@ object CorpusStats {
       .agg(countDistinct($"id").as("nd"))
       .filter($"nd" >= minDocs)
       .select($"g")
+  }
+
+  /** FULL ExactSubstr (Lee et al. 2022 semantics for BOTH duplication
+    * cases): [[dupSpanRemove]]'s cross-document excision composed with
+    * WITHIN-document repeated spans — positions whose n-gram already
+    * occurred earlier in the SAME document (keep-first: the first
+    * occurrence survives unless it is itself corpus-frequent; the
+    * suffix array likewise keeps one copy). This closes divergence
+    * clause 2 of [[dupSpanRemove]]'s exactness bound: with this form
+    * only spans SHORTER than n tokens are missed (plus the 2⁻⁶⁴ hash
+    * collision clause).
+    *
+    * 100 TB shape: the within-doc half is `functions.RepeatStarts` —
+    * entirely row-local (one hash-set pass per doc, NO extra shuffle);
+    * the cross-doc half is unchanged (one census shuffle + heavy-hitter
+    * broadcast). Output adds `n_within` (flagged within-doc start
+    * count) to the [[dupSpanRemove]] columns. */
+  def dupSpanRemoveFull(corpus: DataFrame, idCol: String, textCol: String,
+                        n: Int, minDocs: Int,
+                        minSpanTokens: Int = 0): DataFrame = {
+    import graft.functions.NgramHashExpr.{ngramHashes, repeatStarts}
+    import graft.functions.SpanExciseExpr.excise
+    val grams = corpus.select(col(idCol).as("id"),
+      posexplode(ngramHashes(col(textCol), n)).as(Seq("i", "g")))
+    val freq = frequentGrams(corpus, idCol, textCol, n, minDocs)
+    val flagged = grams.join(broadcast(freq), Seq("g"))
+      .groupBy($"id").agg(collect_set($"i").as("starts"))
+    corpus
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .join(flagged, Seq("id"), "left")
+      .withColumn("wstarts", repeatStarts(ngramHashes($"text", n)))
+      .withColumn("allstarts", array_distinct(concat(
+        coalesce($"starts", array().cast("array<int>")), $"wstarts")))
+      .withColumn("x", excise($"text", $"allstarts", n, minSpanTokens))
+      .select($"id",
+        size(split($"text", " ")).cast("long").as("ntok"),
+        size($"wstarts").cast("long").as("n_within"),
+        $"x".getField("nspans").cast("long").as("nspans"),
+        $"x".getField("removed").cast("long").as("tok_removed"),
+        $"x".getField("clean").as("clean_text"),
+        (length($"text") - length($"x".getField("clean")))
+          .cast("long").as("chars_removed"))
   }
 
   /** [[dupSpanRemove]] against a PRE-COMPUTED frequent-gram set (one

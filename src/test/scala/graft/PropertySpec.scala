@@ -521,4 +521,52 @@ class PropertySpec extends SparkSpec {
       "within-doc repeats must not be excised by the cross-doc census: " +
         r2.mkString(";"))
   }
+
+  test("FULL ExactSubstr (dupSpanRemoveFull) tightened bound: " +
+      "within-doc repeats >= n ARE excised keep-first; only sub-n " +
+      "spans are missed; cross-doc behavior unchanged") {
+    import graft.operators.CorpusStats
+    val n = 3
+    def bg(tag: String, k: Int): Seq[String] =
+      (0 until k).map(i => s"$tag$i")
+    // a span of length l repeated twice inside doc 1 (nowhere else):
+    // occurrence 2 is excised in FULL, occurrence 1 survives.
+    // Span tokens differ in their FIRST letter — token codes hash the
+    // leading chars + length, so dup0..dup7 would all collide into one
+    // code (deterministically, in both engines) and over-flag
+    val spanWord = "cdefghij".toCharArray
+    forAll(Gen.zip(Gen.chooseNum(n, 8), Gen.chooseNum(0, 4))) { case (l, off) =>
+      val span = (0 until l).map(i => s"${spanWord(i)}dup")
+      val d1 = (bg("a", off) ++ span ++ bg("m", 3) ++ span ++ bg("x", 2))
+        .mkString(" ")
+      val docs = Seq((1L, d1), (2L, bg("b", 8).mkString(" ")))
+        .toDF("doc_id", "text")
+      val out = CorpusStats.dupSpanRemoveFull(docs, "doc_id", "text", n, 2)
+        .orderBy($"id").collect()
+      // tok_removed(doc1) == l (the second occurrence, exactly);
+      // clean text keeps exactly ONE copy of the span
+      assert(out(0).getLong(4) == l.toLong,
+        s"l=$l off=$off: ${out.mkString(";")}")
+      // exactly the l-n+1 grams of occurrence 2 are repeat starts
+      assert(out(0).getLong(2) == (l - n + 1).toLong)
+      val clean = out(0).getString(5)
+      assert(span.forall(w => clean.split(" ").count(_ == w) == 1), clean)
+      assert(out(1).getLong(4) == 0L)
+    }
+    // sub-n within-doc repeats still missed (clause 1 of the bound)
+    val shortRep = (0 until n - 1).map(i => s"dup$i")
+    val m = Seq((1L, (shortRep ++ bg("a", 3) ++ shortRep).mkString(" ")),
+      (2L, bg("b", 8).mkString(" "))).toDF("doc_id", "text")
+    val r = CorpusStats.dupSpanRemoveFull(m, "doc_id", "text", n, 2).collect()
+    assert(r.forall(_.getLong(4) == 0L), r.mkString(";"))
+    // cross-doc spans still excised from BOTH docs (t24 behavior kept)
+    val span = (0 until 4).map(i => s"dup$i")
+    val c = Seq((1L, (bg("a", 2) ++ span ++ bg("x", 3)).mkString(" ")),
+      (2L, (bg("b", 3) ++ span ++ bg("y", 2)).mkString(" ")))
+      .toDF("doc_id", "text")
+    val rc = CorpusStats.dupSpanRemoveFull(c, "doc_id", "text", n, 2)
+      .orderBy($"id").collect()
+    assert(rc.map(_.getLong(4)).toSeq == Seq(4L, 4L), rc.mkString(";"))
+    assert(rc.forall(!_.getString(5).contains("dup")))
+  }
 }
