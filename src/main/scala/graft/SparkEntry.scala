@@ -4848,6 +4848,50 @@ object Queries {
        |ORDER BY score DESC, p.vec_id LIMIT 10""".stripMargin
   }
 
+  // ---------------------------------------------------------------- s14
+  // Graph ANN (operators/GraphAnn): deterministic NN-descent k-NN graph
+  // + batched beam search. The oracle replays the WHOLE construction
+  // AND traversal as CTE stages (hash bucket seeding → 2 NN-descent
+  // rounds → 3 beam hops), so the REAL approximate path is hash-green —
+  // the s11 nProbe=nCells precedent taken one step further. Params are
+  // production-shaped (beam 12 ≪ n), not degenerate-exact.
+  /** The s14 graph index, staged per corpus stamp (the s04
+    * _SUCCESS-guard pattern) and its kernel payload memoized per
+    * session (the bpeWordFreq rule — searches never re-pay the
+    * collect). Kernel ≡ stage form bit-for-bit, GraphAnnSpec-pinned. */
+  private val graphKernelMemo =
+    new SessionMemo[operators.GraphAnn.KernelIndex](
+      (spark, dir) => {
+        val path =
+          s"/tmp/graft_s14_graph/${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+            s"_${srcStamp(dir, "embeddings.parquet")}"
+        if (!new java.io.File(s"$path/edges/_SUCCESS").exists())
+          operators.GraphAnn.buildGraphIndex(t(spark, dir, "embeddings"),
+            "vec_id", "embedding", k = 6, nBuckets = 24, iters = 2,
+            path = path)
+        operators.GraphAnn.kernelIndex(
+          spark.read.parquet(s"$path/edges").distinct(),
+          spark.read.parquet(s"$path/nodes"), "id", "v")
+      }, _ => ())
+
+  def s14_graph_ann(spark: SparkSession, dir: String): DataFrame =
+    operators.GraphAnn.searchKernel(spark,
+      graphKernelMemo(spark, dir, srcStamp(dir, "embeddings.parquet")),
+      queryIds = (0L until 10L).toSeq, k = 5, beamWidth = 12, hops = 3,
+      nSeeds = 8)
+      .select($"qid", $"rk", $"id".as("vec_id"), $"score")
+      .orderBy($"qid", $"rk")
+
+  private val s14_sql =
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |${operators.GraphAnn.knnGraphSql(k = 6, nBuckets = 24, iters = 2)},
+       |${operators.GraphAnn.searchSql(iters = 2, k = 5, beamWidth = 12,
+            hops = 3, nSeeds = 8, queryPred = "id < 10")}"""
+      .stripMargin.replace("SELECT qid, rk, id, score FROM (",
+        "SELECT qid, rk, id AS vec_id, score FROM (")
+
   // ---------------------------------------------------------------- s04
   // Persisted IVF index lifecycle: build once (centroids + cell-partitioned
   // inverted lists on disk), then a partition-pruned probe — the scan
@@ -5805,6 +5849,7 @@ object Queries {
     "s11_ivf_knn_join" -> (s11_ivf_knn_join _),
     "s12_mmr_rerank" -> (s12_mmr_rerank _),
     "s13_jl_search" -> (s13_jl_search _),
+    "s14_graph_ann" -> (s14_graph_ann _),
     "q64_hll" -> (q64_hll _),
     "t53_stream_hll" -> (t53_stream_hll _),
     "t54_hll_windows" -> (t54_hll_windows _),
@@ -5997,6 +6042,7 @@ object Queries {
     "s11_ivf_knn_join" -> s11_sql,
     "s12_mmr_rerank" -> s12_sql,
     "s13_jl_search" -> s13_sql,
+    "s14_graph_ann" -> s14_sql,
     "q64_hll" -> q64_sql,
     "t53_stream_hll" -> t53_sql,
     "t54_hll_windows" -> t54_sql,

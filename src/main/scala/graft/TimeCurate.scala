@@ -197,6 +197,35 @@ object TimeCurate {
       if (rep == 1) println(s"  sums: ${r.head}")
     }
 
+    // s14: NN-descent graph build (one-time index cost) + beam search
+    // (the recurring per-batch cost) vs the s11 IVF k-NN join
+    val gdir = s"$base/graph"
+    time("s14 knnGraph build+persist") {
+      operators.GraphAnn.buildGraphIndex(emb, "vec_id", "embedding",
+        k = 8, nBuckets = (emb.count() / 16).toInt.max(8), iters = 2,
+        path = gdir)
+    }
+    for (rep <- 1 to 2) time(s"s14 exact knnJoin 20q rep$rep") {
+      operators.Similarity.knnJoin(emb, "vec_id", "embedding",
+        (0L until 20L).toSeq, 10).agg(count(lit(1))).collect()
+    }
+    val gEdges = spark.read.parquet(s"$gdir/edges").distinct()
+    val gNodes = spark.read.parquet(s"$gdir/nodes")
+    val ki = time("s14 kernelIndex load (once)") {
+      operators.GraphAnn.kernelIndex(gEdges, gNodes, "id", "v")
+    }
+    for (rep <- 1 to 3) time(s"s14 beam kernel 20q rep$rep") {
+      val r = operators.GraphAnn.searchKernel(spark, ki,
+        (0L until 20L).toSeq, k = 10, beamWidth = 32, hops = 3, nSeeds = 16)
+        .agg(count(lit(1)), sum($"score")).collect()
+      if (rep == 1) println(s"  rows/sum: ${r.head}")
+    }
+    for (rep <- 1 to 2) time(s"s14 beam stage-form 20q rep$rep") {
+      operators.GraphAnn.searchGraphIndex(spark, gdir,
+        (0L until 20L).toSeq, k = 10, beamWidth = 32, hops = 3, nSeeds = 16)
+        .agg(count(lit(1)), sum($"score")).collect()
+    }
+
     for (rep <- 1 to 3) time(s"s12 mmrRerank rep$rep") {
       val r = operators.Similarity.mmrRerank(emb, "vec_id", "embedding",
         queryId = 0L, shortlist = 32, k = 8, lamNum = 7, lamDen = 10)

@@ -1,0 +1,496 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.StringToColumn
+
+/** Graph-based ANN: a deterministic NN-descent k-NN graph (Dong et al.
+  * 2011, "Efficient k-nearest neighbor graph construction for generic
+  * similarity measures") + batched beam search over it — the production
+  * index family (HNSW/NSG-style navigable graphs) next to IVF / PQ /
+  * SQ8 / JL. Everything is DETERMINISTIC — no random sampling, no
+  * insertion-order dependence — so the whole construction AND the
+  * beam traversal replay exactly in DuckDB (`knnGraphSql`/`searchSql`
+  * generate the CTE chain; s14 is hash-oracled on the REAL approximate
+  * path, the s11 precedent taken one step further).
+  *
+  * Construction (`knnGraph`): seed candidates from deterministic hash
+  * buckets (`(id·1000003) mod nBuckets` — all ordered pairs within a
+  * bucket), then `iters` NN-descent rounds: candidates = current edges
+  * ∪ reversed edges ∪ neighbors-of-neighbors, rescored from scratch
+  * (sims ROUNDED to 6 dp so both engines order identically), per-node
+  * top-k by (sim DESC, nbr ASC). No global ordering anywhere — the
+  * per-round shuffles are (id, nbr) pair exchanges, O(n·k²) candidates
+  * a round, and the scoring joins key on id. At 100 TB this is the
+  * standard distributed NN-descent cost model; bucket seeding keeps
+  * bucket populations ~n/nBuckets (size nBuckets accordingly).
+  *
+  * Search (`searchGraph`): batch beam search — seeds are the lowest
+  * `nSeeds` node ids (bounded driver pull), each hop expands the beam
+  * along stored edges, rescores candidates against the broadcast query
+  * vectors, and keeps the top `beamWidth` per query
+  * (map-side WindowGroupLimit — the s06/s11 shape). `hops` is fixed, so
+  * the traversal is a fixed-depth plan, not a data-dependent loop.
+  *
+  * Exactness pins (GraphAnnSpec): beamWidth ≥ n with nSeeds ≥ n makes
+  * hop 0 score every node — bit-for-bit equal to `Similarity.knnJoin`
+  * (the nProbe=nCells precedent); recall ≥ 0.9 on the planted-cluster
+  * fixture at production-ish beam widths; persisted lifecycle
+  * (build/append/search) with idempotent edge append.
+  */
+object GraphAnn {
+
+  private def vOf(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+
+  private def cos6(a: Column, b: Column): Column =
+    round(Similarity.cosine(a, b), 6)
+
+  /** Score candidate (src, nbr) pairs and keep top-k per src.
+    * Rescoring from scratch each round (instead of threading sims
+    * through the unions) keeps the Spark and SQL chains trivially
+    * identical. */
+  private def topKEdges(cand: DataFrame, v: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy($"src").orderBy($"sim".desc, $"nbr".asc)
+    cand
+      .join(v.select($"id".as("src"), $"v".as("sv")), Seq("src"))
+      .join(v.select($"id".as("nbr"), $"v".as("nv")), Seq("nbr"))
+      .select($"src", $"nbr", cos6($"sv", $"nv").as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= k)
+      .select($"src".as("id"), $"nbr", $"sim")
+  }
+
+  /** Seed-round multipliers (xxHash/Knuth-family odd constants — the
+    * NgramHashes set). One bucketing PARTITIONS the nodes, so in-bucket
+    * seeding + neighbor-of-neighbor expansion provably never leaves a
+    * bucket (x.nbr sits in both edges' buckets ⇒ same bucket): a
+    * single-round seed yields permanently disconnected cliques.
+    * MULTIPLE independent bucketings overlap, so their union is an
+    * expander and NN-descent can propagate globally. */
+  private[operators] val seedKeys: Array[Long] =
+    Array(2654435761L, 2246822519L, 3266489917L, 668265263L)
+
+  private[operators] def bucketCol(round: Int, nBuckets: Int): Column = {
+    // multiply-FOLD mixing (the q64 HLL lesson: a plain linear hash has
+    // no avalanche on dense ids — `(id·K) mod nBuckets` correlated
+    // perfectly with any mod-pattern cluster structure). id < 2^32
+    // keeps the product inside i64; both engines share the arithmetic.
+    val m = ($"id" * seedKeys(round)) % 4294967296L
+    shiftright(m, 7).bitwiseXOR(m) % nBuckets
+  }
+
+  /** Deterministic NN-descent k-NN graph: (id, nbr, sim), ≤ k directed
+    * edges per node. `nRounds` independent seed bucketings (≥ 2 — see
+    * [[seedKeys]]). */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               nBuckets: Int, iters: Int, nRounds: Int = 2): DataFrame = {
+    require(k >= 1 && nBuckets >= 1 && iters >= 0 &&
+      nRounds >= 1 && nRounds <= seedKeys.length,
+      s"bad params k=$k nBuckets=$nBuckets iters=$iters nRounds=$nRounds")
+    val v = vOf(df, idCol, vecCol)
+    val cand0 = (0 until nRounds).map { r =>
+      val b = v.select($"id", bucketCol(r, nBuckets).as("bkt"))
+      b.as("a").join(b.as("b"), Seq("bkt"))
+        .filter(col("a.id") =!= col("b.id"))
+        .select(col("a.id").as("src"), col("b.id").as("nbr"))
+    }.reduce(_ union _).distinct()
+    var edges = topKEdges(cand0, v, k)
+    for (_ <- 1 to iters) {
+      val und = edges.select($"id".as("src"), $"nbr")
+        .union(edges.select($"nbr".as("src"), $"id".as("nbr")))
+      val nn = und.as("x").join(und.as("y"), col("x.nbr") === col("y.src"))
+        .select(col("x.src").as("src"), col("y.nbr").as("nbr"))
+        .filter($"src" =!= $"nbr")
+      edges = topKEdges(und.union(nn).distinct(), v, k)
+        .localCheckpoint() // keep the iterated plan flat
+    }
+    edges
+  }
+
+  /** Batched beam search over a (id, nbr, sim) graph: (qid, rk, id,
+    * score), rk = 1..k per query. Queries must be node ids (the s11
+    * convention); self-matches are excluded throughout. */
+  def searchGraph(edges: DataFrame, df: DataFrame, idCol: String,
+                  vecCol: String,
+                  queryIds: Seq[Long], k: Int, beamWidth: Int, hops: Int,
+                  nSeeds: Int): DataFrame = {
+    require(k >= 1 && k <= beamWidth, s"k $k outside 1..$beamWidth")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // materialize the index once — each hop joins candidates against
+    // nodes and edges, and without this every hop re-runs the source
+    // scan (4 hops cost a full exact-scan each; the ANN win evaporates).
+    // The in-memory-index model is how graph ANN serves everywhere.
+    val v = vOf(df, idCol, vecCol).localCheckpoint()
+    val e = edges.localCheckpoint()
+    val q = v.filter(col("id").isin(queryIds.map(x => x: Any): _*))
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val seeds = v.select(col("id")).orderBy(col("id")).limit(nSeeds)
+    val wB = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
+    // the query NODE stays in the beam during traversal — for
+    // in-corpus queries its own edges are the entry point into its
+    // neighborhood (excluding it mid-traversal strands the search when
+    // no seed shares the query's cluster); self-exclusion applies only
+    // to the FINAL top-k, the knnJoin convention
+    def score(cand: DataFrame): DataFrame = cand
+      .join(v, Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("id"), cos6(col("v"), col("qv")).as("score"))
+    def topBeam(scored: DataFrame): DataFrame = scored
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= beamWidth)
+      .select(col("qid"), col("id"), col("score"))
+    var beam = topBeam(score(
+      q.select(col("qid")).crossJoin(seeds)
+        .union(q.select(col("qid"), col("qid").as("id")))
+        .distinct()))
+    for (_ <- 1 to hops) {
+      val expand = beam.select(col("qid"), col("id").as("eid"))
+        .join(e.select(col("id").as("eid"), col("nbr")), Seq("eid"))
+        .select(col("qid"), col("nbr").as("id"))
+      val cand = beam.select(col("qid"), col("id")).union(expand).distinct()
+      beam = topBeam(score(cand)).localCheckpoint()
+    }
+    beam
+      .filter(col("id") =!= col("qid"))
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("id"), col("score"))
+  }
+
+  /** KERNEL form of [[searchGraph]] — identical results (spec-pinned
+    * bit-for-bit), different execution: when the index fits the
+    * broadcast gate (`n·dim + 2·|edges| ≤ maxKernelElems`), ship the
+    * vectors + adjacency to every executor once and run each query's
+    * whole beam traversal IN-PROCESS (one job, one task per query
+    * batch) instead of `hops` sequential join/window stage rounds. At
+    * local scale the stage form is scheduling-floor-bound (~1.5 s/hop
+    * regardless of data); the kernel serves 20 queries in
+    * milliseconds — the in-RAM model every production graph-ANN server
+    * uses. Over the gate it falls back to the distributed stage form
+    * (the t25 broadcast-gate rule: never broadcast unbounded state). */
+  def searchGraphFast(edges: DataFrame, df: DataFrame, idCol: String,
+                      vecCol: String, queryIds: Seq[Long], k: Int,
+                      beamWidth: Int, hops: Int, nSeeds: Int,
+                      maxKernelElems: Long = 1L << 25): DataFrame = {
+    val spark = df.sparkSession
+    val v = vOf(df, idCol, vecCol)
+    val nRows = v.count()
+    val nEdges = edges.count()
+    val dim = if (nRows == 0) 0
+      else v.select(size(col("v"))).head.getInt(0)
+    if (nRows * dim + 2 * nEdges > maxKernelElems)
+      return searchGraph(edges, df, idCol, vecCol, queryIds, k, beamWidth,
+        hops, nSeeds)
+    searchKernel(spark, kernelIndex(edges, df, idCol, vecCol), queryIds,
+      k, beamWidth, hops, nSeeds)
+  }
+
+  /** The collected in-memory index — build ONCE (one collect of nodes +
+    * edges), serve many [[searchKernel]] query batches. The production
+    * serving split: callers memoize this per corpus stamp (the
+    * bpeWordFreq rule) so repeated searches never re-pay the pull. */
+  final case class KernelIndex(ids: Array[Long],
+                               vecs: Array[Array[Double]],
+                               nbrs: Array[Array[Int]])
+
+  def kernelIndex(edges: DataFrame, df: DataFrame, idCol: String,
+                  vecCol: String): KernelIndex = {
+    val rows = vOf(df, idCol, vecCol).collect()
+    val n = rows.length
+    val ids = new Array[Long](n)
+    val vecs = new Array[Array[Double]](n)
+    val idToIdx = new java.util.HashMap[Long, Integer](n * 2)
+    var i = 0
+    while (i < n) {
+      ids(i) = rows(i).getLong(0)
+      vecs(i) = rows(i).getSeq[Double](1).toArray
+      idToIdx.put(ids(i), i)
+      i += 1
+    }
+    val adj = Array.fill(n)(new scala.collection.mutable.ArrayBuffer[Int]())
+    edges.select(col("id"), col("nbr")).collect().foreach { r =>
+      val a = idToIdx.get(r.getLong(0)); val b = idToIdx.get(r.getLong(1))
+      if (a != null && b != null) adj(a.intValue()) += b.intValue()
+    }
+    KernelIndex(ids, vecs, adj.map(_.toArray))
+  }
+
+  /** Serve one query batch against a prebuilt [[KernelIndex]]:
+    * broadcast once, one task batch, whole traversals in-process. */
+  def searchKernel(spark: SparkSession, ki: KernelIndex,
+                   queryIds: Seq[Long], k: Int, beamWidth: Int,
+                   hops: Int, nSeeds: Int): DataFrame = {
+    import spark.implicits._
+    val seedIdx: Array[Int] =
+      ki.ids.zipWithIndex.sortBy(_._1).take(nSeeds).map(_._2)
+    val bc = spark.sparkContext.broadcast((ki.ids, ki.vecs, ki.nbrs, seedIdx))
+    queryIds.toDS().mapPartitions { it =>
+      val (bIds, bVecs, bNbrs, bSeeds) = bc.value
+      val lookup = new java.util.HashMap[Long, Integer](bIds.length * 2)
+      bIds.indices.foreach(j => lookup.put(bIds(j), j))
+      it.flatMap { qid =>
+        val qi = lookup.get(qid)
+        if (qi == null) Iterator.empty
+        else GraphAnn.beamKernel(bIds, bVecs, bNbrs, bSeeds, qi.intValue(),
+          k, beamWidth, hops).iterator
+      }
+    }.toDF("qid", "rk", "id", "score")
+  }
+
+  /** One query's beam traversal over the broadcast index — the exact
+    * semantics of the stage form: seed set = nSeeds lowest ids + the
+    * query node; per hop candidates = beam ∪ neighbors(beam); score =
+    * round-half-up-6dp cosine; keep top beamWidth by (score DESC, id
+    * ASC); final top-k excludes the query node. */
+  private[operators] def beamKernel(ids: Array[Long],
+      vecs: Array[Array[Double]], nbrs: Array[Array[Int]],
+      seeds: Array[Int], qi: Int, k: Int, beamWidth: Int,
+      hops: Int): Seq[(Long, Int, Long, Double)] = {
+    val qv = vecs(qi)
+    val scoreOf = new java.util.HashMap[Integer, java.lang.Double]()
+    def sc(j: Int): Double = {
+      val cached = scoreOf.get(Integer.valueOf(j))
+      if (cached != null) cached.doubleValue()
+      else {
+        val v = vecs(j)
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var t = 0
+        val d = math.min(qv.length, v.length)
+        while (t < d) {
+          dot += qv(t) * v(t); na += qv(t) * qv(t); nb += v(t) * v(t); t += 1
+        }
+        // Spark's round(col, 6): BigDecimal HALF_UP — must match exactly
+        val s = java.math.BigDecimal.valueOf(
+          dot / (math.sqrt(na) * math.sqrt(nb)))
+          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        scoreOf.put(Integer.valueOf(j), java.lang.Double.valueOf(s))
+        s
+      }
+    }
+    def topB(cand: Iterable[Int], width: Int): Array[Int] =
+      cand.toArray.map(j => (j, sc(j)))
+        .sortBy { case (j, s) => (-s, ids(j)) }
+        .take(width).map(_._1)
+    var beam = topB((seeds :+ qi).distinct.toSeq, beamWidth)
+    var h = 0
+    while (h < hops) {
+      val cand = scala.collection.mutable.LinkedHashSet[Int](beam: _*)
+      beam.foreach(j => nbrs(j).foreach(cand.add))
+      beam = topB(cand, beamWidth)
+      h += 1
+    }
+    beam.filter(_ != qi).map(j => (ids(qi), 0, ids(j), sc(j)))
+      .sortBy { case (_, _, id, s) => (-s, id) }
+      .take(k).zipWithIndex
+      .map { case ((q, _, id, s), r) => (q, r + 1, id, s) }.toSeq
+  }
+
+  // ------------------------------------------------------------ persisted
+
+  /** Build + persist: nodes (id, v), edges (id, nbr, sim), meta (the
+    * construction params — append/search re-check them). */
+  def buildGraphIndex(df: DataFrame, idCol: String, vecCol: String,
+                      k: Int, nBuckets: Int, iters: Int,
+                      path: String, nRounds: Int = 2): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = vOf(df, idCol, vecCol)
+    Seq((k, nBuckets, iters, nRounds))
+      .toDF("k", "n_buckets", "iters", "n_rounds")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    v.write.mode("overwrite").parquet(s"$path/nodes")
+    knnGraph(df, idCol, vecCol, k, nBuckets, iters, nRounds)
+      .write.mode("overwrite").parquet(s"$path/edges")
+  }
+
+  private def metaOf(spark: SparkSession, path: String): (Int, Int, Int) = {
+    require(Similarity.fsDirExists(spark, s"$path/meta"),
+      s"no graph index at $path (missing $path/meta — buildGraphIndex first)")
+    val r = spark.read.parquet(s"$path/meta")
+      .select(col("k"), col("n_buckets"), col("iters")).collect().head
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Append a batch: each new point's k neighbors come from a beam
+    * search over the STORED graph (using its own vector as the query),
+    * and edges are written in BOTH directions so the new points are
+    * immediately reachable. Append is idempotent at read time: search
+    * loads edges DISTINCT (the m05 exactly-once-at-probe rule), so a
+    * replayed append changes nothing. Like IVF append, construction
+    * quality drifts from the batch distribution until the next rebuild;
+    * every appended vector is exactly searchable immediately. */
+  def appendToGraphIndex(df: DataFrame, idCol: String, vecCol: String,
+                         path: String, beamWidth: Int = 32,
+                         hops: Int = 3, nSeeds: Int = 8): Unit = {
+    val spark = df.sparkSession
+    val (k, _, _) = metaOf(spark, path)
+    // dropDuplicates("id"): a replayed append re-writes identical node
+    // rows; edges likewise dedupe at load (the m05 exactly-once rule)
+    val nodes = spark.read.parquet(s"$path/nodes").dropDuplicates("id")
+    val edges = spark.read.parquet(s"$path/edges").distinct()
+    val batch = vOf(df, idCol, vecCol)
+    // bounded batch contract (the ivfKnnJoin query-side rule): new
+    // points broadcast as queries against the stored graph
+    val qs = batch.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val found = searchExternal(edges, nodes, qs.toSeq, k, beamWidth, hops,
+      nSeeds)
+    val newEdges = found.select(col("qid").as("id"), col("id").as("nbr"), col("score").as("sim"))
+      .union(found.select(col("id"), col("qid").as("nbr"), col("score").as("sim")))
+      .distinct()
+    batch.write.mode("append").parquet(s"$path/nodes")
+    newEdges.write.mode("append").parquet(s"$path/edges")
+  }
+
+  /** Beam search for EXTERNAL query vectors (not node ids) — the
+    * append path and ad-hoc retrieval. Same traversal as
+    * [[searchGraph]], without self-exclusion by qid (external ids
+    * never collide with node ids in the probe sense). */
+  def searchExternal(edges: DataFrame, nodes: DataFrame,
+                     queries: Seq[(Long, Seq[Double])], k: Int,
+                     beamWidth: Int, hops: Int, nSeeds: Int): DataFrame = {
+    require(k >= 1 && k <= beamWidth, s"k $k outside 1..$beamWidth")
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    // same one-time index materialization as searchGraph
+    val v = nodes.select(col("id"), col("v")).localCheckpoint()
+    val e = edges.localCheckpoint()
+    val q = queries.toDF("qid", "qv")
+    val seeds = v.select(col("id")).orderBy(col("id")).limit(nSeeds)
+    val wB = Window.partitionBy(col("qid")).orderBy(col("score").desc, col("id").asc)
+    def score(cand: DataFrame): DataFrame = cand
+      .join(v, Seq("id"))
+      .join(broadcast(q), Seq("qid"))
+      .select(col("qid"), col("id"), cos6(col("v"), col("qv")).as("score"))
+    def topBeam(scored: DataFrame): DataFrame = scored
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= beamWidth)
+      .select(col("qid"), col("id"), col("score"))
+    var beam = topBeam(score(q.select(col("qid")).crossJoin(seeds)))
+    for (_ <- 1 to hops) {
+      val expand = beam.select(col("qid"), col("id").as("eid"))
+        .join(e.select(col("id").as("eid"), col("nbr")), Seq("eid"))
+        .select(col("qid"), col("nbr").as("id"))
+      val cand = beam.select(col("qid"), col("id")).union(expand).distinct()
+      beam = topBeam(score(cand)).localCheckpoint()
+    }
+    beam
+      .withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("id"), col("score"))
+  }
+
+  /** Search the persisted index by node id(s). */
+  def searchGraphIndex(spark: SparkSession, path: String,
+                       queryIds: Seq[Long], k: Int, beamWidth: Int,
+                       hops: Int, nSeeds: Int): DataFrame = {
+    metaOf(spark, path) // fail fast on a missing index
+    // dropDuplicates("id"): a replayed append re-writes identical node
+    // rows; edges likewise dedupe at load (the m05 exactly-once rule)
+    val nodes = spark.read.parquet(s"$path/nodes").dropDuplicates("id")
+    val edges = spark.read.parquet(s"$path/edges").distinct()
+    searchGraph(edges, nodes, "id", "v", queryIds, k, beamWidth, hops, nSeeds)
+  }
+
+  // ------------------------------------------------------------ oracle SQL
+
+  private def duckCos6(a: String, b: String): String =
+    s"ROUND(list_cosine_similarity($a, $b), 6)"
+
+  /** DuckDB CTE chain replaying [[knnGraph]] verbatim: expects a prior
+    * CTE `v(id, v)` (DOUBLE[] vectors) and emits CTEs ending in
+    * `edges$iters(id, nbr, sim)`. Every stage is MATERIALIZED (the
+    * s07/t46 re-inline lesson). */
+  def knnGraphSql(k: Int, nBuckets: Int, iters: Int,
+                  nRounds: Int = 2): String = {
+    def topK(candCte: String, out: String) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT src AS id, nbr, sim FROM (
+         |    SELECT c.src, c.nbr,
+         |      ${duckCos6("sv.v", "nv.v")} AS sim,
+         |      ROW_NUMBER() OVER (PARTITION BY c.src
+         |        ORDER BY ${duckCos6("sv.v", "nv.v")} DESC, c.nbr) AS rk
+         |    FROM $candCte c
+         |    JOIN v sv ON sv.id = c.src JOIN v nv ON nv.id = c.nbr)
+         |  WHERE rk <= $k)""".stripMargin
+    val bktCtes = (0 until nRounds).map { r =>
+      val kk = seedKeys(r)
+      s"""bkt$r AS MATERIALIZED (
+         |  SELECT id, xor(((id * $kk) % 4294967296) >> 7,
+         |                 (id * $kk) % 4294967296) % $nBuckets AS b
+         |  FROM v)""".stripMargin
+    }.mkString(",\n")
+    val roundPairs = (0 until nRounds).map { r =>
+      s"""    SELECT a.id AS src, b.id AS nbr
+         |    FROM bkt$r a JOIN bkt$r b USING (b) WHERE a.id <> b.id"""
+        .stripMargin
+    }.mkString("\n    UNION ALL\n")
+    val init =
+      s"""$bktCtes,
+         |cand0 AS MATERIALIZED (
+         |  SELECT DISTINCT src, nbr FROM (
+         |$roundPairs)),
+         |${topK("cand0", "edges0")}""".stripMargin
+    val steps = (1 to iters).map { i =>
+      val prev = s"edges${i - 1}"
+      s"""und$i AS MATERIALIZED (
+         |  SELECT id AS src, nbr FROM $prev
+         |  UNION ALL SELECT nbr AS src, id AS nbr FROM $prev),
+         |cand$i AS MATERIALIZED (
+         |  SELECT DISTINCT src, nbr FROM (
+         |    SELECT src, nbr FROM und$i
+         |    UNION ALL
+         |    SELECT x.src, y.nbr FROM und$i x JOIN und$i y ON x.nbr = y.src
+         |  ) WHERE src <> nbr),
+         |${topK(s"cand$i", s"edges$i")}""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** DuckDB replay of [[searchGraph]] over `edges$iters`: emits the
+    * final SELECT (qid, rk, id, score). `queryPred` filters v to the
+    * query rows (e.g. "id < 10"). */
+  def searchSql(iters: Int, k: Int, beamWidth: Int, hops: Int,
+                nSeeds: Int, queryPred: String): String = {
+    val edges = s"edges$iters"
+    def topBeam(candCte: String, out: String) =
+      s"""$out AS MATERIALIZED (
+         |  SELECT qid, id, score FROM (
+         |    SELECT c.qid, c.id,
+         |      ${duckCos6("nv.v", "q.qv")} AS score,
+         |      ROW_NUMBER() OVER (PARTITION BY c.qid
+         |        ORDER BY ${duckCos6("nv.v", "q.qv")} DESC, c.id) AS rk
+         |    FROM $candCte c
+         |    JOIN v nv ON nv.id = c.id JOIN qs q ON q.qid = c.qid)
+         |  WHERE rk <= $beamWidth)""".stripMargin
+    val init =
+      s"""qs AS MATERIALIZED (
+         |  SELECT id AS qid, v AS qv FROM v WHERE $queryPred),
+         |seeds AS MATERIALIZED (
+         |  SELECT id FROM v ORDER BY id LIMIT $nSeeds),
+         |scand0 AS MATERIALIZED (
+         |  SELECT DISTINCT qid, id FROM (
+         |    SELECT q.qid, s.id FROM qs q CROSS JOIN seeds s
+         |    UNION ALL SELECT qid, qid AS id FROM qs)),
+         |${topBeam("scand0", "beam0")}""".stripMargin
+    val hopCtes = (1 to hops).map { h =>
+      val prev = s"beam${h - 1}"
+      s"""scand$h AS MATERIALIZED (
+         |  SELECT DISTINCT qid, id FROM (
+         |    SELECT qid, id FROM $prev
+         |    UNION ALL
+         |    SELECT b.qid, e.nbr AS id FROM $prev b
+         |    JOIN $edges e ON e.id = b.id)),
+         |${topBeam(s"scand$h", s"beam$h")}""".stripMargin
+    }
+    val fin =
+      s"""SELECT qid, rk, id, score FROM (
+         |  SELECT qid, id, score,
+         |    ROW_NUMBER() OVER (PARTITION BY qid
+         |      ORDER BY score DESC, id) AS rk
+         |  FROM beam$hops WHERE id <> qid)
+         |WHERE rk <= $k ORDER BY qid, rk""".stripMargin
+    (init +: hopCtes).mkString(",\n") + "\n" + fin
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{GraphAnn, Similarity}
+
+/** s14 graph ANN: exactness pins (full-beam ≡ brute force — the s11
+  * nProbe=nCells precedent), recall on the planted-cluster fixture,
+  * layout invariance of the deterministic construction, and the
+  * persisted build/append/search lifecycle. */
+class GraphAnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 8 well-separated clusters of 32 vectors each (the JL fixture shape,
+  // but with a WIDER in-cluster spread: cos ≈ 0.998-0.9999 in-cluster vs
+  // exactly 0 cross-cluster — the 0.02-scale original collapsed every
+  // in-cluster sim to 1.000000 at the 6-dp rounding, making top-k pure
+  // id tie-breaks)
+  private def cvec(c: Int, i: Long): Seq[Double] = {
+    val v = Array.fill(64)(0.0)
+    (8 * c until 8 * c + 8).foreach(d => v(d) = 1.0)
+    v((8 * c + (i % 8)).toInt) += 0.2 * (((i * 7) % 13) - 6) / 13.0
+    v.toSeq
+  }
+  private lazy val clustered = (0L until 256L).map(i =>
+    (i, cvec((i % 8).toInt, i))).toDF("vec_id", "embedding")
+
+  test("full beam (nSeeds = beamWidth = n) == exact knnJoin bit-for-bit") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val n = emb.count().toInt
+    val qids = (0L until 5L).toSeq
+    val edges = GraphAnn.knnGraph(emb, "vec_id", "embedding",
+      k = 4, nBuckets = 8, iters = 1)
+    val got = GraphAnn.searchGraph(edges, emb, "vec_id", "embedding",
+      qids, k = 5, beamWidth = n, hops = 1, nSeeds = n)
+      .orderBy($"qid", $"rk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val exact = Similarity.knnJoin(emb, "vec_id", "embedding", qids, 5)
+      .orderBy($"qid", $"rk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == exact.toSeq)
+  }
+
+  test("recall@10 >= 0.9 on the planted-cluster fixture at a " +
+      "production-shaped beam (12 << n), and the graph respects the " +
+      "degree bound") {
+    val edges = GraphAnn.knnGraph(clustered, "vec_id", "embedding",
+      k = 8, nBuckets = 16, iters = 2)
+    val deg = edges.groupBy($"id").count().agg(max($"count")).head.getLong(0)
+    assert(deg <= 8, s"degree $deg exceeds k")
+    val qids = (0L until 8L).toSeq // one query per cluster
+    val got = GraphAnn.searchGraph(edges, clustered, "vec_id", "embedding",
+      qids, k = 10, beamWidth = 12, hops = 3, nSeeds = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val recalls = qids.map { q =>
+      val exact = Similarity.bruteForceTopK(clustered, "vec_id", "embedding",
+        q, 10).collect().map(_.getLong(0)).toSet
+      got(q).intersect(exact).size.toDouble / exact.size
+    }
+    val avg = recalls.sum / recalls.size
+    assert(avg >= 0.9, s"avg recall $avg (per-query: $recalls)")
+  }
+
+  test("searchGraphFast kernel == stage-form searchGraph bit-for-bit " +
+      "(clustered fixture AND the real embeddings table), and falls " +
+      "back over the broadcast gate with identical results") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    for ((df, qn) <- Seq((clustered, 6), (emb, 4))) {
+      val edges = GraphAnn.knnGraph(df, "vec_id", "embedding",
+        k = 6, nBuckets = 16, iters = 2)
+      val qids = (0L until qn.toLong).toSeq
+      def run(fast: Boolean, gate: Long) =
+        (if (fast) GraphAnn.searchGraphFast(edges, df, "vec_id", "embedding",
+            qids, 5, 12, 3, 8, maxKernelElems = gate)
+         else GraphAnn.searchGraph(edges, df, "vec_id", "embedding",
+            qids, 5, 12, 3, 8))
+          .orderBy($"qid", $"rk").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+          .toSeq
+      val stage = run(fast = false, 0)
+      assert(run(fast = true, 1L << 25) == stage, "kernel != stage form")
+      // a gate of 1 forces the distributed fallback
+      assert(run(fast = true, 1) == stage, "fallback != stage form")
+    }
+  }
+
+  test("construction is layout-invariant: knnGraph on a repartitioned " +
+      "input yields the identical edge set") {
+    val e1 = GraphAnn.knnGraph(clustered, "vec_id", "embedding",
+      k = 6, nBuckets = 16, iters = 1)
+      .orderBy($"id", $"nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val e2 = GraphAnn.knnGraph(clustered.repartition(7), "vec_id",
+      "embedding", k = 6, nBuckets = 16, iters = 1)
+      .orderBy($"id", $"nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(e1 == e2)
+  }
+
+  test("persisted lifecycle: search == in-memory; appended points are " +
+      "immediately searchable and find their planted twin; a replayed " +
+      "append changes nothing; missing index fails fast") {
+    val base = s"/tmp/graft_graphann_spec/${System.nanoTime()}"
+    GraphAnn.buildGraphIndex(clustered, "vec_id", "embedding",
+      k = 8, nBuckets = 16, iters = 2, path = s"$base/idx")
+    val qids = (0L until 4L).toSeq
+    def stored() = GraphAnn.searchGraphIndex(spark, s"$base/idx", qids,
+      k = 5, beamWidth = 12, hops = 3, nSeeds = 8)
+      .orderBy($"qid", $"rk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+    val mem = {
+      val edges = GraphAnn.knnGraph(clustered, "vec_id", "embedding",
+        k = 8, nBuckets = 16, iters = 2)
+      GraphAnn.searchGraph(edges, clustered, "vec_id", "embedding", qids,
+        k = 5, beamWidth = 12, hops = 3, nSeeds = 8)
+        .orderBy($"qid", $"rk").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    }
+    assert(stored() == mem)
+    // planted twins near cluster 3: a shared +0.4 offset keeps the pair
+    // distinctly closer to each other (cos ≈ 1.0) than to any cluster-3
+    // member (cos ≈ 0.992) at 6-dp rounding
+    val batch = Seq(1000L, 1001L).map { id =>
+      val v = Array.fill(64)(0.0)
+      (24 until 32).foreach(d => v(d) = 1.0)
+      v(24) += 0.4
+      v(24 + (id % 8).toInt) += 0.001
+      (id, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    GraphAnn.appendToGraphIndex(batch, "vec_id", "embedding", s"$base/idx")
+    val after = GraphAnn.searchGraphIndex(spark, s"$base/idx", Seq(1000L),
+      k = 5, beamWidth = 12, hops = 3, nSeeds = 8).collect()
+      .map(r => r.getLong(2)).toSet
+    assert(after.contains(1001L),
+      s"planted twin not found from appended node: $after")
+    // the twin pair sits in cluster 3 — its neighbors should too
+    assert(after.forall(id => id == 1001L || id % 8 == 3), after.toString)
+    // replayed append: search results unchanged (distinct-at-load)
+    val before = stored()
+    GraphAnn.appendToGraphIndex(batch, "vec_id", "embedding", s"$base/idx")
+    assert(stored() == before)
+    val err = intercept[IllegalArgumentException] {
+      GraphAnn.searchGraphIndex(spark, s"$base/nowhere", Seq(0L), 5, 12, 3, 8)
+    }
+    assert(err.getMessage.contains("buildGraphIndex"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+}
