@@ -1969,27 +1969,35 @@ object Queries {
       .orderBy($"doc_id")
   }
 
+  /** s64(q) — the 1/64-bit integer surprisal in DuckDB (shared by the
+    * KN-family oracles). */
+  private def duckS64(q: String): String =
+    s"(64 * (length(bin($q)) - 1) " +
+      s"+ ((($q) << 6) >> (length(bin($q)) - 1)) - 64)"
+
+  /** Train-side trigram CTEs (tri, pre12) over the lmChainSql base —
+    * shared by t40 (KN3) and t58 (KN4). */
+  private val kn3TrainCtes =
+    """,t3p AS (SELECT ws,
+      |    unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+      |  FROM tws),
+      |t3m AS (SELECT
+      |    CASE WHEN v1.tok IS NULL THEN chr(1) ELSE ws[i] END AS m1,
+      |    CASE WHEN v2.tok IS NULL THEN chr(1) ELSE ws[i+1] END AS m2,
+      |    CASE WHEN v3.tok IS NULL THEN chr(1) ELSE ws[i+2] END AS m3
+      |  FROM t3p LEFT JOIN vocab v1 ON ws[i] = v1.tok
+      |           LEFT JOIN vocab v2 ON ws[i+1] = v2.tok
+      |           LEFT JOIN vocab v3 ON ws[i+2] = v3.tok),
+      |tri AS (SELECT m1, m2, m3, COUNT(*) AS c123 FROM t3m
+      |        GROUP BY m1, m2, m3),
+      |pre12 AS (SELECT m1, m2, CAST(SUM(c123) AS BIGINT) AS c12,
+      |          CAST(COUNT(*) AS BIGINT) AS n12 FROM tri
+      |          GROUP BY m1, m2)""".stripMargin
+
   private val t40_sql = {
-    def s64(q: String): String =
-      s"(64 * (length(bin($q)) - 1) " +
-        s"+ ((($q) << 6) >> (length(bin($q)) - 1)) - 64)"
-    lmChainSql +
-      s""",t3p AS (SELECT ws,
-         |    unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
-         |  FROM tws),
-         |t3m AS (SELECT
-         |    CASE WHEN v1.tok IS NULL THEN chr(1) ELSE ws[i] END AS m1,
-         |    CASE WHEN v2.tok IS NULL THEN chr(1) ELSE ws[i+1] END AS m2,
-         |    CASE WHEN v3.tok IS NULL THEN chr(1) ELSE ws[i+2] END AS m3
-         |  FROM t3p LEFT JOIN vocab v1 ON ws[i] = v1.tok
-         |           LEFT JOIN vocab v2 ON ws[i+1] = v2.tok
-         |           LEFT JOIN vocab v3 ON ws[i+2] = v3.tok),
-         |tri AS (SELECT m1, m2, m3, COUNT(*) AS c123 FROM t3m
-         |        GROUP BY m1, m2, m3),
-         |pre12 AS (SELECT m1, m2, CAST(SUM(c123) AS BIGINT) AS c12,
-         |          CAST(COUNT(*) AS BIGINT) AS n12 FROM tri
-         |          GROUP BY m1, m2),
-         |s3p AS (SELECT doc_id, ws,
+    def s64(q: String): String = duckS64(q)
+    lmChainSql + kn3TrainCtes +
+      s""",s3p AS (SELECT doc_id, ws,
          |    unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
          |  FROM sdocs),
          |s3m AS (SELECT doc_id,
@@ -2033,6 +2041,111 @@ object Queries {
          |  CAST(CASE WHEN a.n_tri > 0 AND a.s64 * 5 <= 24 * 64 * a.n_tri
          |       THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM sdocs d LEFT JOIN agg3 a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t58
+  // Interpolated 4-GRAM Kneser-Ney (KenLM-order parity is 5; this
+  // proves the order-n template — each added order is the SAME integer
+  // recursion step): d = ½ at the 4-gram level interpolating into the
+  // full trigram-KN distribution, every probability a ratio of
+  // integers, surprisal term-by-term through the 1/64-bit chain
+  // (NgramLm.scoreKn4 scaladoc; NgramLmSpec proves order-4 properness
+  // in exact arithmetic). Derives from the memoized t40 KN3 model +
+  // ONE more corpus pass for the 4-gram counts. Same keep gate.
+  private val kn4ModelMemo =
+    new SessionMemo[operators.NgramLm.KnQuadLm](
+      (spark, dir) => operators.NgramLm.fitKn4(
+        t(spark, dir, "documents").filter($"lang" === "en"), "text",
+        lmModel(spark, dir), cacheModel = true),
+      _.unpersist())
+
+  def t58_kn4_quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    operators.NgramLm.scoreKn4(docs, "doc_id", "text",
+      kn4ModelMemo(spark, dir, srcStamp(dir, "documents.parquet")),
+      24L, 5L)
+      .orderBy($"doc_id")
+  }
+
+  private val t58_sql = {
+    def s64(q: String): String = duckS64(q)
+    lmChainSql + kn3TrainCtes +
+      s""",t4p AS (SELECT ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS i
+         |  FROM tws),
+         |t4m AS (SELECT
+         |    CASE WHEN v1.tok IS NULL THEN chr(1) ELSE ws[i] END AS m1,
+         |    CASE WHEN v2.tok IS NULL THEN chr(1) ELSE ws[i+1] END AS m2,
+         |    CASE WHEN v3.tok IS NULL THEN chr(1) ELSE ws[i+2] END AS m3,
+         |    CASE WHEN v4.tok IS NULL THEN chr(1) ELSE ws[i+3] END AS m4
+         |  FROM t4p LEFT JOIN vocab v1 ON ws[i] = v1.tok
+         |           LEFT JOIN vocab v2 ON ws[i+1] = v2.tok
+         |           LEFT JOIN vocab v3 ON ws[i+2] = v3.tok
+         |           LEFT JOIN vocab v4 ON ws[i+3] = v4.tok),
+         |qua AS (SELECT m1, m2, m3, m4, COUNT(*) AS c1234 FROM t4m
+         |        GROUP BY m1, m2, m3, m4),
+         |pre123 AS (SELECT m1, m2, m3, CAST(SUM(c1234) AS BIGINT) AS c123p,
+         |           CAST(COUNT(*) AS BIGINT) AS n123 FROM qua
+         |           GROUP BY m1, m2, m3),
+         |s4p AS (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS i
+         |  FROM sdocs),
+         |s4m AS (SELECT doc_id,
+         |    CASE WHEN v1.tok IS NULL THEN chr(1) ELSE ws[i] END AS m1,
+         |    CASE WHEN v2.tok IS NULL THEN chr(1) ELSE ws[i+1] END AS m2,
+         |    CASE WHEN v3.tok IS NULL THEN chr(1) ELSE ws[i+2] END AS m3,
+         |    CASE WHEN v4.tok IS NULL THEN chr(1) ELSE ws[i+3] END AS m4
+         |  FROM s4p LEFT JOIN vocab v1 ON ws[i] = v1.tok
+         |           LEFT JOIN vocab v2 ON ws[i+1] = v2.tok
+         |           LEFT JOIN vocab v3 ON ws[i+2] = v3.tok
+         |           LEFT JOIN vocab v4 ON ws[i+3] = v4.tok),
+         |j4 AS (SELECT s.doc_id, qua.c1234, pre123.c123p, pre123.n123,
+         |    tri.c123, pre12.c12, pre12.n12,
+         |    bi.cbi, pre.cpre, pre.n1, cont.bplus, ct.c + vs.vp AS cv
+         |  FROM s4m s
+         |    LEFT JOIN qua ON s.m1 = qua.m1 AND s.m2 = qua.m2
+         |                 AND s.m3 = qua.m3 AND s.m4 = qua.m4
+         |    LEFT JOIN pre123 ON s.m1 = pre123.m1 AND s.m2 = pre123.m2
+         |                    AND s.m3 = pre123.m3
+         |    LEFT JOIN tri ON s.m2 = tri.m1 AND s.m3 = tri.m2
+         |                 AND s.m4 = tri.m3
+         |    LEFT JOIN pre12 ON s.m2 = pre12.m1 AND s.m3 = pre12.m2
+         |    LEFT JOIN bi ON s.m3 = bi.m1 AND s.m4 = bi.m2
+         |    LEFT JOIN pre ON s.m3 = pre.m1
+         |    LEFT JOIN cont ON s.m4 = cont.m2
+         |    CROSS JOIN ct CROSS JOIN vs),
+         |k4 AS (SELECT doc_id,
+         |    CASE WHEN cpre IS NULL THEN cv ELSE 2 * cpre * cv END AS q2,
+         |    CASE WHEN cpre IS NULL THEN COALESCE(bplus, 0) + 1
+         |         ELSE greatest(2 * COALESCE(cbi, 0) - 1, 0) * cv
+         |              + n1 * (COALESCE(bplus, 0) + 1) END AS p2,
+         |    c123, c12, n12, c1234, c123p, n123
+         |  FROM j4),
+         |k4b AS (SELECT doc_id,
+         |    CASE WHEN c12 IS NULL THEN q2 ELSE 2 * c12 * q2 END AS q3,
+         |    CASE WHEN c12 IS NULL THEN p2
+         |         ELSE greatest(2 * COALESCE(c123, 0) - 1, 0) * q2
+         |              + n12 * p2 END AS p3,
+         |    c1234, c123p, n123
+         |  FROM k4),
+         |sk4 AS (SELECT doc_id,
+         |    CASE WHEN c123p IS NULL THEN ${s64("q3")} - ${s64("p3")}
+         |         ELSE ${s64("2 * c123p")} + ${s64("q3")}
+         |           - ${s64(
+              "greatest(2 * COALESCE(c1234, 0) - 1, 0) * q3 + n123 * p3")}
+         |    END AS s1
+         |  FROM k4b),
+         |agg4 AS (SELECT doc_id, COUNT(*) AS n_quad,
+         |    CAST(SUM(s1) AS BIGINT) AS s64 FROM sk4 GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tok,
+         |  CAST(COALESCE(a.n_quad, 0) AS BIGINT) AS n_quad,
+         |  COALESCE(a.s64, 0) AS s64,
+         |  CASE WHEN a.n_quad > 0
+         |       THEN CAST(a.s64 AS DOUBLE) / (64 * a.n_quad) END AS bpt,
+         |  CAST(CASE WHEN a.n_quad > 0 AND a.s64 * 5 <= 24 * 64 * a.n_quad
+         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM sdocs d LEFT JOIN agg4 a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
   }
 
@@ -5856,6 +5969,7 @@ object Queries {
     "t55_split_leakage" -> (t55_split_leakage _),
     "t56_html_extract" -> (t56_html_extract _),
     "t57_span_removal_full" -> (t57_span_removal_full _),
+    "t58_kn4_quality" -> (t58_kn4_quality _),
     "q65_quantile_census" -> (q65_quantile_census _),
     "q66_json_extract" -> (q66_json_extract _),
     "q67_retention" -> (q67_retention _),
@@ -6049,6 +6163,7 @@ object Queries {
     "t55_split_leakage" -> t55_sql,
     "t56_html_extract" -> t56_sql,
     "t57_span_removal_full" -> t57_sql,
+    "t58_kn4_quality" -> t58_sql,
     "q65_quantile_census" -> q65_sql,
     "q66_json_extract" -> q66_sql,
     "q67_retention" -> q67_sql,

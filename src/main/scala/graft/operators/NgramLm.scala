@@ -372,6 +372,152 @@ object NgramLm {
           1L).otherwise(0L).as("keep"))
   }
 
+  /** Adjacent-token QUADRUPLE array — [[tripleArr]] one order up. */
+  private def quadArr(textCol: Column): Column = {
+    val ws = split(textCol, " ")
+    val m = greatest(size(ws) - 3, lit(0))
+    arrays_zip(slice(ws, lit(1), m).as("w1"), slice(ws, lit(2), m).as("w2"),
+      slice(ws, lit(3), m).as("w3"), slice(ws, lit(4), m).as("w4"))
+  }
+
+  /** Vocab-map four token sides (OOV → [[Unk]]) — [[mapToks3]] at
+    * order 4. */
+  private def mapToks4(quads: DataFrame, vocab: DataFrame,
+                       hinted: Boolean): DataFrame = {
+    def side(n: Int) = {
+      val v = vocab.select($"tok".as(s"v${n}t"))
+      if (hinted) broadcast(v) else v
+    }
+    (1 to 4).foldLeft(quads) { (df, n) =>
+      df.join(side(n), quads(s"w$n") === col(s"v${n}t"), "left")
+    }
+      .withColumn("m1", when($"v1t".isNotNull, $"w1")
+        .when($"w1".isNotNull, lit(Unk)))
+      .withColumn("m2", when($"v2t".isNotNull, $"w2")
+        .when($"w2".isNotNull, lit(Unk)))
+      .withColumn("m3", when($"v3t".isNotNull, $"w3")
+        .when($"w3".isNotNull, lit(Unk)))
+      .withColumn("m4", when($"v4t".isNotNull, $"w4")
+        .when($"w4".isNotNull, lit(Unk)))
+      .drop("v1t", "v2t", "v3t", "v4t")
+  }
+
+  /** An interpolated Kneser-Ney 4-GRAM LM — [[KnTrigramLm]]'s recursion
+    * one order up (production CCNet runs 5-gram KenLM; each added order
+    * is the SAME integer step, so this is the order-n template):
+    *
+    *   p₄(w₄|w₁w₂w₃) = [(2c₁₂₃₄−1)⁺·Q₃ + N₁₂₃·P₃] / [2c₁₂₃·Q₃]
+    *
+    * with P₃/Q₃ the trigram-KN integer ratio over context (w₂,w₃)
+    * (seen: P₃ = (2c₂₃₄−1)⁺·Q₂ + N₂₃·P₂, Q₃ = 2c₂₃·Q₂; unseen trigram
+    * context backs off to P₂/Q₂ wholesale — the [[scoreKn3]] rule one
+    * level down), and an unseen 4-gram context (w₁w₂w₃) backs off to
+    * P₃/Q₃ wholesale. EXACTLY proper at order 4:
+    * Σ_w₄ (2c₁₂₃₄−1)⁺ = 2c₁₂₃ − N₁₂₃ and Σ_w₄ P₃ = Q₃ (order-3
+    * properness), so numerators sum to 2c₁₂₃·Q₃ (NgramLmSpec proves it
+    * in exact integers). Surprisal stays term-by-term:
+    * s = s64(2c₁₂₃) + s64(Q₃) − s64(D₄),
+    * D₄ = (2c₁₂₃₄−1)⁺·Q₃ + N₁₂₃·P₃ — operands guarded under the 2^57
+    * shift bound at fit (BigInt, cannot itself overflow). */
+  case class KnQuadLm(kn3: KnTrigramLm, quads: DataFrame,
+                      prefix123: DataFrame) {
+    def unpersist(): Unit = { quads.unpersist(); kn3.unpersist() }
+  }
+
+  /** Fit the 4-gram-KN model: derive the trigram-KN base from `lm`,
+    * then ONE more corpus pass for the vocab-mapped 4-gram counts. */
+  def fitKn4(train: DataFrame, textCol: String, lm: BigramLm,
+             cacheModel: Boolean = false): KnQuadLm = {
+    val kn3 = fitKn3(train, textCol, lm, cacheModel)
+    val qs = train.select(explode(quadArr(col(textCol))).as("qd"))
+      .select($"qd.w1".as("w1"), $"qd.w2".as("w2"), $"qd.w3".as("w3"),
+        $"qd.w4".as("w4"))
+    val quads0 = mapToks4(qs, lm.vocab, lm.hinted)
+      .groupBy($"m1", $"m2", $"m3", $"m4").agg(count(lit(1)).as("c1234"))
+    val quads = if (cacheModel) quads0.persist() else quads0
+    val prefix123 = quads.groupBy($"m1", $"m2", $"m3")
+      .agg(sum($"c1234").as("c123p"), count(lit(1)).as("n123"))
+    val c2max = kn3.kn.bigrams
+      .agg(coalesce(max($"cbi"), lit(0L))).collect().head.getLong(0)
+    val c3max = kn3.trigrams
+      .agg(coalesce(max($"c123"), lit(0L))).collect().head.getLong(0)
+    val c4max = quads
+      .agg(coalesce(max($"c1234"), lit(0L))).collect().head.getLong(0)
+    // D₄ ≤ (2c₄max + V')·Q₃max, Q₃max = 2c₃max·Q₂max ≤ 4·c₃max·c₂max·cv
+    val cv = BigInt(kn3.kn.cTypes + kn3.kn.vPrime)
+    val vP = BigInt(kn3.kn.vPrime)
+    val bound = (2 * BigInt(c4max) + vP) *
+      (4 * BigInt(c3max).max(1) * BigInt(c2max).max(1) * cv)
+    require(bound <= (BigInt(1) << 57),
+      s"4-gram-KN counts overflow the integer surprisal chain " +
+        s"(worst-case D4 bound $bound exceeds 2^57) — shard the model " +
+        s"(fit per corpus shard and combine scores)")
+    KnQuadLm(kn3, quads, prefix123)
+  }
+
+  /** Score `corpus` under the 4-gram-KN model: per document
+    * (idCol, n_tok, n_quad, s64, bpt, keep); n_quad = max(n_tok−3, 0). */
+  def scoreKn4(corpus: DataFrame, idCol: String, textCol: String,
+               m: KnQuadLm, keepNum: Long, keepDen: Long): DataFrame = {
+    require(keepDen > 0, "keepDen must be positive")
+    val quads = corpus
+      .select(col(idCol), col(textCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .select(col(idCol), $"n_tok",
+        explode_outer(quadArr(col(textCol))).as("qd"))
+      .select(col(idCol), $"n_tok", $"qd.w1".as("w1"), $"qd.w2".as("w2"),
+        $"qd.w3".as("w3"), $"qd.w4".as("w4"))
+    def model(df: DataFrame) = if (m.kn3.kn.hinted) broadcast(df) else df
+    // levels alias to fresh names so m1..m4 stay unambiguous:
+    // trigram backoff keys (w2,w3,w4); bigram backoff (w3,w4)
+    val tri3 = m.kn3.trigrams.select($"m1".as("t1"), $"m2".as("t2"),
+      $"m3".as("t3"), $"c123")
+    val pre23 = m.kn3.prefix12.select($"m1".as("r1"), $"m2".as("r2"),
+      $"c12", $"n12")
+    val bi2 = m.kn3.kn.bigrams.select($"m1".as("b1"), $"m2".as("b2"), $"cbi")
+    val pre2 = m.kn3.kn.prefix2.select($"m1".as("p1"), $"cpre", $"n1")
+    val cont2 = m.kn3.kn.cont.select($"m2".as("c2"), $"bplus")
+    val joined = mapToks4(quads, m.kn3.kn.vocab, m.kn3.kn.hinted)
+      .join(model(m.quads), Seq("m1", "m2", "m3", "m4"), "left")
+      .join(model(m.prefix123), Seq("m1", "m2", "m3"), "left")
+      .join(model(tri3), $"m2" === $"t1" && $"m3" === $"t2" &&
+        $"m4" === $"t3", "left")
+      .join(model(pre23), $"m2" === $"r1" && $"m3" === $"r2", "left")
+      .join(model(bi2), $"m3" === $"b1" && $"m4" === $"b2", "left")
+      .join(model(pre2), $"m3" === $"p1", "left")
+      .join(model(cont2), $"m4" === $"c2", "left")
+    val cv = lit(m.kn3.kn.cTypes + m.kn3.kn.vPrime)
+    val bp1 = coalesce($"bplus", lit(0L)) + lit(1L)
+    val q2 = when($"cpre".isNull, cv).otherwise(lit(2L) * $"cpre" * cv)
+    val p2 = when($"cpre".isNull, bp1)
+      .otherwise(
+        greatest(lit(2L) * coalesce($"cbi", lit(0L)) - 1L, lit(0L)) * cv +
+          $"n1" * bp1)
+    val q3 = when($"c12".isNull, q2).otherwise(lit(2L) * $"c12" * q2)
+    val p3 = when($"c12".isNull, p2)
+      .otherwise(
+        greatest(lit(2L) * coalesce($"c123", lit(0L)) - 1L, lit(0L)) * q2 +
+          $"n12" * p2)
+    val d4 =
+      greatest(lit(2L) * coalesce($"c1234", lit(0L)) - 1L, lit(0L)) * q3 +
+        $"n123" * p3
+    val s = when($"c123p".isNull, surprisal64(q3) - surprisal64(p3))
+      .otherwise(surprisal64(lit(2L) * $"c123p") + surprisal64(q3) -
+        surprisal64(d4))
+    joined
+      .withColumn("s1", when($"w1".isNotNull, s))
+      .groupBy(col(idCol), $"n_tok")
+      .agg(count($"w1").as("n_quad"),
+        coalesce(sum($"s1"), lit(0L)).as("s64"))
+      .select(col(idCol), $"n_tok", $"n_quad", $"s64",
+        when($"n_quad" > 0L,
+          $"s64".cast("double") / ($"n_quad" * 64L).cast("double"))
+          .as("bpt"),
+        when($"n_quad" > 0L &&
+          $"s64" * lit(keepDen) <= lit(keepNum) * lit(64L) * $"n_quad",
+          1L).otherwise(0L).as("keep"))
+  }
+
   /** Persist a fit model: vocab/bigrams/prefix as parquet plus a
     * one-row meta table — the production split (the IVFADC-index
     * precedent): fit ONCE on the reference corpus, score any number of

@@ -227,6 +227,88 @@ class NgramLmSpec extends SparkSpec {
         s"bigram's $margin2 (kept2=$kept2)")
   }
 
+  test("4-gram Kneser-Ney is an EXACTLY proper distribution at order " +
+      "4: for every seen (w1,w2,w3) context the integer numerators " +
+      "D4(w4) sum to 2*c123p*Q3 (the discount mass routes through the " +
+      "proper trigram-KN distribution)") {
+    val train = Seq("a b a c a b d e a b a c", "b a a c e b a b a c a")
+      .toDF("text")
+    val lm = NgramLm.fit(train, "text", maxVocab = 4) // forces UNK
+    val m = NgramLm.fitKn4(train, "text", lm)
+    val cv = m.kn3.kn.cTypes + m.kn3.kn.vPrime
+    val qua = m.quads.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3)) -> r.getLong(4)).toMap
+    val pre123 = m.prefix123.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    val tri = m.kn3.trigrams.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    val pre12 = m.kn3.prefix12.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val bi = m.kn3.kn.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val pre = m.kn3.kn.prefix2.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bplus = m.kn3.kn.cont.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocabAll = lm.vocab.as[String].collect().toSeq :+ NgramLm.Unk
+    def q2(w: String): Long = pre.get(w) match {
+      case Some((cpre, _)) => 2 * cpre * cv
+      case None => cv
+    }
+    def p2(w3: String, w4: String): Long = pre.get(w3) match {
+      case Some((_, n1)) =>
+        math.max(2 * bi.getOrElse((w3, w4), 0L) - 1, 0L) * cv +
+          n1 * (bplus.getOrElse(w4, 0L) + 1)
+      case None => bplus.getOrElse(w4, 0L) + 1
+    }
+    def q3(w2: String, w3: String): Long = pre12.get((w2, w3)) match {
+      case Some((c12, _)) => 2 * c12 * q2(w3)
+      case None => q2(w3)
+    }
+    def p3(w2: String, w3: String, w4: String): Long =
+      pre12.get((w2, w3)) match {
+        case Some((_, n12)) =>
+          math.max(2 * tri.getOrElse((w2, w3, w4), 0L) - 1, 0L) * q2(w3) +
+            n12 * p2(w3, w4)
+        case None => p2(w3, w4)
+      }
+    assert(pre123.nonEmpty)
+    for (((w1, w2, w3), (c123p, n123)) <- pre123) {
+      val total = BigInt(0) + vocabAll.map { w4 =>
+        BigInt(math.max(2 * qua.getOrElse((w1, w2, w3, w4), 0L) - 1, 0L)) *
+          q3(w2, w3) + BigInt(n123) * p3(w2, w3, w4)
+      }.sum
+      assert(total == BigInt(2) * c123p * q3(w2, w3),
+        s"context ($w1,$w2,$w3) mass $total")
+    }
+  }
+
+  test("t58: the 4-gram-KN model separates the training domain with a " +
+      "margin at least as wide as trigram KN's") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val lm = NgramLm.fit(docs.filter($"lang" === "en"), "text")
+    def fracs(scored: org.apache.spark.sql.DataFrame) = scored
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang")
+      .agg(avg($"keep".cast("double")).as("frac"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val m3 = NgramLm.fitKn3(docs.filter($"lang" === "en"), "text", lm)
+    val kept3 = fracs(NgramLm.scoreKn3(docs, "doc_id", "text", m3, 24L, 5L))
+    val m4 = NgramLm.fitKn4(docs.filter($"lang" === "en"), "text", lm)
+    val kept4 = fracs(NgramLm.scoreKn4(docs, "doc_id", "text", m4, 24L, 5L))
+    val others4 = kept4.filter(_._1 != "en").values
+    assert(others4.nonEmpty && kept4("en") > others4.max, kept4.toString)
+    val margin3 = kept3("en") - kept3.filter(_._1 != "en").values.max
+    val margin4 = kept4("en") - others4.max
+    assert(margin4 >= margin3,
+      s"4-gram separation margin $margin4 (kept4=$kept4) below " +
+        s"trigram's $margin3 (kept3=$kept3)")
+  }
+
   test("hash-space scoring equals the exact path bit-for-bit on a " +
       "collision-free corpus with an untruncated vocab cap (the " +
       "documented aliasing is the ONLY divergence)") {
