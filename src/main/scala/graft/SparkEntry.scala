@@ -3489,6 +3489,55 @@ object Queries {
        |WHERE ua.split <> ub.split
        |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- t59
+  // INCREMENTAL cluster maintenance on a persisted dedup index: the
+  // stored (id, comp) labels absorb a new batch's pairs through a
+  // QUOTIENT merge (Dedup.appendToClusterState — |affected clusters| +
+  // |batch| nodes, never corpus-sized) instead of re-clustering. The
+  // query BUILDS state from the first three id-quarters' d10 pairs,
+  // APPENDS the last quarter incrementally, and reports stored cluster
+  // sizes — the ORACLE replays the FULL corpus closure (the d11
+  // recursive CTE) and sizes it, so hash-green here proves
+  // incremental ≡ full re-cluster on real data.
+  def t59_cluster_state(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val path = s"/tmp/graft_t59_v1/${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+      s"_${srcStamp(dir, "documents.parquet")}"
+    if (!new java.io.File(s"$path/clusters/_SUCCESS").exists()) {
+      val pairs = Dedup.simhashNearDup64(docs, "doc_id", "text",
+        maxHamming = 3)
+      val isOld = (c: org.apache.spark.sql.Column) => c % 4 < 3
+      Dedup.buildClusterState(docs.filter(isOld($"doc_id")), "doc_id",
+        pairs.filter(isOld($"id_a") && isOld($"id_b")), path)
+      Dedup.appendToClusterState(docs.filter($"doc_id" % 4 === 3), "doc_id",
+        pairs.filter(!(isOld($"id_a") && isOld($"id_b"))), path)
+    }
+    Dedup.clusterSizes(spark, path).orderBy($"comp")
+  }
+
+  private val t59_sql = {
+    def chunk(c: String, k: Int) = s"($c // ${1L << (16 * k)}) % 65536"
+    val on = (0 until 4)
+      .map(k => s"${chunk("a.sh", k)} = ${chunk("b.sh", k)}")
+      .mkString(" OR ")
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, ${Text.duck.simhash64Sql("text")} AS sh
+       |  FROM documents),
+       |edges AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sh a JOIN sh b
+       |    ON ($on) AND a.doc_id <> b.doc_id
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+       |walk(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM sh
+       |  UNION
+       |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+       |labels AS (
+       |  SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+       |SELECT comp, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM labels GROUP BY comp ORDER BY comp""".stripMargin
+  }
+
   // ---------------------------------------------------------------- t56
   // Raw-HTML → clean-text extraction (the stage a crawl pipeline runs
   // before EVERYTHING else here; functions/HtmlExpr.scala has the rule
@@ -3910,6 +3959,50 @@ object Queries {
   }
 
   private val m04_sql = phashSql("TRUE", withBytes = true)
+
+  // ---------------------------------------------------------------- m06
+  // DCT-based perceptual hash (pHash proper, next to m04's aHash):
+  // fixed-point DCT coefficient signs over exactly-centered box means —
+  // EXACTLY invariant under uniform brightness shifts and positive
+  // contrast scaling (MultimodalSpec pins planted shifted pairs; aHash
+  // flips cells under both). Integer arithmetic end-to-end; the cosine
+  // table is generated ONCE with StrictMath and embedded in the oracle
+  // as literals (the s13 JL signs precedent) — no trig cross-engine.
+  def m06_dct_hash(spark: SparkSession, dir: String): DataFrame = {
+    val media = t(spark, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("data"))
+    operators.Multimodal.dctHash(media, "doc_id", "data")
+      .select($"media_id", $"n_bytes", $"dhash")
+      .orderBy($"media_id")
+  }
+
+  private val m06_sql = {
+    import operators.Multimodal.{DctBits, DctN, dctTable}
+    val tvals = (0 until DctBits).flatMap(ki => (0 until DctN).map(b =>
+      s"(${ki + 1},$b,${dctTable(ki)(b)})")).mkString(",")
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |bx AS (SELECT doc_id, b,
+       |    CAST(coalesce(list_sum(list_transform(
+       |      range((b * n) // $DctN + 1, ((b + 1) * n) // $DctN + 1),
+       |      j -> ascii(substr(text, j, 1)))), 0) AS BIGINT) AS cs,
+       |    ((b + 1) * n) // $DctN - (b * n) // $DctN AS cl
+       |  FROM d, unnest(range(0, $DctN)) AS t(b)),
+       |sm AS (SELECT doc_id, b,
+       |    CASE WHEN cl > 0 THEN cs // cl ELSE 0 END AS s FROM bx),
+       |ts AS (SELECT doc_id, CAST(SUM(s) AS BIGINT) AS tot FROM sm
+       |       GROUP BY doc_id),
+       |dct(k, b, tv) AS (SELECT * FROM (VALUES $tvals)),
+       |coef AS (SELECT sm.doc_id, dct.k,
+       |    CAST(SUM(($DctN * sm.s - ts.tot) * dct.tv) AS BIGINT) AS c
+       |  FROM sm JOIN ts USING (doc_id) JOIN dct ON dct.b = sm.b
+       |  GROUP BY sm.doc_id, dct.k)
+       |SELECT d.doc_id AS media_id, CAST(d.n AS INTEGER) AS n_bytes,
+       |  CAST(COALESCE(SUM(CASE WHEN c > 0
+       |    THEN (CAST(1 AS BIGINT) << (k - 1)) ELSE 0 END), 0) AS BIGINT)
+       |    AS dhash
+       |FROM d LEFT JOIN coef ON coef.doc_id = d.doc_id
+       |GROUP BY d.doc_id, d.n ORDER BY media_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- m05
   // PERSISTED perceptual-hash signature index + streaming media ingest
@@ -5931,6 +6024,7 @@ object Queries {
     "m03_frame_sample" -> (m03_frame_sample _),
     "m04_phash" -> (m04_phash _),
     "m05_phash_index" -> (m05_phash_index _),
+    "m06_dct_hash" -> (m06_dct_hash _),
     "q28_bin" -> (q28_bin _),
     "q29_tail" -> (q29_tail _),
     "q30_union_sect" -> (q30_union_sect _),
@@ -5970,6 +6064,7 @@ object Queries {
     "t56_html_extract" -> (t56_html_extract _),
     "t57_span_removal_full" -> (t57_span_removal_full _),
     "t58_kn4_quality" -> (t58_kn4_quality _),
+    "t59_cluster_state" -> (t59_cluster_state _),
     "q65_quantile_census" -> (q65_quantile_census _),
     "q66_json_extract" -> (q66_json_extract _),
     "q67_retention" -> (q67_retention _),
@@ -6144,6 +6239,7 @@ object Queries {
     "m03_frame_sample" -> m03_sql,
     "m04_phash" -> m04_sql,
     "m05_phash_index" -> m05_sql,
+    "m06_dct_hash" -> m06_sql,
     "s02_ann_lsh" -> s02_sql,
     "s03_ann_ivf" -> s03_sql,
     "s04_ivf_index" -> s04_sql,
@@ -6164,6 +6260,7 @@ object Queries {
     "t56_html_extract" -> t56_sql,
     "t57_span_removal_full" -> t57_sql,
     "t58_kn4_quality" -> t58_sql,
+    "t59_cluster_state" -> t59_sql,
     "q65_quantile_census" -> q65_sql,
     "q66_json_extract" -> q66_sql,
     "q67_retention" -> q67_sql,

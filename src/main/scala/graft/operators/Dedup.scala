@@ -522,6 +522,85 @@ object Dedup {
       .write.mode("append").partitionBy("band").parquet(s"$path/buckets")
   }
 
+  // ------------------------------------------------------------------
+  // Persisted CLUSTER STATE next to a dedup index (t44 LSH / m05
+  // signatures accumulate PAIRS; this maintains the component labels
+  // incrementally): `path/clusters` holds (id, comp) with comp = the
+  // cluster's minimum member id (the connectedComponents convention).
+  // An append unions a new batch's pairs into the stored labels WITHOUT
+  // re-clustering the corpus: each new pair collapses to a QUOTIENT
+  // edge between stored labels (or raw ids for unseen docs), components
+  // run over that quotient graph — |affected clusters| + |batch| nodes,
+  // never corpus-sized — and only the label column is rewritten.
+  // Incremental ≡ full re-cluster (spec-pinned): labels are min-ids, so
+  // the min over merged quotient nodes IS the min over their members.
+  // Replayed appends are naturally idempotent (already-stored ids map
+  // to their existing labels; the quotient merge is a no-op).
+  // ------------------------------------------------------------------
+
+  /** Initial cluster state from the corpus's nodes + candidate pairs. */
+  def buildClusterState(nodes: DataFrame, idCol: String, pairs: DataFrame,
+                        path: String, aCol: String = "id_a",
+                        bCol: String = "id_b"): Unit =
+    connectedComponents(nodes, idCol, pairs, aCol, bCol)
+      .select(col("id"), col("comp"))
+      .write.mode("overwrite").parquet(s"$path/clusters")
+
+  /** Union a new batch (its ids + its pairs — both new-vs-indexed probe
+    * pairs and within-batch pairs) into the stored labels. */
+  def appendToClusterState(newIds: DataFrame, idCol: String,
+                           newPairs: DataFrame, path: String,
+                           aCol: String = "id_a",
+                           bCol: String = "id_b"): Unit = {
+    val spark = newIds.sparkSession
+    require(Similarity.fsDirExists(spark, s"$path/clusters"),
+      s"no cluster state at $path (missing $path/clusters — " +
+        "buildClusterState first)")
+    val stored = spark.read.parquet(s"$path/clusters")
+      .select(col("id"), col("comp"))
+    val ids = newIds.select(col(idCol).as("id")).distinct()
+    // quotient edge endpoints: stored label if known, else the raw id
+    def toLabel(src: Column, out: String) = {
+      val lab = stored.select(col("id").as("__lid"), col("comp").as("__lc"))
+      (df: DataFrame) => df.join(lab, src === col("__lid"), "left")
+        .withColumn(out, coalesce(col("__lc"), src))
+        .drop("__lid", "__lc")
+    }
+    val qEdges = toLabel(col("qb0"), "qb")(
+      toLabel(col("qa0"), "qa")(
+        newPairs.select(col(aCol).as("qa0"), col(bCol).as("qb0"))))
+      .select(col("qa"), col("qb"))
+    val qNodes = stored.select(col("comp").as("qid")).distinct()
+      .union(ids.select(col("id").as("qid"))).distinct()
+    val q = connectedComponents(qNodes, "qid", qEdges, "qa", "qb")
+      .select(col("id").as("qlabel"), col("comp").as("newcomp"))
+    val relabeledOld = stored
+      .join(q, stored("comp") === col("qlabel"))
+      .select(col("id"), col("newcomp").as("comp"))
+    val labeledNew = ids
+      .join(stored.select(col("id")), Seq("id"), "left_anti")
+      .join(q, col("id") === col("qlabel"))
+      .select(col("id"), col("newcomp").as("comp"))
+    // materialize BEFORE overwriting the path the plan reads from
+    val next = relabeledOld.union(labeledNew).localCheckpoint()
+    next.write.mode("overwrite").parquet(s"$path/clusters")
+  }
+
+  /** Stored labels (id, comp). */
+  def clusterState(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame = {
+    require(Similarity.fsDirExists(spark, s"$path/clusters"),
+      s"no cluster state at $path (missing $path/clusters — " +
+        "buildClusterState first)")
+    spark.read.parquet(s"$path/clusters").select(col("id"), col("comp"))
+  }
+
+  /** Stored cluster sizes (comp, n). */
+  def clusterSizes(spark: org.apache.spark.sql.SparkSession,
+                   path: String): DataFrame =
+    clusterState(spark, path).groupBy(col("comp"))
+      .agg(count(lit(1)).as("n"))
+
   /** Candidate near-dups of a NEW batch against the indexed corpus:
     * signature rows for the batch (its only text pass), a (band, bucket)
     * join against the stored rows, distinct pairs. The bucket-size cap

@@ -140,6 +140,77 @@ object Multimodal {
     }(Encoders.product[PHash]).toDF()
   }
 
+  final case class DHash(media_id: Long, n_bytes: Int, dhash: Long)
+
+  /** DCT hash geometry: the luma stream resamples to [[DctN]] box
+    * means; [[DctBits]] low-band coefficient signs pack the signature
+    * (62 not 64 keeps the i64 NON-NEGATIVE — the m04 rule that licenses
+    * the d10 floor-div pigeonhole chunking downstream). */
+  val DctN = 64
+  val DctBits = 62
+
+  /** Fixed-point DCT-II basis, rows k = 1..[[DctBits]] (DC skipped):
+    * T[k−1][b] = round(1024·cos(π(2b+1)k / 2·[[DctN]])). StrictMath —
+    * bit-reproducible on every JVM — and the oracle SQL embeds the SAME
+    * integers as literals (the s13 JL signs-at-generation precedent),
+    * so no trig ever evaluates cross-engine. */
+  private[graft] val dctTable: Array[Array[Long]] =
+    Array.tabulate(DctBits) { ki =>
+      val k = ki + 1
+      Array.tabulate(DctN) { b =>
+        Math.round(1024.0 *
+          StrictMath.cos(Math.PI * (2 * b + 1) * k / (2.0 * DctN)))
+      }
+    }
+
+  /** DCT-based perceptual hash (m06, the pHash proper next to m04's
+    * aHash): resample the decoded luma stream to [[DctN]] integer box
+    * means, CENTER exactly (s'ᵦ = N·sᵦ − Σs — integer, so a uniform
+    * brightness shift cancels IDENTICALLY, and a positive contrast
+    * scale preserves every sign; aHash is brittle under both), then
+    * signature bit k−1 = sign of the k-th fixed-point DCT coefficient
+    * Σᵦ s'ᵦ·T[k][b]. All integer arithmetic (|C| ≤ 64·16320·1024 ≈
+    * 2³⁰ — no overflow), non-negative i64 output, exact SQL replay.
+    * Pair generation reuses `Dedup.hammingNearDup64` unchanged. */
+  def dctHash(df: DataFrame, idCol: String, dataCol: String): DataFrame = {
+    val src: Dataset[(Long, Array[Byte])] = df
+      .select(col(idCol).cast("long"), col(dataCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    src.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val px = decodePixels(bytes)
+        val n = px.length.toLong
+        val s = new Array[Long](DctN)
+        var b = 0
+        while (b < DctN) {
+          val lo = (b * n / DctN).toInt
+          val hi = ((b + 1) * n / DctN).toInt
+          if (hi > lo) {
+            var sum = 0L
+            var j = lo
+            while (j < hi) { sum += px(j); j += 1 }
+            s(b) = sum / (hi - lo)
+          }
+          b += 1
+        }
+        var tot = 0L
+        b = 0
+        while (b < DctN) { tot += s(b); b += 1 }
+        var h = 0L
+        var ki = 0
+        while (ki < DctBits) {
+          val row = dctTable(ki)
+          var c = 0L
+          b = 0
+          while (b < DctN) { c += (DctN * s(b) - tot) * row(b); b += 1 }
+          if (c > 0) h |= 1L << ki
+          ki += 1
+        }
+        DHash(id, bytes.length, h)
+      }
+    }(Encoders.product[DHash]).toDF()
+  }
+
   /** Frame sampling: every `stride`-th fixed-size frame per media row —
     * flatMap (generator/UDTF shape), output is one row per kept frame. */
   def sampleFrames(df: DataFrame, idCol: String, dataCol: String,

@@ -134,6 +134,55 @@ class MultimodalSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("m06 dctHash: EXACT invariance under uniform brightness shift " +
+      "and positive contrast scale; planted near-dup pairs surface " +
+      "through hammingNearDup64; clipped highlights stay closer under " +
+      "DCT than under aHash") {
+    import graft.operators.{Dedup, Multimodal}
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // a structured 'image': 64 constant 8-byte boxes — a gradient with a
+    // bright block. Box-aligned values keep the integer box MEANS exact,
+    // so shift (+d) and contrast (×2) transform them exactly too.
+    val base = Array.tabulate(512) { i =>
+      val box = i / 8
+      val g = 20 + box
+      (if (box >= 25 && box < 32) g + 40 else g).toByte
+    }
+    def shifted(d: Int) = base.map(b => ((b & 0xff) + d).toByte)   // ≤ 153
+    def contrast2 = base.map(b => ((b & 0xff) * 2).toByte)         // ≤ 246
+    def noisy = { val a = base.clone(); a(100) = (a(100) + 9).toByte
+      a(300) = (a(300) - 7).toByte; a }
+    def clipped(d: Int) = base.map { b =>
+      val v = (b & 0xff) + d; (if (v > 255) 255 else v).toByte }
+    val rows = Seq(0L -> base, 1L -> shifted(30), 2L -> noisy,
+      3L -> Array.tabulate(512)(i => (((i * 31) ^ (i >> 2)) & 0xff).toByte))
+      .toDF("media_id", "data")
+    val h = Multimodal.dctHash(rows, "media_id", "data")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(h(0L) == h(1L), "uniform brightness shift must not move the hash")
+    val hc = Multimodal.dctHash(
+      Seq(10L -> contrast2).toDF("media_id", "data"), "media_id", "data")
+      .collect().head.getLong(2)
+    assert(hc == h(0L), "positive contrast scale must not move the hash")
+    assert(ham(h(0L), h(2L)) <= 3, s"local noise drifted ${ham(h(0L), h(2L))}")
+    assert(ham(h(0L), h(3L)) > 3, "unrelated payload must not collide")
+    // pigeonhole pair join finds exactly the planted near-dups
+    val sigs = Multimodal.dctHash(rows, "media_id", "data")
+      .select($"media_id".as("id"), $"dhash".as("sh"))
+    val pairs = Dedup.hammingNearDup64(sigs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (0L, 2L), (1L, 2L)), pairs.toString)
+    // clipping breaks exact shift-cancellation for BOTH hashes, but the
+    // global-band DCT drifts no more than the local-cell aHash
+    val cl = Seq(20L -> base, 21L -> clipped(150)).toDF("media_id", "data")
+    val dcl = Multimodal.dctHash(cl, "media_id", "data")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val acl = Multimodal.perceptualHash(cl, "media_id", "data")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(ham(dcl(20L), dcl(21L)) <= ham(acl(20L), acl(21L)),
+      s"dct ${ham(dcl(20L), dcl(21L))} vs ahash ${ham(acl(20L), acl(21L))}")
+  }
+
   test("extractFeatures: byte-derived features, per-partition execution") {
     val got = Multimodal.extractFeatures(media, "media_id", "data")
       .orderBy($"media_id").collect()

@@ -1355,4 +1355,46 @@ class PipelineSpec extends SparkSpec {
       assert(rows.map(_._3).toSet == expect(cell), s"cell $cell")
     }
   }
+
+  test("incremental cluster state == full re-cluster: batches that merge " +
+      "existing clusters, bridge two stored clusters, and add singletons; " +
+      "replayed append is a no-op; missing state fails fast") {
+    import graft.operators.Dedup
+    val base = s"/tmp/graft_cluster_spec/${System.nanoTime()}"
+    def pairsDF(ps: Seq[(Long, Long)]) = ps.toDF("id_a", "id_b")
+    def idsDF(ids: Seq[Long]) = ids.toDF("doc_id")
+    // corpus batch 0: clusters {1,2}, {5,6}, singleton 9
+    Dedup.buildClusterState(idsDF(Seq(1, 2, 5, 6, 9)), "doc_id",
+      pairsDF(Seq((1, 2), (5, 6))), s"$base/idx")
+    def state() = Dedup.clusterState(spark, s"$base/idx")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state() == Map(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L, 9L -> 9L))
+    // batch 1: 10 joins cluster(1), 11 BRIDGES clusters (1,2) and (5,6)
+    // via pairs to 2 and 5, 12 is a new singleton
+    Dedup.appendToClusterState(idsDF(Seq(10, 11, 12)), "doc_id",
+      pairsDF(Seq((10, 1), (11, 2), (11, 5))), s"$base/idx")
+    val expect = Map(1L -> 1L, 2L -> 1L, 5L -> 1L, 6L -> 1L, 9L -> 9L,
+      10L -> 1L, 11L -> 1L, 12L -> 12L)
+    assert(state() == expect)
+    // full re-cluster over everything must agree
+    val full = Dedup.connectedComponents(
+      idsDF(Seq(1, 2, 5, 6, 9, 10, 11, 12)), "doc_id",
+      pairsDF(Seq((1, 2), (5, 6), (10, 1), (11, 2), (11, 5))))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(state() == full)
+    // replayed append: identical state (idempotent quotient merge)
+    Dedup.appendToClusterState(idsDF(Seq(10, 11, 12)), "doc_id",
+      pairsDF(Seq((10, 1), (11, 2), (11, 5))), s"$base/idx")
+    assert(state() == expect)
+    // a LOWER new id becomes the merged cluster's label (min-id rule)
+    Dedup.appendToClusterState(idsDF(Seq(0L)), "doc_id",
+      pairsDF(Seq((0, 9))), s"$base/idx")
+    assert(state()(9L) == 0L && state()(0L) == 0L)
+    val err = intercept[IllegalArgumentException] {
+      Dedup.appendToClusterState(idsDF(Seq(1L)), "doc_id",
+        pairsDF(Seq()), s"$base/nowhere")
+    }
+    assert(err.getMessage.contains("buildClusterState"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }
