@@ -4409,6 +4409,74 @@ object Queries {
   // t53's oracle IS q64's SQL (stream == batch)
   private lazy val t53_sql = q64_sql
 
+  // ---------------------------------------------------------------- t60
+  // Persisted quantile-CENSUS store + streaming ingest — the EXACT
+  // mergeable-summary counterpart of t53's HLL store: (slice, value,
+  // count) cells merge by SUM, so a rolling corpus keeps cut points
+  // exact forever at |slices|·|values| cells of state. At-least-once
+  // replays collapse via the batch-stamped distinct-at-read (exact
+  // counts can't max-merge). The whole table arrives via the stream,
+  // so the oracle IS q65's batch SQL — stream == batch.
+  private def censusStreamBase(dir: String): String = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s"/tmp/graft_stream/$key/qcensus_v1" +
+      s"_s${srcStamp(dir, "lineitem.parquet")}"
+  }
+
+  def t60_stream_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stage = s"/tmp/graft_stream/$key/lineitem"
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      sources.Store.setSplayed(li, stage)
+    val base = censusStreamBase(dir)
+    val store = s"$base/store"
+    if (!new java.io.File(s"$base/done").exists()) {
+      operators.Quantiles.buildCensusStore(li.limit(0),
+        Seq("l_returnflag"), "l_quantity", store)
+      streaming.Streams.censusIngest(spark, stage, li, store,
+        checkpoint = s"$base/ckpt")
+      new java.io.File(s"$base/done").createNewFile()
+    }
+    operators.Quantiles.quantilesFromStore(spark, store, Seq(50, 90, 99))
+      .orderBy($"l_returnflag")
+  }
+
+  // t60's oracle IS q65's SQL (stream == batch)
+  private lazy val t60_sql = q65_sql
+
+  // ---------------------------------------------------------------- t61
+  // STREAMING raw-HTML extraction — t56 on a live crawl feed: the
+  // staged per-doc pages stream through the same stateless codegen
+  // chain micro-batch by micro-batch, so the accumulated output equals
+  // the batch run row-for-row and the oracle IS t56's SQL. Readers
+  // dedupe on doc_id (at-least-once append, the t27 stateless-map
+  // convention).
+  def t61_stream_html(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft_stream/$key/html_v1" +
+      s"_s${srcStamp(dir, "documents.parquet")}"
+    val staged = t(spark, dir, "documents").select($"doc_id", $"lang",
+      operators.Html.stagedHtmlCol($"doc_id", $"lang", $"source", $"text")
+        .as("html"))
+    if (!new java.io.File(s"$base/feed/_SUCCESS").exists())
+      staged.write.mode("overwrite").parquet(s"$base/feed")
+    if (!new java.io.File(s"$base/done").exists()) {
+      streaming.Streams.htmlCleanStream(spark, s"$base/feed", staged,
+        "html", outDir = s"$base/out", checkpoint = s"$base/ckpt")
+      new java.io.File(s"$base/done").createNewFile()
+    }
+    spark.read.parquet(s"$base/out")
+      .dropDuplicates("doc_id")
+      .select($"doc_id", $"lang", length($"html").as("html_len"),
+        $"n_tags", $"n_blocks", $"n_boiler", $"boiler_frac",
+        length($"text_out").as("text_len"), $"text_out".as("text"))
+      .orderBy($"doc_id")
+  }
+
+  // t61's oracle IS t56's SQL (stream == batch)
+  private lazy val t61_sql = t56_sql
+
   // ---------------------------------------------------------------- t54
   // Time-windowed distinct-user census (the monitoring report a live
   // event pipeline reads: distinct users per hour per event type) —
@@ -4666,6 +4734,96 @@ object Queries {
       |  MAX(c) AS mode_n,
       |  COUNT(*) AS n_values
       |FROM c GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q72
+  // SESSIONIZATION (the event-analytics primitive): per user, a new
+  // session starts when the gap to the previous event exceeds 8 h (the
+  // median inter-event gap in this corpus is ~7.3 h, so sessions are
+  // multi-event and the running-sum logic is actually exercised);
+  // session ids are the running count of session starts — two windows
+  // sharing ONE user_id exchange (lag + running sum), then the
+  // per-session census. Integer ns arithmetic; the oracle replays at µs
+  // (ts_ns = µs·1000 exactly, so the gap predicates agree).
+  def q72_sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapNs = 8L * 3600 * 1000 * 1000 * 1000
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wRun = w.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    t(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("new_s",
+        when(lag($"ts", 1).over(w).isNull ||
+          $"ts" - lag($"ts", 1).over(w) > gapNs, 1L).otherwise(0L))
+      .withColumn("session_n", sum($"new_s").over(wRun))
+      .groupBy($"user_id", $"session_n")
+      .agg(count(lit(1)).as("n_events"),
+        expr("min(ts) div 1000").as("start_us"),
+        expr("max(ts) div 1000").as("end_us"),
+        expr("(max(ts) - min(ts)) div 1000").as("dur_us"),
+        countDistinct($"event_type").as("n_types"))
+      .orderBy($"user_id", $"session_n")
+  }
+
+  private val q72_sql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+      |           FROM events),
+      |f AS (SELECT *, CASE WHEN lag(us) OVER w IS NULL
+      |                       OR us - lag(us) OVER w > 28800000000
+      |                     THEN 1 ELSE 0 END AS new_s
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+      |        ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_n
+      |      FROM f)
+      |SELECT user_id, CAST(session_n AS BIGINT) AS session_n,
+      |  COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us,
+      |  MAX(us) - MIN(us) AS dur_us,
+      |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+      |FROM s GROUP BY user_id, session_n
+      |ORDER BY user_id, session_n""".stripMargin
+
+  // ---------------------------------------------------------------- q73
+  // FUNNEL analysis (view → click → purchase): per user the earliest
+  // view, the first click strictly after it, the first purchase
+  // strictly after that. Three conditional-min aggregations chained
+  // through two broadcast-size joins on user_id (the per-user row is
+  // 150-ish at any SF slice — each stage's table is |users|, never
+  // |events|); stage reached = how deep the chain got. µs output.
+  def q73_funnel(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_type")
+    val s1 = e.filter($"event_type" === "view")
+      .groupBy($"user_id").agg(min($"ts").as("t1"))
+    val s2 = e.filter($"event_type" === "click").join(s1, "user_id")
+      .filter($"ts" > $"t1")
+      .groupBy($"user_id").agg(min($"ts").as("t2"))
+    val s3 = e.filter($"event_type" === "purchase").join(s2, "user_id")
+      .filter($"ts" > $"t2")
+      .groupBy($"user_id").agg(min($"ts").as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select($"user_id",
+        expr("t1 div 1000").as("t1_us"),
+        expr("t2 div 1000").as("t2_us"),
+        expr("t3 div 1000").as("t3_us"),
+        (lit(1L) + when($"t2".isNotNull, 1L).otherwise(0L) +
+          when($"t3".isNotNull, 1L).otherwise(0L)).as("stage"))
+      .orderBy($"user_id")
+  }
+
+  private val q73_sql =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+      |           FROM events),
+      |s1 AS (SELECT user_id, MIN(us) AS t1 FROM e
+      |       WHERE event_type = 'view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(us) AS t2 FROM e JOIN s1 USING (user_id)
+      |       WHERE event_type = 'click' AND us > t1 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(us) AS t3 FROM e JOIN s2 USING (user_id)
+      |       WHERE event_type = 'purchase' AND us > t2 GROUP BY e.user_id)
+      |SELECT s1.user_id, t1 AS t1_us, t2 AS t2_us, t3 AS t3_us,
+      |  1 + CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END
+      |    + CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+      |ORDER BY user_id""".stripMargin
 
   // ---------------------------------------------------------------- q40
   // window-join jtype 0 — the reference's `window-join` proper: the
@@ -6065,6 +6223,8 @@ object Queries {
     "t57_span_removal_full" -> (t57_span_removal_full _),
     "t58_kn4_quality" -> (t58_kn4_quality _),
     "t59_cluster_state" -> (t59_cluster_state _),
+    "t60_stream_quantiles" -> (t60_stream_quantiles _),
+    "t61_stream_html" -> (t61_stream_html _),
     "q65_quantile_census" -> (q65_quantile_census _),
     "q66_json_extract" -> (q66_json_extract _),
     "q67_retention" -> (q67_retention _),
@@ -6072,6 +6232,8 @@ object Queries {
     "q69_rank_family" -> (q69_rank_family _),
     "q70_ema" -> (q70_ema _),
     "q71_mode" -> (q71_mode _),
+    "q72_sessionize" -> (q72_sessionize _),
+    "q73_funnel" -> (q73_funnel _),
     "r04_rayfall_asof" -> (r04_rayfall_asof _),
     "r05_rayfall_update" -> (r05_rayfall_update _),
     "r06_rayfall_group_update" -> (r06_rayfall_group_update _),
@@ -6261,6 +6423,8 @@ object Queries {
     "t57_span_removal_full" -> t57_sql,
     "t58_kn4_quality" -> t58_sql,
     "t59_cluster_state" -> t59_sql,
+    "t60_stream_quantiles" -> t60_sql,
+    "t61_stream_html" -> t61_sql,
     "q65_quantile_census" -> q65_sql,
     "q66_json_extract" -> q66_sql,
     "q67_retention" -> q67_sql,
@@ -6268,5 +6432,7 @@ object Queries {
     "q69_rank_family" -> q69_sql,
     "q70_ema" -> q70_sql,
     "q71_mode" -> q71_sql,
+    "q72_sessionize" -> q72_sql,
+    "q73_funnel" -> q73_sql,
   )
 }

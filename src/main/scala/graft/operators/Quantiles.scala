@@ -50,6 +50,81 @@ object Quantiles {
       .agg(cuts.head, cuts.tail: _*)
   }
 
+  // ------------------------------------------------------------------
+  // Persisted quantile-CENSUS store — the EXACT counterpart of the t53
+  // HLL register store: a (slice, value, count) census is a MERGEABLE
+  // SUMMARY (merge = sum of counts), so a rolling corpus keeps cut
+  // points exact forever at |slices|·|values| cells of state, never
+  // rows. Appends are tagged with a batch id and the read path sums
+  // DISTINCT (batch, slice, value, count) cells — an at-least-once
+  // replay re-writes IDENTICAL cells, which the distinct collapses, so
+  // ingest is exactly-once at read (the t44 distinct-at-probe rule;
+  // exact counts can't use the HLL max-merge trick).
+  // ------------------------------------------------------------------
+
+  private def metaOf(spark: org.apache.spark.sql.SparkSession,
+                     path: String): (Seq[String], String) = {
+    require(Similarity.fsDirExists(spark, s"$path/meta"),
+      s"no census store at $path (missing $path/meta — buildCensusStore " +
+        "first)")
+    val r = spark.read.parquet(s"$path/meta")
+      .select(col("group_cols"), col("val_col")).collect().head
+    (r.getString(0).split(",").toSeq, r.getString(1))
+  }
+
+  private def censusCells(df: DataFrame, groupCols: Seq[String],
+                          valCol: String, batchId: Long): DataFrame =
+    df.filter(col(valCol).isNotNull)
+      .groupBy(groupCols.map(col) :+ col(valCol).as("__v"): _*)
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__batch", lit(batchId))
+
+  /** Build the store from the initial corpus (batch id 0). */
+  def buildCensusStore(df: DataFrame, groupCols: Seq[String],
+                       valCol: String, path: String): Unit = {
+    require(groupCols.nonEmpty && groupCols.forall(!_.contains(",")),
+      s"census store needs >= 1 comma-free group column, got $groupCols")
+    val spark = df.sparkSession
+    import spark.implicits._
+    Seq((groupCols.mkString(","), valCol)).toDF("group_cols", "val_col")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    censusCells(df, groupCols, valCol, batchId = 0L)
+      .write.mode("overwrite").parquet(s"$path/cells")
+  }
+
+  /** Append a batch's census cells under `batchId` (a replayed id is a
+    * read-time no-op). */
+  def appendToCensusStore(df: DataFrame, path: String,
+                          batchId: Long): Unit = {
+    val (groupCols, valCol) = metaOf(df.sparkSession, path)
+    censusCells(df, groupCols, valCol, batchId)
+      .write.mode("append").parquet(s"$path/cells")
+  }
+
+  /** Exact cut points over everything ingested so far — the same
+    * cumulative-window chain as [[quantileCensus]] over the summed
+    * distinct cells. */
+  def quantilesFromStore(spark: org.apache.spark.sql.SparkSession,
+                         path: String, percents: Seq[Int]): DataFrame = {
+    require(percents.nonEmpty && percents.forall(p => p >= 1 && p <= 100),
+      s"percents must be in 1..100, got $percents")
+    val (groupCols, _) = metaOf(spark, path)
+    val g = groupCols.map(col)
+    val census = spark.read.parquet(s"$path/cells")
+      .distinct() // exactly-once under replayed appends
+      .groupBy(g :+ $"__v": _*)
+      .agg(sum($"__n").as("__n"))
+    val wCum = Window.partitionBy(g: _*).orderBy($"__v")
+    val wTot = Window.partitionBy(g: _*)
+    val cuts = percents.map(p =>
+      min(when($"__cum" * 100 >= $"__tot" * p, $"__v")).as(s"p$p"))
+    census
+      .select(g ++ Seq($"__v", sum($"__n").over(wCum).as("__cum"),
+        sum($"__n").over(wTot).as("__tot")): _*)
+      .groupBy(g: _*)
+      .agg(cuts.head, cuts.tail: _*)
+  }
+
   /** DuckDB replay over any FROM source (table or subquery). */
   def quantileCensusSql(fromSql: String, groupCols: Seq[String],
                         valCol: String, percents: Seq[Int]): String = {

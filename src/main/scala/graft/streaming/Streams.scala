@@ -323,6 +323,58 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming raw-HTML → clean-text extraction (the t56 operator on a
+    * live crawl feed): each micro-batch runs the SAME codegen chain
+    * (`Html.cleanHtml` — per-row, stateless, so stream ≡ batch exactly)
+    * and appends the cleaned rows. At-least-once appends can duplicate
+    * rows on a crash between write and commit; readers dedupe on the
+    * id column (the t27 convention for stateless row maps). */
+  def htmlCleanStream(spark: SparkSession, srcDir: String,
+                      schemaFrom: DataFrame, htmlCol: String,
+                      outDir: String, checkpoint: String,
+                      statePartitions: Int = 2): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Html.cleanHtml(batch, htmlCol, textOut = "text_out")
+          .write.mode("append").parquet(outDir)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
+  /** Streaming ingest into the PERSISTED quantile-census store: each
+    * micro-batch's (slice, value, count) cells append under the
+    * checkpointed BATCH ID (`Quantiles.appendToCensusStore`) — a
+    * replayed batch re-writes byte-identical cells, which the store's
+    * distinct-at-read collapses, so at-least-once delivery reads
+    * exactly-once (exact counts can't use the HLL max-merge; the batch
+    * stamp is what stands in for it). */
+  def censusIngest(spark: SparkSession, srcDir: String,
+                   schemaFrom: DataFrame, storePath: String,
+                   checkpoint: String, where: Option[String] = None,
+                   statePartitions: Int = 2): Unit = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val stream = where.fold(src)(src.filter)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        // build uses batch 0 → stream ids offset by 1
+        graft.operators.Quantiles.appendToCensusStore(batch, storePath,
+          batchId = bid + 1)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming ingest into the PERSISTED perceptual-hash signature
     * index: each micro-batch's media decode + 62-bit aHash
     * (`Multimodal.perceptualHash`) appends via `Dedup.appendToSigIndex`

@@ -210,6 +210,53 @@ class StorageStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("quantile-census store: cuts from the store equal the batch " +
+      "census; an incremental batch append updates them exactly; a " +
+      "REPLAYED batch id is a read-time no-op; missing store fails fast") {
+    import graft.operators.Quantiles
+    val li = Tables.load(spark, sf, "lineitem")
+    val a = li.filter($"l_orderkey" % 3 =!= 0L)
+    val b = li.filter($"l_orderkey" % 3 === 0L)
+    val base = s"/tmp/graft_qcensus_spec/${System.nanoTime()}"
+    val store = s"$base/store"
+    val ps = Seq(50, 90, 99)
+    def cuts() = Quantiles.quantilesFromStore(spark, store, ps)
+      .orderBy($"l_returnflag").collect()
+      .map(r => r.getString(0) -> (1 to 3).map(r.getDouble)).toMap
+    def batchCuts(df: org.apache.spark.sql.DataFrame) =
+      Quantiles.quantileCensus(df, Seq("l_returnflag"), "l_quantity", ps)
+        .orderBy($"l_returnflag").collect()
+        .map(r => r.getString(0) -> (1 to 3).map(r.getDouble)).toMap
+    Quantiles.buildCensusStore(a, Seq("l_returnflag"), "l_quantity", store)
+    assert(cuts() == batchCuts(a))
+    Quantiles.appendToCensusStore(b, store, batchId = 7L)
+    assert(cuts() == batchCuts(li), "merged store != full-corpus census")
+    // replayed batch id: byte-identical cells collapse at read
+    Quantiles.appendToCensusStore(b, store, batchId = 7L)
+    assert(cuts() == batchCuts(li))
+    // streaming ingest into a fresh store == batch over the same rows
+    val feed = s"$base/feed"
+    b.write.parquet(feed)
+    val store2 = s"$base/store2"
+    Quantiles.buildCensusStore(b.limit(0), Seq("l_returnflag"),
+      "l_quantity", store2)
+    streaming.Streams.censusIngest(spark, feed, b, store2, s"$base/ckpt")
+    val s2 = Quantiles.quantilesFromStore(spark, store2, ps)
+      .orderBy($"l_returnflag").collect()
+      .map(r => r.getString(0) -> (1 to 3).map(r.getDouble)).toMap
+    assert(s2 == batchCuts(b))
+    // checkpointed replay: no change
+    streaming.Streams.censusIngest(spark, feed, b, store2, s"$base/ckpt")
+    assert(Quantiles.quantilesFromStore(spark, store2, ps)
+      .orderBy($"l_returnflag").collect()
+      .map(r => r.getString(0) -> (1 to 3).map(r.getDouble)).toMap == s2)
+    val miss = intercept[IllegalArgumentException] {
+      Quantiles.appendToCensusStore(li, s"$base/nowhere", 1L)
+    }
+    assert(miss.getMessage.contains("buildCensusStore"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("parameter-stamped streaming stages: a changed keep gate lands " +
       "in a FRESH stage dir with correct output — stale state never " +
       "pollutes, no manual cleanup") {
