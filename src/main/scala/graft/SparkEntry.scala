@@ -808,6 +808,98 @@ object Queries {
       |SELECT doc_id, rnk, tok, tf, df, score FROM r
       |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
 
+  // ---------------------------------------------------------------- t62
+  // BM25 keyword retrieval (Okapi, k1=6/5 b=3/4 as exact rationals) —
+  // the keyword leg of the retrieval stack, ENTIRELY INTEGER so the
+  // ranking replays bit-for-bit: idf through the 1/64-bit integer log2
+  // (surprisal64 — ln is libm-unreplayable, the t13 rule), the k1/b
+  // saturation ratio cross-multiplied and floor-divided at 1024×
+  // resolution, contributions summed as integers (order-free).
+  private val t62Terms = Seq("spark", "table", "merge")
+
+  def t62_bm25(spark: SparkSession, dir: String): DataFrame =
+    operators.TfIdf.bm25Search(t(spark, dir, "documents"), "doc_id", "text",
+      t62Terms, k = 10)
+
+  /** The BM25 CTE chain + final select at `k` — t62's oracle and the
+    * keyword side of s15's fusion replay. */
+  private def bm25Sql(k: Int): String = {
+    val in = t62Terms.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+       |              FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM toks),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |              CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+       |hits AS (SELECT doc_id, tok FROM
+       |  (SELECT doc_id, unnest(w) AS tok FROM toks)
+       |  WHERE tok IN ($in)),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM hits
+       |       GROUP BY doc_id, tok),
+       |dfc AS (SELECT tok, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       |        FROM hits GROUP BY tok),
+       |idf AS (SELECT tok,
+       |    ${duckS64("2 * n + 2")} - ${duckS64("2 * df + 1")} AS idf64
+       |  FROM dfc CROSS JOIN st),
+       |sc AS (SELECT tf.doc_id,
+       |    (idf.idf64 * 1024 * 44 * tf.tf * st.tot)
+       |      // (20 * tf.tf * st.tot + 6 * st.tot + 18 * dl.dl * st.n) AS c
+       |  FROM tf JOIN idf USING (tok) JOIN dl USING (doc_id)
+       |  CROSS JOIN st)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit,
+       |  CAST(SUM(c) AS BIGINT) AS score
+       |FROM sc GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
+  private val t62_sql = bm25Sql(10)
+
+  // ---------------------------------------------------------------- s15
+  // HYBRID retrieval via reciprocal-rank fusion (Cormack et al. 2009):
+  // the t62 BM25 keyword top-20 fused with the s01 cosine top-20 (the
+  // vec_id↔doc_id id space is shared in this corpus) through
+  // Similarity.rrfFuse — 1/(60+rank) terms, each a correctly-rounded
+  // small-integer division, fixed-order sum, no rounding anywhere.
+  // Both shortlists are bounded by construction, so fusion cost never
+  // sees the corpus.
+  def s15_rrf_hybrid(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"id")
+    val kw = operators.TfIdf.bm25Search(t(spark, dir, "documents"),
+      "doc_id", "text", t62Terms, k = 20)
+      .select($"doc_id".as("id"), $"score")
+      .withColumn("rk", row_number().over(wAll))
+    val vec = Similarity.bruteForceTopK(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryId = 0L, k = 20)
+      .select($"id", $"score")
+      .withColumn("rk", row_number().over(wAll))
+    Similarity.rrfFuse(kw, vec, "id", "rk", c = 60, k = 10)
+      .select($"id".as("doc_id"), RF.roundBin($"rrf", 6).as("rrf"),
+        $"rank_a".as("rank_kw"), $"rank_b".as("rank_vec"))
+  }
+
+  private val s15_sql =
+    s"""SELECT COALESCE(kw.doc_id, vec.id) AS doc_id,
+       |  floor((COALESCE(CAST(1 AS DOUBLE) / (60 + kw.rk), 0)
+       |   + COALESCE(CAST(1 AS DOUBLE) / (60 + vec.rk), 0)) * 1000000
+       |   + 0.5) / 1000000 AS rrf,
+       |  kw.rk AS rank_kw, vec.rk AS rank_vec
+       |FROM (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+       |        AS rk
+       |      FROM (${bm25Sql(20).replace("\n", "\n      ")})) kw
+       |FULL JOIN (
+       |  SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id) AS rk
+       |  FROM (SELECT v.vec_id AS id,
+       |          ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+       |            CAST(q.embedding AS DOUBLE[])), 6) AS score
+       |        FROM embeddings v, embeddings q
+       |        WHERE q.vec_id = 0 AND v.vec_id <> 0
+       |        ORDER BY score DESC, id LIMIT 20)) vec
+       |  ON vec.id = kw.doc_id
+       |ORDER BY (COALESCE(CAST(1 AS DOUBLE) / (60 + kw.rk), 0)
+       |   + COALESCE(CAST(1 AS DOUBLE) / (60 + vec.rk), 0)) DESC,
+       |  COALESCE(kw.doc_id, vec.id)
+       |LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- t25
   // TF-IDF with vocabulary CONTROL (the production form): hapax pruning
   // (df ≥ 2) + a top-50 most-frequent-token cap — the bounded vocab is
@@ -5136,6 +5228,32 @@ object Queries {
        |  JOIN a ON a.cell = p.cell AND a.id <> q.qid)
        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
+  // ---------------------------------------------------------------- s16
+  // FILTERED vector retrieval (the tenant/category-scoped search every
+  // production vector store serves): k-NN among rows sharing the
+  // query's label — the equality predicate folds INTO the broadcast
+  // join condition, so only qualifying rows are scored/ranked.
+  def s16_filtered_knn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.filteredKnnJoin(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", "label", queryIds = (0L until 10L).toSeq,
+      k = 5)
+      .select($"qid", $"rk", $"id".as("vec_id"), $"score")
+      .orderBy($"qid", $"rk")
+
+  private val s16_sql =
+    """SELECT qid, rk, vec_id, score FROM (
+      |  SELECT q.vec_id AS qid, v.vec_id,
+      |    ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+      |      CAST(q.embedding AS DOUBLE[])), 6) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY ROUND(list_cosine_similarity(
+      |        CAST(v.embedding AS DOUBLE[]),
+      |        CAST(q.embedding AS DOUBLE[])), 6) DESC, v.vec_id) AS rk
+      |  FROM embeddings v JOIN embeddings q
+      |    ON q.vec_id < 10 AND v.vec_id <> q.vec_id
+      |   AND v.label = q.label)
+      |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
   // ---------------------------------------------------------------- s12
   // MMR diversified re-ranking (Carbonell & Goldstein 1998) — the
   // post-ANN diversity pass a RAG retriever runs: greedy
@@ -6215,6 +6333,8 @@ object Queries {
     "s12_mmr_rerank" -> (s12_mmr_rerank _),
     "s13_jl_search" -> (s13_jl_search _),
     "s14_graph_ann" -> (s14_graph_ann _),
+    "s15_rrf_hybrid" -> (s15_rrf_hybrid _),
+    "s16_filtered_knn" -> (s16_filtered_knn _),
     "q64_hll" -> (q64_hll _),
     "t53_stream_hll" -> (t53_stream_hll _),
     "t54_hll_windows" -> (t54_hll_windows _),
@@ -6225,6 +6345,7 @@ object Queries {
     "t59_cluster_state" -> (t59_cluster_state _),
     "t60_stream_quantiles" -> (t60_stream_quantiles _),
     "t61_stream_html" -> (t61_stream_html _),
+    "t62_bm25" -> (t62_bm25 _),
     "q65_quantile_census" -> (q65_quantile_census _),
     "q66_json_extract" -> (q66_json_extract _),
     "q67_retention" -> (q67_retention _),
@@ -6415,6 +6536,8 @@ object Queries {
     "s12_mmr_rerank" -> s12_sql,
     "s13_jl_search" -> s13_sql,
     "s14_graph_ann" -> s14_sql,
+    "s15_rrf_hybrid" -> s15_sql,
+    "s16_filtered_knn" -> s16_sql,
     "q64_hll" -> q64_sql,
     "t53_stream_hll" -> t53_sql,
     "t54_hll_windows" -> t54_sql,
@@ -6425,6 +6548,7 @@ object Queries {
     "t59_cluster_state" -> t59_sql,
     "t60_stream_quantiles" -> t60_sql,
     "t61_stream_html" -> t61_sql,
+    "t62_bm25" -> t62_sql,
     "q65_quantile_census" -> q65_sql,
     "q66_json_extract" -> q66_sql,
     "q67_retention" -> q67_sql,

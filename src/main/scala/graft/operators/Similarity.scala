@@ -212,6 +212,56 @@ object Similarity {
       .toDF("rank", "id", "rel", "mmr")
   }
 
+  /** FILTERED k-NN join — the tenant/shard/category-scoped retrieval
+    * every production vector store serves ("neighbors of q AMONG rows
+    * with my label"): [[knnJoin]] with the equality predicate
+    * `filterCol(base) = filterCol(query)` folded INTO the broadcast
+    * join condition, so Catalyst evaluates it before the cosine and the
+    * per-task top-k only ranks qualifying rows. Same output shape and
+    * determinism rules as knnJoin. */
+  def filteredKnnJoin(df: DataFrame, idCol: String, vecCol: String,
+                      filterCol: String, queryIds: Seq[Long],
+                      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(col(idCol).as("id"), col(filterCol).as("lbl"),
+      col(vecCol).cast("array<double>").as("v"))
+    val q = v.filter(col("id").isin(queryIds.map(x => x: Any): _*))
+      .select(col("id").as("qid"), col("lbl").as("qlbl"), col("v").as("qv"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id").asc)
+    v.join(broadcast(q), col("id") =!= col("qid") &&
+        col("lbl") === col("qlbl"))
+      .select(col("qid"), col("id"),
+        round(cosine(col("v"), col("qv")), 6).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("id"), col("score"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid
+    * retrieval combiner: given two ranked lists (id, rank 1..n), the
+    * fused score is 1/(c+rank_a) + 1/(c+rank_b) (a missing side
+    * contributes 0). Each term is ONE correctly-rounded division of
+    * small integers and the two-term sum is a fixed-order IEEE add, so
+    * the fused ranking replays bit-for-bit cross-engine (no rounding
+    * needed — the t13/s01 determinism rules). Shortlists are bounded by
+    * construction (they come out of top-k retrievers), so the join is
+    * trivially small at any corpus scale. Returns (id, rrf, rank_a,
+    * rank_b) top-k by (rrf DESC, id). */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String, rankCol: String,
+              c: Int, k: Int): DataFrame = {
+    val l = a.select(col(idCol).as("id"), col(rankCol).as("rank_a"))
+    val r = b.select(col(idCol).as("id"), col(rankCol).as("rank_b"))
+    l.join(r, Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)))
+          .as("rrf"),
+        col("rank_a"), col("rank_b"))
+      .orderBy(col("rrf").desc, col("id"))
+      .limit(k)
+  }
+
   /** Johnson–Lindenstrauss compression + search (Achlioptas ±1 form):
     * project every vector to dOut dims with deterministic Rademacher
     * signs (`functions.JlProject` — ONE narrow codegen map, no model

@@ -84,4 +84,69 @@ object TfIdf {
       .filter($"rnk" <= k)
       .select(col(idCol), $"rnk", $"tok", $"tf", $"df", $"score")
   }
+
+  /** BM25 retrieval (Robertson/Okapi, k1 = 6/5, b = 3/4 — the standard
+    * parameters as exact rationals) — the keyword-search leg of the
+    * retrieval stack (vector legs: s01-s14). ENTIRELY INTEGER, so
+    * ranking replays bit-for-bit cross-engine:
+    *
+    *   - idf64(t) = s64(2N+2) − s64(2·df+1): the 1/64-bit integer log2
+    *     ([[NgramLm.surprisal64Long]], the one scalar home) of the
+    *     standard BM25+ idf (N+1)/(df+½) — `ln` is libm-unreplayable
+    *     (the t13 rule), the integer log2 is the engine's replacement
+    *     everywhere;
+    *   - per-term contribution = (idf64 · 1024 · 44·tf·totTok) div
+    *     (20·tf·totTok + 6·totTok + 18·dl·N) — the k1/b saturation
+    *     ratio cross-multiplied to integers (denominator scaled by
+    *     20·totTok), floor-divided at 1024× resolution; integer
+    *     contributions SUM deterministically in any aggregation order
+    *     (doubles would make the per-doc sum order-dependent);
+    *   - fail-fast when the product bound would breach i64 (the fitKn
+    *     precedent — shard the corpus stats past ~10¹⁷).
+    *
+    * 100 TB shape: stats = one bounded action (N, ΣdlL, df per query
+    * term); scoring touches only docs CONTAINING a query term (explode
+    * + isin filter pushes into the scan), one (doc, term) shuffle with
+    * map-side combine, top-k folds to TakeOrderedAndProject. Returns
+    * (idCol, n_hit, score) for the top `k` docs by (score DESC, id). */
+  def bm25Search(corpus: DataFrame, idCol: String, textCol: String,
+                 terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty && terms.size <= 64,
+      s"bm25Search wants 1..64 query terms, got ${terms.size}")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val withDl = corpus.select(col(idCol).as("id"),
+      split(col(textCol), " ").as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+    val stats = withDl.agg(count(lit(1)), sum(col("dl"))).collect().head
+    val (n, tot) = (stats.getLong(0), stats.getLong(1))
+    val hits = withDl.select(col("id"), col("dl"), explode(col("w")).as("tok"))
+      .filter(col("tok").isin(terms: _*))
+    val dfMap = hits.select(col("tok"), col("id")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = terms.map { t =>
+      val d = dfMap.getOrElse(t, 0L)
+      t -> (NgramLm.surprisal64Long(2 * n + 2) -
+        NgramLm.surprisal64Long(2 * d + 1))
+    }
+    val dlMax = withDl.agg(coalesce(max(col("dl")), lit(0L)))
+      .collect().head.getLong(0)
+    val idfMax = idf.map(_._2).max.max(1L)
+    val bound = BigInt(idfMax) * 1024 * 44 * dlMax.max(1L) * tot.max(1L)
+    require(bound <= (BigInt(1) << 62),
+      s"bm25 integer chain would overflow i64 (bound $bound) — shard " +
+        "the corpus stats (score per shard against shard-local idf)")
+    val idfDf = broadcast(idf.toDF("tok", "idf64"))
+    hits.groupBy(col("id"), col("tok"), col("dl")).agg(count(lit(1)).as("tf"))
+      .join(idfDf, "tok")
+      .withColumn("c", expr(
+        s"(idf64 * 1024 * 44 * tf * ${tot}L) div " +
+          s"(20 * tf * ${tot}L + 6 * ${tot}L + 18 * dl * ${n}L)"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("c")).as("score"))
+      .select(col("id").as(idCol), col("n_hit"), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

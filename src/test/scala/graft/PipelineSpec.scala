@@ -1397,4 +1397,47 @@ class PipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("buildClusterState"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
+
+  test("rrf fusion: hand-computed fused ranking, one-sided entries " +
+      "contribute a single term, ties break on id") {
+    import graft.operators.Similarity
+    val a = Seq((10L, 1), (11L, 2), (12L, 3)).toDF("id", "rk")
+    val b = Seq((11L, 1), (13L, 2)).toDF("id", "rk")
+    val got = Similarity.rrfFuse(a, b, "id", "rk", c = 60, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def t(r: Int) = 1.0 / (60 + r)
+    // 11: both lists; 10/12 only a; 13 only b
+    val expect = Seq(11L -> (t(2) + t(1)), 10L -> t(1), 13L -> t(2),
+      12L -> t(3))
+    assert(got == expect, got.toString)
+    // a tie (same single-list rank) orders by id
+    val c1 = Seq((5L, 1)).toDF("id", "rk")
+    val c2 = Seq((3L, 1)).toDF("id", "rk")
+    val tie = Similarity.rrfFuse(c1, c2, "id", "rk", 60, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(tie == Seq(3L, 5L))
+  }
+
+  test("filtered knn join: per-query results carry ONLY the query's " +
+      "label and equal the label-restricted brute force") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf, "embeddings")
+    val labels = emb.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val qids = (0L until 4L).toSeq
+    val got = Similarity.filteredKnnJoin(emb, "vec_id", "embedding",
+      "label", qids, k = 5).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    got.foreach { case (q, _, id, _) =>
+      assert(labels(id) == labels(q), s"query $q got cross-label $id")
+    }
+    qids.foreach { q =>
+      val brute = Similarity.bruteForceTopK(
+        emb.filter($"label" === labels(q)), "vec_id", "embedding", q, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val mine = got.filter(_._1 == q).sortBy(_._2)
+        .map(x => (x._3, x._4)).toSeq
+      assert(mine == brute, s"query $q: $mine vs $brute")
+    }
+  }
 }
