@@ -900,6 +900,49 @@ object Queries {
        |  COALESCE(kw.doc_id, vec.id)
        |LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- t63
+  // Count-min sketch (the FREQUENCY sketch next to HLL/Bloom/census):
+  // d=4 rows × w=16 buckets of integer sums — w deliberately TINY so
+  // the corpus's 31-token vocabulary actually collides and the report
+  // shows real CMS overcounts (est ≥ true always, the one-sided
+  // guarantee; a crawl deployment sizes w ≫ heavy-hitter count).
+  // Every distinct token probed: (tok, true_cnt, est, overcount).
+  def t63_cms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val toks = docs.select(explode(split($"text", " ")).as("tok"))
+    val cellsDf = operators.Cms.cells(docs, "text", d = 4, w = 16)
+    val truth = toks.groupBy($"tok").agg(count(lit(1)).as("true_cnt"))
+    operators.Cms.estimates(cellsDf, truth.select($"tok"), "tok",
+      d = 4, w = 16)
+      .join(truth, "tok")
+      .select($"tok", $"true_cnt", $"est",
+        ($"est" - $"true_cnt").as("overcount"))
+      .orderBy($"tok")
+  }
+
+  private val t63_sql = {
+    def bkt(j: Int) =
+      operators.Cms.bucketSql(Text.tokenCodeSql("tok"), j, 16, duck = true)
+    val cellsUnion = (0 until 4).map(j =>
+      s"SELECT $j AS j, ${bkt(j)} AS b FROM toks").mkString("\n  UNION ALL ")
+    val probeUnion = (0 until 4).map(j =>
+      s"SELECT tok, $j AS j, ${bkt(j)} AS b FROM probes")
+      .mkString("\n  UNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |cells AS (SELECT j, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+       |  $cellsUnion) GROUP BY j, b),
+       |truec AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_cnt
+       |          FROM toks GROUP BY tok),
+       |probes AS (SELECT DISTINCT tok FROM toks),
+       |pj AS (
+       |  $probeUnion),
+       |est AS (SELECT tok, MIN(COALESCE(cnt, 0)) AS est
+       |        FROM pj LEFT JOIN cells USING (j, b) GROUP BY tok)
+       |SELECT t.tok, t.true_cnt, e.est, e.est - t.true_cnt AS overcount
+       |FROM truec t JOIN est e USING (tok) ORDER BY tok""".stripMargin
+  }
+
   // ---------------------------------------------------------------- t25
   // TF-IDF with vocabulary CONTROL (the production form): hapax pruning
   // (df ≥ 2) + a top-50 most-frequent-token cap — the bounded vocab is
@@ -6346,6 +6389,7 @@ object Queries {
     "t60_stream_quantiles" -> (t60_stream_quantiles _),
     "t61_stream_html" -> (t61_stream_html _),
     "t62_bm25" -> (t62_bm25 _),
+    "t63_cms" -> (t63_cms _),
     "q65_quantile_census" -> (q65_quantile_census _),
     "q66_json_extract" -> (q66_json_extract _),
     "q67_retention" -> (q67_retention _),
@@ -6549,6 +6593,7 @@ object Queries {
     "t60_stream_quantiles" -> t60_sql,
     "t61_stream_html" -> t61_sql,
     "t62_bm25" -> t62_sql,
+    "t63_cms" -> t63_sql,
     "q65_quantile_census" -> q65_sql,
     "q66_json_extract" -> q66_sql,
     "q67_retention" -> q67_sql,

@@ -380,4 +380,44 @@ class OperatorsSpec extends SparkSpec {
     val got = Upsert.upsert(target, source, Seq("k")).collect().head
     assert(got.getString(1) == "a" && got.getDouble(2) == 99.0)
   }
+
+  test("count-min sketch: est >= true always (one-sided), exact at " +
+      "large w, store append == combined build (merge-by-sum), " +
+      "replayed batch id collapses, missing store fails fast") {
+    import graft.operators.Cms
+    val docs = Tables.load(spark, sf, "documents")
+    val toks = docs.select(explode(split($"text", " ")).as("tok"))
+    val truth = toks.groupBy($"tok").agg(count(lit(1)).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def estMap(d: Int, w: Int) =
+      Cms.estimates(Cms.cells(docs, "text", d, w),
+        toks.select($"tok").distinct(), "tok", d, w)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val small = estMap(4, 16)
+    assert(truth.forall { case (t, c) => small(t) >= c },
+      "CMS must never undercount")
+    assert(truth.exists { case (t, c) => small(t) > c },
+      "w=16 over a 31-token vocab must actually collide")
+    // w large: buckets uncrowded -> exact everywhere
+    assert(estMap(4, 1 << 14) == truth)
+    // store lifecycle: build(a) + append(b) == cells(a union b)
+    val a = docs.filter($"doc_id" % 2 === 0L)
+    val b = docs.filter($"doc_id" % 2 =!= 0L)
+    val base = s"/tmp/graft_cms_spec/${System.nanoTime()}"
+    Cms.buildCmsStore(a, "text", 4, 16, s"$base/store")
+    Cms.appendToCmsStore(b, "text", s"$base/store", batchId = 3L)
+    def fromStore() =
+      Cms.estimatesFromStore(spark, s"$base/store",
+        toks.select($"tok").distinct(), "tok")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromStore() == small)
+    // replayed batch id: identical cells collapse at read
+    Cms.appendToCmsStore(b, "text", s"$base/store", batchId = 3L)
+    assert(fromStore() == small)
+    val err = intercept[IllegalArgumentException] {
+      Cms.appendToCmsStore(b, "text", s"$base/nowhere", 1L)
+    }
+    assert(err.getMessage.contains("buildCmsStore"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }
