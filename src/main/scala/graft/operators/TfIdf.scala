@@ -118,26 +118,28 @@ object TfIdf {
     val withDl = corpus.select(col(idCol).as("id"),
       split(col(textCol), " ").as("w"))
       .withColumn("dl", size(col("w")).cast("long"))
-    val stats = withDl.agg(count(lit(1)), sum(col("dl"))).collect().head
-    val (n, tot) = (stats.getLong(0), stats.getLong(1))
+    // ONE stats action (N, Σdl, max dl) + one bounded df action
+    val stats = withDl.agg(count(lit(1)), sum(col("dl")),
+      coalesce(max(col("dl")), lit(0L))).collect().head
+    val (n, tot, dlMax) =
+      (stats.getLong(0), stats.getLong(1), stats.getLong(2))
+    // idf stays LAZY: df per term aggregates in-plan (a ≤|terms|-row
+    // table, broadcast) and idf64 is the COLUMN form of the same
+    // surprisal formula (spec-pinned bit-equal to surprisal64Long), so
+    // scoring is ONE job after the single stats action
     val hits = withDl.select(col("id"), col("dl"), explode(col("w")).as("tok"))
       .filter(col("tok").isin(terms: _*))
-    val dfMap = hits.select(col("tok"), col("id")).distinct()
-      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val idf = terms.map { t =>
-      val d = dfMap.getOrElse(t, 0L)
-      t -> (NgramLm.surprisal64Long(2 * n + 2) -
-        NgramLm.surprisal64Long(2 * d + 1))
-    }
-    val dlMax = withDl.agg(coalesce(max(col("dl")), lit(0L)))
-      .collect().head.getLong(0)
-    val idfMax = idf.map(_._2).max.max(1L)
+    val idfMax = NgramLm.surprisal64Long(2 * n + 2).max(1L) // df=0 worst case
     val bound = BigInt(idfMax) * 1024 * 44 * dlMax.max(1L) * tot.max(1L)
     require(bound <= (BigInt(1) << 62),
       s"bm25 integer chain would overflow i64 (bound $bound) — shard " +
         "the corpus stats (score per shard against shard-local idf)")
-    val idfDf = broadcast(idf.toDF("tok", "idf64"))
+    val idfDf = broadcast(
+      hits.select(col("tok"), col("id")).distinct()
+        .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .select(col("tok"),
+          (lit(NgramLm.surprisal64Long(2 * n + 2)) -
+            NgramLm.surprisal64(lit(2L) * col("df") + 1L)).as("idf64")))
     hits.groupBy(col("id"), col("tok"), col("dl")).agg(count(lit(1)).as("tf"))
       .join(idfDf, "tok")
       .withColumn("c", expr(
