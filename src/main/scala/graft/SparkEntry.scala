@@ -900,6 +900,34 @@ object Queries {
        |  COALESCE(kw.doc_id, vec.id)
        |LIMIT 10""".stripMargin
 
+  // ---------------------------------------------------------------- t64
+  // Deterministic WEIGHTED sampling (Sampling.weightedSample): per
+  // lang, the 20 docs with the smallest decisionHash(id)/n_chars —
+  // selection odds grow with length (stand-in for any quality weight),
+  // the draw is a pure function of (id, w). Priority = ONE double
+  // division of exact integers, identical cross-engine (emitted at
+  // 6 dp via roundBin for the compare).
+  def t64_weighted_sample(spark: SparkSession, dir: String): DataFrame =
+    operators.Sampling.weightedSample(t(spark, dir, "documents"),
+      "doc_id", "lang", "n_chars", k = 20)
+      .select($"lang", $"rk", $"doc_id", $"w",
+        RF.roundBin($"pri", 6).as("pri"))
+      .orderBy($"lang", $"rk")
+
+  private val t64_sql =
+    """WITH h AS (
+      |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
+      |    CAST((((doc_id % 2147483648) * 2654435761) % 4294967296
+      |      + ((doc_id // 2147483648) * 2246822519) % 4294967296)
+      |      % 4294967296 AS DOUBLE) / n_chars AS pri
+      |  FROM documents),
+      |r AS (SELECT lang, doc_id, w, pri,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY pri, doc_id) AS rk
+      |  FROM h)
+      |SELECT lang, rk, doc_id, w,
+      |  floor(pri * 1000000 + 0.5) / 1000000 AS pri
+      |FROM r WHERE rk <= 20 ORDER BY lang, rk""".stripMargin
+
   // ---------------------------------------------------------------- t63
   // Count-min sketch (the FREQUENCY sketch next to HLL/Bloom/census):
   // d=4 rows × w=16 buckets of integer sums — w deliberately TINY so
@@ -6390,6 +6418,7 @@ object Queries {
     "t61_stream_html" -> (t61_stream_html _),
     "t62_bm25" -> (t62_bm25 _),
     "t63_cms" -> (t63_cms _),
+    "t64_weighted_sample" -> (t64_weighted_sample _),
     "q65_quantile_census" -> (q65_quantile_census _),
     "q66_json_extract" -> (q66_json_extract _),
     "q67_retention" -> (q67_retention _),
@@ -6594,6 +6623,7 @@ object Queries {
     "t61_stream_html" -> t61_sql,
     "t62_bm25" -> t62_sql,
     "t63_cms" -> t63_sql,
+    "t64_weighted_sample" -> t64_sql,
     "q65_quantile_census" -> q65_sql,
     "q66_json_extract" -> q66_sql,
     "q67_retention" -> q67_sql,

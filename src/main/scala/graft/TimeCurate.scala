@@ -197,6 +197,13 @@ object TimeCurate {
       if (rep == 1) println(s"  sums: ${r.head}")
     }
 
+    // t62: BM25 over the 500k-doc corpus (stats action + one scoring job)
+    for (rep <- 1 to 3) time(s"t62 bm25 rep$rep") {
+      val r = operators.TfIdf.bm25Search(docs, "doc_id", "text",
+        Seq("spark", "table", "merge"), k = 10).collect()
+      if (rep == 1) println(s"  top: ${r.take(2).mkString(";")}")
+    }
+
     // s14: NN-descent graph build (one-time index cost) + beam search
     // (the recurring per-batch cost) vs the s11 IVF k-NN join
     val gdir = s"$base/graph"

@@ -42,6 +42,33 @@ object Sampling {
   /** Keep predicate at a fixed rate. */
   def keep(id: Column, rate: Column): Column = decision(id) < rate
 
+  /** DETERMINISTIC weighted priority sampling — per stratum, the k rows
+    * with the smallest hash-priority `decisionHash(id) / w`: selection
+    * odds grow with the weight (a row with twice the weight halves its
+    * priority), yet the draw is a pure function of (id, w) — rerun,
+    * engine, and layout invariant, the t06 hash-gate idea extended to
+    * WEIGHTED selection (quality-weighted corpus subsampling, w =
+    * quality score / length / dedup multiplicity). The priority is one
+    * correctly-rounded double division of exact integers, identical in
+    * any engine; ranking tie-breaks on id for a total order. A
+    * map-side WindowGroupLimit caps each task's contribution at k
+    * before the single stratum shuffle.
+    *
+    * Returns (stratumCol, rk, idCol, w, pri) for the k kept rows per
+    * stratum; `wCol` must be a positive integral column. */
+  def weightedSample(df: DataFrame, idCol: String, stratumCol: String,
+                     wCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy(col(stratumCol))
+      .orderBy(col("pri").asc, col(idCol).asc)
+    df.select(col(stratumCol), col(idCol), col(wCol).cast("long").as("w"),
+        (decisionHash(col(idCol)).cast("double") /
+          col(wCol).cast("double")).as("pri"))
+      .withColumn("rk", row_number().over(win))
+      .filter(col("rk") <= k)
+      .select(col(stratumCol), col("rk"), col(idCol), col("w"), col("pri"))
+  }
+
   /** Weighted (per-stratum) sampling — the data-mixing step: each key in
     * `rates` keeps that fraction of its rows, everything else keeps
     * `default`. */

@@ -1440,4 +1440,33 @@ class PipelineSpec extends SparkSpec {
       assert(mine == brute, s"query $q: $mine vs $brute")
     }
   }
+
+  test("weighted sampling: pure function of (id, w) — rerun/layout " +
+      "invariant; uniform weight scaling preserves the draw; raising " +
+      "one row's weight only improves its rank; heavy rows " +
+      "overrepresented vs the corpus mean") {
+    import graft.operators.Sampling
+    val docs = Tables.load(spark, sf, "documents")
+    def run(df: org.apache.spark.sql.DataFrame, wCol: String) =
+      Sampling.weightedSample(df, "doc_id", "lang", wCol, k = 10)
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .toSet
+    val base = run(docs, "n_chars")
+    assert(run(docs.repartition(7), "n_chars") == base, "layout variant")
+    // uniform scaling: priorities all halve, ranking identical
+    assert(run(docs.withColumn("w2", $"n_chars" * 2L), "w2") == base)
+    // heavier rows are overrepresented
+    val keptMean = docs.join(
+      Sampling.weightedSample(docs, "doc_id", "lang", "n_chars", 10)
+        .select($"doc_id"), "doc_id")
+      .agg(avg($"n_chars")).head.getDouble(0)
+    val allMean = docs.agg(avg($"n_chars")).head.getDouble(0)
+    assert(keptMean > allMean, s"kept $keptMean <= corpus $allMean")
+    // raising ONE row's weight can only improve (lower) its priority
+    val victim = base.minBy(_._3)._3
+    val boosted = docs.withColumn("w3",
+      when($"doc_id" === victim, $"n_chars" * 100L).otherwise($"n_chars"))
+    assert(run(boosted, "w3").exists(_._3 == victim),
+      "a kept row boosted 100x must stay kept")
+  }
 }
