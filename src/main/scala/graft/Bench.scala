@@ -32,7 +32,9 @@ object Bench {
       try fn(spark, warmupDir).count()
       catch { case _: Throwable => () }
     for (q <- Seq("q19_parted", "q20_csv", "q21_stream_tumbling",
-        "s03_ann_ivf", "s07_pq_adc", "s08_ivfpq"))
+        "s03_ann_ivf", "s07_pq_adc", "s08_ivfpq",
+        "s14_graph_ann", "t59_cluster_state", "t60_stream_quantiles",
+        "t61_stream_html"))
       try SparkEntry.queries(q)(spark, sfDir).count()
       catch { case _: Throwable => () }
 

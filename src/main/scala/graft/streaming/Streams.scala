@@ -323,6 +323,30 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming ingest into the PERSISTED graph-ANN index: each
+    * micro-batch's vectors beam-search their neighbors over the stored
+    * graph and append bidirectional edges
+    * (`GraphAnn.appendToGraphIndex`). At-least-once appends are
+    * exactly-once at read: search loads edges DISTINCT and nodes
+    * deduped by id (replayed batches re-write byte-identical rows). */
+  def graphAnnIngest(spark: SparkSession, srcDir: String,
+                     schemaFrom: DataFrame, idCol: String, vecCol: String,
+                     indexPath: String, checkpoint: String,
+                     statePartitions: Int = 2): Unit = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.GraphAnn.appendToGraphIndex(batch, idCol, vecCol,
+          indexPath)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming raw-HTML → clean-text extraction (the t56 operator on a
     * live crawl feed): each micro-batch runs the SAME codegen chain
     * (`Html.cleanHtml` — per-row, stateless, so stream ≡ batch exactly)

@@ -97,6 +97,34 @@ class GraphAnnSpec extends SparkSpec {
     assert(e1 == e2)
   }
 
+  test("streaming ingest: a streamed batch's points become searchable " +
+      "and find their planted twins; a checkpointed replay appends " +
+      "nothing observable") {
+    val base = s"/tmp/graft_graphann_stream/${System.nanoTime()}"
+    GraphAnn.buildGraphIndex(clustered, "vec_id", "embedding",
+      k = 8, nBuckets = 16, iters = 2, path = s"$base/idx")
+    val batch = Seq(1000L, 1001L).map { id =>
+      val v = Array.fill(64)(0.0)
+      (24 until 32).foreach(d => v(d) = 1.0)
+      v(24) += 0.4
+      v(24 + (id % 8).toInt) += 0.001
+      (id, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    batch.write.parquet(s"$base/feed")
+    streaming.Streams.graphAnnIngest(spark, s"$base/feed", batch,
+      "vec_id", "embedding", s"$base/idx", s"$base/ckpt")
+    def search() = GraphAnn.searchGraphIndex(spark, s"$base/idx",
+      Seq(1000L), k = 5, beamWidth = 12, hops = 3, nSeeds = 8)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    val got = search()
+    assert(got.map(_._2).contains(1001L), s"twin not found: $got")
+    // checkpointed replay: the drained feed appends nothing observable
+    streaming.Streams.graphAnnIngest(spark, s"$base/feed", batch,
+      "vec_id", "embedding", s"$base/idx", s"$base/ckpt")
+    assert(search() == got)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("persisted lifecycle: search == in-memory; appended points are " +
       "immediately searchable and find their planted twin; a replayed " +
       "append changes nothing; missing index fails fast") {
