@@ -5299,6 +5299,29 @@ object Queries {
        |  JOIN a ON a.cell = p.cell AND a.id <> q.qid)
        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
+  // ---------------------------------------------------------------- s17
+  // Matryoshka prefix-truncated search (MRL serving): cosine over the
+  // first 16 of 64 dims → shortlist 32 → exact full-dim rerank →
+  // top-10. The zero-transform nested-representation funnel next to JL
+  // (random projection) and SQ8/PQ (quantization).
+  def s17_mrl_search(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mrlTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, dPrefix = 16, shortlist = 32)
+      .select($"id".as("vec_id"), $"score")
+
+  private val s17_sql =
+    """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+      |    CAST(embedding AS DOUBLE[])[1:16] AS p FROM embeddings),
+      |q AS (SELECT v AS qv, p AS qp FROM v WHERE id = 0),
+      |short AS (
+      |  SELECT id, v.v, q.qv,
+      |    ROUND(list_cosine_similarity(v.p, q.qp), 6) AS pscore
+      |  FROM v, q WHERE id <> 0
+      |  ORDER BY pscore DESC, id LIMIT 32)
+      |SELECT id AS vec_id,
+      |  ROUND(list_cosine_similarity(v, qv), 6) AS score
+      |FROM short ORDER BY score DESC, id LIMIT 10""".stripMargin
+
   // ---------------------------------------------------------------- s16
   // FILTERED vector retrieval (the tenant/category-scoped search every
   // production vector store serves): k-NN among rows sharing the
@@ -6406,6 +6429,7 @@ object Queries {
     "s14_graph_ann" -> (s14_graph_ann _),
     "s15_rrf_hybrid" -> (s15_rrf_hybrid _),
     "s16_filtered_knn" -> (s16_filtered_knn _),
+    "s17_mrl_search" -> (s17_mrl_search _),
     "q64_hll" -> (q64_hll _),
     "t53_stream_hll" -> (t53_stream_hll _),
     "t54_hll_windows" -> (t54_hll_windows _),
@@ -6611,6 +6635,7 @@ object Queries {
     "s14_graph_ann" -> s14_sql,
     "s15_rrf_hybrid" -> s15_sql,
     "s16_filtered_knn" -> s16_sql,
+    "s17_mrl_search" -> s17_sql,
     "q64_hll" -> q64_sql,
     "t53_stream_hll" -> t53_sql,
     "t54_hll_windows" -> t54_sql,

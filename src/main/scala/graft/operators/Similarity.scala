@@ -212,6 +212,38 @@ object Similarity {
       .toDF("rank", "id", "rel", "mmr")
   }
 
+  /** Matryoshka (MRL) prefix-truncated search (Kusupati et al. 2022 —
+    * the nested-representation serving trick): score candidates by
+    * cosine over the FIRST `dPrefix` dimensions only (a row-local
+    * `slice`, so the cheap pass reads dPrefix/d of the multiply-adds —
+    * MRL-trained embeddings keep the head dimensions meaningful), keep
+    * a `shortlist`, then exact full-dimension rerank of the shortlist
+    * for the final top-k. Both passes are the s01 determinism recipe
+    * (6-dp rounded scores, id tie-break), so the whole funnel replays
+    * exactly. Complements JL (random projection — no training
+    * assumption, needs a projection pass) with the zero-transform
+    * prefix form. */
+  def mrlTopK(df: DataFrame, idCol: String, vecCol: String, queryId: Long,
+              k: Int, dPrefix: Int, shortlist: Int): DataFrame = {
+    require(k >= 1 && k <= shortlist, s"k $k outside 1..$shortlist")
+    require(dPrefix >= 1, s"dPrefix $dPrefix must be >= 1")
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+      .withColumn("p", slice(col("v"), 1, dPrefix))
+    val q = v.filter(col("id") === queryId)
+      .select(col("v").as("qv"), col("p").as("qp"))
+    val short = v.join(broadcast(q))
+      .filter(col("id") =!= queryId)
+      .select(col("id"), col("v"), col("qv"),
+        round(cosine(col("p"), col("qp")), 6).as("pscore"))
+      .orderBy(col("pscore").desc, col("id"))
+      .limit(shortlist)
+    short
+      .select(col("id"), round(cosine(col("v"), col("qv")), 6).as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
+
   /** FILTERED k-NN join — the tenant/shard/category-scoped retrieval
     * every production vector store serves ("neighbors of q AMONG rows
     * with my label"): [[knnJoin]] with the equality predicate

@@ -323,6 +323,27 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming ingest into the PERSISTED count-min store: each
+    * micro-batch's d×w cells append under the checkpointed batch id
+    * (`Cms.appendToCmsStore`) — the t60 batch-stamp rule makes
+    * at-least-once delivery exactly-once at read. */
+  def cmsIngest(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
+                textCol: String, storePath: String, checkpoint: String,
+                statePartitions: Int = 2): Unit = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.operators.Cms.appendToCmsStore(batch, textCol, storePath,
+          batchId = bid + 1) // build uses batch 0
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   /** Streaming ingest into the PERSISTED graph-ANN index: each
     * micro-batch's vectors beam-search their neighbors over the stored
     * graph and append bidirectional edges

@@ -1469,4 +1469,57 @@ class PipelineSpec extends SparkSpec {
     assert(run(boosted, "w3").exists(_._3 == victim),
       "a kept row boosted 100x must stay kept")
   }
+
+  test("mrl prefix search: dPrefix = full dim == brute force " +
+      "bit-for-bit; truncated prefix recall clears the floor on the " +
+      "clustered fixture") {
+    import graft.operators.Similarity
+    val emb = Tables.load(spark, sf, "embeddings")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exact = rows(Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      0L, 10))
+    val full = rows(Similarity.mrlTopK(emb, "vec_id", "embedding", 0L,
+      k = 10, dPrefix = 64, shortlist = 10))
+    assert(full == exact, "full-prefix funnel must equal brute force")
+    // clustered corpus: 8-dim cluster blocks live in the HEAD dims for
+    // clusters 0-1, so a 16-dim prefix separates them
+    def cvec(c: Int, i: Long): Seq[Double] = {
+      val v = Array.fill(64)(0.0)
+      (8 * c until 8 * c + 8).foreach(d => v(d) = 1.0)
+      v((8 * c + (i % 8)).toInt) += 0.2 * (((i * 7) % 13) - 6) / 13.0
+      v.toSeq
+    }
+    val clustered = (0L until 128L).map(i => (i, cvec((i % 2).toInt, i)))
+      .toDF("vec_id", "embedding")
+    val ex = rows(Similarity.bruteForceTopK(clustered, "vec_id",
+      "embedding", 0L, 10)).map(_._1).toSet
+    val mrl = rows(Similarity.mrlTopK(clustered, "vec_id", "embedding",
+      0L, k = 10, dPrefix = 16, shortlist = 24)).map(_._1).toSet
+    assert(ex.intersect(mrl).size >= 9, s"mrl recall ${ex.intersect(mrl).size}/10")
+  }
+
+  test("streaming CMS ingest: estimates from the streamed store equal " +
+      "the batch sketch; checkpointed replay changes nothing") {
+    import graft.operators.Cms
+    val docs = Tables.load(spark, sf, "documents")
+    val toks = docs.select(explode(split($"text", " ")).as("tok"))
+    val base = s"/tmp/graft_cmsstream_spec/${System.nanoTime()}"
+    docs.write.parquet(s"$base/feed")
+    Cms.buildCmsStore(docs.limit(0), "text", 4, 16, s"$base/store")
+    streaming.Streams.cmsIngest(spark, s"$base/feed", docs, "text",
+      s"$base/store", s"$base/ckpt")
+    def est() = Cms.estimatesFromStore(spark, s"$base/store",
+      toks.select($"tok").distinct(), "tok")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = est()
+    val batch = Cms.estimates(Cms.cells(docs, "text", 4, 16),
+      toks.select($"tok").distinct(), "tok", 4, 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == batch)
+    streaming.Streams.cmsIngest(spark, s"$base/feed", docs, "text",
+      s"$base/store", s"$base/ckpt")
+    assert(est() == batch)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }
