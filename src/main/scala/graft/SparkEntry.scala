@@ -226,6 +226,46 @@ object Queries {
       .orderBy($"event_id")
   }
 
+  // ---------------------------------------------------------------- q74
+  // As-of join with TOLERANCE (pandas merge_asof(tolerance=), beyond
+  // the reference's aj): signups matched to the user's prevailing view
+  // only when it happened within the last hour — a stale prevailing
+  // row is a MISS (payload nulls, asof_within false). Same zero-extra-
+  // shuffle composition as q11; the oracle is DuckDB's native ASOF
+  // LEFT JOIN with the distance CASE applied on top.
+  def q74_asof_tolerance(spark: SparkSession, dir: String): DataFrame = {
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val e = t(spark, dir, "events")
+    val left = e.filter($"event_type" === "signup")
+      .select($"event_id", $"user_id", $"ts")
+    val right = e.filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"value".as("view_value"),
+        $"ts".as("view_ts"))
+    operators.AsofJoin.asofJoinTolerance(left, right, Seq("user_id"), "ts",
+        tol = hourNs)
+      .select($"event_id", $"user_id",
+        round($"view_value", 4).as("view_value"),
+        (expr("ts div 1000") - expr("view_ts div 1000")).as("lag_us"),
+        $"asof_within")
+      .orderBy($"event_id")
+  }
+
+  private val q74_sql =
+    """SELECT l.event_id, l.user_id,
+      |  CASE WHEN r.ts IS NOT NULL
+      |        AND epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
+      |       THEN round(r.value, 4) END AS view_value,
+      |  CASE WHEN r.ts IS NOT NULL
+      |        AND epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
+      |       THEN epoch_us(l.ts) - epoch_us(r.ts) END AS lag_us,
+      |  COALESCE(r.ts IS NOT NULL
+      |    AND epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000, FALSE)
+      |    AS asof_within
+      |FROM (SELECT * FROM events WHERE event_type = 'signup') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
   private val q11_sql =
     """SELECT l.event_id, l.user_id, r.value AS purchase_value,
       |  epoch_us(l.ts) - epoch_us(r.ts) AS lag_us
@@ -6443,6 +6483,7 @@ object Queries {
     "t62_bm25" -> (t62_bm25 _),
     "t63_cms" -> (t63_cms _),
     "t64_weighted_sample" -> (t64_weighted_sample _),
+    "q74_asof_tolerance" -> (q74_asof_tolerance _),
     "q65_quantile_census" -> (q65_quantile_census _),
     "q66_json_extract" -> (q66_json_extract _),
     "q67_retention" -> (q67_retention _),
@@ -6649,6 +6690,7 @@ object Queries {
     "t62_bm25" -> t62_sql,
     "t63_cms" -> t63_sql,
     "t64_weighted_sample" -> t64_sql,
+    "q74_asof_tolerance" -> q74_sql,
     "q65_quantile_census" -> q65_sql,
     "q66_json_extract" -> q66_sql,
     "q67_retention" -> q67_sql,

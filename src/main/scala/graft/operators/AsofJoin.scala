@@ -94,6 +94,33 @@ object AsofJoin {
     lid.join(matched, "__lid").drop("__lid")
   }
 
+  /** As-of join with a TOLERANCE (the pandas `merge_asof(tolerance=)`
+    * form the reference's `aj` lacks): a prevailing match farther than
+    * `tol` in the ts unit is treated as a MISS — its payload columns
+    * null out and `asof_within` reports false. Stale quotes, expired
+    * sessions, sensor dropouts: the standard guard against joining
+    * against ancient state. Composes [[asofJoin]] (the matched right
+    * ts rides along as a payload column) with one narrow post-map —
+    * same shuffles, same determinism. Payload names must not collide
+    * with left columns (the override rule can't compose with nulling). */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame,
+                        keys: Seq[String], ts: String, tol: Long,
+                        rightCols: Seq[String] = Nil): DataFrame = {
+    val payload =
+      if (rightCols.nonEmpty) rightCols
+      else right.columns.filterNot(c => keys.contains(c) || c == ts).toSeq
+    val collided = payload.toSet.intersect(left.columns.toSet)
+    require(collided.isEmpty,
+      s"asofJoinTolerance payload collides with left columns $collided — " +
+        "rename them (nulling a miss cannot compose with the override rule)")
+    val r2 = right.withColumn("__mts", col(ts))
+    val j = asofJoin(left, r2, keys, ts, rightCols = payload :+ "__mts")
+    val ok = col("__mts").isNotNull && (col(ts) - col("__mts") <= tol)
+    payload.foldLeft(j)((df, c) => df.withColumn(c, when(ok, col(c))))
+      .withColumn("asof_within", coalesce(ok, lit(false)))
+      .drop("__mts")
+  }
+
   /** @param keys      equi-join key columns (present in both sides)
     * @param ts        time column name (present in both sides, orderable)
     * @param rightCols right payload columns to attach (default: all

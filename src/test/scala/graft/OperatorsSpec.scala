@@ -420,4 +420,29 @@ class OperatorsSpec extends SparkSpec {
     assert(err.getMessage.contains("buildCmsStore"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
+
+  test("asof join with tolerance: within-tol match keeps payload, a " +
+      "STALE prevailing match nulls it (asof_within false), no-match " +
+      "rows report false; colliding payload names fail fast") {
+    val left = Seq((1L, 7L, 100L), (2L, 7L, 500L), (3L, 8L, 50L))
+      .toDF("event_id", "k", "ts")
+    val right = Seq((7L, 90L, 1.5), (7L, 80L, 9.9), (9L, 10L, 3.3))
+      .toDF("k", "ts", "v")
+    val got = AsofJoin.asofJoinTolerance(left, right, Seq("k"), "ts",
+        tol = 50L)
+      .orderBy($"event_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.toString),
+        r.getBoolean(r.length - 1)))
+      .toSeq
+    // event 1: prevailing (7, 90) at distance 10 <= 50 -> kept
+    // event 2: prevailing (7, 90) at distance 410 -> stale, nulled
+    // event 3: key 8 has no right rows -> miss
+    assert(got == Seq((1L, Some("1.5"), true), (2L, None, false),
+      (3L, None, false)), got.toString)
+    val err = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoinTolerance(left,
+        right.withColumnRenamed("v", "event_id"), Seq("k"), "ts", 50L)
+    }
+    assert(err.getMessage.contains("collides"))
+  }
 }
