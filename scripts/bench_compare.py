@@ -62,6 +62,11 @@ def main():
     tot_n = sum(nq[k] for k in common)
     print(f"common-query total: {tot_o:.1f}s -> {tot_n:.1f}s "
           f"({tot_n / tot_o:.2f}x)")
+    if common:
+        import math
+        geo = math.exp(sum(math.log(nq[k] / oq[k]) for k in common)
+                       / len(common))
+        print(f"geomean over common queries: {geo:.3f}x")
     for k, a, b, r in sorted(imps, key=lambda x: x[3]):
         print(f"  [faster] {k}: {a:.3f} -> {b:.3f}  ({r:.2f}x)")
     for k, a, b, r in sorted(regs, key=lambda x: -x[3]):

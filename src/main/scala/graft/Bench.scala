@@ -90,6 +90,28 @@ object Bench {
     // the complete line so every number survives.
     java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
       (line + "\n").getBytes("UTF-8"))
+    // Round-over-round guard (r14 verdict finding #1): every run prints
+    // its own comparison (geomean + >1.3x list, host fingerprints) vs
+    // the latest COMMITTED BENCH_r*.json, so a final commit can't quote
+    // a superseded artifact unnoticed. Best-effort: a missing python3 /
+    // script never fails the bench.
+    try {
+      Option(new java.io.File(".").listFiles()).toSeq.flatten
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(_.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
+        .lastOption.foreach { p =>
+          println(s"--- bench_compare vs ${p.getName} ---")
+          val pb = new ProcessBuilder("python3",
+            "scripts/bench_compare.py", p.getPath, "bench_last.json")
+          pb.redirectErrorStream(true)
+          val proc = pb.start()
+          // explicit UTF-8: the JVM's default charset under a POSIX
+          // locale is ASCII and the script's em-dashes would throw
+          scala.io.Source.fromInputStream(proc.getInputStream)("UTF-8")
+            .getLines().foreach(l => println(s"  $l"))
+          proc.waitFor()
+        }
+    } catch { case e: Throwable => println(s"(bench_compare skipped: $e)") }
     spark.stop()
   }
 }

@@ -32,9 +32,16 @@ object Cms {
   /** One home for the row-j bucket arithmetic, both dialects. */
   def bucketSql(codeSql: String, j: Int, w: Int, duck: Boolean): String = {
     // BIGINT cast before the multiply: the code itself is INT-typed and
-    // ANSI Spark overflows int arithmetic (the CLAUDE.md L-suffix rule)
-    val m = s"((CAST(($codeSql) AS BIGINT) * ${NgramHashes.keys(j)}) " +
-      s"% 4294967296)"
+    // ANSI Spark overflows int arithmetic (the CLAUDE.md L-suffix rule).
+    // The code is then BOUNDED to < 2^22 (the NgramLm.fitHashed
+    // precedent) BEFORE multiplying by the ~2^31.6 row key: tokenCodeSql
+    // only stays under 2^22 for short tokens, and a pathological crawl
+    // token (~96k+ chars, e.g. a base64 blob) would otherwise overflow
+    // the i64 product and abort the whole job under ANSI; the bound
+    // keeps the product < 2^54 for ANY input (identity for real tokens,
+    // so stored sketches are unchanged).
+    val m = s"(((CAST(($codeSql) AS BIGINT) % 4194304) * " +
+      s"${NgramHashes.keys(j)}) % 4294967296)"
     // Spark SQL spells shift/xor as shiftright()/^; DuckDB as >>/xor()
     if (duck) s"(xor($m >> 9, $m) % $w)"
     else s"((shiftright($m, 9) ^ $m) % $w)"

@@ -207,6 +207,12 @@ object GraphAnn {
     while (i < n) {
       ids(i) = rows(i).getLong(0)
       vecs(i) = rows(i).getSeq[Double](1).toArray
+      // reject zero-norm vectors at build (the distributed stage form
+      // rejects them too — ANSI DIVIDE_BY_ZERO in the cosine — so the
+      // kernel must not silently serve NaN scores for them)
+      require(vecs(i).exists(_ != 0.0),
+        s"zero-norm vector at id ${ids(i)} — cosine is undefined; " +
+          "filter degenerate vectors before indexing")
       idToIdx.put(ids(i), i)
       i += 1
     }
@@ -261,17 +267,32 @@ object GraphAnn {
         while (t < d) {
           dot += qv(t) * v(t); na += qv(t) * qv(t); nb += v(t) * v(t); t += 1
         }
-        // Spark's round(col, 6): BigDecimal HALF_UP — must match exactly
-        val s = java.math.BigDecimal.valueOf(
-          dot / (math.sqrt(na) * math.sqrt(nb)))
-          .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+        // Spark's round(col, 6): BigDecimal HALF_UP — must match exactly.
+        // NaN/Infinite (a zero-norm vector) would throw in
+        // BigDecimal.valueOf; Spark's round passes them through — do
+        // the same so kernel == stage form holds on degenerate vectors.
+        val raw = dot / (math.sqrt(na) * math.sqrt(nb))
+        val s =
+          if (java.lang.Double.isNaN(raw) ||
+              java.lang.Double.isInfinite(raw)) raw
+          else java.math.BigDecimal.valueOf(raw)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
         scoreOf.put(Integer.valueOf(j), java.lang.Double.valueOf(s))
         s
       }
     }
+    // score DESC with NaN GREATEST (java.lang.Double.compare's total
+    // order == Spark's sort order — a zero-norm vector's NaN cosine
+    // must rank identically in kernel and stage form), then id ASC
+    val byScoreDesc: Ordering[(Int, Double)] = new Ordering[(Int, Double)] {
+      def compare(a: (Int, Double), b: (Int, Double)): Int = {
+        val c = java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(ids(a._1), ids(b._1))
+      }
+    }
     def topB(cand: Iterable[Int], width: Int): Array[Int] =
       cand.toArray.map(j => (j, sc(j)))
-        .sortBy { case (j, s) => (-s, ids(j)) }
+        .sorted(byScoreDesc)
         .take(width).map(_._1)
     var beam = topB((seeds :+ qi).distinct.toSeq, beamWidth)
     var h = 0
@@ -281,8 +302,9 @@ object GraphAnn {
       beam = topB(cand, beamWidth)
       h += 1
     }
-    beam.filter(_ != qi).map(j => (ids(qi), 0, ids(j), sc(j)))
-      .sortBy { case (_, _, id, s) => (-s, id) }
+    beam.filter(_ != qi).map(j => (j, sc(j)))
+      .sorted(byScoreDesc)
+      .map { case (j, s) => (ids(qi), 0, ids(j), s) }
       .take(k).zipWithIndex
       .map { case ((q, _, id, s), r) => (q, r + 1, id, s) }.toSeq
   }
@@ -313,12 +335,22 @@ object GraphAnn {
     (r.getInt(0), r.getInt(1), r.getInt(2))
   }
 
+  /** Driver-pull gate for [[appendToGraphIndex]] (the maxKernelElems
+    * rule): append batches broadcast as queries via a driver collect,
+    * so they must be BOUNDED — chunk larger ingests upstream. The pull
+    * itself is capped (limit before collect), so an over-bound batch
+    * fails fast without materializing on the driver. */
+  val maxAppendBatch: Int = 1 << 16
+
   /** Append a batch: each new point's k neighbors come from a beam
     * search over the STORED graph (using its own vector as the query),
     * and edges are written in BOTH directions so the new points are
-    * immediately reachable. Append is idempotent at read time: search
-    * loads edges DISTINCT (the m05 exactly-once-at-probe rule), so a
-    * replayed append changes nothing. Like IVF append, construction
+    * immediately reachable. Replay-idempotent at the BYTE level: the
+    * batch is anti-joined against stored node ids first, so an
+    * at-least-once replay appends nothing — without that, each
+    * already-stored point would match ITSELF at score 1 (searchExternal
+    * has no self-exclusion), appending (id,id) self-loop edges and
+    * consuming a real neighbor slot. Like IVF append, construction
     * quality drifts from the batch distribution until the next rebuild;
     * every appended vector is exactly searchable immediately. */
   def appendToGraphIndex(df: DataFrame, idCol: String, vecCol: String,
@@ -326,21 +358,30 @@ object GraphAnn {
                          hops: Int = 3, nSeeds: Int = 8): Unit = {
     val spark = df.sparkSession
     val (k, _, _) = metaOf(spark, path)
-    // dropDuplicates("id"): a replayed append re-writes identical node
-    // rows; edges likewise dedupe at load (the m05 exactly-once rule)
+    // dropDuplicates("id"): defensive vs pre-fix stores; edges likewise
+    // dedupe at load (the m05 exactly-once rule)
     val nodes = spark.read.parquet(s"$path/nodes").dropDuplicates("id")
     val edges = spark.read.parquet(s"$path/edges").distinct()
     val batch = vOf(df, idCol, vecCol)
+      .join(nodes.select(col("id")), Seq("id"), "left_anti")
     // bounded batch contract (the ivfKnnJoin query-side rule): new
     // points broadcast as queries against the stored graph
-    val qs = batch.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-    val found = searchExternal(edges, nodes, qs.toSeq, k, beamWidth, hops,
-      nSeeds)
-    val newEdges = found.select(col("qid").as("id"), col("id").as("nbr"), col("score").as("sim"))
-      .union(found.select(col("id"), col("qid").as("nbr"), col("score").as("sim")))
-      .distinct()
-    batch.write.mode("append").parquet(s"$path/nodes")
-    newEdges.write.mode("append").parquet(s"$path/edges")
+    val pulled = batch.limit(maxAppendBatch + 1).collect()
+    require(pulled.length <= maxAppendBatch,
+      s"append batch exceeds maxAppendBatch=$maxAppendBatch rows — " +
+        s"chunk the ingest (bounded driver-pull gate)")
+    if (pulled.nonEmpty) {
+      val qs = pulled.map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val found = searchExternal(edges, nodes, qs.toSeq, k, beamWidth,
+        hops, nSeeds)
+      val newEdges = found.select(col("qid").as("id"),
+          col("id").as("nbr"), col("score").as("sim"))
+        .union(found.select(col("id"), col("qid").as("nbr"),
+          col("score").as("sim")))
+        .distinct()
+      batch.write.mode("append").parquet(s"$path/nodes")
+      newEdges.write.mode("append").parquet(s"$path/edges")
+    }
   }
 
   /** Beam search for EXTERNAL query vectors (not node ids) — the

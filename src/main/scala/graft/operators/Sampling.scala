@@ -55,15 +55,24 @@ object Sampling {
     * before the single stratum shuffle.
     *
     * Returns (stratumCol, rk, idCol, w, pri) for the k kept rows per
-    * stratum; `wCol` must be a positive integral column. */
+    * stratum; `wCol` must be a positive integral column — ENFORCED
+    * row-level (the Ema fail-fast rule): w ≤ 0 would otherwise yield
+    * priority ±Infinity and silently never-sample (w = 0) or
+    * rank-FIRST (w < 0), inverting selection, and a null weight would
+    * silently drop the row. */
   def weightedSample(df: DataFrame, idCol: String, stratumCol: String,
                      wCol: String, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val wOk = when(col(wCol).isNull || col(wCol).cast("long") <= 0L,
+      raise_error(concat(
+        lit(s"weightedSample needs a positive integral '$wCol', got "),
+        coalesce(col(wCol).cast("string"), lit("NULL")))).cast("long"))
+      .otherwise(col(wCol).cast("long"))
     val win = Window.partitionBy(col(stratumCol))
       .orderBy(col("pri").asc, col(idCol).asc)
-    df.select(col(stratumCol), col(idCol), col(wCol).cast("long").as("w"),
+    df.select(col(stratumCol), col(idCol), wOk.as("w"),
         (decisionHash(col(idCol)).cast("double") /
-          col(wCol).cast("double")).as("pri"))
+          wOk.cast("double")).as("pri"))
       .withColumn("rk", row_number().over(win))
       .filter(col("rk") <= k)
       .select(col(stratumCol), col("rk"), col(idCol), col("w"), col("pri"))

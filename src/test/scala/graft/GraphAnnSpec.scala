@@ -165,14 +165,60 @@ class GraphAnnSpec extends SparkSpec {
       s"planted twin not found from appended node: $after")
     // the twin pair sits in cluster 3 — its neighbors should too
     assert(after.forall(id => id == 1001L || id % 8 == 3), after.toString)
-    // replayed append: search results unchanged (distinct-at-load)
+    // replayed append: a BYTE-LEVEL no-op (the batch anti-joins against
+    // stored node ids, so nothing is searched, appended, or self-looped)
     val before = stored()
+    val nodesBefore = spark.read.parquet(s"$base/idx/nodes").count()
+    val edgesBefore = spark.read.parquet(s"$base/idx/edges").count()
     GraphAnn.appendToGraphIndex(batch, "vec_id", "embedding", s"$base/idx")
+    assert(spark.read.parquet(s"$base/idx/nodes").count() == nodesBefore,
+      "replayed append re-wrote node rows")
+    assert(spark.read.parquet(s"$base/idx/edges").count() == edgesBefore,
+      "replayed append re-wrote edge rows")
+    val selfLoops = spark.read.parquet(s"$base/idx/edges")
+      .filter($"id" === $"nbr").count()
+    assert(selfLoops == 0, s"$selfLoops self-loop edges in the store")
     assert(stored() == before)
     val err = intercept[IllegalArgumentException] {
       GraphAnn.searchGraphIndex(spark, s"$base/nowhere", Seq(0L), 5, 12, 3, 8)
     }
     assert(err.getMessage.contains("buildGraphIndex"))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("appendToGraphIndex fails fast over maxAppendBatch — the " +
+      "bounded driver-pull gate (the limit caps the pull itself)") {
+    val base = s"/tmp/graft_graphann_gate/${System.nanoTime()}"
+    GraphAnn.buildGraphIndex(clustered, "vec_id", "embedding",
+      k = 4, nBuckets = 8, iters = 1, path = s"$base/idx")
+    val big = spark.range(10000L, 10000L + GraphAnn.maxAppendBatch + 1L)
+      .select($"id".as("vec_id"),
+        array(lit(1.0), lit(2.0)).as("embedding"))
+    val e = intercept[IllegalArgumentException] {
+      GraphAnn.appendToGraphIndex(big, "vec_id", "embedding", s"$base/idx")
+    }
+    assert(e.getMessage.contains("maxAppendBatch"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("degenerate zero-norm vector: REJECTED on both paths — the " +
+      "stage form aborts in the ANSI cosine (divide-by-zero), the " +
+      "kernel build fails fast naming the id (never a " +
+      "NumberFormatException mid-traversal)") {
+    val withZero = clustered
+      .union(Seq((999L, Seq.fill(64)(0.0))).toDF("vec_id", "embedding"))
+    // stage form: construction aborts in the cosine's ANSI division
+    intercept[Exception] {
+      GraphAnn.knnGraph(withZero, "vec_id", "embedding",
+        k = 6, nBuckets = 16, iters = 1).collect()
+    }
+    // kernel build: explicit fail-fast with the offending id
+    val edges = GraphAnn.knnGraph(clustered, "vec_id", "embedding",
+      k = 6, nBuckets = 16, iters = 1)
+    val e = intercept[IllegalArgumentException] {
+      GraphAnn.kernelIndex(edges, withZero, "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("zero-norm") &&
+      e.getMessage.contains("999"), e.getMessage)
   }
 }

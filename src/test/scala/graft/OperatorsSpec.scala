@@ -421,6 +421,22 @@ class OperatorsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("count-min sketch survives a pathological crawl token (~96k " +
+      "chars): the code is bounded to < 2^22 before the row-key " +
+      "multiply, so the i64 product can't overflow and abort the job " +
+      "under ANSI; estimates stay one-sided") {
+    import graft.operators.Cms
+    val blob = "x" * 96000 // a base64-blob-shaped "token"
+    val docs = Seq((1L, s"alpha $blob alpha"), (2L, s"$blob beta"))
+      .toDF("doc_id", "text")
+    val probes = Seq("alpha", "beta", blob).toDF("tok")
+    val est = Cms.estimates(Cms.cells(docs, "text", 4, 16), probes,
+        "tok", 4, 16)
+      .collect().map(r => (r.getString(0).take(8), r.getLong(1))).toMap
+    assert(est("alpha") >= 2L && est("beta") >= 1L && est("x" * 8) >= 2L,
+      s"one-sidedness violated: $est")
+  }
+
   test("asof join with tolerance: within-tol match keeps payload, a " +
       "STALE prevailing match nulls it (asof_within false), no-match " +
       "rows report false; colliding payload names fail fast") {
