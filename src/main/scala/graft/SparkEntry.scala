@@ -549,18 +549,36 @@ object Queries {
       .select($"doc_id", Text.redactPii(concat($"text",
         lit(" contact user"), $"doc_id", lit("@mail.example.com at 10.0."),
         ($"doc_id" % 256).cast("string"), lit(".7 or 555"),
-        ($"doc_id" % 10000).cast("string"), lit("9999."))).as("clean"))
+        ($"doc_id" % 10000).cast("string"), lit("9999."),
+        lit(" call (555) 123-"),
+        lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+        lit(" card 4111 1111 1111 111"), ($"doc_id" % 10).cast("string"),
+        lit(" fixed 5500-0000-0000-0004 done"))).as("clean"))
       .orderBy($"doc_id")
 
-  private val t05_sql =
-    """SELECT doc_id,
-      |  regexp_replace(regexp_replace(regexp_replace(
-      |    text || ' contact user' || doc_id || '@mail.example.com at 10.0.'
-      |      || (doc_id % 256) || '.7 or 555' || (doc_id % 10000) || '9999.',
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-      |    '\b\d{7,}\b', '<NUM>', 'g') AS clean
-      |FROM documents ORDER BY doc_id""".stripMargin
+  // The constructed per-doc page plants an email, an IP, a phone, a
+  // FIXED Luhn-valid card, and a card whose validity DEPENDS on
+  // doc_id (check digit = doc_id % 10, valid iff 1) — so the oracle's
+  // Luhn replay is exercised both ways on every row.
+  private lazy val t05_sql = {
+    val page =
+      "text || ' contact user' || doc_id || '@mail.example.com at 10.0.'" +
+        " || (doc_id % 256) || '.7 or 555' || (doc_id % 10000) || '9999.'" +
+        " || ' call (555) 123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')" +
+        " || ' card 4111 1111 1111 111' || (doc_id % 10)" +
+        " || ' fixed 5500-0000-0000-0004 done'"
+    val emailIp =
+      s"regexp_replace(regexp_replace($page, " +
+        s"'${Text.emailRe}', '<EMAIL>', 'g'), " +
+        s"'${Text.ipv4Re}', '<IP>', 'g')"
+    val carded = graft.functions.PiiExpr.cardRedactDuckSql(emailIp)
+    s"""SELECT doc_id,
+       |  regexp_replace(regexp_replace(
+       |    $carded,
+       |    '${Text.phoneRe}', '<PHONE>', 'g'),
+       |    '${Text.longNumRe}', '<NUM>', 'g') AS clean
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
 
   // ---------------------------------------------------------------- t06
   // Deterministic weighted sampling (data mixing): per-language keep
@@ -1456,6 +1474,173 @@ object Queries {
       |  SELECT unnest(syms) AS token, freq FROM words_$bpeMergeCount)
       |GROUP BY token ORDER BY freq DESC, token""".stripMargin
 
+  // ---------------------------------------------------------------- t65
+  // BYTE-level BPE — the production tokenizer form (GPT-2-style byte
+  // fallback): pre-tokens come from Bpe.preTokRe (CJK per code point,
+  // letter/digit/whitespace/symbol runs — lossless, no whitespace
+  // assumption), and seed symbols are the pre-token's UTF-8 BYTES as
+  // hex pairs, so every script tokenizes from 256 seeds with no OOV
+  // symbol possible. Same bounded shape as t28 (ONE word-freq shuffle,
+  // driver merge loop over the top-2^20 dictionary); the oracle is the
+  // SAME 40-stage merge replay with the byte-hex seed head — both
+  // engines spell the seeds via hex(encode(word)) and the identical
+  // RE2∩Java pre-tokenization regex.
+  def t65_bpe_bytes(spark: SparkSession, dir: String): DataFrame =
+    operators.Bpe.mergesDf(spark,
+      operators.Bpe.trainMergesBytesFromFreq(
+        operators.Bpe.byteWordFreq(t(spark, dir, "documents"), "text"),
+        bpeMergeCount))
+      .orderBy($"rank")
+
+  private lazy val t65_sql = {
+    // the regex is injected OUTSIDE the stripMargin templates (it
+    // contains '|' alternations — the t56 re-strip lesson)
+    val head =
+      """WITH RECURSIVE words_0 AS MATERIALIZED (
+        |  SELECT word, freq,
+        |         list_append(regexp_extract_all(hex(encode(word)), '..'), '</w>') AS syms,
+        |         ROW_NUMBER() OVER (ORDER BY freq DESC, word) <= 1048576 AS iv
+        |  FROM (
+        |    SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+        |    FROM (SELECT unnest(regexp_extract_all(text, """.stripMargin +
+      s"'${operators.Bpe.preTokRe}'" +
+      """)) AS tok FROM documents)
+        |    WHERE tok <> '' GROUP BY tok)),
+        |""".stripMargin +
+      (1 to bpeMergeCount).map(bpeStageSql).mkString(",\n")
+    head + s"""
+      |SELECT k AS rank, s1 AS lhs, s2 AS rhs FROM (
+      |${(1 to bpeMergeCount)
+         .map(k => s"SELECT $k AS k, s1, s2 FROM best_$k")
+         .mkString(" UNION ALL ")}
+      |) ORDER BY rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t68
+  // URL canonicalization + host-level dedup/caps — the crawl stage
+  // BEFORE text dedup (functions/Url): messy per-doc URLs are
+  // CONSTRUCTED deterministically from doc fields (the t56
+  // constructed-page precedent — both engines build the identical
+  // string), canonicalized (case/ports/fragments/tracking params),
+  // then the t17 per-source-cap shape keyed on the canonical host.
+  // Pure string arithmetic from ONE dual-dialect home, so the oracle
+  // replays it bit-for-bit.
+  private def demoUrlSql(duck: Boolean): String = {
+    val str = if (duck) "VARCHAR" else "STRING"
+    s"(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || " +
+      s"'://WWW.' || source || '.Example.COM' || " +
+      s"CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END || " +
+      s"'/docs/' || CAST(doc_id % 5 AS $str) || " +
+      s"CASE WHEN doc_id % 4 = 0 " +
+      s"THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS $str) " +
+      s"WHEN doc_id % 4 = 1 " +
+      s"THEN '?id=' || CAST(doc_id % 7 AS $str) || '&utm_medium=email&ref=tw' " +
+      s"WHEN doc_id % 4 = 2 THEN '?gclid=abc' || CAST(doc_id AS $str) || '#section-2' " +
+      s"ELSE '#top' END)"
+  }
+
+  def t68_url_canon(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("url", expr(demoUrlSql(duck = false)))
+    graft.functions.Url.hostCapCensus(docs, "doc_id", "url", cap = 3)
+      .orderBy($"host")
+  }
+
+  private lazy val t68_sql =
+    s"""WITH u AS MATERIALIZED (
+       |  SELECT doc_id, ${demoUrlSql(duck = true)} AS url
+       |  FROM documents),
+       |c AS MATERIALIZED (
+       |  SELECT doc_id, ${graft.functions.Url.canonSql("url", duck = true)} AS canon,
+       |         ${graft.functions.Url.hostSql("url", duck = true)} AS host
+       |  FROM u),
+       |pc AS (
+       |  SELECT host, canon, CAST(COUNT(*) AS BIGINT) AS n_raw,
+       |         MIN(doc_id) AS first_id
+       |  FROM c GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT host, canon, n_raw,
+       |         ROW_NUMBER() OVER (PARTITION BY host
+       |           ORDER BY first_id, canon) AS rk
+       |  FROM pc)
+       |SELECT host, CAST(SUM(n_raw) AS BIGINT) AS n_urls,
+       |       CAST(COUNT(*) AS BIGINT) AS n_canon,
+       |       CAST(SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_kept,
+       |       MIN(canon) AS first_url
+       |FROM rk GROUP BY host ORDER BY host""".stripMargin
+
+  // ---------------------------------------------------------------- t66
+  // TRAINED language ID (operators/LangNb): multinomial Naive Bayes
+  // over the top-4096 char trigrams — the production replacement for
+  // t03's marker-word heuristic. Fit on the doc_id%5 train split (pure
+  // counting), scored in the integer 1/64-bit log2, confusion census
+  // over the held-out split. The oracle replays FIT AND SCORING as
+  // materialized CTEs (the d14/s14 whole-chain rule).
+  def t66_langid_trained(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val train = docs.filter($"doc_id" % 5 =!= 4L)
+    val test = docs.filter($"doc_id" % 5 === 4L)
+    val m = operators.LangNb.fit(train, "text", "lang")
+    operators.LangNb.predict(test, "doc_id", "text", m)
+      .join(test.select($"doc_id", $"lang"), Seq("doc_id"))
+      .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"lang_pred")
+  }
+
+  private lazy val t66_sql =
+    s"""WITH tr AS MATERIALIZED (
+       |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 <> 4),
+       |te AS MATERIALIZED (
+       |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 = 4),
+       |tg AS (
+       |  SELECT lang, substr(text, CAST(i AS INTEGER), 3) AS gram
+       |  FROM tr, UNNEST(range(1, greatest(length(text) - 2, 0) + 1)) AS u(i)),
+       |cnt AS MATERIALIZED (
+       |  SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM tg GROUP BY 1, 2),
+       |vocab AS MATERIALIZED (
+       |  SELECT gram FROM (
+       |    SELECT gram, SUM(c) AS s FROM cnt GROUP BY 1
+       |    ORDER BY s DESC, gram LIMIT 4096)),
+       |nvoc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+       |cv AS MATERIALIZED (
+       |  SELECT lang, gram, c FROM cnt JOIN vocab USING (gram)),
+       |langs AS (SELECT DISTINCT lang FROM tr),
+       |tot AS (
+       |  SELECT l.lang, COALESCE(s.t, 0) + (SELECT v FROM nvoc) AS tv
+       |  FROM langs l LEFT JOIN (
+       |    SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM cv GROUP BY 1
+       |  ) s USING (lang)),
+       |model AS MATERIALIZED (
+       |  SELECT lang, gram, ${s64u("c + 1")} AS w64 FROM cv),
+       |base AS (SELECT lang, ${s64u("tv")} AS b64 FROM tot),
+       |eg AS MATERIALIZED (
+       |  SELECT doc_id, gram FROM (
+       |    SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS gram
+       |    FROM te, UNNEST(range(1, greatest(length(text) - 2, 0) + 1)) AS u(i))
+       |  JOIN vocab USING (gram)),
+       |nv AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM eg GROUP BY 1),
+       |hits AS MATERIALIZED (
+       |  SELECT doc_id, lang, CAST(SUM(w64) AS BIGINT) AS sw
+       |  FROM eg JOIN model USING (gram) GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT nv.doc_id, b.lang,
+       |         COALESCE(h.sw, 0) - nv.n * b.b64 AS score64
+       |  FROM nv CROSS JOIN base b
+       |  LEFT JOIN hits h ON h.doc_id = nv.doc_id AND h.lang = b.lang),
+       |pred AS (
+       |  SELECT doc_id, lang AS lang_pred FROM (
+       |    SELECT doc_id, lang,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id
+       |             ORDER BY score64 DESC, lang) AS rk FROM sc)
+       |  WHERE rk = 1)
+       |SELECT te.lang, COALESCE(p.lang_pred, 'unknown') AS lang_pred,
+       |       CAST(COUNT(*) AS BIGINT) AS n
+       |FROM te LEFT JOIN pred p USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+
   // ---------------------------------------------------------------- t32
   // The tokenize-then-pack final step, with the TRAINED tokenizer: BPE
   // merges fit from the word-freq dict, each distinct word's subword
@@ -2349,6 +2534,144 @@ object Queries {
          |  CAST(CASE WHEN a.n_quad > 0 AND a.s64 * 5 <= 24 * 64 * a.n_quad
          |       THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM sdocs d LEFT JOIN agg4 a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t67
+  // Interpolated 5-GRAM Kneser-Ney — KenLM's DEFAULT order, the
+  // production CCNet perplexity model (NgramLm.scoreKn5; NgramLmSpec
+  // proves order-5 properness in exact arithmetic and margin(KN5) >=
+  // margin(KN4)). Derives from the memoized KN4 model + ONE more
+  // corpus pass for the 5-gram counts. Same keep gate; the oracle
+  // extends t58's CTE chain one more order.
+  private val kn5ModelMemo =
+    new SessionMemo[operators.NgramLm.KnPentaLm](
+      (spark, dir) => operators.NgramLm.fitKn5(
+        t(spark, dir, "documents").filter($"lang" === "en"), "text",
+        lmModel(spark, dir), cacheModel = true),
+      _.unpersist())
+
+  def t67_kn5_quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    operators.NgramLm.scoreKn5(docs, "doc_id", "text",
+      kn5ModelMemo(spark, dir, srcStamp(dir, "documents.parquet")),
+      24L, 5L)
+      .orderBy($"doc_id")
+  }
+
+  private val t67_sql = {
+    def s64(q: String): String = duckS64(q)
+    lmChainSql + kn3TrainCtes +
+      s""",t4p AS (SELECT ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS i
+         |  FROM tws),
+         |t4m AS (SELECT
+         |    CASE WHEN v1.tok IS NULL THEN chr(1) ELSE ws[i] END AS m1,
+         |    CASE WHEN v2.tok IS NULL THEN chr(1) ELSE ws[i+1] END AS m2,
+         |    CASE WHEN v3.tok IS NULL THEN chr(1) ELSE ws[i+2] END AS m3,
+         |    CASE WHEN v4.tok IS NULL THEN chr(1) ELSE ws[i+3] END AS m4
+         |  FROM t4p LEFT JOIN vocab v1 ON ws[i] = v1.tok
+         |           LEFT JOIN vocab v2 ON ws[i+1] = v2.tok
+         |           LEFT JOIN vocab v3 ON ws[i+2] = v3.tok
+         |           LEFT JOIN vocab v4 ON ws[i+3] = v4.tok),
+         |qua AS (SELECT m1, m2, m3, m4, COUNT(*) AS c1234 FROM t4m
+         |        GROUP BY m1, m2, m3, m4),
+         |pre123 AS (SELECT m1, m2, m3, CAST(SUM(c1234) AS BIGINT) AS c123p,
+         |           CAST(COUNT(*) AS BIGINT) AS n123 FROM qua
+         |           GROUP BY m1, m2, m3),
+         |t5p AS (SELECT ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i
+         |  FROM tws),
+         |t5m AS (SELECT
+         |    CASE WHEN v1.tok IS NULL THEN chr(1) ELSE ws[i] END AS m1,
+         |    CASE WHEN v2.tok IS NULL THEN chr(1) ELSE ws[i+1] END AS m2,
+         |    CASE WHEN v3.tok IS NULL THEN chr(1) ELSE ws[i+2] END AS m3,
+         |    CASE WHEN v4.tok IS NULL THEN chr(1) ELSE ws[i+3] END AS m4,
+         |    CASE WHEN v5.tok IS NULL THEN chr(1) ELSE ws[i+4] END AS m5
+         |  FROM t5p LEFT JOIN vocab v1 ON ws[i] = v1.tok
+         |           LEFT JOIN vocab v2 ON ws[i+1] = v2.tok
+         |           LEFT JOIN vocab v3 ON ws[i+2] = v3.tok
+         |           LEFT JOIN vocab v4 ON ws[i+3] = v4.tok
+         |           LEFT JOIN vocab v5 ON ws[i+4] = v5.tok),
+         |qui AS (SELECT m1, m2, m3, m4, m5, COUNT(*) AS c12345 FROM t5m
+         |        GROUP BY m1, m2, m3, m4, m5),
+         |pre1234 AS (SELECT m1, m2, m3, m4,
+         |            CAST(SUM(c12345) AS BIGINT) AS c1234p,
+         |            CAST(COUNT(*) AS BIGINT) AS n1234 FROM qui
+         |            GROUP BY m1, m2, m3, m4),
+         |s5p AS (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i
+         |  FROM sdocs),
+         |s5m AS (SELECT doc_id,
+         |    CASE WHEN v1.tok IS NULL THEN chr(1) ELSE ws[i] END AS m1,
+         |    CASE WHEN v2.tok IS NULL THEN chr(1) ELSE ws[i+1] END AS m2,
+         |    CASE WHEN v3.tok IS NULL THEN chr(1) ELSE ws[i+2] END AS m3,
+         |    CASE WHEN v4.tok IS NULL THEN chr(1) ELSE ws[i+3] END AS m4,
+         |    CASE WHEN v5.tok IS NULL THEN chr(1) ELSE ws[i+4] END AS m5
+         |  FROM s5p LEFT JOIN vocab v1 ON ws[i] = v1.tok
+         |           LEFT JOIN vocab v2 ON ws[i+1] = v2.tok
+         |           LEFT JOIN vocab v3 ON ws[i+2] = v3.tok
+         |           LEFT JOIN vocab v4 ON ws[i+3] = v4.tok
+         |           LEFT JOIN vocab v5 ON ws[i+4] = v5.tok),
+         |j5 AS (SELECT s.doc_id, qui.c12345, pre1234.c1234p, pre1234.n1234,
+         |    qua.c1234, pre123.c123p, pre123.n123,
+         |    tri.c123, pre12.c12, pre12.n12,
+         |    bi.cbi, pre.cpre, pre.n1, cont.bplus, ct.c + vs.vp AS cv
+         |  FROM s5m s
+         |    LEFT JOIN qui ON s.m1 = qui.m1 AND s.m2 = qui.m2
+         |                 AND s.m3 = qui.m3 AND s.m4 = qui.m4
+         |                 AND s.m5 = qui.m5
+         |    LEFT JOIN pre1234 ON s.m1 = pre1234.m1 AND s.m2 = pre1234.m2
+         |                     AND s.m3 = pre1234.m3 AND s.m4 = pre1234.m4
+         |    LEFT JOIN qua ON s.m2 = qua.m1 AND s.m3 = qua.m2
+         |                 AND s.m4 = qua.m3 AND s.m5 = qua.m4
+         |    LEFT JOIN pre123 ON s.m2 = pre123.m1 AND s.m3 = pre123.m2
+         |                    AND s.m4 = pre123.m3
+         |    LEFT JOIN tri ON s.m3 = tri.m1 AND s.m4 = tri.m2
+         |                 AND s.m5 = tri.m3
+         |    LEFT JOIN pre12 ON s.m3 = pre12.m1 AND s.m4 = pre12.m2
+         |    LEFT JOIN bi ON s.m4 = bi.m1 AND s.m5 = bi.m2
+         |    LEFT JOIN pre ON s.m4 = pre.m1
+         |    LEFT JOIN cont ON s.m5 = cont.m2
+         |    CROSS JOIN ct CROSS JOIN vs),
+         |k5 AS (SELECT doc_id,
+         |    CASE WHEN cpre IS NULL THEN cv ELSE 2 * cpre * cv END AS q2,
+         |    CASE WHEN cpre IS NULL THEN COALESCE(bplus, 0) + 1
+         |         ELSE greatest(2 * COALESCE(cbi, 0) - 1, 0) * cv
+         |              + n1 * (COALESCE(bplus, 0) + 1) END AS p2,
+         |    c123, c12, n12, c1234, c123p, n123, c12345, c1234p, n1234
+         |  FROM j5),
+         |k5b AS (SELECT doc_id,
+         |    CASE WHEN c12 IS NULL THEN q2 ELSE 2 * c12 * q2 END AS q3,
+         |    CASE WHEN c12 IS NULL THEN p2
+         |         ELSE greatest(2 * COALESCE(c123, 0) - 1, 0) * q2
+         |              + n12 * p2 END AS p3,
+         |    c1234, c123p, n123, c12345, c1234p, n1234
+         |  FROM k5),
+         |k5c AS (SELECT doc_id,
+         |    CASE WHEN c123p IS NULL THEN q3 ELSE 2 * c123p * q3 END AS q4,
+         |    CASE WHEN c123p IS NULL THEN p3
+         |         ELSE greatest(2 * COALESCE(c1234, 0) - 1, 0) * q3
+         |              + n123 * p3 END AS p4,
+         |    c12345, c1234p, n1234
+         |  FROM k5b),
+         |sk5 AS (SELECT doc_id,
+         |    CASE WHEN c1234p IS NULL THEN ${s64("q4")} - ${s64("p4")}
+         |         ELSE ${s64("2 * c1234p")} + ${s64("q4")}
+         |           - ${s64(
+              "greatest(2 * COALESCE(c12345, 0) - 1, 0) * q4 + n1234 * p4")}
+         |    END AS s1
+         |  FROM k5c),
+         |agg5 AS (SELECT doc_id, COUNT(*) AS n_quint,
+         |    CAST(SUM(s1) AS BIGINT) AS s64 FROM sk5 GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tok,
+         |  CAST(COALESCE(a.n_quint, 0) AS BIGINT) AS n_quint,
+         |  COALESCE(a.s64, 0) AS s64,
+         |  CASE WHEN a.n_quint > 0
+         |       THEN CAST(a.s64 AS DOUBLE) / (64 * a.n_quint) END AS bpt,
+         |  CAST(CASE WHEN a.n_quint > 0 AND a.s64 * 5 <= 24 * 64 * a.n_quint
+         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM sdocs d LEFT JOIN agg5 a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
   }
 
@@ -6483,6 +6806,10 @@ object Queries {
     "t62_bm25" -> (t62_bm25 _),
     "t63_cms" -> (t63_cms _),
     "t64_weighted_sample" -> (t64_weighted_sample _),
+    "t65_bpe_bytes" -> (t65_bpe_bytes _),
+    "t66_langid_trained" -> (t66_langid_trained _),
+    "t67_kn5_quality" -> (t67_kn5_quality _),
+    "t68_url_canon" -> (t68_url_canon _),
     "q74_asof_tolerance" -> (q74_asof_tolerance _),
     "q65_quantile_census" -> (q65_quantile_census _),
     "q66_json_extract" -> (q66_json_extract _),
@@ -6690,6 +7017,10 @@ object Queries {
     "t62_bm25" -> t62_sql,
     "t63_cms" -> t63_sql,
     "t64_weighted_sample" -> t64_sql,
+    "t65_bpe_bytes" -> t65_sql,
+    "t66_langid_trained" -> t66_sql,
+    "t67_kn5_quality" -> t67_sql,
+    "t68_url_canon" -> t68_sql,
     "q74_asof_tolerance" -> q74_sql,
     "q65_quantile_census" -> q65_sql,
     "q66_json_extract" -> q66_sql,

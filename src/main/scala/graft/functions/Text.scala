@@ -27,19 +27,30 @@ object Text {
   def fingerprint(c: Column): Column =
     md5(lower(regexp_replace(c, "\\s+", " ")))
 
-  /** PII redaction for training corpora: emails, IPv4 addresses and
-    * long digit runs (phone-ish) replaced by typed placeholders, in
-    * that order. Patterns restricted to the Java-regex ∩ RE2 common
-    * subset so the DuckDB oracle replays them identically. */
+  /** PII redaction for training corpora: emails, IPv4 addresses,
+    * Luhn-valid card numbers ([[PiiExpr.RedactCards]] — the one
+    * NON-regex stage, a checksum needs code), formatted phone numbers,
+    * and long digit runs replaced by typed placeholders, in that
+    * order (cards before phones so a card's digit groups can't
+    * half-match the phone shape; bare digit runs can never match the
+    * phone pattern — its first separator class is mandatory — so they
+    * fall through to <NUM>). Patterns restricted to the Java-regex ∩
+    * RE2 common subset so the DuckDB oracle replays them
+    * identically. */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe =
+    "(\\+?\\d{1,3}[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]?\\d{4}\\b"
   val longNumRe = "\\b\\d{7,}\\b"
 
   def redactPii(c: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(c, emailRe, "<EMAIL>"),
-        ipv4Re, "<IP>"),
+        PiiExpr.redactCards(
+          regexp_replace(
+            regexp_replace(c, emailRe, "<EMAIL>"),
+            ipv4Re, "<IP>")),
+        phoneRe, "<PHONE>"),
       longNumRe, "<NUM>")
 
   /** Punctuation character ratio. */
@@ -92,10 +103,16 @@ object Text {
 
   /** SQL fragment: deterministic small-range integer code of token `w`
     * (character polynomial; identical syntax evaluates in Spark SQL and
-    * DuckDB). Range < 2^22, so (a*code+b) stays well inside INT64. */
+    * DuckDB). Range < 2^22 for ordinary tokens, so (a*code+b) stays
+    * well inside INT64. The length term multiplies in BIGINT: ascii()
+    * and length() are INT-typed, and 29791·length would overflow INT
+    * (an ANSI abort) at ~72k chars — a pathological crawl token (a
+    * base64 blob) must yield a CODE, not kill the job, and the codegen
+    * twins (MinHashExpr/SimHashExpr) already compute 29791L·len in
+    * Long, so the SQL form must match them there. */
   def tokenCodeSql(w: String): String =
     s"(ascii(substr($w,1,1)) + 31*ascii(substr($w,2,1)) + " +
-      s"961*ascii(substr($w,3,1)) + 29791*length($w))"
+      s"961*ascii(substr($w,3,1)) + 29791*CAST(length($w) AS BIGINT))"
 
   /** Deterministic MinHash seed pairs (a, b) for hash i. Drawn from a
     * fixed-seed PRNG: affine seeds that are themselves an affine function

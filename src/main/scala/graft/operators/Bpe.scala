@@ -334,8 +334,14 @@ object Bpe {
     * present (left-to-right within a pass) until none applies —
     * equivalent to applying the merges in rank order (see scaladoc). */
   def encodeWord(word: String, rankOf: Map[(String, String), Int])
-      : Array[String] = {
-    var syms = toSyms(word)
+      : Array[String] = encodeSyms(toSyms(word), rankOf)
+
+  /** The greedy merge loop over a prepared seed-symbol sequence — the
+    * one encode home shared by the code-point ([[encodeWord]]) and
+    * byte-level ([[encodeWordBytes]]) forms. */
+  private[graft] def encodeSyms(seed: Array[String],
+      rankOf: Map[(String, String), Int]): Array[String] = {
+    var syms = seed
     var done = false
     while (!done && syms.length > 1) {
       var bestRank = Int.MaxValue
@@ -463,5 +469,108 @@ object Bpe {
       else text.split(" ").iterator.filter(_.nonEmpty).flatMap { w =>
         memo.computeIfAbsent(w, encodeWord(_, rk))
       }.toSeq
+  }
+
+  // ------------------------------------------------- byte-level form
+
+  /** Lossless pre-tokenization regex for BYTE-level BPE (the
+    * production tokenizer form, GPT-2-style byte fallback — t65):
+    * CJK ideographs / kana / hangul are one pre-token PER CODE POINT
+    * (the BERT CJK rule: unsegmented scripts would otherwise form
+    * near-unique whole-phrase "words" that blow out the bounded
+    * frequency dictionary), then letter+combining-mark runs, digit
+    * runs, whitespace runs, and other-symbol runs. The branches cover
+    * the whole alphabet, so every character lands in exactly one
+    * pre-token and detokenization is an EXACT round-trip (whitespace
+    * included — unlike [[wordFreq]]'s space split, nothing is thrown
+    * away). Restricted to the Java-regex ∩ RE2 subset (no class
+    * intersection, no lookahead) so the DuckDB oracle replays the SAME
+    * pattern; both engines match alternations leftmost-first, so the
+    * single-code-point CJK branch wins wherever a run STARTS on CJK.
+    * Documented edge: a letter run that starts on a NON-CJK letter
+    * carries trailing CJK code points with it ("iPhone発売" stays one
+    * pre-token) — identical in both engines, and byte merges still
+    * tokenize inside it (GPT-2 itself never splits CJK at all). */
+  val preTokRe: String =
+    "[\\x{4E00}-\\x{9FFF}\\x{3400}-\\x{4DBF}\\x{F900}-\\x{FAFF}" +
+      "\\x{3040}-\\x{30FF}\\x{31F0}-\\x{31FF}\\x{AC00}-\\x{D7AF}]|" +
+      "[\\p{L}\\p{M}]+|\\p{N}+|\\s+|[^\\p{L}\\p{M}\\p{N}\\s]+"
+
+  /** (word, freq) over the byte-level pre-tokenization — the one
+    * corpus-sized pass of the byte form (same 100 TB shape as
+    * [[wordFreq]]: one shuffle with map-side combine; training and
+    * encoding are bounded by the dictionary). */
+  def byteWordFreq(corpus: DataFrame, textCol: String): DataFrame =
+    corpus
+      .select(explode(regexp_extract_all(col(textCol), lit(preTokRe),
+        lit(0))).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("freq"))
+
+  /** Seed symbols of the BYTE form: the word's UTF-8 bytes as
+    * two-uppercase-hex-digit symbols (what both Spark's and DuckDB's
+    * `hex(encode(word))` emit, split in pairs) plus the end marker.
+    * Every possible input is spelled from 256 seed symbols — the byte
+    * fallback: no OOV symbol can ever exist, no whitespace assumption,
+    * any script tokenizes. */
+  private[graft] def toSymsBytes(word: String): Array[String] = {
+    val bytes = word.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val out = new Array[String](bytes.length + 1)
+    var i = 0
+    while (i < bytes.length) {
+      out(i) = f"${bytes(i) & 0xff}%02X"
+      i += 1
+    }
+    out(bytes.length) = EndMark
+    out
+  }
+
+  /** Train byte-level merges from a precomputed byte-pre-token
+    * frequency table — [[trainMergesFromFreq]] with byte-hex seeds;
+    * the trainer itself is symbol-agnostic. */
+  def trainMergesBytesFromFreq(freqDf: DataFrame, numMerges: Int,
+                               maxWords: Int = 1 << 20): Seq[Merge] = {
+    val wf = freqDf
+      .orderBy($"freq".desc, $"word".asc).limit(maxWords)
+      .collect()
+    trainMergesLocal(
+      wf.map(r => (toSymsBytes(r.getString(0)), r.getLong(1))), numMerges)
+  }
+
+  /** Greedy byte-level encode of one pre-token. */
+  def encodeWordBytes(word: String, rankOf: Map[(String, String), Int])
+      : Array[String] = encodeSyms(toSymsBytes(word), rankOf)
+
+  /** Pre-tokenize + byte-encode a whole text into the flat token
+    * stream (driver/spec form; the distributed path goes through
+    * [[byteWordFreq]] + a per-DISTINCT-word probe like
+    * [[docTokenCounts]]). */
+  def encodeTextBytes(text: String,
+                      rankOf: Map[(String, String), Int]): Seq[String] = {
+    val m = java.util.regex.Pattern.compile(preTokRe).matcher(text)
+    val out = Seq.newBuilder[String]
+    while (m.find()) out ++= encodeWordBytes(m.group(0), rankOf)
+    out.result()
+  }
+
+  /** Decode a byte-level token stream back to text — the exact
+    * inverse of [[encodeTextBytes]] (the pre-tokenization is a lossless
+    * partition of the text, merges only concatenate hex symbols, and
+    * [[EndMark]] can only ever be a token SUFFIX, so stripping it and
+    * un-hexing the concatenation reproduces the original bytes). */
+  def decodeTokensBytes(tokens: Seq[String]): String = {
+    val bb = new java.io.ByteArrayOutputStream()
+    tokens.foreach { t =>
+      val h = if (t.endsWith(EndMark)) t.dropRight(EndMark.length) else t
+      require(h.length % 2 == 0 && h.forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F')),
+        s"not a byte-level token: '$t'")
+      var i = 0
+      while (i < h.length) {
+        bb.write(Integer.parseInt(h.substring(i, i + 2), 16))
+        i += 2
+      }
+    }
+    new String(bb.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
   }
 }

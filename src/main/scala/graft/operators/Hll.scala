@@ -27,10 +27,21 @@ import graft.StringToColumn
   *
   * Scale shape: one narrow hash map over the scan, then a
   * (slice, bucket) aggregate whose output is ≤ m rows per slice — the
-  * census shuffle carries registers, never keys. Raw-regime estimator
-  * only (documented): the small-n linear-counting correction needs ln,
-  * which is libm-unreplayable (the t13 rule) — accuracy below
-  * n ≈ 2.5·m is the standard raw-HLL bias, spec-checked above it.
+  * census shuffle carries registers, never keys.
+  *
+  * Small-n LINEAR-COUNTING correction, in replayable integer log2:
+  * when the raw estimate is ≤ 2.5·m and V = m − n_seen buckets are
+  * empty, the standard correction is m·ln(m/V). ln is
+  * libm-unreplayable (the t13 rule), but ln(m/V) = (log₂m − log₂V)·ln2
+  * and the repo's 1/64-bit integer log₂ ([[NgramLm.surprisal64]]) is
+  * bit-identical cross-engine, so the correction is the INTEGER
+  * m·(64·logM − s64(V)) times the shared ln(2)/64 double literal —
+  * one integer→double cast, one multiply, roundBin. The regime gate
+  * compares the raw double estimate (itself already bit-identical)
+  * against the exact 2.5·m literal, so both engines switch on the
+  * same rows. s64's ≤0.0861-bit interpolation error puts the
+  * correction within ~0.14% of true LC — far inside LC's own
+  * standard error.
   */
 object Hll {
   import graft.functions.NgramHashes
@@ -94,21 +105,36 @@ object Hll {
     estimate(regs.groupBy(groupCols.map(col) :+ $"bucket": _*)
       .agg(max($"m_b").as("m_b")), groupCols, logM)
 
+  /** ln(2)/2^K — the one shared literal of the LC correction (both
+    * engines consume the identical shortest-repr double; K is the
+    * fixed-point log2's fraction-bit count). */
+  val Ln2OverK: Double =
+    math.log(2.0) / (1L << graft.functions.HllLog2Fx.K).toDouble
+
   /** t_sum + estimate over UNIQUE (slice, bucket) registers. */
   private def estimate(regs: DataFrame, groupCols: Seq[String],
                        logM: Int): DataFrame = {
     val m = 1L << logM
-    val w = 31 - logM
     val g = groupCols.map(col)
+    val w = 31 - logM
     val seen = regs
       .groupBy(g: _*)
       .agg(count(lit(1)).as("n_seen"),
         sum(expr(s"shiftleft(1L, cast(${w + 1}L - m_b as int))")).as("__s"))
-    seen.select(g ++ Seq($"n_seen",
+    val withT = seen.select(g ++ Seq($"n_seen",
       ($"__s" + (lit(m) - $"n_seen") * (1L << (w + 1))).as("t_sum")): _*)
-      .select(g ++ Seq($"n_seen", $"t_sum",
-        graft.functions.RF.roundBin(
-          lit(constant(logM)) / $"t_sum".cast("double"), 4).as("est")): _*)
+    val raw = lit(constant(logM)) / $"t_sum".cast("double")
+    val vEmpty = lit(m) - $"n_seen"
+    // linear counting: m·(logM·2^K − log2fx(V))·(ln2/2^K), integers
+    // until the one literal multiply; applied in the standard
+    // raw ≤ 2.5·m regime whenever an empty bucket exists
+    val kBits = graft.functions.HllLog2Fx.K
+    val lc = (lit(m) * (lit(logM.toLong << kBits) -
+        graft.functions.HllLog2Fx.log2Fx(vEmpty)))
+      .cast("double") * lit(Ln2OverK)
+    val est = when(vEmpty > 0L && raw <= lit(2.5 * m), lc).otherwise(raw)
+    withT.select(g ++ Seq($"n_seen", $"t_sum",
+      graft.functions.RF.roundBin(est, 4).as("est")): _*)
   }
 
   // ------------------------------------------------------------------
@@ -180,6 +206,28 @@ object Hll {
     val w = 31 - logM
     val g = groupCols.mkString(", ")
     val gN = groupCols.indices.map(i => (i + 1).toString).mkString(", ")
+    // the raw estimate, the empty-bucket count, the K-step
+    // shift-and-square fixed-point log2 (the HllLog2Fx chain, unrolled
+    // as MATERIALIZED per-step CTEs — the s07 re-inline lesson), and
+    // the LC correction — the same arithmetic as [[estimate]]
+    val kBits = graft.functions.HllLog2Fx.K
+    val fB = graft.functions.HllLog2Fx.F
+    val raw = s"${constant(logM)} / CAST(t_sum AS DOUBLE)"
+    val vE = s"($m - n_seen)"
+    val thr = 1L << (fB + 1)
+    val steps = (1 to kBits).map { i =>
+      s"""lc$i AS MATERIALIZED (
+         |  SELECT $g, n_seen, t_sum, fb,
+         |    CASE WHEN ((y * y) >> $fB) >= $thr
+         |         THEN ((y * y) >> $fB) >> 1 ELSE (y * y) >> $fB END AS y,
+         |    2 * l + CASE WHEN ((y * y) >> $fB) >= $thr
+         |                 THEN 1 ELSE 0 END AS l
+         |  FROM lc${i - 1})""".stripMargin
+    }.mkString(",\n")
+    val lc = s"CAST($m * ((${logM.toLong << kBits}) " +
+      s"- ((fb << $kBits) + l)) AS DOUBLE) * $Ln2OverK"
+    val est = s"CASE WHEN $vE > 0 AND $raw <= ${2.5 * m} " +
+      s"THEN $lc ELSE $raw END"
     s"""WITH h AS (
        |  SELECT $g, ${hash31Sql(keyCol)} AS h FROM $fromSql),
        |b AS (
@@ -193,11 +241,22 @@ object Hll {
        |  SELECT $g, COUNT(*) AS n_seen,
        |    CAST(SUM(1::BIGINT << CAST(${w + 1} - m_b AS INT)) AS BIGINT)
        |      AS s
-       |  FROM r GROUP BY $gN)
-       |SELECT $g, n_seen,
-       |  s + ($m - n_seen) * ${1L << (w + 1)} AS t_sum,
-       |  floor(${constant(logM)} / CAST(s + ($m - n_seen)
-       |    * ${1L << (w + 1)} AS DOUBLE) * 10000 + 0.5) / 10000 AS est
-       |FROM agg ORDER BY $g""".stripMargin
+       |  FROM r GROUP BY $gN),
+       |lc0 AS MATERIALIZED (
+       |  SELECT $g, n_seen,
+       |    s + ($m - n_seen) * ${1L << (w + 1)} AS t_sum,
+       |    CASE WHEN $m - n_seen > 0
+       |         THEN CAST(length(bin($m - n_seen)) - 1 AS BIGINT)
+       |         ELSE 0 END AS fb,
+       |    CASE WHEN $m - n_seen > 0
+       |         THEN (($m - n_seen) << $fB)
+       |              >> (length(bin($m - n_seen)) - 1)
+       |         ELSE 0 END AS y,
+       |    CAST(0 AS BIGINT) AS l
+       |  FROM agg),
+       |$steps
+       |SELECT $g, n_seen, t_sum,
+       |  floor(($est) * 10000 + 0.5) / 10000 AS est
+       |FROM lc$kBits ORDER BY $g""".stripMargin
   }
 }

@@ -161,34 +161,42 @@ object NgramLm {
     * model). Bit-identical in DuckDB: integer products, shifts, bin(). */
   case class KnBigramLm(vocab: DataFrame, bigrams: DataFrame,
                         prefix2: DataFrame, cont: DataFrame,
-                        cTypes: Long, vPrime: Long, hinted: Boolean)
+                        cTypes: Long, vPrime: Long, hinted: Boolean,
+                        cpreMax: Long)
 
   /** Derive the KN model from a fit (ideally cached) [[BigramLm]] —
     * three bounded aggregations of the model's own bigram table plus
-    * one stats action; the corpus is not re-read. Fails fast when the
-    * model's counts would overflow the integer surprisal chain:
-    * D = (2c₁₂−1)⁺·(C+V') + N₁·(B+1) ≤ (2·c_max + V')·(C+V') must stay
-    * under [[surprisal64]]'s 2^57 shift bound (N₁ ≤ V', B+1 ≤ V'+1 ≤
-    * C+V'). ~10⁹ bigram types × ~10⁹ max counts breaches it — shard
-    * the model (fit per corpus shard, score against each, combine)
-    * rather than widening the shift. */
+    * two stats actions; the corpus is not re-read. Fails fast when the
+    * model's counts would overflow the integer surprisal chain: every
+    * [[scoreKn]] surprisal operand — 2·c₁ (= 2·cpre), C+V', and
+    * D = (2c₁₂−1)⁺·(C+V') + N₁·(B+1) — must stay under
+    * [[surprisal64]]'s 2^57 shift bound. The tight per-term bound is
+    * D ≤ 2·cpre·(C+V') (order-2 properness: the D terms over a prefix
+    * sum to exactly that), so the guard uses the RUNTIME operand
+    * max(cpre) — a max over per-bigram counts alone is unsound, the
+    * prefix sum exceeds it by the branching factor. Breach it →
+    * shard the model (fit per corpus shard, score against each,
+    * combine) rather than widening the shift. */
   def fitKn(lm: BigramLm): KnBigramLm = {
     val prefix2 = lm.bigrams.groupBy($"m1")
       .agg(sum($"cbi").as("cpre"), count(lit(1)).as("n1"))
     val cont = lm.bigrams.groupBy($"m2")
       .agg(count(lit(1)).as("bplus"))
-    // ONE action: bigram type count + max count (the overflow operand)
-    val stats = lm.bigrams
-      .agg(count(lit(1)), coalesce(max($"cbi"), lit(0L))).collect().head
-    val (cTypes, cMax) = (stats.getLong(0), stats.getLong(1))
+    // ONE action: bigram type count (= Σ n1) + the runtime operand max
+    val stats = prefix2
+      .agg(coalesce(sum($"n1"), lit(0L)), coalesce(max($"cpre"), lit(0L)))
+      .collect().head
+    val (cTypes, cpreMax) = (stats.getLong(0), stats.getLong(1))
     val cv = cTypes + lm.vPrime
-    require(2L * cMax + lm.vPrime <= (1L << 57) / cv,
+    // D ≤ 2·cpre_max·(C+V') by properness; covers 2·cpre and C+V' too
+    val dMax = 2 * BigInt(cpreMax).max(1) * BigInt(cv)
+    require(dMax <= (BigInt(1) << 57),
       s"KN model counts overflow the integer surprisal chain: " +
-        s"(2*c_max + V')*(C+V') = (${2L * cMax} + ${lm.vPrime})*$cv " +
+        s"2*max(cpre)*(C+V') = 2*$cpreMax*$cv " +
         s"exceeds 2^57 — shard the model (fit per corpus shard and " +
         s"combine scores)")
     KnBigramLm(lm.vocab, lm.bigrams, prefix2, cont,
-      cTypes, lm.vPrime, lm.hinted)
+      cTypes, lm.vPrime, lm.hinted, cpreMax)
   }
 
   /** Score `corpus` under the KN model — same output shape and keep
@@ -279,7 +287,7 @@ object NgramLm {
     * s = s64(2c₁₂) + s64(Q₂) − s64(D₃), D₃ = (2c₁₂₃−1)⁺·Q₂ + N₁₂·P₂ —
     * all operands guarded under the 2^57 shift bound at fit. */
   case class KnTrigramLm(kn: KnBigramLm, trigrams: DataFrame,
-                         prefix12: DataFrame) {
+                         prefix12: DataFrame, c12max: Long) {
     /** Release a `fitKn3(cacheModel = true)` model's cached trigram
       * table (the bigram tables belong to the underlying [[BigramLm]]). */
     def unpersist(): Unit = { trigrams.unpersist() }
@@ -300,21 +308,22 @@ object NgramLm {
     val trigrams = if (cacheModel) trigrams0.persist() else trigrams0
     val prefix12 = trigrams.groupBy($"m1", $"m2")
       .agg(sum($"c123").as("c12"), count(lit(1)).as("n12"))
-    val c2max = kn.bigrams
-      .agg(coalesce(max($"cbi"), lit(0L))).collect().head.getLong(0)
-    val c3max = trigrams
-      .agg(coalesce(max($"c123"), lit(0L))).collect().head.getLong(0)
-    // D₃ ≤ cv·(4·c₃max·c₂max + V'·(2·c₂max + V')) with cv = C+V',
-    // N₁₂ ≤ V', P₂ ≤ (2c₂max + V')·cv, Q₂ ≤ 2·c₂max·cv
+    // Tight RUNTIME-operand bound (not per-gram maxima — prefix sums
+    // exceed those by the branching factor): Q₂ ≤ 2·max(cpre)·cv,
+    // P₂ ≤ Q₂ and D₃ ≤ 2·c₁₂·Q₂ (both by properness), so
+    // D₃ ≤ 2·max(c12)·Q₂max dominates every surprisal operand
+    // (2·c12, Q₂, D₃) in [[scoreKn3]]. max(cpre) rides on the fit KN2
+    // model; ONE new action here (max over the bounded prefix table).
+    val c12max = prefix12
+      .agg(coalesce(max($"c12"), lit(0L))).collect().head.getLong(0)
     val cv = BigInt(kn.cTypes + kn.vPrime)
-    val vP = BigInt(kn.vPrime)
-    val bound = cv * (4 * BigInt(c3max) * BigInt(c2max) +
-      vP * (2 * BigInt(c2max) + vP))
-    require(bound <= (BigInt(1) << 57),
+    val q2max = 2 * BigInt(kn.cpreMax).max(1) * cv
+    val d3max = 2 * BigInt(c12max).max(1) * q2max
+    require(d3max <= (BigInt(1) << 57),
       s"trigram-KN counts overflow the integer surprisal chain " +
-        s"(worst-case D3 bound $bound exceeds 2^57) — shard the model " +
+        s"(worst-case D3 bound $d3max exceeds 2^57) — shard the model " +
         s"(fit per corpus shard and combine scores)")
-    KnTrigramLm(kn, trigrams, prefix12)
+    KnTrigramLm(kn, trigrams, prefix12, c12max)
   }
 
   /** Score `corpus` under the trigram-KN model: per document
@@ -420,7 +429,7 @@ object NgramLm {
     * D₄ = (2c₁₂₃₄−1)⁺·Q₃ + N₁₂₃·P₃ — operands guarded under the 2^57
     * shift bound at fit (BigInt, cannot itself overflow). */
   case class KnQuadLm(kn3: KnTrigramLm, quads: DataFrame,
-                      prefix123: DataFrame) {
+                      prefix123: DataFrame, c123pMax: Long) {
     def unpersist(): Unit = { quads.unpersist(); kn3.unpersist() }
   }
 
@@ -437,22 +446,23 @@ object NgramLm {
     val quads = if (cacheModel) quads0.persist() else quads0
     val prefix123 = quads.groupBy($"m1", $"m2", $"m3")
       .agg(sum($"c1234").as("c123p"), count(lit(1)).as("n123"))
-    val c2max = kn3.kn.bigrams
-      .agg(coalesce(max($"cbi"), lit(0L))).collect().head.getLong(0)
-    val c3max = kn3.trigrams
-      .agg(coalesce(max($"c123"), lit(0L))).collect().head.getLong(0)
-    val c4max = quads
-      .agg(coalesce(max($"c1234"), lit(0L))).collect().head.getLong(0)
-    // D₄ ≤ (2c₄max + V')·Q₃max, Q₃max = 2c₃max·Q₂max ≤ 4·c₃max·c₂max·cv
+    // Tight RUNTIME-operand bound (the fitKn3 rule one order up):
+    // Q₂ ≤ 2·max(cpre)·cv, Q₃ ≤ 2·max(c12)·Q₂max, and by order-4
+    // properness D₄ ≤ 2·c₁₂₃·Q₃ ≤ 2·max(c123p)·Q₃max — dominating
+    // every [[scoreKn4]] surprisal operand (2·c123p, Q₃, D₄).
+    // max(cpre)/max(c12) ride on the fit lower-order models; ONE new
+    // action here (max over the bounded prefix table).
+    val c123pMax = prefix123
+      .agg(coalesce(max($"c123p"), lit(0L))).collect().head.getLong(0)
     val cv = BigInt(kn3.kn.cTypes + kn3.kn.vPrime)
-    val vP = BigInt(kn3.kn.vPrime)
-    val bound = (2 * BigInt(c4max) + vP) *
-      (4 * BigInt(c3max).max(1) * BigInt(c2max).max(1) * cv)
-    require(bound <= (BigInt(1) << 57),
+    val q2max = 2 * BigInt(kn3.kn.cpreMax).max(1) * cv
+    val q3max = 2 * BigInt(kn3.c12max).max(1) * q2max
+    val d4max = 2 * BigInt(c123pMax).max(1) * q3max
+    require(d4max <= (BigInt(1) << 57),
       s"4-gram-KN counts overflow the integer surprisal chain " +
-        s"(worst-case D4 bound $bound exceeds 2^57) — shard the model " +
+        s"(worst-case D4 bound $d4max exceeds 2^57) — shard the model " +
         s"(fit per corpus shard and combine scores)")
-    KnQuadLm(kn3, quads, prefix123)
+    KnQuadLm(kn3, quads, prefix123, c123pMax)
   }
 
   /** Score `corpus` under the 4-gram-KN model: per document
@@ -515,6 +525,159 @@ object NgramLm {
           .as("bpt"),
         when($"n_quad" > 0L &&
           $"s64" * lit(keepDen) <= lit(keepNum) * lit(64L) * $"n_quad",
+          1L).otherwise(0L).as("keep"))
+  }
+
+  /** Adjacent-token QUINTUPLE array — [[quadArr]] one order up. */
+  private def quintArr(textCol: Column): Column = {
+    val ws = split(textCol, " ")
+    val m = greatest(size(ws) - 4, lit(0))
+    arrays_zip(slice(ws, lit(1), m).as("w1"), slice(ws, lit(2), m).as("w2"),
+      slice(ws, lit(3), m).as("w3"), slice(ws, lit(4), m).as("w4"),
+      slice(ws, lit(5), m).as("w5"))
+  }
+
+  /** Vocab-map five token sides (OOV → [[Unk]]) — [[mapToks4]] at
+    * order 5. */
+  private def mapToks5(quints: DataFrame, vocab: DataFrame,
+                       hinted: Boolean): DataFrame = {
+    def side(n: Int) = {
+      val v = vocab.select($"tok".as(s"v${n}t"))
+      if (hinted) broadcast(v) else v
+    }
+    val joined = (1 to 5).foldLeft(quints) { (df, n) =>
+      df.join(side(n), quints(s"w$n") === col(s"v${n}t"), "left")
+    }
+    (1 to 5).foldLeft(joined) { (df, n) =>
+      df.withColumn(s"m$n", when(col(s"v${n}t").isNotNull, col(s"w$n"))
+        .when(col(s"w$n").isNotNull, lit(Unk)))
+    }.drop((1 to 5).map(n => s"v${n}t"): _*)
+  }
+
+  /** An interpolated Kneser-Ney 5-GRAM LM — [[KnQuadLm]]'s recursion
+    * one order up, KenLM's DEFAULT order (the production CCNet
+    * perplexity model):
+    *
+    *   p₅(w₅|w₁..w₄) = [(2c₁₂₃₄₅−1)⁺·Q₄ + N₁₂₃₄·P₄] / [2c₁₂₃₄·Q₄]
+    *
+    * with P₄/Q₄ the 4-gram-KN integer ratio over context (w₂,w₃,w₄)
+    * and wholesale backoff on an unseen 5-gram context — the SAME
+    * integer step as every lower order, EXACTLY proper at order 5
+    * (Σ_w₅ numerators = 2c₁₂₃₄·Q₄; NgramLmSpec proves it in exact
+    * arithmetic). Surprisal stays term-by-term:
+    * s = s64(2c₁₂₃₄) + s64(Q₄) − s64(D₅), operands guarded under the
+    * 2^57 shift bound at fit with the tight runtime-operand chain. */
+  case class KnPentaLm(kn4: KnQuadLm, quints: DataFrame,
+                       prefix1234: DataFrame) {
+    def unpersist(): Unit = { quints.unpersist(); kn4.unpersist() }
+  }
+
+  /** Fit the 5-gram-KN model: derive the 4-gram-KN base from `lm`,
+    * then ONE more corpus pass for the vocab-mapped 5-gram counts. */
+  def fitKn5(train: DataFrame, textCol: String, lm: BigramLm,
+             cacheModel: Boolean = false): KnPentaLm = {
+    val kn4 = fitKn4(train, textCol, lm, cacheModel)
+    val qs = train.select(explode(quintArr(col(textCol))).as("qt"))
+      .select($"qt.w1".as("w1"), $"qt.w2".as("w2"), $"qt.w3".as("w3"),
+        $"qt.w4".as("w4"), $"qt.w5".as("w5"))
+    val quints0 = mapToks5(qs, lm.vocab, lm.hinted)
+      .groupBy($"m1", $"m2", $"m3", $"m4", $"m5")
+      .agg(count(lit(1)).as("c12345"))
+    val quints = if (cacheModel) quints0.persist() else quints0
+    val prefix1234 = quints.groupBy($"m1", $"m2", $"m3", $"m4")
+      .agg(sum($"c12345").as("c1234p"), count(lit(1)).as("n1234"))
+    // the fitKn4 runtime-operand chain one order up: Q₄ ≤
+    // 2·max(c123p)·Q₃max, D₅ ≤ 2·max(c1234p)·Q₄max (properness)
+    val c1234pMax = prefix1234
+      .agg(coalesce(max($"c1234p"), lit(0L))).collect().head.getLong(0)
+    val cv = BigInt(kn4.kn3.kn.cTypes + kn4.kn3.kn.vPrime)
+    val q2max = 2 * BigInt(kn4.kn3.kn.cpreMax).max(1) * cv
+    val q3max = 2 * BigInt(kn4.kn3.c12max).max(1) * q2max
+    val q4max = 2 * BigInt(kn4.c123pMax).max(1) * q3max
+    val d5max = 2 * BigInt(c1234pMax).max(1) * q4max
+    require(d5max <= (BigInt(1) << 57),
+      s"5-gram-KN counts overflow the integer surprisal chain " +
+        s"(worst-case D5 bound $d5max exceeds 2^57) — shard the model " +
+        s"(fit per corpus shard and combine scores)")
+    KnPentaLm(kn4, quints, prefix1234)
+  }
+
+  /** Score `corpus` under the 5-gram-KN model: per document
+    * (idCol, n_tok, n_quint, s64, bpt, keep);
+    * n_quint = max(n_tok−4, 0). */
+  def scoreKn5(corpus: DataFrame, idCol: String, textCol: String,
+               m: KnPentaLm, keepNum: Long, keepDen: Long): DataFrame = {
+    require(keepDen > 0, "keepDen must be positive")
+    val quints = corpus
+      .select(col(idCol), col(textCol),
+        size(split(col(textCol), " ")).cast("long").as("n_tok"))
+      .select(col(idCol), $"n_tok",
+        explode_outer(quintArr(col(textCol))).as("qt"))
+      .select(col(idCol), $"n_tok", $"qt.w1".as("w1"), $"qt.w2".as("w2"),
+        $"qt.w3".as("w3"), $"qt.w4".as("w4"), $"qt.w5".as("w5"))
+    val kn3 = m.kn4.kn3
+    def model(df: DataFrame) = if (kn3.kn.hinted) broadcast(df) else df
+    // every lower-order table aliases to fresh names; backoff keys
+    // shift one right per level (quad level keys (w2..w5), trigram
+    // (w3,w4,w5), bigram (w4,w5))
+    val qua4 = m.kn4.quads.select($"m1".as("a1"), $"m2".as("a2"),
+      $"m3".as("a3"), $"m4".as("a4"), $"c1234")
+    val pre234 = m.kn4.prefix123.select($"m1".as("z1"), $"m2".as("z2"),
+      $"m3".as("z3"), $"c123p", $"n123")
+    val tri3 = kn3.trigrams.select($"m1".as("t1"), $"m2".as("t2"),
+      $"m3".as("t3"), $"c123")
+    val pre23 = kn3.prefix12.select($"m1".as("r1"), $"m2".as("r2"),
+      $"c12", $"n12")
+    val bi2 = kn3.kn.bigrams.select($"m1".as("b1"), $"m2".as("b2"), $"cbi")
+    val pre2 = kn3.kn.prefix2.select($"m1".as("p1"), $"cpre", $"n1")
+    val cont2 = kn3.kn.cont.select($"m2".as("c2"), $"bplus")
+    val joined = mapToks5(quints, kn3.kn.vocab, kn3.kn.hinted)
+      .join(model(m.quints), Seq("m1", "m2", "m3", "m4", "m5"), "left")
+      .join(model(m.prefix1234), Seq("m1", "m2", "m3", "m4"), "left")
+      .join(model(qua4), $"m2" === $"a1" && $"m3" === $"a2" &&
+        $"m4" === $"a3" && $"m5" === $"a4", "left")
+      .join(model(pre234), $"m2" === $"z1" && $"m3" === $"z2" &&
+        $"m4" === $"z3", "left")
+      .join(model(tri3), $"m3" === $"t1" && $"m4" === $"t2" &&
+        $"m5" === $"t3", "left")
+      .join(model(pre23), $"m3" === $"r1" && $"m4" === $"r2", "left")
+      .join(model(bi2), $"m4" === $"b1" && $"m5" === $"b2", "left")
+      .join(model(pre2), $"m4" === $"p1", "left")
+      .join(model(cont2), $"m5" === $"c2", "left")
+    val cv = lit(kn3.kn.cTypes + kn3.kn.vPrime)
+    val bp1 = coalesce($"bplus", lit(0L)) + lit(1L)
+    val q2 = when($"cpre".isNull, cv).otherwise(lit(2L) * $"cpre" * cv)
+    val p2 = when($"cpre".isNull, bp1)
+      .otherwise(
+        greatest(lit(2L) * coalesce($"cbi", lit(0L)) - 1L, lit(0L)) * cv +
+          $"n1" * bp1)
+    val q3 = when($"c12".isNull, q2).otherwise(lit(2L) * $"c12" * q2)
+    val p3 = when($"c12".isNull, p2)
+      .otherwise(
+        greatest(lit(2L) * coalesce($"c123", lit(0L)) - 1L, lit(0L)) * q2 +
+          $"n12" * p2)
+    val q4 = when($"c123p".isNull, q3).otherwise(lit(2L) * $"c123p" * q3)
+    val p4 = when($"c123p".isNull, p3)
+      .otherwise(
+        greatest(lit(2L) * coalesce($"c1234", lit(0L)) - 1L, lit(0L)) * q3 +
+          $"n123" * p3)
+    val d5 =
+      greatest(lit(2L) * coalesce($"c12345", lit(0L)) - 1L, lit(0L)) * q4 +
+        $"n1234" * p4
+    val s = when($"c1234p".isNull, surprisal64(q4) - surprisal64(p4))
+      .otherwise(surprisal64(lit(2L) * $"c1234p") + surprisal64(q4) -
+        surprisal64(d5))
+    joined
+      .withColumn("s1", when($"w1".isNotNull, s))
+      .groupBy(col(idCol), $"n_tok")
+      .agg(count($"w1").as("n_quint"),
+        coalesce(sum($"s1"), lit(0L)).as("s64"))
+      .select(col(idCol), $"n_tok", $"n_quint", $"s64",
+        when($"n_quint" > 0L,
+          $"s64".cast("double") / ($"n_quint" * 64L).cast("double"))
+          .as("bpt"),
+        when($"n_quint" > 0L &&
+          $"s64" * lit(keepDen) <= lit(keepNum) * lit(64L) * $"n_quint",
           1L).otherwise(0L).as("keep"))
   }
 

@@ -26,6 +26,95 @@ class BpeSpec extends SparkSpec {
       Merge(4, "l", "o"), Merge(5, "lo", "w"), Merge(6, "e", "w")), m)
   }
 
+  // ---------------------------------------------- byte-level (t65)
+
+  test("byte-level pre-tokenization is a LOSSLESS partition — CJK one " +
+      "pre-token per code point, runs elsewhere — and Spark's " +
+      "regexp_extract_all matches the driver regex exactly") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val texts = Seq(
+      "次の実験は5回目です。",           // ja: kanji+kana, digit, punct
+      "Hello, 世界! こんにちは",          // mixed latin/CJK
+      "สวัสดีครับ ไปไหน",                // th: no-space letter runs
+      "naïve café — résumé",             // combining-ish latin + dash
+      "a b",                        // NBSP (neither \s nor letter)
+      "🙂👍 emoji 12345",                // supplementary plane + digits
+      "  \t tabs and  runs ")
+    val p = java.util.regex.Pattern.compile(Bpe.preTokRe)
+    def driverToks(t: String): Seq[String] = {
+      val m = p.matcher(t); val b = Seq.newBuilder[String]
+      while (m.find()) b += m.group(0)
+      b.result()
+    }
+    val sparkToks = texts.toDF("text")
+      .select($"text", regexp_extract_all($"text", lit(Bpe.preTokRe),
+        lit(0)).as("toks"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    for (t <- texts) {
+      val d = driverToks(t)
+      assert(d.mkString == t, s"lossy partition of '$t': $d")
+      assert(sparkToks(t) == d, s"engine drift on '$t'")
+    }
+    // pure-CJK text: one pre-token per code point
+    assert(driverToks("次の実験") == Seq("次", "の", "実", "験"))
+    // vs the space-split word form: the whole line is ONE "word" there
+    assert("次の実験は5回目です。".split(" ").length == 1)
+  }
+
+  test("byte fallback: merges trained on an ENGLISH corpus still " +
+      "encode CJK/Thai/emoji text — and decode is an exact round-trip") {
+    val rk = Bpe.trainMerges(corpus, "text", 0) // even ZERO merges work
+    val rk6 = Bpe.trainMergesBytesFromFreq(
+      Bpe.byteWordFreq(corpus, "text"), 6)
+      .map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    assert(rk.isEmpty)
+    for (t <- Seq("次の実験は5回目です。", "สวัสดีครับ ไปไหน",
+        "🙂👍 low lower newest", "mixed 次 and low",
+        "a b  \t runs")) {
+      val toks = Bpe.encodeTextBytes(t, rk6)
+      assert(Bpe.decodeTokensBytes(toks) == t, s"round-trip broke: '$t'")
+      assert(toks.nonEmpty)
+    }
+    // no token is ever OOV: every token is hex pairs (+ optional mark)
+    val toks = Bpe.encodeTextBytes("次 low", rk6)
+    assert(toks.forall(tk => tk == Bpe.EndMark ||
+      tk.replace(Bpe.EndMark, "").forall(c =>
+        (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F'))), toks)
+  }
+
+  test("byte-level training compresses like the char form: enough " +
+      "merges collapse every classic-corpus word to ONE token that " +
+      "decodes back to the word; CJK fertility is per CODE POINT, " +
+      "not per line") {
+    val rk = Bpe.trainMergesBytesFromFreq(
+      Bpe.byteWordFreq(corpus, "text"), 60)
+      .map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    for (w <- Seq("low", "lower", "newest", "widest")) {
+      val e = Bpe.encodeWordBytes(w, rk)
+      assert(e.length == 1, s"$w -> ${e.toSeq}")
+      assert(Bpe.decodeTokensBytes(e.toSeq) == w)
+    }
+    // a repeated-kanji corpus: frequent chars compress to 1 token each
+    val s = spark
+    import s.implicits._
+    val zh = Seq.fill(50)((1L, "数据 清洗 数据 训练")).toDF("doc_id", "text")
+    val zf = Bpe.byteWordFreq(zh, "text")
+    // per-code-point pre-tokens: 6 distinct kanji + the space run
+    val words = zf.collect().map(_.getString(0)).toSet
+    assert(words == Set("数", "据", "清", "洗", "训", "练", " "), words)
+    val zrk = Bpe.trainMergesBytesFromFreq(zf, 30)
+      .map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    // fertility: every kanji (3 UTF-8 bytes + mark = 4 seeds) reaches
+    // a single merged token — tokens-per-pretoken = 1, sane fertility
+    for (w <- Seq("数", "据", "清", "洗")) {
+      val e = Bpe.encodeWordBytes(w, zrk)
+      assert(e.length == 1, s"$w -> ${e.toSeq}")
+      assert(Bpe.decodeTokensBytes(e.toSeq) == w)
+    }
+  }
+
   test("incremental pair-index trainer is BIT-IDENTICAL to the " +
       "full-rescan reference loop (seeded corpus with ties and runs, " +
       "trained to full exhaustion)") {

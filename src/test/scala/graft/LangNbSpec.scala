@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LangNb
+
+/** t66 trained language ID: the NB char-trigram model beats the
+  * marker-word heuristic on a planted multilingual fixture whose test
+  * sentences contain NO marker words, is layout-invariant (pure counts
+  * + total-order tie-breaks), and degrades to 'unknown' on sub-trigram
+  * docs. (The sf testdata's `lang` labels are synthetic — text there
+  * is the same vocabulary for every label — so accuracy is pinned on
+  * the planted fixture; the t66 oracle pins engine parity on the real
+  * table.) */
+class LangNbSpec extends SparkSpec {
+  import spark.implicits._
+
+  // labeled training sentences per language
+  private def trainFix = Seq(
+    ("en", "the quick brown fox jumps over the lazy dog and runs to the hills"),
+    ("en", "this is a simple english sentence with plain words that works well"),
+    ("en", "reading writing and thinking in english all day long is the way"),
+    ("de", "der schnelle braune fuchs springt über den faulen hund und rennt weg"),
+    ("de", "das ist ein einfacher deutscher satz mit klaren wörtern und sinn"),
+    ("de", "lesen schreiben und denken auf deutsch ist wunderbar und macht spass"),
+    ("es", "el rápido zorro marrón salta sobre el perro perezoso que duerme"),
+    ("es", "esta es una frase sencilla en español con palabras claras y buenas"),
+    ("es", "leer escribir y pensar en español todo el día está muy bien"),
+    ("fr", "le rapide renard brun saute par dessus le chien paresseux du parc"),
+    ("fr", "ceci est une phrase simple en français avec des mots clairs"),
+    ("fr", "lire écrire et penser en français toute la journée est agréable"))
+    .toDF("lang", "text")
+
+  // marker-free test set: the heuristic's vote is 0 everywhere →
+  // it answers 'unknown' on every row
+  private def testFix = Seq(
+    (1L, "en", "quick brown foxes jump high every morning"),
+    (2L, "de", "schnelle braune füchse springen hoch über faule hunde"),
+    (3L, "es", "zorros marrones rápidos saltan alto sobre perros dormidos"),
+    (4L, "fr", "renards bruns rapides sautent très haut chaque matin"))
+    .toDF("doc_id", "lang", "text")
+
+  test("trained char-trigram NB beats the marker heuristic on a " +
+      "marker-free planted fixture (heuristic: 0/4 'unknown'; " +
+      "NB: 4/4)") {
+    val m = LangNb.fit(trainFix, "text", "lang")
+    val pred = LangNb.predict(testFix, "doc_id", "text", m)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val truth = testFix.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val heur = testFix
+      .select($"doc_id",
+        graft.functions.LangIdExpr.langId($"text").as("p"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(heur.values.forall(_ == "unknown"),
+      s"fixture not marker-free: $heur")
+    val nbAcc = truth.count { case (id, l) => pred(id) == l }
+    val heurAcc = truth.count { case (id, l) => heur(id) == l }
+    assert(nbAcc > heurAcc, s"nb=$pred heuristic=$heur")
+    assert(nbAcc == 4, s"NB misclassified: $pred")
+  }
+
+  test("fit + predict are layout-invariant, and sub-trigram docs " +
+      "predict 'unknown'") {
+    val m1 = LangNb.fit(trainFix, "text", "lang")
+    val m2 = LangNb.fit(trainFix.repartition(7), "text", "lang")
+    def run(m: LangNb.Model) =
+      LangNb.predict(testFix, "doc_id", "text", m)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(run(m1) == run(m2), "layout-variant fit")
+    val short = Seq((10L, "ab"), (11L, "")).toDF("doc_id", "text")
+    val p = LangNb.predict(short, "doc_id", "text", m1)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(p == Set((10L, "unknown"), (11L, "unknown")), p.toString)
+  }
+
+  test("the vocabulary cap binds: maxGrams = 8 still fits and " +
+      "predicts deterministically; maxGrams <= 0 fails fast") {
+    val m = LangNb.fit(trainFix, "text", "lang", maxGrams = 8)
+    assert(m.vocab.count() == 8L)
+    val p1 = LangNb.predict(testFix, "doc_id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val p2 = LangNb.predict(testFix.repartition(3), "doc_id", "text", m)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(p1 == p2)
+    intercept[IllegalArgumentException](
+      LangNb.fit(trainFix, "text", "lang", maxGrams = 0))
+  }
+}

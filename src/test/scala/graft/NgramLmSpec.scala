@@ -58,6 +58,23 @@ class NgramLmSpec extends SparkSpec {
     NgramLm.fitKn(lm)
   }
 
+  test("fitKn bound uses the RUNTIME prefix sum, not the per-bigram " +
+      "max: a high-branching prefix whose individual counts would " +
+      "pass a max(cbi)-based bound still fails fast (scoreKn's q2 = " +
+      "2*cpre*cv is the actual surprisal operand)") {
+    val lm = NgramLm.fit(Seq("a b a b").toDF("text"), "text")
+    // 8 continuations of one prefix, each 2^52: max(cbi) = 2^52 keeps
+    // the OLD bound (2*c_max + V')*(C+V') ≈ 2^53·11 UNDER 2^57, but
+    // cpre = 2^55 makes the real operand 2*cpre*cv ≈ 2^59.5 — overflow
+    val rows = (0 until 8).map(i => ("a", s"t$i", 1L << 52))
+    val big = lm.copy(bigrams = rows.toDF("m1", "m2", "cbi"))
+    val cv = 8L + lm.vPrime // cTypes + V'
+    assert((2L * (1L << 52) + lm.vPrime) <= (1L << 57) / cv,
+      "fixture must sit under the old per-gram bound to prove the point")
+    val e = intercept[IllegalArgumentException](NgramLm.fitKn(big))
+    assert(e.getMessage.contains("shard the model"), e.getMessage)
+  }
+
   test("fit on a toy corpus: hand-computed vocab, bigram and prefix " +
       "counts, with the OOV class folding under the vocab cap") {
     val train = Seq("a b a b c", "a b x").toDF("text")
@@ -285,6 +302,108 @@ class NgramLmSpec extends SparkSpec {
       assert(total == BigInt(2) * c123p * q3(w2, w3),
         s"context ($w1,$w2,$w3) mass $total")
     }
+  }
+
+  test("5-gram Kneser-Ney is an EXACTLY proper distribution at order " +
+      "5: for every seen (w1..w4) context the integer numerators " +
+      "D5(w5) sum to 2*c1234p*Q4 (the discount mass routes through " +
+      "the proper 4-gram-KN distribution)") {
+    val train = Seq("a b a c a b d e a b a c", "b a a c e b a b a c a")
+      .toDF("text")
+    val lm = NgramLm.fit(train, "text", maxVocab = 4) // forces UNK
+    val m = NgramLm.fitKn5(train, "text", lm)
+    val kn3 = m.kn4.kn3
+    val cv = kn3.kn.cTypes + kn3.kn.vPrime
+    val qui = m.quints.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4)) -> r.getLong(5)).toMap
+    val pre1234 = m.prefix1234.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3)) -> (r.getLong(4), r.getLong(5))).toMap
+    val qua = m.kn4.quads.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3)) -> r.getLong(4)).toMap
+    val pre123 = m.kn4.prefix123.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        (r.getLong(3), r.getLong(4))).toMap
+    val tri = kn3.trigrams.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getLong(3)).toMap
+    val pre12 = kn3.prefix12.collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val bi = kn3.kn.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val pre = kn3.kn.prefix2.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val bplus = kn3.kn.cont.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocabAll = lm.vocab.as[String].collect().toSeq :+ NgramLm.Unk
+    def q2(w: String): BigInt = pre.get(w) match {
+      case Some((cpre, _)) => BigInt(2) * cpre * cv
+      case None => BigInt(cv)
+    }
+    def p2(w4: String, w5: String): BigInt = pre.get(w4) match {
+      case Some((_, n1)) =>
+        BigInt(math.max(2 * bi.getOrElse((w4, w5), 0L) - 1, 0L)) * cv +
+          BigInt(n1) * (bplus.getOrElse(w5, 0L) + 1)
+      case None => BigInt(bplus.getOrElse(w5, 0L) + 1)
+    }
+    def q3(w3: String, w4: String): BigInt = pre12.get((w3, w4)) match {
+      case Some((c12, _)) => BigInt(2) * c12 * q2(w4)
+      case None => q2(w4)
+    }
+    def p3(w3: String, w4: String, w5: String): BigInt =
+      pre12.get((w3, w4)) match {
+        case Some((_, n12)) =>
+          BigInt(math.max(2 * tri.getOrElse((w3, w4, w5), 0L) - 1, 0L)) *
+            q2(w4) + BigInt(n12) * p2(w4, w5)
+        case None => p2(w4, w5)
+      }
+    def q4(w2: String, w3: String, w4: String): BigInt =
+      pre123.get((w2, w3, w4)) match {
+        case Some((c123p, _)) => BigInt(2) * c123p * q3(w3, w4)
+        case None => q3(w3, w4)
+      }
+    def p4(w2: String, w3: String, w4: String, w5: String): BigInt =
+      pre123.get((w2, w3, w4)) match {
+        case Some((_, n123)) =>
+          BigInt(math.max(2 * qua.getOrElse((w2, w3, w4, w5), 0L) - 1,
+            0L)) * q3(w3, w4) + BigInt(n123) * p3(w3, w4, w5)
+        case None => p3(w3, w4, w5)
+      }
+    assert(pre1234.nonEmpty)
+    for (((w1, w2, w3, w4), (c1234p, n1234)) <- pre1234) {
+      val total = vocabAll.map { w5 =>
+        BigInt(math.max(
+          2 * qui.getOrElse((w1, w2, w3, w4, w5), 0L) - 1, 0L)) *
+          q4(w2, w3, w4) + BigInt(n1234) * p4(w2, w3, w4, w5)
+      }.sum
+      assert(total == BigInt(2) * c1234p * q4(w2, w3, w4),
+        s"context ($w1,$w2,$w3,$w4) mass $total")
+    }
+  }
+
+  test("t67: the 5-gram-KN model separates the training domain with a " +
+      "margin at least as wide as 4-gram KN's") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val lm = NgramLm.fit(docs.filter($"lang" === "en"), "text")
+    def fracs(scored: org.apache.spark.sql.DataFrame) = scored
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+      .groupBy($"lang")
+      .agg(avg($"keep".cast("double")).as("frac"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val m4 = NgramLm.fitKn4(docs.filter($"lang" === "en"), "text", lm)
+    val kept4 = fracs(NgramLm.scoreKn4(docs, "doc_id", "text", m4, 24L, 5L))
+    val m5 = NgramLm.fitKn5(docs.filter($"lang" === "en"), "text", lm)
+    val kept5 = fracs(NgramLm.scoreKn5(docs, "doc_id", "text", m5, 24L, 5L))
+    val others5 = kept5.filter(_._1 != "en").values
+    assert(others5.nonEmpty && kept5("en") > others5.max, kept5.toString)
+    val margin4 = kept4("en") - kept4.filter(_._1 != "en").values.max
+    val margin5 = kept5("en") - others5.max
+    assert(margin5 >= margin4,
+      s"5-gram separation margin $margin5 (kept5=$kept5) below " +
+        s"4-gram's $margin4 (kept4=$kept4)")
   }
 
   test("t58: the 4-gram-KN model separates the training domain with a " +

@@ -867,6 +867,52 @@ class PipelineSpec extends SparkSpec {
       "version 1.2 of 3 things"))
   }
 
+  test("redactPii breadth: formatted phones become <PHONE>, Luhn-VALID " +
+      "cards become <CARD>, Luhn-invalid card-shaped numbers do NOT; " +
+      "bare digit runs still fall to <NUM>") {
+    val df = Seq(
+      "call (555) 123-4567 today",
+      "or +1-555-123-4567 or 555.123.4567",
+      "pay 4111 1111 1111 1111 now",      // valid visa
+      "pay 4111 1111 1111 1110 now",      // invalid Luhn
+      "mc 5500-0000-0000-0004 done",      // valid mastercard
+      "order 1234567890123456 shipped",   // 16 contiguous, invalid Luhn
+      "date 2026-08-15 and 1.2.3").toDF("t")
+    val got = df.select(graft.functions.Text.redactPii($"t"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got(0) == "call <PHONE> today", got(0))
+    assert(got(1) == "or <PHONE> or <PHONE>", got(1))
+    assert(got(2) == "pay <CARD> now", got(2))
+    assert(!got(3).contains("<CARD>"), got(3)) // invalid stays un-carded
+    assert(got(4) == "mc <CARD> done", got(4))
+    assert(!got(5).contains("<CARD>") && got(5).contains("<NUM>"), got(5))
+    assert(got(6) == "date 2026-08-15 and 1.2.3", got(6))
+  }
+
+  test("Luhn fuzz: for 500 random 16-digit numbers the checksum " +
+      "decides redaction exactly — the valid check digit is unique " +
+      "per prefix, and the Expression matches a driver Luhn oracle") {
+    import graft.functions.PiiExpr
+    val rnd = new scala.util.Random(20260815L)
+    val prefixes = Seq.fill(500)(
+      (1 to 15).map(_ => rnd.nextInt(10)).mkString)
+    // driver oracle: the unique valid check digit per prefix
+    def checkDigit(p: String): Int =
+      (0 to 9).find(d => PiiExpr.luhnValid(p + d)).get
+    val rows = prefixes.zipWithIndex.flatMap { case (p, i) =>
+      val ok = checkDigit(p)
+      Seq((i * 2L, s"x $p$ok y", true),
+        (i * 2L + 1L, s"x $p${(ok + 3) % 10} y", false))
+    }
+    val got = rows.map { case (id, t, _) => (id, t) }.toDF("id", "t")
+      .select($"id", graft.functions.Text.redactPii($"t").as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, _, valid) =>
+      assert(got(id).contains("<CARD>") == valid,
+        s"row $id (valid=$valid): ${got(id)}")
+    }
+  }
+
   test("deterministic sampling: reproducible, repartition-stable, and " +
       "within 2% of the nominal rate at 100k ids") {
     import org.apache.spark.sql.functions._
@@ -1468,6 +1514,29 @@ class PipelineSpec extends SparkSpec {
       when($"doc_id" === victim, $"n_chars" * 100L).otherwise($"n_chars"))
     assert(run(boosted, "w3").exists(_._3 == victim),
       "a kept row boosted 100x must stay kept")
+  }
+
+  test("weighted sampling fails fast on zero, negative, or null " +
+      "weights — w <= 0 would silently never-sample (Infinity " +
+      "priority) or rank-FIRST (negative priority)") {
+    import graft.operators.Sampling
+    def chain(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    val base = Seq((1L, "en", 5L), (2L, "en", 7L))
+    for (bad <- Seq(0L, -3L)) {
+      val df = (base :+ (3L, "en", bad)).toDF("doc_id", "lang", "w")
+      val e = intercept[Exception] {
+        Sampling.weightedSample(df, "doc_id", "lang", "w", k = 2).collect()
+      }
+      assert(chain(e).contains("positive integral"), s"w=$bad: ${chain(e)}")
+    }
+    val withNull = Seq((1L, "en", Some(5L)), (3L, "en", None))
+      .toDF("doc_id", "lang", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(withNull, "doc_id", "lang", "w", k = 2)
+        .collect()
+    }
+    assert(chain(e).contains("positive integral"), chain(e))
   }
 
   test("mrl prefix search: dPrefix = full dim == brute force " +
