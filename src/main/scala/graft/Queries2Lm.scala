@@ -1,0 +1,1545 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.RF
+
+/** Query-registry chunk 2/5 — the tokenizer + language-model chain: BPE (char and byte), language ID, URL canonicalization, corpus cards, bigram..5-gram KN (t28-t43, t49-t52, t56-t58, t65-t68).
+  *
+  * The chunks are a LINEAR trait stack mixed into `object Queries`,
+  * cut at section boundaries in ORIGINAL SOURCE ORDER: trait
+  * linearization then initializes every val exactly as the one big
+  * object did, so no forward val reference can change behavior. */
+private[graft] trait Queries2Lm extends Queries1Rel {
+
+  import graft.functions.Text
+  import graft.operators.{Dedup, Similarity}
+  import graft.sources.Store
+  import graft.streaming.Streams
+
+  // ------------------------------------------------------------- t28/t29
+  // BPE subword tokenizer (Sennrich et al. 2016): t28 = the trained
+  // merge table, t29 = the corpus token census under those merges. The
+  // only corpus-sized work is ONE word-frequency shuffle; training runs
+  // on the bounded dictionary (top-2^20 by freq, word tie-break — the
+  // cap rides in the oracle like t13's), and encoding touches each
+  // DISTINCT word once. The oracle replays training verbatim: stage k
+  // derives the best pair from stage k-1's counts (count DESC, lhs,
+  // rhs) and rewrites every word with a left-to-right recursive-CTE
+  // walker; its stage-K word states ARE the rank-order encodings, which
+  // equal Spark's greedy lowest-rank-first encode (merge k can only
+  // create pairs containing its new token, all ranked > k).
+  private[graft] val bpeMergeCount = 40
+
+  def t28_bpe_merges(spark: SparkSession, dir: String): DataFrame =
+    operators.Bpe.mergesDf(spark,
+      operators.Bpe.trainMergesFromFreq(bpeWordFreq(spark, dir)._1,
+        bpeMergeCount))
+      .orderBy($"rank")
+
+  /** Cached (word, freq) per (session, documents dir, source stamp) —
+    * ONE resident vocabulary-bounded cache entry shared by the whole
+    * BPE chain (t28/t29/t32/t37), instead of each query leaving its
+    * own plan-deduped entry. */
+  /** Generic per-(session, dir, source-stamp) model memo. ONE resident
+    * entry per live (session, dir): a superseded entry for the same
+    * session+dir (regenerated testdata) is released on the next fill,
+    * and so are entries whose session has been GC'd. Keyed on
+    * `spark.sessionUUID` — `System.identityHashCode` is NOT unique
+    * (two live sessions can collide, handing one a cached Dataset
+    * bound to the other: the q55 session-bound trap) — and holding the
+    * session only WEAKLY so a dead session's entries release instead
+    * of persisting until a same-prefix key happens along. */
+  private[graft] final class SessionMemo[V](make: (SparkSession, String) => V,
+                                     release: V => Unit) {
+    private[graft] val m = new java.util.concurrent.ConcurrentHashMap[
+      String, (java.lang.ref.WeakReference[SparkSession], V)]()
+    def apply(spark: SparkSession, dir: String, stamp: Long): V = {
+      val pfx = s"${org.apache.spark.sql.graftshim.ColumnInternals
+        .sessionUUID(spark)}@$dir@"
+      val key = s"$pfx$stamp"
+      val hit = m.get(key)
+      if (hit != null) hit._2
+      else {
+        import scala.jdk.CollectionConverters._
+        m.asScala.toList.foreach { case (k, (ref, _)) =>
+          val dead = ref.get == null
+          if (dead || k.startsWith(pfx))
+            Option(m.remove(k)).foreach { e =>
+              // a GC'd session's cached tables died with it — only
+              // live superseded entries need an explicit unpersist
+              if (!dead)
+                try release(e._2)
+                catch { case _: IllegalStateException => () }
+            }
+        }
+        m.computeIfAbsent(key,
+          _ => (new java.lang.ref.WeakReference(spark), make(spark, dir)))._2
+      }
+    }
+  }
+
+  /** Cached (word-freq DataFrame, vocabulary count) — the count both
+    * materializes the cache AND is the vocabulary size every broadcast
+    * gate downstream needs, memoized here so no query pays a per-call
+    * `freqDf.count()` action (the round-12 t32 regression: the gate's
+    * extra job per call). */
+  private[graft] val wordFreqMemo = new SessionMemo[(DataFrame, Long)](
+    (spark, dir) => {
+      val df =
+        operators.Bpe.wordFreq(t(spark, dir, "documents"), "text").cache()
+      (df, df.count())
+    },
+    _._1.unpersist())
+  private[graft] def bpeWordFreq(spark: SparkSession,
+                          dir: String): (DataFrame, Long) =
+    wordFreqMemo(spark, dir, srcStamp(dir, "documents.parquet"))
+
+  def t29_bpe_tokens(spark: SparkSession, dir: String): DataFrame = {
+    // the shared cached word-freq feeds BOTH training and the census —
+    // the raw corpus is scanned exactly once per process per dir for
+    // the whole t28/t29/t32 chain
+    val (wf, _) = bpeWordFreq(spark, dir)
+    val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
+    operators.Bpe.tokenCensusFromFreq(wf, merges)
+      .orderBy($"freq".desc, $"token".asc)
+  }
+
+  // one training stage: pair counts over the vocab (iv), best pair,
+  // left-to-right rewrite of EVERY word (encode applies universally)
+  private[graft] def bpeStageSql(k: Int): String =
+    s"""pairs_$k AS MATERIALIZED (
+       |  SELECT s1, s2, SUM(freq) AS cnt FROM (
+       |    SELECT freq, syms[i] AS s1, syms[i+1] AS s2
+       |    FROM words_${k - 1}, UNNEST(range(1, len(syms))) AS t(i) WHERE iv)
+       |  GROUP BY s1, s2),
+       |best_$k AS MATERIALIZED (
+       |  SELECT s1, s2 FROM pairs_$k ORDER BY cnt DESC, s1, s2 LIMIT 1),
+       |rw_$k AS (
+       |  SELECT word, freq, iv, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc
+       |  FROM words_${k - 1}
+       |  UNION ALL
+       |  SELECT word, freq, iv, syms,
+       |    CASE WHEN i < len(syms) AND syms[i] = (SELECT s1 FROM best_$k)
+       |              AND syms[i+1] = (SELECT s2 FROM best_$k)
+       |         THEN i + 2 ELSE i + 1 END,
+       |    CASE WHEN i < len(syms) AND syms[i] = (SELECT s1 FROM best_$k)
+       |              AND syms[i+1] = (SELECT s2 FROM best_$k)
+       |         THEN list_append(acc, syms[i] || syms[i+1])
+       |         ELSE list_append(acc, syms[i]) END
+       |  FROM rw_$k WHERE i <= len(syms)),
+       |words_$k AS MATERIALIZED (
+       |  SELECT word, freq, iv, acc AS syms FROM rw_$k
+       |  WHERE i = len(syms) + 1)""".stripMargin
+
+  private[graft] def bpeHeadSql: String =
+    """WITH RECURSIVE words_0 AS MATERIALIZED (
+      |  SELECT word, freq, list_append(string_split(word, ''), '</w>') AS syms,
+      |         ROW_NUMBER() OVER (ORDER BY freq DESC, word) <= 1048576 AS iv
+      |  FROM (
+      |    SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      |    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      |    WHERE tok <> '' GROUP BY tok)),
+      |""".stripMargin +
+      (1 to bpeMergeCount).map(bpeStageSql).mkString(",\n")
+
+  private[graft] lazy val t28_sql =
+    bpeHeadSql + s"""
+      |SELECT k AS rank, s1 AS lhs, s2 AS rhs FROM (
+      |${(1 to bpeMergeCount)
+         .map(k => s"SELECT $k AS k, s1, s2 FROM best_$k")
+         .mkString(" UNION ALL ")}
+      |) ORDER BY rank""".stripMargin
+
+  private[graft] lazy val t29_sql =
+    bpeHeadSql + s"""
+      |SELECT token, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+      |  SELECT unnest(syms) AS token, freq FROM words_$bpeMergeCount)
+      |GROUP BY token ORDER BY freq DESC, token""".stripMargin
+
+  // ---------------------------------------------------------------- t65
+  // BYTE-level BPE — the production tokenizer form (GPT-2-style byte
+  // fallback): pre-tokens come from Bpe.preTokRe (CJK per code point,
+  // letter/digit/whitespace/symbol runs — lossless, no whitespace
+  // assumption), and seed symbols are the pre-token's UTF-8 BYTES as
+  // hex pairs, so every script tokenizes from 256 seeds with no OOV
+  // symbol possible. Same bounded shape as t28 (ONE word-freq shuffle,
+  // driver merge loop over the top-2^20 dictionary); the oracle is the
+  // SAME 40-stage merge replay with the byte-hex seed head — both
+  // engines spell the seeds via hex(encode(word)) and the identical
+  // RE2∩Java pre-tokenization regex.
+  def t65_bpe_bytes(spark: SparkSession, dir: String): DataFrame =
+    operators.Bpe.mergesDf(spark,
+      operators.Bpe.trainMergesBytesFromFreq(
+        operators.Bpe.byteWordFreq(t(spark, dir, "documents"), "text"),
+        bpeMergeCount))
+      .orderBy($"rank")
+
+  private[graft] lazy val t65_sql = {
+    // the regex is injected OUTSIDE the stripMargin templates (it
+    // contains '|' alternations — the t56 re-strip lesson)
+    val head =
+      """WITH RECURSIVE words_0 AS MATERIALIZED (
+        |  SELECT word, freq,
+        |         list_append(regexp_extract_all(hex(encode(word)), '..'), '</w>') AS syms,
+        |         ROW_NUMBER() OVER (ORDER BY freq DESC, word) <= 1048576 AS iv
+        |  FROM (
+        |    SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+        |    FROM (SELECT unnest(regexp_extract_all(text, """.stripMargin +
+      s"'${operators.Bpe.preTokRe}'" +
+      """)) AS tok FROM documents)
+        |    WHERE tok <> '' GROUP BY tok)),
+        |""".stripMargin +
+      (1 to bpeMergeCount).map(bpeStageSql).mkString(",\n")
+    head + s"""
+      |SELECT k AS rank, s1 AS lhs, s2 AS rhs FROM (
+      |${(1 to bpeMergeCount)
+         .map(k => s"SELECT $k AS k, s1, s2 FROM best_$k")
+         .mkString(" UNION ALL ")}
+      |) ORDER BY rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t68
+  // URL canonicalization + host-level dedup/caps — the crawl stage
+  // BEFORE text dedup (functions/Url): messy per-doc URLs are
+  // CONSTRUCTED deterministically from doc fields (the t56
+  // constructed-page precedent — both engines build the identical
+  // string), canonicalized (case/ports/fragments/tracking params),
+  // then the t17 per-source-cap shape keyed on the canonical host.
+  // Pure string arithmetic from ONE dual-dialect home, so the oracle
+  // replays it bit-for-bit.
+  private[graft] def demoUrlSql(duck: Boolean): String = {
+    val str = if (duck) "VARCHAR" else "STRING"
+    s"(CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || " +
+      s"'://WWW.' || source || '.Example.COM' || " +
+      s"CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END || " +
+      s"'/docs/' || CAST(doc_id % 5 AS $str) || " +
+      s"CASE WHEN doc_id % 4 = 0 " +
+      s"THEN '?utm_source=feed&utm_campaign=c' || CAST(doc_id % 3 AS $str) " +
+      s"WHEN doc_id % 4 = 1 " +
+      s"THEN '?id=' || CAST(doc_id % 7 AS $str) || '&utm_medium=email&ref=tw' " +
+      s"WHEN doc_id % 4 = 2 THEN '?gclid=abc' || CAST(doc_id AS $str) || '#section-2' " +
+      s"ELSE '#top' END)"
+  }
+
+  def t68_url_canon(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+      .withColumn("url", expr(demoUrlSql(duck = false)))
+    graft.functions.Url.hostCapCensus(docs, "doc_id", "url", cap = 3)
+      .orderBy($"host")
+  }
+
+  private[graft] lazy val t68_sql =
+    s"""WITH u AS MATERIALIZED (
+       |  SELECT doc_id, ${demoUrlSql(duck = true)} AS url
+       |  FROM documents),
+       |c AS MATERIALIZED (
+       |  SELECT doc_id, ${graft.functions.Url.canonSql("url", duck = true)} AS canon,
+       |         ${graft.functions.Url.hostSql("url", duck = true)} AS host
+       |  FROM u),
+       |pc AS (
+       |  SELECT host, canon, CAST(COUNT(*) AS BIGINT) AS n_raw,
+       |         MIN(doc_id) AS first_id
+       |  FROM c GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT host, canon, n_raw,
+       |         ROW_NUMBER() OVER (PARTITION BY host
+       |           ORDER BY first_id, canon) AS rk
+       |  FROM pc)
+       |SELECT host, CAST(SUM(n_raw) AS BIGINT) AS n_urls,
+       |       CAST(COUNT(*) AS BIGINT) AS n_canon,
+       |       CAST(SUM(CASE WHEN rk <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_kept,
+       |       MIN(canon) AS first_url
+       |FROM rk GROUP BY host ORDER BY host""".stripMargin
+
+  // ---------------------------------------------------------------- t66
+  // TRAINED language ID (operators/LangNb): multinomial Naive Bayes
+  // over the top-4096 char trigrams — the production replacement for
+  // t03's marker-word heuristic. Fit on the doc_id%5 train split (pure
+  // counting), scored in the integer 1/64-bit log2, confusion census
+  // over the held-out split. The oracle replays FIT AND SCORING as
+  // materialized CTEs (the d14/s14 whole-chain rule).
+  def t66_langid_trained(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val train = docs.filter($"doc_id" % 5 =!= 4L)
+    val test = docs.filter($"doc_id" % 5 === 4L)
+    val m = operators.LangNb.fit(train, "text", "lang")
+    operators.LangNb.predict(test, "doc_id", "text", m)
+      .join(test.select($"doc_id", $"lang"), Seq("doc_id"))
+      .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"lang_pred")
+  }
+
+  private[graft] lazy val t66_sql =
+    s"""WITH tr AS MATERIALIZED (
+       |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 <> 4),
+       |te AS MATERIALIZED (
+       |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 = 4),
+       |tg AS (
+       |  SELECT lang, substr(text, CAST(i AS INTEGER), 3) AS gram
+       |  FROM tr, UNNEST(range(1, greatest(length(text) - 2, 0) + 1)) AS u(i)),
+       |cnt AS MATERIALIZED (
+       |  SELECT lang, gram, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM tg GROUP BY 1, 2),
+       |vocab AS MATERIALIZED (
+       |  SELECT gram FROM (
+       |    SELECT gram, SUM(c) AS s FROM cnt GROUP BY 1
+       |    ORDER BY s DESC, gram LIMIT 4096)),
+       |nvoc AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+       |cv AS MATERIALIZED (
+       |  SELECT lang, gram, c FROM cnt JOIN vocab USING (gram)),
+       |langs AS (SELECT DISTINCT lang FROM tr),
+       |tot AS (
+       |  SELECT l.lang, COALESCE(s.t, 0) + (SELECT v FROM nvoc) AS tv
+       |  FROM langs l LEFT JOIN (
+       |    SELECT lang, CAST(SUM(c) AS BIGINT) AS t FROM cv GROUP BY 1
+       |  ) s USING (lang)),
+       |model AS MATERIALIZED (
+       |  SELECT lang, gram, ${s64u("c + 1")} AS w64 FROM cv),
+       |base AS (SELECT lang, ${s64u("tv")} AS b64 FROM tot),
+       |eg AS MATERIALIZED (
+       |  SELECT doc_id, gram FROM (
+       |    SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS gram
+       |    FROM te, UNNEST(range(1, greatest(length(text) - 2, 0) + 1)) AS u(i))
+       |  JOIN vocab USING (gram)),
+       |nv AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM eg GROUP BY 1),
+       |hits AS MATERIALIZED (
+       |  SELECT doc_id, lang, CAST(SUM(w64) AS BIGINT) AS sw
+       |  FROM eg JOIN model USING (gram) GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT nv.doc_id, b.lang,
+       |         COALESCE(h.sw, 0) - nv.n * b.b64 AS score64
+       |  FROM nv CROSS JOIN base b
+       |  LEFT JOIN hits h ON h.doc_id = nv.doc_id AND h.lang = b.lang),
+       |pred AS (
+       |  SELECT doc_id, lang AS lang_pred FROM (
+       |    SELECT doc_id, lang,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id
+       |             ORDER BY score64 DESC, lang) AS rk FROM sc)
+       |  WHERE rk = 1)
+       |SELECT te.lang, COALESCE(p.lang_pred, 'unknown') AS lang_pred,
+       |       CAST(COUNT(*) AS BIGINT) AS n
+       |FROM te LEFT JOIN pred p USING (doc_id)
+       |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+
+  // ---------------------------------------------------------------- t32
+  // The tokenize-then-pack final step, with the TRAINED tokenizer: BPE
+  // merges fit from the word-freq dict, each distinct word's subword
+  // count broadcast back as a lookup table (corpus token counting is a
+  // hash probe, never a per-row merge loop), per-doc BPE token totals,
+  // then t08's concat-and-chunk span arithmetic at a 512-token budget.
+  // The oracle chains the full BPE replay (words_40 lengths), the
+  // count join, and the window-cumsum pack. The lookup broadcast is
+  // GATED on the measured vocabulary size (Bpe.docTokenCounts — the
+  // TfIdf pattern; PlanShapeSpec pins hint-under-gate vs no-hint-above)
+  // so a 10⁸-distinct-word crawl shuffle-joins instead of OOMing.
+  def t32_bpe_pack(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val (wf, nVocab) = bpeWordFreq(spark, dir)
+    val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
+    val docTok =
+      operators.Bpe.docTokenCounts(docs, "doc_id", "text", wf, merges,
+        knownVocab = Some(nVocab))
+    operators.Packing.chunkSpans(docTok, "doc_id", $"n_btok",
+      budget = 512L, shards = 4)
+      .orderBy($"doc_id")
+  }
+
+  private[graft] lazy val t32_sql =
+    bpeHeadSql + s""",
+      |wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS ntok
+      |       FROM words_$bpeMergeCount),
+      |dt AS (
+      |  SELECT doc_id, CAST(SUM(ntok) AS BIGINT) AS len
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents) dw
+      |  JOIN wt USING (word)
+      |  WHERE word <> '' GROUP BY doc_id),
+      |d AS (
+      |  SELECT doc_id, doc_id % 4 AS shard, len,
+      |    CAST(COALESCE(SUM(len)
+      |      OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cum_excl
+      |  FROM dt)
+      |SELECT doc_id, shard,
+      |  cum_excl // 512 AS start_chunk,
+      |  CASE WHEN len > 0 THEN (cum_excl + len - 1) // 512
+      |       ELSE cum_excl // 512 END AS end_chunk,
+      |  cum_excl % 512 AS chunk_offset
+      |FROM d ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t43
+  // Tokenizer fertility card — the standard multilingual
+  // tokenizer-health metric (tokens per word and characters per token,
+  // per language): a vocabulary trained on a skewed mix over-segments
+  // under-represented languages, and THIS is the audit that shows it.
+  // Composition: the cached word-freq dict + trained merges + the
+  // broadcast (gated) per-word token-count lookup — so the corpus-side
+  // work is ONE word explode + hash probe + (lang) aggregation. The
+  // two ratio columns are single IEEE divisions of exact integers (the
+  // t33 bpt precedent — deterministic cross-engine). The oracle
+  // replays the 40-stage BPE chain and reads word token counts off
+  // the final stage.
+  def t43_bpe_fertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val (wf, nVocab) = bpeWordFreq(spark, dir)
+    val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
+    val wt = operators.Bpe.wordTokenCounts(wf, merges)
+    val side =
+      if (nVocab <= operators.Bpe.maxBroadcastVocab) broadcast(wt) else wt
+    docs.select($"lang", explode(split($"text", " ")).as("word"))
+      .filter($"word" =!= "")
+      .join(side, "word")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum($"ntok").as("n_btok"),
+        sum(length($"word")).cast("long").as("n_chars"))
+      .select($"lang", $"n_words", $"n_btok", $"n_chars",
+        ($"n_btok".cast("double") / $"n_words".cast("double"))
+          .as("fertility"),
+        ($"n_chars".cast("double") / $"n_btok".cast("double"))
+          .as("chars_per_tok"))
+      .orderBy($"lang")
+  }
+
+  private[graft] lazy val t43_sql =
+    bpeHeadSql + s""",
+      |wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS ntok
+      |       FROM words_$bpeMergeCount),
+      |dw AS (SELECT lang, unnest(string_split(text, ' ')) AS word
+      |       FROM documents),
+      |j AS (SELECT lang, dw.word, wt.ntok FROM dw
+      |      JOIN wt USING (word) WHERE word <> '')
+      |SELECT lang, COUNT(*) AS n_words,
+      |  CAST(SUM(ntok) AS BIGINT) AS n_btok,
+      |  CAST(SUM(length(word)) AS BIGINT) AS n_chars,
+      |  CAST(SUM(ntok) AS DOUBLE) / COUNT(*) AS fertility,
+      |  CAST(SUM(length(word)) AS DOUBLE) / SUM(ntok) AS chars_per_tok
+      |FROM j GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ---------------------------------------------------------------- t49
+  // OPTIMAL (Viterbi) unigram segmentation over the trained BPE vocab
+  // (SentencePiece's encode, Kudo 2018) with integer 1/64-bit
+  // surprisal piece costs from the t29 census — greedy BPE is a
+  // feasible segmentation of the same vocabulary, so this is the
+  // strictly-≤-cost segmenter (optimality spec-pinned). The oracle
+  // replays the WHOLE dynamic program as 12 generated MATERIALIZED CTE
+  // stages over symbol positions (the BPE 40-stage replay precedent),
+  // tie-broken (cost, n_pieces, earliest split) so the segmentation —
+  // not just its cost — is unique and engine-exact.
+  def t49_unigram_viterbi(spark: SparkSession, dir: String): DataFrame = {
+    val (wf, _) = bpeWordFreq(spark, dir)
+    val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
+    val census = operators.Bpe.tokenCensusFromFreq(wf, merges)
+    operators.Unigram.viterbiTable(wf, census, maxSyms = 12,
+      topWords = 500, maxPieceSyms = 8)
+      .orderBy($"word")
+  }
+
+
+  private[graft] def uniStageSql(p: Int): String = {
+    val qs = (math.max(0, p - 8) until p).map(q =>
+      s"SELECT word, cost, np, seg, $q AS q FROM udp_$q")
+      .mkString("\n      UNION ALL ")
+    s"""udp_$p AS MATERIALIZED (
+       |  SELECT word, cost, np, seg FROM (
+       |    SELECT word, cost, np, seg,
+       |      ROW_NUMBER() OVER (PARTITION BY word ORDER BY cost, np, q)
+       |        AS rk
+       |    FROM (
+       |      SELECT x.word,
+       |        x.cost + ${s64u("t.cv")}
+       |               - ${s64u("COALESCE(c.cnt, 0) + 1")} AS cost,
+       |        x.np + 1 AS np,
+       |        CASE WHEN x.np = 0 THEN x.piece
+       |             ELSE x.seg || '-' || x.piece END AS seg,
+       |        x.q
+       |      FROM (
+       |        SELECT b.word, b.cost, b.np, b.seg, b.q,
+       |          array_to_string(s.syms[b.q+1:$p], '') AS piece
+       |        FROM ($qs) b
+       |        JOIN usel s USING (word)
+       |        WHERE len(s.syms) >= $p) x
+       |      LEFT JOIN ucen c ON c.token = x.piece
+       |      CROSS JOIN utot t
+       |      WHERE $p - x.q = 1 OR c.cnt IS NOT NULL))
+       |  WHERE rk = 1)""".stripMargin
+  }
+
+  private[graft] lazy val t49_sql =
+    bpeHeadSql + s""",
+      |ucen AS MATERIALIZED (
+      |  SELECT token, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(syms) AS token, freq FROM words_$bpeMergeCount)
+      |  GROUP BY token),
+      |utot AS MATERIALIZED (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) + COUNT(*) AS cv FROM ucen),
+      |usel AS MATERIALIZED (
+      |  SELECT word, syms FROM (
+      |    SELECT word, freq, syms,
+      |      ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rn
+      |    FROM words_0 WHERE len(syms) <= 12)
+      |  WHERE rn <= 500),
+      |udp_0 AS MATERIALIZED (
+      |  SELECT word, CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS seg
+      |  FROM usel),
+      |${(1 to 12).map(uniStageSql).mkString(",\n")},
+      |ufin AS (
+      |${(1 to 12).map(p =>
+         s"  SELECT $p AS p, word, cost, np, seg FROM udp_$p")
+         .mkString("\n  UNION ALL\n")}
+      |)
+      |SELECT s.word, u.np AS n_pieces, u.cost AS cost64, u.seg AS seg
+      |FROM usel s JOIN ufin u ON u.word = s.word AND u.p = len(s.syms)
+      |ORDER BY s.word""".stripMargin
+
+  // ---------------------------------------------------------------- t50
+  // Snapshot drift census — the monitoring operator a rolling corpus
+  // needs: per-token log₂ RATE drift between two snapshots (doc_id
+  // halves as the proxy), in exact 1/64-bit integers —
+  // d64 = (s64(cA+1)−s64(TA+1)) − (s64(cB+1)−s64(TB+1)) — and the top
+  // 50 movers by |d64|. ONE token-census shuffle (conditional sums per
+  // half, map-side combined), a 1-row totals broadcast, a narrow s64
+  // map, and a TakeOrderedAndProject top-k. At 100 TB: census-bounded,
+  // never corpus-quadratic.
+  def t50_drift_census(spark: SparkSession, dir: String): DataFrame = {
+    val tok = t(spark, dir, "documents")
+      .select(($"doc_id" % 2 === 0).as("a"),
+        explode(split($"text", " ")).as("token"))
+      .filter($"token" =!= "")
+    val c = tok.groupBy($"token").agg(
+      sum(when($"a", 1L).otherwise(0L)).as("cnt_a"),
+      sum(when(!$"a", 1L).otherwise(0L)).as("cnt_b"))
+    val tot = c.agg(sum($"cnt_a").as("ta"), sum($"cnt_b").as("tb"))
+    import operators.NgramLm.surprisal64
+    c.crossJoin(broadcast(tot))
+      .withColumn("d64",
+        (surprisal64($"cnt_a" + 1) - surprisal64($"ta" + 1)) -
+          (surprisal64($"cnt_b" + 1) - surprisal64($"tb" + 1)))
+      .select($"token", $"cnt_a", $"cnt_b", $"d64")
+      .orderBy(abs($"d64").desc, $"token")
+      .limit(50)
+  }
+
+  private[graft] val t50_sql = {
+    def s64(q: String): String =
+      s"(64 * (length(bin($q)) - 1) " +
+        s"+ ((($q) << 6) >> (length(bin($q)) - 1)) - 64)"
+    val d64 = s"(${s64("cnt_a + 1")} - ${s64("ta + 1")})" +
+      s" - (${s64("cnt_b + 1")} - ${s64("tb + 1")})"
+    s"""WITH tk AS (
+       |  SELECT doc_id % 2 = 0 AS a,
+       |         unnest(string_split(text, ' ')) AS token
+       |  FROM documents),
+       |c AS (
+       |  SELECT token,
+       |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+       |    CAST(SUM(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS cnt_b
+       |  FROM tk WHERE token <> '' GROUP BY token),
+       |t AS (SELECT CAST(SUM(cnt_a) AS BIGINT) AS ta,
+       |             CAST(SUM(cnt_b) AS BIGINT) AS tb FROM c)
+       |SELECT token, cnt_a, cnt_b, $d64 AS d64
+       |FROM c, t
+       |ORDER BY abs($d64) DESC, token LIMIT 50""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t51
+  // BLOOM-FILTER decontamination — the zero-shuffle form of t09: the
+  // benchmark gram set folds into a 2^20-bit Bloom array (a 128 KiB
+  // model artifact, bounded by the filter geometry regardless of
+  // benchmark size), and the corpus side is ONE codegen scan — no
+  // explode, no join, no aggregation; the per-doc distinct-hit count
+  // folds row-locally inside functions.BloomGramHits. At 100 TB this
+  // is the difference between a corpus-wide gram shuffle and a pure
+  // map over the scan. False positives are deterministic (same
+  // arithmetic both engines) and false negatives impossible; the spec
+  // pins n_bloom ≥ t09's exact n_hits per doc.
+  def t51_bloom_decontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val bits = operators.Decontam.bloomBits(
+      docs.filter($"doc_id" % 97 === 0), "text", n = 3, k = 3, mBits = 1 << 20)
+    operators.Decontam.bloomReport(docs.filter($"doc_id" % 97 =!= 0),
+        "doc_id", "text", n = 3, k = 3, mBits = 1 << 20, bits)
+      .orderBy($"doc_id")
+  }
+
+  private[graft] val t51_sql = {
+    import graft.functions.BloomGramHits.positionSql
+    val m = 1 << 20
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |pos AS (
+       |  SELECT doc_id, w,
+       |         unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+       |  FROM toks),
+       |grams AS (
+       |  SELECT doc_id, ${Text.duck.ngramHashSql("w", "i", 3)} AS g
+       |  FROM pos),
+       |bps AS (
+       |  SELECT DISTINCT unnest([${(0 until 3).map(j => positionSql("g", j, m)).mkString(", ")}]) AS p
+       |  FROM (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)),
+       |cg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+       |SELECT doc_id, COUNT(*) AS n_bloom
+       |FROM cg
+       |WHERE ${(0 until 3).map(j =>
+             s"${positionSql("g", j, m)} IN (SELECT p FROM bps)")
+             .mkString("\n  AND ")}
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t52
+  // STREAMING Bloom decontamination (the t51 production twin, the
+  // t35/t41 pattern): the benchmark registry folds ONCE into the
+  // PERSISTED 128 KiB Bloom artifact (Decontam.buildBloomFilter;
+  // later eval suites appendToBloomFilter — a pure bitwise OR), and
+  // the live document feed probes it per micro-batch — still the
+  // zero-shuffle codegen scan inside every batch, because the
+  // artifact is a plain long[], not a session-bound Dataset.
+  // Parameter-stamped stage, disk-as-state, replay appends nothing.
+  // The oracle IS t51's SQL — stream must equal batch.
+  private[graft] def bloomStreamBase(dir: String, n: Int, k: Int,
+                                     mBits: Int): String = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s"/tmp/graft_stream/$key/bloom_n${n}_k${k}_m$mBits" +
+      s"_s${srcStamp(dir, "documents.parquet")}"
+  }
+
+  def t52_stream_bloom(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stage = s"/tmp/graft_stream/$key/documents"
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      sources.Store.setSplayed(docs, stage)
+    val base = bloomStreamBase(dir, 3, 3, 1 << 20)
+    val filterPath = s"$base/filter"
+    if (!new java.io.File(s"$filterPath/meta/_SUCCESS").exists())
+      operators.Decontam.buildBloomFilter(docs.filter($"doc_id" % 97 === 0),
+        "text", n = 3, k = 3, mBits = 1 << 20, filterPath)
+    streaming.Streams.bloomDecontamStream(spark, stage, docs,
+        "doc_id", "text", filterPath,
+        outDir = s"$base/out", checkpoint = s"$base/ckpt",
+        where = Some("doc_id % 97 <> 0"))
+      .orderBy($"doc_id")
+  }
+
+  // t52's oracle IS t51's SQL (stream == batch)
+  private[graft] lazy val t52_sql = t51_sql
+
+  // ---------------------------------------------------------------- t38
+  // Corpus audit card (the governance report a 100 TB shard audit
+  // reads): per (lang, source) slice — docs, exact token mass, Gopher
+  // pass count (the t21 integer gates), and the exact-duplicate count
+  // via md5 fingerprints. Pure composition: one narrow map (flags +
+  // fingerprint are codegen'd), ONE (lang, source) aggregation shuffle
+  // with a two-level distinct expansion for the fingerprint count.
+  // Every cell is an exact integer — the card hash-matches in DuckDB.
+  def t38_corpus_card(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    docs.select($"lang", $"source",
+        size(split($"text", " ")).cast("long").as("wc"),
+        md5($"text").as("fp"),
+        operators.QualityRules.keepFlag($"text",
+          minWords = 35, maxWords = 70).as("keep"))
+      .groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"wc").as("n_tokens"),
+        sum($"keep").as("gopher_pass"),
+        countDistinct($"fp").as("n_uniq"),
+        (count(lit(1)) - countDistinct($"fp")).as("n_dup"))
+      .orderBy($"lang", $"source")
+  }
+
+  private[graft] val t38_sql =
+    """WITH w AS (
+      |  SELECT doc_id, lang, source, string_split(text, ' ') AS ws,
+      |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS sl,
+      |    md5(text) AS fp
+      |  FROM documents),
+      |f AS (
+      |  SELECT lang, source, CAST(len(ws) AS BIGINT) AS wc, fp,
+      |    (CASE WHEN len(ws) BETWEEN 35 AND 70 THEN 1 ELSE 0 END) *
+      |    (CASE WHEN sl >= 3 * len(ws) AND sl <= 10 * len(ws)
+      |      THEN 1 ELSE 0 END) *
+      |    (CASE WHEN
+      |      (CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'a') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'in') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'is') THEN 1 ELSE 0 END) >= 2
+      |      THEN 1 ELSE 0 END) *
+      |    (CASE WHEN 2 * len(list_distinct(ws)) >= len(ws)
+      |      THEN 1 ELSE 0 END) AS keep
+      |  FROM w)
+      |SELECT lang, source, COUNT(*) AS n_docs,
+      |  CAST(SUM(wc) AS BIGINT) AS n_tokens,
+      |  CAST(SUM(keep) AS BIGINT) AS gopher_pass,
+      |  COUNT(DISTINCT fp) AS n_uniq,
+      |  CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup
+      |FROM f GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  // ---------------------------------------------------------------- t37
+  // MATERIALIZED training shards (the true last mile): per (shard,
+  // chunk) the actual packed token-ID array at a 512-token budget —
+  // not just the t32 span arithmetic. Chain: the trained BPE merges
+  // (cached word-freq), each distinct word's subword SEQUENCE
+  // broadcast back (wordTokens — the materializing form of the t32
+  // lookup), subword→id from the census rank (a bounded MODEL
+  // artifact, so its single-partition rank window is over vocab rows,
+  // never data), the t08/t32 cumulative span arithmetic, then one
+  // (shard, chunk) shuffle assembling position-sorted id arrays. The
+  // oracle replays the 40-stage BPE chain + the same id/rank/pack
+  // arithmetic and compares the ARRAYS.
+  /** The t37 packed-token row stream (shard, chunk, pos, id) — shared
+    * by the oracle query (which string-joins the ids for the driver's
+    * hash compare) and `Packing.writeShards` (the REAL array<long>
+    * parquet artifact a trainer consumes). */
+  private[graft] def t37PackedRows(spark: SparkSession,
+                                   dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = t(spark, dir, "documents")
+    val (wf, nVocab) = bpeWordFreq(spark, dir)
+    val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
+    // the memoized vocabulary count: the gate costs zero jobs
+    val gate = nVocab <= operators.Bpe.maxBroadcastVocab
+    def side(df: DataFrame) = if (gate) broadcast(df) else df
+    val wt = side(operators.Bpe.wordTokens(wf, merges))
+    val vid = side(operators.Bpe.tokenCensusFromFreq(wf, merges)
+      .withColumn("id", (row_number().over(
+        Window.orderBy($"freq".desc, $"token".asc)) - 1).cast("long"))
+      .select($"token", $"id"))
+    val spans = operators.Packing.chunkSpans(
+      operators.Bpe.docTokenCounts(docs, "doc_id", "text", wf, merges,
+        knownVocab = Some(nVocab)),
+      "doc_id", $"n_btok", budget = 512L, shards = 4)
+      .select($"doc_id", $"shard",
+        ($"start_chunk" * 512L + $"chunk_offset").as("cum_excl"))
+    val toks = docs
+      .select($"doc_id", posexplode(split($"text", " ")).as(Seq("wi", "word")))
+      .filter($"word" =!= "")
+      .join(wt, "word")
+      .select($"doc_id", $"wi", posexplode($"toks").as(Seq("si", "token")))
+      .join(vid, "token")
+    val k = row_number().over(
+      Window.partitionBy($"doc_id").orderBy($"wi", $"si")).cast("long") - 1L
+    toks.withColumn("k", k)
+      .join(spans, "doc_id")
+      .withColumn("g", $"cum_excl" + $"k")
+      .select($"shard", RF.euclidDiv($"g", lit(512L)).as("chunk"),
+        pmod($"g", lit(512L)).as("pos"), $"id")
+  }
+
+  def t37_bpe_shards(spark: SparkSession, dir: String): DataFrame =
+    t37PackedRows(spark, dir)
+      .groupBy($"shard", $"chunk")
+      .agg(count(lit(1)).as("n_tokens"),
+        // ids as a joined string: the driver's hash compare needs
+        // hashable cells (raw array columns aren't) — the array form
+        // is Packing.writeShards over t37PackedRows
+        concat_ws("-",
+          transform(array_sort(collect_list(struct($"pos", $"id"))),
+            x => x.getField("id").cast("string"))).as("token_ids"))
+      .orderBy($"shard", $"chunk")
+
+  private[graft] lazy val t37_sql =
+    bpeHeadSql + s""",
+      |census AS (SELECT token, CAST(SUM(freq) AS BIGINT) AS freq FROM (
+      |  SELECT unnest(syms) AS token, freq FROM words_$bpeMergeCount)
+      |  GROUP BY token),
+      |vid AS (SELECT token,
+      |  CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token) - 1 AS BIGINT)
+      |    AS id
+      |  FROM census),
+      |wt AS (SELECT word, syms FROM words_$bpeMergeCount),
+      |dt AS (
+      |  SELECT doc_id, CAST(SUM(len(syms)) AS BIGINT) AS len
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents) dw
+      |  JOIN wt USING (word)
+      |  WHERE word <> '' GROUP BY doc_id),
+      |d AS (
+      |  SELECT doc_id, doc_id % 4 AS shard,
+      |    CAST(COALESCE(SUM(len)
+      |      OVER (PARTITION BY doc_id % 4 ORDER BY doc_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cum_excl
+      |  FROM dt),
+      |dws AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |dwp AS (SELECT doc_id, ws,
+      |    unnest(generate_series(1, len(ws))) AS i FROM dws),
+      |dw2 AS (SELECT doc_id, i AS wi, ws[i] AS word FROM dwp
+      |        WHERE ws[i] <> ''),
+      |sub AS (SELECT d2.doc_id, d2.wi, wt.syms,
+      |    unnest(generate_series(1, len(wt.syms))) AS j
+      |  FROM dw2 d2 JOIN wt USING (word)),
+      |st AS (SELECT doc_id, wi, j, syms[j] AS token FROM sub),
+      |si AS (SELECT st.doc_id, st.wi, st.j, vid.id
+      |       FROM st JOIN vid USING (token)),
+      |sk AS (SELECT doc_id, id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wi, j) - 1
+      |    AS BIGINT) AS k
+      |  FROM si),
+      |g AS (SELECT d.shard, (d.cum_excl + sk.k) // 512 AS chunk,
+      |      (d.cum_excl + sk.k) % 512 AS pos, sk.id
+      |      FROM sk JOIN d USING (doc_id))
+      |SELECT shard, CAST(chunk AS BIGINT) AS chunk,
+      |  COUNT(*) AS n_tokens,
+      |  string_agg(CAST(id AS VARCHAR), '-' ORDER BY pos) AS token_ids
+      |FROM g GROUP BY shard, chunk ORDER BY shard, chunk""".stripMargin
+
+  // ---------------------------------------------------------------- t33
+  // Perplexity-style LM quality filter (CCNet, Wenzek et al. 2020): fit
+  // a bigram LM with add-one smoothing on the in-domain reference slice
+  // (lang='en' — CCNet's Wikipedia role), score EVERY document by
+  // bits-per-token, keep the low-perplexity slice. Surprisal is the
+  // integer 1/64-bit chain (floor-log2 via bin() + mantissa
+  // interpolation — no libm), the keep gate the cross-multiplied
+  // rational bpt ≤ 24/5: at sf0.01 this keeps ~66% of the in-domain
+  // docs and ~10% of the rest, the CCNet in-domain separation. The
+  // oracle replays the ENTIRE chain: vocab cap, UNK mapping, bigram +
+  // prefix counts, integer odds, shift-interpolated surprisal.
+  /** Cached t33 model per (session, dir, stamp) — the bpeWordFreq memo
+    * pattern: the score plan references the vocab 4× and the bigram
+    * table 2×, so an uncached model re-runs the train-corpus shuffles
+    * per reference; superseded entries unpersist. */
+  private[graft] val lmModelMemo = new SessionMemo[operators.NgramLm.BigramLm](
+    (spark, dir) => operators.NgramLm.fit(
+      t(spark, dir, "documents").filter($"lang" === "en"), "text",
+      cacheModel = true),
+    _.unpersist())
+  private[graft] def lmModel(spark: SparkSession,
+                      dir: String): operators.NgramLm.BigramLm =
+    lmModelMemo(spark, dir, srcStamp(dir, "documents.parquet"))
+
+  def t33_lm_quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    operators.NgramLm.score(docs, "doc_id", "text",
+      lmModel(spark, dir), 24L, 5L)
+      .orderBy($"doc_id")
+  }
+
+  // the t33 model+scoring CTE chain, shared verbatim by t36's oracle
+  private[graft] val lmChainSql =
+    """WITH train AS (SELECT text FROM documents WHERE lang = 'en'),
+      |uni AS (SELECT tok, COUNT(*) AS cnt FROM
+      |  (SELECT unnest(string_split(text, ' ')) AS tok FROM train)
+      |  GROUP BY tok),
+      |vocab AS (SELECT tok FROM uni ORDER BY cnt DESC, tok LIMIT 65536),
+      |vs AS (SELECT CAST(COUNT(*) + 1 AS BIGINT) AS vp FROM vocab),
+      |tws AS (SELECT string_split(text, ' ') AS ws FROM train),
+      |tp AS (SELECT ws,
+      |    unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+      |  FROM tws),
+      |tm AS (SELECT
+      |    CASE WHEN v1.tok IS NULL THEN chr(1) ELSE ws[i] END AS m1,
+      |    CASE WHEN v2.tok IS NULL THEN chr(1) ELSE ws[i+1] END AS m2
+      |  FROM tp LEFT JOIN vocab v1 ON ws[i] = v1.tok
+      |          LEFT JOIN vocab v2 ON ws[i+1] = v2.tok),
+      |bi AS (SELECT m1, m2, COUNT(*) AS cbi FROM tm GROUP BY m1, m2),
+      |pre AS (SELECT m1, CAST(SUM(cbi) AS BIGINT) AS cpre,
+      |        CAST(COUNT(*) AS BIGINT) AS n1 FROM bi GROUP BY m1),
+      |cont AS (SELECT m2, CAST(COUNT(*) AS BIGINT) AS bplus
+      |         FROM bi GROUP BY m2),
+      |ct AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM bi),
+      |sdocs AS (SELECT doc_id, string_split(text, ' ') AS ws
+      |          FROM documents),
+      |sp AS (SELECT doc_id, ws,
+      |    unnest(generate_series(1, greatest(len(ws) - 1, 0))) AS i
+      |  FROM sdocs),
+      |sm AS (SELECT doc_id,
+      |    CASE WHEN v1.tok IS NULL THEN chr(1) ELSE ws[i] END AS m1,
+      |    CASE WHEN v2.tok IS NULL THEN chr(1) ELSE ws[i+1] END AS m2
+      |  FROM sp LEFT JOIN vocab v1 ON ws[i] = v1.tok
+      |          LEFT JOIN vocab v2 ON ws[i+1] = v2.tok),
+      |sq AS (SELECT doc_id,
+      |    (COALESCE(pre.cpre, 0) + vs.vp) // (COALESCE(bi.cbi, 0) + 1) AS q
+      |  FROM sm LEFT JOIN bi ON sm.m1 = bi.m1 AND sm.m2 = bi.m2
+      |          LEFT JOIN pre ON sm.m1 = pre.m1
+      |          CROSS JOIN vs),
+      |su AS (SELECT doc_id,
+      |    CAST(64 * (length(bin(q)) - 1)
+      |         + ((q << 6) >> (length(bin(q)) - 1)) - 64 AS BIGINT) AS s1
+      |  FROM sq),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_big,
+      |    CAST(SUM(s1) AS BIGINT) AS s64 FROM su GROUP BY doc_id)
+      |""".stripMargin
+
+  private[graft] val t33_sql = lmChainSql +
+    """SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tok,
+      |  CAST(COALESCE(a.n_big, 0) AS BIGINT) AS n_big,
+      |  COALESCE(a.s64, 0) AS s64,
+      |  CASE WHEN a.n_big > 0
+      |       THEN CAST(a.s64 AS DOUBLE) / (64 * a.n_big) END AS bpt,
+      |  CAST(CASE WHEN a.n_big > 0 AND a.s64 * 5 <= 24 * 64 * a.n_big
+      |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+      |FROM sdocs d LEFT JOIN agg a USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t42
+  // HASH-SPACE perplexity filter — the crawl-scale form of t33: token
+  // identity is the BOUNDED code tokenCode mod 2^22, an adjacent pair
+  // packs injectively into one i64 (m1<<23 | m2), and the whole model
+  // folds into executor-side probe maps driven by ONE codegen pass per
+  // document (functions.LmScore64 — no pair explode, no model joins,
+  // no per-doc shuffle; measured 8.9s → ~2s at the 100× probe). Same
+  // integer surprisal chain and keep gate as t33; divergence is the
+  // documented deterministic aliasing + the code-order vocab
+  // tie-break. The oracle replays the SAME bounded-code chain, so the
+  // result hash-matches exactly.
+  private[graft] val lmHashModelMemo =
+    new SessionMemo[operators.NgramLm.HashedBigramLm](
+      (spark, dir) => operators.NgramLm.fitHashed(
+        t(spark, dir, "documents").filter($"lang" === "en"), "text",
+        cacheModel = true),
+      _.unpersist())
+
+  def t42_lm_quality_hashed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    operators.NgramLm.scoreHashed(docs, "doc_id", "text",
+      lmHashModelMemo(spark, dir, srcStamp(dir, "documents.parquet")),
+      24L, 5L)
+      .orderBy($"doc_id")
+  }
+
+  private[graft] val t42_sql = {
+    def clist(src: String) =
+      s"list_transform(string_split($src, ' '), " +
+        s"w -> CAST(${Text.tokenCodeSql("w")} AS BIGINT) % 4194304)"
+    s"""WITH train AS (SELECT text FROM documents WHERE lang = 'en'),
+       |tcs AS (SELECT ${clist("text")} AS cs FROM train),
+       |uni AS (SELECT ck, COUNT(*) AS cnt FROM
+       |  (SELECT unnest(cs) AS ck FROM tcs) GROUP BY ck),
+       |vocab AS (SELECT ck FROM uni ORDER BY cnt DESC, ck LIMIT 65536),
+       |vs AS (SELECT CAST(COUNT(*) + 1 AS BIGINT) AS vp FROM vocab),
+       |tp AS (SELECT cs,
+       |    unnest(generate_series(1, greatest(len(cs) - 1, 0))) AS i
+       |  FROM tcs),
+       |tm AS (SELECT
+       |    CASE WHEN v1.ck IS NULL THEN 4194304 ELSE cs[i] END AS m1,
+       |    CASE WHEN v2.ck IS NULL THEN 4194304 ELSE cs[i+1] END AS m2
+       |  FROM tp LEFT JOIN vocab v1 ON cs[i] = v1.ck
+       |          LEFT JOIN vocab v2 ON cs[i+1] = v2.ck),
+       |bi AS (SELECT (m1 << 23) + m2 AS k, COUNT(*) AS cbi FROM tm
+       |       GROUP BY 1),
+       |pre AS (SELECT k >> 23 AS m1, CAST(SUM(cbi) AS BIGINT) AS cpre
+       |        FROM bi GROUP BY 1),
+       |sdocs AS (SELECT doc_id, string_split(text, ' ') AS ws,
+       |          ${clist("text")} AS cs FROM documents),
+       |sp AS (SELECT doc_id, cs,
+       |    unnest(generate_series(1, greatest(len(cs) - 1, 0))) AS i
+       |  FROM sdocs),
+       |sm AS (SELECT doc_id,
+       |    CASE WHEN v1.ck IS NULL THEN 4194304 ELSE cs[i] END AS m1,
+       |    CASE WHEN v2.ck IS NULL THEN 4194304 ELSE cs[i+1] END AS m2
+       |  FROM sp LEFT JOIN vocab v1 ON cs[i] = v1.ck
+       |          LEFT JOIN vocab v2 ON cs[i+1] = v2.ck),
+       |sq AS (SELECT doc_id,
+       |    (COALESCE(pre.cpre, 0) + vs.vp) // (COALESCE(bi.cbi, 0) + 1)
+       |      AS q
+       |  FROM sm LEFT JOIN bi ON (sm.m1 << 23) + sm.m2 = bi.k
+       |          LEFT JOIN pre ON sm.m1 = pre.m1
+       |          CROSS JOIN vs),
+       |su AS (SELECT doc_id,
+       |    CAST(64 * (length(bin(q)) - 1)
+       |         + ((q << 6) >> (length(bin(q)) - 1)) - 64 AS BIGINT) AS s1
+       |  FROM sq),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_big,
+       |    CAST(SUM(s1) AS BIGINT) AS s64 FROM su GROUP BY doc_id)
+       |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tok,
+       |  CAST(COALESCE(a.n_big, 0) AS BIGINT) AS n_big,
+       |  COALESCE(a.s64, 0) AS s64,
+       |  CASE WHEN a.n_big > 0
+       |       THEN CAST(a.s64 AS DOUBLE) / (64 * a.n_big) END AS bpt,
+       |  CAST(CASE WHEN a.n_big > 0 AND a.s64 * 5 <= 24 * 64 * a.n_big
+       |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM sdocs d LEFT JOIN agg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t39
+  // Kneser-Ney discounted bigram LM (the production smoothing): d = ½
+  // with the add-one continuation distribution keeps the model an
+  // EXACTLY proper distribution whose probabilities are integer
+  // ratios, so the surprisal decomposes term-by-term through the same
+  // 1/64-bit chain as t33 (no overflowable full-numerator products).
+  // The model derives from the MEMOIZED t33 bigram table — three
+  // bounded aggregations, the corpus is not re-read. Same output shape
+  // and keep gate (bpt ≤ 24/5) as t33.
+  def t39_kn_quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val kn = operators.NgramLm.fitKn(lmModel(spark, dir))
+    operators.NgramLm.scoreKn(docs, "doc_id", "text", kn, 24L, 5L)
+      .orderBy($"doc_id")
+  }
+
+  private[graft] val t39_sql = {
+    def s64(q: String): String =
+      s"(64 * (length(bin($q)) - 1) " +
+        s"+ ((($q) << 6) >> (length(bin($q)) - 1)) - 64)"
+    lmChainSql +
+      s""",jkn AS (SELECT sm.doc_id, pre.cpre, pre.n1,
+         |    COALESCE(bi.cbi, 0) AS cbi, COALESCE(cont.bplus, 0) AS bplus,
+         |    ct.c + vs.vp AS cv
+         |  FROM sm LEFT JOIN bi ON sm.m1 = bi.m1 AND sm.m2 = bi.m2
+         |          LEFT JOIN pre ON sm.m1 = pre.m1
+         |          LEFT JOIN cont ON sm.m2 = cont.m2
+         |          CROSS JOIN ct CROSS JOIN vs),
+         |skn AS (SELECT doc_id,
+         |    CASE WHEN cpre IS NULL
+         |      THEN ${s64("cv")} - ${s64("bplus + 1")}
+         |      ELSE ${s64("2 * cpre")} + ${s64("cv")}
+         |        - ${s64("greatest(2 * cbi - 1, 0) * cv + n1 * (bplus + 1)")}
+         |    END AS s1
+         |  FROM jkn),
+         |aggkn AS (SELECT doc_id, COUNT(*) AS n_big,
+         |    CAST(SUM(s1) AS BIGINT) AS s64 FROM skn GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tok,
+         |  CAST(COALESCE(a.n_big, 0) AS BIGINT) AS n_big,
+         |  COALESCE(a.s64, 0) AS s64,
+         |  CASE WHEN a.n_big > 0
+         |       THEN CAST(a.s64 AS DOUBLE) / (64 * a.n_big) END AS bpt,
+         |  CAST(CASE WHEN a.n_big > 0 AND a.s64 * 5 <= 24 * 64 * a.n_big
+         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM sdocs d LEFT JOIN aggkn a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t40
+  // Interpolated TRIGRAM Kneser-Ney (production CCNet filters run
+  // 5-gram KenLM — this extends the integer chain one order): d = ½ at
+  // the trigram level interpolating into the full bigram-KN
+  // distribution, every probability still a ratio of integers, so the
+  // surprisal decomposes through the same 1/64-bit chain
+  // (NgramLm.scoreKn3 scaladoc has the derivation + properness proof,
+  // NgramLmSpec checks it in exact arithmetic). The model derives from
+  // the MEMOIZED t33 bigram model + ONE more corpus pass for the
+  // trigram counts. Same keep gate as t33/t39 (bpt ≤ 24/5); the extra
+  // context order makes in-domain text MORE predictable (repeated
+  // trigrams score low), widening the en-vs-rest separation margin —
+  // NgramLmSpec pins margin(KN3) ≥ margin(KN2).
+  private[graft] val kn3ModelMemo =
+    new SessionMemo[operators.NgramLm.KnTrigramLm](
+      (spark, dir) => operators.NgramLm.fitKn3(
+        t(spark, dir, "documents").filter($"lang" === "en"), "text",
+        lmModel(spark, dir), cacheModel = true),
+      _.unpersist())
+
+  def t40_kn3_quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    operators.NgramLm.scoreKn3(docs, "doc_id", "text",
+      kn3ModelMemo(spark, dir, srcStamp(dir, "documents.parquet")),
+      24L, 5L)
+      .orderBy($"doc_id")
+  }
+
+  /** s64(q) — the 1/64-bit integer surprisal in DuckDB (shared by the
+    * KN-family oracles). */
+
+  /** Train-side trigram CTEs (tri, pre12) over the lmChainSql base —
+    * shared by t40 (KN3) and t58 (KN4). */
+  private[graft] val kn3TrainCtes =
+    """,t3p AS (SELECT ws,
+      |    unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+      |  FROM tws),
+      |t3m AS (SELECT
+      |    CASE WHEN v1.tok IS NULL THEN chr(1) ELSE ws[i] END AS m1,
+      |    CASE WHEN v2.tok IS NULL THEN chr(1) ELSE ws[i+1] END AS m2,
+      |    CASE WHEN v3.tok IS NULL THEN chr(1) ELSE ws[i+2] END AS m3
+      |  FROM t3p LEFT JOIN vocab v1 ON ws[i] = v1.tok
+      |           LEFT JOIN vocab v2 ON ws[i+1] = v2.tok
+      |           LEFT JOIN vocab v3 ON ws[i+2] = v3.tok),
+      |tri AS (SELECT m1, m2, m3, COUNT(*) AS c123 FROM t3m
+      |        GROUP BY m1, m2, m3),
+      |pre12 AS (SELECT m1, m2, CAST(SUM(c123) AS BIGINT) AS c12,
+      |          CAST(COUNT(*) AS BIGINT) AS n12 FROM tri
+      |          GROUP BY m1, m2)""".stripMargin
+
+  private[graft] val t40_sql = {
+    def s64(q: String): String = duckS64(q)
+    lmChainSql + kn3TrainCtes +
+      s""",s3p AS (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 2, 0))) AS i
+         |  FROM sdocs),
+         |s3m AS (SELECT doc_id,
+         |    CASE WHEN v1.tok IS NULL THEN chr(1) ELSE ws[i] END AS m1,
+         |    CASE WHEN v2.tok IS NULL THEN chr(1) ELSE ws[i+1] END AS m2,
+         |    CASE WHEN v3.tok IS NULL THEN chr(1) ELSE ws[i+2] END AS m3
+         |  FROM s3p LEFT JOIN vocab v1 ON ws[i] = v1.tok
+         |           LEFT JOIN vocab v2 ON ws[i+1] = v2.tok
+         |           LEFT JOIN vocab v3 ON ws[i+2] = v3.tok),
+         |j3 AS (SELECT s.doc_id, tri.c123, pre12.c12, pre12.n12,
+         |    bi.cbi, pre.cpre, pre.n1, cont.bplus, ct.c + vs.vp AS cv
+         |  FROM s3m s
+         |    LEFT JOIN tri ON s.m1 = tri.m1 AND s.m2 = tri.m2
+         |                 AND s.m3 = tri.m3
+         |    LEFT JOIN pre12 ON s.m1 = pre12.m1 AND s.m2 = pre12.m2
+         |    LEFT JOIN bi ON s.m2 = bi.m1 AND s.m3 = bi.m2
+         |    LEFT JOIN pre ON s.m2 = pre.m1
+         |    LEFT JOIN cont ON s.m3 = cont.m2
+         |    CROSS JOIN ct CROSS JOIN vs),
+         |k3 AS (SELECT doc_id,
+         |    CASE WHEN cpre IS NULL THEN cv ELSE 2 * cpre * cv END AS q2,
+         |    CASE WHEN cpre IS NULL THEN COALESCE(bplus, 0) + 1
+         |         ELSE greatest(2 * COALESCE(cbi, 0) - 1, 0) * cv
+         |              + n1 * (COALESCE(bplus, 0) + 1) END AS p2,
+         |    c123, c12, n12
+         |  FROM j3),
+         |sk3 AS (SELECT doc_id,
+         |    CASE WHEN c12 IS NULL THEN ${s64("q2")} - ${s64("p2")}
+         |         ELSE ${s64("2 * c12")} + ${s64("q2")}
+         |           - ${s64(
+                "greatest(2 * COALESCE(c123, 0) - 1, 0) * q2 + n12 * p2")}
+         |    END AS s1
+         |  FROM k3),
+         |agg3 AS (SELECT doc_id, COUNT(*) AS n_tri,
+         |    CAST(SUM(s1) AS BIGINT) AS s64 FROM sk3 GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tok,
+         |  CAST(COALESCE(a.n_tri, 0) AS BIGINT) AS n_tri,
+         |  COALESCE(a.s64, 0) AS s64,
+         |  CASE WHEN a.n_tri > 0
+         |       THEN CAST(a.s64 AS DOUBLE) / (64 * a.n_tri) END AS bpt,
+         |  CAST(CASE WHEN a.n_tri > 0 AND a.s64 * 5 <= 24 * 64 * a.n_tri
+         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM sdocs d LEFT JOIN agg3 a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t58
+  // Interpolated 4-GRAM Kneser-Ney (KenLM-order parity is 5; this
+  // proves the order-n template — each added order is the SAME integer
+  // recursion step): d = ½ at the 4-gram level interpolating into the
+  // full trigram-KN distribution, every probability a ratio of
+  // integers, surprisal term-by-term through the 1/64-bit chain
+  // (NgramLm.scoreKn4 scaladoc; NgramLmSpec proves order-4 properness
+  // in exact arithmetic). Derives from the memoized t40 KN3 model +
+  // ONE more corpus pass for the 4-gram counts. Same keep gate.
+  private[graft] val kn4ModelMemo =
+    new SessionMemo[operators.NgramLm.KnQuadLm](
+      (spark, dir) => operators.NgramLm.fitKn4(
+        t(spark, dir, "documents").filter($"lang" === "en"), "text",
+        lmModel(spark, dir), cacheModel = true),
+      _.unpersist())
+
+  def t58_kn4_quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    operators.NgramLm.scoreKn4(docs, "doc_id", "text",
+      kn4ModelMemo(spark, dir, srcStamp(dir, "documents.parquet")),
+      24L, 5L)
+      .orderBy($"doc_id")
+  }
+
+  private[graft] val t58_sql = {
+    def s64(q: String): String = duckS64(q)
+    lmChainSql + kn3TrainCtes +
+      s""",t4p AS (SELECT ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS i
+         |  FROM tws),
+         |t4m AS (SELECT
+         |    CASE WHEN v1.tok IS NULL THEN chr(1) ELSE ws[i] END AS m1,
+         |    CASE WHEN v2.tok IS NULL THEN chr(1) ELSE ws[i+1] END AS m2,
+         |    CASE WHEN v3.tok IS NULL THEN chr(1) ELSE ws[i+2] END AS m3,
+         |    CASE WHEN v4.tok IS NULL THEN chr(1) ELSE ws[i+3] END AS m4
+         |  FROM t4p LEFT JOIN vocab v1 ON ws[i] = v1.tok
+         |           LEFT JOIN vocab v2 ON ws[i+1] = v2.tok
+         |           LEFT JOIN vocab v3 ON ws[i+2] = v3.tok
+         |           LEFT JOIN vocab v4 ON ws[i+3] = v4.tok),
+         |qua AS (SELECT m1, m2, m3, m4, COUNT(*) AS c1234 FROM t4m
+         |        GROUP BY m1, m2, m3, m4),
+         |pre123 AS (SELECT m1, m2, m3, CAST(SUM(c1234) AS BIGINT) AS c123p,
+         |           CAST(COUNT(*) AS BIGINT) AS n123 FROM qua
+         |           GROUP BY m1, m2, m3),
+         |s4p AS (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS i
+         |  FROM sdocs),
+         |s4m AS (SELECT doc_id,
+         |    CASE WHEN v1.tok IS NULL THEN chr(1) ELSE ws[i] END AS m1,
+         |    CASE WHEN v2.tok IS NULL THEN chr(1) ELSE ws[i+1] END AS m2,
+         |    CASE WHEN v3.tok IS NULL THEN chr(1) ELSE ws[i+2] END AS m3,
+         |    CASE WHEN v4.tok IS NULL THEN chr(1) ELSE ws[i+3] END AS m4
+         |  FROM s4p LEFT JOIN vocab v1 ON ws[i] = v1.tok
+         |           LEFT JOIN vocab v2 ON ws[i+1] = v2.tok
+         |           LEFT JOIN vocab v3 ON ws[i+2] = v3.tok
+         |           LEFT JOIN vocab v4 ON ws[i+3] = v4.tok),
+         |j4 AS (SELECT s.doc_id, qua.c1234, pre123.c123p, pre123.n123,
+         |    tri.c123, pre12.c12, pre12.n12,
+         |    bi.cbi, pre.cpre, pre.n1, cont.bplus, ct.c + vs.vp AS cv
+         |  FROM s4m s
+         |    LEFT JOIN qua ON s.m1 = qua.m1 AND s.m2 = qua.m2
+         |                 AND s.m3 = qua.m3 AND s.m4 = qua.m4
+         |    LEFT JOIN pre123 ON s.m1 = pre123.m1 AND s.m2 = pre123.m2
+         |                    AND s.m3 = pre123.m3
+         |    LEFT JOIN tri ON s.m2 = tri.m1 AND s.m3 = tri.m2
+         |                 AND s.m4 = tri.m3
+         |    LEFT JOIN pre12 ON s.m2 = pre12.m1 AND s.m3 = pre12.m2
+         |    LEFT JOIN bi ON s.m3 = bi.m1 AND s.m4 = bi.m2
+         |    LEFT JOIN pre ON s.m3 = pre.m1
+         |    LEFT JOIN cont ON s.m4 = cont.m2
+         |    CROSS JOIN ct CROSS JOIN vs),
+         |k4 AS (SELECT doc_id,
+         |    CASE WHEN cpre IS NULL THEN cv ELSE 2 * cpre * cv END AS q2,
+         |    CASE WHEN cpre IS NULL THEN COALESCE(bplus, 0) + 1
+         |         ELSE greatest(2 * COALESCE(cbi, 0) - 1, 0) * cv
+         |              + n1 * (COALESCE(bplus, 0) + 1) END AS p2,
+         |    c123, c12, n12, c1234, c123p, n123
+         |  FROM j4),
+         |k4b AS (SELECT doc_id,
+         |    CASE WHEN c12 IS NULL THEN q2 ELSE 2 * c12 * q2 END AS q3,
+         |    CASE WHEN c12 IS NULL THEN p2
+         |         ELSE greatest(2 * COALESCE(c123, 0) - 1, 0) * q2
+         |              + n12 * p2 END AS p3,
+         |    c1234, c123p, n123
+         |  FROM k4),
+         |sk4 AS (SELECT doc_id,
+         |    CASE WHEN c123p IS NULL THEN ${s64("q3")} - ${s64("p3")}
+         |         ELSE ${s64("2 * c123p")} + ${s64("q3")}
+         |           - ${s64(
+              "greatest(2 * COALESCE(c1234, 0) - 1, 0) * q3 + n123 * p3")}
+         |    END AS s1
+         |  FROM k4b),
+         |agg4 AS (SELECT doc_id, COUNT(*) AS n_quad,
+         |    CAST(SUM(s1) AS BIGINT) AS s64 FROM sk4 GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tok,
+         |  CAST(COALESCE(a.n_quad, 0) AS BIGINT) AS n_quad,
+         |  COALESCE(a.s64, 0) AS s64,
+         |  CASE WHEN a.n_quad > 0
+         |       THEN CAST(a.s64 AS DOUBLE) / (64 * a.n_quad) END AS bpt,
+         |  CAST(CASE WHEN a.n_quad > 0 AND a.s64 * 5 <= 24 * 64 * a.n_quad
+         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM sdocs d LEFT JOIN agg4 a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t67
+  // Interpolated 5-GRAM Kneser-Ney — KenLM's DEFAULT order, the
+  // production CCNet perplexity model (NgramLm.scoreKn5; NgramLmSpec
+  // proves order-5 properness in exact arithmetic and margin(KN5) >=
+  // margin(KN4)). Derives from the memoized KN4 model + ONE more
+  // corpus pass for the 5-gram counts. Same keep gate; the oracle
+  // extends t58's CTE chain one more order.
+  private[graft] val kn5ModelMemo =
+    new SessionMemo[operators.NgramLm.KnPentaLm](
+      (spark, dir) => operators.NgramLm.fitKn5(
+        t(spark, dir, "documents").filter($"lang" === "en"), "text",
+        lmModel(spark, dir), cacheModel = true),
+      _.unpersist())
+
+  def t67_kn5_quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    operators.NgramLm.scoreKn5(docs, "doc_id", "text",
+      kn5ModelMemo(spark, dir, srcStamp(dir, "documents.parquet")),
+      24L, 5L)
+      .orderBy($"doc_id")
+  }
+
+  private[graft] val t67_sql = {
+    def s64(q: String): String = duckS64(q)
+    lmChainSql + kn3TrainCtes +
+      s""",t4p AS (SELECT ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 3, 0))) AS i
+         |  FROM tws),
+         |t4m AS (SELECT
+         |    CASE WHEN v1.tok IS NULL THEN chr(1) ELSE ws[i] END AS m1,
+         |    CASE WHEN v2.tok IS NULL THEN chr(1) ELSE ws[i+1] END AS m2,
+         |    CASE WHEN v3.tok IS NULL THEN chr(1) ELSE ws[i+2] END AS m3,
+         |    CASE WHEN v4.tok IS NULL THEN chr(1) ELSE ws[i+3] END AS m4
+         |  FROM t4p LEFT JOIN vocab v1 ON ws[i] = v1.tok
+         |           LEFT JOIN vocab v2 ON ws[i+1] = v2.tok
+         |           LEFT JOIN vocab v3 ON ws[i+2] = v3.tok
+         |           LEFT JOIN vocab v4 ON ws[i+3] = v4.tok),
+         |qua AS (SELECT m1, m2, m3, m4, COUNT(*) AS c1234 FROM t4m
+         |        GROUP BY m1, m2, m3, m4),
+         |pre123 AS (SELECT m1, m2, m3, CAST(SUM(c1234) AS BIGINT) AS c123p,
+         |           CAST(COUNT(*) AS BIGINT) AS n123 FROM qua
+         |           GROUP BY m1, m2, m3),
+         |t5p AS (SELECT ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i
+         |  FROM tws),
+         |t5m AS (SELECT
+         |    CASE WHEN v1.tok IS NULL THEN chr(1) ELSE ws[i] END AS m1,
+         |    CASE WHEN v2.tok IS NULL THEN chr(1) ELSE ws[i+1] END AS m2,
+         |    CASE WHEN v3.tok IS NULL THEN chr(1) ELSE ws[i+2] END AS m3,
+         |    CASE WHEN v4.tok IS NULL THEN chr(1) ELSE ws[i+3] END AS m4,
+         |    CASE WHEN v5.tok IS NULL THEN chr(1) ELSE ws[i+4] END AS m5
+         |  FROM t5p LEFT JOIN vocab v1 ON ws[i] = v1.tok
+         |           LEFT JOIN vocab v2 ON ws[i+1] = v2.tok
+         |           LEFT JOIN vocab v3 ON ws[i+2] = v3.tok
+         |           LEFT JOIN vocab v4 ON ws[i+3] = v4.tok
+         |           LEFT JOIN vocab v5 ON ws[i+4] = v5.tok),
+         |qui AS (SELECT m1, m2, m3, m4, m5, COUNT(*) AS c12345 FROM t5m
+         |        GROUP BY m1, m2, m3, m4, m5),
+         |pre1234 AS (SELECT m1, m2, m3, m4,
+         |            CAST(SUM(c12345) AS BIGINT) AS c1234p,
+         |            CAST(COUNT(*) AS BIGINT) AS n1234 FROM qui
+         |            GROUP BY m1, m2, m3, m4),
+         |s5p AS (SELECT doc_id, ws,
+         |    unnest(generate_series(1, greatest(len(ws) - 4, 0))) AS i
+         |  FROM sdocs),
+         |s5m AS (SELECT doc_id,
+         |    CASE WHEN v1.tok IS NULL THEN chr(1) ELSE ws[i] END AS m1,
+         |    CASE WHEN v2.tok IS NULL THEN chr(1) ELSE ws[i+1] END AS m2,
+         |    CASE WHEN v3.tok IS NULL THEN chr(1) ELSE ws[i+2] END AS m3,
+         |    CASE WHEN v4.tok IS NULL THEN chr(1) ELSE ws[i+3] END AS m4,
+         |    CASE WHEN v5.tok IS NULL THEN chr(1) ELSE ws[i+4] END AS m5
+         |  FROM s5p LEFT JOIN vocab v1 ON ws[i] = v1.tok
+         |           LEFT JOIN vocab v2 ON ws[i+1] = v2.tok
+         |           LEFT JOIN vocab v3 ON ws[i+2] = v3.tok
+         |           LEFT JOIN vocab v4 ON ws[i+3] = v4.tok
+         |           LEFT JOIN vocab v5 ON ws[i+4] = v5.tok),
+         |j5 AS (SELECT s.doc_id, qui.c12345, pre1234.c1234p, pre1234.n1234,
+         |    qua.c1234, pre123.c123p, pre123.n123,
+         |    tri.c123, pre12.c12, pre12.n12,
+         |    bi.cbi, pre.cpre, pre.n1, cont.bplus, ct.c + vs.vp AS cv
+         |  FROM s5m s
+         |    LEFT JOIN qui ON s.m1 = qui.m1 AND s.m2 = qui.m2
+         |                 AND s.m3 = qui.m3 AND s.m4 = qui.m4
+         |                 AND s.m5 = qui.m5
+         |    LEFT JOIN pre1234 ON s.m1 = pre1234.m1 AND s.m2 = pre1234.m2
+         |                     AND s.m3 = pre1234.m3 AND s.m4 = pre1234.m4
+         |    LEFT JOIN qua ON s.m2 = qua.m1 AND s.m3 = qua.m2
+         |                 AND s.m4 = qua.m3 AND s.m5 = qua.m4
+         |    LEFT JOIN pre123 ON s.m2 = pre123.m1 AND s.m3 = pre123.m2
+         |                    AND s.m4 = pre123.m3
+         |    LEFT JOIN tri ON s.m3 = tri.m1 AND s.m4 = tri.m2
+         |                 AND s.m5 = tri.m3
+         |    LEFT JOIN pre12 ON s.m3 = pre12.m1 AND s.m4 = pre12.m2
+         |    LEFT JOIN bi ON s.m4 = bi.m1 AND s.m5 = bi.m2
+         |    LEFT JOIN pre ON s.m4 = pre.m1
+         |    LEFT JOIN cont ON s.m5 = cont.m2
+         |    CROSS JOIN ct CROSS JOIN vs),
+         |k5 AS (SELECT doc_id,
+         |    CASE WHEN cpre IS NULL THEN cv ELSE 2 * cpre * cv END AS q2,
+         |    CASE WHEN cpre IS NULL THEN COALESCE(bplus, 0) + 1
+         |         ELSE greatest(2 * COALESCE(cbi, 0) - 1, 0) * cv
+         |              + n1 * (COALESCE(bplus, 0) + 1) END AS p2,
+         |    c123, c12, n12, c1234, c123p, n123, c12345, c1234p, n1234
+         |  FROM j5),
+         |k5b AS (SELECT doc_id,
+         |    CASE WHEN c12 IS NULL THEN q2 ELSE 2 * c12 * q2 END AS q3,
+         |    CASE WHEN c12 IS NULL THEN p2
+         |         ELSE greatest(2 * COALESCE(c123, 0) - 1, 0) * q2
+         |              + n12 * p2 END AS p3,
+         |    c1234, c123p, n123, c12345, c1234p, n1234
+         |  FROM k5),
+         |k5c AS (SELECT doc_id,
+         |    CASE WHEN c123p IS NULL THEN q3 ELSE 2 * c123p * q3 END AS q4,
+         |    CASE WHEN c123p IS NULL THEN p3
+         |         ELSE greatest(2 * COALESCE(c1234, 0) - 1, 0) * q3
+         |              + n123 * p3 END AS p4,
+         |    c12345, c1234p, n1234
+         |  FROM k5b),
+         |sk5 AS (SELECT doc_id,
+         |    CASE WHEN c1234p IS NULL THEN ${s64("q4")} - ${s64("p4")}
+         |         ELSE ${s64("2 * c1234p")} + ${s64("q4")}
+         |           - ${s64(
+              "greatest(2 * COALESCE(c12345, 0) - 1, 0) * q4 + n1234 * p4")}
+         |    END AS s1
+         |  FROM k5c),
+         |agg5 AS (SELECT doc_id, COUNT(*) AS n_quint,
+         |    CAST(SUM(s1) AS BIGINT) AS s64 FROM sk5 GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS n_tok,
+         |  CAST(COALESCE(a.n_quint, 0) AS BIGINT) AS n_quint,
+         |  COALESCE(a.s64, 0) AS s64,
+         |  CASE WHEN a.n_quint > 0
+         |       THEN CAST(a.s64 AS DOUBLE) / (64 * a.n_quint) END AS bpt,
+         |  CAST(CASE WHEN a.n_quint > 0 AND a.s64 * 5 <= 24 * 64 * a.n_quint
+         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM sdocs d LEFT JOIN agg5 a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t36
+  // Perplexity-bucketed mixing (CCNet's head/middle/tail): bucket every
+  // document by bits-per-token under the t33 model at the corpus
+  // terciles (integer cross-multiplied gates — bpt ≤ 4.8 head, ≤ 4.9
+  // middle, else tail), then the standard deterministic id-hash
+  // downsampling per bucket (head 1.0 / middle 0.5 / tail 0.1 — CCNet
+  // keeps the head and thins the tail). Composition of the memoized
+  // t33 model with Sampling.sampleByRates: one narrow map over the
+  // scored corpus, census folds map-side. The oracle chains the FULL
+  // t33 replay, the bucket CASE, and the t06 hash gate.
+  def t36_ppl_mix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val scored = operators.NgramLm.score(docs, "doc_id", "text",
+      lmModel(spark, dir), 24L, 5L)
+    val bucket =
+      when($"n_big" > 0L && $"s64" * 5L <= lit(24L) * lit(64L) * $"n_big",
+        "head")
+      .when($"n_big" > 0L && $"s64" * 10L <= lit(49L) * lit(64L) * $"n_big",
+        "middle")
+      .otherwise("tail")
+    operators.Sampling.sampleByRates(
+      scored.select($"doc_id", bucket.as("bucket")),
+      "doc_id", "bucket",
+      Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1), default = 0.1)
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("kept"), min($"doc_id").as("first_kept"),
+        max($"doc_id").as("last_kept"))
+      .orderBy($"bucket")
+  }
+
+  private[graft] val t36_sql = lmChainSql +
+    """,b AS (
+      |  SELECT d.doc_id,
+      |    CASE WHEN a.n_big > 0 AND a.s64 * 5 <= 24 * 64 * a.n_big
+      |           THEN 'head'
+      |         WHEN a.n_big > 0 AND a.s64 * 10 <= 49 * 64 * a.n_big
+      |           THEN 'middle'
+      |         ELSE 'tail' END AS bucket
+      |  FROM sdocs d LEFT JOIN agg a USING (doc_id)),
+      |s AS (
+      |  SELECT doc_id, bucket FROM b
+      |  WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296
+      |     + ((doc_id // 2147483648) * 2246822519) % 4294967296)
+      |    % 4294967296 / 4294967296.0
+      |    < CASE bucket WHEN 'head' THEN 1.0 WHEN 'middle' THEN 0.5
+      |      ELSE 0.1 END)
+      |SELECT bucket, COUNT(*) AS kept, MIN(doc_id) AS first_kept,
+      |  MAX(doc_id) AS last_kept
+      |FROM s GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- t35
+  // STREAMING perplexity filter (the t33 production twin, the t27
+  // pattern): the document feed scored per micro-batch against the
+  // PERSISTED bigram LM (NgramLm.saveModel — fit once on the reference
+  // slice, loaded inside the cloned streaming session). Stateless per
+  // batch, disk-as-state, checkpointed replay appends nothing. Because
+  // the stored model is fit from the same corpus slice, the streamed
+  // result must equal batch t33 exactly — the oracle IS t33's SQL.
+  /** Parameter-stamped stage base for the t35 streaming LM: model /
+    * out / checkpoint live under a dir keyed by (maxVocab, keep gate,
+    * SOURCE STAMP), so changed model params or regenerated testdata
+    * self-invalidate — a fresh stage dir simply gets built, the stale
+    * sibling is never read again (closes the old manual `rm -rf
+    * /tmp/graft_stream/.../lm_quality` note). */
+  private[graft] def lmStreamBase(dir: String, maxVocab: Int,
+                                  keepNum: Long, keepDen: Long): String = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s"/tmp/graft_stream/$key/lm_quality_v${maxVocab}" +
+      s"_k$keepNum-${keepDen}_s${srcStamp(dir, "documents.parquet")}"
+  }
+
+  def t35_stream_lm_quality(spark: SparkSession, dir: String): DataFrame = {
+    val batch = t(spark, dir, "documents")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stage = s"/tmp/graft_stream/$key/documents"
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      sources.Store.setSplayed(batch, stage)
+    val base = lmStreamBase(dir, 1 << 16, 24L, 5L)
+    val modelPath = s"$base/model"
+    if (!new java.io.File(s"$modelPath/meta/_SUCCESS").exists())
+      operators.NgramLm.saveModel(lmModel(spark, dir), modelPath)
+    streaming.Streams.lmQualityStream(spark, stage, batch,
+      "doc_id", "text", modelPath, 24L, 5L,
+      outDir = s"$base/out", checkpoint = s"$base/ckpt")
+      .orderBy($"doc_id")
+  }
+
+  // ---------------------------------------------------------------- t34
+  // DSIR importance selection (Xie et al. 2023): hashed-bigram bag
+  // models on the target (lang='en', the t33 reference slice) and the
+  // raw corpus; each doc's log importance weight is the integer
+  // 1/64-bit surprisal sum Σ[s64(ct+1) − s64(cr+1)] + n_gram·K64, and
+  // the selected slice is the deterministic top-100 by (lw64 DESC,
+  // doc_id) — the paper's Gumbel resampling dropped for the replayable
+  // top-k variant. Gram hashes are the t09/t14 i64 convention; the
+  // bucket tables are bounded by construction and broadcast under the
+  // gate; top-k folds to TakeOrderedAndProject (no global sort).
+  /** Cached t34 model per (session, dir, stamp) — the lmModel memo. */
+  private[graft] val dsirModelMemo = new SessionMemo[operators.Dsir.Model](
+    (spark, dir) => {
+      val docs = t(spark, dir, "documents")
+      operators.Dsir.fit(docs.filter($"lang" === "en"), docs,
+        "text", n = 2, buckets = 1 << 16, cacheModel = true)
+    },
+    _.unpersist())
+  private[graft] def dsirModel(spark: SparkSession,
+                        dir: String): operators.Dsir.Model =
+    dsirModelMemo(spark, dir, srcStamp(dir, "documents.parquet"))
+
+  def t34_dsir_select(spark: SparkSession, dir: String): DataFrame =
+    operators.Dsir.selectTopK(t(spark, dir, "documents"),
+      "doc_id", "text", dsirModel(spark, dir), 100)
+
+  // ---------------------------------------------------------------- t41
+  // STREAMING DSIR (the t34 production twin, the t35 pattern): the
+  // document feed scored per micro-batch against the PERSISTED
+  // importance model (Dsir.saveModel — fit once, weigh the live feed);
+  // the stream emits EVERY doc's integer weight (global top-k stays a
+  // batch op over the accumulated scores). Stateless per batch,
+  // disk-as-state, parameter-stamped stage (the t35 stamping), replay
+  // appends nothing. The oracle is t34's chain without the top-k —
+  // stream must equal batch.
+  private[graft] def dsirStreamBase(dir: String, n: Int,
+                                    buckets: Int): String = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    s"/tmp/graft_stream/$key/dsir_n${n}_b${buckets}" +
+      s"_s${srcStamp(dir, "documents.parquet")}"
+  }
+
+  def t41_stream_dsir(spark: SparkSession, dir: String): DataFrame = {
+    val batch = t(spark, dir, "documents")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stage = s"/tmp/graft_stream/$key/documents"
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      sources.Store.setSplayed(batch, stage)
+    val base = dsirStreamBase(dir, 2, 1 << 16)
+    val modelPath = s"$base/model"
+    if (!new java.io.File(s"$modelPath/meta/_SUCCESS").exists())
+      operators.Dsir.saveModel(dsirModel(spark, dir), modelPath)
+    streaming.Streams.dsirStream(spark, stage, batch, "doc_id", "text",
+      modelPath, outDir = s"$base/out", checkpoint = s"$base/ckpt")
+      .orderBy($"doc_id")
+  }
+
+  private[graft] val t34_sql = {
+    def s64(q: String): String =
+      s"(64 * (length(bin($q)) - 1) " +
+        s"+ ((($q) << 6) >> (length(bin($q)) - 1)) - 64)"
+    val b = 1 << 16
+    s"""WITH toks AS (
+       |  SELECT doc_id, lang, string_split(text, ' ') AS w
+       |  FROM documents),
+       |pos AS (
+       |  SELECT doc_id, lang, w,
+       |         unnest(generate_series(1, greatest(len(w) - 1, 0))) AS i
+       |  FROM toks),
+       |grams AS (
+       |  SELECT doc_id, lang,
+       |         ((${Text.duck.ngramHashSql("w", "i", 2)} % $b) + $b) % $b
+       |           AS bk
+       |  FROM pos),
+       |tc AS (SELECT bk, COUNT(*) AS ct FROM grams
+       |       WHERE lang = 'en' GROUP BY bk),
+       |rc AS (SELECT bk, COUNT(*) AS cr FROM grams GROUP BY bk),
+       |nt AS (SELECT CAST(COALESCE(SUM(ct), 0) AS BIGINT) AS n FROM tc),
+       |nr AS (SELECT CAST(COALESCE(SUM(cr), 0) AS BIGINT) AS n FROM rc),
+       |k64 AS (SELECT ${s64(s"nr.n + $b")} - ${s64(s"nt.n + $b")} AS k
+       |        FROM nt, nr),
+       |term AS (
+       |  SELECT g.doc_id,
+       |    ${s64("COALESCE(tc.ct, 0) + 1")}
+       |      - ${s64("COALESCE(rc.cr, 0) + 1")} AS t64
+       |  FROM grams g LEFT JOIN tc USING (bk) LEFT JOIN rc USING (bk)),
+       |agg AS (SELECT doc_id, COUNT(*) AS n_gram,
+       |               CAST(SUM(t64) AS BIGINT) AS s
+       |        FROM term GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(a.n_gram, 0) AS BIGINT) AS n_gram,
+       |  CAST(COALESCE(a.s, 0) + COALESCE(a.n_gram, 0) * k64.k AS BIGINT)
+       |    AS lw64
+       |FROM toks d LEFT JOIN agg a USING (doc_id) CROSS JOIN k64
+       |ORDER BY lw64 DESC, d.doc_id LIMIT 100""".stripMargin
+  }
+
+  // t41's oracle IS t34's chain without the top-k (stream == batch)
+  private[graft] lazy val t41_sql = {
+    val cut = t34_sql.lastIndexOf("ORDER BY lw64")
+    t34_sql.take(cut) + "ORDER BY d.doc_id"
+  }
+}

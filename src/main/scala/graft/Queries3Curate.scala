@@ -1,0 +1,1328 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.RF
+
+/** Query-registry chunk 3/5 — dedup / decontamination / mixing / coreset curation and similarity blocking (t17-t23, t30-t31, t44-t48, t55, t59, d01-d14, q56-q63, t20).
+  *
+  * The chunks are a LINEAR trait stack mixed into `object Queries`,
+  * cut at section boundaries in ORIGINAL SOURCE ORDER: trait
+  * linearization then initializes every val exactly as the one big
+  * object did, so no forward val reference can change behavior. */
+private[graft] trait Queries3Curate extends Queries2Lm {
+
+  import graft.functions.Text
+  import graft.operators.{Dedup, Similarity}
+  import graft.sources.Store
+  import graft.streaming.Streams
+
+  // ---------------------------------------------------------------- t30
+  // Deterministic global shuffle + sharding (the trainer's "last mile"):
+  // shard = floor(u·8) on the id-hash decision (hash-balanced, no global
+  // sort), pos = rank by (u, id) WITHIN the shard — the rank window is
+  // shard-partitioned, so the one exchange is 8-way parallel, never a
+  // single-partition global row_number. u is an exact 32-bit-significand
+  // double → floor/products replay bit-identically in DuckDB.
+  def t30_shard_shuffle(spark: SparkSession, dir: String): DataFrame =
+    operators.Sampling.shardShuffle(t(spark, dir, "documents"), "doc_id", 8)
+      .select($"shard", $"pos", $"doc_id")
+      .orderBy($"shard", $"pos")
+
+  private[graft] val t30_sql =
+    """WITH s AS (SELECT doc_id,
+      |    (((doc_id % 2147483648) * 2654435761) % 4294967296
+      |     + ((doc_id // 2147483648) * 2246822519) % 4294967296)
+      |    % 4294967296 / 4294967296.0 AS u FROM documents),
+      |b AS (SELECT doc_id, u, CAST(floor(u * 8) AS INT) AS shard FROM s)
+      |SELECT shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY u, doc_id) - 1
+      |    AS BIGINT) AS pos,
+      |  doc_id
+      |FROM b ORDER BY shard, pos""".stripMargin
+
+  // ---------------------------------------------------------------- t31
+  // Cluster-balanced downsampling (topic balance): nearest-centroid cell
+  // per embedding (the s03 cached Lloyd fit + shuffle-free codegen
+  // assignment), every cell capped at the SMALLEST cell's population,
+  // kept rows chosen by the deterministic id-hash order. The oracle
+  // replays the whole chain: the s03 centroid CTEs, the argmax-cosine
+  // assignment, the min-cell cap, and the same hash-rank keep.
+  def t31_cluster_balance(spark: SparkSession, dir: String): DataFrame =
+    operators.Sampling.clusterBalance(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", embCentroids(spark, dir))
+      .select($"cell", $"rk", $"id".as("vec_id"))
+      .orderBy($"cell", $"rk")
+
+  private[graft] lazy val t31_sql =
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |  topv AS (SELECT id, v FROM v ORDER BY id LIMIT 128),
+       |  num AS (SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM topv),
+       |  cent0 AS (SELECT CAST(rn // 16 AS INT) AS cell, v AS cv
+       |    FROM num WHERE rn % 16 = 1),
+       |${lloydIterSql("cent0", 1)},
+       |${lloydIterSql("cent1", 2)},
+       |${lloydIterSql("cent2", 3)},
+       |  a AS (SELECT id, cell FROM (
+       |    SELECT v.id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.id
+       |        ORDER BY ${duckCos("v.v", "c.cv")} DESC, c.cell) AS rk
+       |    FROM v CROSS JOIN cent3 c) WHERE rk = 1),
+       |  cap AS (SELECT MIN(cnt) AS m FROM
+       |    (SELECT COUNT(*) AS cnt FROM a GROUP BY cell)),
+       |  r AS (SELECT cell, id,
+       |      ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
+       |        (((id % 2147483648) * 2654435761) % 4294967296
+       |         + ((id // 2147483648) * 2246822519) % 4294967296)
+       |        % 4294967296 / 4294967296.0, id) AS rk
+       |    FROM a)
+       |SELECT r.cell, CAST(r.rk AS INT) AS rk, r.id AS vec_id
+       |FROM r, cap WHERE r.rk <= cap.m
+       |ORDER BY r.cell, r.rk""".stripMargin
+
+  // ---------------------------------------------------------------- t17
+  // Per-source document caps (crawl-corpus domain caps): keep the top-10
+  // docs per source by length with doc_id tie-break. The rank filter
+  // triggers WindowGroupLimit — each task forwards only its local top-10
+  // per source before the single source-partitioned shuffle.
+  def t17_source_caps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"source")
+      .orderBy($"n_chars".desc, $"doc_id".asc)
+    t(spark, dir, "documents")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 10)
+      .select($"source", $"rk", $"doc_id", $"n_chars")
+      .orderBy($"source", $"rk")
+  }
+
+  private[graft] val t17_sql =
+    """WITH r AS (
+      |  SELECT source, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |SELECT source, rk, doc_id, n_chars FROM r
+      |WHERE rk <= 10 ORDER BY source, rk""".stripMargin
+
+  // ---------------------------------------------------------------- t18
+  // Per-language quality deciles (percentile-threshold filtering): NTILE
+  // over the exact t02 quality score with doc_id tie-break (total order
+  // → deterministic tile edges), decile census per language. One
+  // lang-partitioned window shuffle; the census folds map-side.
+  def t18_quality_deciles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.QualityExpr
+    val w = Window.partitionBy($"lang")
+      .orderBy($"quality".asc, $"doc_id".asc)
+    t(spark, dir, "documents")
+      .select($"lang", $"doc_id",
+        QualityExpr.qualityScore($"text").as("quality"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy($"lang", $"decile")
+      .agg(count(lit(1)).as("n"),
+        min($"quality").as("q_min"), max($"quality").as("q_max"),
+        min($"doc_id").as("first_id"))
+      .orderBy($"lang", $"decile")
+  }
+
+  private[graft] val t18_sql = {
+    val punct =
+      """CASE WHEN length(text) = 0 THEN 0.0 ELSE
+        |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+        |      / length(text) END""".stripMargin
+    val stop =
+      s"""CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0 ELSE
+         |    CAST(len(list_filter(string_split(text, ' '),
+         |      w -> w IN ($t02_stop))) AS DOUBLE)
+         |      / len(string_split(text, ' ')) END""".stripMargin
+    val quality =
+      s"""floor((0.4 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100)
+         |    + 0.3 * (1.0 - $punct)
+         |    + 0.3 * (1.0 - $stop)) * 10000 + 0.5) / 10000""".stripMargin
+    s"""WITH q AS (
+       |  SELECT lang, doc_id, $quality AS quality FROM documents),
+       |d AS (
+       |  SELECT lang, doc_id, quality,
+       |    NTILE(10) OVER (PARTITION BY lang
+       |      ORDER BY quality, doc_id) AS decile
+       |  FROM q)
+       |SELECT lang, decile, COUNT(*) AS n,
+       |  MIN(quality) AS q_min, MAX(quality) AS q_max,
+       |  MIN(doc_id) AS first_id
+       |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t19
+  // FUZZY benchmark decontamination: MinHash-LSH candidates between the
+  // corpus and a (broadcast) benchmark set, verified by exact gram-set
+  // containment — catches partial/paraphrased eval leakage t09's
+  // verbatim-width probe can't. The benchmark here is the leaked-eval
+  // scenario: each bench item is the first ¾ of every 83rd doc's tokens
+  // (an eval suite quoting corpus passages); the operator must find the
+  // source docs. 8 shingle-minhashes in 4 bands of 2 (LSH recall at the
+  // snippet's J≈0.75 is ~96% — and deterministic: fixed seeds, so both
+  // engines flag the identical set); the verify gate is the integer
+  // compare 2·|common| ≥ |bench|.
+  def t19_fuzzy_decontam(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val bench = docs.filter($"doc_id" % 83 === 0)
+      .select($"doc_id", concat_ws(" ", slice(split($"text", " "), lit(1),
+        greatest(lit(3), expr("(size(split(text, ' ')) * 3) div 4"))))
+        .as("text"))
+    operators.Decontam.fuzzyReport(
+      docs, "doc_id", "text", bench, "doc_id", "text",
+      n = 3, numHashes = 8, bands = 4)
+      .orderBy($"doc_id", $"bench_id")
+  }
+
+  private[graft] val t19_sql = {
+    val p = Text.minhashPrime
+    val gramsExpr = "list_transform(generate_series(1, greatest(len(w) - 2, 0)), " +
+      s"i -> ${Text.duck.ngramHashSql("w", "i", 3)})"
+    val sigs = Text.minhashSeeds(8).zipWithIndex.map { case ((a, b), i) =>
+      s"coalesce(list_min(list_transform(g, h -> ($a * (h % $p) + $b) % $p)), $p) AS s$i"
+    }.mkString(",\n  ")
+    val bandCond = (0 until 4).map { k =>
+      s"(c.s${2 * k} = b.s${2 * k} AND c.s${2 * k + 1} = b.s${2 * k + 1})"
+    }.mkString(" OR ")
+    def sigCte(src: String, name: String) =
+      s"""${name}_toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+         |${name}_gr AS (SELECT doc_id, $gramsExpr AS g FROM ${name}_toks),
+         |$name AS (SELECT doc_id,
+         |  $sigs
+         |  FROM ${name}_gr)""".stripMargin
+    s"""WITH bench AS (
+       |  SELECT doc_id, array_to_string(list_slice(w, 1,
+       |    greatest(3, (len(w) * 3) // 4)), ' ') AS text
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |        FROM documents WHERE doc_id % 83 = 0)),
+       |${sigCte("documents", "c")},
+       |${sigCte("bench", "b")},
+       |cand AS (SELECT DISTINCT c.doc_id AS doc_id, b.doc_id AS bench_id
+       |  FROM c JOIN b ON $bandCond),
+       |cdg AS (SELECT doc_id, list_distinct(g) AS dg FROM c_gr),
+       |bdg AS (SELECT doc_id, list_distinct(g) AS dg FROM b_gr)
+       |SELECT cand.doc_id, cand.bench_id,
+       |  CAST(len(list_intersect(x.dg, y.dg)) AS INTEGER) AS n_common,
+       |  CAST(len(y.dg) AS INTEGER) AS n_bench
+       |FROM cand JOIN cdg x ON x.doc_id = cand.doc_id
+       |  JOIN bdg y ON y.doc_id = cand.bench_id
+       |WHERE len(list_intersect(x.dg, y.dg)) > 0
+       |  AND len(list_intersect(x.dg, y.dg)) * 2 >= len(y.dg)
+       |ORDER BY cand.doc_id, cand.bench_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q56
+  // Stream-STREAM interval join: clicks joined to same-user purchases
+  // within 6 hours, both sides live feeds off the staged journal — the
+  // state-store-backed funnel join. The oracle is the equivalent batch
+  // self-join; the streamed pair set must equal it exactly.
+  def q56_stream_interval_join(spark: SparkSession, dir: String): DataFrame = {
+    val batch = t(spark, dir, "events")
+    val stage = s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events"
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      graft.sources.Store.setSplayed(batch, stage)
+    graft.streaming.Streams.intervalJoin(spark, stage, batch,
+      prepLeft = df => df.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          expr("timestamp_micros(ts div 1000)").as("c_ts"),
+          col("event_id").as("c_id")),
+      prepRight = df => df.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          expr("timestamp_micros(ts div 1000)").as("p_ts"),
+          col("event_id").as("p_id")),
+      joinExpr = "c_user = p_user AND p_ts >= c_ts AND " +
+        "p_ts <= c_ts + INTERVAL 6 HOURS",
+      queryName = "graft_sjoin_" + math.abs(dir.hashCode))
+      .select($"c_id", $"p_id", $"c_user".as("user_id"))
+      .orderBy($"c_id", $"p_id")
+  }
+
+  private[graft] val q56_sql =
+    """SELECT a.event_id AS c_id, b.event_id AS p_id, a.user_id
+      |FROM events a JOIN events b ON a.user_id = b.user_id
+      |  AND a.event_type = 'click' AND b.event_type = 'purchase'
+      |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
+      |ORDER BY c_id, p_id""".stripMargin
+
+  // ---------------------------------------------------------------- q57
+  // Time-range scan over events: the predicate lands on the ns-long ts
+  // (i.e. on MicrosAsNanos of the physical µs column) and the
+  // NanosFilterInference rule adds the exact µs-domain conjunct, so the
+  // parquet scan row-group-prunes on min/max — the plan property
+  // PlanShapeSpec pins. Jan 10-20 of the generated Jan-2024 window.
+  private[graft] val q57LoNs = 1704844800L * 1000000000L // 2024-01-10T00:00Z
+  private[graft] val q57HiNs = 1705708800L * 1000000000L // 2024-01-20T00:00Z
+  def q57_events_range(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .filter($"ts" >= q57LoNs && $"ts" < q57HiNs)
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), dsum($"value").as("sum_value"))
+      .orderBy($"event_type")
+
+  private[graft] val q57_sql =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |WHERE epoch_us(ts) >= 1704844800000000 AND epoch_us(ts) < 1705708800000000
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q58
+  // CUBE over (returnflag, linestatus): all four grouping-set levels in
+  // one pass — Spark's Expand feeds a single hash aggregate, so the
+  // rollup/cube family costs one shuffle regardless of level count (the
+  // multi-select UNION a user would hand-write costs one per level).
+  // GROUPING() flags disambiguate real NULLs from subtotal rows; within
+  // a (g_rf, g_ls) level the nulled columns are constant, so the ORDER
+  // BY is total without a null-placement convention.
+  def q58_cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(grouping($"l_returnflag").cast("int").as("g_rf"),
+        grouping($"l_linestatus").cast("int").as("g_ls"),
+        dsum($"l_quantity").as("sum_qty"), count(lit(1)).as("n"))
+      .select($"g_rf", $"g_ls", $"l_returnflag", $"l_linestatus",
+        $"sum_qty", $"n")
+      .orderBy($"g_rf", $"g_ls", $"l_returnflag", $"l_linestatus")
+
+  private[graft] val q58_sql =
+    """SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+      |  l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- q59
+  // Rolling-window aggregates — the kdb m-family (msum/mavg/mmax) plus
+  // lag, per user over the event stream: a 5-row trailing frame ordered
+  // by (ts, event_id) (ts alone is not a total order — the tie-break
+  // rule every window query here follows). Sums route through
+  // DECIMAL(18,2): exact, so Spark's frame accumulation and DuckDB's
+  // segment-tree sliding sum agree bit-for-bit; mavg divides the exact
+  // decimal sum AFTER the double cast (two correctly-rounded IEEE ops —
+  // no round() needed); mmax/lag move values untouched. One shuffle
+  // (the partitionBy), every frame computed within its partition.
+  def q59_moving(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-4, 0)
+    val wo = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val decSum = sum($"value".cast("decimal(18,2)")).over(w).cast("double")
+    t(spark, dir, "events").select($"user_id", $"event_id",
+        decSum.as("msum"),
+        (decSum / count(lit(1)).over(w)).as("mavg"),
+        max($"value").over(w).as("mmax"),
+        lag($"value", 1).over(wo).as("lag1"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private[graft] val q59_sql =
+    """SELECT user_id, event_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS msum,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+      |    / COUNT(*) OVER w AS mavg,
+      |  MAX(value) OVER w AS mmax,
+      |  lag(value, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lag1
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+      |  ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q60
+  // RANGE-frame windowing: trailing ONE HOUR of events per user (the
+  // kdb time-windowed running aggregate — frames defined by event-TIME
+  // distance, not row count; rows at the same instant are peers and
+  // share a frame in both engines). The ordering key is the µs long
+  // (`ts div 1000` ↔ epoch_us — the events oracle convention), the
+  // frame is a numeric range on it, and the sum rides DECIMAL(18,2) so
+  // frame accumulation strategies can't skew the doubles.
+  def q60_range_frame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"us")
+      .rangeBetween(-3600L * 1000000L, 0)
+    t(spark, dir, "events")
+      .withColumn("us", expr("ts div 1000"))
+      .select($"user_id", $"event_id", $"us",
+        count(lit(1)).over(w).as("n_1h"),
+        sum($"value".cast("decimal(18,2)")).over(w).cast("double")
+          .as("sum_1h"))
+      .orderBy($"user_id", $"us", $"event_id")
+  }
+
+  private[graft] val q60_sql =
+    """SELECT user_id, event_id, epoch_us(ts) AS us,
+      |  COUNT(*) OVER w AS n_1h,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, us, event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q62
+  // PIVOT: event_type rows → columns, per user (the wide-format export
+  // every BI handoff asks for). The pivot value list is EXPLICIT —
+  // letting the engine discover it adds a distinct scan AND makes the
+  // output schema data-dependent, which breaks both determinism and a
+  // 100 TB plan (Spark's auto-pivot collects the distinct values to
+  // the driver). One Expand-free pass: pivot compiles to conditional
+  // aggregates, exactly the CASE WHEN sums the oracle writes out.
+  private[graft] val q62Types = Seq("click", "error", "purchase", "signup", "view")
+  def q62_pivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", q62Types)
+      .agg(dsum($"value"))
+      .na.fill(0.0, q62Types)
+      .orderBy($"user_id")
+
+  private[graft] val q62_sql =
+    """SELECT user_id,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'click'
+      |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS click,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'error'
+      |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS error,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+      |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS purchase,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'signup'
+      |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS signup,
+      |  COALESCE(CAST(SUM(CASE WHEN event_type = 'view'
+      |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE), 0) AS view
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q63
+  // UNPIVOT (melt): the q62 wide table back to long form — the other
+  // half of the reshape pair (feature tables melt to (id, key, value)
+  // for storage/streaming). A pure narrow Expand: 5 output rows per
+  // input row, no shuffle beyond q62's aggregate.
+  def q63_unpivot(spark: SparkSession, dir: String): DataFrame =
+    q62_pivot(spark, dir)
+      .unpivot(Array($"user_id"), q62Types.map(col).toArray,
+        "event_type", "total")
+      .orderBy($"user_id", $"event_type")
+
+  private[graft] val q63_sql = {
+    val body = q62_sql.replace("ORDER BY user_id", "")
+    val arms = q62Types.map(t =>
+      s"SELECT user_id, '$t' AS event_type, $t AS total FROM p")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH p AS ($body)
+       |SELECT user_id, event_type, total FROM (
+       |  $arms)
+       |ORDER BY user_id, event_type""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q61
+  // Arbitrary GROUPING SETS (the rollup/cube generalization): exactly
+  // the ((returnflag), (linestatus), ()) levels — a set list neither
+  // rollup nor cube produces — in ONE Expand+aggregate pass. SQL text
+  // on both sides (Spark's DataFrame API exposes only rollup/cube;
+  // GROUPING SETS is its SQL surface).
+  def q61_grouping_sets(spark: SparkSession, dir: String): DataFrame = {
+    t(spark, dir, "lineitem").createOrReplaceTempView("q61_lineitem")
+    spark.sql(
+      """SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+        |  l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM q61_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin)
+  }
+
+  private[graft] val q61_sql =
+    """SELECT CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+      |  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+      |  l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+      |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin
+
+  // ---------------------------------------------------------------- t20
+  // Overlapping token windows (RAG/context prep): 64-token windows at
+  // stride 48 (16-token overlap), last window clipped, every token
+  // covered. Pure per-row arithmetic + explode — no shuffle.
+  def t20_chunk_overlap(spark: SparkSession, dir: String): DataFrame =
+    operators.Packing.chunkOverlap(t(spark, dir, "documents"),
+      "doc_id", size(Text.tokens($"text")), size = 64, stride = 48)
+      .orderBy($"doc_id", $"chunk_idx")
+
+  private[graft] val t20_sql =
+    """WITH d AS (
+      |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS len
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, len,
+      |    1 + (greatest(len - 64, 0) + 47) // 48 AS n_chunks
+      |  FROM d WHERE len > 0),
+      |e AS (
+      |  SELECT doc_id, len,
+      |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+      |  FROM c)
+      |SELECT doc_id, chunk_idx,
+      |  chunk_idx * 48 + 1 AS start_tok,
+      |  least(chunk_idx * 48 + 64, len) AS end_tok,
+      |  least(chunk_idx * 48 + 64, len) - (chunk_idx * 48 + 1) + 1 AS n_toks
+      |FROM e ORDER BY doc_id, chunk_idx""".stripMargin
+
+  // ---------------------------------------------------------------- t21
+  // Gopher-style hard quality rules (Rae et al. 2021 §A1.1): per-rule
+  // 0/1 flags + keep, all INTEGER gates (rationals cross-multiplied) so
+  // the decision is bit-identical cross-engine. Word-count bounds are
+  // scaled to this corpus (docs run 10-99 words; Gopher's 50-100k bound
+  // would pass everything) — the RULE SHAPE is what's under test.
+  def t21_gopher_rules(spark: SparkSession, dir: String): DataFrame =
+    operators.QualityRules.gopher(t(spark, dir, "documents"),
+      "doc_id", "text", minWords = 35, maxWords = 70)
+      .orderBy($"doc_id")
+
+  private[graft] val t21_sql =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws,
+      |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS sl
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS wc,
+      |    CAST(CASE WHEN len(ws) BETWEEN 35 AND 70
+      |      THEN 1 ELSE 0 END AS BIGINT) AS r_wc,
+      |    CAST(CASE WHEN sl >= 3 * len(ws) AND sl <= 10 * len(ws)
+      |      THEN 1 ELSE 0 END AS BIGINT) AS r_mwl,
+      |    CAST(CASE WHEN
+      |      (CASE WHEN list_contains(ws, 'the') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'a') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'of') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'to') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'and') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'in') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'that') THEN 1 ELSE 0 END) +
+      |      (CASE WHEN list_contains(ws, 'is') THEN 1 ELSE 0 END) >= 2
+      |      THEN 1 ELSE 0 END AS BIGINT) AS r_stop,
+      |    CAST(CASE WHEN 2 * len(list_distinct(ws)) >= len(ws)
+      |      THEN 1 ELSE 0 END AS BIGINT) AS r_uniq
+      |  FROM w)
+      |SELECT doc_id, wc, r_wc, r_mwl, r_stop, r_uniq,
+      |  r_wc * r_mwl * r_stop * r_uniq AS keep
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t22
+  // Cross-source contamination census: the d10 simhash near-dup pairs
+  // annotated with each side's source, folded to an unordered
+  // source-pair matrix — "which sources copy from each other", the
+  // audit a multi-source 100 TB crawl mix runs before weighting
+  // sources. The doc→source joins broadcast (the pair list is small
+  // relative to the corpus by construction).
+  def t22_source_overlap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.simhashNearDup64(docs, "doc_id", "text", maxHamming = 3)
+    val src = docs.select($"doc_id", $"source")
+    pairs
+      .join(src.select($"doc_id".as("id_a"), $"source".as("__sa")), "id_a")
+      .join(src.select($"doc_id".as("id_b"), $"source".as("__sb")), "id_b")
+      .select(least($"__sa", $"__sb").as("src_a"),
+        greatest($"__sa", $"__sb").as("src_b"))
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"src_a", $"src_b")
+  }
+
+  private[graft] val t22_sql = {
+    def chunk(c: String, k: Int) = s"($c // ${1L << (16 * k)}) % 65536"
+    val joins = (0 until 4).map { k =>
+      val earlier = (0 until k)
+        .map(pk => s"${chunk("a.sh", pk)} <> ${chunk("b.sh", pk)}")
+        .map(c => s"\n    AND $c").mkString
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b
+         |    ON ${chunk("a.sh", k)} = ${chunk("b.sh", k)}
+         |    AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3$earlier""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (SELECT doc_id, ${Text.duck.simhash64Sql("text")} AS sh
+       |  FROM documents),
+       |p AS (
+       |  $joins),
+       |ann AS (
+       |  SELECT least(da.source, db.source) AS src_a,
+       |    greatest(da.source, db.source) AS src_b
+       |  FROM p JOIN documents da ON p.id_a = da.doc_id
+       |         JOIN documents db ON p.id_b = db.doc_id)
+       |SELECT src_a, src_b, COUNT(*) AS n_pairs
+       |FROM ann GROUP BY src_a, src_b ORDER BY src_a, src_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t23
+  // Temperature-flattened source mix (α = 1/2, the XLM-R multilingual
+  // sampling rule): keep rate_s = sqrt(n_min / n_s), so kept counts are
+  // ∝ sqrt(n_s) — the head sources thinned, the smallest kept whole.
+  // sqrt is IEEE-correctly-rounded on the exact rational n_min/n_s, so
+  // the rates — and every id-hash keep decision under them — are
+  // bit-identical cross-engine with NO rounding tricks.
+  def t23_temperature_mix(spark: SparkSession, dir: String): DataFrame =
+    operators.Sampling.temperatureSample(
+        t(spark, dir, "documents"), "doc_id", "source")
+      .groupBy($"source")
+      .agg(min($"rate").as("rate"), count(lit(1)).as("kept"),
+        min($"doc_id").as("first_kept"))
+      .orderBy($"source")
+
+  private[graft] val t23_sql =
+    """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      |r AS (SELECT source,
+      |    sqrt(CAST((SELECT MIN(n) FROM c) AS DOUBLE) / n) AS rate
+      |  FROM c),
+      |s AS (
+      |  SELECT d.source, d.doc_id, r.rate
+      |  FROM documents d JOIN r ON d.source = r.source
+      |  WHERE (((d.doc_id % 2147483648) * 2654435761) % 4294967296
+      |     + ((d.doc_id // 2147483648) * 2246822519) % 4294967296)
+      |    % 4294967296 / 4294967296.0 < r.rate)
+      |SELECT source, MIN(rate) AS rate, COUNT(*) AS kept,
+      |  MIN(doc_id) AS first_kept
+      |FROM s GROUP BY source ORDER BY source""".stripMargin
+
+  // ---------------------------------------------------------------- d01
+  // Exact dedup: hash-groupBy on the fingerprint, keep min doc_id.
+  def d01_dedup_exact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(t(spark, dir, "documents"), "doc_id", "text")
+      .select($"keep_id", $"n_dups")
+      .orderBy($"keep_id")
+
+  private[graft] val d01_sql =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_dups
+      |FROM documents
+      |GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g')))
+      |ORDER BY keep_id""".stripMargin
+
+  // ---------------------------------------------------------------- d02
+  // MinHash signatures (4 portable hash functions over token codes).
+  def d02_minhash(spark: SparkSession, dir: String): DataFrame = {
+    val sigged = Dedup.withMinhashSignature(t(spark, dir, "documents"), "text", 4)
+    sigged.select($"doc_id", $"sig_0", $"sig_1", $"sig_2", $"sig_3")
+      .orderBy($"doc_id")
+  }
+
+  private[graft] val d02_sql = {
+    val sigs = Text.minhashSeeds(4).zipWithIndex.map { case ((a, b), i) =>
+      s"${Text.duck.minhashSql("text", a, b)} AS sig_$i"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id,
+       |  $sigs
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d13
+  // Shingle MinHash: signatures over word-3-gram hashes — the
+  // production MinHash form (unigram MinHash loses word order). Docs
+  // with < 3 tokens take the sentinel P in every slot.
+  def d13_minhash_shingles(spark: SparkSession, dir: String): DataFrame = {
+    val sigged = Dedup.withShingleMinhashSignature(
+      t(spark, dir, "documents"), "text", k = 4, n = 3)
+    sigged.select($"doc_id", $"ssig_0", $"ssig_1", $"ssig_2", $"ssig_3")
+      .orderBy($"doc_id")
+  }
+
+  private[graft] val d13_sql = {
+    val p = Text.minhashPrime
+    val grams = "list_transform(generate_series(1, greatest(len(w) - 2, 0)), " +
+      s"i -> ${Text.duck.ngramHashSql("w", "i", 3)})"
+    val sigs = Text.minhashSeeds(4).zipWithIndex.map { case ((a, b), i) =>
+      s"coalesce(list_min(list_transform(g, " +
+        s"h -> ($a * (h % $p) + $b) % $p)), $p) AS ssig_$i"
+    }.mkString(",\n  ")
+    s"""SELECT doc_id,
+       |  $sigs
+       |FROM (SELECT doc_id, $grams AS g
+       |      FROM (SELECT doc_id, string_split(text, ' ') AS w
+       |            FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d14
+  // SemDeDup (arXiv:2303.09540): k-means-cell-blocked semantic dedup
+  // over the embedding column — Lloyd centroids (the s03 build), cosine
+  // pairs within cells only, connected components, canonical keep-id +
+  // cluster size per vector. The oracle replays the whole chain: the
+  // s03 Lloyd CTEs, argmax-cos assignment, a within-cell pair join, and
+  // the d11 recursive transitive closure.
+  def d14_semdedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.semDedup(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      nCells = 8, lloydIters = 3, threshold = 0.35,
+      cents0 = Some(embCentroids(spark, dir)))
+      .select($"id".as("vec_id"), $"cell", $"comp", $"cluster_n")
+      .orderBy($"vec_id")
+
+  private[graft] val d14_sql =
+    s"""WITH RECURSIVE v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |  topv AS (SELECT id, v FROM v ORDER BY id LIMIT 128),
+       |  num AS (SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM topv),
+       |  cent0 AS (SELECT CAST(rn // 16 AS INT) AS cell, v AS cv
+       |    FROM num WHERE rn % 16 = 1),
+       |${lloydIterSql("cent0", 1)},
+       |${lloydIterSql("cent1", 2)},
+       |${lloydIterSql("cent2", 3)},
+       |  a AS (SELECT id, v, cell FROM (
+       |    SELECT v.id, v.v, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.id
+       |        ORDER BY ${duckCos("v.v", "c.cv")} DESC, c.cell) AS rk
+       |    FROM v CROSS JOIN cent3 c) WHERE rk = 1),
+       |  e AS (SELECT x.id AS src, y.id AS dst
+       |    FROM a x JOIN a y ON x.cell = y.cell AND x.id <> y.id
+       |    WHERE list_cosine_similarity(x.v, y.v) >= 0.35),
+       |  walk(id, comp) AS (
+       |    SELECT id, id FROM v
+       |    UNION
+       |    SELECT e.dst, w.comp FROM walk w JOIN e ON e.src = w.id),
+       |  comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+       |  sizes AS (SELECT comp, COUNT(*) AS cluster_n FROM comps GROUP BY comp)
+       |SELECT c.id AS vec_id, a.cell, c.comp, s.cluster_n
+       |FROM comps c JOIN sizes s ON s.comp = c.comp JOIN a ON a.id = c.id
+       |ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- d03
+  // Exact n-gram (token-set) Jaccard over blocked candidate pairs.
+  def d03_jaccard_pairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    // tokens sorted once per doc; the per-pair kernel is then a single
+    // merge scan (SortedIntersectSize) — the pair count is quadratic in
+    // block size, so the per-pair cost is what matters
+    val a = docs.select($"lang".as("blk_l"), $"source".as("blk"),
+      $"doc_id".as("id_a"),
+      sort_array(array_distinct(Text.tokens($"text"))).as("toks_a"))
+    val b = docs.select($"lang".as("blk_l"), $"source".as("blk"),
+      $"doc_id".as("id_b"),
+      sort_array(array_distinct(Text.tokens($"text"))).as("toks_b"))
+    a.join(b, Seq("blk_l", "blk"))
+      .filter($"id_a" < $"id_b")
+      .withColumn("__i",
+        graft.functions.ArrayExprs.sortedIntersectSize($"toks_a", $"toks_b"))
+      .withColumn("jac", $"__i".cast("double") /
+        (size($"toks_a") + size($"toks_b") - $"__i"))
+      .filter($"jac" >= 0.3)
+      .select($"id_a", $"id_b", round($"jac", 4).as("jac"))
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private[graft] val d03_sql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source,
+      |    list_distinct(string_split(text, ' ')) AS tk
+      |  FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  ROUND(CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+      |    (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))), 4) AS jac
+      |FROM toks a JOIN toks b
+      |  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+      |WHERE CAST(len(list_intersect(a.tk, b.tk)) AS DOUBLE) /
+      |    (len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk))) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- d04
+  // SimHash 16-bit signatures.
+  def d04_simhash(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select($"doc_id",
+        graft.functions.SimHashExpr.simhash16($"text").as("sh"))
+      .orderBy($"doc_id")
+
+  private[graft] val d04_sql =
+    s"""SELECT doc_id, ${Text.duck.simhash16Sql("text")} AS sh
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d05
+  // Embedding near-dup: cosine over label-blocked pairs (IVF-style).
+  def d05_embed_neardup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDup(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", "label", 0.3)
+      .orderBy($"id_a", $"id_b")
+
+  private[graft] val d05_sql =
+    """WITH v AS (SELECT vec_id, label,
+      |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  ROUND(list_cosine_similarity(a.emb, b.emb), 6) AS cos
+      |FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- s01
+  // Brute-force cosine top-k against a query vector (exact baseline).
+  def s01_cosine_topk(spark: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryId = 0L, k = 10)
+      .select($"id".as("vec_id"), $"score")
+
+  private[graft] val s01_sql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |    FROM embeddings),
+      |  q AS (SELECT emb AS qv FROM v WHERE vec_id = 0)
+      |SELECT v.vec_id, ROUND(list_cosine_similarity(v.emb, q.qv), 6) AS score
+      |FROM v, q WHERE v.vec_id <> 0
+      |ORDER BY score DESC, v.vec_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- s02
+  // LSH-bucketed approximate top-k (scale path). Oracled: the fixed-seed
+  // hyperplanes are embedded in the DuckDB SQL as DOUBLE[] literals
+  // (shortest-repr round-trip = identical binary), so bucket membership
+  // replays exactly; the rerank is the s01-proven cosine parity.
+  def s02_ann_lsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryId = 0L, k = 10, dim = 64, nBits = 4)
+      .select($"id".as("vec_id"), $"score")
+
+  private[graft] val s02_sql = {
+    val bkt = Similarity.hyperplanes(64, 4).zipWithIndex.map { case (p, i) =>
+      val arr = p.map(_.toString).mkString("[", ", ", "]")
+      s"CASE WHEN list_inner_product(v, $arr::DOUBLE[]) > 0 THEN ${1 << i} ELSE 0 END"
+    }.mkString("\n    + ")
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |  b AS (SELECT id, v, $bkt AS bkt FROM v),
+       |  q AS (SELECT v AS qv, bkt AS qbkt FROM b WHERE id = 0)
+       |SELECT b.id AS vec_id, ROUND(list_cosine_similarity(b.v, q.qv), 6) AS score
+       |FROM b, q WHERE b.bkt = q.qbkt AND b.id <> 0
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d06
+  // MinHash-LSH dedup end-to-end: banded candidate generation, then
+  // exact Jaccard verification — DuckDB-oracled end to end (the oracle
+  // replays the full pipeline: 16 minhashes, 2 banded buckets, the
+  // degenerate-bucket cap, pair distinct, token-set Jaccard ≥ 0.5).
+  def d06_lsh_candidates(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+      numHashes = 16, bands = 2, maxBucketSize = 100)
+    Dedup.jaccardVerify(cands, docs, "doc_id", "text", threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private[graft] val d06_sql = {
+    val sigCols = Text.minhashSeeds(16).zipWithIndex.map { case ((a, b), i) =>
+      s"${Text.duck.minhashSql("text", a, b)} AS s$i"
+    }.mkString(",\n    ")
+    def band(lo: Int) = (lo until lo + 8).map(i => s"s$i").mkString(", ")
+    s"""WITH sigs AS (
+       |  SELECT doc_id, $sigCols
+       |  FROM documents),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, concat_ws('_', ${band(0)}) AS bucket FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, concat_ws('_', ${band(8)}) AS bucket FROM sigs),
+       |big AS (SELECT band, bucket FROM bands
+       |  GROUP BY band, bucket HAVING COUNT(*) > 100),
+       |kept AS (SELECT bands.* FROM bands ANTI JOIN big USING (band, bucket)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM kept a JOIN kept b USING (band, bucket) WHERE a.doc_id < b.doc_id),
+       |tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+       |  FROM documents)
+       |SELECT p.id_a, p.id_b,
+       |  ROUND(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE) /
+       |    (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))), 4) AS jac
+       |FROM pairs p JOIN tok ta ON ta.doc_id = p.id_a
+       |  JOIN tok tb ON tb.doc_id = p.id_b
+       |WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE) /
+       |    (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t44
+  // Persisted LSH dedup index lifecycle — the incremental-snapshot
+  // dedup a rolling crawl needs: BUILD the signature index on the first
+  // half of the corpus, APPEND the third quarter (the next snapshot),
+  // then PROBE the last quarter as the new batch — candidates come from
+  // the STORED signatures (the old corpus's text is never re-read),
+  // verified by exact Jaccard. The oracle cannot tell build from append
+  // (that is the point: incremental ≡ rebuilt — spec-pinned too), so it
+  // replays signatures over doc_id % 4 < 3 as the index side.
+  def t44_lsh_index_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val path = s"/tmp/graft_lshidx/${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+      s"_${srcStamp(dir, "documents.parquet")}"
+    // `appended` marks the END of the two-step lifecycle: buckets/_SUCCESS
+    // alone would pass after a crash between build and append.
+    if (!new java.io.File(s"$path/appended").exists()) {
+      Dedup.buildLshIndex(docs.filter($"doc_id" % 4 < 2), "doc_id", "text",
+        numHashes = 16, bands = 2, path)
+      Dedup.appendToLshIndex(docs.filter($"doc_id" % 4 === 2), "doc_id",
+        "text", path)
+      new java.io.File(s"$path/appended").createNewFile()
+    }
+    val cands = Dedup.probeLshIndex(docs.filter($"doc_id" % 4 === 3),
+      "doc_id", "text", path, maxBucketSize = 100)
+      .select($"id_idx".as("id_a"), $"id_new".as("id_b"))
+    Dedup.jaccardVerify(cands, docs, "doc_id", "text", threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private[graft] val t44_sql = {
+    val sigCols = Text.minhashSeeds(16).zipWithIndex.map { case ((a, b), i) =>
+      s"${Text.duck.minhashSql("text", a, b)} AS s$i"
+    }.mkString(",\n    ")
+    def band(lo: Int) = (lo until lo + 8).map(i => s"s$i").mkString(", ")
+    s"""WITH sigs AS (
+       |  SELECT doc_id, $sigCols
+       |  FROM documents),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, concat_ws('_', ${band(0)}) AS bucket FROM sigs
+       |  UNION ALL
+       |  SELECT doc_id, 1 AS band, concat_ws('_', ${band(8)}) AS bucket FROM sigs),
+       |idx AS (SELECT * FROM bands WHERE doc_id % 4 < 3),
+       |newb AS (SELECT * FROM bands WHERE doc_id % 4 = 3),
+       |big AS (SELECT band, bucket FROM idx
+       |  GROUP BY band, bucket HAVING COUNT(*) > 100),
+       |kept AS (SELECT idx.* FROM idx ANTI JOIN big USING (band, bucket)),
+       |pairs AS (SELECT DISTINCT k.doc_id AS id_a, n.doc_id AS id_b
+       |  FROM kept k JOIN newb n USING (band, bucket)),
+       |tok AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS tk
+       |  FROM documents)
+       |SELECT p.id_a, p.id_b,
+       |  ROUND(CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE) /
+       |    (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))), 4) AS jac
+       |FROM pairs p JOIN tok ta ON ta.doc_id = p.id_a
+       |  JOIN tok tb ON tb.doc_id = p.id_b
+       |WHERE CAST(len(list_intersect(ta.tk, tb.tk)) AS DOUBLE) /
+       |    (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))) >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t47
+  // Streaming LSH-index ingest — t44's incremental snapshot arriving as
+  // a LIVE feed: build the index on the first half, stream-ingest the
+  // third quarter's signatures from the shared documents feed (routed
+  // by a `where` predicate), probe the last quarter. Stream == batch by
+  // construction, so the oracle IS t44's SQL; at-least-once appends are
+  // EXACTLY-ONCE at the candidate level (probe is distinct — a replayed
+  // batch only duplicates signature rows).
+  def t47_stream_lsh_ingest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stage = s"/tmp/graft_stream/$key/documents"
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      sources.Store.setSplayed(docs, stage)
+    val base = s"/tmp/graft_stream/$key/" +
+      s"lsh_h16_b2_${srcStamp(dir, "documents.parquet")}"
+    val idxPath = s"$base/index"
+    if (!new java.io.File(s"$base/done").exists()) {
+      Dedup.buildLshIndex(docs.filter($"doc_id" % 4 < 2), "doc_id", "text",
+        numHashes = 16, bands = 2, idxPath)
+      streaming.Streams.lshIngest(spark, stage, docs, "doc_id", "text",
+        idxPath, checkpoint = s"$base/ckpt",
+        where = Some("doc_id % 4 = 2"))
+      new java.io.File(s"$base/done").createNewFile()
+    }
+    val cands = Dedup.probeLshIndex(docs.filter($"doc_id" % 4 === 3),
+      "doc_id", "text", idxPath, maxBucketSize = 100)
+      .select($"id_idx".as("id_a"), $"id_new".as("id_b"))
+    Dedup.jaccardVerify(cands, docs, "doc_id", "text", threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // ---------------------------------------------------------------- t48
+  // Token-budget epoch mixing — the repeat-upsampling half of a LLaMA-
+  // style mix recipe: per-source integer token budgets materialize as
+  // full epochs + a deterministic hash-ordered partial epoch (the
+  // greedy-pack overshoot rule). src3's budget is below one epoch (the
+  // partial-only case); unbudgeted sources drop. Output = the trainer's
+  // sampling manifest (one row per materialized copy).
+  def t48_epoch_mix(spark: SparkSession, dir: String): DataFrame =
+    operators.Sampling.epochMix(t(spark, dir, "documents"),
+      "doc_id", "source", "text",
+      Map("src0" -> 8000L, "src1" -> 6000L, "src2" -> 2500L,
+        "src3" -> 700L))
+      .select($"id".as("doc_id"), $"src".as("source"), $"epoch")
+      .orderBy($"doc_id", $"epoch")
+
+  private[graft] val t48_sql =
+    """WITH tk AS (SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
+      |    (((doc_id % 2147483648) * 2654435761) % 4294967296
+      |     + ((doc_id // 2147483648) * 2246822519) % 4294967296)
+      |    % 4294967296 AS h
+      |  FROM documents
+      |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
+      |b AS (SELECT * FROM (VALUES ('src0', 8000), ('src1', 6000),
+      |    ('src2', 2500), ('src3', 700)) AS t(source, b_src)),
+      |tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS t_src
+      |        FROM tk GROUP BY source),
+      |w AS (SELECT tk.doc_id, tk.source, b.b_src, tot.t_src,
+      |    CAST(COALESCE(SUM(n) OVER (PARTITION BY tk.source
+      |      ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS cum_excl
+      |  FROM tk JOIN b USING (source) JOIN tot USING (source)),
+      |e AS (SELECT doc_id, source,
+      |    b_src // t_src
+      |      + CASE WHEN cum_excl < b_src % t_src THEN 1 ELSE 0 END
+      |      AS epochs
+      |  FROM w)
+      |SELECT doc_id, source,
+      |  CAST(unnest(generate_series(0, epochs - 1)) AS BIGINT) AS epoch
+      |FROM e WHERE epochs > 0 ORDER BY doc_id, epoch""".stripMargin
+
+  // ---------------------------------------------------------------- t45
+  // Prototype semantic quality filter (the CLIP-score/DataComp shape):
+  // centroid of the curated anchor set (label 0) as the quality
+  // prototype — an exact-decimal mean, so a replayable model artifact —
+  // then every vector scored by cosine to it, keep = score ≥ τ. The
+  // scoring plan is ONE narrow codegen map (centroid is a literal):
+  // at 100 TB this is scan-speed model-based filtering.
+  def t45_proto_quality(spark: SparkSession, dir: String): DataFrame =
+    Similarity.prototypeScore(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", protoCentroid(spark, dir), threshold = 0.2)
+      .select($"id".as("vec_id"), $"score", $"keep")
+      .orderBy($"vec_id")
+
+  private[graft] val t45_sql =
+    """WITH v AS (SELECT vec_id, label,
+      |    CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+      |px AS (SELECT i, CAST(emb[i] AS DOUBLE) AS x FROM (
+      |  SELECT emb, unnest(generate_series(1, len(emb))) AS i
+      |  FROM v WHERE label = 0)),
+      |m AS (SELECT i, CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE)
+      |        / COUNT(*) AS m
+      |      FROM px GROUP BY i),
+      |c AS (SELECT list(m ORDER BY i) AS cv FROM m)
+      |SELECT vec_id, ROUND(list_cosine_similarity(emb, cv), 6) AS score,
+      |  CASE WHEN list_cosine_similarity(emb, cv) >= 0.2 THEN 1 ELSE 0 END
+      |    AS keep
+      |FROM v, c ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- t46
+  // k-center greedy coreset (Gonzalez farthest-point) — the diversity
+  // selector: 8 exemplars covering the embedding space, each round ONE
+  // narrow scan + a 1-row top-k (centers ride as literals). The oracle
+  // replays the greedy chain as 7 generated MATERIALIZED CTE stages
+  // (the s07 lesson: without MATERIALIZED DuckDB re-inlines each stage
+  // per reference and the chain goes exponential).
+  def t46_kcenter_coreset(spark: SparkSession, dir: String): DataFrame =
+    Similarity.kCenterGreedy(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", k = 8, seedId = 0L)
+      .select($"rank", $"id", $"far")
+      .orderBy($"rank")
+
+  private[graft] val t46_sql = {
+    def stage(i: Int): String = {
+      val coss = (0 until i).map(j =>
+        s"list_cosine_similarity(v.emb, (SELECT emb FROM c$j))")
+      val mc = if (i == 1) coss.head
+               else s"greatest(${coss.mkString(",\n    ")})"
+      val excl = (0 until i).map(j =>
+        s"v.vec_id <> (SELECT vec_id FROM c$j)").mkString("\n    AND ")
+      s"""c$i AS MATERIALIZED (SELECT vec_id, emb, ROUND($mc, 6) AS far
+         |  FROM v WHERE $excl
+         |  ORDER BY $mc ASC, vec_id LIMIT 1)""".stripMargin
+    }
+    val ranks = (1 until 8).map(i =>
+      s"UNION ALL SELECT $i, vec_id, far FROM c$i").mkString("\n  ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |    FROM embeddings),
+       |c0 AS MATERIALIZED (SELECT vec_id, emb, CAST(NULL AS DOUBLE) AS far
+       |  FROM v WHERE vec_id = 0),
+       |${(1 until 8).map(stage).mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT 0 AS rank, vec_id AS id, far FROM c0
+       |  $ranks
+       |) ORDER BY rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d07
+  // SimHash near-dup pairs (blocked hamming), DuckDB-oracled end to end.
+  def d07_simhash_neardup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(t(spark, dir, "documents"), "doc_id", "text",
+      maxHamming = 3, blockBits = 8)
+      .orderBy($"id_a", $"id_b")
+
+  private[graft] val d07_sql =
+    s"""WITH sh AS (SELECT doc_id, ${Text.duck.simhash16Sql("text")} AS sh
+       |  FROM documents),
+       |blk AS (SELECT doc_id, sh, sh // 256 AS blk FROM sh)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+       |FROM blk a JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- d08
+  // Multi-permutation SimHash near-dup: 3 rotations of the signature
+  // each block on their top 8 bits, candidates UNION — recovers pairs a
+  // single blocking table misses when they differ in the top bits.
+  // Fully DuckDB-oracled (rotation arithmetic mirrored in SQL).
+  def d08_simhash_multiperm(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDupMulti(t(spark, dir, "documents"), "doc_id", "text",
+      maxHamming = 3, blockBits = 8, rotations = Seq(0, 5, 11))
+      .orderBy($"id_a", $"id_b")
+
+  private[graft] val d08_sql = {
+    val rots = Seq(0, 5, 11)
+    def blk(c: String, r: Int) =
+      s"(($c * ${1L << r}) % 65536 + $c // ${1L << (16 - r)}) // 256"
+    val joins = rots.zipWithIndex.map { case (r, i) =>
+      // first-match rule mirrors the Spark operator: a pair reports
+      // under its first rotation whose blocks collide → disjoint
+      // branches, UNION ALL
+      val earlier = rots.take(i)
+        .map(pr => s"${blk("a.sh", pr)} <> ${blk("b.sh", pr)}")
+        .map(c => s"\n  AND $c").mkString
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |FROM sh a JOIN sh b
+         |  ON ${blk("a.sh", r)} = ${blk("b.sh", r)}
+         |  AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sh, b.sh)) <= 3$earlier""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (SELECT doc_id, ${graft.functions.Text.duck.simhash16Sql("text")} AS sh
+       |  FROM documents)
+       |  $joins
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d09
+  // 64-bit-space SimHash signatures (63 active bits; the production
+  // dedup width — four 16-bit polynomial token-code lanes, see
+  // functions.SimHash64 / Text.duck.tokenCode64Sql).
+  def d09_simhash64(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select($"doc_id",
+        graft.functions.SimHashExpr.simhash64($"text").as("sh"))
+      .orderBy($"doc_id")
+
+  private[graft] val d09_sql =
+    s"""SELECT doc_id, ${Text.duck.simhash64Sql("text")} AS sh
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- d10
+  // 64-bit SimHash near-dup: four 16-bit chunk tables; hamming ≤ 3
+  // pairs share ≥ 1 untouched chunk (pigeonhole) — EXACT candidate
+  // recall, first-match-disjoint branches, no DISTINCT shuffle.
+  def d10_simhash64_neardup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup64(t(spark, dir, "documents"), "doc_id", "text",
+      maxHamming = 3)
+      .orderBy($"id_a", $"id_b")
+
+  // the sh + pigeonhole-pair CTE prefix, shared by d10 and t55
+  private[graft] def simhash64PairsSql: String = {
+    def chunk(c: String, k: Int) = s"($c // ${1L << (16 * k)}) % 65536"
+    val joins = (0 until 4).map { k =>
+      val earlier = (0 until k)
+        .map(pk => s"${chunk("a.sh", pk)} <> ${chunk("b.sh", pk)}")
+        .map(c => s"\n    AND $c").mkString
+      s"""SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+         |  FROM sh a JOIN sh b
+         |    ON ${chunk("a.sh", k)} = ${chunk("b.sh", k)}
+         |    AND a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.sh, b.sh)) <= 3$earlier""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH sh AS (SELECT doc_id, ${Text.duck.simhash64Sql("text")} AS sh
+       |  FROM documents),
+       |pairs AS (
+       |  $joins)""".stripMargin
+  }
+
+  private[graft] val d10_sql =
+    s"""$simhash64PairsSql
+       |SELECT id_a, id_b, hamming FROM pairs
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- t55
+  // SPLIT-LEAKAGE census (eval hygiene): near-dup pairs (the d10
+  // simhash64 pigeonhole join) that CROSS the t15 deterministic
+  // train/val/test split — each row is a document whose near-duplicate
+  // sits in a different split, i.e. evaluation contamination by
+  // duplication. The split is a PURE FUNCTION of doc_id
+  // (Sampling.splitAssign), so the engine enriches the pair list with
+  // a narrow map — NO join against the corpus-size split table; at
+  // 100 TB the cost is the d10 blocking join alone.
+  def t55_split_leakage(spark: SparkSession, dir: String): DataFrame = {
+    val sb = Seq("train" -> 0.8, "val" -> 0.9)
+    def sp(c: org.apache.spark.sql.Column) =
+      operators.Sampling.splitAssign(c, sb, "test")
+    Dedup.simhashNearDup64(t(spark, dir, "documents"), "doc_id", "text",
+        maxHamming = 3)
+      .select($"id_a", $"id_b", sp($"id_a").as("split_a"),
+        sp($"id_b").as("split_b"), $"hamming")
+      .filter($"split_a" =!= $"split_b")
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private[graft] val t55_sql =
+    s"""$simhash64PairsSql,
+       |u AS (
+       |  SELECT doc_id,
+       |    CASE WHEN d < 0.8 THEN 'train' WHEN d < 0.9 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id,
+       |    (((doc_id % 2147483648) * 2654435761) % 4294967296
+       |     + ((doc_id // 2147483648) * 2246822519) % 4294967296)
+       |    % 4294967296 / 4294967296.0 AS d
+       |  FROM documents))
+       |SELECT p.id_a, p.id_b, ua.split AS split_a, ub.split AS split_b,
+       |  p.hamming
+       |FROM pairs p JOIN u ua ON ua.doc_id = p.id_a
+       |  JOIN u ub ON ub.doc_id = p.id_b
+       |WHERE ua.split <> ub.split
+       |ORDER BY id_a, id_b""".stripMargin
+
+  // ---------------------------------------------------------------- t59
+  // INCREMENTAL cluster maintenance on a persisted dedup index: the
+  // stored (id, comp) labels absorb a new batch's pairs through a
+  // QUOTIENT merge (Dedup.appendToClusterState — |affected clusters| +
+  // |batch| nodes, never corpus-sized) instead of re-clustering. The
+  // query BUILDS state from the first three id-quarters' d10 pairs,
+  // APPENDS the last quarter incrementally, and reports stored cluster
+  // sizes — the ORACLE replays the FULL corpus closure (the d11
+  // recursive CTE) and sizes it, so hash-green here proves
+  // incremental ≡ full re-cluster on real data.
+  def t59_cluster_state(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val path = s"/tmp/graft_t59_v1/${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+      s"_${srcStamp(dir, "documents.parquet")}"
+    if (!new java.io.File(s"$path/clusters/_SUCCESS").exists()) {
+      val pairs = Dedup.simhashNearDup64(docs, "doc_id", "text",
+        maxHamming = 3)
+      val isOld = (c: org.apache.spark.sql.Column) => c % 4 < 3
+      Dedup.buildClusterState(docs.filter(isOld($"doc_id")), "doc_id",
+        pairs.filter(isOld($"id_a") && isOld($"id_b")), path)
+      Dedup.appendToClusterState(docs.filter($"doc_id" % 4 === 3), "doc_id",
+        pairs.filter(!(isOld($"id_a") && isOld($"id_b"))), path)
+    }
+    Dedup.clusterSizes(spark, path).orderBy($"comp")
+  }
+
+  private[graft] val t59_sql = {
+    def chunk(c: String, k: Int) = s"($c // ${1L << (16 * k)}) % 65536"
+    val on = (0 until 4)
+      .map(k => s"${chunk("a.sh", k)} = ${chunk("b.sh", k)}")
+      .mkString(" OR ")
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, ${Text.duck.simhash64Sql("text")} AS sh
+       |  FROM documents),
+       |edges AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sh a JOIN sh b
+       |    ON ($on) AND a.doc_id <> b.doc_id
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+       |walk(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM sh
+       |  UNION
+       |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+       |labels AS (
+       |  SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+       |SELECT comp, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM labels GROUP BY comp ORDER BY comp""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- t56
+  // Raw-HTML → clean-text extraction (the stage a crawl pipeline runs
+  // before EVERYTHING else here; functions/HtmlExpr.scala has the rule
+  // chain). The testdata has no raw-HTML column, so a deterministic
+  // page is CONSTRUCTED per doc from (doc_id, lang, source, text) —
+  // identically in both engines, html_len pins the construction — with
+  // style/script to drop, nav boilerplate, entities (incl. the
+  // &amp;lt; double-encoding), and a doc_id%4-selected malformed tail.
+  // Engine side: ONE narrow codegen map, no shuffle; oracle replays
+  // the identical chain via Html.cleanChainSql.
+  def t56_html_extract(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val staged = d.select($"doc_id", $"lang",
+      operators.Html.stagedHtmlCol($"doc_id", $"lang", $"source", $"text")
+        .as("html"))
+    operators.Html.cleanHtml(staged, "html", textOut = "text_out")
+      .select($"doc_id", $"lang", length($"html").as("html_len"),
+        $"n_tags", $"n_blocks", $"n_boiler", $"boiler_frac",
+        length($"text_out").as("text_len"), $"text_out".as("text"))
+      .orderBy($"doc_id")
+  }
+
+  private[graft] val t56_sql =
+    operators.Html.cleanChainSql(operators.Html.stagedHtmlSql,
+      Seq("doc_id", "lang")) + "\nORDER BY doc_id"
+
+  // ---------------------------------------------------------------- d11
+  // Near-dup cluster resolution: connected components over the d10
+  // (simhash64) pairs by min-label propagation — every doc labeled with
+  // its cluster's minimum doc_id; `comp == doc_id` rows are the
+  // canonical keep-list. Oracled against a DuckDB recursive transitive
+  // closure over the same edges.
+  def d11_dedup_components(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.simhashNearDup64(docs, "doc_id", "text", maxHamming = 3)
+    Dedup.connectedComponents(docs, "doc_id", pairs)
+      .select($"id".as("doc_id"), $"comp")
+      .orderBy($"doc_id")
+  }
+
+  private[graft] val d11_sql = {
+    def chunk(c: String, k: Int) = s"($c // ${1L << (16 * k)}) % 65536"
+    val on = (0 until 4)
+      .map(k => s"${chunk("a.sh", k)} = ${chunk("b.sh", k)}")
+      .mkString(" OR ")
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, ${Text.duck.simhash64Sql("text")} AS sh
+       |  FROM documents),
+       |edges AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sh a JOIN sh b
+       |    ON ($on) AND a.doc_id <> b.doc_id
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+       |walk(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM sh
+       |  UNION
+       |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id)
+       |SELECT id AS doc_id, MIN(comp) AS comp
+       |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- d12
+  // The applied dedup: keep one canonical doc per near-dup cluster
+  // (comp == doc_id) and report the kept corpus with its cluster size —
+  // the end-to-end raw-docs → clusters → shipped-corpus step.
+  def d12_dedup_apply(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.simhashNearDup64(docs, "doc_id", "text", maxHamming = 3)
+    val comps = Dedup.connectedComponents(docs, "doc_id", pairs)
+    val sizes = comps.groupBy($"comp").agg(count(lit(1)).as("cluster_n"))
+    comps.filter($"id" === $"comp")
+      .join(sizes, "comp")
+      .join(docs.select($"doc_id", length($"text").as("text_len")),
+        $"id" === $"doc_id")
+      .select($"doc_id", $"cluster_n", $"text_len")
+      .orderBy($"doc_id")
+  }
+
+  private[graft] val d12_sql = {
+    def chunk(c: String, k: Int) = s"($c // ${1L << (16 * k)}) % 65536"
+    val on = (0 until 4)
+      .map(k => s"${chunk("a.sh", k)} = ${chunk("b.sh", k)}")
+      .mkString(" OR ")
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, ${Text.duck.simhash64Sql("text")} AS sh
+       |  FROM documents),
+       |edges AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sh a JOIN sh b
+       |    ON ($on) AND a.doc_id <> b.doc_id
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+       |walk(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM sh
+       |  UNION
+       |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+       |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+       |sizes AS (SELECT comp, COUNT(*) AS cluster_n FROM comps GROUP BY comp)
+       |SELECT c.id AS doc_id, s.cluster_n,
+       |  CAST(length(d.text) AS INTEGER) AS text_len
+       |FROM comps c JOIN sizes s ON c.comp = s.comp
+       |  JOIN documents d ON d.doc_id = c.id
+       |WHERE c.id = c.comp ORDER BY doc_id""".stripMargin
+  }
+
+  // ================================================================
+  // Storage, streaming, temporal, casts, generation (SURVEY §2.1/§2.8/
+  // §2.10).
+  // ================================================================
+}

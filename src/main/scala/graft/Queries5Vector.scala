@@ -1,0 +1,1261 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.RF
+
+/** Query-registry chunk 5/5 — windowing, TPC-H-ish joins, the vector-search family and the rayfall script surface (q40-q55, s01-s17, r01-r10).
+  *
+  * The chunks are a LINEAR trait stack mixed into `object Queries`,
+  * cut at section boundaries in ORIGINAL SOURCE ORDER: trait
+  * linearization then initializes every val exactly as the one big
+  * object did, so no forward val reference can change behavior. */
+private[graft] trait Queries5Vector extends Queries4Analytics {
+
+  import graft.functions.Text
+  import graft.operators.{Dedup, Similarity}
+  import graft.sources.Store
+  import graft.streaming.Streams
+
+
+
+  // ---------------------------------------------------------------- q40
+  // window-join jtype 0 — the reference's `window-join` proper: the
+  // PREVAILING right row (last view at-or-before the window start) plus
+  // the rows in (lo, hi] (kdb wj; /root/reference/core/aggr.c:143-151,
+  // core/join.c:358). The oracle mirrors the two pair sets: an ASOF
+  // join at the window start, UNION ALL the half-open range join.
+  def q40_window_join_prev(spark: SparkSession, dir: String): DataFrame = {
+    val halfHourNs = 1800L * 1000 * 1000 * 1000
+    val e = t(spark, dir, "events")
+    val left = e.filter($"event_type" === "signup")
+      .select($"event_id", $"user_id", $"ts")
+    val right = e.filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"value")
+    operators.WindowJoin.windowJoin(left, right,
+      leftId = Seq("event_id"), keys = Seq("user_id"), ts = "ts",
+      loOffset = lit(-halfHourNs), hiOffset = lit(halfHourNs),
+      aggs = Seq(count($"value").as("n_views"),
+        round(sum($"value"), 4).as("sum_views")),
+      jtype = 0)
+      .select($"event_id", $"user_id",
+        coalesce($"n_views", lit(0L)).as("n_views"), $"sum_views")
+      .orderBy($"event_id")
+  }
+
+  private[graft] val q40_sql =
+    """WITH l AS (SELECT * FROM events WHERE event_type = 'signup'),
+      |  r AS (SELECT * FROM events WHERE event_type = 'view'),
+      |  pairs AS (
+      |    SELECT l.event_id, r.value
+      |    FROM l JOIN r ON l.user_id = r.user_id
+      |      AND epoch_ns(r.ts) > epoch_ns(l.ts) - 1800000000000
+      |      AND epoch_ns(r.ts) <= epoch_ns(l.ts) + 1800000000000
+      |    UNION ALL
+      |    SELECT lw.event_id, rp.value
+      |    FROM (SELECT event_id, user_id,
+      |            epoch_ns(ts) - 1800000000000 AS lo FROM l) lw
+      |    ASOF JOIN (SELECT user_id, epoch_ns(ts) AS rts, value FROM r) rp
+      |      ON lw.user_id = rp.user_id AND lw.lo >= rp.rts)
+      |SELECT l.event_id, l.user_id, COUNT(p.value) AS n_views,
+      |  ROUND(SUM(p.value), 4) AS sum_views
+      |FROM l LEFT JOIN pairs p ON l.event_id = p.event_id
+      |GROUP BY l.event_id, l.user_id
+      |ORDER BY l.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- r03
+  // Rayfall left-join with the reference's override rule: shared
+  // non-key column (c_acctbal) takes the right side's value on a match,
+  // keeps the left value on a miss.
+  def r03_rayfall_join(spark: SparkSession, dir: String): DataFrame = {
+    val spend = t(spark, dir, "orders")
+      .filter($"o_orderpriority" === "1-URGENT")
+      .groupBy($"o_custkey".as("c_custkey"))
+      .agg(dsum($"o_totalprice").as("c_acctbal"))
+    rayfall.Rayfall.query("(left-join [c_custkey] customer spend)",
+      Map("customer" -> t(spark, dir, "customer"), "spend" -> spend))
+      .select($"c_custkey", $"c_name", $"c_acctbal")
+      .orderBy($"c_custkey")
+  }
+
+  private[graft] val r03_sql =
+    """WITH spend AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS c_acctbal
+      |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+      |SELECT c.c_custkey, c.c_name,
+      |  CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+      |       ELSE c.c_acctbal END AS c_acctbal
+      |FROM customer c LEFT JOIN spend s ON c.c_custkey = s.c_custkey
+      |ORDER BY c.c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q41
+  // Multi-key as-of join (reference asof-join takes N equi-keys before
+  // the time column): match on (user_id, value-band) then greatest ts.
+  def q41_asof_multikey(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+      .withColumn("band", floor($"value" / 10))
+    val left = e.filter($"event_type".isin("click", "view"))
+    val right = e.filter($"event_type" === "error")
+      .select($"user_id", $"band", $"ts", $"value".as("err_value"))
+    operators.AsofJoin.asofJoin(left, right, Seq("user_id", "band"), "ts")
+      .select($"event_id", $"user_id", $"band", $"err_value")
+      .orderBy($"event_id")
+  }
+
+  private[graft] val q41_sql =
+    """WITH e AS (SELECT *, CAST(floor(value / 10) AS BIGINT) AS band FROM events)
+      |SELECT l.event_id, l.user_id, l.band, r.value AS err_value
+      |FROM (SELECT * FROM e WHERE event_type IN ('click','view')) l
+      |ASOF LEFT JOIN (SELECT * FROM e WHERE event_type = 'error') r
+      |  ON l.user_id = r.user_id AND l.band = r.band AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q42
+  // group → indices (reference group: vector → dict of value→indices,
+  // /root/reference/core/compose.c:1071): per event type, the first ten
+  // occurrence ids, string-joined for cross-engine hashability.
+  def q42_group_indices(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      .groupBy($"event_type")
+      .agg(concat_ws(",",
+        slice(sort_array(collect_list($"event_id")), 1, 10)).as("first_ids"),
+        count(lit(1)).as("n"))
+      .orderBy($"event_type")
+
+  private[graft] val q42_sql =
+    """SELECT event_type,
+      |  array_to_string(list_sort(list(event_id))[1:10], ',') AS first_ids,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q43
+  // TPC-H Q3 shape: 3-table join, revenue agg, top-k. Catalyst
+  // broadcasts the filtered customer dim; revenue routed through
+  // DECIMAL(18,4) so the parallel sum hash-matches.
+  def q43_tpch3(spark: SparkSession, dir: String): DataFrame = {
+    val rev = ($"l_extendedprice" * (lit(1) - $"l_discount"))
+      .cast("decimal(18,4)")
+    t(spark, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      .join(t(spark, dir, "orders"), $"c_custkey" === $"o_custkey")
+      .join(t(spark, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"o_orderkey")
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy($"revenue".desc, $"o_orderkey")
+      .limit(10)
+  }
+
+  private[graft] val q43_sql =
+    """SELECT o_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- q44
+  // TPC-H Q5 shape: 5-table star join — region→nation→customer→orders→
+  // lineitem; Catalyst reorders and broadcasts the small dims.
+  def q44_tpch5(spark: SparkSession, dir: String): DataFrame = {
+    val rev = ($"l_extendedprice" * (lit(1) - $"l_discount"))
+      .cast("decimal(18,4)")
+    t(spark, dir, "region").filter($"r_name".isin("ASIA", "EUROPE", "AMERICA"))
+      .join(t(spark, dir, "nation"), $"n_regionkey" === $"r_regionkey")
+      .join(t(spark, dir, "customer"), $"c_nationkey" === $"n_nationkey")
+      .join(t(spark, dir, "orders"), $"o_custkey" === $"c_custkey")
+      .join(t(spark, dir, "lineitem"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"n_name")
+      .agg(sum(rev).cast("double").as("revenue"), count(lit(1)).as("n"))
+      .orderBy($"n_name")
+  }
+
+  private[graft] val q44_sql =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+      |    AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE r_name IN ('ASIA','EUROPE','AMERICA')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- s03
+  // IVF-indexed approximate top-k: coarse centroids → cell assignment →
+  // probe the query's cells only (rows-only; recall asserted in spec).
+  def s03_ann_ivf(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryId = 0L, k = 10, nCells = 8, nProbe = 2,
+      cents0 = Some(embCentroids(spark, dir)))
+      .select($"id".as("vec_id"), $"score")
+
+
+
+
+  // Self-contained IVF replication: seed centroids = every 16th of the
+  // first 128 rows by id, refined by 3 Lloyd iterations (exact decimal
+  // means — see lloydIterSql); assignment = argmax cosine (sim DESC,
+  // cell ASC); probe = the query's 2 nearest cells; exact rerank within.
+  private[graft] val s03_sql =
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |  topv AS (SELECT id, v FROM v ORDER BY id LIMIT 128),
+       |  num AS (SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM topv),
+       |  cent0 AS (SELECT CAST(rn // 16 AS INT) AS cell, v AS cv
+       |    FROM num WHERE rn % 16 = 1),
+       |${lloydIterSql("cent0", 1)},
+       |${lloydIterSql("cent1", 2)},
+       |${lloydIterSql("cent2", 3)},
+       |  a AS (SELECT id, v, cell FROM (
+       |    SELECT v.id, v.v, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.id
+       |        ORDER BY ${duckCos("v.v", "c.cv")} DESC, c.cell) AS rk
+       |    FROM v CROSS JOIN cent3 c) WHERE rk = 1),
+       |  q AS (SELECT v AS qv FROM v WHERE id = 0),
+       |  probe AS (SELECT c.cell FROM cent3 c, q
+       |    ORDER BY ${duckCos("q.qv", "c.cv")} DESC, c.cell LIMIT 2)
+       |SELECT a.id AS vec_id, ROUND(list_cosine_similarity(a.v, q.qv), 6) AS score
+       |FROM a, q WHERE a.cell IN (SELECT cell FROM probe) AND a.id <> 0
+       |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+
+  // s04 searches the PERSISTED index built from the same data with the
+  // same nCells/nProbe/k — by construction its answer equals s03's, so
+  // the oracle is the same replication.
+  private[graft] val s04_sql = s03_sql
+
+  // ---------------------------------------------------------------- s11
+  // IVF k-NN JOIN: batch retrieval — 20 query vectors, each searching
+  // only its 2 nearest cells, per-query top-5 via the map-side
+  // WindowGroupLimit (the s06 shape over the s03 index). The oracle
+  // replays the Lloyd chain, per-query probe-cell argmax, and the
+  // rounded-score rank.
+  def s11_ivf_knn_join(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfKnnJoin(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryIds = (0L until 20L).toSeq,
+      k = 5, nProbe = 2, cents = embCentroids(spark, dir))
+      .select($"qid", $"rk", $"id".as("vec_id"), $"score")
+      .orderBy($"qid", $"rk")
+
+  private[graft] val s11_sql =
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |  topv AS (SELECT id, v FROM v ORDER BY id LIMIT 128),
+       |  num AS (SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM topv),
+       |  cent0 AS (SELECT CAST(rn // 16 AS INT) AS cell, v AS cv
+       |    FROM num WHERE rn % 16 = 1),
+       |${lloydIterSql("cent0", 1)},
+       |${lloydIterSql("cent1", 2)},
+       |${lloydIterSql("cent2", 3)},
+       |  a AS (SELECT id, v, cell FROM (
+       |    SELECT v.id, v.v, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.id
+       |        ORDER BY ${duckCos("v.v", "c.cv")} DESC, c.cell) AS rk
+       |    FROM v CROSS JOIN cent3 c) WHERE rk = 1),
+       |  qs AS (SELECT id AS qid, v AS qv FROM v WHERE id < 20),
+       |  probe AS (SELECT qid, cell FROM (
+       |    SELECT q.qid, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY ${duckCos("q.qv", "c.cv")} DESC, c.cell) AS rk
+       |    FROM qs q CROSS JOIN cent3 c) WHERE rk <= 2)
+       |SELECT qid, rk, vec_id, score FROM (
+       |  SELECT q.qid, a.id AS vec_id,
+       |    ROUND(list_cosine_similarity(a.v, q.qv), 6) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY q.qid
+       |      ORDER BY ROUND(list_cosine_similarity(a.v, q.qv), 6) DESC,
+       |               a.id) AS rk
+       |  FROM qs q JOIN probe p USING (qid)
+       |  JOIN a ON a.cell = p.cell AND a.id <> q.qid)
+       |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  // ---------------------------------------------------------------- s17
+  // Matryoshka prefix-truncated search (MRL serving): cosine over the
+  // first 16 of 64 dims → shortlist 32 → exact full-dim rerank →
+  // top-10. The zero-transform nested-representation funnel next to JL
+  // (random projection) and SQ8/PQ (quantization).
+  def s17_mrl_search(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mrlTopK(t(spark, dir, "embeddings"), "vec_id", "embedding",
+      queryId = 0L, k = 10, dPrefix = 16, shortlist = 32)
+      .select($"id".as("vec_id"), $"score")
+
+  private[graft] val s17_sql =
+    """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+      |    CAST(embedding AS DOUBLE[])[1:16] AS p FROM embeddings),
+      |q AS (SELECT v AS qv, p AS qp FROM v WHERE id = 0),
+      |short AS (
+      |  SELECT id, v.v, q.qv,
+      |    ROUND(list_cosine_similarity(v.p, q.qp), 6) AS pscore
+      |  FROM v, q WHERE id <> 0
+      |  ORDER BY pscore DESC, id LIMIT 32)
+      |SELECT id AS vec_id,
+      |  ROUND(list_cosine_similarity(v, qv), 6) AS score
+      |FROM short ORDER BY score DESC, id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- s16
+  // FILTERED vector retrieval (the tenant/category-scoped search every
+  // production vector store serves): k-NN among rows sharing the
+  // query's label — the equality predicate folds INTO the broadcast
+  // join condition, so only qualifying rows are scored/ranked.
+  def s16_filtered_knn(spark: SparkSession, dir: String): DataFrame =
+    Similarity.filteredKnnJoin(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", "label", queryIds = (0L until 10L).toSeq,
+      k = 5)
+      .select($"qid", $"rk", $"id".as("vec_id"), $"score")
+      .orderBy($"qid", $"rk")
+
+  private[graft] val s16_sql =
+    """SELECT qid, rk, vec_id, score FROM (
+      |  SELECT q.vec_id AS qid, v.vec_id,
+      |    ROUND(list_cosine_similarity(CAST(v.embedding AS DOUBLE[]),
+      |      CAST(q.embedding AS DOUBLE[])), 6) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+      |      ORDER BY ROUND(list_cosine_similarity(
+      |        CAST(v.embedding AS DOUBLE[]),
+      |        CAST(q.embedding AS DOUBLE[])), 6) DESC, v.vec_id) AS rk
+      |  FROM embeddings v JOIN embeddings q
+      |    ON q.vec_id < 10 AND v.vec_id <> q.vec_id
+      |   AND v.label = q.label)
+      |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+
+  // ---------------------------------------------------------------- s12
+  // MMR diversified re-ranking (Carbonell & Goldstein 1998) — the
+  // post-ANN diversity pass a RAG retriever runs: greedy
+  // λ·rel − (1−λ)·max-sim-to-selected over the bounded 32-row
+  // relevance shortlist, λ = 7/10 (mmr = the 10-scaled integer-weight
+  // form, NULL for the seed rank). Corpus cost = ONE
+  // TakeOrderedAndProject scan; diversification touches the shortlist
+  // only. The oracle replays the greedy as 7 MATERIALIZED CTE stages
+  // (the t46 pattern).
+  def s12_mmr_rerank(spark: SparkSession, dir: String): DataFrame =
+    Similarity.mmrRerank(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryId = 0L, shortlist = 32, k = 8,
+      lamNum = 7, lamDen = 10)
+      .select($"rank", $"id".as("vec_id"), $"rel", $"mmr")
+      .orderBy($"rank")
+
+  private[graft] val s12_sql = {
+    def stage(i: Int): String = {
+      val sims = (0 until i).map(j =>
+        s"ROUND(list_cosine_similarity(sl.emb, (SELECT emb FROM c$j)), 6)")
+      val m = if (i == 1) sims.head
+              else s"greatest(${sims.mkString(",\n      ")})"
+      val excl = (0 until i).map(j =>
+        s"sl.vec_id <> (SELECT vec_id FROM c$j)").mkString("\n    AND ")
+      s"""c$i AS MATERIALIZED (SELECT vec_id, emb, rel,
+         |    7 * rel - 3 * $m AS mmr
+         |  FROM sl WHERE $excl
+         |  ORDER BY mmr DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    val ranks = (1 until 8).map(i =>
+      s"UNION ALL SELECT $i, vec_id, rel, mmr FROM c$i").mkString("\n  ")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |    FROM embeddings),
+       |q AS (SELECT emb AS qv FROM v WHERE vec_id = 0),
+       |sl AS MATERIALIZED (
+       |  SELECT v.vec_id, v.emb,
+       |    ROUND(list_cosine_similarity(v.emb, q.qv), 6) AS rel
+       |  FROM v, q WHERE v.vec_id <> 0
+       |  ORDER BY rel DESC, v.vec_id LIMIT 32),
+       |c0 AS MATERIALIZED (SELECT vec_id, emb, rel,
+       |    CAST(NULL AS DOUBLE) AS mmr
+       |  FROM sl ORDER BY rel DESC, vec_id LIMIT 1),
+       |${(1 until 8).map(stage).mkString(",\n")}
+       |SELECT * FROM (
+       |  SELECT 0 AS rank, vec_id, rel, mmr FROM c0
+       |  $ranks
+       |) ORDER BY rank""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- s13
+  // Johnson–Lindenstrauss projected search (Achlioptas ±1): 64 → 16
+  // dims via deterministic Rademacher signs (no stored matrix — the
+  // "matrix" is integer hash arithmetic both engines evaluate
+  // identically), then exact top-k cosine in the projected space. The
+  // projection is ONE narrow codegen map; the oracle unrolls the same
+  // left-assoc ± chains term by term (signs folded at SQL-generation
+  // time), so projected vectors are bit-identical cross-engine.
+  def s13_jl_search(spark: SparkSession, dir: String): DataFrame =
+    Similarity.jlTopK(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryId = 0L, k = 10, dOut = 16)
+      .select($"id".as("vec_id"), $"score")
+
+  private[graft] val s13_sql = {
+    import graft.functions.JlExpr.projectionSql
+    val dims = (0 until 16).map(j =>
+      projectionSql("emb", 64, j)).mkString("[\n    ", ",\n    ", "]")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+       |    FROM embeddings),
+       |p AS (SELECT vec_id, $dims AS pv FROM v),
+       |q AS (SELECT pv AS qv FROM p WHERE vec_id = 0)
+       |SELECT p.vec_id,
+       |  ROUND(list_cosine_similarity(p.pv, q.qv), 6) AS score
+       |FROM p, q WHERE p.vec_id <> 0
+       |ORDER BY score DESC, p.vec_id LIMIT 10""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- s14
+  // Graph ANN (operators/GraphAnn): deterministic NN-descent k-NN graph
+  // + batched beam search. The oracle replays the WHOLE construction
+  // AND traversal as CTE stages (hash bucket seeding → 2 NN-descent
+  // rounds → 3 beam hops), so the REAL approximate path is hash-green —
+  // the s11 nProbe=nCells precedent taken one step further. Params are
+  // production-shaped (beam 12 ≪ n), not degenerate-exact.
+  /** The s14 graph index, staged per corpus stamp (the s04
+    * _SUCCESS-guard pattern) and its kernel payload memoized per
+    * session (the bpeWordFreq rule — searches never re-pay the
+    * collect). Kernel ≡ stage form bit-for-bit, GraphAnnSpec-pinned. */
+  private[graft] val graphKernelMemo =
+    new SessionMemo[operators.GraphAnn.KernelIndex](
+      (spark, dir) => {
+        val path =
+          s"/tmp/graft_s14_graph/${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+            s"_${srcStamp(dir, "embeddings.parquet")}"
+        if (!new java.io.File(s"$path/edges/_SUCCESS").exists())
+          operators.GraphAnn.buildGraphIndex(t(spark, dir, "embeddings"),
+            "vec_id", "embedding", k = 6, nBuckets = 24, iters = 2,
+            path = path)
+        operators.GraphAnn.kernelIndex(
+          spark.read.parquet(s"$path/edges").distinct(),
+          spark.read.parquet(s"$path/nodes"), "id", "v")
+      }, _ => ())
+
+  def s14_graph_ann(spark: SparkSession, dir: String): DataFrame =
+    operators.GraphAnn.searchKernel(spark,
+      graphKernelMemo(spark, dir, srcStamp(dir, "embeddings.parquet")),
+      queryIds = (0L until 10L).toSeq, k = 5, beamWidth = 12, hops = 3,
+      nSeeds = 8)
+      .select($"qid", $"rk", $"id".as("vec_id"), $"score")
+      .orderBy($"qid", $"rk")
+
+  private[graft] val s14_sql =
+    s"""WITH v AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |${operators.GraphAnn.knnGraphSql(k = 6, nBuckets = 24, iters = 2)},
+       |${operators.GraphAnn.searchSql(iters = 2, k = 5, beamWidth = 12,
+            hops = 3, nSeeds = 8, queryPred = "id < 10")}"""
+      .stripMargin.replace("SELECT qid, rk, id, score FROM (",
+        "SELECT qid, rk, id AS vec_id, score FROM (")
+
+  // ---------------------------------------------------------------- s04
+  // Persisted IVF index lifecycle: build once (centroids + cell-partitioned
+  // inverted lists on disk), then a partition-pruned probe — the scan
+  // reads only nProbe/nCells of the corpus (rows-only; scores asserted
+  // against brute force in PipelineSpec).
+  def s04_ivf_index(spark: SparkSession, dir: String): DataFrame = {
+    // v2: round-8 Lloyd centroids — new path so a stale every-16th index
+    // staged by an earlier run can't satisfy the _SUCCESS guard
+    val path = s"/tmp/graft_ivf_v2/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    if (!new java.io.File(s"$path/vectors/_SUCCESS").exists())
+      Similarity.buildIvfIndex(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", nCells = 8, path)
+    val qv = t(spark, dir, "embeddings").filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>"))
+      .collect().head.getSeq[Double](0)
+    Similarity.searchIvfIndex(spark, path, qv, k = 10, nProbe = 2,
+      excludeId = 0L)
+      .select($"id".as("vec_id"), $"score")
+  }
+
+  // ---------------------------------------------------------------- s05
+  // Scalar int8 quantization of the embedding corpus: per-dimension
+  // min-max ranges (pass 1, d-row agg) inlined as literals, then a
+  // narrow quantize+reconstruction-error map (pass 2, no shuffle).
+  // Codes and errors are chains of correctly-rounded IEEE double ops
+  // on exact inputs, so both engines hash-match without rounding.
+  /** Per-dimension (min, max) ranges — a quantizer artifact, cached per
+    * corpus stamp exactly like the Lloyd centroids (deterministic, so
+    * cached == fresh; a deployment fits once and quantizes many). */
+  private[graft] val rangeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Array[Double], Array[Double])]()
+  private[graft] def embRanges(spark: SparkSession,
+                        dir: String): (Array[Double], Array[Double]) =
+    rangeCache.computeIfAbsent(s"$dir@${srcStamp(dir, "embeddings.parquet")}",
+      _ => operators.Quantize.dimensionRanges(
+        t(spark, dir, "embeddings"), "embedding"))
+
+  def s05_quantize(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val (mins, maxs) = embRanges(spark, dir)
+    operators.Quantize.quantize(emb, "embedding", mins, maxs)
+      // CSV, not array<long>: the driver's row sort needs every output
+      // column orderable (the d02 flatten convention)
+      .select($"vec_id",
+        concat_ws(",", $"codes".cast("array<string>")).as("codes_csv"),
+        $"max_err")
+      .orderBy($"vec_id")
+  }
+
+  private[graft] val s05_sql =
+    """WITH px AS (
+      |  SELECT vec_id, i, CAST(e[i] AS DOUBLE) AS x FROM (
+      |    SELECT vec_id, embedding AS e,
+      |           unnest(generate_series(1, len(embedding))) AS i
+      |    FROM embeddings)),
+      |st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM px GROUP BY i),
+      |q AS (
+      |  SELECT vec_id, px.i, x, mn, mx,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE CAST(floor((x - mn) / (mx - mn) * 255 + 0.5) AS BIGINT)
+      |    END AS c
+      |  FROM px JOIN st USING (i)),
+      |e AS (
+      |  SELECT vec_id, i, c,
+      |    abs(x - (mn + CAST(c AS DOUBLE) * (mx - mn) / 255)) AS err
+      |  FROM q)
+      |SELECT vec_id, array_to_string(list(c ORDER BY i), ',') AS codes_csv,
+      |  MAX(err) AS max_err
+      |FROM e GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  // ---------------------------------------------------------------- s09
+  // SQ8 search: brute-force max-inner-product over the dequantized int8
+  // codes (the FAISS SQ8 layout — d bytes/vector scanned, floats
+  // untouched after the quantize pass). Reconstructions and dot
+  // products are exact IEEE chains on both engines, so the scores
+  // hash-match without tolerance.
+  def s09_sq8_search(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val (mins, maxs) = embRanges(spark, dir)
+    operators.Quantize.sq8TopK(emb, "vec_id", "embedding",
+      queryId = 0L, k = 10, mins, maxs)
+      .select($"id".as("vec_id"), $"score")
+  }
+
+  private[graft] val s09_sql =
+    """WITH px AS (
+      |  SELECT vec_id, i, CAST(e[i] AS DOUBLE) AS x FROM (
+      |    SELECT vec_id, embedding AS e,
+      |           unnest(generate_series(1, len(embedding))) AS i
+      |    FROM embeddings)),
+      |st AS (SELECT i, MIN(x) AS mn, MAX(x) AS mx FROM px GROUP BY i),
+      |q AS (
+      |  SELECT vec_id, px.i, mn, mx,
+      |    CASE WHEN mx = mn THEN 0
+      |         ELSE CAST(floor((x - mn) / (mx - mn) * 255 + 0.5) AS BIGINT)
+      |    END AS c
+      |  FROM px JOIN st USING (i)),
+      |deq AS (
+      |  SELECT vec_id,
+      |    list(mn + CAST(c AS DOUBLE) * (mx - mn) / 255 ORDER BY i) AS dv
+      |  FROM q GROUP BY vec_id),
+      |qd AS (SELECT dv AS qv FROM deq WHERE vec_id = 0)
+      |SELECT d.vec_id, ROUND(list_inner_product(d.dv, qd.qv), 6) AS score
+      |FROM deq d CROSS JOIN qd WHERE d.vec_id <> 0
+      |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+
+  // ---------------------------------------------------------------- s07
+  // Product quantization (Jégou et al. 2011): the 64-dim corpus encoded
+  // as 4 sub-centroid codes (16-dim subspaces, 8 L2 Lloyd centroids
+  // each — 64 floats → 4 codes), then ADC-scored against query 0: the
+  // approximate distance is 4 table lookups per vector, never a float
+  // read. One query oracles the whole chain — per-subspace Lloyd fit,
+  // code assignment, and the ADC sum — replayed in DuckDB with the
+  // identical IEEE op sequence (unrolled left-associated L2 chains,
+  // exact-decimal Lloyd means).
+  private[graft] val PqM = 4; private val PqKSub = 8; private val PqIters = 2
+  private[graft] val pqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Array[Array[(Int, Seq[Double])]]]()
+  private[graft] def pqBooks(spark: SparkSession,
+                      dir: String): Array[Array[(Int, Seq[Double])]] =
+    pqCache.computeIfAbsent(s"$dir@${srcStamp(dir, "embeddings.parquet")}", _ =>
+      operators.Pq.fitCodebooks(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", m = PqM, kSub = PqKSub, iters = PqIters))
+
+  def s07_pq_adc(spark: SparkSession, dir: String): DataFrame = {
+    val books = pqBooks(spark, dir)
+    val enc = operators.Pq.encode(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", books)
+    val qv = enc.filter($"id" === 0).select($"v")
+      .collect().head.getSeq[Double](0)
+    enc.select($"id".as("vec_id"),
+        concat_ws(",", $"codes".cast("array<string>")).as("codes_csv"),
+        round(operators.Pq.adcDistance($"codes", qv, books), 6).as("adc"))
+      .orderBy($"vec_id")
+  }
+
+  /** Left-associated unrolled squared-L2 chain over dims 1..d — the
+    * exact IEEE op order of NearestCentroidL2.dist2's sequential loop
+    * (0.0 + t1 == t1 for the non-negative squares). */
+  private[graft] def pqL2Sql(a: Int => String, b: Int => String, d: Int): String =
+    (1 to d).map(i => s"(${a(i)}-${b(i)})*(${a(i)}-${b(i)})").mkString(" + ")
+
+  /** One Lloyd iteration of chain `p`, subspace `s`, in DuckDB: L2
+    * assignment against `cent${n-1}$p_$s` (dist ASC, cell ASC —
+    * NearestCentroidL2's lowest-index tie rule), then exact
+    * DECIMAL(38,18) coordinate means; empty cells keep their previous
+    * centroid. */
+  private[graft] def pqLloydIterSql(p: String, s: Int, n: Int, dsub: Int): String = {
+    val dist = pqL2Sql(i => s"vs.v[$i]", i => s"c.cv[$i]", dsub)
+    s"""  a$n$p$s AS MATERIALIZED (SELECT id, v, cell FROM (
+       |    SELECT vs.id, vs.v, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY vs.id
+       |        ORDER BY $dist ASC, c.cell) AS rk
+       |    FROM vs$p$s vs CROSS JOIN cent${n - 1}$p$s c) WHERE rk = 1),
+       |  m$n$p$s AS MATERIALIZED (SELECT a.cell, p.pos,
+       |      CAST(SUM(CAST(a.v[p.pos] AS DECIMAL(38,18))) AS DOUBLE)
+       |        / COUNT(*) AS m
+       |    FROM a$n$p$s a CROSS JOIN
+       |      (SELECT generate_series AS pos FROM generate_series(1, $dsub)) p
+       |    GROUP BY a.cell, p.pos),
+       |  cent$n$p$s AS MATERIALIZED (SELECT c.cell,
+       |      CASE WHEN COUNT(m.m) = 0 THEN first(c.cv)
+       |           ELSE list(m.m ORDER BY m.pos) END AS cv
+       |    FROM cent${n - 1}$p$s c LEFT JOIN m$n$p$s m ON m.cell = c.cell
+       |    GROUP BY c.cell)""".stripMargin
+  }
+
+  /** Full per-subspace chain of prefix `p` over source CTE `src` (with
+    * row numbering `num`): slice, seeds (every 16th of the first
+    * kSub·16 rows by id — centroidRows' rule), `iters` Lloyd rounds,
+    * final assignment `asg$p$s` (id, cell). */
+  private[graft] def pqSubChainSql(p: String, src: String, num: String,
+                            s: Int, lo: Int, dsub: Int, iters: Int): String = {
+    val seeds =
+      s"""  vs$p$s AS MATERIALIZED (SELECT id, v[${lo + 1}:${lo + dsub}] AS v FROM $src),
+         |  cent0$p$s AS MATERIALIZED (SELECT CAST(rn // 16 AS INT) AS cell,
+         |    v[${lo + 1}:${lo + dsub}] AS cv FROM $num WHERE rn % 16 = 1)""".stripMargin
+    val its = (1 to iters).map(n => pqLloydIterSql(p, s, n, dsub))
+    val dist = pqL2Sql(i => s"vs.v[$i]", i => s"c.cv[$i]", dsub)
+    val asg =
+      s"""  asg$p$s AS MATERIALIZED (SELECT id, cell FROM (
+         |    SELECT vs.id, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY vs.id
+         |        ORDER BY $dist ASC, c.cell) AS rk
+         |    FROM vs$p$s vs CROSS JOIN cent$iters$p$s c) WHERE rk = 1)""".stripMargin
+    (seeds +: its :+ asg).mkString(",\n")
+  }
+
+  private[graft] def pqNumSql(num: String, src: String, rows: Int): String =
+    s"""  $num AS MATERIALIZED (SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn
+       |    FROM (SELECT id, v FROM $src ORDER BY id LIMIT $rows))""".stripMargin
+
+  private[graft] val s07_sql = {
+    val dsub = 16
+    val perSub = (0 until PqM)
+      .map(s => pqSubChainSql("_", "v", "num", s, s * dsub, dsub, PqIters))
+      .mkString(",\n")
+    val codeJoin = (1 until PqM)
+      .map(s => s"JOIN asg_$s a$s ON a$s.id = a0.id").mkString(" ")
+    val codeCols = (0 until PqM).map(s => s"a$s.cell AS c$s").mkString(", ")
+    val csv = (0 until PqM).map(s => s"CAST(k.c$s AS VARCHAR)")
+      .mkString(" || ',' || ")
+    val adcJoin = (0 until PqM)
+      .map(s => s"JOIN cent${PqIters}_$s b$s ON b$s.cell = k.c$s").mkString(" ")
+    val adc = (0 until PqM).map { s =>
+      val lo = s * dsub
+      "(" + pqL2Sql(i => s"q.qv[${lo + i}]", i => s"b$s.cv[$i]", dsub) + ")"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |${pqNumSql("num", "v", PqKSub * 16)},
+       |$perSub,
+       |  k AS (SELECT a0.id, $codeCols FROM asg_0 a0 $codeJoin),
+       |  q AS (SELECT v AS qv FROM v WHERE id = 0)
+       |SELECT k.id AS vec_id, $csv AS codes_csv,
+       |  ROUND($adc, 6) AS adc
+       |FROM k CROSS JOIN q $adcJoin
+       |ORDER BY vec_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- s10
+  // Batched ADC k-NN join: top-5 PQ-approximate neighbors for three
+  // query vectors in ONE pass over the codes scan (broadcast distance
+  // tables + WindowGroupLimit). Ranked on the RAW ADC chain (bitwise
+  // cross-engine), rounded for output.
+  private[graft] val s10Qids = Seq(0L, 7L, 42L)
+  def s10_pq_knn(spark: SparkSession, dir: String): DataFrame =
+    operators.Pq.adcKnnJoin(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", s10Qids, k = 5, m = PqM, kSub = PqKSub,
+      iters = PqIters, books0 = Some(pqBooks(spark, dir)))
+      .select($"qid", $"rk", $"id".as("vec_id"),
+        round($"adc", 6).as("adc"))
+      .orderBy($"qid", $"rk")
+
+  private[graft] val s10_sql = {
+    val dsub = 16
+    val perSub = (0 until PqM)
+      .map(s => pqSubChainSql("_", "v", "num", s, s * dsub, dsub, PqIters))
+      .mkString(",\n")
+    val codeJoin = (1 until PqM)
+      .map(s => s"JOIN asg_$s a$s ON a$s.id = a0.id").mkString(" ")
+    val codeCols = (0 until PqM).map(s => s"a$s.cell AS c$s").mkString(", ")
+    val adcJoin = (0 until PqM)
+      .map(s => s"JOIN cent${PqIters}_$s b$s ON b$s.cell = k.c$s").mkString(" ")
+    val adc = (0 until PqM).map { s =>
+      val lo = s * dsub
+      "(" + pqL2Sql(i => s"q.qv[${lo + i}]", i => s"b$s.cv[$i]", dsub) + ")"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |${pqNumSql("num", "v", PqKSub * 16)},
+       |$perSub,
+       |  k AS (SELECT a0.id, $codeCols FROM asg_0 a0 $codeJoin),
+       |  q AS (SELECT id AS qid, v AS qv FROM v
+       |    WHERE id IN (${s10Qids.mkString(", ")})),
+       |  scored AS (SELECT q.qid, k.id, $adc AS adc
+       |    FROM k CROSS JOIN q $adcJoin
+       |    WHERE k.id <> q.qid),
+       |  ranked AS (SELECT qid, id, adc,
+       |      ROW_NUMBER() OVER (PARTITION BY qid
+       |        ORDER BY adc ASC, id ASC) AS rk
+       |    FROM scored)
+       |SELECT qid, rk, id AS vec_id, ROUND(adc, 6) AS adc
+       |FROM ranked WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- s08
+  // IVFADC (Jégou et al. 2011 §IV — the FAISS `IVF8,PQ4` layout): L2
+  // coarse cells, PQ codebooks on the CELL RESIDUALS, search = probe 2
+  // cells + ADC over their codes only. The oracle replays the full
+  // chain: coarse Lloyd (64-dim unrolled L2), residual construction,
+  // per-subspace residual Lloyd, code assignment, per-cell ADC tables.
+  private[graft] val ivfPqCache = new java.util.concurrent.ConcurrentHashMap[
+    String, operators.Pq.IvfPqModel]()
+  private[graft] def ivfPqModel(spark: SparkSession,
+                         dir: String): operators.Pq.IvfPqModel =
+    ivfPqCache.computeIfAbsent(s"$dir@${srcStamp(dir, "embeddings.parquet")}",
+      _ => operators.Pq.fitIvfPq(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", nCells = 8, m = PqM, kSub = PqKSub,
+        coarseIters = PqIters, pqIters = PqIters))
+
+  def s08_ivfpq(spark: SparkSession, dir: String): DataFrame =
+    operators.Pq.ivfPqTopK(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryId = 0L, k = 10, nProbe = 2,
+      ivfPqModel(spark, dir))
+      .select($"id".as("vec_id"), $"adc")
+
+  private[graft] val s08_sql = {
+    val dsub = 16
+    val coarse = pqSubChainSql("c", "v", "num", 0, 0, 64, PqIters)
+    val resid =
+      s"""  resv AS MATERIALIZED (SELECT a.id, a.cell AS ccell,
+         |    list_transform(generate_series(1, 64), i -> vv.v[i] - cc.cv[i]) AS v
+         |    FROM asgc0 a JOIN vsc0 vv ON vv.id = a.id
+         |    JOIN cent${PqIters}c0 cc ON cc.cell = a.cell)""".stripMargin
+    val perSub = (0 until PqM)
+      .map(s => pqSubChainSql("r", "resv", "numr", s, s * dsub, dsub, PqIters))
+      .mkString(",\n")
+    val codeJoin = (1 until PqM)
+      .map(s => s"JOIN asgr$s a$s ON a$s.id = a0.id").mkString(" ")
+    val codeCols = (0 until PqM).map(s => s"a$s.cell AS c$s").mkString(", ")
+    val probeDist = pqL2Sql(i => s"q.qv[$i]", i => s"c.cv[$i]", 64)
+    val adcJoin = (0 until PqM)
+      .map(s => s"JOIN cent${PqIters}r$s b$s ON b$s.cell = sel.c$s").mkString(" ")
+    val adc = (0 until PqM).map { s =>
+      val lo = s * dsub
+      "(" + pqL2Sql(i => s"(q.qv[${lo + i}]-cc.cv[${lo + i}])",
+        i => s"b$s.cv[$i]", dsub) + ")"
+    }.mkString(" + ")
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |${pqNumSql("num", "v", PqKSub * 16)},
+       |$coarse,
+       |$resid,
+       |${pqNumSql("numr", "resv", PqKSub * 16)},
+       |$perSub,
+       |  k AS (SELECT a0.id, $codeCols FROM asgr0 a0 $codeJoin),
+       |  q AS (SELECT v AS qv FROM v WHERE id = 0),
+       |  probe AS (SELECT c.cell FROM cent${PqIters}c0 c CROSS JOIN q
+       |    ORDER BY $probeDist ASC, c.cell LIMIT 2),
+       |  sel AS (SELECT k.id, k.c0, k.c1, k.c2, k.c3, a.cell AS ccell
+       |    FROM k JOIN asgc0 a ON a.id = k.id
+       |    WHERE a.cell IN (SELECT cell FROM probe) AND k.id <> 0)
+       |SELECT sel.id AS vec_id, ROUND($adc, 6) AS adc
+       |FROM sel CROSS JOIN q
+       |JOIN cent${PqIters}c0 cc ON cc.cell = sel.ccell
+       |$adcJoin
+       |ORDER BY adc, vec_id LIMIT 10""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- s06
+  // k-NN join: exact top-3 cosine neighbors for a 10-vector query set in
+  // one pass (batch retrieval / hard-negative mining). Query side
+  // broadcasts; WindowGroupLimit caps the qid shuffle at tasks×Q×k rows.
+  def s06_knn_join(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnJoin(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryIds = 0L until 10L, k = 3)
+      .select($"qid", $"rk", $"id".as("vec_id"), $"score")
+      .orderBy($"qid", $"rk")
+
+  private[graft] val s06_sql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |    FROM embeddings),
+      |q AS (SELECT vec_id AS qid, emb AS qv FROM v WHERE vec_id < 10),
+      |s AS (
+      |  SELECT q.qid, v.vec_id,
+      |    ROUND(list_cosine_similarity(v.emb, q.qv), 6) AS score
+      |  FROM v, q WHERE v.vec_id <> q.qid),
+      |r AS (
+      |  SELECT qid, vec_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY score DESC, vec_id) AS rk
+      |  FROM s)
+      |SELECT qid, rk, vec_id, score FROM r
+      |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
+  // ---------------------------------------------------------------- r04
+  // Rayfall as-of join: the reference's (asof-join [keys t] l r) form.
+  def r04_rayfall_asof(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val clicks = e.filter($"event_type" === "click")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value".as("purchase_value"))
+    rayfall.Rayfall.query("(asof-join [user_id ts] clicks purchases)",
+      Map("clicks" -> clicks, "purchases" -> purchases))
+      .select($"event_id", $"user_id", $"purchase_value")
+      .orderBy($"event_id")
+  }
+
+  private[graft] val r04_sql =
+    """SELECT l.event_id, l.user_id, r.value AS purchase_value
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.ts >= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- r05
+  // Rayfall update: where-gated column rewrite through the parser
+  // (reference ray_update, /root/reference/core/update.c). *2 is exact in
+  // IEEE double, so both engines hold bit-identical doubles — emit DOUBLE
+  // on both sides; a double→DECIMAL cast would reintroduce per-engine
+  // rounding at .xx5 binary boundaries (the r2 HASHFAIL).
+  def r05_rayfall_update(spark: SparkSession, dir: String): DataFrame =
+    rayfall.Rayfall.query(
+      """(update {o_totalprice: (* o_totalprice 2)
+        |         from: orders
+        |         where: (== o_orderpriority "1-URGENT")})""".stripMargin,
+      Map("orders" -> t(spark, dir, "orders")))
+      .select($"o_orderkey", $"o_totalprice".as("price"))
+      .orderBy($"o_orderkey")
+
+  private[graft] val r05_sql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_orderpriority = '1-URGENT'
+      |    THEN o_totalprice * 2 ELSE o_totalprice END AS price
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- r06
+  // Rayfall grouped update: the aggregate evaluates per group over the
+  // where-filtered rows and broadcasts back to the matching rows only
+  // (reference update with by:, docs/.../queries/update.md).
+  def r06_rayfall_group_update(spark: SparkSession, dir: String): DataFrame =
+    rayfall.Rayfall.query(
+      """(update {o_totalprice: (max o_totalprice)
+        |         from: orders
+        |         by: o_orderpriority
+        |         where: (> o_totalprice 100000.0)})""".stripMargin,
+      Map("orders" -> t(spark, dir, "orders")))
+      .select($"o_orderkey", $"o_totalprice".as("price"))
+      .orderBy($"o_orderkey")
+
+  private[graft] val r06_sql =
+    """SELECT o_orderkey,
+      |  CASE WHEN o_totalprice > 100000.0
+      |    THEN MAX(CASE WHEN o_totalprice > 100000.0 THEN o_totalprice END)
+      |      OVER (PARTITION BY o_orderpriority)
+      |    ELSE o_totalprice END AS price
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- r08
+  // Script-surface scan: the Rayfall `(scan + seed v)` cumulative form
+  // (reference ray_scan, /root/reference/core/iter.c:1212) over a
+  // DETERMINISTICALLY ordered, bounded slice — scan is a driver-value
+  // operation (the reference's vectors are in-process), so the input is
+  // capped; the distributed cumulative twin is q10.
+  def r08_rayfall_scan(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").orderBy($"o_orderkey").limit(20000)
+      .select($"o_orderkey", $"o_custkey")
+    rayfall.Rayfall.script(spark,
+      "(set k (at o 'o_orderkey))" +
+        "(set c (scan + 0 (at o 'o_custkey)))" +
+        "(table [o_orderkey cum] (list k c))",
+      Map("o" -> o))
+      .orderBy($"o_orderkey")
+  }
+
+  private[graft] val r08_sql =
+    """WITH s AS (SELECT o_orderkey, o_custkey FROM orders
+      |           ORDER BY o_orderkey LIMIT 20000)
+      |SELECT o_orderkey,
+      |  CAST(SUM(o_custkey) OVER (ORDER BY o_orderkey
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |FROM s ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- r09
+  // Script-surface vector ranking: `(rank v)` (stable ascending
+  // position, core/order.c:519) and `(xrank v n)` n-tiles
+  // (core/order.c:598, bucket = rank*n div len) over part prices; the
+  // stable tie rule maps to ROW_NUMBER ordered by (value, position).
+  def r09_rayfall_rank(spark: SparkSession, dir: String): DataFrame = {
+    val p = t(spark, dir, "part").orderBy($"p_partkey")
+      .select($"p_partkey", $"p_retailprice")
+    rayfall.Rayfall.script(spark,
+      "(set k (at p 'p_partkey))" +
+        "(set rnk (rank (at p 'p_retailprice)))" +
+        "(set tile (xrank (at p 'p_retailprice) 4))" +
+        "(table [p_partkey rnk tile] (list k rnk tile))",
+      Map("p" -> p))
+      .orderBy($"p_partkey")
+  }
+
+  private[graft] val r09_sql =
+    """WITH s AS (SELECT p_partkey, p_retailprice,
+      |    ROW_NUMBER() OVER (ORDER BY p_partkey) - 1 AS pos FROM part),
+      |  r AS (SELECT p_partkey,
+      |    ROW_NUMBER() OVER (ORDER BY p_retailprice, pos) - 1 AS rnk,
+      |    COUNT(*) OVER () AS n FROM s)
+      |SELECT p_partkey, rnk, (rnk * 4) // n AS tile
+      |FROM r ORDER BY p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- r10
+  // Script storage closure, oracled end to end: set-parted writes the
+  // bare-date parted layout (ONE partitionBy job + renames), get-parted
+  // reads it back with the virtual date column, and the aggregate must
+  // match DuckDB reading the ORIGINAL parquet. One month keeps the
+  // partition count (and the driver-side renames) bounded.
+  def r10_rayfall_parted(spark: SparkSession, dir: String): DataFrame = {
+    // o_orderdate is TIMESTAMP in this testdata — partition on its DATE
+    val slice = t(spark, dir, "orders")
+      .filter($"o_orderdate" >= "1995-03-01" && $"o_orderdate" < "1995-04-01")
+      .select($"o_orderdate".cast("date").as("date"),
+        $"o_orderkey", $"o_totalprice")
+    val root = s"/tmp/graft_rfl_parted/${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+    // stage once per immutable input dir (the q19-q21/s04 rule): the
+    // write path is exercised on the first run and spec-pinned in
+    // ValueStoreSpec; the oracle gates the read-back every run
+    val marker = new java.io.File(s"$root/.staged")
+    val write =
+      if (marker.exists) ""
+      else s"""(set-parted "$root" 'orders t) """
+    val df = rayfall.Rayfall.script(spark,
+      write +
+        s"""(set p (get-parted "$root" 'orders))
+           |(select {n: (count o_orderkey) total: (sum o_totalprice)
+           |         from: p by: date})""".stripMargin.replace("\n", " "),
+      Map("t" -> slice))
+    marker.createNewFile()
+    df
+      .select($"date", $"n",
+        round($"total", 4).as("total"))
+      .orderBy($"date")
+  }
+
+  private[graft] val r10_sql =
+    """SELECT CAST(o_orderdate AS DATE) AS date, COUNT(o_orderkey) AS n,
+      |  ROUND(SUM(o_totalprice), 4) AS total
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1995-03-01'
+      |  AND o_orderdate < DATE '1995-04-01'
+      |GROUP BY 1 ORDER BY date""".stripMargin
+
+  // ---------------------------------------------------------------- r07
+  // Rayfall window-join: the reference's 6-ary form with interval
+  // offsets and an aggregation dict (examples/wj.rfl) — purchases
+  // aggregate clicks within ±1h; exact-i64 ns offsets exercise the
+  // parser's long-literal path.
+  def r07_rayfall_window_join(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"value")
+    rayfall.Rayfall.query(
+      "(window-join1 [user_id ts] [-3600000000000 3600000000000] " +
+        "purchases clicks {n_clicks: (count value) max_click: (max value)})",
+      Map("purchases" -> purchases, "clicks" -> clicks))
+      .select($"event_id", $"user_id",
+        coalesce($"n_clicks", lit(0L)).as("n_clicks"), $"max_click")
+      .orderBy($"event_id")
+  }
+
+  private[graft] val r07_sql =
+    """SELECT l.event_id, l.user_id, COUNT(r.value) AS n_clicks,
+      |  MAX(r.value) AS max_click
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+      |  ON l.user_id = r.user_id
+      |  AND epoch_ns(r.ts) BETWEEN epoch_ns(l.ts) - 3600000000000
+      |                         AND epoch_ns(l.ts) + 3600000000000
+      |GROUP BY l.event_id, l.user_id
+      |ORDER BY l.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q45
+  // scan-right (reference /root/reference/core/iter.c:1212 scan family):
+  // running reduce from the END — suffix sums via a current-row-to-
+  // unbounded-following frame (mirror of q10's scan-left).
+  def q45_scan_right(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    t(spark, dir, "events")
+      .select($"event_id", $"user_id",
+        round(sum($"value").over(w), 4).as("suffix_value"))
+      .orderBy($"event_id")
+  }
+
+  private[graft] val q45_sql =
+    """SELECT event_id, user_id,
+      |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING), 4) AS suffix_value
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q46
+  // alter/modify at index positions (reference alter,
+  // /root/reference/core/update.c:268: apply set/+ at vector indices) —
+  // per-order positions via row_number on a totalized order (the
+  // (l_orderkey, l_linenumber) pair is NOT unique; fold in quantity and
+  // price to make the position deterministic).
+  def q46_alter(spark: SparkSession, dir: String): DataFrame = {
+    val pos = row_number().over(Window.partitionBy($"l_orderkey")
+      .orderBy($"l_linenumber", $"l_quantity", $"l_extendedprice"))
+    t(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber",
+        $"l_quantity".cast("long").as("qty"), $"l_extendedprice", pos.as("pos"))
+      .select($"l_orderkey", $"l_linenumber",
+        // alter set at [0]: overwrite; alter + at [1]: modify in place
+        when($"pos" === 1, 0L)
+          .when($"pos" === 2, $"qty" + 100L)
+          .otherwise($"qty").as("qty"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"qty")
+  }
+
+  private[graft] val q46_sql =
+    """WITH p AS (
+      |  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS BIGINT) AS qty,
+      |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |      ORDER BY l_linenumber, l_quantity, l_extendedprice) AS pos
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN pos = 1 THEN 0
+      |       WHEN pos = 2 THEN qty + 100
+      |       ELSE qty END AS qty
+      |FROM p ORDER BY l_orderkey, l_linenumber, qty""".stripMargin
+
+  // ---------------------------------------------------------------- q47
+  // map-left (reference /root/reference/core/iter.c:665: fn of each left
+  // element vs the whole right argument): per row, map a fixed vector of
+  // multipliers over the row's key — an array-valued column, exact i64.
+  // Emitted as a joined string, not an array column: the driver's checker
+  // sorts rows by every column before hashing and cannot sort ndarrays.
+  def q47_map_left(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .select($"o_orderkey",
+        array_join(transform(array(lit(1L), lit(2L), lit(3L)),
+          e => e * $"o_orderkey"), ",").as("multiples"))
+      .orderBy($"o_orderkey")
+
+  private[graft] val q47_sql =
+    """SELECT o_orderkey,
+      |  array_to_string(list_transform([1, 2, 3], e -> e * o_orderkey), ',')
+      |    AS multiples
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q48
+  // meta (reference table-schema introspection,
+  // /root/reference/core/misc.c:245): schema as rows. The oracle pins the
+  // exact (position, name, type) triples.
+  def q48_meta(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tbl(t(spark, dir, "lineitem")).meta.zipWithIndex
+      .map { case ((n, ty), i) => (i.toLong, n, ty) }
+      .toDF("idx", "col_name", "col_type")
+      .orderBy($"idx")
+  }
+
+  private[graft] val q48_sql =
+    """SELECT * FROM (VALUES
+      |  (CAST(0 AS BIGINT), 'l_orderkey', 'bigint'),
+      |  (1, 'l_partkey', 'bigint'),
+      |  (2, 'l_suppkey', 'bigint'),
+      |  (3, 'l_linenumber', 'int'),
+      |  (4, 'l_quantity', 'double'),
+      |  (5, 'l_extendedprice', 'double'),
+      |  (6, 'l_discount', 'double'),
+      |  (7, 'l_tax', 'double'),
+      |  (8, 'l_returnflag', 'string'),
+      |  (9, 'l_linestatus', 'string'),
+      |  (10, 'l_shipdate', 'timestamp_ntz')) AS m(idx, col_name, col_type)
+      |ORDER BY idx""".stripMargin
+
+  // ---------------------------------------------------------------- q49
+  // binr (reference /root/reference/core/items.c:1552: FIRST index ≥ x in
+  // a sorted vector — bin's mirror). Composed from the as-of join by
+  // negating the probe axis: least thr ≥ price ⇔ greatest −thr ≤ −price.
+  def q49_binr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val breaks = (0L to 500000L by 25000L).toDF("thr")
+      .withColumn("bin_idx", ($"thr" / 25000).cast("long"))
+      .withColumn("k", lit(1))
+      .withColumn("negp", -$"thr".cast("double"))
+    val orders = t(spark, dir, "orders")
+      .select($"o_orderkey", lit(1).as("k"),
+        (-$"o_totalprice").as("negp"))
+    operators.AsofJoin.asofJoin(orders, breaks, keys = Seq("k"), ts = "negp")
+      .select($"o_orderkey", $"bin_idx", $"thr")
+      .orderBy($"o_orderkey")
+  }
+
+  private[graft] val q49_sql =
+    """SELECT o.o_orderkey, b.bin_idx, b.thr
+      |FROM orders o
+      |ASOF LEFT JOIN (
+      |  SELECT thr, thr // 25000 AS bin_idx, CAST(thr AS DOUBLE) AS price
+      |  FROM (SELECT unnest(range(0, 500001, 25000)) AS thr)) b
+      |  ON o.o_totalprice <= b.price
+      |ORDER BY o.o_orderkey""".stripMargin
+
+  // ---------------------------------------------------------------- q50
+  // TIME convention (reference TIME = i32 milliseconds since midnight,
+  // /root/reference/core/rayforce.h:58): extract time-of-day millis from
+  // the ns event timestamps and xbar-bucket to 15-minute bins.
+  def q50_time_millis(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "events")
+      // `div` = integer division (Column./ would be double division,
+      // whose truncation can disagree with the oracle's `//` at the edges)
+      .select($"event_id",
+        expr("(ts % 86400000000000L) div 1000000L").as("tod_ms"))
+      .withColumn("bin15m", RF.xbar(lit(900000L), $"tod_ms"))
+      .orderBy($"event_id")
+
+  private[graft] val q50_sql =
+    """SELECT event_id,
+      |  epoch_ns(ts) % 86400000000000 // 1000000 AS tod_ms,
+      |  tod_ms - tod_ms % 900000 AS bin15m
+      |FROM events ORDER BY event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q51
+  // Generation: rand / guid (reference /root/reference/core/compose.c:343,
+  // :439) — engine-specific randomness, so rows-only: n draws below the
+  // bound and n distinct uuids.
+  def q51_rand_guid(spark: SparkSession, dir: String): DataFrame =
+    spark.range(0, 1000).toDF("i")
+      .select($"i", (rand(seed = 42) * 100).cast("long").as("draw"),
+        expr("uuid()").as("guid"))
+      .filter($"draw" >= 0 && $"draw" < 100)
+
+  // ---------------------------------------------------------------- q52
+  // The dense dictionary-encoded group-by kernel (operators.GroupKernel —
+  // the H2O sub-second engine) under the DuckDB oracle: lineitem grouped
+  // by (returnflag, linestatus) through the Rayfall select path, which
+  // routes to the kernel because the table is encoded and the key
+  // product is dense. Integer sums/min/max/count only — exact on both
+  // engines. Encoded once per (session, dir); reps reuse the blocks.
+  private[graft] val kernelTables =
+    scala.collection.mutable.Map[(SparkSession, String), DataFrame]()
+
+  def q52_kernel_groupby(spark: SparkSession, dir: String): DataFrame = {
+    val li = kernelTables.synchronized {
+      kernelTables.getOrElseUpdate((spark, dir), {
+        val df = t(spark, dir, "lineitem")
+          .select($"l_returnflag", $"l_linestatus", $"l_orderkey",
+            $"l_linenumber")
+        operators.GroupKernel.encode(df,
+          Seq("l_returnflag", "l_linestatus"))
+        df
+      })
+    }
+    rayfall.Rayfall.query(
+      "(select {s: (sum l_linenumber) lo: (min l_orderkey) " +
+        "hi: (max l_orderkey) n: (map count l_orderkey) " +
+        "from: t by: {l_returnflag: l_returnflag l_linestatus: l_linestatus}})",
+      Map("t" -> li))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  private[graft] val q52_sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(l_linenumber) AS BIGINT) AS s,
+      |  MIN(l_orderkey) AS lo, MAX(l_orderkey) AS hi,
+      |  COUNT(*) AS n
+      |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q53
+  // Kernel under where: — the reference's canonical select ALWAYS runs
+  // its filter fused with the group (core/query.c:311-404); round 8
+  // compiles simple predicates to a mask over the encoded blocks so the
+  // same query text keeps the dense fast path. Numeric >, string !=,
+  // and a string in-list, all fused, under the DuckDB oracle.
+  def q53_kernel_where(spark: SparkSession, dir: String): DataFrame = {
+    val li = kernelTables.synchronized {
+      kernelTables.getOrElseUpdate((spark, dir), {
+        val df = t(spark, dir, "lineitem")
+          .select($"l_returnflag", $"l_linestatus", $"l_orderkey",
+            $"l_linenumber")
+        operators.GroupKernel.encode(df,
+          Seq("l_returnflag", "l_linestatus"))
+        df
+      })
+    }
+    rayfall.Rayfall.query(
+      "(select {s: (sum l_linenumber) n: (map count l_orderkey) " +
+        "lo: (min l_orderkey) " +
+        "from: t where: (and (> l_linenumber 2) (!= l_returnflag \"N\") " +
+        "(in l_linestatus [\"F\"])) " +
+        "by: {l_returnflag: l_returnflag l_linestatus: l_linestatus}})",
+      Map("t" -> li))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  private[graft] val q53_sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(l_linenumber) AS BIGINT) AS s,
+      |  COUNT(*) AS n, MIN(l_orderkey) AS lo
+      |FROM lineitem
+      |WHERE l_linenumber > 2 AND l_returnflag <> 'N'
+      |  AND l_linestatus IN ('F')
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ---------------------------------------------------------------- q54
+  // Streaming exact-dedup of the ingest path: dropDuplicates over the
+  // event feed (state-store backed — the streaming twin of Dedup.exact
+  // on a journal/live table), then a distinct-key census. The batch
+  // oracle is COUNT(DISTINCT): the streamed answer must equal it.
+  def q54_stream_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val batch = t(spark, dir, "events")
+    val stage = s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events"
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      Store.setSplayed(batch, stage)
+    Streams.dedupCounts(spark, stage, batch,
+      keyCols = Seq("user_id", "event_type"), outKey = "event_type",
+      queryName = "graft_sdedup_" + math.abs(dir.hashCode))
+      .orderBy($"event_type")
+  }
+
+  private[graft] val q54_sql =
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q55
+  // Stream-static enrichment: the event feed joined per-micro-batch to a
+  // broadcast customer→nation dimension, aggregated per nation. The
+  // oracle is the equivalent batch star join — the streamed answer must
+  // equal it exactly.
+  def q55_stream_enrich(spark: SparkSession, dir: String): DataFrame = {
+    val batch = t(spark, dir, "events")
+    val stage = s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events"
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      Store.setSplayed(batch, stage)
+    Streams.enrichedCounts(spark, stage, batch,
+      dimOf = ss => Tables.load(ss, dir, "customer")
+        .join(Tables.load(ss, dir, "nation"),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name")),
+      streamKey = "user_id", dimKey = "c_custkey", outKey = "n_name",
+      valueCol = "value",
+      queryName = "graft_senrich_" + math.abs(dir.hashCode))
+      .select($"n_name", $"n", round($"sum_value", 4).as("sum_value"))
+      .orderBy($"n_name")
+  }
+
+  private[graft] val q55_sql =
+    """SELECT n_name, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+      |FROM events e
+      |  JOIN customer c ON e.user_id = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+}
