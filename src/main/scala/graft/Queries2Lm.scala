@@ -176,29 +176,74 @@ private[graft] trait Queries2Lm extends Queries1Rel {
         bpeMergeCount))
       .orderBy($"rank")
 
-  private[graft] lazy val t65_sql = {
-    // the regex is injected OUTSIDE the stripMargin templates (it
-    // contains '|' alternations — the t56 re-strip lesson)
-    val head =
-      """WITH RECURSIVE words_0 AS MATERIALIZED (
-        |  SELECT word, freq,
-        |         list_append(regexp_extract_all(hex(encode(word)), '..'), '</w>') AS syms,
-        |         ROW_NUMBER() OVER (ORDER BY freq DESC, word) <= 1048576 AS iv
-        |  FROM (
-        |    SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
-        |    FROM (SELECT unnest(regexp_extract_all(text, """.stripMargin +
+  // the byte-seed training replay head (shared by t65 and t70); the
+  // regex is injected OUTSIDE the stripMargin templates (it contains
+  // '|' alternations — the t56 re-strip lesson)
+  private[graft] lazy val bpeBytesHeadSql: String =
+    """WITH RECURSIVE words_0 AS MATERIALIZED (
+      |  SELECT word, freq,
+      |         list_append(regexp_extract_all(hex(encode(word)), '..'), '</w>') AS syms,
+      |         ROW_NUMBER() OVER (ORDER BY freq DESC, word) <= 1048576 AS iv
+      |  FROM (
+      |    SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      |    FROM (SELECT unnest(regexp_extract_all(text, """.stripMargin +
       s"'${operators.Bpe.preTokRe}'" +
       """)) AS tok FROM documents)
         |    WHERE tok <> '' GROUP BY tok)),
         |""".stripMargin +
       (1 to bpeMergeCount).map(bpeStageSql).mkString(",\n")
-    head + s"""
+
+  private[graft] lazy val t65_sql =
+    bpeBytesHeadSql + s"""
       |SELECT k AS rank, s1 AS lhs, s2 AS rhs FROM (
       |${(1 to bpeMergeCount)
          .map(k => s"SELECT $k AS k, s1, s2 FROM best_$k")
          .mkString(" UNION ALL ")}
       |) ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------- t70
+  // Byte-level tokenizer FERTILITY card per language — the t43 card on
+  // the t65 byte tokenizer: subword tokens per PRE-TOKEN (CJK one per
+  // code point, so zh/ja fertility is per character, never per line —
+  // the round-14 verdict's top gap closed end-to-end). Corpus-side
+  // counting is a hash probe against the distinct-pre-token count
+  // table; the oracle reads token counts straight off the byte replay's
+  // stage-40 word states (greedy encode ≡ rank-order application).
+  def t70_bpe_bytes_fertility(spark: SparkSession,
+                              dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val wf = operators.Bpe.byteWordFreq(docs, "text")
+    val merges = operators.Bpe.trainMergesBytesFromFreq(wf, bpeMergeCount)
+    val wt = operators.Bpe.byteWordTokenCounts(wf, merges)
+    docs.select($"lang",
+        explode(regexp_extract_all($"text",
+          lit(operators.Bpe.preTokRe), lit(0))).as("word"))
+      .filter($"word" =!= "")
+      .join(broadcast(wt), Seq("word"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_pretok"),
+        sum($"ntok").as("n_tok"))
+      .select($"lang", $"n_pretok", $"n_tok",
+        RF.roundBin($"n_tok".cast("double") /
+          $"n_pretok".cast("double"), 4).as("fertility"))
+      .orderBy($"lang")
   }
+
+  private[graft] lazy val t70_sql =
+    bpeBytesHeadSql + s""",
+      |wt AS MATERIALIZED (
+      |  SELECT word, CAST(len(syms) AS BIGINT) AS ntok
+      |  FROM words_$bpeMergeCount),
+      |pl AS (
+      |  SELECT lang, unnest(regexp_extract_all(text, """.stripMargin +
+      s"'${operators.Bpe.preTokRe}'" +
+      """)) AS word FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_pretok,
+        |  CAST(SUM(ntok) AS BIGINT) AS n_tok,
+        |  floor(CAST(SUM(ntok) AS DOUBLE) / COUNT(*) * 10000 + 0.5)
+        |    / 10000 AS fertility
+        |FROM pl JOIN wt USING (word)
+        |WHERE word <> '' GROUP BY lang ORDER BY lang""".stripMargin
 
   // ---------------------------------------------------------------- t68
   // URL canonicalization + host-level dedup/caps — the crawl stage

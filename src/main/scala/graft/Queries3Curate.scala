@@ -1325,4 +1325,90 @@ private[graft] trait Queries3Curate extends Queries2Lm {
   // Storage, streaming, temporal, casts, generation (SURVEY §2.1/§2.8/
   // §2.10).
   // ================================================================
+
+  // ---------------------------------------------------------------- t69
+  // LINE-level boilerplate dedup (the RefinedWeb / CCNet line-dedup
+  // stage, CorpusStats.lineDedup): pages are CONSTRUCTED per doc (the
+  // t56/t68 precedent) with a corpus-wide cookie banner, a per-source
+  // nav line, a per-lang tag line, the body, and a per-source footer —
+  // at maxDf = 10 every constructed boilerplate line's document
+  // frequency exceeds the cap while body lines (exact-dup groups are
+  // small) survive. Output fingerprints the cleaned text.
+  private def pagedDocs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("page", concat(
+        lit("Cookie notice: accept all cookies"), lit("\n"),
+        lit("Home / About / "), $"source", lit("\n"),
+        lit("Language: "), $"lang", lit("\n"),
+        $"text", lit("\n"),
+        lit("Copyright 2026 "), $"source"))
+
+  def t69_line_dedup(spark: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.lineDedup(pagedDocs(spark, dir), "doc_id",
+        "page", maxDf = 10)
+      .select($"doc_id", $"n_lines", $"n_kept", md5($"clean").as("clean_fp"))
+      .orderBy($"doc_id")
+
+  // ---------------------------------------------------------------- t71
+  // STREAMING line cleaning — t69 on a live feed: the frequent-line
+  // set is fit ONCE on the accumulated corpus (bounded driver pull),
+  // then each staged micro-batch cleans against it statelessly, so
+  // the accumulated output equals the batch run row-for-row and the
+  // oracle IS t69's SQL. Readers dedupe on doc_id (at-least-once
+  // append, the t27 convention).
+  def t71_stream_line_clean(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft_stream/$key/linededup_v1" +
+      s"_s${srcStamp(dir, "documents.parquet")}"
+    val paged = pagedDocs(spark, dir).select($"doc_id", $"page")
+    if (!new java.io.File(s"$base/feed/_SUCCESS").exists())
+      paged.write.mode("overwrite").parquet(s"$base/feed")
+    if (!new java.io.File(s"$base/done").exists()) {
+      val freq = operators.CorpusStats.collectFrequentLines(paged,
+        "doc_id", "page", maxDf = 10)
+      streaming.Streams.lineCleanStream(spark, s"$base/feed", paged,
+        "doc_id", "page", freq, outDir = s"$base/out",
+        checkpoint = s"$base/ckpt")
+      new java.io.File(s"$base/done").createNewFile()
+    }
+    spark.read.parquet(s"$base/out")
+      .dropDuplicates("doc_id")
+      .select($"doc_id", $"n_lines", $"n_kept", md5($"clean").as("clean_fp"))
+      .orderBy($"doc_id")
+  }
+
+  // t71's oracle IS t69's SQL (stream == batch)
+  private[graft] lazy val t71_sql = t69_sql
+
+  private[graft] lazy val t69_sql =
+    """WITH pages AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    'Cookie notice: accept all cookies' || chr(10) ||
+      |    'Home / About / ' || source || chr(10) ||
+      |    'Language: ' || lang || chr(10) ||
+      |    text || chr(10) ||
+      |    'Copyright 2026 ' || source AS page
+      |  FROM documents),
+      |ls AS MATERIALIZED (
+      |  SELECT doc_id, i AS pos, lns[i] AS line FROM (
+      |    SELECT doc_id, string_split(page, chr(10)) AS lns FROM pages),
+      |    UNNEST(range(1, len(lns) + 1)) AS t(i)),
+      |freq AS MATERIALIZED (
+      |  SELECT line FROM (
+      |    SELECT line, COUNT(*) AS df FROM (
+      |      SELECT DISTINCT doc_id, line FROM ls) GROUP BY 1)
+      |  WHERE df > 10),
+      |kept AS (
+      |  SELECT ls.* FROM ls ANTI JOIN freq USING (line)),
+      |re AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |         md5(string_agg(line, chr(10) ORDER BY pos)) AS fp
+      |  FROM kept GROUP BY doc_id)
+      |SELECT p.doc_id,
+      |  CAST(len(string_split(p.page, chr(10))) AS BIGINT) AS n_lines,
+      |  COALESCE(r.n_kept, 0) AS n_kept,
+      |  COALESCE(r.fp, md5('')) AS clean_fp
+      |FROM pages p LEFT JOIN re r USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
+
 }

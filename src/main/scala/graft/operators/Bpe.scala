@@ -541,6 +541,20 @@ object Bpe {
   def encodeWordBytes(word: String, rankOf: Map[(String, String), Int])
       : Array[String] = encodeSyms(toSymsBytes(word), rankOf)
 
+  /** (word, ntok) — each distinct byte-pre-token's subword count under
+    * the byte merges: [[wordTokenCounts]] for the byte form (same
+    * broadcast-gate rationale — corpus-side token counting is a hash
+    * probe, never a per-row merge loop). */
+  def byteWordTokenCounts(freqDf: DataFrame,
+                          merges: Seq[Merge]): DataFrame = {
+    val spark = freqDf.sparkSession
+    import spark.implicits._
+    val rk = merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap
+    freqDf.select(col("word")).as[String]
+      .map(w => (w, encodeWordBytes(w, rk).length.toLong))
+      .toDF("word", "ntok")
+  }
+
   /** Pre-tokenize + byte-encode a whole text into the flat token
     * stream (driver/spec form; the distributed path goes through
     * [[byteWordFreq]] + a per-DISTINCT-word probe like

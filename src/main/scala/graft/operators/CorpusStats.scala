@@ -204,4 +204,82 @@ object CorpusStats {
         (length($"text") - length($"x".getField("clean")))
           .cast("long").as("chars_removed"))
   }
+
+  /** LINE-level boilerplate removal (the RefinedWeb / CCNet line-dedup
+    * stage): a line whose corpus DOCUMENT frequency exceeds `maxDf` is
+    * boilerplate (cookie banners, nav bars, footers) and is dropped
+    * from every document; surviving lines reassemble in original
+    * order. Distinct-per-doc first, so a line repeated inside ONE
+    * document counts once toward df.
+    *
+    * 100 TB shape: one line explode + ONE line census shuffle
+    * (map-side combined); the frequent-line set is BOUNDED by
+    * counting (≤ total_lines / maxDf rows can exceed df > maxDf), so
+    * it broadcasts back as a left-anti drop filter — the t24
+    * frequent-gram probe pattern, never a corpus-vs-corpus join.
+    * Reassembly is a row-local array sort.
+    *
+    * Line splitting uses split(_, "\n", -1): Spark's default split
+    * DROPS trailing empty strings while DuckDB keeps them — the -1
+    * limit keeps the two engines identical on texts ending in
+    * newlines.
+    *
+    * Returns (idCol, n_lines, n_kept, clean) — `clean` is the
+    * reassembled text ('' when every line was boilerplate). */
+  def lineDedup(corpus: DataFrame, idCol: String, textCol: String,
+                maxDf: Int): DataFrame =
+    lineDedupWithFreq(corpus, idCol, textCol,
+      frequentLines(corpus, idCol, textCol, maxDf))
+
+  /** The corpus-frequent (boilerplate) line set: df > maxDf — bounded
+    * by counting (≤ total_lines / maxDf rows). */
+  def frequentLines(corpus: DataFrame, idCol: String, textCol: String,
+                    maxDf: Int): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    corpus.select(col(idCol),
+        explode(split(col(textCol), "\n", -1)).as("line"))
+      .distinct()
+      .groupBy(col("line")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+      .select(col("line"))
+  }
+
+  /** Driver-side frequent-line set for the STREAMING scoring form
+    * (t71): bounded pull under an explicit gate (the maxAppendBatch
+    * rule — the set is counting-bounded but a tiny maxDf over a huge
+    * corpus could still blow the driver). */
+  def collectFrequentLines(corpus: DataFrame, idCol: String,
+                           textCol: String, maxDf: Int,
+                           maxCollect: Int = 1 << 20): Seq[String] = {
+    val pulled = frequentLines(corpus, idCol, textCol, maxDf)
+      .limit(maxCollect + 1).collect().map(_.getString(0)).toSeq
+    require(pulled.length <= maxCollect,
+      s"frequent-line set exceeds maxCollect=$maxCollect — raise maxDf " +
+        s"or keep the set distributed (bounded driver-pull gate)")
+    pulled
+  }
+
+  /** [[lineDedup]] against a PRE-COMPUTED frequent-line set — the
+    * streaming scoring form: new batches clean against the persisted
+    * boilerplate set without re-running the census (the
+    * dupSpanRemoveWithFreq split). */
+  def lineDedupWithFreq(corpus: DataFrame, idCol: String, textCol: String,
+                        frequent: DataFrame): DataFrame = {
+    val lines = corpus.select(col(idCol),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val kept = lines.join(broadcast(frequent), Seq("line"), "left_anti")
+    val re = kept.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(struct(col("pos"), col("line")))),
+            x => x.getField("line"))).as("clean"))
+    corpus.select(col(idCol),
+        size(split(col(textCol), "\n", -1)).cast("long").as("n_lines"))
+      .join(re, Seq(idCol), "left")
+      .select(col(idCol), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean"), lit("")).as("clean"))
+  }
+
 }

@@ -31,24 +31,39 @@ import graft.StringToColumn
   * explode + broadcast-hash probes + one (doc, lang) partial
   * aggregation — no corpus-sized join sides anywhere. The gram arrays
   * are built BELOW the explode (the t33 Generate-projection lesson:
-  * substr above the explode would copy the full text per gram row).
+  * substr above the explode would copy the full text per gram row)
+  * and by the codegen [[graft.functions.CharGrams]] walk (the HOF
+  * chain is CodegenFallback and O(len²) on multibyte text).
+  *
+  * 100× probe (/tmp/sf10, 500k docs): fit 6.5 s, predict 44-50 s —
+  * prediction is bound by ~150M string-gram rows through two
+  * broadcast probes. If language ID ever dominates a pipeline, the
+  * next lever is the t42 shape: hash grams to bounded i64 codes and
+  * fold the model into executor-side open-addressing maps probed by
+  * ONE codegen pass (no explode, no joins).
   */
 object LangNb {
 
-  /** Char-trigram array of `textCol`, built below the explode. The
+  /** Char-trigram array of `textCol` via the HOF chain — the
+    * REFERENCE form (LangNbSpec pins the codegen [[CharGrams]] path
+    * equal to it; the oracle replays the same substr arithmetic). The
     * CASE guards sequence(1, 0), which Spark evaluates as the
     * DESCENDING [1, 0]; substr/length are CHARACTER-indexed in both
     * Spark and DuckDB, so the oracle extracts identical grams. */
-  private def gramArrSql(textCol: String): String =
+  private[graft] def gramArrSql(textCol: String): String =
     s"CASE WHEN length($textCol) >= 3 THEN " +
       s"transform(sequence(1, length($textCol) - 2), " +
       s"i -> substr($textCol, i, 3)) ELSE array() END"
 
-  /** (keyCols..., gram) exploded char trigrams. */
+  /** (keyCols..., gram) exploded char trigrams — ONE codegen pass
+    * ([[graft.functions.CharGrams]]): the HOF chain is CodegenFallback
+    * and re-seeks byte offsets per position, ~20× slower over a
+    * 500k-doc corpus. */
   def grams(df: DataFrame, keyCols: Seq[String],
             textCol: String): DataFrame =
     df.select((keyCols.map(col) :+
-      explode(expr(gramArrSql(textCol))).as("gram")): _*)
+      explode(graft.functions.CharGrams.charGrams(col(textCol), 3))
+        .as("gram")): _*)
 
   /** The fit artifact: `model` (gram, lang, w64 = s64(c+1)) over the
     * capped vocabulary, `base` (lang, b64 = s64(T_l + V)), `vocab`

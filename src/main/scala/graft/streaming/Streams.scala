@@ -393,6 +393,38 @@ object Streams {
     spark.read.parquet(outDir)
   }
 
+  /** STREAMING line-level boilerplate cleaning (t71 — t69's twin, the
+    * htmlCleanStream shape): each micro-batch cleans against a
+    * frequent-line set FIT ONCE on the accumulated corpus and passed
+    * as plain driver data (bounded by
+    * `CorpusStats.collectFrequentLines`'s gate) — the set DataFrame is
+    * rebuilt INSIDE each batch's session (Datasets are session-bound,
+    * the q55 rule). Stateless map ⇒ accumulated output == the batch
+    * run row-for-row; readers dedupe on the id (at-least-once append,
+    * the t27 convention). */
+  def lineCleanStream(spark: SparkSession, srcDir: String,
+                      schemaFrom: DataFrame, idCol: String,
+                      textCol: String, frequent: Seq[String],
+                      outDir: String, checkpoint: String,
+                      statePartitions: Int = 2): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bss = batch.sparkSession
+        import bss.implicits._
+        graft.operators.CorpusStats.lineDedupWithFreq(batch, idCol,
+            textCol, frequent.toDF("line"))
+          .write.mode("append").parquet(outDir)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming ingest into the PERSISTED quantile-census store: each
     * micro-batch's (slice, value, count) cells append under the
     * checkpointed BATCH ID (`Quantiles.appendToCensusStore`) — a

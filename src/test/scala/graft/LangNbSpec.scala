@@ -73,6 +73,24 @@ class LangNbSpec extends SparkSpec {
     assert(p == Set((10L, "unknown"), (11L, "unknown")), p.toString)
   }
 
+  test("the codegen CharGrams expression equals the HOF substr chain " +
+      "on multilingual text incl. CJK/emoji/short/empty strings (the " +
+      "oracle replays the substr arithmetic — this pin is the parity " +
+      "bridge)") {
+    import org.apache.spark.sql.functions._
+    val texts = Seq("hello world", "次の実験は5回目です。", "ab", "a", "",
+      "🙂👍 emoji", "naïve café", "สวัสดีครับ", "x" * 300)
+    val df = texts.toDF("t")
+    val hof = df.select($"t",
+        expr(graft.operators.LangNb.gramArrSql("t")).as("g"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val cg = df.select($"t",
+        graft.functions.CharGrams.charGrams($"t", 3).as("g"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    for (t <- texts)
+      assert(cg(t) == hof(t), s"gram drift on '${t.take(20)}'")
+  }
+
   test("the vocabulary cap binds: maxGrams = 8 still fits and " +
       "predicts deterministically; maxGrams <= 0 fails fast") {
     val m = LangNb.fit(trainFix, "text", "lang", maxGrams = 8)

@@ -867,6 +867,36 @@ class PipelineSpec extends SparkSpec {
       "version 1.2 of 3 things"))
   }
 
+  test("line dedup: boilerplate lines (df > maxDf) drop from every " +
+      "doc; in-doc repeats count once toward df; order is preserved; " +
+      "all-boilerplate docs survive empty; trailing newlines are " +
+      "engine-stable; layout-invariant") {
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (1L, "COOKIE\nbody one\nCOOKIE\nunique a"), // in-doc repeat
+      (2L, "COOKIE\nbody two"),
+      (3L, "COOKIE\nbody three"),
+      (4L, "COOKIE"),                             // all boilerplate
+      (5L, "COOKIE\nbody five\n")                 // trailing newline
+    ).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusStats.lineDedup(df, "doc_id", "text", maxDf = 2)
+        .orderBy($"doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3))).toSeq
+    val got = run(docs)
+    // df(COOKIE) = 5 docs > 2 → dropped everywhere; others df <= 2
+    assert(got == Seq(
+      (1L, 4L, 2L, "body one\nunique a"),
+      (2L, 2L, 1L, "body two"),
+      (3L, 2L, 1L, "body three"),
+      (4L, 1L, 0L, ""),
+      (5L, 3L, 2L, "body five\n")), got.toString)
+    assert(run(docs.repartition(3)) == got, "layout variant")
+    intercept[IllegalArgumentException](
+      CorpusStats.lineDedup(docs, "doc_id", "text", maxDf = 0))
+  }
+
   test("redactPii breadth: formatted phones become <PHONE>, Luhn-VALID " +
       "cards become <CARD>, Luhn-invalid card-shaped numbers do NOT; " +
       "bare digit runs still fall to <NUM>") {
