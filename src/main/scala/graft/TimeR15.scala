@@ -67,8 +67,14 @@ object TimeR15 {
       operators.LangNb.fit(docs.filter($"doc_id" % 5 =!= 4L), "text",
         "lang")
     }
-    for (rep <- 1 to 3) time(s"t66 predict rep$rep (full corpus)") {
+    for (rep <- 1 to 2) time(s"t66 predict rep$rep (stage plan)") {
       val r = operators.LangNb.predict(docs, "doc_id", "text", m)
+        .groupBy($"lang_pred").count().collect()
+      if (rep == 1) println(s"  census: ${r.mkString(" ")}")
+    }
+    val kern = time("t66 kernel fold") { operators.LangNb.kernel(m) }
+    for (rep <- 1 to 3) time(s"t66 predictFast rep$rep (kernel)") {
+      val r = operators.LangNb.predictFast(docs, "doc_id", "text", kern)
         .groupBy($"lang_pred").count().collect()
       if (rep == 1) println(s"  census: ${r.mkString(" ")}")
     }

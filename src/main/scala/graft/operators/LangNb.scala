@@ -35,12 +35,12 @@ import graft.StringToColumn
   * and by the codegen [[graft.functions.CharGrams]] walk (the HOF
   * chain is CodegenFallback and O(len²) on multibyte text).
   *
-  * 100× probe (/tmp/sf10, 500k docs): fit 6.5 s, predict 44-50 s —
-  * prediction is bound by ~150M string-gram rows through two
-  * broadcast probes. If language ID ever dominates a pipeline, the
-  * next lever is the t42 shape: hash grams to bounded i64 codes and
-  * fold the model into executor-side open-addressing maps probed by
-  * ONE codegen pass (no explode, no joins).
+  * 100× probe (/tmp/sf10, 500k docs): fit 5-7 s; the stage-plan
+  * [[predict]] reads 44-58 s (bound by ~150M string-gram rows through
+  * two broadcast probes) — [[predictFast]] through the folded
+  * [[kernel]] reads 0.2-0.5 s (one codegen pass, no explode/joins/
+  * window; the t42 full-fold shape, but with an INJECTIVE gram pack so
+  * the fold is EXACTLY the string model — spec-pinned bit-equal).
   */
 object LangNb {
 
@@ -103,6 +103,50 @@ object LangNb {
       tot.select($"lang", NgramLm.surprisal64($"t" + lit(v)).as("b64")),
       vocab)
   }
+
+  /** Fold the fit model into the in-process serving kernel (ONE
+    * bounded collect — the model is hard-capped at maxGrams·|langs|
+    * rows by construction): packed-trigram map + dense slot-major
+    * weight block + lang-ASC base costs. The pack is INJECTIVE (3×21
+    * bits), so kernel scoring is EXACTLY the string model —
+    * [[predictFast]] is spec-pinned bit-equal to [[predict]]. */
+  def kernel(m: Model): graft.functions.LangNbKernel = {
+    val langs = m.base.select($"lang", $"b64").collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    val nLang = langs.length
+    val langIdx = langs.map(_._1).zipWithIndex.toMap
+    val rows = m.model.select($"gram", $"lang", $"w64").collect()
+    require(rows.length <= (1 << 22),
+      s"model too large to fold (${rows.length} rows)")
+    def packGram(g: String): Long = {
+      val cp1 = g.codePointAt(0)
+      val o2 = Character.charCount(cp1)
+      val cp2 = g.codePointAt(o2)
+      val cp3 = g.codePointAt(o2 + Character.charCount(cp2))
+      graft.functions.LangNbScore.pack(cp1, cp2, cp3)
+    }
+    val slots = rows.map(r => packGram(r.getString(0))).distinct.sorted
+    val slotOf = slots.zipWithIndex.toMap
+    val w64 = new Array[Long](slots.length * nLang)
+    rows.foreach { r =>
+      w64(slotOf(packGram(r.getString(0))) * nLang +
+        langIdx(r.getString(1))) = r.getLong(2)
+    }
+    new graft.functions.LangNbKernel(
+      graft.functions.LongLongMap.build(slots,
+        slots.indices.map(_.toLong).toArray),
+      w64, langs.map(_._2), langs.map(_._1))
+  }
+
+  /** [[predict]] through the folded kernel — one narrow codegen pass,
+    * no explode/joins/window (the t42 full-fold shape; 100×: 44-50 s →
+    * ~1-2 s over 500k docs). Null text predicts 'unknown' like the
+    * stage form. */
+  def predictFast(docs: DataFrame, idCol: String, textCol: String,
+                  k: graft.functions.LangNbKernel): DataFrame =
+    docs.select(col(idCol),
+      coalesce(graft.functions.LangNbScore.score(col(textCol), k),
+        lit("unknown")).as("lang_pred"))
 
   /** Predict (idCol, lang_pred) for every row of `docs` — 'unknown'
     * when the doc has no vocabulary gram. */

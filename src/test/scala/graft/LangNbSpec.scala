@@ -91,6 +91,29 @@ class LangNbSpec extends SparkSpec {
       assert(cg(t) == hof(t), s"gram drift on '${t.take(20)}'")
   }
 
+  test("the folded serving kernel (predictFast) equals the stage-form " +
+      "predict BIT-FOR-BIT — planted fixture, real documents table, " +
+      "and degenerate docs (the injective 3x21-bit gram pack means no " +
+      "aliasing, unlike the hash-space LM)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val m = LangNb.fit(docs.filter($"doc_id" % 5 =!= 4L), "text", "lang")
+    val k = LangNb.kernel(m)
+    def both(df: org.apache.spark.sql.DataFrame, id: String,
+             tc: String): Unit = {
+      val slow = LangNb.predict(df, id, tc, m)
+        .collect().map(r => (r.get(0), r.getString(1))).toSet
+      val fast = LangNb.predictFast(df, id, tc, k)
+        .collect().map(r => (r.get(0), r.getString(1))).toSet
+      assert(fast == slow, s"kernel drift: ${fast.diff(slow)}")
+    }
+    both(docs, "doc_id", "text")
+    both(testFix, "doc_id", "text")
+    val weird = Seq((1L, "ab"), (2L, ""), (3L, "次の実験です"),
+      (4L, "🙂👍🙂👍"), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    both(weird, "doc_id", "text")
+  }
+
   test("the vocabulary cap binds: maxGrams = 8 still fits and " +
       "predicts deterministically; maxGrams <= 0 fails fast") {
     val m = LangNb.fit(trainFix, "text", "lang", maxGrams = 8)
