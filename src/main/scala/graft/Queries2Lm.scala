@@ -1016,9 +1016,18 @@ private[graft] trait Queries2Lm extends Queries1Rel {
   // The model derives from the MEMOIZED t33 bigram table — three
   // bounded aggregations, the corpus is not re-read. Same output shape
   // and keep gate (bpt ≤ 24/5) as t33.
+  /** Memoized bigram-KN model (the kn3/kn4/kn5 memo precedent): fitKn
+    * now pays a grouped-stats action for the SOUND runtime-operand
+    * overflow guard (round-14 ADVICE), so the fit is cached per
+    * (session, dir, stamp) instead of re-run per call. */
+  private[graft] val knModelMemo =
+    new SessionMemo[operators.NgramLm.KnBigramLm](
+      (spark, dir) => operators.NgramLm.fitKn(lmModel(spark, dir)),
+      _ => ())
+
   def t39_kn_quality(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val kn = operators.NgramLm.fitKn(lmModel(spark, dir))
+    val kn = knModelMemo(spark, dir, srcStamp(dir, "documents.parquet"))
     operators.NgramLm.scoreKn(docs, "doc_id", "text", kn, 24L, 5L)
       .orderBy($"doc_id")
   }
