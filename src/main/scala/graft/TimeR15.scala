@@ -67,7 +67,13 @@ object TimeR15 {
       operators.LangNb.fit(docs.filter($"doc_id" % 5 =!= 4L), "text",
         "lang")
     }
-    for (rep <- 1 to 2) time(s"t66 predict rep$rep (stage plan)") {
+    for (rep <- 1 to 2) time(s"t66 predictStages rep$rep (stage plan)") {
+      val r = operators.LangNb.predictStages(docs, "doc_id", "text", m)
+        .groupBy($"lang_pred").count().collect()
+      if (rep == 1) println(s"  census: ${r.mkString(" ")}")
+    }
+    for (rep <- 1 to 2) time(s"t66 predict rep$rep (gated — routes " +
+        "through the fold)") {
       val r = operators.LangNb.predict(docs, "doc_id", "text", m)
         .groupBy($"lang_pred").count().collect()
       if (rep == 1) println(s"  census: ${r.mkString(" ")}")

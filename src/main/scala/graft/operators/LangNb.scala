@@ -36,11 +36,13 @@ import graft.StringToColumn
   * chain is CodegenFallback and O(len²) on multibyte text).
   *
   * 100× probe (/tmp/sf10, 500k docs): fit 5-7 s; the stage-plan
-  * [[predict]] reads 44-58 s (bound by ~150M string-gram rows through
-  * two broadcast probes) — [[predictFast]] through the folded
+  * [[predictStages]] reads 44-58 s (bound by ~150M string-gram rows
+  * through two broadcast probes) — [[predictFast]] through the folded
   * [[kernel]] reads 0.2-0.5 s (one codegen pass, no explode/joins/
   * window; the t42 full-fold shape, but with an INJECTIVE gram pack so
   * the fold is EXACTLY the string model — spec-pinned bit-equal).
+  * [[predict]] routes through the kernel automatically under the fold
+  * gate, so the query path scores at kernel speed.
   */
 object LangNb {
 
@@ -65,11 +67,29 @@ object LangNb {
       explode(graft.functions.CharGrams.charGrams(col(textCol), 3))
         .as("gram")): _*)
 
+  /** Model tables at or under this many rows fold into the serving
+    * kernel (the [[NgramLm.maxFoldEntries]] precedent); above it
+    * [[predict]] falls back to the distributed stage plan. */
+  val maxFoldRows: Int = 1 << 22
+
   /** The fit artifact: `model` (gram, lang, w64 = s64(c+1)) over the
     * capped vocabulary, `base` (lang, b64 = s64(T_l + V)), `vocab`
     * (gram). All three are bounded by maxGrams · |langs|. */
   final case class Model(model: DataFrame, base: DataFrame,
-                         vocab: DataFrame)
+                         vocab: DataFrame) {
+    /** Folded serving kernel when the model fits the fold gate (None
+      * above it) — ONE limit-gated collect (the GraphAnn
+      * maxAppendBatch limit-before-collect rule), memoized per Model
+      * instance; callers memoize models ([[graft.Queries2Lm]]'s
+      * SessionMemo), so the fold runs once per (session, corpus). */
+    @transient lazy val foldKernel
+        : Option[graft.functions.LangNbKernel] = {
+      val rows = model.select(col("gram"), col("lang"), col("w64"))
+        .limit(maxFoldRows + 1).collect()
+      if (rows.length > maxFoldRows) None
+      else Some(kernelFromRows(this, rows))
+    }
+  }
 
   /** Fit on a labeled corpus — one gram shuffle, two bounded actions
     * (the vocab count and the overflow-bound max). */
@@ -111,13 +131,19 @@ object LangNb {
     * bits), so kernel scoring is EXACTLY the string model —
     * [[predictFast]] is spec-pinned bit-equal to [[predict]]. */
   def kernel(m: Model): graft.functions.LangNbKernel = {
+    val rows = m.model.select($"gram", $"lang", $"w64").collect()
+    require(rows.length <= maxFoldRows,
+      s"model too large to fold (${rows.length} rows)")
+    kernelFromRows(m, rows)
+  }
+
+  private def kernelFromRows(m: Model,
+      rows: Array[org.apache.spark.sql.Row])
+      : graft.functions.LangNbKernel = {
     val langs = m.base.select($"lang", $"b64").collect()
       .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
     val nLang = langs.length
     val langIdx = langs.map(_._1).zipWithIndex.toMap
-    val rows = m.model.select($"gram", $"lang", $"w64").collect()
-    require(rows.length <= (1 << 22),
-      s"model too large to fold (${rows.length} rows)")
     def packGram(g: String): Long = {
       val cp1 = g.codePointAt(0)
       val o2 = Character.charCount(cp1)
@@ -149,9 +175,24 @@ object LangNb {
         lit("unknown")).as("lang_pred"))
 
   /** Predict (idCol, lang_pred) for every row of `docs` — 'unknown'
-    * when the doc has no vocabulary gram. */
+    * when the doc has no vocabulary gram. Routes through the folded
+    * kernel ([[predictFast]]) when the model fits the fold gate — ONE
+    * narrow codegen pass, spec-pinned bit-equal to the stage plan
+    * (LangNbSpec); falls back to [[predictStages]] above the gate
+    * (the [[NgramLm]] foldModel precedent). */
   def predict(docs: DataFrame, idCol: String, textCol: String,
-              m: Model): DataFrame = {
+              m: Model): DataFrame = m.foldKernel match {
+    case Some(k) => predictFast(docs, idCol, textCol, k)
+    case None    => predictStages(docs, idCol, textCol, m)
+  }
+
+  /** The distributed stage-form predict — the fallback above the fold
+    * gate and the parity reference the kernel is spec-pinned against:
+    * gram explode → broadcast vocab/model probes → per-doc argmax
+    * window. Correct at any model size, but ~100× the kernel's cost
+    * at the 100× probe (44-50 s vs 0.2-0.5 s / 500k docs). */
+  def predictStages(docs: DataFrame, idCol: String, textCol: String,
+                    m: Model): DataFrame = {
     val dg = grams(docs.select(col(idCol), col(textCol)), Seq(idCol),
         textCol)
       .join(broadcast(m.vocab), "gram")

@@ -92,19 +92,25 @@ class LangNbSpec extends SparkSpec {
   }
 
   test("the folded serving kernel (predictFast) equals the stage-form " +
-      "predict BIT-FOR-BIT — planted fixture, real documents table, " +
-      "and degenerate docs (the injective 3x21-bit gram pack means no " +
-      "aliasing, unlike the hash-space LM)") {
+      "predictStages BIT-FOR-BIT — planted fixture, real documents " +
+      "table, and degenerate docs (the injective 3x21-bit gram pack " +
+      "means no aliasing, unlike the hash-space LM); predict ROUTES " +
+      "through the fold under the gate") {
     val docs = Tables.load(spark, sf, "documents")
     val m = LangNb.fit(docs.filter($"doc_id" % 5 =!= 4L), "text", "lang")
     val k = LangNb.kernel(m)
+    assert(m.foldKernel.isDefined,
+      "a maxGrams-capped model must fold — the gate regressed")
     def both(df: org.apache.spark.sql.DataFrame, id: String,
              tc: String): Unit = {
-      val slow = LangNb.predict(df, id, tc, m)
+      val slow = LangNb.predictStages(df, id, tc, m)
         .collect().map(r => (r.get(0), r.getString(1))).toSet
       val fast = LangNb.predictFast(df, id, tc, k)
         .collect().map(r => (r.get(0), r.getString(1))).toSet
       assert(fast == slow, s"kernel drift: ${fast.diff(slow)}")
+      val routed = LangNb.predict(df, id, tc, m)
+        .collect().map(r => (r.get(0), r.getString(1))).toSet
+      assert(routed == slow, s"routed-predict drift: ${routed.diff(slow)}")
     }
     both(docs, "doc_id", "text")
     both(testFix, "doc_id", "text")

@@ -108,6 +108,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(!p.contains("Join"), s"quantile census must not join:\n$p")
   }
 
+  test("t66 (trained langid): gated predict routes through the folded " +
+      "kernel — one narrow codegen scan, no explode/join/window/" +
+      "exchange (the stage plan stays as the above-gate fallback, " +
+      "spec-pinned bit-equal in LangNbSpec)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.load(spark, sf, "documents")
+    val m = operators.LangNb.fit(
+      docs.filter(col("doc_id") % 5 =!= 4L), "text", "lang")
+    assert(m.foldKernel.isDefined, "capped model must fold")
+    val p = operators.LangNb.predict(docs, "doc_id", "text", m)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Generate") && !p.contains("Join") &&
+      !p.contains("Window") && !p.contains("Exchange"),
+      s"gated predict must be a narrow kernel scan:\n$p")
+  }
+
   test("s05 (quantization) pass 2 is a pure narrow map: no exchange " +
       "between the scan and the quantized output") {
     val emb = Tables.load(spark, sf, "embeddings")
