@@ -11,28 +11,73 @@ list, and exits 1 only when regressions exceed the threshold on a QUIET
 pair of runs (both load1 < 2.0). Broad same-direction deltas across
 dozens of untouched queries are flagged as probable host noise instead.
 """
-import json, signal, sys
+import json, os, signal, sys
 
 signal.signal(signal.SIGPIPE, signal.SIG_DFL)
+
+# non-query numeric keys that can leak out of a tail regex scrape
+NOT_QUERIES = {"value", "load1", "cached_kb", "n_queries"}
+
+
+def resolve_full(d, path):
+    """Bench's compact trailing line carries only the slowest queries
+    plus a `queries_full` pointer to the complete per-query map
+    (bench_last.json, committed per round). Follow it, but only when
+    the total-value stamp matches — bench_last.json is overwritten
+    every local run and must not be attributed to an older round."""
+    ptr = d.get("queries_full")
+    if not ptr:
+        return d
+    for base in (os.path.dirname(os.path.abspath(path)), "."):
+        cand = os.path.join(base, ptr)
+        try:
+            full = load_metric_line(open(cand).read())
+        except (OSError, SystemExit):
+            continue
+        if full and abs(float(full.get("value", -1)) -
+                        float(d.get("value", -2))) < 1e-6:
+            return full
+    return d
+
+
+def load_metric_line(text):
+    """First parseable {"metric":...} line in a text blob, or None."""
+    for line in text.splitlines():
+        if '"metric"' in line:
+            try:
+                d = json.loads(line[line.index('{'):])
+            except (json.JSONDecodeError, ValueError):
+                continue
+            if isinstance(d, dict) and "queries" in d:
+                return d
+    return None
 
 
 def load(path):
     """Accepts a Bench stdout log, a bench_last.json, or the driver's
-    BENCH_r*.json wrapper (whose `tail` holds a truncated suffix of the
-    line — per-query pairs are recovered by regex)."""
+    BENCH_r*.json wrapper. For the wrapper: prefer the driver-parsed
+    compact line (following its queries_full pointer), then a complete
+    metric line inside `tail`, then a regex scrape of the tail
+    fragment."""
     text = open(path).read()
-    for line in text.splitlines():
-        if '"metric"' in line:
-            return json.loads(line[line.index('{'):])
+    d = load_metric_line(text)
+    if d is not None:
+        return resolve_full(d, path)
     try:
         wrapper = json.loads(text)
     except json.JSONDecodeError:
         raise SystemExit(f"no metric line in {path}")
-    import re
+    parsed = wrapper.get("parsed")
+    if isinstance(parsed, dict) and "queries" in parsed:
+        return resolve_full(parsed, path)
     tail = wrapper.get("tail", "")
+    d = load_metric_line(tail)
+    if d is not None:
+        return resolve_full(d, path)
+    import re
     qs = {k: float(v) for k, v in
-          re.findall(r'"([a-z]\w+)":([0-9.]+)', tail)}
-    qs.pop("load1", None); qs.pop("cached_kb", None)
+          re.findall(r'"([a-z]\w+)":([0-9.]+)', tail)
+          if k not in NOT_QUERIES}
     return {"queries": qs, "load1": wrapper.get("load1", -1),
             "cached_kb": wrapper.get("cached_kb", -1)}
 
@@ -60,8 +105,9 @@ def main():
             imps.append((k, oq[k], nq[k], r))
     tot_o = sum(oq[k] for k in common)
     tot_n = sum(nq[k] for k in common)
-    print(f"common-query total: {tot_o:.1f}s -> {tot_n:.1f}s "
-          f"({tot_n / tot_o:.2f}x)")
+    if tot_o > 0:
+        print(f"common-query total: {tot_o:.1f}s -> {tot_n:.1f}s "
+              f"({tot_n / tot_o:.2f}x)")
     if common:
         import math
         geo = math.exp(sum(math.log(nq[k] / oq[k]) for k in common)

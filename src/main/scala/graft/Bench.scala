@@ -112,6 +112,20 @@ object Bench {
           proc.waitFor()
         }
     } catch { case e: Throwable => println(s"(bench_compare skipped: $e)") }
+    // The driver's BENCH_r{N}.json keeps only the LAST ~2000 chars of
+    // stdout and parses a metric line out of that window — a 192-query
+    // line (~6 KB) can never fit, which is why BENCH_r14/r15 carried
+    // "parsed": null and a truncated per-query tail (round-15 verdict
+    // finding #2). Emit a COMPACT metric line as the very last stdout
+    // line: total + errors + the 15 slowest queries + a pointer to the
+    // complete per-query map (bench_last.json, written above and
+    // committed per round). scripts/bench_compare.py follows the
+    // pointer (value-stamp-validated) for full per-query coverage.
+    val slow = results.filter(_._2 > 0).sortBy(-_._2).take(15)
+      .map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_full":"bench_last.json","errors":$errs,"load1":$load,"cached_kb":$cacheKb,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
