@@ -96,6 +96,22 @@ private[graft] trait Queries2Lm extends Queries1Rel {
                           dir: String): (DataFrame, Long) =
     wordFreqMemo(spark, dir, srcStamp(dir, "documents.parquet"))
 
+  /** Byte-level twin of [[wordFreqMemo]]: cached (pre-token freq,
+    * distinct pre-token count) shared by t65/t70 — the count is the
+    * broadcast-gate operand (round-15 ADVICE: t70's per-word
+    * token-count broadcast was ungated; an unbounded crawl vocabulary
+    * must route through the shuffle join like t43). */
+  private[graft] val byteWordFreqMemo = new SessionMemo[(DataFrame, Long)](
+    (spark, dir) => {
+      val df = operators.Bpe.byteWordFreq(
+        t(spark, dir, "documents"), "text").cache()
+      (df, df.count())
+    },
+    _._1.unpersist())
+  private[graft] def bpeByteWordFreq(spark: SparkSession,
+                          dir: String): (DataFrame, Long) =
+    byteWordFreqMemo(spark, dir, srcStamp(dir, "documents.parquet"))
+
   def t29_bpe_tokens(spark: SparkSession, dir: String): DataFrame = {
     // the shared cached word-freq feeds BOTH training and the census —
     // the raw corpus is scanned exactly once per process per dir for
@@ -172,8 +188,7 @@ private[graft] trait Queries2Lm extends Queries1Rel {
   def t65_bpe_bytes(spark: SparkSession, dir: String): DataFrame =
     operators.Bpe.mergesDf(spark,
       operators.Bpe.trainMergesBytesFromFreq(
-        operators.Bpe.byteWordFreq(t(spark, dir, "documents"), "text"),
-        bpeMergeCount))
+        bpeByteWordFreq(spark, dir)._1, bpeMergeCount))
       .orderBy($"rank")
 
   // the byte-seed training replay head (shared by t65 and t70); the
@@ -212,14 +227,19 @@ private[graft] trait Queries2Lm extends Queries1Rel {
   def t70_bpe_bytes_fertility(spark: SparkSession,
                               dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val wf = operators.Bpe.byteWordFreq(docs, "text")
+    val (wf, nVocab) = bpeByteWordFreq(spark, dir)
     val merges = operators.Bpe.trainMergesBytesFromFreq(wf, bpeMergeCount)
     val wt = operators.Bpe.byteWordTokenCounts(wf, merges)
+    // broadcast gate (the t43/t25 rule): the lookup side is one row
+    // per DISTINCT pre-token — fine to broadcast for a bounded corpus,
+    // but an unbounded crawl vocabulary must shuffle-join
+    val side =
+      if (nVocab <= operators.Bpe.maxBroadcastVocab) broadcast(wt) else wt
     docs.select($"lang",
         explode(regexp_extract_all($"text",
           lit(operators.Bpe.preTokRe), lit(0))).as("word"))
       .filter($"word" =!= "")
-      .join(broadcast(wt), Seq("word"))
+      .join(side, Seq("word"))
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_pretok"),
         sum($"ntok").as("n_tok"))
@@ -306,11 +326,22 @@ private[graft] trait Queries2Lm extends Queries1Rel {
   // counting), scored in the integer 1/64-bit log2, confusion census
   // over the held-out split. The oracle replays FIT AND SCORING as
   // materialized CTEs (the d14/s14 whole-chain rule).
+  /** Memoized language-ID model (the knModelMemo precedent): the fit
+    * pays a gram shuffle + bounded actions, and the Model's lazy
+    * foldKernel a one-time bounded collect — cached per (session,
+    * dir, stamp) so the t66 query path is just the folded-kernel
+    * scan + confusion census. */
+  private[graft] val langNbMemo =
+    new SessionMemo[operators.LangNb.Model](
+      (spark, dir) => operators.LangNb.fit(
+        t(spark, dir, "documents").filter($"doc_id" % 5 =!= 4L),
+        "text", "lang"),
+      _ => ())
+
   def t66_langid_trained(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
-    val train = docs.filter($"doc_id" % 5 =!= 4L)
     val test = docs.filter($"doc_id" % 5 === 4L)
-    val m = operators.LangNb.fit(train, "text", "lang")
+    val m = langNbMemo(spark, dir, srcStamp(dir, "documents.parquet"))
     operators.LangNb.predict(test, "doc_id", "text", m)
       .join(test.select($"doc_id", $"lang"), Seq("doc_id"))
       .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n"))

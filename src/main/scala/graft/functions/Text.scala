@@ -39,8 +39,17 @@ object Text {
     * identically. */
   val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  // Leading-boundary prefix alternation (round-15 ADVICE): a match
+  // must not START inside a digit run — the unanchored form turned
+  // '999555-123-4567' into '999<PHONE>', leaving the leading digits
+  // exposed. RE2 has no lookbehind and \b alone rejects the legal
+  // '('/'+' starts (non-word on both sides), so each legal start is
+  // its own branch: +cc / \b-anchored cc / '(' / bare \b — every
+  // digit start crosses \b, and the branches are tried leftmost-first
+  // identically in Java and RE2 (the Bpe.preTokRe precedent).
   val phoneRe =
-    "(\\+?\\d{1,3}[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]?\\d{4}\\b"
+    "(\\+\\d{1,3}[-. ]\\(?|\\b\\d{1,3}[-. ]\\(?|\\(|\\b)" +
+      "\\d{3}\\)?[-. ]\\d{3}[-. ]?\\d{4}\\b"
   val longNumRe = "\\b\\d{7,}\\b"
 
   def redactPii(c: Column): Column =

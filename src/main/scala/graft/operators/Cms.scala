@@ -34,12 +34,15 @@ object Cms {
     // BIGINT cast before the multiply: the code itself is INT-typed and
     // ANSI Spark overflows int arithmetic (the CLAUDE.md L-suffix rule).
     // The code is then BOUNDED to < 2^22 (the NgramLm.fitHashed
-    // precedent) BEFORE multiplying by the ~2^31.6 row key: tokenCodeSql
-    // only stays under 2^22 for short tokens, and a pathological crawl
-    // token (~96k+ chars, e.g. a base64 blob) would otherwise overflow
-    // the i64 product and abort the whole job under ANSI; the bound
-    // keeps the product < 2^54 for ANY input (identity for real tokens,
-    // so stored sketches are unchanged).
+    // precedent) BEFORE multiplying by the ~2^31.6 row key, keeping the
+    // product < 2^54 for ANY input — a pathological crawl token (~96k+
+    // chars, e.g. a base64 blob) would otherwise overflow the i64
+    // product and abort the whole job under ANSI. NOTE (round-15
+    // ADVICE): the bound is an identity ONLY for codes < 2^22 — tokens
+    // past ~137 chars (tokenCode ≈ 29791·len + …) land in DIFFERENT
+    // buckets than the unbounded formula, so sketches persisted by the
+    // pre-bound formula are incompatible; [[FormatVersion]] in the
+    // store meta invalidates them at read.
     val m = s"(((CAST(($codeSql) AS BIGINT) % 4194304) * " +
       s"${NgramHashes.keys(j)}) % 4294967296)"
     // Spark SQL spells shift/xor as shiftright()/^; DuckDB as >>/xor()
@@ -76,12 +79,28 @@ object Cms {
 
   // ------------------------------------------------------------ store
 
+  /** Bucket-arithmetic format version, pinned in the store meta: v2 =
+    * the code %2^22 pre-bound in [[bucketSql]]. A store written by the
+    * unbounded formula (no `fmt` column, or an older value) assigns
+    * different buckets to 137+-char tokens, so probing it with the
+    * current formula would silently return wrong counts — loading one
+    * fails fast instead. */
+  val FormatVersion: Int = 2
+
   private def metaOf(spark: org.apache.spark.sql.SparkSession,
                      path: String): (Int, Int) = {
     require(Similarity.fsDirExists(spark, s"$path/meta"),
       s"no cms store at $path (missing $path/meta — buildCmsStore first)")
-    val r = spark.read.parquet(s"$path/meta")
-      .select(col("d"), col("w")).collect().head
+    val meta = spark.read.parquet(s"$path/meta")
+    val fmt =
+      if (meta.columns.contains("fmt"))
+        meta.select(col("fmt")).collect().head.getInt(0)
+      else 1
+    require(fmt == FormatVersion,
+      s"cms store at $path uses bucket-format v$fmt, this build writes " +
+        s"v$FormatVersion (the %2^22 code pre-bound changed bucket " +
+        s"assignment for 137+-char tokens) — rebuild the store")
+    val r = meta.select(col("d"), col("w")).collect().head
     (r.getInt(0), r.getInt(1))
   }
 
@@ -90,7 +109,7 @@ object Cms {
                     path: String): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    Seq((d, w)).toDF("d", "w").write.mode("overwrite")
+    Seq((d, w, FormatVersion)).toDF("d", "w", "fmt").write.mode("overwrite")
       .parquet(s"$path/meta")
     cells(df, textCol, d, w).withColumn("__batch", lit(0L))
       .write.mode("overwrite").parquet(s"$path/cells")

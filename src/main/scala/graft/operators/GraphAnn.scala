@@ -379,7 +379,14 @@ object GraphAnn {
         .union(found.select(col("id"), col("qid").as("nbr"),
           col("score").as("sim")))
         .distinct()
-      batch.write.mode("append").parquet(s"$path/nodes")
+      // write the MATERIALIZED pulled rows, not the lazy `batch` plan
+      // (round-15 ADVICE): re-evaluating `batch` against a
+      // non-deterministic or concurrently-changing source could append
+      // nodes the edge search never saw (edgeless, or past the gate);
+      // the gated pull IS the batch — writes and search share it.
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(pulled.toSeq.asJava, batch.schema)
+        .write.mode("append").parquet(s"$path/nodes")
       newEdges.write.mode("append").parquet(s"$path/edges")
     }
   }

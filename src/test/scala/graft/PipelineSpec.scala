@@ -907,7 +907,8 @@ class PipelineSpec extends SparkSpec {
       "pay 4111 1111 1111 1110 now",      // invalid Luhn
       "mc 5500-0000-0000-0004 done",      // valid mastercard
       "order 1234567890123456 shipped",   // 16 contiguous, invalid Luhn
-      "date 2026-08-15 and 1.2.3").toDF("t")
+      "date 2026-08-15 and 1.2.3",
+      "id 999555-123-4567 raw").toDF("t")  // digit-run start (r15 ADVICE)
     val got = df.select(graft.functions.Text.redactPii($"t"))
       .collect().map(_.getString(0)).toSeq
     assert(got(0) == "call <PHONE> today", got(0))
@@ -917,6 +918,9 @@ class PipelineSpec extends SparkSpec {
     assert(got(4) == "mc <CARD> done", got(4))
     assert(!got(5).contains("<CARD>") && got(5).contains("<NUM>"), got(5))
     assert(got(6) == "date 2026-08-15 and 1.2.3", got(6))
+    // a match must not start INSIDE a digit run: the unanchored regex
+    // produced the half-redaction '999<PHONE>' here
+    assert(got(7) == "id 999555-123-4567 raw", got(7))
   }
 
   test("Luhn fuzz: for 500 random 16-digit numbers the checksum " +
@@ -1619,6 +1623,14 @@ class PipelineSpec extends SparkSpec {
     streaming.Streams.cmsIngest(spark, s"$base/feed", docs, "text",
       s"$base/store", s"$base/ckpt")
     assert(est() == batch)
+    // bucket-format gate (round-15 ADVICE): a store whose meta predates
+    // the %2^22 pre-bound (no fmt column) assigns different buckets to
+    // 137+-char tokens — probing it must fail fast, never return wrong
+    // counts silently
+    Seq((4, 16)).toDF("d", "w").write.mode("overwrite")
+      .parquet(s"$base/store/meta")
+    val e = intercept[IllegalArgumentException](est())
+    assert(e.getMessage.contains("bucket-format"), e.getMessage)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 }
