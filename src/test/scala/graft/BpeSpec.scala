@@ -115,6 +115,28 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("pre-tokenization breaks a letter run at the non-CJK→CJK " +
+      "script boundary (round-15 verdict #4): 'iPhone超大' is " +
+      "'iPhone' + one pre-token per ideograph, and the round-trip " +
+      "stays lossless") {
+    val re = Bpe.preTokRe.r
+    def pre(s: String) = re.findAllIn(s).toList
+    assert(pre("iPhone超大発売") ==
+      List("iPhone", "超", "大", "発", "売"))
+    assert(pre("超大iPhone") == List("超", "大", "iPhone"))
+    assert(pre("한국어abc한글") ==
+      List("한", "국", "어", "abc", "한", "글"))
+    assert(pre("abc123日本語def") ==
+      List("abc", "123", "日", "本", "語", "def"))
+    // latin-with-marks runs survive intact; kana still per code point
+    assert(pre("naïve café") == List("naïve", " ", "café"))
+    assert(pre("ひらがな") == List("ひ", "ら", "が", "な"))
+    // losslessness: concatenating pre-tokens reproduces the input
+    for (s <- Seq("iPhone超大発売", "mixed 超text 123\n\tend",
+        "한국어abc한글", "🙂次の5回", ""))
+      assert(pre(s).mkString == s, s"lossy on '$s'")
+  }
+
   test("incremental pair-index trainer is BIT-IDENTICAL to the " +
       "full-rescan reference loop (seeded corpus with ties and runs, " +
       "trained to full exhaustion)") {
