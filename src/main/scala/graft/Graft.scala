@@ -95,7 +95,39 @@ object Graft {
         functions.Sq8Codes(
           Cast(exprs.head, ArrayType(DoubleType, containsNull = true)),
           Cast(exprs(1), ArrayType(ArrayType(DoubleType, containsNull = true),
-            containsNull = true)))))
+            containsNull = true)))),
+      // the round-15 text kernels, SQL-callable:
+      "html_extract" -> ((exprs: Seq[Expression]) => exprs(1) match {
+        case Literal(mw: Int, _) => functions.HtmlExtract(exprs.head, mw)
+        case x => throw new IllegalArgumentException(
+          s"html_extract(html, minWords) needs a literal minWords, got $x")
+      }),
+      "char_grams" -> ((exprs: Seq[Expression]) => exprs(1) match {
+        case Literal(n: Int, _) => functions.CharGrams(exprs.head, n)
+        case x => throw new IllegalArgumentException(
+          s"char_grams(text, n) needs a literal n, got $x")
+      }),
+      // URL canonicalization / host: the one dual-dialect chain
+      // (functions.Url.canonSql) parsed once with a placeholder child
+      // spliced out — SQL users get the exact arithmetic the t68
+      // oracle replays.
+      "url_canon" -> ((exprs: Seq[Expression]) =>
+        splice(functions.Url.canonSql("__graft_u__", duck = false),
+          exprs.head)),
+      "url_host" -> ((exprs: Seq[Expression]) =>
+        splice(functions.Url.hostSql("__graft_u__", duck = false),
+          exprs.head)))
+
+  /** Parse a generated SQL fragment mentioning the `__graft_u__`
+    * placeholder column and splice the real child expression in — how
+    * a dual-dialect SQL-text kernel (Url.canonSql) becomes a registry
+    * builder without a second Catalyst spelling of the chain. */
+  private def splice(fragment: String, child: Expression): Expression =
+    org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+      .parseExpression(fragment).transformUp {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts == Seq("__graft_u__") => child
+      }
 
   def enableSql(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
@@ -103,6 +135,19 @@ object Graft {
       registry.createOrReplaceTempFunction(name, b, "scala_udf")
     }
   }
+
+  /** Register a FITTED language-ID scorer as `name(text)` in this
+    * session — the folded LangNb kernel (one codegen pass, no
+    * explode/join) reachable from SQL text. Unlike the stateless
+    * [[builders]] this binds a model ARTIFACT, so it registers
+    * per-session on demand (the loadfn-with-state analog). Returns
+    * the predicted language, null on null input. */
+  def registerLangNb(spark: SparkSession,
+                     kernel: functions.LangNbKernel,
+                     name: String = "lang_nb"): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+      (exprs: Seq[Expression]) => functions.LangNbScore(exprs.head, kernel),
+      "scala_udf")
 
   /** Register the testdata tables and the function library in one call —
     * a SQL user's session bootstrap. */

@@ -573,6 +573,109 @@ private[graft] trait Queries2Lm extends Queries1Rel {
       |FROM usel s JOIN ufin u ON u.word = s.word AND u.p = len(s.syms)
       |ORDER BY s.word""".stripMargin
 
+  // ---------------------------------------------------------------- t72
+  // SentencePiece unigram-LM TRAINING (hard EM, Kudo 2018 §3.2) — t49
+  // completed: the piece inventory is EM-fit, not just Viterbi-encoded
+  // against the seed BPE census. Each pass Viterbi-segments the bounded
+  // word dict under the current integer costs (E), recounts pieces
+  // freq-weighted and rebuilds costs (M) — unused pieces prune out
+  // naturally. The oracle replays ALL THREE DP passes and both
+  // recounts as generated MATERIALIZED CTE stages (the 40-stage BPE
+  // replay precedent): segmentations ride as LIST columns (pieces may
+  // contain '-', so the display join is final-only), and the tie-break
+  // (cost, np, earliest split) keeps every pass engine-exact.
+  private[graft] val uniEmRounds = 2
+  private[graft] val uniEmMaxSyms = 10
+  private[graft] val uniEmTopWords = 300
+
+  def t72_unigram_em(spark: SparkSession, dir: String): DataFrame = {
+    val (wf, _) = bpeWordFreq(spark, dir)
+    val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
+    val census = operators.Bpe.tokenCensusFromFreq(wf, merges)
+    operators.Unigram.emTable(wf, census, rounds = uniEmRounds,
+        maxSyms = uniEmMaxSyms, topWords = uniEmTopWords, maxPieceSyms = 8)
+      .orderBy($"word")
+  }
+
+  // DP stage p of EM pass r — the t49 uniStageSql shape with the
+  // segmentation carried as a LIST (recounting must unnest exact
+  // pieces) and the census/total parametrized on the pass.
+  private[graft] def uniEmStageSql(r: Int, p: Int): String = {
+    val qs = (math.max(0, p - 8) until p).map(q =>
+      s"SELECT word, cost, np, segl, $q AS q FROM e${r}dp_$q")
+      .mkString("\n      UNION ALL ")
+    s"""e${r}dp_$p AS MATERIALIZED (
+       |  SELECT word, cost, np, segl FROM (
+       |    SELECT word, cost, np, segl,
+       |      ROW_NUMBER() OVER (PARTITION BY word ORDER BY cost, np, q)
+       |        AS rk
+       |    FROM (
+       |      SELECT x.word,
+       |        x.cost + ${s64u("t.cv")}
+       |               - ${s64u("COALESCE(c.cnt, 0) + 1")} AS cost,
+       |        x.np + 1 AS np,
+       |        list_append(x.segl, x.piece) AS segl,
+       |        x.q
+       |      FROM (
+       |        SELECT b.word, b.cost, b.np, b.segl, b.q,
+       |          array_to_string(s.syms[b.q+1:$p], '') AS piece
+       |        FROM ($qs) b
+       |        JOIN uesel s USING (word)
+       |        WHERE len(s.syms) >= $p) x
+       |      LEFT JOIN uecen$r c ON c.token = x.piece
+       |      CROSS JOIN uetot$r t
+       |      WHERE $p - x.q = 1 OR c.cnt IS NOT NULL))
+       |  WHERE rk = 1)""".stripMargin
+  }
+
+  // one full E pass: DP stages 1..maxSyms + the per-word final state
+  private[graft] def uniEmPassSql(r: Int): String = {
+    val fins = (1 to uniEmMaxSyms).map(p =>
+      s"  SELECT $p AS p, word, cost, np, segl FROM e${r}dp_$p")
+      .mkString("\n  UNION ALL\n")
+    s"""e${r}dp_0 AS MATERIALIZED (
+       |  SELECT word, CAST(0 AS BIGINT) AS cost, 0 AS np,
+       |         CAST([] AS VARCHAR[]) AS segl
+       |  FROM uesel),
+       |${(1 to uniEmMaxSyms).map(p => uniEmStageSql(r, p)).mkString(",\n")},
+       |e${r}fin AS MATERIALIZED (
+       |  SELECT s.word, s.freq, u.cost, u.np, u.segl
+       |  FROM uesel s JOIN (
+       |$fins) u ON u.word = s.word AND u.p = len(s.syms))""".stripMargin
+  }
+
+  // M step: freq-weighted piece recount over pass r's segmentations
+  private[graft] def uniEmRecountSql(r: Int): String =
+    s"""uecen${r + 1} AS MATERIALIZED (
+       |  SELECT piece AS token, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT unnest(segl) AS piece, freq FROM e${r}fin)
+       |  GROUP BY piece),
+       |uetot${r + 1} AS MATERIALIZED (
+       |  SELECT CAST(SUM(cnt) AS BIGINT) + COUNT(*) AS cv
+       |  FROM uecen${r + 1})""".stripMargin
+
+  private[graft] lazy val t72_sql =
+    bpeHeadSql + s""",
+      |uecen0 AS MATERIALIZED (
+      |  SELECT token, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(syms) AS token, freq FROM words_$bpeMergeCount)
+      |  GROUP BY token),
+      |uetot0 AS MATERIALIZED (
+      |  SELECT CAST(SUM(cnt) AS BIGINT) + COUNT(*) AS cv FROM uecen0),
+      |uesel AS MATERIALIZED (
+      |  SELECT word, freq, syms FROM (
+      |    SELECT word, freq, syms,
+      |      ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS rn
+      |    FROM words_0 WHERE len(syms) <= $uniEmMaxSyms)
+      |  WHERE rn <= $uniEmTopWords),
+      |${(0 to uniEmRounds).map { r =>
+           if (r < uniEmRounds) uniEmPassSql(r) + ",\n" + uniEmRecountSql(r)
+           else uniEmPassSql(r)
+         }.mkString(",\n")}
+      |SELECT word, np AS n_pieces, cost AS cost64,
+      |  array_to_string(segl, '-') AS seg
+      |FROM e${uniEmRounds}fin ORDER BY word""".stripMargin
+
   // ---------------------------------------------------------------- t50
   // Snapshot drift census — the monitoring operator a rolling corpus
   // needs: per-token log₂ RATE drift between two snapshots (doc_id
@@ -1626,5 +1729,34 @@ private[graft] trait Queries2Lm extends Queries1Rel {
   private[graft] lazy val t41_sql = {
     val cut = t34_sql.lastIndexOf("ORDER BY lw64")
     t34_sql.take(cut) + "ORDER BY d.doc_id"
+  }
+
+  // ---------------------------------------------------------------- t74
+  // DSIR with seeded REPLAYABLE Gumbel resampling — the paper's actual
+  // §2 resample step (t34 keeps the deterministic top-k; this closes
+  // the documented divergence): sampling ∝ exp₂(lw64) without
+  // replacement is the exponential race's arg-top-k of
+  // key64 = lw64 − s64(2048 − s64(h)), h = decisionHash(id XOR seed) —
+  // a pure function of (id, seed), the s64 interpolation error shared
+  // by both engines, so the SAMPLED set hash-replays exactly. Still a
+  // TakeOrderedAndProject over the scored corpus: no global sort.
+  private[graft] val dsirGumbelSeed = 20260816L
+
+  def t74_dsir_gumbel(spark: SparkSession, dir: String): DataFrame =
+    operators.Dsir.selectGumbelTopK(t(spark, dir, "documents"),
+      "doc_id", "text", dsirModel(spark, dir), 120, dsirGumbelSeed)
+
+  private[graft] lazy val t74_sql = {
+    def s64(q: String): String =
+      s"(64 * (length(bin($q)) - 1) " +
+        s"+ ((($q) << 6) >> (length(bin($q)) - 1)) - 64)"
+    val x = s"xor(doc_id, $dsirGumbelSeed)"
+    val h = s"GREATEST(((($x % 2147483648) * 2654435761) % 4294967296" +
+      s" + (($x // 2147483648) * 2246822519) % 4294967296)" +
+      s" % 4294967296, 1)"
+    val key = s"lw64 - ${s64(s"2048 - ${s64(h)}")}"
+    s"""SELECT doc_id, n_gram, lw64, CAST($key AS BIGINT) AS key64
+       |FROM ($t41_sql)
+       |ORDER BY key64 DESC, doc_id LIMIT 120""".stripMargin
   }
 }

@@ -248,6 +248,53 @@ private[graft] trait Queries3Curate extends Queries2Lm {
       |  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR
       |ORDER BY c_id, p_id""".stripMargin
 
+  // ---------------------------------------------------------------- q75
+  // q56's BOUNDED-STATE production form end-to-end: the same funnel
+  // interval join with per-side watermarks, run over a TIME-ORDERED
+  // multi-file feed (stageTimeOrderedFeed) at maxFilesPerTrigger = 1 so
+  // the watermark advances across micro-batches and the join state
+  // EVICTS mid-run (Streams.lastStateRowsRemoved > 0, WatermarkSpec
+  // pins it on this query's own run). Because chunk time-ranges are
+  // disjoint ascending, no row is ever late: a click evicted after
+  // batch i (watermark > c_ts + 6h) can only have matched purchases
+  // with p_ts ≤ c_ts + 6h < watermark, and every later batch's p_ts is
+  // ≥ the prior chunk's max ≥ watermark — so no pair is lost and the
+  // streamed set equals the batch self-join EXACTLY. The oracle IS
+  // q56's SQL: bounded state, same answer.
+  def q75_stream_funnel_watermarked(spark: SparkSession,
+                                    dir: String): DataFrame = {
+    val batch = t(spark, dir, "events")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    // 4 chunks = 4 micro-batches: enough watermark advancements to
+    // evict state twice over, at ~0.6 s state-commit floor per batch
+    val nChunks = 4
+    val stage = s"/tmp/graft_stream/$key/funnel_wm_c$nChunks" +
+      s"_s${srcStamp(dir, "events.parquet")}"
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      graft.streaming.Streams.stageTimeOrderedFeed(batch, "ts",
+        nChunks, stage)
+    graft.streaming.Streams.intervalJoin(spark, stage, batch,
+      prepLeft = df => df.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"),
+          expr("timestamp_micros(ts div 1000)").as("c_ts"),
+          col("event_id").as("c_id")),
+      prepRight = df => df.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"),
+          expr("timestamp_micros(ts div 1000)").as("p_ts"),
+          col("event_id").as("p_id")),
+      joinExpr = "c_user = p_user AND p_ts >= c_ts AND " +
+        "p_ts <= c_ts + INTERVAL 6 HOURS",
+      queryName = "graft_wmjoin_" + math.abs(dir.hashCode),
+      leftWatermark = Some(("c_ts", "1 second")),
+      rightWatermark = Some(("p_ts", "1 second")),
+      maxFilesPerTrigger = Some(1))
+      .select($"c_id", $"p_id", $"c_user".as("user_id"))
+      .orderBy($"c_id", $"p_id")
+  }
+
+  // q75's oracle IS q56's SQL (bounded state == batch on an in-order feed)
+  private[graft] val q75_sql = q56_sql
+
   // ---------------------------------------------------------------- q57
   // Time-range scan over events: the predicate lands on the ns-long ts
   // (i.e. on MicrosAsNanos of the physical µs column) and the
@@ -1379,6 +1426,67 @@ private[graft] trait Queries3Curate extends Queries2Lm {
 
   // t71's oracle IS t69's SQL (stream == batch)
   private[graft] lazy val t71_sql = t69_sql
+
+  // ---------------------------------------------------------------- t73
+  // PARAGRAPH-scope boilerplate dedup (RefinedWeb dedups lines AND
+  // paragraphs): the t69 census machinery with sep = "\n\n", so a
+  // MULTI-LINE boilerplate block (the two-line cookie banner, the
+  // two-line footer) drops as a UNIT — line-dedup would need every
+  // line of the block to individually cross the df cap. Pages are
+  // constructed per doc (the t69 precedent) from blank-line-separated
+  // paragraphs: a corpus-wide banner, a per-source nav, the body, a
+  // per-source footer; at maxDf = 10 the constructed blocks exceed
+  // the cap while bodies survive.
+  private def paraDocs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .withColumn("page", concat(
+        lit("Cookie notice\nWe use cookies to improve your experience"),
+        lit("\n\n"),
+        lit("Nav: Home / About / "), $"source", lit("\n\n"),
+        $"text", lit("\n\n"),
+        lit("Follow us on social media\nCopyright 2026 "), $"source"))
+
+  def t73_paragraph_dedup(spark: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.paragraphDedup(paraDocs(spark, dir), "doc_id",
+        "page", maxDf = 10)
+      .select($"doc_id", $"n_lines".as("n_paras"),
+        $"n_kept", md5($"clean").as("clean_fp"))
+      .orderBy($"doc_id")
+
+  private[graft] lazy val t73_sql =
+    """WITH pages AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    'Cookie notice' || chr(10) ||
+      |    'We use cookies to improve your experience' ||
+      |    chr(10) || chr(10) ||
+      |    'Nav: Home / About / ' || source || chr(10) || chr(10) ||
+      |    text || chr(10) || chr(10) ||
+      |    'Follow us on social media' || chr(10) ||
+      |    'Copyright 2026 ' || source AS page
+      |  FROM documents),
+      |ls AS MATERIALIZED (
+      |  SELECT doc_id, i AS pos, lns[i] AS para FROM (
+      |    SELECT doc_id, string_split(page, chr(10) || chr(10)) AS lns
+      |    FROM pages),
+      |    UNNEST(range(1, len(lns) + 1)) AS t(i)),
+      |freq AS MATERIALIZED (
+      |  SELECT para FROM (
+      |    SELECT para, COUNT(*) AS df FROM (
+      |      SELECT DISTINCT doc_id, para FROM ls) GROUP BY 1)
+      |  WHERE df > 10),
+      |kept AS (
+      |  SELECT ls.* FROM ls ANTI JOIN freq USING (para)),
+      |re AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |         md5(string_agg(para, chr(10) || chr(10) ORDER BY pos)) AS fp
+      |  FROM kept GROUP BY doc_id)
+      |SELECT p.doc_id,
+      |  CAST(len(string_split(p.page, chr(10) || chr(10))) AS BIGINT)
+      |    AS n_paras,
+      |  COALESCE(r.n_kept, 0) AS n_kept,
+      |  COALESCE(r.fp, md5('')) AS clean_fp
+      |FROM pages p LEFT JOIN re r USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
 
   private[graft] lazy val t69_sql =
     """WITH pages AS MATERIALIZED (

@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Dev probe for the bench top-5 members that had no 100× record
+  * (round-15 verdict item 8) plus the round-16 operators, at the 100×
+  * replica (/tmp/sf10 — 500k docs):
+  *
+  *   - t36 perplexity-bucketed mixing: fit the t33 bigram model once,
+  *     then the bucketed-census pass — the claim is the recurring pass
+  *     is ONE narrow map + a slice census over the scored corpus.
+  *   - t37 materialized packed shards: the ONE (shard, chunk) shuffle
+  *     of position-sorted id streams behind the bounded broadcast
+  *     lookups — the claim is the shuffle dominates and scales with
+  *     token mass, not with any quadratic term.
+  *   - t72 unigram hard-EM fit: dict-bounded driver loop — must be
+  *     corpus-size-independent after the shared word-freq shuffle.
+  *   - t73 paragraph dedup: one paragraph-census shuffle + bounded
+  *     broadcast anti-probe (the t69 shape at block scope).
+  *
+  *   sbt "runMain graft.TimeR16 /tmp/sf10"
+  */
+object TimeR16 {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/tmp/sf10"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"$label%-32s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    // the 100× replica is ONE ~150 MB parquet file → 2 input splits;
+    // repartition+cache so the probe measures operator cost at real
+    // parallelism (at 100 TB the scan arrives in thousands of splits)
+    val docs = Tables.load(spark, dir, "documents")
+      .repartition(32).cache()
+    docs.agg(count(lit(1))).collect()
+
+    // ---- t36: fit once (model artifact), then the recurring pass —
+    // the EXACT query shape: score (broadcast model probes), integer
+    // cross-multiplied bucket gates, deterministic hash downsample,
+    // bucket census
+    val lm = time("t36 lm fit (one-time)") {
+      operators.NgramLm.fit(docs.filter($"lang" === "en"), "text",
+        cacheModel = true)
+    }
+    def t36Pass() = {
+      val scored = operators.NgramLm.score(docs, "doc_id", "text", lm,
+        24L, 5L)
+      val bucket =
+        when($"n_big" > 0L && $"s64" * 5L <= lit(24L) * lit(64L) * $"n_big",
+          "head")
+        .when($"n_big" > 0L && $"s64" * 10L <= lit(49L) * lit(64L) * $"n_big",
+          "middle")
+        .otherwise("tail")
+      operators.Sampling.sampleByRates(
+        scored.select($"doc_id", bucket.as("bucket")),
+        "doc_id", "bucket",
+        Map("head" -> 1.0, "middle" -> 0.5, "tail" -> 0.1), default = 0.1)
+        .groupBy($"bucket").agg(count(lit(1)).as("kept"))
+        .collect()
+    }
+    time("t36 warm")(t36Pass())
+    time("t36 scored pass + census")(t36Pass())
+
+    // ---- t37: bounded broadcasts + the one (shard, chunk) shuffle
+    val wf = time("t37 wordFreq (shared shuffle)") {
+      val w = operators.Bpe.wordFreq(docs, "text").cache()
+      w.count(); w
+    }
+    val merges = time("t37 trainMerges (driver, bounded)") {
+      operators.Bpe.trainMergesFromFreq(wf, 40)
+    }
+    def t37Pass() = {
+      val wt = broadcast(operators.Bpe.wordTokens(wf, merges))
+      val vid = broadcast(operators.Bpe.tokenCensusFromFreq(wf, merges)
+        .withColumn("id", (row_number().over(
+          Window.orderBy($"freq".desc, $"token".asc)) - 1).cast("long"))
+        .select($"token", $"id"))
+      val spans = operators.Packing.chunkSpans(
+        operators.Bpe.docTokenCounts(docs, "doc_id", "text", wf, merges),
+        "doc_id", $"n_btok", budget = 512L, shards = 4)
+        .select($"doc_id", $"shard",
+          ($"start_chunk" * 512L + $"chunk_offset").as("cum_excl"))
+      val toks = docs
+        .select($"doc_id",
+          posexplode(split($"text", " ")).as(Seq("wi", "word")))
+        .filter($"word" =!= "")
+        .join(wt, "word")
+        .select($"doc_id", $"wi", posexplode($"toks").as(Seq("si", "token")))
+        .join(vid, "token")
+      val k = row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"wi", $"si"))
+        .cast("long") - 1L
+      toks.withColumn("k", k)
+        .join(spans, "doc_id")
+        .withColumn("g", $"cum_excl" + $"k")
+        .select($"shard",
+          graft.functions.RF.euclidDiv($"g", lit(512L)).as("chunk"),
+          pmod($"g", lit(512L)).as("pos"), $"id")
+        .groupBy($"shard", $"chunk")
+        .agg(count(lit(1)).as("n_tokens"))
+        .agg(sum($"n_tokens")).collect()
+    }
+    time("t37 warm")(t37Pass())
+    time("t37 pack shuffle")(t37Pass())
+
+    // ---- t72: the EM loop itself is dict-bounded (driver-side)
+    val census = operators.Bpe.tokenCensusFromFreq(wf, merges)
+    time("t72 emFit (2 rounds, dict-bounded)") {
+      val (cm0, cv0) = operators.Unigram.censusCosts(census)
+      val words = operators.Unigram.selectWords(wf, 10, 300)
+      operators.Unigram.emFit(words, cm0, cv0, rounds = 2,
+        maxPieceSyms = 8)
+    }
+
+    // ---- t73: paragraph census + anti-probe at 100×
+    val paged = docs.withColumn("page", concat(
+      lit("Cookie notice\nWe use cookies"), lit("\n\n"),
+      lit("Nav: Home / About / "), $"source", lit("\n\n"),
+      $"text", lit("\n\n"),
+      lit("Copyright 2026 "), $"source"))
+    def t73Pass() = operators.CorpusStats
+      .paragraphDedup(paged, "doc_id", "page", maxDf = 10)
+      .agg(sum($"n_kept"), sum(length($"clean"))).collect()
+    time("t73 warm")(t73Pass())
+    time("t73 paragraph dedup")(t73Pass())
+
+    spark.stop()
+  }
+}

@@ -227,17 +227,29 @@ object CorpusStats {
     * Returns (idCol, n_lines, n_kept, clean) — `clean` is the
     * reassembled text ('' when every line was boilerplate). */
   def lineDedup(corpus: DataFrame, idCol: String, textCol: String,
-                maxDf: Int): DataFrame =
+                maxDf: Int, sep: String = "\n"): DataFrame =
     lineDedupWithFreq(corpus, idCol, textCol,
-      frequentLines(corpus, idCol, textCol, maxDf))
+      frequentLines(corpus, idCol, textCol, maxDf, sep), sep)
+
+  /** PARAGRAPH-scope [[lineDedup]] — RefinedWeb dedups lines AND
+    * paragraphs; a paragraph is a blank-line-separated block, so the
+    * same census machinery runs with sep = "\n\n". Multi-line
+    * boilerplate (a whole cookie banner, a footer block) that
+    * line-dedup would only remove line-by-line drops as a unit here. */
+  def paragraphDedup(corpus: DataFrame, idCol: String, textCol: String,
+                     maxDf: Int): DataFrame =
+    lineDedup(corpus, idCol, textCol, maxDf, sep = "\n\n")
 
   /** The corpus-frequent (boilerplate) line set: df > maxDf — bounded
-    * by counting (≤ total_lines / maxDf rows). */
+    * by counting (≤ total_lines / maxDf rows). `sep` is a Java regex
+    * for the Spark split (the defaults "\n" / "\n\n" have no
+    * metacharacters, so the DuckDB literal string_split replays them
+    * exactly). */
   def frequentLines(corpus: DataFrame, idCol: String, textCol: String,
-                    maxDf: Int): DataFrame = {
+                    maxDf: Int, sep: String = "\n"): DataFrame = {
     require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
     corpus.select(col(idCol),
-        explode(split(col(textCol), "\n", -1)).as("line"))
+        explode(split(col(textCol), sep, -1)).as("line"))
       .distinct()
       .groupBy(col("line")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDf)
@@ -264,18 +276,19 @@ object CorpusStats {
     * boilerplate set without re-running the census (the
     * dupSpanRemoveWithFreq split). */
   def lineDedupWithFreq(corpus: DataFrame, idCol: String, textCol: String,
-                        frequent: DataFrame): DataFrame = {
+                        frequent: DataFrame,
+                        sep: String = "\n"): DataFrame = {
     val lines = corpus.select(col(idCol),
-      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+      posexplode(split(col(textCol), sep, -1)).as(Seq("pos", "line")))
     val kept = lines.join(broadcast(frequent), Seq("line"), "left_anti")
     val re = kept.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_kept"),
-        concat_ws("\n",
+        concat_ws(sep,
           transform(
             array_sort(collect_list(struct(col("pos"), col("line")))),
             x => x.getField("line"))).as("clean"))
     corpus.select(col(idCol),
-        size(split(col(textCol), "\n", -1)).cast("long").as("n_lines"))
+        size(split(col(textCol), sep, -1)).cast("long").as("n_lines"))
       .join(re, Seq(idCol), "left")
       .select(col(idCol), col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

@@ -149,4 +149,36 @@ object Dsir {
     scoreAll(corpus, idCol, textCol, m)
       .orderBy($"lw64".desc, col(idCol).asc)
       .limit(k)
+
+  /** Seeded REPLAYABLE Gumbel key for importance RESAMPLING — the
+    * paper's §2 resample step done in exact integers (closing the
+    * deterministic-top-k divergence when sampling fidelity is wanted):
+    * drawing k docs without replacement with probability ∝ exp₂(lw) is
+    * the exponential race's arg-top-k of lw − log(−log u) (Gumbel-top-k,
+    * Vieira 2014 / Kool et al. 2019). With every quantity in 1/64-bit
+    * log₂ units and common constants dropped,
+    *
+    *   key64 = lw64 − s64(m),  m = 2048 − s64(h) = 64·(−log₂ u),
+    *
+    * where h = decisionHash(id XOR seed) is the 32-bit draw u = h/2³²
+    * (clamped to [1, 2³²−1] so both logs exist; m ∈ [1, 2048]). A pure
+    * function of (id, seed): rerun, engine, and layout invariant, and
+    * the s64 interpolation error (≤ 0.086 bits) is SHARED by both
+    * engines, so the sampled set hash-replays exactly. */
+  def gumbelKey64(id: Column, lw64: Column, seed: Long): Column = {
+    val h = greatest(
+      Sampling.decisionHash(id.cast("long").bitwiseXOR(lit(seed))), lit(1L))
+    val m = lit(2048L) - NgramLm.surprisal64(h)
+    lw64 - NgramLm.surprisal64(m)
+  }
+
+  /** [[selectTopK]] with seeded Gumbel resampling: the k documents by
+    * (key64 DESC, id ASC) — selection odds ∝ the importance weight
+    * instead of a hard cutoff, still a TakeOrderedAndProject. */
+  def selectGumbelTopK(corpus: DataFrame, idCol: String, textCol: String,
+                       m: Model, k: Int, seed: Long): DataFrame =
+    scoreAll(corpus, idCol, textCol, m)
+      .withColumn("key64", gumbelKey64(col(idCol), $"lw64", seed))
+      .orderBy($"key64".desc, col(idCol).asc)
+      .limit(k)
 }

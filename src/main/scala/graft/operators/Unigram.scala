@@ -81,6 +81,20 @@ object Unigram {
     (dp(n)._1, dp(n)._3)
   }
 
+  /** The bounded word universe shared by [[viterbiTable]] and
+    * [[emTable]]: top `topWords` by (freq desc, codepoint-ascending
+    * word — the words_0 `iv` gate's tie-break) with ≤ `maxSyms`
+    * symbols. */
+  def selectWords(freqDf: DataFrame, maxSyms: Int,
+                  topWords: Int): Array[(String, Long)] =
+    freqDf.select("word", "freq").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .filter { case (w, _) => Bpe.toSyms(w).length <= maxSyms }
+      .sortWith { case ((wa, fa), (wb, fb)) =>
+        fa > fb || (fa == fb && Bpe.cpLess(wa, wb))
+      }
+      .take(topWords)
+
   /** The per-word segmentation table over the dictionary's top
     * `topWords` words (freq desc, codepoint-ascending word — the
     * words_0 `iv` gate's tie-break) with ≤ `maxSyms` symbols:
@@ -91,13 +105,83 @@ object Unigram {
     val spark = freqDf.sparkSession
     import spark.implicits._
     val (cm, cv) = censusCosts(census)
-    val words = freqDf.select("word", "freq").collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-      .filter { case (w, _) => Bpe.toSyms(w).length <= maxSyms }
-      .sortWith { case ((wa, fa), (wb, fb)) =>
-        fa > fb || (fa == fb && Bpe.cpLess(wa, wb))
+    selectWords(freqDf, maxSyms, topWords).toSeq.map { case (w, _) =>
+      val (c, pieces) = viterbi(Bpe.toSyms(w), cm.get, cv, maxPieceSyms)
+      (w, pieces.length, c, pieces.mkString("-"))
+    }.toDF("word", "n_pieces", "cost64", "seg")
+  }
+
+  /** HARD-EM unigram-LM training (SentencePiece's fit, Kudo 2018 §3.2,
+    * re-expressed with exact integer scores so every round is
+    * engine-replayable): alternate
+    *
+    *   E: Viterbi-segment each dict word under the current costs
+    *      (the hard assignment — forward-backward's expected counts
+    *      would need real-valued logs, which are not replayable;
+    *      hard EM keeps every quantity an integer),
+    *   M: re-estimate each piece's count as its freq-weighted
+    *      occurrence total over those segmentations and rebuild the
+    *      costs cost(p) = s64(C+V) − s64(cnt(p)+1).
+    *
+    * Pieces that no Viterbi path uses drop out of the vocabulary
+    * naturally (the pruning step — only census members are feasible
+    * multi-symbol pieces; single symbols always remain feasible at
+    * count 0, so no word ever becomes unsegmentable). The fit is
+    * deterministic: the DP tie-break is total, so both engines and
+    * the CTE replay produce identical censuses every round.
+    *
+    * Scale shape: the whole loop runs over the BOUNDED word dict
+    * (`words`, ≤ topWords rows carrying corpus-census freqs) — the
+    * BPE-trainer argument; corpus text is never re-read. Applying
+    * the fitted model corpus-side is the same broadcast word→pieces
+    * hash probe as `Bpe.wordTokenCounts`.
+    *
+    * Returns (final census, final C+V, per-pass weighted total cost —
+    * `rounds + 1` entries: pass r's Viterbi total under the census of
+    * round r, the last being the fitted model's; BpeSpec pins
+    * non-increase on a toy corpus). */
+  def emFit(words: Array[(String, Long)], census0: Map[String, Long],
+            cv0: Long, rounds: Int, maxPieceSyms: Int)
+      : (Map[String, Long], Long, Vector[Long]) = {
+    require(rounds >= 0, s"rounds must be >= 0, got $rounds")
+    var cm = census0
+    var cv = cv0
+    val totals = Vector.newBuilder[Long]
+    var r = 0
+    while (r <= rounds) {
+      val segs = words.map { case (w, f) =>
+        val (c, pieces) = viterbi(Bpe.toSyms(w), cm.get, cv, maxPieceSyms)
+        (f, c, pieces)
       }
-      .take(topWords)
+      totals += segs.iterator
+        .map { case (f, c, _) => math.multiplyExact(f, c) }
+        .foldLeft(0L)(math.addExact)
+      if (r < rounds) {
+        val cnt = scala.collection.mutable.HashMap.empty[String, Long]
+        segs.foreach { case (f, _, ps) =>
+          ps.foreach(p => cnt.update(p, cnt.getOrElse(p, 0L) + f))
+        }
+        cm = cnt.toMap
+        cv = cm.valuesIterator.foldLeft(0L)(math.addExact) + cm.size
+        require(cv >= 1 && cv < (1L << 57),
+          s"emFit: C+V = $cv outside surprisal64's shift domain")
+      }
+      r += 1
+    }
+    (cm, cv, totals.result())
+  }
+
+  /** [[viterbiTable]] under an EM-FITTED census (t72): `rounds` hard-EM
+    * passes from the seed census, then the final segmentation table
+    * (word, n_pieces, cost64, seg) under the fitted model. */
+  def emTable(freqDf: DataFrame, census: DataFrame, rounds: Int,
+              maxSyms: Int, topWords: Int,
+              maxPieceSyms: Int): DataFrame = {
+    val spark = freqDf.sparkSession
+    import spark.implicits._
+    val (cm0, cv0) = censusCosts(census)
+    val words = selectWords(freqDf, maxSyms, topWords)
+    val (cm, cv, _) = emFit(words, cm0, cv0, rounds, maxPieceSyms)
     words.toSeq.map { case (w, _) =>
       val (c, pieces) = viterbi(Bpe.toSyms(w), cm.get, cv, maxPieceSyms)
       (w, pieces.length, c, pieces.mkString("-"))

@@ -549,11 +549,17 @@ object Streams {
                    joinExpr: String, queryName: String,
                    statePartitions: Int = 2,
                    leftWatermark: Option[(String, String)] = None,
-                   rightWatermark: Option[(String, String)] = None): DataFrame = {
+                   rightWatermark: Option[(String, String)] = None,
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    val l0 = prepLeft(ss.readStream.schema(schemaFrom.schema).parquet(srcDir))
-    val r0 = prepRight(ss.readStream.schema(schemaFrom.schema).parquet(srcDir))
+    def src() = {
+      val rd = ss.readStream.schema(schemaFrom.schema)
+      maxFilesPerTrigger.fold(rd)(n =>
+        rd.option("maxFilesPerTrigger", n.toString)).parquet(srcDir)
+    }
+    val l0 = prepLeft(src())
+    val r0 = prepRight(src())
     val l = leftWatermark.fold(l0) { case (c, d) => l0.withWatermark(c, d) }
     val r = rightWatermark.fold(r0) { case (c, d) => r0.withWatermark(c, d) }
     val joined = l.join(r, expr(joinExpr))
@@ -562,8 +568,65 @@ object Streams {
       .format("memory")
       .queryName(queryName)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      lastStateRowsRemoved.put(queryName,
+        q.recentProgress.toSeq
+          .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+          .map(_.numRowsRemoved).sum)
+      q.stop()
+    }
     ss.table(queryName)
+  }
+
+  /** Total join-state rows evicted by the watermark during the LAST
+    * [[intervalJoin]] run under each query name — the observable that
+    * distinguishes the bounded-state production form (q75) from the
+    * unbounded replay form (q56): with per-side watermarks + a
+    * time-bound condition, Spark derives each side's eviction horizon
+    * and this reads > 0 across a multi-batch run (WatermarkSpec pins
+    * it in the q75 query's own run). */
+  val lastStateRowsRemoved =
+    new scala.collection.concurrent.TrieMap[String, Long]()
+
+  /** Stage a DataFrame as a TIME-ORDERED multi-file feed: rows are
+    * range-split on `tsCol` into `nChunks` single-file parquet chunks
+    * with ascending modification times, so a file-source stream with
+    * `maxFilesPerTrigger = 1` replays them as micro-batches in event-
+    * time order — the shape of a real journal, where appends arrive
+    * roughly ordered. Because chunk time-ranges are DISJOINT and
+    * ascending, no row is ever behind the watermark at arrival, so a
+    * watermarked consumer drops nothing and its output set equals the
+    * batch computation exactly (the q75 oracle argument) while its
+    * state still evicts as the watermark advances past each chunk.
+    *
+    * Staging device for tests/queries (one coalesce(1) pass per
+    * chunk); production feeds are already journals. */
+  def stageTimeOrderedFeed(df: DataFrame, tsCol: String, nChunks: Int,
+                           dir: String): Unit = {
+    require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
+    val mm = df.agg(min(col(tsCol).cast("long")),
+      max(col(tsCol).cast("long"))).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val width = math.max(1L, (hi - lo) / nChunks + 1)
+    val fdir = new java.io.File(dir)
+    fdir.mkdirs()
+    val base = System.currentTimeMillis() - (nChunks + 1) * 60000L
+    for (i <- 0 until nChunks) {
+      val cLo = lo + i * width
+      val cHi = if (i == nChunks - 1) hi + 1 else lo + (i + 1) * width
+      val tmp = new java.io.File(fdir, s"_tmp_$i")
+      df.filter(col(tsCol).cast("long") >= cLo &&
+          col(tsCol).cast("long") < cHi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"stageTimeOrderedFeed: no part file in $tmp"))
+      val dst = new java.io.File(fdir, f"chunk_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(base + i * 60000L)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+    new java.io.File(fdir, "_SUCCESS").createNewFile()
   }
 
   /** Declarative watermarked SESSIONIZATION: `session_window` merges

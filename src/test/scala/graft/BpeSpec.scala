@@ -361,6 +361,58 @@ class BpeSpec extends SparkSpec {
     assert(vitTotal <= greedyTotal)
   }
 
+  test("t72 unigram hard-EM: per-pass weighted total cost never " +
+      "increases; unused pieces prune out of the census; the fitted " +
+      "segmentations are brute-force optimal UNDER THE FITTED MODEL " +
+      "and reassemble") {
+    import graft.operators.Unigram
+    val docs = Tables.load(spark, sf, "documents")
+    val wf = Bpe.wordFreq(docs, "text")
+    val merges = Bpe.trainMergesFromFreq(wf, 40)
+    val census = Bpe.tokenCensusFromFreq(wf, merges)
+    val (cm0, cv0) = Unigram.censusCosts(census)
+    val words = Unigram.selectWords(wf, maxSyms = 10, topWords = 300)
+    val (cm, cv, totals) =
+      Unigram.emFit(words, cm0, cv0, rounds = 3, maxPieceSyms = 8)
+    assert(totals.length == 4, "rounds + 1 per-pass totals")
+    totals.sliding(2).foreach { w =>
+      assert(w(1) <= w(0), s"likelihood regressed across passes: $totals")
+    }
+    assert(totals.last < totals.head,
+      "EM must actually improve the fit on this corpus")
+    // pruning: only pieces some Viterbi path uses survive — a strict
+    // subset of the seed BPE census over this bounded word universe
+    assert(cm.size < cm0.size, s"census must shrink: ${cm.size} vs ${cm0.size}")
+    cm.keys.foreach(p => assert(
+      cm0.contains(p) || Bpe.toSyms(p).length == 1,
+      s"fitted piece $p is neither seed-census nor a single symbol"))
+    def pieceCost(c: Long) = operators.NgramLm.surprisal64Long(cv) -
+      operators.NgramLm.surprisal64Long(c + 1)
+    val table = Unigram.emTable(wf, census, rounds = 3, maxSyms = 10,
+      topWords = 300, maxPieceSyms = 8).collect()
+    assert(table.length == words.length)
+    table.foreach { r =>
+      val (w, np, c, seg) =
+        (r.getString(0), r.getInt(1), r.getLong(2), r.getString(3))
+      val pieces = seg.split("-").toSeq
+      assert(pieces.length == np && pieces.mkString == w + "</w>")
+      val syms = Bpe.toSyms(w)
+      if (syms.length <= 7) {
+        def enum(i: Int): Seq[(Long, Int)] =
+          if (i == syms.length) Seq((0L, 0))
+          else (i + 1 to math.min(syms.length, i + 8)).flatMap { j =>
+            val piece = syms.slice(i, j).mkString
+            val cnt = if (j - i == 1) Some(cm.getOrElse(piece, 0L))
+                      else cm.get(piece)
+            cnt.toSeq.flatMap(cc =>
+              enum(j).map { case (rc, rn) => (pieceCost(cc) + rc, rn + 1) })
+          }
+        val best = enum(0).min
+        assert((c, np) == best, s"$w: dp ($c,$np) vs brute $best")
+      }
+    }
+  }
+
   test("t43 fertility card: every word is at least one token " +
       "(fertility >= 1), token mass matches docTokenCounts, and word " +
       "counts match the raw split") {

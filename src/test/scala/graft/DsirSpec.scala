@@ -94,4 +94,47 @@ class DsirSpec extends SparkSpec {
     assert(topStream == topBatch)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
+
+  test("gumbelKey64: the column form equals the scalar replay; the " +
+      "draw is seed-sensitive and id-pure; selection frequency grows " +
+      "with the weight across seeds") {
+    // scalar replay from first principles (NOT via the column code)
+    def hashOf(id: Long, seed: Long): Long = {
+      val x = id ^ seed
+      val lo = x & 0x7FFFFFFFL
+      val hi = (x >> 31) & 0x7FFFFFFFL
+      ((lo * 2654435761L) % 4294967296L +
+        (hi * 2246822519L) % 4294967296L) % 4294967296L
+    }
+    def keyOf(id: Long, lw: Long, seed: Long): Long = {
+      val h = math.max(hashOf(id, seed), 1L)
+      val m = 2048L - NgramLm.surprisal64Long(h)
+      lw - NgramLm.surprisal64Long(m)
+    }
+    val rows = (0L until 64L).map(i => (i, i * 37L - 1000L))
+    val df = rows.toDF("id", "lw64")
+    val got = df.select($"id",
+        Dsir.gumbelKey64($"id", $"lw64", 20260816L).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (id, lw) =>
+      assert(got(id) == keyOf(id, lw, 20260816L), s"id $id")
+    }
+    // different seeds give different draws (id-pure per seed)
+    val got2 = df.select($"id",
+        Dsir.gumbelKey64($"id", $"lw64", 7L).as("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.exists { case (id, _) => got(id) != got2(id) })
+    // frequency ∝ weight: doc A carries 2³ × doc B's weight → A wins
+    // the k=1 race w.p. 8/9; over 200 seeds A dominates but B still
+    // wins sometimes — that IS the resampling; top-k would NEVER pick B
+    val (lwA, lwB) = (64L * 3L, 0L)
+    var aWins = 0; var bWins = 0
+    (1L to 200L).foreach { seed =>
+      if (keyOf(1L, lwA, seed) >= keyOf(2L, lwB, seed)) aWins += 1
+      else bWins += 1
+    }
+    assert(aWins > 150, s"heavy doc won only $aWins/200")
+    assert(bWins > 0, s"light doc never sampled — that's top-k, not " +
+      s"resampling ($bWins)")
+  }
 }

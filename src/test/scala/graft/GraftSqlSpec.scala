@@ -149,4 +149,67 @@ class GraftSqlSpec extends SparkSpec {
     val n = spark.sql("SELECT COUNT(*) FROM lineitem").collect().head.getLong(0)
     assert(n > 0)
   }
+
+  test("round-15 text kernels are SQL-callable: url_canon/url_host, " +
+      "html_extract, char_grams; nulls propagate; non-literal params " +
+      "fail fast") {
+    Graft.enableSql(spark)
+    val r = spark.sql(
+      """SELECT
+        |  url_canon('HTTPS://WWW.Example.com:443/a?utm_source=x&q=1#frag') u,
+        |  url_host('HTTPS://WWW.Example.com:443/a?utm_source=x&q=1#frag') h,
+        |  html_extract('<p>hello world</p><div>x</div>', 2) e,
+        |  char_grams('abcd', 3) g,
+        |  url_canon(CAST(NULL AS STRING)) un,
+        |  char_grams(CAST(NULL AS STRING), 3) gn""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "https://example.com/a?q=1", r.getString(0))
+    assert(r.getString(1) == "example.com")
+    val e = r.getStruct(2)
+    assert(e.getString(0) == "hello world", e.toString) // boiler 'x' dropped
+    assert(r.getSeq[String](3) == Seq("abc", "bcd"))
+    assert(r.isNullAt(4) && r.isNullAt(5))
+    // column-form parity: the registry splice is the SAME chain t68 runs
+    import spark.implicits._
+    val urls = Seq("http://a.com:80/p?gclid=1&x=2",
+      "relative/path?fbclid=z", "https://B.org/#top").toDF("u")
+    urls.createOrReplaceTempView("gsql_urls")
+    val viaSql = spark.sql("SELECT url_canon(u) c FROM gsql_urls")
+      .collect().map(_.getString(0)).toSeq
+    val viaCol = urls.select(functions.Url.canon("u").as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(viaSql == viaCol, s"$viaSql vs $viaCol")
+    // literal-only params fail fast at build time, not silently misplan
+    intercept[Exception](
+      spark.sql("SELECT char_grams('ab', CAST(NULL AS INT))").collect())
+    intercept[Exception](spark.sql(
+      "SELECT html_extract('<p>x</p>', length('ab'))").collect())
+  }
+
+  test("lang_nb: a fitted folded language-ID kernel registers as a " +
+      "session SQL function and matches predictFast bit-for-bit") {
+    import spark.implicits._
+    val train = Seq(
+      ("en", "the quick brown fox jumps over the lazy dog and then some"),
+      ("en", "this is another english sentence with the usual words"),
+      ("de", "der schnelle braune fuchs springt und dann noch etwas mehr"),
+      ("de", "dies ist ein weiterer deutscher satz mit den ueblichen"))
+      .toDF("lang", "text")
+    val m = operators.LangNb.fit(train, "text", "lang")
+    val k = operators.LangNb.kernel(m)
+    Graft.registerLangNb(spark, k)
+    val docs = Seq((1L, "the brown fox and the dog"),
+      (2L, "der braune fuchs und der satz"),
+      (3L, "zz"), (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("gsql_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, coalesce(lang_nb(text), 'unknown') lang_pred " +
+        "FROM gsql_docs ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val viaKernel = operators.LangNb.predictFast(docs, "doc_id", "text", k)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(viaSql == viaKernel, s"$viaSql vs $viaKernel")
+    assert(viaSql.map(_._2) == Seq("en", "de", "unknown", "unknown"))
+  }
 }

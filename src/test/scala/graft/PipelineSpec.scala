@@ -897,6 +897,51 @@ class PipelineSpec extends SparkSpec {
       CorpusStats.lineDedup(docs, "doc_id", "text", maxDf = 0))
   }
 
+  test("paragraph dedup: a MULTI-LINE boilerplate block drops as a " +
+      "unit while its individual lines are below any line-level df; " +
+      "paragraph order is preserved; lines inside surviving " +
+      "paragraphs are untouched") {
+    import graft.operators.CorpusStats
+    val banner = "COOKIE\nwe use cookies"       // 2-line block
+    val docs = Seq(
+      (1L, s"$banner\n\nbody A line1\nbody A line2\n\nunique a"),
+      (2L, s"$banner\n\nbody B"),
+      (3L, s"$banner\n\nbody C"),
+      (4L, banner)                               // all boilerplate
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.paragraphDedup(docs, "doc_id", "text", maxDf = 2)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    // df(banner) = 4 > 2 → dropped as a unit; bodies df = 1 survive
+    assert(got == Seq(
+      (1L, 3L, 2L, "body A line1\nbody A line2\n\nunique a"),
+      (2L, 2L, 1L, "body B"),
+      (3L, 2L, 1L, "body C"),
+      (4L, 1L, 0L, "")), got.toString)
+    // line-dedup on the same corpus at the same cap drops the banner
+    // LINES individually too (df counts are per line there), but a
+    // HALF-shared block shows the scope difference: a paragraph whose
+    // first line is frequent but whose block differs per doc survives
+    // paragraph dedup intact.
+    val half = Seq(
+      (1L, "COOKIE\nvariant one\n\nbody A"),
+      (2L, "COOKIE\nvariant two\n\nbody B"),
+      (3L, "COOKIE\nvariant three\n\nbody C")
+    ).toDF("doc_id", "text")
+    val para = CorpusStats.paragraphDedup(half, "doc_id", "text", maxDf = 2)
+      .orderBy($"doc_id").collect().map(_.getString(3)).toSeq
+    assert(para == Seq(
+      "COOKIE\nvariant one\n\nbody A",
+      "COOKIE\nvariant two\n\nbody B",
+      "COOKIE\nvariant three\n\nbody C"), "distinct blocks survive")
+    // (line scope also drops the blank separator line — df = 3)
+    val line = CorpusStats.lineDedup(half, "doc_id", "text", maxDf = 2)
+      .orderBy($"doc_id").collect().map(_.getString(3)).toSeq
+    assert(line.head == "variant one\nbody A",
+      "line scope drops the shared first line individually: " + line)
+  }
+
   test("redactPii breadth: formatted phones become <PHONE>, Luhn-VALID " +
       "cards become <CARD>, Luhn-invalid card-shaped numbers do NOT; " +
       "bare digit runs still fall to <NUM>") {

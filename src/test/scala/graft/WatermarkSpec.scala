@@ -157,4 +157,19 @@ class WatermarkSpec extends SparkSpec {
         s"state must not retain every row ever fed, got $lastState")
     } finally q.stop()
   }
+
+  test("q75 watermarked funnel: the query's own run evicts join state " +
+      "(bounded-state production form) AND matches the unwatermarked " +
+      "q56 pair set exactly on the in-order feed") {
+    val dir = "/root/testdata/sf0.001"
+    val wm = Queries.q75_stream_funnel_watermarked(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val qn = "graft_wmjoin_" + math.abs(dir.hashCode)
+    val removed = streaming.Streams.lastStateRowsRemoved.getOrElse(qn, 0L)
+    assert(removed > 0,
+      s"the multi-batch watermarked run must evict state, removed=$removed")
+    val batch = Queries.q56_stream_interval_join(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(wm == batch, s"watermarked (${wm.size}) != batch (${batch.size})")
+  }
 }
