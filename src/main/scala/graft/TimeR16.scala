@@ -96,19 +96,24 @@ object TimeR16 {
         "doc_id", $"n_btok", budget = 512L, shards = 4)
         .select($"doc_id", $"shard",
           ($"start_chunk" * 512L + $"chunk_offset").as("cum_excl"))
-      val toks = docs
+      // the word-level-offset plan (the t37PackedRows shape): the
+      // per-doc window + spans join run over WORD rows, the exploded
+      // token stream only passes broadcast probes
+      val words = docs
         .select($"doc_id",
           posexplode(split($"text", " ")).as(Seq("wi", "word")))
         .filter($"word" =!= "")
         .join(wt, "word")
-        .select($"doc_id", $"wi", posexplode($"toks").as(Seq("si", "token")))
-        .join(vid, "token")
-      val k = row_number().over(
-        Window.partitionBy($"doc_id").orderBy($"wi", $"si"))
-        .cast("long") - 1L
-      toks.withColumn("k", k)
+      val off = coalesce(
+        sum(size($"toks").cast("long")).over(
+          Window.partitionBy($"doc_id").orderBy($"wi")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      words.withColumn("off", off)
         .join(spans, "doc_id")
-        .withColumn("g", $"cum_excl" + $"k")
+        .select($"shard", $"cum_excl", $"off",
+          posexplode($"toks").as(Seq("si", "token")))
+        .join(vid, "token")
+        .withColumn("g", $"cum_excl" + $"off" + $"si")
         .select($"shard",
           graft.functions.RF.euclidDiv($"g", lit(512L)).as("chunk"),
           pmod($"g", lit(512L)).as("pos"), $"id")
