@@ -323,6 +323,45 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
       |   AND v.label = q.label)
       |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
+  // ---------------------------------------------------------------- s18
+  // SEMANTIC decontamination — the embedding analog of t09/t19/t51:
+  // rephrased eval leakage that shares no n-gram still sits next to
+  // the benchmark in embedding space. Benchmark = the vec_id % 83
+  // slice (the t09/t51 sampling convention); every remaining corpus
+  // vector reports its best benchmark match at the 6-dp rounded
+  // cosine with flagged = score ≥ 0.35 (τ sits at ~p90 of the
+  // best-score distribution here, so both branches populate). The
+  // bounded benchmark broadcasts; per-row arg-top-1 is a map-side
+  // WindowGroupLimit (the s06 shape).
+  def s18_sem_decontam(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    operators.Decontam.semReport(
+        emb.filter($"vec_id" % 83 =!= 0), "vec_id", "embedding",
+        emb.filter($"vec_id" % 83 === 0), "vec_id", "embedding",
+        tau = 0.35)
+      .select($"vec_id", $"bench_id", $"score",
+        $"flagged".cast("int").as("flagged"))
+      .orderBy($"vec_id")
+  }
+
+  private[graft] val s18_sql =
+    """WITH b AS (
+      |  SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS bv
+      |  FROM embeddings WHERE vec_id % 83 = 0),
+      |c AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings WHERE vec_id % 83 <> 0),
+      |p AS (
+      |  SELECT vec_id, bench_id,
+      |    ROUND(list_cosine_similarity(v, bv), 6) AS score,
+      |    ROW_NUMBER() OVER (PARTITION BY vec_id
+      |      ORDER BY ROUND(list_cosine_similarity(v, bv), 6) DESC,
+      |        bench_id) AS rk
+      |  FROM c CROSS JOIN b)
+      |SELECT vec_id, bench_id, score,
+      |  CAST(score >= 0.35 AS INT) AS flagged
+      |FROM p WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
   // ---------------------------------------------------------------- s12
   // MMR diversified re-ranking (Carbonell & Goldstein 1998) — the
   // post-ANN diversity pass a RAG retriever runs: greedy

@@ -246,4 +246,58 @@ object Decontam {
       .select(col(idCol)).distinct()
     corpus.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** Eval sets small enough to broadcast as a scoring side — the t25
+    * mandatory-gate rule for [[semReport]]'s benchmark table. */
+  val maxSemBench: Int = 1 << 16
+
+  /** SEMANTIC decontamination — the embedding analog of the n-gram
+    * tests (rephrased eval leakage that shares no 13-gram still sits
+    * next to the benchmark in embedding space): every corpus vector's
+    * single best benchmark match at the 6-dp ROUNDED cosine (the
+    * s01/s06 parity convention; ties break bench-id ASC), with
+    * `flagged` = score ≥ tau at 6 dp — emitted for EVERY corpus row so
+    * the report is never vacuous and doubles as a nearest-benchmark
+    * census.
+    *
+    * 100 TB shape: the benchmark side is an eval suite (bounded —
+    * gated at [[maxSemBench]], fail-fast like the GraphAnn append
+    * gate), so it BROADCASTS and the corpus side is one narrow scored
+    * pass; the per-corpus-row arg-top-1 is a map-side WindowGroupLimit
+    * before the single id shuffle (the s06 shape). If the benchmark
+    * ever outgrows the broadcast, route the corpus through the IVF
+    * cells (`Similarity.ivfKnnJoin`) instead. */
+  def semReport(corpus: DataFrame, idCol: String, vecCol: String,
+                bench: DataFrame, benchIdCol: String, benchVecCol: String,
+                tau: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = bench.select(col(benchIdCol).as("bench_id"),
+      col(benchVecCol).cast("array<double>").as("bv"))
+    val nb = b.limit(maxSemBench + 1).count()
+    require(nb > 0 && nb <= maxSemBench,
+      s"semReport benchmark has $nb rows — must be in [1, $maxSemBench] " +
+        "to broadcast (route through IVF cells above the gate)")
+    val v = corpus.select(col(idCol),
+      col(vecCol).cast("array<double>").as("v"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("bench_id").asc)
+    v.join(broadcast(b))
+      .select(col(idCol), col("bench_id"),
+        round(Similarity.cosine(col("v"), col("bv")), 6).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col(idCol), col("bench_id"), col("score"),
+        (col("score") >= tau).as("flagged"))
+  }
+
+  /** The corpus with semantically-contaminated rows dropped (the
+    * applied form of [[semReport]]). */
+  def semClean(corpus: DataFrame, idCol: String, vecCol: String,
+               bench: DataFrame, benchIdCol: String, benchVecCol: String,
+               tau: Double): DataFrame = {
+    val bad = semReport(corpus, idCol, vecCol, bench, benchIdCol,
+        benchVecCol, tau)
+      .filter(col("flagged")).select(col(idCol))
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
 }

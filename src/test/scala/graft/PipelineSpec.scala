@@ -1566,6 +1566,50 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("semantic decontamination: a planted near-copy of a benchmark " +
+      "vector flags, an orthogonal one does not; best match + rounded " +
+      "score equal the brute force; clean = complement; empty bench " +
+      "fails fast") {
+    import graft.operators.{Decontam, Similarity}
+    // bench: two orthogonal-ish anchors; corpus: a near-copy of bench
+    // 100 (flag), an orthogonal vector (no flag), and a mild mix
+    val bench = Seq(
+      (100L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (101L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.99, 0.01, 0.0, 0.0)),  // ~bench 100
+      (2L, Seq(0.0, 0.0, 1.0, 0.0)),    // orthogonal
+      (3L, Seq(0.5, 0.5, 0.5, 0.5))     // cos = .5 to both → bench 100 by tie
+    ).toDF("vec_id", "embedding")
+    val got = Decontam.semReport(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", tau = 0.9)
+      .orderBy($"vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3)))
+    assert(got.length == 3)
+    assert(got(0)._2 == 100L && got(0)._4, s"near-copy must flag: ${got(0)}")
+    assert(!got(1)._4 && got(1)._3 == 0.0, s"orthogonal must not: ${got(1)}")
+    // equal rounded scores tie-break to the LOWER bench id
+    assert(got(2)._2 == 100L && got(2)._3 == 0.5 && !got(2)._4)
+    // scores equal the scalar cosine at 6 dp
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      BigDecimal(d / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(got(0)._3 == cos(Seq(0.99, 0.01, 0.0, 0.0), Seq(1.0, 0.0, 0.0, 0.0)))
+    // clean drops exactly the flagged ids
+    val kept = Decontam.semClean(corpus, "vec_id", "embedding",
+        bench, "vec_id", "embedding", tau = 0.9)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    intercept[IllegalArgumentException](
+      Decontam.semReport(corpus, "vec_id", "embedding",
+        bench.filter($"vec_id" < 0L), "vec_id", "embedding", 0.9)
+        .collect())
+  }
+
   test("weighted sampling: pure function of (id, w) — rerun/layout " +
       "invariant; uniform weight scaling preserves the draw; raising " +
       "one row's weight only improves its rank; heavy rows " +
