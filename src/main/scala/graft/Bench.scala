@@ -34,7 +34,8 @@ object Bench {
     for (q <- Seq("q19_parted", "q20_csv", "q21_stream_tumbling",
         "s03_ann_ivf", "s07_pq_adc", "s08_ivfpq",
         "s14_graph_ann", "t59_cluster_state", "t60_stream_quantiles",
-        "t61_stream_html"))
+        "t61_stream_html", "t71_stream_line_clean",
+        "t75_stream_paragraph_clean", "q75_stream_funnel_watermarked"))
       try SparkEntry.queries(q)(spark, sfDir).count()
       catch { case _: Throwable => () }
 

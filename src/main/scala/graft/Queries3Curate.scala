@@ -1453,6 +1453,38 @@ private[graft] trait Queries3Curate extends Queries2Lm {
         $"n_kept", md5($"clean").as("clean_fp"))
       .orderBy($"doc_id")
 
+  // ---------------------------------------------------------------- t75
+  // STREAMING paragraph cleaning — t73 on a live feed (the t71
+  // pattern): the frequent-paragraph set is fit ONCE on the
+  // accumulated corpus (bounded driver pull at block scope), then each
+  // staged micro-batch cleans against it statelessly; accumulated
+  // output == the batch run row-for-row, so the oracle IS t73's SQL.
+  def t75_stream_paragraph_clean(spark: SparkSession,
+                                 dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft_stream/$key/paradedup_v1" +
+      s"_s${srcStamp(dir, "documents.parquet")}"
+    val paged = paraDocs(spark, dir).select($"doc_id", $"page")
+    if (!new java.io.File(s"$base/feed/_SUCCESS").exists())
+      paged.write.mode("overwrite").parquet(s"$base/feed")
+    if (!new java.io.File(s"$base/done").exists()) {
+      val freq = operators.CorpusStats.collectFrequentLines(paged,
+        "doc_id", "page", maxDf = 10, sep = "\n\n")
+      streaming.Streams.paragraphCleanStream(spark, s"$base/feed", paged,
+        "doc_id", "page", freq, outDir = s"$base/out",
+        checkpoint = s"$base/ckpt")
+      new java.io.File(s"$base/done").createNewFile()
+    }
+    spark.read.parquet(s"$base/out")
+      .dropDuplicates("doc_id")
+      .select($"doc_id", $"n_lines".as("n_paras"),
+        $"n_kept", md5($"clean").as("clean_fp"))
+      .orderBy($"doc_id")
+  }
+
+  // t75's oracle IS t73's SQL (stream == batch)
+  private[graft] lazy val t75_sql = t73_sql
+
   private[graft] lazy val t73_sql =
     """WITH pages AS MATERIALIZED (
       |  SELECT doc_id,

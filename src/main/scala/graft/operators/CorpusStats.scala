@@ -262,8 +262,9 @@ object CorpusStats {
     * corpus could still blow the driver). */
   def collectFrequentLines(corpus: DataFrame, idCol: String,
                            textCol: String, maxDf: Int,
-                           maxCollect: Int = 1 << 20): Seq[String] = {
-    val pulled = frequentLines(corpus, idCol, textCol, maxDf)
+                           maxCollect: Int = 1 << 20,
+                           sep: String = "\n"): Seq[String] = {
+    val pulled = frequentLines(corpus, idCol, textCol, maxDf, sep)
       .limit(maxCollect + 1).collect().map(_.getString(0)).toSeq
     require(pulled.length <= maxCollect,
       s"frequent-line set exceeds maxCollect=$maxCollect — raise maxDf " +

@@ -77,4 +77,47 @@ object Store {
 
   def writeCsv(df: DataFrame, path: String, sep: String = ","): Unit =
     df.write.mode("overwrite").option("header", "true").option("sep", sep).csv(path)
+
+  /** COMPACT a parquet dataset dir that accumulated many small append
+    * files (streaming ingest / incremental index appends — at 100 TB a
+    * store fed by thousands of micro-batches degrades every probe scan
+    * to small-file open/seek cost): rewrite the SAME row set into
+    * size-targeted files, preserving a hive partition layout when
+    * `partitionCols` is given (each partition value lands in one task →
+    * one file per partition dir), then swap directories. The swap is
+    * rename-based: not atomic for concurrent readers — run compaction
+    * in the store's maintenance window, like every parquet-table
+    * compactor. Contents are preserved as a SET (every consumer here
+    * aggregates, joins, or distinct-reads; none depends on intra-file
+    * row order). Returns (files before, files after). */
+  def compactParquet(spark: SparkSession, dir: String,
+                     partitionCols: Seq[String] = Nil,
+                     targetBytes: Long = 128L << 20): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val d = new java.io.File(dir)
+    require(d.isDirectory, s"compactParquet: no dataset at $dir")
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    def parts(f: java.io.File): Seq[java.io.File] =
+      walk(f).filter(_.getName.endsWith(".parquet"))
+    val before = parts(d)
+    val nFiles = math.max(1L,
+      (before.map(_.length).sum + targetBytes - 1) / targetBytes).toInt
+    val df = spark.read.parquet(dir)
+    val tmp = s"$dir.compact_tmp"
+    val w =
+      if (partitionCols.nonEmpty)
+        df.repartition(math.max(nFiles, partitionCols.size),
+            partitionCols.map(col): _*)
+          .write.partitionBy(partitionCols: _*)
+      else df.repartition(nFiles).write
+    w.mode("overwrite").parquet(tmp)
+    val old = new java.io.File(s"$dir.compact_old")
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    require(d.renameTo(old) && new java.io.File(tmp).renameTo(d),
+      s"compactParquet: directory swap failed for $dir")
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    (before.length, parts(d).length)
+  }
 }

@@ -406,7 +406,8 @@ object Streams {
                       schemaFrom: DataFrame, idCol: String,
                       textCol: String, frequent: Seq[String],
                       outDir: String, checkpoint: String,
-                      statePartitions: Int = 2): DataFrame = {
+                      statePartitions: Int = 2,
+                      sep: String = "\n"): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
@@ -416,7 +417,7 @@ object Streams {
         val bss = batch.sparkSession
         import bss.implicits._
         graft.operators.CorpusStats.lineDedupWithFreq(batch, idCol,
-            textCol, frequent.toDF("line"))
+            textCol, frequent.toDF("line"), sep)
           .write.mode("append").parquet(outDir)
       }
       .outputMode("append")
@@ -424,6 +425,17 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
     spark.read.parquet(outDir)
   }
+
+  /** [[lineCleanStream]] at PARAGRAPH scope (the t73 streaming twin):
+    * the same stateless per-batch anti-probe with sep = "\n\n", so
+    * multi-line boilerplate blocks drop as units on the live feed. */
+  def paragraphCleanStream(spark: SparkSession, srcDir: String,
+                           schemaFrom: DataFrame, idCol: String,
+                           textCol: String, frequent: Seq[String],
+                           outDir: String, checkpoint: String,
+                           statePartitions: Int = 2): DataFrame =
+    lineCleanStream(spark, srcDir, schemaFrom, idCol, textCol, frequent,
+      outDir, checkpoint, statePartitions, sep = "\n\n")
 
   /** Streaming ingest into the PERSISTED quantile-census store: each
     * micro-batch's (slice, value, count) cells append under the

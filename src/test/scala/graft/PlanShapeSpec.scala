@@ -451,4 +451,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(cell"),
       s"the rank window partitions by cell:\n$p")
   }
+
+  test("s18 (semantic decontam): the benchmark side broadcasts (nested " +
+      "loop — there is no equi-key), arg-top-1 prunes map-side, one id " +
+      "shuffle") {
+    val p = plan("s18_sem_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the benchmark must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit"),
+      s"rk = 1 must prune before the id shuffle:\n$p")
+  }
+
+  test("t74 (Gumbel DSIR): the resample is still a " +
+      "TakeOrderedAndProject — no global sort, no rank window") {
+    val p = plan("t74_dsir_gumbel")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k by key64 must fold:\n$p")
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window "),
+      s"no rank window expected:\n$p")
+  }
+
+  test("t73 (paragraph dedup): frequent-block set broadcasts back as an " +
+      "anti probe — no corpus self-join, no sort-merge") {
+    val p = plan("t73_paragraph_dedup")
+    assert(p.contains("BroadcastHashJoin") &&
+      p.contains("LeftAnti"), s"anti-probe must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus-vs-corpus join:\n$p")
+  }
 }

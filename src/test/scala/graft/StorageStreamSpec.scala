@@ -64,6 +64,46 @@ class StorageStreamSpec extends SparkSpec {
     assert(pairs() == p1, "duplicate append changed the candidate set")
   }
 
+  test("compactParquet: many small appended files rewrite into few, " +
+      "the hive partition layout survives, probe results are " +
+      "identical, and the unpartitioned store compacts too") {
+    import graft.operators.Dedup
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    val docs = Tables.load(spark, sf, "documents")
+    val idx = s"$base/index"
+    Dedup.buildLshIndex(docs.filter($"doc_id" % 8 === 0), "doc_id", "text",
+      16, 2, idx)
+    // 6 incremental appends → small-files accumulation
+    (1 to 6).foreach(i =>
+      Dedup.appendToLshIndex(docs.filter($"doc_id" % 8 === i), "doc_id",
+        "text", idx))
+    def pairs() = Dedup.probeLshIndex(docs.filter($"doc_id" % 8 === 7),
+        "doc_id", "text", idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def rows() = spark.read.parquet(s"$idx/buckets")
+      .collect().map(_.toString).sorted.toSeq
+    val (p1, r1) = (pairs(), rows())
+    val (before, after) = Store.compactParquet(spark, s"$idx/buckets",
+      partitionCols = Seq("band"))
+    assert(after < before, s"no compaction: $before -> $after")
+    assert(after <= 2, s"one file per band partition expected, got $after")
+    // partition layout survives (band= dirs still prune)
+    assert(new java.io.File(s"$idx/buckets/band=0").isDirectory)
+    assert(rows() == r1, "row set changed")
+    assert(pairs() == p1, "probe changed after compaction")
+    // unpartitioned dataset
+    val flat = s"$base/flat"
+    (0 to 4).foreach(i => docs.filter($"doc_id" % 5 === i)
+      .select($"doc_id", $"lang").repartition(3)
+      .write.mode("append").parquet(flat))
+    val fr1 = spark.read.parquet(flat).collect().map(_.toString).sorted.toSeq
+    val (fb, fa) = Store.compactParquet(spark, flat)
+    assert(fa < fb && fa == 1, s"$fb -> $fa")
+    assert(spark.read.parquet(flat).collect()
+      .map(_.toString).sorted.toSeq == fr1)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("csv round-trip preserves typed columns exactly") {
     val nation = Tables.load(spark, sf, "nation")
     val path = "/tmp/graft_test_csv"
