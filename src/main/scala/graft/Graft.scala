@@ -107,6 +107,8 @@ object Graft {
         case x => throw new IllegalArgumentException(
           s"char_grams(text, n) needs a literal n, got $x")
       }),
+      "nfc_normalize" -> ((exprs: Seq[Expression]) =>
+        functions.NfcNormalize(exprs.head)),
       // URL canonicalization / host: the one dual-dialect chain
       // (functions.Url.canonSql) parsed once with a placeholder child
       // spliced out — SQL users get the exact arithmetic the t68

@@ -348,7 +348,9 @@ private[graft] trait Queries2Lm extends Queries1Rel {
       .orderBy($"lang", $"lang_pred")
   }
 
-  private[graft] lazy val t66_sql =
+  // the fit half of the langid replay, shared verbatim by t66 and t76
+  // (concatenation below is byte-identical to the pre-split t66 SQL)
+  private[graft] lazy val langNbFitSql =
     s"""WITH tr AS MATERIALIZED (
        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 5 <> 4),
        |te AS MATERIALIZED (
@@ -374,7 +376,10 @@ private[graft] trait Queries2Lm extends Queries1Rel {
        |  ) s USING (lang)),
        |model AS MATERIALIZED (
        |  SELECT lang, gram, ${s64u("c + 1")} AS w64 FROM cv),
-       |base AS (SELECT lang, ${s64u("tv")} AS b64 FROM tot),
+       |base AS (SELECT lang, ${s64u("tv")} AS b64 FROM tot)""".stripMargin
+
+  private[graft] lazy val t66_sql =
+    langNbFitSql + s""",
        |eg AS MATERIALIZED (
        |  SELECT doc_id, gram FROM (
        |    SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS gram
@@ -400,6 +405,95 @@ private[graft] trait Queries2Lm extends Queries1Rel {
        |       CAST(COUNT(*) AS BIGINT) AS n
        |FROM te LEFT JOIN pred p USING (doc_id)
        |GROUP BY 1, 2 ORDER BY lang, lang_pred""".stripMargin
+
+  // ---------------------------------------------------------------- t76
+  // Per-LINE language-consistency card (CCNet's paragraph-level
+  // langid): pages are constructed per held-out doc as three lines —
+  // the doc's two text halves (its own language) + a planted English
+  // cookie banner — and each LINE is classified by the t66 trained
+  // model (the folded kernel: one codegen pass per line). The card is
+  // the (true lang, majority prediction, majority size) census: a
+  // non-English page with an English banner reads 2/3-consistent, the
+  // mixed-language-page signal a crawl cleaner keys on. Line keys pack
+  // injectively (doc_id·4 + pos) so the kernel path stays single-id.
+  private[graft] val t76Banner =
+    "Please accept all cookies to continue using this website"
+
+  def t76_line_lang_consistency(spark: SparkSession,
+                                dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val te = docs.filter($"doc_id" % 5 === 4L)
+    val m = langNbMemo(spark, dir, srcStamp(dir, "documents.parquet"))
+    val lines = te.select($"doc_id", posexplode(array(
+        expr("substring(text, 1, length(text) div 2)"),
+        expr("substring(text, length(text) div 2 + 1, length(text))"),
+        lit(t76Banner))).as(Seq("pos", "line")))
+      .select(($"doc_id" * 4L + $"pos").as("line_id"), $"line")
+    val pred = operators.LangNb.predict(lines, "line_id", "line", m)
+      .select(expr("line_id div 4").as("doc_id"), $"lang_pred")
+    val perDoc = pred.groupBy($"doc_id", $"lang_pred")
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"c".desc, $"lang_pred".asc)
+    val majority = perDoc.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .select($"doc_id", $"lang_pred".as("majority_pred"),
+        $"c".as("n_majority"))
+    te.select($"doc_id", $"lang").join(majority, Seq("doc_id"))
+      .groupBy($"lang", $"majority_pred", $"n_majority")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy($"lang", $"majority_pred", $"n_majority")
+  }
+
+  private[graft] lazy val t76_sql =
+    langNbFitSql + s""",
+       |ln AS MATERIALIZED (
+       |  SELECT doc_id, u.pos, CASE u.pos
+       |    WHEN 0 THEN substr(text, 1, length(text) // 2)
+       |    WHEN 1 THEN substr(text, length(text) // 2 + 1, length(text))
+       |    ELSE '$t76Banner' END AS line
+       |  FROM te, UNNEST([0, 1, 2]) AS u(pos)),
+       |lg AS MATERIALIZED (
+       |  SELECT doc_id, pos, gram FROM (
+       |    SELECT doc_id, pos, substr(line, CAST(i AS INTEGER), 3) AS gram
+       |    FROM ln,
+       |      UNNEST(range(1, greatest(length(line) - 2, 0) + 1)) AS u(i))
+       |  JOIN vocab USING (gram)),
+       |lnv AS (
+       |  SELECT doc_id, pos, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM lg GROUP BY 1, 2),
+       |lhits AS MATERIALIZED (
+       |  SELECT doc_id, pos, lang, CAST(SUM(w64) AS BIGINT) AS sw
+       |  FROM lg JOIN model USING (gram) GROUP BY 1, 2, 3),
+       |lsc AS (
+       |  SELECT v.doc_id, v.pos, b.lang,
+       |         COALESCE(h.sw, 0) - v.n * b.b64 AS score64
+       |  FROM lnv v CROSS JOIN base b
+       |  LEFT JOIN lhits h ON h.doc_id = v.doc_id AND h.pos = v.pos
+       |    AND h.lang = b.lang),
+       |lpred0 AS (
+       |  SELECT doc_id, pos, lang AS lang_pred FROM (
+       |    SELECT doc_id, pos, lang,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id, pos
+       |             ORDER BY score64 DESC, lang) AS rk FROM lsc)
+       |  WHERE rk = 1),
+       |lpred AS (
+       |  SELECT l.doc_id, COALESCE(p.lang_pred, 'unknown') AS lang_pred
+       |  FROM ln l LEFT JOIN lpred0 p
+       |    ON p.doc_id = l.doc_id AND p.pos = l.pos),
+       |pd AS (
+       |  SELECT doc_id, lang_pred, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM lpred GROUP BY 1, 2),
+       |mj AS (
+       |  SELECT doc_id, lang_pred AS majority_pred, c AS n_majority FROM (
+       |    SELECT doc_id, lang_pred, c,
+       |           ROW_NUMBER() OVER (PARTITION BY doc_id
+       |             ORDER BY c DESC, lang_pred) AS rk FROM pd)
+       |  WHERE rk = 1)
+       |SELECT te.lang, m.majority_pred, m.n_majority,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM te JOIN mj m USING (doc_id)
+       |GROUP BY 1, 2, 3 ORDER BY lang, majority_pred, n_majority""".stripMargin
 
   // ---------------------------------------------------------------- t32
   // The tokenize-then-pack final step, with the TRAINED tokenizer: BPE

@@ -1485,6 +1485,48 @@ private[graft] trait Queries3Curate extends Queries2Lm {
   // t75's oracle IS t73's SQL (stream == batch)
   private[graft] lazy val t75_sql = t73_sql
 
+  // ---------------------------------------------------------------- t77
+  // Unicode NFC normalization card — the preprocessing stage before
+  // any dedup/census/tokenizer table: decomposed and precomposed
+  // spellings of the SAME text hash apart everywhere downstream until
+  // canonical composition unifies them. Pages plant all three cases
+  // (decomposed e+U+0301 → composes, precomposed é → already NFC,
+  // plain ASCII → short-circuits); the card reports per-doc code-point
+  // counts before/after, a changed flag, and the normalized-text
+  // fingerprint — NFC is standard-pinned, so java.text.Normalizer and
+  // DuckDB's nfc_normalize agree byte-for-byte.
+  def t77_nfc_normalize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.NfcNormalize.nfc
+    val page = concat($"text",
+      when($"doc_id" % 3 === 0,
+          lit(" cafe\u0301 menu")) // decomposed e + combining acute
+        .when($"doc_id" % 3 === 1,
+          lit(" caf\u00e9 menu"))  // precomposed
+        .otherwise(lit(" plain menu")))
+    t(spark, dir, "documents")
+      .select($"doc_id", page.as("page"))
+      .select($"doc_id",
+        length($"page").cast("long").as("chars_before"),
+        length(nfc($"page")).cast("long").as("chars_after"),
+        ($"page" =!= nfc($"page")).cast("int").as("changed"),
+        md5(nfc($"page")).as("norm_fp"))
+      .orderBy($"doc_id")
+  }
+
+  private[graft] val t77_sql =
+    """WITH p AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' cafe' || chr(769) || ' menu'
+      |         WHEN doc_id % 3 = 1 THEN ' caf' || chr(233) || ' menu'
+      |         ELSE ' plain menu' END AS page
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(length(page) AS BIGINT) AS chars_before,
+      |  CAST(length(nfc_normalize(page)) AS BIGINT) AS chars_after,
+      |  CAST(page <> nfc_normalize(page) AS INT) AS changed,
+      |  md5(nfc_normalize(page)) AS norm_fp
+      |FROM p ORDER BY doc_id""".stripMargin
+
   private[graft] lazy val t73_sql =
     """WITH pages AS MATERIALIZED (
       |  SELECT doc_id,

@@ -59,6 +59,61 @@ class LangNbSpec extends SparkSpec {
     assert(nbAcc == 4, s"NB misclassified: $pred")
   }
 
+  test("per-line consistency card (the t76 shape): a planted English " +
+      "banner makes non-English pages 2/3-consistent with majority = " +
+      "the page's own language; English pages read 3/3") {
+    import org.apache.spark.sql.functions._
+    val m = LangNb.fit(trainFix, "text", "lang")
+    val banner = "Please accept all cookies to continue using this website"
+    // long sentences (vocabulary-adjacent to the training set) so each
+    // HALF carries enough trigram evidence on its own — the operator's
+    // granularity is the line, and a 4-word half is below any model's
+    // floor
+    val pages = Seq(
+      (1L, "en", "reading and writing simple english words all day " +
+        "long is the way that works well for the quick brown fox and " +
+        "the lazy dog in the hills"),
+      (2L, "de", "lesen und schreiben auf deutsch macht spass und der " +
+        "schnelle braune fuchs springt über den faulen hund mit " +
+        "klaren wörtern und sinn"),
+      (3L, "es", "leer y escribir en español todo el día está muy " +
+        "bien y el rápido zorro marrón salta sobre el perro perezoso " +
+        "con palabras claras y buenas"),
+      (4L, "fr", "lire et écrire en français toute la journée est " +
+        "agréable et le rapide renard brun saute par dessus le chien " +
+        "paresseux avec des mots clairs")).toDF("doc_id", "lang", "text")
+    val lines = pages.select($"doc_id", posexplode(array(
+        expr("substring(text, 1, length(text) div 2)"),
+        expr("substring(text, length(text) div 2 + 1, length(text))"),
+        lit(banner))).as(Seq("pos", "line")))
+      .select(($"doc_id" * 4L + $"pos").as("line_id"), $"line")
+    val counts = LangNb.predict(lines, "line_id", "line", m)
+      .select(expr("line_id div 4").as("doc_id"), $"lang_pred")
+      .groupBy($"doc_id", $"lang_pred").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val en = Seq((9L, "en", "reading and writing simple english words " +
+      "all day long works well for the quick brown fox and the lazy " +
+      "dog")).toDF("doc_id", "lang", "text")
+    pages.collect().foreach { r =>
+      val (id, lang) = (r.getLong(0), r.getString(1))
+      assert(counts((id, lang)) == (if (lang == "en") 3L else 2L),
+        s"doc $id ($lang) halves must classify as $lang: $counts")
+      if (lang != "en")
+        assert(counts((id, "en")) == 1L,
+          s"doc $id: the banner must classify en: $counts")
+    }
+    // an English page is fully consistent: all three lines read en
+    val enLines = en.select($"doc_id", posexplode(array(
+        expr("substring(text, 1, length(text) div 2)"),
+        expr("substring(text, length(text) div 2 + 1, length(text))"),
+        lit(banner))).as(Seq("pos", "line")))
+      .select(($"doc_id" * 4L + $"pos").as("line_id"), $"line")
+    val enPred = LangNb.predict(enLines, "line_id", "line", m)
+      .collect().map(_.getString(1)).toSeq
+    assert(enPred == Seq("en", "en", "en"), enPred.toString)
+  }
+
   test("fit + predict are layout-invariant, and sub-trigram docs " +
       "predict 'unknown'") {
     val m1 = LangNb.fit(trainFix, "text", "lang")

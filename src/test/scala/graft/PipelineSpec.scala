@@ -1566,6 +1566,37 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("NFC normalization: decomposed sequences compose, precomposed " +
+      "and ASCII pass through unchanged, ligatures survive (NFC not " +
+      "NFKC), idempotent, nulls propagate, SQL-callable") {
+    import graft.functions.NfcNormalize.nfc
+    val df = Seq(
+      (1L, "caf" + "e\u0301"),      // decomposed -> precomposed
+      (2L, "caf\u00e9"),            // already NFC
+      (3L, "plain ascii"),
+      (4L, "\ufb01le"),             // fi ligature: NFC keeps it
+      (5L, null.asInstanceOf[String]),
+      (6L, "a\u030a\u0301")        // a + ring + acute composes to U+01FB
+    ).toDF("id", "t")
+    val got = df.select($"id", nfc($"t").as("n")).orderBy($"id")
+      .collect().map(r => if (r.isNullAt(1)) null else r.getString(1))
+    assert(got(0) == "caf\u00e9", s"decomposed must compose: ${got(0)}")
+    assert(got(1) == "caf\u00e9" && got(2) == "plain ascii")
+    assert(got(3) == "\ufb01le", "NFC must not touch compatibility forms")
+    assert(got(4) == null)
+    assert(got(5) == "\u01fb", s"multi-mark composition: ${got(5)}")
+    // idempotence
+    val twice = df.filter($"t".isNotNull)
+      .select((nfc(nfc($"t")) === nfc($"t")).as("ok"))
+      .collect().map(_.getBoolean(0))
+    assert(twice.forall(identity))
+    // SQL surface
+    Graft.enableSql(spark)
+    assert(spark.sql(
+      "SELECT nfc_normalize('cafe\u0301') = 'caf\u00e9'")
+      .collect().head.getBoolean(0))
+  }
+
   test("semantic decontamination: a planted near-copy of a benchmark " +
       "vector flags, an orthogonal one does not; best match + rounded " +
       "score equal the brute force; clean = complement; empty bench " +
