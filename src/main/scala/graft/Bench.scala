@@ -35,7 +35,8 @@ object Bench {
         "s03_ann_ivf", "s07_pq_adc", "s08_ivfpq",
         "s14_graph_ann", "t59_cluster_state", "t60_stream_quantiles",
         "t61_stream_html", "t71_stream_line_clean",
-        "t75_stream_paragraph_clean", "q75_stream_funnel_watermarked"))
+        "t75_stream_paragraph_clean", "q75_stream_funnel_watermarked",
+        "t78_stream_langid"))
       try SparkEntry.queries(q)(spark, sfDir).count()
       catch { case _: Throwable => () }
 

@@ -495,6 +495,45 @@ private[graft] trait Queries2Lm extends Queries1Rel {
        |FROM te JOIN mj m USING (doc_id)
        |GROUP BY 1, 2, 3 ORDER BY lang, majority_pred, n_majority""".stripMargin
 
+  // ---------------------------------------------------------------- t78
+  // STREAMING language ID (the t66 production twin, the t35/t41
+  // pattern): the trained NB model persists once (LangNb.saveModel —
+  // fit on the labeled train split), then the held-out feed classifies
+  // per micro-batch against it through the folded kernel (a driver
+  // object, so no cross-session Dataset hand-off). The accumulated
+  // stream output censuses to EXACTLY the batch confusion table — the
+  // oracle IS t66's SQL. Parameter-stamped stage, replay appends
+  // nothing.
+  def t78_stream_langid(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val te = docs.filter($"doc_id" % 5 === 4L)
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft_stream/$key/langid_v1" +
+      s"_s${srcStamp(dir, "documents.parquet")}"
+    if (!new java.io.File(s"$base/feed/_SUCCESS").exists())
+      te.select($"doc_id", $"text").write.mode("overwrite")
+        .parquet(s"$base/feed")
+    if (!new java.io.File(s"$base/model/vocab/_SUCCESS").exists())
+      operators.LangNb.saveModel(
+        langNbMemo(spark, dir, srcStamp(dir, "documents.parquet")),
+        s"$base/model")
+    if (!new java.io.File(s"$base/done").exists()) {
+      streaming.Streams.langIdStream(spark, s"$base/feed",
+        te.select($"doc_id", $"text"), "doc_id", "text",
+        s"$base/model", outDir = s"$base/out",
+        checkpoint = s"$base/ckpt")
+      new java.io.File(s"$base/done").createNewFile()
+    }
+    spark.read.parquet(s"$base/out")
+      .dropDuplicates("doc_id")
+      .join(te.select($"doc_id", $"lang"), Seq("doc_id"))
+      .groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"lang_pred")
+  }
+
+  // t78's oracle IS t66's SQL (stream == batch)
+  private[graft] lazy val t78_sql = t66_sql
+
   // ---------------------------------------------------------------- t32
   // The tokenize-then-pack final step, with the TRAINED tokenizer: BPE
   // merges fit from the word-freq dict, each distinct word's subword

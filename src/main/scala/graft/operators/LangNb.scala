@@ -213,4 +213,31 @@ object LangNb {
         coalesce($"lang_pred", lit("unknown")).as("lang_pred"))
   }
 
+  /** Persist the fitted model (the NgramLm/Dsir lifecycle: fit ONCE on
+    * the labeled reference corpus, identify language anywhere — the
+    * most re-applied model in a crawl pipeline). Three bounded parquet
+    * parts; everything downstream (fold gate included) reloads from
+    * them bit-identically. */
+  def saveModel(m: Model, path: String): Unit = {
+    m.model.select($"gram", $"lang", $"w64")
+      .write.mode("overwrite").parquet(s"$path/model")
+    m.base.select($"lang", $"b64")
+      .write.mode("overwrite").parquet(s"$path/base")
+    m.vocab.select($"gram")
+      .write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+                path: String): Model = {
+    Seq("model", "base", "vocab").foreach { part =>
+      require(Similarity.fsDirExists(spark, s"$path/$part"),
+        s"no language-ID model at $path (missing $path/$part — " +
+          "saveModel one first)")
+    }
+    Model(
+      spark.read.parquet(s"$path/model").select($"gram", $"lang", $"w64"),
+      spark.read.parquet(s"$path/base").select($"lang", $"b64"),
+      spark.read.parquet(s"$path/vocab").select($"gram"))
+  }
+
 }

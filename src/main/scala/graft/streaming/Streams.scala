@@ -260,6 +260,35 @@ object Streams {
       textCol, graft.operators.Dsir.loadModel(spark, modelPath))
   }
 
+  /** Streaming language ID (the t66 production twin, the t35/t41
+    * pattern): each micro-batch of the document feed is classified
+    * against the PERSISTED LangNb model — fit once on the labeled
+    * reference corpus, identify language on the live crawl. The model
+    * folds into the serving kernel ONCE (a driver-side object, not a
+    * session-bound Dataset — so unlike the LM/DSIR streams there is
+    * no cross-session Dataset hand-off at all) and every batch is one
+    * narrow codegen pass. Stateless per batch, disk-as-state, drained
+    * replay appends nothing. */
+  def langIdStream(spark: SparkSession, srcDir: String,
+                   schemaFrom: DataFrame, idCol: String, textCol: String,
+                   modelPath: String, outDir: String, checkpoint: String,
+                   statePartitions: Int = 2): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val m = graft.operators.LangNb.loadModel(ss, modelPath)
+    val stream = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.LangNb.predict(batch, idCol, textCol, m)
+          .write.mode("append").parquet(outDir)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming Bloom decontamination (the t51 production twin): probe
     * a live document feed per micro-batch against the PERSISTED Bloom
     * artifact (`Decontam.buildBloomFilter` over the benchmark registry

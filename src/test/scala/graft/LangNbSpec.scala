@@ -114,6 +114,36 @@ class LangNbSpec extends SparkSpec {
     assert(enPred == Seq("en", "en", "en"), enPred.toString)
   }
 
+  test("persisted model: loadModel predicts bit-identically to the " +
+      "in-memory fit (kernel AND stage paths); missing parts fail " +
+      "fast; the streaming twin equals batch and replays as a no-op") {
+    val m = LangNb.fit(trainFix, "text", "lang")
+    val base = java.nio.file.Files.createTempDirectory("langnb").toString
+    LangNb.saveModel(m, s"$base/model")
+    val loaded = LangNb.loadModel(spark, s"$base/model")
+    def preds(mm: LangNb.Model) =
+      LangNb.predict(testFix, "doc_id", "text", mm)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    def stagePreds(mm: LangNb.Model) =
+      LangNb.predictStages(testFix, "doc_id", "text", mm)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(loaded) == preds(m))
+    assert(stagePreds(loaded) == stagePreds(m))
+    intercept[IllegalArgumentException](
+      LangNb.loadModel(spark, s"$base/nope"))
+    // streaming twin: classify the held-out feed against the store
+    testFix.select($"doc_id", $"text").write.parquet(s"$base/feed")
+    def run() = streaming.Streams.langIdStream(spark, s"$base/feed",
+      testFix.select($"doc_id", $"text"), "doc_id", "text",
+      s"$base/model", s"$base/out", s"$base/ckpt")
+    val streamed = run().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed == preds(m), "stream must equal batch")
+    assert(run().count() == testFix.count(),
+      "drained replay must append nothing")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("fit + predict are layout-invariant, and sub-trigram docs " +
       "predict 'unknown'") {
     val m1 = LangNb.fit(trainFix, "text", "lang")
