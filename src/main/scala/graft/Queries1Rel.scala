@@ -1053,6 +1053,41 @@ private[graft] trait Queries1Rel extends Queries0Shared {
       .select($"doc_id", $"pred", RF.roundBin($"score", 6).as("score"))
       .orderBy($"doc_id")
 
+  // ---------------------------------------------------------------- t79
+  // STREAMING quality classification (the t26 production twin, the
+  // t35/t41/t78 pattern): the weight vector persists once
+  // (QualityClassifier.saveWeights — a plain driver Array like the
+  // Bloom bits, so no session-bound Dataset exists anywhere), then the
+  // live feed scores per micro-batch in one narrow codegen map. The
+  // accumulated output equals the batch run row-for-row — the oracle
+  // IS t26's SQL. Parameter-stamped stage, replay appends nothing.
+  def t79_stream_quality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft_stream/$key/quality_v1" +
+      s"_s${srcStamp(dir, "documents.parquet")}"
+    if (!new java.io.File(s"$base/feed/_SUCCESS").exists())
+      docs.select($"doc_id", $"text").write.mode("overwrite")
+        .parquet(s"$base/feed")
+    if (!new java.io.File(s"$base/weights/_SUCCESS").exists())
+      operators.QualityClassifier.saveWeights(spark,
+        operators.QualityClassifier.defaultWeights, s"$base/weights")
+    if (!new java.io.File(s"$base/done").exists()) {
+      streaming.Streams.qualityScoreStream(spark, s"$base/feed",
+        docs.select($"doc_id", $"text"), "doc_id", "text",
+        s"$base/weights", outDir = s"$base/out",
+        checkpoint = s"$base/ckpt")
+      new java.io.File(s"$base/done").createNewFile()
+    }
+    spark.read.parquet(s"$base/out")
+      .dropDuplicates("doc_id")
+      .select($"doc_id", $"pred", RF.roundBin($"score", 6).as("score"))
+      .orderBy($"doc_id")
+  }
+
+  // t79's oracle IS t26's SQL (stream == batch)
+  private[graft] lazy val t79_sql = t26_sql
+
   private[graft] val t26_sql = {
     val w = operators.QualityClassifier.defaultWeights
     val punct =

@@ -140,4 +140,30 @@ object QualityClassifier {
       .select(col(idCol), $"z", sigmoidA($"z").as("score"),
         when($"z" >= 0d, 1L).otherwise(0L).as("pred"))
   }
+
+  /** Persist a fitted weight vector (the model-artifact lifecycle:
+    * fit once on the labeled slice, score any corpus/feed). Doubles
+    * round-trip exactly through parquet, so a loaded model scores
+    * bit-identically. */
+  def saveWeights(spark: org.apache.spark.sql.SparkSession,
+                  weights: Array[Double], path: String): Unit = {
+    require(weights.length == featureNames.length,
+      s"expected ${featureNames.length} weights, got ${weights.length}")
+    import spark.implicits._
+    weights.zipWithIndex.map { case (v, j) => (j, v) }.toSeq
+      .toDF("j", "w").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadWeights(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Array[Double] = {
+    require(Similarity.fsDirExists(spark, path),
+      s"no quality-classifier weights at $path — saveWeights one first")
+    val w = spark.read.parquet(path).orderBy(col("j"))
+      .collect().map(_.getDouble(1))
+    require(w.length == featureNames.length,
+      s"stored weight vector has ${w.length} entries, " +
+        s"expected ${featureNames.length}")
+    w
+  }
 }

@@ -289,6 +289,34 @@ object Streams {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming quality classification (the t26 production twin): each
+    * micro-batch scores against the PERSISTED weight vector — a plain
+    * driver-side Array[Double] like the Bloom bits, so no session-bound
+    * Dataset exists anywhere; every batch is one narrow codegen map.
+    * Stateless per batch, disk-as-state, drained replay appends
+    * nothing. */
+  def qualityScoreStream(spark: SparkSession, srcDir: String,
+                         schemaFrom: DataFrame, idCol: String,
+                         textCol: String, weightsPath: String,
+                         outDir: String, checkpoint: String,
+                         statePartitions: Int = 2): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val w = graft.operators.QualityClassifier.loadWeights(ss, weightsPath)
+    val stream = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.QualityClassifier
+          .score(batch, idCol, textCol, w)
+          .write.mode("append").parquet(outDir)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming Bloom decontamination (the t51 production twin): probe
     * a live document feed per micro-batch against the PERSISTED Bloom
     * artifact (`Decontam.buildBloomFilter` over the benchmark registry

@@ -51,6 +51,41 @@ class QualityClassifierSpec extends SparkSpec {
       s"keep-mean ${means(1L)} not above drop-mean ${means(0L)}")
   }
 
+  test("persisted weights: save/load round-trips doubles exactly, a " +
+      "loaded model scores bit-identically, the streaming twin equals " +
+      "batch and replays as a no-op; malformed stores fail fast") {
+    val base = java.nio.file.Files.createTempDirectory("qcw").toString
+    val w = QualityClassifier.defaultWeights
+    QualityClassifier.saveWeights(spark, w, s"$base/weights")
+    val loaded = QualityClassifier.loadWeights(spark, s"$base/weights")
+    assert(loaded.toSeq == w.toSeq, "doubles must round-trip exactly")
+    val small = docs.limit(50)
+    def scores(ws: Array[Double]) =
+      QualityClassifier.score(small, "doc_id", "text", ws)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+          r.getLong(3))).sortBy(_._1).toSeq
+    assert(scores(loaded) == scores(w))
+    intercept[IllegalArgumentException](
+      QualityClassifier.loadWeights(spark, s"$base/nope"))
+    // malformed store: wrong arity
+    import spark.implicits._
+    Seq((0, 1.0), (1, 2.0)).toDF("j", "w")
+      .write.parquet(s"$base/bad")
+    intercept[IllegalArgumentException](
+      QualityClassifier.loadWeights(spark, s"$base/bad"))
+    // streaming twin
+    small.select($"doc_id", $"text").write.parquet(s"$base/feed")
+    def run() = streaming.Streams.qualityScoreStream(spark, s"$base/feed",
+      small.select($"doc_id", $"text"), "doc_id", "text",
+      s"$base/weights", s"$base/out", s"$base/ckpt")
+    val streamed = run().collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(streamed == scores(w), "stream must equal batch")
+    assert(run().count() == 50L, "drained replay must append nothing")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("score applies the exact linear+algebraic-sigmoid chain " +
       "(left-assoc, the DuckDB-replayable form)") {
     val row = QualityClassifier.features(docs, "doc_id", "text")
