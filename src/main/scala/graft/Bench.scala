@@ -36,7 +36,8 @@ object Bench {
         "s14_graph_ann", "t59_cluster_state", "t60_stream_quantiles",
         "t61_stream_html", "t71_stream_line_clean",
         "t75_stream_paragraph_clean", "q75_stream_funnel_watermarked",
-        "t78_stream_langid", "t79_stream_quality"))
+        "t78_stream_langid", "t79_stream_quality",
+        "t80_stream_tokenize"))
       try SparkEntry.queries(q)(spark, sfDir).count()
       catch { case _: Throwable => () }
 

@@ -557,6 +557,56 @@ private[graft] trait Queries2Lm extends Queries1Rel {
       .orderBy($"doc_id")
   }
 
+  // ---------------------------------------------------------------- t80
+  // STREAMING tokenize-and-count (the tokenizer-lifecycle stream):
+  // the BPE merge table persists once (Bpe.saveModel — train once on
+  // the accumulated dict), then the live feed meters its token mass
+  // per micro-batch: each batch's own distinct-word table encodes
+  // through the stored merges (distributed map, bounded rank table in
+  // the closure — no driver pull, no session-bound Dataset), per-doc
+  // totals append. The accumulated output equals the batch count
+  // row-for-row; the oracle reads token lengths off the 40-stage BPE
+  // replay's final word states. Parameter-stamped stage, replay
+  // appends nothing.
+  def t80_stream_tokenize(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft_stream/$key/tokmeter_m${bpeMergeCount}" +
+      s"_s${srcStamp(dir, "documents.parquet")}"
+    if (!new java.io.File(s"$base/feed/_SUCCESS").exists())
+      docs.select($"doc_id", $"text").write.mode("overwrite")
+        .parquet(s"$base/feed")
+    if (!new java.io.File(s"$base/model/_SUCCESS").exists()) {
+      val (wf, _) = bpeWordFreq(spark, dir)
+      operators.Bpe.saveModel(spark,
+        operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount),
+        s"$base/model")
+    }
+    if (!new java.io.File(s"$base/done").exists()) {
+      streaming.Streams.tokenizeCountStream(spark, s"$base/feed",
+        docs.select($"doc_id", $"text"), "doc_id", "text",
+        s"$base/model", outDir = s"$base/out",
+        checkpoint = s"$base/ckpt")
+      new java.io.File(s"$base/done").createNewFile()
+    }
+    spark.read.parquet(s"$base/out")
+      .dropDuplicates("doc_id")
+      .select($"doc_id", $"n_btok")
+      .orderBy($"doc_id")
+  }
+
+  private[graft] lazy val t80_sql =
+    bpeHeadSql + s""",
+      |wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS ntok
+      |       FROM words_$bpeMergeCount),
+      |dt AS (
+      |  SELECT doc_id, CAST(SUM(ntok) AS BIGINT) AS n_btok
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents) dw
+      |  JOIN wt USING (word)
+      |  WHERE word <> '' GROUP BY doc_id)
+      |SELECT doc_id, n_btok FROM dt ORDER BY doc_id""".stripMargin
+
   private[graft] lazy val t32_sql =
     bpeHeadSql + s""",
       |wt AS (SELECT word, CAST(len(syms) AS BIGINT) AS ntok

@@ -317,6 +317,37 @@ object Streams {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming tokenize-and-count (the tokenizer-lifecycle stream:
+    * train BPE once, persist the merge table, meter token mass on the
+    * live feed — the accounting every ingestion pipeline runs before
+    * packing): per micro-batch, the batch's OWN distinct-word table
+    * encodes through the stored merges (`Bpe.wordTokens` is a
+    * distributed map with the bounded rank table in the closure — no
+    * driver pull, no session-bound Dataset), then the per-doc totals
+    * append. Stateless per batch, disk-as-state, replay no-op. */
+  def tokenizeCountStream(spark: SparkSession, srcDir: String,
+                          schemaFrom: DataFrame, idCol: String,
+                          textCol: String, modelPath: String,
+                          outDir: String, checkpoint: String,
+                          statePartitions: Int = 2): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val merges = graft.operators.Bpe.loadModel(ss, modelPath)
+    val stream = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val wf = graft.operators.Bpe.wordFreq(batch, textCol)
+        graft.operators.Bpe
+          .docTokenCounts(batch, idCol, textCol, wf, merges)
+          .write.mode("append").parquet(outDir)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming Bloom decontamination (the t51 production twin): probe
     * a live document feed per micro-batch against the PERSISTED Bloom
     * artifact (`Decontam.buildBloomFilter` over the benchmark registry

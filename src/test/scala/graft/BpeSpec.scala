@@ -361,6 +361,30 @@ class BpeSpec extends SparkSpec {
     assert(vitTotal <= greedyTotal)
   }
 
+  test("streaming tokenize-and-count equals batch docTokenCounts from " +
+      "the persisted merge table; drained replay appends nothing") {
+    val s = spark
+    import s.implicits._
+    val docs = Tables.load(spark, sf, "documents").limit(60)
+      .select($"doc_id", $"text")
+    val base = java.nio.file.Files.createTempDirectory("tokstream").toString
+    val wf = Bpe.wordFreq(docs, "text")
+    val merges = Bpe.trainMergesFromFreq(wf, 40)
+    Bpe.saveModel(spark, merges, s"$base/model")
+    docs.write.parquet(s"$base/feed")
+    def run() = streaming.Streams.tokenizeCountStream(spark,
+      s"$base/feed", docs, "doc_id", "text", s"$base/model",
+      s"$base/out", s"$base/ckpt")
+    val streamed = run().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batch = Bpe.docTokenCounts(docs, "doc_id", "text", wf, merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, "stream must equal batch")
+    assert(run().count() == batch.size.toLong,
+      "drained replay must append nothing")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("t72 unigram hard-EM: per-pass weighted total cost never " +
       "increases; unused pieces prune out of the census; the fitted " +
       "segmentations are brute-force optimal UNDER THE FITTED MODEL " +
