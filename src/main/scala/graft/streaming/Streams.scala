@@ -706,6 +706,9 @@ object Streams {
     require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
     val mm = df.agg(min(col(tsCol).cast("long")),
       max(col(tsCol).cast("long"))).head()
+    require(!mm.isNullAt(0),
+      s"stageTimeOrderedFeed: empty input (or all-null $tsCol) — " +
+        "nothing to stage")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val width = math.max(1L, (hi - lo) / nChunks + 1)
     val fdir = new java.io.File(dir)
