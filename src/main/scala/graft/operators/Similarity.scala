@@ -676,6 +676,51 @@ object Similarity {
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
   }
 
+  /** REBALANCE a persisted IVF index after appends drift the
+    * distribution: refit the centroids on the CURRENT vector set
+    * (deterministic — the same id-ordered seed rule + Lloyd as the
+    * build, so rebalancing ≡ rebuilding from scratch on the
+    * accumulated vectors, spec-pinned), reassign every vector, and
+    * rewrite the cell-partitioned layout — which also COMPACTS the
+    * per-cell small files appends accumulate (each cell lands in one
+    * task). Rename-swap like `Store.compactParquet`: not atomic for
+    * concurrent readers — a maintenance-window op, like every index
+    * rebuild. Search is CORRECT at any time (probes use whatever
+    * centroids are stored — append keeps every vector in its stored
+    * argmax cell); what rebalancing restores is the recall/cost of
+    * low-nProbe searches once appended data has drifted the cells. */
+  def rebalanceIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, nCells: Int,
+                        lloydIters: Int = LloydIters,
+                        kppSeed: Boolean = false): Unit = {
+    require(fsDirExists(spark, s"$path/centroids") &&
+        fsDirExists(spark, s"$path/vectors"),
+      s"rebalanceIvfIndex: no IVF index at $path")
+    import spark.implicits._
+    val v = spark.read.parquet(s"$path/vectors")
+      .select(col("id"), col("v"))
+    val seeds = if (kppSeed) kppSeeds(v, nCells) else centroidRows(v, nCells)
+    val cents = lloyd(v, seeds, lloydIters)
+    cents.toSeq.toDF("cell", "cv")
+      .write.mode("overwrite").parquet(s"$path/centroids.tmp")
+    assignCells(v, cents)
+      .select(col("id"), col("v"), col("cell"))
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/vectors.tmp")
+    def swap(part: String): Unit = {
+      val live = new java.io.File(s"$path/$part")
+      val tmp = new java.io.File(s"$path/$part.tmp")
+      val old = new java.io.File(s"$path/$part.old")
+      org.apache.commons.io.FileUtils.deleteQuietly(old)
+      require(live.renameTo(old) && tmp.renameTo(live),
+        s"rebalanceIvfIndex: swap failed for $path/$part")
+      org.apache.commons.io.FileUtils.deleteQuietly(old)
+    }
+    swap("centroids")
+    swap("vectors")
+  }
+
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      queryVec: Seq[Double], k: Int, nProbe: Int,
                      excludeId: Long = -1L): DataFrame = {

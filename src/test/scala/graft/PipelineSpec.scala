@@ -825,7 +825,30 @@ class PipelineSpec extends SparkSpec {
     // the drifted mode sits between two fitted cells; probing both must
     // recover its neighborhood
     assert(recallAt10(all, qid = 520L, nProbe = 2) >= 0.9)
+
+    // REBALANCE: refit on the accumulated set — must equal a
+    // from-scratch rebuild exactly (deterministic seeds + Lloyd), and
+    // the drifted mode should now have its own cell, restoring
+    // single-probe recall on it
+    Similarity.rebalanceIvfIndex(spark, path, nCells = 8)
+    val rebuilt = s"/tmp/graft_ivf_recall_rebuild/${System.nanoTime()}"
+    Similarity.buildIvfIndex(all, "vec_id", "embedding", nCells = 8, rebuilt)
+    def snap(p: String) = (
+      spark.read.parquet(s"$p/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq,
+      spark.read.parquet(s"$p/vectors").select($"id", $"cell").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toSeq)
+    assert(snap(path) == snap(rebuilt),
+      "rebalance must equal a from-scratch rebuild on the same set")
+    assert(recallAt10(all, qid = 520L, nProbe = 1) >= 0.9,
+      "post-rebalance the drifted mode is single-probe searchable")
+    // the rewrite also compacted: one file per occupied cell partition
+    val files = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(s"$path/vectors"),
+        Array("parquet"), true)
+    assert(files.size <= 8, s"compaction expected, got ${files.size} files")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rebuilt))
   }
 
   test("gopher rules: integer gates pin handmade pass/fail per rule") {
