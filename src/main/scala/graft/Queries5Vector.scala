@@ -362,6 +362,41 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
       |  CAST(score >= 0.35 AS INT) AS flagged
       |FROM p WHERE rk = 1 ORDER BY vec_id""".stripMargin
 
+  // ---------------------------------------------------------------- s19
+  // STREAMING semantic decontamination (the s18 production twin, the
+  // t35/t41 pattern): the bounded benchmark embedding set pulls once
+  // under the gate and rebuilds inside each batch session; the
+  // embedding feed reports best-match + τ flag per micro-batch. The
+  // accumulated output equals the batch run row-for-row — the oracle
+  // IS s18's SQL. Parameter-stamped stage, replay appends nothing.
+  def s19_stream_sem_decontam(spark: SparkSession,
+                              dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val corpus = emb.filter($"vec_id" % 83 =!= 0)
+      .select($"vec_id", $"embedding")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft_stream/$key/semdecon_t35" +
+      s"_s${srcStamp(dir, "embeddings.parquet")}"
+    if (!new java.io.File(s"$base/feed/_SUCCESS").exists())
+      corpus.write.mode("overwrite").parquet(s"$base/feed")
+    if (!new java.io.File(s"$base/done").exists()) {
+      val bench = operators.Decontam.collectSemBench(
+        emb.filter($"vec_id" % 83 === 0), "vec_id", "embedding")
+      streaming.Streams.semDecontamStream(spark, s"$base/feed", corpus,
+        "vec_id", "embedding", bench, tau = 0.35,
+        outDir = s"$base/out", checkpoint = s"$base/ckpt")
+      new java.io.File(s"$base/done").createNewFile()
+    }
+    spark.read.parquet(s"$base/out")
+      .dropDuplicates("vec_id")
+      .select($"vec_id", $"bench_id", $"score",
+        $"flagged".cast("int").as("flagged"))
+      .orderBy($"vec_id")
+  }
+
+  // s19's oracle IS s18's SQL (stream == batch)
+  private[graft] lazy val s19_sql = s18_sql
+
   // ---------------------------------------------------------------- s12
   // MMR diversified re-ranking (Carbonell & Goldstein 1998) — the
   // post-ANN diversity pass a RAG retriever runs: greedy

@@ -290,6 +290,22 @@ object Decontam {
         (col("score") >= tau).as("flagged"))
   }
 
+  /** Driver-side benchmark embedding set for the STREAMING scoring
+    * form (s19): bounded pull under the [[maxSemBench]] gate (the
+    * collectFrequentLines pattern) — each micro-batch rebuilds it as
+    * a DataFrame inside its own session (Datasets are session-bound,
+    * the q55 rule). */
+  def collectSemBench(bench: DataFrame, idCol: String,
+                      vecCol: String): Array[(Long, Seq[Double])] = {
+    val rows = bench.select(col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"))
+      .limit(maxSemBench + 1).collect()
+    require(rows.nonEmpty && rows.length <= maxSemBench,
+      s"semantic benchmark has ${rows.length} rows — must be in " +
+        s"[1, $maxSemBench]")
+    rows.map(r => (r.getLong(0), r.getSeq[Double](1)))
+  }
+
   /** The corpus with semantically-contaminated rows dropped (the
     * applied form of [[semReport]]). */
   def semClean(corpus: DataFrame, idCol: String, vecCol: String,

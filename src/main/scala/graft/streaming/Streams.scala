@@ -348,6 +348,36 @@ object Streams {
     spark.read.parquet(outDir)
   }
 
+  /** Streaming SEMANTIC decontamination (the s18 production twin): the
+    * bounded benchmark embedding set pulls to the driver once
+    * (`Decontam.collectSemBench`, gated) and rebuilds as a DataFrame
+    * INSIDE each batch session (the q55 rule — Datasets are
+    * session-bound), so every micro-batch of the embedding feed
+    * reports its best benchmark match + τ flag statelessly. */
+  def semDecontamStream(spark: SparkSession, srcDir: String,
+                        schemaFrom: DataFrame, idCol: String,
+                        vecCol: String,
+                        bench: Array[(Long, Seq[Double])], tau: Double,
+                        outDir: String, checkpoint: String,
+                        statePartitions: Int = 2): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val stream = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bss = batch.sparkSession
+        import bss.implicits._
+        graft.operators.Decontam.semReport(batch, idCol, vecCol,
+            bench.toSeq.toDF("bench_id", "bv"), "bench_id", "bv", tau)
+          .write.mode("append").parquet(outDir)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(outDir)
+  }
+
   /** Streaming Bloom decontamination (the t51 production twin): probe
     * a live document feed per micro-batch against the PERSISTED Bloom
     * artifact (`Decontam.buildBloomFilter` over the benchmark registry

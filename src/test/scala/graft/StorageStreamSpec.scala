@@ -104,6 +104,31 @@ class StorageStreamSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("streaming semantic decontamination equals the batch report " +
+      "bit-for-bit and a drained replay appends nothing") {
+    import graft.operators.Decontam
+    val base = java.nio.file.Files.createTempDirectory("semdec").toString
+    val emb = Tables.load(spark, sf, "embeddings")
+    val corpus = emb.filter($"vec_id" % 83 =!= 0)
+      .select($"vec_id", $"embedding")
+    val benchDf = emb.filter($"vec_id" % 83 === 0)
+    corpus.write.parquet(s"$base/feed")
+    val bench = Decontam.collectSemBench(benchDf, "vec_id", "embedding")
+    def run() = streaming.Streams.semDecontamStream(spark, s"$base/feed",
+      corpus, "vec_id", "embedding", bench, tau = 0.35,
+      s"$base/out", s"$base/ckpt")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getBoolean(3))).sortBy(_._1).toSeq
+    val streamed = rows(run())
+    val batch = rows(Decontam.semReport(corpus, "vec_id", "embedding",
+      benchDf, "vec_id", "embedding", tau = 0.35))
+    assert(streamed == batch, "stream must equal batch")
+    assert(run().count() == batch.length.toLong,
+      "drained replay must append nothing")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("csv round-trip preserves typed columns exactly") {
     val nation = Tables.load(spark, sf, "nation")
     val path = "/tmp/graft_test_csv"
