@@ -1944,8 +1944,10 @@ private[graft] trait Queries2Lm extends Queries1Rel {
       s"(64 * (length(bin($q)) - 1) " +
         s"+ ((($q) << 6) >> (length(bin($q)) - 1)) - 64)"
     val x = s"xor(doc_id, $dsirGumbelSeed)"
+    // BOTH words mod 2^31 — Sampling.decisionHash pmods the hi word
+    // too, and without it the replica diverges for ids >= 2^62
     val h = s"GREATEST(((($x % 2147483648) * 2654435761) % 4294967296" +
-      s" + (($x // 2147483648) * 2246822519) % 4294967296)" +
+      s" + ((($x // 2147483648) % 2147483648) * 2246822519) % 4294967296)" +
       s" % 4294967296, 1)"
     val key = s"lw64 - ${s64(s"2048 - ${s64(h)}")}"
     s"""SELECT doc_id, n_gram, lw64, CAST($key AS BIGINT) AS key64

@@ -271,12 +271,15 @@ object Decontam {
                 bench: DataFrame, benchIdCol: String, benchVecCol: String,
                 tau: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val b = bench.select(col(benchIdCol).as("bench_id"),
-      col(benchVecCol).cast("array<double>").as("bv"))
-    val nb = b.limit(maxSemBench + 1).count()
-    require(nb > 0 && nb <= maxSemBench,
-      s"semReport benchmark has $nb rows — must be in [1, $maxSemBench] " +
-        "to broadcast (route through IVF cells above the gate)")
+    // the gated pull MATERIALIZES the benchmark (the GraphAnn
+    // append-consistency rule): gating a lazy plan's count and then
+    // re-evaluating it in the broadcast could score a different set
+    // than was gated on a non-deterministic/concurrently-growing
+    // source — broadcast the exact rows that passed the gate
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val b = collectSemBench(bench, benchIdCol, benchVecCol).toSeq
+      .toDF("bench_id", "bv")
     val v = corpus.select(col(idCol),
       col(vecCol).cast("array<double>").as("v"))
     val w = Window.partitionBy(col(idCol))

@@ -84,10 +84,13 @@ object LangNb {
       * SessionMemo), so the fold runs once per (session, corpus). */
     @transient lazy val foldKernel
         : Option[graft.functions.LangNbKernel] = {
-      val rows = model.select(col("gram"), col("lang"), col("w64"))
-        .limit(maxFoldRows + 1).collect()
-      if (rows.length > maxFoldRows) None
-      else Some(kernelFromRows(this, rows))
+      // gate on a COUNT before any collect (the NgramLm.foldModel
+      // rule): an over-gate model must never materialize ~4M driver
+      // Rows just to learn it doesn't fold
+      val n = model.limit(maxFoldRows + 1).count()
+      if (n > maxFoldRows) None
+      else Some(kernelFromRows(this,
+        model.select(col("gram"), col("lang"), col("w64")).collect()))
     }
   }
 

@@ -623,15 +623,23 @@ object Similarity {
                     kppSeed: Boolean = false): Unit = {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
+    fitAndWriteIvf(v, nCells, path, lloydIters, kppSeed)
+  }
+
+  /** The one fit→write chain behind [[buildIvfIndex]] AND
+    * [[rebalanceIvfIndex]] (a layout/schema change lands in both or
+    * neither): deterministic seeds + Lloyd, centroid table, then one
+    * narrow assignment pass into the cell-partitioned vector layout —
+    * the only Exchange is the repartition that sizes the per-cell
+    * output files. */
+  private def fitAndWriteIvf(v: DataFrame, nCells: Int, path: String,
+                             lloydIters: Int, kppSeed: Boolean): Unit = {
     val seeds = if (kppSeed) kppSeeds(v, nCells) else centroidRows(v, nCells)
     val cents = lloyd(v, seeds, lloydIters)
-    val spark = df.sparkSession
+    val spark = v.sparkSession
     import spark.implicits._
     cents.toSeq.toDF("cell", "cv")
       .write.mode("overwrite").parquet(s"$path/centroids")
-    // one narrow assignment pass (no shuffle), then the partitioned write
-    // — the only Exchange in the build is the repartition that sizes the
-    // per-cell output files.
     assignCells(v, cents)
       .select(col("id"), col("v"), col("cell"))
       .repartition(col("cell"))
@@ -696,29 +704,25 @@ object Similarity {
     require(fsDirExists(spark, s"$path/centroids") &&
         fsDirExists(spark, s"$path/vectors"),
       s"rebalanceIvfIndex: no IVF index at $path")
-    import spark.implicits._
     val v = spark.read.parquet(s"$path/vectors")
       .select(col("id"), col("v"))
-    val seeds = if (kppSeed) kppSeeds(v, nCells) else centroidRows(v, nCells)
-    val cents = lloyd(v, seeds, lloydIters)
-    cents.toSeq.toDF("cell", "cv")
-      .write.mode("overwrite").parquet(s"$path/centroids.tmp")
-    assignCells(v, cents)
-      .select(col("id"), col("v"), col("cell"))
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/vectors.tmp")
-    def swap(part: String): Unit = {
-      val live = new java.io.File(s"$path/$part")
-      val tmp = new java.io.File(s"$path/$part.tmp")
-      val old = new java.io.File(s"$path/$part.old")
-      org.apache.commons.io.FileUtils.deleteQuietly(old)
-      require(live.renameTo(old) && tmp.renameTo(live),
-        s"rebalanceIvfIndex: swap failed for $path/$part")
-      org.apache.commons.io.FileUtils.deleteQuietly(old)
-    }
-    swap("centroids")
-    swap("vectors")
+      // the rewrite replaces the files this plan reads — materialize
+      // the current vector set before any write touches the directory
+      .localCheckpoint()
+    // build the COMPLETE new index under one tmp root, then swap the
+    // whole root in ONE rename pair — a per-part swap could fail
+    // between parts and leave NEW centroids live over OLD-partitioned
+    // vectors, which searches silently (wrong cells pruned); with the
+    // root swap the index is always a consistent (centroids, vectors)
+    // pair
+    val tmp = s"$path.rebuild_tmp"
+    fitAndWriteIvf(v, nCells, tmp, lloydIters, kppSeed)
+    val live = new java.io.File(path)
+    val old = new java.io.File(s"$path.rebuild_old")
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    require(live.renameTo(old) && new java.io.File(tmp).renameTo(live),
+      s"rebalanceIvfIndex: index-root swap failed for $path")
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
   }
 
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,

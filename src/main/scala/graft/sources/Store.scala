@@ -101,16 +101,33 @@ object Store {
       else Seq(f)
     def parts(f: java.io.File): Seq[java.io.File] =
       walk(f).filter(_.getName.endsWith(".parquet"))
+    // an omitted partitionCols on a hive-partitioned dir would
+    // silently FLATTEN the layout (reads stay correct, but every
+    // future partition-pruned probe degrades to a full scan) — infer
+    // the layout from the `name=value` directory structure instead of
+    // trusting the caller to restate it
+    val layout =
+      if (partitionCols.nonEmpty) partitionCols
+      else {
+        def levels(f: java.io.File, acc: List[String]): List[String] =
+          Option(f.listFiles).toSeq.flatten
+            .find(x => x.isDirectory && x.getName.contains("=")) match {
+            case Some(sub) =>
+              levels(sub, acc :+ sub.getName.takeWhile(_ != '='))
+            case None => acc
+          }
+        levels(d, Nil)
+      }
     val before = parts(d)
     val nFiles = math.max(1L,
       (before.map(_.length).sum + targetBytes - 1) / targetBytes).toInt
     val df = spark.read.parquet(dir)
     val tmp = s"$dir.compact_tmp"
     val w =
-      if (partitionCols.nonEmpty)
-        df.repartition(math.max(nFiles, partitionCols.size),
-            partitionCols.map(col): _*)
-          .write.partitionBy(partitionCols: _*)
+      if (layout.nonEmpty)
+        df.repartition(math.max(nFiles, layout.size),
+            layout.map(col): _*)
+          .write.partitionBy(layout: _*)
       else df.repartition(nFiles).write
     w.mode("overwrite").parquet(tmp)
     val old = new java.io.File(s"$dir.compact_old")

@@ -286,7 +286,17 @@ object Streams {
       .outputMode("append")
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(outDir)
+    if (outDirExists(spark, outDir)) spark.read.parquet(outDir)
+    else graft.operators.LangNb.predict(schemaFrom.limit(0), idCol,
+      textCol, graft.operators.LangNb.loadModel(spark, modelPath))
+  }
+
+  /** An empty feed leaves outDir unwritten (foreachBatch never runs) —
+    * the t35/t41 streams return a schema-correct EMPTY result instead
+    * of throwing path-not-found; the shared existence check. */
+  private def outDirExists(spark: SparkSession, outDir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(outDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Streaming quality classification (the t26 production twin): each
@@ -314,7 +324,10 @@ object Streams {
       .outputMode("append")
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(outDir)
+    if (outDirExists(spark, outDir)) spark.read.parquet(outDir)
+    else graft.operators.QualityClassifier.score(schemaFrom.limit(0),
+      idCol, textCol,
+      graft.operators.QualityClassifier.loadWeights(spark, weightsPath))
   }
 
   /** Streaming tokenize-and-count (the tokenizer-lifecycle stream:
@@ -345,7 +358,13 @@ object Streams {
       .outputMode("append")
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(outDir)
+    if (outDirExists(spark, outDir)) spark.read.parquet(outDir)
+    else {
+      val merges0 = graft.operators.Bpe.loadModel(spark, modelPath)
+      graft.operators.Bpe.docTokenCounts(schemaFrom.limit(0), idCol,
+        textCol, graft.operators.Bpe.wordFreq(schemaFrom.limit(0),
+          textCol), merges0)
+    }
   }
 
   /** Streaming SEMANTIC decontamination (the s18 production twin): the
@@ -375,7 +394,14 @@ object Streams {
       .outputMode("append")
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(outDir)
+    if (outDirExists(spark, outDir)) spark.read.parquet(outDir)
+    else {
+      import spark.implicits._
+      graft.operators.Decontam.semReport(
+        schemaFrom.limit(0).select(col(idCol), col(vecCol)), idCol,
+        vecCol, bench.toSeq.toDF("bench_id", "bv"), "bench_id", "bv",
+        tau)
+    }
   }
 
   /** Streaming Bloom decontamination (the t51 production twin): probe
@@ -541,7 +567,12 @@ object Streams {
       .outputMode("append")
       .start()
     try q.processAllAvailable() finally q.stop()
-    spark.read.parquet(outDir)
+    if (outDirExists(spark, outDir)) spark.read.parquet(outDir)
+    else {
+      import spark.implicits._
+      graft.operators.CorpusStats.lineDedupWithFreq(
+        schemaFrom.limit(0), idCol, textCol, frequent.toDF("line"), sep)
+    }
   }
 
   /** [[lineCleanStream]] at PARAGRAPH scope (the t73 streaming twin):
@@ -735,10 +766,16 @@ object Streams {
                            dir: String): Unit = {
     require(nChunks >= 1, s"nChunks must be >= 1, got $nChunks")
     val mm = df.agg(min(col(tsCol).cast("long")),
-      max(col(tsCol).cast("long"))).head()
+      max(col(tsCol).cast("long")),
+      sum(when(col(tsCol).isNull, 1L).otherwise(0L))).head()
     require(!mm.isNullAt(0),
       s"stageTimeOrderedFeed: empty input (or all-null $tsCol) — " +
         "nothing to stage")
+    // a null ts would fall into NO chunk's range filter and silently
+    // vanish from the feed, breaking the stream==batch contract
+    require(mm.getLong(2) == 0L,
+      s"stageTimeOrderedFeed: ${mm.getLong(2)} null-$tsCol rows would " +
+        "be dropped — clean or route them before staging")
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))
     val width = math.max(1L, (hi - lo) / nChunks + 1)
     val fdir = new java.io.File(dir)

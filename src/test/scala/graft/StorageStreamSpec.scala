@@ -91,6 +91,15 @@ class StorageStreamSpec extends SparkSpec {
     assert(new java.io.File(s"$idx/buckets/band=0").isDirectory)
     assert(rows() == r1, "row set changed")
     assert(pairs() == p1, "probe changed after compaction")
+    // partitionCols OMITTED: the layout is inferred from the band=
+    // directory structure instead of silently flattening it
+    Dedup.appendToLshIndex(docs.filter($"doc_id" % 8 === 6), "doc_id",
+      "text", idx)
+    val (p2r, r2x) = (pairs(), rows())
+    Store.compactParquet(spark, s"$idx/buckets")
+    assert(new java.io.File(s"$idx/buckets/band=0").isDirectory,
+      "inferred layout must survive a no-args compaction")
+    assert(rows() == r2x && pairs() == p2r)
     // unpartitioned dataset
     val flat = s"$base/flat"
     (0 to 4).foreach(i => docs.filter($"doc_id" % 5 === i)
