@@ -109,6 +109,13 @@ object Graft {
       }),
       "nfc_normalize" -> ((exprs: Seq[Expression]) =>
         functions.NfcNormalize(exprs.head)),
+      "cdc_chunks" -> ((exprs: Seq[Expression]) =>
+        (exprs(1), exprs(2)) match {
+          case (Literal(w: Int, _), Literal(mb: Int, _)) =>
+            functions.CdcChunks(exprs.head, w, mb)
+          case (x, y) => throw new IllegalArgumentException(
+            s"cdc_chunks(text, w, maskBits) needs literal ints, got $x, $y")
+        }),
       // URL canonicalization / host: the one dual-dialect chain
       // (functions.Url.canonSql) parsed once with a placeholder child
       // spliced out — SQL users get the exact arithmetic the t68

@@ -1485,6 +1485,64 @@ private[graft] trait Queries3Curate extends Queries2Lm {
   // t75's oracle IS t73's SQL (stream == batch)
   private[graft] lazy val t75_sql = t73_sql
 
+  // ---------------------------------------------------------------- t81
+  // CONTENT-DEFINED CHUNKING dedup census (rsync/LBFS, Muthitacharoen
+  // et al. 2001): chunk boundaries fall where a 16-code-point rolling
+  // polynomial hash hits the 2^5 mask, so boundaries track CONTENT —
+  // shifted duplicate text (same article behind a changed preamble)
+  // re-aligns on identical boundaries and shares chunk fingerprints,
+  // the signal fixed shingles and line/paragraph scopes miss. ONE
+  // codegen pass + one fingerprint census shuffle; the oracle replays
+  // the hash as a per-position closed-form sum (position-local — the
+  // reason basic CDC, not FastCDC with its sequential min/max state,
+  // is the replayable choice).
+  def t81_cdc_dedup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select($"doc_id",
+        explode(graft.functions.CdcChunks.chunks($"text", 16, 5))
+          .as("chunk"))
+      .select($"doc_id", md5($"chunk").as("fp"))
+      .groupBy($"fp")
+      .agg(countDistinct($"doc_id").as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter($"n_docs" >= 2L)
+      .orderBy($"fp")
+
+  private[graft] lazy val t81_sql = {
+    val (w, div) = (16, 32)
+    val pows = {
+      var x = 1L
+      (0 until w).map { _ => val r = x; x = x * 257L % 2147483647L; r }
+    }
+    val terms = (0 until w)
+      .map(j => s"CAST(unicode(cs[i - $j]) AS BIGINT) * ${pows(j)}")
+      .mkString(" +\n      |      ")
+    s"""WITH cs AS MATERIALIZED (
+       |  SELECT doc_id, string_split(text, '') AS cs
+       |  FROM documents WHERE text <> ''),
+       |h AS (
+       |  SELECT doc_id, i,
+       |    ($terms) % 2147483647 AS hv
+       |  FROM cs, UNNEST(range($w, len(cs) + 1)) AS u(i)),
+       |bnd AS (
+       |  SELECT DISTINCT doc_id, i FROM (
+       |    SELECT doc_id, i FROM h WHERE hv % $div = 0
+       |    UNION ALL
+       |    SELECT doc_id, len(cs) AS i FROM cs)),
+       |cpos AS (
+       |  SELECT doc_id,
+       |    COALESCE(LAG(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS s,
+       |    i AS e
+       |  FROM bnd),
+       |ch AS (
+       |  SELECT c.doc_id, md5(array_to_string(v.cs[c.s+1:c.e], '')) AS fp
+       |  FROM cpos c JOIN cs v USING (doc_id) WHERE c.e > c.s)
+       |SELECT fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_occ
+       |FROM ch GROUP BY fp HAVING COUNT(DISTINCT doc_id) >= 2
+       |ORDER BY fp""".stripMargin
+  }
+
   // ---------------------------------------------------------------- t77
   // Unicode NFC normalization card — the preprocessing stage before
   // any dedup/census/tokenizer table: decomposed and precomposed

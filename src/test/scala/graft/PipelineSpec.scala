@@ -1620,6 +1620,47 @@ class PipelineSpec extends SparkSpec {
       .collect().head.getBoolean(0))
   }
 
+  test("content-defined chunking: chunks reassemble, the expression " +
+      "matches the closed-form reference, shifted shared content " +
+      "re-aligns on identical chunk fingerprints (the CDC property " +
+      "fixed shingles lack), and edges hold") {
+    import graft.functions.CdcChunks
+    def chunksOf(s: String): Seq[String] =
+      Seq(s).toDF("t").select(CdcChunks.chunks($"t", 16, 5)).collect()
+        .head.getSeq[String](0)
+    val rnd = new scala.util.Random(11)
+    val S = (1 to 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val cs = chunksOf(S)
+    assert(cs.nonEmpty && cs.mkString == S, "chunks must reassemble")
+    assert(cs.length > 3, s"mask 1/32 over 400 chars: ${cs.length}")
+    // closed-form reference (the oracle's per-position sum)
+    def ref(s: String, w: Int, mb: Int): Seq[String] = {
+      val cps = s.map(_.toInt) // ASCII fixture: char == code point
+      val pows = {
+        var x = 1L
+        (0 until w).map { _ => val r = x; x = x * 257L % 2147483647L; r }
+      }
+      val bnds = ((w to s.length).filter { i =>
+        val h = (0 until w).map(j => cps(i - 1 - j) * pows(j)).sum %
+          2147483647L
+        h % (1L << mb) == 0L
+      } :+ s.length).distinct.sorted
+      var prev = 0
+      bnds.map { b => val c = s.substring(prev, b); prev = b; c }
+    }
+    assert(cs == ref(S, 16, 5), "incremental must equal the closed form")
+    // THE property: same suffix behind different-length preambles
+    // shares its chunk set past the perturbed window
+    val shared = chunksOf("PREAMBLE ONE: " + S).toSet
+      .intersect(chunksOf("a different, longer preamble here: " + S).toSet)
+    assert(shared.nonEmpty, "shifted shared content must share chunks")
+    assert(shared.subsetOf(cs.toSet + cs.head), // re-aligned tail chunks
+      "shared chunks must be S's own chunks")
+    // edges: empty → no chunks; below the window → one whole chunk
+    assert(chunksOf("").isEmpty)
+    assert(chunksOf("tiny") == Seq("tiny"))
+  }
+
   test("semantic decontamination: a planted near-copy of a benchmark " +
       "vector flags, an orthogonal one does not; best match + rounded " +
       "score equal the brute force; clean = complement; empty bench " +
