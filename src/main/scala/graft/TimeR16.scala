@@ -133,6 +133,19 @@ object TimeR16 {
         maxPieceSyms = 8)
     }
 
+    // ---- t81: CDC chunk pass + fingerprint census at 100×
+    def t81Pass() = docs
+      .select($"doc_id",
+        explode(graft.functions.CdcChunks.chunks($"text", 16, 5))
+          .as("chunk"))
+      .select($"doc_id", md5($"chunk").as("fp"))
+      .groupBy($"fp")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+      .filter($"n_docs" >= 2L)
+      .agg(count(lit(1)), sum($"n_docs")).collect()
+    time("t81 warm")(t81Pass())
+    time("t81 cdc census")(t81Pass())
+
     // ---- t73: paragraph census + anti-probe at 100×
     val paged = docs.withColumn("page", concat(
       lit("Cookie notice\nWe use cookies"), lit("\n\n"),
