@@ -1954,4 +1954,83 @@ private[graft] trait Queries2Lm extends Queries1Rel {
        |FROM ($t41_sql)
        |ORDER BY key64 DESC, doc_id LIMIT 120""".stripMargin
   }
+
+  // ---------------------------------------------------------------- t82
+  // WordPiece tokenizer TRAINING (Schuster & Nakajima 2012; BERT) —
+  // the likelihood-objective member of the tokenizer family (BPE =
+  // frequency, unigram = EM-pruned LM, WordPiece = likelihood-gain
+  // merges): score(a,b) = cnt(ab)/(cnt(a)·cnt(b)), quantized to the
+  // exact integer score64 = floor(cnt·2^40/(cnt_a·cnt_b)) so selection
+  // is a pure-integer total order replayed in DuckDB as HUGEINT
+  // arithmetic. Shares the one corpus word-freq shuffle with the whole
+  // BPE chain; the oracle replays all 30 stages (seed → symbol census
+  // → pair census → scored best → left-to-right rewrite walker).
+  private[graft] val wpMergeCount = 30
+
+  def t82_wordpiece(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val (wf, _) = bpeWordFreq(spark, dir)
+    operators.WordPiece.trainFromFreq(wf, wpMergeCount)
+      .toDF("rank", "lhs", "rhs", "token", "score64")
+      .orderBy($"rank")
+  }
+
+  // one WordPiece stage: symbol census, pair census, scored best,
+  // left-to-right rewrite of every word (the bpeStageSql walker with
+  // the ##-stripping merged token)
+  private[graft] def wpStageSql(k: Int): String =
+    s"""sy_$k AS MATERIALIZED (
+       |  SELECT s, SUM(freq) AS c FROM (
+       |    SELECT freq, unnest(syms) AS s FROM wwords_${k - 1} WHERE iv)
+       |  GROUP BY s),
+       |wpairs_$k AS MATERIALIZED (
+       |  SELECT s1, s2, SUM(freq) AS cnt FROM (
+       |    SELECT freq, syms[i] AS s1, syms[i+1] AS s2
+       |    FROM wwords_${k - 1}, UNNEST(range(1, len(syms))) AS t(i)
+       |    WHERE iv)
+       |  GROUP BY s1, s2),
+       |wbest_$k AS MATERIALIZED (
+       |  SELECT s1, s2,
+       |    s1 || CASE WHEN s2 LIKE '##%' THEN s2[3:] ELSE s2 END AS tok,
+       |    CAST((CAST(cnt AS HUGEINT) * 1099511627776)
+       |      // (CAST(a.c AS HUGEINT) * b.c) AS BIGINT) AS score64
+       |  FROM wpairs_$k p JOIN sy_$k a ON a.s = p.s1
+       |                   JOIN sy_$k b ON b.s = p.s2
+       |  ORDER BY score64 DESC, cnt DESC, s1, s2 LIMIT 1),
+       |wrw_$k AS (
+       |  SELECT word, freq, iv, syms, 1 AS i, CAST([] AS VARCHAR[]) AS acc
+       |  FROM wwords_${k - 1}
+       |  UNION ALL
+       |  SELECT word, freq, iv, syms,
+       |    CASE WHEN i < len(syms) AND syms[i] = (SELECT s1 FROM wbest_$k)
+       |              AND syms[i+1] = (SELECT s2 FROM wbest_$k)
+       |         THEN i + 2 ELSE i + 1 END,
+       |    CASE WHEN i < len(syms) AND syms[i] = (SELECT s1 FROM wbest_$k)
+       |              AND syms[i+1] = (SELECT s2 FROM wbest_$k)
+       |         THEN list_append(acc, (SELECT tok FROM wbest_$k))
+       |         ELSE list_append(acc, syms[i]) END
+       |  FROM wrw_$k WHERE i <= len(syms)),
+       |wwords_$k AS MATERIALIZED (
+       |  SELECT word, freq, iv, acc AS syms FROM wrw_$k
+       |  WHERE i = len(syms) + 1)""".stripMargin
+
+  private[graft] lazy val t82_sql =
+    """WITH RECURSIVE wwords_0 AS MATERIALIZED (
+      |  SELECT word, freq,
+      |         list_prepend(cs[1],
+      |           list_transform(cs[2:], c -> '##' || c)) AS syms,
+      |         ROW_NUMBER() OVER (ORDER BY freq DESC, word) <= 1048576 AS iv
+      |  FROM (
+      |    SELECT word, freq, string_split(word, '') AS cs FROM (
+      |      SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+      |      FROM (SELECT unnest(string_split(text, ' ')) AS tok
+      |            FROM documents)
+      |      WHERE tok <> '' GROUP BY tok))),
+      |""".stripMargin +
+      (1 to wpMergeCount).map(wpStageSql).mkString(",\n") + s"""
+      |SELECT k AS rank, s1 AS lhs, s2 AS rhs, tok AS token, score64 FROM (
+      |${(1 to wpMergeCount)
+         .map(k => s"SELECT $k AS k, s1, s2, tok, score64 FROM wbest_$k")
+         .mkString(" UNION ALL ")}
+      |) ORDER BY rank""".stripMargin
 }

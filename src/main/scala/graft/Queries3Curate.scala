@@ -1651,4 +1651,145 @@ private[graft] trait Queries3Curate extends Queries2Lm {
       |FROM pages p LEFT JOIN re r USING (doc_id)
       |ORDER BY p.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t83
+  // Readability card (Flesch–Kincaid in EXACT integers — see
+  // CorpusStats.readability). The raw corpus has no sentence
+  // punctuation, so pages are constructed (the t73/t77 pattern): a
+  // doc_id-varying truncation of the body plus a planted sentence
+  // tail, so word counts, sentence counts, and the band cuts all vary.
+  // The FK grade travels as the exact rational (fk_num, fk_den) — no
+  // float ever computes, bands are cross-multiplied comparisons.
+  def t83_readability(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      $"text".substr(lit(1), (lit(80L) + ($"doc_id" % 7) * 40L).cast("int")),
+      when($"doc_id" % 3 === 0, lit(". Short tail. Yes!"))
+        .when($"doc_id" % 3 === 1, lit("? Maybe so... later perhaps."))
+        .otherwise(lit(" and so on.")))
+    operators.CorpusStats.readability(
+      t(spark, dir, "documents").select($"doc_id", page.as("page")),
+      "doc_id", "page")
+      .orderBy($"doc_id")
+  }
+
+  private[graft] lazy val t83_sql =
+    """WITH p AS (
+      |  SELECT doc_id,
+      |    substr(text, 1, CAST(80 + (doc_id % 7) * 40 AS INT)) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN '. Short tail. Yes!'
+      |         WHEN doc_id % 3 = 1 THEN '? Maybe so... later perhaps.'
+      |         ELSE ' and so on.' END AS page
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(page, '[^ ]+')) AS BIGINT) AS w,
+      |    GREATEST(
+      |      CAST(len(regexp_extract_all(page, '[.!?]+')) AS BIGINT),
+      |      1) AS s,
+      |    CAST(len(regexp_extract_all(lower(page), '[aeiouy]+'))
+      |      AS BIGINT) AS vg,
+      |    CAST(len(regexp_extract_all(lower(page),
+      |      '[^ ]*[aeiouy][^ ]*')) AS BIGINT) AS vt
+      |  FROM p),
+      |f AS (
+      |  SELECT doc_id, w AS n_words, s AS n_sents, vg + w - vt AS n_syll,
+      |         GREATEST(w, 1) AS w1, s
+      |  FROM c)
+      |SELECT doc_id, n_words, n_sents, n_syll,
+      |  39 * w1 * w1 + 1180 * n_syll * s - 1559 * s * w1 AS fk_num,
+      |  100 * s * w1 AS fk_den,
+      |  CASE WHEN 39 * w1 * w1 + 1180 * n_syll * s - 1559 * s * w1
+      |            < 8 * (100 * s * w1) THEN 'easy'
+      |       WHEN 39 * w1 * w1 + 1180 * n_syll * s - 1559 * s * w1
+      |            < 13 * (100 * s * w1) THEN 'medium'
+      |       ELSE 'hard' END AS band
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t84
+  // Encoding-anomaly (mojibake) census — see
+  // CorpusStats.encodingAnomalies. The corpus is clean, so artifacts
+  // are planted per doc_id class: a UTF-8-as-Latin-1 digraph (U+00C3 +
+  // continuation-range U+00A9), a U+FFFD replacement char, a raw C1
+  // control (U+0085 NEL), and a clean tail. Patterns and fixtures are
+  // spelled as \uXXXX / \x{hhhh} escapes only (the NFC transit trap);
+  // DuckDB builds the same code points via chr().
+  def t84_encoding_anomalies(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat($"text",
+      when($"doc_id" % 4 === 0, lit(" caf\u00c3\u00a9 latte"))
+        .when($"doc_id" % 4 === 1, lit(" bad\ufffdchar"))
+        .when($"doc_id" % 4 === 2, lit(" ctl\u0085line"))
+        .otherwise(lit(" clean text")))
+    operators.CorpusStats.encodingAnomalies(
+      t(spark, dir, "documents").select($"doc_id", page.as("page")),
+      "doc_id", "page")
+      .orderBy($"doc_id")
+  }
+
+  private[graft] lazy val t84_sql =
+    """WITH p AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 4 = 0
+      |           THEN ' caf' || chr(195) || chr(169) || ' latte'
+      |         WHEN doc_id % 4 = 1 THEN ' bad' || chr(65533) || 'char'
+      |         WHEN doc_id % 4 = 2 THEN ' ctl' || chr(133) || 'line'
+      |         ELSE ' clean text' END AS page
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_extract_all(page, '\x{FFFD}')) AS BIGINT)
+      |      AS n_fffd,
+      |    CAST(len(regexp_extract_all(page, '[\x{0080}-\x{009F}]'))
+      |      AS BIGINT) AS n_c1,
+      |    CAST(len(regexp_extract_all(page,
+      |      '\x{00C3}[\x{0080}-\x{00BF}]')) AS BIGINT) AS n_moji
+      |  FROM p)
+      |SELECT doc_id, n_fffd, n_c1, n_moji,
+      |  CAST(n_fffd + n_c1 + n_moji > 0 AS INT) AS flagged
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t85
+  // Leave-one-out n-gram novelty (see CorpusStats.ngramNovelty): the
+  // per-document fraction of distinct word 3-gram hashes shared with
+  // no other document — the memorization/diversity card. Docs too
+  // short for any 3-gram report zeros via the left join; mostly_novel
+  // is the cross-multiplied ≥ 80% gate (no float ratio).
+  def t85_ngram_novelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    docs.select($"doc_id")
+      .join(operators.CorpusStats.ngramNovelty(docs, "doc_id", "text", 3),
+        Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_novel", lit(0L)).as("n_novel"))
+      .select($"doc_id", $"n_grams", $"n_novel",
+        ($"n_grams" > 0L && $"n_novel" * 5 >= $"n_grams" * 4)
+          .cast("int").as("mostly_novel"))
+      .orderBy($"doc_id")
+  }
+
+  private[graft] lazy val t85_sql =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |pos AS (
+       |  SELECT doc_id, w,
+       |         unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+       |  FROM toks),
+       |grams AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, ${Text.duck.ngramHashSql("w", "i", 3)} AS g
+       |  FROM pos),
+       |census AS (
+       |  SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+       |per AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |         CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_novel
+       |  FROM grams JOIN census USING (g) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  COALESCE(p.n_grams, 0) AS n_grams,
+       |  COALESCE(p.n_novel, 0) AS n_novel,
+       |  CAST(COALESCE(p.n_grams, 0) > 0
+       |       AND COALESCE(p.n_novel, 0) * 5 >= COALESCE(p.n_grams, 0) * 4
+       |    AS INT) AS mostly_novel
+       |FROM documents d LEFT JOIN per p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
 }

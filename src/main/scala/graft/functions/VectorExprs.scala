@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftshim.ColumnInternals
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native Catalyst expressions for the embedding hot path.
   *
@@ -569,11 +569,118 @@ object Sq8Dot {
   }
 }
 
+/** Binary (sign-bit) quantization: pack an array<double> into
+  * ceil(d/32) little-endian 32-bit sign words carried as BIGINTs —
+  * bit (i mod 32) of word (i div 32) is set iff v[i] >= 0 (so -0.0
+  * packs as 1 in both engines and NaN as 0). 32-bit words, not 64:
+  * the replay builds each word as a SUM of `1::BIGINT << (pos-1)`
+  * terms, and a 64-bit word's top bit would need the sign bit of a
+  * BIGINT — shift semantics at bit 63 differ across engines, ≤ 2^31
+  * terms never do. One codegen pass per row; 64 dims → 16 bytes per
+  * vector, a 16× scan-footprint cut before any exact math. */
+case class SignPack(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sign_pack expects array<double>, got $t")
+    }
+
+  override def nullSafeEval(a: Any): Any =
+    SignPack.pack(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SignPack.pack($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SignPack =
+    copy(child = newChild)
+}
+
+object SignPack {
+  def pack(v: ArrayData): ArrayData = {
+    val n = v.numElements()
+    val words = new Array[Long]((n + 31) / 32)
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) KernelChecks.nullElem("sign_pack", "vec", i)
+      if (v.getDouble(i) >= 0.0) words(i >> 5) |= 1L << (i & 31)
+      i += 1
+    }
+    new GenericArrayData(words)
+  }
+}
+
+/** Hamming distance between two sign-word arrays (see [[SignPack]]):
+  * Σ bitCount(a XOR b) over the words — the number of coordinates
+  * whose signs disagree. Codegen'd; fails fast on length mismatch or
+  * null slots (arbitrary SQL inputs, the KernelChecks rule). */
+case class HammingDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  private def ok(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hamming_dist expects array<bigint> inputs, got " +
+          s"(${left.dataType}, ${right.dataType})")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HammingDist.dist(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HammingDist.dist($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): HammingDist =
+    copy(left = newLeft, right = newRight)
+}
+
+object HammingDist {
+  def dist(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"hamming_dist: length mismatch (${n} vs ${b.numElements()})")
+    var s = 0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i)) KernelChecks.nullElem("hamming_dist", "left", i)
+      if (b.isNullAt(i)) KernelChecks.nullElem("hamming_dist", "right", i)
+      s += java.lang.Long.bitCount(a.getLong(i) ^ b.getLong(i))
+      i += 1
+    }
+    s
+  }
+}
+
 object VectorExprs {
   /** Codegen'd dot product of two array<double> columns. */
   def dot(a: Column, b: Column): Column =
     ColumnInternals.column(
       DotProduct(ColumnInternals.expr(a), ColumnInternals.expr(b)))
+
+  /** Codegen'd sign-bit pack (see [[SignPack]]). */
+  def signPack(vec: Column): Column =
+    ColumnInternals.column(SignPack(ColumnInternals.expr(vec)))
+
+  /** Codegen'd Hamming distance over sign words (see [[HammingDist]]). */
+  def hammingDist(a: Column, b: Column): Column =
+    ColumnInternals.column(
+      HammingDist(ColumnInternals.expr(a), ColumnInternals.expr(b)))
 
   /** Codegen'd one-pass sign-LSH bucket (see [[LshBucket]]). */
   def lshBucket(vec: Column, planes: Column): Column =

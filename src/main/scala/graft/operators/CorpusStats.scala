@@ -296,4 +296,84 @@ object CorpusStats {
         coalesce(col("clean"), lit("")).as("clean"))
   }
 
+  /** Flesch–Kincaid readability card in EXACT integers. Words = runs of
+    * non-space (`[^ ]+`, the corpus space-token convention); sentences =
+    * runs of `[.!?]+` (floored at 1); syllables = vowel groups
+    * (`[aeiouy]+` over the lowercased text — groups never span a space,
+    * so the whole-text count equals the per-word sum) plus one for each
+    * word with no vowel at all (`[^ ]*[aeiouy][^ ]*` counts exactly one
+    * match per word containing a vowel — leftmost-first greedy in both
+    * Java regex and RE2). The FK grade 0.39·W/S + 11.8·Syl/W − 15.59 is
+    * carried as the exact integer pair (fk_num, fk_den) with
+    * fk_num = 39·W² + 1180·Syl·S − 1559·S·W and fk_den = 100·S·W — no
+    * float ever computes, so band cuts are cross-multiplied integer
+    * comparisons and the card replays bit-for-bit in any engine.
+    * ONE narrow codegen pass, no explode, no shuffle. */
+  def readability(corpus: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val lt = lower(col(textCol))
+    val w = regexp_count(col(textCol), lit("[^ ]+")).cast("long")
+    val s = greatest(
+      regexp_count(col(textCol), lit("[.!?]+")).cast("long"), lit(1L))
+    val vg = regexp_count(lt, lit("[aeiouy]+")).cast("long")
+    val vt = regexp_count(lt, lit("[^ ]*[aeiouy][^ ]*")).cast("long")
+    corpus
+      .select(col(idCol), w.as("n_words"), s.as("n_sents"),
+        (vg + w - vt).as("n_syll"))
+      .select(col(idCol), $"n_words", $"n_sents", $"n_syll",
+        greatest($"n_words", lit(1L)).as("w1"))
+      .select(col(idCol), $"n_words", $"n_sents", $"n_syll",
+        (lit(39L) * $"w1" * $"w1" + lit(1180L) * $"n_syll" * $"n_sents"
+          - lit(1559L) * $"n_sents" * $"w1").as("fk_num"),
+        (lit(100L) * $"n_sents" * $"w1").as("fk_den"))
+      .select(col(idCol), $"n_words", $"n_sents", $"n_syll",
+        $"fk_num", $"fk_den",
+        when($"fk_num" < lit(8L) * $"fk_den", "easy")
+          .when($"fk_num" < lit(13L) * $"fk_den", "medium")
+          .otherwise("hard").as("band"))
+  }
+
+  /** Encoding-anomaly (mojibake) census — the crawl-hygiene signal for
+    * text that survived a broken decode: U+FFFD replacement characters,
+    * raw C1 controls (U+0080–U+009F — never legitimate in clean text),
+    * and the UTF-8-read-as-Latin-1 signature Ã (U+00C3) followed by a
+    * continuation-range code point (U+0080–U+00BF, the second byte of a
+    * 2-byte UTF-8 sequence mis-decoded). Patterns are spelled as
+    * ASCII-only `\x{hhhh}` escapes — identical syntax and semantics in
+    * Java regex and RE2, and immune to the source-transit NFC trap
+    * (CLAUDE.md round-16 tooling lesson). ONE narrow codegen pass. */
+  def encodingAnomalies(corpus: DataFrame, idCol: String,
+                        textCol: String): DataFrame =
+    corpus.select(col(idCol),
+        regexp_count(col(textCol), lit("\\x{FFFD}"))
+          .cast("long").as("n_fffd"),
+        regexp_count(col(textCol), lit("[\\x{0080}-\\x{009F}]"))
+          .cast("long").as("n_c1"),
+        regexp_count(col(textCol), lit("\\x{00C3}[\\x{0080}-\\x{00BF}]"))
+          .cast("long").as("n_moji"))
+      .select(col(idCol), $"n_fffd", $"n_c1", $"n_moji",
+        ($"n_fffd" + $"n_c1" + $"n_moji" > 0L).cast("int").as("flagged"))
+
+  /** Leave-one-out n-gram novelty: per document, how many of its
+    * DISTINCT word n-gram hashes appear in NO other document. The
+    * standard memorization/diversity card (novel-gram rate of a corpus
+    * slice). Shape: one (doc, gram) distinct shuffle, one gram census
+    * (count over already-distinct pairs = distinct-doc frequency), one
+    * co-partitioned join back — both sides arrive partitioned by `g`
+    * from the same exchange, and grams travel as i64 hashes
+    * (`functions.NgramHashes`, the t09/t14 convention). Never all-pairs;
+    * 100 TB-safe by construction. */
+  def ngramNovelty(corpus: DataFrame, idCol: String, textCol: String,
+                   n: Int): DataFrame = {
+    import graft.functions.NgramHashExpr.ngramHashes
+    val grams = corpus
+      .select(col(idCol), explode(ngramHashes(col(textCol), n)).as("g"))
+      .distinct()
+    val census = grams.groupBy($"g").agg(count(lit(1)).as("df"))
+    grams.join(census, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"df" === 1L, 1L).otherwise(0L)).as("n_novel"))
+  }
+
 }

@@ -488,4 +488,69 @@ class BpeSpec extends SparkSpec {
     assert(one.count() == q.count(_._1 == 2L).toLong)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
+
+  // ---------------------------------------------- WordPiece (t82)
+
+  test("wordpiece: likelihood objective beats raw frequency — a rare " +
+      "pair of rare symbols outscores a frequent pair of frequent " +
+      "symbols; ## continuation prefixes carry correctly") {
+    import graft.operators.WordPiece
+    // pair (a,##b) cnt 10 but cnt(a)=100, cnt(##b)=10: score 2^40/100;
+    // pair (x,##y) cnt 5 with cnt(x)=cnt(##y)=5: score 2^40/5 — wins
+    val entries: Array[(Array[String], Long)] = Array(
+      (WordPiece.toSymsWp("ab"), 10L),
+      (WordPiece.toSymsWp("a"), 90L),
+      (WordPiece.toSymsWp("xy"), 5L))
+    val m = WordPiece.trainLocal(entries.map { case (s, f) => (s.clone(), f) }, 1)
+    assert(m.head.lhs == "x" && m.head.rhs == "##y" &&
+      m.head.token == "xy", m.toString)
+    assert(m.head.score64 == (1L << 40) / 5L, m.head.toString)
+    // continuation-pair merge keeps the ## prefix: "abc"×3 has both
+    // adjacent pairs at cnt 3 and all symbols at 3 -> score tie,
+    // cnt tie -> lexicographic: "##b" < "a" so (##b,##c) merges first
+    // into "##bc", then (a,##bc) -> "abc"
+    val abc = Array((WordPiece.toSymsWp("abc"), 3L))
+    val m2 = WordPiece.trainLocal(abc.map { case (s, f) => (s.clone(), f) }, 2)
+    assert(m2.map(x => (x.lhs, x.rhs, x.token)) ==
+      Seq(("##b", "##c", "##bc"), ("a", "##bc", "abc")), m2.toString)
+  }
+
+  test("wordpiece: incremental trainer is bit-identical to the " +
+      "full-rescan reference to exhaustion (random corpus + goldens)") {
+    import graft.operators.WordPiece
+    val rnd = new scala.util.Random(20260816)
+    val entries: Array[(Array[String], Long)] =
+      (0 until 400).map { _ =>
+        val len = 1 + rnd.nextInt(8)
+        val w = (0 until len)
+          .map(_ => ('a' + rnd.nextInt(6)).toChar).mkString
+        (WordPiece.toSymsWp(w), (1 + rnd.nextInt(20)).toLong)
+      }.toArray
+    def clone2(e: Array[(Array[String], Long)]) =
+      e.map { case (s, f) => (s.clone(), f) }
+    val fast = WordPiece.trainLocal(clone2(entries), 5000)
+    val ref = WordPiece.trainRescan(clone2(entries), 5000)
+    assert(fast == ref,
+      s"first divergence at ${fast.zip(ref).indexWhere(p => p._1 != p._2)}")
+    assert(fast.length < 5000, s"expected exhaustion, got ${fast.length}")
+  }
+
+  test("wordpiece: score64 BigInt fallback equals the exact formula " +
+      "beyond the Long fast path; greedy longest-match encoding and " +
+      "the [UNK] wholesale rule") {
+    import graft.operators.WordPiece
+    // beyond the fast path: cnt > 2^23 forces the BigInt route
+    val big = 1L << 30
+    assert(WordPiece.score64(big, big, big) ==
+      ((BigInt(big) << 40) / (BigInt(big) * BigInt(big))).toLong)
+    assert(WordPiece.score64(3L, 5L, 7L) == (3L << 40) / 35L)
+    val vocab = Set("a", "##b", "##c", "##bc", "abc")
+    assert(WordPiece.encodeWord("abc", vocab) == Seq("abc"))
+    assert(WordPiece.encodeWord("ab", vocab) == Seq("a", "##b"))
+    assert(WordPiece.encodeWord("abcbc", vocab) ==
+      Seq("abc", "##bc"), "longest-match-first at each position")
+    assert(WordPiece.encodeWord("az", vocab) == Seq("[UNK]"),
+      "unmatchable position -> wholesale UNK")
+    assert(WordPiece.encodeWord("", vocab).isEmpty)
+  }
 }

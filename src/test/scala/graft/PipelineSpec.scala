@@ -378,7 +378,7 @@ class PipelineSpec extends SparkSpec {
   test("one-pass QualityStats equals the HOF quality forms, bit by bit") {
     import graft.functions.QualityExpr
     val tricky = docs.select($"text")
-      .union(Seq("", " ", "a  b", "it is, it is! the: end.", "héllo ☃ ;",
+      .union(Seq("", " ", "a  b", "it is, it is! the: end.", "h\u00e9llo ☃ ;",
         "the quick. brown? fox; and: dog, it!", "   ", "a.b,c!d?e;f:g")
         .toDF("text"))
     val native = tricky.select(
@@ -403,7 +403,7 @@ class PipelineSpec extends SparkSpec {
   test("native MinHashes equals the SQL higher-order form, hash by hash") {
     // edge tokens too: consecutive / leading / trailing spaces, unicode
     val tricky = docs.select($"text")
-      .union(Seq(" leading", "trailing ", "a  b", "", "héllo wörld ☃")
+      .union(Seq(" leading", "trailing ", "a  b", "", "h\u00e9llo wörld ☃")
         .toDF("text"))
     val seeds = Text.minhashSeeds(6)
     val native = tricky.select(
@@ -417,7 +417,7 @@ class PipelineSpec extends SparkSpec {
 
   test("native SimHash16 equals the SQL higher-order form") {
     val tricky = docs.select($"text")
-      .union(Seq(" leading", "trailing ", "a  b", "", "héllo wörld ☃")
+      .union(Seq(" leading", "trailing ", "a  b", "", "h\u00e9llo wörld ☃")
         .toDF("text"))
     val native = tricky.select(
       graft.functions.SimHashExpr.simhash16($"text").as("sh"))
@@ -1816,5 +1816,68 @@ class PipelineSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](est())
     assert(e.getMessage.contains("bucket-format"), e.getMessage)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("readability: hand-counted words/sentences/syllables and the " +
+      "exact-integer FK pair; zero-vowel words count one syllable; " +
+      "empty text floors the denominator") {
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (0L, "The cat sat. It ran! Did it fly?"),
+      (1L, "grr shh"),
+      (2L, "")
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.readability(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getString(6))).toSeq
+    // doc 0: 8 words, 3 sentence runs, 8 vowel groups, 0 vowel-less
+    // words -> 8 syllables; fk_num = 39*64 + 1180*8*3 - 1559*3*8 =
+    // -6600, fk_den = 2400 -> grade -2.75 -> easy
+    assert(got(0) == (0L, 8L, 3L, 8L, -6600L, 2400L, "easy"), got(0))
+    // doc 1: 2 vowel-less words -> 2 syllables (1 each); s floored at 1
+    // fk_num = 39*4 + 1180*2*1 - 1559*1*2 = -602; fk_den = 200
+    assert(got(1) == (1L, 2L, 1L, 2L, -602L, 200L, "easy"), got(1))
+    // doc 2: empty -> 0 words/0 syllables, w1 floor = 1:
+    // fk_num = 39 - 1559 = -1520, fk_den = 100
+    assert(got(2) == (2L, 0L, 1L, 0L, -1520L, 100L, "easy"), got(2))
+  }
+
+  test("encodingAnomalies: U+FFFD, C1 controls, and the UTF-8-as-" +
+      "Latin-1 digraph each count; clean ASCII and legitimate Latin-1 " +
+      "text do not flag") {
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (0L, "bad\ufffd and worse\ufffd\ufffd"),          // 3 replacement chars
+      (1L, "ctl\u0085mid\u0092end"),                    // 2 C1 controls
+      (2L, "caf\u00c3\u00a9 moji"),                     // 1 mojibake digraph
+      (3L, "plain clean ascii"),
+      (4L, "caf\u00e9 r\u00e9sum\u00e9")                // real Latin-1: clean
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.encodingAnomalies(docs, "doc_id", "text")
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+      .toSeq
+    assert(got == Seq(
+      (3L, 0L, 0L, 1), (0L, 2L, 0L, 1), (0L, 0L, 1L, 1),
+      (0L, 0L, 0L, 0), (0L, 0L, 0L, 0)), got.toString)
+  }
+
+  test("ngramNovelty: shared grams are not novel, within-doc repeats " +
+      "stay novel (distinct semantics), short docs report zero grams") {
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (0L, "a b c d"),            // grams (a b c),(b c d) shared with 1
+      (1L, "a b c d"),
+      (2L, "x y z w"),            // 2 grams, both unique
+      (3L, "e f g e f g"),        // 4 gram positions, 3 distinct, all novel
+      (4L, "too short")           // < 3 tokens -> no grams
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.ngramNovelty(docs, "doc_id", "text", 3)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (0L, 2L, 0L), (1L, 2L, 0L), (2L, 2L, 2L), (3L, 3L, 3L)),
+      got.toString)
   }
 }
