@@ -1332,4 +1332,56 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
       |  JOIN customer c ON e.user_id = c.c_custkey
       |  JOIN nation n ON c.c_nationkey = n.n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  // ---------------------------------------------------------------- s20
+  // Binary (sign-bit) quantization k-NN: Hamming shortlist over
+  // SignPack sign words (16 bytes/vector — XOR+popcount instead of 64
+  // multiply-adds), exact cosine rerank of the shortlist. The oracle
+  // replays the pack as per-position bit sums (32-bit words — a 64-bit
+  // word's top bit would need BIGINT sign-bit shifts), the Hamming
+  // ranking, and the rounded-cosine rerank.
+  def s20_binary_quant(spark: SparkSession, dir: String): DataFrame =
+    Similarity.binaryKnnJoin(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryIds = 0L until 10L, k = 3,
+      shortlist = 32)
+      .select($"qid", $"rk", $"id".as("vec_id"), $"ham", $"score")
+      .orderBy($"qid", $"rk")
+
+  private[graft] val s20_sql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |    FROM embeddings),
+      |p AS (SELECT generate_series AS pos FROM generate_series(1, 64)),
+      |codes AS MATERIALIZED (
+      |  SELECT vec_id,
+      |    CAST(SUM(CASE WHEN v.emb[p.pos] >= 0 AND p.pos <= 32
+      |         THEN (CAST(1 AS BIGINT) << (p.pos - 1)) ELSE 0 END)
+      |      AS BIGINT) AS c0,
+      |    CAST(SUM(CASE WHEN v.emb[p.pos] >= 0 AND p.pos > 32
+      |         THEN (CAST(1 AS BIGINT) << (p.pos - 33)) ELSE 0 END)
+      |      AS BIGINT) AS c1
+      |  FROM v CROSS JOIN p GROUP BY vec_id),
+      |q AS (SELECT vec_id AS qid, c0 AS q0, c1 AS q1 FROM codes
+      |      WHERE vec_id < 10),
+      |h AS (
+      |  SELECT q.qid, c.vec_id,
+      |    bit_count(xor(c.c0, q.q0)) + bit_count(xor(c.c1, q.q1)) AS ham
+      |  FROM codes c, q WHERE c.vec_id <> q.qid),
+      |sl AS (
+      |  SELECT qid, vec_id, ham,
+      |    ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham, vec_id)
+      |      AS hrk
+      |  FROM h),
+      |r AS (
+      |  SELECT s.qid, s.vec_id, s.ham,
+      |    ROUND(list_cosine_similarity(cv.emb, qv.emb), 6) AS score
+      |  FROM sl s JOIN v cv ON cv.vec_id = s.vec_id
+      |            JOIN v qv ON qv.vec_id = s.qid
+      |  WHERE s.hrk <= 32),
+      |rr AS (
+      |  SELECT qid, vec_id, ham, score,
+      |    ROW_NUMBER() OVER (PARTITION BY qid
+      |      ORDER BY score DESC, vec_id) AS rk
+      |  FROM r)
+      |SELECT qid, rk, vec_id, ham, score FROM rr
+      |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
 }

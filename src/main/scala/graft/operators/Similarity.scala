@@ -352,6 +352,46 @@ object Similarity {
     * Spark's WindowGroupLimit, so each map task forwards only its local
     * top-k per query before the single qid-partitioned shuffle —
     * shuffle volume is O(tasks × Q × k), independent of base rows. */
+  /** Binary-quantized k-NN join — the sign-bit/Hamming serving shape
+    * (the "binary quantization" every production vector store ships):
+    * stage 1 ranks the corpus per query by Hamming distance over
+    * `SignPack` sign words (16 bytes/vector at d=64 — a 16× scan-
+    * footprint cut, XOR+popcount instead of d multiply-adds) and keeps
+    * a `shortlist`; stage 2 exact-reranks the shortlist by rounded
+    * cosine. Both rank windows are per-qid top-k → map-side
+    * WindowGroupLimit before the one qid shuffle (the s06 shape).
+    * With `shortlist` ≥ corpus−1 the result is BIT-IDENTICAL to
+    * [[knnJoin]] (the s11 nProbe=nCells pin); smaller shortlists trade
+    * recall like any quantized index. Ties break (ham ASC, id ASC) /
+    * (score DESC, id ASC) — total orders, exact replay. */
+  def binaryKnnJoin(df: DataFrame, idCol: String, vecCol: String,
+                    queryIds: Seq[Long], k: Int,
+                    shortlist: Int): DataFrame = {
+    import graft.functions.VectorExprs.{signPack, hammingDist}
+    import org.apache.spark.sql.expressions.Window
+    val v = df
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), col("v"), signPack(col("v")).as("code"))
+    val q = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("qid"), col("v").as("qv"),
+        col("code").as("qcode"))
+    val wH = Window.partitionBy(col("qid"))
+      .orderBy(col("ham").asc, col("id").asc)
+    val short = v.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid"), col("id"), col("v"), col("qv"),
+        hammingDist(col("code"), col("qcode")).as("ham"))
+      .withColumn("hrk", row_number().over(wH))
+      .filter(col("hrk") <= shortlist)
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id").asc)
+    short
+      .select(col("qid"), col("id"), col("ham"),
+        round(cosine(col("v"), col("qv")), 6).as("score"))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("id"), col("ham"), col("score"))
+  }
+
   def knnJoin(df: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1863,6 +1863,40 @@ class PipelineSpec extends SparkSpec {
       (0L, 0L, 0L, 0), (0L, 0L, 0L, 0)), got.toString)
   }
 
+  test("binary quantization: sign-pack goldens (-0.0 packs set, " +
+      "partial last word), hamming golden, full shortlist makes " +
+      "binaryKnnJoin BIT-IDENTICAL to exact knnJoin, null fails fast") {
+    import graft.functions.VectorExprs.{signPack, hammingDist}
+    val vec = (0 until 64).map(i => if (i % 2 == 0) 1.0 else -1.0)
+    val packed = Seq((1L, vec)).toDF("id", "v")
+      .select(signPack($"v")).head.getSeq[Long](0)
+    assert(packed == Seq(0x55555555L, 0x55555555L), packed.toString)
+    val part = Seq((1L, Seq(-0.0, -1.0, 2.0))).toDF("id", "v")
+      .select(signPack($"v")).head.getSeq[Long](0)
+    assert(part == Seq(0x5L), part.toString)
+    val hd = Seq((Seq(0x55555555L, 0x55555555L),
+        Seq(0x55555555L, 0x55555554L))).toDF("a", "b")
+      .select(hammingDist($"a", $"b")).head.getInt(0)
+    assert(hd == 1, hd.toString)
+    // strongest approx-vs-exact pin (the s11 nProbe=nCells rule):
+    // shortlist >= corpus-1 => identical to the exact join
+    val emb = Tables.load(spark, sf, "embeddings")
+    def tup(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"rk", $"id", $"score").orderBy($"qid", $"rk")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    assert(tup(Similarity.binaryKnnJoin(emb, "vec_id", "embedding",
+        0L until 5L, 3, shortlist = 1 << 20)) ==
+      tup(Similarity.knnJoin(emb, "vec_id", "embedding", 0L until 5L, 3)))
+    // null element fails fast (the KernelChecks rule)
+    val withNull = Seq((1L, Seq(Option(1.0), None))).toDF("id", "v")
+    val e = intercept[Exception](
+      withNull.select(signPack($"v")).collect())
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "|" + chain(t.getCause)
+    assert(chain(e).contains("sign_pack"), chain(e))
+  }
+
   test("ngramNovelty: shared grams are not novel, within-doc repeats " +
       "stay novel (distinct semantics), short docs report zero grams") {
     import graft.operators.CorpusStats
