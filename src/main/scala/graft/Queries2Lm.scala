@@ -1969,8 +1969,7 @@ private[graft] trait Queries2Lm extends Queries1Rel {
 
   def t82_wordpiece(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val (wf, _) = bpeWordFreq(spark, dir)
-    operators.WordPiece.trainFromFreq(wf, wpMergeCount)
+    wordpieceModel(spark, dir)._1
       .toDF("rank", "lhs", "rhs", "token", "score64")
       .orderBy($"rank")
   }
@@ -2014,7 +2013,10 @@ private[graft] trait Queries2Lm extends Queries1Rel {
        |  SELECT word, freq, iv, acc AS syms FROM wrw_$k
        |  WHERE i = len(syms) + 1)""".stripMargin
 
-  private[graft] lazy val t82_sql =
+  // the shared WordPiece training replay: seed + all 30 stages (no
+  // final select) — t82 reads the merge table off it, t86/t87 append
+  // the greedy-encode CTEs
+  private[graft] lazy val wpChainSql =
     """WITH RECURSIVE wwords_0 AS MATERIALIZED (
       |  SELECT word, freq,
       |         list_prepend(cs[1],
@@ -2027,10 +2029,139 @@ private[graft] trait Queries2Lm extends Queries1Rel {
       |            FROM documents)
       |      WHERE tok <> '' GROUP BY tok))),
       |""".stripMargin +
-      (1 to wpMergeCount).map(wpStageSql).mkString(",\n") + s"""
+      (1 to wpMergeCount).map(wpStageSql).mkString(",\n")
+
+  private[graft] lazy val t82_sql =
+    wpChainSql + s"""
       |SELECT k AS rank, s1 AS lhs, s2 AS rhs, tok AS token, score64 FROM (
       |${(1 to wpMergeCount)
          .map(k => s"SELECT $k AS k, s1, s2, tok, score64 FROM wbest_$k")
          .mkString(" UNION ALL ")}
       |) ORDER BY rank""".stripMargin
+
+  // ---------------------------------------------------------------- t86
+  // WordPiece GREEDY encoding census — the BERT runtime tokenizer over
+  // the fitted vocab (seed symbols + merge tokens). Greedy
+  // longest-match is NOT merge-order application (the two can differ),
+  // so the oracle replays the greedy walk itself: best-match length
+  // per (word, pos) as a bounded census (positions × vocab — both
+  // dict-bounded), then a recursive walk that steps pos += blen, with
+  // the wholesale-[UNK] rule on any unmatchable position. The matched
+  // piece is reconstructible from (word, pos, blen) alone — body =
+  // substr(word,pos,blen), ##-prefixed iff pos>1 — so no token string
+  // ever travels through the recursion. vp drops the degenerate '##'
+  // piece (empty body would zero-step the walk; the Scala encoder can
+  // never choose it either — substrings are non-empty).
+  private[graft] lazy val wpEncodeCtes: String =
+    s"""vocab AS MATERIALIZED (
+       |  SELECT DISTINCT piece FROM (
+       |    SELECT unnest(syms) AS piece FROM wwords_0 WHERE iv
+       |    UNION ALL
+       |    ${(1 to wpMergeCount)
+            .map(k => s"SELECT tok AS piece FROM wbest_$k")
+            .mkString(" UNION ALL ")})),
+       |vp AS MATERIALIZED (
+       |  SELECT piece, piece LIKE '##%' AS cont,
+       |         CASE WHEN piece LIKE '##%' THEN piece[3:] ELSE piece END
+       |           AS body
+       |  FROM vocab WHERE piece <> '##'),
+       |wdict AS MATERIALIZED (SELECT word, freq FROM wwords_0),
+       |wpos AS (
+       |  SELECT word, unnest(generate_series(1, length(word))) AS pos
+       |  FROM wdict),
+       |bm AS MATERIALIZED (
+       |  SELECT w.word, w.pos, MAX(length(v.body)) AS blen
+       |  FROM wpos w JOIN vp v
+       |    ON v.cont = (w.pos > 1)
+       |   AND substr(w.word, w.pos, length(v.body)) = v.body
+       |  GROUP BY w.word, w.pos),
+       |walk AS (
+       |  SELECT word, CAST(1 AS BIGINT) AS pos, FALSE AS unk FROM wdict
+       |  UNION ALL
+       |  SELECT w.word,
+       |    CAST(CASE WHEN b.blen IS NULL THEN length(w.word) + 1
+       |              ELSE w.pos + b.blen END AS BIGINT),
+       |    w.unk OR b.blen IS NULL
+       |  FROM walk w LEFT JOIN bm b ON b.word = w.word AND b.pos = w.pos
+       |  WHERE w.pos <= length(w.word)),
+       |unkw AS MATERIALIZED (SELECT DISTINCT word FROM walk WHERE unk),
+       |wtok AS MATERIALIZED (
+       |  SELECT v.word,
+       |    CASE WHEN v.pos > 1 THEN '##' || substr(v.word, v.pos, b.blen)
+       |         ELSE substr(v.word, v.pos, b.blen) END AS token
+       |  FROM (SELECT word, pos FROM walk
+       |        WHERE pos <= length(word)
+       |          AND word NOT IN (SELECT word FROM unkw)) v
+       |  JOIN bm b ON b.word = v.word AND b.pos = v.pos
+       |  UNION ALL
+       |  SELECT word, '[UNK]' AS token FROM unkw),
+       |wcnt AS MATERIALIZED (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS ntok
+       |  FROM wtok GROUP BY word)""".stripMargin
+
+  def t86_wordpiece_encode(spark: SparkSession, dir: String): DataFrame = {
+    val (wf, _) = bpeWordFreq(spark, dir)
+    val (_, vocab) = wordpieceModel(spark, dir)
+    operators.WordPiece.tokenCensusFromFreq(wf, vocab)
+      .orderBy($"freq".desc, $"token".asc)
+  }
+
+  private[graft] lazy val t86_sql =
+    wpChainSql + ",\n" + wpEncodeCtes + """
+      |SELECT t.token, CAST(SUM(d.freq) AS BIGINT) AS freq
+      |FROM wtok t JOIN wdict d USING (word)
+      |GROUP BY t.token ORDER BY freq DESC, t.token""".stripMargin
+
+  // ---------------------------------------------------------------- t87
+  // Streaming WordPiece metering — the t80 analog for the likelihood
+  // tokenizer: fit once, persist (saveModel — the vocab IS the serving
+  // artifact), meter per-doc greedy token mass on the live feed.
+  // Stream == batch, so the oracle shares t86's greedy-walk CTEs with
+  // a per-document join.
+  def t87_stream_wordpiece(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft_stream/$key/wpmeter_m${wpMergeCount}" +
+      s"_s${srcStamp(dir, "documents.parquet")}"
+    if (!new java.io.File(s"$base/feed/_SUCCESS").exists())
+      docs.select($"doc_id", $"text").write.mode("overwrite")
+        .parquet(s"$base/feed")
+    if (!new java.io.File(s"$base/model/vocab/_SUCCESS").exists()) {
+      val (m, v) = wordpieceModel(spark, dir)
+      operators.WordPiece.saveModel(spark, m, v, s"$base/model")
+    }
+    if (!new java.io.File(s"$base/done").exists()) {
+      streaming.Streams.wordpieceMeterStream(spark, s"$base/feed",
+        docs.select($"doc_id", $"text"), "doc_id", "text",
+        s"$base/model", outDir = s"$base/out",
+        checkpoint = s"$base/ckpt")
+      new java.io.File(s"$base/done").createNewFile()
+    }
+    spark.read.parquet(s"$base/out")
+      .dropDuplicates("doc_id")
+      .select($"doc_id", $"n_wptok")
+      .orderBy($"doc_id")
+  }
+
+  private[graft] lazy val t87_sql =
+    wpChainSql + ",\n" + wpEncodeCtes + """
+      |SELECT doc_id, CAST(SUM(c.ntok) AS BIGINT) AS n_wptok
+      |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |      FROM documents) dw
+      |JOIN wcnt c USING (word)
+      |WHERE word <> ''
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Memoized fitted WordPiece model per (session, dir, stamp) — the
+    * dsirModel/knModelMemo rule: every t82/t86/t87 call shares ONE fit
+    * off the shared word-freq shuffle. */
+  private[graft] val wordpieceMemo =
+    new SessionMemo[(Seq[operators.WordPiece.Merge], Set[String])](
+      (spark, dir) => {
+        val (wf, _) = bpeWordFreq(spark, dir)
+        operators.WordPiece.fitFromFreq(wf, wpMergeCount)
+      }, _ => ())
+  private[graft] def wordpieceModel(spark: SparkSession, dir: String)
+      : (Seq[operators.WordPiece.Merge], Set[String]) =
+    wordpieceMemo(spark, dir, srcStamp(dir, "documents.parquet"))
 }

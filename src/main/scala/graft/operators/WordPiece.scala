@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** WordPiece tokenizer training (Schuster & Nakajima 2012; the BERT
@@ -73,12 +73,23 @@ object WordPiece {
     * word ASC — deterministic under the cap), then the driver merge
     * loop. Stops early when no adjacent pair remains. */
   def trainFromFreq(freqDf: DataFrame, numMerges: Int,
-                    maxWords: Int = 1 << 20): Seq[Merge] = {
+                    maxWords: Int = 1 << 20): Seq[Merge] =
+    fitFromFreq(freqDf, numMerges, maxWords)._1
+
+  /** Train AND return the fitted vocabulary (seed symbols of the
+    * capped dictionary + merge tokens) — what the greedy encoder
+    * serves from. `trainLocal` rebinds its own symbol-array slots but
+    * never mutates the seed arrays in place, so the seeds read here
+    * are the pre-merge ones. */
+  def fitFromFreq(freqDf: DataFrame, numMerges: Int,
+                  maxWords: Int = 1 << 20): (Seq[Merge], Set[String]) = {
     val wf = freqDf
       .orderBy(col("freq").desc, col("word").asc).limit(maxWords)
       .collect()
-    trainLocal(
-      wf.map(r => (toSymsWp(r.getString(0)), r.getLong(1))), numMerges)
+    val entries = wf.map(r => (toSymsWp(r.getString(0)), r.getLong(1)))
+    val m = trainLocal(entries.map { case (s, f) => (s.clone(), f) },
+      numMerges)
+    (m, vocabOf(entries, m))
   }
 
   private[graft] def trainLocal(
@@ -273,4 +284,75 @@ object WordPiece {
   def vocabOf(entries: Array[(Array[String], Long)],
               merges: Seq[Merge]): Set[String] =
     entries.iterator.flatMap(_._1).toSet ++ merges.iterator.map(_.token)
+
+  /** Per-word greedy token counts: each DISTINCT word encodes once
+    * through the bounded vocab closure on the executors (the t80
+    * distributed-closure-map shape — no driver pull, no explode of the
+    * token stream). */
+  def wordTokenCounts(freqDf: DataFrame, vocab: Set[String]): DataFrame = {
+    val spark = freqDf.sparkSession
+    import spark.implicits._
+    freqDf.select(col("word")).as[String]
+      .map(w => (w, encodeWord(w, vocab).length.toLong))
+      .toDF("word", "ntok")
+  }
+
+  /** Greedy-encoded corpus token census: (token, Σ freq) off the
+    * shared word-freq shuffle — the corpus is never re-read and no
+    * per-document token stream materializes. */
+  def tokenCensusFromFreq(freqDf: DataFrame,
+                          vocab: Set[String]): DataFrame = {
+    val spark = freqDf.sparkSession
+    import spark.implicits._
+    freqDf.select(col("word"), col("freq")).as[(String, Long)]
+      .flatMap { case (w, f) => encodeWord(w, vocab).map(t => (t, f)) }
+      .toDF("token", "f")
+      .groupBy(col("token")).agg(sum(col("f")).as("freq"))
+  }
+
+  /** Per-document greedy token counts (the `Bpe.docTokenCounts`
+    * analog): word-level counts broadcast under the vocabulary gate,
+    * documents pay one hash probe per word. */
+  def docTokenCounts(corpus: DataFrame, idCol: String, textCol: String,
+                     freqDf: DataFrame, vocab: Set[String],
+                     maxBroadcast: Long = Bpe.maxBroadcastVocab,
+                     knownVocab: Option[Long] = None): DataFrame = {
+    val wt = wordTokenCounts(freqDf, vocab)
+    val side =
+      if (knownVocab.getOrElse(freqDf.count()) <= maxBroadcast)
+        broadcast(wt)
+      else wt
+    corpus
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(side, "word")
+      .groupBy(col(idCol)).agg(sum(col("ntok")).as("n_wptok"))
+  }
+
+  /** Persist the fitted model — merge table AND vocabulary (the greedy
+    * encoder serves from the vocab; merges alone can't reconstruct the
+    * seed symbols of the fitted dictionary). The fit-once/persist/
+    * stream lifecycle every trained model in this repo carries. */
+  def saveModel(spark: SparkSession, merges: Seq[Merge],
+                vocab: Set[String], path: String): Unit = {
+    import spark.implicits._
+    merges.toDF("rank", "lhs", "rhs", "token", "score64").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/merges")
+    vocab.toSeq.sorted.toDF("piece").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/vocab")
+  }
+
+  /** Load a persisted model; strings and longs round-trip parquet
+    * exactly, so a loaded model encodes bit-identically. */
+  def loadModel(spark: SparkSession,
+                path: String): (Seq[Merge], Set[String]) = {
+    val m = spark.read.parquet(s"$path/merges")
+      .select("rank", "lhs", "rhs", "token", "score64")
+      .orderBy(col("rank")).collect().toSeq
+      .map(r => Merge(r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    val v = spark.read.parquet(s"$path/vocab")
+      .collect().map(_.getString(0)).toSet
+    (m, v)
+  }
 }

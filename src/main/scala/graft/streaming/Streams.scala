@@ -367,6 +367,42 @@ object Streams {
     }
   }
 
+  /** Streaming WordPiece token-mass metering — the [[tokenizeCountStream]]
+    * analog for the likelihood tokenizer: fit once, persist the model
+    * (`WordPiece.saveModel` — the vocab IS the serving artifact), then
+    * meter each micro-batch through the GREEDY encoder: the batch's
+    * own distinct-word table encodes in a distributed closure map (no
+    * driver pull). The vocab is a plain driver Set — not session-bound,
+    * so no q55 clone dance (the t51 Bloom rule). Stateless;
+    * disk-as-state, drained replay is a no-op. */
+  def wordpieceMeterStream(spark: SparkSession, srcDir: String,
+                           schemaFrom: DataFrame, idCol: String,
+                           textCol: String, modelPath: String,
+                           outDir: String, checkpoint: String,
+                           statePartitions: Int = 2): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val vocab = graft.operators.WordPiece.loadModel(ss, modelPath)._2
+    val stream = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val wf = graft.operators.Bpe.wordFreq(batch, textCol)
+        graft.operators.WordPiece
+          .docTokenCounts(batch, idCol, textCol, wf, vocab)
+          .write.mode("append").parquet(outDir)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    if (outDirExists(spark, outDir)) spark.read.parquet(outDir)
+    else
+      graft.operators.WordPiece.docTokenCounts(schemaFrom.limit(0),
+        idCol, textCol,
+        graft.operators.Bpe.wordFreq(schemaFrom.limit(0), textCol),
+        vocab)
+  }
+
   /** Streaming SEMANTIC decontamination (the s18 production twin): the
     * bounded benchmark embedding set pulls to the driver once
     * (`Decontam.collectSemBench`, gated) and rebuilds as a DataFrame

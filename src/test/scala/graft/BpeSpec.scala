@@ -535,6 +535,42 @@ class BpeSpec extends SparkSpec {
     assert(fast.length < 5000, s"expected exhaustion, got ${fast.length}")
   }
 
+  test("wordpiece lifecycle: save/load round-trips the model exactly, " +
+      "streaming meter == batch docTokenCounts, drained replay is a " +
+      "no-op, a never-fired feed returns schema-correct empty") {
+    import graft.operators.{Bpe, WordPiece}
+    val s = spark
+    import s.implicits._
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    val wf = Bpe.wordFreq(docs, "text")
+    val (m, v) = WordPiece.fitFromFreq(wf, 12)
+    val dir = java.nio.file.Files.createTempDirectory("wpmodel").toString
+    WordPiece.saveModel(spark, m, v, s"$dir/model")
+    val (m2, v2) = WordPiece.loadModel(spark, s"$dir/model")
+    assert(m2 == m, "merge table round-trip")
+    assert(v2 == v, "vocab round-trip")
+    val batch = WordPiece.docTokenCounts(docs, "doc_id", "text", wf, v)
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    docs.write.mode("overwrite").parquet(s"$dir/feed")
+    def run() = graft.streaming.Streams.wordpieceMeterStream(spark,
+        s"$dir/feed", docs, "doc_id", "text", s"$dir/model",
+        s"$dir/out", s"$dir/ckpt")
+      .dropDuplicates("doc_id").orderBy($"doc_id").collect()
+      .map(r => (r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("n_wptok")))).toSeq
+    assert(run() == batch, "stream == batch")
+    assert(run() == batch, "drained replay is a no-op")
+    new java.io.File(s"$dir/feed2").mkdirs()
+    val empty = graft.streaming.Streams.wordpieceMeterStream(spark,
+      s"$dir/feed2", docs, "doc_id", "text", s"$dir/model",
+      s"$dir/out2", s"$dir/ckpt2")
+    assert(empty.columns.toSeq == Seq("doc_id", "n_wptok"), empty.columns.toSeq)
+    assert(empty.count() == 0L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("wordpiece: score64 BigInt fallback equals the exact formula " +
       "beyond the Long fast path; greedy longest-match encoding and " +
       "the [UNK] wholesale rule") {
