@@ -158,6 +158,54 @@ object TimeR16 {
     time("t73 warm")(t73Pass())
     time("t73 paragraph dedup")(t73Pass())
 
+    // ---- t82/t86: WordPiece fit (dict-bounded driver loop) and the
+    // greedy-encode census (distinct words through the vocab closure)
+    val (wpm, wpv) = time("t82 wordpiece fit (30 merges, dict-bounded)") {
+      operators.WordPiece.fitFromFreq(wf, 30)
+    }
+    assert(wpm.length == 30)
+    def t86Pass() = operators.WordPiece.tokenCensusFromFreq(wf, wpv)
+      .agg(count(lit(1)), sum($"freq")).collect()
+    time("t86 warm")(t86Pass())
+    time("t86 greedy census")(t86Pass())
+
+    // ---- t83/t84: one narrow codegen pass each
+    def t83Pass() = operators.CorpusStats
+      .readability(docs, "doc_id", "text")
+      .agg(sum($"fk_num"), sum($"n_syll")).collect()
+    time("t83 warm")(t83Pass())
+    time("t83 readability")(t83Pass())
+    def t84Pass() = operators.CorpusStats
+      .encodingAnomalies(docs, "doc_id", "text")
+      .agg(sum($"n_fffd" + $"n_c1" + $"n_moji"), sum($"flagged")).collect()
+    time("t84 warm")(t84Pass())
+    time("t84 encoding anomalies")(t84Pass())
+
+    // ---- t85: leave-one-out novelty — one (doc,gram) distinct
+    // shuffle + census + co-partitioned join back, at 100×. NOTE: on a
+    // replicated corpus every gram is shared across replicas, so
+    // novelty is ~0 — the cost shape (distinct + census + join) is
+    // what's probed.
+    def t85Pass() = operators.CorpusStats
+      .ngramNovelty(docs, "doc_id", "text", 3)
+      .agg(sum($"n_grams"), sum($"n_novel")).collect()
+    time("t85 warm")(t85Pass())
+    time("t85 ngram novelty")(t85Pass())
+
+    // ---- s20: binary-quantized k-NN over the replicated embeddings
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .repartition(32)
+    def s20Pass() = operators.Similarity
+      .binaryKnnJoin(emb, "vec_id", "embedding", 0L until 10L, 10,
+        shortlist = 64)
+      .agg(count(lit(1)), sum($"ham")).collect()
+    time("s20 warm")(s20Pass())
+    time("s20 binary knn")(s20Pass())
+    def s06Pass() = operators.Similarity
+      .knnJoin(emb, "vec_id", "embedding", 0L until 10L, 10)
+      .agg(count(lit(1)), sum($"rk")).collect()
+    time("s06 exact knn (comparison)")(s06Pass())
+
     spark.stop()
   }
 }

@@ -371,20 +371,30 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val v = df
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-      .select(col("id"), col("v"), signPack(col("v")).as("code"))
-    val q = v.filter(col("id").isin(queryIds: _*))
-      .select(col("id").as("qid"), col("v").as("qv"),
-        col("code").as("qcode"))
+    // stage 1 travels CODES ONLY (16 bytes/row at d=64) — carrying the
+    // full vectors through the distance join would erase the whole
+    // footprint win (probed: 11.1 s vs 3–4 s at 100×); the shortlist
+    // re-joins the corpus by id to fetch vectors for the rerank alone
+    val codes = v.select(col("id"), signPack(col("v")).as("code"))
+    val q = codes.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("qid"), col("code").as("qcode"))
     val wH = Window.partitionBy(col("qid"))
       .orderBy(col("ham").asc, col("id").asc)
-    val short = v.join(broadcast(q), col("id") =!= col("qid"))
-      .select(col("qid"), col("id"), col("v"), col("qv"),
+    val short = codes.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
         hammingDist(col("code"), col("qcode")).as("ham"))
       .withColumn("hrk", row_number().over(wH))
       .filter(col("hrk") <= shortlist)
+      .select(col("qid"), col("id"), col("ham"))
+    // rerank: the nQ×shortlist pair set is tiny — broadcast it against
+    // the corpus to fetch candidate vectors, broadcast the bounded
+    // query vectors, exact rounded cosine, top-k
+    val qv = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("qid"), col("v").as("qv"))
     val w2 = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("id").asc)
-    short
+    v.join(broadcast(short), Seq("id"))
+      .join(broadcast(qv), Seq("qid"))
       .select(col("qid"), col("id"), col("ham"),
         round(cosine(col("v"), col("qv")), 6).as("score"))
       .withColumn("rk", row_number().over(w2))
