@@ -233,6 +233,34 @@ private[graft] trait Queries1Rel extends Queries0Shared {
       .orderBy($"event_id")
   }
 
+  // ---------------------------------------------------------------- q76
+  // FORWARD as-of join (merge_asof direction='forward'): per click, the
+  // NEXT purchase by the same user — time-to-conversion, the mirror of
+  // q11's prevailing-quote shape. The engine composes the backward
+  // as-of on negated i64 timestamps (lossless); DuckDB's ASOF accepts
+  // the <= inequality directly.
+  def q76_asof_forward(spark: SparkSession, dir: String): DataFrame = {
+    val e = t(spark, dir, "events")
+    val clicks = e.filter($"event_type" === "click")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = e.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value".as("purchase_value"),
+        $"ts".as("purchase_ts"))
+    operators.AsofJoin.asofJoinForward(clicks, purchases,
+        Seq("user_id"), "ts")
+      .select($"event_id", $"user_id", $"purchase_value",
+        (expr("purchase_ts div 1000") - expr("ts div 1000")).as("lead_us"))
+      .orderBy($"event_id")
+  }
+
+  private[graft] val q76_sql =
+    """SELECT l.event_id, l.user_id, r.value AS purchase_value,
+      |  epoch_us(r.ts) - epoch_us(l.ts) AS lead_us
+      |FROM (SELECT * FROM events WHERE event_type = 'click') l
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |  ON l.user_id = r.user_id AND l.ts <= r.ts
+      |ORDER BY l.event_id""".stripMargin
+
   private[graft] val q74_sql =
     """SELECT l.event_id, l.user_id,
       |  CASE WHEN r.ts IS NOT NULL

@@ -121,6 +121,32 @@ object AsofJoin {
       .drop("__mts")
   }
 
+  /** FORWARD as-of join (pandas `merge_asof(direction='forward')`, the
+    * time-to-next-event form the reference's backward-only `aj` lacks):
+    * for each left row, the FIRST right row with r.ts >= l.ts per key.
+    * Composes the backward engine on NEGATED timestamps — exact under
+    * this repo's integer-ts convention (ns-as-long; negation of an i64
+    * is lossless, unlike any float trick) — so it inherits the same
+    * shuffles and determinism. Tie rule mirrors backward: among right
+    * rows tied on ts, the LAST in table order wins. `ts` must be an
+    * integer column (fails fast otherwise). */
+  def asofJoinForward(left: DataFrame, right: DataFrame,
+                      keys: Seq[String], ts: String,
+                      rightCols: Seq[String] = Nil): DataFrame = {
+    def integral(df: DataFrame): Boolean = df.schema(ts).dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType => true
+      case _ => false
+    }
+    require(integral(left) && integral(right),
+      s"asofJoinForward needs an integer ts column (got " +
+        s"${left.schema(ts).dataType} / ${right.schema(ts).dataType}) — " +
+        "the negation composition is only lossless on integers")
+    asofJoin(left.withColumn(ts, -col(ts)),
+        right.withColumn(ts, -col(ts)), keys, ts, rightCols)
+      .withColumn(ts, -col(ts))
+  }
+
   /** @param keys      equi-join key columns (present in both sides)
     * @param ts        time column name (present in both sides, orderable)
     * @param rightCols right payload columns to attach (default: all

@@ -461,4 +461,38 @@ class OperatorsSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("collides"))
   }
+
+  test("asofJoinForward: first right row with r.ts >= l.ts per key; " +
+      "equal ts matches (inclusive); no later right -> null payload; " +
+      "ties on ts pick the last in table order; non-integer ts fails " +
+      "fast") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(
+      (1L, 7L, 100L),   // next right at ts 150
+      (2L, 7L, 150L),   // equal-ts right matches (inclusive)
+      (3L, 7L, 500L),   // nothing later -> miss
+      (4L, 8L, 10L)     // key with no right rows -> miss
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (7L, 90L, "old"),
+      (7L, 150L, "first150"),
+      (7L, 150L, "last150"),  // tie on ts: last in table order wins
+      (7L, 400L, "later")
+    ).toDF("k", "ts", "v")
+    val got = AsofJoin.asofJoinForward(left, right, Seq("k"), "ts")
+      .orderBy($"event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2),
+        Option(r.getString(r.fieldIndex("v"))))).toSeq
+    assert(got == Seq(
+      (1L, 100L, Some("last150")),
+      (2L, 150L, Some("last150")),
+      (3L, 500L, None),
+      (4L, 10L, None)), got.toString)
+    val err = intercept[IllegalArgumentException] {
+      AsofJoin.asofJoinForward(left.withColumn("ts", $"ts".cast("double")),
+        right, Seq("k"), "ts")
+    }
+    assert(err.getMessage.contains("integer ts"))
+  }
 }
