@@ -109,6 +109,16 @@ object Graft {
       }),
       "nfc_normalize" -> ((exprs: Seq[Expression]) =>
         functions.NfcNormalize(exprs.head)),
+      // binary (sign-bit) quantization kernels (the s20 family):
+      "sign_pack" -> ((exprs: Seq[Expression]) =>
+        functions.SignPack(
+          Cast(exprs.head, ArrayType(DoubleType, containsNull = true)))),
+      "hamming_dist" -> ((exprs: Seq[Expression]) =>
+        functions.HammingDist(
+          Cast(exprs.head, ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = true)),
+          Cast(exprs(1), ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = true)))),
       "cdc_chunks" -> ((exprs: Seq[Expression]) =>
         (exprs(1), exprs(2)) match {
           case (Literal(w: Int, _), Literal(mb: Int, _)) =>

@@ -144,6 +144,44 @@ class GraftSqlSpec extends SparkSpec {
       "dimension mismatch")
   }
 
+  test("sign_pack / hamming_dist are SQL-callable, match the column " +
+      "kernels, coerce float arrays, and fail fast on nulls/mismatch") {
+    Graft.enableSql(spark)
+    val s = spark
+    import s.implicits._
+    val packed = spark.sql(
+      "SELECT sign_pack(array(1.0d, -1.0d, -0.0d, 2.0d))")
+      .head.getSeq[Long](0)
+    assert(packed == Seq(0xDL), packed.toString) // bits 0,2,3
+    // float arrays coerce through the Cast (the nearest_centroid rule)
+    val viaFloat = spark.sql(
+      "SELECT sign_pack(array(CAST(-1.5 AS FLOAT), CAST(3.5 AS FLOAT)))")
+      .head.getSeq[Long](0)
+    assert(viaFloat == Seq(0x2L), viaFloat.toString)
+    val hd = spark.sql(
+      "SELECT hamming_dist(sign_pack(array(1.0d, -1.0d)), " +
+        "sign_pack(array(-1.0d, -1.0d)))").head.getInt(0)
+    assert(hd == 1, hd.toString)
+    // column-form parity on a real row
+    val emb = Tables.load(spark, sf, "embeddings").limit(1)
+      .select($"embedding".cast("array<double>").as("v"))
+    val viaCol = emb
+      .select(graft.functions.VectorExprs.signPack($"v")).head.getSeq[Long](0)
+    emb.createOrReplaceTempView("graft_sp_one")
+    val viaSql = spark.sql("SELECT sign_pack(v) FROM graft_sp_one")
+      .head.getSeq[Long](0)
+    assert(viaCol == viaSql)
+    def boom(sql: String, msg: String): Unit = {
+      val e = intercept[Exception](spark.sql(s"SELECT $sql").collect())
+      def all(t: Throwable): String =
+        if (t == null) "" else t.getMessage + "|" + all(t.getCause)
+      assert(all(e).contains(msg), s"for $sql got ${all(e)}")
+    }
+    boom("sign_pack(array(1.0d, NULL))", "null vec element")
+    boom("hamming_dist(array(1L, NULL), array(1L, 2L))", "null left element")
+    boom("hamming_dist(array(1L), array(1L, 2L))", "length mismatch")
+  }
+
   test("bootstrap registers tables for SQL use") {
     Graft.bootstrap(spark, sf)
     val n = spark.sql("SELECT COUNT(*) FROM lineitem").collect().head.getLong(0)
