@@ -37,7 +37,8 @@ object Bench {
         "t61_stream_html", "t71_stream_line_clean",
         "t75_stream_paragraph_clean", "q75_stream_funnel_watermarked",
         "t78_stream_langid", "t79_stream_quality",
-        "t80_stream_tokenize", "s19_stream_sem_decontam"))
+        "t80_stream_tokenize", "s19_stream_sem_decontam",
+        "t87_stream_wordpiece"))
       try SparkEntry.queries(q)(spark, sfDir).count()
       catch { case _: Throwable => () }
 

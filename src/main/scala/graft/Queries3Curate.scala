@@ -1746,6 +1746,40 @@ private[graft] trait Queries3Curate extends Queries2Lm {
       |  CAST(n_fffd + n_c1 + n_moji > 0 AS INT) AS flagged
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t88
+  // Vocabulary-growth card (Heaps' law): cumulative distinct types vs
+  // token mass over doc_id-ordered prefixes — see
+  // CorpusStats.vocabGrowth. The cumsum window runs over the BUCKET
+  // census (bounded), never corpus rows; DuckDB's window SUM returns
+  // HUGEINT → CAST AS BIGINT (the documented rule).
+  def t88_vocab_growth(spark: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.vocabGrowth(
+      t(spark, dir, "documents"), "doc_id", "text", bucketSize = 64L)
+      .orderBy($"bucket")
+
+  private[graft] lazy val t88_sql =
+    """WITH tk AS (
+      |  SELECT bucket, word FROM (
+      |    SELECT doc_id // 64 AS bucket,
+      |           unnest(string_split(text, ' ')) AS word
+      |    FROM documents)
+      |  WHERE word <> ''),
+      |pb AS (
+      |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+      |  FROM tk GROUP BY bucket),
+      |fb AS (
+      |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_vocab FROM (
+      |    SELECT word, MIN(bucket) AS bucket FROM tk GROUP BY word)
+      |  GROUP BY bucket)
+      |SELECT p.bucket, p.n_tokens,
+      |  CAST(SUM(p.n_tokens) OVER (ORDER BY p.bucket) AS BIGINT)
+      |    AS tokens_cum,
+      |  COALESCE(f.new_vocab, 0) AS new_vocab,
+      |  CAST(SUM(COALESCE(f.new_vocab, 0)) OVER (ORDER BY p.bucket)
+      |    AS BIGINT) AS vocab_cum
+      |FROM pb p LEFT JOIN fb f USING (bucket)
+      |ORDER BY bucket""".stripMargin
+
   // ---------------------------------------------------------------- t85
   // Leave-one-out n-gram novelty (see CorpusStats.ngramNovelty): the
   // per-document fraction of distinct word 3-gram hashes shared with

@@ -354,6 +354,36 @@ object CorpusStats {
       .select(col(idCol), $"n_fffd", $"n_c1", $"n_moji",
         ($"n_fffd" + $"n_c1" + $"n_moji" > 0L).cast("int").as("flagged"))
 
+  /** Vocabulary-growth (Heaps' law) card: distinct-type and token-mass
+    * accumulation over doc_id-ordered corpus prefixes — the dataset-
+    * scaling diagnostic (does vocabulary keep growing, i.e. is the
+    * corpus still contributing novelty, or has it saturated?). Shape:
+    * one (word → min bucket) census assigns each type to its FIRST
+    * bucket, so cumulative vocabulary is a plain cumsum over the
+    * BUCKET census (≤ a few hundred rows at any corpus size) — the
+    * single-partition window runs over bucket rows, never corpus rows;
+    * the heavy lifting is two ordinary hash aggregations. */
+  def vocabGrowth(corpus: DataFrame, idCol: String, textCol: String,
+                  bucketSize: Long): DataFrame = {
+    require(bucketSize > 0, s"bucketSize must be positive: $bucketSize")
+    val toks = corpus
+      .select(expr(s"`$idCol` div ${bucketSize}L").as("bucket"),
+        explode(split(col(textCol), " ")).as("word"))
+      .filter($"word" =!= "")
+    val perBucket = toks.groupBy($"bucket")
+      .agg(count(lit(1)).as("n_tokens"))
+    val firstB = toks.groupBy($"word").agg(min($"bucket").as("bucket"))
+      .groupBy($"bucket").agg(count(lit(1)).as("new_vocab"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"bucket")
+    perBucket.join(firstB, Seq("bucket"), "left")
+      .select($"bucket", $"n_tokens",
+        coalesce($"new_vocab", lit(0L)).as("new_vocab"))
+      .select($"bucket", $"n_tokens",
+        sum($"n_tokens").over(w).as("tokens_cum"),
+        $"new_vocab",
+        sum($"new_vocab").over(w).as("vocab_cum"))
+  }
+
   /** Leave-one-out n-gram novelty: per document, how many of its
     * DISTINCT word n-gram hashes appear in NO other document. The
     * standard memorization/diversity card (novel-gram rate of a corpus

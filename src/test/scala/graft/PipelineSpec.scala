@@ -1863,6 +1863,27 @@ class PipelineSpec extends SparkSpec {
       (0L, 0L, 0L, 0), (0L, 0L, 0L, 0)), got.toString)
   }
 
+  test("vocabGrowth: types count in their FIRST bucket, cumsums " +
+      "accumulate, token-only buckets report zero new vocab") {
+    import graft.operators.CorpusStats
+    val docs = Seq(
+      (0L, "a b a"),        // bucket 0: tokens 3, new types a,b
+      (1L, "b c"),          // bucket 0: tokens 2, new type c
+      (2L, "a b c"),        // bucket 1: tokens 3, nothing new
+      (5L, "c d")           // bucket 2: tokens 2, new type d
+    ).toDF("doc_id", "text")
+    val got = CorpusStats.vocabGrowth(docs, "doc_id", "text", 2L)
+      .orderBy($"bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (0L, 5L, 5L, 3L, 3L),
+      (1L, 3L, 8L, 0L, 3L),
+      (2L, 2L, 10L, 1L, 4L)), got.toString)
+    intercept[IllegalArgumentException](
+      CorpusStats.vocabGrowth(docs, "doc_id", "text", 0L))
+  }
+
   test("binary quantization: sign-pack goldens (-0.0 packs set, " +
       "partial last word), hamming golden, full shortlist makes " +
       "binaryKnnJoin BIT-IDENTICAL to exact knnJoin, null fails fast") {
