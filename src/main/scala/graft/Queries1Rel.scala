@@ -243,8 +243,14 @@ private[graft] trait Queries1Rel extends Queries0Shared {
     val e = t(spark, dir, "events")
     val clicks = e.filter($"event_type" === "click")
       .select($"event_id", $"user_id", $"ts")
+    // tie-total right side: DuckDB's ASOF picks an UNSPECIFIED row
+    // among equal (key, ts), so the query pre-folds duplicates to one
+    // row per (user_id, ts) — the min_by/max_by rule (CLAUDE.md):
+    // make ties total BEFORE the engine-dependent pick can matter
     val purchases = e.filter($"event_type" === "purchase")
-      .select($"user_id", $"ts", $"value".as("purchase_value"),
+      .groupBy($"user_id", $"ts")
+      .agg(max($"value").as("purchase_value"))
+      .select($"user_id", $"ts", $"purchase_value",
         $"ts".as("purchase_ts"))
     operators.AsofJoin.asofJoinForward(clicks, purchases,
         Seq("user_id"), "ts")
@@ -257,7 +263,9 @@ private[graft] trait Queries1Rel extends Queries0Shared {
     """SELECT l.event_id, l.user_id, r.value AS purchase_value,
       |  epoch_us(r.ts) - epoch_us(l.ts) AS lead_us
       |FROM (SELECT * FROM events WHERE event_type = 'click') l
-      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      |ASOF LEFT JOIN (
+      |  SELECT user_id, ts, MAX(value) AS value
+      |  FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) r
       |  ON l.user_id = r.user_id AND l.ts <= r.ts
       |ORDER BY l.event_id""".stripMargin
 

@@ -1353,10 +1353,12 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
       |p AS (SELECT generate_series AS pos FROM generate_series(1, 64)),
       |codes AS MATERIALIZED (
       |  SELECT vec_id,
-      |    CAST(SUM(CASE WHEN v.emb[p.pos] >= 0 AND p.pos <= 32
+      |    CAST(SUM(CASE WHEN v.emb[p.pos] >= 0
+      |              AND NOT isnan(v.emb[p.pos]) AND p.pos <= 32
       |         THEN (CAST(1 AS BIGINT) << (p.pos - 1)) ELSE 0 END)
       |      AS BIGINT) AS c0,
-      |    CAST(SUM(CASE WHEN v.emb[p.pos] >= 0 AND p.pos > 32
+      |    CAST(SUM(CASE WHEN v.emb[p.pos] >= 0
+      |              AND NOT isnan(v.emb[p.pos]) AND p.pos > 32
       |         THEN (CAST(1 AS BIGINT) << (p.pos - 33)) ELSE 0 END)
       |      AS BIGINT) AS c1
       |  FROM v CROSS JOIN p GROUP BY vec_id),

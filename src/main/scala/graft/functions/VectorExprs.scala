@@ -571,8 +571,11 @@ object Sq8Dot {
 
 /** Binary (sign-bit) quantization: pack an array<double> into
   * ceil(d/32) little-endian 32-bit sign words carried as BIGINTs —
-  * bit (i mod 32) of word (i div 32) is set iff v[i] >= 0 (so -0.0
-  * packs as 1 in both engines and NaN as 0). 32-bit words, not 64:
+  * bit (i mod 32) of word (i div 32) is set iff v[i] >= 0. -0.0 packs
+  * as 1 in both engines; NaN packs as 0 HERE (Java's NaN >= 0.0 is
+  * false) while DuckDB orders NaN greater-than-everything, so the s20
+  * oracle spells the test `>= 0 AND NOT isnan(...)` to match this
+  * expression exactly. 32-bit words, not 64:
   * the replay builds each word as a SUM of `1::BIGINT << (pos-1)`
   * terms, and a 64-bit word's top bit would need the sign bit of a
   * BIGINT — shift semantics at bit 63 differ across engines, ≤ 2^31

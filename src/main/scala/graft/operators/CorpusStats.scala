@@ -387,12 +387,13 @@ object CorpusStats {
   /** Leave-one-out n-gram novelty: per document, how many of its
     * DISTINCT word n-gram hashes appear in NO other document. The
     * standard memorization/diversity card (novel-gram rate of a corpus
-    * slice). Shape: one (doc, gram) distinct shuffle, one gram census
-    * (count over already-distinct pairs = distinct-doc frequency), one
-    * co-partitioned join back — both sides arrive partitioned by `g`
-    * from the same exchange, and grams travel as i64 hashes
-    * (`functions.NgramHashes`, the t09/t14 convention). Never all-pairs;
-    * 100 TB-safe by construction. */
+    * slice). Shape: THREE corpus-sized exchanges — the (doc_id, g)
+    * distinct, the census groupBy(g) on its output, and the join
+    * back's re-shuffle of the pair side by g (the distinct leaves data
+    * partitioned on (doc_id, g), NOT g — don't trust this join to
+    * reuse that exchange) — then the per-doc fold. Grams travel as i64
+    * hashes throughout (`functions.NgramHashes`, the t09/t14
+    * convention). Never all-pairs; 100 TB-safe by construction. */
   def ngramNovelty(corpus: DataFrame, idCol: String, textCol: String,
                    n: Int): DataFrame = {
     import graft.functions.NgramHashExpr.ngramHashes

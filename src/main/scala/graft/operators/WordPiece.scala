@@ -252,7 +252,19 @@ object WordPiece {
     * BERT runtime tokenizer — NOT merge-order application; the two can
     * differ, which is why the oracle reads the merge TABLE, not
     * encodings). `vocab` = seed symbols + merge tokens. A word with an
-    * unmatchable position encodes to `[unk]` wholesale (BERT rule). */
+    * unmatchable position encodes to `[unk]` wholesale (BERT rule).
+    *
+    * '#'-CONTAINING WORDS: a vocab string starting with `##` is
+    * treated as a CONTINUATION piece ONLY — it never matches at word
+    * start, even when the word itself begins with literal `##`
+    * (markdown headings). The textual `##` prefix makes a merged head
+    * piece spelled `##…` indistinguishable from a continuation piece
+    * in the vocab SET, so position decides: head candidates must not
+    * start with `##` (and the degenerate `##` piece is unreachable at
+    * any position — continuation candidates are `##`+non-empty). This
+    * is exactly the t86/t87 oracle's vp rule (cont = piece LIKE
+    * '##%', matched only at pos > 1, piece <> '##' dropped) — without
+    * it the engines diverge on `##`-initial words. */
   def encodeWord(word: String, vocab: Set[String],
                  unk: String = "[UNK]"): Seq[String] = {
     if (word.isEmpty) return Seq.empty
@@ -264,7 +276,8 @@ object WordPiece {
       while (found == null && j > i) {
         val sub = word.substring(i, j)
         val cand = if (i == 0) sub else "##" + sub
-        if (vocab.contains(cand)) found = cand
+        val headOk = i > 0 || !sub.startsWith("##")
+        if (headOk && vocab.contains(cand)) found = cand
         else {
           j -= 1
           // never split a surrogate pair

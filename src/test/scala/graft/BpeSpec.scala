@@ -588,5 +588,16 @@ class BpeSpec extends SparkSpec {
     assert(WordPiece.encodeWord("az", vocab) == Seq("[UNK]"),
       "unmatchable position -> wholesale UNK")
     assert(WordPiece.encodeWord("", vocab).isEmpty)
+    // '##'-initial words: a '##%' vocab string is continuation-ONLY
+    // (the oracle's vp rule) — it must not match at word start even
+    // when the word literally begins with '##'. Vocab of the word
+    // '##x' itself: seeds {'#', '###', '##x'}; greedy = head '#',
+    // then cont '#' (cand '###'), then cont 'x' (cand '##x').
+    val hashVocab = Set("#", "###", "##x")
+    assert(WordPiece.encodeWord("##x", hashVocab) ==
+      Seq("#", "###", "##x"), "##-initial word takes the head-# path")
+    // and the degenerate '##' piece is unreachable at any position
+    assert(WordPiece.encodeWord("##", Set("##", "#", "###")) ==
+      Seq("#", "###"))
   }
 }
