@@ -274,6 +274,76 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
        |  JOIN a ON a.cell = p.cell AND a.id <> q.qid)
        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
+  // ---------------------------------------------------------------- s21
+  // IVF × binary hybrid k-NN — the composed production stack: coarse
+  // cell pruning (s11's Lloyd cells), Hamming shortlist over sign
+  // codes inside the probed cells (s20's stage 1), exact rerank. The
+  // oracle composes the two proven replay chains.
+  def s21_ivf_binary(spark: SparkSession, dir: String): DataFrame =
+    Similarity.ivfBinaryKnnJoin(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryIds = (0L until 10L).toSeq,
+      k = 3, nProbe = 2, shortlist = 16, cents = embCentroids(spark, dir))
+      .select($"qid", $"rk", $"id".as("vec_id"), $"ham", $"score")
+      .orderBy($"qid", $"rk")
+
+  private[graft] val s21_sql =
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |  topv AS (SELECT id, v FROM v ORDER BY id LIMIT 128),
+       |  num AS (SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM topv),
+       |  cent0 AS (SELECT CAST(rn // 16 AS INT) AS cell, v AS cv
+       |    FROM num WHERE rn % 16 = 1),
+       |${lloydIterSql("cent0", 1)},
+       |${lloydIterSql("cent1", 2)},
+       |${lloydIterSql("cent2", 3)},
+       |  a AS (SELECT id, v, cell FROM (
+       |    SELECT v.id, v.v, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.id
+       |        ORDER BY ${duckCos("v.v", "c.cv")} DESC, c.cell) AS rk
+       |    FROM v CROSS JOIN cent3 c) WHERE rk = 1),
+       |  qs AS (SELECT id AS qid, v AS qv FROM v WHERE id < 10),
+       |  probe AS (SELECT qid, cell FROM (
+       |    SELECT q.qid, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.qid
+       |        ORDER BY ${duckCos("q.qv", "c.cv")} DESC, c.cell) AS rk
+       |    FROM qs q CROSS JOIN cent3 c) WHERE rk <= 2),
+       |  p64 AS (SELECT generate_series AS pos FROM generate_series(1, 64)),
+       |  codes AS MATERIALIZED (
+       |    SELECT v.id,
+       |      CAST(SUM(CASE WHEN v.v[p64.pos] >= 0
+       |                AND NOT isnan(v.v[p64.pos]) AND p64.pos <= 32
+       |           THEN (CAST(1 AS BIGINT) << (p64.pos - 1)) ELSE 0 END)
+       |        AS BIGINT) AS c0,
+       |      CAST(SUM(CASE WHEN v.v[p64.pos] >= 0
+       |                AND NOT isnan(v.v[p64.pos]) AND p64.pos > 32
+       |           THEN (CAST(1 AS BIGINT) << (p64.pos - 33)) ELSE 0 END)
+       |        AS BIGINT) AS c1
+       |    FROM v CROSS JOIN p64 GROUP BY v.id),
+       |  qc AS (SELECT id AS qid, c0 AS q0, c1 AS q1 FROM codes
+       |         WHERE id < 10),
+       |  cand AS (
+       |    SELECT p.qid, a.id,
+       |      bit_count(xor(c.c0, q.q0)) + bit_count(xor(c.c1, q.q1)) AS ham
+       |    FROM probe p
+       |    JOIN a ON a.cell = p.cell AND a.id <> p.qid
+       |    JOIN codes c ON c.id = a.id
+       |    JOIN qc q ON q.qid = p.qid),
+       |  sl AS (
+       |    SELECT qid, id, ham,
+       |      ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ham, id) AS hrk
+       |    FROM cand),
+       |  rr AS (
+       |    SELECT s.qid, s.id, s.ham,
+       |      ROUND(list_cosine_similarity(cv.v, qv.v), 6) AS score
+       |    FROM sl s JOIN v cv ON cv.id = s.id JOIN v qv ON qv.id = s.qid
+       |    WHERE s.hrk <= 16)
+       |SELECT qid, rk, id AS vec_id, ham, score FROM (
+       |  SELECT qid, id, ham, score,
+       |    ROW_NUMBER() OVER (PARTITION BY qid
+       |      ORDER BY score DESC, id) AS rk
+       |  FROM rr)
+       |WHERE rk <= 3 ORDER BY qid, rk""".stripMargin
+
   // ---------------------------------------------------------------- s17
   // Matryoshka prefix-truncated search (MRL serving): cosine over the
   // first 16 of 64 dims → shortlist 32 → exact full-dim rerank →

@@ -402,6 +402,62 @@ object Similarity {
       .select(col("qid"), col("rk"), col("id"), col("ham"), col("score"))
   }
 
+  /** IVF × binary hybrid k-NN join — the full production serving stack
+    * (what IVF-with-binary-refinement vector stores ship): coarse cell
+    * pruning cuts the scan to ~nProbe/nCells of the corpus, a Hamming
+    * pass over 16-byte sign codes ranks the survivors, and only the
+    * per-query `shortlist` pays exact cosine. Composes [[assignCells]]
+    * (codegen, narrow) + the [[binaryKnnJoin]] stages; with nProbe =
+    * nCells AND shortlist ≥ corpus−1 the result is BIT-IDENTICAL to
+    * exact [[knnJoin]] (both relaxations removed — the s11/s20 pins
+    * composed). Probe cells are driver-picked from the bounded query
+    * set (the searchIvfIndex rule). */
+  def ivfBinaryKnnJoin(df: DataFrame, idCol: String, vecCol: String,
+                       queryIds: Seq[Long], k: Int, nProbe: Int,
+                       shortlist: Int,
+                       cents: Array[(Int, Seq[Double])]): DataFrame = {
+    import graft.functions.VectorExprs.{signPack, hammingDist}
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val codes = assignCells(v, cents)
+      .select(col("id"), col("cell"), signPack(col("v")).as("code"))
+    val probes = v.filter(col("id").isin(queryIds: _*)).collect()
+      .flatMap { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Double](1)
+        cents.map { case (cell, cv) => (cell, cosineLocal(qv, cv)) }
+          .sortBy { case (cell, sim) => (-sim, cell) }
+          .take(nProbe)
+          .map { case (cell, _) => (qid, cell) }
+      }.toSeq.toDF("qid", "cell")
+    val qcodes = codes.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("qid"), col("code").as("qcode"))
+    val wH = Window.partitionBy(col("qid"))
+      .orderBy(col("ham").asc, col("id").asc)
+    val short = codes.join(broadcast(probes), Seq("cell"))
+      .filter(col("id") =!= col("qid"))
+      .join(broadcast(qcodes), Seq("qid"))
+      .select(col("qid"), col("id"),
+        hammingDist(col("code"), col("qcode")).as("ham"))
+      .withColumn("hrk", row_number().over(wH))
+      .filter(col("hrk") <= shortlist)
+      .select(col("qid"), col("id"), col("ham"))
+    val qv = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id").asc)
+    v.join(broadcast(short), Seq("id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("id"), col("ham"),
+        round(cosine(col("v"), col("qv")), 6).as("score"))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("id"), col("ham"), col("score"))
+  }
+
   def knnJoin(df: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -1918,6 +1918,27 @@ class PipelineSpec extends SparkSpec {
     assert(chain(e).contains("sign_pack"), chain(e))
   }
 
+  test("ivfBinaryKnnJoin: with nProbe = nCells AND full shortlist the " +
+      "hybrid is BIT-IDENTICAL to exact knnJoin (both relaxations " +
+      "removed — the s11/s20 pins composed)") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cents = Similarity.fitCentroids(emb, "vec_id", "embedding",
+      nCells = 4, Similarity.LloydIters)
+    def tup(df: org.apache.spark.sql.DataFrame) =
+      df.select($"qid", $"rk", $"id", $"score").orderBy($"qid", $"rk")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    assert(tup(Similarity.ivfBinaryKnnJoin(emb, "vec_id", "embedding",
+        0L until 5L, 3, nProbe = 4, shortlist = 1 << 20, cents = cents)) ==
+      tup(Similarity.knnJoin(emb, "vec_id", "embedding", 0L until 5L, 3)))
+    // and with a REAL shortlist it equals binaryKnnJoin when every
+    // cell is probed (the cell filter relaxed, the Hamming one kept)
+    assert(tup(Similarity.ivfBinaryKnnJoin(emb, "vec_id", "embedding",
+        0L until 5L, 3, nProbe = 4, shortlist = 16, cents = cents)) ==
+      tup(Similarity.binaryKnnJoin(emb, "vec_id", "embedding",
+        0L until 5L, 3, shortlist = 16)))
+  }
+
   test("ngramNovelty: shared grams are not novel, within-doc repeats " +
       "stay novel (distinct semantics), short docs report zero grams") {
     import graft.operators.CorpusStats
