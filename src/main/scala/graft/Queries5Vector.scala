@@ -274,6 +274,28 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
        |  JOIN a ON a.cell = p.cell AND a.id <> q.qid)
        |WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
 
+  // ---------------------------------------------------------------- s22
+  // Persisted binary-code index lifecycle: build once (srcStamp-guarded
+  // /tmp stage, the s04 rule), search the stored codes — the Hamming
+  // stage reads ONLY (id, code) via parquet column pruning, so the
+  // 16-byte-per-vector scan footprint is delivered by the columnar
+  // layout itself. Search over the store == binaryKnnJoin over the
+  // table (spec-pinned), so the oracle IS s20's SQL.
+  def s22_binary_index(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft_binidx/$key" +
+      s"/s${srcStamp(dir, "embeddings.parquet")}"
+    if (!new java.io.File(s"$base/codes/_SUCCESS").exists())
+      Similarity.buildBinaryIndex(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", base)
+    Similarity.searchBinaryIndex(spark, base,
+        queryIds = (0L until 10L).toSeq, k = 3, shortlist = 32)
+      .select($"qid", $"rk", $"id".as("vec_id"), $"ham", $"score")
+      .orderBy($"qid", $"rk")
+  }
+
+  private[graft] lazy val s22_sql = s20_sql
+
   // ---------------------------------------------------------------- s21
   // IVF × binary hybrid k-NN — the composed production stack: coarse
   // cell pruning (s11's Lloyd cells), Hamming shortlist over sign

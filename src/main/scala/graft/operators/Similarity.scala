@@ -458,6 +458,77 @@ object Similarity {
       .select(col("qid"), col("rk"), col("id"), col("ham"), col("score"))
   }
 
+  /** Persisted binary (sign-bit) code index — the s20 family's disk
+    * lifecycle (the buildLshIndex/buildSigIndex pattern). Layout: ONE
+    * parquet dataset `codes/` with columns (id, code, v) — the Hamming
+    * stage reads ONLY (id, code) and parquet COLUMN PRUNING delivers
+    * the 16-byte-per-vector scan (no separate code file to keep in
+    * sync with the vectors); the rerank re-reads (id, v) for the
+    * shortlist alone. */
+  def buildBinaryIndex(df: DataFrame, idCol: String, vecCol: String,
+                       path: String): Unit = {
+    import graft.functions.VectorExprs.signPack
+    df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), signPack(col("v")).as("code"), col("v"))
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Append new vectors: anti-join against stored ids so an
+    * at-least-once replay of the same batch is a byte-level no-op (the
+    * GraphAnn append rule). Distributed end to end — no driver pull,
+    * no gate needed. */
+  def appendToBinaryIndex(df: DataFrame, idCol: String, vecCol: String,
+                          path: String): Unit = {
+    import graft.functions.VectorExprs.signPack
+    val spark = df.sparkSession
+    require(new java.io.File(s"$path/codes").isDirectory,
+      s"no binary index at $path — buildBinaryIndex first")
+    val stored = spark.read.parquet(s"$path/codes").select("id")
+    df.select(col(idCol).as("id"),
+        col(vecCol).cast("array<double>").as("v"))
+      .join(stored, Seq("id"), "left_anti")
+      .select(col("id"), signPack(col("v")).as("code"), col("v"))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Search the persisted index: Hamming top-`shortlist` over the
+    * column-pruned (id, code) scan, exact rounded-cosine rerank over
+    * (id, v) for the shortlist. Same semantics as [[binaryKnnJoin]]
+    * over the indexed rows (spec-pinned equal). */
+  def searchBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+                        path: String, queryIds: Seq[Long], k: Int,
+                        shortlist: Int): DataFrame = {
+    import graft.functions.VectorExprs.hammingDist
+    import org.apache.spark.sql.expressions.Window
+    require(new java.io.File(s"$path/codes").isDirectory,
+      s"no binary index at $path — buildBinaryIndex first")
+    val store = spark.read.parquet(s"$path/codes")
+    val codes = store.select(col("id"), col("code"))
+    val q = codes.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("qid"), col("code").as("qcode"))
+    val wH = Window.partitionBy(col("qid"))
+      .orderBy(col("ham").asc, col("id").asc)
+    val short = codes.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        hammingDist(col("code"), col("qcode")).as("ham"))
+      .withColumn("hrk", row_number().over(wH))
+      .filter(col("hrk") <= shortlist)
+      .select(col("qid"), col("id"), col("ham"))
+    val v = store.select(col("id"), col("v"))
+    val qv = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("qid"), col("v").as("qv"))
+    val w2 = Window.partitionBy(col("qid"))
+      .orderBy(col("score").desc, col("id").asc)
+    v.join(broadcast(short), Seq("id"))
+      .join(broadcast(qv), Seq("qid"))
+      .select(col("qid"), col("id"), col("ham"),
+        round(cosine(col("v"), col("qv")), 6).as("score"))
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= k)
+      .select(col("qid"), col("rk"), col("id"), col("ham"), col("score"))
+  }
+
   def knnJoin(df: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -689,6 +689,27 @@ object Streams {
     * returns DISTINCT pairs, so the candidate set is exactly-once even
     * when the append is not. `where` optionally routes a slice of a
     * shared feed (SQL predicate over the feed's columns). */
+  /** Streaming ingest into a persisted binary-code index (the
+    * lshIngest shape): each embedding micro-batch appends through the
+    * anti-join, so an at-least-once replay is a byte-level no-op. */
+  def binaryIngest(spark: SparkSession, srcDir: String,
+                   schemaFrom: DataFrame, idCol: String, vecCol: String,
+                   indexPath: String, checkpoint: String,
+                   statePartitions: Int = 2): Unit = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.appendToBinaryIndex(batch, idCol,
+          vecCol, indexPath)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
   def lshIngest(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
                 idCol: String, textCol: String, indexPath: String,
                 checkpoint: String, where: Option[String] = None,

@@ -1918,6 +1918,53 @@ class PipelineSpec extends SparkSpec {
     assert(chain(e).contains("sign_pack"), chain(e))
   }
 
+  test("binary index lifecycle: build+append == one-shot rebuild, " +
+      "search == in-memory binaryKnnJoin, duplicate append and " +
+      "drained stream replay are no-ops, the Hamming scan prunes to " +
+      "(id, code), missing index fails fast") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("binidx").toString
+    val old = emb.filter($"vec_id" % 2 === 0)
+    val nw = emb.filter($"vec_id" % 2 === 1)
+    Similarity.buildBinaryIndex(old, "vec_id", "embedding", s"$dir/inc")
+    Similarity.appendToBinaryIndex(nw, "vec_id", "embedding", s"$dir/inc")
+    Similarity.buildBinaryIndex(emb, "vec_id", "embedding", s"$dir/full")
+    def res(p: String) = Similarity
+      .searchBinaryIndex(spark, p, 0L until 5L, 3, 16)
+      .orderBy($"qid", $"rk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4))).toSeq
+    val full = res(s"$dir/full")
+    assert(res(s"$dir/inc") == full, "incremental == rebuilt")
+    val mem = Similarity
+      .binaryKnnJoin(emb, "vec_id", "embedding", 0L until 5L, 3, 16)
+      .orderBy($"qid", $"rk").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3),
+        r.getDouble(4))).toSeq
+    assert(full == mem, "store == in-memory")
+    val before = spark.read.parquet(s"$dir/inc/codes").count()
+    Similarity.appendToBinaryIndex(nw, "vec_id", "embedding", s"$dir/inc")
+    assert(spark.read.parquet(s"$dir/inc/codes").count() == before,
+      "duplicate append is a no-op")
+    val plan = Similarity
+      .searchBinaryIndex(spark, s"$dir/full", 0L until 5L, 3, 16)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<id:bigint,code:array<bigint>>"),
+      "the Hamming stage must scan only (id, code):\n" + plan)
+    intercept[IllegalArgumentException](
+      Similarity.searchBinaryIndex(spark, s"$dir/none", Seq(0L), 1, 4))
+    // streaming ingest == batch append; drained replay is a no-op
+    Similarity.buildBinaryIndex(old, "vec_id", "embedding", s"$dir/st")
+    nw.write.parquet(s"$dir/feed")
+    graft.streaming.Streams.binaryIngest(spark, s"$dir/feed", emb,
+      "vec_id", "embedding", s"$dir/st", s"$dir/ckpt")
+    assert(res(s"$dir/st") == full, "stream ingest == rebuilt")
+    graft.streaming.Streams.binaryIngest(spark, s"$dir/feed", emb,
+      "vec_id", "embedding", s"$dir/st", s"$dir/ckpt")
+    assert(res(s"$dir/st") == full, "drained replay is a no-op")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("ivfBinaryKnnJoin: with nProbe = nCells AND full shortlist the " +
       "hybrid is BIT-IDENTICAL to exact knnJoin (both relaxations " +
       "removed — the s11/s20 pins composed)") {
