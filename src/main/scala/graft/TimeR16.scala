@@ -206,6 +206,32 @@ object TimeR16 {
       .agg(count(lit(1)), sum($"rk")).collect()
     time("s06 exact knn (comparison)")(s06Pass())
 
+    // ---- s21: IVF×binary hybrid — cell pruning on top of the Hamming
+    // pass (scan ~nProbe/nCells of the corpus)
+    val cents = time("s21 centroid fit (one-time)") {
+      operators.Similarity.fitCentroids(emb, "vec_id", "embedding",
+        nCells = 8, operators.Similarity.LloydIters)
+    }
+    def s21Pass() = operators.Similarity
+      .ivfBinaryKnnJoin(emb, "vec_id", "embedding", 0L until 10L, 10,
+        nProbe = 2, shortlist = 64, cents = cents)
+      .agg(count(lit(1)), sum($"ham")).collect()
+    time("s21 warm")(s21Pass())
+    time("s21 ivf+binary knn")(s21Pass())
+
+    // ---- s22: persisted binary index — the column-pruned (id, code)
+    // scan vs the in-memory form that recomputes codes per query
+    val idxDir = s"/tmp/graft_probe_binidx_${System.nanoTime()}"
+    time("s22 index build (one-time)") {
+      operators.Similarity.buildBinaryIndex(emb, "vec_id", "embedding",
+        idxDir)
+    }
+    def s22Pass() = operators.Similarity
+      .searchBinaryIndex(spark, idxDir, 0L until 10L, 10, 64)
+      .agg(count(lit(1)), sum($"ham")).collect()
+    time("s22 warm")(s22Pass())
+    time("s22 indexed binary knn")(s22Pass())
+
     spark.stop()
   }
 }
