@@ -494,28 +494,29 @@ private[graft] trait Queries1Rel extends Queries0Shared {
   }
 
   private[graft] val t02_stop = Text.stopwords.map(s => s"'$s'").mkString(", ")
+  // the ONE home of the quality-formula replay (t02/t10/t89 share it —
+  // the formula must not drift between oracles)
+  private[graft] lazy val qualityPunctSql =
+    """CASE WHEN length(text) = 0 THEN 0.0 ELSE
+      |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
+      |      / length(text) END""".stripMargin
+  private[graft] lazy val qualityStopSql =
+    s"""CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0 ELSE
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      w -> w IN ($t02_stop))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) END""".stripMargin
+  private[graft] lazy val qualitySql =
+    s"""0.4 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100)
+       |    + 0.3 * (1.0 - $qualityPunctSql)
+       |    + 0.3 * (1.0 - $qualityStopSql)""".stripMargin
   // floor(x*1e4 + 0.5)/1e4 instead of ROUND: bit-identical to the Spark
   // side (see RF.roundBin — engines disagree on .xxxx5 shortest-reprs)
-  private[graft] val t02_sql = {
-    val punct =
-      """CASE WHEN length(text) = 0 THEN 0.0 ELSE
-        |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
-        |      / length(text) END""".stripMargin
-    val stop =
-      s"""CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0 ELSE
-         |    CAST(len(list_filter(string_split(text, ' '),
-         |      w -> w IN ($t02_stop))) AS DOUBLE)
-         |      / len(string_split(text, ' ')) END""".stripMargin
-    val quality =
-      s"""0.4 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100)
-         |    + 0.3 * (1.0 - $punct)
-         |    + 0.3 * (1.0 - $stop)""".stripMargin
+  private[graft] val t02_sql =
     s"""SELECT doc_id,
-       |  floor(($punct) * 10000 + 0.5) / 10000 AS punct_ratio,
-       |  floor(($stop) * 10000 + 0.5) / 10000 AS stop_ratio,
-       |  floor(($quality) * 10000 + 0.5) / 10000 AS quality
+       |  floor(($qualityPunctSql) * 10000 + 0.5) / 10000 AS punct_ratio,
+       |  floor(($qualityStopSql) * 10000 + 0.5) / 10000 AS stop_ratio,
+       |  floor(($qualitySql) * 10000 + 0.5) / 10000 AS quality
        |FROM documents ORDER BY doc_id""".stripMargin
-  }
 
   // ---------------------------------------------------------------- t03
   // Language ID: marker-word voting, grouped census of predictions.
@@ -724,19 +725,9 @@ private[graft] trait Queries1Rel extends Queries0Shared {
   }
 
   private[graft] val t10_sql = {
-    val punct =
-      """CASE WHEN length(text) = 0 THEN 0.0 ELSE
-        |    CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS DOUBLE)
-        |      / length(text) END""".stripMargin
-    val stop =
-      s"""CASE WHEN len(string_split(text, ' ')) = 0 THEN 0.0 ELSE
-         |    CAST(len(list_filter(string_split(text, ' '),
-         |      w -> w IN ($t02_stop))) AS DOUBLE)
-         |      / len(string_split(text, ' ')) END""".stripMargin
-    val quality =
-      s"""0.4 * least(1.0, CAST(len(string_split(text,' ')) AS DOUBLE)/100)
-         |    + 0.3 * (1.0 - $punct)
-         |    + 0.3 * (1.0 - $stop)""".stripMargin
+    val punct = qualityPunctSql
+    val stop = qualityStopSql
+    val quality = qualitySql
     def hits(ms: Seq[String]) =
       s"len(list_filter(string_split(lower(text), ' '), " +
         s"w -> w IN (${ms.map(m => s"'$m'").mkString(", ")})))"

@@ -1746,6 +1746,65 @@ private[graft] trait Queries3Curate extends Queries2Lm {
       |  CAST(n_fffd + n_c1 + n_moji > 0 AS INT) AS flagged
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t89
+  // Quality-canonical dedup: per near-dup cluster keep the BEST copy by
+  // quality score (tie → lowest doc_id), not the arbitrary min-id d12
+  // ships — the real pipeline rule (of N crawl copies, keep the
+  // cleanest). Composes the d11 component chain with the t02 quality
+  // formula (ONE shared SQL home, qualitySql) and a per-cluster argmax
+  // window. qualityScore is roundBin(…,4) on BOTH sides, so the
+  // ordering doubles are bit-identical.
+  def t89_canonical_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.simhashNearDup64(docs, "doc_id", "text",
+      maxHamming = 3)
+    val comps = Dedup.connectedComponents(docs, "doc_id", pairs)
+    val scored = docs.select($"doc_id",
+      graft.functions.QualityExpr.qualityScore($"text").as("q"))
+    val sizes = comps.groupBy($"comp").agg(count(lit(1)).as("cluster_n"))
+    val w = Window.partitionBy($"comp").orderBy($"q".desc, $"doc_id".asc)
+    comps.join(scored, $"id" === $"doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .join(sizes, "comp")
+      .select($"comp", $"doc_id".as("keep_id"), $"q", $"cluster_n")
+      .orderBy($"comp")
+  }
+
+  private[graft] lazy val t89_sql = {
+    def chunk(c: String, k: Int) = s"($c // ${1L << (16 * k)}) % 65536"
+    val on = (0 until 4)
+      .map(k => s"${chunk("a.sh", k)} = ${chunk("b.sh", k)}")
+      .mkString(" OR ")
+    s"""WITH RECURSIVE sh AS (
+       |  SELECT doc_id, ${Text.duck.simhash64Sql("text")} AS sh
+       |  FROM documents),
+       |edges AS (
+       |  SELECT a.doc_id AS src, b.doc_id AS dst
+       |  FROM sh a JOIN sh b
+       |    ON ($on) AND a.doc_id <> b.doc_id
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
+       |walk(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM sh
+       |  UNION
+       |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+       |cmp AS (SELECT id AS doc_id, MIN(comp) AS comp
+       |        FROM walk GROUP BY id),
+       |qs AS (SELECT doc_id,
+       |  floor(($qualitySql) * 10000 + 0.5) / 10000 AS q
+       |  FROM documents),
+       |sz AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_n
+       |       FROM cmp GROUP BY comp),
+       |rnk AS (
+       |  SELECT c.comp, c.doc_id, q.q,
+       |    ROW_NUMBER() OVER (PARTITION BY c.comp
+       |      ORDER BY q.q DESC, c.doc_id) AS rk
+       |  FROM cmp c JOIN qs q USING (doc_id))
+       |SELECT r.comp, r.doc_id AS keep_id, r.q, s.cluster_n
+       |FROM rnk r JOIN sz s USING (comp)
+       |WHERE r.rk = 1 ORDER BY r.comp""".stripMargin
+  }
+
   // ---------------------------------------------------------------- t88
   // Vocabulary-growth card (Heaps' law): cumulative distinct types vs
   // token mass over doc_id-ordered prefixes — see

@@ -1918,6 +1918,31 @@ class PipelineSpec extends SparkSpec {
     assert(chain(e).contains("sign_pack"), chain(e))
   }
 
+  test("canonical dedup selection (t89 rule): the kept doc is the " +
+      "highest-QUALITY cluster member — NOT the min id d12 ships; " +
+      "quality ties fall back to the lowest id") {
+    import graft.operators.Dedup
+    import graft.functions.QualityExpr
+    import org.apache.spark.sql.expressions.Window
+    val corpus = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota"),
+      (11L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (12L, "solitary unrelated document")
+    ).toDF("doc_id", "text")
+    val pairs = Seq((10L, 11L)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(corpus, "doc_id", pairs)
+    val scored = corpus.select($"doc_id",
+      QualityExpr.qualityScore($"text").as("q"))
+    val w = Window.partitionBy($"comp").orderBy($"q".desc, $"doc_id".asc)
+    val kept = comps.join(scored, $"id" === $"doc_id")
+      .withColumn("rk", row_number().over(w)).filter($"rk" === 1)
+      .select($"comp", $"doc_id").orderBy($"comp").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // cluster {10, 11}: doc 11 has 10 words vs 9 -> higher length term
+    // -> higher q, wins despite the HIGHER id; singleton keeps itself
+    assert(kept == Seq((10L, 11L), (12L, 12L)), kept.toString)
+  }
+
   test("binary index lifecycle: build+append == one-shot rebuild, " +
       "search == in-memory binaryKnnJoin, duplicate append and " +
       "drained stream replay are no-ops, the Hamming scan prunes to " +
