@@ -237,6 +237,34 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
       |  md5(text) AS checksum
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- m07
+  // Audio-waveform stats card over the stub decode (each byte one
+  // biased 8-bit sample — see Multimodal.audioStats): integer peak /
+  // energy / zero-crossing aggregates. The corpus payloads are the
+  // docs' ASCII bytes, so the oracle replays samples as
+  // ascii(substr) − 96 per position.
+  def m07_audio_stats(spark: SparkSession, dir: String): DataFrame = {
+    val media = t(spark, dir, "documents")
+      .select($"doc_id", $"text".cast("binary").as("data"))
+    operators.Multimodal.audioStats(media, "doc_id", "data")
+      .orderBy($"media_id")
+  }
+
+  private[graft] val m07_sql =
+    """WITH s AS (
+      |  SELECT doc_id, list_transform(range(1, length(text) + 1),
+      |    j -> ascii(substr(text, j, 1)) - 96) AS sm
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CAST(len(sm) AS BIGINT) AS n_samples,
+      |  CAST(COALESCE(list_max(list_transform(sm, x -> abs(x))), 0)
+      |    AS BIGINT) AS peak,
+      |  CAST(COALESCE(list_sum(list_transform(sm, x -> x * x)), 0)
+      |    AS BIGINT) AS sum_sq,
+      |  CAST(len(list_filter(range(2, len(sm) + 1),
+      |    i -> (sm[i-1] < 0) <> (sm[i] < 0))) AS BIGINT) AS zero_cross
+      |FROM s ORDER BY media_id""".stripMargin
+
   // ---------------------------------------------------------------- m02
   // Multimodal decode stub via typed mapPartitions (mapInPandas shape):
   // per-media pseudo-pixel features. DuckDB-oracled: the payloads are the

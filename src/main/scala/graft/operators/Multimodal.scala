@@ -97,6 +97,47 @@ object Multimodal {
     }(Encoders.product[MediaFeatures]).toDF()
   }
 
+  final case class AudioStats(media_id: Long, n_samples: Long,
+                              peak: Long, sum_sq: Long, zero_cross: Long)
+
+  /** Audio-waveform stats card — the AUDIO member of the multimodal
+    * stub family. The DECODE IS A DETERMINISTIC FAKE (this container
+    * has no audio codecs): each payload byte is one 8-bit sample
+    * biased at 96, s = (byte & 0xFF) − 96 — chosen so ASCII test
+    * payloads produce a sign-alternating waveform (spaces ≈ −64,
+    * letters ≈ +1..+30). The PLUMBING is the real shape: binary column
+    * in, one typed executor-side pass, pure-integer aggregates out —
+    * n_samples, peak = max |s|, sum_sq = Σs² exactly in i64 (RMS² =
+    * sum_sq/n as an exact rational — no float ever computes), and
+    * zero_cross = sign changes (the classic voiced/unvoiced split).
+    * Swap the sample extractor for a real PCM/codec read and nothing
+    * else changes. */
+  def audioStats(df: DataFrame, idCol: String,
+                 dataCol: String): DataFrame = {
+    val src: Dataset[(Long, Array[Byte])] = df
+      .select(col(idCol).cast("long"), col(dataCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    src.mapPartitions { it =>
+      it.map { case (id, data) =>
+        val bytes = if (data == null) Array.empty[Byte] else data
+        var peak = 0L; var sumSq = 0L; var zc = 0L
+        var prevNeg = false; var first = true
+        var i = 0
+        while (i < bytes.length) {
+          val s = (bytes(i) & 0xFF) - 96
+          val a = math.abs(s).toLong
+          if (a > peak) peak = a
+          sumSq += s.toLong * s
+          val neg = s < 0
+          if (!first && neg != prevNeg) zc += 1
+          prevNeg = neg; first = false
+          i += 1
+        }
+        AudioStats(id, bytes.length.toLong, peak, sumSq, zc)
+      }
+    }(Encoders.product[AudioStats]).toDF()
+  }
+
   final case class PHash(media_id: Long, n_bytes: Int, phash: Long)
 
   /** Cells in the perceptual hash — 62, not 64, so the signature stays

@@ -278,4 +278,24 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1).getInt(2) == -1 &&
       new String(got(1).getAs[Array[Byte]](1), "UTF-8") == "not an image")
   }
+
+  test("audioStats: hand-computed samples (byte-96 bias), bytes >= 128 " +
+      "read unsigned, zero-crossing counts sign CHANGES only, empty " +
+      "and null payloads report zeros") {
+    // bytes (32, 97, 255): samples -64, 1, 159 -> peak 159,
+    // sum_sq 4096+1+25281 = 29378, one sign change
+    val rows = Seq(
+      (1L, Array[Byte](32, 97, -1)),
+      (2L, Array.empty[Byte]),
+      (3L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "data")
+    val got = Multimodal.audioStats(rows, "id", "data")
+      .orderBy($"media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1L, 3L, 159L, 29378L, 1L),
+      (2L, 0L, 0L, 0L, 0L),
+      (3L, 0L, 0L, 0L, 0L)), got.toString)
+  }
 }
