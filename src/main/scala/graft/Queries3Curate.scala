@@ -1241,7 +1241,12 @@ private[graft] trait Queries3Curate extends Queries2Lm {
     Dedup.clusterSizes(spark, path).orderBy($"comp")
   }
 
-  private[graft] val t59_sql = {
+  /** The ONE simhash near-dup closure replay (sh → OR-blocked edges →
+    * recursive min-label walk) shared by the t59/d11/d12/t89 oracles —
+    * candidate logic must not drift between them (the qualitySql rule).
+    * Emits the WITH RECURSIVE header plus the sh/edges/walk CTEs;
+    * callers append their own CTEs/select after a comma. */
+  private[graft] lazy val simhashClosureCtes: String = {
     def chunk(c: String, k: Int) = s"($c // ${1L << (16 * k)}) % 65536"
     val on = (0 until 4)
       .map(k => s"${chunk("a.sh", k)} = ${chunk("b.sh", k)}")
@@ -1257,7 +1262,11 @@ private[graft] trait Queries3Curate extends Queries2Lm {
        |walk(id, comp) AS (
        |  SELECT doc_id, doc_id FROM sh
        |  UNION
-       |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+       |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id)""".stripMargin
+  }
+
+  private[graft] val t59_sql = {
+    simhashClosureCtes + s""",
        |labels AS (
        |  SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
        |SELECT comp, CAST(COUNT(*) AS BIGINT) AS n
@@ -1305,22 +1314,7 @@ private[graft] trait Queries3Curate extends Queries2Lm {
   }
 
   private[graft] val d11_sql = {
-    def chunk(c: String, k: Int) = s"($c // ${1L << (16 * k)}) % 65536"
-    val on = (0 until 4)
-      .map(k => s"${chunk("a.sh", k)} = ${chunk("b.sh", k)}")
-      .mkString(" OR ")
-    s"""WITH RECURSIVE sh AS (
-       |  SELECT doc_id, ${Text.duck.simhash64Sql("text")} AS sh
-       |  FROM documents),
-       |edges AS (
-       |  SELECT a.doc_id AS src, b.doc_id AS dst
-       |  FROM sh a JOIN sh b
-       |    ON ($on) AND a.doc_id <> b.doc_id
-       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
-       |walk(id, comp) AS (
-       |  SELECT doc_id, doc_id FROM sh
-       |  UNION
-       |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id)
+    simhashClosureCtes + s"""
        |SELECT id AS doc_id, MIN(comp) AS comp
        |FROM walk GROUP BY id ORDER BY doc_id""".stripMargin
   }
@@ -1343,22 +1337,7 @@ private[graft] trait Queries3Curate extends Queries2Lm {
   }
 
   private[graft] val d12_sql = {
-    def chunk(c: String, k: Int) = s"($c // ${1L << (16 * k)}) % 65536"
-    val on = (0 until 4)
-      .map(k => s"${chunk("a.sh", k)} = ${chunk("b.sh", k)}")
-      .mkString(" OR ")
-    s"""WITH RECURSIVE sh AS (
-       |  SELECT doc_id, ${Text.duck.simhash64Sql("text")} AS sh
-       |  FROM documents),
-       |edges AS (
-       |  SELECT a.doc_id AS src, b.doc_id AS dst
-       |  FROM sh a JOIN sh b
-       |    ON ($on) AND a.doc_id <> b.doc_id
-       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
-       |walk(id, comp) AS (
-       |  SELECT doc_id, doc_id FROM sh
-       |  UNION
-       |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+    simhashClosureCtes + s""",
        |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
        |sizes AS (SELECT comp, COUNT(*) AS cluster_n FROM comps GROUP BY comp)
        |SELECT c.id AS doc_id, s.cluster_n,
@@ -1772,22 +1751,7 @@ private[graft] trait Queries3Curate extends Queries2Lm {
   }
 
   private[graft] lazy val t89_sql = {
-    def chunk(c: String, k: Int) = s"($c // ${1L << (16 * k)}) % 65536"
-    val on = (0 until 4)
-      .map(k => s"${chunk("a.sh", k)} = ${chunk("b.sh", k)}")
-      .mkString(" OR ")
-    s"""WITH RECURSIVE sh AS (
-       |  SELECT doc_id, ${Text.duck.simhash64Sql("text")} AS sh
-       |  FROM documents),
-       |edges AS (
-       |  SELECT a.doc_id AS src, b.doc_id AS dst
-       |  FROM sh a JOIN sh b
-       |    ON ($on) AND a.doc_id <> b.doc_id
-       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3),
-       |walk(id, comp) AS (
-       |  SELECT doc_id, doc_id FROM sh
-       |  UNION
-       |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id),
+    simhashClosureCtes + s""",
        |cmp AS (SELECT id AS doc_id, MIN(comp) AS comp
        |        FROM walk GROUP BY id),
        |qs AS (SELECT doc_id,

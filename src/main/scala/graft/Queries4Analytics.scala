@@ -240,9 +240,12 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
   // ---------------------------------------------------------------- m07
   // Audio-waveform stats card over the stub decode (each byte one
   // biased 8-bit sample — see Multimodal.audioStats): integer peak /
-  // energy / zero-crossing aggregates. The corpus payloads are the
-  // docs' ASCII bytes, so the oracle replays samples as
-  // ascii(substr) − 96 per position.
+  // energy / zero-crossing aggregates. ORACLE CONVENTION (shared with
+  // m01/m02, documented there): the engine samples UTF-8 BYTES while
+  // the replay samples CODE POINTS (ascii(substr) − 96) — equal only
+  // because this corpus is ASCII; a non-ASCII testdata regen would
+  // need the oracle moved to an encode()-byte replay (the engine side
+  // is byte-correct for any payload — MultimodalSpec pins ≥128).
   def m07_audio_stats(spark: SparkSession, dir: String): DataFrame = {
     val media = t(spark, dir, "documents")
       .select($"doc_id", $"text".cast("binary").as("data"))

@@ -424,15 +424,9 @@ object Similarity {
       col(vecCol).cast("array<double>").as("v"))
     val codes = assignCells(v, cents)
       .select(col("id"), col("cell"), signPack(col("v")).as("code"))
-    val probes = v.filter(col("id").isin(queryIds: _*)).collect()
-      .flatMap { r =>
-        val qid = r.getLong(0)
-        val qv = r.getSeq[Double](1)
-        cents.map { case (cell, cv) => (cell, cosineLocal(qv, cv)) }
-          .sortBy { case (cell, sim) => (-sim, cell) }
-          .take(nProbe)
-          .map { case (cell, _) => (qid, cell) }
-      }.toSeq.toDF("qid", "cell")
+    val probes = probeRows(
+        v.filter(col("id").isin(queryIds: _*)).collect(), cents, nProbe)
+      .map { case (qid, cell, _) => (qid, cell) }.toDF("qid", "cell")
     val qcodes = codes.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("qid"), col("code").as("qcode"))
     val wH = Window.partitionBy(col("qid"))
@@ -482,7 +476,7 @@ object Similarity {
                           path: String): Unit = {
     import graft.functions.VectorExprs.signPack
     val spark = df.sparkSession
-    require(new java.io.File(s"$path/codes").isDirectory,
+    require(fsDirExists(spark, s"$path/codes"),
       s"no binary index at $path — buildBinaryIndex first")
     val stored = spark.read.parquet(s"$path/codes").select("id")
     df.select(col(idCol).as("id"),
@@ -501,7 +495,7 @@ object Similarity {
                         shortlist: Int): DataFrame = {
     import graft.functions.VectorExprs.hammingDist
     import org.apache.spark.sql.expressions.Window
-    require(new java.io.File(s"$path/codes").isDirectory,
+    require(fsDirExists(spark, s"$path/codes"),
       s"no binary index at $path — buildBinaryIndex first")
     val store = spark.read.parquet(s"$path/codes")
     val codes = store.select(col("id"), col("code"))
@@ -565,15 +559,9 @@ object Similarity {
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
     val assigned = assignCells(v, cents)
-    val probes = v.filter(col("id").isin(queryIds: _*)).collect()
-      .flatMap { r =>
-        val qid = r.getLong(0)
-        val qv = r.getSeq[Double](1)
-        cents.map { case (cell, cv) => (cell, cosineLocal(qv, cv)) }
-          .sortBy { case (cell, sim) => (-sim, cell) }
-          .take(nProbe)
-          .map { case (cell, _) => (qid, cell, qv) }
-      }.toSeq.toDF("qid", "cell", "qv")
+    val probes = probeRows(
+        v.filter(col("id").isin(queryIds: _*)).collect(), cents, nProbe)
+      .toDF("qid", "cell", "qv")
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("id").asc)
     assigned.join(broadcast(probes), "cell")
@@ -584,6 +572,23 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("qid"), col("rk"), col("id"), col("score"))
   }
+
+  /** The ONE probe-cell picker behind [[ivfKnnJoin]] and
+    * [[ivfBinaryKnnJoin]] — the (-sim, cell) tie-break is an
+    * oracle-pinned contract (ORDER BY duckCos DESC, cell in the
+    * s11/s21 replays), so it must not fork: per query row, the nProbe
+    * nearest cells with the query vector carried along. */
+  private def probeRows(qRows: Array[org.apache.spark.sql.Row],
+                        cents: Array[(Int, Seq[Double])],
+                        nProbe: Int): Seq[(Long, Int, Seq[Double])] =
+    qRows.toSeq.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1)
+      cents.map { case (cell, cv) => (cell, cosineLocal(qv, cv)) }
+        .sortBy { case (cell, sim) => (-sim, cell) }
+        .take(nProbe)
+        .map { case (cell, _) => (qid, cell, qv) }
+    }
 
   /** Deterministic pseudo-random hyperplanes (fixed seed) for LSH.
     * Package-visible so the DuckDB oracle SQL can embed the same planes

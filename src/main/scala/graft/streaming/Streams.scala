@@ -679,16 +679,6 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
   }
 
-  /** Streaming ingest into the PERSISTED LSH dedup index: each
-    * micro-batch's banded signatures append via
-    * `Dedup.appendToLshIndex` — the live half of the snapshot-dedup
-    * lifecycle (a crawl feed hashes once, on arrival; probes against
-    * the index never re-read old text). Disk-as-state like
-    * `ivfPqIngest`, with a BETTER at-least-once story: a replayed
-    * batch appends duplicate signature ROWS, but `probeLshIndex`
-    * returns DISTINCT pairs, so the candidate set is exactly-once even
-    * when the append is not. `where` optionally routes a slice of a
-    * shared feed (SQL predicate over the feed's columns). */
   /** Streaming ingest into a persisted binary-code index (the
     * lshIngest shape): each embedding micro-batch appends through the
     * anti-join, so an at-least-once replay is a byte-level no-op. */
@@ -710,6 +700,16 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming ingest into the PERSISTED LSH dedup index: each
+    * micro-batch's banded signatures append via
+    * `Dedup.appendToLshIndex` — the live half of the snapshot-dedup
+    * lifecycle (a crawl feed hashes once, on arrival; probes against
+    * the index never re-read old text). Disk-as-state like
+    * `ivfPqIngest`, with a BETTER at-least-once story: a replayed
+    * batch appends duplicate signature ROWS, but `probeLshIndex`
+    * returns DISTINCT pairs, so the candidate set is exactly-once even
+    * when the append is not. `where` optionally routes a slice of a
+    * shared feed (SQL predicate over the feed's columns). */
   def lshIngest(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
                 idCol: String, textCol: String, indexPath: String,
                 checkpoint: String, where: Option[String] = None,
