@@ -1849,4 +1849,216 @@ private[graft] trait Queries3Curate extends Queries2Lm {
        |FROM documents d LEFT JOIN per p USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---------------------------------------------------------------- t90
+  // Character-entropy quality card (gibberish / degenerate-repetition
+  // gate) — see CorpusStats.charEntropy. Entropy travels as the exact
+  // rational (ent_num, 64·n) in 1/64-bit integer surprisal (the ONE
+  // s64 spelling), so band cuts at 4.0 / 4.5 bits are cross-multiplied
+  // integer comparisons and the card replays bit-for-bit. Tails are
+  // planted per doc_id class (a low-entropy 'z' run, a high-entropy
+  // symbol string, clean) so all three bands occur (88/309/103 at
+  // sf0.01, measured before fixing the cuts — the s18 τ rule).
+  def t90_char_entropy(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat($"text",
+      when($"doc_id" % 3 === 0, lit(" " + "z" * 60))
+        .when($"doc_id" % 3 === 1, lit(" qWx7!Kp2#vB9@mZ4$yT6&uH8*eJ1%rN3"))
+        .otherwise(lit("")))
+    operators.CorpusStats.charEntropy(
+      t(spark, dir, "documents").select($"doc_id", page.as("page")),
+      "doc_id", "page", lowBits64 = 256L, highBits64 = 288L)
+      .orderBy($"doc_id")
+  }
+
+  private[graft] lazy val t90_sql =
+    s"""WITH p AS MATERIALIZED (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 3 = 0 THEN ' ' || repeat('z', 60)
+       |         WHEN doc_id % 3 = 1 THEN ' qWx7!Kp2#vB9@mZ4$$yT6&uH8*eJ1%rN3'
+       |         ELSE '' END AS page
+       |  FROM documents),
+       |cs AS MATERIALIZED (
+       |  SELECT doc_id, substr(page, CAST(i AS INT), 1) AS ch
+       |  FROM p, UNNEST(range(1, length(page) + 1)) AS t(i)),
+       |cen AS MATERIALIZED (
+       |  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM cs GROUP BY doc_id, ch),
+       |e AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+       |         CAST(SUM(c * ${duckS64("c")}) AS BIGINT) AS se
+       |  FROM cen GROUP BY doc_id)
+       |SELECT doc_id, n AS n_cp,
+       |  n * ${duckS64("n")} - se AS ent_num,
+       |  64 * n AS ent_den,
+       |  CASE WHEN (n * ${duckS64("n")} - se) * 64 < 256 * (64 * n) THEN 'low'
+       |       WHEN (n * ${duckS64("n")} - se) * 64 > 288 * (64 * n) THEN 'high'
+       |       ELSE 'mid' END AS band
+       |FROM e ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t91
+  // LZW compression-ratio proxy (the Gopher "compresses too well" gate,
+  // engine-exact — zlib output is not replayable, this greedy parse
+  // is). The oracle replays the IDENTICAL walk as a recursive CTE with
+  // the growing dictionary as a LIST column (the t72 segmentation-state
+  // precedent; ≤ 2n iterations per doc bounds the recursion, hence the
+  // 160-char page slice — the r08 bounded-slice rule; the planted
+  // 'na'×30 tail is what the gate is built to catch). Flag at
+  // phrases/n < 2/3, cross-multiplied.
+  def t91_lzw_ratio(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat($"text".substr(lit(1), lit(160)),
+      when($"doc_id" % 3 === 0, lit(" " + "na" * 30))
+        .when($"doc_id" % 3 === 1, lit(" qWx7!Kp2#vB9@mZ4$yT6&uH8*eJ1%"))
+        .otherwise(lit("")))
+    operators.CorpusStats.compressionRatio(
+      t(spark, dir, "documents").select($"doc_id", page.as("page")),
+      "doc_id", "page", flagNum = 2L, flagDen = 3L)
+      .orderBy($"doc_id")
+  }
+
+  private[graft] lazy val t91_sql =
+    """WITH RECURSIVE p AS MATERIALIZED (
+      |  SELECT doc_id, substr(text, 1, 160) ||
+      |    CASE WHEN doc_id % 3 = 0 THEN ' ' || repeat('na', 30)
+      |         WHEN doc_id % 3 = 1 THEN ' qWx7!Kp2#vB9@mZ4$yT6&uH8*eJ1%'
+      |         ELSE '' END AS page
+      |  FROM documents),
+      |st AS (
+      |  SELECT doc_id, page, CAST(length(page) AS BIGINT) AS n,
+      |         CAST(1 AS BIGINT) AS st_pos, CAST(0 AS BIGINT) AS wlen,
+      |         CAST(0 AS BIGINT) AS phrases, CAST([] AS VARCHAR[]) AS dict
+      |  FROM p
+      |  UNION ALL
+      |  SELECT doc_id, page, n,
+      |    CASE WHEN ext THEN st_pos ELSE st_pos + wlen END,
+      |    CASE WHEN ext THEN wlen + 1 ELSE CAST(0 AS BIGINT) END,
+      |    CASE WHEN ext THEN phrases ELSE phrases + 1 END,
+      |    CASE WHEN NOT ext AND st_pos + wlen <= n
+      |         THEN list_append(dict,
+      |                substr(page, CAST(st_pos AS INT), CAST(wlen + 1 AS INT)))
+      |         ELSE dict END
+      |  FROM (
+      |    SELECT *, (st_pos + wlen <= n AND (wlen = 0 OR
+      |        list_contains(dict,
+      |          substr(page, CAST(st_pos AS INT), CAST(wlen + 1 AS INT))))) AS ext
+      |    FROM st WHERE st_pos <= n) s)
+      |SELECT s.doc_id, s.n AS n_cp, s.phrases AS n_phrases,
+      |  CAST(s.phrases * 3 < s.n * 2 AS INT) AS flagged
+      |FROM st s WHERE s.st_pos > s.n
+      |ORDER BY s.doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- t92
+  // TextRank keyword extraction — integer PageRank over the word
+  // co-occurrence graph (operators/TextRank). Every step is bounded
+  // integer arithmetic (pre-scaled edge ratios, floor divisions), so
+  // five power-iteration rounds replay bit-for-bit as materialized
+  // CTEs (the Lloyd-iteration precedent).
+  def t92_textrank(spark: SparkSession, dir: String): DataFrame =
+    operators.TextRank.keywords(t(spark, dir, "documents"),
+      "doc_id", "text", minDf = 2L, maxNodes = 64, iters = 5, k = 10)
+      .orderBy($"rk")
+
+  /** One integer-PageRank round in DuckDB over CTEs nodes/r/tt:
+    * p<k>(v) = T + Σ_{a→v} ((p(a)·85 // 100) · r // 2^20). */
+  private def trIterSql(prev: String, k: Int): String =
+    s"""p$k AS MATERIALIZED (
+       |  SELECT nd.word, t.t + COALESCE(CAST(SUM(c.contrib) AS BIGINT), 0) AS p
+       |  FROM nodes nd CROSS JOIN tt t
+       |  LEFT JOIN (SELECT r.eb, ((pp.p * 85) // 100) * r.r // 1048576 AS contrib
+       |             FROM r JOIN $prev pp ON pp.word = r.ea) c ON c.eb = nd.word
+       |  GROUP BY nd.word, t.t)""".stripMargin
+
+  private[graft] lazy val t92_sql =
+    s"""WITH tok AS MATERIALIZED (
+       |  SELECT doc_id, i AS pos, w[CAST(i AS INT)] AS word
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |       UNNEST(range(1, len(w) + 1)) AS t(i)
+       |  WHERE w[CAST(i AS INT)] <> ''),
+       |cen AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |        FROM tok GROUP BY word),
+       |nodes AS MATERIALIZED (
+       |  SELECT word FROM (
+       |    SELECT word, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rk
+       |    FROM cen WHERE cnt >= 2)
+       |  WHERE rk <= 64),
+       |adj AS (
+       |  SELECT a.word AS ea, b.word AS eb
+       |  FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+       |  WHERE a.word <> b.word),
+       |ed AS MATERIALIZED (
+       |  SELECT s.ea, s.eb, CAST(COUNT(*) AS BIGINT) AS w FROM (
+       |    SELECT ea, eb FROM adj UNION ALL SELECT eb AS ea, ea AS eb FROM adj) s
+       |  JOIN nodes na ON s.ea = na.word
+       |  JOIN nodes nb ON s.eb = nb.word
+       |  GROUP BY s.ea, s.eb),
+       |wout AS (SELECT ea, CAST(SUM(w) AS BIGINT) AS wo FROM ed GROUP BY ea),
+       |r AS MATERIALIZED (
+       |  SELECT e.ea, e.eb, (e.w * 1048576) // w2.wo AS r
+       |  FROM ed e JOIN wout w2 USING (ea)),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+       |tt AS (SELECT (15 * 1099511627776) // (100 * n) AS t FROM nn),
+       |p0 AS (SELECT word, 1099511627776 // n AS p FROM nodes, nn),
+       |${trIterSql("p0", 1)},
+       |${trIterSql("p1", 2)},
+       |${trIterSql("p2", 3)},
+       |${trIterSql("p3", 4)},
+       |${trIterSql("p4", 5)}
+       |SELECT word, p AS pr,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY p DESC, word) AS BIGINT) AS rk
+       |FROM p5 QUALIFY rk <= 10 ORDER BY rk""".stripMargin
+
+  // ---------------------------------------------------------------- t93
+  // Blocklist census (C4/RefinedWeb banned-wordlist gate) — ONE
+  // Aho–Corasick codegen pass counting ALL occurrences (overlapping
+  // included) of every phrase; see CorpusStats.blocklistCensus. The
+  // phrase list exercises failure links (scan/can share a suffix,
+  // banana/ana overlap — 'ana' matches twice inside 'banana'); the
+  // oracle is the defining per-position substring census. flagMin = 13
+  // ≈ the measured median hit count, so the flag splits the corpus
+  // (quantiles 5/8/12/16/20 at sf0.01 — never gate on a vacuous cut).
+  private[graft] val blockPhrases = Seq("scan", "can", "ana",
+    "fast merge", "table", "slow", "spark", "banana")
+
+  def t93_blocklist(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat($"text",
+      when($"doc_id" % 4 === 0, lit(" banana scans fast merge queue"))
+        .when($"doc_id" % 4 === 1, lit(" no bad words here at all"))
+        .when($"doc_id" % 4 === 2, lit(" slow table slow table slow"))
+        .otherwise(lit("")))
+    operators.CorpusStats.blocklistCensus(
+      t(spark, dir, "documents").select($"doc_id", page.as("page")),
+      "doc_id", "page", blockPhrases, flagMin = 13L)
+      .orderBy($"doc_id")
+  }
+
+  private[graft] lazy val t93_sql =
+    """WITH p AS MATERIALIZED (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 4 = 0 THEN ' banana scans fast merge queue'
+      |         WHEN doc_id % 4 = 1 THEN ' no bad words here at all'
+      |         WHEN doc_id % 4 = 2 THEN ' slow table slow table slow'
+      |         ELSE '' END AS page
+      |  FROM documents),
+      |ph AS (SELECT * FROM (VALUES (0, 'scan'), (1, 'can'), (2, 'ana'),
+      |        (3, 'fast merge'), (4, 'table'), (5, 'slow'), (6, 'spark'),
+      |        (7, 'banana')) AS t(idx, phr)),
+      |hits AS MATERIALIZED (
+      |  SELECT d.doc_id, f.idx, f.phr,
+      |    CAST(SUM(CASE WHEN substr(d.page, CAST(t.i AS INT), len(f.phr))
+      |                       = f.phr THEN 1 ELSE 0 END) AS BIGINT) AS cnt
+      |  FROM p d CROSS JOIN ph f, UNNEST(range(1, length(d.page) + 1)) AS t(i)
+      |  GROUP BY d.doc_id, f.idx, f.phr),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_hits,
+      |    CAST(SUM(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_phr
+      |  FROM hits GROUP BY doc_id),
+      |top AS (
+      |  SELECT doc_id, phr FROM (
+      |    SELECT doc_id, phr, ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY cnt DESC, idx) AS rk
+      |    FROM hits) WHERE rk = 1)
+      |SELECT a.doc_id, a.n_hits, a.n_phr,
+      |  CASE WHEN a.n_hits > 0 THEN t.phr ELSE NULL END AS top_phrase,
+      |  CAST(a.n_hits >= 13 AS INT) AS flagged
+      |FROM agg a JOIN top t USING (doc_id)
+      |ORDER BY a.doc_id""".stripMargin
+
 }

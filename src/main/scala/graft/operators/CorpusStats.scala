@@ -407,4 +407,74 @@ object CorpusStats {
         sum(when($"df" === 1L, 1L).otherwise(0L)).as("n_novel"))
   }
 
+  /** Character-entropy quality card: per document the exact rational
+    * entropy (ent_num, ent_den = 64·n) of the code-point distribution
+    * in 1/64-bit integers ([[graft.functions.CharEntropy64]]) plus a
+    * three-way band — 'low' below `lowBits64`/64 bits per char (the
+    * gibberish/degenerate-repetition gate), 'high' above
+    * `highBits64`/64 (symbol soup / binary-as-text), 'mid' between.
+    * Cuts are cross-multiplied integer comparisons; no float ever
+    * computes. ONE narrow codegen pass, no shuffle. */
+  def charEntropy(corpus: DataFrame, idCol: String, textCol: String,
+                  lowBits64: Long, highBits64: Long): DataFrame = {
+    require(0 <= lowBits64 && lowBits64 <= highBits64,
+      s"need 0 <= lowBits64 <= highBits64, got $lowBits64, $highBits64")
+    import graft.functions.EntropyExpr.charEntropy64
+    corpus
+      .select(col(idCol), length(col(textCol)).cast("long").as("n_cp"),
+        charEntropy64(col(textCol)).as("ent_num"))
+      .select(col(idCol), $"n_cp", $"ent_num",
+        (lit(64L) * greatest($"n_cp", lit(1L))).as("ent_den"))
+      .select(col(idCol), $"n_cp", $"ent_num", $"ent_den",
+        when($"ent_num" * 64L < lit(lowBits64) * $"ent_den", "low")
+          .when($"ent_num" * 64L > lit(highBits64) * $"ent_den", "high")
+          .otherwise("mid").as("band"))
+  }
+
+  /** Compression-ratio quality card (the Gopher "compresses too well"
+    * gate, engine-exact): per document the LZW phrase count
+    * ([[graft.functions.LzwPhrases]]) and a flag for documents whose
+    * phrases-per-code-point ratio falls below flagNum/flagDen —
+    * repetitive/templated text parses into few long phrases. The gate
+    * is a cross-multiplied integer comparison. ONE codegen pass. */
+  def compressionRatio(corpus: DataFrame, idCol: String, textCol: String,
+                       flagNum: Long, flagDen: Long): DataFrame = {
+    require(flagDen > 0 && flagNum >= 0,
+      s"need flagDen > 0, flagNum >= 0, got $flagNum/$flagDen")
+    import graft.functions.EntropyExpr.lzwPhrases
+    corpus
+      .select(col(idCol), length(col(textCol)).cast("long").as("n_cp"),
+        lzwPhrases(col(textCol)).as("n_phrases"))
+      .select(col(idCol), $"n_cp", $"n_phrases",
+        ($"n_phrases" * flagDen < $"n_cp" * flagNum)
+          .cast("int").as("flagged"))
+  }
+
+  /** Blocklist census (the C4/RefinedWeb banned-wordlist gate): per
+    * document the total occurrence count over `phrases` (ALL matches,
+    * overlapping included), the number of distinct phrases present, the
+    * most-frequent phrase (ties → first in list order; NULL when
+    * clean), and a flag at ≥ `flagMin` total hits. The whole scan is
+    * ONE Aho–Corasick codegen pass ([[graft.functions.AcCounts]]) —
+    * the automaton is a bounded broadcast-free model artifact riding in
+    * the generated code, so the corpus side has no per-phrase regex
+    * passes, no explode, no join, no shuffle. */
+  def blocklistCensus(corpus: DataFrame, idCol: String, textCol: String,
+                      phrases: Seq[String], flagMin: Long): DataFrame = {
+    require(flagMin >= 1, s"flagMin must be >= 1, got $flagMin")
+    import graft.functions.AcCounts.acCounts
+    val p = phrases.size
+    val names = array(phrases.map(lit): _*)
+    corpus
+      .select(col(idCol), acCounts(col(textCol), phrases).as("cnts"))
+      .select(col(idCol),
+        element_at($"cnts", p + 1).as("n_hits"),
+        element_at($"cnts", p + 2).as("n_phr"),
+        element_at($"cnts", p + 3).as("top_idx"))
+      .select(col(idCol), $"n_hits", $"n_phr",
+        when($"top_idx" >= 0L,
+          element_at(names, ($"top_idx" + 1L).cast("int"))).as("top_phrase"),
+        ($"n_hits" >= flagMin).cast("int").as("flagged"))
+  }
+
 }

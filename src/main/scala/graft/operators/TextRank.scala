@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.StringToColumn
+
+/** TextRank keyword extraction (Mihalcea & Tarau 2004): weighted
+  * PageRank over the word co-occurrence graph — nodes are corpus-
+  * frequent words, edges are adjacent-word pairs weighted by their
+  * corpus count (symmetrized), and the stationary score ranks keywords.
+  *
+  * ENTIRELY in integers so the power iteration replays bit-for-bit in
+  * any engine (the Lloyd/BPE replay discipline — doubles would make
+  * iteration k's sums order-dependent):
+  *
+  *   SCALE = 2^40,  RSCALE = 2^20
+  *   r(a,b)  = (w(a,b)·RSCALE) div wout(a)          — edge ratio ≤ RSCALE
+  *   p0(v)   = SCALE div n
+  *   T       = (15·SCALE) div (100·n)               — teleport term
+  *   p'(v)   = T + Σ_{a→v} ((p(a)·85 div 100) · r(a,b)) div RSCALE
+  *
+  * Every operand is bounded: p ≤ SCALE·growth < 2^41, p·85 < 2^48,
+  * (p·85 div 100)·r < 2^61 — no overflow at ANY corpus size because the
+  * pre-scaled ratio r, not the raw edge weight, multiplies p.
+  *
+  * Shape at 100 TB: the heavy work is two corpus-sized shuffles (the
+  * adjacency-pair census and the word census) with map-side combine;
+  * the graph itself is bounded by the `minDf` + top-`maxNodes` gate
+  * (cnt DESC, word ASC — deterministic), so the iteration loop runs on
+  * the driver over ≤ maxEdges edges (limit-before-collect gated, the
+  * GraphAnn `maxAppendBatch` rule) — iterating lazily as stacked
+  * DataFrame joins would re-run the corpus census once per iteration.
+  *
+  * Reference scope: grouped select / rank surface
+  * (`/root/reference/core/query.c`, `core/env.c` rank); the TextRank
+  * composition is the standard keyword-extraction extension. */
+object TextRank {
+
+  /** Bounded-graph gate: collecting more edges than this fails fast —
+    * raise `minDf` / lower `maxNodes` instead (the graph is a model
+    * artifact, never corpus-sized). */
+  val maxEdges: Int = 1 << 20
+
+  val Scale: Long = 1L << 40
+  val RScale: Long = 1L << 20
+
+  /** Top-`k` keywords: (word, pr, rk) after `iters` integer PageRank
+    * rounds, ordered by (pr DESC, word ASC). */
+  def keywords(corpus: DataFrame, idCol: String, textCol: String,
+               minDf: Long, maxNodes: Int, iters: Int, k: Int): DataFrame = {
+    require(minDf >= 1 && maxNodes >= 1 && iters >= 1 && k >= 1,
+      s"need positive minDf/maxNodes/iters/k, got $minDf/$maxNodes/$iters/$k")
+    val spark = corpus.sparkSession
+
+    // raw split positions (split keeps trailing empties — the t69
+    // lesson — so positions match any engine's 1-based replay shifted
+    // by one); adjacency = consecutive positions, both non-empty.
+    val tok = corpus
+      .select(col(idCol).as("doc"), posexplode(split(col(textCol), " ", -1)))
+      .toDF("doc", "pos", "word")
+      .filter($"word" =!= "")
+    val cen = tok.groupBy($"word").agg(count(lit(1)).as("cnt"))
+    val nodes = cen.filter($"cnt" >= minDf)
+      .select($"word", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy($"cnt".desc, $"word".asc)).as("rk"))
+      .filter($"rk" <= maxNodes)
+      .select($"word")
+    val adj = tok.as("a").join(tok.as("b"),
+        $"a.doc" === $"b.doc" && $"b.pos" === $"a.pos" + 1 &&
+          $"a.word" =!= $"b.word")
+      .select($"a.word".as("ea"), $"b.word".as("eb"))
+    val sym = adj.unionAll(adj.select($"eb".as("ea"), $"ea".as("eb")))
+    val ed = sym
+      .join(broadcast(nodes.select($"word".as("ea"))), Seq("ea"))
+      .join(broadcast(nodes.select($"word".as("eb"))), Seq("eb"))
+      .groupBy($"ea", $"eb").agg(count(lit(1)).as("w"))
+
+    // bounded pull (limit-before-collect): the graph is the model.
+    val pulled = ed.limit(maxEdges + 1).collect()
+    require(pulled.length <= maxEdges,
+      s"textrank graph exceeds maxEdges=$maxEdges — raise minDf or lower maxNodes")
+    val words = nodes.orderBy($"word").collect().map(_.getString(0))
+    val n = words.length.toLong
+    require(n >= 1, "textrank needs at least one node above minDf")
+    val idx = words.zipWithIndex.toMap
+    val wout = new Array[Long](words.length)
+    val edges = pulled.map { r =>
+      val a = idx(r.getString(0)) // groupBy(ea, eb) → columns (ea, eb, w)
+      val b = idx(r.getString(1))
+      val w = r.getLong(2)
+      wout(a) += w
+      (a, b, w)
+    }
+    val ratio = edges.map { case (a, b, w) => (a, b, w * RScale / wout(a)) }
+    val t0 = 15L * Scale / (100L * n)
+    var p = Array.fill(words.length)(Scale / n)
+    var it = 0
+    while (it < iters) {
+      val nx = Array.fill(words.length)(t0)
+      ratio.foreach { case (a, b, r) => nx(b) += (p(a) * 85L / 100L) * r / RScale }
+      p = nx
+      it += 1
+    }
+    val rows = words.indices.map(i => (words(i), p(i)))
+      .sortBy { case (w, pr) => (-pr, w) }
+      .take(k).zipWithIndex
+      .map { case ((w, pr), i) => (w, pr, (i + 1).toLong) }
+    spark.createDataFrame(rows).toDF("word", "pr", "rk")
+  }
+}

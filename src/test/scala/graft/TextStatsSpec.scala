@@ -1,0 +1,186 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{AcAutomaton, AcCounts, CharEntropy64, LzwPhrases}
+import graft.operators.{CorpusStats, NgramLm, TextRank}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-local text-stat kernels (t90/t91/t93) + TextRank (t92):
+  * goldens, brute-force property pins, and the operator cards. */
+class TextStatsSpec extends SparkSpec {
+
+  private def ent(s: String): Long =
+    CharEntropy64.compute(UTF8String.fromString(s))
+
+  private def lzw(s: String): Long =
+    LzwPhrases.compute(UTF8String.fromString(s))
+
+  // ------------------------------------------------------------ entropy
+
+  test("charEntropy64 goldens: empty, uniform, balanced") {
+    assert(ent("") === 0L)
+    assert(ent("aaaa") === 0L) // single symbol → zero entropy
+    // "ab": 2·s64(2) − 2·s64(1) = 128 → 1 bit/char exactly
+    assert(ent("ab") === 128L)
+    // "aabb": 4·s64(4) − 2·(2·s64(2)) = 4·128 − 4·64 = 256 → 1 bit/char
+    assert(ent("aabb") === 256L)
+  }
+
+  test("charEntropy64 counts CODE POINTS (surrogate pairs are one symbol)") {
+    // 😀😀a = 3 code points, census {😀:2, a:1}
+    val s = "😀😀a"
+    val n = 3L
+    val exp = n * NgramLm.surprisal64Long(n) -
+      (2L * NgramLm.surprisal64Long(2L) + 1L * NgramLm.surprisal64Long(1L))
+    assert(ent(s) === exp)
+  }
+
+  test("charEntropy64 equals an independent census replica on the corpus") {
+    val docs = Tables.load(spark, sf, "documents").limit(40)
+      .select($"doc_id", $"text").collect()
+    docs.foreach { r =>
+      val s = r.getString(1)
+      val cen = s.codePoints().toArray.groupBy(identity).map(_._2.length.toLong)
+      val n = cen.sum
+      val exp = n * NgramLm.surprisal64Long(n) -
+        cen.map(c => c * NgramLm.surprisal64Long(c)).sum
+      assert(ent(s) === exp, s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("charEntropy operator bands are cross-multiplied cuts") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "aaaaaaaaaaaaaaaa"),          // 0 bits → low
+      (2L, "the quick brown fox jumps"), // ~3.8 bits → mid at 4.0 cut
+      (3L, "qWx7!Kp2#vB9@mZ4$yT6&uJ1%")  // all-distinct → high
+    )).toDF("id", "txt")
+    val out = CorpusStats.charEntropy(df, "id", "txt", 256L, 288L)
+      .orderBy($"id").collect()
+    assert(out.map(_.getString(4)).toSeq === Seq("low", "mid", "high"))
+    // exact rational carried: ent_den = 64·n
+    assert(out(0).getLong(3) === 64L * 16L)
+  }
+
+  // ---------------------------------------------------------------- lzw
+
+  test("lzwPhrases goldens") {
+    assert(lzw("") === 0L)
+    assert(lzw("a") === 1L)
+    assert(lzw("aaaa") === 3L)   // a | aa | a
+    assert(lzw("ababab") === 4L) // a | b | ab | ab
+  }
+
+  test("lzwPhrases equals the naive greedy replica on random strings") {
+    def naive(s: String): Long = {
+      val dict = scala.collection.mutable.Set[String]()
+      var ph = 0L; var start = 0; var wlen = 0; val n = s.length
+      while (start < n) {
+        if (start + wlen < n &&
+            (wlen == 0 || dict.contains(s.substring(start, start + wlen + 1))))
+          wlen += 1
+        else {
+          ph += 1
+          if (start + wlen < n) dict += s.substring(start, start + wlen + 1)
+          start += wlen; wlen = 0
+        }
+      }
+      ph
+    }
+    val rnd = new scala.util.Random(42)
+    (1 to 200).foreach { _ =>
+      val s = (0 until rnd.nextInt(40)).map(_ => ('a' + rnd.nextInt(3)).toChar)
+        .mkString
+      assert(lzw(s) === naive(s), s"input '$s'")
+    }
+  }
+
+  test("lzw ratio separates repetitive from novel text") {
+    val rep = "ab" * 50
+    assert(lzw(rep) * 3 < rep.length * 2) // compresses well → flagged
+    val novel = "the quick brown fox jumps over the lazy dog XYZW 0123"
+    assert(lzw(novel) * 3 >= novel.length * 2)
+  }
+
+  // ------------------------------------------------------ aho–corasick
+
+  private def acArr(text: String, phrases: Seq[String]): Array[Long] = {
+    val auto = AcAutomaton.build(phrases)
+    AcCounts.compute(UTF8String.fromString(text), auto)
+      .toLongArray()
+  }
+
+  test("acCounts counts ALL occurrences including overlapping") {
+    val out = acArr("banana", Seq("ana", "na", "ban"))
+    assert(out.take(3).toSeq === Seq(2L, 2L, 1L)) // ana×2 overlap, na×2, ban×1
+    assert(out(3) === 5L) // total
+    assert(out(4) === 3L) // phrases present
+    assert(out(5) === 0L) // top = 'ana' (tie with 'na' → lowest index)
+  }
+
+  test("acCounts suffix links: 'scan' also yields 'can' and 'an'") {
+    val out = acArr("scan the scanner", Seq("scan", "can", "an"))
+    assert(out.take(3).toSeq === Seq(2L, 2L, 2L))
+  }
+
+  test("acCounts clean text: top index is -1") {
+    val out = acArr("nothing here", Seq("xyz", "qqq"))
+    assert(out.toSeq === Seq(0L, 0L, 0L, 0L, -1L))
+  }
+
+  test("acCounts equals the brute-force position census on random input") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abc"
+    (1 to 100).foreach { _ =>
+      val s = (0 until rnd.nextInt(60)).map(_ => alpha(rnd.nextInt(3))).mkString
+      val phrases = (1 to 4).map(_ =>
+        (0 until 1 + rnd.nextInt(3)).map(_ => alpha(rnd.nextInt(3))).mkString)
+        .distinct
+      val got = acArr(s, phrases).take(phrases.size).toSeq
+      val exp = phrases.map { p =>
+        (0 to s.length - p.length).count(i => s.regionMatches(i, p, 0, p.length)).toLong
+      }
+      assert(got === exp, s"text '$s' phrases $phrases")
+    }
+  }
+
+  test("blocklistCensus: clean docs carry NULL top_phrase, hits flag") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "clean words only"),
+      (2L, "banana banana banana")
+    )).toDF("id", "txt")
+    val out = CorpusStats.blocklistCensus(df, "id", "txt",
+      Seq("ana", "banana"), flagMin = 3L).orderBy($"id").collect()
+    assert(out(0).getLong(1) === 0L && out(0).isNullAt(3) &&
+      out(0).getInt(4) === 0)
+    // 3 bananas → ana×6 (2 per banana), banana×3, total 9, top 'ana'
+    assert(out(1).getLong(1) === 9L && out(1).getString(3) === "ana" &&
+      out(1).getInt(4) === 1)
+  }
+
+  // ------------------------------------------------------------ textrank
+
+  test("textrank: hub word of a star graph ranks first, run is deterministic") {
+    val df = spark.createDataFrame(Seq(
+      (1L, "hub aa hub bb hub cc"),
+      (2L, "hub dd hub aa hub bb"),
+      (3L, "hub cc hub dd hub aa")
+    )).toDF("id", "txt")
+    val out = TextRank.keywords(df, "id", "txt",
+      minDf = 2L, maxNodes = 16, iters = 5, k = 5).collect()
+    assert(out.head.getString(0) === "hub")
+    assert(out.head.getLong(1) > out(1).getLong(1)) // strictly dominant
+    val again = TextRank.keywords(df, "id", "txt",
+      minDf = 2L, maxNodes = 16, iters = 5, k = 5).collect()
+    assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
+  test("textrank fails fast on an empty node set") {
+    val df = spark.createDataFrame(Seq((1L, "all unique words here")))
+      .toDF("id", "txt")
+    val e = intercept[IllegalArgumentException] {
+      TextRank.keywords(df, "id", "txt", minDf = 5L,
+        maxNodes = 8, iters = 2, k = 3).collect()
+    }
+    assert(e.getMessage.contains("at least one node"))
+  }
+}
