@@ -126,6 +126,11 @@ object Graft {
           case (x, y) => throw new IllegalArgumentException(
             s"cdc_chunks(text, w, maskBits) needs literal ints, got $x, $y")
         }),
+      // row-local information-density kernels (the t90/t91 family):
+      "char_entropy64" -> ((exprs: Seq[Expression]) =>
+        functions.CharEntropy64(exprs.head)),
+      "lzw_phrases" -> ((exprs: Seq[Expression]) =>
+        functions.LzwPhrases(exprs.head)),
       // URL canonicalization / host: the one dual-dialect chain
       // (functions.Url.canonSql) parsed once with a placeholder child
       // spliced out — SQL users get the exact arithmetic the t68

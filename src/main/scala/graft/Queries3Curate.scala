@@ -2017,17 +2017,96 @@ private[graft] trait Queries3Curate extends Queries2Lm {
   private[graft] val blockPhrases = Seq("scan", "can", "ana",
     "fast merge", "table", "slow", "spark", "banana")
 
-  def t93_blocklist(spark: SparkSession, dir: String): DataFrame = {
+  private def blockPages(spark: SparkSession, dir: String): DataFrame = {
     val page = concat($"text",
       when($"doc_id" % 4 === 0, lit(" banana scans fast merge queue"))
         .when($"doc_id" % 4 === 1, lit(" no bad words here at all"))
         .when($"doc_id" % 4 === 2, lit(" slow table slow table slow"))
         .otherwise(lit("")))
-    operators.CorpusStats.blocklistCensus(
-      t(spark, dir, "documents").select($"doc_id", page.as("page")),
+    t(spark, dir, "documents").select($"doc_id", page.as("page"))
+  }
+
+  def t93_blocklist(spark: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.blocklistCensus(blockPages(spark, dir),
       "doc_id", "page", blockPhrases, flagMin = 13L)
       .orderBy($"doc_id")
+
+  // ---------------------------------------------------------------- t94
+  // STREAMING blocklist census — t93 on a live feed (the t71 staged-
+  // feed pattern): the phrase list is pipeline config (a plain driver
+  // value), each micro-batch runs the identical stateless one-pass
+  // Aho–Corasick census, so the accumulated output equals the batch
+  // run row-for-row and the oracle IS t93's SQL. Readers dedupe on
+  // doc_id (at-least-once append, the t27 convention).
+  def t94_stream_blocklist(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft_stream/$key/blocklist_v1" +
+      s"_s${srcStamp(dir, "documents.parquet")}"
+    val paged = blockPages(spark, dir)
+    if (!new java.io.File(s"$base/feed/_SUCCESS").exists())
+      paged.write.mode("overwrite").parquet(s"$base/feed")
+    if (!new java.io.File(s"$base/done").exists()) {
+      streaming.Streams.blocklistStream(spark, s"$base/feed", paged,
+        "doc_id", "page", blockPhrases, flagMin = 13L,
+        outDir = s"$base/out", checkpoint = s"$base/ckpt")
+      new java.io.File(s"$base/done").createNewFile()
+    }
+    spark.read.parquet(s"$base/out")
+      .dropDuplicates("doc_id")
+      .select($"doc_id", $"n_hits", $"n_phr", $"top_phrase", $"flagged")
+      .orderBy($"doc_id")
   }
+
+  // t94's oracle IS t93's SQL (stream == batch)
+  private[graft] lazy val t94_sql = t93_sql
+
+  // ---------------------------------------------------------------- t95
+  // Per-source KL-divergence drift card — see CorpusStats.sourceKl.
+  // Two sources get planted token drift (repeated slice-specific
+  // words); at the 0.1-bit cut exactly those flag (measured 0.16/0.22
+  // bits vs ~0.02 background at sf0.01 before fixing the cut — the
+  // s18 τ rule). s64's interpolation error can push near-zero
+  // divergences slightly negative (src8/src19 at sf0.01) — the card
+  // carries the exact rational, so the oracle replays it bit-for-bit.
+  def t95_source_kl(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat($"text",
+      when($"source" === "src0", lit(" alpha beta alpha alpha"))
+        .when($"source" === "src1", lit(" gamma gamma delta"))
+        .otherwise(lit("")))
+    operators.CorpusStats.sourceKl(
+      t(spark, dir, "documents").select($"source".as("src"), page.as("page")),
+      "src", "page", driftNum = 1L, driftDen = 10L)
+      .orderBy($"src")
+  }
+
+  private[graft] lazy val t95_sql =
+    s"""WITH p AS (
+       |  SELECT source, text ||
+       |    CASE WHEN source = 'src0' THEN ' alpha beta alpha alpha'
+       |         WHEN source = 'src1' THEN ' gamma gamma delta'
+       |         ELSE '' END AS page
+       |  FROM documents),
+       |tok AS MATERIALIZED (
+       |  SELECT src, w FROM (
+       |    SELECT source AS src, UNNEST(string_split(page, ' ')) AS w FROM p)
+       |  WHERE w <> ''),
+       |cen AS MATERIALIZED (
+       |  SELECT src, w, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY src, w),
+       |dd AS (SELECT w, CAST(SUM(c) AS BIGINT) AS d FROM cen GROUP BY w),
+       |ns AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n_tokens
+       |       FROM cen GROUP BY src),
+       |m AS (SELECT CAST(SUM(c) AS BIGINT) AS m FROM cen),
+       |kl AS (
+       |  SELECT cen.src, ns.n_tokens,
+       |    CAST(SUM(cen.c * (${duckS64("cen.c * m.m")}
+       |      - ${duckS64("dd.d * ns.n_tokens")})) AS BIGINT) AS kl_num,
+       |    64 * ns.n_tokens AS kl_den
+       |  FROM cen JOIN dd USING (w) JOIN ns ON cen.src = ns.src CROSS JOIN m
+       |  GROUP BY cen.src, ns.n_tokens)
+       |SELECT src, n_tokens, kl_num, kl_den,
+       |  CAST(kl_num * 10 > 1 * kl_den AS INT) AS drifted
+       |FROM kl ORDER BY src""".stripMargin
 
   private[graft] lazy val t93_sql =
     """WITH p AS MATERIALIZED (

@@ -450,6 +450,59 @@ object CorpusStats {
           .cast("int").as("flagged"))
   }
 
+  /** Per-source unigram KL divergence vs the whole corpus — the
+    * distribution-drift card for mixture design (which slice's token
+    * distribution has wandered from the blend, the DSIR §2 signal at
+    * slice granularity). ENTIRELY in 1/64-bit integer surprisal:
+    * with c = count(word|src), d = count(word), Ns = Σc, M = Σd,
+    *
+    *   kl_num(src) = Σ_w c·(s64(c·M) − s64(d·Ns)),  kl_den = 64·Ns
+    *
+    * ≈ 64·Ns·KL(p_src ‖ p_corpus) bits — every source word is a corpus
+    * word, so d ≥ c ≥ 1 and no smoothing is needed. s64's ±0.086-bit
+    * interpolation error can push near-zero divergences slightly
+    * NEGATIVE — fine for a card; cuts are cross-multiplied on the
+    * exact rational. `drifted` flags slices above driftNum/driftDen
+    * bits.
+    *
+    * Shape: ONE corpus-sized exchange (the (src, word) census, map-side
+    * combined); the per-word totals, per-source totals and the KL join
+    * all run over the vocab×sources census, which is localCheckpoint'd
+    * first — the t13 lesson: three derived groupings over a lazy census
+    * would re-run the corpus explode three times. Overflow guard (the
+    * KN runtime-operand rule): both s64 arguments are bounded by
+    * max(d)·M, checked in BigInt against the 2^57 shift limit. */
+  def sourceKl(corpus: DataFrame, srcCol: String, textCol: String,
+               driftNum: Long, driftDen: Long): DataFrame = {
+    require(driftDen > 0 && driftNum >= 0,
+      s"need driftDen > 0, driftNum >= 0, got $driftNum/$driftDen")
+    import graft.operators.NgramLm.surprisal64
+    val toks = corpus
+      .select(col(srcCol).as("src"),
+        explode(split(col(textCol), " ", -1)).as("word"))
+      .filter($"word" =!= "")
+    val cen = toks.groupBy($"src", $"word").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val d = cen.groupBy($"word").agg(sum($"c").as("d"))
+    val ns = cen.groupBy($"src").agg(sum($"c").as("n_tokens"))
+    val m = cen.agg(sum($"c")).collect()(0).getLong(0)
+    val maxD = d.agg(max($"d")).collect()(0).getLong(0)
+    require(BigInt(maxD) * BigInt(m) < (BigInt(1) << 57),
+      s"sourceKl surprisal operand overflow: max(d)*M = $maxD*$m >= 2^57" +
+        " — shard the corpus or hash-bucket the vocabulary first")
+    cen.join(d, Seq("word")).join(ns, Seq("src"))
+      .select($"src", $"n_tokens",
+        ($"c" * (surprisal64($"c" * m) -
+          surprisal64($"d" * $"n_tokens"))).as("term"))
+      .groupBy($"src", $"n_tokens")
+      .agg(sum($"term").as("kl_num"))
+      .select($"src", $"n_tokens", $"kl_num",
+        (lit(64L) * $"n_tokens").as("kl_den"))
+      .select($"src", $"n_tokens", $"kl_num", $"kl_den",
+        ($"kl_num" * driftDen > lit(driftNum) * $"kl_den")
+          .cast("int").as("drifted"))
+  }
+
   /** Blocklist census (the C4/RefinedWeb banned-wordlist gate): per
     * document the total occurrence count over `phrases` (ALL matches,
     * overlapping included), the number of distinct phrases present, the

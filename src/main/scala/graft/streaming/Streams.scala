@@ -622,6 +622,38 @@ object Streams {
     lineCleanStream(spark, srcDir, schemaFrom, idCol, textCol, frequent,
       outDir, checkpoint, statePartitions, sep = "\n\n")
 
+  /** STREAMING blocklist census — the t93 gate on a live feed. The
+    * phrase list is pipeline CONFIG (a plain driver value, like the
+    * Bloom bit array — no session-bound Dataset hand-off, so no q55
+    * clone dance), and the census is stateless per batch: each staged
+    * micro-batch runs the identical one-pass Aho–Corasick scan, so the
+    * accumulated output equals the batch run row-for-row and the
+    * oracle IS t93's SQL. Readers dedupe on the id (at-least-once
+    * append, the t27 convention). A never-fired feed returns the
+    * schema-correct EMPTY result (the dsirStream guard). */
+  def blocklistStream(spark: SparkSession, srcDir: String,
+                      schemaFrom: DataFrame, idCol: String,
+                      textCol: String, phrases: Seq[String],
+                      flagMin: Long, outDir: String, checkpoint: String,
+                      statePartitions: Int = 2): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.CorpusStats.blocklistCensus(batch, idCol,
+            textCol, phrases, flagMin)
+          .write.mode("append").parquet(outDir)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    if (outDirExists(spark, outDir)) spark.read.parquet(outDir)
+    else graft.operators.CorpusStats.blocklistCensus(
+      schemaFrom.limit(0), idCol, textCol, phrases, flagMin)
+  }
+
   /** Streaming ingest into the PERSISTED quantile-census store: each
     * micro-batch's (slice, value, count) cells append under the
     * checkpointed BATCH ID (`Quantiles.appendToCensusStore`) — a

@@ -224,6 +224,27 @@ class GraftSqlSpec extends SparkSpec {
       "SELECT html_extract('<p>x</p>', length('ab'))").collect())
   }
 
+  test("char_entropy64 / lzw_phrases are SQL-callable and match the " +
+      "column forms; null input yields null") {
+    import graft.functions.EntropyExpr
+    val viaSql = spark.sql(
+      "SELECT char_entropy64('aabb'), lzw_phrases('ababab')").head
+    assert(viaSql.getLong(0) === 256L)
+    assert(viaSql.getLong(1) === 4L)
+    import spark.implicits._
+    val docs = Seq((1L, "aabb"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "txt")
+    docs.createOrReplaceTempView("gsql_ent")
+    val sqlRows = spark.sql(
+      "SELECT char_entropy64(txt) e, lzw_phrases(txt) p FROM gsql_ent " +
+        "ORDER BY id").collect()
+    val colRows = docs.orderBy($"id")
+      .select(EntropyExpr.charEntropy64($"txt").as("e"),
+        EntropyExpr.lzwPhrases($"txt").as("p")).collect()
+    assert(sqlRows.map(_.toSeq).toSeq === colRows.map(_.toSeq).toSeq)
+    assert(sqlRows(1).isNullAt(0) && sqlRows(1).isNullAt(1))
+  }
+
   test("lang_nb: a fitted folded language-ID kernel registers as a " +
       "session SQL function and matches predictFast bit-for-bit") {
     import spark.implicits._

@@ -174,6 +174,74 @@ class TextStatsSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  // ------------------------------------------------------------ streams
+
+  test("streaming blocklist census equals the batch census; drained " +
+      "replay appends nothing; empty feed yields the census schema") {
+    val docs = Tables.load(spark, sf, "documents")
+    val base = s"/tmp/graft_blockstream_spec/${System.nanoTime()}"
+    val feed = s"$base/feed"
+    docs.write.parquet(feed)
+    val phrases = Seq("scan", "table", "slow")
+    def run() = streaming.Streams.blocklistStream(spark, feed, docs,
+      "doc_id", "text", phrases, flagMin = 3L, s"$base/out", s"$base/ckpt")
+    val streamed = run().orderBy($"doc_id").collect().toSeq
+    val batch = CorpusStats.blocklistCensus(docs, "doc_id", "text",
+      phrases, flagMin = 3L).orderBy($"doc_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.exists(_.getInt(4) == 1), "fixture must flag something")
+    assert(run().count() == batch.length.toLong) // checkpointed replay
+    val emptyBase = s"$base/empty"
+    new java.io.File(s"$emptyBase/feed").mkdirs()
+    val empty = streaming.Streams.blocklistStream(spark, s"$emptyBase/feed",
+      docs, "doc_id", "text", phrases, 3L, s"$emptyBase/out",
+      s"$emptyBase/ckpt")
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq ===
+      Seq("doc_id", "n_hits", "n_phr", "top_phrase", "flagged"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  // ---------------------------------------------------------------- kl
+
+  test("sourceKl equals a driver replica in exact integers; planted " +
+      "drift flags; uniform slices do not") {
+    val rows = Seq(
+      ("a", "x y x y"), ("a", "x y"),
+      ("b", "x y x y"), ("b", "x y"),
+      ("c", "z z z z z z")) // c's tokens are all its own → high KL
+    val df = spark.createDataFrame(rows).toDF("src", "txt")
+    val out = CorpusStats.sourceKl(df, "src", "txt", 1L, 10L)
+      .orderBy($"src").collect()
+    // driver replica
+    val toks = rows.flatMap { case (s, t) => t.split(" ").map(s -> _) }
+    val cen = toks.groupBy(identity).map { case ((s, w), g) =>
+      (s, w, g.size.toLong) }.toSeq
+    val d = cen.groupBy(_._2).map { case (w, g) => w -> g.map(_._3).sum }
+    val ns = cen.groupBy(_._1).map { case (s, g) => s -> g.map(_._3).sum }
+    val m = cen.map(_._3).sum
+    val exp = ns.keys.toSeq.sorted.map { s =>
+      val num = cen.filter(_._1 == s).map { case (_, w, c) =>
+        c * (NgramLm.surprisal64Long(c * m) -
+          NgramLm.surprisal64Long(d(w) * ns(s)))
+      }.sum
+      (s, ns(s), num, 64L * ns(s))
+    }
+    assert(out.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))).toSeq === exp)
+    // the flag IS the cross-multiplied rational of the replica
+    val expFlag = exp.map { case (_, _, num, den) =>
+      if (num * 10L > den) 1 else 0 }
+    assert(out.map(_.getInt(4)).toSeq === expFlag)
+    // c's tokens are all its own → strictly the largest divergence
+    // (a and b also diverge from the blend c shifts — KL is vs the
+    // corpus MIXTURE, not vs each other)
+    val bits = exp.map { case (s, _, num, den) => s -> num.toDouble / den }
+      .toMap
+    assert(bits("c") > bits("a") && bits("c") > bits("b"))
+    assert(bits("a") === bits("b")) // identical slices → identical card
+  }
+
   test("textrank fails fast on an empty node set") {
     val df = spark.createDataFrame(Seq((1L, "all unique words here")))
       .toDF("id", "txt")
