@@ -52,12 +52,15 @@ object TextRank {
       s"need positive minDf/maxNodes/iters/k, got $minDf/$maxNodes/$iters/$k")
     val spark = corpus.sparkSession
 
-    // raw split positions (split keeps trailing empties — the t69
-    // lesson — so positions match any engine's 1-based replay shifted
-    // by one); adjacency = consecutive positions, both non-empty.
+    // split keeps trailing empties (the t69 lesson) so raw positions
+    // match any engine's replay; adjacency pairs are built ROW-LOCALLY
+    // with the arrays_zip-of-slices idiom (NgramLm.pairArr — a
+    // codegen'd one-pass zip): a (doc, pos) self-join of the exploded
+    // token table would shuffle-join the whole corpus against itself —
+    // measured 25–60 s vs ~2 s at the 500k-doc replica.
+    val ws = split(col(textCol), " ", -1)
     val tok = corpus
-      .select(col(idCol).as("doc"), posexplode(split(col(textCol), " ", -1)))
-      .toDF("doc", "pos", "word")
+      .select(explode(ws).as("word"))
       .filter($"word" =!= "")
     val cen = tok.groupBy($"word").agg(count(lit(1)).as("cnt"))
     val nodes = cen.filter($"cnt" >= minDf)
@@ -66,29 +69,47 @@ object TextRank {
           .orderBy($"cnt".desc, $"word".asc)).as("rk"))
       .filter($"rk" <= maxNodes)
       .select($"word")
-    val adj = tok.as("a").join(tok.as("b"),
-        $"a.doc" === $"b.doc" && $"b.pos" === $"a.pos" + 1 &&
-          $"a.word" =!= $"b.word")
-      .select($"a.word".as("ea"), $"b.word".as("eb"))
-    val sym = adj.unionAll(adj.select($"eb".as("ea"), $"ea".as("eb")))
-    val ed = sym
-      .join(broadcast(nodes.select($"word".as("ea"))), Seq("ea"))
-      .join(broadcast(nodes.select($"word".as("eb"))), Seq("eb"))
-      .groupBy($"ea", $"eb").agg(count(lit(1)).as("w"))
-
-    // bounded pull (limit-before-collect): the graph is the model.
-    val pulled = ed.limit(maxEdges + 1).collect()
-    require(pulled.length <= maxEdges,
-      s"textrank graph exceeds maxEdges=$maxEdges — raise minDf or lower maxNodes")
+    val m = greatest(size(ws) - 1, lit(0))
+    val adj = corpus
+      .select(explode(arrays_zip(
+        slice(ws, lit(1), m).as("wa"), slice(ws, lit(2), m).as("wb"))).as("z"))
+      .select($"z.wa".as("ea"), $"z.wb".as("eb"))
+      .filter($"ea" =!= "" && $"eb" =!= "" && $"ea" =!= $"eb")
+    // the node set is bounded (≤ maxNodes) — pull it ONCE; leaving it
+    // lazy re-runs the word census per consumer (two edge-side joins +
+    // the final collect = three corpus passes, measured at 100×)
     val words = nodes.orderBy($"word").collect().map(_.getString(0))
     val n = words.length.toLong
     require(n >= 1, "textrank needs at least one node above minDf")
+    val nodeDf = spark.createDataFrame(words.toSeq.map(Tuple1(_)))
+      .toDF("word")
+
+    // census the DIRECTED pairs (one corpus pass — symmetrizing the
+    // pair stream via unionAll re-runs the explode per branch), pull
+    // the bounded graph (limit-before-collect), symmetrize on the
+    // driver: w(a,b) = w_dir(a,b) + w_dir(b,a).
+    val edDir = adj
+      .join(broadcast(nodeDf.select($"word".as("ea"))), Seq("ea"))
+      .join(broadcast(nodeDf.select($"word".as("eb"))), Seq("eb"))
+      .groupBy($"ea", $"eb").agg(count(lit(1)).as("w"))
+    val pulled = edDir.limit(maxEdges + 1).collect()
+    require(pulled.length <= maxEdges,
+      s"textrank graph exceeds maxEdges=$maxEdges — raise minDf or lower maxNodes")
     val idx = words.zipWithIndex.toMap
-    val wout = new Array[Long](words.length)
-    val edges = pulled.map { r =>
+    val wMap = scala.collection.mutable.HashMap[Long, Long]()
+    pulled.foreach { r =>
       val a = idx(r.getString(0)) // groupBy(ea, eb) → columns (ea, eb, w)
       val b = idx(r.getString(1))
       val w = r.getLong(2)
+      val ka = a.toLong * words.length + b
+      val kb = b.toLong * words.length + a
+      wMap.update(ka, wMap.getOrElse(ka, 0L) + w)
+      wMap.update(kb, wMap.getOrElse(kb, 0L) + w)
+    }
+    val wout = new Array[Long](words.length)
+    val edges = wMap.toArray.map { case (k, w) =>
+      val a = (k / words.length).toInt
+      val b = (k % words.length).toInt
       wout(a) += w
       (a, b, w)
     }
