@@ -268,6 +268,62 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
       |    i -> (sm[i-1] < 0) <> (sm[i] < 0))) AS BIGINT) AS zero_cross
       |FROM s ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- m08
+  // Audio activity segmentation (VAD) over the m07 stub decode:
+  // windowed energy census + longest active run. Activity structure is
+  // PLANTED per doc_id class — a silence run ('`' decodes to s = 0)
+  // and loud runs (' ' decodes to s = −64, energy 4096/sample) — so
+  // n_active and max_run vary (the raw word-soup corpus is ~11% active
+  // at the 1000 mean-energy cut with runs ≤ 1, measured before fixing
+  // the fixture). Same ASCII oracle convention as m07 (documented
+  // there).
+  def m08_audio_activity(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat($"text",
+      when($"doc_id" % 3 === 0, lit("`" * 64 + " " * 96))
+        .when($"doc_id" % 3 === 1, lit(" " * 32 + "`" * 32 + " " * 32))
+        .otherwise(lit("")))
+    val media = t(spark, dir, "documents")
+      .select($"doc_id", page.cast("binary").as("data"))
+    operators.Multimodal.audioActivity(media, "doc_id", "data",
+        window = 32, thrPerSample = 1000L)
+      .orderBy($"media_id")
+  }
+
+  private[graft] val m08_sql =
+    """WITH p AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN repeat('`', 64) || repeat(' ', 96)
+      |         WHEN doc_id % 3 = 1
+      |           THEN repeat(' ', 32) || repeat('`', 32) || repeat(' ', 32)
+      |         ELSE '' END AS page
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, list_transform(range(1, length(page) + 1),
+      |    j -> ascii(substr(page, j, 1)) - 96) AS sm
+      |  FROM p),
+      |w AS (
+      |  SELECT doc_id, i AS wi,
+      |    CAST(list_sum(list_transform(
+      |      sm[(i*32+1):CAST(least((i+1)*32, len(sm)) AS INT)],
+      |      x -> x*x)) AS BIGINT) AS energy,
+      |    CAST(least((i+1)*32, len(sm)) - i*32 AS BIGINT) AS wlen
+      |  FROM s, UNNEST(range(0, (len(sm) + 31) // 32)) AS t(i)),
+      |a AS (SELECT doc_id, wi, energy > 1000 * wlen AS act FROM w),
+      |runs AS (SELECT doc_id,
+      |    wi - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY wi) AS grp
+      |  FROM a WHERE act),
+      |mr AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_run FROM (
+      |    SELECT doc_id, grp, COUNT(*) AS c FROM runs GROUP BY doc_id, grp)
+      |  GROUP BY doc_id),
+      |na AS (SELECT doc_id,
+      |    CAST(COUNT(*) FILTER (WHERE act) AS BIGINT) AS n_active,
+      |    CAST(COUNT(*) AS BIGINT) AS n_windows
+      |  FROM a GROUP BY doc_id)
+      |SELECT n.doc_id AS media_id, n.n_windows, n.n_active,
+      |  COALESCE(m.max_run, 0) AS max_run
+      |FROM na n LEFT JOIN mr m USING (doc_id)
+      |ORDER BY media_id""".stripMargin
+
   // ---------------------------------------------------------------- m02
   // Multimodal decode stub via typed mapPartitions (mapInPandas shape):
   // per-media pseudo-pixel features. DuckDB-oracled: the payloads are the

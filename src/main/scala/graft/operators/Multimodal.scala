@@ -138,6 +138,55 @@ object Multimodal {
     }(Encoders.product[AudioStats]).toDF()
   }
 
+  final case class AudioActivity(media_id: Long, n_windows: Long,
+                                 n_active: Long, max_run: Long)
+
+  /** Audio activity segmentation (the VAD gate of speech-dataset
+    * pipelines — drop silent clips, keep the longest voiced span):
+    * fixed `window`-sample frames over the [[audioStats]] stub decode
+    * (s = (byte & 0xFF) − 96), a frame is ACTIVE iff its energy
+    * Σs² > thrPerSample·frameLen (cross-multiplied — the threshold is
+    * mean energy per sample, exact in i64), and the card reports
+    * (n_windows, n_active, max_run) with max_run = the longest
+    * consecutive active span. One typed executor-side pass, no
+    * shuffle; the run-length fold is row-local sequential state —
+    * exactly what mapPartitions is for. Swap the sample extractor for
+    * a real PCM read and nothing else changes. */
+  def audioActivity(df: DataFrame, idCol: String, dataCol: String,
+                    window: Int, thrPerSample: Long): DataFrame = {
+    require(window >= 1 && thrPerSample >= 0,
+      s"need window >= 1, thrPerSample >= 0, got $window, $thrPerSample")
+    val src: Dataset[(Long, Array[Byte])] = df
+      .select(col(idCol).cast("long"), col(dataCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    src.mapPartitions { it =>
+      it.map { case (id, data) =>
+        val bytes = if (data == null) Array.empty[Byte] else data
+        val n = bytes.length
+        val nw = (n + window - 1) / window
+        var nActive = 0L; var run = 0L; var maxRun = 0L
+        var w = 0
+        while (w < nw) {
+          val lo = w * window
+          val hi = math.min(lo + window, n)
+          var energy = 0L
+          var i = lo
+          while (i < hi) {
+            val s = (bytes(i) & 0xFF) - 96
+            energy += s.toLong * s
+            i += 1
+          }
+          if (energy > thrPerSample * (hi - lo)) {
+            nActive += 1L; run += 1L
+            if (run > maxRun) maxRun = run
+          } else run = 0L
+          w += 1
+        }
+        AudioActivity(id, nw.toLong, nActive, maxRun)
+      }
+    }(Encoders.product[AudioActivity]).toDF()
+  }
+
   final case class PHash(media_id: Long, n_bytes: Int, phash: Long)
 
   /** Cells in the perceptual hash — 62, not 64, so the signature stays

@@ -298,4 +298,41 @@ class MultimodalSpec extends SparkSpec {
       (2L, 0L, 0L, 0L, 0L),
       (3L, 0L, 0L, 0L, 0L)), got.toString)
   }
+
+  test("audioActivity: windowed energy gate, longest run, partial last " +
+      "window uses its own length, empty/null payloads report zeros") {
+    // window=4, thr=100 (mean energy per sample).
+    // id 1: 4× byte 96 (s=0, silent) then 8× byte 32 (s=-64, energy
+    //       4096 each) → windows [silent, active, active] → run 2
+    // id 2: 5 bytes of 97 (s=1) → 2 windows (4+1), both silent
+    // id 3: 2 bytes of 32 → ONE partial window, energy 8192 > 100·2
+    val rows = Seq(
+      (1L, Array.fill[Byte](4)(96) ++ Array.fill[Byte](8)(32)),
+      (2L, Array.fill[Byte](5)(97)),
+      (3L, Array.fill[Byte](2)(32)),
+      (4L, Array.empty[Byte]),
+      (5L, null.asInstanceOf[Array[Byte]])
+    ).toDF("id", "data")
+    val got = Multimodal.audioActivity(rows, "id", "data",
+        window = 4, thrPerSample = 100L)
+      .orderBy($"media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 3L, 2L, 2L),
+      (2L, 2L, 0L, 0L),
+      (3L, 1L, 1L, 1L),
+      (4L, 0L, 0L, 0L),
+      (5L, 0L, 0L, 0L)), got.toString)
+  }
+
+  test("audioActivity max_run resets across silent gaps") {
+    // active, silent, active, active → max_run 2 not 3
+    val pay = Array.fill[Byte](4)(32) ++ Array.fill[Byte](4)(96) ++
+      Array.fill[Byte](8)(32)
+    val rows = Seq((1L, pay)).toDF("id", "data")
+    val got = Multimodal.audioActivity(rows, "id", "data", 4, 100L)
+      .collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3)) == ((4L, 3L, 2L)))
+  }
 }
