@@ -495,6 +495,62 @@ private[graft] trait Queries2Lm extends Queries1Rel {
        |FROM te JOIN mj m USING (doc_id)
        |GROUP BY 1, 2, 3 ORDER BY lang, majority_pred, n_majority""".stripMargin
 
+  // ---------------------------------------------------------------- t96
+  // Language-ID CONFIDENCE margin (CCNet keeps only confidently
+  // identified docs): per held-out doc the best-vs-runner-up score
+  // margin from the t66 trained model, per vocab gram and
+  // cross-multiplied (margin64 ≥ 2·n_grams ≈ 2/64 bit per gram — the
+  // measured median is ~1.4, so the gate keeps the confident third).
+  // ONE codegen pass through the folded kernel (LangNbStats — the
+  // SAME walk as predictFast, structurally unable to drift); the
+  // oracle extends the shared langNbFitSql replay with a rank-2
+  // window, margins BY VALUE so top ties read 0 in both engines.
+  def t96_langid_confidence(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val test = docs.filter($"doc_id" % 5 === 4L)
+    val m = langNbMemo(spark, dir, srcStamp(dir, "documents.parquet"))
+    val k = m.foldKernel.getOrElse(throw new IllegalStateException(
+      "t96 needs the folded kernel — the corpus model exceeds the fold gate"))
+    operators.LangNb.confidence(test, "doc_id", "text", k,
+        minPerGram64 = 2L)
+      .orderBy($"doc_id")
+  }
+
+  private[graft] lazy val t96_sql =
+    langNbFitSql + s""",
+       |eg AS MATERIALIZED (
+       |  SELECT doc_id, gram FROM (
+       |    SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS gram
+       |    FROM te, UNNEST(range(1, greatest(length(text) - 2, 0) + 1)) AS u(i))
+       |  JOIN vocab USING (gram)),
+       |nv AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM eg GROUP BY 1),
+       |hits AS MATERIALIZED (
+       |  SELECT doc_id, lang, CAST(SUM(w64) AS BIGINT) AS sw
+       |  FROM eg JOIN model USING (gram) GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT nv.doc_id, nv.n, b.lang,
+       |         COALESCE(h.sw, 0) - nv.n * b.b64 AS score64
+       |  FROM nv CROSS JOIN base b
+       |  LEFT JOIN hits h ON h.doc_id = nv.doc_id AND h.lang = b.lang),
+       |pr AS (
+       |  SELECT doc_id, MAX(n) AS n,
+       |    MAX(CASE WHEN rk = 1 THEN lang END) AS lang_pred,
+       |    MAX(CASE WHEN rk = 1 THEN score64 END)
+       |      - MAX(CASE WHEN rk = 2 THEN score64 END) AS margin64
+       |  FROM (SELECT doc_id, n, lang, score64,
+       |          ROW_NUMBER() OVER (PARTITION BY doc_id
+       |            ORDER BY score64 DESC, lang) AS rk FROM sc)
+       |  WHERE rk <= 2 GROUP BY doc_id)
+       |SELECT te.doc_id,
+       |  COALESCE(p.lang_pred, 'unknown') AS lang_pred,
+       |  COALESCE(p.margin64, 0) AS margin64,
+       |  COALESCE(p.n, 0) AS n_grams,
+       |  CAST(p.doc_id IS NOT NULL AND p.margin64 >= 2 * p.n AS INT)
+       |    AS confident
+       |FROM te LEFT JOIN pr p USING (doc_id)
+       |ORDER BY te.doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t78
   // STREAMING language ID (the t66 production twin, the t35/t41
   // pattern): the trained NB model persists once (LangNb.saveModel —

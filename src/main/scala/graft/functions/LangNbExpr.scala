@@ -4,7 +4,8 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.ColumnInternals
-import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** The FOLDED LangNb model (the t42 LmScore64 shape): every char
@@ -65,13 +66,11 @@ object LangNbScore {
   @inline def pack(cp1: Int, cp2: Int, cp3: Int): Long =
     (cp1.toLong << 42) | (cp2.toLong << 21) | cp3.toLong
 
-  /** The one scalar home of kernel scoring: identical semantics to the
-    * stage plan — nv vocab-gram occurrences, score_l = Σ w64 − nv·b64,
-    * argmax (score DESC, lang ASC), 'unknown' at nv = 0. */
-  def compute(text: UTF8String, k: LangNbKernel): UTF8String = {
-    val s = text.toString
+  /** The ONE gram walk (shared by score and stats so the two kernel
+    * paths cannot drift): per-language w64 sums into `sw`, returns nv
+    * (vocab-gram occurrence count). */
+  private def walk(s: String, k: LangNbKernel, sw: Array[Long]): Long = {
     val nLang = k.langs.length
-    val sw = new Array[Long](nLang)
     var nv = 0L
     var cp1 = -1; var cp2 = -1
     var i = 0
@@ -89,6 +88,16 @@ object LangNbScore {
       }
       cp1 = cp2; cp2 = cp3
     }
+    nv
+  }
+
+  /** The one scalar home of kernel scoring: identical semantics to the
+    * stage plan — nv vocab-gram occurrences, score_l = Σ w64 − nv·b64,
+    * argmax (score DESC, lang ASC), 'unknown' at nv = 0. */
+  def compute(text: UTF8String, k: LangNbKernel): UTF8String = {
+    val nLang = k.langs.length
+    val sw = new Array[Long](nLang)
+    val nv = walk(text.toString, k, sw)
     if (nv == 0) k.unknown
     else {
       var best = 0
@@ -104,6 +113,63 @@ object LangNbScore {
     }
   }
 
+  /** Confidence stats over the same walk: long[3] = (best language
+    * index — −1 at nv = 0, margin64 = best − runner-up score BY VALUE
+    * (a top-tie reads 0 regardless of which language wins the ASC
+    * tie-break), nv). Needs ≥ 2 languages in the kernel. */
+  def computeStats(text: UTF8String, k: LangNbKernel): GenericArrayData = {
+    val nLang = k.langs.length
+    val sw = new Array[Long](nLang)
+    val nv = walk(text.toString, k, sw)
+    if (nv == 0) return new GenericArrayData(Array(-1L, 0L, 0L))
+    var best = 0
+    var bestScore = sw(0) - nv * k.base64(0)
+    var second = Long.MinValue
+    var li = 1
+    while (li < nLang) {
+      val sc = sw(li) - nv * k.base64(li)
+      if (sc > bestScore) { second = bestScore; best = li; bestScore = sc }
+      else if (sc > second) second = sc
+      li += 1
+    }
+    new GenericArrayData(Array(best.toLong, bestScore - second, nv))
+  }
+
   def score(c: Column, k: LangNbKernel): Column =
     ColumnInternals.column(LangNbScore(ColumnInternals.expr(c), k))
+
+  def stats(c: Column, k: LangNbKernel): Column =
+    ColumnInternals.column(LangNbStats(ColumnInternals.expr(c), k))
+}
+
+/** Confidence-stats twin of [[LangNbScore]] — same kernel, same ONE
+  * walk, returns long[3] = (best lang index | −1, margin64, nv) so the
+  * CCNet-style confidence gate (margin per vocab gram) stays a single
+  * codegen pass with the derived values read via `element_at`. */
+case class LangNbStats(child: Expression, kernel: LangNbKernel)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"langNbStats expects a string input, got ${child.dataType}")
+
+  override def nullSafeEval(input: Any): Any =
+    LangNbScore.computeStats(input.asInstanceOf[UTF8String], kernel)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val kRef = ctx.addReferenceObj("langNbKernel", kernel,
+      "graft.functions.LangNbKernel")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.LangNbScore.computeStats($c, $kRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression)
+      : LangNbStats = copy(child = newChild)
 }

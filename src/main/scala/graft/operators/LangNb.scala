@@ -177,6 +177,39 @@ object LangNb {
       coalesce(graft.functions.LangNbScore.score(col(textCol), k),
         lit("unknown")).as("lang_pred"))
 
+  /** CCNet-style language-confidence card: (idCol, lang_pred,
+    * margin64, n_grams, confident) where margin64 = best − runner-up
+    * score BY VALUE (a top tie reads 0) and confident = 1 iff the doc
+    * has vocabulary grams AND margin64 ≥ minPerGram64·n_grams — the
+    * margin is per vocab gram, cross-multiplied, so the gate is
+    * length-invariant and exactly integer. ONE codegen pass through
+    * the folded kernel ([[graft.functions.LangNbStats]] — the same
+    * walk as [[predictFast]], so the two cannot drift); 'unknown'
+    * docs read (0, 0, 0). */
+  def confidence(docs: DataFrame, idCol: String, textCol: String,
+                 k: graft.functions.LangNbKernel,
+                 minPerGram64: Long): DataFrame = {
+    require(k.langs.length >= 2,
+      s"confidence margin needs >= 2 languages, kernel has ${k.langs.length}")
+    require(minPerGram64 >= 0, s"minPerGram64 must be >= 0: $minPerGram64")
+    val langArr = array(k.langs.map(lit).toSeq: _*)
+    docs
+      .select(col(idCol),
+        coalesce(graft.functions.LangNbScore.stats(col(textCol), k),
+          typedLit(Seq(-1L, 0L, 0L))).as("st"))
+      .select(col(idCol),
+        element_at($"st", 1).as("bi"),
+        element_at($"st", 2).as("margin64"),
+        element_at($"st", 3).as("n_grams"))
+      .select(col(idCol),
+        when($"bi" >= 0L, element_at(langArr, ($"bi" + 1L).cast("int")))
+          .otherwise("unknown").as("lang_pred"),
+        $"margin64", $"n_grams",
+        ($"n_grams" > 0L &&
+          $"margin64" >= lit(minPerGram64) * $"n_grams")
+          .cast("int").as("confident"))
+  }
+
   /** Predict (idCol, lang_pred) for every row of `docs` — 'unknown'
     * when the doc has no vocabulary gram. Routes through the folded
     * kernel ([[predictFast]]) when the model fits the fold gate — ONE

@@ -205,6 +205,72 @@ class LangNbSpec extends SparkSpec {
     both(weird, "doc_id", "text")
   }
 
+  test("confidence margins equal a stage-form replica built from the " +
+      "Model tables BIT-FOR-BIT on the real corpus; unknown docs read " +
+      "(0, 0, 0); the per-gram gate is length-invariant") {
+    val docs = Tables.load(spark, sf, "documents")
+    val m = LangNb.fit(docs.filter($"doc_id" % 5 =!= 4L), "text", "lang")
+    val k = LangNb.kernel(m)
+    val test = docs.filter($"doc_id" % 5 === 4L)
+    val got = LangNb.confidence(test, "doc_id", "text", k, 2L)
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))).toMap
+    // independent stage replica: gram explode + model joins + two-row
+    // window over score64 (the oracle's shape, in Spark)
+    import graft.operators.NgramLm
+    val grams = test.select($"doc_id",
+        explode(graft.functions.CharGrams.charGrams($"text", 3)).as("gram"))
+      .join(broadcast(m.vocab), "gram")
+    val nv = grams.groupBy($"doc_id").agg(count(lit(1)).as("nv"))
+    val hits = grams.join(broadcast(m.model), Seq("gram"))
+      .groupBy($"doc_id", $"lang").agg(sum($"w64").as("sw"))
+    val sc = nv.crossJoin(broadcast(m.base))
+      .join(hits, Seq("doc_id", "lang"), "left")
+      .select($"doc_id", $"nv", $"lang",
+        (coalesce($"sw", lit(0L)) - $"nv" * $"b64").as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"s".desc, $"lang".asc)
+    val exp = sc.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= 2)
+      .groupBy($"doc_id", $"nv")
+      .agg(max(when($"rk" === 1, $"lang")).as("lp"),
+        (max(when($"rk" === 1, $"s")) - max(when($"rk" === 2, $"s")))
+          .as("mg"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getString(2), r.getLong(3), r.getLong(1),
+        if (r.getLong(3) >= 2L * r.getLong(1)) 1 else 0))).toMap
+    exp.foreach { case (id, e) =>
+      assert(got(id) === e, s"doc $id kernel-vs-stage margin drift")
+    }
+    // every test doc not in the replica had zero vocab grams
+    (got.keySet -- exp.keySet).foreach { id =>
+      assert(got(id) === (("unknown", 0L, 0L, 0)), s"doc $id")
+    }
+  }
+
+  test("confidence stats: a top-score tie reads margin 0; nv = 0 reads " +
+      "(-1, 0, 0); a single-language kernel fails fast") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // symmetric two-lang fit: any text with equal gram evidence ties
+    val m = LangNb.fit(Seq(("aa", "xyzxyz"), ("bb", "xyzxyz"))
+      .toDF("lang", "text"), "text", "lang")
+    val k = LangNb.kernel(m)
+    val st = graft.functions.LangNbScore.computeStats(
+      UTF8String.fromString("xyzxyz"), k).toLongArray()
+    assert(st(1) === 0L && st(2) > 0L, st.toSeq.toString) // tie → margin 0
+    val none = graft.functions.LangNbScore.computeStats(
+      UTF8String.fromString("q"), k).toLongArray()
+    assert(none.toSeq === Seq(-1L, 0L, 0L))
+    val m1 = LangNb.fit(Seq(("aa", "xyzxyz")).toDF("lang", "text"),
+      "text", "lang")
+    val e = intercept[IllegalArgumentException] {
+      LangNb.confidence(Seq((1L, "xyz")).toDF("id", "t"), "id", "t",
+        LangNb.kernel(m1), 2L)
+    }
+    assert(e.getMessage.contains(">= 2 languages"))
+  }
+
   test("the vocabulary cap binds: maxGrams = 8 still fits and " +
       "predicts deterministically; maxGrams <= 0 fails fast") {
     val m = LangNb.fit(trainFix, "text", "lang", maxGrams = 8)
