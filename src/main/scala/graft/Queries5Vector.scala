@@ -943,6 +943,30 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
   // k-NN join: exact top-3 cosine neighbors for a 10-vector query set in
   // one pass (batch retrieval / hard-negative mining). Query side
   // broadcasts; WindowGroupLimit caps the qid shuffle at tasks×Q×k rows.
+  // ---------------------------------------------------------------- s23
+  // Cosine RADIUS join (all matches with rounded score ≥ τ — the
+  // threshold twin of s06's top-k; the dedup/decontam retrieval
+  // primitive). NO window, no qid shuffle: the τ gate is row-local
+  // after the bounded-query broadcast. τ = 0.28 ≈ p99 of the
+  // isotropic-corpus score distribution (measured before fixing the
+  // cut — the s18 τ rule), so the kept set is real but sparse.
+  def s23_radius_join(spark: SparkSession, dir: String): DataFrame =
+    Similarity.radiusJoin(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", queryIds = (0L until 50L).toSeq, tau = 0.28)
+      .select($"qid", $"id".as("vec_id"), $"score")
+      .orderBy($"qid", $"vec_id")
+
+  private[graft] val s23_sql =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      |    FROM embeddings),
+      |q AS (SELECT vec_id AS qid, emb AS qv FROM v WHERE vec_id < 50),
+      |s AS (
+      |  SELECT q.qid, v.vec_id,
+      |    ROUND(list_cosine_similarity(v.emb, q.qv), 6) AS score
+      |  FROM v, q WHERE v.vec_id <> q.qid)
+      |SELECT qid, vec_id, score FROM s
+      |WHERE score >= 0.28 ORDER BY qid, vec_id""".stripMargin
+
   def s06_knn_join(spark: SparkSession, dir: String): DataFrame =
     Similarity.knnJoin(t(spark, dir, "embeddings"),
       "vec_id", "embedding", queryIds = 0L until 10L, k = 3)

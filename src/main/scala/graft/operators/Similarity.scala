@@ -539,6 +539,50 @@ object Similarity {
       .select(col("qid"), col("rk"), col("id"), col("score"))
   }
 
+  /** Cosine RADIUS join — every corpus neighbor with rounded cosine
+    * ≥ tau per query vector (the threshold twin of [[knnJoin]]: "all
+    * matches above τ" is the dedup/decontam retrieval primitive where
+    * top-k is the serving one). NO window and NO qid shuffle at all —
+    * the τ gate is row-local after the broadcast of the bounded query
+    * set, so the whole join is one corpus scan (strictly cheaper than
+    * top-k at any scale). The gate compares the 6-dp ROUNDED score
+    * (the s01 parity convention), so the kept set replays exactly
+    * cross-engine. */
+  def radiusJoin(df: DataFrame, idCol: String, vecCol: String,
+                 queryIds: Seq[Long], tau: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val q = v.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("qid"), col("v").as("qv"))
+    v.join(broadcast(q), col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        round(cosine(col("v"), col("qv")), 6).as("score"))
+      .filter(col("score") >= tau)
+  }
+
+  /** IVF-accelerated radius join — [[radiusJoin]] probing only each
+    * query's `nProbe` nearest cells (the [[ivfKnnJoin]] pruning; at
+    * nProbe = nCells the candidate set is the full corpus and the
+    * result is spec-pinned EQUAL to the exact form). The recall trade
+    * is the s03 one: a true neighbor in an unprobed cell is missed. */
+  def ivfRadiusJoin(df: DataFrame, idCol: String, vecCol: String,
+                    queryIds: Seq[Long], tau: Double, nProbe: Int,
+                    cents: Array[(Int, Seq[Double])]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val assigned = assignCells(v, cents)
+    val probes = probeRows(
+        v.filter(col("id").isin(queryIds: _*)).collect(), cents, nProbe)
+      .toDF("qid", "cell", "qv")
+    assigned.join(broadcast(probes), "cell")
+      .filter(col("id") =!= col("qid"))
+      .select(col("qid"), col("id"),
+        round(cosine(col("v"), col("qv")), 6).as("score"))
+      .filter(col("score") >= tau)
+  }
+
   /** IVF-accelerated k-NN JOIN — batch retrieval against the inverted
     * file: each query vector searches only its `nProbe` nearest cells
     * (probe cells picked driver-side from the bounded query set — the

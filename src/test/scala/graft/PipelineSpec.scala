@@ -121,6 +121,35 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.75, s"recall $recall")
   }
 
+  test("radiusJoin: equals the tau-filtered exact score table; " +
+      "ivfRadiusJoin probing ALL cells equals it bit-for-bit; a probed " +
+      "subset is a subset") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val qids = (0L until 8L).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy($"qid", $"id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val tau = 0.2
+    val exact = rows(Similarity.radiusJoin(emb, "vec_id", "embedding",
+      qids, tau))
+    assert(exact.nonEmpty, "fixture must keep something at tau")
+    assert(exact.forall(_._3 >= tau))
+    // independent replica: huge-k knn (= the full score table) gated
+    val viaKnn = Similarity.knnJoin(emb, "vec_id", "embedding", qids,
+        k = Int.MaxValue)
+      .filter($"score" >= tau)
+      .orderBy($"qid", $"id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(exact == viaKnn, "radius must equal the gated full score table")
+    val cents = Similarity.fitCentroids(emb, "vec_id", "embedding", 4, 3)
+    val full = rows(Similarity.ivfRadiusJoin(emb, "vec_id", "embedding",
+      qids, tau, nProbe = 4, cents))
+    assert(full == exact, "full probe must equal exact radius join")
+    val pruned = rows(Similarity.ivfRadiusJoin(emb, "vec_id", "embedding",
+      qids, tau, nProbe = 1, cents))
+    assert(pruned.toSet.subsetOf(exact.toSet), "pruning may only drop")
+  }
+
   test("mmrRerank: lambda=1 equals bruteForceTopK bit-for-bit; the greedy " +
       "matches an independent replay over the collected rel/sim tables; " +
       "a planted near-duplicate is deferred at lambda=1/2") {
