@@ -2108,6 +2108,38 @@ private[graft] trait Queries3Curate extends Queries2Lm {
        |  CAST(kl_num * 10 > 1 * kl_den AS INT) AS drifted
        |FROM kl ORDER BY src""".stripMargin
 
+  // ---------------------------------------------------------------- t97
+  // Zipf rank-frequency octave card — see CorpusStats.zipfCard. The
+  // per-octave slope is s64(f(2^{o−1})) − s64(f(2^o)) in 1/64 bits:
+  // the rank axis steps exactly one binary order per octave, so the
+  // difference IS the local Zipf exponent ·64 with no division and no
+  // float. rank 1's slope is NULL (no previous octave) — both engines
+  // emit it as such.
+  def t97_zipf_card(spark: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.zipfCard(t(spark, dir, "documents"),
+      "doc_id", "text", maxRank = 64)
+      .orderBy($"rank")
+
+  private[graft] lazy val t97_sql =
+    s"""WITH tok AS (
+       |  SELECT w FROM (
+       |    SELECT UNNEST(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> ''),
+       |cen AS MATERIALIZED (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM tok GROUP BY w),
+       |rk AS (
+       |  SELECT word, cnt,
+       |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS BIGINT)
+       |      AS rank
+       |  FROM (SELECT * FROM cen ORDER BY cnt DESC, word LIMIT 64)),
+       |oc AS (
+       |  SELECT rank, word, cnt, ${duckS64("cnt")} AS s64f
+       |  FROM rk WHERE (rank & (rank - 1)) = 0)
+       |SELECT rank, word, cnt,
+       |  LAG(s64f) OVER (ORDER BY rank) - s64f AS slope64
+       |FROM oc ORDER BY rank""".stripMargin
+
   private[graft] lazy val t93_sql =
     """WITH p AS MATERIALIZED (
       |  SELECT doc_id, text ||

@@ -943,6 +943,42 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
   // k-NN join: exact top-3 cosine neighbors for a 10-vector query set in
   // one pass (batch retrieval / hard-negative mining). Query side
   // broadcasts; WindowGroupLimit caps the qid shuffle at tasks×Q×k rows.
+  // ---------------------------------------------------------------- s24
+  // IVF cell-balance health card over the shared Lloyd centroids —
+  // the observability half of rebalanceIvfIndex (see
+  // Similarity.cellBalanceCard). Skew cut at 9/8 × fair share so the
+  // natural imbalance of the isotropic corpus flags (measured 54–73
+  // per cell at fair share 62.5 — the 3/2 cut was vacuous). Oracle =
+  // the s03 Lloyd-chain replay + census with empty-cell left join.
+  def s24_cell_balance(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cellBalanceCard(t(spark, dir, "embeddings"),
+      "vec_id", "embedding", embCentroids(spark, dir),
+      skewNum = 9L, skewDen = 8L)
+      .orderBy($"cell")
+
+  private[graft] lazy val s24_sql =
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |  topv AS (SELECT id, v FROM v ORDER BY id LIMIT 128),
+       |  num AS (SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM topv),
+       |  cent0 AS (SELECT CAST(rn // 16 AS INT) AS cell, v AS cv
+       |    FROM num WHERE rn % 16 = 1),
+       |${lloydIterSql("cent0", 1)},
+       |${lloydIterSql("cent1", 2)},
+       |${lloydIterSql("cent2", 3)},
+       |  a AS (SELECT id, cell FROM (
+       |    SELECT v.id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.id
+       |        ORDER BY ${duckCos("v.v", "c.cv")} DESC, c.cell) AS rk
+       |    FROM v CROSS JOIN cent3 c) WHERE rk = 1),
+       |  cen AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+       |          FROM a GROUP BY cell),
+       |  tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cen)
+       |SELECT c.cell, COALESCE(cen.n, 0) AS n,
+       |  CAST(COALESCE(cen.n, 0) * 8 * 8 > 9 * t.t AS INT) AS skewed
+       |FROM cent3 c LEFT JOIN cen USING (cell) CROSS JOIN tot t
+       |ORDER BY c.cell""".stripMargin
+
   // ---------------------------------------------------------------- s23
   // Cosine RADIUS join (all matches with rounded score ≥ τ — the
   // threshold twin of s06's top-k; the dedup/decontam retrieval

@@ -450,6 +450,39 @@ object CorpusStats {
           .cast("int").as("flagged"))
   }
 
+  /** Zipf rank-frequency card: token frequencies at OCTAVE ranks
+    * (1, 2, 4, … ≤ maxRank) plus the per-octave slope in 1/64-bit
+    * integers — slope64(o) = s64(f(2^{o−1})) − s64(f(2^o)), which IS
+    * the local Zipf exponent ·64 because the rank axis steps exactly
+    * one binary order of magnitude per octave (log2(2^o/2^{o−1}) = 1 —
+    * no division, no float, ever). A healthy natural-language corpus
+    * reads slope64 ≈ 64 (exponent ≈ 1); templated/synthetic slices
+    * flatten or cliff. The heavy work is ONE word census shuffle; the
+    * octave probe runs over ≤ log2(maxRank) rank rows (top-maxRank
+    * folds to TakeOrderedAndProject — no global sort). Ties rank by
+    * (cnt DESC, word ASC) — the total order every census card uses. */
+  def zipfCard(corpus: DataFrame, idCol: String, textCol: String,
+               maxRank: Int): DataFrame = {
+    require(maxRank >= 1, s"maxRank must be >= 1: $maxRank")
+    import graft.operators.NgramLm.surprisal64
+    val cen = corpus
+      .select(explode(split(col(textCol), " ", -1)).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"word".asc)
+      .limit(maxRank)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"cnt".desc, $"word".asc)
+    val ranked = cen
+      .select($"word", $"cnt", row_number().over(w).cast("long").as("rank"))
+      .filter(expr("rank & (rank - 1)") === 0L) // octave ranks only
+    val lagW = org.apache.spark.sql.expressions.Window.orderBy($"rank")
+    ranked
+      .select($"rank", $"word", $"cnt", surprisal64($"cnt").as("s64f"))
+      .select($"rank", $"word", $"cnt",
+        (lag($"s64f", 1).over(lagW) - $"s64f").as("slope64"))
+  }
+
   /** Per-source unigram KL divergence vs the whole corpus — the
     * distribution-drift card for mixture design (which slice's token
     * distribution has wandered from the blend, the DSIR §2 signal at

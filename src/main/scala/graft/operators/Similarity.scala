@@ -583,6 +583,36 @@ object Similarity {
       .filter(col("score") >= tau)
   }
 
+  /** IVF index-health card: per-cell occupancy census over fitted
+    * centroids, INCLUDING empty cells (an empty or bloated cell is the
+    * rebalanceIvfIndex trigger — this card is how an operator sees it
+    * coming), with a cross-multiplied skew flag at
+    * n·nCells·skewDen > skewNum·total (> skewNum/skewDen × the fair
+    * share). One assignment scan + a census over ≤ nCells rows; the
+    * total rides a single-partition window over those census rows (the
+    * t88 bucket-rows rule — never corpus rows). */
+  def cellBalanceCard(df: DataFrame, idCol: String, vecCol: String,
+                      cents: Array[(Int, Seq[Double])],
+                      skewNum: Long, skewDen: Long): DataFrame = {
+    require(skewNum >= 1 && skewDen >= 1,
+      s"need positive skewNum/skewDen, got $skewNum/$skewDen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("v"))
+    val census = assignCells(v, cents)
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val cells = cents.map(_._1).toSeq.toDF("cell")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    cells.join(census, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n"))
+      .select(col("cell"), col("n"), sum(col("n")).over(w).as("total"))
+      .select(col("cell"), col("n"),
+        (col("n") * cents.length * skewDen > lit(skewNum) * col("total"))
+          .cast("int").as("skewed"))
+  }
+
   /** IVF-accelerated k-NN JOIN — batch retrieval against the inverted
     * file: each query vector searches only its `nProbe` nearest cells
     * (probe cells picked driver-side from the bounded query set — the

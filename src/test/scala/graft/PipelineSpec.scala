@@ -150,6 +150,35 @@ class PipelineSpec extends SparkSpec {
     assert(pruned.toSet.subsetOf(exact.toSet), "pruning may only drop")
   }
 
+  test("cellBalanceCard: census matches assignCells counts, EMPTY cells " +
+      "appear with n=0, the cross-multiplied skew flag fires on a " +
+      "planted bloated cell") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cents = Similarity.fitCentroids(emb, "vec_id", "embedding", 4, 3)
+    val card = Similarity.cellBalanceCard(emb, "vec_id", "embedding",
+      cents, skewNum = 3L, skewDen = 2L).orderBy($"cell").collect()
+    assert(card.map(_.getInt(0)).toSeq === cents.map(_._1).toSeq.sorted)
+    val total = card.map(_.getLong(1)).sum
+    assert(total === emb.count())
+    card.foreach { r =>
+      val exp = if (r.getLong(1) * cents.length * 2L > 3L * total) 1 else 0
+      assert(r.getInt(2) === exp, s"cell ${r.getInt(0)}")
+    }
+    // planted skew: every vector in one tight cluster + two far
+    // centroids → one bloated flagged cell, the others EMPTY rows
+    import spark.implicits._
+    val one = (0L until 20L).map(i =>
+      (i, Seq.fill(4)(1.0).updated(3, 1.0 + i * 1e-6))).toDF("id", "v")
+    val farCents: Array[(Int, Seq[Double])] = Array(
+      (0, Seq(1.0, 1.0, 1.0, 1.0)),
+      (1, Seq(-1.0, 1.0, -1.0, 1.0)),
+      (2, Seq(1.0, -1.0, 1.0, -1.0)))
+    val c2 = Similarity.cellBalanceCard(one, "id", "v", farCents, 3L, 2L)
+      .orderBy($"cell").collect()
+    assert(c2.map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).toSeq ===
+      Seq((0, 20L, 1), (1, 0L, 0), (2, 0L, 0)))
+  }
+
   test("mmrRerank: lambda=1 equals bruteForceTopK bit-for-bit; the greedy " +
       "matches an independent replay over the collected rel/sim tables; " +
       "a planted near-duplicate is deferred at lambda=1/2") {

@@ -157,6 +157,25 @@ class TextStatsSpec extends SparkSpec {
       out(1).getInt(4) === 1)
   }
 
+  // ---------------------------------------------------------------- zipf
+
+  test("zipfCard: exact octave slopes on constructed frequencies " +
+      "(f halving per octave reads slope64 = 64), non-octave ranks " +
+      "excluded, rank 1 slope NULL") {
+    val txt = (Seq.fill(16)("a") ++ Seq.fill(8)("b") ++ Seq.fill(4)("c")
+      ++ Seq.fill(2)("d") ++ Seq("e")).mkString(" ")
+    val df = spark.createDataFrame(Seq((1L, txt))).toDF("id", "txt")
+    val out = CorpusStats.zipfCard(df, "id", "txt", maxRank = 64)
+      .orderBy($"rank").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 4L)) // octaves only
+    assert(out.map(_.getString(1)).toSeq === Seq("a", "b", "d"))
+    assert(out(0).isNullAt(3)) // rank 1 has no previous octave
+    // s64(16)-s64(8) = 64 exactly (one bit per octave = exponent 1);
+    // s64(8)-s64(2) = 128 (two bits over one octave = exponent 2)
+    assert(out(1).getLong(3) === 64L)
+    assert(out(2).getLong(3) === 128L)
+  }
+
   // ------------------------------------------------------------ textrank
 
   test("textrank: hub word of a star graph ranks first, run is deterministic") {
