@@ -1886,13 +1886,15 @@ private[graft] trait Queries3Curate extends Queries2Lm {
        |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
        |         CAST(SUM(c * ${duckS64("c")}) AS BIGINT) AS se
        |  FROM cen GROUP BY doc_id)
-       |SELECT doc_id, n AS n_cp,
-       |  n * ${duckS64("n")} - se AS ent_num,
-       |  64 * n AS ent_den,
-       |  CASE WHEN (n * ${duckS64("n")} - se) * 64 < 256 * (64 * n) THEN 'low'
-       |       WHEN (n * ${duckS64("n")} - se) * 64 > 288 * (64 * n) THEN 'high'
+       |SELECT p.doc_id, COALESCE(e.n, 0) AS n_cp,
+       |  COALESCE(e.n * ${duckS64("e.n")} - e.se, 0) AS ent_num,
+       |  64 * GREATEST(COALESCE(e.n, 0), 1) AS ent_den,
+       |  CASE WHEN COALESCE(e.n * ${duckS64("e.n")} - e.se, 0) * 64
+       |            < 256 * (64 * GREATEST(COALESCE(e.n, 0), 1)) THEN 'low'
+       |       WHEN COALESCE(e.n * ${duckS64("e.n")} - e.se, 0) * 64
+       |            > 288 * (64 * GREATEST(COALESCE(e.n, 0), 1)) THEN 'high'
        |       ELSE 'mid' END AS band
-       |FROM e ORDER BY doc_id""".stripMargin
+       |FROM p LEFT JOIN e USING (doc_id) ORDER BY p.doc_id""".stripMargin
 
   // ---------------------------------------------------------------- t91
   // LZW compression-ratio proxy (the Gopher "compresses too well" gate,
@@ -1953,7 +1955,7 @@ private[graft] trait Queries3Curate extends Queries2Lm {
   // CTEs (the Lloyd-iteration precedent).
   def t92_textrank(spark: SparkSession, dir: String): DataFrame =
     operators.TextRank.keywords(t(spark, dir, "documents"),
-      "doc_id", "text", minDf = 2L, maxNodes = 64, iters = 5, k = 10)
+      "text", minDf = 2L, maxNodes = 64, iters = 5, k = 10)
       .orderBy($"rk")
 
   /** One integer-PageRank round in DuckDB over CTEs nodes/r/tt:
@@ -2166,10 +2168,11 @@ private[graft] trait Queries3Curate extends Queries2Lm {
       |    SELECT doc_id, phr, ROW_NUMBER() OVER (PARTITION BY doc_id
       |      ORDER BY cnt DESC, idx) AS rk
       |    FROM hits) WHERE rk = 1)
-      |SELECT a.doc_id, a.n_hits, a.n_phr,
+      |SELECT p.doc_id, COALESCE(a.n_hits, 0) AS n_hits,
+      |  COALESCE(a.n_phr, 0) AS n_phr,
       |  CASE WHEN a.n_hits > 0 THEN t.phr ELSE NULL END AS top_phrase,
-      |  CAST(a.n_hits >= 13 AS INT) AS flagged
-      |FROM agg a JOIN top t USING (doc_id)
-      |ORDER BY a.doc_id""".stripMargin
+      |  CAST(COALESCE(a.n_hits, 0) >= 13 AS INT) AS flagged
+      |FROM p LEFT JOIN agg a USING (doc_id) LEFT JOIN top t USING (doc_id)
+      |ORDER BY p.doc_id""".stripMargin
 
 }

@@ -319,9 +319,11 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
       |    CAST(COUNT(*) FILTER (WHERE act) AS BIGINT) AS n_active,
       |    CAST(COUNT(*) AS BIGINT) AS n_windows
       |  FROM a GROUP BY doc_id)
-      |SELECT n.doc_id AS media_id, n.n_windows, n.n_active,
+      |SELECT p.doc_id AS media_id,
+      |  COALESCE(n.n_windows, 0) AS n_windows,
+      |  COALESCE(n.n_active, 0) AS n_active,
       |  COALESCE(m.max_run, 0) AS max_run
-      |FROM na n LEFT JOIN mr m USING (doc_id)
+      |FROM p LEFT JOIN na n USING (doc_id) LEFT JOIN mr m USING (doc_id)
       |ORDER BY media_id""".stripMargin
 
   // ---------------------------------------------------------------- m02

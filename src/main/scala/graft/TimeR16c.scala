@@ -59,7 +59,7 @@ object TimeR16c {
           .agg(sum($"n_hits")).collect()
       }
       time(s"t92 textrank (pass $rep)") {
-        operators.TextRank.keywords(docs, "doc_id", "text",
+        operators.TextRank.keywords(docs, "text",
           minDf = 2L, maxNodes = 64, iters = 5, k = 10).collect()
       }
       time(s"t95 source KL (pass $rep)") {

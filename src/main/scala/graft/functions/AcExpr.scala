@@ -102,11 +102,13 @@ object AcCounts {
     ColumnInternals.column(AcCounts(ColumnInternals.expr(text), phrases))
 }
 
-/** The built automaton: goto/fail collapsed into a code-point keyed
-  * transition map per node, with FULL output sets precomputed per node
-  * (own pattern ends ++ the fail target's outputs), so the scan never
-  * chases suffix links at match time. Bounded by total phrase length —
-  * a model artifact, never corpus-sized. */
+/** The built automaton: trie transitions per node plus fail links —
+  * `step` follows fail links on a missing transition (amortized O(1)
+  * per scanned code point, O(n) over the text; transitions are NOT
+  * collapsed into a total goto table). What IS precomputed per node is
+  * the FULL output set (own pattern ends ++ the fail target's
+  * outputs), so match EMISSION never chases suffix links. Bounded by
+  * total phrase length — a model artifact, never corpus-sized. */
 final class AcAutomaton(
     private val trans: Array[java.util.HashMap[Integer, Integer]],
     private val fail: Array[Int],

@@ -518,7 +518,12 @@ object CorpusStats {
       .localCheckpoint()
     val d = cen.groupBy($"word").agg(sum($"c").as("d"))
     val ns = cen.groupBy($"src").agg(sum($"c").as("n_tokens"))
-    val m = cen.agg(sum($"c")).collect()(0).getLong(0)
+    // fail fast on a token-less corpus: sum/max of an empty agg is
+    // NULL and getLong would NPE (the stageTimeOrderedFeed lesson)
+    val mRow = cen.agg(sum($"c")).collect()(0)
+    require(!mRow.isNullAt(0),
+      "sourceKl needs at least one non-empty token in the corpus")
+    val m = mRow.getLong(0)
     val maxD = d.agg(max($"d")).collect()(0).getLong(0)
     require(BigInt(maxD) * BigInt(m) < (BigInt(1) << 57),
       s"sourceKl surprisal operand overflow: max(d)*M = $maxD*$m >= 2^57" +

@@ -19,9 +19,12 @@ import graft.StringToColumn
   *   T       = (15·SCALE) div (100·n)               — teleport term
   *   p'(v)   = T + Σ_{a→v} ((p(a)·85 div 100) · r(a,b)) div RSCALE
   *
-  * Every operand is bounded: p ≤ SCALE·growth < 2^41, p·85 < 2^48,
-  * (p·85 div 100)·r < 2^61 — no overflow at ANY corpus size because the
-  * pre-scaled ratio r, not the raw edge weight, multiplies p.
+  * Every iteration operand is bounded: Σp is conserved-or-shrunk by
+  * the floor losses, so p ≤ SCALE < 2^41, p·85 < 2^48,
+  * (p·85 div 100)·r < 2^61 — the pre-scaled ratio r, not the raw edge
+  * weight, multiplies p. The one corpus-scale operand is the ratio's
+  * own w·RSCALE, runtime-guarded at a 2^41 directed-edge cap (the KN
+  * runtime-operand rule).
   *
   * Shape at 100 TB: the heavy work is two corpus-sized shuffles (the
   * adjacency-pair census and the word census) with map-side combine;
@@ -46,7 +49,7 @@ object TextRank {
 
   /** Top-`k` keywords: (word, pr, rk) after `iters` integer PageRank
     * rounds, ordered by (pr DESC, word ASC). */
-  def keywords(corpus: DataFrame, idCol: String, textCol: String,
+  def keywords(corpus: DataFrame, textCol: String,
                minDf: Long, maxNodes: Int, iters: Int, k: Int): DataFrame = {
     require(minDf >= 1 && maxNodes >= 1 && iters >= 1 && k >= 1,
       s"need positive minDf/maxNodes/iters/k, got $minDf/$maxNodes/$iters/$k")
@@ -101,6 +104,13 @@ object TextRank {
       val a = idx(r.getString(0)) // groupBy(ea, eb) → columns (ea, eb, w)
       val b = idx(r.getString(1))
       val w = r.getLong(2)
+      // runtime-operand guard (the KN rule): the symmetrized weight
+      // multiplies RScale below — w·2^20 must stay inside i64. The
+      // oracle's BIGINT would error loudly; the driver must not wrap.
+      require(w <= (1L << 41),
+        s"textrank edge weight $w overflows the 2^20-scaled ratio " +
+          "(directed cap 2^41 so the symmetrized sum stays <= 2^42 " +
+          "and w*2^20 <= 2^62) — raise minDf or shard the corpus")
       val ka = a.toLong * words.length + b
       val kb = b.toLong * words.length + a
       wMap.update(ka, wMap.getOrElse(ka, 0L) + w)

@@ -184,11 +184,11 @@ class TextStatsSpec extends SparkSpec {
       (2L, "hub dd hub aa hub bb"),
       (3L, "hub cc hub dd hub aa")
     )).toDF("id", "txt")
-    val out = TextRank.keywords(df, "id", "txt",
+    val out = TextRank.keywords(df, "txt",
       minDf = 2L, maxNodes = 16, iters = 5, k = 5).collect()
     assert(out.head.getString(0) === "hub")
     assert(out.head.getLong(1) > out(1).getLong(1)) // strictly dominant
-    val again = TextRank.keywords(df, "id", "txt",
+    val again = TextRank.keywords(df, "txt",
       minDf = 2L, maxNodes = 16, iters = 5, k = 5).collect()
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
@@ -265,7 +265,7 @@ class TextStatsSpec extends SparkSpec {
     val df = spark.createDataFrame(Seq((1L, "all unique words here")))
       .toDF("id", "txt")
     val e = intercept[IllegalArgumentException] {
-      TextRank.keywords(df, "id", "txt", minDf = 5L,
+      TextRank.keywords(df, "txt", minDf = 5L,
         maxNodes = 8, iters = 2, k = 3).collect()
     }
     assert(e.getMessage.contains("at least one node"))
