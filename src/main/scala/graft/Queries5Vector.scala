@@ -943,6 +943,40 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
   // k-NN join: exact top-3 cosine neighbors for a 10-vector query set in
   // one pass (batch retrieval / hard-negative mining). Query side
   // broadcasts; WindowGroupLimit caps the qid shuffle at tasks×Q×k rows.
+  // ---------------------------------------------------------------- s25
+  // Corpus dispersion card per label — mean pairwise dot via the
+  // ||Σv||² identity (no pair ever materializes; see
+  // Similarity.dispersionCard). Coordinates quantize once at 10^6,
+  // every moment is an exact DECIMAL(38,0)/HUGEINT sum, and only the
+  // two reported means divide (identical fixed-order chain + 6-dp
+  // roundBin both sides — the q68 discipline).
+  def s25_dispersion(spark: SparkSession, dir: String): DataFrame =
+    Similarity.dispersionCard(t(spark, dir, "embeddings"),
+      "embedding", "label")
+      .orderBy($"label")
+
+  private[graft] val s25_sql =
+    """WITH c AS (
+      |  SELECT label, i AS pos,
+      |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE)
+      |      * 1000000 + 0.5) AS BIGINT) AS xi
+      |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+      |bp AS (
+      |  SELECT label, pos, CAST(SUM(xi) AS HUGEINT) AS sv,
+      |    SUM(CAST(xi AS HUGEINT) * xi) AS ss,
+      |    CAST(COUNT(*) AS BIGINT) AS nc
+      |  FROM c GROUP BY label, pos),
+      |ag AS (
+      |  SELECT label, MAX(nc) AS n, SUM(sv * sv) AS sv2,
+      |    CAST(SUM(ss) AS HUGEINT) AS self
+      |  FROM bp GROUP BY label)
+      |SELECT label, n,
+      |  floor(CAST(sv2 - self AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+      |    / 1000000000000.0 * 1000000 + 0.5) / 1000000 AS mean_pair_dot,
+      |  floor(CAST(self AS DOUBLE) / CAST(n AS DOUBLE)
+      |    / 1000000000000.0 * 1000000 + 0.5) / 1000000 AS mean_norm_sq
+      |FROM ag WHERE n >= 2 ORDER BY label""".stripMargin
+
   // ---------------------------------------------------------------- s24
   // IVF cell-balance health card over the shared Lloyd centroids —
   // the observability half of rebalanceIvfIndex (see

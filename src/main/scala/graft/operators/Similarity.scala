@@ -583,6 +583,44 @@ object Similarity {
       .filter(col("score") >= tau)
   }
 
+  /** Corpus dispersion card — mean pairwise dot product per label via
+    * the ||Σv||² identity: Σ_{i≠j}⟨v_i,v_j⟩ = Σ_k(Σ_i v_ik)² − Σ_i‖v_i‖²,
+    * so the all-pairs diversity metric (are this label's embeddings
+    * spread out or collapsed?) costs ONE (label, pos) census — no pair
+    * ever materializes at any corpus size. Exactness route (the q68
+    * moments discipline): coordinates quantize to integers once
+    * (floor(x·10^6 + 0.5) — one deterministic IEEE multiply), every
+    * moment accumulates in DECIMAL(38,0) (order-free exact sums;
+    * Σv ≤ 2·10^15 at 10^9 rows, its square ≤ 10^36 < 10^38), and only
+    * the two REPORTED means divide — an identical fixed-order double
+    * chain + 6-dp roundBin both engines replay bit-for-bit. Labels
+    * with n < 2 have no pairs and are dropped. Assumes fixed vector
+    * dimension (n = rows per (label, pos) cell). */
+  def dispersionCard(df: DataFrame, vecCol: String,
+                     labelCol: String): DataFrame = {
+    val cells = df.select(col(labelCol).as("label"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos"),
+        expr("CAST(FLOOR(x * 1000000d + 0.5d) AS BIGINT)").as("xi"))
+    val byPos = cells.groupBy(col("label"), col("pos"))
+      .agg(sum(col("xi").cast("decimal(38,0)")).as("sv"),
+        sum((col("xi") * col("xi")).cast("decimal(38,0)")).as("ss"),
+        count(lit(1)).as("nc"))
+    byPos.groupBy(col("label"))
+      .agg(max(col("nc")).as("n"),
+        sum(col("sv") * col("sv")).as("sv2"),
+        sum(col("ss")).as("self"))
+      .filter(col("n") >= 2L)
+      .select(col("label"), col("n"),
+        graft.functions.RF.roundBin(
+          (col("sv2") - col("self")).cast("double")
+            / (col("n") * (col("n") - 1L)).cast("double") / lit(1e12), 6)
+          .as("mean_pair_dot"),
+        graft.functions.RF.roundBin(
+          col("self").cast("double") / col("n").cast("double") / lit(1e12), 6)
+          .as("mean_norm_sq"))
+  }
+
   /** IVF index-health card: per-cell occupancy census over fitted
     * centroids, INCLUDING empty cells (an empty or bloated cell is the
     * rebalanceIvfIndex trigger — this card is how an operator sees it

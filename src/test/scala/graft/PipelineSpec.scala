@@ -150,6 +150,40 @@ class PipelineSpec extends SparkSpec {
     assert(pruned.toSet.subsetOf(exact.toSet), "pruning may only drop")
   }
 
+  test("dispersionCard: the ||sum v||^2 identity equals the brute-force " +
+      "pairwise mean; identical vectors read mean_pair_dot == " +
+      "mean_norm_sq; singleton labels drop") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a", Seq(1.0, 0.0, 0.5)),
+      (2L, "a", Seq(0.25, -1.0, 0.125)),
+      (3L, "a", Seq(-0.5, 0.75, 2.0)),
+      (4L, "b", Seq(0.5, 0.5, 0.5)),
+      (5L, "b", Seq(0.5, 0.5, 0.5)),
+      (6L, "c", Seq(9.0, 9.0, 9.0))) // singleton → dropped
+    val df = rows.toDF("id", "label", "v")
+    val out = operators.Similarity.dispersionCard(df, "v", "label")
+      .orderBy($"label").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("a", "b"))
+    // brute-force replica over the quantized integers
+    def card(vs: Seq[Seq[Double]]): (Double, Double) = {
+      val q = vs.map(_.map(x => math.floor(x * 1e6 + 0.5).toLong))
+      val n = q.size
+      val pair = (for {
+        i <- q.indices; j <- q.indices if i != j
+      } yield q(i).zip(q(j)).map { case (a, b) => BigInt(a) * b }.sum).sum
+      val self = q.map(v => v.map(x => BigInt(x) * x).sum).sum
+      def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+      (r6(pair.toDouble / (n.toLong * (n - 1)) / 1e12),
+        r6(self.toDouble / n / 1e12))
+    }
+    val (pa, na) = card(rows.filter(_._2 == "a").map(_._3))
+    assert(out(0).getDouble(2) === pa && out(0).getDouble(3) === na)
+    val b = out(1)
+    assert(b.getDouble(2) === b.getDouble(3),
+      "identical vectors: pairwise mean == norm mean (zero dispersion)")
+  }
+
   test("cellBalanceCard: census matches assignCells counts, EMPTY cells " +
       "appear with n=0, the cross-multiplied skew flag fires on a " +
       "planted bloated cell") {
