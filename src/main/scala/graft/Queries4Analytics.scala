@@ -1138,6 +1138,72 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
   // reference's m-family): a RECURSION over each user's time order
   // that no window frame expresses replayably (the closed form needs
   // pow — not correctly rounded, the t13 ln rule). Engine = the scan
+  // ---------------------------------------------------------------- q77
+  // Per-user TWAP (time-weighted average value — the kdb-family
+  // temporal aggregate next to the asof/window-join surface;
+  // /root/reference/core/aggr.c avg + core/join.c prevailing
+  // semantics): the prevailing value holds over [t_i, t_{i+1}), so
+  // TWAP = Σ v_i·(t_{i+1}−t_i) / (t_last − t_first). Exactness (the
+  // q68 moments discipline): values quantize at ×100 (the price
+  // convention), timestamps compare at µs (the events oracle rule),
+  // every v·dt term is exact in DECIMAL(38,0)/HUGEINT, and only the
+  // reported mean divides through an identical fixed-order chain +
+  // 4-dp roundBin. Window order (tus, event_id) is total; same-µs
+  // ties contribute dt = 0 either way. Single-event users have no
+  // interval and drop (den > 0 both sides).
+  def q77_twap(spark: SparkSession, dir: String): DataFrame =
+    twapOf(t(spark, dir, "events")
+        .select($"user_id", $"ts", $"value", $"event_id"))
+      .orderBy($"user_id")
+
+  /** The q77 chain over any (user_id, ts ns-long, value, event_id)
+    * frame — one home so the spec's hand-computed golden pins the
+    * exact query arithmetic. */
+  private[graft] def twapOf(events: DataFrame): DataFrame = {
+    val ev = events.select($"user_id",
+      expr("ts div 1000").as("tus"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("vq"),
+      $"event_id")
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val num = ev
+      .withColumn("tnext", lead($"tus", 1).over(w))
+      .filter($"tnext".isNotNull)
+      .select($"user_id",
+        (($"tnext" - $"tus").cast("decimal(38,0)") * $"vq").as("term"))
+      .groupBy($"user_id").agg(sum($"term").as("num"))
+    val den = ev.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (max($"tus") - min($"tus")).as("den"))
+    den.join(num, Seq("user_id"))
+      .filter($"den" > 0L)
+      .select($"user_id", $"n_events",
+        RF.roundBin($"num".cast("double") / $"den".cast("double")
+          / lit(100.0), 4).as("twap"))
+  }
+
+  private[graft] val q77_sql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS tus,
+      |    CAST(round(value * 100) AS BIGINT) AS vq, event_id
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, tus, vq,
+      |    LEAD(tus) OVER (PARTITION BY user_id
+      |      ORDER BY tus, event_id) AS tnext
+      |  FROM ev),
+      |num AS (
+      |  SELECT user_id, SUM(CAST(tnext - tus AS HUGEINT) * vq) AS num
+      |  FROM s WHERE tnext IS NOT NULL GROUP BY user_id),
+      |den AS (
+      |  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    MAX(tus) - MIN(tus) AS den
+      |  FROM ev GROUP BY user_id)
+      |SELECT d.user_id, d.n_events,
+      |  floor(CAST(n.num AS DOUBLE) / CAST(d.den AS DOUBLE) / 100.0
+      |    * 10000 + 0.5) / 10000 AS twap
+      |FROM den d JOIN num n USING (user_id)
+      |WHERE d.den > 0 ORDER BY d.user_id""".stripMargin
+
   // shape: one key repartition, in-partition sort, one sequential fold
   // pass (operators/Ema — keys never straddle partitions, so folds run
   // parallel across keys). α = 1/2 as the rational 1/2; the per-step

@@ -176,6 +176,25 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2).getLong(3) === 128L)
   }
 
+  // ---------------------------------------------------------------- twap
+
+  test("q77 TWAP chain: prevailing-interval weighting on hand-computed " +
+      "intervals; single-event users drop") {
+    import spark.implicits._
+    // ns timestamps: v=10.00 holds 10000 us, v=20.00 holds 30000 us
+    // TWAP = (10000*1000 + 30000*2000) / 40000 / 100 = 17.5
+    val ev = Seq(
+      (1L, 0L, 10.0, 1L),
+      (1L, 10000000L, 20.0, 2L),
+      (1L, 40000000L, 30.0, 3L),
+      (2L, 5000L, 99.0, 4L)) // single event -> no interval -> dropped
+      .toDF("user_id", "ts", "value", "event_id")
+    val out = Queries.twapOf(ev).orderBy($"user_id").collect()
+    assert(out.length === 1)
+    assert(out(0).getLong(0) === 1L && out(0).getLong(1) === 3L)
+    assert(out(0).getDouble(2) === 17.5)
+  }
+
   // ------------------------------------------------------------ textrank
 
   test("textrank: hub word of a star graph ranks first, run is deterministic") {
