@@ -2110,6 +2110,114 @@ private[graft] trait Queries3Curate extends Queries2Lm {
        |  CAST(kl_num * 10 > 1 * kl_den AS INT) AS drifted
        |FROM kl ORDER BY src""".stripMargin
 
+  // ---------------------------------------------------------------- t98
+  // GATE STACK — the composed keep/drop card real pipelines ship
+  // (RefinedWeb's stacked filters): character entropy ≥ 3.906 bits
+  // (250/64 — raw-corpus p2 is 3.83, p10 3.99, measured first),
+  // blocklist hits < 13 (the measured median), language-ID margin ≥
+  // 1/64 bit per vocab gram (the t96 kernel), and the t02 quality
+  // score ≥ 0.72 — each gate an already-verified operator, all four
+  // evaluated in ONE narrow codegen pass over the corpus (entropy,
+  // AC scan, langid kernel and quality stats are all row-local
+  // expressions; the only model artifact is the folded NB kernel).
+  // Per-doc reason flags + keep = the conjunction, so a drop is
+  // attributable. Oracle = the four SQL chains conjoined (entropy
+  // census, position census, langNbFitSql scoring over ALL docs,
+  // qualitySql), LEFT-JOINed from documents (the empty-page rule).
+  def t98_gate_stack(spark: SparkSession, dir: String): DataFrame = {
+    val m = langNbMemo(spark, dir, srcStamp(dir, "documents.parquet"))
+    val k = m.foldKernel.getOrElse(throw new IllegalStateException(
+      "t98 needs the folded kernel — the corpus model exceeds the fold gate"))
+    val p = blockPhrases.size
+    t(spark, dir, "documents")
+      .select($"doc_id",
+        graft.functions.EntropyExpr.charEntropy64($"text").as("ent_num"),
+        (lit(64L) * greatest(length($"text").cast("long"), lit(1L)))
+          .as("ent_den"),
+        element_at(graft.functions.AcCounts.acCounts($"text", blockPhrases),
+          p + 1).as("n_hits"),
+        coalesce(graft.functions.LangNbScore.stats($"text", k),
+          typedLit(Seq(-1L, 0L, 0L))).as("st"),
+        graft.functions.QualityExpr.qualityScore($"text").as("q"))
+      .select($"doc_id",
+        ($"ent_num" * 64L >= lit(250L) * $"ent_den").cast("int").as("ent_ok"),
+        ($"n_hits" < 13L).cast("int").as("block_ok"),
+        (element_at($"st", 3) > 0L &&
+          element_at($"st", 2) >= element_at($"st", 3))
+          .cast("int").as("lang_ok"),
+        ($"q" >= 0.72).cast("int").as("q_ok"))
+      .select($"doc_id", $"ent_ok", $"block_ok", $"lang_ok", $"q_ok",
+        ($"ent_ok" * $"block_ok" * $"lang_ok" * $"q_ok").as("keep"))
+      .orderBy($"doc_id")
+  }
+
+  private[graft] lazy val t98_sql =
+    langNbFitSql + s""",
+       |ega AS MATERIALIZED (
+       |  SELECT doc_id, gram FROM (
+       |    SELECT doc_id, substr(text, CAST(i AS INTEGER), 3) AS gram
+       |    FROM documents,
+       |      UNNEST(range(1, greatest(length(text) - 2, 0) + 1)) AS u(i))
+       |  JOIN vocab USING (gram)),
+       |nva AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM ega GROUP BY 1),
+       |hitsa AS MATERIALIZED (
+       |  SELECT doc_id, lang, CAST(SUM(w64) AS BIGINT) AS sw
+       |  FROM ega JOIN model USING (gram) GROUP BY 1, 2),
+       |sca AS (
+       |  SELECT nva.doc_id, nva.n, b.lang,
+       |         COALESCE(h.sw, 0) - nva.n * b.b64 AS score64
+       |  FROM nva CROSS JOIN base b
+       |  LEFT JOIN hitsa h ON h.doc_id = nva.doc_id AND h.lang = b.lang),
+       |mg AS (
+       |  SELECT doc_id, MAX(n) AS n,
+       |    MAX(CASE WHEN rk = 1 THEN score64 END)
+       |      - MAX(CASE WHEN rk = 2 THEN score64 END) AS margin64
+       |  FROM (SELECT doc_id, n, lang, score64,
+       |          ROW_NUMBER() OVER (PARTITION BY doc_id
+       |            ORDER BY score64 DESC, lang) AS rk FROM sca)
+       |  WHERE rk <= 2 GROUP BY doc_id),
+       |cs8 AS MATERIALIZED (
+       |  SELECT doc_id, substr(text, CAST(i AS INT), 1) AS ch
+       |  FROM documents, UNNEST(range(1, length(text) + 1)) AS t(i)),
+       |cen8 AS MATERIALIZED (
+       |  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM cs8 GROUP BY doc_id, ch),
+       |e8 AS (
+       |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+       |         CAST(SUM(c * ${duckS64("c")}) AS BIGINT) AS se
+       |  FROM cen8 GROUP BY doc_id),
+       |ph8 AS (SELECT * FROM (VALUES (0, 'scan'), (1, 'can'), (2, 'ana'),
+       |        (3, 'fast merge'), (4, 'table'), (5, 'slow'), (6, 'spark'),
+       |        (7, 'banana')) AS t(idx, phr)),
+       |bl8 AS (
+       |  SELECT d.doc_id,
+       |    CAST(SUM(CASE WHEN substr(d.text, CAST(t.i AS INT), len(f.phr))
+       |                       = f.phr THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+       |  FROM documents d CROSS JOIN ph8 f,
+       |    UNNEST(range(1, length(d.text) + 1)) AS t(i)
+       |  GROUP BY d.doc_id),
+       |qx AS (
+       |  SELECT doc_id, floor(($qualitySql) * 10000 + 0.5) / 10000 AS q
+       |  FROM documents),
+       |g AS (
+       |  SELECT d.doc_id,
+       |    CAST(COALESCE(e8.n * ${duckS64("e8.n")} - e8.se, 0) * 64
+       |         >= 250 * (64 * GREATEST(COALESCE(e8.n, 0), 1)) AS INT)
+       |      AS ent_ok,
+       |    CAST(COALESCE(bl8.n_hits, 0) < 13 AS INT) AS block_ok,
+       |    CAST(mg.doc_id IS NOT NULL AND mg.margin64 >= mg.n AS INT)
+       |      AS lang_ok,
+       |    CAST(qx.q >= 0.72 AS INT) AS q_ok
+       |  FROM documents d
+       |  LEFT JOIN e8 USING (doc_id)
+       |  LEFT JOIN bl8 USING (doc_id)
+       |  LEFT JOIN mg USING (doc_id)
+       |  LEFT JOIN qx USING (doc_id))
+       |SELECT doc_id, ent_ok, block_ok, lang_ok, q_ok,
+       |  ent_ok * block_ok * lang_ok * q_ok AS keep
+       |FROM g ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- t97
   // Zipf rank-frequency octave card — see CorpusStats.zipfCard. The
   // per-octave slope is s64(f(2^{o−1})) − s64(f(2^o)) in 1/64 bits:
