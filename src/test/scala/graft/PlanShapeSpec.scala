@@ -480,4 +480,50 @@ class PlanShapeSpec extends SparkSpec {
       p.contains("LeftAnti"), s"anti-probe must broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), s"no corpus-vs-corpus join:\n$p")
   }
+
+  test("t90/t91/t93 (entropy, LZW, AC blocklist) are pure narrow scans: " +
+      "no exchange before the presentation sort, no join, no generate") {
+    Seq("t90_char_entropy", "t91_lzw_ratio", "t93_blocklist").foreach { q =>
+      val p = plan(q)
+      assert(count(p, "Arguments: hashpartitioning") == 0,
+        s"$q must not shuffle before the orderBy:\n$p")
+      assert(!p.contains("Join") && !p.contains("Generate"),
+        s"$q must stay one codegen pass:\n$p")
+    }
+  }
+
+  test("t98 (gate stack): all four gates in ONE narrow pass — no join, " +
+      "no generate, no pre-sort exchange (the langid model rides in the " +
+      "codegen kernel, not a broadcast join)") {
+    val p = plan("t98_gate_stack")
+    assert(!p.contains("Join") && !p.contains("Generate"),
+      s"gate stack must stay one codegen pass:\n$p")
+    assert(count(p, "Arguments: hashpartitioning") == 0,
+      s"no shuffle before the orderBy:\n$p")
+  }
+
+  test("s23 (radius join): bounded query side broadcasts, NO window and " +
+      "no qid shuffle — the tau gate is row-local") {
+    val p = plan("s23_radius_join")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"query side must broadcast:\n$p")
+    assert(!p.contains("Window"), s"radius join needs no rank window:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no corpus shuffle join:\n$p")
+  }
+
+  test("t92 (textrank): adjacency is a row-local zip — the corpus is " +
+      "never self-joined") {
+    // the collected result is a LocalTableScan; pin the HEAVY side by
+    // planning the census inputs directly
+    val docs = Tables.load(spark, sf, "documents")
+    val adjPlan = {
+      import org.apache.spark.sql.functions._
+      val ws = split(col("text"), " ", -1)
+      val m = greatest(size(ws) - 1, lit(0))
+      docs.select(explode(arrays_zip(
+          slice(ws, lit(1), m).as("wa"), slice(ws, lit(2), m).as("wb"))))
+        .queryExecution.explainString(FormattedMode)
+    }
+    assert(!adjPlan.contains("Join"), s"pairs must be row-local:\n$adjPlan")
+  }
 }
