@@ -176,6 +176,64 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2).getLong(3) === 128L)
   }
 
+  // ------------------------------------------------------- properties
+
+  test("charEntropy64 properties: 0 <= ent <= n*s64(n) (all-distinct " +
+      "attains the max), permutation-invariant (census-based)") {
+    val rnd = new scala.util.Random(11)
+    (1 to 100).foreach { _ =>
+      val s = (0 until rnd.nextInt(50)).map(_ => ('a' + rnd.nextInt(6)).toChar)
+        .mkString
+      val e = ent(s)
+      val n = s.length.toLong
+      assert(e >= 0L, s"'$s'")
+      if (n > 0) assert(e <= n * NgramLm.surprisal64Long(n), s"'$s'")
+      val shuffled = rnd.shuffle(s.toSeq).mkString
+      assert(ent(shuffled) === e, s"permutation changed entropy: '$s'")
+    }
+    // all-distinct attains the bound exactly: s64(1) = 0
+    assert(ent("abcdef") === 6L * NgramLm.surprisal64Long(6L))
+  }
+
+  test("lzwPhrases bounds: 1 <= phrases <= n for nonempty input; " +
+      "all-distinct text parses one phrase per char") {
+    val rnd = new scala.util.Random(13)
+    (1 to 100).foreach { _ =>
+      val s = (0 until 1 + rnd.nextInt(50))
+        .map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+      val p = lzw(s)
+      assert(p >= 1L && p <= s.length.toLong, s"'$s' -> $p")
+    }
+    assert(lzw("abcdef") === 6L) // nothing repeats → no phrase grows
+  }
+
+  test("acCounts is phrase-order equivariant: permuting the list " +
+      "permutes the per-phrase counts, totals unchanged") {
+    val text = "scan the banana scanner table"
+    val ph = Seq("scan", "ana", "table", "an")
+    val a = acArr(text, ph)
+    val perm = Seq(2, 0, 3, 1) // table, scan, an, ana
+    val b = acArr(text, perm.map(ph))
+    perm.zipWithIndex.foreach { case (orig, i) =>
+      assert(b(i) === a(orig), s"slot $i")
+    }
+    assert(b(ph.size) === a(ph.size), "total must not depend on order")
+    assert(b(ph.size + 1) === a(ph.size + 1))
+  }
+
+  test("twap is invariant under a whole-microsecond time shift") {
+    import spark.implicits._
+    def ev(shift: Long) = Seq(
+      (1L, 0L + shift, 10.0, 1L),
+      (1L, 7000000L + shift, 20.0, 2L),
+      (1L, 40000000L + shift, 15.0, 3L),
+      (1L, 61000000L + shift, 30.0, 4L))
+      .toDF("user_id", "ts", "value", "event_id")
+    val base = Queries.twapOf(ev(0L)).collect().head.getDouble(2)
+    val moved = Queries.twapOf(ev(5000000L)).collect().head.getDouble(2)
+    assert(base === moved)
+  }
+
   // ---------------------------------------------------------------- twap
 
   test("q77 TWAP chain: prevailing-interval weighting on hand-computed " +
