@@ -1158,23 +1158,23 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
 
   /** The q77 chain over any (user_id, ts ns-long, value, event_id)
     * frame — one home so the spec's hand-computed golden pins the
-    * exact query arithmetic. */
+    * exact query arithmetic. Plan shape: ONE user_id exchange — the
+    * window's sort, then a grouped agg that REUSES the window's
+    * partitioning (num, n and den all come off the window output; a
+    * separate den scan + join read 10.2 s vs 4-5 s at the 10M-event
+    * 100× probe). */
   private[graft] def twapOf(events: DataFrame): DataFrame = {
     val ev = events.select($"user_id",
       expr("ts div 1000").as("tus"),
       expr("CAST(round(value * 100) AS BIGINT)").as("vq"),
       $"event_id")
     val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
-    val num = ev
-      .withColumn("tnext", lead($"tus", 1).over(w))
-      .filter($"tnext".isNotNull)
-      .select($"user_id",
-        (($"tnext" - $"tus").cast("decimal(38,0)") * $"vq").as("term"))
-      .groupBy($"user_id").agg(sum($"term").as("num"))
-    val den = ev.groupBy($"user_id")
+    ev.withColumn("tnext", lead($"tus", 1).over(w))
+      .groupBy($"user_id")
       .agg(count(lit(1)).as("n_events"),
+        sum(when($"tnext".isNotNull,
+          ($"tnext" - $"tus").cast("decimal(38,0)") * $"vq")).as("num"),
         (max($"tus") - min($"tus")).as("den"))
-    den.join(num, Seq("user_id"))
       .filter($"den" > 0L)
       .select($"user_id", $"n_events",
         RF.roundBin($"num".cast("double") / $"den".cast("double")

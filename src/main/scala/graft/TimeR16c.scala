@@ -66,6 +66,61 @@ object TimeR16c {
         operators.CorpusStats.sourceKl(docs, "source", "text", 1L, 10L)
           .agg(sum($"kl_num")).collect()
       }
+      time(s"t97 zipf card (pass $rep)") {
+        operators.CorpusStats.zipfCard(docs, "doc_id", "text", 64).collect()
+      }
+    }
+
+    // ---- the vector/temporal members (200k vectors / 10M events)
+    val emb = Tables.load(spark, dir, "embeddings")
+      .repartition(32).cache()
+    emb.agg(count(lit(1))).collect()
+    val cents = operators.Similarity.fitCentroids(emb, "vec_id",
+      "embedding", nCells = 8, iters = 3)
+    val ev = Tables.load(spark, dir, "events").repartition(32).cache()
+    ev.agg(count(lit(1))).collect()
+    // the langid kernel for the gate stack + confidence (fit once)
+    val lm = operators.LangNb.fit(docs.filter($"doc_id" % 5 =!= 4L),
+      "text", "lang")
+    val kern = operators.LangNb.kernel(lm)
+    for (rep <- 1 to 2) {
+      time(s"s23 radius join, 50 queries (pass $rep)") {
+        operators.Similarity.radiusJoin(emb, "vec_id", "embedding",
+          (0L until 50L).toSeq, 0.28).agg(count(lit(1))).collect()
+      }
+      time(s"s24 cell balance (pass $rep)") {
+        operators.Similarity.cellBalanceCard(emb, "vec_id", "embedding",
+          cents, 9L, 8L).collect()
+      }
+      time(s"s25 dispersion (pass $rep)") {
+        operators.Similarity.dispersionCard(emb, "embedding", "label")
+          .collect()
+      }
+      time(s"q77 twap 10M events (pass $rep)") {
+        Queries.twapOf(ev.select($"user_id", $"ts", $"value", $"event_id"))
+          .agg(sum($"twap")).collect()
+      }
+      time(s"t96 langid confidence (pass $rep)") {
+        operators.LangNb.confidence(docs, "doc_id", "text", kern, 2L)
+          .agg(sum($"margin64")).collect()
+      }
+      time(s"t98 gate stack (pass $rep)") {
+        val p = Queries.blockPhrases.size
+        docs.select($"doc_id",
+            graft.functions.EntropyExpr.charEntropy64($"text").as("e"),
+            element_at(graft.functions.AcCounts.acCounts($"text",
+              Queries.blockPhrases), p + 1).as("h"),
+            element_at(coalesce(graft.functions.LangNbScore.stats($"text",
+              kern), typedLit(Seq(-1L, 0L, 0L))), 2).as("mg"),
+            graft.functions.QualityExpr.qualityScore($"text").as("q"))
+          .agg(sum($"e"), sum($"h"), sum($"mg"), sum($"q")).collect()
+      }
+      time(s"m08 audio VAD (pass $rep)") {
+        operators.Multimodal.audioActivity(
+            docs.select($"doc_id", $"text".cast("binary").as("data")),
+            "doc_id", "data", 32, 1000L)
+          .agg(sum($"n_active"), sum($"max_run")).collect()
+      }
     }
     spark.stop()
   }
