@@ -2128,28 +2128,46 @@ private[graft] trait Queries3Curate extends Queries2Lm {
     val m = langNbMemo(spark, dir, srcStamp(dir, "documents.parquet"))
     val k = m.foldKernel.getOrElse(throw new IllegalStateException(
       "t98 needs the folded kernel — the corpus model exceeds the fold gate"))
-    val p = blockPhrases.size
-    t(spark, dir, "documents")
-      .select($"doc_id",
-        graft.functions.EntropyExpr.charEntropy64($"text").as("ent_num"),
-        (lit(64L) * greatest(length($"text").cast("long"), lit(1L)))
-          .as("ent_den"),
-        element_at(graft.functions.AcCounts.acCounts($"text", blockPhrases),
-          p + 1).as("n_hits"),
-        coalesce(graft.functions.LangNbScore.stats($"text", k),
-          typedLit(Seq(-1L, 0L, 0L))).as("st"),
-        graft.functions.QualityExpr.qualityScore($"text").as("q"))
-      .select($"doc_id",
-        ($"ent_num" * 64L >= lit(250L) * $"ent_den").cast("int").as("ent_ok"),
-        ($"n_hits" < 13L).cast("int").as("block_ok"),
-        (element_at($"st", 3) > 0L &&
-          element_at($"st", 2) >= element_at($"st", 3))
-          .cast("int").as("lang_ok"),
-        ($"q" >= 0.72).cast("int").as("q_ok"))
-      .select($"doc_id", $"ent_ok", $"block_ok", $"lang_ok", $"q_ok",
-        ($"ent_ok" * $"block_ok" * $"lang_ok" * $"q_ok").as("keep"))
+    operators.CorpusStats.gateStack(t(spark, dir, "documents"),
+        "doc_id", "text", k, blockPhrases, entMin64 = 250L,
+        blockMax = 13L, langMinPerGram64 = 1L, qMin = 0.72)
       .orderBy($"doc_id")
   }
+
+  // ---------------------------------------------------------------- t99
+  // STREAMING gate stack — t98 on a live ingest feed (how a production
+  // pipeline actually applies the stacked filters): the langid kernel
+  // is a fitted driver artifact (the t51 bloom-bits shape — no
+  // session-bound Dataset, no q55 dance) and every other gate is a
+  // row-local expression, so each staged micro-batch runs the
+  // identical ONE-pass stack statelessly; the accumulated output
+  // equals the batch run row-for-row and the oracle IS t98's SQL.
+  def t99_stream_gate_stack(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft_stream/$key/gatestack_v1" +
+      s"_s${srcStamp(dir, "documents.parquet")}"
+    val docs = t(spark, dir, "documents").select($"doc_id", $"text")
+    if (!new java.io.File(s"$base/feed/_SUCCESS").exists())
+      docs.write.mode("overwrite").parquet(s"$base/feed")
+    if (!new java.io.File(s"$base/done").exists()) {
+      val m = langNbMemo(spark, dir, srcStamp(dir, "documents.parquet"))
+      val k = m.foldKernel.getOrElse(throw new IllegalStateException(
+        "t99 needs the folded kernel"))
+      streaming.Streams.gateStackStream(spark, s"$base/feed", docs,
+        "doc_id", "text", k, blockPhrases, entMin64 = 250L,
+        blockMax = 13L, langMinPerGram64 = 1L, qMin = 0.72,
+        outDir = s"$base/out", checkpoint = s"$base/ckpt")
+      new java.io.File(s"$base/done").createNewFile()
+    }
+    spark.read.parquet(s"$base/out")
+      .dropDuplicates("doc_id")
+      .select($"doc_id", $"ent_ok", $"block_ok", $"lang_ok", $"q_ok",
+        $"keep")
+      .orderBy($"doc_id")
+  }
+
+  // t99's oracle IS t98's SQL (stream == batch)
+  private[graft] lazy val t99_sql = t98_sql
 
   private[graft] lazy val t98_sql =
     langNbFitSql + s""",

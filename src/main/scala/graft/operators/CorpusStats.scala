@@ -450,6 +450,44 @@ object CorpusStats {
           .cast("int").as("flagged"))
   }
 
+  /** The composed keep/drop GATE STACK (t98): entropy ≥ entMin64/64
+    * bits, blocklist hits < blockMax, language-ID margin ≥
+    * langMinPerGram64/64 bit per vocab gram, quality ≥ qMin — per-doc
+    * reason flags plus keep = the conjunction, ALL FOUR gates in ONE
+    * narrow codegen pass (the langid model rides in the folded kernel,
+    * not a join — plan-pinned in PlanShapeSpec). One home shared by
+    * the t98 query and its streaming twin. */
+  def gateStack(corpus: DataFrame, idCol: String, textCol: String,
+                kernel: graft.functions.LangNbKernel,
+                phrases: Seq[String], entMin64: Long, blockMax: Long,
+                langMinPerGram64: Long, qMin: Double): DataFrame = {
+    require(kernel.langs.length >= 2,
+      s"gate stack needs >= 2 languages, kernel has ${kernel.langs.length}")
+    val p = phrases.size
+    corpus
+      .select(col(idCol),
+        graft.functions.EntropyExpr.charEntropy64(col(textCol))
+          .as("ent_num"),
+        (lit(64L) * greatest(length(col(textCol)).cast("long"), lit(1L)))
+          .as("ent_den"),
+        element_at(
+          graft.functions.AcCounts.acCounts(col(textCol), phrases), p + 1)
+          .as("n_hits"),
+        coalesce(graft.functions.LangNbScore.stats(col(textCol), kernel),
+          typedLit(Seq(-1L, 0L, 0L))).as("st"),
+        graft.functions.QualityExpr.qualityScore(col(textCol)).as("q"))
+      .select(col(idCol),
+        ($"ent_num" * 64L >= lit(entMin64) * $"ent_den")
+          .cast("int").as("ent_ok"),
+        ($"n_hits" < blockMax).cast("int").as("block_ok"),
+        (element_at($"st", 3) > 0L &&
+          element_at($"st", 2) >= lit(langMinPerGram64) * element_at($"st", 3))
+          .cast("int").as("lang_ok"),
+        ($"q" >= qMin).cast("int").as("q_ok"))
+      .select(col(idCol), $"ent_ok", $"block_ok", $"lang_ok", $"q_ok",
+        ($"ent_ok" * $"block_ok" * $"lang_ok" * $"q_ok").as("keep"))
+  }
+
   /** Zipf rank-frequency card: token frequencies at OCTAVE ranks
     * (1, 2, 4, … ≤ maxRank) plus the per-octave slope in 1/64-bit
     * integers — slope64(o) = s64(f(2^{o−1})) − s64(f(2^o)), which IS

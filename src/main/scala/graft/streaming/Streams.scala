@@ -622,6 +622,40 @@ object Streams {
     lineCleanStream(spark, srcDir, schemaFrom, idCol, textCol, frequent,
       outDir, checkpoint, statePartitions, sep = "\n\n")
 
+  /** STREAMING gate stack — the t98 composed keep/drop card on a live
+    * ingest feed: the language-ID kernel is a fitted DRIVER artifact
+    * (the bloom-bits shape — no session-bound Dataset hand-off) and
+    * every other gate is a row-local expression, so the whole stack is
+    * stateless per batch and the accumulated output equals the batch
+    * run row-for-row (oracle IS t98's SQL). A never-fired feed returns
+    * the schema-correct EMPTY result. */
+  def gateStackStream(spark: SparkSession, srcDir: String,
+                      schemaFrom: DataFrame, idCol: String,
+                      textCol: String,
+                      kernel: graft.functions.LangNbKernel,
+                      phrases: Seq[String], entMin64: Long,
+                      blockMax: Long, langMinPerGram64: Long,
+                      qMin: Double, outDir: String, checkpoint: String,
+                      statePartitions: Int = 2): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.CorpusStats.gateStack(batch, idCol, textCol,
+            kernel, phrases, entMin64, blockMax, langMinPerGram64, qMin)
+          .write.mode("append").parquet(outDir)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    if (outDirExists(spark, outDir)) spark.read.parquet(outDir)
+    else graft.operators.CorpusStats.gateStack(
+      schemaFrom.limit(0), idCol, textCol, kernel, phrases,
+      entMin64, blockMax, langMinPerGram64, qMin)
+  }
+
   /** STREAMING blocklist census — the t93 gate on a live feed. The
     * phrase list is pipeline CONFIG (a plain driver value, like the
     * Bloom bit array — no session-bound Dataset hand-off, so no q55

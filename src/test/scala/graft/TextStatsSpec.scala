@@ -298,6 +298,38 @@ class TextStatsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("streaming gate stack equals the batch stack; drained replay " +
+      "appends nothing; empty feed yields the card schema") {
+    import graft.operators.LangNb
+    val docs = Tables.load(spark, sf, "documents")
+      .select($"doc_id", $"text")
+    val m = LangNb.fit(Tables.load(spark, sf, "documents")
+      .filter($"doc_id" % 5 =!= 4L), "text", "lang")
+    val k = LangNb.kernel(m)
+    val phrases = Seq("scan", "table", "slow")
+    val base = s"/tmp/graft_gatestream_spec/${System.nanoTime()}"
+    docs.write.parquet(s"$base/feed")
+    def run() = streaming.Streams.gateStackStream(spark, s"$base/feed",
+      docs, "doc_id", "text", k, phrases, 250L, 8L, 1L, 0.72,
+      s"$base/out", s"$base/ckpt")
+    val streamed = run().orderBy($"doc_id").collect().toSeq
+    val batch = CorpusStats.gateStack(docs, "doc_id", "text", k, phrases,
+      250L, 8L, 1L, 0.72).orderBy($"doc_id").collect().toSeq
+    assert(streamed == batch)
+    assert(streamed.exists(_.getInt(5) == 1) &&
+      streamed.exists(_.getInt(5) == 0), "both outcomes must occur")
+    assert(run().count() == batch.length.toLong) // checkpointed replay
+    val emptyBase = s"$base/empty"
+    new java.io.File(s"$emptyBase/feed").mkdirs()
+    val empty = streaming.Streams.gateStackStream(spark,
+      s"$emptyBase/feed", docs, "doc_id", "text", k, phrases,
+      250L, 8L, 1L, 0.72, s"$emptyBase/out", s"$emptyBase/ckpt")
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq ===
+      Seq("doc_id", "ent_ok", "block_ok", "lang_ok", "q_ok", "keep"))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   // ---------------------------------------------------------------- kl
 
   test("sourceKl equals a driver replica in exact integers; planted " +
