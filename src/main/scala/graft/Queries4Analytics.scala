@@ -1204,6 +1204,60 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
       |FROM den d JOIN num n USING (user_id)
       |WHERE d.den > 0 ORDER BY d.user_id""".stripMargin
 
+  // ---------------------------------------------------------------- q78
+  // Per-user hourly OHLC bars — the kdb time-series staple next to
+  // TWAP (first/last/min/max of the prevailing value per bucket;
+  // /root/reference/core/aggr.c first/last + xbar). open/close use
+  // min_by/max_by over a TIE-TOTAL integer key (the CLAUDE.md rule):
+  // key = in-hour µs offset · 2^30 + event_id — offset < 3.6e9 < 2^32
+  // so the product stays < 2^62, and event_id (globally unique,
+  // runtime-guarded < 2^30) makes same-µs ties total. Values ride as
+  // ×100 BIGINT cents (the q68 price convention) — no double ever
+  // aggregates. ONE shuffle with map-side partials.
+  def q78_ohlc(spark: SparkSession, dir: String): DataFrame =
+    ohlcOf(t(spark, dir, "events")
+        .select($"user_id", $"ts", $"value", $"event_id"))
+      .orderBy($"user_id", $"hour")
+
+  /** The q78 chain over any (user_id, ts ns-long, value, event_id)
+    * frame — one home so the spec's tie goldens pin the exact query
+    * arithmetic. */
+  private[graft] def ohlcOf(events: DataFrame): DataFrame = {
+    val ev = events.select($"user_id",
+      expr("ts div 1000").as("tus"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("vq"),
+      $"event_id")
+    val maxEid = ev.agg(max($"event_id")).collect()(0).getLong(0)
+    require(maxEid < (1L << 30),
+      s"q78 order key needs event_id < 2^30, got $maxEid — widen the key")
+    ev.select($"user_id", expr("tus div 3600000000L").as("hour"),
+        (expr("tus % 3600000000L") * (1L << 30) + $"event_id").as("key"),
+        $"vq")
+      .groupBy($"user_id", $"hour")
+      .agg(count(lit(1)).as("n"),
+        min_by($"vq", $"key").as("open_c"),
+        max($"vq").as("high_c"),
+        min($"vq").as("low_c"),
+        max_by($"vq", $"key").as("close_c"))
+  }
+
+  private[graft] val q78_sql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS tus,
+      |    CAST(round(value * 100) AS BIGINT) AS vq, event_id
+      |  FROM events),
+      |k AS (
+      |  SELECT user_id, tus // 3600000000 AS hour,
+      |    (tus % 3600000000) * 1073741824 + event_id AS key, vq
+      |  FROM ev)
+      |SELECT user_id, hour, CAST(COUNT(*) AS BIGINT) AS n,
+      |  arg_min(vq, key) AS open_c,
+      |  MAX(vq) AS high_c,
+      |  MIN(vq) AS low_c,
+      |  arg_max(vq, key) AS close_c
+      |FROM k GROUP BY user_id, hour
+      |ORDER BY user_id, hour""".stripMargin
+
   // shape: one key repartition, in-partition sort, one sequential fold
   // pass (operators/Ema — keys never straddle partitions, so folds run
   // parallel across keys). α = 1/2 as the rational 1/2; the per-step

@@ -234,6 +234,26 @@ class TextStatsSpec extends SparkSpec {
     assert(base === moved)
   }
 
+  test("q78 OHLC chain: open/close by time with same-microsecond ties " +
+      "broken by event_id; high/low independent of order") {
+    import spark.implicits._
+    // hour 0: open 10.0 (t=0), close 30.0 (the HIGHER event_id of two
+    // same-us events at t=7000us), high 40.0, low 10.0
+    val ev = Seq(
+      (1L, 0L, 10.0, 5L),
+      (1L, 3000000L, 40.0, 6L),
+      (1L, 7000000L, 25.0, 7L),
+      (1L, 7000000L, 30.0, 8L), // same us as 7 -> event_id breaks the tie
+      (1L, 3600000000000L, 99.0, 9L)) // next hour
+      .toDF("user_id", "ts", "value", "event_id")
+    val out = Queries.ohlcOf(ev).orderBy($"hour").collect()
+    assert(out.length === 2)
+    assert((out(0).getLong(2), out(0).getLong(3), out(0).getLong(4),
+      out(0).getLong(5), out(0).getLong(6)) === ((4L, 1000L, 4000L, 1000L, 3000L)))
+    assert((out(1).getLong(2), out(1).getLong(3), out(1).getLong(6))
+      === ((1L, 9900L, 9900L)))
+  }
+
   // ---------------------------------------------------------------- twap
 
   test("q77 TWAP chain: prevailing-interval weighting on hand-computed " +
