@@ -896,7 +896,13 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
       ivfPqModel(spark, dir))
       .select($"id".as("vec_id"), $"adc")
 
-  private[graft] val s08_sql = {
+  /** The full IVFADC fit+search replay, parameterized on the search —
+    * ONE generated-SQL home for s08 (fresh-model search) and s26
+    * (search through the REBALANCED persisted index, which must equal
+    * the from-scratch fit this replays — that equality IS what s26's
+    * hash checks). */
+  private[graft] def ivfPqSearchSql(queryId: Long, k: Int,
+                                    nProbe: Int): String = {
     val dsub = 16
     val coarse = pqSubChainSql("c", "v", "num", 0, 0, 64, PqIters)
     val resid =
@@ -926,18 +932,67 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
        |${pqNumSql("numr", "resv", PqKSub * 16)},
        |$perSub,
        |  k AS (SELECT a0.id, $codeCols FROM asgr0 a0 $codeJoin),
-       |  q AS (SELECT v AS qv FROM v WHERE id = 0),
+       |  q AS (SELECT v AS qv FROM v WHERE id = $queryId),
        |  probe AS (SELECT c.cell FROM cent${PqIters}c0 c CROSS JOIN q
-       |    ORDER BY $probeDist ASC, c.cell LIMIT 2),
+       |    ORDER BY $probeDist ASC, c.cell LIMIT $nProbe),
        |  sel AS (SELECT k.id, k.c0, k.c1, k.c2, k.c3, a.cell AS ccell
        |    FROM k JOIN asgc0 a ON a.id = k.id
-       |    WHERE a.cell IN (SELECT cell FROM probe) AND k.id <> 0)
+       |    WHERE a.cell IN (SELECT cell FROM probe) AND k.id <> $queryId)
        |SELECT sel.id AS vec_id, ROUND($adc, 6) AS adc
        |FROM sel CROSS JOIN q
        |JOIN cent${PqIters}c0 cc ON cc.cell = sel.ccell
        |$adcJoin
-       |ORDER BY adc, vec_id LIMIT 10""".stripMargin
+       |ORDER BY adc, vec_id LIMIT $k""".stripMargin
   }
+
+  private[graft] val s08_sql = ivfPqSearchSql(queryId = 0L, k = 10,
+    nProbe = 2)
+
+  // ---------------------------------------------------------------- s26
+  // IVFADC index REBALANCE lifecycle (the maintenance half s08/s22's
+  // append defers): build on half the corpus, append the other half
+  // against the frozen model — the drifted state — then
+  // rebalanceIvfPqIndex with the accumulated corpus (PQ stores codes
+  // only, so the refit source is re-supplied; the id set is checked
+  // against the stored codes). Rebalance refits coarse + books +
+  // codes with the same deterministic seed rule as the build, so the
+  // rebuilt index ≡ a from-scratch buildIvfPqIndex on the full set —
+  // which is exactly what the oracle replays (the shared
+  // ivfPqSearchSql chain). A hash match here certifies the whole
+  // lifecycle: append preserved every id, rebalance refit on exactly
+  // the accumulated set, and the search reads the swapped root.
+  def s26_ivfpq_rebalance(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft_ivfpq_rb/$key" +
+      s"/s${srcStamp(dir, "embeddings.parquet")}"
+    // the staged artifact is only valid POST-rebalance: guard on a
+    // marker written after the swap, not on codes/_SUCCESS (which the
+    // half-corpus build already satisfies — a crash between append and
+    // rebalance must not leave a pre-rebalance index looking staged)
+    val marker = new java.io.File(s"$base/rebalanced.marker")
+    if (!marker.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val emb = t(spark, dir, "embeddings")
+      operators.Pq.buildIvfPqIndex(emb.filter($"vec_id" % 2 === 0),
+        "vec_id", "embedding", nCells = 8, m = PqM, kSub = PqKSub, base,
+        coarseIters = PqIters, pqIters = PqIters)
+      operators.Pq.appendToIvfPqIndex(emb.filter($"vec_id" % 2 =!= 0),
+        "vec_id", "embedding", base)
+      operators.Pq.rebalanceIvfPqIndex(emb, "vec_id", "embedding",
+        nCells = 8, m = PqM, kSub = PqKSub, base,
+        coarseIters = PqIters, pqIters = PqIters)
+      require(marker.createNewFile(), s"s26: marker create failed at $base")
+    }
+    val qv = t(spark, dir, "embeddings").filter($"vec_id" === 1L)
+      .select($"embedding".cast("array<double>"))
+      .collect().head.getSeq[Double](0)
+    operators.Pq.searchIvfPqIndex(spark, base, qv, k = 10, nProbe = 3,
+        excludeId = 1L)
+      .select($"id".as("vec_id"), $"adc")
+  }
+
+  private[graft] val s26_sql = ivfPqSearchSql(queryId = 1L, k = 10,
+    nProbe = 3)
 
   // ---------------------------------------------------------------- s06
   // k-NN join: exact top-3 cosine neighbors for a 10-vector query set in

@@ -436,6 +436,56 @@ object Pq {
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
+  /** REBALANCE a persisted IVFADC index after appends drift the
+    * distribution: refit the coarse centroids AND the residual
+    * codebooks on the supplied corpus, re-encode every vector, and
+    * rewrite the whole index — then swap the root in one rename pair
+    * ([[Similarity.swapIndexRoot]], the rebalanceIvfIndex discipline).
+    *
+    * Unlike the plain IVF index (which stores its vectors and can
+    * refit self-contained), the IVFADC store keeps CODES ONLY — the
+    * float corpus is consumed at build time and never persisted
+    * (that is the point of PQ: ~m bytes per vector). So the refit
+    * source must be re-supplied by the caller: `df` is the ACCUMULATED
+    * corpus — exactly the vectors that went through the original build
+    * plus every append. The id set is checked against the stored codes
+    * (one ids-only full-outer join, maintenance-window cost): a
+    * missing id would silently drop an indexed vector, an extra one
+    * would silently ingest — both are rebuild-semantics violations
+    * (a caller wanting ingest appends first, then rebalances).
+    *
+    * Determinism: the same id-ordered seed rule + Lloyd as the build,
+    * so rebalancing ≡ rebuilding from scratch on the accumulated set
+    * (spec-pinned on centroids, books AND codes). The rewrite also
+    * compacts the per-cell small files appends accumulate. All writes
+    * land under `path.rebuild_tmp` — the live index is only touched by
+    * the final rename pair, so reads of the old index (including the
+    * id-set check itself) never race the build. */
+  def rebalanceIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                          nCells: Int, m: Int, kSub: Int, path: String,
+                          coarseIters: Int = 2, pqIters: Int = 2,
+                          kppSeed: Boolean = false): Unit = {
+    val spark = df.sparkSession
+    Seq("coarse", "books", "codes").foreach { part =>
+      require(Similarity.fsDirExists(spark, s"$path/$part"),
+        s"rebalanceIvfPqIndex: no IVFADC index at $path (missing " +
+          s"$path/$part — build one with buildIvfPqIndex first)")
+    }
+    val stored = spark.read.parquet(s"$path/codes")
+      .select(col("id")).withColumn("in_store", lit(1))
+    val supplied = df.select(col(idCol).as("id")).withColumn("in_df", lit(1))
+    val mismatched = stored.join(supplied, Seq("id"), "full_outer")
+      .filter(col("in_store").isNull || col("in_df").isNull).count()
+    require(mismatched == 0L,
+      s"rebalanceIvfPqIndex: supplied corpus and stored index disagree " +
+        s"on $mismatched ids — pass exactly the accumulated vector set " +
+        "(original build + every append)")
+    val tmp = s"$path.rebuild_tmp"
+    buildIvfPqIndex(df, idCol, vecCol, nCells, m, kSub, tmp,
+      coarseIters, pqIters, kppSeed)
+    Similarity.swapIndexRoot(path, tmp, "rebalanceIvfPqIndex")
+  }
+
   /** Batched ADC k-NN JOIN — the corpus-scale retrieval shape
     * (hard-negative mining, eval-set probes, cluster labeling ask
     * "PQ-approximate neighbors of these Q vectors"): top-k by ADC

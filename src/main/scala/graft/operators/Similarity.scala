@@ -1011,11 +1011,24 @@ object Similarity {
     // pair
     val tmp = s"$path.rebuild_tmp"
     fitAndWriteIvf(v, nCells, tmp, lloydIters, kppSeed)
+    swapIndexRoot(path, tmp, "rebalanceIvfIndex")
+  }
+
+  /** Swap a freshly-built index root over the live one in ONE rename
+    * pair — the shared tail of every index rebalance (IVF here, IVFADC
+    * in [[graft.operators.Pq.rebalanceIvfPqIndex]]). A per-part swap
+    * could fail between parts and leave NEW centroids live over
+    * OLD-partitioned data, which searches silently (wrong cells
+    * pruned); with the root swap the index is always a consistent
+    * whole. Not atomic for concurrent readers — a maintenance-window
+    * op, like every index rebuild. */
+  private[operators] def swapIndexRoot(path: String, tmp: String,
+                                       fn: String): Unit = {
     val live = new java.io.File(path)
     val old = new java.io.File(s"$path.rebuild_old")
     org.apache.commons.io.FileUtils.deleteQuietly(old)
     require(live.renameTo(old) && new java.io.File(tmp).renameTo(live),
-      s"rebalanceIvfIndex: index-root swap failed for $path")
+      s"$fn: index-root swap failed for $path")
     org.apache.commons.io.FileUtils.deleteQuietly(old)
   }
 

@@ -268,6 +268,108 @@ class PqSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("rebalanceIvfPqIndex: refit on the accumulated set equals a " +
+      "from-scratch rebuild on coarse+books+codes, restores low-nProbe " +
+      "recall after drift, and fail-fasts on a wrong corpus") {
+    import spark.implicits._
+    // 8 tight clusters on distinct 8-dim-spaced axes of the 64-dim
+    // space, cluster pattern coprime with the 16-id seed stride (the
+    // separable-clusters lesson above)
+    def vec(c: Int, i: Long): Seq[Double] = {
+      val v = Array.fill(64)(0.0)
+      v(c * 8) = 1.0
+      v(c * 8 + 1) = 0.01 * (((i * 7) % 13) - 6) / 13.0
+      v.toSeq
+    }
+    val baseRows = (0L until 512L).map(i => (i, vec(((i % 13) % 8).toInt, i)))
+    val base = baseRows.toDF("vec_id", "embedding")
+    val path = s"/tmp/graft_ivfpq_rb_spec/${System.nanoTime()}"
+    Pq.buildIvfPqIndex(base, "vec_id", "embedding",
+      nCells = 8, m = M, kSub = KSub, path, coarseIters = 3)
+    // drifted mode the fit never saw, ON THE BISECTOR of clusters 0
+    // and 1: a ±1e-4 lean splits coarse assignment across the two
+    // fitted cells while the TRUE neighbor order is decided by an
+    // orthogonal jitter dim mixed across both halves — so one probe
+    // sees only half the mode until a refit gives it its own cell
+    def dvec(i: Long): Seq[Double] = {
+      val v = Array.fill(64)(0.0)
+      val lean = if (i % 2 == 0) 1e-4 else -1e-4
+      v(0) = 0.7071 + lean; v(8) = 0.7071 - lean
+      v(17) = 0.01 * (((i * 7) % 13) - 6) / 13.0
+      v.toSeq
+    }
+    val driftRows = (1000L until 1064L).map(i => (i, dvec(i)))
+    val drifted = driftRows.toDF("vec_id", "embedding")
+    Pq.appendToIvfPqIndex(drifted, "vec_id", "embedding", path)
+    val all = base.union(drifted)
+    val local = (baseRows ++ driftRows).toMap
+    def recallAt10(qid: Long, nProbe: Int): Double = {
+      val qv = local(qid)
+      val truth = local.toSeq.filter(_._1 != qid)
+        .sortBy { case (id, v) => (Pq.dist2Local(qv, v), id) }
+        .take(10).map(_._1).toSet
+      val got = Pq.searchIvfPqIndex(spark, path, qv, k = 10, nProbe = nProbe,
+        excludeId = qid).collect().map(_.getLong(0)).toSet
+      truth.intersect(got).size / 10.0
+    }
+    val pre = recallAt10(qid = 1000L, nProbe = 1)
+    info(s"pre-rebalance recall@10 at nProbe=1: $pre")
+
+    // wrong-corpus fail-fasts BEFORE the real rebalance (the index
+    // must be untouched after each)
+    intercept[IllegalArgumentException] { // missing an indexed id
+      Pq.rebalanceIvfPqIndex(all.filter($"vec_id" =!= 5L),
+        "vec_id", "embedding", 8, M, KSub, path)
+    }
+    intercept[IllegalArgumentException] { // extra un-indexed id
+      Pq.rebalanceIvfPqIndex(
+        all.union(Seq((9999L, vec(0, 9999L))).toDF("vec_id", "embedding")),
+        "vec_id", "embedding", 8, M, KSub, path)
+    }
+    intercept[IllegalArgumentException] { // no index at the path
+      Pq.rebalanceIvfPqIndex(all, "vec_id", "embedding", 8, M, KSub,
+        s"$path.nonexistent")
+    }
+
+    Pq.rebalanceIvfPqIndex(all, "vec_id", "embedding",
+      nCells = 8, m = M, kSub = KSub, path, coarseIters = 3)
+    // rebalance ≡ from-scratch rebuild, bit for bit on all three parts
+    val rebuilt = s"$path.fresh"
+    Pq.buildIvfPqIndex(all, "vec_id", "embedding",
+      nCells = 8, m = M, kSub = KSub, rebuilt, coarseIters = 3)
+    def snap(p: String) = (
+      spark.read.parquet(s"$p/coarse").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq,
+      spark.read.parquet(s"$p/books").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .sortBy(t => (t._1, t._2)).toSeq,
+      spark.read.parquet(s"$p/codes").select($"id", $"cell", $"codes")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+        .sortBy(_._1).toSeq)
+    assert(snap(path) == snap(rebuilt),
+      "rebalance must equal a from-scratch rebuild on the same set")
+    val post = recallAt10(qid = 1000L, nProbe = 1)
+    info(s"post-rebalance recall@10 at nProbe=1: $post")
+    // the IVFADC contract (the separable-clusters lesson): every
+    // single-probe result is a TRUE mode member — ordering within the
+    // mode is quantization noise, what the exact-rerank stage is for
+    // (measured: pre 0.0, post 0.8 — the probe cell now IS the mode)
+    val got1 = Pq.searchIvfPqIndex(spark, path, local(1000L), k = 10,
+      nProbe = 1, excludeId = 1000L).collect().map(_.getLong(0))
+    assert(got1.length == 10 && got1.forall(_ >= 1000L),
+      s"single-probe results must all be drifted-mode members: ${got1.toSeq}")
+    assert(post >= 0.7 && post > pre,
+      s"rebalance must restore single-probe recall: $pre -> $post")
+    // the rewrite compacted the appended small files: at most one data
+    // file per occupied cell partition
+    val files = org.apache.commons.io.FileUtils
+      .listFiles(new java.io.File(s"$path/codes"), Array("parquet"), true)
+    assert(files.size <= 8, s"compaction expected, got ${files.size} files")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(rebuilt))
+  }
+
   test("kppSeed rescues SORTED ingest: the id-block-clustered corpus " +
       "that starves the windowed seeds gets its neighbors back") {
     import spark.implicits._
