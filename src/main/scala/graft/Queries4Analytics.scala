@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.RF
@@ -1164,11 +1164,8 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
     * separate den scan + join read 10.2 s vs 4-5 s at the 10M-event
     * 100× probe). */
   private[graft] def twapOf(events: DataFrame): DataFrame = {
-    val ev = events.select($"user_id",
-      expr("ts div 1000").as("tus"),
-      expr("CAST(round(value * 100) AS BIGINT)").as("vq"),
-      $"event_id")
-    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val ev = twapPrep(events)
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"eid")
     ev.withColumn("tnext", lead($"tus", 1).over(w))
       .groupBy($"user_id")
       .agg(count(lit(1)).as("n_events"),
@@ -1180,6 +1177,15 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
         RF.roundBin($"num".cast("double") / $"den".cast("double")
           / lit(100.0), 4).as("twap"))
   }
+
+  /** (user_id, tus µs, vq ×100 cents, eid) — the TWAP projection, one
+    * home for the batch window (q77) and the streaming state merge
+    * (q79 via Streams.twapIngest). */
+  private[graft] def twapPrep(events: DataFrame): DataFrame =
+    events.select($"user_id",
+      expr("ts div 1000").as("tus"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("vq"),
+      $"event_id".as("eid"))
 
   private[graft] val q77_sql =
     """WITH ev AS (
@@ -1221,25 +1227,49 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
 
   /** The q78 chain over any (user_id, ts ns-long, value, event_id)
     * frame — one home so the spec's tie goldens pin the exact query
-    * arithmetic. */
-  private[graft] def ohlcOf(events: DataFrame): DataFrame = {
-    val ev = events.select($"user_id",
-      expr("ts div 1000").as("tus"),
-      expr("CAST(round(value * 100) AS BIGINT)").as("vq"),
-      $"event_id")
-    val maxEid = ev.agg(max($"event_id")).collect()(0).getLong(0)
-    require(maxEid < (1L << 30),
-      s"q78 order key needs event_id < 2^30, got $maxEid — widen the key")
-    ev.select($"user_id", expr("tus div 3600000000L").as("hour"),
-        (expr("tus % 3600000000L") * (1L << 30) + $"event_id").as("key"),
-        $"vq")
+    * arithmetic. Shared with the streaming twin q80 via [[ohlcPrep]] /
+    * [[ohlcAggs]] (same projection, same aggregate expressions — the
+    * stream groups by the watermarked hour window instead of the
+    * derived hour long). */
+  private[graft] def ohlcOf(events: DataFrame): DataFrame =
+    ohlcPrep(events)
+      .select($"user_id", expr("tus div 3600000000L").as("hour"),
+        $"key", $"vq")
       .groupBy($"user_id", $"hour")
-      .agg(count(lit(1)).as("n"),
-        min_by($"vq", $"key").as("open_c"),
-        max($"vq").as("high_c"),
-        min($"vq").as("low_c"),
-        max_by($"vq", $"key").as("close_c"))
+      .agg(ohlcAggs.head, ohlcAggs.tail: _*)
+
+  /** (user_id, tus µs, vq ×100 cents, key) over a (user_id, ts ns-long,
+    * value, event_id) frame. key = in-hour µs offset · 2^30 + event_id
+    * — tie-total (offset < 3.6e9 < 2^32 keeps the product < 2^62);
+    * event_id is guarded into [0, 2^30) ROW-LEVEL via the raise_error
+    * idiom (the weightedSample rule) — no separate full-scan driver
+    * action, empty frames pass vacuously, and a negative event_id
+    * (which would collide keys across adjacent offsets) aborts instead
+    * of silently breaking the order. */
+  private[graft] def ohlcPrep(events: DataFrame): DataFrame = {
+    val eidOk = when($"event_id".isNull || $"event_id" < 0L ||
+        $"event_id" >= (1L << 30),
+      raise_error(concat(
+        lit("q78 order key needs 0 <= event_id < 2^30, got "),
+        coalesce($"event_id".cast("string"), lit("NULL")))).cast("long"))
+      .otherwise($"event_id")
+    events.select($"user_id",
+        expr("ts div 1000").as("tus"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vq"),
+        eidOk.as("eid"))
+      .select($"user_id", $"tus", $"vq",
+        (expr("tus % 3600000000L") * (1L << 30) + $"eid").as("key"))
   }
+
+  /** The OHLC bar aggregates — n, open/high/low/close in ×100 cents,
+    * open/close via min_by/max_by over the tie-total key. ONE home for
+    * the batch (q78) and streaming (q80) groupings. */
+  private[graft] val ohlcAggs: Seq[Column] = Seq(
+    count(lit(1)).as("n"),
+    min_by($"vq", $"key").as("open_c"),
+    max($"vq").as("high_c"),
+    min($"vq").as("low_c"),
+    max_by($"vq", $"key").as("close_c"))
 
   private[graft] val q78_sql =
     """WITH ev AS (
@@ -1257,6 +1287,86 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
       |  arg_max(vq, key) AS close_c
       |FROM k GROUP BY user_id, hour
       |ORDER BY user_id, hour""".stripMargin
+
+  // ---------------------------------------------------------------- q79
+  // Streaming per-user TWAP — q77's live twin, the kdb production
+  // shape (bars kept current by insert callbacks,
+  // /root/reference/core/update.c:414-555): a time-ordered feed folds
+  // into a per-user persisted state table (bounded by USER cardinality,
+  // never event count; v·dt exact in DECIMAL(38,0) — the q77
+  // discipline), the cross-batch prevailing-value bridge priced by the
+  // phantom-carry-in lead (Streams.twapIngest). Stream == batch on an
+  // in-order feed, so the oracle IS q77's SQL.
+  def q79_stream_twap(spark: SparkSession, dir: String): DataFrame = {
+    val batch = t(spark, dir, "events")
+      .select($"user_id", $"ts", $"value", $"event_id")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val nChunks = 4
+    val base = s"/tmp/graft_stream/$key/twap_c${nChunks}" +
+      s"_s${srcStamp(dir, "events.parquet")}"
+    val (stage, statePath, ckpt) = (s"$base/feed", s"$base/state",
+      s"$base/ckpt")
+    if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+      // state + checkpoint are only valid against THIS staged feed —
+      // a regenerated feed drops all three together
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      Streams.stageTimeOrderedFeed(batch, "ts", nChunks, stage)
+    }
+    // a drained re-run is a planned restart: completed batch ids skip,
+    // the state table stays as the finished fold
+    Streams.twapIngest(spark, stage, batch, df => twapPrep(df),
+      statePath, ckpt)
+    spark.read.parquet(statePath)
+      .filter($"last_tus" - $"first_tus" > 0L)
+      .select($"user_id", $"n".as("n_events"),
+        RF.roundBin($"num".cast("double") /
+          ($"last_tus" - $"first_tus").cast("double") / lit(100.0), 4)
+          .as("twap"))
+      .orderBy($"user_id")
+  }
+
+  private[graft] lazy val q79_sql = q77_sql
+
+  // ---------------------------------------------------------------- q80
+  // Streaming per-user hourly OHLC bars — q78's live twin as a
+  // WATERMARKED windowed aggregation (append mode: each bar emits
+  // exactly once when the watermark passes its end, closed-bar state
+  // evicts mid-run — WatermarkSpec pins it on this query's own run).
+  // The staged feed carries one PUNCTUATION row (user_id −1, event
+  // time 3 h past the corpus max — the heartbeat idiom) so the final
+  // bars close; with disjoint-ascending chunks no real row is ever
+  // late, so the emitted bars equal the batch q78 exactly and the
+  // oracle IS q78's SQL. Same ohlcPrep/ohlcAggs one-homes as q78.
+  def q80_stream_ohlc(spark: SparkSession, dir: String): DataFrame = {
+    val batch = t(spark, dir, "events")
+      .select($"user_id", $"ts", $"value", $"event_id")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val nChunks = 4
+    val stage = s"/tmp/graft_stream/$key/ohlc_c${nChunks}" +
+      s"_s${srcStamp(dir, "events.parquet")}/feed"
+    def sentinel(hoursPastMax: Long) = {
+      val maxTs = batch.agg(max($"ts")).head().getLong(0)
+      spark.range(1).select(lit(-1L).as("user_id"),
+        lit(maxTs + hoursPastMax * 3600L * 1000000000L).as("ts"),
+        lit(0.0).as("value"), lit(0L).as("event_id"))
+    }
+    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      Streams.stageTimeOrderedFeed(batch.unionByName(sentinel(3L)), "ts",
+        nChunks, stage)
+    Streams.watermarkedBarsStream(spark, stage, batch,
+        df => ohlcPrep(df),
+        keyCol = "user_id", tsUsCol = "tus",
+        windowDur = "1 hour", delay = "1 hour",
+        aggs = ohlcAggs, sentinelKey = -1L,
+        queryName = "graft_ohlc_" + math.abs(dir.hashCode),
+        punctuation = sentinel(6L))
+      .select($"user_id",
+        expr("unix_micros(window.start) div 3600000000L").as("hour"),
+        $"n", $"open_c", $"high_c", $"low_c", $"close_c")
+      .orderBy($"user_id", $"hour")
+  }
+
+  private[graft] lazy val q80_sql = q78_sql
 
   // shape: one key repartition, in-partition sort, one sequential fold
   // pass (operators/Ema — keys never straddle partitions, so folds run

@@ -872,6 +872,196 @@ object Streams {
   val lastStateRowsRemoved =
     new scala.collection.concurrent.TrieMap[String, Long]()
 
+  /** Watermarked APPEND-mode windowed aggregation over a time-ordered
+    * feed — the streaming form of the hourly-bars family (q80 OHLC;
+    * reference shape: live bars built by insert callbacks,
+    * `core/update.c:414-555` + `examples/sesslog.rfl`). Each bar emits
+    * EXACTLY ONCE when the watermark passes its window end, and
+    * closed-bar state EVICTS mid-run (recorded in
+    * [[lastStateRowsRemoved]] under `queryName` — the bounded-state
+    * observable). Because a time-ordered feed's last bars never close
+    * on their own (the watermark stops at max event time − delay), the
+    * feed must carry one PUNCTUATION row with event time past the last
+    * real bar's end + delay — the heartbeat idiom of production
+    * streams; punctuation rows advance the watermark at the source and
+    * their key's bars are dropped from the returned table
+    * (`keyCol =!= sentinelKey`).
+    * With disjoint-ascending chunks no real row is ever late, so the
+    * emitted bar set equals the batch aggregation exactly (the q75
+    * oracle argument). `prep` must project `keyCol`, `tsUsCol` (µs
+    * long) and the agg inputs. */
+  def watermarkedBarsStream(spark: SparkSession, srcDir: String,
+                            schemaFrom: DataFrame,
+                            prep: DataFrame => DataFrame,
+                            keyCol: String, tsUsCol: String,
+                            windowDur: String, delay: String,
+                            aggs: Seq[org.apache.spark.sql.Column],
+                            sentinelKey: Long, queryName: String,
+                            punctuation: DataFrame,
+                            statePartitions: Int = 2): DataFrame = {
+    // no checkpoint — every call replays the whole feed, so prior
+    // calls' tick files are stale punctuation; drop them first
+    Option(new java.io.File(srcDir).listFiles()).getOrElse(Array())
+      .filter(_.getName.startsWith("tick_")).foreach(_.delete())
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // NO pre-agg sentinel filter: Catalyst pushes a key predicate BELOW
+    // the EventTimeWatermark node (the key is unrelated to the event
+    // time), which would silently exclude punctuation rows from
+    // watermark tracking — the exact failure this design exists to
+    // avoid (measured: final bars never closed). Sentinel rows
+    // aggregate into their own key and are dropped from the final
+    // static table instead.
+    val stream = prep(ss.readStream.schema(schemaFrom.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir))
+      .withColumn("evt_ts", expr(s"timestamp_micros($tsUsCol)"))
+      .withWatermark("evt_ts", delay)
+    val agg = stream
+      .groupBy(col(keyCol), window(col("evt_ts"), windowDur))
+      .agg(aggs.head, aggs.tail: _*)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    try {
+      q.processAllAvailable()
+      // a batch runs under the watermark PRIOR batches advanced, so
+      // the sentinel's watermark only takes effect in a batch AFTER
+      // the sentinel's own — append one punctuation tick (filtered
+      // rows, newest mtime) and drain again: that tick batch emits the
+      // now-closed final bars deterministically (no reliance on
+      // no-data micro-batch timing)
+      val tmp = new java.io.File(srcDir, s"_ticktmp_${System.nanoTime()}")
+      punctuation.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"watermarkedBarsStream: no tick part in $tmp"))
+      val dst = new java.io.File(srcDir, s"tick_${System.nanoTime()}.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+      q.processAllAvailable()
+    } finally {
+      lastStateRowsRemoved.put(queryName,
+        q.recentProgress.toSeq
+          .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+          .map(_.numRowsRemoved).sum)
+      q.stop()
+    }
+    ss.table(queryName).filter(col(keyCol) =!= sentinelKey)
+  }
+
+  /** Streaming per-user TWAP state (q77's live twin — the kdb
+    * prevailing-value bar kept current by insert callbacks): each
+    * micro-batch folds into a tiny PERSISTED per-user state table
+    * (user_id, n, first_tus, last_tus, last_eid, last_vq,
+    * num DECIMAL(38,0)) — state is bounded by USER cardinality, never
+    * event count, and every v·dt term stays exact integer/decimal (the
+    * q77 discipline; a long accumulator would overflow at corpus
+    * scale).
+    *
+    * The cross-batch interval (last event of batch i → first event of
+    * batch i+1, the prevailing-value bridge) is handled by injecting
+    * each user's stored last event as a PHANTOM row into the batch
+    * window: the same lead() arithmetic that prices in-batch intervals
+    * prices the bridge — including the same-µs boundary tie, where a
+    * batch event with an earlier event_id sorts BEFORE the phantom and
+    * contributes dt = 0 exactly as the batch query would. Phantoms are
+    * excluded from the n/first/min accumulators.
+    *
+    * Requires a TIME-ORDERED feed (the stageTimeOrderedFeed contract):
+    * a batch row strictly BEFORE a user's stored last event would need
+    * interval re-splicing that summary state cannot express — the
+    * merge fail-fasts row-level on it (raise_error). State rewrites go
+    * through a tmp dir + rename swap, so a crash mid-write never
+    * leaves a torn state table. Delivery is at-least-once (the
+    * ivfPqIngest caveat): a crash between the state swap and the
+    * checkpoint commit re-merges that one batch; a PLANNED restart
+    * over a drained feed is a no-op (completed batch ids skip). */
+  def twapIngest(spark: SparkSession, srcDir: String,
+                 schemaFrom: DataFrame, prep: DataFrame => DataFrame,
+                 statePath: String, checkpoint: String,
+                 statePartitions: Int = 2): Unit = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q = prep(ss.readStream.schema(schemaFrom.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir))
+      .writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeTwapState(batch, statePath)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** One TWAP state merge: batch must carry (user_id, tus, vq, eid). */
+  private[graft] def mergeTwapState(batch: DataFrame,
+                                    statePath: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val bs = batch.sparkSession
+    val state0 =
+      if (new java.io.File(s"$statePath/_SUCCESS").exists())
+        bs.read.parquet(statePath)
+      else bs.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, n BIGINT, first_tus BIGINT, last_tus BIGINT, " +
+            "last_eid BIGINT, last_vq BIGINT, num DECIMAL(38,0)"))
+    val carry = state0.select(col("user_id"), col("last_tus").as("tus"),
+      col("last_vq").as("vq"), col("last_eid").as("eid"),
+      lit(true).as("ph"))
+    val rows = batch.select(col("user_id"), col("tus"), col("vq"),
+        col("eid"), lit(false).as("ph"))
+      .unionByName(carry)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("eid"))
+    val part = rows.withColumn("tnext", lead(col("tus"), 1).over(w))
+      .groupBy(col("user_id")).agg(
+        sum(when(col("tnext").isNotNull,
+          (col("tnext") - col("tus")).cast("decimal(38,0)") * col("vq")))
+          .as("dnum"),
+        sum(when(!col("ph"), 1L).otherwise(0L)).as("dn"),
+        min(when(!col("ph"), col("tus"))).as("bfirst"),
+        min(when(!col("ph"), struct(col("tus"), col("eid")))).as("bmin"),
+        max_by(struct(col("tus").as("t"), col("eid").as("e"),
+            col("vq").as("v")),
+          struct(col("tus"), col("eid"))).as("blast"))
+    val st = state0.select(col("user_id"), col("n").as("s_n"),
+      col("first_tus").as("s_first"), col("last_tus").as("s_last_tus"),
+      col("last_eid").as("s_last_eid"), col("num").as("s_num"))
+    // carry covers every stored user, so part ⊇ state users — a left
+    // join from part loses nothing
+    val j = part.join(st, Seq("user_id"), "left_outer")
+    // out-of-order fail-fast: a batch row at a STRICTLY earlier µs than
+    // the stored last event needs interval re-splicing summary state
+    // can't express. Same-µs rows (any event_id) are fine — every
+    // interval they displace has dt = 0, and the phantom lead prices
+    // the rest correctly (the spec's boundary-tie golden).
+    val ooo = col("bmin").isNotNull && col("s_last_tus").isNotNull &&
+      col("bmin.tus") < col("s_last_tus")
+    val zero = lit(0).cast("decimal(38,0)")
+    val merged = j.select(col("user_id"),
+        when(ooo, raise_error(concat(
+          lit("twapIngest: out-of-order feed for user "),
+          col("user_id").cast("string"),
+          lit(" — batch row precedes stored last event"))).cast("long"))
+          .otherwise(coalesce(col("s_n"), lit(0L)) + col("dn")).as("n"),
+        least(col("s_first"), col("bfirst")).as("first_tus"),
+        col("blast.t").as("last_tus"),
+        col("blast.e").as("last_eid"),
+        col("blast.v").as("last_vq"),
+        (coalesce(col("s_num"), zero) + coalesce(col("dnum"), zero))
+          .cast("decimal(38,0)").as("num"))
+    // the tmp write fully materializes the merge (which reads the live
+    // state) BEFORE any rename touches it — no torn state on a crash
+    val tmp = s"$statePath.tmp"
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val live = new java.io.File(statePath)
+    val old = new java.io.File(s"$statePath.old")
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    require((!live.exists() || live.renameTo(old)) &&
+        new java.io.File(tmp).renameTo(live),
+      s"twapIngest: state swap failed for $statePath")
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+  }
+
   /** Stage a DataFrame as a TIME-ORDERED multi-file feed: rows are
     * range-split on `tsCol` into `nChunks` single-file parquet chunks
     * with ascending modification times, so a file-source stream with

@@ -172,4 +172,78 @@ class WatermarkSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(wm == batch, s"watermarked (${wm.size}) != batch (${batch.size})")
   }
+
+  test("q80 watermarked OHLC bars: the query's own run evicts " +
+      "closed-bar state AND the emitted bars equal the batch q78 " +
+      "exactly on the in-order feed") {
+    val dir = "/root/testdata/sf0.001"
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    val stream = snap(Queries.q80_stream_ohlc(spark, dir))
+    val qn = "graft_ohlc_" + math.abs(dir.hashCode)
+    val removed = streaming.Streams.lastStateRowsRemoved.getOrElse(qn, 0L)
+    assert(removed > 0,
+      s"the multi-batch watermarked run must evict bar state, " +
+        s"removed=$removed")
+    assert(stream == snap(Queries.q78_ohlc(spark, dir)),
+      s"streamed bars (${stream.size}) != batch bars")
+  }
+
+  test("q79 streaming TWAP equals the batch q77 on the in-order feed, " +
+      "and a drained re-run is a planned-restart no-op") {
+    val dir = "/root/testdata/sf0.001"
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    val stream = snap(Queries.q79_stream_twap(spark, dir))
+    assert(stream == snap(Queries.q77_twap(spark, dir)),
+      s"streamed TWAP (${stream.size} users) != batch")
+    // second call re-runs the stream against the same checkpoint:
+    // completed batches skip, the state fold is untouched
+    assert(snap(Queries.q79_stream_twap(spark, dir)) == stream,
+      "drained replay must not change the state fold")
+  }
+
+  test("twapIngest state merge: the phantom carry-in prices the " +
+      "cross-batch bridge (incl. the same-µs boundary tie), untouched " +
+      "users keep their state, and an out-of-order feed fail-fasts") {
+    val statePath = s"/tmp/graft_twap_spec/${System.nanoTime()}/state"
+    new java.io.File(statePath).getParentFile.mkdirs()
+    def b(rows: (Long, Long, Long, Long)*) =
+      rows.toSeq.toDF("user_id", "tus", "vq", "eid")
+    // batch 1: user 1 one event; user 2 two events (interval 5µs @ vq 40)
+    streaming.Streams.mergeTwapState(
+      b((1L, 1000L, 100L, 10L), (2L, 500L, 40L, 1L), (2L, 505L, 70L, 2L)),
+      statePath)
+    // batch 2 (user 1 only): starts at the SAME µs as the stored last
+    // event with a LOWER event_id — it sorts BEFORE the phantom, so its
+    // own dt is 0 and the bridge to t=2000 prices at the STORED event's
+    // vq, exactly as the batch window would order them
+    streaming.Streams.mergeTwapState(
+      b((1L, 1000L, 200L, 5L), (1L, 2000L, 300L, 20L)), statePath)
+    val st = spark.read.parquet(statePath).collect()
+      .map(r => r.getAs[Long]("user_id") -> r).toMap
+    val u1 = st(1L)
+    // true order: (1000,5,200) → (1000,10,100) → (2000,20,300)
+    // num = 0·200 + 1000·100 = 100000; n=3; first=1000; last=(2000,20,300)
+    assert(u1.getAs[Long]("n") == 3L)
+    assert(u1.getAs[Long]("first_tus") == 1000L)
+    assert(u1.getAs[Long]("last_tus") == 2000L &&
+      u1.getAs[Long]("last_eid") == 20L && u1.getAs[Long]("last_vq") == 300L)
+    assert(u1.getAs[java.math.BigDecimal]("num").longValueExact == 100000L)
+    // user 2 had no batch-2 rows: state identical (carry-only merge)
+    val u2 = st(2L)
+    assert(u2.getAs[Long]("n") == 2L &&
+      u2.getAs[Long]("first_tus") == 500L &&
+      u2.getAs[Long]("last_tus") == 505L &&
+      u2.getAs[java.math.BigDecimal]("num").longValueExact == 5L * 40L)
+    // out-of-order: a row strictly before user 1's stored last event
+    val e = intercept[Exception] {
+      streaming.Streams.mergeTwapState(b((1L, 1500L, 50L, 30L)), statePath)
+    }
+    assert(e.getMessage != null && e.getMessage.contains("out-of-order")
+      || Option(e.getCause).exists(_.getMessage.contains("out-of-order")),
+      s"wanted the out-of-order fail-fast, got $e")
+  }
 }
