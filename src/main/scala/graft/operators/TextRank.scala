@@ -56,53 +56,37 @@ object TextRank {
     val spark = corpus.sparkSession
 
     // split keeps trailing empties (the t69 lesson) so raw positions
-    // match any engine's replay; adjacency pairs are built ROW-LOCALLY
-    // with the arrays_zip-of-slices idiom (NgramLm.pairArr — a
-    // codegen'd one-pass zip): a (doc, pos) self-join of the exploded
-    // token table would shuffle-join the whole corpus against itself —
-    // measured 25–60 s vs ~2 s at the 500k-doc replica.
+    // match any engine's replay. The node gate is a
+    // TakeOrderedAndProject (orderBy+limit, the zipfCard shape) — a
+    // row_number window with no partitionBy would funnel the whole
+    // minDf-filtered vocabulary through ONE task before the cut.
     val ws = split(col(textCol), " ", -1)
     val tok = corpus
       .select(explode(ws).as("word"))
       .filter($"word" =!= "")
     val cen = tok.groupBy($"word").agg(count(lit(1)).as("cnt"))
     val nodes = cen.filter($"cnt" >= minDf)
-      .select($"word", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy($"cnt".desc, $"word".asc)).as("rk"))
-      .filter($"rk" <= maxNodes)
+      .orderBy($"cnt".desc, $"word".asc).limit(maxNodes)
       .select($"word")
-    val m = greatest(size(ws) - 1, lit(0))
-    val adj = corpus
-      .select(explode(arrays_zip(
-        slice(ws, lit(1), m).as("wa"), slice(ws, lit(2), m).as("wb"))).as("z"))
-      .select($"z.wa".as("ea"), $"z.wb".as("eb"))
-      .filter($"ea" =!= "" && $"eb" =!= "" && $"ea" =!= $"eb")
     // the node set is bounded (≤ maxNodes) — pull it ONCE; leaving it
     // lazy re-runs the word census per consumer (two edge-side joins +
     // the final collect = three corpus passes, measured at 100×)
     val words = nodes.orderBy($"word").collect().map(_.getString(0))
     val n = words.length.toLong
     require(n >= 1, "textrank needs at least one node above minDf")
-    val nodeDf = spark.createDataFrame(words.toSeq.map(Tuple1(_)))
-      .toDF("word")
 
     // census the DIRECTED pairs (one corpus pass — symmetrizing the
     // pair stream via unionAll re-runs the explode per branch), pull
     // the bounded graph (limit-before-collect), symmetrize on the
     // driver: w(a,b) = w_dir(a,b) + w_dir(b,a).
-    val edDir = adj
-      .join(broadcast(nodeDf.select($"word".as("ea"))), Seq("ea"))
-      .join(broadcast(nodeDf.select($"word".as("eb"))), Seq("eb"))
-      .groupBy($"ea", $"eb").agg(count(lit(1)).as("w"))
-    val pulled = edDir.limit(maxEdges + 1).collect()
+    val pulled = edgeCensus(corpus, textCol, words)
+      .limit(maxEdges + 1).collect()
     require(pulled.length <= maxEdges,
       s"textrank graph exceeds maxEdges=$maxEdges — raise minDf or lower maxNodes")
-    val idx = words.zipWithIndex.toMap
     val wMap = scala.collection.mutable.HashMap[Long, Long]()
     pulled.foreach { r =>
-      val a = idx(r.getString(0)) // groupBy(ea, eb) → columns (ea, eb, w)
-      val b = idx(r.getString(1))
+      val a = r.getInt(0) // groupBy(ia, ib) → columns (ia, ib, w)
+      val b = r.getInt(1)
       val w = r.getLong(2)
       // runtime-operand guard (the KN rule): the symmetrized weight
       // multiplies RScale below — w·2^20 must stay inside i64. The
@@ -138,5 +122,32 @@ object TextRank {
       .take(k).zipWithIndex
       .map { case ((w, pr), i) => (w, pr, (i + 1).toLong) }
     spark.createDataFrame(rows).toDF("word", "pr", "rk")
+  }
+
+  /** The directed adjacency-pair census, DICTIONARY-ENCODED in one
+    * codegen pass (functions/DictPairCodes — the AcExpr/Bloom
+    * reference-object shipping): the walk tokenizes, keeps only pairs
+    * with BOTH endpoints in the bounded node dictionary, and emits
+    * packed `ia<<32|ib` longs — so the explode produces graph-relevant
+    * rows only and the one corpus-scale exchange carries (long,
+    * partial-count), never strings (PlanShapeSpec pins it). Exact, not
+    * hashed: the dictionary is the collected node set, so the t92
+    * oracle hash cannot move. This replaced the arrays_zip-of-slices
+    * struct explode + two broadcast string joins, which materialized
+    * EVERY adjacent pair of the corpus as a (string, string) row —
+    * 100×: 4.8–5.0 s → 1.25 s warm per 500k docs for the WHOLE t92
+    * run, the residual being the node word census. (The zip idiom
+    * itself remains the right call vs a (doc, pos) self-join — that
+    * read 25–60 s — it just loses to a single fused walk here.) */
+  private[graft] def edgeCensus(corpus: DataFrame, textCol: String,
+                                words: Array[String]): DataFrame = {
+    import graft.functions.DictPairCodes.dictPairCodes
+    corpus
+      .select(explode(dictPairCodes(col(textCol),
+        scala.collection.immutable.ArraySeq.unsafeWrapArray(words)))
+        .as("pc"))
+      .groupBy($"pc").agg(count(lit(1)).as("w"))
+      .select(shiftright($"pc", 32).cast("int").as("ia"),
+        $"pc".bitwiseAND(lit(0xFFFFFFFFL)).cast("int").as("ib"), $"w")
   }
 }

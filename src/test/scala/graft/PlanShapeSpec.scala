@@ -526,4 +526,16 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(!adjPlan.contains("Join"), s"pairs must be row-local:\n$adjPlan")
   }
+
+  test("t92 (textrank): the edge-census exchange carries packed " +
+      "dictionary-id longs — no string column, no join anywhere") {
+    val docs = Tables.load(spark, sf, "documents")
+    val p = graft.operators.TextRank
+      .edgeCensus(docs, "text", Array("the", "a", "of"))
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("hashpartitioning(pc"),
+      s"census must aggregate through the packed-pair exchange:\n$p")
+    assert(!p.contains("Join"),
+      s"the fused dictionary walk needs no join at all:\n$p")
+  }
 }

@@ -290,6 +290,36 @@ class TextStatsSpec extends SparkSpec {
     assert(out.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
   }
 
+  test("dictPairCodes: the fused dictionary walk equals the " +
+      "arrays_zip + string-filter replica on fuzzed strings") {
+    import spark.implicits._
+    val dict = Seq("aa", "bb", "cc", "dd")
+    val rnd = new scala.util.Random(17)
+    // "" entries make double spaces — the t69 trailing-empty semantics
+    // and the empty-token adjacency break must match the replica
+    val toks = Array("aa", "bb", "cc", "dd", "ee", "", "aa", "zz")
+    val docs = (0 until 300).map { i =>
+      (i.toLong, (0 until rnd.nextInt(12))
+        .map(_ => toks(rnd.nextInt(toks.length))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val ws = split($"text", " ", -1)
+    val m = greatest(size(ws) - 1, lit(0))
+    val rep = docs.select(explode(arrays_zip(
+        slice(ws, lit(1), m).as("wa"), slice(ws, lit(2), m).as("wb"))).as("z"))
+      .select($"z.wa".as("ea"), $"z.wb".as("eb"))
+      .filter($"ea" =!= "" && $"eb" =!= "" && $"ea" =!= $"eb")
+      .filter($"ea".isin(dict: _*) && $"eb".isin(dict: _*))
+      .groupBy($"ea", $"eb").agg(count(lit(1)).as("w"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+      .toMap
+    val got = TextRank.edgeCensus(docs, "text", dict.toArray)
+      .collect()
+      .map(r => ((dict(r.getInt(0)), dict(r.getInt(1))), r.getLong(2)))
+      .toMap
+    assert(got == rep, s"walk=$got replica=$rep")
+    assert(got.nonEmpty, "fuzz corpus must produce edges")
+  }
+
   // ------------------------------------------------------------ streams
 
   test("streaming blocklist census equals the batch census; drained " +
