@@ -615,7 +615,7 @@ private[graft] trait Queries1Rel extends Queries0Shared {
   private[graft] val t06_sql =
     """WITH s AS (SELECT *,
       |    (((doc_id % 2147483648) * 2654435761) % 4294967296
-      |     + ((doc_id // 2147483648) * 2246822519) % 4294967296)
+      |     + (((doc_id // 2147483648) % 2147483648) * 2246822519) % 4294967296)
       |    % 4294967296 / 4294967296.0 AS u,
       |    CASE WHEN lang = 'de' THEN 0.5 WHEN lang = 'en' THEN 0.9
       |         ELSE 0.25 END AS rate
@@ -753,7 +753,7 @@ private[graft] trait Queries1Rel extends Queries0Shared {
        |  SELECT f.doc_id, f.text FROM filt f
        |  JOIN keep k ON f.doc_id = k.doc_id
        |  WHERE (((f.doc_id % 2147483648) * 2654435761) % 4294967296
-       |     + ((f.doc_id // 2147483648) * 2246822519) % 4294967296)
+       |     + (((f.doc_id // 2147483648) % 2147483648) * 2246822519) % 4294967296)
        |    % 4294967296 / 4294967296.0 < 0.5),
        |d AS (
        |  SELECT doc_id, doc_id % 4 AS shard,
@@ -833,7 +833,7 @@ private[graft] trait Queries1Rel extends Queries0Shared {
       |s AS (
       |  SELECT d.lang, d.doc_id FROM documents d JOIN r ON d.lang = r.lang
       |  WHERE (((d.doc_id % 2147483648) * 2654435761) % 4294967296
-      |     + ((d.doc_id // 2147483648) * 2246822519) % 4294967296)
+      |     + (((d.doc_id // 2147483648) % 2147483648) * 2246822519) % 4294967296)
       |    % 4294967296 / 4294967296.0 < r.rate)
       |SELECT lang, COUNT(*) AS kept, MIN(doc_id) AS first_kept,
       |  MAX(doc_id) AS last_kept
@@ -984,7 +984,7 @@ private[graft] trait Queries1Rel extends Queries0Shared {
     """WITH h AS (
       |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS w,
       |    CAST((((doc_id % 2147483648) * 2654435761) % 4294967296
-      |      + ((doc_id // 2147483648) * 2246822519) % 4294967296)
+      |      + (((doc_id // 2147483648) % 2147483648) * 2246822519) % 4294967296)
       |      % 4294967296 AS DOUBLE) / n_chars AS pri
       |  FROM documents),
       |r AS (SELECT lang, doc_id, w, pri,
@@ -1205,7 +1205,7 @@ private[graft] trait Queries1Rel extends Queries0Shared {
     """WITH u AS (
       |  SELECT lang, doc_id,
       |    (((doc_id % 2147483648) * 2654435761) % 4294967296
-      |     + ((doc_id // 2147483648) * 2246822519) % 4294967296)
+      |     + (((doc_id // 2147483648) % 2147483648) * 2246822519) % 4294967296)
       |    % 4294967296 / 4294967296.0 AS d
       |  FROM documents)
       |SELECT lang,

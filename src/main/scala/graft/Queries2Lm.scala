@@ -1832,7 +1832,7 @@ private[graft] trait Queries2Lm extends Queries1Rel {
       |s AS (
       |  SELECT doc_id, bucket FROM b
       |  WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296
-      |     + ((doc_id // 2147483648) * 2246822519) % 4294967296)
+      |     + (((doc_id // 2147483648) % 2147483648) * 2246822519) % 4294967296)
       |    % 4294967296 / 4294967296.0
       |    < CASE bucket WHEN 'head' THEN 1.0 WHEN 'middle' THEN 0.5
       |      ELSE 0.1 END)

@@ -33,7 +33,7 @@ private[graft] trait Queries3Curate extends Queries2Lm {
   private[graft] val t30_sql =
     """WITH s AS (SELECT doc_id,
       |    (((doc_id % 2147483648) * 2654435761) % 4294967296
-      |     + ((doc_id // 2147483648) * 2246822519) % 4294967296)
+      |     + (((doc_id // 2147483648) % 2147483648) * 2246822519) % 4294967296)
       |    % 4294967296 / 4294967296.0 AS u FROM documents),
       |b AS (SELECT doc_id, u, CAST(floor(u * 8) AS INT) AS shard FROM s)
       |SELECT shard,
@@ -75,7 +75,7 @@ private[graft] trait Queries3Curate extends Queries2Lm {
        |  r AS (SELECT cell, id,
        |      ROW_NUMBER() OVER (PARTITION BY cell ORDER BY
        |        (((id % 2147483648) * 2654435761) % 4294967296
-       |         + ((id // 2147483648) * 2246822519) % 4294967296)
+       |         + (((id // 2147483648) % 2147483648) * 2246822519) % 4294967296)
        |        % 4294967296 / 4294967296.0, id) AS rk
        |    FROM a)
        |SELECT r.cell, CAST(r.rk AS INT) AS rk, r.id AS vec_id
@@ -625,7 +625,7 @@ private[graft] trait Queries3Curate extends Queries2Lm {
       |  SELECT d.source, d.doc_id, r.rate
       |  FROM documents d JOIN r ON d.source = r.source
       |  WHERE (((d.doc_id % 2147483648) * 2654435761) % 4294967296
-      |     + ((d.doc_id // 2147483648) * 2246822519) % 4294967296)
+      |     + (((d.doc_id // 2147483648) % 2147483648) * 2246822519) % 4294967296)
       |    % 4294967296 / 4294967296.0 < r.rate)
       |SELECT source, MIN(rate) AS rate, COUNT(*) AS kept,
       |  MIN(doc_id) AS first_kept
@@ -988,7 +988,7 @@ private[graft] trait Queries3Curate extends Queries2Lm {
     """WITH tk AS (SELECT doc_id, source,
       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n,
       |    (((doc_id % 2147483648) * 2654435761) % 4294967296
-      |     + ((doc_id // 2147483648) * 2246822519) % 4294967296)
+      |     + (((doc_id // 2147483648) % 2147483648) * 2246822519) % 4294967296)
       |    % 4294967296 AS h
       |  FROM documents
       |  WHERE source IN ('src0', 'src1', 'src2', 'src3')),
@@ -1205,7 +1205,7 @@ private[graft] trait Queries3Curate extends Queries2Lm {
        |         ELSE 'test' END AS split
        |  FROM (SELECT doc_id,
        |    (((doc_id % 2147483648) * 2654435761) % 4294967296
-       |     + ((doc_id // 2147483648) * 2246822519) % 4294967296)
+       |     + (((doc_id // 2147483648) % 2147483648) * 2246822519) % 4294967296)
        |    % 4294967296 / 4294967296.0 AS d
        |  FROM documents))
        |SELECT p.id_a, p.id_b, ua.split AS split_a, ub.split AS split_b,

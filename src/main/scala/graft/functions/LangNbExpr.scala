@@ -119,6 +119,12 @@ object LangNbScore {
     * tie-break), nv). Needs ≥ 2 languages in the kernel. */
   def computeStats(text: UTF8String, k: LangNbKernel): GenericArrayData = {
     val nLang = k.langs.length
+    // the invariant lives WITH the arithmetic, not only at the operator
+    // call sites: a 1-language kernel leaves second = Long.MinValue and
+    // margin64 = best − MinValue wraps negative — garbage a future
+    // caller (e.g. a SQL registration) would read silently
+    require(nLang >= 2,
+      s"langNb confidence stats need >= 2 languages in the kernel, got $nLang")
     val sw = new Array[Long](nLang)
     val nv = walk(text.toString, k, sw)
     if (nv == 0) return new GenericArrayData(Array(-1L, 0L, 0L))
