@@ -14,6 +14,15 @@ run / fork := true
 // forward sbt's stdin to the forked JVM so `runMain graft.Run <sfDir>`
 // is actually interactive (the REPL / terminal editor surface)
 run / connectInput := true
+// The bench driver parses the LAST stdout lines for graft.Bench's JSON
+// metric line. Two sbt behaviors broke that every round (BENCH_r01-r16
+// all carry "parsed": null): the forked program's stdout was re-logged
+// with an "[info] " prefix, and sbt appended its "[success] Total time"
+// trailer AFTER the metric line. StdoutOutput passes the forked JVM's
+// stdout through verbatim; showSuccess drops the trailer. (Compile runs
+// therefore print nothing on success — grep errors, not "[success]".)
+run / outputStrategy := Some(StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -130,6 +130,12 @@ object Bench {
       .mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slow,"queries_full":"bench_last.json","errors":$errs,"load1":$load,"cached_kb":$cacheKb,"sf":"$sfDir"}""")
+    Console.out.flush()
     spark.stop()
+    // keeping the metric line LAST on stdout is build.sbt's job:
+    // `run / outputStrategy := StdoutOutput` (no "[info] " re-logging
+    // of the forked JVM's output) + `showSuccess := false` (no
+    // "[success] Total time" trailer) — BENCH_r01..r16 all carried
+    // "parsed": null until both landed
   }
 }
