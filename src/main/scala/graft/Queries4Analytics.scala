@@ -326,6 +326,42 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
       |FROM p LEFT JOIN na n USING (doc_id) LEFT JOIN mr m USING (doc_id)
       |ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- m09
+  // REAL audio decode under the oracle: document snippets wrap as
+  // canonical 8-bit mono PCM WAVs (Multimodal.wrapPcm8Wav) and
+  // audioStats decodes them through javax.sound.sampled — the
+  // round-9 "constructed media" device (m01 built real BMPs the same
+  // way). Wrap-then-decode is the identity byte − 128 on the payload
+  // (8-bit WAV PCM is unsigned), which DuckDB replays as ascii − 128;
+  // a header-parse or sample-mapping bug cannot hash-match. ASCII
+  // payloads sit entirely below 128, so zero_cross is structurally 0
+  // here — the sign-change logic is oracle-covered by m07 (bias 96)
+  // and the 16-bit path is spec-pinned (MultimodalSpec golden WAVs).
+  // Same ASCII byte-vs-codepoint oracle convention as m07.
+  def m09_wav_stats(spark: SparkSession, dir: String): DataFrame = {
+    val payload = t(spark, dir, "documents")
+      .select($"doc_id", substring($"text", 1, 200).cast("binary").as("data"))
+    operators.Multimodal.audioStats(
+        operators.Multimodal.wrapPcm8Wav(payload, "doc_id", "data"),
+        "media_id", "wav")
+      .orderBy($"media_id")
+  }
+
+  private[graft] val m09_sql =
+    """WITH s AS (
+      |  SELECT doc_id, list_transform(range(1, length(substr(text, 1, 200)) + 1),
+      |    j -> ascii(substr(text, j, 1)) - 128) AS sm
+      |  FROM documents)
+      |SELECT doc_id AS media_id,
+      |  CAST(len(sm) AS BIGINT) AS n_samples,
+      |  CAST(COALESCE(list_max(list_transform(sm, x -> abs(x))), 0)
+      |    AS BIGINT) AS peak,
+      |  CAST(COALESCE(list_sum(list_transform(sm, x -> x * x)), 0)
+      |    AS BIGINT) AS sum_sq,
+      |  CAST(len(list_filter(range(2, len(sm) + 1),
+      |    i -> (sm[i-1] < 0) <> (sm[i] < 0))) AS BIGINT) AS zero_cross
+      |FROM s ORDER BY media_id""".stripMargin
+
   // ---------------------------------------------------------------- m02
   // Multimodal decode stub via typed mapPartitions (mapInPandas shape):
   // per-media pseudo-pixel features. DuckDB-oracled: the payloads are the

@@ -100,18 +100,102 @@ object Multimodal {
   final case class AudioStats(media_id: Long, n_samples: Long,
                               peak: Long, sum_sq: Long, zero_cross: Long)
 
+  /** True when the payload starts with the RIFF/WAVE magic — the audio
+    * twin of [[isImage]]. */
+  private[graft] def isWav(bytes: Array[Byte]): Boolean =
+    bytes.length >= 12 &&
+      bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' &&
+      bytes(3) == 'F' && bytes(8) == 'W' && bytes(9) == 'A' &&
+      bytes(10) == 'V' && bytes(11) == 'E'
+
+  /** AUDIO decode: REAL samples via `javax.sound.sampled` when the
+    * payload is a decodable RIFF/WAVE (the round-9 javax.imageio move,
+    * applied to audio — no external codecs needed for PCM WAV): 8-bit
+    * PCM is unsigned per the WAV spec (s = byte − 128), 16-bit PCM is
+    * signed with the container's endianness, channels stay interleaved
+    * (stats over all channels). Corrupt or merely magic-prefixed
+    * payloads fall back to the documented STUB (each byte one 8-bit
+    * sample biased at 96, s = (byte & 0xFF) − 96 — chosen so ASCII
+    * test payloads produce a sign-alternating waveform), exactly like
+    * [[decodePixels]] — a decode never fails a row. Sample depths
+    * javax.sound reads but we don't map (24/32-bit) fall back too,
+    * loudly documented here rather than silently truncated. */
+  private[graft] def decodeSamples(bytes: Array[Byte]): Array[Int] = {
+    def stub: Array[Int] = bytes.map(b => (b & 0xFF) - 96)
+    if (!isWav(bytes)) stub
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val data = in.readAllBytes()
+        val enc = fmt.getEncoding
+        import javax.sound.sampled.AudioFormat.Encoding._
+        if (fmt.getSampleSizeInBits == 8 && enc == PCM_UNSIGNED)
+          data.map(b => (b & 0xFF) - 128)
+        else if (fmt.getSampleSizeInBits == 8 && enc == PCM_SIGNED)
+          data.map(_.toInt)
+        else if (fmt.getSampleSizeInBits == 16 &&
+            (enc == PCM_SIGNED) && data.length % 2 == 0) {
+          val out = new Array[Int](data.length / 2)
+          val be = fmt.isBigEndian
+          var i = 0
+          while (i < out.length) {
+            val b0 = data(2 * i); val b1 = data(2 * i + 1)
+            out(i) =
+              if (be) (b0.toInt << 8) | (b1 & 0xFF)
+              else (b1.toInt << 8) | (b0 & 0xFF)
+            i += 1
+          }
+          out
+        } else stub
+      } finally in.close()
+    } catch { case _: Exception => stub }
+  }
+
+  /** Wrap a raw payload as a canonical 8-bit mono PCM WAV (44-byte
+    * header + the bytes as unsigned samples) — the constructed-media
+    * device that lets a REAL decode run under the DuckDB oracle
+    * (m09): wrap-then-decode is the identity byte − 128 on the
+    * payload, which SQL replays as ascii − 128. One typed
+    * executor-side pass; output (media_id, wav binary). */
+  def wrapPcm8Wav(df: DataFrame, idCol: String, dataCol: String,
+                  sampleRate: Int = 8000): DataFrame = {
+    val src: Dataset[(Long, Array[Byte])] = df
+      .select(col(idCol).cast("long"), col(dataCol).cast("binary"))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    src.mapPartitions { it =>
+      it.map { case (id, data) =>
+        val payload = if (data == null) Array.empty[Byte] else data
+        val n = payload.length
+        val bb = java.nio.ByteBuffer.allocate(44 + n)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1).putShort(1) // PCM, mono
+          .putInt(sampleRate).putInt(sampleRate) // byte rate = rate × 1 × 1
+          .putShort(1).putShort(8) // block align, bits per sample
+          .put("data".getBytes("US-ASCII")).putInt(n)
+          .put(payload)
+        (id, bb.array())
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+      .toDF("media_id", "wav")
+  }
+
   /** Audio-waveform stats card — the AUDIO member of the multimodal
-    * stub family. The DECODE IS A DETERMINISTIC FAKE (this container
-    * has no audio codecs): each payload byte is one 8-bit sample
-    * biased at 96, s = (byte & 0xFF) − 96 — chosen so ASCII test
-    * payloads produce a sign-alternating waveform (spaces ≈ −64,
-    * letters ≈ +1..+30). The PLUMBING is the real shape: binary column
-    * in, one typed executor-side pass, pure-integer aggregates out —
-    * n_samples, peak = max |s|, sum_sq = Σs² exactly in i64 (RMS² =
-    * sum_sq/n as an exact rational — no float ever computes), and
-    * zero_cross = sign changes (the classic voiced/unvoiced split).
-    * Swap the sample extractor for a real PCM/codec read and nothing
-    * else changes. */
+    * family. The decode is [[decodeSamples]]: REAL PCM WAV via
+    * javax.sound.sampled when the payload is RIFF/WAVE (the round-9
+    * image precedent — m09 runs it under the oracle over constructed
+    * WAVs), the documented byte−96 STUB otherwise (non-audio payloads
+    * keep the plumbing exercised — m07's text corpus). The PLUMBING is
+    * the real shape: binary column in, one typed executor-side pass,
+    * pure-integer aggregates out — n_samples, peak = max |s|, sum_sq =
+    * Σs² exactly in i64 (16-bit samples: s² ≤ 2^30, corpus-scale sums
+    * fit; RMS² = sum_sq/n as an exact rational — no float ever
+    * computes), and zero_cross = sign changes (the classic
+    * voiced/unvoiced split). */
   def audioStats(df: DataFrame, idCol: String,
                  dataCol: String): DataFrame = {
     val src: Dataset[(Long, Array[Byte])] = df
@@ -119,12 +203,13 @@ object Multimodal {
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     src.mapPartitions { it =>
       it.map { case (id, data) =>
-        val bytes = if (data == null) Array.empty[Byte] else data
+        val sm = decodeSamples(
+          if (data == null) Array.empty[Byte] else data)
         var peak = 0L; var sumSq = 0L; var zc = 0L
         var prevNeg = false; var first = true
         var i = 0
-        while (i < bytes.length) {
-          val s = (bytes(i) & 0xFF) - 96
+        while (i < sm.length) {
+          val s = sm(i)
           val a = math.abs(s).toLong
           if (a > peak) peak = a
           sumSq += s.toLong * s
@@ -133,7 +218,7 @@ object Multimodal {
           prevNeg = neg; first = false
           i += 1
         }
-        AudioStats(id, bytes.length.toLong, peak, sumSq, zc)
+        AudioStats(id, sm.length.toLong, peak, sumSq, zc)
       }
     }(Encoders.product[AudioStats]).toDF()
   }
@@ -143,15 +228,15 @@ object Multimodal {
 
   /** Audio activity segmentation (the VAD gate of speech-dataset
     * pipelines — drop silent clips, keep the longest voiced span):
-    * fixed `window`-sample frames over the [[audioStats]] stub decode
-    * (s = (byte & 0xFF) − 96), a frame is ACTIVE iff its energy
-    * Σs² > thrPerSample·frameLen (cross-multiplied — the threshold is
-    * mean energy per sample, exact in i64), and the card reports
-    * (n_windows, n_active, max_run) with max_run = the longest
-    * consecutive active span. One typed executor-side pass, no
-    * shuffle; the run-length fold is row-local sequential state —
-    * exactly what mapPartitions is for. Swap the sample extractor for
-    * a real PCM read and nothing else changes. */
+    * fixed `window`-sample frames over the [[decodeSamples]] decode
+    * (real PCM for RIFF/WAVE payloads, the byte−96 stub otherwise), a
+    * frame is ACTIVE iff its energy Σs² > thrPerSample·frameLen
+    * (cross-multiplied — the threshold is mean energy per sample,
+    * exact in i64), and the card reports (n_windows, n_active,
+    * max_run) with max_run = the longest consecutive active span. One
+    * typed executor-side pass, no shuffle; the run-length fold is
+    * row-local sequential state — exactly what mapPartitions is
+    * for. */
   def audioActivity(df: DataFrame, idCol: String, dataCol: String,
                     window: Int, thrPerSample: Long): DataFrame = {
     require(window >= 1 && thrPerSample >= 0,
@@ -161,8 +246,9 @@ object Multimodal {
       .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
     src.mapPartitions { it =>
       it.map { case (id, data) =>
-        val bytes = if (data == null) Array.empty[Byte] else data
-        val n = bytes.length
+        val sm = decodeSamples(
+          if (data == null) Array.empty[Byte] else data)
+        val n = sm.length
         val nw = (n + window - 1) / window
         var nActive = 0L; var run = 0L; var maxRun = 0L
         var w = 0
@@ -172,7 +258,7 @@ object Multimodal {
           var energy = 0L
           var i = lo
           while (i < hi) {
-            val s = (bytes(i) & 0xFF) - 96
+            val s = sm(i)
             energy += s.toLong * s
             i += 1
           }

@@ -335,4 +335,61 @@ class MultimodalSpec extends SparkSpec {
       .collect().head
     assert((got.getLong(1), got.getLong(2), got.getLong(3)) == ((4L, 3L, 2L)))
   }
+
+  // hand-assembled golden WAV bytes: 44-byte canonical PCM header.
+  // `bits` 8 → unsigned samples, 16 → signed little-endian.
+  private def wavBytes(bits: Int, data: Array[Byte],
+                       rate: Int = 8000): Array[Byte] = {
+    val blockAlign = bits / 8
+    val bb = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1)
+      .putInt(rate).putInt(rate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(data.length)
+      .put(data)
+    bb.array()
+  }
+
+  test("real WAV decode: golden 8-bit and 16-bit PCM bytes decode to " +
+      "true samples; corrupt RIFF falls back to the stub") {
+    // 8-bit PCM is UNSIGNED: bytes (0, 128, 255) → samples (−128, 0, 127)
+    val w8 = wavBytes(8, Array[Byte](0, 128.toByte, 255.toByte))
+    assert(Multimodal.decodeSamples(w8).toSeq == Seq(-128, 0, 127))
+    // 16-bit PCM signed LE: 0x0100 → 256, 0xFF7F → 32767, 0x0080 → −32768
+    val w16 = wavBytes(16, Array[Byte](0, 1, 0xFF.toByte, 0x7F, 0, 0x80.toByte))
+    assert(Multimodal.decodeSamples(w16).toSeq == Seq(256, 32767, -32768))
+    // audioStats over the 16-bit WAV: real sign changes + exact moments
+    val got = Multimodal.audioStats(
+      Seq((1L, w16)).toDF("id", "data"), "id", "data").collect().head
+    assert(got.getLong(1) == 3L)                  // n_samples: FRAMES, not bytes
+    assert(got.getLong(2) == 32768L)              // peak
+    assert(got.getLong(3) == 256L * 256 + 32767L * 32767 + 32768L * 32768)
+    assert(got.getLong(4) == 1L)                  // 32767 → −32768
+    // a merely magic-prefixed payload (truncated header) must fall back
+    // to the byte−96 stub, never fail the row
+    val corrupt = "RIFFxxxxWAVE garbage".getBytes("US-ASCII")
+    assert(Multimodal.decodeSamples(corrupt).toSeq ==
+      corrupt.toSeq.map(b => (b & 0xFF) - 96))
+    // non-RIFF payloads take the stub path untouched
+    val plain = "hello".getBytes("US-ASCII")
+    assert(Multimodal.decodeSamples(plain).toSeq ==
+      plain.toSeq.map(b => (b & 0xFF) - 96))
+  }
+
+  test("wrapPcm8Wav: wrap-then-decode is the byte - 128 identity (the " +
+      "m09 oracle contract), empty payloads included") {
+    val rows = Seq((1L, "Az ~".getBytes("US-ASCII")),
+      (2L, Array.empty[Byte])).toDF("id", "data")
+    val wrapped = Multimodal.wrapPcm8Wav(rows, "id", "data")
+    val got = wrapped.collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(Multimodal.isWav(got(1L)))
+    assert(Multimodal.decodeSamples(got(1L)).toSeq ==
+      "Az ~".getBytes("US-ASCII").toSeq.map(b => (b & 0xFF) - 128))
+    assert(Multimodal.decodeSamples(got(2L)).isEmpty)
+  }
 }
