@@ -327,12 +327,39 @@ object GraphAnn {
       .write.mode("overwrite").parquet(s"$path/edges")
   }
 
-  private def metaOf(spark: SparkSession, path: String): (Int, Int, Int) = {
+  private def metaOf(spark: SparkSession,
+                     path: String): (Int, Int, Int, Int) = {
     require(Similarity.fsDirExists(spark, s"$path/meta"),
       s"no graph index at $path (missing $path/meta — buildGraphIndex first)")
     val r = spark.read.parquet(s"$path/meta")
-      .select(col("k"), col("n_buckets"), col("iters")).collect().head
-    (r.getInt(0), r.getInt(1), r.getInt(2))
+      .select(col("k"), col("n_buckets"), col("iters"), col("n_rounds"))
+      .collect().head
+    (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+  }
+
+  /** REBALANCE a persisted graph index after appended drift: re-run
+    * the FULL NN-descent construction over the accumulated node set
+    * under the STORED meta params, then swap the root in one rename
+    * pair (the rebalanceIvfIndex discipline via
+    * [[Similarity.swapIndexRoot]]). Why appends need it: each appended
+    * point's k edges come from a beam search over the graph AS IT WAS,
+    * so an appended MODE gets base-corpus neighbors only — no in-mode
+    * edges exist until a fresh descent runs over everything (the exact
+    * cell-drift problem rebalanceIvfIndex solves for IVF). knnGraph is
+    * layout-invariant (spec-pinned), so rebalance ≡ a from-scratch
+    * buildGraphIndex on the accumulated set, and the rewrite compacts
+    * append small-files. Self-contained: the graph index stores its
+    * vectors, so no corpus re-supply is needed (unlike IVFADC). */
+  def rebalanceGraphIndex(spark: SparkSession, path: String): Unit = {
+    val (k, nBuckets, iters, nRounds) = metaOf(spark, path)
+    // the rewrite replaces the files this plan reads — materialize
+    // first (the rebalanceIvfIndex rule); dropDuplicates: a replayed
+    // append re-writes identical node rows (the m05 exactly-once rule)
+    val nodes = spark.read.parquet(s"$path/nodes").dropDuplicates("id")
+      .localCheckpoint()
+    val tmp = s"$path.rebuild_tmp"
+    buildGraphIndex(nodes, "id", "v", k, nBuckets, iters, tmp, nRounds)
+    Similarity.swapIndexRoot(path, tmp, "rebalanceGraphIndex")
   }
 
   /** Driver-pull gate for [[appendToGraphIndex]] (the maxKernelElems
@@ -357,7 +384,7 @@ object GraphAnn {
                          path: String, beamWidth: Int = 32,
                          hops: Int = 3, nSeeds: Int = 8): Unit = {
     val spark = df.sparkSession
-    val (k, _, _) = metaOf(spark, path)
+    val (k, _, _, _) = metaOf(spark, path)
     // dropDuplicates("id"): defensive vs pre-fix stores; edges likewise
     // dedupe at load (the m05 exactly-once rule)
     val nodes = spark.read.parquet(s"$path/nodes").dropDuplicates("id")

@@ -186,6 +186,68 @@ class GraphAnnSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("rebalanceGraphIndex: a fresh descent over the accumulated set " +
+      "equals a from-scratch build bit-for-bit, and restores the " +
+      "in-mode edges an appended mode cannot have") {
+    val base = s"/tmp/graft_graphann_rb/${System.nanoTime()}"
+    GraphAnn.buildGraphIndex(clustered, "vec_id", "embedding",
+      k = 8, nBuckets = 16, iters = 2, path = s"$base/idx")
+    // an appended MODE the build never saw: overlaps clusters 0 and 4
+    // (cos ≈ 0.5 to each) while in-mode cos ≈ 1
+    def dvec(i: Long): Seq[Double] = {
+      val v = Array.fill(64)(0.0)
+      (0 until 4).foreach(d => v(d) = 1.0)
+      (32 until 36).foreach(d => v(d) = 1.0)
+      v((i % 4).toInt) += 0.2 * (((i * 7) % 13) - 6) / 13.0
+      v.toSeq
+    }
+    val drift = (1000L until 1024L).map(i => (i, dvec(i)))
+      .toDF("vec_id", "embedding")
+    GraphAnn.appendToGraphIndex(drift, "vec_id", "embedding", s"$base/idx")
+    // every appended point's edges were beam-found over the graph AS IT
+    // WAS (base nodes only) — the mode has ZERO in-mode edges, the
+    // drift this operator exists to repair
+    assert(spark.read.parquet(s"$base/idx/edges")
+      .filter($"id" >= 1000L && $"nbr" >= 1000L).count() == 0L)
+    val all = clustered.union(drift)
+    def inModeRecall(): Double = {
+      val qids = (1000L until 1008L).toSeq
+      val got = GraphAnn.searchGraphIndex(spark, s"$base/idx", qids,
+        k = 10, beamWidth = 12, hops = 3, nSeeds = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(2))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      val rs = qids.map { q =>
+        val exact = Similarity.bruteForceTopK(all, "vec_id", "embedding",
+          q, 10).collect().map(_.getLong(0)).toSet
+        got.getOrElse(q, Set.empty[Long]).intersect(exact).size.toDouble / 10.0
+      }
+      rs.sum / rs.size
+    }
+    val pre = inModeRecall()
+    info(s"pre-rebalance in-mode recall@10: $pre")
+    GraphAnn.rebalanceGraphIndex(spark, s"$base/idx")
+    // rebalance ≡ from-scratch build on the accumulated set (knnGraph
+    // is layout-invariant — pinned above)
+    GraphAnn.buildGraphIndex(all, "vec_id", "embedding",
+      k = 8, nBuckets = 16, iters = 2, path = s"$base/fresh")
+    def snap(p: String) = (
+      spark.read.parquet(s"$p/nodes").collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq,
+      spark.read.parquet(s"$p/edges").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq)
+    assert(snap(s"$base/idx") == snap(s"$base/fresh"),
+      "rebalance must equal a from-scratch build on the same set")
+    // the fresh descent gives the mode its own neighborhood
+    assert(spark.read.parquet(s"$base/idx/edges")
+      .filter($"id" >= 1000L && $"nbr" >= 1000L).count() > 0L)
+    val post = inModeRecall()
+    info(s"post-rebalance in-mode recall@10: $post")
+    assert(post >= 0.9 && post >= pre,
+      s"rebalance must restore in-mode recall: $pre -> $post")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("appendToGraphIndex fails fast over maxAppendBatch — the " +
       "bounded driver-pull gate (the limit caps the pull itself)") {
     val base = s"/tmp/graft_graphann_gate/${System.nanoTime()}"
