@@ -173,6 +173,36 @@ object Graft {
       (exprs: Seq[Expression]) => functions.LangNbScore(exprs.head, kernel),
       "scala_udf")
 
+  /** Register a FITTED WordPiece encoder as `name(text)` in this
+    * session — the t86 greedy longest-match walk (incl. the
+    * `##`-continuation-only rule and whole-word `[UNK]`) reachable
+    * from SQL text as one codegen pass. Binds a model artifact like
+    * [[registerLangNb]]. */
+  def registerWordPiece(spark: SparkSession, vocab: Set[String],
+                        name: String = "wordpiece_encode",
+                        unk: String = "[UNK]"): Unit = {
+    require(vocab.nonEmpty, "registerWordPiece needs a non-empty vocabulary")
+    val v = vocab.toSeq.sorted // deterministic expression equality
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+      (exprs: Seq[Expression]) =>
+        functions.WordPieceEncode(exprs.head, v, unk),
+      "scala_udf")
+  }
+
+  /** Register a FITTED unigram (SentencePiece-style) Viterbi segmenter
+    * as `name(text)` — the t72 exact-integer DP reachable from SQL
+    * text. `census`/`cv` come from [[operators.Unigram.censusCosts]]
+    * (or an emFit round). */
+  def registerUnigram(spark: SparkSession, census: Map[String, Long],
+                      cv: Long, maxPieceSyms: Int,
+                      name: String = "unigram_segment"): Unit = {
+    val c = census.toSeq.sortBy(_._1) // deterministic expression equality
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+      (exprs: Seq[Expression]) =>
+        functions.UnigramSegment(exprs.head, c, cv, maxPieceSyms),
+      "scala_udf")
+  }
+
   /** Register the testdata tables and the function library in one call —
     * a SQL user's session bootstrap. */
   def bootstrap(spark: SparkSession, sfDir: String): Unit = {

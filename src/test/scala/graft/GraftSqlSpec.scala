@@ -271,4 +271,59 @@ class GraftSqlSpec extends SparkSpec {
     assert(viaSql == viaKernel, s"$viaSql vs $viaKernel")
     assert(viaSql.map(_._2) == Seq("en", "de", "unknown", "unknown"))
   }
+
+  test("registerWordPiece: the fitted greedy encoder is SQL-callable, " +
+      "matches encodeWord word-for-word, nulls pass through, and an " +
+      "empty vocabulary fails fast") {
+    import spark.implicits._
+    val vocab = Set("un", "aff", "##aff", "##able", "##ord", "a", "##b")
+    Graft.registerWordPiece(spark, vocab)
+    val docs = Seq((1L, "unaffable afford"), (2L, "xyz un"),
+      (3L, ""), (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("gsql_wp")
+    val viaSql = spark.sql(
+      "SELECT doc_id, wordpiece_encode(text) p FROM gsql_wp ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    def direct(t: String) = t.split(" ", -1).toSeq.filter(_.nonEmpty)
+      .flatMap(w => operators.WordPiece.encodeWord(w, vocab))
+    assert(viaSql(1L) == direct("unaffable afford"))
+    assert(viaSql(1L) == Seq("un", "##aff", "##able", "aff", "##ord"))
+    assert(viaSql(2L) == Seq("[UNK]", "un")) // whole-word UNK fallback
+    assert(viaSql(3L) == Seq.empty)
+    assert(viaSql(4L) == null)
+    val e = intercept[IllegalArgumentException] {
+      Graft.registerWordPiece(spark, Set.empty)
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
+
+  test("registerUnigram: the fitted Viterbi segmenter is SQL-callable " +
+      "and matches Unigram.viterbi word-for-word") {
+    import spark.implicits._
+    // census over end-marked symbol strings (the Bpe.toSyms domain):
+    // make 'ab</w>'-style merges cheap so segmentation is non-trivial
+    val census = Map("ab" -> 50L, "c" -> 10L, "a" -> 5L, "b" -> 5L)
+    val cv = census.values.sum + census.size
+    Graft.registerUnigram(spark, census, cv, maxPieceSyms = 4)
+    val docs = Seq((1L, "abc ab"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("gsql_ug")
+    val viaSql = spark.sql(
+      "SELECT doc_id, unigram_segment(text) p FROM gsql_ug ORDER BY doc_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getSeq[String](1))).toMap
+    def direct(t: String) = t.split(" ", -1).toSeq.filter(_.nonEmpty)
+      .flatMap { w =>
+        operators.Unigram.viterbi(graft.operators.Bpe.toSyms(w),
+          census.get, cv, 4)._2
+      }
+    assert(viaSql(1L) == direct("abc ab"), s"${viaSql(1L)} vs ${direct("abc ab")}")
+    assert(viaSql(2L) == null)
+    // non-string input is an analysis-time failure, not a wrong answer
+    val err = intercept[Exception] {
+      spark.sql("SELECT unigram_segment(42)").collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("string"), err.getMessage)
+  }
 }
