@@ -2110,6 +2110,42 @@ private[graft] trait Queries3Curate extends Queries2Lm {
        |  CAST(kl_num * 10 > 1 * kl_den AS INT) AS drifted
        |FROM kl ORDER BY src""".stripMargin
 
+  // ---------------------------------------------------------------- t100
+  // Per-source token-mass concentration card (corpus-balance
+  // governance: is a source's mass carried by a few huge documents?):
+  // exact-integer Gini over per-doc token counts + top-doc share —
+  // see CorpusStats.concentrationCard for the 2·Σ(rank·x) − (n+1)·Σx
+  // fold (ONE window + one aggregation; Σ(rank·x) in DECIMAL(38,0),
+  // only the two reported ratios divide, 6-dp roundBin both engines).
+  def t100_source_gini(spark: SparkSession, dir: String): DataFrame =
+    operators.CorpusStats.concentrationCard(
+        t(spark, dir, "documents"), "source", "doc_id", "text")
+      .orderBy($"src")
+
+  private[graft] val t100_sql =
+    """WITH wc AS (
+      |  SELECT source AS src, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS wc
+      |  FROM documents),
+      |r AS (
+      |  SELECT src, wc,
+      |    ROW_NUMBER() OVER (PARTITION BY src ORDER BY wc, doc_id) AS rk
+      |  FROM wc),
+      |a AS (
+      |  SELECT src, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |    CAST(SUM(wc) AS BIGINT) AS total_tokens,
+      |    SUM(CAST(rk AS HUGEINT) * wc) AS srx,
+      |    CAST(MAX(wc) AS BIGINT) AS max_wc
+      |  FROM r GROUP BY src)
+      |SELECT src, n_docs, total_tokens,
+      |  floor(CAST(2 * srx - (n_docs + 1) * CAST(total_tokens AS HUGEINT)
+      |      AS DOUBLE)
+      |    / CAST(n_docs AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+      |    * 1000000 + 0.5) / 1000000 AS gini,
+      |  floor(CAST(max_wc AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+      |    * 1000000 + 0.5) / 1000000 AS top1_share
+      |FROM a ORDER BY src""".stripMargin
+
   // ---------------------------------------------------------------- t98
   // GATE STACK — the composed keep/drop card real pipelines ship
   // (RefinedWeb's stacked filters): character entropy ≥ 3.906 bits

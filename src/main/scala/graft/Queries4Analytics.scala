@@ -1404,6 +1404,69 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
 
   private[graft] lazy val q80_sql = q78_sql
 
+  // ---------------------------------------------------------------- q81
+  // Streaming per-user EMA — q70's live twin: the same sequential Ema
+  // fold per micro-batch, seeded by the PHANTOM carry-in whose value
+  // IS the stored EMA (Ema's first-row-seeds rule), so every streamed
+  // per-event value is BIT-EQUAL to the batch fold and the oracle IS
+  // q70's SQL. State is (last_t, last_i, last_ema) per user — bounded
+  // by user cardinality; results append per batch.
+  def q81_stream_ema(spark: SparkSession, dir: String): DataFrame = {
+    val batch = t(spark, dir, "events")
+      .select($"user_id", $"ts", $"value", $"event_id")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val nChunks = 4
+    val base = s"/tmp/graft_stream/$key/ema_c${nChunks}" +
+      s"_s${srcStamp(dir, "events.parquet")}"
+    val (stage, statePath, resultPath, ckpt) =
+      (s"$base/feed", s"$base/state", s"$base/result", s"$base/ckpt")
+    if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      Streams.stageTimeOrderedFeed(batch, "ts", nChunks, stage)
+    }
+    Streams.emaIngest(spark, stage, batch,
+      df => df.select($"user_id".as("k"), $"ts".as("t"),
+        $"event_id".as("i"), $"value".as("v")),
+      aNum = 1, aDen = 2, statePath, resultPath, ckpt)
+    spark.read.parquet(resultPath)
+      .select($"k".as("user_id"), $"i".as("event_id"), $"ema")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private[graft] lazy val q81_sql = q70_sql
+
+  // ---------------------------------------------------------------- q82
+  // Per-user upper CUSUM change detection (Page 1954 — the sequential
+  // drift detector next to EMA in the kdb scan family; operators/Cusum
+  // scaladoc has the recursion): S_t = max(0, S_{t−1} + (vq_t − kRef))
+  // over the (ts, event_id) order, ENTIRELY in ×100-cent integers (the
+  // q68 convention) so the fold replays bit-for-bit as a recursive CTE
+  // with no rounding anywhere. kRef = 5000 cents ≈ the measured mean
+  // event value (median 34.6, mean 49.6 — the cut was measured before
+  // the query was written): S accumulates above-typical runs and
+  // resets when the evidence empties.
+  def q82_cusum(spark: SparkSession, dir: String): DataFrame =
+    operators.Cusum.cusum(t(spark, dir, "events"), "user_id", "ts",
+        "event_id", expr("CAST(round(value * 100) AS BIGINT)"),
+        kRef = 5000L)
+      .orderBy($"user_id", $"event_id")
+
+  private[graft] val q82_sql =
+    """WITH RECURSIVE b AS (
+      |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS vq,
+      |    row_number() OVER (PARTITION BY user_id
+      |                       ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |rec AS (
+      |  SELECT user_id, event_id, rn,
+      |    GREATEST(CAST(0 AS BIGINT), vq - 5000) AS s FROM b WHERE rn = 1
+      |  UNION ALL
+      |  SELECT b.user_id, b.event_id, b.rn,
+      |    GREATEST(CAST(0 AS BIGINT), rec.s + b.vq - 5000)
+      |  FROM rec JOIN b ON b.user_id = rec.user_id AND b.rn = rec.rn + 1)
+      |SELECT user_id, event_id, s FROM rec
+      |ORDER BY user_id, event_id""".stripMargin
+
   // shape: one key repartition, in-partition sort, one sequential fold
   // pass (operators/Ema — keys never straddle partitions, so folds run
   // parallel across keys). α = 1/2 as the rational 1/2; the per-step

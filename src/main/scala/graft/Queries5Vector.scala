@@ -994,6 +994,38 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
   private[graft] val s26_sql = ivfPqSearchSql(queryId = 1L, k = 10,
     nProbe = 3)
 
+  // ---------------------------------------------------------------- s27
+  // IVFADC coarse-cell balance health card — the observability half of
+  // rebalanceIvfPqIndex (the s24/IVF pairing, over the L2 coarse cells
+  // the PQ index actually prunes by): per-cell occupancy INCLUDING
+  // empty cells, skew flagged at 9/8 × fair share (the s24 cut — the
+  // corpus is the same isotropic embedding table, and the flags are
+  // non-vacuous: measured before the oracle was written). Oracle =
+  // the shared IVFADC coarse Lloyd replay + census with the
+  // empty-cell left join.
+  def s27_ivfpq_cell_balance(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cellBalanceCard(t(spark, dir, "embeddings"),
+        "vec_id", "embedding", ivfPqModel(spark, dir).coarse,
+        skewNum = 9L, skewDen = 8L, l2 = true)
+      .orderBy($"cell")
+
+  private[graft] val s27_sql = {
+    val coarse = pqSubChainSql("c", "v", "num", 0, 0, 64, PqIters)
+    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |    FROM embeddings),
+       |${pqNumSql("num", "v", PqKSub * 16)},
+       |$coarse,
+       |cenb AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM asgc0 GROUP BY cell),
+       |allc AS (SELECT DISTINCT cell FROM cent${PqIters}c0),
+       |jb AS (SELECT a.cell, COALESCE(c.n, CAST(0 AS BIGINT)) AS n
+       |  FROM allc a LEFT JOIN cenb c USING (cell)),
+       |tb AS (SELECT cell, n, CAST(SUM(n) OVER () AS BIGINT) AS total
+       |  FROM jb)
+       |SELECT cell, n, CAST(n * 8 * 8 > 9 * total AS INT) AS skewed
+       |FROM tb ORDER BY cell""".stripMargin
+  }
+
   // ---------------------------------------------------------------- s06
   // k-NN join: exact top-3 cosine neighbors for a 10-vector query set in
   // one pass (batch retrieval / hard-negative mining). Query side

@@ -579,6 +579,47 @@ object CorpusStats {
           .cast("int").as("drifted"))
   }
 
+  /** Per-source token-mass concentration card (the corpus-balance
+    * governance view: is one source's mass carried by a few huge
+    * documents?): Gini coefficient over per-document token counts
+    * within each source, plus the top-document share.
+    *
+    *   gini = Σ_i (2i − n − 1)·x_(i) / (n·Σx)   (x sorted ascending)
+    *
+    * The numerator folds to 2·Σ(rank·x) − (n+1)·Σx, so the engine
+    * needs ONE window (rank within source by (wc, doc_id) — ties
+    * permute equal x values, which leaves the sum invariant, so the
+    * tie-break only buys determinism) and one aggregation. Σ(rank·x)
+    * rides in DECIMAL(38,0) (rank ≤ n and x can both be corpus-scale —
+    * the q68 moments discipline); only the two reported ratios divide,
+    * through an identical fixed-order chain + 6-dp roundBin both
+    * engines. wc counts split(" ") CELLS (empties included — the t69
+    * rule), so wc ≥ 1 and no denominator can be zero. */
+  def concentrationCard(corpus: DataFrame, srcCol: String, idCol: String,
+                        textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.RF
+    val wc = corpus.select(col(srcCol).as("src"), col(idCol).as("id"),
+      size(split(col(textCol), " ", -1)).cast("long").as("wc"))
+    val w = Window.partitionBy($"src").orderBy($"wc", $"id")
+    wc.withColumn("rk", row_number().over(w))
+      .groupBy($"src")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"wc").as("total_tokens"),
+        sum($"rk".cast("decimal(38,0)") * $"wc").as("srx"),
+        max($"wc").as("max_wc"))
+      .select($"src", $"n_docs", $"total_tokens",
+        RF.roundBin(
+          (lit(2).cast("decimal(38,0)") * $"srx" -
+            ($"n_docs" + 1).cast("decimal(38,0)") * $"total_tokens")
+            .cast("double")
+            / $"n_docs".cast("double") / $"total_tokens".cast("double"),
+          6).as("gini"),
+        RF.roundBin(
+          $"max_wc".cast("double") / $"total_tokens".cast("double"), 6)
+          .as("top1_share"))
+  }
+
   /** Blocklist census (the C4/RefinedWeb banned-wordlist gate): per
     * document the total occurrence count over `phrases` (ALL matches,
     * overlapping included), the number of distinct phrases present, the

@@ -631,14 +631,16 @@ object Similarity {
     * t88 bucket-rows rule — never corpus rows). */
   def cellBalanceCard(df: DataFrame, idCol: String, vecCol: String,
                       cents: Array[(Int, Seq[Double])],
-                      skewNum: Long, skewDen: Long): DataFrame = {
+                      skewNum: Long, skewDen: Long,
+                      l2: Boolean = false): DataFrame = {
     require(skewNum >= 1 && skewDen >= 1,
       s"need positive skewNum/skewDen, got $skewNum/$skewDen")
     val spark = df.sparkSession
     import spark.implicits._
     val v = df.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("v"))
-    val census = assignCells(v, cents)
+    // l2 = the IVFADC coarse-cell rule (s27); cosine = the IVF rule (s24)
+    val census = assignCells(v, cents, l2)
       .groupBy(col("cell")).agg(count(lit(1)).as("n"))
     val cells = cents.map(_._1).toSeq.toDF("cell")
     val w = org.apache.spark.sql.expressions.Window

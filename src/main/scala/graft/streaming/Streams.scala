@@ -1062,6 +1062,96 @@ object Streams {
     org.apache.commons.io.FileUtils.deleteQuietly(old)
   }
 
+  /** Streaming per-key EMA (q70's live twin — the kdb scan kept
+    * current by insert callbacks): each micro-batch folds through the
+    * SAME sequential [[graft.operators.Ema]] pass as the batch query,
+    * seeded per key by a PHANTOM carry-in row whose value IS the
+    * stored EMA — Ema's "first row of a key seeds the chain" rule
+    * makes the phantom the seed, and every later step is the identical
+    * (aNum·v + (aDen−aNum)·prev)/aDen double chain, so the streamed
+    * per-event values are BIT-EQUAL to the batch fold (the oracle IS
+    * q70's SQL). Per-event rows append to `resultPath`; per-key
+    * (last_t, last_i, last_ema) state rewrites through tmp + rename
+    * swap (the twapIngest discipline). Requires a time-ordered feed:
+    * EMA order matters materially, so ANY batch row at-or-before a
+    * key's stored last event fails fast (stricter than TWAP's
+    * same-µs tolerance — a same-µs lower-id row would re-order the
+    * chain, not just add a zero-width interval). At-least-once on a
+    * crash between result append and checkpoint commit; a planned
+    * restart over a drained feed is a no-op. */
+  def emaIngest(spark: SparkSession, srcDir: String,
+                schemaFrom: DataFrame, prep: DataFrame => DataFrame,
+                aNum: Int, aDen: Int, statePath: String,
+                resultPath: String, checkpoint: String,
+                statePartitions: Int = 2): Unit = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q = prep(ss.readStream.schema(schemaFrom.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir))
+      .writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeEmaState(batch, aNum, aDen, statePath, resultPath)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** One EMA batch fold: batch must carry (k, t, i, v). */
+  private[graft] def mergeEmaState(batch: DataFrame, aNum: Int, aDen: Int,
+                                   statePath: String,
+                                   resultPath: String): Unit = {
+    val bs = batch.sparkSession
+    val state0 =
+      if (new java.io.File(s"$statePath/_SUCCESS").exists())
+        bs.read.parquet(statePath)
+      else bs.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, last_t BIGINT, last_i BIGINT, last_ema DOUBLE"))
+    val carry = state0.select(col("k"), col("last_t").as("t"),
+      col("last_i").as("i"), col("last_ema").as("v"))
+    val rows = batch.select(col("k"), col("t"), col("i"),
+      col("v").cast("double").as("v"))
+    // out-of-order fail-fast BEFORE folding: EMA order matters
+    // materially, so any batch row at-or-before the stored last event
+    // re-orders the chain (no same-µs tolerance — the TWAP contrast)
+    val viol = rows.join(state0, Seq("k"))
+      .filter(struct(col("t"), col("i")) <=
+        struct(col("last_t"), col("last_i")))
+      .limit(1).collect()
+    require(viol.isEmpty,
+      s"emaIngest: out-of-order feed for key ${
+        if (viol.isEmpty) "" else viol.head.getLong(0)} — " +
+        "batch row at-or-before the stored last event")
+    val folded = graft.operators.Ema.ema(
+      rows.unionByName(carry), "k", "t", "i", "v", aNum, aDen)
+    // phantoms are (k, last_i) — their events were emitted by an
+    // earlier batch; anti-join them out of this batch's emission
+    val out = folded.join(
+      state0.select(col("k"), col("last_i").as("i")),
+      Seq("k", "i"), "left_anti")
+    out.write.mode("append").parquet(resultPath)
+    // new state: the (t, i)-max row of (carry ∪ batch) with its folded
+    // EMA — join the fold output back to the inputs for t
+    val newState = folded.join(rows.unionByName(carry), Seq("k", "i"))
+      .groupBy(col("k"))
+      .agg(max_by(struct(col("t").as("lt"), col("i").as("li"),
+          col("ema").as("le")),
+        struct(col("t"), col("i"))).as("last"))
+      .select(col("k"), col("last.lt").as("last_t"),
+        col("last.li").as("last_i"), col("last.le").as("last_ema"))
+    val tmp = s"$statePath.tmp"
+    newState.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val live = new java.io.File(statePath)
+    val old = new java.io.File(s"$statePath.old")
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    require((!live.exists() || live.renameTo(old)) &&
+        new java.io.File(tmp).renameTo(live),
+      s"emaIngest: state swap failed for $statePath")
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+  }
+
   /** Stage a DataFrame as a TIME-ORDERED multi-file feed: rows are
     * range-split on `tsCol` into `nChunks` single-file parquet chunks
     * with ascending modification times, so a file-source stream with

@@ -165,6 +165,52 @@ class OperatorsSpec extends SparkSpec {
     assert(run(1, 4, 3) == replay(1, 4))
   }
 
+  test("cusum: per-key fold with the max-0 reset matches a hand replay, " +
+      "is layout-invariant, and fail-fasts on null inputs") {
+    import graft.operators.Cusum
+    val df = Seq(
+      (1L, 10L, 100L, 3L), (1L, 20L, 101L, 9L), (1L, 30L, 102L, 1L),
+      (1L, 40L, 103L, 12L),
+      (2L, 5L, 200L, 20L), (2L, 6L, 201L, 1L),
+      (3L, 1L, 300L, 4L)
+    ).toDF("k", "ts", "id", "vq")
+    def run(parts: Int) =
+      Cusum.cusum(df.repartition(parts), "k", "ts", "id", $"vq", kRef = 5L)
+        .orderBy($"k", $"id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // kRef 5: key 1 → 0, 4, 0 (reset), 7; key 2 → 15, 11; key 3 → 0
+    val expect = Seq((1L, 100L, 0L), (1L, 101L, 4L), (1L, 102L, 0L),
+      (1L, 103L, 7L), (2L, 200L, 15L), (2L, 201L, 11L), (3L, 300L, 0L))
+    assert(run(1) == expect)
+    assert(run(7) == expect, "layout must not change the fold")
+    val e = intercept[Exception] {
+      Cusum.cusum(Seq((1L, 1L, 1L, None: Option[Long]))
+          .toDF("k", "ts", "id", "vq"), "k", "ts", "id", $"vq", 0L)
+        .collect()
+    }
+    assert(e.getMessage.contains("null") ||
+      Option(e.getCause).exists(_.getMessage.contains("null")), e.toString)
+  }
+
+  test("concentrationCard: gini equals the brute-force sorted-rank " +
+      "definition; a uniform source and a singleton source read 0") {
+    val docs = Seq(
+      ("a", 1L, "x x x"), ("a", 2L, "x x x"), // uniform → gini 0
+      ("b", 3L, "x"), ("b", 4L, "x x x x x x x"), // (1, 7)
+      ("c", 5L, "x x") // singleton → gini 0
+    ).toDF("source", "doc_id", "text")
+    val got = operators.CorpusStats
+      .concentrationCard(docs, "source", "doc_id", "text")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // b: x=(1,7): num = (2·1−3)·1 + (2·2−3)·7 = 6; gini = 6/(2·8) = 0.375
+    assert(got("a") == ((2L, 6L, 0.0, 0.5)))
+    assert(got("b") == ((2L, 8L, 0.375, 0.875)))
+    assert(got("c") == ((1L, 2L, 0.0, 1.0)))
+  }
+
   test("deterministic mode (q71 shape): count ties resolve to the " +
       "SMALLEST value; n_values counts distinct values") {
     val df = Seq(("a", 7L), ("a", 7L), ("a", 5L), ("a", 5L), ("a", 9L),

@@ -205,6 +205,47 @@ class WatermarkSpec extends SparkSpec {
       "drained replay must not change the state fold")
   }
 
+  test("q81 streaming EMA is bit-equal to the batch q70 on the " +
+      "in-order feed, and a drained re-run is a planned-restart no-op") {
+    val dir = "/root/testdata/sf0.001"
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    val stream = snap(Queries.q81_stream_ema(spark, dir))
+    assert(stream == snap(Queries.q70_ema(spark, dir)),
+      s"streamed EMA (${stream.size} rows) != batch")
+    assert(snap(Queries.q81_stream_ema(spark, dir)) == stream,
+      "drained replay must not change the emitted fold")
+  }
+
+  test("emaIngest state merge: the phantom carry-in SEEDS the chain " +
+      "(Ema's first-row rule), and any at-or-before row fail-fasts — " +
+      "EMA has no same-µs tolerance") {
+    val base = s"/tmp/graft_ema_spec/${System.nanoTime()}"
+    val (statePath, resultPath) = (s"$base/state", s"$base/result")
+    new java.io.File(base).mkdirs()
+    def b(rows: (Long, Long, Long, Double)*) =
+      rows.toSeq.toDF("k", "t", "i", "v")
+    streaming.Streams.mergeEmaState(
+      b((1L, 10L, 100L, 4.0), (1L, 20L, 101L, 8.0)), 1, 2,
+      statePath, resultPath)
+    // state now (k=1, t=20, i=101, ema=(8+4)/2=6); next batch chains
+    streaming.Streams.mergeEmaState(
+      b((1L, 30L, 102L, 2.0)), 1, 2, statePath, resultPath)
+    val got = spark.read.parquet(resultPath)
+      .orderBy($"k", $"i").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 100L, 4.0), (1L, 101L, 6.0), (1L, 102L, 4.0)),
+      got.toString) // (2 + 6)/2 = 4 — seeded by the stored EMA
+    // same-t row with a lower id re-orders the chain → fail fast
+    val e = intercept[IllegalArgumentException] {
+      streaming.Streams.mergeEmaState(
+        b((1L, 30L, 99L, 1.0)), 1, 2, statePath, resultPath)
+    }
+    assert(e.getMessage.contains("out-of-order"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("twapIngest state merge: the phantom carry-in prices the " +
       "cross-batch bridge (incl. the same-µs boundary tie), untouched " +
       "users keep their state, and an out-of-order feed fail-fasts") {
