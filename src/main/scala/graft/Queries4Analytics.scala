@@ -1451,6 +1451,38 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
         kRef = 5000L)
       .orderBy($"user_id", $"event_id")
 
+  // ---------------------------------------------------------------- q83
+  // Streaming per-user CUSUM — q82's live twin (the production shape
+  // of a drift monitor IS the live feed): the same integer Cusum fold
+  // per micro-batch, seeded by the v = stored_S + kRef phantom (its
+  // own fold step reproduces stored_S exactly — see
+  // Streams.cusumIngest), so every streamed per-event S is the integer
+  // the batch fold produces and the oracle IS q82's SQL.
+  def q83_stream_cusum(spark: SparkSession, dir: String): DataFrame = {
+    val batch = t(spark, dir, "events")
+      .select($"user_id", $"ts", $"value", $"event_id")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val nChunks = 4
+    val base = s"/tmp/graft_stream/$key/cusum_c${nChunks}" +
+      s"_s${srcStamp(dir, "events.parquet")}"
+    val (stage, statePath, resultPath, ckpt) =
+      (s"$base/feed", s"$base/state", s"$base/result", s"$base/ckpt")
+    if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      Streams.stageTimeOrderedFeed(batch, "ts", nChunks, stage)
+    }
+    Streams.cusumIngest(spark, stage, batch,
+      df => df.select($"user_id".as("k"), $"ts".as("t"),
+        $"event_id".as("i"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vq")),
+      kRef = 5000L, statePath, resultPath, ckpt)
+    spark.read.parquet(resultPath)
+      .select($"k".as("user_id"), $"i".as("event_id"), $"s")
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private[graft] lazy val q83_sql = q82_sql
+
   private[graft] val q82_sql =
     """WITH RECURSIVE b AS (
       |  SELECT user_id, event_id, CAST(round(value * 100) AS BIGINT) AS vq,

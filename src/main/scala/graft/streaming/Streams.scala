@@ -1049,16 +1049,24 @@ object Streams {
         col("blast.v").as("last_vq"),
         (coalesce(col("s_num"), zero) + coalesce(col("dnum"), zero))
           .cast("decimal(38,0)").as("num"))
-    // the tmp write fully materializes the merge (which reads the live
-    // state) BEFORE any rename touches it — no torn state on a crash
+    writeStateSwap(merged, statePath, "twapIngest")
+  }
+
+  /** Rewrite a per-key state table through tmp + rename swap — the
+    * shared tail of every scan-ingest merge (TWAP/EMA/CUSUM). The tmp
+    * write fully materializes the merge (which reads the live state)
+    * BEFORE any rename touches it, so a crash never leaves a torn
+    * state table. */
+  private def writeStateSwap(newState: DataFrame, statePath: String,
+                             fn: String): Unit = {
     val tmp = s"$statePath.tmp"
-    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    newState.coalesce(1).write.mode("overwrite").parquet(tmp)
     val live = new java.io.File(statePath)
     val old = new java.io.File(s"$statePath.old")
     org.apache.commons.io.FileUtils.deleteQuietly(old)
     require((!live.exists() || live.renameTo(old)) &&
         new java.io.File(tmp).renameTo(live),
-      s"twapIngest: state swap failed for $statePath")
+      s"$fn: state swap failed for $statePath")
     org.apache.commons.io.FileUtils.deleteQuietly(old)
   }
 
@@ -1141,15 +1149,76 @@ object Streams {
         struct(col("t"), col("i"))).as("last"))
       .select(col("k"), col("last.lt").as("last_t"),
         col("last.li").as("last_i"), col("last.le").as("last_ema"))
-    val tmp = s"$statePath.tmp"
-    newState.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val live = new java.io.File(statePath)
-    val old = new java.io.File(s"$statePath.old")
-    org.apache.commons.io.FileUtils.deleteQuietly(old)
-    require((!live.exists() || live.renameTo(old)) &&
-        new java.io.File(tmp).renameTo(live),
-      s"emaIngest: state swap failed for $statePath")
-    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    writeStateSwap(newState, statePath, "emaIngest")
+  }
+
+  /** Streaming per-key CUSUM (q82's live twin): the same sequential
+    * [[graft.operators.Cusum]] fold per micro-batch, seeded per key by
+    * a PHANTOM carry-in row with v = stored_S + kRef — the fold's
+    * first step then reads max(0, 0 + (stored_S + kRef) − kRef) =
+    * stored_S exactly (S ≥ 0 by construction), so every streamed
+    * per-event S is the integer the batch fold produces (the oracle IS
+    * q82's SQL). Same strict out-of-order fail-fast as EMA: S is
+    * emitted per event, so a same-timestamp reorder changes the middle
+    * values even though the end state survives. State/result/swap
+    * discipline identical to [[emaIngest]]. */
+  def cusumIngest(spark: SparkSession, srcDir: String,
+                  schemaFrom: DataFrame, prep: DataFrame => DataFrame,
+                  kRef: Long, statePath: String, resultPath: String,
+                  checkpoint: String, statePartitions: Int = 2): Unit = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q = prep(ss.readStream.schema(schemaFrom.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir))
+      .writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeCusumState(batch, kRef, statePath, resultPath)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** One CUSUM batch fold: batch must carry (k, t, i, vq). */
+  private[graft] def mergeCusumState(batch: DataFrame, kRef: Long,
+                                     statePath: String,
+                                     resultPath: String): Unit = {
+    val bs = batch.sparkSession
+    val state0 =
+      if (new java.io.File(s"$statePath/_SUCCESS").exists())
+        bs.read.parquet(statePath)
+      else bs.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, last_t BIGINT, last_i BIGINT, last_s BIGINT"))
+    // the seed trick: v = stored_S + kRef makes the phantom's own fold
+    // step reproduce stored_S bit-for-bit
+    val carry = state0.select(col("k"), col("last_t").as("t"),
+      col("last_i").as("i"), (col("last_s") + kRef).as("vq"))
+    val rows = batch.select(col("k"), col("t"), col("i"),
+      col("vq").cast("long").as("vq"))
+    val viol = rows.join(state0, Seq("k"))
+      .filter(struct(col("t"), col("i")) <=
+        struct(col("last_t"), col("last_i")))
+      .limit(1).collect()
+    require(viol.isEmpty,
+      s"cusumIngest: out-of-order feed for key ${
+        if (viol.isEmpty) "" else viol.head.getLong(0)} — " +
+        "batch row at-or-before the stored last event")
+    val folded = graft.operators.Cusum.cusum(
+      rows.unionByName(carry), "k", "t", "i", col("vq"), kRef)
+    val out = folded.join(
+      state0.select(col("k"), col("last_i").as("i")),
+      Seq("k", "i"), "left_anti")
+    out.write.mode("append").parquet(resultPath)
+    val newState = folded.join(rows.unionByName(carry), Seq("k", "i"))
+      .groupBy(col("k"))
+      .agg(max_by(struct(col("t").as("lt"), col("i").as("li"),
+          col("s").as("ls")),
+        struct(col("t"), col("i"))).as("last"))
+      .select(col("k"), col("last.lt").as("last_t"),
+        col("last.li").as("last_i"), col("last.ls").as("last_s"))
+    writeStateSwap(newState, statePath, "cusumIngest")
   }
 
   /** Stage a DataFrame as a TIME-ORDERED multi-file feed: rows are

@@ -218,6 +218,20 @@ class WatermarkSpec extends SparkSpec {
       "drained replay must not change the emitted fold")
   }
 
+  test("q83 streaming CUSUM equals the batch q82 on the in-order feed " +
+      "(the stored_S + kRef phantom seed), and a drained re-run is a " +
+      "planned-restart no-op") {
+    val dir = "/root/testdata/sf0.001"
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+    val stream = snap(Queries.q83_stream_cusum(spark, dir))
+    assert(stream == snap(Queries.q82_cusum(spark, dir)),
+      s"streamed CUSUM (${stream.size} rows) != batch")
+    assert(snap(Queries.q83_stream_cusum(spark, dir)) == stream,
+      "drained replay must not change the emitted fold")
+  }
+
   test("emaIngest state merge: the phantom carry-in SEEDS the chain " +
       "(Ema's first-row rule), and any at-or-before row fail-fasts — " +
       "EMA has no same-µs tolerance") {
