@@ -1347,6 +1347,35 @@ private[graft] trait Queries3Curate extends Queries2Lm {
        |WHERE c.id = c.comp ORDER BY doc_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d15
+  // Dedup-cluster SIZE DISTRIBUTION card — the governance histogram of
+  // near-dup structure (how much of the corpus is duplicated, and how
+  // concentrated): component sizes census'd to (cluster_n, n_clusters,
+  // n_docs). Cost beyond the d11 chain is two bounded aggregations
+  // (components → sizes → histogram — cells cross the shuffles, never
+  // docs). Oracle = the shared simhash closure replay + the same two
+  // censuses.
+  def d15_cluster_size_card(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val pairs = Dedup.simhashNearDup64(docs, "doc_id", "text", maxHamming = 3)
+    Dedup.connectedComponents(docs, "doc_id", pairs)
+      .groupBy($"comp").agg(count(lit(1)).as("cluster_n"))
+      .groupBy($"cluster_n").agg(count(lit(1)).as("n_clusters"))
+      .select($"cluster_n", $"n_clusters",
+        ($"cluster_n" * $"n_clusters").as("n_docs"))
+      .orderBy($"cluster_n")
+  }
+
+  private[graft] val d15_sql = {
+    simhashClosureCtes + s""",
+       |comps AS (SELECT id, MIN(comp) AS comp FROM walk GROUP BY id),
+       |sizes AS (SELECT comp, CAST(COUNT(*) AS BIGINT) AS cluster_n
+       |  FROM comps GROUP BY comp)
+       |SELECT cluster_n, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       |  CAST(cluster_n * COUNT(*) AS BIGINT) AS n_docs
+       |FROM sizes GROUP BY cluster_n ORDER BY cluster_n""".stripMargin
+  }
+
   // ================================================================
   // Storage, streaming, temporal, casts, generation (SURVEY §2.1/§2.8/
   // §2.10).

@@ -1404,6 +1404,60 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
 
   private[graft] lazy val q80_sql = q78_sql
 
+  // ---------------------------------------------------------------- q84
+  // Per-user maximum drawdown (the running-peak deficit — the risk
+  // staple next to OHLC/TWAP; unlike EMA/CUSUM the running max IS
+  // windowable, so this is ONE window + one grouped aggregation, no
+  // sequential kernel): peak_t = cummax(vq), dd_t = peak_t − vq, and
+  // the card reports max drawdown + the FIRST event attaining it via
+  // a tie-total integer argmax key dd·2^31 + (2^31−1−event_id) — dd ≤
+  // peak ≤ 2^16 cents keeps the product < 2^47; event_id rides the
+  // q78 row-level guard into [0, 2^30). All ×100-cent integers, no
+  // rounding anywhere.
+  def q84_drawdown(spark: SparkSession, dir: String): DataFrame =
+    drawdownOf(t(spark, dir, "events")
+        .select($"user_id", $"ts", $"value", $"event_id"))
+      .orderBy($"user_id")
+
+  /** The q84 chain over any (user_id, ts ns-long, value, event_id)
+    * frame — one home so the spec's tie golden pins the exact query
+    * arithmetic. */
+  private[graft] def drawdownOf(events: DataFrame): DataFrame = {
+    val ev = ohlcPrep(events)
+      // ohlcPrep's key = in-hour offset·2^30 + eid; recover the
+      // guarded eid (the one home for the event_id range guard)
+      .select($"user_id", $"tus", $"vq",
+        ($"key" % (1L << 30)).as("eid"))
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"eid")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("peak", max($"vq").over(w))
+      .withColumn("dd", $"peak" - $"vq")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max($"vq").as("peak_c"),
+        max($"dd").as("max_dd_c"),
+        max_by($"eid",
+          $"dd" * (1L << 31) + (lit((1L << 31) - 1) - $"eid"))
+          .as("dd_event"))
+  }
+
+  private[graft] val q84_sql =
+    """WITH ev AS (
+      |  SELECT user_id, epoch_us(ts) AS tus,
+      |    CAST(round(value * 100) AS BIGINT) AS vq, event_id
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, event_id, vq,
+      |    MAX(vq) OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS peak
+      |  FROM ev),
+      |d AS (SELECT user_id, event_id, vq, peak, peak - vq AS dd FROM w)
+      |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MAX(peak) AS peak_c, MAX(dd) AS max_dd_c,
+      |  arg_max(event_id,
+      |    dd * 2147483648 + (2147483647 - event_id)) AS dd_event
+      |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- q81
   // Streaming per-user EMA — q70's live twin: the same sequential Ema
   // fold per micro-batch, seeded by the PHANTOM carry-in whose value

@@ -254,6 +254,24 @@ class TextStatsSpec extends SparkSpec {
       === ((1L, 9900L, 9900L)))
   }
 
+  test("q84 drawdown chain: running-peak deficit; the FIRST event " +
+      "attaining the max drawdown wins ties; single-event user reads 0") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1000000000L, 10.0, 1L), // peak 1000c, dd 0
+      (1L, 2000000000L, 4.0, 2L),  // dd 600 — first max
+      (1L, 3000000000L, 8.0, 3L),  // dd 200
+      (1L, 4000000000L, 4.0, 4L),  // dd 600 again — tie, NOT the winner
+      (1L, 5000000000L, 12.0, 5L), // new peak 1200c, dd 0
+      (2L, 1000000000L, 5.0, 9L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = Queries.drawdownOf(ev).orderBy($"user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq((1L, 5L, 1200L, 600L, 2L), (2L, 1L, 500L, 0L, 9L)),
+      out.toString)
+  }
+
   // ---------------------------------------------------------------- twap
 
   test("q77 TWAP chain: prevailing-interval weighting on hand-computed " +
