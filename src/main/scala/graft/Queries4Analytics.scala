@@ -409,6 +409,65 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
       |WHERE i % 2 = 0
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  // ---------------------------------------------------------------- m10
+  // Shot-boundary detection (video scene segmentation — the frame-diff
+  // member of the multimodal family; Multimodal.shotCard): fixed
+  // 64-byte frames over the m08-style CONSTRUCTED pages (the planted
+  // intensity structure: '`' = 96 vs ' ' = 32 blocks step the frame
+  // mean by ~60, word-soup frames differ by ≤ a few), boundary where
+  // the mean steps by > 16, cross-multiplied — all integers. Oracle =
+  // per-frame totals (the m03 UNNEST spelling) + lag + gaps-and-
+  // islands, LEFT-JOINed from the page table (the t90 empty-page
+  // rule). Same ASCII byte-vs-codepoint convention as m02/m03.
+  def m10_shot_card(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat($"text",
+      when($"doc_id" % 3 === 0, lit("`" * 64 + " " * 96))
+        .when($"doc_id" % 3 === 1, lit(" " * 32 + "`" * 32 + " " * 32))
+        .otherwise(lit("")))
+    val media = t(spark, dir, "documents")
+      .select($"doc_id", page.cast("binary").as("data"))
+    operators.Multimodal.shotCard(media, "doc_id", "data",
+        frame = 64, thr = 16L)
+      .orderBy($"media_id")
+  }
+
+  private[graft] val m10_sql =
+    """WITH p AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN repeat('`', 64) || repeat(' ', 96)
+      |         WHEN doc_id % 3 = 1
+      |           THEN repeat(' ', 32) || repeat('`', 32) || repeat(' ', 32)
+      |         ELSE '' END AS page
+      |  FROM documents),
+      |pn AS (SELECT doc_id, page, CAST(length(page) AS BIGINT) AS n FROM p),
+      |f AS (
+      |  SELECT doc_id, i,
+      |    CAST(list_sum(list_transform(
+      |      range(i * 64 + 1, LEAST(n, (i + 1) * 64) + 1),
+      |      j -> ascii(substr(page, CAST(j AS INT), 1)))) AS BIGINT) AS t,
+      |    CAST(LEAST(64, n - i * 64) AS BIGINT) AS l
+      |  FROM pn, UNNEST(range(0, (n + 63) // 64)) AS u(i)),
+      |b AS (
+      |  SELECT doc_id, i, t, l, lag(t) OVER w AS pt, lag(l) OVER w AS pl
+      |  FROM f WINDOW w AS (PARTITION BY doc_id ORDER BY i)),
+      |s AS (
+      |  SELECT doc_id, i, CASE WHEN pt IS NULL THEN 1
+      |    WHEN abs(t * pl - pt * l) > 16 * l * pl THEN 1 ELSE 0 END AS ns
+      |  FROM b),
+      |g AS (SELECT doc_id, i,
+      |    SUM(ns) OVER (PARTITION BY doc_id ORDER BY i) AS shot FROM s),
+      |runs AS (SELECT doc_id, shot, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM g GROUP BY doc_id, shot),
+      |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_frames,
+      |    CAST(COUNT(*) AS BIGINT) AS n_shots,
+      |    CAST(MAX(c) AS BIGINT) AS max_shot_len
+      |  FROM runs GROUP BY doc_id)
+      |SELECT p.doc_id AS media_id,
+      |  COALESCE(a.n_frames, 0) AS n_frames,
+      |  COALESCE(a.n_shots, 0) AS n_shots,
+      |  COALESCE(a.max_shot_len, 0) AS max_shot_len
+      |FROM p LEFT JOIN agg a USING (doc_id) ORDER BY media_id""".stripMargin
+
   // ---------------------------------------------------------------- m04
   // Perceptual-hash media dedup: the aHash family over the decoded
   // pixel stream — 62 equal spans, bit = span mean > global mean
@@ -1457,6 +1516,40 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
       |  arg_max(event_id,
       |    dd * 2147483648 + (2147483647 - event_id)) AS dd_event
       |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  // ---------------------------------------------------------------- q85
+  // Streaming per-user max drawdown — q84's live twin: the summary IS
+  // mergeable state (n, peak_c, best_key — key-max is associative and
+  // the tie-total key ordering is exactly the (max dd, first event)
+  // rule), with the running peak seeded per batch by the stored-peak
+  // phantom (Streams.drawdownIngest). Oracle IS q84's SQL.
+  def q85_stream_drawdown(spark: SparkSession, dir: String): DataFrame = {
+    val batch = t(spark, dir, "events")
+      .select($"user_id", $"ts", $"value", $"event_id")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val nChunks = 4
+    val base = s"/tmp/graft_stream/$key/dd_c${nChunks}" +
+      s"_s${srcStamp(dir, "events.parquet")}"
+    val (stage, statePath, ckpt) = (s"$base/feed", s"$base/state",
+      s"$base/ckpt")
+    if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      Streams.stageTimeOrderedFeed(batch, "ts", nChunks, stage)
+    }
+    Streams.drawdownIngest(spark, stage, batch,
+      df => df.select($"user_id".as("k"), expr("ts div 1000").as("t"),
+        $"event_id".as("i"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vq")),
+      statePath, ckpt)
+    spark.read.parquet(statePath)
+      .select($"k".as("user_id"), $"n".as("n_events"), $"peak_c",
+        shiftright($"best_key", 31).as("max_dd_c"),
+        (lit((1L << 31) - 1) -
+          $"best_key".bitwiseAND(lit((1L << 31) - 1))).as("dd_event"))
+      .orderBy($"user_id")
+  }
+
+  private[graft] lazy val q85_sql = q84_sql
 
   // ---------------------------------------------------------------- q81
   // Streaming per-user EMA — q70's live twin: the same sequential Ema

@@ -451,6 +451,58 @@ object Multimodal {
 
   /** Frame sampling: every `stride`-th fixed-size frame per media row —
     * flatMap (generator/UDTF shape), output is one row per kept frame. */
+  final case class ShotCard(media_id: Long, n_frames: Long,
+                            n_shots: Long, max_shot_len: Long)
+
+  /** Shot-boundary detection over fixed `frame`-byte frames — the
+    * video-segmentation member of the multimodal family (scene cuts =
+    * where consecutive frames' mean intensity steps; the frame stack
+    * is the [[sampleFrames]] decode, real pixels for decodable images,
+    * the byte stub otherwise). Frame i starts a NEW SHOT iff its mean
+    * intensity differs from frame i−1's by more than `thr`,
+    * CROSS-MULTIPLIED so no float ever computes:
+    * |t_i·l_{i−1} − t_{i−1}·l_i| > thr·l_i·l_{i−1} (t = frame pixel
+    * total, l = frame length — they differ only at the tail frame).
+    * Card: (n_frames, n_shots, max_shot_len). ONE typed executor-side
+    * pass, the run-length fold row-local (the audioActivity shape);
+    * empty payloads report zeros. */
+  def shotCard(df: DataFrame, idCol: String, dataCol: String,
+               frame: Int, thr: Long): DataFrame = {
+    require(frame >= 1 && thr >= 0,
+      s"need frame >= 1, thr >= 0, got $frame, $thr")
+    val src: Dataset[(Long, Array[Byte])] = df
+      .select(col(idCol).cast("long"), col(dataCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    src.mapPartitions { it =>
+      it.map { case (id, data) =>
+        val px = decodePixels(if (data == null) Array.empty[Byte] else data)
+        val n = px.length
+        val nf = (n + frame - 1) / frame
+        var shots = 0L; var run = 0L; var maxRun = 0L
+        var pt = 0L; var pl = 0L
+        var f = 0
+        while (f < nf) {
+          val lo = f * frame
+          val hi = math.min(lo + frame, n)
+          var t = 0L
+          var i = lo
+          while (i < hi) { t += px(i); i += 1 }
+          val l = (hi - lo).toLong
+          val cut = f == 0 || math.abs(t * pl - pt * l) > thr * l * pl
+          if (cut) {
+            shots += 1L
+            if (run > maxRun) maxRun = run
+            run = 1L
+          } else run += 1L
+          pt = t; pl = l
+          f += 1
+        }
+        if (run > maxRun) maxRun = run
+        ShotCard(id, nf.toLong, shots, maxRun)
+      }
+    }(Encoders.product[ShotCard]).toDF()
+  }
+
   def sampleFrames(df: DataFrame, idCol: String, dataCol: String,
                    stride: Int): DataFrame = {
     val src: Dataset[(Long, Array[Byte])] = df

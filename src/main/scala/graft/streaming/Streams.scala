@@ -1221,6 +1221,83 @@ object Streams {
     writeStateSwap(newState, statePath, "cusumIngest")
   }
 
+  /** Streaming per-key maximum drawdown (q84's live twin): the
+    * summary is MERGEABLE state — per key (n, peak_c, best_key) where
+    * best_key is q84's tie-total argmax key dd·2^31 + (2^31−1−eid),
+    * so cross-batch merging is a plain max (key-max is associative and
+    * the key ordering IS the (max dd, first event) rule). The running
+    * peak seeds per batch via a PHANTOM carry-in row whose value is
+    * the stored peak — the batch's cummax window then reads the global
+    * running peak for every row; the phantom is excluded from n and
+    * from the argmax (its own dd = 0 with a stale eid could steal a
+    * zero-drawdown tie). Strict out-of-order fail-fast (the EMA rule:
+    * a reordered row changes the running peak mid-stream). */
+  def drawdownIngest(spark: SparkSession, srcDir: String,
+                     schemaFrom: DataFrame, prep: DataFrame => DataFrame,
+                     statePath: String, checkpoint: String,
+                     statePartitions: Int = 2): Unit = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q = prep(ss.readStream.schema(schemaFrom.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir))
+      .writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        mergeDrawdownState(batch, statePath)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** One drawdown state merge: batch must carry (k, t, i, vq). */
+  private[graft] def mergeDrawdownState(batch: DataFrame,
+                                        statePath: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val bs = batch.sparkSession
+    val state0 =
+      if (new java.io.File(s"$statePath/_SUCCESS").exists())
+        bs.read.parquet(statePath)
+      else bs.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, last_t BIGINT, last_i BIGINT, n BIGINT, " +
+            "peak_c BIGINT, best_key BIGINT"))
+    val rows = batch.select(col("k"), col("t"), col("i"),
+      col("vq").cast("long").as("vq"), lit(false).as("ph"))
+    val viol = rows.join(state0, Seq("k"))
+      .filter(struct(col("t"), col("i")) <=
+        struct(col("last_t"), col("last_i")))
+      .limit(1).collect()
+    require(viol.isEmpty,
+      s"drawdownIngest: out-of-order feed for key ${
+        if (viol.isEmpty) "" else viol.head.getLong(0)} — " +
+        "batch row at-or-before the stored last event")
+    val carry = state0.select(col("k"), col("last_t").as("t"),
+      col("last_i").as("i"), col("peak_c").as("vq"), lit(true).as("ph"))
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("i"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val led = rows.unionByName(carry)
+      .withColumn("peak", max(col("vq")).over(w))
+      .withColumn("dd", col("peak") - col("vq"))
+    val part = led.groupBy(col("k")).agg(
+      sum(when(!col("ph"), 1L).otherwise(0L)).as("dn"),
+      max(col("vq")).as("pk"), // phantom = stored peak rides along
+      max(when(!col("ph"),
+        col("dd") * (1L << 31) + (lit((1L << 31) - 1) - col("i"))))
+        .as("bk"),
+      max_by(struct(col("t").as("lt"), col("i").as("li")),
+        struct(col("t"), col("i"))).as("last"))
+    val st = state0.select(col("k"), col("n").as("s_n"),
+      col("best_key").as("s_bk"))
+    val merged = part.join(st, Seq("k"), "left_outer")
+      .select(col("k"), col("last.lt").as("last_t"),
+        col("last.li").as("last_i"),
+        (coalesce(col("s_n"), lit(0L)) + col("dn")).as("n"),
+        col("pk").as("peak_c"),
+        greatest(col("s_bk"), col("bk")).as("best_key"))
+    writeStateSwap(merged, statePath, "drawdownIngest")
+  }
+
   /** Stage a DataFrame as a TIME-ORDERED multi-file feed: rows are
     * range-split on `tsCol` into `nChunks` single-file parquet chunks
     * with ascending modification times, so a file-source stream with

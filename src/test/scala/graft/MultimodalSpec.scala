@@ -336,6 +336,23 @@ class MultimodalSpec extends SparkSpec {
     assert((got.getLong(1), got.getLong(2), got.getLong(3)) == ((4L, 3L, 2L)))
   }
 
+  test("shotCard: planted intensity steps cut shots at the cross-" +
+      "multiplied threshold; tail frame compares by MEAN not total; " +
+      "empty payloads read zeros") {
+    // frames of 4 @ thr 16: [32×4] | [32,32,96,96] (mean 64, step 32 →
+    // cut) | [96×4] (step 32 → cut) | [96] tail (mean 96, step 0 — the
+    // cross-multiplied compare: |96·4 − 384·1| = 0, NOT total-vs-total)
+    val pay = Array.fill[Byte](4)(32) ++ Array[Byte](32, 32, 96, 96) ++
+      Array.fill[Byte](4)(96) ++ Array[Byte](96)
+    val got = Multimodal.shotCard(
+        Seq((1L, pay), (2L, Array.empty[Byte])).toDF("id", "data"),
+        "id", "data", frame = 4, thr = 16L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((4L, 3L, 2L)), got.toString) // runs 1,1,2
+    assert(got(2L) == ((0L, 0L, 0L)), got.toString)
+  }
+
   // hand-assembled golden WAV bytes: 44-byte canonical PCM header.
   // `bits` 8 → unsigned samples, 16 → signed little-endian.
   private def wavBytes(bits: Int, data: Array[Byte],

@@ -232,6 +232,52 @@ class WatermarkSpec extends SparkSpec {
       "drained replay must not change the emitted fold")
   }
 
+  test("q85 streaming drawdown equals the batch q84 on the in-order " +
+      "feed (mergeable key-max state), and a drained re-run is a no-op") {
+    val dir = "/root/testdata/sf0.001"
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val stream = snap(Queries.q85_stream_drawdown(spark, dir))
+    assert(stream == snap(Queries.q84_drawdown(spark, dir)),
+      s"streamed drawdown (${stream.size} users) != batch")
+    assert(snap(Queries.q85_stream_drawdown(spark, dir)) == stream,
+      "drained replay must not change the state fold")
+  }
+
+  test("drawdownIngest merge: the stored-peak phantom seeds the running " +
+      "peak, the phantom never steals a zero-drawdown argmax tie, and " +
+      "key-max merging keeps the FIRST max-attaining event") {
+    val base = s"/tmp/graft_dd_spec/${System.nanoTime()}"
+    val statePath = s"$base/state"
+    new java.io.File(base).mkdirs()
+    def b(rows: (Long, Long, Long, Long)*) =
+      rows.toSeq.toDF("k", "t", "i", "vq")
+    // batch 1: peak 1000, dd 600 at eid 2
+    streaming.Streams.mergeDrawdownState(
+      b((1L, 10L, 1L, 1000L), (1L, 20L, 2L, 400L)), statePath)
+    // batch 2: vq 1000 == stored peak → dd 0; the PHANTOM also has
+    // dd 0 but must not become the argmax for a fresh user... and the
+    // 600 record must survive the merge (key-max)
+    streaming.Streams.mergeDrawdownState(
+      b((1L, 30L, 3L, 1000L), (1L, 40L, 4L, 700L)), statePath)
+    val st = spark.read.parquet(statePath).collect().head
+    assert(st.getAs[Long]("n") == 4L && st.getAs[Long]("peak_c") == 1000L)
+    val bk = st.getAs[Long]("best_key")
+    assert((bk >> 31) == 600L && ((1L << 31) - 1 - (bk & ((1L << 31) - 1)))
+      == 2L, s"best_key $bk")
+    // fresh user whose true max_dd is 0: the argmax must be its FIRST
+    // event, not a phantom
+    streaming.Streams.mergeDrawdownState(
+      b((2L, 10L, 9L, 500L), (2L, 20L, 10L, 600L)), statePath)
+    val u2 = spark.read.parquet(statePath).collect()
+      .find(_.getAs[Long]("k") == 2L).get
+    val bk2 = u2.getAs[Long]("best_key")
+    assert((bk2 >> 31) == 0L &&
+      ((1L << 31) - 1 - (bk2 & ((1L << 31) - 1))) == 9L, s"u2 key $bk2")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("emaIngest state merge: the phantom carry-in SEEDS the chain " +
       "(Ema's first-row rule), and any at-or-before row fail-fasts — " +
       "EMA has no same-µs tolerance") {
