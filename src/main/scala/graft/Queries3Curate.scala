@@ -1376,6 +1376,52 @@ private[graft] trait Queries3Curate extends Queries2Lm {
        |FROM sizes GROUP BY cluster_n ORDER BY cluster_n""".stripMargin
   }
 
+  // ---------------------------------------------------------------- d16
+  // Case/whitespace-NORMALIZED exact dedup card (the fuzzy-exact step
+  // between d01's byte-exact and d10's near-dup: 'Shared  Banner\t' ==
+  // 'shared banner' after folding — the boilerplate variant real
+  // crawls carry): normalize = lower + [ \t\n]+ → single space + trim,
+  // then ONE census over the normalized keys. Duplicates are PLANTED
+  // row-locally (the m08 fixture rule): docs with doc_id%5 ∈ {0,1}
+  // rewrite to ~97 shared banner variants differing ONLY in case and
+  // whitespace, so the card is non-trivial and the folding itself is
+  // what the hash certifies. Output: one governance row.
+  def d16_normalized_dedup(spark: SparkSession, dir: String): DataFrame = {
+    val page = when($"doc_id" % 5 === 0,
+        concat(lit("  Shared "), ($"doc_id" % 97).cast("string"),
+          lit(" BANNER\t")))
+      .when($"doc_id" % 5 === 1,
+        concat(lit("shared "), ($"doc_id" % 97).cast("string"),
+          lit(" banner")))
+      .otherwise($"text")
+    val norm = lower(trim(regexp_replace(page, "[ \\t\\n]+", " ")))
+    t(spark, dir, "documents")
+      .groupBy(norm.as("nk")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_groups"),
+        sum($"c").as("n_docs"),
+        (sum($"c") - count(lit(1))).as("n_dup_docs"),
+        sum(when($"c" > 1L, 1L).otherwise(0L)).as("dup_groups"),
+        max($"c").as("max_group"))
+  }
+
+  private[graft] val d16_sql =
+    """WITH p AS (
+      |  SELECT CASE
+      |    WHEN doc_id % 5 = 0 THEN '  Shared ' || (doc_id % 97) || ' BANNER' || chr(9)
+      |    WHEN doc_id % 5 = 1 THEN 'shared ' || (doc_id % 97) || ' banner'
+      |    ELSE text END AS page
+      |  FROM documents),
+      |g AS (
+      |  SELECT lower(trim(regexp_replace(page, '[ \t\n]+', ' ', 'g'))) AS nk,
+      |    CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM p GROUP BY 1)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(SUM(c) AS BIGINT) AS n_docs,
+      |  CAST(SUM(c) - COUNT(*) AS BIGINT) AS n_dup_docs,
+      |  CAST(COUNT(*) FILTER (WHERE c > 1) AS BIGINT) AS dup_groups,
+      |  CAST(MAX(c) AS BIGINT) AS max_group
+      |FROM g""".stripMargin
+
   // ================================================================
   // Storage, streaming, temporal, casts, generation (SURVEY §2.1/§2.8/
   // §2.10).

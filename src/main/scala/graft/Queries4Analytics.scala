@@ -1072,6 +1072,66 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
   private[graft] val q65_sql = operators.Quantiles.quantileCensusSql(
     "lineitem", Seq("l_returnflag"), "l_quantity", Seq(50, 90, 99))
 
+  // ---------------------------------------------------------------- q86
+  // Per-event-type INTER-EVENT-GAP quantiles (the latency/cadence
+  // card of a clickstream: how long until a user's next event, by the
+  // type of the event they just did): gaps via ONE lead() window per
+  // user (the q67 lead-not-self-join rule), then the q65 exact census
+  // quantiles — only (type, gap, count) cells cross the second
+  // shuffle, and the reported cuts are census KEYS in µs, exact on
+  // any engine. A user's last event has no gap and drops on both
+  // sides (the census excludes nulls — the q65 rule).
+  def q86_gap_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+    val gaps = t(spark, dir, "events")
+      .select($"user_id", $"event_type",
+        expr("ts div 1000").as("tus"), $"event_id")
+      .withColumn("gap_us", lead($"tus", 1).over(w) - $"tus")
+    operators.Quantiles.quantileCensus(gaps, Seq("event_type"),
+        "gap_us", Seq(50, 90, 99))
+      .orderBy($"event_type")
+  }
+
+  private[graft] val q86_sql = operators.Quantiles.quantileCensusSql(
+    """(SELECT event_type,
+      |   LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+      |     ORDER BY epoch_us(ts), event_id) - epoch_us(ts) AS gap_us
+      | FROM events)""".stripMargin,
+    Seq("event_type"), "gap_us", Seq(50, 90, 99))
+
+  // ---------------------------------------------------------------- q87
+  // Click→purchase CONVERSION-LATENCY quantiles — the funnel-timing
+  // card over the q56 interval-join pairs (every purchase within 6 h
+  // of a click by the same user): latency buckets to SECONDS before
+  // the census (µs latencies are near-distinct — second buckets keep
+  // the census cell count ≤ 21600 regardless of corpus size, the
+  // whole point of the q65 shape), then exact p50/p90/p99 cuts.
+  def q87_conversion_latency(spark: SparkSession, dir: String): DataFrame = {
+    val ev = t(spark, dir, "events")
+      .select($"user_id", $"event_type", expr("ts div 1000").as("tus"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"tus".as("c_tus"))
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"tus".as("p_tus"))
+    val pairs = clicks.join(purchases,
+        $"user_id" === $"p_user" && $"p_tus" >= $"c_tus" &&
+          $"p_tus" <= $"c_tus" + lit(6L * 3600L * 1000000L))
+      .select(lit(1).as("grp"),
+        // div, not `/` — Column./ is double division (the house rule)
+        expr("(p_tus - c_tus) div 1000000L").as("lat_s"))
+    operators.Quantiles.quantileCensus(pairs, Seq("grp"), "lat_s",
+      Seq(50, 90, 99))
+  }
+
+  private[graft] val q87_sql = operators.Quantiles.quantileCensusSql(
+    """(SELECT 1 AS grp,
+      |   (epoch_us(b.ts) - epoch_us(a.ts)) // 1000000 AS lat_s
+      | FROM events a JOIN events b ON a.user_id = b.user_id
+      |   AND a.event_type = 'click' AND b.event_type = 'purchase'
+      |   AND epoch_us(b.ts) >= epoch_us(a.ts)
+      |   AND epoch_us(b.ts) <= epoch_us(a.ts) + 21600000000)""".stripMargin,
+    Seq("grp"), "lat_s", Seq(50, 90, 99))
+
   // ---------------------------------------------------------------- q66
   // Semi-structured JSON property extraction (events.props is a JSON
   // blob — the clickstream/telemetry shape): per event type, integer
