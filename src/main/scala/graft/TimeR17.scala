@@ -68,6 +68,28 @@ object TimeR17 {
       }
     }
 
+    for (rep <- 1 to 2) {
+      time(s"q84 drawdown 10M events (pass $rep)") {
+        Queries.drawdownOf(ev.select(col("user_id"), col("ts"),
+          col("value"), col("event_id"))).agg(sum($"max_dd_c")).collect()
+      }
+      time(s"q86 gap quantiles 10M (pass $rep)") {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy($"user_id").orderBy($"tus", $"event_id")
+        val gaps = ev.select($"user_id", $"event_type",
+            expr("ts div 1000").as("tus"), $"event_id")
+          .withColumn("gap_us", lead($"tus", 1).over(w) - $"tus")
+        operators.Quantiles.quantileCensus(gaps, Seq("event_type"),
+          "gap_us", Seq(50, 90, 99)).collect()
+      }
+      time(s"d16 normalized dedup 500k (pass $rep)") {
+        val norm = lower(trim(regexp_replace(col("text"),
+          "[ \\t\\n]+", " ")))
+        docs.groupBy(norm.as("nk")).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)), sum($"c"), max($"c")).collect()
+      }
+    }
+
     val emb = Tables.load(spark, dir, "embeddings")
       .repartition(32).cache()
     emb.agg(count(lit(1))).collect()

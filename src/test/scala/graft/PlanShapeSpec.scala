@@ -238,6 +238,22 @@ class PlanShapeSpec extends SparkSpec {
       s"all cube levels must ride one aggregation shuffle:\n$p")
   }
 
+  test("q84 (drawdown): ONE user_id hash exchange — the grouped " +
+      "aggregation reuses the cummax window's partitioning (the q77 " +
+      "plan rule)") {
+    val p = plan("q84_drawdown")
+    assert(count(p, "Arguments: hashpartitioning") == 1,
+      s"the drawdown agg must reuse the window exchange:\n$p")
+  }
+
+  test("q86 (gap quantiles): exactly three hash exchanges — the user " +
+      "lead-window over rows, then census CELLS only through the " +
+      "(type, gap) aggregate and the per-type quantile window") {
+    val p = plan("q86_gap_quantiles")
+    assert(count(p, "Arguments: hashpartitioning") == 3,
+      s"user window + census agg + slice window, nothing more:\n$p")
+  }
+
   test("q59 (rolling windows): one user_id partition shuffle feeds every " +
       "frame; no extra exchange between the window functions") {
     val p = plan("q59_moving")
