@@ -246,6 +246,15 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
   // because this corpus is ASCII; a non-ASCII testdata regen would
   // need the oracle moved to an encode()-byte replay (the engine side
   // is byte-correct for any payload — MultimodalSpec pins ≥128).
+  // DISPATCH CAVEAT (the m02 image-family precedent, round-17
+  // review): the engine's decode is content-based — a document whose
+  // bytes formed a PARSEABLE PCM WAV container would real-decode while
+  // this oracle replays the stub. Requires 'RIFF'+size+'WAVE'+valid
+  // fmt/data chunks at byte 0; unconstructible from the generated
+  // word-soup corpus (and parsePcmWav declines anything structurally
+  // short of a real container). A regen toward binary-ish text would
+  // need an isWav-excluding payload here, like the m01 'BM'-prefix
+  // note.
   def m07_audio_stats(spark: SparkSession, dir: String): DataFrame = {
     val media = t(spark, dir, "documents")
       .select($"doc_id", $"text".cast("binary").as("data"))
@@ -1499,22 +1508,39 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
     val nChunks = 4
     val stage = s"/tmp/graft_stream/$key/ohlc_c${nChunks}" +
       s"_s${srcStamp(dir, "events.parquet")}/feed"
-    def sentinel(hoursPastMax: Long) = {
-      val maxTs = batch.agg(max($"ts")).head().getLong(0)
+    def sentinelOf(maxTs: Long, hoursPastMax: Long) =
       spark.range(1).select(lit(-1L).as("user_id"),
         lit(maxTs + hoursPastMax * 3600L * 1000000000L).as("ts"),
         lit(0.0).as("value"), lit(0L).as("event_id"))
+    // maxTs persists WITH the staged feed (underscore-prefixed — the
+    // file source ignores it): the punctuation tick needs it on every
+    // call, and re-aggregating the full events table per call was a
+    // wasted corpus scan (round-17 self-review)
+    val maxTsFile = new java.io.File(s"$stage/_maxts")
+    if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+      val maxTs = batch.agg(max($"ts")).head().getLong(0)
+      Streams.stageTimeOrderedFeed(
+        batch.unionByName(sentinelOf(maxTs, 3L)), "ts", nChunks, stage)
+      java.nio.file.Files.write(maxTsFile.toPath,
+        maxTs.toString.getBytes("UTF-8"))
     }
-    if (!new java.io.File(s"$stage/_SUCCESS").exists())
-      Streams.stageTimeOrderedFeed(batch.unionByName(sentinel(3L)), "ts",
-        nChunks, stage)
+    val maxTs =
+      if (maxTsFile.exists())
+        new String(java.nio.file.Files.readAllBytes(maxTsFile.toPath),
+          "UTF-8").trim.toLong
+      else { // a feed staged before _maxts existed: compute + backfill
+        val m = batch.agg(max($"ts")).head().getLong(0)
+        java.nio.file.Files.write(maxTsFile.toPath,
+          m.toString.getBytes("UTF-8"))
+        m
+      }
     Streams.watermarkedBarsStream(spark, stage, batch,
         df => ohlcPrep(df),
         keyCol = "user_id", tsUsCol = "tus",
         windowDur = "1 hour", delay = "1 hour",
         aggs = ohlcAggs, sentinelKey = -1L,
         queryName = "graft_ohlc_" + math.abs(dir.hashCode),
-        punctuation = sentinel(6L))
+        punctuation = sentinelOf(maxTs, 6L))
       .select($"user_id",
         expr("unix_micros(window.start) div 3600000000L").as("hour"),
         $"n", $"open_c", $"high_c", $"low_c", $"close_c")

@@ -152,12 +152,21 @@ object Multimodal {
       val sz = le32(off + 4)
       if (sz < 0) return null
       if (isFmt) {
-        if (off + 8 + 16 > bytes.length) return null
+        // the declared chunk size must actually COVER the 16 bytes we
+        // read (PCM fmt is >= 16) and sit inside the payload — reading
+        // past a short chunk would fabricate fmtCode/bits from the
+        // NEXT chunk's bytes
+        if (sz < 16 || off + 8 + 16 > bytes.length) return null
         fmtCode = le16(off + 8)
         bits = le16(off + 8 + 14)
       } else if (isData) {
+        // a data chunk whose declared size exceeds the payload is a
+        // truncated container — the fast path DECLINES rather than
+        // fabricate a clamped decode; javax.sound then decides (it may
+        // decode the frames actually present, or fail to the stub)
+        if (sz.toLong > (bytes.length - (off + 8)).toLong) return null
         dataOff = off + 8
-        dataLen = math.min(sz.toLong, (bytes.length - dataOff).toLong).toInt
+        dataLen = sz
       }
       off += 8 + sz + (sz & 1) // RIFF chunks are word-aligned
       if (off < 0) return null // sz overflow wrapped the cursor

@@ -1025,12 +1025,24 @@ object Similarity {
     * whole. Not atomic for concurrent readers — a maintenance-window
     * op, like every index rebuild. */
   private[operators] def swapIndexRoot(path: String, tmp: String,
-                                       fn: String): Unit = {
+                                       fn: String): Unit =
+    swapRoot(path, tmp, s"$path.rebuild_old", fn, requireLive = true)
+
+  /** The ONE rename-pair home (index rebalances AND the streaming
+    * state swaps — graft.streaming.Streams.writeStateSwap delegates
+    * here): delete stale old, live→old, tmp→live, delete old.
+    * `requireLive = false` is the state-table case (first merge has no
+    * live root yet); index swaps always have one. */
+  private[graft] def swapRoot(path: String, tmp: String, oldPath: String,
+                              fn: String, requireLive: Boolean): Unit = {
     val live = new java.io.File(path)
-    val old = new java.io.File(s"$path.rebuild_old")
+    val old = new java.io.File(oldPath)
     org.apache.commons.io.FileUtils.deleteQuietly(old)
-    require(live.renameTo(old) && new java.io.File(tmp).renameTo(live),
-      s"$fn: index-root swap failed for $path")
+    val livedOut =
+      if (requireLive) live.renameTo(old)
+      else !live.exists() || live.renameTo(old)
+    require(livedOut && new java.io.File(tmp).renameTo(live),
+      s"$fn: root swap failed for $path")
     org.apache.commons.io.FileUtils.deleteQuietly(old)
   }
 

@@ -996,14 +996,17 @@ object Streams {
                                     statePath: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     val bs = batch.sparkSession
-    val state0 =
-      if (new java.io.File(s"$statePath/_SUCCESS").exists())
-        bs.read.parquet(statePath)
-      else bs.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "user_id BIGINT, n BIGINT, first_tus BIGINT, last_tus BIGINT, " +
-            "last_eid BIGINT, last_vq BIGINT, num DECIMAL(38,0)"))
+    val state0 = readState(bs, statePath,
+      "user_id BIGINT, n BIGINT, first_tus BIGINT, last_tus BIGINT, " +
+        "last_eid BIGINT, last_vq BIGINT, num DECIMAL(38,0)", "twapIngest")
+    // event-id reuse across batches = a duplicate delivery the summary
+    // state can't absorb (it would re-count the event) — fail fast
+    val dup = batch.join(state0.select(col("user_id"), col("last_eid")),
+        Seq("user_id"))
+      .filter(col("eid") === col("last_eid")).limit(1).collect()
+    require(dup.isEmpty,
+      "twapIngest: an event_id recurred across batches — duplicate " +
+        "delivery the summary state would re-count; dedupe upstream")
     val carry = state0.select(col("user_id"), col("last_tus").as("tus"),
       col("last_vq").as("vq"), col("last_eid").as("eid"),
       lit(true).as("ph"))
@@ -1053,22 +1056,43 @@ object Streams {
   }
 
   /** Rewrite a per-key state table through tmp + rename swap — the
-    * shared tail of every scan-ingest merge (TWAP/EMA/CUSUM). The tmp
-    * write fully materializes the merge (which reads the live state)
-    * BEFORE any rename touches it, so a crash never leaves a torn
-    * state table. */
+    * shared tail of every scan-ingest merge (TWAP/EMA/CUSUM/drawdown).
+    * The tmp write fully materializes the merge (which reads the live
+    * state) BEFORE any rename touches it; a crash inside the rename
+    * pair leaves `.old`/`.tmp` siblings that [[readState]] fail-fasts
+    * on rather than silently refolding from empty. */
   private def writeStateSwap(newState: DataFrame, statePath: String,
                              fn: String): Unit = {
     val tmp = s"$statePath.tmp"
     newState.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val live = new java.io.File(statePath)
-    val old = new java.io.File(s"$statePath.old")
-    org.apache.commons.io.FileUtils.deleteQuietly(old)
-    require((!live.exists() || live.renameTo(old)) &&
-        new java.io.File(tmp).renameTo(live),
-      s"$fn: state swap failed for $statePath")
-    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    // the rename-pair mechanics live in ONE home with the index
+    // rebalances; requireLive = false because the first merge has no
+    // live state root yet
+    graft.operators.Similarity.swapRoot(statePath, tmp,
+      s"$statePath.old", fn, requireLive = false)
   }
+
+  /** Read a scan-ingest state table, FAIL-FASTING on a torn swap: a
+    * missing live root alongside `.old`/`.tmp` siblings means a crash
+    * interrupted [[writeStateSwap]]'s rename pair — treating that as a
+    * fresh (empty) state would silently refold every key's aggregate
+    * from zero, the exact corruption the swap discipline exists to
+    * prevent. `.old` holds the complete pre-merge state; `.tmp` the
+    * (possibly complete) merged one — recovery is a manual rename. */
+  private def readState(bs: SparkSession, statePath: String,
+                        ddl: String, fn: String): DataFrame =
+    if (new java.io.File(s"$statePath/_SUCCESS").exists())
+      bs.read.parquet(statePath)
+    else {
+      require(!new java.io.File(s"$statePath.old").exists() &&
+          !new java.io.File(s"$statePath.tmp").exists(),
+        s"$fn: torn state swap at $statePath — a crash interrupted the " +
+          "rename pair; recover manually (.old = pre-merge state, " +
+          ".tmp = merged) instead of refolding from empty")
+      bs.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    }
 
   /** Streaming per-key EMA (q70's live twin — the kdb scan kept
     * current by insert callbacks): each micro-batch folds through the
@@ -1110,28 +1134,29 @@ object Streams {
                                    statePath: String,
                                    resultPath: String): Unit = {
     val bs = batch.sparkSession
-    val state0 =
-      if (new java.io.File(s"$statePath/_SUCCESS").exists())
-        bs.read.parquet(statePath)
-      else bs.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "k BIGINT, last_t BIGINT, last_i BIGINT, last_ema DOUBLE"))
+    val state0 = readState(bs, statePath,
+      "k BIGINT, last_t BIGINT, last_i BIGINT, last_ema DOUBLE",
+      "emaIngest")
     val carry = state0.select(col("k"), col("last_t").as("t"),
       col("last_i").as("i"), col("last_ema").as("v"))
     val rows = batch.select(col("k"), col("t"), col("i"),
       col("v").cast("double").as("v"))
     // out-of-order fail-fast BEFORE folding: EMA order matters
     // materially, so any batch row at-or-before the stored last event
-    // re-orders the chain (no same-µs tolerance — the TWAP contrast)
+    // re-orders the chain (no same-µs tolerance — the TWAP contrast).
+    // An id EQUAL to the stored last event's at a LATER time is id
+    // reuse (duplicate delivery): it would collide with the phantom in
+    // the (k, i) output anti-join and the state join-back — fail fast.
     val viol = rows.join(state0, Seq("k"))
       .filter(struct(col("t"), col("i")) <=
-        struct(col("last_t"), col("last_i")))
+          struct(col("last_t"), col("last_i")) ||
+        col("i") === col("last_i"))
       .limit(1).collect()
     require(viol.isEmpty,
-      s"emaIngest: out-of-order feed for key ${
+      s"emaIngest: out-of-order or id-reusing feed for key ${
         if (viol.isEmpty) "" else viol.head.getLong(0)} — " +
-        "batch row at-or-before the stored last event")
+        "batch row at-or-before (or reusing the id of) the stored " +
+        "last event")
     val folded = graft.operators.Ema.ema(
       rows.unionByName(carry), "k", "t", "i", "v", aNum, aDen)
     // phantoms are (k, last_i) — their events were emitted by an
@@ -1184,27 +1209,26 @@ object Streams {
                                      statePath: String,
                                      resultPath: String): Unit = {
     val bs = batch.sparkSession
-    val state0 =
-      if (new java.io.File(s"$statePath/_SUCCESS").exists())
-        bs.read.parquet(statePath)
-      else bs.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "k BIGINT, last_t BIGINT, last_i BIGINT, last_s BIGINT"))
+    val state0 = readState(bs, statePath,
+      "k BIGINT, last_t BIGINT, last_i BIGINT, last_s BIGINT",
+      "cusumIngest")
     // the seed trick: v = stored_S + kRef makes the phantom's own fold
     // step reproduce stored_S bit-for-bit
     val carry = state0.select(col("k"), col("last_t").as("t"),
       col("last_i").as("i"), (col("last_s") + kRef).as("vq"))
     val rows = batch.select(col("k"), col("t"), col("i"),
       col("vq").cast("long").as("vq"))
+    // same contract as emaIngest: at-or-before rows AND id reuse fail
     val viol = rows.join(state0, Seq("k"))
       .filter(struct(col("t"), col("i")) <=
-        struct(col("last_t"), col("last_i")))
+          struct(col("last_t"), col("last_i")) ||
+        col("i") === col("last_i"))
       .limit(1).collect()
     require(viol.isEmpty,
-      s"cusumIngest: out-of-order feed for key ${
+      s"cusumIngest: out-of-order or id-reusing feed for key ${
         if (viol.isEmpty) "" else viol.head.getLong(0)} — " +
-        "batch row at-or-before the stored last event")
+        "batch row at-or-before (or reusing the id of) the stored " +
+        "last event")
     val folded = graft.operators.Cusum.cusum(
       rows.unionByName(carry), "k", "t", "i", col("vq"), kRef)
     val out = folded.join(
@@ -1254,24 +1278,30 @@ object Streams {
                                         statePath: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     val bs = batch.sparkSession
-    val state0 =
-      if (new java.io.File(s"$statePath/_SUCCESS").exists())
-        bs.read.parquet(statePath)
-      else bs.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType.fromDDL(
-          "k BIGINT, last_t BIGINT, last_i BIGINT, n BIGINT, " +
-            "peak_c BIGINT, best_key BIGINT"))
-    val rows = batch.select(col("k"), col("t"), col("i"),
+    val state0 = readState(bs, statePath,
+      "k BIGINT, last_t BIGINT, last_i BIGINT, n BIGINT, " +
+        "peak_c BIGINT, best_key BIGINT", "drawdownIngest")
+    // row-level id-domain guard (the q84/ohlcPrep twin's rule): the
+    // packed argmax key needs 0 <= i < 2^31 — an out-of-range id would
+    // silently collide best_key across dd values instead of aborting
+    val iOk = when(col("i").isNull || col("i") < 0L ||
+        col("i") >= (1L << 31),
+      raise_error(concat(
+        lit("drawdownIngest key needs 0 <= id < 2^31, got "),
+        coalesce(col("i").cast("string"), lit("NULL")))).cast("long"))
+      .otherwise(col("i"))
+    val rows = batch.select(col("k"), col("t"), iOk.as("i"),
       col("vq").cast("long").as("vq"), lit(false).as("ph"))
     val viol = rows.join(state0, Seq("k"))
       .filter(struct(col("t"), col("i")) <=
-        struct(col("last_t"), col("last_i")))
+          struct(col("last_t"), col("last_i")) ||
+        col("i") === col("last_i"))
       .limit(1).collect()
     require(viol.isEmpty,
-      s"drawdownIngest: out-of-order feed for key ${
+      s"drawdownIngest: out-of-order or id-reusing feed for key ${
         if (viol.isEmpty) "" else viol.head.getLong(0)} — " +
-        "batch row at-or-before the stored last event")
+        "batch row at-or-before (or reusing the id of) the stored " +
+        "last event")
     val carry = state0.select(col("k"), col("last_t").as("t"),
       col("last_i").as("i"), col("peak_c").as("vq"), lit(true).as("ph"))
     val w = Window.partitionBy(col("k")).orderBy(col("t"), col("i"))

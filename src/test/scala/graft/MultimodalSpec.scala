@@ -395,6 +395,16 @@ class MultimodalSpec extends SparkSpec {
     val plain = "hello".getBytes("US-ASCII")
     assert(Multimodal.decodeSamples(plain).toSeq ==
       plain.toSeq.map(b => (b & 0xFF) - 96))
+    // the FAST PATH declines structurally-lying containers (round-17
+    // review): a data chunk declaring more bytes than the payload has,
+    // and a fmt chunk shorter than the 16 bytes PCM needs — javax.sound
+    // (not a fabricated clamp) decides those
+    val lying = wavBytes(8, Array[Byte](1, 2, 3)).clone()
+    lying(40) = 100 // data-size LE32 field at offset 40 in the 44-byte header
+    assert(Multimodal.parsePcmWav(lying) == null)
+    val shortFmt = wavBytes(8, Array[Byte](1, 2, 3)).clone()
+    shortFmt(16) = 2 // fmt-size field: declares 2 of the 16 bytes read
+    assert(Multimodal.parsePcmWav(shortFmt) == null)
   }
 
   test("wrapPcm8Wav: wrap-then-decode is the byte - 128 identity (the " +

@@ -346,5 +346,26 @@ class WatermarkSpec extends SparkSpec {
     assert(e.getMessage != null && e.getMessage.contains("out-of-order")
       || Option(e.getCause).exists(_.getMessage.contains("out-of-order")),
       s"wanted the out-of-order fail-fast, got $e")
+    // id reuse across batches = duplicate delivery the summary state
+    // would re-count (round-17 review) — user 1's stored last eid is 20
+    val er = intercept[IllegalArgumentException] {
+      streaming.Streams.mergeTwapState(b((1L, 3000L, 50L, 20L)), statePath)
+    }
+    assert(er.getMessage.contains("recurred"), er.getMessage)
+  }
+
+  test("scan-ingest state read fail-fasts on a TORN swap (.old/.tmp " +
+      "siblings without a live root) instead of silently refolding " +
+      "from empty") {
+    val base = s"/tmp/graft_torn_spec/${System.nanoTime()}"
+    val statePath = s"$base/state"
+    new java.io.File(s"$statePath.old").mkdirs() // crash artifact
+    val e = intercept[IllegalArgumentException] {
+      streaming.Streams.mergeTwapState(
+        Seq((1L, 1L, 1L, 1L)).toDF("user_id", "tus", "vq", "eid"),
+        statePath)
+    }
+    assert(e.getMessage.contains("torn state swap"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 }
