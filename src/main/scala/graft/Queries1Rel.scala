@@ -1014,7 +1014,11 @@ private[graft] trait Queries1Rel extends Queries0Shared {
       .orderBy($"tok")
   }
 
-  private[graft] val t63_sql = {
+  /** The t63 CMS replay parameterized on the corpus predicate — ONE
+    * home for t63 (the whole corpus) and t102 (the store AFTER a batch
+    * retraction: cells are batch-stamped sums, so dropping a batch ≡ a
+    * sketch built without it, and the oracle just narrows the corpus). */
+  private[graft] def cmsReportSql(where: String): String = {
     def bkt(j: Int) =
       operators.Cms.bucketSql(Text.tokenCodeSql("tok"), j, 16, duck = true)
     val cellsUnion = (0 until 4).map(j =>
@@ -1023,7 +1027,8 @@ private[graft] trait Queries1Rel extends Queries0Shared {
       s"SELECT tok, $j AS j, ${bkt(j)} AS b FROM probes")
       .mkString("\n  UNION ALL ")
     s"""WITH toks AS (
-       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+       |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+       |  WHERE $where),
        |cells AS (SELECT j, b, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
        |  $cellsUnion) GROUP BY j, b),
        |truec AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_cnt
@@ -1036,6 +1041,46 @@ private[graft] trait Queries1Rel extends Queries0Shared {
        |SELECT t.tok, t.true_cnt, e.est, e.est - t.true_cnt AS overcount
        |FROM truec t JOIN est e USING (tok) ORDER BY tok""".stripMargin
   }
+
+  private[graft] val t63_sql = cmsReportSql("TRUE")
+
+  // ---------------------------------------------------------------- t102
+  // CMS-store BATCH RETRACTION (the t101 census twin for the frequency
+  // sketch): three corpus batches ingest by doc_id residue, batch 2
+  // retracts — cells are batch-stamped integer SUMS, so dropping the
+  // batch's cells ≡ a sketch that never ingested it. The surviving
+  // estimates are probed with the surviving corpus's tokens and must
+  // match the from-scratch replay over the two surviving residues
+  // (true counts, CMS one-sided overcounts and all).
+  def t102_cms_retract(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val store = s"/tmp/graft_t102/$key" +
+      s"/s${srcStamp(dir, "documents.parquet")}"
+    val marker = new java.io.File(s"$store.retracted.marker")
+    if (!marker.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      operators.Cms.buildCmsStore(docs.filter($"doc_id" % 3 === 0),
+        "text", d = 4, w = 16, store)
+      operators.Cms.appendToCmsStore(docs.filter($"doc_id" % 3 === 1),
+        "text", store, batchId = 1L)
+      operators.Cms.appendToCmsStore(docs.filter($"doc_id" % 3 === 2),
+        "text", store, batchId = 2L)
+      operators.Cms.retractCmsBatch(spark, store, batchId = 2L)
+      require(marker.createNewFile(), s"t102: marker create failed")
+    }
+    val surv = docs.filter($"doc_id" % 3 =!= 2)
+    val toks = surv.select(explode(split($"text", " ")).as("tok"))
+    val truth = toks.groupBy($"tok").agg(count(lit(1)).as("true_cnt"))
+    operators.Cms.estimatesFromStore(spark, store, truth.select($"tok"),
+        "tok")
+      .join(truth, "tok")
+      .select($"tok", $"true_cnt", $"est",
+        ($"est" - $"true_cnt").as("overcount"))
+      .orderBy($"tok")
+  }
+
+  private[graft] lazy val t102_sql = cmsReportSql("doc_id % 3 <> 2")
 
   // ---------------------------------------------------------------- t25
   // TF-IDF with vocabulary CONTROL (the production form): hapax pruning

@@ -906,7 +906,12 @@ private[graft] trait Queries3Curate extends Queries2Lm {
       .orderBy($"id_a", $"id_b")
   }
 
-  private[graft] val t44_sql = {
+  /** The t44 LSH-index-dedup replay parameterized on the INDEX-side
+    * predicate — ONE home for t44/t47 (build+append = doc_id%4<3) and
+    * d17 (the same index AFTER a delete: survivors only — signature
+    * rows are per-row pure functions, so delete ≡ rebuild-without-X
+    * and the oracle just narrows the predicate). */
+  private[graft] def lshIndexDedupSql(idxPred: String): String = {
     val sigCols = Text.minhashSeeds(16).zipWithIndex.map { case ((a, b), i) =>
       s"${Text.duck.minhashSql("text", a, b)} AS s$i"
     }.mkString(",\n    ")
@@ -918,7 +923,7 @@ private[graft] trait Queries3Curate extends Queries2Lm {
        |  SELECT doc_id, 0 AS band, concat_ws('_', ${band(0)}) AS bucket FROM sigs
        |  UNION ALL
        |  SELECT doc_id, 1 AS band, concat_ws('_', ${band(8)}) AS bucket FROM sigs),
-       |idx AS (SELECT * FROM bands WHERE doc_id % 4 < 3),
+       |idx AS (SELECT * FROM bands WHERE $idxPred),
        |newb AS (SELECT * FROM bands WHERE doc_id % 4 = 3),
        |big AS (SELECT band, bucket FROM idx
        |  GROUP BY band, bucket HAVING COUNT(*) > 100),
@@ -936,6 +941,46 @@ private[graft] trait Queries3Curate extends Queries2Lm {
        |    (len(ta.tk) + len(tb.tk) - len(list_intersect(ta.tk, tb.tk))) >= 0.5
        |ORDER BY id_a, id_b""".stripMargin
   }
+
+  private[graft] val t44_sql = lshIndexDedupSql("doc_id % 4 < 3")
+
+  // ---------------------------------------------------------------- d17
+  // LSH dedup index DELETE lifecycle — the takedown half of t44's
+  // build/append/probe (a right-to-be-forgotten request against the
+  // signature store must not mean a full rebuild): build on the first
+  // half, append the third quarter, DELETE the 8th-residue-{1,2} docs
+  // (spanning BOTH the built and the appended halves — a delete that
+  // only touched one write path would under-test the rewrite), then
+  // probe the last quarter. Signature rows are pure per-row functions,
+  // so delete(X) ≡ rebuild-without-X EXACTLY — the oracle just narrows
+  // the t44 index predicate to the survivors; a hash match proves the
+  // delete removed exactly the requested docs' signatures and no
+  // deleted id can ever pair with a probe.
+  def d17_lsh_delete(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val path = s"/tmp/graft_lshdel/${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+      s"_${srcStamp(dir, "documents.parquet")}"
+    val marker = new java.io.File(s"$path.deleted.marker")
+    if (!marker.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      Dedup.buildLshIndex(docs.filter($"doc_id" % 4 < 2), "doc_id", "text",
+        numHashes = 16, bands = 2, path)
+      Dedup.appendToLshIndex(docs.filter($"doc_id" % 4 === 2), "doc_id",
+        "text", path)
+      Dedup.deleteFromLshIndex(spark,
+        docs.filter($"doc_id" % 4 < 3 && ($"doc_id" % 8).isin(1L, 2L)),
+        "doc_id", path)
+      require(marker.createNewFile(), s"d17: marker create failed at $path")
+    }
+    val cands = Dedup.probeLshIndex(docs.filter($"doc_id" % 4 === 3),
+      "doc_id", "text", path, maxBucketSize = 100)
+      .select($"id_idx".as("id_a"), $"id_new".as("id_b"))
+    Dedup.jaccardVerify(cands, docs, "doc_id", "text", threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private[graft] lazy val d17_sql = lshIndexDedupSql(
+    "doc_id % 4 < 3 AND doc_id % 8 NOT IN (1, 2)")
 
   // ---------------------------------------------------------------- t47
   // Streaming LSH-index ingest — t44's incremental snapshot arriving as
@@ -1245,15 +1290,19 @@ private[graft] trait Queries3Curate extends Queries2Lm {
     * recursive min-label walk) shared by the t59/d11/d12/t89 oracles —
     * candidate logic must not drift between them (the qualitySql rule).
     * Emits the WITH RECURSIVE header plus the sh/edges/walk CTEs;
-    * callers append their own CTEs/select after a comma. */
-  private[graft] lazy val simhashClosureCtes: String = {
+    * callers append their own CTEs/select after a comma. Parameterized
+    * on the doc predicate — d18's retraction oracle IS the closure
+    * over the SURVIVING docs (restricting sh restricts every edge
+    * touching a retracted doc, exactly the retract semantics —
+    * including bridge splits). */
+  private[graft] def simhashClosureCtesWhere(where: String): String = {
     def chunk(c: String, k: Int) = s"($c // ${1L << (16 * k)}) % 65536"
     val on = (0 until 4)
       .map(k => s"${chunk("a.sh", k)} = ${chunk("b.sh", k)}")
       .mkString(" OR ")
     s"""WITH RECURSIVE sh AS (
        |  SELECT doc_id, ${Text.duck.simhash64Sql("text")} AS sh
-       |  FROM documents),
+       |  FROM documents WHERE $where),
        |edges AS (
        |  SELECT a.doc_id AS src, b.doc_id AS dst
        |  FROM sh a JOIN sh b
@@ -1263,6 +1312,44 @@ private[graft] trait Queries3Curate extends Queries2Lm {
        |  SELECT doc_id, doc_id FROM sh
        |  UNION
        |  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id)""".stripMargin
+  }
+
+  private[graft] lazy val simhashClosureCtes: String =
+    simhashClosureCtesWhere("TRUE")
+
+  // ---------------------------------------------------------------- d18
+  // Cluster-state RETRACTION — the takedown half of t59's incremental
+  // labels (d12/t89 keep-lists derive from these: an untracked retract
+  // would keep shipping a taken-down doc as canonical). The state
+  // stores labels only and a retracted doc can BRIDGE a component, so
+  // the accumulated pair set is re-supplied
+  // (Dedup.retractFromClusterState — the rebalanceIvfPqIndex re-supply
+  // precedent) and components re-run over the survivors: retract(X) ≡
+  // rebuild-without-X EXACTLY, bridge splits included. The oracle is
+  // the shared simhash closure over the surviving docs.
+  def d18_cluster_retract(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val path = s"/tmp/graft_d18/${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+      s"_${srcStamp(dir, "documents.parquet")}"
+    val marker = new java.io.File(s"$path.retracted.marker")
+    if (!marker.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      val pairs = Dedup.simhashNearDup64(docs, "doc_id", "text",
+        maxHamming = 3)
+      Dedup.buildClusterState(docs, "doc_id", pairs, path)
+      Dedup.retractFromClusterState(docs.filter($"doc_id" % 16 === 5),
+        "doc_id", pairs, path)
+      require(marker.createNewFile(), s"d18: marker create failed at $path")
+    }
+    Dedup.clusterSizes(spark, path).orderBy($"comp")
+  }
+
+  private[graft] lazy val d18_sql = {
+    simhashClosureCtesWhere("doc_id % 16 <> 5") + s""",
+       |labels AS (
+       |  SELECT id, MIN(comp) AS comp FROM walk GROUP BY id)
+       |SELECT comp, CAST(COUNT(*) AS BIGINT) AS n
+       |FROM labels GROUP BY comp ORDER BY comp""".stripMargin
   }
 
   private[graft] val t59_sql = {

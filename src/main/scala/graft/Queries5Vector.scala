@@ -203,7 +203,11 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
   // first 128 rows by id, refined by 3 Lloyd iterations (exact decimal
   // means — see lloydIterSql); assignment = argmax cosine (sim DESC,
   // cell ASC); probe = the query's 2 nearest cells; exact rerank within.
-  private[graft] val s03_sql =
+  // Parameterized on a candidate predicate — ONE home for s03/s04
+  // (full index) and s28 (post-DELETE search: the model fit on the
+  // FULL build corpus, candidates restricted to the survivors — which
+  // is exactly what deleteFromIvfIndex leaves on disk).
+  private[graft] def ivfSearchSql(candPred: String = "TRUE"): String =
     s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
        |    FROM embeddings),
        |  topv AS (SELECT id, v FROM v ORDER BY id LIMIT 128),
@@ -223,12 +227,116 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
        |    ORDER BY ${duckCos("q.qv", "c.cv")} DESC, c.cell LIMIT 2)
        |SELECT a.id AS vec_id, ROUND(list_cosine_similarity(a.v, q.qv), 6) AS score
        |FROM a, q WHERE a.cell IN (SELECT cell FROM probe) AND a.id <> 0
+       |  AND ($candPred)
        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin
+
+  private[graft] val s03_sql = ivfSearchSql()
 
   // s04 searches the PERSISTED index built from the same data with the
   // same nCells/nProbe/k — by construction its answer equals s03's, so
   // the oracle is the same replication.
   private[graft] val s04_sql = s03_sql
+
+  // ---------------------------------------------------------------- s28
+  // IVF index DELETE lifecycle — the takedown half every persisted
+  // index now carries (build/append/rebalance existed; a right-to-be-
+  // forgotten request must not mean a manual rebuild): build the full
+  // index, DELETE every 16th-residue-3 vector through the rename-swap
+  // home, search the swapped root. The centroids are a fitted model
+  // and stay (the append maintenance contract), so the oracle is the
+  // FULL-corpus Lloyd chain with candidates restricted to the
+  // survivors — a hash match proves the delete removed exactly the
+  // requested rows and nothing else, and that searches never return a
+  // deleted id. Delete-then-rebalance ≡ rebuild-on-survivors is the
+  // spec's half (SimilaritySpec).
+  def s28_ivf_delete(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_ivfdel/$key" +
+      s"/s${srcStamp(dir, "embeddings.parquet")}"
+    val marker = new java.io.File(s"$path.deleted.marker")
+    if (!marker.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      val emb = t(spark, dir, "embeddings")
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", nCells = 8, path)
+      Similarity.deleteFromIvfIndex(spark,
+        emb.filter($"vec_id" % 16 === 3), "vec_id", path)
+      require(marker.createNewFile(), s"s28: marker create failed at $path")
+    }
+    val qv = t(spark, dir, "embeddings").filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>"))
+      .collect().head.getSeq[Double](0)
+    Similarity.searchIvfIndex(spark, path, qv, k = 10, nProbe = 2,
+        excludeId = 0L)
+      .select($"id".as("vec_id"), $"score")
+  }
+
+  private[graft] lazy val s28_sql = ivfSearchSql("a.id % 16 <> 3")
+
+  // ---------------------------------------------------------------- s29
+  // IVFADC index DELETE lifecycle (the s28 twin for the codes-only
+  // store): build full, DELETE every 16th-residue-3 vector, search.
+  // PQ keeps codes only — the model (coarse + books) stays, fit on the
+  // FULL build corpus — so the oracle is the shared ivfPqSearchSql
+  // replay with the candidate set restricted to survivors: exactly
+  // what deleteFromIvfPqIndex leaves on disk.
+  def s29_ivfpq_delete(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft_ivfpq_del/$key" +
+      s"/s${srcStamp(dir, "embeddings.parquet")}"
+    val marker = new java.io.File(s"$base.deleted.marker")
+    if (!marker.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val emb = t(spark, dir, "embeddings")
+      operators.Pq.buildIvfPqIndex(emb, "vec_id", "embedding",
+        nCells = 8, m = PqM, kSub = PqKSub, base,
+        coarseIters = PqIters, pqIters = PqIters)
+      operators.Pq.deleteFromIvfPqIndex(spark,
+        emb.filter($"vec_id" % 16 === 3), "vec_id", base)
+      require(marker.createNewFile(), s"s29: marker create failed at $base")
+    }
+    val qv = t(spark, dir, "embeddings").filter($"vec_id" === 2L)
+      .select($"embedding".cast("array<double>"))
+      .collect().head.getSeq[Double](0)
+    operators.Pq.searchIvfPqIndex(spark, base, qv, k = 10, nProbe = 3,
+        excludeId = 2L)
+      .select($"id".as("vec_id"), $"adc")
+  }
+
+  private[graft] lazy val s29_sql = ivfPqSearchSql(queryId = 2L, k = 10,
+    nProbe = 3, selPred = "k.id % 16 <> 3")
+
+  // ---------------------------------------------------------------- s30
+  // FILTERED persisted-index search — the round-17 verdict's pushdown
+  // gap: s16's label-scoped k-NN existed in-memory only, so a
+  // tenant-scoped query over a persisted index reranked rows the
+  // predicate would have dropped. The index now persists PAYLOAD
+  // columns alongside (id, v) (buildIvfIndex payloadCols) and the
+  // search takes a `where` over them, applied AT the partition-pruned
+  // scan — parquet pushes it down (PlanShapeSpec pins PushedFilters),
+  // so non-qualifying rows are never scored or ranked and the top-k is
+  // k QUALIFYING rows (a post-rerank filter would return fewer). The
+  // oracle is the shared full-corpus Lloyd chain with candidates
+  // restricted to the query's label — scoping must not move the model.
+  def s30_filtered_ivf_search(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val path = s"/tmp/graft_ivflabel/$key" +
+      s"/s${srcStamp(dir, "embeddings.parquet")}"
+    if (!new java.io.File(s"$path/vectors/_SUCCESS").exists())
+      Similarity.buildIvfIndex(emb, "vec_id", "embedding", nCells = 8,
+        path, payloadCols = Seq("label"))
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>"), $"label")
+      .collect().head
+    Similarity.searchIvfIndex(spark, path, q.getSeq[Double](0), k = 10,
+        nProbe = 2, excludeId = 0L,
+        where = Some(s"label = ${q.getInt(1)}"))
+      .select($"id".as("vec_id"), $"score")
+  }
+
+  private[graft] lazy val s30_sql = ivfSearchSql(
+    "a.id IN (SELECT vec_id FROM embeddings WHERE label = " +
+      "(SELECT label FROM embeddings WHERE vec_id = 0))")
 
   // ---------------------------------------------------------------- s11
   // IVF k-NN JOIN: batch retrieval — 20 query vectors, each searching
@@ -897,12 +1005,15 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
       .select($"id".as("vec_id"), $"adc")
 
   /** The full IVFADC fit+search replay, parameterized on the search —
-    * ONE generated-SQL home for s08 (fresh-model search) and s26
-    * (search through the REBALANCED persisted index, which must equal
-    * the from-scratch fit this replays — that equality IS what s26's
-    * hash checks). */
+    * ONE generated-SQL home for s08 (fresh-model search), s26 (search
+    * through the REBALANCED persisted index, which must equal the
+    * from-scratch fit this replays — that equality IS what s26's hash
+    * checks), and s29 (post-DELETE search: `selPred` restricts the
+    * candidate codes to the survivors while the model stays the
+    * full-corpus fit — exactly what deleteFromIvfPqIndex leaves). */
   private[graft] def ivfPqSearchSql(queryId: Long, k: Int,
-                                    nProbe: Int): String = {
+                                    nProbe: Int,
+                                    selPred: String = "TRUE"): String = {
     val dsub = 16
     val coarse = pqSubChainSql("c", "v", "num", 0, 0, 64, PqIters)
     val resid =
@@ -937,7 +1048,8 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
        |    ORDER BY $probeDist ASC, c.cell LIMIT $nProbe),
        |  sel AS (SELECT k.id, k.c0, k.c1, k.c2, k.c3, a.cell AS ccell
        |    FROM k JOIN asgc0 a ON a.id = k.id
-       |    WHERE a.cell IN (SELECT cell FROM probe) AND k.id <> $queryId)
+       |    WHERE a.cell IN (SELECT cell FROM probe) AND k.id <> $queryId
+       |      AND ($selPred))
        |SELECT sel.id AS vec_id, ROUND($adc, 6) AS adc
        |FROM sel CROSS JOIN q
        |JOIN cent${PqIters}c0 cc ON cc.cell = sel.ccell

@@ -124,6 +124,26 @@ object Cms {
       .write.mode("append").parquet(s"$path/cells")
   }
 
+  /** RETRACT one ingested batch from the CMS store — exact (the
+    * [[graft.operators.Quantiles.retractCensusBatch]] twin): cells are
+    * batch-stamped and the merge SUMS counts, so dropping a batch's
+    * cells ≡ a store built without it. Tmp + rename-pair swap; fails
+    * fast on a never-ingested batch id. */
+  def retractCmsBatch(spark: org.apache.spark.sql.SparkSession,
+                      path: String, batchId: Long): Unit = {
+    metaOf(spark, path) // existence + format fail-fast
+    val cells = spark.read.parquet(s"$path/cells")
+    require(cells.filter($"__batch" === batchId).limit(1).count() == 1L,
+      s"retractCmsBatch: batch $batchId was never ingested at $path")
+    val kept = cells.filter($"__batch" =!= batchId).localCheckpoint()
+    val tmp = s"$path.rebuild_tmp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$path/meta"), new java.io.File(s"$tmp/meta"))
+    kept.write.mode("overwrite").parquet(s"$tmp/cells")
+    Similarity.swapIndexRoot(path, tmp, "retractCmsBatch")
+  }
+
   /** Point estimates over everything ingested so far. */
   def estimatesFromStore(spark: org.apache.spark.sql.SparkSession,
                          path: String, probes: DataFrame,

@@ -215,7 +215,14 @@ object Decontam {
 
   /** OR a new benchmark snapshot into the stored filter (params from
     * the store — geometry mismatch is impossible by construction).
-    * append(A); append(B) ≡ build(A ∪ B) bit for bit. */
+    * append(A); append(B) ≡ build(A ∪ B) bit for bit.
+    *
+    * DELETION is impossible by construction: OR-ed bits are shared
+    * across entries, so no per-id retraction exists — a takedown
+    * against the filter means a rebuild from the surviving benchmark
+    * (the one persisted artifact family with no deleteFrom*; the
+    * count-based stores subtract batch cells, the id-keyed indexes
+    * anti-join — see retractCensusBatch / deleteFromLshIndex). */
   def appendToBloomFilter(bench: DataFrame, benchTextCol: String,
                           path: String): BloomFilter = {
     val spark = bench.sparkSession

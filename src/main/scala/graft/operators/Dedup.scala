@@ -274,6 +274,29 @@ object Dedup {
       .write.mode("append").partitionBy("chunk").parquet(s"$path/chunks")
   }
 
+  /** DELETE media from a persisted signature index — the takedown
+    * half (the deleteFromLshIndex twin: chunk rows are per-row pure
+    * functions of the signature, so delete(X) ≡ rebuild-without-X
+    * exactly). Chunk-partitioned rewrite minus the ids under tmp +
+    * one rename-pair swap; meta rides along; fails fast on unknown
+    * ids. */
+  def deleteFromSigIndex(spark: org.apache.spark.sql.SparkSession,
+                         ids: DataFrame, idCol: String,
+                         path: String): Unit = {
+    sigMeta(spark, path) // existence fail-fast
+    val del = Similarity.delIdsOf(ids, idCol)
+    val stored = spark.read.parquet(s"$path/chunks")
+    Similarity.requireKnownIds(stored.select(col("id")), del,
+      "deleteFromSigIndex")
+    val kept = stored.join(del, Seq("id"), "left_anti").localCheckpoint()
+    val tmp = s"$path.rebuild_tmp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$path/meta"), new java.io.File(s"$tmp/meta"))
+    kept.write.mode("overwrite").partitionBy("chunk").parquet(s"$tmp/chunks")
+    Similarity.swapIndexRoot(path, tmp, "deleteFromSigIndex")
+  }
+
   /** Near-dups of a NEW batch against the indexed corpus: per-chunk
     * (blk) join + exact popcount verify, first-match-disjoint branches
     * (pairs report under the first chunk both sides leave untouched —
@@ -522,6 +545,33 @@ object Dedup {
       .write.mode("append").partitionBy("band").parquet(s"$path/buckets")
   }
 
+  /** DELETE documents from a persisted LSH index — the takedown half
+    * of the lifecycle (build/append/probe existed; a right-to-be-
+    * forgotten request against the signature store must not mean a
+    * full rebuild). Signature rows are per-row pure functions of their
+    * document, so delete(X) ≡ a from-scratch build on the survivors
+    * EXACTLY (spec-pinned bit-for-bit on the buckets table): the
+    * band-partitioned table rewrites minus the ids under a tmp root,
+    * meta rides along unchanged, and the whole root swaps in one
+    * rename pair ([[Similarity.swapIndexRoot]]). Fails fast on
+    * unknown ids. */
+  def deleteFromLshIndex(spark: org.apache.spark.sql.SparkSession,
+                         ids: DataFrame, idCol: String,
+                         path: String): Unit = {
+    lshMeta(spark, path) // existence fail-fast
+    val del = Similarity.delIdsOf(ids, idCol)
+    val stored = spark.read.parquet(s"$path/buckets")
+    Similarity.requireKnownIds(stored.select(col("id")), del,
+      "deleteFromLshIndex")
+    val kept = stored.join(del, Seq("id"), "left_anti").localCheckpoint()
+    val tmp = s"$path.rebuild_tmp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$path/meta"), new java.io.File(s"$tmp/meta"))
+    kept.write.mode("overwrite").partitionBy("band").parquet(s"$tmp/buckets")
+    Similarity.swapIndexRoot(path, tmp, "deleteFromLshIndex")
+  }
+
   // ------------------------------------------------------------------
   // Persisted CLUSTER STATE next to a dedup index (t44 LSH / m05
   // signatures accumulate PAIRS; this maintains the component labels
@@ -584,6 +634,45 @@ object Dedup {
     // materialize BEFORE overwriting the path the plan reads from
     val next = relabeledOld.union(labeledNew).localCheckpoint()
     next.write.mode("overwrite").parquet(s"$path/clusters")
+  }
+
+  /** RETRACT documents from the persisted cluster state — the takedown
+    * half of the incremental-label lifecycle. The state stores LABELS
+    * only (id, comp), and removing a doc can SPLIT a component it
+    * bridged — something no label-only rewrite can compute — so the
+    * accumulated candidate-PAIR set is re-supplied by the caller
+    * (`pairs`: everything fed to the build plus every append — the
+    * [[graft.operators.Pq.rebalanceIvfPqIndex]] re-supply precedent;
+    * pair stores like the LSH/signature indexes keep exactly this).
+    * Pairs touching a retracted id are dropped here, components re-run
+    * over the SURVIVING nodes + pairs, and since
+    * [[connectedComponents]] is deterministic, retract(X) ≡
+    * buildClusterState(survivors, surviving pairs) EXACTLY — including
+    * bridge splits (oracle-pinned). Root rewrites under tmp + one
+    * rename-pair swap; fails fast on unknown ids. */
+  def retractFromClusterState(ids: DataFrame, idCol: String,
+                              pairs: DataFrame, path: String,
+                              aCol: String = "id_a",
+                              bCol: String = "id_b"): Unit = {
+    val spark = ids.sparkSession
+    require(Similarity.fsDirExists(spark, s"$path/clusters"),
+      s"no cluster state at $path (missing $path/clusters — " +
+        "buildClusterState first)")
+    val del = Similarity.delIdsOf(ids, idCol)
+    val stored = spark.read.parquet(s"$path/clusters")
+    Similarity.requireKnownIds(stored.select(col("id")), del,
+      "retractFromClusterState")
+    val survivors = stored.select(col("id"))
+      .join(del, Seq("id"), "left_anti").localCheckpoint()
+    val keptPairs = pairs
+      .join(del.select(col("id").as(aCol)), Seq(aCol), "left_anti")
+      .join(del.select(col("id").as(bCol)), Seq(bCol), "left_anti")
+    val next = connectedComponents(survivors, "id", keptPairs, aCol, bCol)
+      .select(col("id"), col("comp")).localCheckpoint()
+    val tmp = s"$path.rebuild_tmp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    next.write.mode("overwrite").parquet(s"$tmp/clusters")
+    Similarity.swapIndexRoot(path, tmp, "retractFromClusterState")
   }
 
   /** Stored labels (id, comp). */

@@ -362,6 +362,48 @@ object GraphAnn {
     Similarity.swapIndexRoot(path, tmp, "rebalanceGraphIndex")
   }
 
+  /** DELETE nodes from a persisted graph index — the takedown half of
+    * the lifecycle: nodes minus the ids, edges pruned to rows where
+    * NEITHER endpoint is deleted, meta kept, whole root rewritten
+    * under tmp + one rename-pair swap (the rebalance discipline).
+    * Deleted ids are gone from every search immediately (they are in
+    * no node row and no beam can reach them through any edge).
+    *
+    * Contract note (unlike the binary/LSH deletes, this is prune-ONLY,
+    * stated honestly): surviving nodes whose k-NN lists pointed at
+    * deleted neighbors keep SHORTER adjacency — a fresh NN-descent on
+    * the survivors would have found replacement edges, so traversal
+    * recall can degrade with heavy deletion exactly as it does with
+    * heavy append drift. [[rebalanceGraphIndex]] is the restore path
+    * for both (delete-then-rebalance ≡ a from-scratch build on the
+    * survivors, the spec-pinned determinism). Fails fast on unknown
+    * ids. */
+  def deleteFromGraphIndex(spark: SparkSession, ids: DataFrame,
+                           idCol: String, path: String): Unit = {
+    require(Similarity.fsDirExists(spark, s"$path/meta") &&
+        Similarity.fsDirExists(spark, s"$path/nodes") &&
+        Similarity.fsDirExists(spark, s"$path/edges"),
+      s"deleteFromGraphIndex: no graph index at $path")
+    val del = Similarity.delIdsOf(ids, idCol)
+    val nodes = spark.read.parquet(s"$path/nodes")
+    Similarity.requireKnownIds(nodes.select(col("id")), del,
+      "deleteFromGraphIndex")
+    val keptNodes = nodes.join(del, Seq("id"), "left_anti")
+      .localCheckpoint()
+    val edges = spark.read.parquet(s"$path/edges")
+    val keptEdges = edges
+      .join(del, Seq("id"), "left_anti")
+      .join(del.select(col("id").as("nbr")), Seq("nbr"), "left_anti")
+      .localCheckpoint()
+    val tmp = s"$path.rebuild_tmp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$path/meta"), new java.io.File(s"$tmp/meta"))
+    keptNodes.write.mode("overwrite").parquet(s"$tmp/nodes")
+    keptEdges.write.mode("overwrite").parquet(s"$tmp/edges")
+    Similarity.swapIndexRoot(path, tmp, "deleteFromGraphIndex")
+  }
+
   /** Driver-pull gate for [[appendToGraphIndex]] (the maxKernelElems
     * rule): append batches broadcast as queries via a driver collect,
     * so they must be BOUNDED — chunk larger ingests upstream. The pull

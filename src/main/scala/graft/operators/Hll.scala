@@ -146,6 +146,11 @@ object Hll {
   // (stronger than t44's distinct-at-probe story). `path/meta` pins
   // logM and the group/key columns: registers built under a different
   // geometry would silently merge wrong, so append fails fast.
+  // DELETION is impossible by construction (the Bloom twin): MAX
+  // absorbs — a register value cannot be un-maxed without knowing
+  // every contributing key, so a takedown means a rebuild from the
+  // surviving feed. Count-based stores retract exactly instead
+  // (Quantiles.retractCensusBatch / Cms.retractCmsBatch).
   // ------------------------------------------------------------------
 
   private def meta(spark: org.apache.spark.sql.SparkSession,

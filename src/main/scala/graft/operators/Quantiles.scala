@@ -101,6 +101,30 @@ object Quantiles {
       .write.mode("append").parquet(s"$path/cells")
   }
 
+  /** RETRACT one ingested batch from the census store — the takedown
+    * half count-based stores admit EXACTLY (unlike Bloom/HLL, whose
+    * OR/max merges are irreversible by construction — those document
+    * rebuild as the only path): every cell carries its `__batch`
+    * stamp, so dropping the batch's cells ≡ a store built without that
+    * batch, bit-for-bit (oracle-pinned). Root rewrites under tmp + one
+    * rename-pair swap ([[Similarity.swapIndexRoot]]); fails fast on a
+    * batch id the store never ingested (a takedown must not silently
+    * "succeed" on a typo'd batch). */
+  def retractCensusBatch(spark: org.apache.spark.sql.SparkSession,
+                         path: String, batchId: Long): Unit = {
+    metaOf(spark, path) // existence fail-fast
+    val cells = spark.read.parquet(s"$path/cells")
+    require(cells.filter($"__batch" === batchId).limit(1).count() == 1L,
+      s"retractCensusBatch: batch $batchId was never ingested at $path")
+    val kept = cells.filter($"__batch" =!= batchId).localCheckpoint()
+    val tmp = s"$path.rebuild_tmp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$path/meta"), new java.io.File(s"$tmp/meta"))
+    kept.write.mode("overwrite").parquet(s"$tmp/cells")
+    Similarity.swapIndexRoot(path, tmp, "retractCensusBatch")
+  }
+
   /** Exact cut points over everything ingested so far — the same
     * cumulative-window chain as [[quantileCensus]] over the summed
     * distinct cells. */

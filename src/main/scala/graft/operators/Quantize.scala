@@ -272,12 +272,16 @@ object Pq {
   private def fitIvfPqWithRes(df: DataFrame, idCol: String, vecCol: String,
                               nCells: Int, m: Int, kSub: Int,
                               coarseIters: Int, pqIters: Int,
-                              kppSeed: Boolean): (IvfPqModel, DataFrame) = {
-    val v = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    val seeds = if (kppSeed) Similarity.kppSeeds(v, nCells)
-                else Similarity.centroidRows(v, nCells)
-    val coarse = Similarity.lloyd(v, seeds, coarseIters, l2 = true)
+                              kppSeed: Boolean,
+                              payloadCols: Seq[String] = Seq())
+      : (IvfPqModel, DataFrame) = {
+    val v = df.select(col(idCol).as("id") +:
+      col(vecCol).cast("array<double>").as("v") +:
+      payloadCols.map(col): _*)
+    val fit = v.select(col("id"), col("v"))
+    val seeds = if (kppSeed) Similarity.kppSeeds(fit, nCells)
+                else Similarity.centroidRows(fit, nCells)
+    val coarse = Similarity.lloyd(fit, seeds, coarseIters, l2 = true)
     // persist across the m per-subspace fits: each subspace's Lloyd
     // loop would otherwise re-run the assignment+subtraction map
     val res = residuals(v, coarse).persist()
@@ -299,26 +303,32 @@ object Pq {
 
   /** Encode the corpus: id, cell, codes (the m residual-PQ indices).
     * The float vector is consumed here and never again — an IVFADC
-    * deployment persists (cell, codes) partitioned by cell. */
+    * deployment persists (cell, codes) partitioned by cell.
+    * `payloadCols` ride alongside (the filtered-search scope columns —
+    * see searchIvfPqIndex's `where`). */
   def encodeIvfPq(df: DataFrame, idCol: String, vecCol: String,
-                  ix: IvfPqModel): DataFrame = {
-    val v = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
-    codesFromResiduals(residuals(v, ix.coarse), ix.books)
+                  ix: IvfPqModel,
+                  payloadCols: Seq[String] = Seq()): DataFrame = {
+    val v = df.select(col(idCol).as("id") +:
+      col(vecCol).cast("array<double>").as("v") +:
+      payloadCols.map(col): _*)
+    codesFromResiduals(residuals(v, ix.coarse), ix.books, payloadCols)
   }
 
   /** The encode tail over an (id, cell, r) residual frame — shared by
     * encodeIvfPq and the build (which reuses the fit's persisted
     * residuals instead of recomputing the corpus pass). */
   private def codesFromResiduals(res: DataFrame,
-      books: Array[Array[(Int, Seq[Double])]]): DataFrame = {
+      books: Array[Array[(Int, Seq[Double])]],
+      payloadCols: Seq[String] = Seq()): DataFrame = {
     import graft.functions.VectorExprs.nearestCentroidL2
     val dsub = books(0)(0)._2.length
     val codeCols = books.indices.map { s =>
       nearestCentroidL2(slice(col("r"), s * dsub + 1, dsub),
         typedLit(books(s).map(_._2).toSeq))
     }
-    res.select(col("id"), col("cell"), array(codeCols: _*).as("codes"))
+    res.select(col("id") +: col("cell") +:
+      array(codeCols: _*).as("codes") +: payloadCols.map(col): _*)
   }
 
   /** Probed cells for a query (driver-side — the coarse table is
@@ -366,9 +376,10 @@ object Pq {
   def buildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
                       nCells: Int, m: Int, kSub: Int, path: String,
                       coarseIters: Int = 2, pqIters: Int = 2,
-                      kppSeed: Boolean = false): Unit = {
+                      kppSeed: Boolean = false,
+                      payloadCols: Seq[String] = Seq()): Unit = {
     val (ix, res) = fitIvfPqWithRes(df, idCol, vecCol, nCells, m, kSub,
-      coarseIters, pqIters, kppSeed)
+      coarseIters, pqIters, kppSeed, payloadCols)
     try {
       val spark = df.sparkSession
       import spark.implicits._
@@ -381,7 +392,7 @@ object Pq {
       // encode from the fit's persisted residuals — NOT a fresh
       // residuals(df) pass: that would re-run the full-corpus coarse
       // assignment + subtraction a second time
-      codesFromResiduals(res, ix.books)
+      codesFromResiduals(res, ix.books, payloadCols)
         .repartition(col("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     } finally res.unpersist(blocking = false)
@@ -410,14 +421,19 @@ object Pq {
   /** Search a persisted IVFADC index: probe selection reads the tiny
     * coarse table; the codes scan is partition-pruned to the probed
     * cells. */
+  /** `where`: optional predicate over the index's payload columns,
+    * applied AT the partition-pruned codes scan (pushed filter — the
+    * searchIvfIndex rule): non-qualifying rows are never ADC-scored. */
   def searchIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
                        path: String, queryVec: Seq[Double], k: Int,
-                       nProbe: Int, excludeId: Long = -1L): DataFrame = {
+                       nProbe: Int, excludeId: Long = -1L,
+                       where: Option[String] = None): DataFrame = {
     val ix = loadIvfPqModel(spark, path)
     val probed = probeCells(queryVec, ix, nProbe)
-    spark.read.parquet(s"$path/codes")
+    val scan = spark.read.parquet(s"$path/codes")
       .filter(col("cell").isin(probed.map(x => x: Any): _*))
       .filter(col("id") =!= excludeId)
+    where.fold(scan)(scan.filter)
       .select(col("id"), round(adcByCell(queryVec, ix, probed), 6).as("adc"))
       .orderBy(col("adc"), col("id")).limit(k)
   }
@@ -431,7 +447,11 @@ object Pq {
   def appendToIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
                          path: String): Unit = {
     val ix = loadIvfPqModel(df.sparkSession, path)
-    encodeIvfPq(df, idCol, vecCol, ix)
+    // payload columns are whatever the stored codes carry beyond the
+    // core (id, cell, codes) — the append must supply them all
+    val payload = df.sparkSession.read.parquet(s"$path/codes")
+      .columns.toSeq.filterNot(Set("id", "cell", "codes"))
+    encodeIvfPq(df, idCol, vecCol, ix, payload)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
@@ -484,6 +504,40 @@ object Pq {
     buildIvfPqIndex(df, idCol, vecCol, nCells, m, kSub, tmp,
       coarseIters, pqIters, kppSeed)
     Similarity.swapIndexRoot(path, tmp, "rebalanceIvfPqIndex")
+  }
+
+  /** DELETE vectors from a persisted IVFADC index — the takedown half
+    * of the lifecycle. The model (coarse centroids + codebooks) is
+    * KEPT — it is a fitted artifact, not per-row data, and PQ never
+    * persisted the floats to refit from anyway — so delete(X) means:
+    * codes table minus X under the STORED model, whole root rewritten
+    * under tmp + one rename-pair swap. Search after delete ≡ search
+    * over the surviving codes with the original model (the oracle
+    * replays exactly that); delete-then-rebalance(survivor corpus) ≡ a
+    * from-scratch build on the survivors (the rebalance determinism
+    * pin). Fails fast on unknown ids. */
+  def deleteFromIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+                           ids: DataFrame, idCol: String,
+                           path: String): Unit = {
+    Seq("coarse", "books", "codes").foreach { part =>
+      require(Similarity.fsDirExists(spark, s"$path/$part"),
+        s"deleteFromIvfPqIndex: no IVFADC index at $path (missing " +
+          s"$path/$part)")
+    }
+    val del = Similarity.delIdsOf(ids, idCol)
+    val stored = spark.read.parquet(s"$path/codes")
+    Similarity.requireKnownIds(stored.select(col("id")), del,
+      "deleteFromIvfPqIndex")
+    val kept = stored.join(del, Seq("id"), "left_anti").localCheckpoint()
+    val tmp = s"$path.rebuild_tmp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    Seq("coarse", "books").foreach { part =>
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(s"$path/$part"), new java.io.File(s"$tmp/$part"))
+    }
+    kept.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
+    Similarity.swapIndexRoot(path, tmp, "deleteFromIvfPqIndex")
   }
 
   /** Batched ADC k-NN JOIN — the corpus-scale retrieval shape

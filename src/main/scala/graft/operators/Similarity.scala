@@ -459,47 +459,64 @@ object Similarity {
     * the 16-byte-per-vector scan (no separate code file to keep in
     * sync with the vectors); the rerank re-reads (id, v) for the
     * shortlist alone. */
+  /** `payloadCols` persist alongside (id, code, v) — the filtered-
+    * search scope columns (see [[searchBinaryIndex]]'s `where`). */
   def buildBinaryIndex(df: DataFrame, idCol: String, vecCol: String,
-                       path: String): Unit = {
+                       path: String,
+                       payloadCols: Seq[String] = Seq()): Unit = {
     import graft.functions.VectorExprs.signPack
-    df.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("v"))
-      .select(col("id"), signPack(col("v")).as("code"), col("v"))
+    df.select(col(idCol).as("id") +:
+        col(vecCol).cast("array<double>").as("v") +:
+        payloadCols.map(col): _*)
+      .select(col("id") +: signPack(col("v")).as("code") +: col("v") +:
+        payloadCols.map(col): _*)
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
   /** Append new vectors: anti-join against stored ids so an
     * at-least-once replay of the same batch is a byte-level no-op (the
     * GraphAnn append rule). Distributed end to end — no driver pull,
-    * no gate needed. */
+    * no gate needed. Payload columns are whatever the stored table
+    * carries beyond (id, code, v) — the append must supply them. */
   def appendToBinaryIndex(df: DataFrame, idCol: String, vecCol: String,
                           path: String): Unit = {
     import graft.functions.VectorExprs.signPack
     val spark = df.sparkSession
     require(fsDirExists(spark, s"$path/codes"),
       s"no binary index at $path — buildBinaryIndex first")
-    val stored = spark.read.parquet(s"$path/codes").select("id")
-    df.select(col(idCol).as("id"),
-        col(vecCol).cast("array<double>").as("v"))
+    val storedDf = spark.read.parquet(s"$path/codes")
+    val payload = storedDf.columns.toSeq.filterNot(Set("id", "code", "v"))
+    val stored = storedDf.select("id")
+    df.select(col(idCol).as("id") +:
+        col(vecCol).cast("array<double>").as("v") +:
+        payload.map(col): _*)
       .join(stored, Seq("id"), "left_anti")
-      .select(col("id"), signPack(col("v")).as("code"), col("v"))
+      .select(col("id") +: signPack(col("v")).as("code") +: col("v") +:
+        payload.map(col): _*)
       .write.mode("append").parquet(s"$path/codes")
   }
 
   /** Search the persisted index: Hamming top-`shortlist` over the
     * column-pruned (id, code) scan, exact rounded-cosine rerank over
     * (id, v) for the shortlist. Same semantics as [[binaryKnnJoin]]
-    * over the indexed rows (spec-pinned equal). */
+    * over the indexed rows (spec-pinned equal). `where` scopes the
+    * CANDIDATE side over the payload columns AT the codes scan (pushed
+    * filter — the searchIvfIndex rule; filtering after the shortlist
+    * would return under-k qualifying rows); query rows come from the
+    * unfiltered store, so a query need not satisfy its own scope. */
   def searchBinaryIndex(spark: org.apache.spark.sql.SparkSession,
                         path: String, queryIds: Seq[Long], k: Int,
-                        shortlist: Int): DataFrame = {
+                        shortlist: Int,
+                        where: Option[String] = None): DataFrame = {
     import graft.functions.VectorExprs.hammingDist
     import org.apache.spark.sql.expressions.Window
     require(fsDirExists(spark, s"$path/codes"),
       s"no binary index at $path — buildBinaryIndex first")
-    val store = spark.read.parquet(s"$path/codes")
+    val full = spark.read.parquet(s"$path/codes")
+    val store = where.fold(full)(full.filter)
     val codes = store.select(col("id"), col("code"))
-    val q = codes.filter(col("id").isin(queryIds: _*))
+    val q = full.select(col("id"), col("code"))
+      .filter(col("id").isin(queryIds: _*))
       .select(col("id").as("qid"), col("code").as("qcode"))
     val wH = Window.partitionBy(col("qid"))
       .orderBy(col("ham").asc, col("id").asc)
@@ -510,7 +527,10 @@ object Similarity {
       .filter(col("hrk") <= shortlist)
       .select(col("qid"), col("id"), col("ham"))
     val v = store.select(col("id"), col("v"))
-    val qv = v.filter(col("id").isin(queryIds: _*))
+    // query vectors from the FULL store — a query outside its own
+    // scope must still search
+    val qv = full.select(col("id"), col("v"))
+      .filter(col("id").isin(queryIds: _*))
       .select(col("id").as("qid"), col("v").as("qv"))
     val w2 = Window.partitionBy(col("qid"))
       .orderBy(col("score").desc, col("id").asc)
@@ -913,12 +933,19 @@ object Similarity {
     * query cost scales with nProbe/nCells of the corpus, not its size.
     * Build cost is one assignment pass + one partitioned write — the
     * batch-index lifecycle a 100 TB embedding store needs. */
+  /** `payloadCols` persist alongside (id, v) in the vector table — the
+    * label/tenant columns a FILTERED search scopes by
+    * ([[searchIvfIndex]]'s `where`): the predicate then rides the
+    * partition-pruned parquet scan as a pushed filter instead of
+    * post-filtering reranked rows. The Lloyd fit never reads them. */
   def buildIvfIndex(df: DataFrame, idCol: String, vecCol: String,
                     nCells: Int, path: String,
                     lloydIters: Int = LloydIters,
-                    kppSeed: Boolean = false): Unit = {
-    val v = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
+                    kppSeed: Boolean = false,
+                    payloadCols: Seq[String] = Seq()): Unit = {
+    val v = df.select(col(idCol).as("id") +:
+      col(vecCol).cast("array<double>").as("v") +:
+      payloadCols.map(col): _*)
     fitAndWriteIvf(v, nCells, path, lloydIters, kppSeed)
   }
 
@@ -927,17 +954,19 @@ object Similarity {
     * neither): deterministic seeds + Lloyd, centroid table, then one
     * narrow assignment pass into the cell-partitioned vector layout —
     * the only Exchange is the repartition that sizes the per-cell
-    * output files. */
+    * output files. `v` carries (id, v) plus any payload columns, which
+    * ride the vector table untouched. */
   private def fitAndWriteIvf(v: DataFrame, nCells: Int, path: String,
                              lloydIters: Int, kppSeed: Boolean): Unit = {
-    val seeds = if (kppSeed) kppSeeds(v, nCells) else centroidRows(v, nCells)
-    val cents = lloyd(v, seeds, lloydIters)
+    val fit = v.select(col("id"), col("v"))
+    val seeds =
+      if (kppSeed) kppSeeds(fit, nCells) else centroidRows(fit, nCells)
+    val cents = lloyd(fit, seeds, lloydIters)
     val spark = v.sparkSession
     import spark.implicits._
     cents.toSeq.toDF("cell", "cv")
       .write.mode("overwrite").parquet(s"$path/centroids")
     assignCells(v, cents)
-      .select(col("id"), col("v"), col("cell"))
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
   }
@@ -972,10 +1001,16 @@ object Similarity {
       .select(col("cell"), col("cv")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    val v = df.select(col(idCol).as("id"),
-      col(vecCol).cast("array<double>").as("v"))
+    // payload columns are whatever the stored table carries beyond the
+    // core (id, v, cell) — an append must supply them all, or the
+    // select fails fast (a payload-less append would silently null a
+    // filtered search's predicate column)
+    val payload = spark.read.parquet(s"$path/vectors").columns.toSeq
+      .filterNot(Set("id", "v", "cell"))
+    val v = df.select(col(idCol).as("id") +:
+      col(vecCol).cast("array<double>").as("v") +:
+      payload.map(col): _*)
     assignCells(v, cents)
-      .select(col("id"), col("v"), col("cell"))
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/vectors")
   }
@@ -1001,7 +1036,7 @@ object Similarity {
         fsDirExists(spark, s"$path/vectors"),
       s"rebalanceIvfIndex: no IVF index at $path")
     val v = spark.read.parquet(s"$path/vectors")
-      .select(col("id"), col("v"))
+      .drop("cell") // payload columns ride the rebuild untouched
       // the rewrite replaces the files this plan reads — materialize
       // the current vector set before any write touches the directory
       .localCheckpoint()
@@ -1018,15 +1053,90 @@ object Similarity {
 
   /** Swap a freshly-built index root over the live one in ONE rename
     * pair — the shared tail of every index rebalance (IVF here, IVFADC
-    * in [[graft.operators.Pq.rebalanceIvfPqIndex]]). A per-part swap
-    * could fail between parts and leave NEW centroids live over
-    * OLD-partitioned data, which searches silently (wrong cells
-    * pruned); with the root swap the index is always a consistent
-    * whole. Not atomic for concurrent readers — a maintenance-window
-    * op, like every index rebuild. */
+    * in [[graft.operators.Pq.rebalanceIvfPqIndex]]) AND every index
+    * DELETE. A per-part swap could fail between parts and leave NEW
+    * centroids live over OLD-partitioned data, which searches silently
+    * (wrong cells pruned); with the root swap the index is always a
+    * consistent whole. Not atomic for concurrent readers — a
+    * maintenance-window op, like every index rebuild. */
   private[operators] def swapIndexRoot(path: String, tmp: String,
                                        fn: String): Unit =
     swapRoot(path, tmp, s"$path.rebuild_old", fn, requireLive = true)
+
+  /** Fail-fast for every index/store delete: all requested ids must be
+    * present in the stored id set — a silently-ignored unknown id would
+    * let a takedown request "succeed" without removing anything (a
+    * typo'd id list must abort, not half-apply). One distributed
+    * anti-join count, maintenance-window cost. */
+  private[operators] def requireKnownIds(storedIds: DataFrame,
+                                         delIds: DataFrame,
+                                         fn: String): Unit = {
+    val missing = delIds.distinct()
+      .join(storedIds.distinct(), Seq("id"), "left_anti").count()
+    require(missing == 0L,
+      s"$fn: $missing of the requested ids are not in the store — " +
+        "a takedown must not half-apply; check the id list")
+  }
+
+  /** Normalize a caller's delete-id frame to one `id` column. */
+  private[operators] def delIdsOf(ids: DataFrame, idCol: String): DataFrame =
+    ids.select(col(idCol).as("id"))
+
+  /** DELETE vectors from a persisted IVF index — the takedown half of
+    * the lifecycle (build/append/rebalance exist; a right-to-be-
+    * forgotten request must not mean a manual full rebuild). The
+    * centroids are KEPT (they are a fitted model, not per-row data —
+    * the same maintenance contract as append: cell quality drifts
+    * until the next rebalance, searches stay correct), the vectors
+    * table is rewritten minus the ids under a tmp root, and the whole
+    * root swaps in one rename pair. Delete-then-rebalance ≡ a
+    * from-scratch build on the survivors (spec-pinned — rebalance
+    * refits deterministically on whatever is stored). Fails fast on
+    * unknown ids ([[requireKnownIds]]). */
+  def deleteFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                         ids: DataFrame, idCol: String,
+                         path: String): Unit = {
+    require(fsDirExists(spark, s"$path/centroids") &&
+        fsDirExists(spark, s"$path/vectors"),
+      s"deleteFromIvfIndex: no IVF index at $path")
+    val del = delIdsOf(ids, idCol)
+    val stored = spark.read.parquet(s"$path/vectors")
+    requireKnownIds(stored.select(col("id")), del, "deleteFromIvfIndex")
+    // materialize the survivors BEFORE any write near the live root
+    // (the rebalance rule), then build the complete new root and swap
+    val kept = stored.select(col("id"), col("v"), col("cell"))
+      .join(del, Seq("id"), "left_anti")
+      .localCheckpoint()
+    val tmp = s"$path.rebuild_tmp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$path/centroids"),
+      new java.io.File(s"$tmp/centroids"))
+    kept.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/vectors")
+    swapIndexRoot(path, tmp, "deleteFromIvfIndex")
+  }
+
+  /** DELETE vectors from a persisted binary-code index: codes are
+    * per-row pure functions of their vector, so delete(X) ≡ a
+    * from-scratch build on the survivors EXACTLY (spec-pinned
+    * bit-for-bit — no model to drift, unlike IVF). Rewrite minus the
+    * ids under a tmp root + one rename-pair swap; fails fast on
+    * unknown ids. */
+  def deleteFromBinaryIndex(spark: org.apache.spark.sql.SparkSession,
+                            ids: DataFrame, idCol: String,
+                            path: String): Unit = {
+    require(fsDirExists(spark, s"$path/codes"),
+      s"deleteFromBinaryIndex: no binary index at $path")
+    val del = delIdsOf(ids, idCol)
+    val stored = spark.read.parquet(s"$path/codes")
+    requireKnownIds(stored.select(col("id")), del, "deleteFromBinaryIndex")
+    val kept = stored.join(del, Seq("id"), "left_anti").localCheckpoint()
+    val tmp = s"$path.rebuild_tmp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    kept.write.mode("overwrite").parquet(s"$tmp/codes")
+    swapIndexRoot(path, tmp, "deleteFromBinaryIndex")
+  }
 
   /** The ONE rename-pair home (index rebalances AND the streaming
     * state swaps — graft.streaming.Streams.writeStateSwap delegates
@@ -1046,17 +1156,25 @@ object Similarity {
     org.apache.commons.io.FileUtils.deleteQuietly(old)
   }
 
+  /** `where`: an optional predicate over the index's PAYLOAD columns
+    * (tenant/label scoping — the s16 filteredKnnJoin rule for the
+    * persisted path). It applies AT the partition-pruned scan, so
+    * parquet pushes it down (PlanShapeSpec pins PushedFilters) and
+    * non-qualifying rows are never scored or ranked — a post-rerank
+    * filter would silently return fewer than k qualifying rows. */
   def searchIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      queryVec: Seq[Double], k: Int, nProbe: Int,
-                     excludeId: Long = -1L): DataFrame = {
+                     excludeId: Long = -1L,
+                     where: Option[String] = None): DataFrame = {
     val probed = spark.read.parquet(s"$path/centroids").collect()
       .map(r => (r.getInt(0), cosineLocal(queryVec, r.getSeq[Double](1))))
       .sortBy { case (cell, sim) => (-sim, cell) }
       .take(nProbe).map(_._1)
     val qv = array(queryVec.map(lit): _*)
-    spark.read.parquet(s"$path/vectors")
+    val scan = spark.read.parquet(s"$path/vectors")
       .filter(col("cell").isin(probed.map(x => x: Any): _*))
       .filter(col("id") =!= excludeId)
+    where.fold(scan)(scan.filter)
       .select(col("id"), round(cosine(col("v"), qv), 6).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(k)

@@ -947,6 +947,90 @@ object Streams {
     ss.table(queryName).filter(col(keyCol) =!= sentinelKey)
   }
 
+  /** The DURABLE form of [[watermarkedBarsStream]] — the production
+    * live-bars shape: the same watermarked append-mode windowed
+    * aggregation, but CHECKPOINTED, with each micro-batch's closed bars
+    * landing in a persisted store (the disk-as-state convention of the
+    * four scan-ingest siblings). Append mode + the checkpoint means
+    * each bar is computed exactly once across the stream's LIFETIME —
+    * repeated invocations cost one punctuation micro-batch (~the q79
+    * warm floor), never a feed replay; a crash between the store write
+    * and the checkpoint commit redelivers the batch, whose DYNAMIC
+    * `__batch` partition overwrite ([[writeResultBatch]]) replaces its
+    * own rows instead of duplicating them — exactly-once end to end.
+    *
+    * Punctuation: every invocation appends one fresh `tick_*` file
+    * (nanoTime-named — the checkpoint's file log skips the old ones),
+    * so bars closed by data drained in THIS invocation emit before the
+    * return. Tick rows carry `sentinelKey`, whose bars are filtered
+    * from the returned store read; their window state is one row per
+    * distinct tick timestamp — bounded. State eviction is recorded in
+    * [[lastStateRowsRemoved]] under `queryName` across the stream's
+    * lifetime so far (the WatermarkSpec observable). */
+  def watermarkedBarsIngest(spark: SparkSession, srcDir: String,
+                            schemaFrom: DataFrame,
+                            prep: DataFrame => DataFrame,
+                            keyCol: String, tsUsCol: String,
+                            windowDur: String, delay: String,
+                            aggs: Seq[org.apache.spark.sql.Column],
+                            sentinelKey: Long, queryName: String,
+                            punctuation: DataFrame, barsPath: String,
+                            checkpoint: String,
+                            statePartitions: Int = 2): DataFrame = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // same no-pre-agg-sentinel-filter rule as watermarkedBarsStream: a
+    // key predicate pushes BELOW EventTimeWatermark and would exclude
+    // punctuation rows from watermark tracking
+    val stream = prep(ss.readStream.schema(schemaFrom.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir))
+      .withColumn("evt_ts", expr(s"timestamp_micros($tsUsCol)"))
+      .withWatermark("evt_ts", delay)
+    val q = stream
+      .groupBy(col(keyCol), window(col("evt_ts"), windowDur))
+      .agg(aggs.head, aggs.tail: _*)
+      .writeStream.option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (bars: DataFrame, bid: Long) =>
+        // append mode hands foreachBatch ONLY the newly closed bars
+        writeResultBatch(bars, bid, barsPath)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // one punctuation tick per invocation: a batch runs under the
+      // watermark PRIOR batches set, so bars closed by data drained
+      // above need one more batch to emit (the watermarkedBarsStream
+      // tick rule — here the tick ALSO wakes a warm restart so newly
+      // appended feed data emits its bars before the return)
+      val tmp = new java.io.File(srcDir, s"_ticktmp_${System.nanoTime()}")
+      punctuation.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"watermarkedBarsIngest: no tick part in $tmp"))
+      val dst = new java.io.File(srcDir, s"tick_${System.nanoTime()}.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+      q.processAllAvailable()
+    } finally {
+      lastStateRowsRemoved.put(queryName,
+        q.recentProgress.toSeq
+          .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+          .map(_.numRowsRemoved).sum)
+      q.stop()
+    }
+    if (new java.io.File(barsPath).exists())
+      spark.read.parquet(barsPath)
+        .filter(col(keyCol) =!= sentinelKey).drop("__batch")
+    else { // never-fired feed (the dsirStream guard): schema-correct empty
+      val empty = prep(spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          schemaFrom.schema))
+        .withColumn("evt_ts", expr(s"timestamp_micros($tsUsCol)"))
+      empty.groupBy(col(keyCol), window(col("evt_ts"), windowDur))
+        .agg(aggs.head, aggs.tail: _*)
+    }
+  }
+
   /** Streaming per-user TWAP state (q77's live twin — the kdb
     * prevailing-value bar kept current by insert callbacks): each
     * micro-batch folds into a tiny PERSISTED per-user state table
@@ -970,10 +1054,28 @@ object Streams {
     * interval re-splicing that summary state cannot express — the
     * merge fail-fasts row-level on it (raise_error). State rewrites go
     * through a tmp dir + rename swap, so a crash mid-write never
-    * leaves a torn state table. Delivery is at-least-once (the
-    * ivfPqIngest caveat): a crash between the state swap and the
-    * checkpoint commit re-merges that one batch; a PLANNED restart
-    * over a drained feed is a no-op (completed batch ids skip). */
+    * leaves a torn state table.
+    *
+    * EXACTLY-ONCE on replay: the state table carries the id of the
+    * last merged batch (`last_batch` — stamped on every row, since the
+    * swap rewrites the whole table anyway, the censusIngest
+    * batch-stamp precedent), so a batch redelivered after a crash
+    * between the state swap and the checkpoint commit is a NO-OP
+    * instead of tripping the id-reuse fail-fast into manual recovery;
+    * a PLANNED restart over a drained feed delivers no batches at all.
+    *
+    * Residual duplicate-delivery hole (documented, not closable from
+    * summary state): full-batch replays are no-ops (above) and most
+    * single-event redeliveries trip the id-reuse or out-of-order
+    * guards — but a redelivered copy of a NON-last event that shares
+    * the stored last event's µs passes both (its µs is not strictly
+    * earlier, its eid differs from last_eid) and inflates `n` by one.
+    * The state keeps only (last_tus, last_eid), and the same-µs
+    * boundary tie is a LEGAL feed shape (stageTimeOrderedFeed range-
+    * splits on ts alone, so same-µs rows can straddle chunks in any
+    * eid order) — tightening the guard would abort legal feeds. An
+    * upstream that can re-send individual historical events needs its
+    * own dedup. */
   def twapIngest(spark: SparkSession, srcDir: String,
                  schemaFrom: DataFrame, prep: DataFrame => DataFrame,
                  statePath: String, checkpoint: String,
@@ -983,22 +1085,56 @@ object Streams {
     val q = prep(ss.readStream.schema(schemaFrom.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir))
       .writeStream.option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeTwapState(batch, statePath)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        mergeTwapState(batch, bid, statePath)
       }
       .outputMode("append")
       .start()
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Last merged batch id from a scan-ingest state table (−1 when the
+    * state is empty). Every row carries the same stamp — the swap
+    * rewrites the whole table per merge, so stamping is free and the
+    * read is one tiny agg over bounded state. */
+  private def committedBatch(state0: DataFrame): Long =
+    // a state table written before the stamp existed reads as "nothing
+    // committed" — the pre-stamp at-least-once behavior, and the next
+    // merge's rewrite adds the column (self-migrating)
+    if (!state0.columns.contains("last_batch")) -1L
+    else {
+      val r = state0.agg(max(col("last_batch"))).head()
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
+
+  /** Duplicate (key, id) rows WITHIN one micro-batch would slip past
+    * the cross-batch guards (those compare against STORED state only)
+    * and silently diverge the fold — the EMA/CUSUM (k,i) join-back
+    * row-multiplies, TWAP re-counts the event. One distinct-vs-total
+    * agg over the batch fails fast instead. */
+  private def requireNoBatchDups(batch: DataFrame, kCol: String,
+                                 iCol: String, fn: String): Unit = {
+    val r = batch.agg(count(lit(1)),
+      count_distinct(col(kCol), col(iCol))).head()
+    require(r.getLong(0) == r.getLong(1),
+      s"$fn: ${r.getLong(0) - r.getLong(1)} duplicate ($kCol, $iCol) " +
+        "rows within one micro-batch — duplicate delivery; dedupe upstream")
+  }
+
   /** One TWAP state merge: batch must carry (user_id, tus, vq, eid). */
-  private[graft] def mergeTwapState(batch: DataFrame,
+  private[graft] def mergeTwapState(batch: DataFrame, batchId: Long,
                                     statePath: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     val bs = batch.sparkSession
     val state0 = readState(bs, statePath,
       "user_id BIGINT, n BIGINT, first_tus BIGINT, last_tus BIGINT, " +
-        "last_eid BIGINT, last_vq BIGINT, num DECIMAL(38,0)", "twapIngest")
+        "last_eid BIGINT, last_vq BIGINT, num DECIMAL(38,0), " +
+        "last_batch BIGINT", "twapIngest")
+    // a redelivered batch (crash between swap and checkpoint commit)
+    // is already folded into the state — exactly-once by skipping,
+    // BEFORE any guard (the guards would otherwise trip on it)
+    if (batchId <= committedBatch(state0)) return
+    requireNoBatchDups(batch, "user_id", "eid", "twapIngest")
     // event-id reuse across batches = a duplicate delivery the summary
     // state can't absorb (it would re-count the event) — fail fast
     val dup = batch.join(state0.select(col("user_id"), col("last_eid")),
@@ -1051,20 +1187,41 @@ object Streams {
         col("blast.e").as("last_eid"),
         col("blast.v").as("last_vq"),
         (coalesce(col("s_num"), zero) + coalesce(col("dnum"), zero))
-          .cast("decimal(38,0)").as("num"))
+          .cast("decimal(38,0)").as("num"),
+        lit(batchId).as("last_batch"))
     writeStateSwap(merged, statePath, "twapIngest")
   }
+
+  /** Per-file row target for scan-ingest state writes — a
+    * `private[graft]` var (the maxDriverVec precedent) so the
+    * multi-file spec can force it tiny. State bounded by key
+    * cardinality usually fits ONE file; past the target the write
+    * fans out so no single task writes the whole table (the
+    * Store.compactParquet size discipline). */
+  private[graft] var stateMaxFileRows: Long = 1L << 20
 
   /** Rewrite a per-key state table through tmp + rename swap — the
     * shared tail of every scan-ingest merge (TWAP/EMA/CUSUM/drawdown).
     * The tmp write fully materializes the merge (which reads the live
     * state) BEFORE any rename touches it; a crash inside the rename
     * pair leaves `.old`/`.tmp` siblings that [[readState]] fail-fasts
-    * on rather than silently refolding from empty. */
+    * on rather than silently refolding from empty.
+    *
+    * File fan-out sizes off the LIVE state's row count (a footer-only
+    * count — merges only ever grow the key set, so the prior count is
+    * a one-batch-lagged lower bound; the first oversized merge may
+    * write slightly-over-target files, the next one resizes). */
   private def writeStateSwap(newState: DataFrame, statePath: String,
                              fn: String): Unit = {
     val tmp = s"$statePath.tmp"
-    newState.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val n0 =
+      if (new java.io.File(s"$statePath/_SUCCESS").exists())
+        newState.sparkSession.read.parquet(statePath).count()
+      else 0L
+    val parts = (n0 / stateMaxFileRows + 1).toInt
+    val sized =
+      if (parts == 1) newState.coalesce(1) else newState.repartition(parts)
+    sized.write.mode("overwrite").parquet(tmp)
     // the rename-pair mechanics live in ONE home with the index
     // rebalances; requireLive = false because the first merge has no
     // live state root yet
@@ -1121,8 +1278,8 @@ object Streams {
     val q = prep(ss.readStream.schema(schemaFrom.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir))
       .writeStream.option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeEmaState(batch, aNum, aDen, statePath, resultPath)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        mergeEmaState(batch, bid, aNum, aDen, statePath, resultPath)
       }
       .outputMode("append")
       .start()
@@ -1130,13 +1287,18 @@ object Streams {
   }
 
   /** One EMA batch fold: batch must carry (k, t, i, v). */
-  private[graft] def mergeEmaState(batch: DataFrame, aNum: Int, aDen: Int,
+  private[graft] def mergeEmaState(batch: DataFrame, batchId: Long,
+                                   aNum: Int, aDen: Int,
                                    statePath: String,
                                    resultPath: String): Unit = {
     val bs = batch.sparkSession
     val state0 = readState(bs, statePath,
-      "k BIGINT, last_t BIGINT, last_i BIGINT, last_ema DOUBLE",
-      "emaIngest")
+      "k BIGINT, last_t BIGINT, last_i BIGINT, last_ema DOUBLE, " +
+        "last_batch BIGINT", "emaIngest")
+    // replayed batch (crash between state swap and checkpoint commit):
+    // state AND its result partition are already written — skip both
+    if (batchId <= committedBatch(state0)) return
+    requireNoBatchDups(batch, "k", "i", "emaIngest")
     val carry = state0.select(col("k"), col("last_t").as("t"),
       col("last_i").as("i"), col("last_ema").as("v"))
     val rows = batch.select(col("k"), col("t"), col("i"),
@@ -1164,7 +1326,7 @@ object Streams {
     val out = folded.join(
       state0.select(col("k"), col("last_i").as("i")),
       Seq("k", "i"), "left_anti")
-    out.write.mode("append").parquet(resultPath)
+    writeResultBatch(out, batchId, resultPath)
     // new state: the (t, i)-max row of (carry ∪ batch) with its folded
     // EMA — join the fold output back to the inputs for t
     val newState = folded.join(rows.unionByName(carry), Seq("k", "i"))
@@ -1173,9 +1335,23 @@ object Streams {
           col("ema").as("le")),
         struct(col("t"), col("i"))).as("last"))
       .select(col("k"), col("last.lt").as("last_t"),
-        col("last.li").as("last_i"), col("last.le").as("last_ema"))
+        col("last.li").as("last_i"), col("last.le").as("last_ema"),
+        lit(batchId).as("last_batch"))
     writeStateSwap(newState, statePath, "emaIngest")
   }
+
+  /** Append one batch's result rows under its `__batch` partition via
+    * DYNAMIC partition overwrite — a redelivered batch (crash between
+    * the result write and the state swap) REPLACES its own partition
+    * instead of appending duplicates, so the result store is
+    * exactly-once through every crash window (the state-side window is
+    * closed by the `last_batch` stamp skip). */
+  private def writeResultBatch(out: DataFrame, batchId: Long,
+                               resultPath: String): Unit =
+    out.withColumn("__batch", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(resultPath)
 
   /** Streaming per-key CUSUM (q82's live twin): the same sequential
     * [[graft.operators.Cusum]] fold per micro-batch, seeded per key by
@@ -1196,8 +1372,8 @@ object Streams {
     val q = prep(ss.readStream.schema(schemaFrom.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir))
       .writeStream.option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeCusumState(batch, kRef, statePath, resultPath)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        mergeCusumState(batch, bid, kRef, statePath, resultPath)
       }
       .outputMode("append")
       .start()
@@ -1205,13 +1381,15 @@ object Streams {
   }
 
   /** One CUSUM batch fold: batch must carry (k, t, i, vq). */
-  private[graft] def mergeCusumState(batch: DataFrame, kRef: Long,
-                                     statePath: String,
+  private[graft] def mergeCusumState(batch: DataFrame, batchId: Long,
+                                     kRef: Long, statePath: String,
                                      resultPath: String): Unit = {
     val bs = batch.sparkSession
     val state0 = readState(bs, statePath,
-      "k BIGINT, last_t BIGINT, last_i BIGINT, last_s BIGINT",
-      "cusumIngest")
+      "k BIGINT, last_t BIGINT, last_i BIGINT, last_s BIGINT, " +
+        "last_batch BIGINT", "cusumIngest")
+    if (batchId <= committedBatch(state0)) return
+    requireNoBatchDups(batch, "k", "i", "cusumIngest")
     // the seed trick: v = stored_S + kRef makes the phantom's own fold
     // step reproduce stored_S bit-for-bit
     val carry = state0.select(col("k"), col("last_t").as("t"),
@@ -1234,14 +1412,15 @@ object Streams {
     val out = folded.join(
       state0.select(col("k"), col("last_i").as("i")),
       Seq("k", "i"), "left_anti")
-    out.write.mode("append").parquet(resultPath)
+    writeResultBatch(out, batchId, resultPath)
     val newState = folded.join(rows.unionByName(carry), Seq("k", "i"))
       .groupBy(col("k"))
       .agg(max_by(struct(col("t").as("lt"), col("i").as("li"),
           col("s").as("ls")),
         struct(col("t"), col("i"))).as("last"))
       .select(col("k"), col("last.lt").as("last_t"),
-        col("last.li").as("last_i"), col("last.ls").as("last_s"))
+        col("last.li").as("last_i"), col("last.ls").as("last_s"),
+        lit(batchId).as("last_batch"))
     writeStateSwap(newState, statePath, "cusumIngest")
   }
 
@@ -1265,8 +1444,8 @@ object Streams {
     val q = prep(ss.readStream.schema(schemaFrom.schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir))
       .writeStream.option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        mergeDrawdownState(batch, statePath)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        mergeDrawdownState(batch, bid, statePath)
       }
       .outputMode("append")
       .start()
@@ -1274,13 +1453,16 @@ object Streams {
   }
 
   /** One drawdown state merge: batch must carry (k, t, i, vq). */
-  private[graft] def mergeDrawdownState(batch: DataFrame,
+  private[graft] def mergeDrawdownState(batch: DataFrame, batchId: Long,
                                         statePath: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     val bs = batch.sparkSession
     val state0 = readState(bs, statePath,
       "k BIGINT, last_t BIGINT, last_i BIGINT, n BIGINT, " +
-        "peak_c BIGINT, best_key BIGINT", "drawdownIngest")
+        "peak_c BIGINT, best_key BIGINT, last_batch BIGINT",
+      "drawdownIngest")
+    if (batchId <= committedBatch(state0)) return
+    requireNoBatchDups(batch, "k", "i", "drawdownIngest")
     // row-level id-domain guard (the q84/ohlcPrep twin's rule): the
     // packed argmax key needs 0 <= i < 2^31 — an out-of-range id would
     // silently collide best_key across dd values instead of aborting
@@ -1324,7 +1506,8 @@ object Streams {
         col("last.li").as("last_i"),
         (coalesce(col("s_n"), lit(0L)) + col("dn")).as("n"),
         col("pk").as("peak_c"),
-        greatest(col("s_bk"), col("bk")).as("best_key"))
+        greatest(col("s_bk"), col("bk")).as("best_key"),
+        lit(batchId).as("last_batch"))
     writeStateSwap(merged, statePath, "drawdownIngest")
   }
 

@@ -173,10 +173,18 @@ class WatermarkSpec extends SparkSpec {
     assert(wm == batch, s"watermarked (${wm.size}) != batch (${batch.size})")
   }
 
-  test("q80 watermarked OHLC bars: the query's own run evicts " +
-      "closed-bar state AND the emitted bars equal the batch q78 " +
-      "exactly on the in-order feed") {
+  test("q80 watermarked OHLC bars: the query's own COLD run evicts " +
+      "closed-bar state, the emitted bars equal the batch q78 " +
+      "exactly on the in-order feed, and a warm re-run reads the " +
+      "durable store without replaying the feed") {
     val dir = "/root/testdata/sf0.001"
+    // force a COLD run (fresh checkpoint): eviction happens while the
+    // multi-batch feed drains; a warm restart's only batch is the
+    // punctuation tick, which evicts nothing
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      s"/tmp/graft_stream/$key/ohlc_c4_s${
+        Queries.srcStamp(dir, "events.parquet")}"))
     def snap(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
@@ -188,6 +196,10 @@ class WatermarkSpec extends SparkSpec {
         s"removed=$removed")
     assert(stream == snap(Queries.q78_ohlc(spark, dir)),
       s"streamed bars (${stream.size}) != batch bars")
+    // warm re-run: checkpointed planned restart — the durable store
+    // returns the same bars exactly once (no duplicate emission)
+    assert(snap(Queries.q80_stream_ohlc(spark, dir)) == stream,
+      "warm re-run must read the same bars from the durable store")
   }
 
   test("q79 streaming TWAP equals the batch q77 on the in-order feed, " +
@@ -255,12 +267,12 @@ class WatermarkSpec extends SparkSpec {
       rows.toSeq.toDF("k", "t", "i", "vq")
     // batch 1: peak 1000, dd 600 at eid 2
     streaming.Streams.mergeDrawdownState(
-      b((1L, 10L, 1L, 1000L), (1L, 20L, 2L, 400L)), statePath)
+      b((1L, 10L, 1L, 1000L), (1L, 20L, 2L, 400L)), 0L, statePath)
     // batch 2: vq 1000 == stored peak → dd 0; the PHANTOM also has
     // dd 0 but must not become the argmax for a fresh user... and the
     // 600 record must survive the merge (key-max)
     streaming.Streams.mergeDrawdownState(
-      b((1L, 30L, 3L, 1000L), (1L, 40L, 4L, 700L)), statePath)
+      b((1L, 30L, 3L, 1000L), (1L, 40L, 4L, 700L)), 1L, statePath)
     val st = spark.read.parquet(statePath).collect().head
     assert(st.getAs[Long]("n") == 4L && st.getAs[Long]("peak_c") == 1000L)
     val bk = st.getAs[Long]("best_key")
@@ -269,7 +281,7 @@ class WatermarkSpec extends SparkSpec {
     // fresh user whose true max_dd is 0: the argmax must be its FIRST
     // event, not a phantom
     streaming.Streams.mergeDrawdownState(
-      b((2L, 10L, 9L, 500L), (2L, 20L, 10L, 600L)), statePath)
+      b((2L, 10L, 9L, 500L), (2L, 20L, 10L, 600L)), 2L, statePath)
     val u2 = spark.read.parquet(statePath).collect()
       .find(_.getAs[Long]("k") == 2L).get
     val bk2 = u2.getAs[Long]("best_key")
@@ -287,11 +299,11 @@ class WatermarkSpec extends SparkSpec {
     def b(rows: (Long, Long, Long, Double)*) =
       rows.toSeq.toDF("k", "t", "i", "v")
     streaming.Streams.mergeEmaState(
-      b((1L, 10L, 100L, 4.0), (1L, 20L, 101L, 8.0)), 1, 2,
+      b((1L, 10L, 100L, 4.0), (1L, 20L, 101L, 8.0)), 0L, 1, 2,
       statePath, resultPath)
     // state now (k=1, t=20, i=101, ema=(8+4)/2=6); next batch chains
     streaming.Streams.mergeEmaState(
-      b((1L, 30L, 102L, 2.0)), 1, 2, statePath, resultPath)
+      b((1L, 30L, 102L, 2.0)), 1L, 1, 2, statePath, resultPath)
     val got = spark.read.parquet(resultPath)
       .orderBy($"k", $"i").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
@@ -300,7 +312,7 @@ class WatermarkSpec extends SparkSpec {
     // same-t row with a lower id re-orders the chain → fail fast
     val e = intercept[IllegalArgumentException] {
       streaming.Streams.mergeEmaState(
-        b((1L, 30L, 99L, 1.0)), 1, 2, statePath, resultPath)
+        b((1L, 30L, 99L, 1.0)), 2L, 1, 2, statePath, resultPath)
     }
     assert(e.getMessage.contains("out-of-order"), e.getMessage)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
@@ -316,13 +328,13 @@ class WatermarkSpec extends SparkSpec {
     // batch 1: user 1 one event; user 2 two events (interval 5µs @ vq 40)
     streaming.Streams.mergeTwapState(
       b((1L, 1000L, 100L, 10L), (2L, 500L, 40L, 1L), (2L, 505L, 70L, 2L)),
-      statePath)
+      0L, statePath)
     // batch 2 (user 1 only): starts at the SAME µs as the stored last
     // event with a LOWER event_id — it sorts BEFORE the phantom, so its
     // own dt is 0 and the bridge to t=2000 prices at the STORED event's
     // vq, exactly as the batch window would order them
     streaming.Streams.mergeTwapState(
-      b((1L, 1000L, 200L, 5L), (1L, 2000L, 300L, 20L)), statePath)
+      b((1L, 1000L, 200L, 5L), (1L, 2000L, 300L, 20L)), 1L, statePath)
     val st = spark.read.parquet(statePath).collect()
       .map(r => r.getAs[Long]("user_id") -> r).toMap
     val u1 = st(1L)
@@ -341,7 +353,8 @@ class WatermarkSpec extends SparkSpec {
       u2.getAs[java.math.BigDecimal]("num").longValueExact == 5L * 40L)
     // out-of-order: a row strictly before user 1's stored last event
     val e = intercept[Exception] {
-      streaming.Streams.mergeTwapState(b((1L, 1500L, 50L, 30L)), statePath)
+      streaming.Streams.mergeTwapState(b((1L, 1500L, 50L, 30L)), 2L,
+        statePath)
     }
     assert(e.getMessage != null && e.getMessage.contains("out-of-order")
       || Option(e.getCause).exists(_.getMessage.contains("out-of-order")),
@@ -349,9 +362,108 @@ class WatermarkSpec extends SparkSpec {
     // id reuse across batches = duplicate delivery the summary state
     // would re-count (round-17 review) — user 1's stored last eid is 20
     val er = intercept[IllegalArgumentException] {
-      streaming.Streams.mergeTwapState(b((1L, 3000L, 50L, 20L)), statePath)
+      streaming.Streams.mergeTwapState(b((1L, 3000L, 50L, 20L)), 3L,
+        statePath)
     }
     assert(er.getMessage.contains("recurred"), er.getMessage)
+  }
+
+  test("scan-ingest merges are EXACTLY-ONCE through both crash windows: " +
+      "a batch replayed after the state swap is a no-op (batch-stamp " +
+      "skip, not a guard trip), and one replayed after the result write " +
+      "but before the swap overwrites its own result partition — final " +
+      "state and results bit-equal to the uninterrupted run") {
+    val base = s"/tmp/graft_xonce_spec/${System.nanoTime()}"
+    val (statePath, resultPath) = (s"$base/state", s"$base/result")
+    new java.io.File(base).mkdirs()
+    def b(rows: (Long, Long, Long, Double)*) =
+      rows.toSeq.toDF("k", "t", "i", "v")
+    def snapState() = spark.read.parquet(statePath)
+      .collect().map(_.toString).sorted.toSeq
+    def snapResult() = spark.read.parquet(resultPath)
+      .select($"k", $"i", $"ema").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    streaming.Streams.mergeEmaState(
+      b((1L, 10L, 100L, 4.0)), 0L, 1, 2, statePath, resultPath)
+    // crash window A: state swapped, checkpoint commit lost → the SAME
+    // batch id redelivers. Pre-stamp this tripped the id-reuse guard
+    // (manual recovery); now it must be a silent no-op.
+    val (s1, r1) = (snapState(), snapResult())
+    streaming.Streams.mergeEmaState(
+      b((1L, 10L, 100L, 4.0)), 0L, 1, 2, statePath, resultPath)
+    assert(snapState() == s1 && snapResult() == r1,
+      "replay after swap must be a no-op")
+    // crash window B: batch 1's RESULT was written but the crash hit
+    // before the state swap — simulate by merging batch 1, then
+    // restoring the pre-merge state (results stay on disk), then
+    // redelivering batch 1
+    val saved = new java.io.File(s"$base/state_saved")
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(statePath), saved)
+    streaming.Streams.mergeEmaState(
+      b((1L, 20L, 101L, 8.0)), 1L, 1, 2, statePath, resultPath)
+    val (s2, r2) = (snapState(), snapResult())
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(statePath))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      saved, new java.io.File(statePath))
+    streaming.Streams.mergeEmaState(
+      b((1L, 20L, 101L, 8.0)), 1L, 1, 2, statePath, resultPath)
+    assert(snapState() == s2, "self-healed state must equal the " +
+      "uninterrupted run's")
+    assert(snapResult() == r2, "the replayed batch must OVERWRITE its " +
+      "result partition, not append duplicates")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("scan-ingest merges fail fast on duplicate (k, i) rows WITHIN " +
+      "one micro-batch (they'd slip past the cross-batch guards and " +
+      "silently diverge the fold)") {
+    val base = s"/tmp/graft_bdup_spec/${System.nanoTime()}"
+    new java.io.File(base).mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      streaming.Streams.mergeEmaState(
+        Seq((1L, 10L, 100L, 4.0), (1L, 10L, 100L, 9.0))
+          .toDF("k", "t", "i", "v"),
+        0L, 1, 2, s"$base/state", s"$base/result")
+    }
+    assert(e.getMessage.contains("duplicate"), e.getMessage)
+    val et = intercept[IllegalArgumentException] {
+      streaming.Streams.mergeTwapState(
+        Seq((1L, 10L, 5L, 100L), (1L, 20L, 7L, 100L))
+          .toDF("user_id", "tus", "vq", "eid"),
+        0L, s"$base/tstate")
+    }
+    assert(et.getMessage.contains("duplicate"), et.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("state writes fan out past stateMaxFileRows and read back " +
+      "identically (no single-task write at large key cardinality)") {
+    val base = s"/tmp/graft_mfile_spec/${System.nanoTime()}"
+    val statePath = s"$base/state"
+    new java.io.File(base).mkdirs()
+    val old = streaming.Streams.stateMaxFileRows
+    try {
+      streaming.Streams.stateMaxFileRows = 2L
+      def b(ks: Range, t: Long, i0: Long) =
+        ks.map(k => (k.toLong, t, i0 + k, 1.0 * k)).toDF("k", "t", "i", "v")
+      streaming.Streams.mergeEmaState(b(1 to 7, 10L, 100L), 0L, 1, 2,
+        statePath, s"$base/result")
+      // merge 2 sizes off merge 1's 7 rows → ceil-ish fan-out > 1 file
+      streaming.Streams.mergeEmaState(b(1 to 7, 20L, 200L), 1L, 1, 2,
+        statePath, s"$base/result")
+      val parts = new java.io.File(statePath).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(parts > 1, s"expected multi-file state, got $parts part(s)")
+      val st = spark.read.parquet(statePath)
+        .select($"k", $"last_t", $"last_i", $"last_ema").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).sorted.toSeq
+      assert(st == (1 to 7).map(k =>
+        (k.toLong, 20L, 200L + k, (1.0 * k + 1.0 * k) / 2)).toSeq, st)
+    } finally streaming.Streams.stateMaxFileRows = old
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
   test("scan-ingest state read fail-fasts on a TORN swap (.old/.tmp " +
@@ -363,7 +475,7 @@ class WatermarkSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       streaming.Streams.mergeTwapState(
         Seq((1L, 1L, 1L, 1L)).toDF("user_id", "tus", "vq", "eid"),
-        statePath)
+        0L, statePath)
     }
     assert(e.getMessage.contains("torn state swap"), e.getMessage)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
