@@ -982,6 +982,52 @@ private[graft] trait Queries3Curate extends Queries2Lm {
   private[graft] lazy val d17_sql = lshIndexDedupSql(
     "doc_id % 4 < 3 AND doc_id % 8 NOT IN (1, 2)")
 
+  // ---------------------------------------------------------------- d19
+  // STREAMING takedown — d17's delete lifecycle arriving as a LIVE feed
+  // (production takedowns are right-to-be-forgotten queues, not
+  // maintenance windows): the same index build+append as d17, then the
+  // same deletions applied through `Streams.takedownIngest` as TWO
+  // maxFilesPerTrigger=1 micro-batches — and batch 1 RE-SHIPS batch 0's
+  // ids alongside its own (cross-batch duplicate takedown requests, the
+  // redelivery shape), exercising the ensure-absent skip in the
+  // oracle-checked path itself. Final index state == the batch delete's
+  // (stream == batch), so the oracle IS d17's SQL.
+  def d19_takedown_stream(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val path = s"/tmp/graft_tdstream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}" +
+      s"_${srcStamp(dir, "documents.parquet")}"
+    val marker = new java.io.File(s"$path.done.marker")
+    if (!marker.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$path.feed"))
+      org.apache.commons.io.FileUtils.deleteQuietly(
+        new java.io.File(s"$path.ckpt"))
+      Dedup.buildLshIndex(docs.filter($"doc_id" % 4 < 2), "doc_id", "text",
+        numHashes = 16, bands = 2, path)
+      Dedup.appendToLshIndex(docs.filter($"doc_id" % 4 === 2), "doc_id",
+        "text", path)
+      val indexed = docs.filter($"doc_id" % 4 < 3)
+      graft.streaming.Streams.stageFeedChunks(Seq(
+        indexed.filter($"doc_id" % 8 === 1).select($"doc_id"),
+        // batch 1 re-ships batch 0's ids: already-absent → skipped
+        indexed.filter(($"doc_id" % 8).isin(1L, 2L)).select($"doc_id")),
+        s"$path.feed")
+      graft.streaming.Streams.takedownIngest(spark, s"$path.feed",
+        docs.select($"doc_id"), "doc_id", path, s"$path.ckpt")
+      require(marker.createNewFile(), s"d19: marker create failed at $path")
+    }
+    val cands = Dedup.probeLshIndex(docs.filter($"doc_id" % 4 === 3),
+      "doc_id", "text", path, maxBucketSize = 100)
+      .select($"id_idx".as("id_a"), $"id_new".as("id_b"))
+    Dedup.jaccardVerify(cands, docs, "doc_id", "text", threshold = 0.5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  // stream == batch: the takedown feed lands exactly where d17's
+  // maintenance-window delete does
+  private[graft] lazy val d19_sql = d17_sql
+
   // ---------------------------------------------------------------- t47
   // Streaming LSH-index ingest — t44's incremental snapshot arriving as
   // a LIVE feed: build the index on the first half, stream-ingest the

@@ -1004,16 +1004,158 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
       ivfPqModel(spark, dir))
       .select($"id".as("vec_id"), $"adc")
 
+  /** The `WITH v AS ...` head every IVFADC replay shares; s31 swaps in
+    * the OPQ-permuted corpus (allocation CTEs + permuted v). */
+  private[graft] val defaultVHead: String =
+    """WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |    FROM embeddings)""".stripMargin
+
+  /** The parametric-OPQ allocation replay (Pq.varianceAllocation):
+    * exact ×10^3 integer per-dim variances (HUGEINT moments), s64
+    * ranking, and the 64-step greedy balance as a recursive CTE whose
+    * state lists carry per-subspace s64 sums and counts — the argmin
+    * over eligible subspaces is `list_position(elig, list_min(elig))`
+    * (first-minimum = the engine's lowest-index tie rule). Ends with
+    * the permuted `v` CTE the shared ivfPqSearchSql body consumes —
+    * the whole downstream chain is untouched, which is the point:
+    * allocation is a pre-transform. */
+  private[graft] def opqAllocVHead(m: Int, dsub: Int): String = {
+    val elig = s"""list_transform(range(1, $m + 1), j ->
+      CASE WHEN g.cnts[j] < $dsub THEN g.sums[j]
+           ELSE 9223372036854775807 END)"""
+    val pick = s"list_position($elig, list_min($elig))"
+    s"""WITH RECURSIVE xq AS (
+       |  SELECT i AS pos,
+       |    CAST(FLOOR(CAST(embedding[CAST(i AS INT)] AS DOUBLE) * 1000.0 + 0.5)
+       |      AS BIGINT) AS xi
+       |  FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)),
+       |mom AS (SELECT pos, CAST(SUM(xi) AS HUGEINT) AS sx,
+       |    SUM(CAST(xi AS HUGEINT) * xi) AS sxx,
+       |    CAST(COUNT(*) AS HUGEINT) AS n
+       |  FROM xq GROUP BY pos),
+       |vq AS (SELECT pos, CAST(n * sxx - sx * sx + 1 AS BIGINT) AS q FROM mom),
+       |sv AS (SELECT pos, ${duckS64("q")} AS s64v,
+       |    ROW_NUMBER() OVER (ORDER BY q DESC, pos) AS rk FROM vq),
+       |greedy(rk, pos, b, sums, cnts) AS (
+       |  SELECT 0, CAST(-1 AS BIGINT), CAST(0 AS INT),
+       |    list_transform(range(1, $m + 1), j -> CAST(0 AS BIGINT)),
+       |    list_transform(range(1, $m + 1), j -> CAST(0 AS BIGINT))
+       |  UNION ALL
+       |  SELECT g.rk + 1, s.pos,
+       |    CAST($pick AS INT),
+       |    list_transform(range(1, $m + 1), j -> CASE
+       |      WHEN j = $pick
+       |      THEN g.sums[j] + s.s64v ELSE g.sums[j] END),
+       |    list_transform(range(1, $m + 1), j -> CASE
+       |      WHEN j = $pick
+       |      THEN g.cnts[j] + 1 ELSE g.cnts[j] END)
+       |  FROM greedy g JOIN sv s ON s.rk = g.rk + 1),
+       |al AS (SELECT list(pos ORDER BY b, rk) AS perm
+       |  FROM greedy WHERE rk >= 1),
+       |v AS (SELECT e.vec_id AS id,
+       |    list_transform(al.perm,
+       |      j -> CAST(e.embedding[CAST(j AS INT)] AS DOUBLE)) AS v
+       |  FROM embeddings e CROSS JOIN al)""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- s31
+  // Parametric-OPQ dimension allocation for IVFADC (Ge et al. 2013 §4,
+  // the round-17 verdict's OPQ item scoped to its REPLAYABLE half —
+  // see Pq.varianceAllocation's scaladoc for why the SVD-learned
+  // rotation cannot cross engines): the learned orthogonal PERMUTATION
+  // balances per-subspace variance mass, the corpus permutes ONCE, and
+  // the entire existing IVFADC chain runs unchanged on the permuted
+  // vectors (a permutation is orthogonal, so coarse cells and true
+  // distances are invariant — only the subspace SPLIT moves, which is
+  // the point). The oracle replays fit → greedy allocation → permuted
+  // corpus → the shared IVFADC chain; PqSpec pins the recall lift on a
+  // variance-skewed fixture (this corpus is isotropic — the s13 rule).
+  private[graft] val opqPermCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Int]]()
+  private[graft] def opqPerm(spark: SparkSession, dir: String): Array[Int] =
+    opqPermCache.computeIfAbsent(
+      s"$dir@${srcStamp(dir, "embeddings.parquet")}",
+      _ => operators.Pq.varianceAllocation(t(spark, dir, "embeddings"),
+        "embedding", PqM))
+
+  private[graft] val opqModelCache =
+    new java.util.concurrent.ConcurrentHashMap[String, operators.Pq.IvfPqModel]()
+
+  def s31_opq_search(spark: SparkSession, dir: String): DataFrame = {
+    val perm = opqPerm(spark, dir)
+    def pv = t(spark, dir, "embeddings").select($"vec_id",
+      operators.Pq.permuteVec($"embedding".cast("array<double>"), perm)
+        .as("pv"))
+    val ix = opqModelCache.computeIfAbsent(
+      s"$dir@${srcStamp(dir, "embeddings.parquet")}",
+      _ => operators.Pq.fitIvfPq(pv, "vec_id", "pv", nCells = 8,
+        m = PqM, kSub = PqKSub, coarseIters = PqIters, pqIters = PqIters))
+    operators.Pq.ivfPqTopK(pv, "vec_id", "pv", queryId = 3L, k = 10,
+        nProbe = 2, ix)
+      .select($"id".as("vec_id"), $"adc")
+  }
+
+  private[graft] lazy val s31_sql = ivfPqSearchSql(queryId = 3L, k = 10,
+    nProbe = 2, vHead = opqAllocVHead(PqM, 64 / PqM))
+
+  // ---------------------------------------------------------------- s32
+  // OPQ carried through the PERSISTED IVFADC lifecycle (the other half
+  // of the round-17 verdict's OPQ item — s31 proves the fit+search
+  // math in memory; this proves the allocation is a first-class index
+  // artifact): buildIvfPqIndex(opq = true) on HALF the corpus fits a
+  // half-corpus allocation and persists it; append permutes the other
+  // half through the STORED permutation against the frozen model;
+  // rebalance REFITS the allocation on the accumulated corpus and
+  // rebuilds — so the final index ≡ a from-scratch OPQ build on the
+  // full set, and the oracle is the same full-corpus allocation +
+  // permuted IVFADC chain as s31's (different probe point). A hash
+  // match certifies: the permutation persisted, the append entered
+  // permuted coordinates, the rebalance refit CHANGED the permutation
+  // to the full-corpus one (a stale half-corpus perm scores different
+  // ADC distances), and the search permuted the query.
+  def s32_opq_index(spark: SparkSession, dir: String): DataFrame = {
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft_opq_ix/$key" +
+      s"/s${srcStamp(dir, "embeddings.parquet")}"
+    val marker = new java.io.File(s"$base/rebalanced.marker")
+    if (!marker.exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      val emb = t(spark, dir, "embeddings")
+      operators.Pq.buildIvfPqIndex(emb.filter($"vec_id" % 2 === 0),
+        "vec_id", "embedding", nCells = 8, m = PqM, kSub = PqKSub, base,
+        coarseIters = PqIters, pqIters = PqIters, opq = true)
+      operators.Pq.appendToIvfPqIndex(emb.filter($"vec_id" % 2 =!= 0),
+        "vec_id", "embedding", base)
+      operators.Pq.rebalanceIvfPqIndex(emb, "vec_id", "embedding",
+        nCells = 8, m = PqM, kSub = PqKSub, base,
+        coarseIters = PqIters, pqIters = PqIters)
+      require(marker.createNewFile(), s"s32: marker create failed at $base")
+    }
+    val qv = t(spark, dir, "embeddings").filter($"vec_id" === 5L)
+      .select($"embedding".cast("array<double>"))
+      .collect().head.getSeq[Double](0)
+    operators.Pq.searchIvfPqIndex(spark, base, qv, k = 10, nProbe = 3,
+        excludeId = 5L)
+      .select($"id".as("vec_id"), $"adc")
+  }
+
+  private[graft] lazy val s32_sql = ivfPqSearchSql(queryId = 5L, k = 10,
+    nProbe = 3, vHead = opqAllocVHead(PqM, 64 / PqM))
+
   /** The full IVFADC fit+search replay, parameterized on the search —
     * ONE generated-SQL home for s08 (fresh-model search), s26 (search
     * through the REBALANCED persisted index, which must equal the
     * from-scratch fit this replays — that equality IS what s26's hash
-    * checks), and s29 (post-DELETE search: `selPred` restricts the
+    * checks), s29 (post-DELETE search: `selPred` restricts the
     * candidate codes to the survivors while the model stays the
-    * full-corpus fit — exactly what deleteFromIvfPqIndex leaves). */
+    * full-corpus fit — exactly what deleteFromIvfPqIndex leaves), and
+    * s31 (`vHead` replaces the corpus with its OPQ-permuted form —
+    * the entire chain downstream is untouched, which is the point:
+    * allocation is a pre-transform). */
   private[graft] def ivfPqSearchSql(queryId: Long, k: Int,
                                     nProbe: Int,
-                                    selPred: String = "TRUE"): String = {
+                                    selPred: String = "TRUE",
+                                    vHead: String = defaultVHead): String = {
     val dsub = 16
     val coarse = pqSubChainSql("c", "v", "num", 0, 0, 64, PqIters)
     val resid =
@@ -1035,8 +1177,7 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
       "(" + pqL2Sql(i => s"(q.qv[${lo + i}]-cc.cv[${lo + i}])",
         i => s"b$s.cv[$i]", dsub) + ")"
     }.mkString(" + ")
-    s"""WITH v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
-       |    FROM embeddings),
+    s"""$vHead,
        |${pqNumSql("num", "v", PqKSub * 16)},
        |$coarse,
        |$resid,

@@ -362,6 +362,82 @@ object GraphAnn {
     Similarity.swapIndexRoot(path, tmp, "rebalanceGraphIndex")
   }
 
+  /** LOCAL repair for a persisted graph index — the bounded
+    * maintenance step between appends and the corpus-sized
+    * [[rebalanceGraphIndex]] (round-17 verdict: full NN-descent per
+    * rebalance is correct but pays the whole corpus every time; the
+    * common case — a few append batches drifted one region — only
+    * needs descent around the AFFECTED nodes). The affected set is
+    * caller-supplied (`ids` = the nodes appended since the last full
+    * maintenance — the rebalanceIvfPqIndex re-supply precedent; the
+    * index stores no append provenance), expanded one hop to the
+    * FRONTIER (ids + every stored neighbor in either direction — the
+    * base nodes holding reverse edges into the appended region).
+    *
+    * Descent restricted to the frontier: seed candidates = the
+    * stored-meta bucket pairs WITHIN the supplied set (the knnGraph
+    * seed step, localized) + the frontier's rescored stored adjacency;
+    * then `iters` neighbor-of-neighbor rounds where frontier nodes
+    * explore through both their improving lists and the untouched
+    * graph. Only frontier nodes' adjacency is rewritten — everyone
+    * else's edges are byte-untouched — so the cost is
+    * O(|frontier| · degree²) per round, independent of corpus size
+    * (TimeR18 probes it). Root swap as everywhere. Fails fast on
+    * unknown ids. Full rebuild ([[rebalanceGraphIndex]]) remains the
+    * fallback when drift is global — repair is a local heuristic and
+    * carries no rebuild-equivalence pin; what the spec pins is in-mode
+    * recall restored ≥ 0.9 on the drift fixture at sublinear cost. */
+  def repairGraphIndex(spark: SparkSession, path: String,
+                       ids: DataFrame, idCol: String,
+                       iters: Int = 2): Unit = {
+    val (k, nBuckets, _, nRounds) = metaOf(spark, path)
+    val nodes = spark.read.parquet(s"$path/nodes").dropDuplicates("id")
+      .localCheckpoint()
+    val edges = spark.read.parquet(s"$path/edges").distinct()
+      .localCheckpoint()
+    val a = Similarity.delIdsOf(ids, idCol).distinct()
+    Similarity.requireKnownIds(nodes.select(col("id")), a,
+      "repairGraphIndex")
+    val und = edges.select($"id".as("src"), $"nbr")
+      .union(edges.select($"nbr".as("src"), $"id".as("nbr")))
+    val frontier = a.select($"id".as("src"))
+      .union(und.join(a.select($"id".as("nbr")), Seq("nbr"), "left_semi")
+        .select($"src"))
+      .distinct().localCheckpoint()
+    val cand0 = (0 until nRounds).map { r =>
+      val b = nodes.join(a, Seq("id"), "left_semi")
+        .select($"id", bucketCol(r, nBuckets).as("bkt"))
+      b.as("x").join(b.as("y"), Seq("bkt"))
+        .filter(col("x.id") =!= col("y.id"))
+        .select(col("x.id").as("src"), col("y.id").as("nbr"))
+    }.reduce(_ union _)
+    var fEdges = topKEdges(
+      und.join(frontier, Seq("src"), "left_semi")
+        .union(cand0).distinct(), nodes, k)
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val fu = fEdges.select($"id".as("src"), $"nbr")
+        .union(fEdges.select($"nbr".as("src"), $"id".as("nbr")))
+      val hop = fu.as("x").join(und.as("y"), col("x.nbr") === col("y.src"))
+        .select(col("x.src").as("src"), col("y.nbr").as("nbr"))
+        .filter($"src" =!= $"nbr")
+      fEdges = topKEdges(
+        fu.union(hop).distinct()
+          .join(frontier, Seq("src"), "left_semi"), nodes, k)
+        .localCheckpoint()
+    }
+    val untouched = edges
+      .join(frontier.select($"src".as("id")), Seq("id"), "left_anti")
+    val newEdges = untouched.unionByName(fEdges).localCheckpoint()
+    val tmp = s"$path.rebuild_tmp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$path/meta"), new java.io.File(s"$tmp/meta"))
+    nodes.write.mode("overwrite").parquet(s"$tmp/nodes")
+    newEdges.write.mode("overwrite").parquet(s"$tmp/edges")
+    Similarity.swapIndexRoot(path, tmp, "repairGraphIndex")
+  }
+
   /** DELETE nodes from a persisted graph index — the takedown half of
     * the lifecycle: nodes minus the ids, edges pruned to rows where
     * NEITHER endpoint is deleted, meta kept, whole root rewritten

@@ -331,6 +331,75 @@ object Pq {
       array(codeCols: _*).as("codes") +: payloadCols.map(col): _*)
   }
 
+  /** PARAMETRIC-OPQ dimension allocation (Ge et al., CVPR 2013 §4 —
+    * the closed-form half of Optimized Product Quantization,
+    * specialized to the axis-aligned case): an orthogonal PERMUTATION
+    * that redistributes dimensions across the m subspaces so each
+    * carries a balanced share of total variance mass (OPQ's
+    * "eigenvalue allocation" with the per-dim variances standing in
+    * for the eigenvalues). PQ's per-subspace codebooks waste bits when
+    * one subspace holds all the high-variance dims — allocation is the
+    * production fix (FAISS's OPQ pre-transform runs exactly this
+    * balancing after its PCA). The full SVD-learned rotation is
+    * deliberately out of scope: no eigensolve replays cross-engine,
+    * where this permutation is exact integer arithmetic end to end
+    * (quantized ×10^3 moments in DECIMAL(38,0) — the s25 discipline —
+    * so the fit is layout-invariant, and the greedy balance compares
+    * Σ surprisal64(var) — the house 1/64-bit integer log2 — so both
+    * engines pick identical subspaces).
+    *
+    * Greedy (the paper's balancing heuristic made deterministic):
+    * dims in (variance DESC, dim ASC) order; each goes to the
+    * not-yet-full subspace with the smallest accumulated s64 sum
+    * (ties → lowest subspace). Returns the permutation p such that
+    * output position k reads input dim p(k), grouped subspace-major
+    * in assignment order. Domain guard: n·Σxi² < 2^57 per dim (the
+    * surprisal64 bound) — shard or lower `quantScale` past it. */
+  def varianceAllocation(df: DataFrame, vecCol: String, m: Int,
+                         quantScale: Long = 1000L): Array[Int] = {
+    val cells = df.select(
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("pos", "x")))
+      .select(col("pos"),
+        expr(s"CAST(FLOOR(x * ${quantScale}d + 0.5d) AS BIGINT)").as("xi"))
+    val mom = cells.groupBy(col("pos"))
+      .agg(sum(col("xi").cast("decimal(38,0)")).as("sx"),
+        sum((col("xi") * col("xi")).cast("decimal(38,0)")).as("sxx"),
+        count(lit(1)).as("n"))
+      .collect()
+    val varq = mom.map { r =>
+      val sx = BigInt(r.getDecimal(1).toBigInteger)
+      val sxx = BigInt(r.getDecimal(2).toBigInteger)
+      val n = BigInt(r.getLong(3))
+      val v = n * sxx - sx * sx
+      require(v + 1 < (BigInt(1) << 57),
+        s"varianceAllocation: dim ${r.getInt(0)} variance ${v} exceeds " +
+          "the surprisal64 2^57 domain — lower quantScale or shard")
+      (r.getInt(0), v.toLong + 1L) // +1: surprisal64 needs q >= 1
+    }.sortBy { case (pos, q) => (-q, pos) }
+    val d = varq.length
+    require(d % m == 0, s"dims $d not divisible by m=$m")
+    val dsub = d / m
+    val sums = Array.fill(m)(0L)
+    val cnts = Array.fill(m)(0)
+    val asg = varq.map { case (pos, q) =>
+      val b = (0 until m).filter(cnts(_) < dsub)
+        .minBy(j => (sums(j), j))
+      sums(b) += NgramLm.surprisal64Long(q)
+      cnts(b) += 1
+      (pos, b)
+    }
+    asg.zipWithIndex.sortBy { case ((_, b), rk) => (b, rk) }
+      .map { case ((pos, _), _) => pos }
+  }
+
+  /** Apply an allocation permutation row-locally: output element k =
+    * input element perm(k) (0-based). A permutation is orthogonal, so
+    * every L2/cosine between permuted vectors is a reordered sum of
+    * the same terms — both engines compute the PERMUTED order, so the
+    * chains stay bit-identical. */
+  def permuteVec(vec: Column, perm: Array[Int]): Column =
+    array(perm.map(i => element_at(vec, i + 1)): _*)
+
   /** Probed cells for a query (driver-side — the coarse table is
     * nCells rows), L2 ascending with the lowest-cell tie rule. */
   private def probeCells(qv: Seq[Double], ix: IvfPqModel,
@@ -373,12 +442,23 @@ object Pq {
     * is consumed at build time and NEVER stored: the persisted index
     * is ~m bytes per vector (vs d·4 for floats), and a search reads
     * only the probed cells' code files. */
+  /** `opq = true` fits [[varianceAllocation]] on `df` first, persists
+    * the permutation at `$path/opq`, and builds the whole index over
+    * the PERMUTED corpus — every later lifecycle step reads the stored
+    * permutation back (search permutes the query, append permutes the
+    * ingest, rebalance REFITS the allocation on the accumulated corpus,
+    * delete carries the artifact), so the caller never handles the
+    * permutation after the build. */
   def buildIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
                       nCells: Int, m: Int, kSub: Int, path: String,
                       coarseIters: Int = 2, pqIters: Int = 2,
                       kppSeed: Boolean = false,
-                      payloadCols: Seq[String] = Seq()): Unit = {
-    val (ix, res) = fitIvfPqWithRes(df, idCol, vecCol, nCells, m, kSub,
+                      payloadCols: Seq[String] = Seq(),
+                      opq: Boolean = false): Unit = {
+    val permOpt = if (opq) Some(varianceAllocation(df, vecCol, m)) else None
+    val src = permOpt.fold(df)(p => df.withColumn(vecCol,
+      permuteVec(col(vecCol).cast("array<double>"), p)))
+    val (ix, res) = fitIvfPqWithRes(src, idCol, vecCol, nCells, m, kSub,
       coarseIters, pqIters, kppSeed, payloadCols)
     try {
       val spark = df.sparkSession
@@ -389,6 +469,10 @@ object Pq {
         .flatMap { case (b, s) => b.map { case (c, cv) => (s, c, cv) } }
         .toSeq.toDF("sub", "code", "cv")
         .write.mode("overwrite").parquet(s"$path/books")
+      permOpt.foreach { p =>
+        Seq(Tuple1(p.toSeq)).toDF("perm")
+          .write.mode("overwrite").parquet(s"$path/opq")
+      }
       // encode from the fit's persisted residuals — NOT a fresh
       // residuals(df) pass: that would re-run the full-corpus coarse
       // assignment + subtraction a second time
@@ -397,6 +481,15 @@ object Pq {
         .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
     } finally res.unpersist(blocking = false)
   }
+
+  /** The stored OPQ permutation, if this index was built with
+    * `opq = true` (None for a plain IVFADC index — both shapes load
+    * through the same lifecycle entry points). */
+  def loadOpqPerm(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Option[Array[Int]] =
+    if (!Similarity.fsDirExists(spark, s"$path/opq")) None
+    else Some(spark.read.parquet(s"$path/opq")
+      .select(col("perm")).collect().head.getSeq[Int](0).toArray)
 
   /** Load the model half of a persisted index (columns by NAME — the
     * on-disk order is a writer detail), failing fast on a bad path. */
@@ -429,12 +522,16 @@ object Pq {
                        nProbe: Int, excludeId: Long = -1L,
                        where: Option[String] = None): DataFrame = {
     val ix = loadIvfPqModel(spark, path)
-    val probed = probeCells(queryVec, ix, nProbe)
+    // an OPQ index stores PERMUTED vectors — the query enters the same
+    // coordinate system (driver-side: the query is one vector)
+    val qv = loadOpqPerm(spark, path)
+      .fold(queryVec)(p => p.toSeq.map(queryVec(_)))
+    val probed = probeCells(qv, ix, nProbe)
     val scan = spark.read.parquet(s"$path/codes")
       .filter(col("cell").isin(probed.map(x => x: Any): _*))
       .filter(col("id") =!= excludeId)
     where.fold(scan)(scan.filter)
-      .select(col("id"), round(adcByCell(queryVec, ix, probed), 6).as("adc"))
+      .select(col("id"), round(adcByCell(qv, ix, probed), 6).as("adc"))
       .orderBy(col("adc"), col("id")).limit(k)
   }
 
@@ -446,12 +543,17 @@ object Pq {
     * assignment rule the probe uses. */
   def appendToIvfPqIndex(df: DataFrame, idCol: String, vecCol: String,
                          path: String): Unit = {
-    val ix = loadIvfPqModel(df.sparkSession, path)
+    val spark = df.sparkSession
+    val ix = loadIvfPqModel(spark, path)
+    // an OPQ index's frozen model lives in permuted coordinates — the
+    // ingest enters them through the STORED permutation
+    val src = loadOpqPerm(spark, path).fold(df)(p => df.withColumn(vecCol,
+      permuteVec(col(vecCol).cast("array<double>"), p)))
     // payload columns are whatever the stored codes carry beyond the
     // core (id, cell, codes) — the append must supply them all
-    val payload = df.sparkSession.read.parquet(s"$path/codes")
+    val payload = spark.read.parquet(s"$path/codes")
       .columns.toSeq.filterNot(Set("id", "cell", "codes"))
-    encodeIvfPq(df, idCol, vecCol, ix, payload)
+    encodeIvfPq(src, idCol, vecCol, ix, payload)
       .repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
@@ -501,8 +603,14 @@ object Pq {
         s"on $mismatched ids — pass exactly the accumulated vector set " +
         "(original build + every append)")
     val tmp = s"$path.rebuild_tmp"
+    // an OPQ index REFITS its allocation on the accumulated corpus —
+    // the permutation is a fitted artifact like the codebooks, so
+    // maintenance carries it (the round-17 verdict's "through
+    // rebalance" requirement); rebalance(opq) ≡ from-scratch
+    // buildIvfPqIndex(opq) on the accumulated set, spec-pinned
     buildIvfPqIndex(df, idCol, vecCol, nCells, m, kSub, tmp,
-      coarseIters, pqIters, kppSeed)
+      coarseIters, pqIters, kppSeed,
+      opq = Similarity.fsDirExists(spark, s"$path/opq"))
     Similarity.swapIndexRoot(path, tmp, "rebalanceIvfPqIndex")
   }
 
@@ -531,7 +639,9 @@ object Pq {
     val kept = stored.join(del, Seq("id"), "left_anti").localCheckpoint()
     val tmp = s"$path.rebuild_tmp"
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    Seq("coarse", "books").foreach { part =>
+    val modelParts = Seq("coarse", "books") ++
+      (if (Similarity.fsDirExists(spark, s"$path/opq")) Seq("opq") else Nil)
+    modelParts.foreach { part =>
       org.apache.commons.io.FileUtils.copyDirectory(
         new java.io.File(s"$path/$part"), new java.io.File(s"$tmp/$part"))
     }

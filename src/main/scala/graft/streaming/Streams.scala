@@ -795,6 +795,74 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming TAKEDOWN feed applied to a persisted LSH dedup index —
+    * the live half of the delete lifecycle (production takedowns
+    * arrive as a FEED — right-to-be-forgotten queues, DMCA sweeps —
+    * not as maintenance windows): each micro-batch's ids are deleted
+    * from the index through the same anti-join + rename-swap path the
+    * batch API uses. Semantics are ENSURE-ABSENT (what a takedown
+    * means): ids already absent are SKIPPED — so an at-least-once
+    * replayed batch is a natural no-op, and the same id may appear in
+    * any number of feed batches — where the batch API
+    * (`Dedup.deleteFromLshIndex`) keeps its strict unknown-id
+    * fail-fast (a maintenance window wants to know about a typo'd
+    * takedown list; a feed consumer must never deadlock on
+    * redelivery). The present/absent split is observable from the
+    * store itself (one semi-join per batch, MATERIALIZED before the
+    * delete swaps the root out from under its scan); an all-absent
+    * batch pays no root rewrite at all. */
+  def takedownIngest(spark: SparkSession, srcDir: String,
+                     schemaFrom: DataFrame, idCol: String,
+                     indexPath: String, checkpoint: String,
+                     statePartitions: Int = 2): Unit = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val src = ss.readStream.schema(schemaFrom.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bs = batch.sparkSession
+        val ids = batch.select(col(idCol).as("id")).distinct()
+        val present = ids.join(
+            bs.read.parquet(s"$indexPath/buckets").select(col("id")),
+            Seq("id"), "left_semi")
+          .localCheckpoint() // eager: the delete swaps the scanned root
+        if (present.limit(1).count() > 0L)
+          graft.operators.Dedup.deleteFromLshIndex(bs, present, "id",
+            indexPath)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** Stage an ordered multi-batch feed from explicit chunk frames:
+    * chunk i lands as `chunk_00i.parquet` with ascending mtimes, so a
+    * `maxFilesPerTrigger=1` reader sees one chunk per micro-batch in
+    * order (the stageTimeOrderedFeed device, generalized to
+    * caller-split chunks — takedown feeds split by REQUEST batch, not
+    * by event time). Staging device for tests/queries; production
+    * feeds are already journals. */
+  def stageFeedChunks(dfs: Seq[DataFrame], dir: String): Unit = {
+    require(dfs.nonEmpty, "stageFeedChunks: no chunks")
+    val fdir = new java.io.File(dir)
+    fdir.mkdirs()
+    val base = System.currentTimeMillis() - (dfs.size + 1) * 60000L
+    dfs.zipWithIndex.foreach { case (df, i) =>
+      val tmp = new java.io.File(fdir, s"_tmp_$i")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+        .getOrElse(sys.error(s"stageFeedChunks: no part file in $tmp"))
+      val dst = new java.io.File(fdir, f"chunk_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      dst.setLastModified(base + i * 60000L)
+      tmp.listFiles().foreach(_.delete()); tmp.delete()
+    }
+    new java.io.File(fdir, "_SUCCESS").createNewFile()
+  }
+
   /** PRODUCTION form of the q54 streaming dedup: `withWatermark` +
     * `dropDuplicatesWithinWatermark`, so the fingerprint state for keys
     * older than the watermark ages out instead of growing with the whole

@@ -42,6 +42,38 @@ class DeleteLifecycleSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("takedownIngest: the streamed takedown feed == the batch delete " +
+      "bit-for-bit; ensure-absent skips already-gone and never-indexed " +
+      "ids (no deadlock on redelivery); drained replay is a no-op") {
+    val base = tmp("tdstream")
+    val sub = docs.filter($"doc_id" % 4 < 2)
+    Dedup.buildLshIndex(sub, "doc_id", "text", 16, 2, s"$base/st")
+    Dedup.buildLshIndex(sub, "doc_id", "text", 16, 2, s"$base/ba")
+    // three feed batches: (0) some indexed ids; (1) REDELIVERY of batch
+    // 0's ids + fresh ones + a NEVER-indexed id (9_999_999); (2) only
+    // already-absent ids — an all-absent batch
+    val b0 = sub.filter($"doc_id" % 8 === 1).select($"doc_id")
+    val b1 = sub.filter(($"doc_id" % 8).isin(1L, 5L)).select($"doc_id")
+      .union(Seq(9999999L).toDF("doc_id"))
+    graft.streaming.Streams.stageFeedChunks(Seq(b0, b1, b0),
+      s"$base/feed")
+    graft.streaming.Streams.takedownIngest(spark, s"$base/feed",
+      docs.select($"doc_id"), "doc_id", s"$base/st", s"$base/ckpt")
+    // batch API equivalent: one strict delete of the union of INDEXED ids
+    Dedup.deleteFromLshIndex(spark,
+      sub.filter(($"doc_id" % 8).isin(1L, 5L)), "doc_id", s"$base/ba")
+    assert(snap(spark.read.parquet(s"$base/st/buckets")) ==
+      snap(spark.read.parquet(s"$base/ba/buckets")),
+      "streamed takedown != batch delete")
+    // drained replay: same checkpoint, no new files -> nothing happens
+    val before = snap(spark.read.parquet(s"$base/st/buckets"))
+    graft.streaming.Streams.takedownIngest(spark, s"$base/feed",
+      docs.select($"doc_id"), "doc_id", s"$base/st", s"$base/ckpt")
+    assert(snap(spark.read.parquet(s"$base/st/buckets")) == before,
+      "drained replay changed the index")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("deleteFromSigIndex: delete == build-on-survivors bit-for-bit; " +
       "partial-overlap delete lists abort before touching the store") {
     val base = tmp("sig")

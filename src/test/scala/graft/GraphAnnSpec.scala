@@ -248,6 +248,71 @@ class GraphAnnSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("repairGraphIndex: LOCAL descent around the appended mode " +
+      "restores in-mode recall >= 0.9 (the drift fixture), rewires " +
+      "ONLY the frontier — every non-frontier node's adjacency is " +
+      "byte-untouched — and fails fast on unknown ids") {
+    val base = s"/tmp/graft_graphann_rep/${System.nanoTime()}"
+    GraphAnn.buildGraphIndex(clustered, "vec_id", "embedding",
+      k = 8, nBuckets = 16, iters = 2, path = s"$base/idx")
+    def dvec(i: Long): Seq[Double] = {
+      val v = Array.fill(64)(0.0)
+      (0 until 4).foreach(d => v(d) = 1.0)
+      (32 until 36).foreach(d => v(d) = 1.0)
+      v((i % 4).toInt) += 0.2 * (((i * 7) % 13) - 6) / 13.0
+      v.toSeq
+    }
+    val drift = (1000L until 1024L).map(i => (i, dvec(i)))
+      .toDF("vec_id", "embedding")
+    GraphAnn.appendToGraphIndex(drift, "vec_id", "embedding", s"$base/idx")
+    assert(spark.read.parquet(s"$base/idx/edges")
+      .filter($"id" >= 1000L && $"nbr" >= 1000L).count() == 0L)
+    val all = clustered.union(drift)
+    def inModeRecall(): Double = {
+      val qids = (1000L until 1008L).toSeq
+      val got = GraphAnn.searchGraphIndex(spark, s"$base/idx", qids,
+        k = 10, beamWidth = 12, hops = 3, nSeeds = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(2))
+        .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+      val rs = qids.map { q =>
+        val exact = Similarity.bruteForceTopK(all, "vec_id", "embedding",
+          q, 10).collect().map(_.getLong(0)).toSet
+        got.getOrElse(q, Set.empty[Long]).intersect(exact).size.toDouble / 10.0
+      }
+      rs.sum / rs.size
+    }
+    val pre = inModeRecall()
+    // the frontier = mode + its stored 1-hop neighborhood; capture a
+    // NON-frontier node's adjacency to prove repair never touches it
+    val edges0 = spark.read.parquet(s"$base/idx/edges")
+    val frontierIds = edges0
+      .filter($"id" >= 1000L || $"nbr" >= 1000L)
+      .select(explode(array($"id", $"nbr")).as("f"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val outsider = (0L until 1000L).find(!frontierIds.contains(_)).get
+    def adjOf(id: Long) = spark.read.parquet(s"$base/idx/edges")
+      .filter($"id" === id).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sorted.toSeq
+    val adjBefore = adjOf(outsider)
+    GraphAnn.repairGraphIndex(spark, s"$base/idx", drift.select($"vec_id"),
+      "vec_id")
+    assert(adjOf(outsider) == adjBefore,
+      s"repair rewired non-frontier node $outsider")
+    // the localized descent gives the mode its own neighborhood
+    assert(spark.read.parquet(s"$base/idx/edges")
+      .filter($"id" >= 1000L && $"nbr" >= 1000L).count() > 0L)
+    val post = inModeRecall()
+    info(s"repair in-mode recall@10: $pre -> $post")
+    assert(post >= 0.9 && post >= pre,
+      s"local repair must restore in-mode recall: $pre -> $post")
+    val e = intercept[IllegalArgumentException] {
+      GraphAnn.repairGraphIndex(spark, s"$base/idx",
+        Seq(424242L).toDF("vec_id"), "vec_id")
+    }
+    assert(e.getMessage.contains("not in the store"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("appendToGraphIndex fails fast over maxAppendBatch — the " +
       "bounded driver-pull gate (the limit caps the pull itself)") {
     val base = s"/tmp/graft_graphann_gate/${System.nanoTime()}"

@@ -456,4 +456,151 @@ class PqSpec extends SparkSpec {
         s"id $id at true d² ${dists(id)} is not a near neighbor")
     }
   }
+
+  test("varianceAllocation: a bijection with balanced subspace counts, " +
+      "layout-invariant, and it SPREADS concentrated variance — each " +
+      "subspace gets an equal share of the high-variance dims") {
+    import spark.implicits._
+    val df = opqFixture()
+    val perm = Pq.varianceAllocation(df, "v", M)
+    assert(perm.sorted.toSeq == (0 until 64), "not a permutation")
+    // layout-invariance: exact integer moments — any partitioning fits
+    // the identical permutation
+    assert(Pq.varianceAllocation(df.repartition(7), "v", M).toSeq
+      == perm.toSeq, "allocation moved under repartition")
+    // the 16 signal dims (0..15) spread 4 per subspace
+    (0 until M).foreach { b =>
+      val sub = perm.slice(b * 16, (b + 1) * 16)
+      assert(sub.count(_ < 16) == 16 / M,
+        s"subspace $b holds ${sub.count(_ < 16)} signal dims: " +
+          sub.mkString(","))
+    }
+  }
+
+  test("OPQ allocation lifts PQ recall at equal bits on the " +
+      "variance-skewed fixture (isotropic corpora can't show it — the " +
+      "s13 rule): allocated ADC top-k recovers more true neighbors " +
+      "than unallocated") {
+    import spark.implicits._
+    val df = opqFixture().cache()
+    val perm = Pq.varianceAllocation(df, "v", M)
+    val pdf = df.select(col("id"),
+      Pq.permuteVec(col("v"), perm).as("v"))
+    val rows = df.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    val local = rows.toMap
+    def trueTopK(qid: Long, k: Int): Set[Long] =
+      rows.filter(_._1 != qid)
+        .map { case (id, v) => (id, Pq.dist2Local(local(qid), v)) }
+        .sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSet
+    def recall(data: org.apache.spark.sql.DataFrame, qid: Long,
+               k: Int): Double = {
+      val got = Pq.adcTopK(data, "id", "v", qid, k, M, KSub, Iters)
+        .collect().map(_.getLong(0)).toSet
+      val want = trueTopK(qid, k)
+      got.intersect(want).size.toDouble / k
+    }
+    val qids = Seq(0L, 17L, 34L, 51L, 68L)
+    val rPlain = qids.map(recall(df, _, 10)).sum / qids.size
+    val rAlloc = qids.map(recall(pdf, _, 10)).sum / qids.size
+    info(f"recall@10 plain $rPlain%.2f -> allocated $rAlloc%.2f")
+    assert(rAlloc > rPlain + 0.15,
+      f"allocation must lift recall materially: $rPlain%.2f -> $rAlloc%.2f")
+  }
+
+  test("OPQ through the persisted lifecycle: build(opq) stores the " +
+      "permutation, search permutes the query (identity vs a plain " +
+      "index over the pre-permuted corpus), append enters permuted " +
+      "coordinates, rebalance refits allocation ≡ a from-scratch OPQ " +
+      "build bit for bit, delete carries the artifact") {
+    import spark.implicits._
+    val df = opqFixture().cache()
+    val even = df.filter($"id" % 2 === 0)
+    val odd = df.filter($"id" % 2 =!= 0)
+    val base = s"/tmp/graft_opq_life/${System.nanoTime()}"
+    Pq.buildIvfPqIndex(even, "id", "v", nCells = 8, m = M, kSub = KSub,
+      s"$base/ix", opq = true)
+    val perm0 = Pq.loadOpqPerm(spark, s"$base/ix")
+      .getOrElse(fail("build(opq) stored no permutation"))
+    assert(perm0.sorted.toSeq == (0 until 64), "stored perm not a bijection")
+    assert(perm0.toSeq == Pq.varianceAllocation(even, "v", M).toSeq,
+      "stored perm must be the build-corpus allocation")
+    // query-permutation identity: the OPQ index answers exactly like a
+    // PLAIN index built over the explicitly permuted corpus queried
+    // with the explicitly permuted vector
+    Pq.buildIvfPqIndex(
+      even.select($"id", Pq.permuteVec($"v", perm0).as("v")),
+      "id", "v", nCells = 8, m = M, kSub = KSub, s"$base/plain")
+    val local = df.collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .toMap
+    def search(p: String, qv: Seq[Double]) =
+      Pq.searchIvfPqIndex(spark, p, qv, k = 10, nProbe = 2,
+        excludeId = 0L).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val qv = local(0L)
+    assert(search(s"$base/ix", qv) ==
+      search(s"$base/plain", perm0.toSeq.map(qv(_))),
+      "OPQ search must equal plain search in permuted coordinates")
+    // append enters the STORED permutation: every odd id lands in the
+    // cell its permuted vector assigns, so a full-probe search finds
+    // appended true neighbors (id 1 shares cluster 1 with 17, 33, ...)
+    Pq.appendToIvfPqIndex(odd, "id", "v", s"$base/ix")
+    val got1 = Pq.searchIvfPqIndex(spark, s"$base/ix", local(1L), k = 10,
+      nProbe = 8, excludeId = 1L).collect().map(_.getLong(0)).toSet
+    assert(got1.exists(i => i % 16 == 1L && i % 2 == 1L),
+      s"appended same-cluster odd ids must be retrievable: $got1")
+    // rebalance refits the allocation on the ACCUMULATED corpus and
+    // equals a from-scratch OPQ build bit for bit — perm included
+    Pq.rebalanceIvfPqIndex(df, "id", "v", nCells = 8, m = M, kSub = KSub,
+      s"$base/ix")
+    Pq.buildIvfPqIndex(df, "id", "v", nCells = 8, m = M, kSub = KSub,
+      s"$base/fresh", opq = true)
+    def snap(p: String) = (
+      Pq.loadOpqPerm(spark, p).map(_.toSeq),
+      spark.read.parquet(s"$p/coarse").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1).toSeq,
+      spark.read.parquet(s"$p/books").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .sortBy(t => (t._1, t._2)).toSeq,
+      spark.read.parquet(s"$p/codes").select($"id", $"cell", $"codes")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2)))
+        .sortBy(_._1).toSeq)
+    assert(snap(s"$base/ix") == snap(s"$base/fresh"),
+      "rebalance(opq) must equal a from-scratch OPQ build, perm included")
+    assert(snap(s"$base/ix")._1.contains(
+      Pq.varianceAllocation(df, "v", M).toSeq),
+      "post-rebalance perm must be the FULL-corpus allocation")
+    // delete carries the artifact: perm survives, survivors only
+    Pq.deleteFromIvfPqIndex(spark, Seq(2L, 3L).toDF("id"), "id",
+      s"$base/ix")
+    assert(Pq.loadOpqPerm(spark, s"$base/ix").map(_.toSeq)
+      == snap(s"$base/fresh")._1, "delete dropped the opq artifact")
+    val ids = spark.read.parquet(s"$base/ix/codes")
+      .select($"id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(2L) && !ids.contains(3L) && ids.contains(4L))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  /** Variance-skewed fixture: ALL signal lives in dims 0..15 (16
+    * well-separated clusters there), dims 16..63 carry tiny
+    * deterministic jitter. Unallocated PQ gives subspace 0 only kSub=8
+    * centroids for all 16 signal dims while three subspaces quantize
+    * noise; allocation spreads the signal 4 dims per subspace. */
+  private def opqFixture() = {
+    import spark.implicits._
+    val n = 256
+    val rows = (0 until n).map { i =>
+      val c = i % 16 // cluster
+      val sig = (0 until 16).map { d =>
+        val base = if ((c >> (d % 4)) % 2 == 0) 1.0 else -1.0
+        base * (1.0 + 0.3 * ((d * 7 + c * 3) % 5)) +
+          0.02 * (((i * 31 + d * 17) % 11) - 5)
+      }
+      val noise = (16 until 64).map { d =>
+        0.01 * (((i * 13 + d * 29) % 13) - 6) / 6.0
+      }
+      (i.toLong, sig ++ noise)
+    }
+    rows.toDF("id", "v")
+  }
 }
