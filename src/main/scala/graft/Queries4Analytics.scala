@@ -1215,6 +1215,73 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
       |   AND epoch_us(b.ts) <= epoch_us(a.ts) + 21600000000)""".stripMargin,
     Seq("grp"), "lat_s", Seq(50, 90, 99))
 
+  // ---------------------------------------------------------------- q88
+  // Per-user Bollinger-band breakout census (Bollinger 1983 — the
+  // rolling mean ± 2σ band next to the m-family in every market
+  // analytics suite): over the 20-row trailing window in ×100-cent
+  // integers, a breach is |x − mean| > 2σ. NO sqrt and NO division
+  // ever computes — the band test cross-multiplies to
+  // (n·x − S)² > 4·(n·SS − S²) with the sign split giving the
+  // direction, so the whole query is exact integer arithmetic and the
+  // oracle replays it literally. Operand bound: |cents| < 2^20 is
+  // guarded ROW-LEVEL (the ohlcPrep raise_error idiom), which caps
+  // (n·x − S)² < 2^51 and n·SS < 2^49 at n = 20 — far inside i64.
+  // Incomplete warm-up windows (n < 20) never flag, the standard
+  // Bollinger convention. ONE exchange: the census agg reuses the
+  // window's user_id hash partitioning (the q84 discipline).
+  /** The q88 chain over any (user_id, ts, value, event_id) frame —
+    * factored so the spec pins hand-computed goldens (the drawdownOf
+    * rule). On a constant 19-row tail plus one deviating row the test
+    * reduces to 361(x−v)² > 76(x−v)² — ANY deviation from a flat run
+    * flags, the degenerate-σ edge the spec pins. */
+  private[graft] def bollingerOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(-19, 0)
+    val cents = expr("CAST(round(value * 100) AS BIGINT)")
+    val xi = when(cents.isNull || abs(cents) >= (1L << 20),
+      raise_error(concat(
+        lit("q88 band bound needs |cents| < 2^20, got "),
+        coalesce(cents.cast("string"), lit("NULL")))).cast("long"))
+      .otherwise(cents)
+    val dev = $"n" * $"xi" - $"s"
+    val varn = lit(4L) * ($"n" * $"ss" - $"s" * $"s")
+    events
+      .select($"user_id", $"ts", $"event_id", xi.as("xi"))
+      .select($"user_id", $"xi",
+        sum($"xi").over(w).as("s"),
+        sum($"xi" * $"xi").over(w).as("ss"),
+        count(lit(1)).over(w).as("n"))
+      .groupBy($"user_id")
+      .agg(
+        sum(when($"n" === 20 && dev > 0 && dev * dev > varn, 1L)
+          .otherwise(0L)).as("n_up"),
+        sum(when($"n" === 20 && dev < 0 && dev * dev > varn, 1L)
+          .otherwise(0L)).as("n_dn"),
+        count(lit(1)).as("n_events"))
+  }
+
+  def q88_bollinger(spark: SparkSession, dir: String): DataFrame =
+    bollingerOf(t(spark, dir, "events")).orderBy($"user_id")
+
+  private[graft] val q88_sql =
+    """WITH x AS (SELECT user_id, ts, event_id,
+      |    CAST(round(value * 100) AS BIGINT) AS xi FROM events),
+      |w AS (SELECT user_id, xi,
+      |    CAST(SUM(xi) OVER win AS BIGINT) AS s,
+      |    CAST(SUM(xi * xi) OVER win AS BIGINT) AS ss,
+      |    CAST(COUNT(*) OVER win AS BIGINT) AS n
+      |  FROM x WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      |SELECT user_id,
+      |  CAST(SUM(CASE WHEN n = 20 AND n * xi - s > 0
+      |    AND (n * xi - s) * (n * xi - s) > 4 * (n * ss - s * s)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+      |  CAST(SUM(CASE WHEN n = 20 AND n * xi - s < 0
+      |    AND (n * xi - s) * (n * xi - s) > 4 * (n * ss - s * s)
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS n_dn,
+      |  CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM w GROUP BY user_id ORDER BY user_id""".stripMargin
+
   // ---------------------------------------------------------------- q66
   // Semi-structured JSON property extraction (events.props is a JSON
   // blob — the clickstream/telemetry shape): per event type, integer
@@ -1242,6 +1309,48 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
       |      FROM events)
       |WHERE k IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------------------------- q89
+  // Per-hour VWAP (volume-weighted average price — the kdb market
+  // analytic that sits next to TWAP/OHLC in every tick suite; q77
+  // weights by TIME, this weights by traded VOLUME): price = value in
+  // ×100-cent integers, volume = the props JSON's k field (the q66
+  // extraction — VWAP's volume rides the event payload, the telemetry
+  // shape). Both sums are EXACT integers (Σ(pc·vol) in DECIMAL(38,0)
+  // narrowed to BIGINT, Σvol in BIGINT), so the one division at the
+  // end is a correctly-rounded IEEE double of two exact integers —
+  // bit-identical cross-engine with NO rounding discipline needed
+  // (the q68 moment rule). Zero/absent-volume rows can't contribute
+  // (filtered, spec-observable): a null volume would silently drop
+  // from Σ(pc·vol) but not the count, skewing the average.
+  /** The q89 chain over any (ts ns-long, value, props) frame —
+    * factored for the golden spec. */
+  private[graft] def vwapOf(events: DataFrame): DataFrame =
+    events
+      .select(expr("ts div 1000 div 3600000000").as("hr"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("pc"),
+        get_json_object($"props", "$.k").cast("long").as("vol"))
+      .filter($"vol".isNotNull && $"vol" > 0)
+      .groupBy($"hr")
+      .agg(count(lit(1)).as("n"),
+        sum($"vol").as("volume"),
+        (sum(($"pc" * $"vol").cast("decimal(38,0)")).cast("long")
+          .cast("double") / sum($"vol").cast("double")).as("vwap_c"))
+
+  def q89_vwap(spark: SparkSession, dir: String): DataFrame =
+    vwapOf(t(spark, dir, "events")).orderBy($"hr")
+
+  private[graft] val q89_sql =
+    """WITH x AS (SELECT epoch_us(ts) // 3600000000 AS hr,
+      |    CAST(round(value * 100) AS BIGINT) AS pc,
+      |    CAST(props->>'k' AS BIGINT) AS vol
+      |  FROM events)
+      |SELECT hr, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(vol) AS BIGINT) AS volume,
+      |  CAST(CAST(SUM(pc * vol) AS BIGINT) AS DOUBLE)
+      |    / CAST(CAST(SUM(vol) AS BIGINT) AS DOUBLE) AS vwap_c
+      |FROM x WHERE vol IS NOT NULL AND vol > 0
+      |GROUP BY hr ORDER BY hr""".stripMargin
 
   // ---------------------------------------------------------------- q67
   // Hourly retention cohorts (the product-analytics card): of the

@@ -246,6 +246,13 @@ class PlanShapeSpec extends SparkSpec {
       s"the drawdown agg must reuse the window exchange:\n$p")
   }
 
+  test("q88 (Bollinger): ONE user_id hash exchange — the breach census " +
+      "reuses the rolling-moment window's partitioning (the q84 rule)") {
+    val p = plan("q88_bollinger")
+    assert(count(p, "Arguments: hashpartitioning") == 1,
+      s"the breach census must reuse the window exchange:\n$p")
+  }
+
   test("q86 (gap quantiles): exactly three hash exchanges — the user " +
       "lead-window over rows, then census CELLS only through the " +
       "(type, gap) aggregate and the per-type quantile window") {

@@ -272,6 +272,47 @@ class TextStatsSpec extends SparkSpec {
       out.toString)
   }
 
+  test("q88 Bollinger chain: a flat 19-row tail flags ANY deviation " +
+      "(the degenerate-σ edge), direction splits on the sign, warm-up " +
+      "windows never flag, the cents bound aborts row-level") {
+    import spark.implicits._
+    // user 1: 20 × 10.00, then 11.00 (up breach), then 9.00 (down —
+    // hand-checked: dev² = 4e6 > 4·(n·SS − S²) = 1.6e6); user 2: 19
+    // rows only — never a full window, zero flags
+    val rows =
+      (1 to 20).map(i => (1L, i * 1000000000L, 10.0, i.toLong)) ++
+      Seq((1L, 21000000000L, 11.0, 21L), (1L, 22000000000L, 9.0, 22L)) ++
+      (1 to 19).map(i => (2L, i * 1000000000L, 5.0, (100 + i).toLong))
+    val out = Queries.bollingerOf(
+        rows.toDF("user_id", "ts", "value", "event_id"))
+      .orderBy($"user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 1L, 1L, 22L), (2L, 0L, 0L, 19L)),
+      out.toSeq.toString)
+    val e = intercept[Exception] {
+      Queries.bollingerOf(Seq((1L, 1000000000L, 99999.0, 1L))
+        .toDF("user_id", "ts", "value", "event_id")).collect()
+    }
+    assert(e.getMessage.contains("cents"), e.getMessage)
+  }
+
+  test("q89 VWAP chain: volume-weighted cents on a hand-computed hour; " +
+      "null and zero volumes drop") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1000000000L, 10.0, """{"k": 2}""", 1L),
+      (2L, 2000000000L, 20.0, """{"k": 1}""", 2L),
+      (3L, 3000000000L, 77.0, """{"nope": 5}""", 3L), // no volume -> drop
+      (4L, 4000000000L, 88.0, """{"k": 0}""", 4L),    // zero -> drop
+      (5L, 3600L * 1000000000L * 2, 30.0, """{"k": 4}""", 5L))
+      .toDF("user_id", "ts", "value", "props", "event_id")
+    val out = Queries.vwapOf(ev).orderBy($"hr").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (0L, 2L, 3L, 4000.0 / 3.0), // (1000·2 + 2000·1) / 3
+      (2L, 1L, 4L, 3000.0)), out.toSeq.toString)
+  }
+
   // ---------------------------------------------------------------- twap
 
   test("q77 TWAP chain: prevailing-interval weighting on hand-computed " +
