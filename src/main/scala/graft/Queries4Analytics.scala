@@ -1182,6 +1182,41 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
       | FROM events)""".stripMargin,
     Seq("event_type"), "gap_us", Seq(50, 90, 99))
 
+  // ---------------------------------------------------------------- q91
+  // Streaming inter-event-gap quantiles — q86's live twin, composing
+  // BOTH state disciplines of the scan-ingest family (see
+  // Streams.gapCensusIngest): the cross-batch bridge gap is priced by
+  // the phantom carry-in (order-sensitive — the twapIngest lead()
+  // machinery), while the gap counts land in the persisted census
+  // store as batch-stamped MERGEABLE cells (order-free — the q90/t60
+  // machinery). Every event's gap emits exactly once, in the batch
+  // where its successor first arrives; the final open event per user
+  // matches the batch query's excluded null-gap row. The oracle IS
+  // q86's SQL.
+  def q91_stream_gap_quantiles(spark: SparkSession, dir: String): DataFrame = {
+    val batch = t(spark, dir, "events")
+      .select($"user_id", $"ts", $"event_type", $"event_id")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val nChunks = 4
+    val base = s"/tmp/graft_stream/$key/gapq_c${nChunks}" +
+      s"_s${srcStamp(dir, "events.parquet")}"
+    val (stage, censusPath, statePath, ckpt) =
+      (s"$base/feed", s"$base/census", s"$base/state", s"$base/ckpt")
+    if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      Streams.stageTimeOrderedFeed(batch, "ts", nChunks, stage)
+    }
+    Streams.gapCensusIngest(spark, stage, batch,
+      df => df.select($"user_id", expr("ts div 1000").as("tus"),
+        $"event_id".as("eid"), $"event_type".as("etype")),
+      censusPath, statePath, ckpt)
+    operators.Quantiles.quantilesFromStore(spark, censusPath,
+        Seq(50, 90, 99))
+      .orderBy($"event_type")
+  }
+
+  private[graft] lazy val q91_sql = q86_sql
+
   // ---------------------------------------------------------------- q87
   // Click→purchase CONVERSION-LATENCY quantiles — the funnel-timing
   // card over the q56 interval-join pairs (every purchase within 6 h
@@ -1351,6 +1386,37 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
       |    / CAST(CAST(SUM(vol) AS BIGINT) AS DOUBLE) AS vwap_c
       |FROM x WHERE vol IS NOT NULL AND vol > 0
       |GROUP BY hr ORDER BY hr""".stripMargin
+
+  // ---------------------------------------------------------------- q90
+  // Streaming per-hour VWAP — q89's live twin, and the MERGEABLE
+  // member of the scan-ingest family (see Streams.vwapIngest: the
+  // state is three associative integer sums per hour, so exactly-once
+  // is just batch-stamped partial overwrite — no phantom, no swap, no
+  // order guard; the contrast with the TWAP/EMA/CUSUM/drawdown
+  // phantom-carry-in machinery is the point). The oracle IS q89's SQL:
+  // order-free integer sums make stream == batch exact by
+  // construction, and the one division happens only at read.
+  def q90_stream_vwap(spark: SparkSession, dir: String): DataFrame = {
+    val batch = t(spark, dir, "events")
+      .select($"user_id", $"ts", $"value", $"props", $"event_id")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val nChunks = 4
+    val base = s"/tmp/graft_stream/$key/vwap_c${nChunks}" +
+      s"_s${srcStamp(dir, "events.parquet")}"
+    val (stage, storePath, ckpt) = (s"$base/feed", s"$base/store", s"$base/ckpt")
+    if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      Streams.stageTimeOrderedFeed(batch, "ts", nChunks, stage)
+    }
+    Streams.vwapIngest(spark, stage, batch,
+      df => df.select(expr("ts div 1000 div 3600000000").as("hr"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("pc"),
+        get_json_object($"props", "$.k").cast("long").as("vol")),
+      storePath, ckpt)
+    Streams.readVwapStore(spark, storePath).orderBy($"hr")
+  }
+
+  private[graft] lazy val q90_sql = q89_sql
 
   // ---------------------------------------------------------------- q67
   // Hourly retention cohorts (the product-analytics card): of the

@@ -108,6 +108,19 @@ object TimeR18 {
         operators.Pq.varianceAllocation(emb, "embedding", 4)
       }
 
+    // ---- q88/q89 market analytics over 10M events
+    val ev = Tables.load(spark, dir, "events").repartition(32).cache()
+    println(s"events: ${ev.count()}")
+    for (rep <- 1 to 2)
+      time(s"q88 bollinger 10M events (pass $rep)") {
+        Queries.bollingerOf(ev).agg(sum($"n_up"), sum($"n_dn")).collect()
+      }
+    for (rep <- 1 to 2)
+      time(s"q89 vwap 10M events (pass $rep)") {
+        Queries.vwapOf(ev).agg(sum($"volume"), sum($"vwap_c")).collect()
+      }
+    ev.unpersist()
+
     // ---- graph repair vs full rebalance on the SAME drifted index,
     // at TWO corpus sizes: the sublinearity claim is repair staying
     // FLAT (frontier-bounded — the 512-node mode + its 1-hop

@@ -814,7 +814,32 @@ object Streams {
   def takedownIngest(spark: SparkSession, srcDir: String,
                      schemaFrom: DataFrame, idCol: String,
                      indexPath: String, checkpoint: String,
-                     statePartitions: Int = 2): Unit = {
+                     statePartitions: Int = 2): Unit =
+    takedownIngestOn(spark, srcDir, schemaFrom, idCol, checkpoint,
+      statePartitions, s"$indexPath/buckets",
+      (bs, present) => graft.operators.Dedup.deleteFromLshIndex(
+        bs, present, "id", indexPath))
+
+  /** [[takedownIngest]] for the persisted media-SIGNATURE index (m05)
+    * — the same ensure-absent feed semantics over
+    * `Dedup.deleteFromSigIndex`. */
+  def takedownIngestSig(spark: SparkSession, srcDir: String,
+                        schemaFrom: DataFrame, idCol: String,
+                        indexPath: String, checkpoint: String,
+                        statePartitions: Int = 2): Unit =
+    takedownIngestOn(spark, srcDir, schemaFrom, idCol, checkpoint,
+      statePartitions, s"$indexPath/chunks",
+      (bs, present) => graft.operators.Dedup.deleteFromSigIndex(
+        bs, present, "id", indexPath))
+
+  /** The shared ensure-absent core: split each batch's ids against the
+    * store's id table (materialized BEFORE the delete swaps the
+    * scanned root), delete only the present subset through the strict
+    * batch API. */
+  private def takedownIngestOn(spark: SparkSession, srcDir: String,
+      schemaFrom: DataFrame, idCol: String, checkpoint: String,
+      statePartitions: Int, storedIdsPath: String,
+      delete: (SparkSession, DataFrame) => Unit): Unit = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val src = ss.readStream.schema(schemaFrom.schema)
@@ -825,12 +850,10 @@ object Streams {
         val bs = batch.sparkSession
         val ids = batch.select(col(idCol).as("id")).distinct()
         val present = ids.join(
-            bs.read.parquet(s"$indexPath/buckets").select(col("id")),
+            bs.read.parquet(storedIdsPath).select(col("id")),
             Seq("id"), "left_semi")
           .localCheckpoint() // eager: the delete swaps the scanned root
-        if (present.limit(1).count() > 0L)
-          graft.operators.Dedup.deleteFromLshIndex(bs, present, "id",
-            indexPath)
+        if (present.limit(1).count() > 0L) delete(bs, present)
       }
       .outputMode("append")
       .start()
@@ -1161,6 +1184,101 @@ object Streams {
     try q.processAllAvailable() finally q.stop()
   }
 
+  /** Streaming inter-event-gap census — q86's live twin, COMPOSING the
+    * two state disciplines this family established: the cross-batch
+    * BRIDGE gap (stored last event → first batch event per user) is
+    * priced by the phantom carry-in (the twapIngest lead() rule,
+    * same-µs boundary ties included — ties share the µs, so every gap
+    * a tie displaces keeps its value), while the gap COUNTS land in
+    * the persisted census store whose batch-stamped cells are
+    * mergeable and exactly-once at read
+    * ([[graft.operators.Quantiles.appendToCensusStore]]
+    * distinct-at-read — a redelivered batch rewrites IDENTICAL cells,
+    * which the distinct collapses). Every event's gap is emitted
+    * exactly once: in the batch where its successor first arrives
+    * (the stored last event per user is precisely the one event whose
+    * gap is still open; at stream end it stays open, matching the
+    * batch query's excluded null-gap row). State is (user_id,
+    * last_tus, last_eid, last_type) — key-bounded. Strictly-earlier
+    * batch rows fail fast BEFORE any census write (re-splicing an
+    * already-emitted gap is unexpressable from summary state).
+    * `prep` maps a raw batch to (user_id, tus, eid, etype). */
+  def gapCensusIngest(spark: SparkSession, srcDir: String,
+                      schemaFrom: DataFrame, prep: DataFrame => DataFrame,
+                      censusPath: String, statePath: String,
+                      checkpoint: String,
+                      statePartitions: Int = 2): Unit = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q = prep(ss.readStream.schema(schemaFrom.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir))
+      .writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        mergeGapState(batch, bid, censusPath, statePath)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** One gap merge: guards first (a failed batch must not have
+    * half-written census cells), then cells, then the state swap —
+    * so every crash window lands on a replayable side. */
+  private[graft] def mergeGapState(batch: DataFrame, batchId: Long,
+                                   censusPath: String,
+                                   statePath: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val bs = batch.sparkSession
+    val state0 = readState(bs, statePath,
+      "user_id BIGINT, last_tus BIGINT, last_eid BIGINT, " +
+        "last_type STRING, last_batch BIGINT", "gapCensusIngest")
+    if (batchId <= committedBatch(state0)) return
+    requireNoBatchDups(batch, "user_id", "eid", "gapCensusIngest")
+    val st = state0.select(col("user_id"), col("last_tus"),
+      col("last_eid"), col("last_type")).localCheckpoint()
+    val dup = batch.join(st.select(col("user_id"), col("last_eid")),
+        Seq("user_id"))
+      .filter(col("eid") === col("last_eid")).limit(1).collect()
+    require(dup.isEmpty,
+      "gapCensusIngest: an event_id recurred across batches — duplicate " +
+        "delivery the summary state would re-count; dedupe upstream")
+    val ooo = batch.join(st.select(col("user_id"), col("last_tus")),
+        Seq("user_id"))
+      .filter(col("tus") < col("last_tus")).limit(1).collect()
+    require(ooo.isEmpty,
+      "gapCensusIngest: out-of-order feed — a batch row precedes its " +
+        "user's stored last event; the emitted gap census cannot be " +
+        "re-spliced from summary state")
+    val carry = st.select(col("user_id"), col("last_tus").as("tus"),
+      col("last_eid").as("eid"), col("last_type").as("etype"),
+      lit(true).as("ph"))
+    val rows = batch.select(col("user_id"), col("tus"), col("eid"),
+        col("etype"), lit(false).as("ph"))
+      .unionByName(carry)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("tus"), col("eid"))
+    val gapped = rows
+      .withColumn("gap_us", lead(col("tus"), 1).over(w) - col("tus"))
+      .localCheckpoint() // one computation feeds cells AND state
+    val cells = gapped.filter(col("gap_us").isNotNull)
+      .select(col("etype").as("event_type"), col("gap_us"))
+    if (!new java.io.File(s"$censusPath/meta").exists())
+      graft.operators.Quantiles.buildCensusStore(cells,
+        Seq("event_type"), "gap_us", censusPath)
+    else
+      graft.operators.Quantiles.appendToCensusStore(cells, censusPath,
+        batchId)
+    val newState = gapped
+      .groupBy(col("user_id"))
+      .agg(max_by(struct(col("tus").as("t"), col("eid").as("e"),
+          col("etype").as("y")),
+        struct(col("tus"), col("eid"))).as("last"))
+      .select(col("user_id"), col("last.t").as("last_tus"),
+        col("last.e").as("last_eid"), col("last.y").as("last_type"),
+        lit(batchId).as("last_batch"))
+    writeStateSwap(newState, statePath, "gapCensusIngest")
+  }
+
   /** Last merged batch id from a scan-ingest state table (−1 when the
     * state is empty). Every row carries the same stamp — the swap
     * rewrites the whole table per merge, so stamping is free and the
@@ -1420,6 +1538,54 @@ object Streams {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch").parquet(resultPath)
+
+  /** Streaming per-hour VWAP — q89's live twin, and the MERGEABLE
+    * member of the scan-ingest family: unlike TWAP/EMA/CUSUM/drawdown
+    * (order-sensitive folds that need phantom carry-in rows and state
+    * swaps), VWAP's per-hour state is three ASSOCIATIVE integer sums
+    * (n, Σvol, Σ(pc·vol)) — each micro-batch's partials land under
+    * their `__batch` partition via dynamic overwrite
+    * ([[writeResultBatch]]), so exactly-once needs NO state swap, no
+    * phantom, no order guard: a batch redelivered after any crash
+    * REPLACES its own partials, and the read-side fold
+    * ([[readVwapStore]] — one groupBy over the partial store)
+    * reproduces the whole-history batch aggregate EXACTLY (integer
+    * sums are order-free, and the closing division happens only at
+    * read). `prep` maps a raw batch to (hr, pc cents, vol); zero and
+    * null volumes drop here, the q89 rule. */
+  def vwapIngest(spark: SparkSession, srcDir: String,
+                 schemaFrom: DataFrame, prep: DataFrame => DataFrame,
+                 storePath: String, checkpoint: String,
+                 statePartitions: Int = 2): Unit = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val src = ss.readStream.schema(schemaFrom.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val q = src.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        val p = prep(batch)
+          .filter(col("vol").isNotNull && col("vol") > 0)
+          .groupBy(col("hr"))
+          .agg(count(lit(1)).as("n"), sum(col("vol")).as("sum_v"),
+            sum((col("pc") * col("vol")).cast("decimal(38,0)"))
+              .cast("long").as("sum_pv"))
+        writeResultBatch(p, bid, storePath)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** The VWAP card off the partial store: fold the batch partials and
+    * close with the one division — bit-equal to the batch q89 chain
+    * (same exact integers in, same IEEE division out). */
+  def readVwapStore(spark: SparkSession, storePath: String): DataFrame =
+    spark.read.parquet(storePath)
+      .groupBy(col("hr"))
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("volume"),
+        (sum(col("sum_pv")).cast("long").cast("double") /
+          sum(col("sum_v")).cast("double")).as("vwap_c"))
 
   /** Streaming per-key CUSUM (q82's live twin): the same sequential
     * [[graft.operators.Cusum]] fold per micro-batch, seeded per key by

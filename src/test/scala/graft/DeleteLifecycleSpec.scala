@@ -97,6 +97,29 @@ class DeleteLifecycleSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("takedownIngestSig: the streamed feed == the batch sig delete " +
+      "bit-for-bit through the shared ensure-absent core") {
+    val base = tmp("tdsig")
+    val sig = docs.limit(40)
+      .select($"doc_id".as("id"), ($"doc_id" * 7919L % 100000L).as("sh"))
+    Dedup.buildSigIndex(sig, "k", s"$base/st")
+    Dedup.buildSigIndex(sig, "k", s"$base/ba")
+    // batch 0 deletes %5==0; batch 1 redelivers them + a never-indexed id
+    graft.streaming.Streams.stageFeedChunks(Seq(
+      sig.filter($"id" % 5 === 0).select($"id"),
+      sig.filter($"id" % 5 === 0).select($"id")
+        .union(Seq(424242L).toDF("id"))),
+      s"$base/feed")
+    graft.streaming.Streams.takedownIngestSig(spark, s"$base/feed",
+      sig.select($"id"), "id", s"$base/st", s"$base/ckpt")
+    Dedup.deleteFromSigIndex(spark, sig.filter($"id" % 5 === 0), "id",
+      s"$base/ba")
+    assert(snap(spark.read.parquet(s"$base/st/chunks")) ==
+      snap(spark.read.parquet(s"$base/ba/chunks")),
+      "streamed sig takedown != batch delete")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("deleteFromBinaryIndex: delete == build-on-survivors bit-for-bit " +
       "(codes are per-row pure)") {
     val base = tmp("bin")

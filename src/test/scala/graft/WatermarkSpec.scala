@@ -257,6 +257,111 @@ class WatermarkSpec extends SparkSpec {
       "drained replay must not change the state fold")
   }
 
+  test("q90 streaming VWAP equals the batch q89 on the feed (mergeable " +
+      "partial sums — no phantom, no swap), a drained re-run is a " +
+      "no-op, and a redelivered batch REPLACES its own partials") {
+    val dir = "/root/testdata/sf0.001"
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val stream = snap(Queries.q90_stream_vwap(spark, dir))
+    assert(stream == snap(Queries.q89_vwap(spark, dir)),
+      s"streamed VWAP (${stream.size} hours) != batch")
+    assert(snap(Queries.q90_stream_vwap(spark, dir)) == stream,
+      "drained replay must not change the card")
+    // crash-window redelivery: re-running one micro-batch's ingest
+    // against the same store must land in its own __batch partition
+    // (dynamic overwrite), leaving the folded card unchanged
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val base = s"/tmp/graft_stream/$key/vwap_c4" +
+      s"_s${Queries.srcStamp(dir, "events.parquet")}"
+    val redelivered = spark.read.parquet(s"$base/feed/chunk_001.parquet")
+    // replay chunk 1 exactly as the stream's foreachBatch would for
+    // bid = 1 (same prep, same stamp)
+    val prep = redelivered
+      .select(expr("ts div 1000 div 3600000000").as("hr"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("pc"),
+        get_json_object($"props", "$.k").cast("long").as("vol"))
+      .filter($"vol".isNotNull && $"vol" > 0)
+      .groupBy($"hr")
+      .agg(count(lit(1)).as("n"), sum($"vol").as("sum_v"),
+        sum(($"pc" * $"vol").cast("decimal(38,0)")).cast("long")
+          .as("sum_pv"))
+      .withColumn("__batch", lit(1L))
+    prep.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("__batch").parquet(s"$base/store")
+    assert(snap(streaming.Streams.readVwapStore(spark, s"$base/store")
+        .orderBy($"hr")) == stream,
+      "a redelivered batch must replace its own partials exactly")
+  }
+
+  test("q91 streaming gap quantiles equals the batch q86 on the in-order " +
+      "feed (phantom bridge + mergeable census cells), and a drained " +
+      "re-run is a no-op") {
+    val dir = "/root/testdata/sf0.001"
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).toSeq
+    val stream = snap(Queries.q91_stream_gap_quantiles(spark, dir))
+    assert(stream == snap(Queries.q86_gap_quantiles(spark, dir)),
+      s"streamed gap census (${stream.size} types) != batch")
+    assert(snap(Queries.q91_stream_gap_quantiles(spark, dir)) == stream,
+      "drained replay must not change the card")
+  }
+
+  test("mergeGapState: the bridge gap is priced by the phantom exactly " +
+      "once, redelivered batches are no-ops, out-of-order and id-reuse " +
+      "fail fast BEFORE any census write") {
+    val base = s"/tmp/graft_gap_spec/${System.nanoTime()}"
+    val (cp, sp) = (s"$base/census", s"$base/state")
+    new java.io.File(base).mkdirs()
+    def b(rows: (Long, Long, Long, String)*) =
+      rows.toSeq.toDF("user_id", "tus", "eid", "etype")
+    // batch 0: user 1 at t=1000 (click) then t=3000 (view): one
+    // in-batch gap 2000 attributed to click; view stays open
+    streaming.Streams.mergeGapState(
+      b((1L, 1000L, 1L, "click"), (1L, 3000L, 2L, "view")), 0L, cp, sp)
+    def cells() = spark.read.parquet(s"$cp/cells").distinct()
+      .select($"event_type", $"__v", $"__n", $"__batch").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    assert(cells() == Seq(("click", 2000L, 1L, 0L)), cells().toString)
+    // batch 1: user 1 at t=7000 — the BRIDGE gap 4000 must emit under
+    // the stored view's type, exactly once
+    streaming.Streams.mergeGapState(
+      b((1L, 7000L, 3L, "buy")), 1L, cp, sp)
+    assert(cells() == Seq(("click", 2000L, 1L, 0L),
+      ("view", 4000L, 1L, 1L)), cells().toString)
+    // redelivered batch 1 (crash between census append and checkpoint
+    // commit): exactly-once — the fold is unchanged
+    streaming.Streams.mergeGapState(
+      b((1L, 7000L, 3L, "buy")), 1L, cp, sp)
+    assert(cells() == Seq(("click", 2000L, 1L, 0L),
+      ("view", 4000L, 1L, 1L)), "redelivery changed the census")
+    // out-of-order: t=5000 precedes the stored last (7000) -> abort,
+    // census untouched
+    val e1 = intercept[IllegalArgumentException] {
+      streaming.Streams.mergeGapState(
+        b((1L, 5000L, 9L, "x")), 2L, cp, sp)
+    }
+    assert(e1.getMessage.contains("out-of-order"), e1.getMessage)
+    // id reuse across batches -> abort
+    val e2 = intercept[IllegalArgumentException] {
+      streaming.Streams.mergeGapState(
+        b((1L, 9000L, 3L, "x")), 2L, cp, sp)
+    }
+    assert(e2.getMessage.contains("recurred"), e2.getMessage)
+    assert(cells() == Seq(("click", 2000L, 1L, 0L),
+      ("view", 4000L, 1L, 1L)), "a failed merge touched the census")
+    // same-µs boundary tie: eid 4 at the stored last µs (7000) sorts
+    // AFTER the phantom? No — eid 4 > 3, so phantom(7000,3) leads to
+    // (7000,4): bridge gap 0 under the stored buy; then eid 4 opens
+    streaming.Streams.mergeGapState(
+      b((1L, 7000L, 4L, "tie")), 2L, cp, sp)
+    assert(cells().contains(("buy", 0L, 1L, 2L)), cells().toString)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("drawdownIngest merge: the stored-peak phantom seeds the running " +
       "peak, the phantom never steals a zero-drawdown argmax tie, and " +
       "key-max merging keeps the FIRST max-attaining event") {
