@@ -477,6 +477,64 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
       |  COALESCE(a.max_shot_len, 0) AS max_shot_len
       |FROM p LEFT JOIN agg a USING (doc_id) ORDER BY media_id""".stripMargin
 
+  // ---------------------------------------------------------------- m12
+  // Intensity-distribution card (exposure/contrast QA — the histogram
+  // observable next to m02's means; Multimodal.intensityCard): 16
+  // byte-value buckets per media, occupied count/span, dark and hi
+  // shares with CROSS-MULTIPLIED flag cuts (4·n_dark > n, 5·n_hi >
+  // 2·n, 0 < occ ≤ 2 — measured against the corpus base rates dark
+  // ≤ 0.19 / hi ≤ 0.36 / occ = 3 BEFORE the oracle was written, the
+  // s24 rule). Pages are CONSTRUCTED (the m08/m10 device) so every
+  // flag is non-vacuous: %7==3 docs gain a 100-space dark run, %7==5
+  // docs a 120-char '~' highlight run, %7==6 docs REPLACE their text
+  // with 50 spaces (the washed-out page → low_contrast). ASCII-only
+  // construction — the byte-vs-codepoint oracle convention holds.
+  def m12_intensity_card(spark: SparkSession, dir: String): DataFrame = {
+    val page = when($"doc_id" % 7 === 6, lit(" " * 50))
+      .otherwise(concat($"text",
+        when($"doc_id" % 7 === 3, lit(" " * 100))
+          .when($"doc_id" % 7 === 5, lit("~" * 120))
+          .otherwise(lit(""))))
+    val media = t(spark, dir, "documents")
+      .select($"doc_id", page.cast("binary").as("data"))
+    operators.Multimodal.intensityCard(media, "doc_id", "data")
+      .orderBy($"media_id")
+  }
+
+  private[graft] val m12_sql =
+    """WITH p AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 7 = 6 THEN repeat(' ', 50)
+      |    ELSE text ||
+      |      CASE WHEN doc_id % 7 = 3 THEN repeat(' ', 100)
+      |           WHEN doc_id % 7 = 5 THEN repeat('~', 120)
+      |           ELSE '' END END AS page
+      |  FROM documents),
+      |h AS (
+      |  SELECT doc_id,
+      |    CAST(length(page) AS BIGINT) AS n_px,
+      |    list_transform(range(0, 16), b -> len(list_filter(
+      |      list_transform(range(1, length(page) + 1),
+      |        j -> ascii(substr(page, CAST(j AS INT), 1)) // 16),
+      |      x -> x = b))) AS hist
+      |  FROM p),
+      |s AS (
+      |  SELECT doc_id, n_px,
+      |    len(list_filter(hist, c -> c > 0)) AS occ,
+      |    COALESCE(list_max(list_filter(range(0, 16), b -> hist[b + 1] > 0))
+      |      - list_min(list_filter(range(0, 16), b -> hist[b + 1] > 0)),
+      |      0) AS span,
+      |    CAST(hist[1] + hist[2] + hist[3] + hist[4] AS BIGINT) AS n_dark,
+      |    CAST(list_sum(list_transform(range(8, 17), i -> hist[CAST(i AS INT)]))
+      |      AS BIGINT) AS n_hi
+      |  FROM h)
+      |SELECT doc_id AS media_id, n_px,
+      |  CAST(occ AS INTEGER) AS occ, CAST(span AS INTEGER) AS span,
+      |  n_dark, n_hi,
+      |  4 * n_dark > n_px AS dark,
+      |  5 * n_hi > 2 * n_px AS hi,
+      |  occ > 0 AND occ <= 2 AS low_contrast
+      |FROM s ORDER BY media_id""".stripMargin
+
   // ---------------------------------------------------------------- m04
   // Perceptual-hash media dedup: the aHash family over the decoded
   // pixel stream — 62 equal spans, bit = span mean > global mean

@@ -97,6 +97,50 @@ object Multimodal {
     }(Encoders.product[MediaFeatures]).toDF()
   }
 
+  final case class IntensityCard(media_id: Long, n_px: Long, occ: Int,
+                                 span: Int, n_dark: Long, n_hi: Long,
+                                 dark: Boolean, hi: Boolean,
+                                 low_contrast: Boolean)
+
+  /** Per-media intensity-DISTRIBUTION card — the histogram observable
+    * next to [[extractFeatures]]' means (exposure/contrast QA is the
+    * first image-curation gate; for the stub regime the same code
+    * reads byte-value structure): 16-bucket histogram over
+    * [[decodePixels]] output (real luminance for decodable containers,
+    * byte identity otherwise), then
+    *   occ   = occupied buckets, span = max − min occupied,
+    *   n_dark = px in buckets 0–3 (< 64), n_hi = px in bucket 7+
+    *            (≥ 112 — for real 0–255 luminance this is the upper
+    *            mid-tones-and-highlights half-range),
+    *   dark ⟺ 4·n_dark > n_px, hi ⟺ 5·n_hi > 2·n_px,
+    *   low_contrast ⟺ 0 < occ ≤ 2
+    * — every flag cross-multiplied, no division (cuts measured against
+    * the corpus base rates before the oracle was written: dark base
+    * ≤ 0.19, hi base ≤ 0.36, occ base = 3 — the s24 non-vacuous
+    * rule). Empty payloads read all-false. One typed executor pass;
+    * pixels are decoded once and never leave the task. */
+  def intensityCard(df: DataFrame, idCol: String,
+                    dataCol: String): DataFrame = {
+    val src: Dataset[(Long, Array[Byte])] = df
+      .select(col(idCol).cast("long"), col(dataCol))
+      .as(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY))
+    src.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val px = decodePixels(bytes)
+        val hist = new Array[Long](16)
+        px.foreach(p => hist(p >> 4) += 1L)
+        val occIdx = hist.indices.filter(hist(_) > 0L)
+        val occ = occIdx.length
+        val span = if (occ == 0) 0 else occIdx.max - occIdx.min
+        val nDark = hist(0) + hist(1) + hist(2) + hist(3)
+        val nHi = (7 until 16).map(hist).sum
+        IntensityCard(id, px.length.toLong, occ, span, nDark, nHi,
+          4L * nDark > px.length, 5L * nHi > 2L * px.length,
+          occ > 0 && occ <= 2)
+      }
+    }(Encoders.product[IntensityCard]).toDF()
+  }
+
   final case class AudioStats(media_id: Long, n_samples: Long,
                               peak: Long, sum_sq: Long, zero_cross: Long)
 

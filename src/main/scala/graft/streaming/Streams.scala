@@ -832,6 +832,18 @@ object Streams {
       (bs, present) => graft.operators.Dedup.deleteFromSigIndex(
         bs, present, "id", indexPath))
 
+  /** [[takedownIngest]] for the persisted binary-code vector index
+    * (s22) — the same ensure-absent feed semantics over
+    * `Similarity.deleteFromBinaryIndex`. */
+  def takedownIngestBinary(spark: SparkSession, srcDir: String,
+                           schemaFrom: DataFrame, idCol: String,
+                           indexPath: String, checkpoint: String,
+                           statePartitions: Int = 2): Unit =
+    takedownIngestOn(spark, srcDir, schemaFrom, idCol, checkpoint,
+      statePartitions, s"$indexPath/codes",
+      (bs, present) => graft.operators.Similarity.deleteFromBinaryIndex(
+        bs, present, "id", indexPath))
+
   /** The shared ensure-absent core: split each batch's ids against the
     * store's id table (materialized BEFORE the delete swaps the
     * scanned root), delete only the present subset through the strict

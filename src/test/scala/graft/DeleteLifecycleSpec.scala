@@ -120,6 +120,26 @@ class DeleteLifecycleSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("takedownIngestBinary: the streamed feed == the batch binary " +
+      "delete bit-for-bit through the shared ensure-absent core") {
+    val base = tmp("tdbin")
+    Similarity.buildBinaryIndex(emb, "vec_id", "embedding", s"$base/st")
+    Similarity.buildBinaryIndex(emb, "vec_id", "embedding", s"$base/ba")
+    graft.streaming.Streams.stageFeedChunks(Seq(
+      emb.filter($"vec_id" % 9 === 2).select($"vec_id"),
+      emb.filter($"vec_id" % 9 === 2).select($"vec_id")
+        .union(Seq(8888888L).toDF("vec_id"))),
+      s"$base/feed")
+    graft.streaming.Streams.takedownIngestBinary(spark, s"$base/feed",
+      emb.select($"vec_id"), "vec_id", s"$base/st", s"$base/ckpt")
+    Similarity.deleteFromBinaryIndex(spark,
+      emb.filter($"vec_id" % 9 === 2), "vec_id", s"$base/ba")
+    assert(snap(spark.read.parquet(s"$base/st/codes")) ==
+      snap(spark.read.parquet(s"$base/ba/codes")),
+      "streamed binary takedown != batch delete")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("deleteFromBinaryIndex: delete == build-on-survivors bit-for-bit " +
       "(codes are per-row pure)") {
     val base = tmp("bin")

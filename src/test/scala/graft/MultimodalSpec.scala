@@ -257,6 +257,36 @@ class MultimodalSpec extends SparkSpec {
       frames(0).getDouble(3) == 80.0)
   }
 
+  test("intensityCard: hand-computed histogram flags on the REAL decode " +
+      "path (a clipped-white BMP reads hi + low_contrast) and the byte " +
+      "stub; empty payloads read all-false") {
+    // 8×2 all-white (luma 255): every pixel in bucket 15 → occ 1,
+    // n_hi 16, hi (5·16 > 2·16), low_contrast; dark false
+    val white = imageBytes("bmp", Seq.tabulate(2, 8)((_, _) => 255))
+    // 8×2 gradient 10..150: buckets 0..9 → spread, no flags
+    val grad = imageBytes("bmp", Seq.tabulate(2, 8)((_, x) => 10 + 20 * x))
+    val df = Seq((1L, white), (2L, grad),
+      (3L, "    ".getBytes("UTF-8")),     // stub: 4 spaces → bucket 2 only
+      (4L, Array.emptyByteArray)).toDF("media_id", "data")
+    val got = Multimodal.intensityCard(df, "media_id", "data")
+      .orderBy($"media_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3),
+        r.getLong(4), r.getLong(5), r.getBoolean(6), r.getBoolean(7),
+        r.getBoolean(8)))
+    assert(got(0) == ((1L, 16L, 1, 0, 0L, 16L, false, true, true)),
+      got(0).toString)
+    // gradient: lumas 10,30,50,70,90,110,130,150 ×2 → buckets
+    // 0,1,3,4,5,6,8,9 → occ 8, span 9, dark = 6 px < 64 ×2 = 6? lumas
+    // 10,30,50 are < 64 → 3 per row × 2 rows = 6; hi: 130,150 ≥ 112
+    // → 4; flags: 4·6 > 16 true (dark), 5·4 > 32 false
+    assert(got(1) == ((2L, 16L, 8, 9, 6L, 4L, true, false, false)),
+      got(1).toString)
+    assert(got(2) == ((3L, 4L, 1, 0, 4L, 0L, true, false, true)),
+      got(2).toString)
+    assert(got(3) == ((4L, 0L, 0, 0, 0L, 0L, false, false, false)),
+      got(3).toString)
+  }
+
   test("resizeImages: nearest-neighbor downscale re-encodes to exact " +
       "known pixels; non-image payloads pass through") {
     // 8×2 → 4×1 nearest-neighbor: deterministic source-pixel picks
