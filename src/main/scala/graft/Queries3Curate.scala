@@ -2354,6 +2354,52 @@ private[graft] trait Queries3Curate extends Queries2Lm {
       |    * 1000000 + 0.5) / 1000000 AS top1_share
       |FROM a ORDER BY src""".stripMargin
 
+  // ---------------------------------------------------------------- t103
+  // Word burstiness card (Church & Gale 1995 — "adaptation": once a
+  // word appears in a document it repeats far above its corpus rate;
+  // the classic term-distribution observable TF-IDF and the LM family
+  // both lean on): per (lang, word), cf = total occurrences, df =
+  // distinct documents, banded by the EXACT integer ratio cf/df with
+  // cross-multiplied cuts — band 0 cf = df (never repeats in-doc),
+  // band 1 cf ≤ 2·df (mild), band 2 cf > 2·df (bursty) — then the
+  // per-(lang, band) census. Pure counting end to end (the word
+  // census is the one shuffle; census cells cross the second, never
+  // rows); band occupancy MEASURED non-vacuous before the oracle was
+  // written (all three bands populated across langs). Empty-string
+  // words dropped BOTH sides (Spark split keeps trailing empties at
+  // limit −1, DuckDB string_split keeps them — the t69 rule applied
+  // symmetrically).
+  /** The t103 chain over any (lang, doc_id, text) frame — factored for
+    * the golden spec. */
+  private[graft] def burstinessOf(docs: DataFrame): DataFrame =
+    docs
+      .select($"lang", $"doc_id",
+        explode(split($"text", " ", -1)).as("w"))
+      .filter($"w" =!= "")
+      .groupBy($"lang", $"w")
+      .agg(count(lit(1)).as("cf"), count_distinct($"doc_id").as("df"))
+      .withColumn("band", when($"cf" === $"df", 0L)
+        .when($"cf" <= $"df" * 2, 1L).otherwise(2L))
+      .groupBy($"lang", $"band")
+      .agg(count(lit(1)).as("n_terms"), sum($"cf").as("total_cf"),
+        max($"cf").as("max_cf"))
+
+  def t103_burstiness(spark: SparkSession, dir: String): DataFrame =
+    burstinessOf(t(spark, dir, "documents")).orderBy($"lang", $"band")
+
+  private[graft] val t103_sql =
+    """WITH w AS (SELECT lang, doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |c AS (SELECT lang, w, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+      |      FROM w WHERE w <> '' GROUP BY lang, w),
+      |b AS (SELECT lang,
+      |    CASE WHEN cf = df THEN 0 WHEN cf <= df * 2 THEN 1 ELSE 2 END
+      |      AS band, cf FROM c)
+      |SELECT lang, band, CAST(COUNT(*) AS BIGINT) AS n_terms,
+      |  CAST(SUM(cf) AS BIGINT) AS total_cf,
+      |  CAST(MAX(cf) AS BIGINT) AS max_cf
+      |FROM b GROUP BY lang, band ORDER BY lang, band""".stripMargin
+
   // ---------------------------------------------------------------- t98
   // GATE STACK — the composed keep/drop card real pipelines ship
   // (RefinedWeb's stacked filters): character entropy ≥ 3.906 bits

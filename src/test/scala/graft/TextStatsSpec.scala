@@ -313,6 +313,24 @@ class TextStatsSpec extends SparkSpec {
       (2L, 1L, 4L, 3000.0)), out.toSeq.toString)
   }
 
+  test("t103 burstiness chain: hand-computed cf/df bands on a planted " +
+      "fixture; repeated whitespace never mints empty-string terms") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "x y x"),   // a: x cf3 df2 -> band 1; y cf1 df1 -> band 0
+      (2L, "a", "x z"),     //    z(a) cf1 df1 -> band 0
+      (3L, "b", "z z z z"), // b: z cf4 df1 -> 4 > 2 -> band 2
+      (4L, "c", "w  w "))   // c: w cf2 df1 -> band 1; empties dropped
+      .toDF("doc_id", "lang", "text")
+    val out = Queries.burstinessOf(docs)
+      .orderBy($"lang", $"band").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(out == Seq(
+      ("a", 0L, 2L, 2L, 1L), ("a", 1L, 1L, 3L, 3L),
+      ("b", 2L, 1L, 4L, 4L), ("c", 1L, 1L, 2L, 2L)), out.toString)
+  }
+
   // ---------------------------------------------------------------- twap
 
   test("q77 TWAP chain: prevailing-interval weighting on hand-computed " +
