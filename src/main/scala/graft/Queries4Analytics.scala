@@ -1839,6 +1839,12 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
       java.nio.file.Files.write(maxTsFile.toPath,
         maxTs.toString.getBytes("UTF-8"))
     }
+    // backfill: a feed staged by an older build has _SUCCESS but no
+    // _maxts — recompute once and persist rather than crash on
+    // stale-but-valid cache state (round-18 self-review)
+    if (!maxTsFile.exists())
+      java.nio.file.Files.write(maxTsFile.toPath,
+        batch.agg(max($"ts")).head().getLong(0).toString.getBytes("UTF-8"))
     val maxTs = new String(
       java.nio.file.Files.readAllBytes(maxTsFile.toPath), "UTF-8")
       .trim.toLong

@@ -136,12 +136,9 @@ object Cms {
     require(cells.filter($"__batch" === batchId).limit(1).count() == 1L,
       s"retractCmsBatch: batch $batchId was never ingested at $path")
     val kept = cells.filter($"__batch" =!= batchId).localCheckpoint()
-    val tmp = s"$path.rebuild_tmp"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    org.apache.commons.io.FileUtils.copyDirectory(
-      new java.io.File(s"$path/meta"), new java.io.File(s"$tmp/meta"))
-    kept.write.mode("overwrite").parquet(s"$tmp/cells")
-    Similarity.swapIndexRoot(path, tmp, "retractCmsBatch")
+    Similarity.rebuildRoot(path, Seq("meta"), "retractCmsBatch") { tmp =>
+      kept.write.mode("overwrite").parquet(s"$tmp/cells")
+    }
   }
 
   /** Point estimates over everything ingested so far. */

@@ -289,12 +289,10 @@ object Dedup {
     Similarity.requireKnownIds(stored.select(col("id")), del,
       "deleteFromSigIndex")
     val kept = stored.join(del, Seq("id"), "left_anti").localCheckpoint()
-    val tmp = s"$path.rebuild_tmp"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    org.apache.commons.io.FileUtils.copyDirectory(
-      new java.io.File(s"$path/meta"), new java.io.File(s"$tmp/meta"))
-    kept.write.mode("overwrite").partitionBy("chunk").parquet(s"$tmp/chunks")
-    Similarity.swapIndexRoot(path, tmp, "deleteFromSigIndex")
+    Similarity.rebuildRoot(path, Seq("meta"), "deleteFromSigIndex") { tmp =>
+      kept.write.mode("overwrite").partitionBy("chunk")
+        .parquet(s"$tmp/chunks")
+    }
   }
 
   /** Near-dups of a NEW batch against the indexed corpus: per-chunk
@@ -564,12 +562,10 @@ object Dedup {
     Similarity.requireKnownIds(stored.select(col("id")), del,
       "deleteFromLshIndex")
     val kept = stored.join(del, Seq("id"), "left_anti").localCheckpoint()
-    val tmp = s"$path.rebuild_tmp"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    org.apache.commons.io.FileUtils.copyDirectory(
-      new java.io.File(s"$path/meta"), new java.io.File(s"$tmp/meta"))
-    kept.write.mode("overwrite").partitionBy("band").parquet(s"$tmp/buckets")
-    Similarity.swapIndexRoot(path, tmp, "deleteFromLshIndex")
+    Similarity.rebuildRoot(path, Seq("meta"), "deleteFromLshIndex") { tmp =>
+      kept.write.mode("overwrite").partitionBy("band")
+        .parquet(s"$tmp/buckets")
+    }
   }
 
   // ------------------------------------------------------------------
@@ -669,10 +665,9 @@ object Dedup {
       .join(del.select(col("id").as(bCol)), Seq(bCol), "left_anti")
     val next = connectedComponents(survivors, "id", keptPairs, aCol, bCol)
       .select(col("id"), col("comp")).localCheckpoint()
-    val tmp = s"$path.rebuild_tmp"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    next.write.mode("overwrite").parquet(s"$tmp/clusters")
-    Similarity.swapIndexRoot(path, tmp, "retractFromClusterState")
+    Similarity.rebuildRoot(path, Seq(), "retractFromClusterState") { tmp =>
+      next.write.mode("overwrite").parquet(s"$tmp/clusters")
+    }
   }
 
   /** Stored labels (id, comp). */

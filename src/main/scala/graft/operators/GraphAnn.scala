@@ -429,13 +429,10 @@ object GraphAnn {
     val untouched = edges
       .join(frontier.select($"src".as("id")), Seq("id"), "left_anti")
     val newEdges = untouched.unionByName(fEdges).localCheckpoint()
-    val tmp = s"$path.rebuild_tmp"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    org.apache.commons.io.FileUtils.copyDirectory(
-      new java.io.File(s"$path/meta"), new java.io.File(s"$tmp/meta"))
-    nodes.write.mode("overwrite").parquet(s"$tmp/nodes")
-    newEdges.write.mode("overwrite").parquet(s"$tmp/edges")
-    Similarity.swapIndexRoot(path, tmp, "repairGraphIndex")
+    Similarity.rebuildRoot(path, Seq("meta"), "repairGraphIndex") { tmp =>
+      nodes.write.mode("overwrite").parquet(s"$tmp/nodes")
+      newEdges.write.mode("overwrite").parquet(s"$tmp/edges")
+    }
   }
 
   /** DELETE nodes from a persisted graph index — the takedown half of
@@ -471,13 +468,10 @@ object GraphAnn {
       .join(del, Seq("id"), "left_anti")
       .join(del.select(col("id").as("nbr")), Seq("nbr"), "left_anti")
       .localCheckpoint()
-    val tmp = s"$path.rebuild_tmp"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    org.apache.commons.io.FileUtils.copyDirectory(
-      new java.io.File(s"$path/meta"), new java.io.File(s"$tmp/meta"))
-    keptNodes.write.mode("overwrite").parquet(s"$tmp/nodes")
-    keptEdges.write.mode("overwrite").parquet(s"$tmp/edges")
-    Similarity.swapIndexRoot(path, tmp, "deleteFromGraphIndex")
+    Similarity.rebuildRoot(path, Seq("meta"), "deleteFromGraphIndex") { tmp =>
+      keptNodes.write.mode("overwrite").parquet(s"$tmp/nodes")
+      keptEdges.write.mode("overwrite").parquet(s"$tmp/edges")
+    }
   }
 
   /** Driver-pull gate for [[appendToGraphIndex]] (the maxKernelElems

@@ -117,12 +117,9 @@ object Quantiles {
     require(cells.filter($"__batch" === batchId).limit(1).count() == 1L,
       s"retractCensusBatch: batch $batchId was never ingested at $path")
     val kept = cells.filter($"__batch" =!= batchId).localCheckpoint()
-    val tmp = s"$path.rebuild_tmp"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    org.apache.commons.io.FileUtils.copyDirectory(
-      new java.io.File(s"$path/meta"), new java.io.File(s"$tmp/meta"))
-    kept.write.mode("overwrite").parquet(s"$tmp/cells")
-    Similarity.swapIndexRoot(path, tmp, "retractCensusBatch")
+    Similarity.rebuildRoot(path, Seq("meta"), "retractCensusBatch") { tmp =>
+      kept.write.mode("overwrite").parquet(s"$tmp/cells")
+    }
   }
 
   /** Exact cut points over everything ingested so far — the same

@@ -607,9 +607,14 @@ object Pq {
     // the permutation is a fitted artifact like the codebooks, so
     // maintenance carries it (the round-17 verdict's "through
     // rebalance" requirement); rebalance(opq) ≡ from-scratch
-    // buildIvfPqIndex(opq) on the accumulated set, spec-pinned
+    // buildIvfPqIndex(opq) on the accumulated set, spec-pinned.
+    // Payload columns (the s30 filtered-search scope) ride the rebuild
+    // too — inferred from the stored codes exactly as append does, and
+    // the supplied corpus must carry them (select fails loudly if not)
+    val payload = spark.read.parquet(s"$path/codes")
+      .columns.toSeq.filterNot(Set("id", "cell", "codes"))
     buildIvfPqIndex(df, idCol, vecCol, nCells, m, kSub, tmp,
-      coarseIters, pqIters, kppSeed,
+      coarseIters, pqIters, kppSeed, payloadCols = payload,
       opq = Similarity.fsDirExists(spark, s"$path/opq"))
     Similarity.swapIndexRoot(path, tmp, "rebalanceIvfPqIndex")
   }
@@ -637,17 +642,12 @@ object Pq {
     Similarity.requireKnownIds(stored.select(col("id")), del,
       "deleteFromIvfPqIndex")
     val kept = stored.join(del, Seq("id"), "left_anti").localCheckpoint()
-    val tmp = s"$path.rebuild_tmp"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
     val modelParts = Seq("coarse", "books") ++
       (if (Similarity.fsDirExists(spark, s"$path/opq")) Seq("opq") else Nil)
-    modelParts.foreach { part =>
-      org.apache.commons.io.FileUtils.copyDirectory(
-        new java.io.File(s"$path/$part"), new java.io.File(s"$tmp/$part"))
+    Similarity.rebuildRoot(path, modelParts, "deleteFromIvfPqIndex") { tmp =>
+      kept.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
     }
-    kept.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/codes")
-    Similarity.swapIndexRoot(path, tmp, "deleteFromIvfPqIndex")
   }
 
   /** Batched ADC k-NN JOIN — the corpus-scale retrieval shape

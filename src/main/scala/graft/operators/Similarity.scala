@@ -1063,6 +1063,26 @@ object Similarity {
                                        fn: String): Unit =
     swapRoot(path, tmp, s"$path.rebuild_old", fn, requireLive = true)
 
+  /** The ONE rebuild-root sequence every delete/retract/repair shares
+    * (round-18 self-review: ten hand-rolled copies let a payload-drop
+    * bug hide in one of them): clear `$path.rebuild_tmp`, carry
+    * `keepParts` verbatim (the fitted-model/meta dirs a rewrite keeps),
+    * let `writeNew` write the rewritten parts under the tmp root, then
+    * swap through [[swapIndexRoot]]. The kept-parts set is now an
+    * explicit argument instead of scattered copyDirectory calls. */
+  private[operators] def rebuildRoot(path: String, keepParts: Seq[String],
+                                     fn: String)
+                                    (writeNew: String => Unit): Unit = {
+    val tmp = s"$path.rebuild_tmp"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
+    keepParts.foreach { part =>
+      org.apache.commons.io.FileUtils.copyDirectory(
+        new java.io.File(s"$path/$part"), new java.io.File(s"$tmp/$part"))
+    }
+    writeNew(tmp)
+    swapIndexRoot(path, tmp, fn)
+  }
+
   /** Fail-fast for every index/store delete: all requested ids must be
     * present in the stored id set — a silently-ignored unknown id would
     * let a takedown request "succeed" without removing anything (a
@@ -1103,18 +1123,17 @@ object Similarity {
     val stored = spark.read.parquet(s"$path/vectors")
     requireKnownIds(stored.select(col("id")), del, "deleteFromIvfIndex")
     // materialize the survivors BEFORE any write near the live root
-    // (the rebalance rule), then build the complete new root and swap
-    val kept = stored.select(col("id"), col("v"), col("cell"))
+    // (the rebalance rule), then build the complete new root and swap.
+    // The FULL stored row survives — payload columns (the s30 filtered-
+    // search scope) must ride a delete untouched, like every sibling
+    val kept = stored
       .join(del, Seq("id"), "left_anti")
       .localCheckpoint()
-    val tmp = s"$path.rebuild_tmp"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    org.apache.commons.io.FileUtils.copyDirectory(
-      new java.io.File(s"$path/centroids"),
-      new java.io.File(s"$tmp/centroids"))
-    kept.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$tmp/vectors")
-    swapIndexRoot(path, tmp, "deleteFromIvfIndex")
+    rebuildRoot(path, Seq("centroids"), "deleteFromIvfIndex") { tmp =>
+      kept.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$tmp/vectors")
+    }
   }
 
   /** DELETE vectors from a persisted binary-code index: codes are
@@ -1132,10 +1151,9 @@ object Similarity {
     val stored = spark.read.parquet(s"$path/codes")
     requireKnownIds(stored.select(col("id")), del, "deleteFromBinaryIndex")
     val kept = stored.join(del, Seq("id"), "left_anti").localCheckpoint()
-    val tmp = s"$path.rebuild_tmp"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(tmp))
-    kept.write.mode("overwrite").parquet(s"$tmp/codes")
-    swapIndexRoot(path, tmp, "deleteFromBinaryIndex")
+    rebuildRoot(path, Seq(), "deleteFromBinaryIndex") { tmp =>
+      kept.write.mode("overwrite").parquet(s"$tmp/codes")
+    }
   }
 
   /** The ONE rename-pair home (index rebalances AND the streaming

@@ -980,79 +980,8 @@ object Streams {
     * reference shape: live bars built by insert callbacks,
     * `core/update.c:414-555` + `examples/sesslog.rfl`). Each bar emits
     * EXACTLY ONCE when the watermark passes its window end, and
-    * closed-bar state EVICTS mid-run (recorded in
-    * [[lastStateRowsRemoved]] under `queryName` — the bounded-state
-    * observable). Because a time-ordered feed's last bars never close
-    * on their own (the watermark stops at max event time − delay), the
-    * feed must carry one PUNCTUATION row with event time past the last
-    * real bar's end + delay — the heartbeat idiom of production
-    * streams; punctuation rows advance the watermark at the source and
-    * their key's bars are dropped from the returned table
-    * (`keyCol =!= sentinelKey`).
-    * With disjoint-ascending chunks no real row is ever late, so the
-    * emitted bar set equals the batch aggregation exactly (the q75
-    * oracle argument). `prep` must project `keyCol`, `tsUsCol` (µs
-    * long) and the agg inputs. */
-  def watermarkedBarsStream(spark: SparkSession, srcDir: String,
-                            schemaFrom: DataFrame,
-                            prep: DataFrame => DataFrame,
-                            keyCol: String, tsUsCol: String,
-                            windowDur: String, delay: String,
-                            aggs: Seq[org.apache.spark.sql.Column],
-                            sentinelKey: Long, queryName: String,
-                            punctuation: DataFrame,
-                            statePartitions: Int = 2): DataFrame = {
-    // no checkpoint — every call replays the whole feed, so prior
-    // calls' tick files are stale punctuation; drop them first
-    Option(new java.io.File(srcDir).listFiles()).getOrElse(Array())
-      .filter(_.getName.startsWith("tick_")).foreach(_.delete())
-    val ss = spark.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    // NO pre-agg sentinel filter: Catalyst pushes a key predicate BELOW
-    // the EventTimeWatermark node (the key is unrelated to the event
-    // time), which would silently exclude punctuation rows from
-    // watermark tracking — the exact failure this design exists to
-    // avoid (measured: final bars never closed). Sentinel rows
-    // aggregate into their own key and are dropped from the final
-    // static table instead.
-    val stream = prep(ss.readStream.schema(schemaFrom.schema)
-        .option("maxFilesPerTrigger", "1").parquet(srcDir))
-      .withColumn("evt_ts", expr(s"timestamp_micros($tsUsCol)"))
-      .withWatermark("evt_ts", delay)
-    val agg = stream
-      .groupBy(col(keyCol), window(col("evt_ts"), windowDur))
-      .agg(aggs.head, aggs.tail: _*)
-    val q = agg.writeStream.outputMode("append")
-      .format("memory").queryName(queryName).start()
-    try {
-      q.processAllAvailable()
-      // a batch runs under the watermark PRIOR batches advanced, so
-      // the sentinel's watermark only takes effect in a batch AFTER
-      // the sentinel's own — append one punctuation tick (filtered
-      // rows, newest mtime) and drain again: that tick batch emits the
-      // now-closed final bars deterministically (no reliance on
-      // no-data micro-batch timing)
-      val tmp = new java.io.File(srcDir, s"_ticktmp_${System.nanoTime()}")
-      punctuation.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"watermarkedBarsStream: no tick part in $tmp"))
-      val dst = new java.io.File(srcDir, s"tick_${System.nanoTime()}.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      tmp.listFiles().foreach(_.delete()); tmp.delete()
-      q.processAllAvailable()
-    } finally {
-      lastStateRowsRemoved.put(queryName,
-        q.recentProgress.toSeq
-          .flatMap(p => Option(p.stateOperators).toSeq.flatten)
-          .map(_.numRowsRemoved).sum)
-      q.stop()
-    }
-    ss.table(queryName).filter(col(keyCol) =!= sentinelKey)
-  }
-
-  /** The DURABLE form of [[watermarkedBarsStream]] — the production
-    * live-bars shape: the same watermarked append-mode windowed
-    * aggregation, but CHECKPOINTED, with each micro-batch's closed bars
+    * closed-bar state EVICTS mid-run ([[lastStateRowsRemoved]] under
+    * `queryName`). CHECKPOINTED, with each micro-batch's closed bars
     * landing in a persisted store (the disk-as-state convention of the
     * four scan-ingest siblings). Append mode + the checkpoint means
     * each bar is computed exactly once across the stream's LIFETIME —
@@ -1082,7 +1011,7 @@ object Streams {
                             statePartitions: Int = 2): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
-    // same no-pre-agg-sentinel-filter rule as watermarkedBarsStream: a
+    // NO pre-agg sentinel filter: a
     // key predicate pushes BELOW EventTimeWatermark and would exclude
     // punctuation rows from watermark tracking
     val stream = prep(ss.readStream.schema(schemaFrom.schema)
@@ -1103,7 +1032,7 @@ object Streams {
       q.processAllAvailable()
       // one punctuation tick per invocation: a batch runs under the
       // watermark PRIOR batches set, so bars closed by data drained
-      // above need one more batch to emit (the watermarkedBarsStream
+      // above need one more batch to emit (the punctuation-tick
       // tick rule — here the tick ALSO wakes a warm restart so newly
       // appended feed data emits its bars before the return)
       val tmp = new java.io.File(srcDir, s"_ticktmp_${System.nanoTime()}")
@@ -1121,10 +1050,17 @@ object Streams {
           .map(_.numRowsRemoved).sum)
       q.stop()
     }
-    if (new java.io.File(barsPath).exists())
+    // "fired but zero bars ever closed" writes barsPath with markers
+    // and no data files — reading that throws schema-inference errors,
+    // so the empty-result branch keys on DATA files, not dir existence
+    // (round-18 self-review)
+    val barsHaveData = new java.io.File(barsPath).exists() &&
+      !org.apache.commons.io.FileUtils.listFiles(
+        new java.io.File(barsPath), Array("parquet"), true).isEmpty
+    if (barsHaveData)
       spark.read.parquet(barsPath)
         .filter(col(keyCol) =!= sentinelKey).drop("__batch")
-    else { // never-fired feed (the dsirStream guard): schema-correct empty
+    else { // never-fired or zero-bars feed: schema-correct empty
       val empty = prep(spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           schemaFrom.schema))
@@ -1244,7 +1180,7 @@ object Streams {
     val state0 = readState(bs, statePath,
       "user_id BIGINT, last_tus BIGINT, last_eid BIGINT, " +
         "last_type STRING, last_batch BIGINT", "gapCensusIngest")
-    if (batchId <= committedBatch(state0)) return
+    if (replayedBatch(state0, batchId, "twapIngest")) return
     requireNoBatchDups(batch, "user_id", "eid", "gapCensusIngest")
     val st = state0.select(col("user_id"), col("last_tus"),
       col("last_eid"), col("last_type")).localCheckpoint()
@@ -1291,6 +1227,30 @@ object Streams {
     writeStateSwap(newState, statePath, "gapCensusIngest")
   }
 
+  /** The exactly-once replay decision for a scan-ingest merge: skip
+    * (true) ONLY the exact last-committed batch — the one id a crash
+    * between the state swap and the checkpoint commit can redeliver.
+    * A batch id BELOW the committed stamp means the checkpoint lineage
+    * no longer matches the state table (a reset/lost checkpoint dir
+    * restarting ids at 0, or a re-staged feed against live state) —
+    * skipping those would silently drop genuinely new events, so the
+    * merge aborts loudly instead (the pre-stamp fail-fast behavior,
+    * kept for exactly the case the stamp cannot vouch for). */
+  private def replayedBatch(state0: DataFrame, batchId: Long,
+                            fn: String): Boolean = {
+    val committed = committedBatch(state0)
+    if (batchId == committed) true
+    else {
+      require(batchId > committed,
+        s"$fn: batch $batchId is below the state's committed batch " +
+          s"$committed — the checkpoint lineage does not match this " +
+          "state table (reset checkpoint? re-staged feed?); refusing " +
+          "to skip batches that may hold unfolded events. Point the " +
+          "stream at a fresh statePath or restore the checkpoint.")
+      false
+    }
+  }
+
   /** Last merged batch id from a scan-ingest state table (−1 when the
     * state is empty). Every row carries the same stamp — the swap
     * rewrites the whole table per merge, so stamping is free and the
@@ -1331,7 +1291,7 @@ object Streams {
     // a redelivered batch (crash between swap and checkpoint commit)
     // is already folded into the state — exactly-once by skipping,
     // BEFORE any guard (the guards would otherwise trip on it)
-    if (batchId <= committedBatch(state0)) return
+    if (replayedBatch(state0, batchId, "gapCensusIngest")) return
     requireNoBatchDups(batch, "user_id", "eid", "twapIngest")
     // event-id reuse across batches = a duplicate delivery the summary
     // state can't absorb (it would re-count the event) — fail fast
@@ -1495,7 +1455,7 @@ object Streams {
         "last_batch BIGINT", "emaIngest")
     // replayed batch (crash between state swap and checkpoint commit):
     // state AND its result partition are already written — skip both
-    if (batchId <= committedBatch(state0)) return
+    if (replayedBatch(state0, batchId, "emaIngest")) return
     requireNoBatchDups(batch, "k", "i", "emaIngest")
     val carry = state0.select(col("k"), col("last_t").as("t"),
       col("last_i").as("i"), col("last_ema").as("v"))
@@ -1634,7 +1594,7 @@ object Streams {
     val state0 = readState(bs, statePath,
       "k BIGINT, last_t BIGINT, last_i BIGINT, last_s BIGINT, " +
         "last_batch BIGINT", "cusumIngest")
-    if (batchId <= committedBatch(state0)) return
+    if (replayedBatch(state0, batchId, "cusumIngest")) return
     requireNoBatchDups(batch, "k", "i", "cusumIngest")
     // the seed trick: v = stored_S + kRef makes the phantom's own fold
     // step reproduce stored_S bit-for-bit
@@ -1707,7 +1667,7 @@ object Streams {
       "k BIGINT, last_t BIGINT, last_i BIGINT, n BIGINT, " +
         "peak_c BIGINT, best_key BIGINT, last_batch BIGINT",
       "drawdownIngest")
-    if (batchId <= committedBatch(state0)) return
+    if (replayedBatch(state0, batchId, "drawdownIngest")) return
     requireNoBatchDups(batch, "k", "i", "drawdownIngest")
     // row-level id-domain guard (the q84/ohlcPrep twin's rule): the
     // packed argmax key needs 0 <= i < 2^31 — an out-of-range id would

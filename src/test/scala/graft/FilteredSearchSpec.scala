@@ -41,6 +41,36 @@ class FilteredSearchSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("payload columns survive DELETE (IVF) and REBALANCE (IVFADC) — " +
+      "scoped search still works after maintenance (round-18 " +
+      "self-review: both paths silently dropped them)") {
+    val base = tmp("pay")
+    Similarity.buildIvfIndex(emb, "vec_id", "embedding", nCells = 2,
+      s"$base/ivf", payloadCols = Seq("label"))
+    Similarity.deleteFromIvfIndex(spark,
+      emb.filter($"vec_id" % 11 === 5), "vec_id", s"$base/ivf")
+    assert(spark.read.parquet(s"$base/ivf/vectors")
+      .columns.contains("label"), "IVF delete dropped payload columns")
+    val q = emb.filter($"vec_id" === 0)
+      .select($"embedding".cast("array<double>"), $"label").collect().head
+    val (qv, lab) = (q.getSeq[Double](0), q.getInt(1))
+    assert(Similarity.searchIvfIndex(spark, s"$base/ivf", qv, k = 3,
+      nProbe = 2, excludeId = 0L, where = Some(s"label = $lab"))
+      .count() == 3L)
+    Pq.buildIvfPqIndex(emb.filter($"vec_id" % 2 === 0), "vec_id",
+      "embedding", nCells = 2, m = 4, kSub = 8, s"$base/pq",
+      payloadCols = Seq("label"))
+    Pq.appendToIvfPqIndex(emb.filter($"vec_id" % 2 =!= 0), "vec_id",
+      "embedding", s"$base/pq")
+    Pq.rebalanceIvfPqIndex(emb, "vec_id", "embedding", nCells = 2, m = 4,
+      kSub = 8, s"$base/pq")
+    assert(spark.read.parquet(s"$base/pq/codes")
+      .columns.contains("label"), "IVFADC rebalance dropped payloads")
+    assert(Pq.searchIvfPqIndex(spark, s"$base/pq", qv, k = 3, nProbe = 2,
+      excludeId = 0L, where = Some(s"label = $lab")).count() == 3L)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("searchBinaryIndex(where) == an unscoped search over an index " +
       "holding only the label rows (+ queries from the full store, so " +
       "a query outside its own scope still searches)") {

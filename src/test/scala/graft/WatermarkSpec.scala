@@ -359,6 +359,15 @@ class WatermarkSpec extends SparkSpec {
     streaming.Streams.mergeGapState(
       b((1L, 7000L, 4L, "tie")), 2L, cp, sp)
     assert(cells().contains(("buy", 0L, 1L, 2L)), cells().toString)
+    // lineage mismatch: a batch id BELOW the committed stamp is NOT a
+    // crash replay (only the exact last batch can be) — a reset
+    // checkpoint restarting at 0 must abort loudly, never silently
+    // skip unfolded events (round-18 self-review)
+    val e3 = intercept[IllegalArgumentException] {
+      streaming.Streams.mergeGapState(
+        b((1L, 99000L, 50L, "x")), 0L, cp, sp)
+    }
+    assert(e3.getMessage.contains("lineage"), e3.getMessage)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
