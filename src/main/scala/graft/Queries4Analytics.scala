@@ -1403,6 +1403,39 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
       |WHERE k IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------------------------- q92
+  // Streaming Bollinger breakout census — q88's live twin, the THIRD
+  // state discipline of the scan-ingest family (see
+  // Streams.bollingerIngest): bounded-lookback carry-in (the last ≤19
+  // rows per user as window context, never re-counted) + mergeable
+  // counters (the q90 algebra). The oracle IS q88's SQL: every batch
+  // row's 20-window is exactly the batch query's (its predecessors
+  // are in-batch or carried), warm-up suppression included.
+  def q92_stream_bollinger(spark: SparkSession, dir: String): DataFrame = {
+    val batch = t(spark, dir, "events")
+      .select($"user_id", $"ts", $"value", $"event_id")
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val nChunks = 4
+    val base = s"/tmp/graft_stream/$key/boll_c${nChunks}" +
+      s"_s${srcStamp(dir, "events.parquet")}"
+    val (stage, statePath, ckpt) =
+      (s"$base/feed", s"$base/state", s"$base/ckpt")
+    if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+      Streams.stageTimeOrderedFeed(batch, "ts", nChunks, stage)
+    }
+    Streams.bollingerIngest(spark, stage, batch,
+      df => df.select($"user_id".as("k"), $"ts".as("t"),
+        $"event_id".as("i"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("x")),
+      statePath, ckpt)
+    spark.read.parquet(statePath)
+      .select($"k".as("user_id"), $"n_up", $"n_dn", $"n_events")
+      .orderBy($"user_id")
+  }
+
+  private[graft] lazy val q92_sql = q88_sql
+
   // ---------------------------------------------------------------- q89
   // Per-hour VWAP (volume-weighted average price — the kdb market
   // analytic that sits next to TWAP/OHLC in every tick suite; q77

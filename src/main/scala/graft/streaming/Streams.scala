@@ -1227,6 +1227,125 @@ object Streams {
     writeStateSwap(newState, statePath, "gapCensusIngest")
   }
 
+  /** Streaming Bollinger breakout census — q88's live twin,
+    * introducing the THIRD state discipline of the scan-ingest family:
+    * BOUNDED-LOOKBACK carry-in + mergeable accumulators. The 20-row
+    * band window is order-sensitive (the phantom family's territory)
+    * but only 19 rows deep, so per-user state is the last ≤ 19
+    * (t, e, x) rows — re-exploded into each batch as phantoms that
+    * provide window CONTEXT but are never re-counted — plus three
+    * ASSOCIATIVE counters (n_up, n_dn, n_events) that merge like
+    * q90's sums. Every batch row's window is exact: its ≤ 19
+    * predecessors are either in-batch or in the carried tail (a user
+    * with < 19 history carries all of it, so warm-up suppression
+    * matches the batch query row for row).
+    *
+    * STRICTLY-ORDERED feed required — stricter than twapIngest's
+    * same-µs tolerance, and the reason is structural: a late row
+    * splicing in at-or-before the stored last (t, e) would change the
+    * window CONTENT of rows whose flags are already counted (TWAP's
+    * boundary ties contribute dt = 0 by arithmetic; Bollinger's
+    * change the moments), which summary state cannot re-splice — the
+    * merge fail-fasts on any batch row not lexicographically after
+    * its user's stored (t, e) max. `prep` maps a raw batch to
+    * (k, t, i, x ×100-cents); |x| < 2^20 is guarded row-level (the
+    * q88 operand bound). */
+  def bollingerIngest(spark: SparkSession, srcDir: String,
+                      schemaFrom: DataFrame, prep: DataFrame => DataFrame,
+                      statePath: String, checkpoint: String,
+                      statePartitions: Int = 2): Unit = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    val q = prep(ss.readStream.schema(schemaFrom.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir))
+      .writeStream.option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        mergeBollingerState(batch, bid, statePath)
+      }
+      .outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+  }
+
+  /** One Bollinger merge: batch must carry (k, t, i, x). */
+  private[graft] def mergeBollingerState(batch: DataFrame, batchId: Long,
+                                         statePath: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    val bs = batch.sparkSession
+    val state0 = readState(bs, statePath,
+      "k BIGINT, tail ARRAY<STRUCT<t: BIGINT, e: BIGINT, x: BIGINT>>, " +
+        "n_up BIGINT, n_dn BIGINT, n_events BIGINT, last_batch BIGINT",
+      "bollingerIngest")
+    if (replayedBatch(state0, batchId, "bollingerIngest")) return
+    requireNoBatchDups(batch, "k", "i", "bollingerIngest")
+    val st = state0.localCheckpoint() // the swap rewrites what it reads
+    // strict order: tail is stored ASC, so element -1 is the (t, e) max
+    val bad = batch.join(
+        st.select(col("k"), element_at(col("tail"), -1).as("last")),
+        Seq("k"))
+      .filter(col("t") < col("last.t") ||
+        (col("t") === col("last.t") && col("i") <= col("last.e")))
+      .limit(1).collect()
+    require(bad.isEmpty,
+      "bollingerIngest: a batch row is not strictly after its user's " +
+        "stored (t, e) max — it would change the window content of " +
+        "already-counted rows, which lookback state cannot re-splice " +
+        "(this also catches event-id reuse at the boundary); order " +
+        "the feed or dedupe upstream")
+    val xOk = when(col("x").isNull || abs(col("x")) >= (1L << 20),
+      raise_error(concat(
+        lit("bollingerIngest needs |x| < 2^20 cents, got "),
+        coalesce(col("x").cast("string"), lit("NULL")))).cast("long"))
+      .otherwise(col("x"))
+    val carry = st.select(col("k"), explode(col("tail")).as("p"))
+      .select(col("k"), col("p.t").as("t"), col("p.e").as("i"),
+        col("p.x").as("x"), lit(true).as("ph"))
+    val rows = batch.select(col("k"), col("t"), col("i"),
+        xOk.as("x"), lit(false).as("ph"))
+      .unionByName(carry)
+      .localCheckpoint() // one computation feeds flags AND tails
+    val w = Window.partitionBy(col("k")).orderBy(col("t"), col("i"))
+      .rowsBetween(-19, 0)
+    val dev = col("n") * col("x") - col("s")
+    val varn = lit(4L) * (col("n") * col("ss") - col("s") * col("s"))
+    val flags = rows
+      .select(col("k"), col("x"), col("ph"),
+        sum(col("x")).over(w).as("s"),
+        sum(col("x") * col("x")).over(w).as("ss"),
+        count(lit(1)).over(w).as("n"))
+      .filter(!col("ph")) // phantom windows were counted LAST batch
+      .groupBy(col("k"))
+      .agg(
+        sum(when(col("n") === 20 && dev > 0 && dev * dev > varn, 1L)
+          .otherwise(0L)).as("d_up"),
+        sum(when(col("n") === 20 && dev < 0 && dev * dev > varn, 1L)
+          .otherwise(0L)).as("d_dn"),
+        count(lit(1)).as("d_ne"))
+    val wTail = Window.partitionBy(col("k"))
+      .orderBy(col("t").desc, col("i").desc)
+    val tails = rows
+      .withColumn("rn", row_number().over(wTail))
+      .filter(col("rn") <= 19)
+      .groupBy(col("k"))
+      .agg(sort_array(collect_list(
+        struct(col("t"), col("i").as("e"), col("x")))).as("tail"))
+    val acc = st.select(col("k"), col("n_up").as("s_up"),
+      col("n_dn").as("s_dn"), col("n_events").as("s_ne"))
+    // tails covers every user in batch ∪ carry ⊇ every stored user
+    val merged = tails
+      .join(flags, Seq("k"), "left_outer")
+      .join(acc, Seq("k"), "left_outer")
+      .select(col("k"), col("tail"),
+        (coalesce(col("s_up"), lit(0L)) + coalesce(col("d_up"), lit(0L)))
+          .as("n_up"),
+        (coalesce(col("s_dn"), lit(0L)) + coalesce(col("d_dn"), lit(0L)))
+          .as("n_dn"),
+        (coalesce(col("s_ne"), lit(0L)) + coalesce(col("d_ne"), lit(0L)))
+          .as("n_events"),
+        lit(batchId).as("last_batch"))
+    writeStateSwap(merged, statePath, "bollingerIngest")
+  }
+
   /** The exactly-once replay decision for a scan-ingest merge: skip
     * (true) ONLY the exact last-committed batch — the one id a crash
     * between the state swap and the checkpoint commit can redeliver.

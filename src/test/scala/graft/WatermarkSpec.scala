@@ -309,6 +309,59 @@ class WatermarkSpec extends SparkSpec {
       "drained replay must not change the card")
   }
 
+  test("q92 streaming Bollinger equals the batch q88 on the in-order " +
+      "feed (bounded-lookback carry-in + mergeable counters), and a " +
+      "drained re-run is a no-op") {
+    val dir = "/root/testdata/sf0.001"
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    val stream = snap(Queries.q92_stream_bollinger(spark, dir))
+    assert(stream == snap(Queries.q88_bollinger(spark, dir)),
+      s"streamed Bollinger (${stream.size} users) != batch")
+    assert(snap(Queries.q92_stream_bollinger(spark, dir)) == stream,
+      "drained replay must not change the census")
+  }
+
+  test("mergeBollingerState: a breach whose window STRADDLES the batch " +
+      "boundary flags exactly once (19 carried rows + 1 batch row), " +
+      "phantoms are never re-counted, and a boundary-splicing row " +
+      "fails fast") {
+    val base = s"/tmp/graft_boll_spec/${System.nanoTime()}"
+    val sp = s"$base/state"
+    new java.io.File(base).mkdirs()
+    def b(rows: (Long, Long, Long, Long)*) =
+      rows.toSeq.toDF("k", "t", "i", "x")
+    // batch 0: 20 flat rows (1000 cents) — row 20's window is flat
+    // (dev 0, no flag); n_events 20, tail = last 19
+    streaming.Streams.mergeBollingerState(
+      b((1 to 20).map(j => (1L, j * 1000L, j.toLong, 1000L)): _*),
+      0L, sp)
+    def state() = spark.read.parquet(sp)
+      .select($"k", $"n_up", $"n_dn", $"n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(state() == Seq((1L, 0L, 0L, 20L)), state().toString)
+    assert(spark.read.parquet(sp).select(size($"tail")).head().getInt(0)
+      == 19, "tail must carry the last 19 rows")
+    // batch 1: ONE deviant row — its window = 19 carried flat rows +
+    // itself, the hand-checked 361(x-v)^2 > 76(x-v)^2 up-breach; the
+    // carried rows' own windows must NOT re-count
+    streaming.Streams.mergeBollingerState(
+      b((1L, 21000L, 21L, 1100L)), 1L, sp)
+    assert(state() == Seq((1L, 1L, 0L, 21L)), state().toString)
+    // boundary splice: t equal to the stored max with smaller eid
+    // would change already-counted windows -> abort, state untouched
+    val e = intercept[IllegalArgumentException] {
+      streaming.Streams.mergeBollingerState(
+        b((1L, 21000L, 20L, 999L)), 2L, sp)
+    }
+    assert(e.getMessage.contains("strictly after"), e.getMessage)
+    assert(state() == Seq((1L, 1L, 0L, 21L)),
+      "a failed merge touched the state")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("mergeGapState: the bridge gap is priced by the phantom exactly " +
       "once, redelivered batches are no-ops, out-of-order and id-reuse " +
       "fail fast BEFORE any census write") {
