@@ -16,6 +16,29 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-(session, dir, table, source-stamp) memo of the LOADED PLAN
+    * (the unresolved parquet relation + the ts reinterpret) — NOT of
+    * any result: every action on the returned DataFrame still scans
+    * the parquet. `spark.read.parquet` pays ~50-80 ms of driver-side
+    * work per call (file listing, footer/schema read, data-source
+    * resolution); a bench rep of a 5-table join paid that five times
+    * over, and at 100 TB the same per-call cost is a full directory
+    * listing of a large table (guide §6 — the file-listing cache
+    * argument, here for path reads). Keyed on sessionUUID (Datasets
+    * are session-bound — the q55 trap) + the source mtime stamp so a
+    * driver-side testdata regeneration in a long-lived JVM
+    * self-invalidates; the session is held weakly so dead sessions'
+    * entries release (the SessionMemo discipline, Queries2Lm.scala). */
+  private val loadMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (java.lang.ref.WeakReference[SparkSession], DataFrame)]()
+
+  private def stamp(path: String): Long = {
+    val f = new java.io.File(path)
+    if (f.isFile) f.lastModified
+    else Option(f.listFiles).map(_.map(_.lastModified).foldLeft(0L)(math.max))
+      .getOrElse(0L)
+  }
+
   /** Load one table from a scale-factor directory.
     *
     * `events.ts` is kept as LongType epoch-nanoseconds everywhere
@@ -32,7 +55,28 @@ object Tables {
     * compatibility with the driver's generator.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val pfx = s"${org.apache.spark.sql.graftshim.ColumnInternals
+      .sessionUUID(spark)}@$path@"
+    val key = s"$pfx${stamp(path)}"
+    val hit = loadMemo.get(key)
+    if (hit != null) hit._2
+    else {
+      import scala.jdk.CollectionConverters._
+      // release dead-session entries and superseded stamps of this key
+      loadMemo.asScala.keys.toList.foreach { k =>
+        val e = loadMemo.get(k)
+        if (e != null && (e._1.get == null || k.startsWith(pfx)))
+          loadMemo.remove(k)
+      }
+      loadMemo.computeIfAbsent(key, _ =>
+        (new java.lang.ref.WeakReference(spark), loadFresh(spark, path, name)))._2
+    }
+  }
+
+  private def loadFresh(spark: SparkSession, path: String,
+                        name: String): DataFrame = {
+    val df = spark.read.parquet(path)
     if (name == "events" &&
         (df.schema("ts").dataType == TimestampType ||
          df.schema("ts").dataType == TimestampNTZType)) {
