@@ -222,9 +222,14 @@ private[graft] trait Queries3Curate extends Queries2Lm {
   // self-join; the streamed pair set must equal it exactly.
   def q56_stream_interval_join(spark: SparkSession, dir: String): DataFrame = {
     val batch = t(spark, dir, "events")
-    val stage = s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events"
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stage = s"/tmp/graft_stream/$key/events"
     if (!new java.io.File(s"$stage/_SUCCESS").exists())
       graft.sources.Store.setSplayed(batch, stage)
+    // pair store + checkpoint keyed on the STAGE's content stamp: a
+    // restaged feed (new part names the checkpoint's seen-map would
+    // re-consume) lands in a fresh base and runs cold
+    val base = s"/tmp/graft_stream/$key/sjoin_s${srcStamp(stage, "")}"
     graft.streaming.Streams.intervalJoin(spark, stage, batch,
       prepLeft = df => df.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"),
@@ -236,7 +241,8 @@ private[graft] trait Queries3Curate extends Queries2Lm {
           col("event_id").as("p_id")),
       joinExpr = "c_user = p_user AND p_ts >= c_ts AND " +
         "p_ts <= c_ts + INTERVAL 6 HOURS",
-      queryName = "graft_sjoin_" + math.abs(dir.hashCode))
+      queryName = "graft_sjoin_" + math.abs(dir.hashCode),
+      outPath = s"$base/out", checkpoint = s"$base/ckpt")
       .select($"c_id", $"p_id", $"c_user".as("user_id"))
       .orderBy($"c_id", $"p_id")
   }
@@ -268,11 +274,17 @@ private[graft] trait Queries3Curate extends Queries2Lm {
     // 4 chunks = 4 micro-batches: enough watermark advancements to
     // evict state twice over, at ~0.6 s state-commit floor per batch
     val nChunks = 4
-    val stage = s"/tmp/graft_stream/$key/funnel_wm_c$nChunks" +
+    // feed + pair store + checkpoint co-locate under one stamped base
+    // (the q80 layout): restaging deletes all three together, so the
+    // checkpoint can never outlive the feed it indexes
+    val base = s"/tmp/graft_stream/$key/funnel_wm_c$nChunks" +
       s"_s${srcStamp(dir, "events.parquet")}"
-    if (!new java.io.File(s"$stage/_SUCCESS").exists())
+    val stage = s"$base/feed"
+    if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
       graft.streaming.Streams.stageTimeOrderedFeed(batch, "ts",
         nChunks, stage)
+    }
     graft.streaming.Streams.intervalJoin(spark, stage, batch,
       prepLeft = df => df.filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"),
@@ -285,6 +297,7 @@ private[graft] trait Queries3Curate extends Queries2Lm {
       joinExpr = "c_user = p_user AND p_ts >= c_ts AND " +
         "p_ts <= c_ts + INTERVAL 6 HOURS",
       queryName = "graft_wmjoin_" + math.abs(dir.hashCode),
+      outPath = s"$base/out", checkpoint = s"$base/ckpt",
       leftWatermark = Some(("c_ts", "1 second")),
       rightWatermark = Some(("p_ts", "1 second")),
       maxFilesPerTrigger = Some(1))

@@ -158,10 +158,17 @@ class WatermarkSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("q75 watermarked funnel: the query's own run evicts join state " +
-      "(bounded-state production form) AND matches the unwatermarked " +
-      "q56 pair set exactly on the in-order feed") {
+  test("q75 watermarked funnel: the query's own COLD run evicts join " +
+      "state (bounded-state production form), matches the unwatermarked " +
+      "q56 pair set exactly on the in-order feed, and a warm re-run is a " +
+      "planned restart that reads the durable pair store") {
     val dir = "/root/testdata/sf0.001"
+    // force a COLD run (fresh feed + checkpoint): eviction happens while
+    // the multi-batch feed drains; a warm restart runs no micro-batch
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(
+      s"/tmp/graft_stream/$key/funnel_wm_c4_s${
+        Queries.srcStamp(dir, "events.parquet")}"))
     val wm = Queries.q75_stream_funnel_watermarked(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     val qn = "graft_wmjoin_" + math.abs(dir.hashCode)
@@ -171,6 +178,11 @@ class WatermarkSpec extends SparkSpec {
     val batch = Queries.q56_stream_interval_join(spark, dir)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(wm == batch, s"watermarked (${wm.size}) != batch (${batch.size})")
+    // warm re-run: no new feed files → checkpointed planned restart,
+    // the durable store returns the identical pair set exactly once
+    val warm = Queries.q75_stream_funnel_watermarked(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(warm == wm, "warm re-run must read the same pairs from the store")
   }
 
   test("q80 watermarked OHLC bars: the query's own COLD run evicts " +
