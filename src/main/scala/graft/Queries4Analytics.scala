@@ -75,12 +75,17 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
     // the streaming file source ingests a directory (the reference's
     // journal dir); stage the events table into one (once — the testdata
     // is immutable, so an existing _SUCCESS marker means it's current)
-    val stage = s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events"
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stage = s"/tmp/graft_stream/$key/events"
     if (!new java.io.File(s"$stage/_SUCCESS").exists())
       Store.setSplayed(batch, stage)
+    // result store + checkpoint keyed on the STAGE's content stamp (the
+    // q56 rule): a restaged feed lands in a fresh base and runs cold
+    val base = s"/tmp/graft_stream/$key/tumbling_s${srcStamp(stage, "")}"
     Streams.tumblingCounts(spark, stage, batch,
       tsCol = "ts2", keyCol = "event_type", valueCol = "value",
       windowSec = 3600, queryName = name,
+      outPath = s"$base/out", checkpoint = s"$base/ckpt",
       prep = df => df.withColumn("ts2", expr("timestamp_micros(ts div 1000)")))
       .select(unix_timestamp($"window.start").as("hour_epoch"),
         $"event_type", $"n", round($"sum_value", 4).as("sum_value"))

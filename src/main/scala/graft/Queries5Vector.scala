@@ -1817,12 +1817,15 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
   // oracle is COUNT(DISTINCT): the streamed answer must equal it.
   def q54_stream_dedup(spark: SparkSession, dir: String): DataFrame = {
     val batch = t(spark, dir, "events")
-    val stage = s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events"
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stage = s"/tmp/graft_stream/$key/events"
     if (!new java.io.File(s"$stage/_SUCCESS").exists())
       Store.setSplayed(batch, stage)
+    val base = s"/tmp/graft_stream/$key/sdedup_s${srcStamp(stage, "")}"
     Streams.dedupCounts(spark, stage, batch,
       keyCols = Seq("user_id", "event_type"), outKey = "event_type",
-      queryName = "graft_sdedup_" + math.abs(dir.hashCode))
+      queryName = "graft_sdedup_" + math.abs(dir.hashCode),
+      outPath = s"$base/out", checkpoint = s"$base/ckpt")
       .orderBy($"event_type")
   }
 
@@ -1837,9 +1840,11 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
   // equal it exactly.
   def q55_stream_enrich(spark: SparkSession, dir: String): DataFrame = {
     val batch = t(spark, dir, "events")
-    val stage = s"/tmp/graft_stream/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/events"
+    val key = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val stage = s"/tmp/graft_stream/$key/events"
     if (!new java.io.File(s"$stage/_SUCCESS").exists())
       Store.setSplayed(batch, stage)
+    val base = s"/tmp/graft_stream/$key/senrich_s${srcStamp(stage, "")}"
     Streams.enrichedCounts(spark, stage, batch,
       dimOf = ss => Tables.load(ss, dir, "customer")
         .join(Tables.load(ss, dir, "nation"),
@@ -1847,7 +1852,8 @@ private[graft] trait Queries5Vector extends Queries4Analytics {
         .select(col("c_custkey"), col("n_name")),
       streamKey = "user_id", dimKey = "c_custkey", outKey = "n_name",
       valueCol = "value",
-      queryName = "graft_senrich_" + math.abs(dir.hashCode))
+      queryName = "graft_senrich_" + math.abs(dir.hashCode),
+      outPath = s"$base/out", checkpoint = s"$base/ckpt")
       .select($"n_name", $"n", round($"sum_value", 4).as("sum_value"))
       .orderBy($"n_name")
   }

@@ -24,6 +24,7 @@ object Streams {
   def tumblingCounts(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
                      tsCol: String, keyCol: String, valueCol: String,
                      windowSec: Int, queryName: String,
+                     outPath: String, checkpoint: String,
                      prep: DataFrame => DataFrame = identity,
                      statePartitions: Int = 2): DataFrame = {
     // Run the stateful query in a cloned session with few shuffle
@@ -39,16 +40,23 @@ object Streams {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val stream = prep(ss.readStream.schema(schemaFrom.schema).parquet(srcDir))
-    val agg = stream
+    def aggOf(df: DataFrame) = df
       .groupBy(window(col(tsCol), s"$windowSec seconds"), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
-    val q = agg.writeStream
+    val q = aggOf(stream).writeStream
       .outputMode("complete")
-      .format("memory")
       .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (out: DataFrame, bid: Long) =>
+        writeCompleteBatch(out, bid, outPath)
+      }
       .start()
     try q.processAllAvailable() finally q.stop()
-    ss.table(queryName)
+    readLatestBatch(spark, outPath).getOrElse {
+      aggOf(prep(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schemaFrom.schema)))
+    }
   }
 
   /** Streaming exact-dedup of the ingest path: `dropDuplicates` on the
@@ -59,23 +67,31 @@ object Streams {
     * feed would add `withWatermark` so old fingerprints age out. */
   def dedupCounts(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
                   keyCols: Seq[String], outKey: String, queryName: String,
+                  outPath: String, checkpoint: String,
                   prep: DataFrame => DataFrame = identity,
                   statePartitions: Int = 2): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val stream = prep(ss.readStream.schema(schemaFrom.schema).parquet(srcDir))
-    val agg = stream
+    def aggOf(df: DataFrame) = df
       .select(keyCols.map(col): _*)
       .dropDuplicates(keyCols)
       .groupBy(col(outKey))
       .agg(count(lit(1)).as("n_distinct"))
-    val q = agg.writeStream
+    val q = aggOf(stream).writeStream
       .outputMode("complete")
-      .format("memory")
       .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (out: DataFrame, bid: Long) =>
+        writeCompleteBatch(out, bid, outPath)
+      }
       .start()
     try q.processAllAvailable() finally q.stop()
-    ss.table(queryName)
+    readLatestBatch(spark, outPath).getOrElse {
+      aggOf(prep(spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        schemaFrom.schema)))
+    }
   }
 
   /** Stream-static enrichment (the reference pattern: an insert-driven
@@ -89,6 +105,7 @@ object Streams {
                      schemaFrom: DataFrame, dimOf: SparkSession => DataFrame,
                      streamKey: String, dimKey: String, outKey: String,
                      valueCol: String, queryName: String,
+                     outPath: String, checkpoint: String,
                      statePartitions: Int = 2): DataFrame = {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
@@ -100,11 +117,21 @@ object Streams {
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
     val q = agg.writeStream
       .outputMode("complete")
-      .format("memory")
       .queryName(queryName)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (out: DataFrame, bid: Long) =>
+        writeCompleteBatch(out, bid, outPath)
+      }
       .start()
     try q.processAllAvailable() finally q.stop()
-    ss.table(queryName)
+    readLatestBatch(spark, outPath).getOrElse {
+      spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          schemaFrom.schema)
+        .join(broadcast(dimOf(spark)), col(streamKey) === col(dimKey))
+        .groupBy(col(outKey))
+        .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+    }
   }
 
   /** Continuous ANN-index maintenance: a streaming embeddings feed
@@ -1657,6 +1684,31 @@ object Streams {
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__batch").parquet(resultPath)
+
+  /** COMPLETE-mode twin of [[writeResultBatch]]: the batch's FULL
+    * result supersedes every prior batch, so after the dynamic
+    * overwrite lands (a crash-redelivered batch rewrites its partition
+    * with identical content — complete output is deterministic), older
+    * `__batch` partitions prune. The reader takes the latest partition
+    * ([[readLatestBatch]]) — never a torn mid-overwrite root, the
+    * readState swap discipline without the rename pair. */
+  private def writeCompleteBatch(out: DataFrame, batchId: Long,
+                                 resultPath: String): Unit = {
+    writeResultBatch(out, batchId, resultPath)
+    Option(new java.io.File(resultPath).listFiles).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("__batch=") &&
+        f.getName.stripPrefix("__batch=").toLong < batchId)
+      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+  }
+
+  /** The latest `__batch` partition of a complete-mode store, or None
+    * on a never-fired feed. */
+  private def readLatestBatch(spark: SparkSession,
+                              resultPath: String): Option[DataFrame] =
+    Option(new java.io.File(resultPath).listFiles).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("__batch="))
+      .sortBy(_.getName.stripPrefix("__batch=").toLong)
+      .lastOption.map(d => spark.read.parquet(d.getPath))
 
   /** Streaming per-hour VWAP — q89's live twin, and the MERGEABLE
     * member of the scan-ingest family: unlike TWAP/EMA/CUSUM/drawdown

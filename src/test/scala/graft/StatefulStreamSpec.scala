@@ -36,13 +36,17 @@ class StatefulStreamSpec extends SparkSpec {
       (2L, "click"), (1L, "view"), (2L, "view"),
       (2L, "view"), (3L, "view")
     ).toDF("user_id", "event_type")
-    val dir = "/tmp/graft_test_stream_dedup"
+    val base = s"/tmp/graft_test_stream_dedup/${System.nanoTime()}"
+    val dir = s"$base/feed"
     fixture.write.mode("overwrite").parquet(dir)
-    val got = Streams.dedupCounts(spark, dir, fixture,
+    def run() = Streams.dedupCounts(spark, dir, fixture,
       keyCols = Seq("user_id", "event_type"), outKey = "event_type",
-      queryName = "sdedup_test")
+      queryName = "sdedup_test",
+      outPath = s"$base/out", checkpoint = s"$base/ckpt")
       .orderBy($"event_type").collect()
       .map(r => (r.getString(0), r.getLong(1)))
-    assert(got.toSeq == Seq(("click", 2L), ("view", 3L)))
+    assert(run().toSeq == Seq(("click", 2L), ("view", 3L)))
+    // warm re-run: planned restart reads the durable complete store
+    assert(run().toSeq == Seq(("click", 2L), ("view", 3L)))
   }
 }
