@@ -670,6 +670,61 @@ object HammingDist {
   }
 }
 
+/** Codegen'd dimension permutation `out(i) = in(perm(i))` — the OPQ
+  * allocation's one hot-path operation. The naive spelling
+  * `array(element_at(v, p0+1), ..., element_at(v, p63+1))` is 64
+  * expression nodes that CollapseProject re-inlines into EVERY
+  * consumer (cell assignment, residuals, per-subspace encode), blowing
+  * the projection past codegen limits — the s31 scan measured
+  * ~300 µs/row interpreted. One reference-object int[] walk keeps the
+  * tree a single node. Fail-fast on out-of-range indices and null
+  * elements (the ANSI element_at discipline). */
+case class PermuteVec(child: Expression, perm: Seq[Int])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"permute_vec expects array<double>, got $t")
+    }
+
+  @transient private lazy val permArr = perm.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    PermuteVec.permute(v.asInstanceOf[ArrayData], permArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val p = ctx.addReferenceObj("perm", permArr, "int[]")
+    defineCodeGen(ctx, ev, a => s"graft.functions.PermuteVec.permute($a, $p)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PermuteVec =
+    copy(child = newChild)
+}
+
+object PermuteVec {
+  def permute(a: ArrayData, perm: Array[Int]): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Double](perm.length)
+    var i = 0
+    while (i < perm.length) {
+      val j = perm(i)
+      if (j < 0 || j >= n)
+        throw new IllegalArgumentException(
+          s"permute_vec: index $j out of bounds for vector length $n")
+      if (a.isNullAt(j)) KernelChecks.nullElem("permute_vec", "input", j)
+      out(i) = a.getDouble(j); i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object VectorExprs {
   /** Codegen'd dot product of two array<double> columns. */
   def dot(a: Column, b: Column): Column =
@@ -709,6 +764,10 @@ object VectorExprs {
   def arraySub(a: Column, b: Column): Column =
     ColumnInternals.column(
       ArraySub(ColumnInternals.expr(a), ColumnInternals.expr(b)))
+
+  /** Codegen'd dimension permutation (see [[PermuteVec]]). */
+  def permuteVec(vec: Column, perm: Seq[Int]): Column =
+    ColumnInternals.column(PermuteVec(ColumnInternals.expr(vec), perm))
 
   /** Codegen'd batched ADC table lookup (see [[AdcLookup]]). */
   def adcLookup(codes: Column, table: Column): Column =

@@ -398,7 +398,10 @@ object Pq {
     * the same terms — both engines compute the PERMUTED order, so the
     * chains stay bit-identical. */
   def permuteVec(vec: Column, perm: Array[Int]): Column =
-    array(perm.map(i => element_at(vec, i + 1)): _*)
+    // ONE codegen node (functions.PermuteVec) — the array(element_at×d)
+    // spelling re-inlined 64 nodes into every consumer and fell out of
+    // codegen (r18 optimization; same output, fail-fast parity)
+    graft.functions.VectorExprs.permuteVec(vec, perm.toSeq)
 
   /** Probed cells for a query (driver-side — the coarse table is
     * nCells rows), L2 ascending with the lowest-cell tie rule. */

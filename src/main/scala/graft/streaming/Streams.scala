@@ -1085,19 +1085,30 @@ object Streams {
       .start()
     try {
       q.processAllAvailable()
-      // one punctuation tick per invocation: a batch runs under the
-      // watermark PRIOR batches set, so bars closed by data drained
-      // above need one more batch to emit (the punctuation-tick
-      // tick rule — here the tick ALSO wakes a warm restart so newly
-      // appended feed data emits its bars before the return)
-      val tmp = new java.io.File(srcDir, s"_ticktmp_${System.nanoTime()}")
-      punctuation.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
-      val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
-        .getOrElse(sys.error(s"watermarkedBarsIngest: no tick part in $tmp"))
-      val dst = new java.io.File(srcDir, s"tick_${System.nanoTime()}.parquet")
-      java.nio.file.Files.move(part.toPath, dst.toPath)
-      tmp.listFiles().foreach(_.delete()); tmp.delete()
-      q.processAllAvailable()
+      // one punctuation tick per FEED STATE (r18 optimization — was one
+      // per invocation): a batch runs under the watermark PRIOR batches
+      // set, so bars closed by data drained above need one more batch
+      // to emit, and newly appended feed data (a changed stamp) still
+      // gets its wake-up tick — but a warm restart over a drained,
+      // unchanged feed finds its tick already in the checkpoint's
+      // seen-map and runs ZERO micro-batches (the q79 planned-restart
+      // floor, ~1 s/call saved on the live-bars query)
+      val dataStamp = Option(new java.io.File(srcDir).listFiles)
+        .toSeq.flatten
+        .filter(f => f.isFile && f.getName.endsWith(".parquet") &&
+          !f.getName.startsWith("tick_") && !f.getName.startsWith("_"))
+        .map(f => f.getName.hashCode * 31L + f.length + f.lastModified)
+        .sum
+      val dst = new java.io.File(srcDir, s"tick_s$dataStamp.parquet")
+      if (!dst.exists()) {
+        val tmp = new java.io.File(srcDir, s"_ticktmp_${System.nanoTime()}")
+        punctuation.coalesce(1).write.mode("overwrite").parquet(tmp.getPath)
+        val part = tmp.listFiles().find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"watermarkedBarsIngest: no tick part in $tmp"))
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        tmp.listFiles().foreach(_.delete()); tmp.delete()
+        q.processAllAvailable()
+      }
     } finally {
       lastStateRowsRemoved.put(queryName,
         q.recentProgress.toSeq

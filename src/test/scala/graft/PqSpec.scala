@@ -477,6 +477,27 @@ class PqSpec extends SparkSpec {
     }
   }
 
+  test("PermuteVec codegen expression == the array(element_at) spelling " +
+      "bit-for-bit (the r18 one-node rewrite is a pure plan change)") {
+    import spark.implicits._
+    val df = opqFixture()
+    val perm = Pq.varianceAllocation(df, "v", M)
+    val fast = df.select(col("id"), Pq.permuteVec(col("v"), perm).as("p"))
+      .orderBy(col("id")).collect().map(_.getSeq[Double](1))
+    val slow = df.select(col("id"),
+        org.apache.spark.sql.functions.array(
+          perm.map(i => org.apache.spark.sql.functions
+            .element_at(col("v"), i + 1)): _*).as("p"))
+      .orderBy(col("id")).collect().map(_.getSeq[Double](1))
+    assert(fast.length == slow.length && fast.nonEmpty)
+    fast.zip(slow).foreach { case (a, b) => assert(a == b) }
+    // fail-fast parity: an out-of-range index aborts, never pads
+    val bad = intercept[Exception] {
+      df.select(Pq.permuteVec(col("v"), Array(9999))).collect()
+    }
+    assert(bad.getMessage != null)
+  }
+
   test("OPQ allocation lifts PQ recall at equal bits on the " +
       "variance-skewed fixture (isotropic corpora can't show it — the " +
       "s13 rule): allocated ADC top-k recovers more true neighbors " +
