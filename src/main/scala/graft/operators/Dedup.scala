@@ -252,8 +252,11 @@ object Dedup {
                       path: String): String = {
     require(Similarity.fsDirExists(spark, s"$path/meta"),
       s"no signature index at $path (missing $path/meta — buildSigIndex first)")
-    spark.read.parquet(s"$path/meta").select(col("kind"))
-      .collect().head.getString(0)
+    // memoized per (session, path, meta stamp) — ArtifactMemo
+    ArtifactMemo.cached(spark, path, Seq("meta")) {
+      spark.read.parquet(s"$path/meta").select(col("kind"))
+        .collect().head.getString(0)
+    }
   }
 
   /** Build from the initial corpus's (id, sh) signature table. */
@@ -516,9 +519,12 @@ object Dedup {
                       path: String): (Int, Int) = {
     require(Similarity.fsDirExists(spark, s"$path/meta"),
       s"no LSH index at $path (missing $path/meta — buildLshIndex first)")
-    val r = spark.read.parquet(s"$path/meta")
-      .select(col("num_hashes"), col("bands")).collect().head
-    (r.getInt(0), r.getInt(1))
+    // memoized per (session, path, meta stamp) — ArtifactMemo
+    ArtifactMemo.cached(spark, path, Seq("meta")) {
+      val r = spark.read.parquet(s"$path/meta")
+        .select(col("num_hashes"), col("bands")).collect().head
+      (r.getInt(0), r.getInt(1))
+    }
   }
 
   /** Build the persisted index from the initial corpus: one signature

@@ -491,11 +491,16 @@ object Pq {
   def loadOpqPerm(spark: org.apache.spark.sql.SparkSession,
                   path: String): Option[Array[Int]] =
     if (!Similarity.fsDirExists(spark, s"$path/opq")) None
-    else Some(spark.read.parquet(s"$path/opq")
-      .select(col("perm")).collect().head.getSeq[Int](0).toArray)
+    else ArtifactMemo.cached(spark, path, Seq("opq")) {
+      Some(spark.read.parquet(s"$path/opq")
+        .select(col("perm")).collect().head.getSeq[Int](0).toArray)
+    }
 
   /** Load the model half of a persisted index (columns by NAME — the
-    * on-disk order is a writer detail), failing fast on a bad path. */
+    * on-disk order is a writer detail), failing fast on a bad path.
+    * Memoized per (session, path, model-file stamp): a rebalance/refit
+    * rewrites coarse/books and invalidates; append/delete carry the
+    * model untouched and correctly keep the entry (ArtifactMemo). */
   def loadIvfPqModel(spark: org.apache.spark.sql.SparkSession,
                      path: String): IvfPqModel = {
     Seq("coarse", "books").foreach { part =>
@@ -503,15 +508,17 @@ object Pq {
         s"no IVFADC index at $path (missing $path/$part — " +
           "build one with buildIvfPqIndex first)")
     }
-    val coarse = spark.read.parquet(s"$path/coarse")
-      .select(col("cell"), col("cv")).collect()
-      .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
-    val books = spark.read.parquet(s"$path/books")
-      .select(col("sub"), col("code"), col("cv")).collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-      .groupBy(_._1).toArray.sortBy(_._1)
-      .map { case (_, rows) => rows.map(r => (r._2, r._3)).sortBy(_._1) }
-    IvfPqModel(coarse, books)
+    ArtifactMemo.cached(spark, path, Seq("coarse", "books")) {
+      val coarse = spark.read.parquet(s"$path/coarse")
+        .select(col("cell"), col("cv")).collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).sortBy(_._1)
+      val books = spark.read.parquet(s"$path/books")
+        .select(col("sub"), col("code"), col("cv")).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+        .groupBy(_._1).toArray.sortBy(_._1)
+        .map { case (_, rows) => rows.map(r => (r._2, r._3)).sortBy(_._1) }
+      IvfPqModel(coarse, books)
+    }
   }
 
   /** Search a persisted IVFADC index: probe selection reads the tiny

@@ -1184,8 +1184,15 @@ object Similarity {
                      queryVec: Seq[Double], k: Int, nProbe: Int,
                      excludeId: Long = -1L,
                      where: Option[String] = None): DataFrame = {
-    val probed = spark.read.parquet(s"$path/centroids").collect()
-      .map(r => (r.getInt(0), cosineLocal(queryVec, r.getSeq[Double](1))))
+    // centroid pull memoized per (session, path, centroid-file stamp):
+    // rebalance rewrites centroids and invalidates; append/delete defer
+    // maintenance and correctly keep the entry (ArtifactMemo)
+    val cents = ArtifactMemo.cached(spark, path, Seq("centroids")) {
+      spark.read.parquet(s"$path/centroids").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1)))
+    }
+    val probed = cents
+      .map { case (cell, cv) => (cell, cosineLocal(queryVec, cv)) }
       .sortBy { case (cell, sim) => (-sim, cell) }
       .take(nProbe).map(_._1)
     val qv = array(queryVec.map(lit): _*)
