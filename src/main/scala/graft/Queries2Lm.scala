@@ -33,9 +33,7 @@ private[graft] trait Queries2Lm extends Queries1Rel {
   private[graft] val bpeMergeCount = 40
 
   def t28_bpe_merges(spark: SparkSession, dir: String): DataFrame =
-    operators.Bpe.mergesDf(spark,
-      operators.Bpe.trainMergesFromFreq(bpeWordFreq(spark, dir)._1,
-        bpeMergeCount))
+    operators.Bpe.mergesDf(spark, bpeMerges(spark, dir))
       .orderBy($"rank")
 
   /** Cached (word, freq) per (session, documents dir, source stamp) —
@@ -112,12 +110,26 @@ private[graft] trait Queries2Lm extends Queries1Rel {
                           dir: String): (DataFrame, Long) =
     byteWordFreqMemo(spark, dir, srcStamp(dir, "documents.parquet"))
 
+  /** Cached trained BPE merge table per (session, dir, stamp) — the
+    * knModelMemo precedent (r18 optimization): eight queries trained
+    * the same 40-merge table per invocation, each paying the top-V
+    * collect (~0.2 s/call) over the already-cached word-freq. The fit
+    * is deterministic (exact integer pair counts, total-order argmax),
+    * so cached == fresh. */
+  private[graft] val bpeMergesMemo = new SessionMemo[Seq[operators.Bpe.Merge]](
+    (spark, dir) => operators.Bpe.trainMergesFromFreq(
+      bpeWordFreq(spark, dir)._1, bpeMergeCount),
+    _ => ())
+  private[graft] def bpeMerges(spark: SparkSession,
+                               dir: String): Seq[operators.Bpe.Merge] =
+    bpeMergesMemo(spark, dir, srcStamp(dir, "documents.parquet"))
+
   def t29_bpe_tokens(spark: SparkSession, dir: String): DataFrame = {
     // the shared cached word-freq feeds BOTH training and the census —
     // the raw corpus is scanned exactly once per process per dir for
     // the whole t28/t29/t32 chain
     val (wf, _) = bpeWordFreq(spark, dir)
-    val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
+    val merges = bpeMerges(spark, dir)
     operators.Bpe.tokenCensusFromFreq(wf, merges)
       .orderBy($"freq".desc, $"token".asc)
   }
@@ -604,7 +616,7 @@ private[graft] trait Queries2Lm extends Queries1Rel {
   def t32_bpe_pack(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val (wf, nVocab) = bpeWordFreq(spark, dir)
-    val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
+    val merges = bpeMerges(spark, dir)
     val docTok =
       operators.Bpe.docTokenCounts(docs, "doc_id", "text", wf, merges,
         knownVocab = Some(nVocab))
@@ -634,8 +646,7 @@ private[graft] trait Queries2Lm extends Queries1Rel {
         .parquet(s"$base/feed")
     if (!new java.io.File(s"$base/model/_SUCCESS").exists()) {
       val (wf, _) = bpeWordFreq(spark, dir)
-      operators.Bpe.saveModel(spark,
-        operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount),
+      operators.Bpe.saveModel(spark, bpeMerges(spark, dir),
         s"$base/model")
     }
     if (!new java.io.File(s"$base/done").exists()) {
@@ -702,7 +713,7 @@ private[graft] trait Queries2Lm extends Queries1Rel {
   def t43_bpe_fertility(spark: SparkSession, dir: String): DataFrame = {
     val docs = t(spark, dir, "documents")
     val (wf, nVocab) = bpeWordFreq(spark, dir)
-    val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
+    val merges = bpeMerges(spark, dir)
     val wt = operators.Bpe.wordTokenCounts(wf, merges)
     val side =
       if (nVocab <= operators.Bpe.maxBroadcastVocab) broadcast(wt) else wt
@@ -748,7 +759,7 @@ private[graft] trait Queries2Lm extends Queries1Rel {
   // not just its cost — is unique and engine-exact.
   def t49_unigram_viterbi(spark: SparkSession, dir: String): DataFrame = {
     val (wf, _) = bpeWordFreq(spark, dir)
-    val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
+    val merges = bpeMerges(spark, dir)
     val census = operators.Bpe.tokenCensusFromFreq(wf, merges)
     operators.Unigram.viterbiTable(wf, census, maxSyms = 12,
       topWords = 500, maxPieceSyms = 8)
@@ -829,7 +840,7 @@ private[graft] trait Queries2Lm extends Queries1Rel {
 
   def t72_unigram_em(spark: SparkSession, dir: String): DataFrame = {
     val (wf, _) = bpeWordFreq(spark, dir)
-    val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
+    val merges = bpeMerges(spark, dir)
     val census = operators.Bpe.tokenCensusFromFreq(wf, merges)
     operators.Unigram.emTable(wf, census, rounds = uniEmRounds,
         maxSyms = uniEmMaxSyms, topWords = uniEmTopWords, maxPieceSyms = 8)
@@ -1123,7 +1134,7 @@ private[graft] trait Queries2Lm extends Queries1Rel {
     import org.apache.spark.sql.expressions.Window
     val docs = t(spark, dir, "documents")
     val (wf, nVocab) = bpeWordFreq(spark, dir)
-    val merges = operators.Bpe.trainMergesFromFreq(wf, bpeMergeCount)
+    val merges = bpeMerges(spark, dir)
     // the memoized vocabulary count: the gate costs zero jobs
     val gate = nVocab <= operators.Bpe.maxBroadcastVocab
     def side(df: DataFrame) = if (gate) broadcast(df) else df

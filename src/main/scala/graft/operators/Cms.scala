@@ -91,6 +91,14 @@ object Cms {
                      path: String): (Int, Int) = {
     require(Similarity.fsDirExists(spark, s"$path/meta"),
       s"no cms store at $path (missing $path/meta — buildCmsStore first)")
+    // memoized per (session, path, meta stamp) — ArtifactMemo
+    ArtifactMemo.cached(spark, path, Seq("meta")) {
+      metaOfFresh(spark, path)
+    }
+  }
+
+  private def metaOfFresh(spark: org.apache.spark.sql.SparkSession,
+                          path: String): (Int, Int) = {
     val meta = spark.read.parquet(s"$path/meta")
     val fmt =
       if (meta.columns.contains("fmt"))

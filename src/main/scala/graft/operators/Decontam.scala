@@ -195,14 +195,18 @@ object Decontam {
                       path: String): BloomFilter = {
     require(Similarity.fsDirExists(spark, s"$path/meta"),
       s"no Bloom filter at $path (missing $path/meta — buildBloomFilter first)")
-    val m = spark.read.parquet(s"$path/meta")
-      .select(col("n"), col("k"), col("m_bits")).collect().head
-    val (n, k, mBits) = (m.getInt(0), m.getInt(1), m.getInt(2))
-    val bits = new Array[Long](mBits / 64)
-    spark.read.parquet(s"$path/bits").collect().foreach { r =>
-      bits(r.getInt(0)) = r.getLong(1)
+    // memoized per (session, path, meta+bits stamp): an append ORs new
+    // bits and rewrites $path/bits, invalidating the entry (ArtifactMemo)
+    ArtifactMemo.cached(spark, path, Seq("meta", "bits")) {
+      val m = spark.read.parquet(s"$path/meta")
+        .select(col("n"), col("k"), col("m_bits")).collect().head
+      val (n, k, mBits) = (m.getInt(0), m.getInt(1), m.getInt(2))
+      val bits = new Array[Long](mBits / 64)
+      spark.read.parquet(s"$path/bits").collect().foreach { r =>
+        bits(r.getInt(0)) = r.getLong(1)
+      }
+      BloomFilter(n, k, mBits, bits)
     }
-    BloomFilter(n, k, mBits, bits)
   }
 
   /** Build + persist from the initial benchmark snapshot. */

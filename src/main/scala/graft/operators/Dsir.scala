@@ -104,13 +104,17 @@ object Dsir {
         s"no DSIR model at $path (missing $path/$part — " +
           "saveModel one first)")
     }
-    val meta = spark.read.parquet(s"$path/meta")
-      .select(col("ntarget"), col("nraw"), col("buckets"), col("n"))
-      .collect().head
-    Model(
-      spark.read.parquet(s"$path/target").select($"b", $"c"),
-      spark.read.parquet(s"$path/raw").select($"b", $"c"),
-      meta.getLong(0), meta.getLong(1), meta.getInt(2), meta.getInt(3))
+    // memoized per (session, path, model-file stamp) — ArtifactMemo;
+    // the DataFrame members are lazy plans, never results
+    ArtifactMemo.cached(spark, path, Seq("meta", "target", "raw")) {
+      val meta = spark.read.parquet(s"$path/meta")
+        .select(col("ntarget"), col("nraw"), col("buckets"), col("n"))
+        .collect().head
+      Model(
+        spark.read.parquet(s"$path/target").select($"b", $"c"),
+        spark.read.parquet(s"$path/raw").select($"b", $"c"),
+        meta.getLong(0), meta.getLong(1), meta.getInt(2), meta.getInt(3))
+    }
   }
 
   /** Every document's integer log importance weight: (idCol, n_gram,

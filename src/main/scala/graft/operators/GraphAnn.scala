@@ -331,10 +331,13 @@ object GraphAnn {
                      path: String): (Int, Int, Int, Int) = {
     require(Similarity.fsDirExists(spark, s"$path/meta"),
       s"no graph index at $path (missing $path/meta — buildGraphIndex first)")
-    val r = spark.read.parquet(s"$path/meta")
-      .select(col("k"), col("n_buckets"), col("iters"), col("n_rounds"))
-      .collect().head
-    (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    // memoized per (session, path, meta stamp) — ArtifactMemo
+    ArtifactMemo.cached(spark, path, Seq("meta")) {
+      val r = spark.read.parquet(s"$path/meta")
+        .select(col("k"), col("n_buckets"), col("iters"), col("n_rounds"))
+        .collect().head
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+    }
   }
 
   /** REBALANCE a persisted graph index after appended drift: re-run
