@@ -34,9 +34,10 @@ object Tables {
 
   private def stamp(path: String): Long = {
     val f = new java.io.File(path)
-    if (f.isFile) f.lastModified
-    else Option(f.listFiles).map(_.map(_.lastModified).foldLeft(0L)(math.max))
-      .getOrElse(0L)
+    if (f.isFile) f.getName.hashCode * 31L + f.length + f.lastModified
+    else Option(f.listFiles).toSeq.flatten // the ArtifactMemo spelling:
+      // name+size+mtime so a deleted non-newest part invalidates too
+      .map(c => c.getName.hashCode * 31L + c.length + c.lastModified).sum
   }
 
   /** Load one table from a scale-factor directory.
@@ -63,10 +64,20 @@ object Tables {
     if (hit != null) hit._2
     else {
       import scala.jdk.CollectionConverters._
-      // release dead-session entries and superseded stamps of this key
+      // release dead-session entries and superseded stamps of this key.
+      // The weak ref alone cannot clear an entry whose VALUE pins its
+      // session (a DataFrame strongly references its SparkSession — the
+      // r18 self-review leak), so past a size cap everything outside
+      // the CURRENT session is dropped too: per-call cloned sessions
+      // (q55's dimOf, stream prep sessions) stop accumulating, and the
+      // worst case for a displaced live session is one re-load.
+      val uuid = org.apache.spark.sql.graftshim.ColumnInternals
+        .sessionUUID(spark)
+      val evictAll = loadMemo.size > 64
       loadMemo.asScala.keys.toList.foreach { k =>
         val e = loadMemo.get(k)
-        if (e != null && (e._1.get == null || k.startsWith(pfx)))
+        if (e != null && (e._1.get == null || k.startsWith(pfx) ||
+            (evictAll && !k.startsWith(s"$uuid@"))))
           loadMemo.remove(k)
       }
       loadMemo.computeIfAbsent(key, _ =>

@@ -32,7 +32,13 @@ object TimeOpt {
         val t1 = System.nanoTime()
         df.queryExecution.executedPlan // force analysis+optimize+plan
         val t2 = System.nanoTime()
-        df.count()
+        // count() matches the Bench methodology this probe steers; for
+        // folded/narrow-map plans count() PRUNES the scoring projection
+        // (the round-12 54ms-lie lesson) — set SPARK_GRAFT_TIME_FULL=1
+        // to materialize every output column instead
+        if (sys.env.get("SPARK_GRAFT_TIME_FULL").contains("1"))
+          df.queryExecution.toRdd.count()
+        else df.count()
         val t3 = System.nanoTime()
         ((t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
       }

@@ -36,9 +36,17 @@ private[graft] object ArtifactMemo {
     if (hit != null) hit._2.asInstanceOf[V]
     else {
       import scala.jdk.CollectionConverters._
+      // The weak ref cannot clear an entry whose VALUE pins its session
+      // (e.g. a cached Model holding DataFrames — the r18 self-review
+      // leak), so past a size cap everything outside the CURRENT
+      // session drops too; a displaced live session re-loads once.
+      val uuid = org.apache.spark.sql.graftshim.ColumnInternals
+        .sessionUUID(spark)
+      val evictAll = m.size > 256
       m.asScala.keys.toList.foreach { k =>
         val e = m.get(k)
-        if (e != null && (e._1.get == null || k.startsWith(pfx)))
+        if (e != null && (e._1.get == null || k.startsWith(pfx) ||
+            (evictAll && !k.startsWith(s"$uuid@"))))
           m.remove(k)
       }
       m.computeIfAbsent(key,

@@ -52,6 +52,7 @@ object Streams {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    requireStoreMatchesCkpt(outPath, checkpoint, "tumblingCounts")
     readLatestBatch(spark, outPath).getOrElse {
       aggOf(prep(spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -87,6 +88,7 @@ object Streams {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    requireStoreMatchesCkpt(outPath, checkpoint, "dedupCounts")
     readLatestBatch(spark, outPath).getOrElse {
       aggOf(prep(spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -124,6 +126,7 @@ object Streams {
       }
       .start()
     try q.processAllAvailable() finally q.stop()
+    requireStoreMatchesCkpt(outPath, checkpoint, "enrichedCounts")
     readLatestBatch(spark, outPath).getOrElse {
       spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -1005,6 +1008,7 @@ object Streams {
           .map(_.numRowsRemoved).sum)
       q.stop()
     }
+    requireStoreMatchesCkpt(outPath, checkpoint, "intervalJoin")
     // "fired but zero pairs" writes only batch markers, no data files —
     // the empty branch keys on DATA files (the watermarkedBarsIngest
     // discipline)
@@ -1710,6 +1714,23 @@ object Streams {
       .filter(f => f.isDirectory && f.getName.startsWith("__batch=") &&
         f.getName.stripPrefix("__batch=").toLong < batchId)
       .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+  }
+
+  /** A checkpoint with committed batches whose durable store directory
+    * has VANISHED means external tampering (a /tmp cleaner, a partial
+    * rm): the planned restart would run zero micro-batches and the
+    * empty-store branch would silently return a schema-correct empty —
+    * the shape the readState torn-swap discipline aborts on. A
+    * fired-but-zero-rows store legally EXISTS (foreachBatch's write
+    * always creates the root + _SUCCESS), so this guard is exact. */
+  private def requireStoreMatchesCkpt(outPath: String, checkpoint: String,
+                                      fn: String): Unit = {
+    val fired = Option(new java.io.File(checkpoint, "commits").listFiles)
+      .exists(_.exists(_.isFile))
+    require(!fired || new java.io.File(outPath).exists,
+      s"$fn: checkpoint at $checkpoint has committed batches but the " +
+        s"durable store at $outPath is gone — external deletion; delete " +
+        "the checkpoint (or the whole base dir) to rebuild from the feed")
   }
 
   /** The latest `__batch` partition of a complete-mode store, or None
