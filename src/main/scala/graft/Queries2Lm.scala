@@ -46,36 +46,16 @@ private[graft] trait Queries2Lm extends Queries1Rel {
     * and so are entries whose session has been GC'd. Keyed on
     * `spark.sessionUUID` — `System.identityHashCode` is NOT unique
     * (two live sessions can collide, handing one a cached Dataset
-    * bound to the other: the q55 session-bound trap) — and holding the
-    * session only WEAKLY so a dead session's entries release instead
-    * of persisting until a same-prefix key happens along. */
+    * bound to the other: the q55 session-bound trap). Since r19 a thin
+    * wrapper over the ONE memo home (operators.ArtifactMemo.Memo —
+    * weak sessions, stamp supersede, LRU size cap; MemoSpec pins the
+    * contract). */
   private[graft] final class SessionMemo[V](make: (SparkSession, String) => V,
                                      release: V => Unit) {
-    private[graft] val m = new java.util.concurrent.ConcurrentHashMap[
-      String, (java.lang.ref.WeakReference[SparkSession], V)]()
-    def apply(spark: SparkSession, dir: String, stamp: Long): V = {
-      val pfx = s"${org.apache.spark.sql.graftshim.ColumnInternals
-        .sessionUUID(spark)}@$dir@"
-      val key = s"$pfx$stamp"
-      val hit = m.get(key)
-      if (hit != null) hit._2
-      else {
-        import scala.jdk.CollectionConverters._
-        m.asScala.toList.foreach { case (k, (ref, _)) =>
-          val dead = ref.get == null
-          if (dead || k.startsWith(pfx))
-            Option(m.remove(k)).foreach { e =>
-              // a GC'd session's cached tables died with it — only
-              // live superseded entries need an explicit unpersist
-              if (!dead)
-                try release(e._2)
-                catch { case _: IllegalStateException => () }
-            }
-        }
-        m.computeIfAbsent(key,
-          _ => (new java.lang.ref.WeakReference(spark), make(spark, dir)))._2
-      }
-    }
+    private[graft] val m =
+      new operators.ArtifactMemo.Memo[V](cap = 256, release)
+    def apply(spark: SparkSession, dir: String, stamp: Long): V =
+      m(spark, dir, stamp)(make(spark, dir))
   }
 
   /** Cached (word-freq DataFrame, vocabulary count) — the count both

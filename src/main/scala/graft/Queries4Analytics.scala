@@ -1384,14 +1384,16 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
   // Semi-structured JSON property extraction (events.props is a JSON
   // blob — the clickstream/telemetry shape): per event type, integer
   // aggregates over the extracted field. The parse is a narrow map
-  // over the scan (get_json_object; missing/malformed rows yield NULL
+  // over the scan (JsonKeyRaw — the codegen twin of get_json_object,
+  // which is CodegenFallback; JsonExprSpec fuzz-pins string equality
+  // and the cast stays Spark's own; missing/malformed rows yield NULL
   // and are filtered, spec-pinned) — one agg shuffle after, nothing
   // else. Integer sums only, so the card hash-matches without any
   // decimal routing.
   def q66_json_extract(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "events")
       .select($"event_type",
-        get_json_object($"props", "$.k").cast("long").as("k"))
+        graft.functions.JsonKeyRaw.jsonLongKey($"props", "k").as("k"))
       .filter($"k".isNotNull)
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
@@ -1460,7 +1462,7 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
     events
       .select(expr("ts div 1000 div 3600000000").as("hr"),
         expr("CAST(round(value * 100) AS BIGINT)").as("pc"),
-        get_json_object($"props", "$.k").cast("long").as("vol"))
+        graft.functions.JsonKeyRaw.jsonLongKey($"props", "k").as("vol"))
       .filter($"vol".isNotNull && $"vol" > 0)
       .groupBy($"hr")
       .agg(count(lit(1)).as("n"),
@@ -1507,7 +1509,7 @@ private[graft] trait Queries4Analytics extends Queries3Curate {
     Streams.vwapIngest(spark, stage, batch,
       df => df.select(expr("ts div 1000 div 3600000000").as("hr"),
         expr("CAST(round(value * 100) AS BIGINT)").as("pc"),
-        get_json_object($"props", "$.k").cast("long").as("vol")),
+        graft.functions.JsonKeyRaw.jsonLongKey($"props", "k").as("vol")),
       storePath, ckpt)
     Streams.readVwapStore(spark, storePath).orderBy($"hr")
   }

@@ -27,18 +27,11 @@ object Tables {
     * argument, here for path reads). Keyed on sessionUUID (Datasets
     * are session-bound — the q55 trap) + the source mtime stamp so a
     * driver-side testdata regeneration in a long-lived JVM
-    * self-invalidates; the session is held weakly so dead sessions'
-    * entries release (the SessionMemo discipline, Queries2Lm.scala). */
-  private val loadMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (java.lang.ref.WeakReference[SparkSession], DataFrame)]()
-
-  private def stamp(path: String): Long = {
-    val f = new java.io.File(path)
-    if (f.isFile) f.getName.hashCode * 31L + f.length + f.lastModified
-    else Option(f.listFiles).toSeq.flatten // the ArtifactMemo spelling:
-      // name+size+mtime so a deleted non-newest part invalidates too
-      .map(c => c.getName.hashCode * 31L + c.length + c.lastModified).sum
-  }
+    * self-invalidates. Lifecycle (weak sessions, stamp supersede, LRU
+    * cap) lives in the ONE memo home, operators.ArtifactMemo.Memo
+    * (r19 consolidation — MemoSpec pins the contract). */
+  private val loadMemo =
+    new graft.operators.ArtifactMemo.Memo[DataFrame](cap = 64)
 
   /** Load one table from a scale-factor directory.
     *
@@ -57,32 +50,8 @@ object Tables {
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
-    val pfx = s"${org.apache.spark.sql.graftshim.ColumnInternals
-      .sessionUUID(spark)}@$path@"
-    val key = s"$pfx${stamp(path)}"
-    val hit = loadMemo.get(key)
-    if (hit != null) hit._2
-    else {
-      import scala.jdk.CollectionConverters._
-      // release dead-session entries and superseded stamps of this key.
-      // The weak ref alone cannot clear an entry whose VALUE pins its
-      // session (a DataFrame strongly references its SparkSession — the
-      // r18 self-review leak), so past a size cap everything outside
-      // the CURRENT session is dropped too: per-call cloned sessions
-      // (q55's dimOf, stream prep sessions) stop accumulating, and the
-      // worst case for a displaced live session is one re-load.
-      val uuid = org.apache.spark.sql.graftshim.ColumnInternals
-        .sessionUUID(spark)
-      val evictAll = loadMemo.size > 64
-      loadMemo.asScala.keys.toList.foreach { k =>
-        val e = loadMemo.get(k)
-        if (e != null && (e._1.get == null || k.startsWith(pfx) ||
-            (evictAll && !k.startsWith(s"$uuid@"))))
-          loadMemo.remove(k)
-      }
-      loadMemo.computeIfAbsent(key, _ =>
-        (new java.lang.ref.WeakReference(spark), loadFresh(spark, path, name)))._2
-    }
+    loadMemo(spark, path, graft.operators.ArtifactMemo.stampPath(path))(
+      loadFresh(spark, path, name))
   }
 
   private def loadFresh(spark: SparkSession, path: String,

@@ -26,7 +26,9 @@ object Streams {
                      windowSec: Int, queryName: String,
                      outPath: String, checkpoint: String,
                      prep: DataFrame => DataFrame = identity,
-                     statePartitions: Int = 2): DataFrame = {
+                     statePartitions: Int = 2): DataFrame =
+      withStoreLock(outPath, "tumblingCounts") {
+    requireCkptMatchesStore(outPath, checkpoint, "tumblingCounts")
     // Run the stateful query in a cloned session with few shuffle
     // partitions: streaming state-store partitions = shuffle partitions,
     // and each one pays per-micro-batch snapshot/commit IO. The windowed
@@ -70,7 +72,9 @@ object Streams {
                   keyCols: Seq[String], outKey: String, queryName: String,
                   outPath: String, checkpoint: String,
                   prep: DataFrame => DataFrame = identity,
-                  statePartitions: Int = 2): DataFrame = {
+                  statePartitions: Int = 2): DataFrame =
+      withStoreLock(outPath, "dedupCounts") {
+    requireCkptMatchesStore(outPath, checkpoint, "dedupCounts")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val stream = prep(ss.readStream.schema(schemaFrom.schema).parquet(srcDir))
@@ -108,7 +112,9 @@ object Streams {
                      streamKey: String, dimKey: String, outKey: String,
                      valueCol: String, queryName: String,
                      outPath: String, checkpoint: String,
-                     statePartitions: Int = 2): DataFrame = {
+                     statePartitions: Int = 2): DataFrame =
+      withStoreLock(outPath, "enrichedCounts") {
+    requireCkptMatchesStore(outPath, checkpoint, "enrichedCounts")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val stream = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
@@ -980,7 +986,9 @@ object Streams {
                    statePartitions: Int = 2,
                    leftWatermark: Option[(String, String)] = None,
                    rightWatermark: Option[(String, String)] = None,
-                   maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+                   maxFilesPerTrigger: Option[Int] = None): DataFrame =
+      withStoreLock(outPath, "intervalJoin") {
+    requireCkptMatchesStore(outPath, checkpoint, "intervalJoin")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     def src() = {
@@ -1713,7 +1721,14 @@ object Streams {
     Option(new java.io.File(resultPath).listFiles).toSeq.flatten
       .filter(f => f.isDirectory && f.getName.startsWith("__batch=") &&
         f.getName.stripPrefix("__batch=").toLong < batchId)
-      .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+      .foreach { d =>
+        // surface (don't swallow) a stuck stale partition — harmless for
+        // readLatestBatch but it must be visible, and the next batch's
+        // prune retries it (r18 ADVICE)
+        if (!org.apache.commons.io.FileUtils.deleteQuietly(d))
+          System.err.println(s"writeCompleteBatch: stale partition $d " +
+            "could not be deleted; the next batch's prune will retry")
+      }
   }
 
   /** A checkpoint with committed batches whose durable store directory
@@ -1731,6 +1746,59 @@ object Streams {
       s"$fn: checkpoint at $checkpoint has committed batches but the " +
         s"durable store at $outPath is gone — external deletion; delete " +
         "the checkpoint (or the whole base dir) to rebuild from the feed")
+  }
+
+  /** MIRROR of [[requireStoreMatchesCkpt]], checked BEFORE the stream
+    * starts (r18 ADVICE): a store with `__batch` partitions whose
+    * checkpoint never wrote an offsets WAL means the checkpoint was
+    * deleted while the store survived — a fresh run would restart batch
+    * ids at 0 and the append-mode union could double-count (and the
+    * complete-mode `< batchId` prune never removes the stale
+    * higher-numbered partition). The batch-0 crash window is NOT this
+    * shape: Spark writes offsets/0 before the first batch runs, so a
+    * legitimately redelivered batch always has a non-empty offsets
+    * dir. */
+  private def requireCkptMatchesStore(outPath: String, checkpoint: String,
+                                      fn: String): Unit = {
+    val storeHasBatches = Option(new java.io.File(outPath).listFiles)
+      .toSeq.flatten
+      .exists(f => f.isDirectory && f.getName.startsWith("__batch="))
+    val started = Option(new java.io.File(checkpoint, "offsets").listFiles)
+      .exists(_.exists(_.isFile))
+    require(!storeHasBatches || started,
+      s"$fn: durable store at $outPath has __batch partitions but the " +
+        s"checkpoint at $checkpoint has no offsets WAL — the checkpoint " +
+        "was deleted out from under the store; delete the store (or the " +
+        "whole base dir) to rebuild from the feed instead of re-running " +
+        "with reset batch ids")
+  }
+
+  /** Exclusive owner lock over one durable store: Spark does not
+    * support concurrent structured-streaming access to a checkpoint,
+    * and the durable stores are shared mutable state across JVMs (bench
+    * + spec runs) — this turns a silent-corruption risk into an abort
+    * (r18 verdict "What's wrong #5"). An OS file lock auto-releases on
+    * process death, so no stale-lock handling is needed; a second owner
+    * in the SAME JVM surfaces as OverlappingFileLockException and
+    * aborts identically (WatermarkSpec pins that). */
+  private def withStoreLock[T](outPath: String, fn: String)(body: => T): T = {
+    val lockFile = new java.io.File(outPath + ".lock")
+    Option(lockFile.getParentFile).foreach(_.mkdirs())
+    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      val lock =
+        try ch.tryLock()
+        catch {
+          case _: java.nio.channels.OverlappingFileLockException => null
+        }
+      require(lock != null,
+        s"$fn: the durable store at $outPath is owned by another live " +
+          "process/query (concurrent structured-streaming access to one " +
+          "checkpoint is unsupported) — aborting instead of corrupting")
+      try body finally lock.release()
+    } finally ch.close()
   }
 
   /** The latest `__batch` partition of a complete-mode store, or None

@@ -495,7 +495,12 @@ class PqSpec extends SparkSpec {
     val bad = intercept[Exception] {
       df.select(Pq.permuteVec(col("v"), Array(9999))).collect()
     }
-    assert(bad.getMessage != null)
+    // pin the intended runtime guard, not just "some exception" (r18
+    // ADVICE): unwrap SparkException causes to the permute_vec abort
+    val msgs = Iterator.iterate(bad: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+      .toSeq
+    assert(msgs.exists(_.contains("out of bounds")), msgs.mkString(" | "))
   }
 
   test("OPQ allocation lifts PQ recall at equal bits on the " +

@@ -659,4 +659,42 @@ class WatermarkSpec extends SparkSpec {
     assert(e.getMessage.contains("torn state swap"), e.getMessage)
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
+
+  test("durable-store readers fail fast when a SECOND OWNER holds the " +
+      "store lock (concurrent checkpoint access is unsupported — abort, " +
+      "never corrupt)") {
+    val base = s"/tmp/graft_lock_spec/${System.nanoTime()}"
+    val outPath = s"$base/store"
+    new java.io.File(base).mkdirs()
+    val ch = java.nio.channels.FileChannel.open(
+      new java.io.File(outPath + ".lock").toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock = ch.lock() // the planted second owner
+    try {
+      val e = intercept[IllegalArgumentException] {
+        streaming.Streams.tumblingCounts(spark, s"$base/feed",
+          Seq((1L, 1L)).toDF("k", "v"), "ts", "k", "v", 60, "lock_spec",
+          outPath, s"$base/ckpt")
+      }
+      assert(e.getMessage.contains("owned by another live"), e.getMessage)
+    } finally { lock.release(); ch.close() }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
+  test("durable-store readers fail fast on a checkpoint DELETED out " +
+      "from under a kept store (batch ids would reset to 0) — the " +
+      "mirror of the lost-store guard") {
+    val base = s"/tmp/graft_mirror_spec/${System.nanoTime()}"
+    val outPath = s"$base/store"
+    // a store that clearly fired before, with no checkpoint at all
+    new java.io.File(s"$outPath/__batch=3").mkdirs()
+    val e = intercept[IllegalArgumentException] {
+      streaming.Streams.tumblingCounts(spark, s"$base/feed",
+        Seq((1L, 1L)).toDF("k", "v"), "ts", "k", "v", 60, "mirror_spec",
+        outPath, s"$base/ckpt")
+    }
+    assert(e.getMessage.contains("no offsets WAL"), e.getMessage)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
 }
