@@ -883,9 +883,24 @@ private[graft] trait Queries1Rel extends Queries0Shared {
   // resolution, contributions summed as integers (order-free).
   private[graft] val t62Terms = Seq("spark", "table", "merge")
 
+  /** Memoized bm25 corpus stats (N, Σdl, max dl) per (session, dir,
+    * source stamp) — r19: t62 and s15 each re-paid the full
+    * tokenize-scan stats action per call; three scalars of an
+    * immutable corpus are a model artifact (the wordFreqMemo
+    * discipline), so they ride the one memo home. Scoring still scans
+    * the corpus from parquet on every call. */
+  private[graft] val bm25StatsMemo =
+    new operators.ArtifactMemo.Memo[(Long, Long, Long)](cap = 64)
+  private[graft] def bm25Stats(spark: SparkSession,
+                               dir: String): (Long, Long, Long) =
+    bm25StatsMemo(spark, s"$dir#bm25stats",
+      srcStamp(dir, "documents.parquet"))(
+      operators.TfIdf.corpusStats(t(spark, dir, "documents"),
+        "doc_id", "text"))
+
   def t62_bm25(spark: SparkSession, dir: String): DataFrame =
     operators.TfIdf.bm25Search(t(spark, dir, "documents"), "doc_id", "text",
-      t62Terms, k = 10)
+      t62Terms, k = 10, stats = Some(bm25Stats(spark, dir)))
 
   /** The BM25 CTE chain + final select at `k` — t62's oracle and the
     * keyword side of s15's fusion replay. */
@@ -931,7 +946,8 @@ private[graft] trait Queries1Rel extends Queries0Shared {
     val wAll = org.apache.spark.sql.expressions.Window
       .orderBy($"score".desc, $"id")
     val kw = operators.TfIdf.bm25Search(t(spark, dir, "documents"),
-      "doc_id", "text", t62Terms, k = 20)
+      "doc_id", "text", t62Terms, k = 20,
+      stats = Some(bm25Stats(spark, dir)))
       .select($"doc_id".as("id"), $"score")
       .withColumn("rk", row_number().over(wAll))
     val vec = Similarity.bruteForceTopK(t(spark, dir, "embeddings"),

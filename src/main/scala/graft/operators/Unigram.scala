@@ -87,8 +87,15 @@ object Unigram {
     * symbols. */
   def selectWords(freqDf: DataFrame, maxSyms: Int,
                   topWords: Int): Array[(String, Long)] =
-    freqDf.select("word", "freq").collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+    selectWordsFrom(freqDf.select("word", "freq").collect()
+      .map(r => (r.getString(0), r.getLong(1))), maxSyms, topWords)
+
+  /** The driver half of [[selectWords]], over an already-collected
+    * (word, freq) dict — callers with a memoized dict pull skip the
+    * per-call collect. */
+  def selectWordsFrom(all: Array[(String, Long)], maxSyms: Int,
+                      topWords: Int): Array[(String, Long)] =
+    all
       .filter { case (w, _) => Bpe.toSyms(w).length <= maxSyms }
       .sortWith { case ((wa, fa), (wb, fb)) =>
         fa > fb || (fa == fb && Bpe.cpLess(wa, wb))
@@ -102,10 +109,20 @@ object Unigram {
   def viterbiTable(freqDf: DataFrame, census: DataFrame,
                    maxSyms: Int, topWords: Int,
                    maxPieceSyms: Int): DataFrame = {
-    val spark = freqDf.sparkSession
-    import spark.implicits._
     val (cm, cv) = censusCosts(census)
-    selectWords(freqDf, maxSyms, topWords).toSeq.map { case (w, _) =>
+    viterbiTableFrom(freqDf.sparkSession,
+      selectWords(freqDf, maxSyms, topWords), cm, cv, maxPieceSyms)
+  }
+
+  /** [[viterbiTable]] from already-collected model pieces (r19: the
+    * census costs and word dict are fitted-model artifacts callers
+    * memoize per (session, corpus stamp) — the knModelMemo
+    * discipline; each call re-collected both). */
+  def viterbiTableFrom(spark: org.apache.spark.sql.SparkSession,
+                       words: Array[(String, Long)], cm: Map[String, Long],
+                       cv: Long, maxPieceSyms: Int): DataFrame = {
+    import spark.implicits._
+    words.toSeq.map { case (w, _) =>
       val (c, pieces) = viterbi(Bpe.toSyms(w), cm.get, cv, maxPieceSyms)
       (w, pieces.length, c, pieces.mkString("-"))
     }.toDF("word", "n_pieces", "cost64", "seg")
@@ -177,10 +194,17 @@ object Unigram {
   def emTable(freqDf: DataFrame, census: DataFrame, rounds: Int,
               maxSyms: Int, topWords: Int,
               maxPieceSyms: Int): DataFrame = {
-    val spark = freqDf.sparkSession
-    import spark.implicits._
     val (cm0, cv0) = censusCosts(census)
-    val words = selectWords(freqDf, maxSyms, topWords)
+    emTableFrom(freqDf.sparkSession,
+      selectWords(freqDf, maxSyms, topWords), cm0, cv0, rounds, maxPieceSyms)
+  }
+
+  /** [[emTable]] from already-collected model pieces (see
+    * [[viterbiTableFrom]]). */
+  def emTableFrom(spark: org.apache.spark.sql.SparkSession,
+                  words: Array[(String, Long)], cm0: Map[String, Long],
+                  cv0: Long, rounds: Int, maxPieceSyms: Int): DataFrame = {
+    import spark.implicits._
     val (cm, cv, _) = emFit(words, cm0, cv0, rounds, maxPieceSyms)
     words.toSeq.map { case (w, _) =>
       val (c, pieces) = viterbi(Bpe.toSyms(w), cm.get, cv, maxPieceSyms)

@@ -471,10 +471,11 @@ object Rayfall {
   }
 
   /** Length of a lazy vector value (an action for column views — one
-    * count — but only consulted on the lazy-op dispatch path). */
+    * count per (run, frame) via [[cachedCount]] — consulted on every
+    * lazy-op dispatch). */
   private def lazyLen(v: RVal): Option[Long] = v match {
     case VRange(n, _) => Some(n)
-    case cv: VColView => Some(cv.df.count())
+    case cv: VColView => Some(cachedCount(cv.df))
     case _ => None
   }
 
@@ -707,13 +708,63 @@ object Rayfall {
         }
     }
 
+  /** Per-script-run memo of driver-side pulls (r19 — the TimeOpt b
+    * column found r09 issuing 23 jobs for 0.5 s of stage time: every
+    * `(rank v)`/`(xrank v n)`/table-literal leg re-collected its
+    * column and re-counted its frame). Both maps live in ThreadLocals
+    * consulted ONLY on the dedicated eval thread: [[withEvalStack]]
+    * starts a FRESH thread per outermost script entry, so the memo
+    * dies with the run — nothing is ever carried across invocations
+    * (that would be result caching). Keys are the DataFrame REFERENCE
+    * (IdentityHashMap — identityHashCode alone is not unique, the
+    * SessionMemo lesson); DataFrames are immutable, and any script
+    * mutation (insert/update/set) produces a NEW frame, so a reference
+    * hit is always the same logical column. */
+  private val runPulls = new ThreadLocal[java.util.IdentityHashMap[
+      DataFrame, java.util.HashMap[(String, Long), Vector[Any]]]] {
+    override def initialValue() = new java.util.IdentityHashMap()
+  }
+  private val runCounts =
+    new ThreadLocal[java.util.IdentityHashMap[DataFrame, java.lang.Long]] {
+      override def initialValue() = new java.util.IdentityHashMap()
+    }
+  private def onEvalThread: Boolean =
+    Thread.currentThread().getName == evalThreadName
+
+  /** One count per (run, frame) instead of one per lazy-op dispatch. */
+  private def cachedCount(df: DataFrame): Long =
+    if (!onEvalThread) df.count()
+    else {
+      val c = runCounts.get()
+      val hit = c.get(df)
+      if (hit != null) hit.longValue
+      else { val n = df.count(); c.put(df, n); n }
+    }
+
   /** Collects in partition order — see the VColView ORDER CONTRACT. */
-  private def materialize(v: VColView): Vector[Any] = {
-    val n = v.df.count()
-    require(n <= maxDriverVec,
-      s"refusing to materialize $n-row column '${v.base}' into the driver " +
-        s"(max $maxDriverVec); keep it lazy or aggregate it distributed")
-    val xs = v.df.select(col(v.base)).collect().map(_.get(0)).toVector
+  private def materialize(v: VColView): Vector[Any] =
+    if (!onEvalThread) materializeFresh(v)
+    else {
+      val byDf = runPulls.get()
+      var cols = byDf.get(v.df)
+      if (cols == null) { cols = new java.util.HashMap(); byDf.put(v.df, cols) }
+      val key = (v.base, v.offset)
+      val hit = cols.get(key)
+      if (hit != null) hit
+      else { val r = materializeFresh(v); cols.put(key, r); r }
+    }
+
+  private def materializeFresh(v: VColView): Vector[Any] = {
+    // ONE job: pull up to cap+1 rows (CollectLimitExec walks partitions
+    // in order, so ≤-cap results are the exact partition-order collect)
+    // and fail on overflow AFTER, instead of a separate count() job
+    // before every collect
+    val capPlus = math.min(maxDriverVec + 1, Int.MaxValue.toLong).toInt
+    val xs = v.df.select(col(v.base)).limit(capPlus)
+      .collect().map(_.get(0)).toVector
+    require(xs.length <= maxDriverVec,
+      s"refusing to materialize a >$maxDriverVec-row column '${v.base}' " +
+        "into the driver; keep it lazy or aggregate it distributed")
     if (v.offset == 0L) xs
     else xs.map {
       case l: java.lang.Long => java.lang.Long.valueOf(l + v.offset): Any
@@ -2599,8 +2650,8 @@ object Rayfall {
         ev(RList(RSym("count") :: x :: Nil))
       case RList(RSym("count") :: x :: Nil) => ev(x) match {
         case VVec(xs) => VAtom(xs.length.toLong)
-        case VTab(df) => VAtom(df.count())
-        case VColView(df, _, _) => VAtom(df.count())
+        case VTab(df) => VAtom(cachedCount(df))
+        case VColView(df, _, _) => VAtom(cachedCount(df))
         case VRange(n, _) => VAtom(n)
         // strings are C8 vectors (lang.c:4097); dicts count their keys
         case VAtom(s: String) => VAtom(s.length.toLong)
@@ -3872,13 +3923,13 @@ object Rayfall {
     // lazy column keyed by its contiguous position (zipWithIndex), all
     // joined on it (the r09 shape at 1e7 stays executor-side end to end)
     if (colVals.exists {
-          case cv: VColView => cv.df.count() > maxDriverVec
+          case cv: VColView => cachedCount(cv.df) > maxDriverVec
           case _ => false
         }) {
       val frames = names.zip(colVals).collect {
         case (name, cv: VColView) =>
           (name, indexedVec(spark, cv).withColumnRenamed("__v", name),
-            cv.df.count())
+            cachedCount(cv.df))
         case (name, VRange(n2, f)) =>
           (name, spark.range(n2).select(col("id").as("__rowidx"),
             f(col("id")).as(name)), n2)
