@@ -893,8 +893,11 @@ private[graft] trait Queries1Rel extends Queries0Shared {
     new operators.ArtifactMemo.Memo[(Long, Long, Long)](cap = 64)
   private[graft] def bm25Stats(spark: SparkSession,
                                dir: String): (Long, Long, Long) =
+    // stampPath (name+size+mtime over every part), not srcStamp (max
+    // mtime): the stats must invalidate on ANY corpus rewrite or the
+    // memo would serve stale scalars against a fresh scoring scan
     bm25StatsMemo(spark, s"$dir#bm25stats",
-      srcStamp(dir, "documents.parquet"))(
+      graft.operators.ArtifactMemo.stampPath(s"$dir/documents.parquet"))(
       operators.TfIdf.corpusStats(t(spark, dir, "documents"),
         "doc_id", "text"))
 

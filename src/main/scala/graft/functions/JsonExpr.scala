@@ -19,8 +19,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * interpreted expression after round 18. This replicates the
   * built-in's single-named-key path EXACTLY — same Jackson parser
   * factory, same raw-style leaf rules (string values emitted unquoted
-  * via writeRaw, every other value copied through a generator, every
-  * matching duplicate key appended to the same output stream), same
+  * via writeRaw, every other value copied through a generator, FIRST
+  * non-null duplicate key wins — see evaluate()), same
   * malformed-input → NULL contract — so the string output is
   * bit-identical (JsonExprSpec fuzz-pins 2000 generated cases against
   * the built-in, the HtmlExpr precedent). The long form composes

@@ -557,12 +557,14 @@ object CorpusStats {
     val d = cen.groupBy($"word").agg(sum($"c").as("d"))
     val ns = cen.groupBy($"src").agg(sum($"c").as("n_tokens"))
     // fail fast on a token-less corpus: sum/max of an empty agg is
-    // NULL and getLong would NPE (the stageTimeOrderedFeed lesson)
-    val mRow = cen.agg(sum($"c")).collect()(0)
-    require(!mRow.isNullAt(0),
+    // NULL and getLong would NPE (the stageTimeOrderedFeed lesson).
+    // M = Σc ≡ Σd exactly, so ONE action over the word census yields
+    // both guards (r19: was two driver jobs per call)
+    val gRow = d.agg(sum($"d"), max($"d")).collect()(0)
+    require(!gRow.isNullAt(0),
       "sourceKl needs at least one non-empty token in the corpus")
-    val m = mRow.getLong(0)
-    val maxD = d.agg(max($"d")).collect()(0).getLong(0)
+    val m = gRow.getLong(0)
+    val maxD = gRow.getLong(1)
     require(BigInt(maxD) * BigInt(m) < (BigInt(1) << 57),
       s"sourceKl surprisal operand overflow: max(d)*M = $maxD*$m >= 2^57" +
         " — shard the corpus or hash-bucket the vocabulary first")

@@ -109,21 +109,6 @@ object TfIdf {
     * + isin filter pushes into the scan), one (doc, term) shuffle with
     * map-side combine, top-k folds to TakeOrderedAndProject. Returns
     * (idCol, n_hit, score) for the top `k` docs by (score DESC, id). */
-  /** The bm25 corpus statistics (N docs, Σ token count, max doc
-    * length) — ONE full tokenize-scan action. Factored out so callers
-    * that serve repeated queries against an immutable corpus can
-    * memoize it per (session, corpus stamp) — the wordFreqMemo
-    * discipline (r19: t62 and s15 each re-paid this scan per call). */
-  def corpusStats(corpus: DataFrame, idCol: String,
-                  textCol: String): (Long, Long, Long) = {
-    val withDl = corpus.select(col(idCol).as("id"),
-      split(col(textCol), " ").as("w"))
-      .withColumn("dl", size(col("w")).cast("long"))
-    val stats = withDl.agg(count(lit(1)), sum(col("dl")),
-      coalesce(max(col("dl")), lit(0L))).collect().head
-    (stats.getLong(0), stats.getLong(1), stats.getLong(2))
-  }
-
   def bm25Search(corpus: DataFrame, idCol: String, textCol: String,
                  terms: Seq[String], k: Int,
                  stats: Option[(Long, Long, Long)] = None): DataFrame = {
@@ -165,5 +150,20 @@ object TfIdf {
       .select(col("id").as(idCol), col("n_hit"), col("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
+  }
+
+  /** The bm25 corpus statistics (N docs, Σ token count, max doc
+    * length) — ONE full tokenize-scan action. Factored out so callers
+    * that serve repeated queries against an immutable corpus can
+    * memoize it per (session, corpus stamp) — the wordFreqMemo
+    * discipline (r19: t62 and s15 each re-paid this scan per call). */
+  def corpusStats(corpus: DataFrame, idCol: String,
+                  textCol: String): (Long, Long, Long) = {
+    val withDl = corpus.select(col(idCol).as("id"),
+      split(col(textCol), " ").as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+    val stats = withDl.agg(count(lit(1)), sum(col("dl")),
+      coalesce(max(col("dl")), lit(0L))).collect().head
+    (stats.getLong(0), stats.getLong(1), stats.getLong(2))
   }
 }

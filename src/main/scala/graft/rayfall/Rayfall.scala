@@ -731,6 +731,14 @@ object Rayfall {
   private def onEvalThread: Boolean =
     Thread.currentThread().getName == evalThreadName
 
+  /** Drop the per-run pull/count memos. script/scriptValue entries get
+    * this for free (their eval thread dies with the run), but the REPL
+    * loops run a whole SESSION on one eval thread — without a
+    * per-command clear the memos would pin every touched column vector
+    * and DataFrame for the session's life (the r19 self-review
+    * finding). */
+  private def clearRunMemos(): Unit = { runPulls.remove(); runCounts.remove() }
+
   /** One count per (run, frame) instead of one per lazy-op dispatch. */
   private def cachedCount(df: DataFrame): Long =
     if (!onEvalThread) df.count()
@@ -1133,6 +1141,7 @@ object Rayfall {
       else if (balance(src) <= 0) {
         pending.clear()
         try {
+          clearRunMemos() // one command = one run (memo scope)
           val p = new Parser(src)
           p.skipWs()
           while (!p.eof) {
@@ -1221,6 +1230,7 @@ object Rayfall {
           case Some(src) =>
             val t0 = System.nanoTime()
             try {
+              clearRunMemos() // one command = one run (memo scope)
               val p = new Parser(src)
               p.skipWs()
               while (!p.eof) {

@@ -27,7 +27,7 @@ object Streams {
                      outPath: String, checkpoint: String,
                      prep: DataFrame => DataFrame = identity,
                      statePartitions: Int = 2): DataFrame =
-      withStoreLock(outPath, "tumblingCounts") {
+      withStoreLock(checkpoint, "tumblingCounts") {
     requireCkptMatchesStore(outPath, checkpoint, "tumblingCounts")
     // Run the stateful query in a cloned session with few shuffle
     // partitions: streaming state-store partitions = shuffle partitions,
@@ -55,7 +55,10 @@ object Streams {
       .start()
     try q.processAllAvailable() finally q.stop()
     requireStoreMatchesCkpt(outPath, checkpoint, "tumblingCounts")
-    readLatestBatch(spark, outPath).getOrElse {
+    // materialize INSIDE the lock: the returned frame must not lazily
+    // re-read a partition a next owner may prune (bounded: the store is
+    // the final aggregate, sized by key cardinality)
+    readLatestBatch(spark, outPath).map(_.localCheckpoint()).getOrElse {
       aggOf(prep(spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         schemaFrom.schema)))
@@ -73,7 +76,7 @@ object Streams {
                   outPath: String, checkpoint: String,
                   prep: DataFrame => DataFrame = identity,
                   statePartitions: Int = 2): DataFrame =
-      withStoreLock(outPath, "dedupCounts") {
+      withStoreLock(checkpoint, "dedupCounts") {
     requireCkptMatchesStore(outPath, checkpoint, "dedupCounts")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
@@ -93,7 +96,10 @@ object Streams {
       .start()
     try q.processAllAvailable() finally q.stop()
     requireStoreMatchesCkpt(outPath, checkpoint, "dedupCounts")
-    readLatestBatch(spark, outPath).getOrElse {
+    // materialize INSIDE the lock: the returned frame must not lazily
+    // re-read a partition a next owner may prune (bounded: the store is
+    // the final aggregate, sized by key cardinality)
+    readLatestBatch(spark, outPath).map(_.localCheckpoint()).getOrElse {
       aggOf(prep(spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
         schemaFrom.schema)))
@@ -113,7 +119,7 @@ object Streams {
                      valueCol: String, queryName: String,
                      outPath: String, checkpoint: String,
                      statePartitions: Int = 2): DataFrame =
-      withStoreLock(outPath, "enrichedCounts") {
+      withStoreLock(checkpoint, "enrichedCounts") {
     requireCkptMatchesStore(outPath, checkpoint, "enrichedCounts")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
@@ -133,7 +139,10 @@ object Streams {
       .start()
     try q.processAllAvailable() finally q.stop()
     requireStoreMatchesCkpt(outPath, checkpoint, "enrichedCounts")
-    readLatestBatch(spark, outPath).getOrElse {
+    // materialize INSIDE the lock: the returned frame must not lazily
+    // re-read a partition a next owner may prune (bounded: the store is
+    // the final aggregate, sized by key cardinality)
+    readLatestBatch(spark, outPath).map(_.localCheckpoint()).getOrElse {
       spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           schemaFrom.schema)
@@ -163,7 +172,8 @@ object Streams {
   def ivfPqIngest(spark: SparkSession, srcDir: String,
                   schemaFrom: DataFrame, idCol: String, vecCol: String,
                   indexPath: String, checkpoint: String,
-                  statePartitions: Int = 2): Unit = {
+                  statePartitions: Int = 2): Unit =
+      withStoreLock(checkpoint, "ivfPqIngest") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val stream = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
@@ -194,7 +204,8 @@ object Streams {
                        freqOf: SparkSession => DataFrame,
                        outDir: String, checkpoint: String,
                        minSpanTokens: Int = 0,
-                       statePartitions: Int = 2): DataFrame = {
+                       statePartitions: Int = 2): DataFrame =
+      withStoreLock(checkpoint, "spanRemoveStream") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     // Datasets are session-bound (the q55 lesson): the freq set is
@@ -238,7 +249,8 @@ object Streams {
                       textCol: String, modelPath: String,
                       keepNum: Long, keepDen: Long,
                       outDir: String, checkpoint: String,
-                      statePartitions: Int = 2): DataFrame = {
+                      statePartitions: Int = 2): DataFrame =
+      withStoreLock(checkpoint, "lmQualityStream") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val lmSs = graft.operators.NgramLm.loadModel(ss, modelPath)
@@ -274,7 +286,8 @@ object Streams {
   def dsirStream(spark: SparkSession, srcDir: String,
                  schemaFrom: DataFrame, idCol: String, textCol: String,
                  modelPath: String, outDir: String, checkpoint: String,
-                 statePartitions: Int = 2): DataFrame = {
+                 statePartitions: Int = 2): DataFrame =
+      withStoreLock(checkpoint, "dsirStream") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val mSs = graft.operators.Dsir.loadModel(ss, modelPath)
@@ -308,7 +321,8 @@ object Streams {
   def langIdStream(spark: SparkSession, srcDir: String,
                    schemaFrom: DataFrame, idCol: String, textCol: String,
                    modelPath: String, outDir: String, checkpoint: String,
-                   statePartitions: Int = 2): DataFrame = {
+                   statePartitions: Int = 2): DataFrame =
+      withStoreLock(checkpoint, "langIdStream") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val m = graft.operators.LangNb.loadModel(ss, modelPath)
@@ -345,7 +359,8 @@ object Streams {
                          schemaFrom: DataFrame, idCol: String,
                          textCol: String, weightsPath: String,
                          outDir: String, checkpoint: String,
-                         statePartitions: Int = 2): DataFrame = {
+                         statePartitions: Int = 2): DataFrame =
+      withStoreLock(checkpoint, "qualityScoreStream") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val w = graft.operators.QualityClassifier.loadWeights(ss, weightsPath)
@@ -378,7 +393,8 @@ object Streams {
                           schemaFrom: DataFrame, idCol: String,
                           textCol: String, modelPath: String,
                           outDir: String, checkpoint: String,
-                          statePartitions: Int = 2): DataFrame = {
+                          statePartitions: Int = 2): DataFrame =
+      withStoreLock(checkpoint, "tokenizeCountStream") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val merges = graft.operators.Bpe.loadModel(ss, modelPath)
@@ -415,7 +431,8 @@ object Streams {
                            schemaFrom: DataFrame, idCol: String,
                            textCol: String, modelPath: String,
                            outDir: String, checkpoint: String,
-                           statePartitions: Int = 2): DataFrame = {
+                           statePartitions: Int = 2): DataFrame =
+      withStoreLock(checkpoint, "wordpieceMeterStream") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val vocab = graft.operators.WordPiece.loadModel(ss, modelPath)._2
@@ -450,7 +467,8 @@ object Streams {
                         vecCol: String,
                         bench: Array[(Long, Seq[Double])], tau: Double,
                         outDir: String, checkpoint: String,
-                        statePartitions: Int = 2): DataFrame = {
+                        statePartitions: Int = 2): DataFrame =
+      withStoreLock(checkpoint, "semDecontamStream") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val stream = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
@@ -491,7 +509,8 @@ object Streams {
                           textCol: String, filterPath: String,
                           outDir: String, checkpoint: String,
                           where: Option[String] = None,
-                          statePartitions: Int = 2): DataFrame = {
+                          statePartitions: Int = 2): DataFrame =
+      withStoreLock(checkpoint, "bloomDecontamStream") {
     val bf = graft.operators.Decontam.loadBloomFilter(spark, filterPath)
     def probe(df: DataFrame) = graft.operators.Decontam.bloomReport(
       df, idCol, textCol, bf.n, bf.k, bf.mBits, bf.bits)
@@ -524,7 +543,8 @@ object Streams {
   def hllIngest(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
                 storePath: String, checkpoint: String,
                 where: Option[String] = None,
-                statePartitions: Int = 2): Unit = {
+                statePartitions: Int = 2): Unit =
+      withStoreLock(checkpoint, "hllIngest") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
@@ -545,7 +565,8 @@ object Streams {
     * at-least-once delivery exactly-once at read. */
   def cmsIngest(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
                 textCol: String, storePath: String, checkpoint: String,
-                statePartitions: Int = 2): Unit = {
+                statePartitions: Int = 2): Unit =
+      withStoreLock(checkpoint, "cmsIngest") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
@@ -569,7 +590,8 @@ object Streams {
   def graphAnnIngest(spark: SparkSession, srcDir: String,
                      schemaFrom: DataFrame, idCol: String, vecCol: String,
                      indexPath: String, checkpoint: String,
-                     statePartitions: Int = 2): Unit = {
+                     statePartitions: Int = 2): Unit =
+      withStoreLock(checkpoint, "graphAnnIngest") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
@@ -593,7 +615,8 @@ object Streams {
   def htmlCleanStream(spark: SparkSession, srcDir: String,
                       schemaFrom: DataFrame, htmlCol: String,
                       outDir: String, checkpoint: String,
-                      statePartitions: Int = 2): DataFrame = {
+                      statePartitions: Int = 2): DataFrame =
+      withStoreLock(checkpoint, "htmlCleanStream") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
@@ -623,7 +646,8 @@ object Streams {
                       textCol: String, frequent: Seq[String],
                       outDir: String, checkpoint: String,
                       statePartitions: Int = 2,
-                      sep: String = "\n"): DataFrame = {
+                      sep: String = "\n"): DataFrame =
+      withStoreLock(checkpoint, "lineCleanStream") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
@@ -672,7 +696,8 @@ object Streams {
                       phrases: Seq[String], entMin64: Long,
                       blockMax: Long, langMinPerGram64: Long,
                       qMin: Double, outDir: String, checkpoint: String,
-                      statePartitions: Int = 2): DataFrame = {
+                      statePartitions: Int = 2): DataFrame =
+      withStoreLock(checkpoint, "gateStackStream") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
@@ -705,7 +730,8 @@ object Streams {
                       schemaFrom: DataFrame, idCol: String,
                       textCol: String, phrases: Seq[String],
                       flagMin: Long, outDir: String, checkpoint: String,
-                      statePartitions: Int = 2): DataFrame = {
+                      statePartitions: Int = 2): DataFrame =
+      withStoreLock(checkpoint, "blocklistStream") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
@@ -734,7 +760,8 @@ object Streams {
   def censusIngest(spark: SparkSession, srcDir: String,
                    schemaFrom: DataFrame, storePath: String,
                    checkpoint: String, where: Option[String] = None,
-                   statePartitions: Int = 2): Unit = {
+                   statePartitions: Int = 2): Unit =
+      withStoreLock(checkpoint, "censusIngest") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
@@ -760,7 +787,8 @@ object Streams {
   def phashIngest(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
                   idCol: String, dataCol: String, indexPath: String,
                   checkpoint: String, where: Option[String] = None,
-                  statePartitions: Int = 2): Unit = {
+                  statePartitions: Int = 2): Unit =
+      withStoreLock(checkpoint, "phashIngest") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
@@ -787,7 +815,8 @@ object Streams {
   def binaryIngest(spark: SparkSession, srcDir: String,
                    schemaFrom: DataFrame, idCol: String, vecCol: String,
                    indexPath: String, checkpoint: String,
-                   statePartitions: Int = 2): Unit = {
+                   statePartitions: Int = 2): Unit =
+      withStoreLock(checkpoint, "binaryIngest") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
@@ -815,7 +844,8 @@ object Streams {
   def lshIngest(spark: SparkSession, srcDir: String, schemaFrom: DataFrame,
                 idCol: String, textCol: String, indexPath: String,
                 checkpoint: String, where: Option[String] = None,
-                statePartitions: Int = 2): Unit = {
+                statePartitions: Int = 2): Unit =
+      withStoreLock(checkpoint, "lshIngest") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val src = ss.readStream.schema(schemaFrom.schema).parquet(srcDir)
@@ -887,7 +917,8 @@ object Streams {
   private def takedownIngestOn(spark: SparkSession, srcDir: String,
       schemaFrom: DataFrame, idCol: String, checkpoint: String,
       statePartitions: Int, storedIdsPath: String,
-      delete: (SparkSession, DataFrame) => Unit): Unit = {
+      delete: (SparkSession, DataFrame) => Unit): Unit =
+      withStoreLock(checkpoint, "takedownIngestOn") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val src = ss.readStream.schema(schemaFrom.schema)
@@ -987,7 +1018,7 @@ object Streams {
                    leftWatermark: Option[(String, String)] = None,
                    rightWatermark: Option[(String, String)] = None,
                    maxFilesPerTrigger: Option[Int] = None): DataFrame =
-      withStoreLock(outPath, "intervalJoin") {
+      withStoreLock(checkpoint, "intervalJoin") {
     requireCkptMatchesStore(outPath, checkpoint, "intervalJoin")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
@@ -1075,7 +1106,8 @@ object Streams {
                             sentinelKey: Long, queryName: String,
                             punctuation: DataFrame, barsPath: String,
                             checkpoint: String,
-                            statePartitions: Int = 2): DataFrame = {
+                            statePartitions: Int = 2): DataFrame =
+      withStoreLock(checkpoint, "watermarkedBarsIngest") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     // NO pre-agg sentinel filter: a
@@ -1196,7 +1228,8 @@ object Streams {
   def twapIngest(spark: SparkSession, srcDir: String,
                  schemaFrom: DataFrame, prep: DataFrame => DataFrame,
                  statePath: String, checkpoint: String,
-                 statePartitions: Int = 2): Unit = {
+                 statePartitions: Int = 2): Unit =
+      withStoreLock(checkpoint, "twapIngest") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val q = prep(ss.readStream.schema(schemaFrom.schema)
@@ -1233,7 +1266,8 @@ object Streams {
                       schemaFrom: DataFrame, prep: DataFrame => DataFrame,
                       censusPath: String, statePath: String,
                       checkpoint: String,
-                      statePartitions: Int = 2): Unit = {
+                      statePartitions: Int = 2): Unit =
+      withStoreLock(checkpoint, "gapCensusIngest") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val q = prep(ss.readStream.schema(schemaFrom.schema)
@@ -1331,7 +1365,8 @@ object Streams {
   def bollingerIngest(spark: SparkSession, srcDir: String,
                       schemaFrom: DataFrame, prep: DataFrame => DataFrame,
                       statePath: String, checkpoint: String,
-                      statePartitions: Int = 2): Unit = {
+                      statePartitions: Int = 2): Unit =
+      withStoreLock(checkpoint, "bollingerIngest") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val q = prep(ss.readStream.schema(schemaFrom.schema)
@@ -1627,7 +1662,8 @@ object Streams {
                 schemaFrom: DataFrame, prep: DataFrame => DataFrame,
                 aNum: Int, aDen: Int, statePath: String,
                 resultPath: String, checkpoint: String,
-                statePartitions: Int = 2): Unit = {
+                statePartitions: Int = 2): Unit =
+      withStoreLock(checkpoint, "emaIngest") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val q = prep(ss.readStream.schema(schemaFrom.schema)
@@ -1773,32 +1809,58 @@ object Streams {
         "with reset batch ids")
   }
 
-  /** Exclusive owner lock over one durable store: Spark does not
-    * support concurrent structured-streaming access to a checkpoint,
-    * and the durable stores are shared mutable state across JVMs (bench
-    * + spec runs) — this turns a silent-corruption risk into an abort
-    * (r18 verdict "What's wrong #5"). An OS file lock auto-releases on
-    * process death, so no stale-lock handling is needed; a second owner
-    * in the SAME JVM surfaces as OverlappingFileLockException and
-    * aborts identically (WatermarkSpec pins that). */
-  private def withStoreLock[T](outPath: String, fn: String)(body: => T): T = {
-    val lockFile = new java.io.File(outPath + ".lock")
+  /** Exclusive owner lock over one checkpointed durable store: Spark
+    * does not support concurrent structured-streaming access to a
+    * checkpoint, and the durable stores are shared mutable state across
+    * JVMs (bench + spec runs) — this turns a silent-corruption risk
+    * into an abort (r18 verdict "What's wrong #5"). An OS file lock
+    * auto-releases on process death, so no stale-lock handling is
+    * needed; a second owner in the SAME JVM surfaces as
+    * OverlappingFileLockException and aborts identically
+    * (WatermarkSpec pins that).
+    *
+    * ONE never-closed channel per lock file per JVM: POSIX fcntl drops
+    * ALL of a process's locks on a file when ANY fd to it closes, so a
+    * rejected second-owner attempt that opened-then-closed its own
+    * channel would silently release the live owner's lock (the r19
+    * self-review finding). A lock file deleted under the cached
+    * channel (a staged-base rm on stamp change) is reopened fresh; the
+    * stale channel is abandoned, never closed (closing it could drop a
+    * concurrent holder's lock — the fd leak is bounded by testdata
+    * regenerations per JVM).
+    *
+    * Residual window, documented: the locked functions return LAZY
+    * DataFrames over the store, so a caller that parks the result
+    * while a NEXT owner prunes/overwrites partitions can see a
+    * mid-rewrite read. The complete-mode readers close it by eagerly
+    * materializing the (key-cardinality-bounded) latest batch inside
+    * the lock; the append-mode pair store is append-only outside crash
+    * redelivery, where the rewritten partition is byte-identical. */
+  private val storeLockChans = new java.util.concurrent.ConcurrentHashMap[
+    String, java.nio.channels.FileChannel]()
+
+  private def withStoreLock[T](ckpt: String, fn: String)(body: => T): T = {
+    val lockFile = new java.io.File(ckpt + ".lock")
     Option(lockFile.getParentFile).foreach(_.mkdirs())
-    val ch = java.nio.channels.FileChannel.open(lockFile.toPath,
+    val key = lockFile.getCanonicalPath
+    def open() = java.nio.channels.FileChannel.open(lockFile.toPath,
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.WRITE)
-    try {
-      val lock =
-        try ch.tryLock()
-        catch {
-          case _: java.nio.channels.OverlappingFileLockException => null
-        }
-      require(lock != null,
-        s"$fn: the durable store at $outPath is owned by another live " +
-          "process/query (concurrent structured-streaming access to one " +
-          "checkpoint is unsupported) — aborting instead of corrupting")
-      try body finally lock.release()
-    } finally ch.close()
+    var ch = storeLockChans.computeIfAbsent(key, _ => open())
+    if (!lockFile.exists()) { // deleted under the cached channel
+      storeLockChans.remove(key, ch)
+      ch = storeLockChans.computeIfAbsent(key, _ => open())
+    }
+    val lock =
+      try ch.tryLock()
+      catch {
+        case _: java.nio.channels.OverlappingFileLockException => null
+      }
+    require(lock != null,
+      s"$fn: the durable store under $ckpt is owned by another live " +
+        "process/query (concurrent structured-streaming access to one " +
+        "checkpoint is unsupported) — aborting instead of corrupting")
+    try body finally lock.release()
   }
 
   /** The latest `__batch` partition of a complete-mode store, or None
@@ -1827,7 +1889,12 @@ object Streams {
   def vwapIngest(spark: SparkSession, srcDir: String,
                  schemaFrom: DataFrame, prep: DataFrame => DataFrame,
                  storePath: String, checkpoint: String,
-                 statePartitions: Int = 2): Unit = {
+                 statePartitions: Int = 2): Unit =
+      withStoreLock(checkpoint, "vwapIngest") {
+    // vwap keeps no committed-bid state of its own (mergeable partials
+    // are the whole exactly-once story), so the deleted-checkpoint
+    // mirror guard is its only reset detection
+    requireCkptMatchesStore(storePath, checkpoint, "vwapIngest")
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val src = ss.readStream.schema(schemaFrom.schema)
@@ -1871,7 +1938,8 @@ object Streams {
   def cusumIngest(spark: SparkSession, srcDir: String,
                   schemaFrom: DataFrame, prep: DataFrame => DataFrame,
                   kRef: Long, statePath: String, resultPath: String,
-                  checkpoint: String, statePartitions: Int = 2): Unit = {
+                  checkpoint: String, statePartitions: Int = 2): Unit =
+      withStoreLock(checkpoint, "cusumIngest") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val q = prep(ss.readStream.schema(schemaFrom.schema)
@@ -1943,7 +2011,8 @@ object Streams {
   def drawdownIngest(spark: SparkSession, srcDir: String,
                      schemaFrom: DataFrame, prep: DataFrame => DataFrame,
                      statePath: String, checkpoint: String,
-                     statePartitions: Int = 2): Unit = {
+                     statePartitions: Int = 2): Unit =
+      withStoreLock(checkpoint, "drawdownIngest") {
     val ss = spark.newSession()
     ss.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
     val q = prep(ss.readStream.schema(schemaFrom.schema)

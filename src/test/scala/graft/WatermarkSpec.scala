@@ -667,7 +667,7 @@ class WatermarkSpec extends SparkSpec {
     val outPath = s"$base/store"
     new java.io.File(base).mkdirs()
     val ch = java.nio.channels.FileChannel.open(
-      new java.io.File(outPath + ".lock").toPath,
+      new java.io.File(s"$base/ckpt.lock").toPath,
       java.nio.file.StandardOpenOption.CREATE,
       java.nio.file.StandardOpenOption.WRITE)
     val lock = ch.lock() // the planted second owner
