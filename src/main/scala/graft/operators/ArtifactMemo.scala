@@ -94,6 +94,19 @@ private[graft] object ArtifactMemo {
     else stamp(path, Seq(""))
   }
 
+  /** Recursive stamp over a whole tree (hive-partitioned layouts —
+    * `stampPath` only sees direct children, which for a parted store
+    * are the partition DIRS, not their files). Name+size+mtime of
+    * every file, with each directory's name folded in so a renamed
+    * partition moves the stamp too. */
+  def stampTree(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.getName.hashCode * 31L + f.length + f.lastModified
+      else f.getName.hashCode * 31L +
+        Option(f.listFiles).toSeq.flatten.map(walk).sum
+    walk(new java.io.File(path))
+  }
+
   private val shared = new Memo[Any](cap = 256)
 
   /** Per-(session, path, artifact-stamp) memo for SMALL driver-side

@@ -53,8 +53,19 @@ object Store {
   /** Load a parted database; the partition column comes back as the
     * reference's virtual Date/Id column and filters on it prune
     * whole partitions before any IO. */
+  /** Per-(session, path, tree-stamp) memo of the loaded PLAN — the
+    * Tables.load discipline (r19): a parted store's `read.parquet`
+    * pays a driver listing of every partition dir per call (~0.2 s on
+    * the ~85-month lineitem layout); every action on the returned
+    * frame still scans parquet, and any rewrite of the tree (the
+    * stamp covers every file AND dir name recursively) re-loads. */
+  private val partedMemo =
+    new graft.operators.ArtifactMemo.Memo[DataFrame](cap = 32)
+
   def getParted(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    partedMemo(spark, path,
+      graft.operators.ArtifactMemo.stampTree(path))(
+      spark.read.parquet(path))
 
   /** Persist a VALUE column for the generic `(set "path" v)` of a
     * vector (reference `ray_set` of any object to a path,

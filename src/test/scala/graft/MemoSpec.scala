@@ -31,6 +31,25 @@ class MemoSpec extends SparkSpec {
       "deleting a non-newest part must move the stamp")
   }
 
+  test("stampTree: rewriting a file INSIDE a partition dir (and " +
+      "renaming a partition dir) moves the recursive stamp — the " +
+      "getParted invalidation contract stampPath cannot give") {
+    val root = tmpDir()
+    val part = new java.io.File(root, "m=1995-03"); part.mkdirs()
+    val f = new java.io.File(part, "part-0.parquet")
+    java.nio.file.Files.write(f.toPath, "aaaa".getBytes)
+    f.setLastModified(1000000L)
+    val s0 = ArtifactMemo.stampTree(root.getPath)
+    assert(s0 == ArtifactMemo.stampTree(root.getPath))
+    java.nio.file.Files.write(f.toPath, "bbbbbb".getBytes)
+    f.setLastModified(2000000L)
+    val s1 = ArtifactMemo.stampTree(root.getPath)
+    assert(s1 != s0, "nested file rewrite must move the tree stamp")
+    assert(part.renameTo(new java.io.File(root, "m=1995-04")))
+    assert(ArtifactMemo.stampTree(root.getPath) != s1,
+      "partition dir rename must move the tree stamp")
+  }
+
   test("supersede: a changed stamp re-makes and RELEASES the live " +
       "superseded entry; an unchanged stamp never re-makes") {
     var made = 0
